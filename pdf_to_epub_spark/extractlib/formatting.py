@@ -1,0 +1,665 @@
+"""Stage 2 — formatting, reflow and dialogue normalization.
+
+Byte-parity reimplementation of the reference pipeline's second stage
+(`/root/reference/text-processing/Step2_formatting_v14.py`).  Twenty ordered
+passes; the order is load-bearing (e.g. the bare ``â`` → ``"`` pre-pass feeds
+the dialogue-quote rules).  Every function is pure ``(str, counters) -> str``.
+Counter keys mirror the reference JSON logs for metric parity.
+"""
+
+from __future__ import annotations
+
+import re
+
+# --------------------------------------------------------------------------
+# Replacement tables (reference Step2_formatting_v14.py:327-344).
+# Held as ordered pair tuples because ordering matters: e.g. "Ã‚"→"Â" runs
+# before the bare "Â"→"" delete, so a fixed "Ã‚" is subsequently removed.
+# --------------------------------------------------------------------------
+
+MOJIBAKE_PAIRS: tuple[tuple[str, str], ...] = (
+    # lowercase
+    ("Ã ", "à"), ("Ã¢", "â"), ("Ã¤", "ä"), ("Ã¦", "æ"), ("Ã§", "ç"),
+    ("Ã©", "é"), ("Ã¨", "è"), ("Ãª", "ê"), ("Ã«", "ë"),
+    ("Ã¯", "ï"), ("Ã®", "î"), ("Ã´", "ô"), ("Ã¶", "ö"),
+    ("Ã¹", "ù"), ("Ãº", "ú"), ("Ã»", "û"), ("Ã¼", "ü"), ("Å“", "œ"),
+    # uppercase
+    ("Ã€", "À"), ("Ã‚", "Â"), ("Ã„", "Ä"), ("Ã†", "Æ"), ("Ã‡", "Ç"),
+    ("Ã‰", "É"), ("Ãˆ", "È"), ("ÃŠ", "Ê"), ("Ã‹", "Ë"),
+    # NB: "Ã" + U+FFFD appears twice in the reference dict literal (values
+    # "Í" then "Ï"); dict semantics keep first position / last value, so the
+    # effective pair is a single "Ã�" → "Ï" at this slot.
+    ("Ã�", "Ï"), ("ÃŽ", "Î"),
+    ("Ã”", "Ô"), ("Ã–", "Ö"), ("Ã™", "Ù"), ("Ãš", "Ú"), ("Ã›", "Û"),
+    ("Ãœ", "Ü"), ("Å’", "Œ"),
+    # common stray
+    ("Â«", "«"), ("Â»", "»"), ("Â·", "·"), ("Â°", "°"), ("Â", ""),
+)
+
+PROPER_NOUN_PAIRS: tuple[tuple[str, str], ...] = (
+    ("d'UrfÃ©", "d'Urfé"), ("UrfÃ©", "Urfé"),
+    ("SociÃ©tÃ©", "Société"), ("ASSOCIÃ‰S", "ASSOCIÉS"),
+    ("ChambÃ©ry", "Chambéry"),
+)
+
+ARTIFACT_TOKENS: tuple[str, ...] = (
+    "â€¢", "â€", "Â¤", "Â¸", "Â·", "Â«", "Â»", "Â",
+)
+
+QUOTE_SHAPES: tuple[tuple[str, str], ...] = (
+    ("“", '"'), ("”", '"'), ("„", '"'), ("‟", '"'), ("〝", '"'), ("〞", '"'),
+    ("«", '"'), ("»", '"'), ("‹", '"'), ("›", '"'), ("＂", '"'), ("❝", '"'),
+    ("❞", '"'),
+)
+
+DEFAULT_MONEY_TERMS: frozenset[str] = frozenset({
+    "ducat", "ducats", "louis", "louis-dor", "louis d’or", "zecchini",
+    "zecchino", "zecchins", "pistole", "pistoles", "crown", "crowns",
+    "guinea", "guineas", "florin", "florins", "livre", "livres", "franc",
+    "francs", "dollar", "dollars", "pound", "pounds", "sequins", "sequin",
+    "escudo", "escudos", "peso", "pesos", "real", "reals", "reales",
+    "maravedi", "maravedis", "écu", "écus", "taler", "talers", "thaler",
+    "thalers", "sou", "sous",
+})
+
+
+# --------------------------------------------------------------------------
+# Pass 2.0 — mojibake pre-pass (reference Step2_formatting_v14.py:514-517)
+# --------------------------------------------------------------------------
+
+def bare_mojibake_prepass(text: str, counters: dict) -> str:
+    """Delete ``â``+U+0080+``¢`` bullet mojibake, then turn ``â``+U+0080
+    into a straight double quote so the dialogue passes can see it.  Runs
+    before anything else.  NB: the second char of both keys is the
+    *invisible* control char U+0080 (double-mojibake), not U+20AC — the
+    visible ``â€¢`` artifact is handled later by the artifact sweep."""
+    text = text.replace("â¢", "")
+    return text.replace("â", '"')
+
+
+# --------------------------------------------------------------------------
+# Pass 2.1 — mojibake maps, artifact sweep, quote normalization
+# (reference Step2_formatting_v14.py:346-373)
+# --------------------------------------------------------------------------
+
+_MULTI_DQUOTE = re.compile(r'"{2,}')
+
+
+def sweep_mojibake_and_artifacts(text: str, counters: dict) -> str:
+    by_noun: dict[str, int] = {}
+    by_pair: dict[str, int] = {}
+    by_artifact: dict[str, int] = {}
+    for bad, good in PROPER_NOUN_PAIRS:
+        c = text.count(bad)
+        if c:
+            text = text.replace(bad, good)
+            by_noun[bad] = c
+    for bad, good in MOJIBAKE_PAIRS:
+        c = text.count(bad)
+        if c:
+            text = text.replace(bad, good)
+            by_pair[bad] = c
+    for token in ARTIFACT_TOKENS:
+        c = text.count(token)
+        if c:
+            text = text.replace(token, "")
+            by_artifact[token] = c
+    shapes = 0
+    for shape, straight in QUOTE_SHAPES:
+        c = text.count(shape)
+        if c:
+            text = text.replace(shape, straight)
+            shapes += c
+    text, collapsed = _MULTI_DQUOTE.subn('"', text)
+    counters["french_fixes"] = {"specific": by_noun, "mojibake": by_pair}
+    counters["artifacts_removed"] = by_artifact
+    counters["quotes_normalized"] = {
+        "variants_to_double": shapes,
+        "double_quotes_collapsed": collapsed,
+    }
+    return text
+
+
+# --------------------------------------------------------------------------
+# Pass 2.2 — reflow: join soft line breaks, safe dehyphenation
+# (reference Step2_formatting_v14.py:375-400)
+# --------------------------------------------------------------------------
+
+_HYPHEN_WRAP = re.compile(r"([A-Za-z])-(?:\n)([A-Za-z])")
+_SPACE_RUN = re.compile(r"[ \t]{2,}")
+_SPACE_BEFORE_PUNCT = re.compile(r"\s+([,.;:?!])")
+_MISSING_SPACE_AFTER_STOP = re.compile(r"([.!?])([A-Za-z])")
+_BLANK_RUN = re.compile(r"\n{3,}")
+
+_PARA_SENTINEL = "<<<P>>>"
+_PBRK_SENTINEL = "<<<PBRK>>>"
+
+
+def _join_hyphen_wrap(m: re.Match) -> str:
+    head, tail = m.group(1), m.group(2)
+    if tail and tail[0].isalpha() and tail[0].islower():
+        return head + tail
+    return head + "-" + tail
+
+
+def reflow_soft_breaks(text: str, counters: dict) -> str:
+    text = text.replace("\r\n", "\n")
+    text = _BLANK_RUN.sub("\n\n", text)
+    text = text.replace("\n\n", _PARA_SENTINEL)
+    text = _HYPHEN_WRAP.sub(_join_hyphen_wrap, text)
+    text = text.replace("­\n", "")
+    singles = text.count("\n")
+    text = text.replace("\n", " ")
+    text = text.replace(_PARA_SENTINEL, "\n\n")
+    text = _SPACE_RUN.sub(" ", text)
+    text = _SPACE_BEFORE_PUNCT.sub(r"\1", text)
+    text = _MISSING_SPACE_AFTER_STOP.sub(r"\1 \2", text)
+    counters["reflow"] = {"single_newlines_joined": singles}
+    return text
+
+
+# --------------------------------------------------------------------------
+# Pass 2.3 — dialogue paragraphing (reference Step2_formatting_v14.py:402-429)
+# --------------------------------------------------------------------------
+
+_QUOTE_THEN_QUOTE = re.compile(r'(")([^"]*?)(")\s+(")')
+_STOP_THEN_QUOTE = re.compile(r'([.!?])\s+(")')
+_QUOTE_THEN_NARRATION = re.compile(r'("([^"]*[.!?])")\s+([A-ZÀ-Ö])')
+
+
+def break_dialogue_paragraphs(text: str, counters: dict) -> str:
+    text = text.replace("\r\n", "\n")
+    text = _BLANK_RUN.sub("\n\n", text)
+    text = text.replace("\n\n", _PBRK_SENTINEL)
+    text, n_pairs = _QUOTE_THEN_QUOTE.subn(r'\1\2"\n\n"', text)
+    text, n_stop = _STOP_THEN_QUOTE.subn(r"\1\n\n\2", text)
+    text, n_narr = _QUOTE_THEN_NARRATION.subn(r"\1\n\n\3", text)
+    text = text.replace(_PBRK_SENTINEL, "\n\n")
+    text = _BLANK_RUN.sub("\n\n", text)
+    counters["dialogue_paragraphing"] = {
+        "between_quotes": n_pairs,
+        "before_leading_quote": n_stop,
+        "after_quote_to_narration": n_narr,
+    }
+    return text
+
+
+# --------------------------------------------------------------------------
+# Pass 2.4 — merge residual single newlines
+# (reference Step2_formatting_v14.py:431-444)
+# --------------------------------------------------------------------------
+
+_SOFT_PARA = re.compile(r"\n\s*\n")
+
+
+def merge_residual_newlines(text: str, counters: dict) -> str:
+    text = text.replace("\r\n", "\n")
+    text = _BLANK_RUN.sub("\n\n", text)
+    text = _SOFT_PARA.sub(_PBRK_SENTINEL, text)
+    singles = text.count("\n")
+    text = text.replace("\n", " ")
+    text = text.replace(_PBRK_SENTINEL, "\n\n")
+    text = _SPACE_RUN.sub(" ", text)
+    text = _SPACE_BEFORE_PUNCT.sub(r"\1", text)
+    text = _MISSING_SPACE_AFTER_STOP.sub(r"\1 \2", text)
+    counters["single_newlines_merge"] = {"singles_removed": singles}
+    return text
+
+
+# --------------------------------------------------------------------------
+# Pass 2.5 — collapse mid-sentence paragraph breaks
+# (reference Step2_formatting_v14.py:447-453)
+# --------------------------------------------------------------------------
+
+_MID_SENTENCE_BREAK = re.compile(r'([^\.!\?;:)"\n])\s*\n\n\s*([a-zà-öø-ÿ])')
+
+
+def collapse_midsentence_breaks(text: str, counters: dict) -> str:
+    text, n = _MID_SENTENCE_BREAK.subn(r"\1 \2", text)
+    counters["mid_sentence_breaks_collapsed"] = n
+    return text
+
+
+# --------------------------------------------------------------------------
+# Pass 2.6 — lone quote line fixer (reference Step2_formatting_v14.py:455-478)
+# --------------------------------------------------------------------------
+
+def resolve_lone_quote_lines(text: str, counters: dict) -> str:
+    lines = text.splitlines()
+    removed = appended = 0
+    i = 1
+    while i < len(lines) - 1:
+        if (
+            lines[i].strip() == '"'
+            and lines[i - 1].strip() == ""
+            and lines[i + 1].strip() == ""
+        ):
+            j = i - 2
+            while j >= 0 and lines[j].strip() == "":
+                j -= 1
+            if j >= 0:
+                if lines[j].rstrip().endswith('"'):
+                    del lines[i]
+                    removed += 1
+                    continue
+                lines[j] = lines[j] + '"'
+                del lines[i]
+                appended += 1
+                continue
+            del lines[i]
+            removed += 1
+            continue
+        i += 1
+    text = "\n".join(lines)
+    text = _BLANK_RUN.sub("\n\n", text)
+    counters["lone_quote_lines"] = {"removed": removed, "appended_to_above": appended}
+    return text
+
+
+# --------------------------------------------------------------------------
+# Pass 2.7 — stray leading quote before a real opening quote
+# (reference Step2_formatting_v14.py:282-321)
+# --------------------------------------------------------------------------
+
+_STRAY_THEN_OPEN = re.compile(r'^\s*"\s+([“"])(.*)$')
+
+
+def close_prev_and_drop_stray_quote(text: str, counters: dict) -> str:
+    lines = text.splitlines()
+    fixed = 0
+
+    def prev_nonempty(i: int) -> int:
+        p = i - 1
+        while p >= 0 and lines[p].strip() == "":
+            p -= 1
+        return p
+
+    for i in range(len(lines)):
+        m = _STRAY_THEN_OPEN.match(lines[i])
+        if not m:
+            continue
+        p = prev_nonempty(i)
+        if p >= 0:
+            closing = "”" if lines[p].lstrip().startswith("“") else '"'
+            if not lines[p].rstrip().endswith(("”", '"')):
+                lines[p] = lines[p].rstrip() + closing
+            lines[i] = m.group(1) + m.group(2)
+            fixed += 1
+    if fixed:
+        counters["leading_quote_space_fixed"] = fixed
+    return "\n".join(lines)
+
+
+# --------------------------------------------------------------------------
+# Pass 2.8 — stray leading quote before narration
+# (reference Step2_formatting_v14.py:253-280)
+# --------------------------------------------------------------------------
+
+_STRAY_BEFORE_NARRATION = re.compile(r'^\s*(["“])\s+([A-ZÀ-ÖØ-Ý].*)$')
+
+
+def hoist_stray_quote_to_prev_line(text: str, counters: dict) -> str:
+    lines = text.splitlines()
+    moved = 0
+
+    def prev_nonempty(i: int) -> int:
+        p = i - 1
+        while p >= 0 and lines[p].strip() == "":
+            p -= 1
+        return p
+
+    for i in range(len(lines)):
+        m = _STRAY_BEFORE_NARRATION.match(lines[i])
+        if not m:
+            continue
+        p = prev_nonempty(i)
+        if p >= 0:
+            closing = "”" if lines[p].lstrip().startswith("“") else '"'
+            if not lines[p].rstrip().endswith(("”", '"')):
+                lines[p] = lines[p].rstrip() + closing
+            lines[i] = m.group(2)
+            moved += 1
+    counters["leading_stray_quote_before_narrative_moved"] = moved
+    return "\n".join(lines)
+
+
+# --------------------------------------------------------------------------
+# Pass 2.9 — split closing-quote/opening-quote pairs to paragraphs
+# (reference Step2_formatting_v14.py:226-250)
+# --------------------------------------------------------------------------
+
+_CLOSE_OPEN_PAIR = re.compile(r'(”|")(\s+)("|“)(?=[A-Za-zÀ-ÖØ-öø-ÿ“])')
+
+
+def split_adjacent_quote_pairs(text: str, counters: dict) -> str:
+    hits = 0
+
+    def para_break(m: re.Match) -> str:
+        nonlocal hits
+        hits += 1
+        return f"{m.group(1)}\n\n{m.group(3)}"
+
+    text = _CLOSE_OPEN_PAIR.sub(para_break, text)
+    counters["adjacent_quotes_split"] = hits
+    return text
+
+
+# --------------------------------------------------------------------------
+# Pass 2.10 — collapse space-separated double quotes
+# (reference Step2_formatting_v14.py:207-224)
+# --------------------------------------------------------------------------
+
+_SPACED_QUOTE_PAIR = re.compile(r'(”|")([  \t]+)("|“)')
+
+
+def collapse_spaced_quote_pairs(text: str, counters: dict) -> str:
+    text, n = _SPACED_QUOTE_PAIR.subn(lambda m: m.group(3), text)
+    if n:
+        counters["double_quotes_with_space_collapsed"] = n
+    else:
+        counters.setdefault("double_quotes_with_space_collapsed", 0)
+    return text
+
+
+# --------------------------------------------------------------------------
+# Pass 2.11 — '' → "  (reference Step2_formatting_v14.py:149-152)
+# --------------------------------------------------------------------------
+
+_DOUBLED_SINGLE = re.compile(r"''")
+
+
+def straighten_doubled_singles(text: str, counters: dict) -> str:
+    text, n = _DOUBLED_SINGLE.subn('"', text)
+    counters["double_single_to_doublequote"] = n
+    return text
+
+
+# --------------------------------------------------------------------------
+# Pass 2.12 — superscript strip (reference Step2_formatting_v14.py:55-59)
+# --------------------------------------------------------------------------
+
+_SUPERSCRIPTS = re.compile(r"[¹²³⁰-⁹]")
+
+
+def drop_superscripts(text: str, counters: dict) -> str:
+    text, n = _SUPERSCRIPTS.subn("", text)
+    counters["superscripts_removed"] = n
+    return text
+
+
+# --------------------------------------------------------------------------
+# Pass 2.13 — footnote-number strip with ordinal/money guards
+# (reference Step2_formatting_v14.py:61-112)
+# --------------------------------------------------------------------------
+
+_ORDINAL = re.compile(r"^\d{1,3}(st|nd|rd|th)$", re.IGNORECASE)
+_STANDALONE_NUM = re.compile(
+    r'(^|[\s,;:—\-\)\(\[\]“”"\' ])(\d{1,3})(?=($|[\s,;:—\-\)\(\]\[“”"\'\.,!?]))'
+)
+_AFTER_PUNCT_NUM = re.compile(r"[,:;]\s?(\d{1,3})(?=($|[^\w]))")
+_GLUED_NUM = re.compile(r"(?<=[A-Za-zÀ-ÖØ-öø-ÿ]|\.)(\d{1,3})(?=($|[^\w]))")
+
+
+def strip_footnote_digits(
+    text: str, counters: dict, money_terms: frozenset[str] | set[str] = DEFAULT_MONEY_TERMS
+) -> str:
+    samples: dict[str, list[str]] = {"standalone": [], "after_punct": [], "glued_to_word": []}
+    tallies = {"standalone": 0, "after_punct": 0, "glued_to_word": 0}
+
+    money_alt = "|".join(sorted(map(re.escape, money_terms), key=len, reverse=True))
+    money_next = re.compile(rf"^\s*(?:{money_alt})\b", re.IGNORECASE)
+
+    lines = text.splitlines()
+    for idx, line in enumerate(lines):
+
+        def on_standalone(m: re.Match) -> str:
+            num = m.group(2)
+            trail = m.group(3) or ""
+            if _ORDINAL.match(num):
+                return m.group(1) + num + trail
+            if money_next.search(line[m.end():]):
+                return m.group(1) + num + trail
+            tallies["standalone"] += 1
+            if len(samples["standalone"]) < 10:
+                samples["standalone"].append(
+                    line[max(0, m.start() - 40) : m.end() + 40].replace("\n", "⏎")
+                )
+            return m.group(1) + trail
+
+        line = _STANDALONE_NUM.sub(on_standalone, line)
+
+        def on_after_punct(m: re.Match) -> str:
+            num = m.group(1)
+            if money_next.search(line[m.end():]):
+                return m.group(0)
+            tallies["after_punct"] += 1
+            if len(samples["after_punct"]) < 10:
+                samples["after_punct"].append(
+                    line[max(0, m.start() - 40) : m.end() + 40].replace("\n", "⏎")
+                )
+            return m.group(0).replace(num, "")
+
+        line = _AFTER_PUNCT_NUM.sub(on_after_punct, line)
+
+        def on_glued(m: re.Match) -> str:
+            num = m.group(1)
+            tallies["glued_to_word"] += 1
+            if len(samples["glued_to_word"]) < 10:
+                samples["glued_to_word"].append(
+                    line[max(0, m.start() - 40) : m.end() + 40].replace("\n", "⏎")
+                )
+            return m.group(0).replace(num, "")
+
+        line = _GLUED_NUM.sub(on_glued, line)
+        lines[idx] = line
+
+    counters["footnote_numbers_removed"] = tallies
+    for key, vals in samples.items():
+        if vals:
+            counters[f"footnote_examples_{key}"] = vals
+    return "\n".join(lines)
+
+
+# --------------------------------------------------------------------------
+# Pass 2.14 — quote/apostrophe artifact repair
+# (reference Step2_formatting_v14.py:154-205)
+# --------------------------------------------------------------------------
+
+_INLINE_STOP_APOS_QUOTE = re.compile(r'([\.!\?])(?:\'|’)\s+"')
+_LINE_START_QUOTE_APOS = re.compile(r'^\s*" ?(?:\'|’)')
+_LINE_END_APOS_QUOTE = re.compile(r'(?:\'|’)\s*"$')
+_INLINE_QUOTE_APOS = re.compile(r'" ?(?:\'|’)')
+_STOP_APOS_EOL = re.compile(r"[\.!\?]\'\s*$")
+_STOP_APOS_EOL_SUB = re.compile(r"([\.!\?])\'\s*$")
+_LINE_START_QUOTE_APOS_WS = re.compile(r'^\s*" ?(?:\'|’)\s*')
+
+
+def mend_quote_apostrophe_artifacts(text: str, counters: dict) -> str:
+    lines = text.splitlines()
+    moved_up = moved_down = collapsed = inline = 0
+
+    for i, s in enumerate(lines):
+        new_s, n = _INLINE_STOP_APOS_QUOTE.subn(r'\1"\n\n"', s)
+        if n:
+            lines[i] = new_s
+            inline += n
+
+    def balanced(s: str) -> bool:
+        return (s.count('"') % 2) == 0
+
+    for i, s in enumerate(lines):
+        if not _LINE_START_QUOTE_APOS.match(s):
+            continue
+        j = i - 1
+        while j >= 0 and lines[j].strip() == "":
+            j -= 1
+        if j is not None and j >= 0:
+            prev = lines[j]
+            if prev.lstrip().startswith('"') and not balanced(prev):
+                if _STOP_APOS_EOL.search(prev):
+                    lines[j] = _STOP_APOS_EOL_SUB.sub(r'\1"', prev)
+                else:
+                    lines[j] = prev.rstrip() + '"'
+                lines[i] = _LINE_START_QUOTE_APOS_WS.sub("", lines[i], count=1)
+                moved_up += 1
+                continue
+        lines[i] = _LINE_START_QUOTE_APOS.sub('"', lines[i], count=1)
+        collapsed += 1
+
+    for i, s in enumerate(lines):
+        if not _LINE_END_APOS_QUOTE.search(s.strip()):
+            continue
+        j = i + 1
+        while j < len(lines) and lines[j].strip() == "":
+            j += 1
+        if j < len(lines) and not lines[j].lstrip().startswith('"'):
+            lines[i] = _LINE_END_APOS_QUOTE.sub('"', s.strip())
+            lines[j] = '"' + lines[j].lstrip()
+            moved_down += 1
+
+    for i, s in enumerate(lines):
+        new_s, n = _INLINE_QUOTE_APOS.subn('"', s)
+        if n:
+            lines[i] = new_s
+            collapsed += n
+
+    counters["quote_artifacts_inline_moves"] = inline
+    counters["quote_artifacts_moved_up"] = moved_up
+    counters["quote_artifacts_moved_down"] = moved_down
+    counters["quote_artifacts_collapsed"] = collapsed
+    return "\n".join(lines)
+
+
+# --------------------------------------------------------------------------
+# Pass 2.15 — comma/quote spacing (reference Step2_formatting_v14.py:49-53)
+# --------------------------------------------------------------------------
+
+_COMMA_QUOTE_GAP = re.compile(r',\s+"\s')
+
+
+def normalize_comma_quote_gap(text: str, counters: dict) -> str:
+    text, n = _COMMA_QUOTE_GAP.subn('," ', text)
+    counters["comma_space_quote_space_normalized"] = n
+    return text
+
+
+# --------------------------------------------------------------------------
+# Pass 2.16 — quote-island block removal
+# (reference Step2_formatting_v14.py:126-147)
+# --------------------------------------------------------------------------
+
+_LONE_QUOTE_FORMS = {'"', '""', "“", "”"}
+
+
+def drop_quote_islands(text: str, counters: dict) -> str:
+    lines = text.splitlines()
+    out: list[str] = []
+    i = 0
+    removed = 0
+    while i < len(lines):
+        if (
+            i + 2 < len(lines)
+            and lines[i].strip() == ""
+            and lines[i + 1].strip() in _LONE_QUOTE_FORMS
+            and lines[i + 2].strip() == ""
+        ):
+            if not out or out[-1].strip() != "":
+                out.append("")
+            removed += 1
+            i += 3
+            while i < len(lines) and lines[i].strip() == "":
+                i += 1
+            continue
+        out.append(lines[i])
+        i += 1
+    counters["quote_island_blocks_removed"] = removed
+    return "\n".join(out)
+
+
+# --------------------------------------------------------------------------
+# Pass 2.17 — new-speaker split (reference Step2_formatting_v14.py:483-501)
+# --------------------------------------------------------------------------
+
+_SPEAKER_TURN = re.compile(r'([.!?]")\s+(")([A-Z])')
+
+
+def split_speaker_turns(text: str, counters: dict) -> str:
+    hits = 0
+
+    def para_break(m: re.Match) -> str:
+        nonlocal hits
+        hits += 1
+        return m.group(1) + "\n\n" + m.group(2) + m.group(3)
+
+    text = _SPEAKER_TURN.sub(para_break, text)
+    counters.setdefault("dialogue_splits_new_speaker", 0)
+    counters["dialogue_splits_new_speaker"] += hits
+    return text
+
+
+# --------------------------------------------------------------------------
+# Pass 2.18 — intraline whitespace (reference Step2_formatting_v14.py:114-124)
+# --------------------------------------------------------------------------
+
+_INNER_SPACE_RUN = re.compile(r"(?<=\S) {2,}(?=\S)")
+
+
+def tidy_intraline_spaces(text: str, counters: dict) -> str:
+    total = 0
+    out = []
+    for line in text.splitlines():
+        line = line.replace("\t", " ")
+        line, n = _INNER_SPACE_RUN.subn(" ", line)
+        total += n
+        out.append(line)
+    counters["intraline_space_runs_normalized"] = total
+    return "\n".join(out)
+
+
+# --------------------------------------------------------------------------
+# Pass 2.19 — "" collapse (reference Step2_formatting_v14.py:44-47)
+# --------------------------------------------------------------------------
+
+_ADJACENT_DQUOTES = re.compile(r'""')
+
+
+def collapse_adjacent_dquotes(text: str, counters: dict) -> str:
+    text, n = _ADJACENT_DQUOTES.subn('"', text)
+    counters["double_doublequotes_collapsed"] = counters.get(
+        "double_doublequotes_collapsed", 0
+    ) + n
+    return text
+
+
+# --------------------------------------------------------------------------
+# Stage driver (order from reference Step2_formatting_v14.py:514-547)
+# --------------------------------------------------------------------------
+
+def run_stage2(
+    text: str,
+    counters: dict | None = None,
+    money_terms: frozenset[str] | set[str] = DEFAULT_MONEY_TERMS,
+) -> str:
+    if counters is None:
+        counters = {}
+    text = bare_mojibake_prepass(text, counters)
+    text = sweep_mojibake_and_artifacts(text, counters)
+    text = reflow_soft_breaks(text, counters)
+    text = break_dialogue_paragraphs(text, counters)
+    text = merge_residual_newlines(text, counters)
+    text = collapse_midsentence_breaks(text, counters)
+    text = resolve_lone_quote_lines(text, counters)
+    text = close_prev_and_drop_stray_quote(text, counters)
+    text = hoist_stray_quote_to_prev_line(text, counters)
+    text = split_adjacent_quote_pairs(text, counters)
+    text = collapse_spaced_quote_pairs(text, counters)
+    text = straighten_doubled_singles(text, counters)
+    text = drop_superscripts(text, counters)
+    text = strip_footnote_digits(text, counters, money_terms)
+    text = mend_quote_apostrophe_artifacts(text, counters)
+    text = normalize_comma_quote_gap(text, counters)
+    text = drop_quote_islands(text, counters)
+    text = split_speaker_turns(text, counters)
+    text = tidy_intraline_spaces(text, counters)
+    text = collapse_adjacent_dquotes(text, counters)
+    return text

@@ -1,0 +1,252 @@
+"""Deterministic Common-Crawl-style document synthesizer.
+
+Produces the `input_hint` table shape::
+
+    (url: string, warc_ts: timestamp, html: binary, text: string, lang: string)
+
+seeded and reproducible — no wall clock, no external data.  Every document's
+``text`` embeds, with known ground truth, the OCR phenomena the reference
+pipeline handles (FIXTURES.md §1): running heads and bare page numbers,
+protected ``CHAPTER <ROMAN>`` headings, mojibake tokens, soft line wraps and
+hyphenation, dialogue quotes and quote islands, footnote numbers with
+ordinal/money/year decoys, all-caps chapter openers, and
+``---Page-Break---`` sentinels
+(`/root/reference/ocr-processing/batch_ocr_with_page_breaks.py:189`).
+
+``html`` is the raw page bytes: the text wrapped in a minimal HTML shell,
+UTF-8 encoded; :func:`decode_html` inverts it exactly (the binary-source
+decode surface, analog of the reference's RTF path,
+`/root/reference/text-processing/legacy/Step1_ocr_cleanup_v7.py:89-104`).
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+import re
+
+_LANGS = ("en", "fr", "it", "la", "de", "es")
+
+_WORDS = (
+    "the time had come for our hero to leave the city and seek his "
+    "fortune elsewhere since every road from here led toward some new "
+    "adventure and he was never a man to refuse what chance offered him "
+    "in the morning light we walked along the canal while the bells rang "
+    "and merchants opened their stalls one after another calling out to "
+    "passers-by with great good humour she answered him softly and took "
+    "his arm as they crossed the little bridge toward the opera house"
+).split()
+
+_FRENCH_MOJI = ("Ã©tÃ©", "prÃªt", "ChambÃ©ry", "SociÃ©tÃ©", "d'UrfÃ©", "Ã§a")
+_ARTIFACT_TOKENS = ("â€¢", "Â·", "Â«", "Â»")
+_MONEY = ("ducats", "louis", "sequins", "francs", "crowns")
+_ROMANS = ("I", "II", "III", "IV", "V", "VI", "VII", "VIII", "IX", "X", "XI", "XII")
+
+_SPEECH = (
+    "Where did you see him last",
+    "You may be sure I shall not forget it",
+    "It is no matter",
+    "Come with me and say nothing",
+    "I have never heard of such a thing",
+    "That is exactly what I told her",
+)
+
+_OPENERS = (
+    "MY ARRIVAL IN", "THE COUNT AND HIS", "A SUPPER AT THE", "I LEAVE THE",
+    "AN OLD FRIEND IN", "THE AFFAIR OF THE",
+)
+
+_CITIES = ("VENICE", "PARIS", "GENEVA", "NAPLES", "VIENNA", "LONDON")
+
+
+def _sentence(rng: random.Random) -> str:
+    n = rng.randint(6, 16)
+    words = [rng.choice(_WORDS) for _ in range(n)]
+    if rng.random() < 0.08:
+        words.insert(rng.randrange(len(words)), rng.choice(_FRENCH_MOJI))
+    if rng.random() < 0.05:
+        words.append(f"{rng.randint(1, 300)} {rng.choice(_MONEY)}")
+    if rng.random() < 0.04:
+        words.append(f"in {rng.randint(1700, 1790)}")
+    s = " ".join(words)
+    s = s[0].upper() + s[1:]
+    return s + rng.choice((".", ".", ".", "!", "?"))
+
+
+def _paragraph(rng: random.Random, n_sentences: int | None = None) -> str:
+    n = n_sentences or rng.randint(2, 6)
+    parts = []
+    for _ in range(n):
+        if rng.random() < 0.25:
+            parts.append(f'"{rng.choice(_SPEECH)}." "{rng.choice(_SPEECH)}."')
+        else:
+            parts.append(_sentence(rng))
+    return " ".join(parts)
+
+
+def _hard_wrap(rng: random.Random, paragraph: str, width: int = 62) -> list[str]:
+    """Wrap to fixed width the way OCR output is wrapped, sometimes breaking
+    a word with a trailing hyphen (lowercase continuation → joinable)."""
+    out: list[str] = []
+    line = ""
+    for word in paragraph.split(" "):
+        if not line:
+            line = word
+            continue
+        if len(line) + 1 + len(word) <= width:
+            line += " " + word
+            continue
+        if len(word) > 7 and word[:3].isalpha() and word.islower() and rng.random() < 0.18:
+            cut = rng.randint(3, len(word) - 3)
+            out.append(line + " " + word[:cut] + "-")
+            line = word[cut:]
+        else:
+            out.append(line)
+            line = word
+    if line:
+        out.append(line)
+    return out
+
+
+def _running_head(rng: random.Random, volume_no: int, page_no: int) -> list[str]:
+    """A header/footer block in the anchor vocabulary of
+    reference Step1_ocr_cleanup_v11.py:76-100."""
+    shapes = rng.randrange(4)
+    if shapes == 0:
+        return [f"Volume {volume_no}", "History of My Life", str(page_no)]
+    if shapes == 1:
+        return [str(page_no), f"Volume {rng.choice(_ROMANS)}", "•"]
+    if shapes == 2:
+        return ["History of My Life", f"Volume {volume_no} Chapter {rng.choice(_ROMANS)}", str(page_no)]
+    return [f"Volume {volume_no}", rng.choice(_ARTIFACT_TOKENS), str(page_no)]
+
+
+def make_document_text(doc_index: int, seed: int = 42, n_chapters: int | None = None) -> str:
+    """One deterministic OCR-style document (pre-pipeline raw text)."""
+    rng = random.Random((seed << 20) ^ doc_index)
+    volume_no = 1 + doc_index % 12
+    n_chapters = n_chapters or rng.randint(2, 5)
+    page_no = rng.randint(3, 40)
+
+    lines: list[str] = []
+    if rng.random() < 0.8:
+        lines += [f"VOLUME {volume_no}", ""]
+    if rng.random() < 0.6:
+        lines += ["HISTORY OF MY LIFE", ""]
+
+    for ch in range(n_chapters):
+        lines += ["", f"CHAPTER {_ROMANS[ch]}", ""]
+        opener = f"{rng.choice(_OPENERS)} {rng.choice(_CITIES)}"
+        first = f"{opener} was not what I had expected, " + _sentence(rng).lower()
+        lines += _hard_wrap(rng, first)
+        lines.append("")
+
+        n_paras = rng.randint(3, 8)
+        for p in range(n_paras):
+            para = _paragraph(rng)
+            if rng.random() < 0.3:
+                para += f" He paid{rng.randint(2, 99)} without a word."
+            if rng.random() < 0.3:
+                para += f" It cost, {rng.randint(3, 99)} more than expected."
+            wrapped = _hard_wrap(rng, para)
+            # footnote digits stuck on a line end (standalone shape)
+            if rng.random() < 0.25 and wrapped:
+                wrapped[-1] += f" {rng.randint(1, 99)}"
+            if rng.random() < 0.15:
+                wrapped.append(rng.choice(("¹", "²", "³")))
+            lines += wrapped
+            lines.append("")
+            # quote island
+            if rng.random() < 0.12:
+                lines += ['"', ""]
+            # running head mid-chapter (page turn) + page-break sentinel
+            if rng.random() < 0.45:
+                page_no += 1
+                lines += _running_head(rng, volume_no, page_no)
+                lines.append("")
+                if rng.random() < 0.5:
+                    lines += ["---Page-Break---", ""]
+
+    return "\n".join(lines) + "\n"
+
+
+_WS_RE = re.compile(rb"<[^>]+>")
+
+
+def wrap_html(text: str, url: str) -> bytes:
+    """Minimal HTML shell around the raw text (the ``html: binary`` column)."""
+    body = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    page = (
+        f"<html><head><title>{url}</title></head>"
+        f"<body><pre>{body}</pre></body></html>"
+    )
+    return page.encode("utf-8")
+
+
+def decode_html(html: bytes) -> str:
+    """Exact inverse of :func:`wrap_html`: strip the shell, unescape."""
+    raw = html.decode("utf-8", errors="ignore")
+    m = re.search(r"<pre>(.*)</pre>", raw, flags=re.DOTALL)
+    body = m.group(1) if m else re.sub(r"<[^>]+>", "", raw)
+    return body.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+
+
+_EPOCH = datetime.datetime(2025, 1, 1)
+
+
+def make_documents(n: int, seed: int = 42) -> list[dict]:
+    """``n`` deterministic rows of the input_hint schema, as plain dicts.
+
+    Heavy-tailed sizes on purpose (WARC-capture skew): roughly 1 in 40
+    documents is ~10× longer than the median, which is what the url-hash
+    salting / AQE path has to absorb at scale.
+    """
+    rows = []
+    for i in range(n):
+        rng = random.Random((seed << 40) ^ i)
+        big = rng.random() < 0.025
+        text = make_document_text(i, seed=seed, n_chapters=(10 if big else None))
+        url = f"https://crawl.invalid/{seed}/doc-{i:08d}"
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": _EPOCH + datetime.timedelta(seconds=i % 864_000),
+                "html": wrap_html(text, url),
+                "text": text,
+                "lang": _LANGS[i % len(_LANGS)],
+            }
+        )
+    return rows
+
+
+def write_parquet(path: str, n: int, seed: int = 42) -> None:
+    """Materialize a corpus parquet (pyarrow; no Spark needed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = make_documents(n, seed)
+    table = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("url", pa.string()),
+                ("warc_ts", pa.timestamp("us")),
+                ("html", pa.binary()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+            ]
+        ),
+    )
+    pq.write_table(table, path)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("out", help="output parquet path")
+    ap.add_argument("-n", type=int, default=1000)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+    write_parquet(args.out, args.n, args.seed)
+    print(f"wrote {args.n} docs to {args.out}")
