@@ -45,10 +45,15 @@ class Block(NamedTuple):
     span_end: int
 
 
-def _classify_line(stripped: str) -> str | None:
-    """Type of a single *marker* line, or None for ordinary content."""
-    if _PAGEBREAK_LINE.match(stripped):
+def _classify_line(line: str) -> str | None:
+    """Type of a single *marker* line, or None for ordinary content.
+
+    NB: ``str.strip()`` eats the form feed itself, so the page-break test
+    runs on the line stripped of spaces/tabs only.
+    """
+    if _PAGEBREAK_LINE.match(line.strip(" \t")):
         return "page_break"
+    stripped = line.strip()
     if _HEADING_LINE.match(stripped):
         return "heading"
     if _HR_LINE.match(stripped):
@@ -83,36 +88,35 @@ def segment_blocks(stage3_text: str) -> list[Block]:
     # First pass: find content-block start offsets and types.
     starts: list[tuple[int, str]] = []  # (char offset, block_type)
     in_paragraph = False
-    seen_heading = False
-    seen_content = False
+    seen_marker = False
+    front_matter_only = True  # only volume/title blocks seen so far
 
     for start, _end, line in line_spans:
-        stripped = line.strip()
-        if stripped == "":
+        if line.strip(" \t") == "" and "\f" not in line:
             in_paragraph = False
             continue
-        marker = _classify_line(stripped)
+        stripped = line.strip()
+        marker = _classify_line(line)
         if marker is not None:
-            if marker == "heading":
-                seen_heading = True
             starts.append((start, marker))
-            seen_content = True
+            seen_marker = True
+            front_matter_only = False
             in_paragraph = False
             continue
         if not in_paragraph:
-            if not seen_content and _VOLUME_LINE.match(stripped):
+            if front_matter_only and _VOLUME_LINE.match(stripped):
                 btype = "volume"
             elif (
-                not seen_heading
-                and not seen_content
+                front_matter_only
+                and not seen_marker
                 and len(stripped) >= 4
                 and not _HAS_LOWER.search(stripped)
             ):
                 btype = "title"
             else:
                 btype = "paragraph"
+                front_matter_only = False
             starts.append((start, btype))
-            seen_content = True
             in_paragraph = True
 
     if not starts:

@@ -1,0 +1,166 @@
+"""The core distributed operator: documents → cleaned text + typed blocks.
+
+Spark-first design notes (what holds at 100 TB / 1000 executors):
+
+* **No shuffle in the extract itself.**  The transform is document-local, so
+  it runs as ``mapInPandas`` over whatever partitioning the scan produced —
+  a narrow stage fused with the parquet scan.  The only optional shuffle is
+  an explicit url-hash ``repartition`` to break WARC-capture skew *before*
+  the CPU-heavy stage, so stragglers are bounded by doc size, not by
+  capture-order clustering.
+* **Arrow-batched, no per-row Python at the API layer.**  One Python worker
+  per core receives column batches; regexes are compiled once per worker at
+  import time (extractlib module constants).
+* **doc_hash computed JVM-side** (``sha2(html, 256)``) so the binary column
+  never crosses into Python unless the caller asks for binary decode.
+* **Error isolation**: a failing/oversized doc becomes a quarantine row
+  (status column), mirroring the reference's per-shard ``continue``
+  (`/root/reference/ocr-processing/merge_one_book.py:78-80`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+BLOCK_SCHEMA = StructType(
+    [
+        StructField("block_id", LongType()),
+        StructField("block_type", StringType()),
+        StructField("text", StringType()),
+        StructField("span_start", LongType()),
+        StructField("span_end", LongType()),
+    ]
+)
+
+EXTRACTED_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("lang", StringType()),
+        StructField("doc_hash", StringType()),
+        StructField("status", StringType()),
+        StructField("error", StringType()),
+        StructField("text", StringType()),
+        StructField("n_chars", LongType()),
+        StructField("n_blocks", IntegerType()),
+        StructField("blocks", ArrayType(BLOCK_SCHEMA)),
+        StructField("counters", MapType(StringType(), LongType())),
+    ]
+)
+
+BLOCKS_OUT_COLUMNS = ("url", "block_id", "block_type", "text", "span_start", "span_end")
+
+
+def _extract_batches(
+    batches: Iterator["pd.DataFrame"],
+) -> Iterator["pd.DataFrame"]:
+    """mapInPandas worker: run the full stage1→2→3 transform + segmentation
+    per document.  Imports stay inside so the function pickles cheaply."""
+    import pandas as pd
+
+    from pdf_to_epub_spark.extractlib.pipeline import extract_document
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "url", "warc_ts", "lang", "doc_hash", "status", "error",
+            "text", "n_chars", "n_blocks", "blocks", "counters",
+        )}
+        for url, warc_ts, lang, doc_hash, text in zip(
+            pdf["url"], pdf["warc_ts"], pdf["lang"], pdf["doc_hash"], pdf["text"]
+        ):
+            res = extract_document(text)
+            out["url"].append(url)
+            out["warc_ts"].append(warc_ts)
+            out["lang"].append(lang)
+            out["doc_hash"].append(doc_hash)
+            out["status"].append(res.status)
+            out["error"].append(res.error)
+            out["text"].append(res.text)
+            out["n_chars"].append(len(res.text))
+            out["n_blocks"].append(len(res.blocks))
+            out["blocks"].append(
+                [
+                    {
+                        "block_id": b.block_id,
+                        "block_type": b.block_type,
+                        "text": b.text,
+                        "span_start": b.span_start,
+                        "span_end": b.span_end,
+                    }
+                    for b in res.blocks
+                ]
+            )
+            out["counters"].append({k: int(v) for k, v in res.counters.items()})
+        yield pd.DataFrame(out)
+
+
+def extract_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """documents(url, warc_ts, html, text, lang) → extracted rows.
+
+    ``salt_partitions``: explicit url-hash repartition width.  At cluster
+    scale pass ~2-4× the executor-core count (or rely on an Iceberg
+    ``bucket(N, url)`` layout and skip this); ``None`` keeps scan
+    partitioning (no shuffle).
+    """
+    cols = [F.col("url"), F.col("warc_ts"), F.col("lang")]
+    if "html" in docs.columns:
+        cols.append(F.sha2(F.col("html"), 256).alias("doc_hash"))
+    else:
+        cols.append(F.sha2(F.encode(F.col(text_col), "UTF-8"), 256).alias("doc_hash"))
+    cols.append(F.col(text_col).alias("text"))
+    narrowed = docs.select(*cols)
+
+    if salt_partitions:
+        narrowed = narrowed.repartition(salt_partitions, F.xxhash64("url"))
+
+    return narrowed.mapInPandas(_extract_batches, EXTRACTED_SCHEMA)
+
+
+def blocks_table(extracted: DataFrame) -> DataFrame:
+    """Explode to the per-row output contract
+    ``(url, block_id, block_type, text, span_start, span_end)``."""
+    return (
+        extracted.where(F.col("status") == "ok")
+        .select("url", F.explode("blocks").alias("b"))
+        .select(
+            "url",
+            F.col("b.block_id").alias("block_id"),
+            F.col("b.block_type").alias("block_type"),
+            F.col("b.text").alias("text"),
+            F.col("b.span_start").alias("span_start"),
+            F.col("b.span_end").alias("span_end"),
+        )
+    )
+
+
+def decode_binary_pages(docs: DataFrame, html_col: str = "html") -> DataFrame:
+    """Binary-source decode surface: html bytes → text column.
+
+    Analog of the reference's RTF decode
+    (`/root/reference/text-processing/legacy/Step1_ocr_cleanup_v7.py:89-104`)
+    — an Arrow-batched scalar pandas UDF, never row-at-a-time Python.
+    """
+    from pdf_to_epub_spark.functions.udfs import decode_html_udf
+
+    return docs.withColumn("text", decode_html_udf(F.col(html_col)))

@@ -1,0 +1,76 @@
+"""Per-partition lineage + counters — the metrics table every stage writes.
+
+Distributed re-expression of the reference's per-pass JSON logs
+(`/root/reference/text-processing/Step1_ocr_cleanup_v11.py:210-219`,
+`Step2_formatting_v14.py:551-553`): each extraction task contributes one
+row per (partition, counter) which is rolled up into a
+``map<string,long>`` per partition — the FIXTURES.md §6 schema.
+
+All JVM-side: ``spark_partition_id`` → explode the counters map →
+partial (map-side) sum → re-assemble a map.  One shuffle, combiner-enabled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def partition_metrics(extracted: DataFrame, run_id: str, stage: str) -> DataFrame:
+    """extracted (with ``counters: map<string,long>``) → one row per input
+    partition: (run_id, stage, partition_id, url_count, counters,
+    committed_at)."""
+    per_key = (
+        extracted.select(
+            F.spark_partition_id().alias("partition_id"),
+            F.col("url"),
+            F.explode_outer("counters").alias("counter", "value"),
+        )
+        .groupBy("partition_id", "counter")
+        .agg(
+            F.sum("value").alias("total"),
+            F.countDistinct("url").alias("urls"),
+        )
+    )
+    return (
+        per_key.groupBy("partition_id")
+        .agg(
+            F.max("urls").alias("url_count"),
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.coalesce(F.col("counter"), F.lit("_none")).alias("k"),
+                        F.coalesce(F.col("total"), F.lit(0)).alias("v"),
+                    )
+                )
+            ).alias("counters"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(stage).alias("stage"),
+            "partition_id",
+            "url_count",
+            "counters",
+            F.current_timestamp().alias("committed_at"),
+        )
+    )
+
+
+def corpus_counters(extracted: DataFrame) -> DataFrame:
+    """Whole-corpus rollup of the pass counters (one row per counter key) —
+    the distributed analog of a single reference JSON log."""
+    return (
+        extracted.select(F.explode("counters").alias("counter", "value"))
+        .groupBy("counter")
+        .agg(F.sum("value").alias("total"))
+        .orderBy("counter")
+    )
+
+
+def status_summary(extracted: DataFrame) -> DataFrame:
+    """ok / error / quarantined tallies — the error-isolation ledger."""
+    return extracted.groupBy("status").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("n_blocks").alias("blocks"),
+    )

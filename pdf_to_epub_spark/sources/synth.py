@@ -131,6 +131,10 @@ def make_document_text(doc_index: int, seed: int = 42, n_chapters: int | None = 
     lines: list[str] = []
     if rng.random() < 0.8:
         lines += [f"VOLUME {volume_no}", ""]
+    if rng.random() < 0.4:
+        # A front-matter title that does NOT match the stage-1 anchor
+        # vocabulary, so it survives cleanup (→ `title` block).
+        lines += ["MEMOIRS OF A TRAVELLER", ""]
     if rng.random() < 0.6:
         lines += ["HISTORY OF MY LIFE", ""]
 
