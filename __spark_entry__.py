@@ -1,38 +1,559 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction pipeline at sf0.001.
+``queries()`` — one entry per implemented operator family from SURVEY.md §2
+plus the training-data operators (dedup / similarity / text analysis).
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query;
+non-relational extraction/LSH queries are rows-only by design.
+
+Column names and float rounding are kept identical between each Spark query
+and its oracle (the driver hashes values with columns sorted by name).
 """
 
 from __future__ import annotations
 
+import pathlib
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``pdf_to_epub_spark`` importable on executors regardless of the
+    driver's cwd: zip the package once per SparkContext and addPyFile it
+    (the same mechanism as ``spark-submit --py-files``)."""
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg = pathlib.Path(__file__).resolve().parent / "pdf_to_epub_spark"
+    tmp = tempfile.NamedTemporaryFile(
+        prefix="pdf_to_epub_spark_", suffix=".zip", delete=False
+    )
+    with zipfile.ZipFile(tmp.name, "w") as z:
+        for p in sorted(pkg.rglob("*.py")):
+            z.write(p, f"pdf_to_epub_spark/{p.relative_to(pkg)}")
+    sc.addPyFile(tmp.name)
+    _SHIPPED.add(id(sc))
+
+_LANG_MARKER_SQL = {
+    "en": "('the','and','of','to','a','in','is','was')",
+    "fr": "('le','la','les','et','de','un','une','est')",
+    "de": "('der','die','das','und','ist','ein','nicht')",
+    "es": "('el','la','los','y','de','que','es')",
+    "it": "('il','la','di','e','che','un','per')",
+    "la": "('et','in','est','non','cum','ad','quod')",
+}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_as_pages(docs: DataFrame) -> DataFrame:
+    """Adapt the testdata documents table (doc_id, text, lang, …) to the
+    engine's page-input shape (url, warc_ts, lang, text)."""
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        F.col("lang"),
+        F.col("text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline (stage1-3 → blocks → assembly)
+    over sf0.001 documents; returns one structured row per document."""
+    _ship_package(spark)
+    from pdf_to_epub_spark.operators import (
+        assemble_documents,
+        blocks_table,
+        extract_documents,
+    )
+
+    docs = _docs_as_pages(_t(spark, "/root/testdata/sf0.001", "documents"))
+    extracted = extract_documents(docs)
+    assembled = assemble_documents(blocks_table(extracted))
+    return assembled.select(
+        "url",
+        "n_blocks",
+        "n_chapters",
+        F.concat_ws("|", "toc").alias("toc"),
+        F.length("assembled_text").alias("n_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# queries — relational operator surface (SURVEY §2) with DuckDB oracles
+# --------------------------------------------------------------------------
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/agg surface: grouped sums/averages with pushed-down date filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 top-1-per-group via window row_number."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/S2 resume surface: broadcast left_anti join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        F.broadcast(o.select(F.col("o_custkey").alias("c_custkey")).distinct()),
+        on="c_custkey",
+        how="left_anti",
+    ).select("c_custkey", "c_name")
+
+
+def _q_building_segment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 semi-join filter + aggregation."""
+    c = _t(spark, sf_dir, "customer").where("c_mktsegment = 'BUILDING'")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def _q_ordered_lineitem_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/A1 reading-order reconstruction: ordered concat per key."""
+    from pdf_to_epub_spark.operators import ordered_concat
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_linenumber").cast("string").alias("ln")
+    )
+    return ordered_concat(li, "l_orderkey", "ln", "ln", out_col="lines", sep=",")
+
+
+def _q_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-style neighbor window: value minus previous value per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    )
+
+
+def _q_error_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 sandwich test: isolated 'error' events (non-error neighbors)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagv = F.lag("event_type").over(w)
+    leadv = F.lead("event_type").over(w)
+    return (
+        e.select("event_id", "event_type", lagv.alias("prev"), leadv.alias("nxt"))
+        .where(
+            (F.col("event_type") == "error")
+            & (F.coalesce(F.col("prev"), F.lit("_")) != "error")
+            & (F.coalesce(F.col("nxt"), F.lit("_")) != "error")
+        )
+        .select("event_id")
+    )
+
+
+def _q_doc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 rlike predicate classification, aggregated per lang."""
+    d = _t(spark, sf_dir, "documents")
+    cls = (
+        F.when(F.col("text").rlike(r"\bspark\b"), F.lit("spark"))
+        .when(F.col("text").rlike(r"\bjoin\b"), F.lit("join"))
+        .otherwise(F.lit("other"))
+    )
+    return (
+        d.select("lang", cls.alias("doc_class"))
+        .groupBy("lang", "doc_class")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _q_trim_leading_blanks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 leading-blank trim as column algebra (anchored regexp_replace)."""
+    d = _t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit("   \n  "), F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length(F.regexp_replace(padded, r"^\s+", "")).cast("long").alias("trimmed_len"),
+    )
+
+
+def _q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O3 global sort + limit with deterministic tiebreak."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(10)
+        .select("p_partkey", "p_name", F.round("p_retailprice", 2).alias("price"))
+    )
+
+
+# --------------------------------------------------------------------------
+# queries — training-data operators with oracles
+# --------------------------------------------------------------------------
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a self-union (simulated re-crawl): every text is
+    duplicated once; groups report size + kept id."""
+    from pdf_to_epub_spark.operators import exact_duplicate_groups
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = d.union(d.select(F.col("doc_id") + F.lit(1_000_000), "text"))
+    return exact_duplicate_groups(recrawl)
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-zà-öø-ÿ]+', 0)"))
+        .cast("long")
+        .alias("n_words"),
+    )
+
+
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-zÀ-ÖØ-öø-ÿ]", ""))
+    return d.select(
+        "doc_id",
+        F.round(alpha / F.greatest(n_chars, F.lit(1)), 4).alias("alpha_ratio"),
+    )
+
+
+def _q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_to_epub_spark.operators import guess_language
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return guess_language(d).select("doc_id", "lang_guess")
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the first 5 vectors as queries."""
+    from pdf_to_epub_spark.operators import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = e.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(e, q, k=10).withColumn("rank", F.col("rank").cast("long"))
+
+
+def _q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine ≥ 0.4 (verification form; the LSH-bucketed
+    scale path is the rows-only `embedding_near_dups_lsh`)."""
+    from pdf_to_epub_spark.operators.similarity import cosine
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= 0.4)
+    )
+
+
+# --------------------------------------------------------------------------
+# queries — extraction / LSH surfaces (rows-only: not SQL-expressible)
+# --------------------------------------------------------------------------
+
+def _q_extract_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ship_package(spark)
+    from pdf_to_epub_spark.operators import blocks_table, extract_documents
+
+    docs = _docs_as_pages(_t(spark, sf_dir, "documents"))
+    return blocks_table(extract_documents(docs))
+
+
+def _q_assemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ship_package(spark)
+    from pdf_to_epub_spark.operators import (
+        assemble_documents,
+        blocks_table,
+        extract_documents,
+    )
+
+    docs = _docs_as_pages(_t(spark, sf_dir, "documents"))
+    asm = assemble_documents(blocks_table(extract_documents(docs)))
+    return asm.select(
+        "url", "n_blocks", "n_chapters", F.length("assembled_text").alias("n_chars")
+    )
+
+
+def _q_extraction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ship_package(spark)
+    from pdf_to_epub_spark.operators import corpus_counters, extract_documents
+
+    docs = _docs_as_pages(_t(spark, sf_dir, "documents"))
+    return corpus_counters(extract_documents(docs))
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates over a mutated re-crawl (each doc
+    duplicated with its last word dropped → high-Jaccard pair)."""
+    from pdf_to_epub_spark.operators import minhash_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "").alias("text"),
+    )
+    return minhash_candidate_pairs(
+        d.union(mutated), k=3, num_hashes=32, bands=8, jaccard_threshold=0.7
+    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_to_epub_spark.operators import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "").alias("text"),
+    )
+    return simhash_near_pairs(d.union(mutated), max_hamming=3)
+
+
+def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_to_epub_spark.operators import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = e.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    return lsh_topk(e, q, dim=64, k=10, bits=6)
+
+
+def _q_resume_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3 checkpoint resume: first half committed → second half pending."""
+    from pdf_to_epub_spark.operators import pending_documents, with_doc_hash
+
+    d = with_doc_hash(_t(spark, sf_dir, "documents"), payload_col="text")
+    done = d.where(F.col("doc_id") % 2 == 0).select("doc_hash")
+    return pending_documents(d, done).select("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operator surface (oracle-checked)
+        "pricing_summary": _q_pricing_summary,
+        "latest_order_per_customer": _q_latest_order_per_customer,
+        "customers_without_orders": _q_customers_without_orders,
+        "building_segment_orders": _q_building_segment_orders,
+        "ordered_lineitem_concat": _q_ordered_lineitem_concat,
+        "event_deltas": _q_event_deltas,
+        "error_islands": _q_error_islands,
+        "doc_classification": _q_doc_classification,
+        "trim_leading_blanks": _q_trim_leading_blanks,
+        "top_parts": _q_top_parts,
+        # training-data operators (oracle-checked)
+        "dedup_exact": _q_dedup_exact,
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality_scores,
+        "lang_guess": _q_lang_guess,
+        "ann_topk": _q_ann_topk,
+        "embedding_near_pairs": _q_embedding_near_pairs,
+        "resume_pending": _q_resume_pending,
+        # extraction + LSH scale paths (rows-only)
+        "extract_blocks": _q_extract_blocks,
+        "assemble_documents": _q_assemble_documents,
+        "extraction_metrics": _q_extraction_metrics,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "ann_topk_lsh": _q_ann_topk_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_votes = "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{lang}' AS lang, len(list_filter("
+        f"regexp_extract_all(lower(text), '[a-zà-öø-ÿ]+'), w -> w IN {markers}"
+        f")) AS score FROM documents"
+        for lang, markers in sorted(_LANG_MARKER_SQL.items())
+    )
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "latest_order_per_customer": """
+            SELECT o_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS order_date
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                FROM orders)
+            WHERE rn = 1
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "building_segment_orders": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE o_custkey IN (
+                SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+            GROUP BY o_orderpriority
+        """,
+        "ordered_lineitem_concat": """
+            SELECT l_orderkey,
+                   string_agg(CAST(l_linenumber AS VARCHAR), ','
+                              ORDER BY CAST(l_linenumber AS VARCHAR)) AS lines
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "event_deltas": """
+            SELECT event_id,
+                   round(value - lag(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+            FROM events
+        """,
+        "error_islands": """
+            SELECT event_id FROM (
+                SELECT event_id, event_type,
+                       lag(event_type) OVER w AS prev,
+                       lead(event_type) OVER w AS nxt
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            WHERE event_type = 'error'
+              AND coalesce(prev, '_') <> 'error'
+              AND coalesce(nxt, '_') <> 'error'
+        """,
+        "doc_classification": r"""
+            SELECT lang,
+                   CASE WHEN regexp_matches(text, '\bspark\b') THEN 'spark'
+                        WHEN regexp_matches(text, '\bjoin\b') THEN 'join'
+                        ELSE 'other' END AS doc_class,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1, 2
+        """,
+        "trim_leading_blanks": r"""
+            SELECT doc_id,
+                   length(regexp_replace('   ' || chr(10) || '  ' || text,
+                                         '^\s+', '')) AS trimmed_len
+            FROM documents
+        """,
+        "top_parts": """
+            SELECT p_partkey, p_name, round(p_retailprice, 2) AS price
+            FROM part ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10
+        """,
+        "dedup_exact": """
+            WITH recrawl AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents)
+            SELECT md5(text) AS content_hash, count(*) AS n_docs,
+                   min(doc_id) AS keeper_id
+            FROM recrawl GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '[a-zà-öø-ÿ]+')) AS n_words
+            FROM documents
+        """,
+        "quality_scores": """
+            SELECT doc_id,
+                   round(length(regexp_replace(text, '[^A-Za-zÀ-ÖØ-öø-ÿ]', '', 'g'))
+                         / greatest(length(text), 1), 4) AS alpha_ratio
+            FROM documents
+        """,
+        "lang_guess": f"""
+            SELECT doc_id, lang AS lang_guess FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, lang ASC) AS rn
+                FROM ({lang_votes}))
+            WHERE rn = 1
+        """,
+        "ann_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_dot_product(e.v, q.qv)
+                       / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS raw
+                FROM e CROSS JOIN q),
+            ranked AS (
+                SELECT query_id, vec_id, raw,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY raw DESC, vec_id ASC) AS rank
+                FROM scored)
+            SELECT query_id, vec_id, round(raw, 6) AS score, rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "embedding_near_pairs": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        """,
+        "resume_pending": """
+            SELECT doc_id FROM documents WHERE doc_id % 2 <> 0
+        """,
+    }

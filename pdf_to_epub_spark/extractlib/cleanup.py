@@ -220,10 +220,21 @@ _STAGE1_MOJIBAKE: tuple[tuple[str, str], ...] = (
 )
 
 _WORD_TOKEN = re.compile(r"[A-Za-zÀ-ÖØ-öø-ÿ'’-]{2,}")
+_WORD_TOKEN_WITH_MOJIBAKE = re.compile(
+    r"[A-Za-zÀ-ÖØ-öø-ÿ'’-]*Ã[A-Za-zÀ-ÖØ-öø-ÿ'’-]*"
+)
 
 
 def repair_word_mojibake(text: str) -> str:
-    """Apply the ordered mojibake pairs inside word tokens only."""
+    """Apply the ordered mojibake pairs inside word tokens only.
+
+    Fast path: every mapping key starts with "Ã" (U+00C3), so when the
+    document (or a token) contains none, the pass is the identity — the
+    short-circuits below change nothing byte-wise, they only skip the
+    30-replace loop (which profiling shows is ~60% of stage-1 time).
+    """
+    if "Ã" not in text:
+        return text
 
     def mend(match: re.Match) -> str:
         token = match.group(0)
@@ -231,7 +242,11 @@ def repair_word_mojibake(text: str) -> str:
             token = token.replace(bad, good)
         return token
 
-    return _WORD_TOKEN.sub(mend, text)
+    # Byte-equivalent narrowing: tokens without "Ã" come back from the
+    # replace loop unchanged, so only token-runs containing "Ã" need the
+    # callback at all.  (A lone length-1 "Ã" run additionally matches here
+    # but no 2-char key can fire inside it — still the identity.)
+    return _WORD_TOKEN_WITH_MOJIBAKE.sub(mend, text)
 
 
 # --------------------------------------------------------------------------

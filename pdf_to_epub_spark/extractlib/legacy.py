@@ -177,6 +177,134 @@ def windowed_header_strip(text: str, counters: dict) -> str:
 
 
 # --------------------------------------------------------------------------
+# Legacy quote passes (reference :106-136)
+# --------------------------------------------------------------------------
+
+# Exact key set incl. double-mojibake forms with U+009C/U+009D/U+FFFD etc.
+_LEGACY_QUOTE_VARIANTS: tuple[tuple[str, str], ...] = (
+    ("“", '"'), ("”", '"'), ("„", '"'), ("‟", '"'),
+    ("〝", '"'), ("〞", '"'), ("«", '"'), ("»", '"'),
+    ("‹", '"'), ("›", '"'), ("＂", '"'), ("❝", '"'),
+    ("❞", '"'),
+    ("â€œ", '"'), ("â€", '"'),
+    ("â€", '"'),
+    ("Ã¢Â€Âœ", '"'),
+    ("Ã¢Â€Â�", '"'),
+    ("Ã¢Â€Âž", '"'),
+    ("Â«", '"'), ("Â»", '"'),
+)
+
+
+def normalize_double_quotes_legacy(text: str, counters: dict) -> str:
+    by_token: dict[str, int] = {}
+    for tok, repl in _LEGACY_QUOTE_VARIANTS:
+        c = text.count(tok)
+        if c:
+            text = text.replace(tok, repl)
+            by_token[tok] = c
+    counters["normalized_double_quotes"] = {
+        "total_replacements": sum(by_token.values()),
+        "by_token": by_token,
+    }
+    return text
+
+
+_MIXED_QUOTES = re.compile(r"""('?\s*"\s*'|'\s*"\s*|"\s*'\s*)""")
+
+
+def collapse_mixed_quotes_legacy(text: str, counters: dict) -> str:
+    counters["collapsed_mixed_quotes"] = len(list(_MIXED_QUOTES.finditer(text)))
+    return _MIXED_QUOTES.sub('"', text)
+
+
+_QUOTE_ONLY_FORMS = {'"', "“", "”"}
+
+
+def splice_lone_quote_lines_legacy(text: str, counters: dict) -> str:
+    lines = text.split("\n")
+    count = 0
+    i = 0
+    while i < len(lines):
+        if lines[i].strip() in _QUOTE_ONLY_FORMS:
+            if i > 0:
+                lines[i - 1] = lines[i - 1] + lines[i].strip()
+            del lines[i]
+            count += 1
+            continue
+        i += 1
+    counters["spliced_lone_quote_lines"] = count
+    return "\n".join(lines)
+
+
+def remove_superscript_artifacts_legacy(text: str, counters: dict) -> str:
+    tokens = ("Â¹", "Â²", "Â³")
+    counters["superscript_artifacts_removed"] = sum(text.count(t) for t in tokens)
+    for t in tokens:
+        text = text.replace(t, "")
+    return text
+
+
+_GLUED_WORD_NUM = re.compile(
+    r"(?P<word>[^\W\d_]+(?:-[^\W\d_]+)*)(?P<num>\d{1,3})\b", re.UNICODE
+)
+
+
+def remove_glued_word_numbers_legacy(text: str, counters: dict) -> str:
+    matches = 0
+    out = []
+    last = 0
+    for m in _GLUED_WORD_NUM.finditer(text):
+        matches += 1
+        out.append(text[last : m.start("num")])
+        last = m.end("num")
+    out.append(text[last:])
+    counters["glued_word_numbers_removed"] = matches
+    return "".join(out)
+
+
+# v7's own in-word mojibake fixer: each pair applied over the whole text
+# when adjacent to a word char on either side (reference :11-32).
+_V7_MOJIBAKE: tuple[tuple[str, str], ...] = (
+    ("Ã©", "é"), ("Ã¨", "è"), ("Ãª", "ê"), ("Ã«", "ë"),
+    ("Ã ", "à"), ("Ã¢", "â"), ("Ã¤", "ä"),
+    ("Ã¬", "ì"), ("Ã­", "í"), ("Ã®", "î"), ("Ã¯", "ï"),
+    ("Ã²", "ò"), ("Ã³", "ó"), ("Ã´", "ô"), ("Ã¶", "ö"),
+    ("Ã¹", "ù"), ("Ãº", "ú"), ("Ã»", "û"), ("Ã¼", "ü"),
+    ("Ã§", "ç"),
+    ("Ã‰", "É"), ("Ãˆ", "È"), ("ÃŠ", "Ê"), ("Ã‹", "Ë"),
+    ("Ã€", "À"), ("Ã‚", "Â"), ("Ã„", "Ä"),
+    ("ÃŒ", "Ì"), ("Ã", "Í"), ("ÃŽ", "Î"), ("Ã", "Ï"),
+    ("Ã’", "Ò"), ("Ã“", "Ó"), ("Ã”", "Ô"), ("Ã–", "Ö"),
+    ("Ã™", "Ù"), ("Ãš", "Ú"), ("Ã›", "Û"), ("Ãœ", "Ü"),
+    ("Ã‡", "Ç"),
+)
+
+
+def repair_word_mojibake_v7(text: str) -> str:
+    for bad, good in _V7_MOJIBAKE:
+        pat = re.compile(rf"(?:(?<=\w){re.escape(bad)}|{re.escape(bad)}(?=\w))")
+        text = pat.sub(good, text)
+    return text
+
+
+def run_legacy_cleanup(text: str, counters: dict | None = None) -> str:
+    """Full legacy v7 pass sequence (reference :338-371): v3 cleanup chain
+    followed by the v7 in-word mojibake fixer."""
+    if counters is None:
+        counters = {}
+    text = kill_inline_volume_chapter(text)
+    text = windowed_header_strip(text, counters)
+    text = splice_lone_quote_lines_legacy(text, counters)
+    text = normalize_double_quotes_legacy(text, counters)
+    text = collapse_mixed_quotes_legacy(text, counters)
+    text = remove_superscript_artifacts_legacy(text, counters)
+    text = remove_glued_word_numbers_legacy(text, counters)
+    text = strip_numbers_general(text, counters)
+    text = repair_word_mojibake_v7(text)
+    return text
+
+
+# --------------------------------------------------------------------------
 # legacy T17 — general number removal with year/currency guards
 # (reference :64-87, :215-299)
 # --------------------------------------------------------------------------

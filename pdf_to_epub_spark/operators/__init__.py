@@ -1,9 +1,43 @@
 from .assemble import assemble_documents, ordered_concat
+from .dedup import (
+    drop_exact_duplicates,
+    exact_duplicate_groups,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_pairs,
+)
 from .extract import blocks_table, decode_binary_pages, extract_documents
 from .metrics import corpus_counters, partition_metrics, status_summary
 from .resume import pending_documents, resume_run, with_doc_hash
+from .similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_topk,
+)
+from .textstats import (
+    document_fingerprint,
+    guess_language,
+    quality_features,
+    token_count,
+    with_token_stats,
+)
 
 __all__ = [
+    "brute_force_topk",
+    "document_fingerprint",
+    "drop_exact_duplicates",
+    "embedding_near_duplicates",
+    "exact_duplicate_groups",
+    "guess_language",
+    "lsh_topk",
+    "minhash_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "quality_features",
+    "simhash64",
+    "simhash_near_pairs",
+    "token_count",
+    "with_token_stats",
     "assemble_documents",
     "blocks_table",
     "corpus_counters",

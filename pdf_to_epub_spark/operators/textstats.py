@@ -1,0 +1,118 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+Everything is built-in `pyspark.sql.functions` column algebra (rlike /
+regexp_extract_all / higher-order fns / hash builtins) so the whole surface
+stays inside whole-stage codegen; the SQL oracles in __spark_entry__ use
+the equivalent DuckDB expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword seeds for the n-gram/stopword heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "was"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "es": ("el", "la", "los", "y", "de", "que", "es"),
+    "it": ("il", "la", "di", "e", "che", "un", "per"),
+    "la": ("et", "in", "est", "non", "cum", "ad", "quod"),
+}
+
+
+def _tokens(col_name: str) -> Column:
+    """Word tokens (letters incl. accented), lowercased."""
+    return F.expr(f"regexp_extract_all(lower({col_name}), '[a-zà-öø-ÿ]+', 0)")
+
+
+def token_count(col_name: str) -> Column:
+    """Whitespace-ish token count (BPE-ish regex: letter runs + digit runs +
+    single punctuation marks)."""
+    return F.size(
+        F.expr(
+            f"regexp_extract_all({col_name}, '[A-Za-zÀ-ÖØ-öø-ÿ]+|[0-9]+|[^A-Za-zÀ-ÖØ-öø-ÿ0-9\\\\s]', 0)"
+        )
+    )
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("n_tokens", token_count(text_col)).withColumn(
+        "n_words", F.size(_tokens(text_col))
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cheap quality signals: length, alpha ratio, punctuation density,
+    mean word length, stopword ratio — the Boilerpipe-ish text-density
+    heuristics as column algebra."""
+    n_chars = F.length(F.col(text_col))
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-zÀ-ÖØ-öø-ÿ]", ""))
+    punct_chars = F.length(
+        F.regexp_replace(F.col(text_col), r"""[^\.,;:!\?"'—–-]""", "")
+    )
+    words = _tokens(text_col)
+    en_stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    stop_hits = F.size(F.filter(words, lambda w: F.array_contains(en_stop, w)))
+    return df.select(
+        "*",
+        n_chars.alias("n_chars_q"),
+        F.round(alpha_chars / F.greatest(n_chars, F.lit(1)), 4).alias("alpha_ratio"),
+        F.round(punct_chars / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
+        F.round(
+            alpha_chars / F.greatest(F.size(words), F.lit(1)).cast("double"), 4
+        ).alias("mean_word_len"),
+        F.round(
+            stop_hits / F.greatest(F.size(words), F.lit(1)).cast("double"), 4
+        ).alias("stopword_ratio"),
+    )
+
+
+def guess_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: score = |tokens ∩ markers(lang)| per
+    language; argmax wins (ties broken by language code order)."""
+    words = _tokens(text_col)
+    def marker_hits(markers: tuple[str, ...]):
+        # NB: must stay a 1-arg lambda — F.filter treats a 2nd parameter as
+        # the element-index column.
+        return lambda w: w.isin(*markers)
+
+    scores = [
+        F.struct(
+            F.size(F.filter(words, marker_hits(markers))).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    # array_max on struct compares field-by-field: (score, lang); to break
+    # ties by *ascending* lang we negate... keep it simple & deterministic:
+    # sort by (score desc, lang asc) via sort_array of (-score, lang).
+    ranked = F.sort_array(
+        F.array(
+            *[
+                F.struct((-s["score"]).alias("neg"), s["lang"].alias("lang"))
+                for s in scores
+            ]
+        )
+    )
+    return df.withColumn("lang_guess", F.element_at(ranked, 1)["lang"])
+
+
+def document_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit content fingerprint of whitespace-normalized, lowercased text
+    (xxhash64) plus a min-shingle rolling fingerprint — the cheap identity
+    used for bucketing and resume bookkeeping."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    words = F.split(norm, " ")
+    n = F.size(words)
+    starts = F.sequence(F.lit(0), F.greatest(n - F.lit(4), F.lit(0)))
+    shingle_hashes = F.transform(
+        starts, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, 4)))
+    )
+    return df.select(
+        "*",
+        F.xxhash64(norm).alias("fingerprint"),
+        F.array_min(shingle_hashes).alias("min_shingle_hash"),
+    )

@@ -223,25 +223,41 @@ def make_documents(n: int, seed: int = 42) -> list[dict]:
     return rows
 
 
-def write_parquet(path: str, n: int, seed: int = 42) -> None:
-    """Materialize a corpus parquet (pyarrow; no Spark needed)."""
+def write_parquet(path: str, n: int, seed: int = 42, n_files: int = 1) -> None:
+    """Materialize a corpus (pyarrow; no Spark needed).
+
+    ``n_files > 1`` writes a directory of part files — the realistic shape
+    of a crawl corpus, and what lets the Spark scan parallelize instead of
+    treating one jumbo file as a single input split."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rows = make_documents(n, seed)
-    table = pa.Table.from_pylist(
-        rows,
-        schema=pa.schema(
-            [
-                ("url", pa.string()),
-                ("warc_ts", pa.timestamp("us")),
-                ("html", pa.binary()),
-                ("text", pa.string()),
-                ("lang", pa.string()),
-            ]
-        ),
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
     )
-    pq.write_table(table, path)
+    rows = make_documents(n, seed)
+    if n_files <= 1:
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
+        return
+    import pathlib
+
+    out = pathlib.Path(path)
+    out.mkdir(parents=True, exist_ok=True)
+    per = (n + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = rows[i * per : (i + 1) * per]
+        if not chunk:
+            break
+        pq.write_table(
+            pa.Table.from_pylist(chunk, schema=schema),
+            out / f"part-{i:04d}.parquet",
+        )
 
 
 if __name__ == "__main__":

@@ -1,0 +1,63 @@
+"""Incremental (checkpointed) extraction over a growing page corpus.
+
+The reference has NO streaming operators (SURVEY §2.9) — its only
+incremental element is the resume-by-hash index, which operators/resume.py
+covers for batch.  This module is the Structured-Streaming expression of
+the same idea for a corpus that grows between runs: an ``availableNow``
+file-source stream processes exactly the files not yet recorded in the
+checkpoint, then stops — i.e. "resume from the last committed snapshot"
+(`north_rule`) driven by Spark's own streaming offset log instead of an
+explicit anti-join.
+
+Extraction is append-only (document-local), so it streams trivially; the
+blocks→document assembly aggregation stays a batch query over the extracted
+output table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def incremental_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    salt_partitions: int | None = None,
+    await_termination: bool = True,
+):
+    """Process all not-yet-committed parquet files under ``input_dir`` and
+    append extracted rows to ``output_dir``; offsets live in
+    ``checkpoint_dir``.  Returns the StreamingQuery."""
+    from pdf_to_epub_spark.operators.extract import extract_documents
+
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    extracted = extract_documents(stream, salt_partitions=salt_partitions)
+    query = (
+        extracted.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query

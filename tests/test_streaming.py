@@ -1,0 +1,48 @@
+"""Incremental (availableNow) extraction: process only new files per run."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pdf_to_epub_spark.sources.synth import make_documents
+from pdf_to_epub_spark.streaming import incremental_extract
+
+_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+def _write_batch(dirpath, rows, name):
+    pq.write_table(pa.Table.from_pylist(rows, schema=_SCHEMA), f"{dirpath}/{name}")
+
+
+def test_incremental_extract_resumes_from_checkpoint(spark, tmp_path):
+    inp = tmp_path / "in"
+    outp = tmp_path / "out"
+    cp = tmp_path / "cp"
+    inp.mkdir()
+
+    rows = make_documents(12, seed=5)
+    _write_batch(inp, rows[:7], "batch1.parquet")
+    incremental_extract(spark, str(inp), str(outp), str(cp))
+    first = spark.read.parquet(str(outp))
+    assert first.count() == 7
+
+    # second run with no new files → no new rows
+    incremental_extract(spark, str(inp), str(outp), str(cp))
+    assert spark.read.parquet(str(outp)).count() == 7
+
+    # new file arrives → only its rows are processed
+    _write_batch(inp, rows[7:], "batch2.parquet")
+    incremental_extract(spark, str(inp), str(outp), str(cp))
+    final = spark.read.parquet(str(outp))
+    assert final.count() == 12
+    assert final.select("url").distinct().count() == 12
+    assert final.where("status = 'ok'").count() == 12

@@ -1,0 +1,164 @@
+"""Dedup / similarity / textstats operators on small controlled corpora."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_to_epub_spark.operators import (
+    brute_force_topk,
+    document_fingerprint,
+    drop_exact_duplicates,
+    embedding_near_duplicates,
+    exact_duplicate_groups,
+    guess_language,
+    lsh_topk,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    quality_features,
+    simhash_near_pairs,
+    with_token_stats,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank every morning"
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    rng = random.Random(3)
+    rows = []
+    for i in range(30):
+        words = (BASE + f" unique tail {i} " + " ".join(rng.choices(BASE.split(), k=20))).split()
+        rows.append((i, " ".join(words)))
+    # exact dup pair, near-dup pair (one word changed), unrelated doc
+    rows.append((100, rows[0][1]))
+    near = rows[1][1].split()
+    near[5] = "otter"
+    rows.append((101, " ".join(near)))
+    rows.append((102, "完全 不同 的 文本 没有 共享 词"))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(dup_corpus):
+    groups = exact_duplicate_groups(dup_corpus).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["keeper_id"] == 0
+    kept = drop_exact_duplicates(dup_corpus)
+    assert kept.count() == dup_corpus.count() - 1
+    assert kept.where("doc_id = 100").count() == 0
+
+
+def test_minhash_finds_near_dup(dup_corpus):
+    pairs = minhash_candidate_pairs(
+        dup_corpus, k=3, num_hashes=32, bands=8, jaccard_threshold=0.5
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 100) in found  # exact dup: jaccard 1.0
+    assert (1, 101) in found  # near dup
+    for r in pairs:
+        assert r["jaccard"] >= 0.5
+
+
+def test_ngram_jaccard(dup_corpus):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(dup_corpus, k=3, threshold=0.5).collect()}
+    assert pairs.get((0, 100)) == 1.0
+    assert (1, 101) in pairs
+
+
+def test_simhash_near_pairs(dup_corpus):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_pairs(dup_corpus, max_hamming=6).collect()}
+    assert pairs.get((0, 100)) == 0  # identical text → identical simhash
+    assert (1, 101) in pairs  # one token changed → tiny hamming distance
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = random.Random(11)
+    rows = []
+    for i in range(200):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+
+def test_brute_force_topk_exact(vectors):
+    queries = vectors.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = brute_force_topk(vectors, queries, k=5).collect()
+    data = {r["vec_id"]: r["embedding"] for r in vectors.collect()}
+    for qid in range(3):
+        expected = sorted(
+            ((round(_cos(data[qid], v), 6), i) for i, v in data.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        mine = sorted(
+            [(r["score"], r["vec_id"]) for r in got if r["query_id"] == qid],
+            key=lambda t: (-t[0], t[1]),
+        )
+        assert [i for _, i in mine] == [i for _, i in expected]
+        assert mine[0][1] == qid and abs(mine[0][0] - 1.0) < 1e-5
+
+
+def test_lsh_topk_recall(vectors):
+    queries = vectors.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = lsh_topk(vectors, queries, dim=16, k=3, bits=6)
+    rows = got.collect()
+    # self-match must be in its own bucket → rank 1 score ~1.0
+    top1 = {r["query_id"]: r for r in rows if r["rank"] == 1}
+    assert set(top1) == set(range(5))
+    for qid, r in top1.items():
+        assert r["vec_id"] == qid
+
+
+def test_embedding_near_duplicates(spark, vectors):
+    # plant a near-duplicate of vec 0
+    base = vectors.where("vec_id = 0").collect()[0]["embedding"]
+    dup = [x * 1.001 for x in base]
+    extra = spark.createDataFrame([(999, dup)], "vec_id long, embedding array<float>")
+    pairs = embedding_near_duplicates(vectors.union(extra), dim=16, threshold=0.99)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 999) in found
+
+
+def test_textstats(spark):
+    rows = [
+        (1, "The cat and the dog walked to the house and it was warm.", "en"),
+        (2, "Le chat et le chien est dans la maison et il est content.", "fr"),
+        (3, "der hund und die katze ist nicht da und das ist gut", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    guessed = {r["doc_id"]: r["lang_guess"] for r in guess_language(df).collect()}
+    assert guessed == {1: "en", 2: "fr", 3: "de"}
+
+    stats = with_token_stats(df).collect()
+    for r in stats:
+        assert r["n_tokens"] >= r["n_words"] > 5
+
+    q = quality_features(df).collect()
+    for r in q:
+        assert 0.5 < r["alpha_ratio"] < 1.0
+        assert 0 <= r["punct_ratio"] < 0.2
+        assert r["stopword_ratio"] >= 0.0
+
+    fp = document_fingerprint(df).collect()
+    assert len({r["fingerprint"] for r in fp}) == 3
+    # normalization invariance: whitespace/case changes don't move the print
+    df2 = spark.createDataFrame(
+        [(1, "  THE cat and the dog walked to the house and it was warm. ")],
+        "doc_id long, text string",
+    )
+    fp2 = document_fingerprint(df2).collect()[0]["fingerprint"]
+    assert fp2 == {r["doc_id"]: r["fingerprint"] for r in fp}[1]
