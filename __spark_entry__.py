@@ -376,6 +376,84 @@ def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, q, dim=64, k=10, bits=6)
 
 
+def _q_example_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/O3 truncated example sampling: keep the first ≤5 examples per
+    group (reference keeps ≤5 header-block examples per log,
+    Step1_ocr_cleanup_v11.py:184-191) — slice(sort_array(collect_list))."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.concat_ws(
+            ",",
+            F.slice(F.sort_array(F.collect_list(F.col("event_id"))), 1, 5),
+        ).alias("first_ids"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def _q_shard_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S7/S8 lossless roundtrip: split each document into span-addressed
+    Document-AI-style JSON shards, parse with from_json, slice spans, merge
+    in shard order — merged length must equal the original text length
+    (which is exactly what the DuckDB oracle computes independently)."""
+    from pyspark.sql import functions as FF
+
+    from pdf_to_epub_spark.sources.shards import (
+        make_shards_from_documents,
+        merge_shards,
+        parse_shard_json,
+        shard_text_plain,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        FF.col("doc_id"), FF.col("text")
+    )
+    shards = make_shards_from_documents(
+        docs.withColumnRenamed("doc_id", "url"), n_shards=4
+    )
+    parsed = parse_shard_json(shards).withColumn(
+        "shard_text", shard_text_plain(F.col("shard"))
+    )
+    merged = merge_shards(parsed)
+    return merged.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("merged_len"),
+    )
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload + typed metadata → features via
+    Arrow-batched mapInPandas (deterministic stub decode)."""
+    _ship_package(spark)
+    from pdf_to_epub_spark.operators.multimodal import (
+        extract_media_features,
+        make_media_corpus,
+    )
+
+    media = spark.createDataFrame(
+        make_media_corpus(200),
+        "media_id long, url string, media_type string, payload binary",
+    )
+    feats = extract_media_features(media, salt_partitions=8)
+    return feats.select(
+        "media_id", "media_type", "container", "n_bytes", "width", "height",
+        "n_frames", "status",
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index pre-join."""
+    from pdf_to_epub_spark.operators import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "").alias("text"),
+    )
+    return ngram_jaccard_pairs(d.union(mutated), k=4, threshold=0.8).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
 def _q_resume_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/S3 checkpoint resume: first half committed → second half pending."""
     from pdf_to_epub_spark.operators import pending_documents, with_doc_hash
@@ -406,6 +484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "embedding_near_pairs": _q_embedding_near_pairs,
         "resume_pending": _q_resume_pending,
+        "shard_merge_roundtrip": _q_shard_merge_roundtrip,
+        "example_samples": _q_example_samples,
         # extraction + LSH scale paths (rows-only)
         "extract_blocks": _q_extract_blocks,
         "assemble_documents": _q_assemble_documents,
@@ -413,6 +493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "media_features": _q_media_features,
     }
 
 
@@ -555,5 +637,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "resume_pending": """
             SELECT doc_id FROM documents WHERE doc_id % 2 <> 0
+        """,
+        "shard_merge_roundtrip": """
+            SELECT doc_id, length(text) AS merged_len FROM documents
+        """,
+        "example_samples": """
+            SELECT event_type,
+                   array_to_string(list_slice(list_sort(list(event_id)), 1, 5),
+                                   ',') AS first_ids,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
         """,
     }
