@@ -25,6 +25,8 @@ import re
 # Anchor vocabulary: a block must contain one of these to be considered.
 _ANCHOR_VOLUME = re.compile(r"(?i)\bvolume\b")
 _ANCHOR_SERIES = re.compile(r"(?i)\bhistory\s+of\s+my\s+life\b")
+# Single-pass disjunction of the two anchors (same boolean outcome).
+_ANCHOR_EITHER = re.compile(r"(?i)\bvolume\b|\bhistory\s+of\s+my\s+life\b")
 _INLINE_CHAPTER = re.compile(r"(?i)\bchapter\b")
 
 # Header-ish line shapes.
@@ -78,7 +80,7 @@ def strip_running_heads(text: str, counters: dict) -> str:
             return True
         if _NUMERIC_LINE.match(s):
             return True
-        if _ANCHOR_VOLUME.search(s) or _ANCHOR_SERIES.search(s):
+        if _ANCHOR_EITHER.search(s):
             return True
         if _INLINE_CHAPTER.search(s) and not _ALLCAPS_CHAPTER.match(s):
             return True
@@ -103,7 +105,7 @@ def strip_running_heads(text: str, counters: dict) -> str:
         if i in claimed:
             continue
         raw = lines[i]
-        if not (_ANCHOR_VOLUME.search(raw) or _ANCHOR_SERIES.search(raw)):
+        if not _ANCHOR_EITHER.search(raw):
             continue
 
         lo = i

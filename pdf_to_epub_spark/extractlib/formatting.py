@@ -89,27 +89,43 @@ def sweep_mojibake_and_artifacts(text: str, counters: dict) -> str:
     by_noun: dict[str, int] = {}
     by_pair: dict[str, int] = {}
     by_artifact: dict[str, int] = {}
-    for bad, good in PROPER_NOUN_PAIRS:
-        c = text.count(bad)
-        if c:
-            text = text.replace(bad, good)
-            by_noun[bad] = c
-    for bad, good in MOJIBAKE_PAIRS:
-        c = text.count(bad)
-        if c:
-            text = text.replace(bad, good)
-            by_pair[bad] = c
-    for token in ARTIFACT_TOKENS:
-        c = text.count(token)
-        if c:
-            text = text.replace(token, "")
-            by_artifact[token] = c
+    # Byte-safe prechecks: counting an absent token yields 0 and the
+    # reference logs only nonzero counts, so skipping a key family whose
+    # lead char is absent is the identity.  Lead-char presence is
+    # recomputed between families because earlier replacements can CREATE
+    # later leads (e.g. "Ã‚" → "Â", "Ã¢" → "â").
+    if "Ã" in text:
+        for bad, good in PROPER_NOUN_PAIRS:
+            c = text.count(bad)
+            if c:
+                text = text.replace(bad, good)
+                by_noun[bad] = c
+        for bad, good in MOJIBAKE_PAIRS:
+            c = text.count(bad)
+            if c:
+                text = text.replace(bad, good)
+                by_pair[bad] = c
+    elif "Â" in text or "Å" in text:
+        for bad, good in MOJIBAKE_PAIRS:
+            if bad[0] == "Ã":
+                continue
+            c = text.count(bad)
+            if c:
+                text = text.replace(bad, good)
+                by_pair[bad] = c
+    if "â" in text or "Â" in text:
+        for token in ARTIFACT_TOKENS:
+            c = text.count(token)
+            if c:
+                text = text.replace(token, "")
+                by_artifact[token] = c
     shapes = 0
-    for shape, straight in QUOTE_SHAPES:
-        c = text.count(shape)
-        if c:
-            text = text.replace(shape, straight)
-            shapes += c
+    if not text.isascii():
+        for shape, straight in QUOTE_SHAPES:
+            c = text.count(shape)
+            if c:
+                text = text.replace(shape, straight)
+                shapes += c
     text, collapsed = _MULTI_DQUOTE.subn('"', text)
     counters["french_fixes"] = {"specific": by_noun, "mojibake": by_pair}
     counters["artifacts_removed"] = by_artifact
@@ -392,6 +408,7 @@ def drop_superscripts(text: str, counters: dict) -> str:
 # (reference Step2_formatting_v14.py:61-112)
 # --------------------------------------------------------------------------
 
+_HAS_DIGIT = re.compile(r"\d")
 _ORDINAL = re.compile(r"^\d{1,3}(st|nd|rd|th)$", re.IGNORECASE)
 _STANDALONE_NUM = re.compile(
     r'(^|[\s,;:—\-\)\(\[\]“”"\' ])(\d{1,3})(?=($|[\s,;:—\-\)\(\]\[“”"\'\.,!?]))'
@@ -411,6 +428,9 @@ def strip_footnote_digits(
 
     lines = text.splitlines()
     for idx, line in enumerate(lines):
+        # Fast path (byte-safe): every pattern below requires a digit.
+        if not _HAS_DIGIT.search(line):
+            continue
 
         def on_standalone(m: re.Match) -> str:
             num = m.group(2)
@@ -479,6 +499,8 @@ def mend_quote_apostrophe_artifacts(text: str, counters: dict) -> str:
     moved_up = moved_down = collapsed = inline = 0
 
     for i, s in enumerate(lines):
+        if "'" not in s and "’" not in s:  # pattern requires an apostrophe
+            continue
         new_s, n = _INLINE_STOP_APOS_QUOTE.subn(r'\1"\n\n"', s)
         if n:
             lines[i] = new_s
@@ -518,6 +540,8 @@ def mend_quote_apostrophe_artifacts(text: str, counters: dict) -> str:
             moved_down += 1
 
     for i, s in enumerate(lines):
+        if '"' not in s:  # pattern requires a double quote
+            continue
         new_s, n = _INLINE_QUOTE_APOS.subn('"', s)
         if n:
             lines[i] = new_s
@@ -608,9 +632,11 @@ def tidy_intraline_spaces(text: str, counters: dict) -> str:
     total = 0
     out = []
     for line in text.splitlines():
-        line = line.replace("\t", " ")
-        line, n = _INNER_SPACE_RUN.subn(" ", line)
-        total += n
+        if "\t" in line:
+            line = line.replace("\t", " ")
+        if "  " in line:  # pattern requires a 2-space run
+            line, n = _INNER_SPACE_RUN.subn(" ", line)
+            total += n
         out.append(line)
     counters["intraline_space_runs_normalized"] = total
     return "\n".join(out)
