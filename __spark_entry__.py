@@ -376,6 +376,37 @@ def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, q, dim=64, k=10, bits=6)
 
 
+def _q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark has no native one): for each
+    event, the customer's most recent order at event time.  Implemented as
+    the single-shuffle union-sort-window construction; oracle uses DuckDB's
+    native ASOF JOIN."""
+    from pdf_to_epub_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = asof_join(
+        e, o,
+        key_left="user_id", key_right="o_custkey",
+        time_left="ts", time_right="o_orderdate",
+        value_cols=["o_orderkey"],
+    )
+    return joined.select("event_id", "o_orderkey")
+
+
+def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + conditional cumsum)."""
+    from pdf_to_epub_spark.operators.asof import sessionize
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = sessionize(e, gap_seconds=3600, order_tiebreak="event_id")
+    return out.select("event_id", F.col("session_id").cast("long").alias("session_id"))
+
+
 def _q_example_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/O3 truncated example sampling: keep the first ≤5 examples per
     group (reference keeps ≤5 header-block examples per log,
@@ -486,6 +517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_pending": _q_resume_pending,
         "shard_merge_roundtrip": _q_shard_merge_roundtrip,
         "example_samples": _q_example_samples,
+        "asof_latest_order": _q_asof_latest_order,
+        "event_sessions": _q_event_sessions,
         # extraction + LSH scale paths (rows-only)
         "extract_blocks": _q_extract_blocks,
         "assemble_documents": _q_assemble_documents,
@@ -640,6 +673,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "shard_merge_roundtrip": """
             SELECT doc_id, length(text) AS merged_len FROM documents
+        """,
+        "asof_latest_order": """
+            WITH r AS (
+                SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY o_custkey, o_orderdate)
+            SELECT e.event_id, r.o_orderkey
+            FROM events e ASOF LEFT JOIN r
+            ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        """,
+        "event_sessions": """
+            SELECT event_id,
+                   CAST(sum(new_session) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR CAST(floor(epoch(ts)) AS BIGINT)
+                                    - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                                    > 3600
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         """,
         "example_samples": """
             SELECT event_type,

