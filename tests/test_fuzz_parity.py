@@ -1,0 +1,100 @@
+"""Differential fuzzing: random OCR-ish texts through our transform vs the
+reference CLIs, byte-compared.  Catches parity divergences the structured
+fixtures miss (odd whitespace shapes, unicode edge cases, pathological
+quote/number layouts).
+
+Deterministic (derandomized hypothesis profile) and bounded (subprocess per
+example is expensive — the example budget is small but the generator is
+dense in reference-relevant phenomena).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import subprocess
+import sys
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from pdf_to_epub_spark.extractlib import (  # noqa: E402
+    reassemble,
+    segment_blocks,
+    transform_text,
+)
+
+REF = pathlib.Path("/root/reference/text-processing")
+
+# Alphabet dense in the phenomena the passes react to.
+_TOKENS = st.sampled_from(
+    [
+        "word", "Volume", "VOLUME 3", "History of My Life", "CHAPTER",
+        "CHAPTER IV", "chapter ix", "12", "345", "1760", "2nd",
+        "100 ducats", "•", "·", '"', "''", "' \"", "”", "“", "â", "â€¢",
+        "Ã©", "Ã‚", "Â", "so-\nlong", "­\n", "Mr.", "!", "?", "I", "A",
+        "THE END", "...", ",", ";", "\f", "¹", "²",
+        "He said.", '"Quoted speech." "More speech."', "page",
+    ]
+)
+_SEPS = st.sampled_from([" ", "  ", "\n", "\n\n", "\n\n\n", "\t", " \n ", "\r\n"])
+
+
+@st.composite
+def ocr_texts(draw):
+    n = draw(st.integers(min_value=0, max_value=60))
+    parts = []
+    for _ in range(n):
+        parts.append(draw(_TOKENS))
+        parts.append(draw(_SEPS))
+    return "".join(parts)
+
+
+def _reference_stage3(text: str, tmp: pathlib.Path) -> str:
+    inp = tmp / "in.txt"
+    inp.write_text(text, encoding="utf-8")
+    s1, s2, s3 = tmp / "s1.txt", tmp / "s2.txt", tmp / "s3.txt"
+    for script, a, b in (
+        ("Step1_ocr_cleanup_v11.py", inp, s1),
+        ("Step2_formatting_v14.py", s1, s2),
+        ("Step3_structuring_v1.py", s2, s3),
+    ):
+        subprocess.run(
+            [sys.executable, str(REF / script), str(a), str(b)],
+            check=True, capture_output=True,
+        )
+    return s3.read_text(encoding="utf-8")
+
+
+@pytest.mark.skipif(not REF.exists(), reason="reference not available")
+@settings(
+    max_examples=75,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(text=ocr_texts())
+def test_differential_parity(text: str) -> None:
+    import tempfile
+
+    got, _ = transform_text(text)
+    with tempfile.TemporaryDirectory() as tmp:
+        expected = _reference_stage3(text, pathlib.Path(tmp))
+    assert got == expected
+
+    blocks = segment_blocks(got)
+    assert reassemble(blocks) == got
+    for i, b in enumerate(blocks):
+        assert b.block_id == i
+        assert got[b.span_start : b.span_end] == b.text
+
+
+@settings(max_examples=100, deadline=None, derandomize=True)
+@given(text=st.text(max_size=400))
+def test_arbitrary_unicode_never_crashes(text: str) -> None:
+    """Pure robustness: any unicode input transforms and re-tiles exactly."""
+    got, counters = transform_text(text)
+    blocks = segment_blocks(got)
+    assert reassemble(blocks) == got
