@@ -31,7 +31,13 @@ def get_spark(
         # session TZ keeps any tz-aware casts aligned with DuckDB oracles.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalescing OFF, skew-join ON: this engine sizes shuffle partitions
+        # explicitly (≈cores), and AQE's size-based coalescing underestimates
+        # wide block/text rows — measured on the 20k-doc assembly shuffle it
+        # collapses the agg to ~3 active cores (2-3× wall).  Re-enable with a
+        # tuned advisoryPartitionSizeInBytes when partition counts are not
+        # explicitly managed.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Documents are large; keep Arrow batches small so a batch of
