@@ -61,3 +61,35 @@ def incremental_extract(
     if await_termination:
         query.awaitTermination()
     return query
+
+
+def windowed_ingest_rate(
+    spark: SparkSession,
+    input_dir: str,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    query_name: str = "ingest_rate",
+):
+    """Event-time windowed ingest metrics with late-data handling: pages
+    per (window, lang) with a watermark — the streaming counterpart of the
+    batch metrics table.  Returns the started StreamingQuery writing to an
+    in-memory sink (use ``processAllAvailable()`` then query
+    ``SELECT * FROM <query_name>``)."""
+    from pyspark.sql import functions as F
+
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    agg = (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window, slide or window), "lang")
+        .agg(
+            F.count("*").alias("pages"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

@@ -46,3 +46,20 @@ def test_incremental_extract_resumes_from_checkpoint(spark, tmp_path):
     assert final.count() == 12
     assert final.select("url").distinct().count() == 12
     assert final.where("status = 'ok'").count() == 12
+
+
+def test_windowed_ingest_rate(spark, tmp_path):
+    from pdf_to_epub_spark.streaming import windowed_ingest_rate
+
+    inp = tmp_path / "win_in"
+    inp.mkdir()
+    _write_batch(inp, make_documents(30, seed=9), "b.parquet")
+    q = windowed_ingest_rate(spark, str(inp), window="1 hour", query_name="rates_t")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM rates_t").collect()
+    assert rows
+    assert sum(r["pages"] for r in rows) == 30
+    assert all(r["chars"] > 0 for r in rows)
+    langs = {r["lang"] for r in rows}
+    assert langs <= {"en", "fr", "it", "la", "de", "es"}
