@@ -489,6 +489,18 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: coarse-quantizer cells + nprobe probing
+    (the second ANN scale path alongside the LSH buckets)."""
+    from pdf_to_epub_spark.operators import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = e.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(e, q, k=10, n_centroids=16, nprobe=4)
+
+
 def _q_resume_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/S3 checkpoint resume: first half committed → second half pending."""
     from pdf_to_epub_spark.operators import pending_documents, with_doc_hash
@@ -530,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "media_features": _q_media_features,
     }

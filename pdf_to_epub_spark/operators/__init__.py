@@ -10,9 +10,11 @@ from .dedup import (
 from .extract import blocks_table, decode_binary_pages, extract_documents
 from .metrics import corpus_counters, partition_metrics, status_summary
 from .resume import pending_documents, resume_run, with_doc_hash
+from .asof import asof_join, sessionize
 from .similarity import (
     brute_force_topk,
     embedding_near_duplicates,
+    ivf_topk,
     lsh_topk,
 )
 from .textstats import (
@@ -24,7 +26,10 @@ from .textstats import (
 )
 
 __all__ = [
+    "asof_join",
     "brute_force_topk",
+    "ivf_topk",
+    "sessionize",
     "document_fingerprint",
     "drop_exact_duplicates",
     "embedding_near_duplicates",

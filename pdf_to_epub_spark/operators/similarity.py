@@ -124,6 +124,104 @@ def lsh_topk(
     )
 
 
+def _kmeans_centroids(
+    sample: list[list[float]], k: int, iters: int = 8, seed: int = 5
+) -> list[list[float]]:
+    """Tiny driver-side Lloyd's k-means over a sampled subset (the coarse
+    quantizer is small by construction: k·dim floats, trained once, then
+    broadcast as literals — the corpus never leaves the executors)."""
+    rng = random.Random(seed)
+    dim = len(sample[0])
+    centroids = [list(sample[i]) for i in rng.sample(range(len(sample)), k)]
+    for _ in range(iters):
+        sums = [[0.0] * dim for _ in range(k)]
+        counts = [0] * k
+        for v in sample:
+            best, best_d = 0, float("inf")
+            for c_i, c in enumerate(centroids):
+                d = sum((a - b) * (a - b) for a, b in zip(v, c))
+                if d < best_d:
+                    best, best_d = c_i, d
+            counts[best] += 1
+            s = sums[best]
+            for j, a in enumerate(v):
+                s[j] += a
+        for c_i in range(k):
+            if counts[c_i]:
+                centroids[c_i] = [s / counts[c_i] for s in sums[c_i]]
+    return centroids
+
+
+def _nearest_centroids(vec_col: Column, centroids: list[list[float]], n: int) -> Column:
+    """Array of the ``n`` nearest centroid ids (squared L2), JVM-side."""
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec_col,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.slice(
+        F.transform(F.array_sort(dists), lambda s: s["cid"]), 1, n
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 3,
+    sample_size: int = 512,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are assigned
+    to their nearest coarse centroid (one narrow map stage — at scale this
+    assignment is precomputed and stored with the table); each query probes
+    its ``nprobe`` nearest cells and ranks exactly within them.
+
+    Recall/latency trades with (n_centroids, nprobe); probing all cells
+    degrades gracefully to brute force.
+    """
+    sample = [
+        [float(x) for x in r[vec_col]]
+        for r in corpus.select(vec_col).limit(sample_size).collect()
+    ]
+    centroids = _kmeans_centroids(sample, n_centroids, seed=seed)
+
+    c_assigned = corpus.select(id_col, vec_col).withColumn(
+        "_cell", _nearest_centroids(F.col(vec_col), centroids, 1)[0]
+    )
+    q_assigned = queries.select(
+        query_id_col, F.col(vec_col).alias("_qvec")
+    ).withColumn("_cell", F.explode(_nearest_centroids(F.col("_qvec"), centroids, nprobe)))
+
+    scored = c_assigned.join(F.broadcast(q_assigned), on="_cell").select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("_qvec")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     dim: int,

@@ -162,3 +162,24 @@ def test_textstats(spark):
     )
     fp2 = document_fingerprint(df2).collect()[0]["fingerprint"]
     assert fp2 == {r["doc_id"]: r["fingerprint"] for r in fp}[1]
+
+
+def test_ivf_topk(vectors):
+    from pdf_to_epub_spark.operators.similarity import ivf_topk
+
+    queries = vectors.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_topk(vectors, queries, k=3, n_centroids=8, nprobe=2, sample_size=200)
+    rows = got.collect()
+    top1 = {r["query_id"]: r for r in rows if r["rank"] == 1}
+    # self-match lives in its own cell -> must be found with rank 1, score ~1
+    assert set(top1) == set(range(5))
+    for qid, r in top1.items():
+        assert r["vec_id"] == qid and abs(r["score"] - 1.0) < 1e-5
+    # probing ALL cells degrades to brute force exactly
+    from pdf_to_epub_spark.operators import brute_force_topk
+
+    full = ivf_topk(vectors, queries, k=3, n_centroids=8, nprobe=8, sample_size=200)
+    brute = brute_force_topk(vectors, queries, k=3)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, brute.collect()))
