@@ -63,3 +63,43 @@ def test_windowed_ingest_rate(spark, tmp_path):
     assert all(r["chars"] > 0 for r in rows)
     langs = {r["lang"] for r in rows}
     assert langs <= {"en", "fr", "it", "la", "de", "es"}
+
+
+def test_stateful_first_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState: duplicates are suppressed across batches."""
+    from pdf_to_epub_spark.streaming.stateful import streaming_first_seen
+    from pdf_to_epub_spark.streaming import PAGES_SCHEMA
+
+    inp = tmp_path / "state_in"
+    out_cp = tmp_path / "state_cp"
+    out_dir = tmp_path / "state_out"
+    inp.mkdir()
+    rows = make_documents(10, seed=13)
+
+    def run_batch():
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(str(inp))
+        q = (
+            streaming_first_seen(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(out_cp))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: docs 0-6, with doc 0 duplicated under another url
+    b1 = rows[:7] + [dict(rows[0], url="https://mirror.invalid/0")]
+    _write_batch(inp, b1, "b1.parquet")
+    run_batch()
+    got1 = spark.read.parquet(str(out_dir)).collect()
+    assert len(got1) == 7  # 8 rows, 7 distinct hashes
+    dupes = {r["doc_hash"]: r["n_dupes_in_batch"] for r in got1}
+    assert sorted(dupes.values()) == [0, 0, 0, 0, 0, 0, 1]
+
+    # batch 2: docs 5-9 (5,6 are re-crawls → suppressed), 7-9 new
+    _write_batch(inp, rows[5:], "b2.parquet")
+    run_batch()
+    got2 = spark.read.parquet(str(out_dir)).collect()
+    assert len(got2) == 10  # only the 3 new hashes were appended
