@@ -489,6 +489,27 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_binary_decode_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-source surface: html bytes → pandas-UDF decode → full
+    extraction; asserts-by-construction that the decoded text path equals
+    the direct text path (both columns come from the same generator)."""
+    _ship_package(spark)
+    from pdf_to_epub_spark.operators import (
+        blocks_table,
+        decode_binary_pages,
+        extract_documents,
+    )
+    from pdf_to_epub_spark.sources.synth import make_documents
+
+    pages = spark.createDataFrame(make_documents(120, seed=77))
+    decoded = decode_binary_pages(pages.drop("text"))
+    blocks = blocks_table(extract_documents(decoded))
+    return blocks.groupBy("block_type").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(F.length("text")).alias("chars"),
+    )
+
+
 def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: coarse-quantizer cells + nprobe probing
     (the second ANN scale path alongside the LSH buckets)."""
@@ -543,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
+        "binary_decode_extract": _q_binary_decode_extract,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "media_features": _q_media_features,
     }
