@@ -114,6 +114,9 @@ def epub_bytes(
         f"    <dc:title>{html_escape(title)}</dc:title>\n"
         f"    <dc:creator>{html_escape(author)}</dc:creator>\n"
         f"    <dc:language>{html_escape(lang)}</dc:language>\n"
+        # EPUB3 requires dcterms:modified; fixed timestamp keeps the zip
+        # byte-deterministic (same rationale as the fixed zip entry dates).
+        '    <meta property="dcterms:modified">2020-01-01T00:00:00Z</meta>\n'
         "  </metadata>\n"
         f"  <manifest>\n    {chr(10).join(manifest)}\n  </manifest>\n"
         f"  <spine>\n    {chr(10).join(spine)}\n  </spine>\n"

@@ -15,7 +15,7 @@ belong to the preceding block), and ``text`` is the exact slice
     "".join(b.text for b in blocks) == stage3_text        (byte-for-byte)
 
 which is the `north_rule`'s "byte-identical extracted text per url"
-contract, and what `tests/test_blocks.py` enforces.  The span-slice model
+contract, and what `tests/test_fuzz_parity.py` / `tests/test_spark_pipeline.py` enforce.  The span-slice model
 itself follows the reference's textAnchor segments
 (`/root/reference/ocr-processing/batch_ocr_with_page_breaks.py:176-193`);
 the block taxonomy follows the structuring/EPUB stages

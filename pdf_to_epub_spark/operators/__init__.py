@@ -2,7 +2,9 @@ from .assemble import assemble_documents, ordered_concat
 from .dedup import (
     drop_exact_duplicates,
     exact_duplicate_groups,
+    md5_hash60,
     minhash_candidate_pairs,
+    minhash_signatures,
     ngram_jaccard_pairs,
     simhash64,
     simhash_near_pairs,
@@ -36,7 +38,9 @@ __all__ = [
     "exact_duplicate_groups",
     "guess_language",
     "lsh_topk",
+    "md5_hash60",
     "minhash_candidate_pairs",
+    "minhash_signatures",
     "ngram_jaccard_pairs",
     "quality_features",
     "simhash64",

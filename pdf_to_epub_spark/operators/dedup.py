@@ -16,6 +16,8 @@ hash builtins) — no Python in the row path:
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -93,28 +95,18 @@ def minhash_signature(shingles_col: Column, num_hashes: int = 64) -> Column:
     )
 
 
-def minhash_candidate_pairs(
+def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
     num_hashes: int = 64,
-    bands: int = 16,
-    jaccard_threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash+LSH near-dup pairs with exact-Jaccard verification.
-
-    Plan shape (scale notes): signature build is a narrow stage; the only
-    shuffles are (1) the explode-band groupBy-join on (band_id, band_hash)
-    — whose fan-in is bounded by bucket size, the LSH point — and
-    (2) the final pair dedup.  Bucket skew (a degenerate band value) is
-    handled by AQE skew-join splitting.
-    """
-    rows_per_band = num_hashes // bands
-    # Persisted: both sides of the band self-join and both sides of the
-    # verification join reuse it — without this Catalyst recomputes the
-    # whole shingle+signature pipeline four times.
-    sigs = (
+    """Slim per-doc signature table ``(id, sig: array<long>)`` — the
+    artifact a 100 TB pipeline writes ONCE per corpus and reuses across
+    banding configurations (the signature build dominates the operator's
+    cost; see bench.py's amortized mode)."""
+    return (
         with_shingles(df.select(id_col, text_col), text_col, k)
         # Materialize base long hashes as their own column so the per-seed
         # derivations share it (one string-hash pass total).
@@ -123,9 +115,46 @@ def minhash_candidate_pairs(
             "sig",
             F.array(*[F.array_min(F.transform("_hashes", _seeded(i))) for i in range(num_hashes)]),
         )
-        .select(id_col, "shingles", "sig")
-        .persist()
+        .select(id_col, "sig")
     )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    signatures_path: str | None = None,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification.
+
+    Plan shape (scale notes): signature build is a narrow stage; the only
+    shuffles are (1) the explode-band groupBy-join on (band_id, band_hash)
+    — whose fan-in is bounded by bucket size, the LSH point — and
+    (2) the final pair dedup.  Bucket skew (a degenerate band value) is
+    handled by AQE skew-join splitting.
+
+    Memory/scale hygiene: only the *slim* ``(id, sig)`` rows are reused
+    across plan branches — via a lazy ``localCheckpoint`` (freed by the
+    ContextCleaner once unreferenced, unlike ``persist`` which pins the
+    CacheManager entry for the session), or via ``signatures_path`` (the
+    write-once signature table, the form that holds at 100 TB).  The full
+    shingle arrays never ride through a shuffle: exact-Jaccard verification
+    recomputes shingles just for the (few) candidate rows by joining back
+    to the raw text.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    if signatures_path is not None:
+        spark = df.sparkSession
+        sigs.write.mode("overwrite").parquet(signatures_path)
+        sigs = spark.read.parquet(signatures_path)
+    else:
+        # lazy: materializes on first action, reused by both join branches
+        sigs = sigs.localCheckpoint(eager=False)
 
     band_hash = [
         F.struct(
@@ -142,7 +171,7 @@ def minhash_candidate_pairs(
         )
         for b in range(bands)
     ]
-    # Slim band rows — the shingle arrays do NOT ride through the ×bands
+    # Slim band rows — signature arrays do NOT ride through the ×bands
     # explode or the self-join shuffle (they'd be duplicated `bands` times).
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_hash)).alias("band")
@@ -166,11 +195,21 @@ def minhash_candidate_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # Exact-Jaccard verification: join the (few) candidate pairs back to
-    # the persisted shingle sets.
-    sh = sigs.select(F.col(id_col).alias("_id"), F.col("shingles"))
+    # Exact-Jaccard verification: join candidates back to the raw text and
+    # shingle only those rows (candidates ≪ corpus).  The candidate side is
+    # broadcast so the full-corpus shingle projection streams through both
+    # joins without ever shuffling a shingle array; shingles materialize
+    # only for rows that survive the broadcast hash probe.
+    sh = with_shingles(df.select(id_col, text_col), text_col, k).select(
+        F.col(id_col).alias("_id"), F.col("shingles")
+    )
     verified = (
-        pairs.join(sh.select(F.col("_id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        F.broadcast(
+            F.broadcast(pairs).join(
+                sh.select(F.col("_id").alias("id_a"), F.col("shingles").alias("sh_a")),
+                "id_a",
+            )
+        )
         .join(sh.select(F.col("_id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
         .select(
             "id_a",
@@ -224,14 +263,30 @@ def ngram_jaccard_pairs(
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def md5_hash60(col: Column) -> Column:
+    """Deterministic 60-bit token hash from the first 15 hex chars of md5 —
+    reproducible in DuckDB as ``('0x' || substr(md5(tok), 1, 15))::BIGINT``,
+    which is what makes the simhash query *exactly* oracle-checkable.
+    Slower than xxhash64 (the scale default); use for verification paths."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash64(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash: Callable[[Column], Column] = F.xxhash64,
+) -> DataFrame:
     """64-bit SimHash per document: explode token hashes, bit-majority vote
     per position (64 conditional sums), reassemble the fingerprint.  All
-    JVM-side; one shuffle (groupBy id)."""
+    JVM-side; one shuffle (groupBy id).
+
+    ``token_hash`` defaults to xxhash64 (fastest); pass :func:`md5_hash60`
+    to make the fingerprint reproducible in an external SQL oracle."""
     tokens = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", token_hash(F.col("tok")))
 
     bit_votes = [
         F.sum(
@@ -256,18 +311,33 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    token_hash: Callable[[Column], Column] = F.xxhash64,
 ) -> DataFrame:
-    """Hamming-near pairs: band the 64-bit simhash into 4×16-bit keys —
-    any pair within Hamming ≤ 3 of each other shares at least one exact
-    16-bit band (pigeonhole) — bucket-join on band value, verify Hamming."""
-    # persisted: both join sides reuse the (64-aggregate) fingerprint
-    sh = simhash64(df, text_col, id_col).persist()
-    bandcols = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("bv"),
+    """Hamming-near pairs: band the 64-bit simhash into ``max_hamming + 1``
+    contiguous bit chunks — any pair within Hamming ≤ max_hamming shares at
+    least one chunk untouched (pigeonhole, so recall is EXACTLY 1 for the
+    banded candidate set) — bucket-join on band value, verify Hamming."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_bands = max_hamming + 1
+    # Even bit split: band b covers [64b/n, 64(b+1)/n) — widths differ by
+    # at most 1 and every band is non-empty for n_bands ≤ 64.
+    bounds = [(64 * b) // n_bands for b in range(n_bands + 1)]
+    # lazy localCheckpoint: both join sides reuse the (64-aggregate)
+    # fingerprint; freed by the ContextCleaner when unreferenced (persist
+    # would pin the CacheManager entry for the whole session).
+    sh = simhash64(df, text_col, id_col, token_hash).localCheckpoint(eager=False)
+    def _band_value(b: int) -> Column:
+        lo, hi = bounds[b], bounds[b + 1]
+        if hi - lo == 64:  # single band (max_hamming=0): mask would overflow
+            return F.col("simhash")
+        return F.shiftright(F.col("simhash"), lo).bitwiseAND(
+            F.lit((1 << (hi - lo)) - 1)
         )
-        for b in range(4)
+
+    bandcols = [
+        F.struct(F.lit(b).alias("band_id"), _band_value(b).alias("bv"))
+        for b in range(n_bands)
     ]
     banded = sh.select(id_col, "simhash", F.explode(F.array(*bandcols)).alias("band")).select(
         id_col, "simhash", "band.band_id", "band.bv"

@@ -20,31 +20,37 @@ def partition_metrics(extracted: DataFrame, run_id: str, stage: str) -> DataFram
     """extracted (with ``counters: map<string,long>``) → one row per input
     partition: (run_id, stage, partition_id, url_count, counters,
     committed_at)."""
+    base = extracted.select(
+        F.spark_partition_id().alias("partition_id"),
+        F.col("url"),
+        F.col("counters"),
+    )
+    # url_count computed over ALL rows of the partition, independently of
+    # counter keys — a max over per-counter distinct counts undercounts
+    # partitions whose docs share no common counter key (e.g. ok docs with
+    # stage counters mixed with error docs carrying empty maps).
+    url_counts = base.groupBy("partition_id").agg(
+        F.countDistinct("url").alias("url_count")
+    )
     per_key = (
-        extracted.select(
-            F.spark_partition_id().alias("partition_id"),
-            F.col("url"),
-            F.explode_outer("counters").alias("counter", "value"),
+        base.select(
+            "partition_id", F.explode_outer("counters").alias("counter", "value")
         )
         .groupBy("partition_id", "counter")
-        .agg(
-            F.sum("value").alias("total"),
-            F.countDistinct("url").alias("urls"),
-        )
+        .agg(F.sum("value").alias("total"))
+    )
+    rolled = per_key.groupBy("partition_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.coalesce(F.col("counter"), F.lit("_none")).alias("k"),
+                    F.coalesce(F.col("total"), F.lit(0)).alias("v"),
+                )
+            )
+        ).alias("counters"),
     )
     return (
-        per_key.groupBy("partition_id")
-        .agg(
-            F.max("urls").alias("url_count"),
-            F.map_from_entries(
-                F.collect_list(
-                    F.struct(
-                        F.coalesce(F.col("counter"), F.lit("_none")).alias("k"),
-                        F.coalesce(F.col("total"), F.lit(0)).alias("v"),
-                    )
-                )
-            ).alias("counters"),
-        )
+        url_counts.join(rolled, "partition_id")
         .select(
             F.lit(run_id).alias("run_id"),
             F.lit(stage).alias("stage"),

@@ -196,9 +196,15 @@ def ivf_topk(
     Recall/latency trades with (n_centroids, nprobe); probing all cells
     degrades gracefully to brute force.
     """
+    # orderBy before limit: a bare limit is not deterministic across
+    # retries/partitionings (SURVEY §7.3.4 determinism rule) — this compiles
+    # to TakeOrderedAndProject, so the bound stays driver-safe.
     sample = [
         [float(x) for x in r[vec_col]]
-        for r in corpus.select(vec_col).limit(sample_size).collect()
+        for r in corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .collect()
     ]
     centroids = _kmeans_centroids(sample, n_centroids, seed=seed)
 

@@ -73,9 +73,13 @@ def windowed_ingest_rate(
 ):
     """Event-time windowed ingest metrics with late-data handling: pages
     per (window, lang) with a watermark — the streaming counterpart of the
-    batch metrics table.  Returns the started StreamingQuery writing to an
-    in-memory sink (use ``processAllAvailable()`` then query
-    ``SELECT * FROM <query_name>``)."""
+    batch metrics table.  Runs in ``update`` output mode so the watermark
+    actually does its job: window state older than the watermark is
+    evicted and later-than-watermark rows are dropped (``complete`` mode
+    would keep every window forever and never drop late data).  Returns the
+    started StreamingQuery writing to an in-memory sink (use
+    ``processAllAvailable()`` then query ``SELECT * FROM <query_name>``;
+    note update mode re-emits a window's row each time it changes)."""
     from pyspark.sql import functions as F
 
     pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
@@ -88,7 +92,7 @@ def windowed_ingest_rate(
         )
     )
     return (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode("update")
         .format("memory")
         .queryName(query_name)
         .start()
