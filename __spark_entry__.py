@@ -344,40 +344,76 @@ def _q_extraction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_counters(extract_documents(docs))
 
 
+def mutated_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ last-word-dropped copies (id + 1e6) — the shared
+    near-duplicate test corpus for the minhash/simhash/ngram queries (each
+    doc gains one high-similarity partner)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "").alias("text"),
+    )
+    return d.union(mutated)
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates over a mutated re-crawl (each doc
     duplicated with its last word dropped → high-Jaccard pair)."""
     from pdf_to_epub_spark.operators import minhash_candidate_pairs
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    mutated = d.select(
-        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
-        F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "").alias("text"),
-    )
     return minhash_candidate_pairs(
-        d.union(mutated), k=3, num_hashes=32, bands=8, jaccard_threshold=0.7
+        mutated_recrawl(spark, sf_dir),
+        k=3, num_hashes=32, bands=8, jaccard_threshold=0.7,
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pdf_to_epub_spark.operators import simhash_near_pairs
+    """SimHash near-dup pairs with the md5-based 60-bit token hash so the
+    whole fingerprint pipeline is reproducible in the DuckDB oracle.  The
+    banding is pigeonhole-exact for Hamming ≤ max_hamming, so the output
+    must equal the oracle's brute-force all-pairs set — an exact oracle,
+    not a recall assertion.  (The scale path keeps the faster xxhash64
+    default; same operator, same plan shape.)"""
+    from pdf_to_epub_spark.operators import md5_hash60, simhash_near_pairs
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    mutated = d.select(
-        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
-        F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "").alias("text"),
-    )
-    return simhash_near_pairs(d.union(mutated), max_hamming=3)
+    return simhash_near_pairs(
+        mutated_recrawl(spark, sf_dir), max_hamming=3, token_hash=md5_hash60
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane LSH top-k (bits=4 × 8 tables ⇒ recall@10 ≈
+    0.7 on this uniform-random corpus — audited against the brute-force
+    oracle by tests/test_training_ops.py and reported in bench.py)."""
     from pdf_to_epub_spark.operators import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     q = e.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
-    return lsh_topk(e, q, dim=64, k=10, bits=6)
+    return lsh_topk(e, q, dim=64, k=10, bits=4, n_tables=8)
+
+
+def _q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup — the SCALE path (the all-pairs
+    `embedding_near_pairs` is its sf-small verification form).  Construction
+    with guaranteed recall: the corpus is unioned with positively-scaled
+    copies (×1.001), whose hyperplane signatures are bit-identical to the
+    originals (sign(v·r) is scale-invariant), so every true pair (cosine=1)
+    shares every bucket deterministically; natural pairs top out at ~0.51
+    cosine on this corpus, far below the 0.99 threshold."""
+    from pdf_to_epub_spark.operators import embedding_near_duplicates
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    scaled = e.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    return embedding_near_duplicates(
+        e.union(scaled), dim=64, threshold=0.99, bits=10
+    )
 
 
 def _q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -479,14 +515,9 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index pre-join."""
     from pdf_to_epub_spark.operators import ngram_jaccard_pairs
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    mutated = d.select(
-        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
-        F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "").alias("text"),
-    )
-    return ngram_jaccard_pairs(d.union(mutated), k=4, threshold=0.8).select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
-    )
+    return ngram_jaccard_pairs(
+        mutated_recrawl(spark, sf_dir), k=4, threshold=0.8
+    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def _q_binary_decode_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -519,7 +550,7 @@ def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     q = e.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_topk(e, q, k=10, n_centroids=16, nprobe=4)
+    return ivf_topk(e, q, k=10, n_centroids=16, nprobe=8)
 
 
 def _q_resume_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess": _q_lang_guess,
         "ann_topk": _q_ann_topk,
         "embedding_near_pairs": _q_embedding_near_pairs,
+        "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
         "resume_pending": _q_resume_pending,
         "shard_merge_roundtrip": _q_shard_merge_roundtrip,
         "example_samples": _q_example_samples,
@@ -568,6 +600,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "media_features": _q_media_features,
     }
+
+
+def _shingle_jaccard_oracle(k: int, threshold: float) -> str:
+    """DuckDB replica of the mutated-recrawl shingle-Jaccard queries: exact
+    k-word-shingle Jaccard over documents ∪ last-word-dropped copies.
+
+    Shingle semantics mirror operators/dedup.py `_word_shingles` exactly:
+    split(trim(lower(text)), '\\s+'), distinct k-grams joined by ' ', whole
+    text as the single shingle when fewer than k tokens.  The min/max size
+    prefilter is sound (J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|)), it just prunes
+    the quadratic pair scan."""
+    return f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, regexp_replace(text, '\\s+\\S+\\s*$', '')
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                CASE WHEN len(toks) >= {k} THEN
+                    list_distinct(list_transform(
+                        generate_series(1, len(toks)-{k}+1),
+                        i -> array_to_string(list_slice(toks, i, i+{k}-1), ' ')))
+                ELSE [array_to_string(toks, ' ')] END AS shingles
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                  FROM corpus)
+        ),
+        sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                     / (a.n + b.n - len(list_intersect(a.shingles, b.shingles))),
+                     4) AS jaccard
+        FROM sized a JOIN sized b
+          ON a.doc_id < b.doc_id
+         AND least(a.n, b.n)::DOUBLE / greatest(a.n, b.n) >= {threshold}
+        WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+              / (a.n + b.n - len(list_intersect(a.shingles, b.shingles)))
+              >= {threshold}
+    """
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    """DuckDB replica of the full SimHash pipeline over the mutated-recrawl
+    corpus: 60-bit md5 token hash (identical to operators/dedup.py
+    `md5_hash60`: Spark `conv(substring(md5(tok),1,15),16,10)` ≡ DuckDB
+    `('0x' || substr(md5(tok),1,15))::BIGINT`), per-bit majority vote,
+    fingerprint reassembly, brute-force all-pairs Hamming filter."""
+    votes = ",\n                   ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    fingerprint = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)" for i in range(60)
+    )
+    return f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, regexp_replace(text, '\\s+\\S+\\s*$', '')
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+            FROM corpus
+        ),
+        hashed AS (
+            SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+            FROM toks
+        ),
+        votes AS (
+            SELECT doc_id,
+                   {votes}
+            FROM hashed GROUP BY doc_id
+        ),
+        fp AS (SELECT doc_id, {fingerprint} AS simhash FROM votes)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -707,6 +822,25 @@ def oracle_sql() -> dict[str, str]:
                   / (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(b.v, b.v))) >= 0.4
         """,
+        # Exact oracle via guaranteed-recall construction: scaled copies
+        # share every LSH bucket with their originals, so the bucketed
+        # candidate set covers all true pairs and the exact-cosine verify
+        # removes everything else.
+        "embedding_near_dups_lsh": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            u AS (
+                SELECT vec_id, v FROM e
+                UNION ALL
+                SELECT vec_id + 1000000, list_transform(v, x -> x * 1.001) FROM e),
+            scored AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))) AS raw
+                FROM u a JOIN u b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, round(raw, 6) AS cosine
+            FROM scored WHERE raw >= 0.99
+        """,
         "resume_pending": """
             SELECT doc_id FROM documents WHERE doc_id % 2 <> 0
         """,
@@ -743,4 +877,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events GROUP BY event_type
         """,
+        # Exact oracle: the inverted-index pre-join is an exact algorithm,
+        # so its output must equal the brute-force all-pairs set.
+        "ngram_jaccard_pairs": _shingle_jaccard_oracle(k=4, threshold=0.8),
+        # Recall oracle: LSH banding is probabilistic in general, but with
+        # this (num_hashes=32, bands=8) config on the mutated-recrawl corpus
+        # the candidate set provably-in-practice (deterministic signatures,
+        # miss prob ≈ 3e-8 per true pair at J≈0.97) covers every true pair,
+        # and the operator's exact-Jaccard verification removes all false
+        # positives — so output == all pairs with true Jaccard ≥ 0.7.
+        "minhash_pairs": _shingle_jaccard_oracle(k=3, threshold=0.7),
+        # Exact oracle: banding recall is 1 by pigeonhole, and the md5-based
+        # token hash is reproduced bit-for-bit in SQL.
+        "simhash_pairs": _simhash_oracle(max_hamming=3),
     }

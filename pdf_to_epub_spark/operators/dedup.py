@@ -128,6 +128,7 @@ def minhash_candidate_pairs(
     bands: int = 16,
     jaccard_threshold: float = 0.5,
     signatures_path: str | None = None,
+    reuse_signatures: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification.
 
@@ -149,8 +150,12 @@ def minhash_candidate_pairs(
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
     if signatures_path is not None:
+        import pathlib
+
         spark = df.sparkSession
-        sigs.write.mode("overwrite").parquet(signatures_path)
+        exists = pathlib.Path(signatures_path).exists()
+        if not (reuse_signatures and exists):
+            sigs.write.mode("overwrite").parquet(signatures_path)
         sigs = spark.read.parquet(signatures_path)
     else:
         # lazy: materializes on first action, reused by both join branches

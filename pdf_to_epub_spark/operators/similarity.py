@@ -93,25 +93,48 @@ def lsh_topk(
     dim: int,
     k: int = 10,
     bits: int = 8,
+    n_tables: int = 1,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: exact ranking restricted to the query's LSH bucket.
+    """Approximate top-k: exact ranking restricted to the query's LSH
+    bucket(s), unioned across ``n_tables`` independent hyperplane tables
+    (the standard recall lever: per-table miss probabilities multiply).
 
-    At corpus scale the bucket join touches ~corpus/2^bits of the data per
+    At corpus scale each bucket join touches ~corpus/2^bits of the data per
     query instead of all of it; bucket assignment itself is a narrow
     map-only stage that can be precomputed and stored with the table.
+    Candidates are deduped BEFORE the cosine, so the exact-ranking cost is
+    |union of buckets|, not tables × bucket.
     """
-    planes = _hyperplanes(dim, bits, seed)
-    c = corpus.select(id_col, vec_col).withColumn(
-        "_bucket", lsh_bucket(F.col(vec_col), planes)
+    tables = [
+        F.struct(
+            F.lit(t).alias("t"),
+            lsh_bucket(F.col(vec_col), _hyperplanes(dim, bits, seed + t)).alias("b"),
+        )
+        for t in range(n_tables)
+    ]
+
+    def bucketed(df: DataFrame, keep: str) -> DataFrame:
+        return df.select(
+            keep, vec_col, F.explode(F.array(*tables)).alias("_tb")
+        ).select(keep, vec_col, F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b"))
+
+    c = bucketed(corpus.select(id_col, vec_col), id_col)
+    q = bucketed(
+        queries.select(query_id_col, vec_col), query_id_col
+    ).withColumnRenamed(vec_col, "_qvec")
+    candidates = (
+        c.join(F.broadcast(q.select(query_id_col, "_t", "_b")), on=["_t", "_b"])
+        .select(query_id_col, id_col, vec_col)
+        .dropDuplicates([query_id_col, id_col])
     )
-    q = queries.select(query_id_col, F.col(vec_col).alias("_qvec")).withColumn(
-        "_bucket", lsh_bucket(F.col("_qvec"), planes)
-    )
-    scored = c.join(F.broadcast(q), on="_bucket").select(
+    scored = candidates.join(
+        F.broadcast(queries.select(query_id_col, F.col(vec_col).alias("_qvec"))),
+        on=query_id_col,
+    ).select(
         query_id_col,
         id_col,
         cosine(F.col(vec_col), F.col("_qvec")).alias("score"),
@@ -226,6 +249,23 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rank")
     )
+
+
+def topk_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> float:
+    """recall@k of an approximate top-k result against the brute-force
+    oracle: |approx ∩ exact| / (n_queries · k).  Makes the LSH/IVF paths
+    auditable — report alongside their latency (see bench.py)."""
+    e = exact.where(F.col("rank") <= k).select(query_id_col, id_col)
+    a = approx.where(F.col("rank") <= k).select(query_id_col, id_col)
+    hits = e.join(a, [query_id_col, id_col], "left_semi").count()
+    n_q = e.select(query_id_col).distinct().count()
+    return hits / (n_q * k) if n_q else 0.0
 
 
 def embedding_near_duplicates(
