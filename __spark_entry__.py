@@ -314,14 +314,40 @@ def _q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _q_extract_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The headline extraction contract, oracled: per url, the sha256 of
+    the block texts concatenated in reading order must equal the
+    REFERENCE-pipeline Step3 output hash (tests/golden/
+    extraction_golden.parquet, produced by tests/make_extraction_goldens.py
+    running /root/reference/text-processing/Step{1,2,3}_*.py on every doc),
+    and the block spans must tile [0, n_chars) exactly (span_gap = 0,
+    first_span = 0)."""
     _ship_package(spark)
     from pdf_to_epub_spark.operators import blocks_table, extract_documents
 
     docs = _docs_as_pages(_t(spark, sf_dir, "documents"))
-    return blocks_table(extract_documents(docs))
+    blocks = blocks_table(extract_documents(docs))
+    ordered_text = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("block_id", "text"))),
+            lambda b: b["text"],
+        ),
+    )
+    return blocks.groupBy("url").agg(
+        F.sha2(F.encode(ordered_text, "UTF-8"), 256).alias("text_sha"),
+        F.max("span_end").alias("n_chars"),
+        (
+            F.sum(F.col("span_end") - F.col("span_start")) - F.max("span_end")
+        ).alias("span_gap"),
+        F.min("span_start").alias("first_span"),
+    )
 
 
 def _q_assemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocks → document assembly, oracled against the same reference
+    goldens: sha256(assembled_text) per url must equal the reference Step3
+    output hash — the north_rule's byte-identical-text contract as a green
+    hash_match row, not only a pytest invariant."""
     _ship_package(spark)
     from pdf_to_epub_spark.operators import (
         assemble_documents,
@@ -332,16 +358,25 @@ def _q_assemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_as_pages(_t(spark, sf_dir, "documents"))
     asm = assemble_documents(blocks_table(extract_documents(docs)))
     return asm.select(
-        "url", "n_blocks", "n_chapters", F.length("assembled_text").alias("n_chars")
+        "url",
+        F.sha2(F.encode("assembled_text", "UTF-8"), 256).alias("text_sha"),
+        F.length("assembled_text").cast("long").alias("n_chars"),
     )
 
 
 def _q_extraction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-corpus pass-counter rollup, oracled against the summed
+    reference ``--log`` JSONs (tests/golden/extraction_counters_golden
+    .parquet).  Restricted to the step1./step2. keys the reference itself
+    emits; the engine-side step3.* / blocks_emitted keys have no reference
+    analog and are covered by the pytest metrics tests instead."""
     _ship_package(spark)
     from pdf_to_epub_spark.operators import corpus_counters, extract_documents
 
     docs = _docs_as_pages(_t(spark, sf_dir, "documents"))
-    return corpus_counters(extract_documents(docs))
+    return corpus_counters(extract_documents(docs)).where(
+        F.col("counter").rlike(r"^step[12]\.")
+    )
 
 
 def mutated_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,23 +556,42 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_binary_decode_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-source surface: html bytes → pandas-UDF decode → full
-    extraction; asserts-by-construction that the decoded text path equals
-    the direct text path (both columns come from the same generator)."""
+    """Binary-source surface, oracled end-to-end: the documents table is
+    wrapped into ``html: binary`` pages JVM-side (exact replica of
+    sources/synth.wrap_html), decoded back through the Arrow-batched pandas
+    UDF, and run through the full extraction — per-url output hashes must
+    equal the reference-pipeline goldens, proving the binary decode path is
+    byte-transparent."""
     _ship_package(spark)
     from pdf_to_epub_spark.operators import (
+        assemble_documents,
         blocks_table,
         decode_binary_pages,
         extract_documents,
     )
-    from pdf_to_epub_spark.sources.synth import make_documents
 
-    pages = spark.createDataFrame(make_documents(120, seed=77))
-    decoded = decode_binary_pages(pages.drop("text"))
-    blocks = blocks_table(extract_documents(decoded))
-    return blocks.groupBy("block_type").agg(
-        F.count("*").alias("n_blocks"),
-        F.sum(F.length("text")).alias("chars"),
+    docs = _docs_as_pages(_t(spark, sf_dir, "documents"))
+    body = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    page = F.concat(
+        F.lit("<html><head><title>"), F.col("url"),
+        F.lit("</title></head><body><pre>"), body,
+        F.lit("</pre></body></html>"),
+    )
+    pages = docs.select(
+        "url", "warc_ts", "lang", F.encode(page, "UTF-8").alias("html")
+    )
+    decoded = decode_binary_pages(pages)
+    asm = assemble_documents(blocks_table(extract_documents(decoded)))
+    return asm.select(
+        "url",
+        F.sha2(F.encode("assembled_text", "UTF-8"), 256).alias("text_sha"),
+        F.length("assembled_text").cast("long").alias("n_chars"),
     )
 
 
@@ -640,6 +694,211 @@ def _shingle_jaccard_oracle(k: int, threshold: float) -> str:
         WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
               / (a.n + b.n - len(list_intersect(a.shingles, b.shingles)))
               >= {threshold}
+    """
+
+
+def _extraction_golden_values() -> str | None:
+    """Inline-VALUES form of tests/golden/extraction_golden.parquet (the
+    reference-pipeline Step3 hashes; see tests/make_extraction_goldens.py).
+    Inlined rather than read_parquet'd so the oracle works regardless of
+    the driver's DuckDB file-access configuration; the corpus_key column
+    (md5 of doc 0's text) lets one oracle serve both sf corpora, which
+    share doc_ids but not texts."""
+    import pyarrow.parquet as pq
+
+    path = (
+        pathlib.Path(__file__).resolve().parent
+        / "tests" / "golden" / "extraction_golden.parquet"
+    )
+    if not path.exists():
+        return None
+    t = pq.read_table(path)
+    return ",\n            ".join(
+        f"('{ck}','{url}','{sha}',{n})"
+        for ck, url, sha, n in zip(
+            t["corpus_key"].to_pylist(),
+            t["url"].to_pylist(),
+            t["text_sha"].to_pylist(),
+            t["n_chars"].to_pylist(),
+        )
+    )
+
+
+def _extraction_oracles() -> dict[str, str]:
+    vals = _extraction_golden_values()
+    if vals is None:  # goldens not generated: queries fall back to rows-only
+        return {}
+    base = f"""
+        WITH golden(corpus_key, url, text_sha, n_chars) AS (VALUES
+            {vals}),
+        matched AS (
+            SELECT url, text_sha, n_chars::BIGINT AS n_chars FROM golden
+            WHERE corpus_key = (SELECT md5(text) FROM documents WHERE doc_id = 0)
+        )
+    """
+    oracles = {
+        "assemble_documents": base + "SELECT url, text_sha, n_chars FROM matched",
+        # binary wrap → pandas-UDF decode → extract must be byte-transparent
+        "binary_decode_extract": base + "SELECT url, text_sha, n_chars FROM matched",
+        "extract_blocks": base
+        + """SELECT url, text_sha, n_chars,
+                    0::BIGINT AS span_gap, 0::BIGINT AS first_span
+             FROM matched""",
+    }
+
+    cpath = (
+        pathlib.Path(__file__).resolve().parent
+        / "tests" / "golden" / "extraction_counters_golden.parquet"
+    )
+    if cpath.exists():
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(cpath)
+        cvals = ",\n            ".join(
+            f"('{ck}','{counter}',{total})"
+            for ck, counter, total in zip(
+                t["corpus_key"].to_pylist(),
+                t["counter"].to_pylist(),
+                t["total"].to_pylist(),
+            )
+        )
+        oracles["extraction_metrics"] = f"""
+            WITH golden(corpus_key, counter, total) AS (VALUES
+                {cvals})
+            SELECT counter, total::BIGINT AS total FROM golden
+            WHERE corpus_key = (SELECT md5(text) FROM documents WHERE doc_id = 0)
+        """
+    return oracles
+
+
+def _vec_lit(v: list[float]) -> str:
+    return "[" + ",".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+
+_COSINE = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _lsh_topk_oracle(
+    dim: int = 64, bits: int = 4, n_tables: int = 8, seed: int = 7, k: int = 10
+) -> str:
+    """DuckDB replica of the multi-table hyperplane LSH top-k: the SAME
+    hyperplanes the Spark operator generates (similarity._hyperplanes is
+    deterministic in (dim, bits, seed)) are inlined as literals, bucket
+    assignment/candidate-union/exact-ranking are recomputed relationally —
+    so the approximate result itself is oracle-checked, not just its
+    recall."""
+    from pdf_to_epub_spark.operators.similarity import _hyperplanes
+
+    def bucket(vexpr: str, t: int) -> str:
+        planes = _hyperplanes(dim, bits, seed + t)
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({vexpr}, {_vec_lit(p)}) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    cb = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS t, {bucket('v', t)} AS b FROM e"
+        for t in range(n_tables)
+    )
+    qb = "\nUNION ALL\n".join(
+        f"SELECT query_id, {t} AS t, {bucket('qv', t)} AS b FROM q"
+        for t in range(n_tables)
+    )
+    cos = _COSINE.format(a="e.v", b="q.qv")
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        cb AS ({cb}),
+        qb AS ({qb}),
+        cand AS (
+            SELECT DISTINCT qb.query_id, cb.vec_id
+            FROM cb JOIN qb ON cb.t = qb.t AND cb.b = qb.b),
+        scored AS (
+            SELECT c.query_id, c.vec_id, {cos} AS raw
+            FROM cand c
+            JOIN e ON e.vec_id = c.vec_id
+            JOIN q ON q.query_id = c.query_id),
+        ranked AS (
+            SELECT query_id, vec_id, raw,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY raw DESC, vec_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, vec_id, round(raw, 6) AS score, rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def _ivf_topk_oracle(
+    k: int = 10, n_centroids: int = 16, nprobe: int = 8,
+    sample_size: int = 512, seed: int = 5,
+) -> str | None:
+    """DuckDB replica of the IVF top-k.  The coarse centroids are data-
+    dependent, so they are recomputed here in plain Python with the same
+    deterministic Lloyd's code over the same ordered 512-row sample the
+    Spark operator collects, once per testdata corpus, and inlined as a
+    corpus-keyed VALUES table (key = first component of vec 0, the corpora
+    share ids but not vectors).  Cell assignment, nprobe probing and exact
+    ranking are then recomputed relationally."""
+    import pyarrow.parquet as pq
+
+    from pdf_to_epub_spark.operators.similarity import _kmeans_centroids
+
+    cent_rows: list[str] = []
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        path = pathlib.Path(sf_dir) / "embeddings.parquet"
+        if not path.exists():
+            return None
+        t = pq.read_table(path, columns=["vec_id", "embedding"])
+        by_id = sorted(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+        sample = [[float(x) for x in v] for _, v in by_id[:sample_size]]
+        key = round(float(by_id[0][1][0]), 6)
+        for cid, c in enumerate(_kmeans_centroids(sample, n_centroids, seed=seed)):
+            cent_rows.append(f"({key!r}, {cid}, {_vec_lit(c)})")
+    vals = ",\n            ".join(cent_rows)
+    cos = _COSINE.format(a="e.v", b="q.qv")
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        cents(corpus_key, cid, c) AS (VALUES
+            {vals}),
+        acts AS (
+            SELECT cid, c FROM cents
+            WHERE abs(corpus_key - (
+                SELECT round((embedding::DOUBLE[])[1], 6)
+                FROM embeddings WHERE vec_id = 0)) < 1e-9),
+        cell AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, a.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_distance(e.v, a.c), a.cid) AS rn
+                FROM e CROSS JOIN acts a)
+            WHERE rn = 1),
+        probe AS (
+            SELECT query_id, cid FROM (
+                SELECT q.query_id, a.cid,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY list_distance(q.qv, a.c), a.cid) AS rn
+                FROM q CROSS JOIN acts a)
+            WHERE rn <= {nprobe}),
+        cand AS (
+            SELECT p.query_id, c.vec_id
+            FROM probe p JOIN cell c ON c.cid = p.cid),
+        scored AS (
+            SELECT cd.query_id, cd.vec_id, {cos} AS raw
+            FROM cand cd
+            JOIN e ON e.vec_id = cd.vec_id
+            JOIN q ON q.query_id = cd.query_id),
+        ranked AS (
+            SELECT query_id, vec_id, raw,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY raw DESC, vec_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, vec_id, round(raw, 6) AS score, rank
+        FROM ranked WHERE rank <= {k}
     """
 
 
@@ -890,4 +1149,12 @@ def oracle_sql() -> dict[str, str]:
         # Exact oracle: banding recall is 1 by pigeonhole, and the md5-based
         # token hash is reproduced bit-for-bit in SQL.
         "simhash_pairs": _simhash_oracle(max_hamming=3),
+        # Reference-derived goldens: byte-identical extracted text per url.
+        **_extraction_oracles(),
+        # Approximate-ANN oracles: same hyperplanes/centroids inlined as
+        # literals, bucket/cell assignment and ranking recomputed in SQL.
+        "ann_topk_lsh": _lsh_topk_oracle(),
+        **(
+            {"ann_topk_ivf": o} if (o := _ivf_topk_oracle()) is not None else {}
+        ),
     }
