@@ -391,6 +391,69 @@ def mutated_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.union(mutated)
 
 
+def _q_html_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction (north_star's Boilerpipe-style DOM
+    surface): each document's non-blank lines are wrapped JVM-side into a
+    realistic page — nav/header/footer/aside boilerplate plus interleaved
+    link-dense ad divs (exact twin of sources/synth.make_boilerplate_page)
+    — then parsed back through the tag-aware link-density classifier
+    (extractlib/htmlblocks.py).  Recovered main content must be exactly
+    heading 'Document <id>' + the non-blank lines, which the DuckDB oracle
+    computes directly from the documents table."""
+    _ship_package(spark)
+    from pdf_to_epub_spark.operators import (
+        assemble_documents,
+        blocks_table,
+        extract_html_documents,
+    )
+    from pdf_to_epub_spark.sources.synth import _AD, _ASIDE, _NAV, NONBLANK_PATTERN
+
+    d = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("doc://"), doc_id)
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    lines = F.filter(F.split(esc, "\n"), lambda x: x.rlike(NONBLANK_PATTERN))
+    paras = F.concat_ws(
+        "",
+        F.transform(
+            lines,
+            lambda x, i: F.concat(
+                F.lit("<p>"), x, F.lit("</p>"),
+                F.when(i % 4 == 2, F.lit(_AD)).otherwise(F.lit("")),
+            ),
+        ),
+    )
+    page = F.concat(
+        F.lit("<html><head><title>"), url,
+        F.lit("</title></head><body>" + _NAV + "<header><p>Crawl header "),
+        doc_id,
+        F.lit("</p></header><h1>Document "), doc_id, F.lit("</h1>"),
+        paras,
+        F.lit(_ASIDE + "<footer><p>(c) 2025 crawl.invalid "), doc_id,
+        F.lit("</p></footer></body></html>"),
+    )
+    pages = d.select(
+        url.alias("url"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        F.col("lang"),
+        F.encode(page, "UTF-8").alias("html"),
+    )
+    asm = assemble_documents(blocks_table(extract_html_documents(pages)))
+    return asm.select(
+        "url",
+        F.sha2(F.encode("assembled_text", "UTF-8"), 256).alias("text_sha"),
+        F.length("assembled_text").cast("long").alias("n_chars"),
+        F.col("n_chapters").cast("long").alias("n_headings"),
+        (F.col("n_blocks") - F.col("n_chapters")).cast("long").alias("n_paragraphs"),
+    )
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates over a mutated re-crawl (each doc
     duplicated with its last word dropped → high-Jaccard pair)."""
@@ -642,7 +705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "example_samples": _q_example_samples,
         "asof_latest_order": _q_asof_latest_order,
         "event_sessions": _q_event_sessions,
-        # extraction + LSH scale paths (rows-only)
+        # extraction surfaces (golden / construction oracles)
+        "html_boilerplate_extract": _q_html_boilerplate_extract,
         "extract_blocks": _q_extract_blocks,
         "assemble_documents": _q_assemble_documents,
         "extraction_metrics": _q_extraction_metrics,
@@ -1149,6 +1213,30 @@ def oracle_sql() -> dict[str, str]:
         # Exact oracle: banding recall is 1 by pigeonhole, and the md5-based
         # token hash is reproduced bit-for-bit in SQL.
         "simhash_pairs": _simhash_oracle(max_hamming=3),
+        # Construction oracle: the page builder is deterministic, so the
+        # classifier's recovered main content is a pure SQL function of the
+        # documents table (heading + non-blank lines; boilerplate and ad
+        # blocks must vanish by tag prior / link density).
+        "html_boilerplate_extract": """
+            WITH lined AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, chr(10)),
+                                   x -> regexp_matches(x, '[^ \\t\\r]')) AS lines
+                FROM documents),
+            built AS (
+                SELECT doc_id, len(lines) AS n_paragraphs,
+                       'Document ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+                       CASE WHEN len(lines) = 0 THEN ''
+                            ELSE array_to_string(lines, chr(10)) || chr(10)
+                       END AS expected
+                FROM lined)
+            SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+                   sha256(expected) AS text_sha,
+                   length(expected)::BIGINT AS n_chars,
+                   1::BIGINT AS n_headings,
+                   n_paragraphs::BIGINT AS n_paragraphs
+            FROM built
+        """,
         # Reference-derived goldens: byte-identical extracted text per url.
         **_extraction_oracles(),
         # Approximate-ANN oracles: same hyperplanes/centroids inlined as

@@ -1,0 +1,228 @@
+"""HTML main-content extraction: tag-aware block segmentation with
+text-density / link-density boilerplate classification (à la Boilerpipe,
+Kohlschütter et al., WSDM 2010 — see PAPERS.md).
+
+This is the second extraction mode next to the OCR-text pipeline
+(extractlib/pipeline.py): the `north_star` names "DOM/block classification
+(text-density + link-density heuristics)" over Common-Crawl-style
+``html: binary`` pages.  The reference repo itself has no HTML input
+(it consumes OCR text — `/root/reference/readme.md`), so there is no
+byte-parity CLI to mirror; correctness is pinned by the deterministic
+page-construction oracle in __spark_entry__ (`html_boilerplate_extract`)
+and the ground-truth fixtures in tests/test_html_extract.py.
+
+Design, per block:
+
+* ``link_density``  = chars inside <a> / total chars — boilerplate if > 1/3
+  (Boilerpipe's classic threshold).
+* tag prior         — anything inside <nav>/<header>/<footer>/<aside>
+  (or <script>/<style>/<noscript>/<template>, whose text is suppressed
+  entirely) is boilerplate regardless of density.
+* ``min_words``     — optional Boilerpipe-style short-block suppression
+  (0 = off; the oracled query keeps it off so the expected content is a
+  pure function of the input).
+
+Kept blocks tile the assembled document exactly like the OCR mode: each
+block's text ends with ``\\n`` and spans index the concatenation, so
+``"".join(b.text) == assembled_text`` (the same reassembly invariant the
+Spark assembly aggregation relies on), and blocks_table /
+assemble_documents work unchanged on either mode's output.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from html.parser import HTMLParser
+
+from .blocks import Block
+from .pipeline import ExtractResult
+
+# Block-level elements: closing one flushes the current text run.
+BLOCK_TAGS = frozenset(
+    "p div h1 h2 h3 h4 h5 h6 li td th caption article section blockquote "
+    "pre nav header footer aside main figure figcaption table ul ol tr "
+    "body title".split()
+)
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+# Tag prior: subtrees that are boilerplate by construction.
+BOILERPLATE_TAGS = frozenset({"nav", "header", "footer", "aside"})
+# Subtrees whose text is not document text at all.
+SUPPRESS_TAGS = frozenset({"script", "style", "noscript", "template", "title"})
+# Void elements never get a closing tag.
+_VOID = frozenset(
+    "area base br col embed hr img input link meta source track wbr".split()
+)
+
+LINK_DENSITY_MAX = 1.0 / 3.0
+
+
+@dataclass
+class RawBlock:
+    """One flushed text run with its classification features."""
+
+    tag: str            # innermost block tag when the run was flushed
+    text: str
+    link_chars: int
+    boilerplate_ancestor: bool
+
+    @property
+    def link_density(self) -> float:
+        return self.link_chars / len(self.text) if self.text else 0.0
+
+
+class _BlockParser(HTMLParser):
+    """Stream HTML into RawBlocks: text accumulates into the innermost open
+    block element and flushes when any block boundary opens or closes."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[RawBlock] = []
+        self._stack: list[str] = []
+        self._buf: list[str] = []
+        self._link_chars = 0
+        self._anchor_depth = 0
+        self._suppress_depth = 0
+
+    # -- helpers ----------------------------------------------------------
+    def _innermost_block(self) -> str:
+        for tag in reversed(self._stack):
+            if tag in BLOCK_TAGS:
+                return tag
+        return "body"
+
+    def _in_boilerplate(self) -> bool:
+        return any(t in BOILERPLATE_TAGS for t in self._stack)
+
+    def _flush(self) -> None:
+        text = "".join(self._buf)
+        if text.strip():
+            self.blocks.append(
+                RawBlock(
+                    tag=self._innermost_block(),
+                    text=text,
+                    link_chars=self._link_chars,
+                    boilerplate_ancestor=self._in_boilerplate(),
+                )
+            )
+        self._buf = []
+        self._link_chars = 0
+
+    # -- HTMLParser hooks --------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _VOID:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+        if tag in SUPPRESS_TAGS:
+            self._suppress_depth += 1
+        if tag == "a":
+            self._anchor_depth += 1
+        self._stack.append(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _VOID:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+        # tolerate mis-nesting: pop to the matching open tag if present
+        if tag in self._stack:
+            while self._stack:
+                popped = self._stack.pop()
+                if popped in SUPPRESS_TAGS:
+                    self._suppress_depth -= 1
+                if popped == "a":
+                    self._anchor_depth -= 1
+                if popped == tag:
+                    break
+
+    def handle_data(self, data: str) -> None:
+        if self._suppress_depth or not data:
+            return
+        self._buf.append(data)
+        if self._anchor_depth:
+            self._link_chars += len(data)
+
+
+def parse_blocks(html: str) -> list[RawBlock]:
+    """HTML string → raw text blocks with link/ancestor features."""
+    p = _BlockParser()
+    p.feed(html)
+    p.close()
+    p._flush()
+    return p.blocks
+
+
+def classify_blocks(
+    raw: list[RawBlock],
+    min_words: int = 0,
+    link_density_max: float = LINK_DENSITY_MAX,
+) -> tuple[list[Block], dict[str, int]]:
+    """RawBlocks → kept content Blocks (tiling span model) + counters."""
+    counters = {
+        "html.blocks_total": len(raw),
+        "html.dropped_tag_prior": 0,
+        "html.dropped_link_density": 0,
+        "html.dropped_short": 0,
+        "html.link_chars": sum(b.link_chars for b in raw),
+        "html.headings": 0,
+        "html.paragraphs": 0,
+    }
+    kept: list[Block] = []
+    offset = 0
+    for b in raw:
+        if b.boilerplate_ancestor:
+            counters["html.dropped_tag_prior"] += 1
+            continue
+        if b.link_density > link_density_max:
+            counters["html.dropped_link_density"] += 1
+            continue
+        is_heading = b.tag in HEADING_TAGS
+        if min_words and not is_heading and len(b.text.split()) < min_words:
+            counters["html.dropped_short"] += 1
+            continue
+        block_type = "heading" if is_heading else "paragraph"
+        counters["html.headings" if is_heading else "html.paragraphs"] += 1
+        text = b.text + "\n"
+        kept.append(
+            Block(
+                block_id=len(kept),
+                block_type=block_type,
+                text=text,
+                span_start=offset,
+                span_end=offset + len(text),
+            )
+        )
+        offset += len(text)
+    return kept, counters
+
+
+def extract_html_document(
+    html: bytes | str,
+    min_words: int = 0,
+    link_density_max: float = LINK_DENSITY_MAX,
+    max_doc_bytes: int = 50_000_000,
+) -> ExtractResult:
+    """One HTML page → main-content blocks + counters (quarantining errors
+    exactly like the OCR-mode extract_document)."""
+    if html is None:
+        return ExtractResult("", [], {}, status="error", error="null html")
+    if len(html) > max_doc_bytes:
+        return ExtractResult(
+            "", [], {"quarantined_bytes": len(html)},
+            status="quarantined", error=f"page exceeds {max_doc_bytes} bytes",
+        )
+    try:
+        raw_html = (
+            html.decode("utf-8", errors="replace")
+            if isinstance(html, (bytes, bytearray))
+            else html
+        )
+        blocks, counters = classify_blocks(
+            parse_blocks(raw_html),
+            min_words=min_words,
+            link_density_max=link_density_max,
+        )
+        text = "".join(b.text for b in blocks)
+        return ExtractResult(text, blocks, counters)
+    except Exception as exc:  # noqa: BLE001 — quarantine, don't kill the task
+        return ExtractResult("", [], {}, status="error", error=repr(exc)[:500])

@@ -9,7 +9,12 @@ from .dedup import (
     simhash64,
     simhash_near_pairs,
 )
-from .extract import blocks_table, decode_binary_pages, extract_documents
+from .extract import (
+    blocks_table,
+    decode_binary_pages,
+    extract_documents,
+    extract_html_documents,
+)
 from .metrics import corpus_counters, partition_metrics, status_summary
 from .resume import pending_documents, resume_run, with_doc_hash
 from .asof import asof_join, sessionize
@@ -52,6 +57,7 @@ __all__ = [
     "corpus_counters",
     "decode_binary_pages",
     "extract_documents",
+    "extract_html_documents",
     "ordered_concat",
     "partition_metrics",
     "pending_documents",

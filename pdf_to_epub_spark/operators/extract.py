@@ -68,101 +68,105 @@ EXTRACTED_SCHEMA = StructType(
 BLOCKS_OUT_COLUMNS = ("url", "block_id", "block_type", "text", "span_start", "span_end")
 
 
-def _extract_batches_arrow(batches):
-    """mapInArrow worker: full stage1→2→3 transform + segmentation per doc.
+def _result_batches_arrow(fn, input_col: str):
+    """mapInArrow worker factory: run ``fn(value) -> ExtractResult`` over
+    ``input_col`` of each batch (OCR mode: stage1→2→3 over ``text``; HTML
+    mode: parse+classify over ``html`` bytes).
 
     Output batches are built as *flat* Arrow arrays (child arrays + offsets
     for the nested blocks/counters columns) — an order of magnitude cheaper
     than per-row list-of-dict → pandas → Arrow conversion, which profiling
     showed dominating worker time once regexes are warm."""
-    import pyarrow as pa
 
-    from pdf_to_epub_spark.extractlib.pipeline import extract_document
+    def gen(batches):
+        import pyarrow as pa
 
-    block_struct = pa.struct(
-        [
-            pa.field("block_id", pa.int64()),
-            pa.field("block_type", pa.string()),
-            pa.field("text", pa.string()),
-            pa.field("span_start", pa.int64()),
-            pa.field("span_end", pa.int64()),
-        ]
-    )
-
-    for rb in batches:
-        texts = rb.column(rb.schema.get_field_index("text")).to_pylist()
-
-        status: list[str] = []
-        error: list[str | None] = []
-        out_text: list[str] = []
-        n_chars: list[int] = []
-        n_blocks: list[int] = []
-        b_offsets: list[int] = [0]
-        b_id: list[int] = []
-        b_type: list[str] = []
-        b_text: list[str] = []
-        b_s: list[int] = []
-        b_e: list[int] = []
-        c_offsets: list[int] = [0]
-        c_keys: list[str] = []
-        c_vals: list[int] = []
-
-        for text in texts:
-            res = extract_document(text)
-            status.append(res.status)
-            error.append(res.error)
-            out_text.append(res.text)
-            n_chars.append(len(res.text))
-            n_blocks.append(len(res.blocks))
-            for b in res.blocks:
-                b_id.append(b.block_id)
-                b_type.append(b.block_type)
-                b_text.append(b.text)
-                b_s.append(b.span_start)
-                b_e.append(b.span_end)
-            b_offsets.append(len(b_id))
-            for k, v in res.counters.items():
-                c_keys.append(k)
-                c_vals.append(int(v))
-            c_offsets.append(len(c_keys))
-
-        blocks_arr = pa.ListArray.from_arrays(
-            pa.array(b_offsets, pa.int32()),
-            pa.StructArray.from_arrays(
-                [
-                    pa.array(b_id, pa.int64()),
-                    pa.array(b_type, pa.string()),
-                    pa.array(b_text, pa.string()),
-                    pa.array(b_s, pa.int64()),
-                    pa.array(b_e, pa.int64()),
-                ],
-                fields=list(block_struct),
-            ),
-        )
-        counters_arr = pa.MapArray.from_arrays(
-            pa.array(c_offsets, pa.int32()),
-            pa.array(c_keys, pa.string()),
-            pa.array(c_vals, pa.int64()),
-        )
-        yield pa.RecordBatch.from_arrays(
+        block_struct = pa.struct(
             [
-                rb.column(rb.schema.get_field_index("url")),
-                rb.column(rb.schema.get_field_index("warc_ts")),
-                rb.column(rb.schema.get_field_index("lang")),
-                rb.column(rb.schema.get_field_index("doc_hash")),
-                pa.array(status, pa.string()),
-                pa.array(error, pa.string()),
-                pa.array(out_text, pa.string()),
-                pa.array(n_chars, pa.int64()),
-                pa.array(n_blocks, pa.int32()),
-                blocks_arr,
-                counters_arr,
-            ],
-            names=[
-                "url", "warc_ts", "lang", "doc_hash", "status", "error",
-                "text", "n_chars", "n_blocks", "blocks", "counters",
-            ],
+                pa.field("block_id", pa.int64()),
+                pa.field("block_type", pa.string()),
+                pa.field("text", pa.string()),
+                pa.field("span_start", pa.int64()),
+                pa.field("span_end", pa.int64()),
+            ]
         )
+
+        for rb in batches:
+            texts = rb.column(rb.schema.get_field_index(input_col)).to_pylist()
+
+            status: list[str] = []
+            error: list[str | None] = []
+            out_text: list[str] = []
+            n_chars: list[int] = []
+            n_blocks: list[int] = []
+            b_offsets: list[int] = [0]
+            b_id: list[int] = []
+            b_type: list[str] = []
+            b_text: list[str] = []
+            b_s: list[int] = []
+            b_e: list[int] = []
+            c_offsets: list[int] = [0]
+            c_keys: list[str] = []
+            c_vals: list[int] = []
+
+            for text in texts:
+                res = fn(text)
+                status.append(res.status)
+                error.append(res.error)
+                out_text.append(res.text)
+                n_chars.append(len(res.text))
+                n_blocks.append(len(res.blocks))
+                for b in res.blocks:
+                    b_id.append(b.block_id)
+                    b_type.append(b.block_type)
+                    b_text.append(b.text)
+                    b_s.append(b.span_start)
+                    b_e.append(b.span_end)
+                b_offsets.append(len(b_id))
+                for k, v in res.counters.items():
+                    c_keys.append(k)
+                    c_vals.append(int(v))
+                c_offsets.append(len(c_keys))
+
+            blocks_arr = pa.ListArray.from_arrays(
+                pa.array(b_offsets, pa.int32()),
+                pa.StructArray.from_arrays(
+                    [
+                        pa.array(b_id, pa.int64()),
+                        pa.array(b_type, pa.string()),
+                        pa.array(b_text, pa.string()),
+                        pa.array(b_s, pa.int64()),
+                        pa.array(b_e, pa.int64()),
+                    ],
+                    fields=list(block_struct),
+                ),
+            )
+            counters_arr = pa.MapArray.from_arrays(
+                pa.array(c_offsets, pa.int32()),
+                pa.array(c_keys, pa.string()),
+                pa.array(c_vals, pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("url")),
+                    rb.column(rb.schema.get_field_index("warc_ts")),
+                    rb.column(rb.schema.get_field_index("lang")),
+                    rb.column(rb.schema.get_field_index("doc_hash")),
+                    pa.array(status, pa.string()),
+                    pa.array(error, pa.string()),
+                    pa.array(out_text, pa.string()),
+                    pa.array(n_chars, pa.int64()),
+                    pa.array(n_blocks, pa.int32()),
+                    blocks_arr,
+                    counters_arr,
+                ],
+                names=[
+                    "url", "warc_ts", "lang", "doc_hash", "status", "error",
+                    "text", "n_chars", "n_blocks", "blocks", "counters",
+                ],
+            )
+
+    return gen
 
 
 def extract_documents(
@@ -188,7 +192,42 @@ def extract_documents(
     if salt_partitions:
         narrowed = narrowed.repartition(salt_partitions, F.xxhash64("url"))
 
-    return narrowed.mapInArrow(_extract_batches_arrow, EXTRACTED_SCHEMA)
+    from pdf_to_epub_spark.extractlib.pipeline import extract_document
+
+    return narrowed.mapInArrow(
+        _result_batches_arrow(extract_document, "text"), EXTRACTED_SCHEMA
+    )
+
+
+def extract_html_documents(
+    docs: DataFrame,
+    html_col: str = "html",
+    salt_partitions: int | None = None,
+    min_words: int = 0,
+) -> DataFrame:
+    """pages(url, warc_ts, html, lang) → extracted rows via the HTML
+    main-content mode (tag-aware block segmentation + link-density
+    boilerplate classification, extractlib/htmlblocks.py) — the north_star's
+    Boilerpipe-style DOM surface.  Same plan shape as the OCR mode: narrow
+    scan → optional url-hash salt → one Arrow-batched Python stage; the
+    binary column goes to Python (it must be parsed), but nothing else
+    does."""
+    import functools
+
+    from pdf_to_epub_spark.extractlib.htmlblocks import extract_html_document
+
+    narrowed = docs.select(
+        F.col("url"),
+        F.col("warc_ts"),
+        F.col("lang"),
+        F.sha2(F.col(html_col), 256).alias("doc_hash"),
+        F.col(html_col).alias("html"),
+    )
+    if salt_partitions:
+        narrowed = narrowed.repartition(salt_partitions, F.xxhash64("url"))
+
+    fn = functools.partial(extract_html_document, min_words=min_words)
+    return narrowed.mapInArrow(_result_batches_arrow(fn, "html"), EXTRACTED_SCHEMA)
 
 
 def blocks_table(extracted: DataFrame) -> DataFrame:

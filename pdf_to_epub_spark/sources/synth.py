@@ -270,3 +270,50 @@ if __name__ == "__main__":
     args = ap.parse_args()
     write_parquet(args.out, args.n, args.seed)
     print(f"wrote {args.n} docs to {args.out}")
+
+
+# Non-blank line test shared by Python, Spark (rlike) and DuckDB
+# (regexp_matches): an explicit class, because Python str.strip(), Java \S
+# and RE2 \S disagree on exotic whitespace (NBSP etc.).
+NONBLANK_PATTERN = "[^ \t\r]"
+_NONBLANK = re.compile(NONBLANK_PATTERN)
+
+_NAV = (
+    '<nav><a href="/">Home</a> <a href="/tags">Tags</a> '
+    '<a href="/archive">Archive</a></nav>'
+)
+_AD = '<div class="ad"><a href="/buy">Buy now</a> <a href="/promo">Promo</a></div>'
+_ASIDE = '<aside><p>Related: <a href="/r1">one</a> <a href="/r2">two</a></p></aside>'
+
+
+def make_boilerplate_page(doc_id: int, url: str, text: str) -> bytes:
+    """Deterministic Common-Crawl-style page: the document's non-blank lines
+    as <p> paragraphs inside realistic boilerplate (nav/header/footer/aside,
+    interleaved link-dense ad divs).  The Python twin of the JVM-side
+    construction in __spark_entry__._q_html_boilerplate_extract — ground
+    truth for the HTML extraction mode is therefore a pure function of
+    (doc_id, text): heading 'Document <id>' plus every NONBLANK_PATTERN
+    line."""
+    esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    lines = [ln for ln in esc.split("\n") if _NONBLANK.search(ln)]
+    paras = "".join(
+        f"<p>{ln}</p>" + (_AD if i % 4 == 2 else "")
+        for i, ln in enumerate(lines)
+    )
+    page = (
+        f"<html><head><title>{url}</title></head><body>"
+        f"{_NAV}"
+        f"<header><p>Crawl header {doc_id}</p></header>"
+        f"<h1>Document {doc_id}</h1>"
+        f"{paras}"
+        f"{_ASIDE}"
+        f"<footer><p>(c) 2025 crawl.invalid {doc_id}</p></footer>"
+        "</body></html>"
+    )
+    return page.encode("utf-8")
+
+
+def expected_main_content(doc_id: int, text: str) -> str:
+    """Ground-truth main content for :func:`make_boilerplate_page`."""
+    lines = [ln for ln in text.split("\n") if _NONBLANK.search(ln)]
+    return f"Document {doc_id}\n" + "".join(ln + "\n" for ln in lines)

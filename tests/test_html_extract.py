@@ -1,0 +1,142 @@
+"""HTML main-content extraction (extractlib/htmlblocks.py + the Spark
+operator): tag-prior and link-density classification, span tiling, error
+isolation, and the Spark roundtrip against the synthetic-page ground truth.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from pdf_to_epub_spark.extractlib.htmlblocks import (
+    classify_blocks,
+    extract_html_document,
+    parse_blocks,
+)
+from pdf_to_epub_spark.sources.synth import (
+    expected_main_content,
+    make_boilerplate_page,
+    make_document_text,
+)
+
+
+def test_tag_prior_drops_chrome():
+    html = (
+        "<html><body>"
+        "<nav><a href='/'>Home</a> <a href='/x'>X</a></nav>"
+        "<header><p>site banner</p></header>"
+        "<h2>Real Title</h2>"
+        "<p>Real content paragraph with several words in it.</p>"
+        "<aside><p>sidebar junk</p></aside>"
+        "<footer><p>copyright</p></footer>"
+        "</body></html>"
+    )
+    blocks, counters = classify_blocks(parse_blocks(html))
+    assert [b.block_type for b in blocks] == ["heading", "paragraph"]
+    assert blocks[0].text == "Real Title\n"
+    assert counters["html.dropped_tag_prior"] == 4
+
+
+def test_link_density_rule():
+    html = (
+        "<body>"
+        "<div><a href='/a'>Buy</a> <a href='/b'>Now</a></div>"  # ~all link
+        "<p>Plain prose here with a tiny <a href='/c'>link</a> inside "
+        "a much longer run of ordinary text that dominates.</p>"
+        "</body>"
+    )
+    blocks, counters = classify_blocks(parse_blocks(html))
+    assert len(blocks) == 1 and blocks[0].block_type == "paragraph"
+    assert counters["html.dropped_link_density"] == 1
+    assert counters["html.link_chars"] > 0
+
+
+def test_script_style_title_suppressed():
+    html = (
+        "<html><head><title>never me</title>"
+        "<style>p { color: red }</style>"
+        "<script>var x = 'nor me';</script></head>"
+        "<body><p>only me</p></body></html>"
+    )
+    blocks, _ = classify_blocks(parse_blocks(html))
+    assert [b.text for b in blocks] == ["only me\n"]
+
+
+def test_min_words_suppression():
+    html = "<body><p>tiny</p><h3>Short Head</h3><p>" + "word " * 30 + "</p></body>"
+    blocks, counters = classify_blocks(parse_blocks(html), min_words=5)
+    # headings are exempt from the word floor
+    assert [b.block_type for b in blocks] == ["heading", "paragraph"]
+    assert counters["html.dropped_short"] == 1
+
+
+def test_spans_tile_and_reassemble():
+    page = make_boilerplate_page(3, "doc://3", make_document_text(3, seed=42))
+    res = extract_html_document(page)
+    assert res.status == "ok"
+    assert "".join(b.text for b in res.blocks) == res.text
+    offset = 0
+    for b in res.blocks:
+        assert b.span_start == offset
+        assert res.text[b.span_start:b.span_end] == b.text
+        offset = b.span_end
+    assert offset == len(res.text)
+
+
+def test_misnesting_tolerated():
+    html = "<body><p>one <b>two</p><p>three</b> four</p></body>"
+    blocks, _ = classify_blocks(parse_blocks(html))
+    assert [b.text for b in blocks] == ["one two\n", "three four\n"]
+
+
+def test_error_isolation():
+    big = b"<p>" + b"x" * 10 + b"</p>"
+    res = extract_html_document(big, max_doc_bytes=5)
+    assert res.status == "quarantined" and res.blocks == []
+    assert extract_html_document(None).status == "error"
+    # undecodable bytes are replaced, never fatal
+    res = extract_html_document(b"<p>ok \xff\xfe body text</p>")
+    assert res.status == "ok" and len(res.blocks) == 1
+
+
+def test_ground_truth_roundtrip_corpus():
+    for i in range(8):
+        text = make_document_text(i, seed=9)
+        res = extract_html_document(make_boilerplate_page(i, f"doc://{i}", text))
+        assert res.status == "ok"
+        assert res.text == expected_main_content(i, text), f"doc {i}"
+        assert res.counters["html.headings"] == 1
+
+
+def test_spark_operator_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_to_epub_spark.operators import (
+        assemble_documents,
+        blocks_table,
+        extract_html_documents,
+    )
+
+    rows = []
+    for i in range(40):
+        text = make_document_text(i, seed=21)
+        rows.append(
+            (f"doc://{i}", make_boilerplate_page(i, f"doc://{i}", text), "en",
+             expected_main_content(i, text))
+        )
+    df = spark.createDataFrame(
+        rows, "url string, html binary, lang string, expected string"
+    ).withColumn("warc_ts", F.to_timestamp(F.lit("2025-01-01 00:00:00")))
+
+    extracted = extract_html_documents(df, salt_partitions=4)
+    asm = assemble_documents(blocks_table(extracted))
+    joined = asm.join(df.select("url", "expected"), "url")
+    bad = joined.where(F.col("assembled_text") != F.col("expected")).count()
+    assert bad == 0
+    assert asm.count() == 40
+    # counters ride through the extracted schema
+    ctr = extracted.select(F.explode("counters").alias("k", "v"))
+    keys = {r["k"] for r in ctr.select("k").distinct().collect()}
+    assert "html.dropped_tag_prior" in keys and "html.paragraphs" in keys
