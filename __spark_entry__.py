@@ -274,6 +274,18 @@ def _q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     return guess_language(d).select("doc_id", "lang_guess")
 
 
+def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (whole-text + rolling min-shingle identity)
+    with the md5-based 60-bit hash so both fingerprints are reproducible in
+    the DuckDB oracle; the scale path keeps the xxhash64 default."""
+    from pdf_to_epub_spark.operators import document_fingerprint, md5_hash60
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return document_fingerprint(d, token_hash=md5_hash60).select(
+        "doc_id", "fingerprint", "min_shingle_hash"
+    )
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for the first 5 vectors as queries."""
     from pdf_to_epub_spark.operators import brute_force_topk
@@ -697,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
         "lang_guess": _q_lang_guess,
+        "doc_fingerprints": _q_doc_fingerprints,
         "ann_topk": _q_ann_topk,
         "embedding_near_pairs": _q_embedding_near_pairs,
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
@@ -1213,6 +1226,28 @@ def oracle_sql() -> dict[str, str]:
         # Exact oracle: banding recall is 1 by pigeonhole, and the md5-based
         # token hash is reproduced bit-for-bit in SQL.
         "simhash_pairs": _simhash_oracle(max_hamming=3),
+        # Exact oracle: md5-based 60-bit fingerprints reproduced in SQL
+        # (same normalization: trim spaces, lower, collapse \s runs).
+        "doc_fingerprints": r"""
+            WITH normed AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+                FROM documents),
+            w AS (SELECT doc_id, norm, string_split(norm, ' ') AS words
+                  FROM normed),
+            sh AS (
+                SELECT doc_id, norm,
+                       list_transform(
+                           generate_series(1, greatest(len(words) - 3, 1)),
+                           i -> ('0x' || substr(md5(array_to_string(
+                                    list_slice(words, i, i + 3), ' ')), 1, 15)
+                                )::BIGINT) AS shs
+                FROM w)
+            SELECT doc_id,
+                   ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fingerprint,
+                   list_aggregate(shs, 'min') AS min_shingle_hash
+            FROM sh
+        """,
         # Construction oracle: the page builder is deterministic, so the
         # classifier's recovered main content is a pure SQL function of the
         # documents table (heading + non-blank lines; boilerplate and ad

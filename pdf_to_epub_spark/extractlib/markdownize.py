@@ -127,3 +127,30 @@ def to_epub_markdown(
     if title or author or translator or volume_label:
         md = title_page(title, volume_label or None, author, translator) + md
     return md, (volume_label or None)
+
+
+# -- legacy v8 glitch fixer ---------------------------------------------------
+
+_GLITCH_1 = re.compile(r"(\b[IA])\s*\n+\s*<hr\s*/>\s*\n+\s*([A-Z]{2,}\b)")
+_GLITCH_2 = re.compile(r"([\"“”])\s*(\b[IA])\s*\n+\s*<hr\s*/>\s*\n+\s*([A-Z]{2,}\b)")
+_GLITCH_3 = re.compile(r"<hr\s*/>\s*\n+([\"“”]?\b[IA])\s*\n+([A-Z]{2,}\b)")
+_HR_RESPACE = re.compile(r"\s*(<hr\s*/>)\s*")
+
+
+def fix_single_letter_glitches(md: str) -> tuple[str, int]:
+    """Legacy chapter-opener glitch repair (T26 variant; reference
+    `/root/reference/text-processing/legacy/Step4_epub_v8.py:38-44`): an
+    OCR column break can strand the single-letter first word ("I"/"A") of
+    an all-caps chapter opener on the wrong side of an ``<hr />`` page
+    marker; reattach it in the reference's exact pattern order and
+    renormalize hr spacing.  Returns (fixed_md, n_fixes)."""
+    fixes = 0
+    md, c1 = _GLITCH_1.subn(r"\n\n<hr />\n\n\1 \2", md)
+    fixes += c1
+    md, c2 = _GLITCH_2.subn(r"\n\n<hr />\n\n\1\2 \3", md)
+    fixes += c2
+    md, c3 = _GLITCH_3.subn(r"<hr />\n\n\1 \2", md)
+    fixes += c3
+    md = _HR_RESPACE.sub(r"\n\n\1\n\n", md)
+    md = _BLANK_RUN.sub("\n\n", md)
+    return md, fixes

@@ -11,6 +11,14 @@ aggregation on the bucket key compiles WITHOUT an Exchange on that side
 At 100 TB this is the difference between re-shuffling the corpus on every
 join against its derived tables (blocks, metrics, dedup verdicts) and
 reading co-located buckets.
+
+Round-2 acquisition attempt (2026-08-16): no ``iceberg-spark-runtime`` jar
+anywhere in the image (``find / -name '*iceberg*'``), no ivy cache, and no
+network (Maven Central DNS resolution fails), so the real
+``bucket(N, url)`` Iceberg layout + snapshot-id resume cannot be wired
+in this sandbox.  The deployment mapping (this module → Iceberg DDL,
+resume.py's parquet-snapshot anti-join → snapshot-id resume / MERGE INTO)
+is written out in DEPLOYMENT.md §Iceberg.
 """
 
 from __future__ import annotations

@@ -105,19 +105,27 @@ def guess_language(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_guess", F.element_at(ranked, 1)["lang"])
 
 
-def document_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+def document_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    token_hash=None,
+) -> DataFrame:
     """64-bit content fingerprint of whitespace-normalized, lowercased text
-    (xxhash64) plus a min-shingle rolling fingerprint — the cheap identity
-    used for bucketing and resume bookkeeping."""
+    plus a min-shingle rolling fingerprint — the cheap identity used for
+    bucketing and resume bookkeeping.  ``token_hash`` defaults to xxhash64
+    (fastest); pass operators.md5_hash60 to make both fingerprints
+    reproducible in an external SQL oracle (see __spark_entry__
+    `doc_fingerprints`)."""
+    h = token_hash or F.xxhash64
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     words = F.split(norm, " ")
     n = F.size(words)
     starts = F.sequence(F.lit(0), F.greatest(n - F.lit(4), F.lit(0)))
     shingle_hashes = F.transform(
-        starts, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, 4)))
+        starts, lambda i: h(F.concat_ws(" ", F.slice(words, i + 1, 4)))
     )
     return df.select(
         "*",
-        F.xxhash64(norm).alias("fingerprint"),
+        h(norm).alias("fingerprint"),
         F.array_min(shingle_hashes).alias("min_shingle_hash"),
     )

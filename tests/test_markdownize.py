@@ -75,3 +75,30 @@ def test_to_epub_markdown_end_to_end():
     assert "<hr />" in md
     assert "A paragraph with a soft break." in md
     assert md.startswith('<p class="book-title">T</p>')
+
+
+def test_fix_single_letter_glitches_reference_parity():
+    """Fixtures captured by executing the reference v8 function directly
+    (Step4_epub_v8.py:38-44) during golden generation — byte parity on
+    every shape: bare I/A before the hr, quoted variants, letter after the
+    hr, and the two no-op guards (already-correct text, lowercase tail)."""
+    from pdf_to_epub_spark.extractlib.markdownize import fix_single_letter_glitches
+
+    cases = [
+        ("prose ends I\n<hr />\nWALKED ON and more",
+         "prose ends\n\n<hr />\n\nI WALKED ON and more", 1),
+        ('she said "I\n<hr />\nCAME BACK later',
+         'she said "\n\n<hr />\n\nI CAME BACK later', 1),
+        ("<hr />\nA\nSUPPER AT THE inn",
+         "\n\n<hr />\n\nA SUPPER AT THE inn", 1),
+        ('<hr />\n"I\nNEVER SAW him again',
+         '\n\n<hr />\n\n"I NEVER SAW him again', 1),
+        ("no glitch here\n\n<hr />\n\nNORMAL OPENER text",
+         "no glitch here\n\n<hr />\n\nNORMAL OPENER text", 0),
+        ("A\n<hr />\nlowercase not matched",
+         "A\n\n<hr />\n\nlowercase not matched", 0),
+    ]
+    for raw, expected, n in cases:
+        got, fixes = fix_single_letter_glitches(raw)
+        assert got == expected, repr(raw)
+        assert fixes == n, repr(raw)
