@@ -126,18 +126,27 @@ def lsh_topk(
     q = bucketed(
         queries.select(query_id_col, vec_col), query_id_col
     ).withColumnRenamed(vec_col, "_qvec")
+    # Candidate ids are deduped SLIM — (query_id, id) only — so no embedding
+    # array ever rides a shuffle; vectors re-enter via broadcast hash probes
+    # against the streaming corpus scan.
     candidates = (
-        c.join(F.broadcast(q.select(query_id_col, "_t", "_b")), on=["_t", "_b"])
-        .select(query_id_col, id_col, vec_col)
+        c.select(id_col, "_t", "_b")
+        .join(F.broadcast(q.select(query_id_col, "_t", "_b")), on=["_t", "_b"])
+        .select(query_id_col, id_col)
         .dropDuplicates([query_id_col, id_col])
     )
-    scored = candidates.join(
-        F.broadcast(queries.select(query_id_col, F.col(vec_col).alias("_qvec"))),
-        on=query_id_col,
-    ).select(
-        query_id_col,
-        id_col,
-        cosine(F.col(vec_col), F.col("_qvec")).alias("score"),
+    scored = (
+        corpus.select(id_col, vec_col)
+        .join(F.broadcast(candidates), on=id_col)
+        .join(
+            F.broadcast(queries.select(query_id_col, F.col(vec_col).alias("_qvec"))),
+            on=query_id_col,
+        )
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(vec_col), F.col("_qvec")).alias("score"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (

@@ -317,3 +317,47 @@ def expected_main_content(doc_id: int, text: str) -> str:
     """Ground-truth main content for :func:`make_boilerplate_page`."""
     lines = [ln for ln in text.split("\n") if _NONBLANK.search(ln)]
     return f"Document {doc_id}\n" + "".join(ln + "\n" for ln in lines)
+
+
+def write_boilerplate_parquet(
+    path: str, n: int, seed: int = 42, n_files: int = 1
+) -> None:
+    """Materialize a corpus of full boilerplate PAGES (html =
+    make_boilerplate_page around each document's text) — the input for the
+    HTML-mode extraction benchmarks."""
+    import pathlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+            ("lang", pa.string()),
+        ]
+    )
+    rows = []
+    for i, r in enumerate(make_documents(n, seed)):
+        rows.append(
+            {
+                "url": r["url"],
+                "warc_ts": r["warc_ts"],
+                "html": make_boilerplate_page(i, r["url"], r["text"]),
+                "lang": r["lang"],
+            }
+        )
+    if n_files <= 1:
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
+        return
+    out = pathlib.Path(path)
+    out.mkdir(parents=True, exist_ok=True)
+    per = -(-len(rows) // n_files)
+    for f in range(n_files):
+        chunk = rows[f * per:(f + 1) * per]
+        if chunk:
+            pq.write_table(
+                pa.Table.from_pylist(chunk, schema=schema),
+                out / f"part-{f:05d}.parquet",
+            )
