@@ -602,8 +602,13 @@ def _q_shard_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload + typed metadata → features via
-    Arrow-batched mapInPandas (deterministic stub decode)."""
+    """Multimodal decode: binary payload + typed metadata → features via
+    Arrow-batched mapInPandas.  Decode is REAL where the stdlib suffices
+    (BMP pixels, WAV PCM, GIF block walk, PNG/JPEG headers); MP3/MP4 rows
+    surface as honest ``unsupported`` (codecs absent in this image).
+    Rows-only by design: the corpus is generated in-query, so there is no
+    DuckDB view to oracle against; decode correctness is pinned by the
+    pure-codec roundtrip tests in tests/test_multimodal.py."""
     _ship_package(spark)
     from pdf_to_epub_spark.operators.multimodal import (
         extract_media_features,

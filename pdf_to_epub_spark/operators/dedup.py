@@ -138,14 +138,17 @@ def minhash_candidate_pairs(
     (2) the final pair dedup.  Bucket skew (a degenerate band value) is
     handled by AQE skew-join splitting.
 
-    Memory/scale hygiene: only the *slim* ``(id, sig)`` rows are reused
-    across plan branches — via a lazy ``localCheckpoint`` (freed by the
-    ContextCleaner once unreferenced, unlike ``persist`` which pins the
-    CacheManager entry for the session), or via ``signatures_path`` (the
-    write-once signature table, the form that holds at 100 TB).  The full
-    shingle arrays never ride through a shuffle: exact-Jaccard verification
-    recomputes shingles just for the (few) candidate rows by joining back
-    to the raw text.
+    Memory/scale hygiene: the signature pipeline is computed exactly ONCE —
+    bucket pairing is a groupBy on (band_id, band_hash) with in-bucket pair
+    generation (sorted collect_list + combination explode), not a self-join,
+    so there is no second plan branch to feed and nothing to persist.  With
+    ``signatures_path`` the slim ``(id, sig)`` table is written once and
+    reused across runs/banding configs (the form that holds at 100 TB).
+    The full shingle arrays never ride through a shuffle: exact-Jaccard
+    verification re-shingles only the candidate rows after the broadcast
+    probe.  A degenerate band value (all-identical docs) makes one giant
+    bucket — quadratic pair fan-out is inherent to LSH there; the exact
+    dedup pass is the right tool for identical content, run it first.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
@@ -157,9 +160,6 @@ def minhash_candidate_pairs(
         if not (reuse_signatures and exists):
             sigs.write.mode("overwrite").parquet(signatures_path)
         sigs = spark.read.parquet(signatures_path)
-    else:
-        # lazy: materializes on first action, reused by both join branches
-        sigs = sigs.localCheckpoint(eager=False)
 
     band_hash = [
         F.struct(
@@ -177,56 +177,61 @@ def minhash_candidate_pairs(
         for b in range(bands)
     ]
     # Slim band rows — signature arrays do NOT ride through the ×bands
-    # explode or the self-join shuffle (they'd be duplicated `bands` times).
+    # explode or the bucket shuffle (they'd be duplicated `bands` times).
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_hash)).alias("band")
     ).select(id_col, "band.band_id", "band.band_hash")
 
-    left = banded.alias("l")
-    right = banded.alias("r")
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        .where(F.size("_ids") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            "_ids",
+            lambda a, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size("_ids")),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
     pairs = (
-        left.join(
-            right,
-            on=[
-                F.col("l.band_id") == F.col("r.band_id"),
-                F.col("l.band_hash") == F.col("r.band_hash"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-        )
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # Exact-Jaccard verification: join candidates back to the raw text and
-    # shingle only those rows (candidates ≪ corpus).  The candidate side is
-    # broadcast so the full-corpus shingle projection streams through both
-    # joins without ever shuffling a shingle array; shingles materialize
-    # only for rows that survive the broadcast hash probe.
-    sh = with_shingles(df.select(id_col, text_col), text_col, k).select(
-        F.col(id_col).alias("_id"), F.col("shingles")
+    # Exact-Jaccard verification: attach raw TEXT to the candidate pairs
+    # first (corpus streams through broadcast hash probes — candidates are
+    # the build side), then shingle ONLY the surviving pair rows.  This
+    # keeps shingle computation at O(candidates), not another full corpus
+    # pass, and no shingle array ever rides a shuffle or broadcast (only
+    # the raw text of candidate rows does).
+    ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_text_a"))
+    tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_text_b"))
+    with_texts = tb.join(
+        F.broadcast(ta.join(F.broadcast(pairs), "id_a")), "id_b"
     )
-    verified = (
-        F.broadcast(
-            F.broadcast(pairs).join(
-                sh.select(F.col("_id").alias("id_a"), F.col("shingles").alias("sh_a")),
-                "id_a",
-            )
-        )
-        .join(sh.select(F.col("_id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= jaccard_threshold)
+    sh_a = _word_shingles(F.col("_text_a"), k)
+    sh_b = _word_shingles(F.col("_text_b"), k)
+    scored = with_texts.select(
+        "id_a",
+        "id_b",
+        (
+            F.size(F.array_intersect(sh_a, sh_b))
+            / F.size(F.array_union(sh_a, sh_b))
+        ).alias("jaccard"),
     )
-    return verified
+    # Optimizer barrier (lazy localCheckpoint of the SLIM scored rows):
+    # without it Catalyst substitutes the jaccard expression into the
+    # pushed-down filter, evaluating the whole shingle pipeline TWICE per
+    # row (measured 2× verify cost).  The checkpoint materializes only
+    # (id_a, id_b, double) — candidate-count rows, negligible storage —
+    # and is freed by the ContextCleaner when unreferenced.
+    return scored.localCheckpoint(eager=False).where(
+        F.col("jaccard") >= jaccard_threshold
+    )
 
 
 def ngram_jaccard_pairs(

@@ -2,14 +2,19 @@
 
 At corpus scale, media payloads ride as ``binary`` columns next to typed
 metadata; decode / feature-extraction / resize / frame-sampling run as
-Arrow-batched ``mapInPandas`` stages.  The image/audio codecs are NOT
-available in this environment, so the codec call itself is stubbed behind
-an import-try (``NotImplementedError`` when a real decode is requested,
-deterministic header-derived fake otherwise) — the Spark-side plumbing
-(schema, partitioning, UDF signature, batch shape) is real and tested.
+Arrow-batched ``mapInPandas`` stages.
 
-Container sniffing is real: magic-byte detection for PNG/JPEG/GIF/RIFF-WAV/
-MP3/MP4 runs JVM-side on the binary prefix — no Python in that path.
+Decode is REAL where the Python standard library suffices
+(functions/mediacodec.py): BMP pixel decode → pooled-luminance embedding,
+WAV PCM decode → energy-envelope embedding + duration/RMS, GIF block walk →
+exact dims + frame count, PNG/JPEG header parse → dims.  Formats needing
+external codecs (MP3 decode, MP4 demux, PNG/JPEG pixel data) surface as
+``status='unsupported'`` or ``codec_path='header'`` rows — never a fake
+value; the per-row ``meta.codec_path`` records which path produced each
+feature (pixels | pcm | blocks | header).
+
+Container sniffing is real and JVM-side: magic-byte detection for
+BMP/PNG/JPEG/GIF/RIFF-WAV/MP3/MP4 on the binary prefix — no Python there.
 """
 
 from __future__ import annotations
@@ -64,6 +69,7 @@ _MAGIC = (
     ("gif", b"GIF8"),
     ("riff", b"RIFF"),
     ("mp3", b"ID3"),
+    ("bmp", b"BM"),
 )
 
 
@@ -80,32 +86,65 @@ def sniff_container(payload_col: str = "payload") -> F.Column:
     return cases.when(mp4, F.lit("mp4")).otherwise(col)
 
 
-def _decode_media(payload: bytes, media_type: str, real_codecs: bool):
-    """Decode stub.  With ``real_codecs`` the actual libraries would be
-    used — they are not installed in this container, so that path raises;
-    the default path derives deterministic fake dimensions/frames from the
-    payload header so downstream plumbing is fully exercised."""
-    if real_codecs:
-        try:
-            import PIL.Image  # noqa: F401
-        except ImportError as exc:
-            raise NotImplementedError(
-                "real media codecs (PIL/ffmpeg/librosa) are not available "
-                "in this environment; run with real_codecs=False"
-            ) from exc
-        raise NotImplementedError("real decode path not implemented")
-    h = 0
-    for b in payload[:16]:
-        h = (h * 131 + b) & 0x7FFFFFFF
-    width = 16 + h % 2048
-    height = 16 + (h >> 11) % 2048
-    n_frames = 1 if media_type == "image" else 1 + (h >> 22) % 240
-    return width, height, n_frames
+def decode_media(raw: bytes, container: str) -> dict:
+    """One payload → real features, dispatched on the sniffed container.
+
+    Raises :class:`~pdf_to_epub_spark.functions.mediacodec.UnsupportedMedia`
+    for anything that cannot be genuinely decoded in this environment."""
+    from pdf_to_epub_spark.functions import mediacodec as mc
+
+    if container == "bmp":
+        w, h, gray = mc.decode_bmp(raw)
+        emb = mc.pooled_embedding(gray, w, h, grid=4)
+        mean = round(sum(gray) / len(gray), 2) if gray else 0.0
+        return {
+            "width": w, "height": h, "n_frames": 1, "embedding": emb,
+            "meta": {"codec_path": "pixels", "mean_gray": str(mean)},
+        }
+    if container == "riff":
+        rate, nch, samples = mc.decode_wav(raw)
+        rms = (
+            (sum(s * s for s in samples) / len(samples)) ** 0.5
+            if samples else 0.0
+        )
+        return {
+            "width": rate, "height": 16, "n_frames": len(samples),
+            "embedding": mc.energy_envelope(samples, windows=16),
+            "meta": {
+                "codec_path": "pcm",
+                "channels": str(nch),
+                "duration_ms": str(round(1000 * len(samples) / rate)),
+                "rms": str(round(rms, 1)),
+            },
+        }
+    if container == "gif":
+        w, h, nf = mc.gif_info(raw)
+        return {
+            "width": w, "height": h, "n_frames": nf, "embedding": None,
+            "meta": {"codec_path": "blocks"},
+        }
+    if container == "png":
+        w, h = mc.png_dimensions(raw)
+        return {
+            "width": w, "height": h, "n_frames": 1, "embedding": None,
+            "meta": {"codec_path": "header"},
+        }
+    if container == "jpeg":
+        w, h = mc.jpeg_dimensions(raw)
+        return {
+            "width": w, "height": h, "n_frames": 1, "embedding": None,
+            "meta": {"codec_path": "header"},
+        }
+    raise mc.UnsupportedMedia(
+        f"container '{container}': no stdlib decoder (needs external codecs)"
+    )
 
 
-def _feature_batches(real_codecs: bool, embedding_dim: int):
+def _feature_batches():
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
+
+        from pdf_to_epub_spark.functions.mediacodec import UnsupportedMedia
 
         for pdf in batches:
             out = {k: [] for k in (
@@ -123,29 +162,30 @@ def _feature_batches(real_codecs: bool, embedding_dim: int):
                 raw = bytes(payload) if payload is not None else b""
                 out["n_bytes"].append(len(raw))
                 try:
-                    w, h, nf = _decode_media(raw, mtype, real_codecs)
-                    # deterministic fake embedding from payload bytes
-                    emb = []
-                    acc = 1469598103934665603
-                    for i in range(embedding_dim):
-                        byte = raw[i % len(raw)] if raw else 0
-                        acc = (acc ^ (byte + i)) * 1099511628211 % (1 << 64)
-                        emb.append(((acc % 2000003) / 1000001.5) - 1.0)
-                    out["width"].append(w)
-                    out["height"].append(h)
-                    out["n_frames"].append(nf)
-                    out["embedding"].append([float(x) for x in emb])
-                    out["meta"].append(
-                        {"aspect": f"{w}:{h}", "codec_path": "stub"}
+                    feat = decode_media(raw, container)
+                    out["width"].append(feat["width"])
+                    out["height"].append(feat["height"])
+                    out["n_frames"].append(feat["n_frames"])
+                    emb = feat["embedding"]
+                    out["embedding"].append(
+                        [float(x) for x in emb] if emb is not None else None
                     )
+                    out["meta"].append(feat["meta"])
                     out["status"].append("ok")
-                except NotImplementedError as exc:
+                except UnsupportedMedia as exc:
                     out["width"].append(None)
                     out["height"].append(None)
                     out["n_frames"].append(None)
                     out["embedding"].append(None)
                     out["meta"].append({"error": str(exc)[:120]})
                     out["status"].append("unsupported")
+                except Exception as exc:  # noqa: BLE001 — quarantine row
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["n_frames"].append(None)
+                    out["embedding"].append(None)
+                    out["meta"].append({"error": repr(exc)[:120]})
+                    out["status"].append("error")
             yield pd.DataFrame(out)
 
     return gen
@@ -153,8 +193,6 @@ def _feature_batches(real_codecs: bool, embedding_dim: int):
 
 def extract_media_features(
     media: DataFrame,
-    real_codecs: bool = False,
-    embedding_dim: int = 16,
     salt_partitions: int | None = None,
 ) -> DataFrame:
     """media(media_id, url, media_type, payload: binary) → feature rows.
@@ -167,9 +205,7 @@ def extract_media_features(
     df = media.withColumn("container", sniff_container("payload"))
     if salt_partitions:
         df = df.repartition(salt_partitions, F.xxhash64("url"))
-    return df.mapInPandas(
-        _feature_batches(real_codecs, embedding_dim), FEATURE_SCHEMA
-    )
+    return df.mapInPandas(_feature_batches(), FEATURE_SCHEMA)
 
 
 def frame_sample_plan(
@@ -182,9 +218,9 @@ def frame_sample_plan(
         1,
         max_frames,
     )
-    return features.where(F.col("media_type") == "video").select(
-        "media_id", "url", "n_frames", idx.alias("frame_indices")
-    )
+    return features.where(
+        (F.col("media_type") == "video") & (F.col("status") == "ok")
+    ).select("media_id", "url", "n_frames", idx.alias("frame_indices"))
 
 
 def resize_spec(features: DataFrame, target: int = 224) -> DataFrame:
@@ -192,7 +228,9 @@ def resize_spec(features: DataFrame, target: int = 224) -> DataFrame:
     algebra; the pixel work would happen in the decode UDF when codecs
     exist."""
     scale = F.lit(target) / F.least("width", "height")
-    return features.where(F.col("status") == "ok").select(
+    return features.where(
+        (F.col("status") == "ok") & (F.col("media_type") == "image")
+    ).select(
         "media_id",
         "width",
         "height",
@@ -202,27 +240,94 @@ def resize_spec(features: DataFrame, target: int = 224) -> DataFrame:
 
 
 def make_media_corpus(n: int, seed: int = 7) -> list[dict]:
-    """Deterministic fake media rows with REAL container magic bytes."""
+    """Deterministic media rows with REAL payloads where the stdlib can
+    produce them: valid 24-bit BMPs (gradient+noise pixels), PCM WAVs
+    (mixed sinusoids), animated GIFs (2-6 frames), PNG/JPEG rows with
+    spec-correct headers (dims parseable; pixel data opaque), and MP3/MP4
+    rows that exercise the honest ``unsupported`` path."""
+    import math
     import random
+    import struct
+    import zlib
 
-    rows = []
-    magics = {
-        "image": [b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff\xe0", b"GIF89a"],
-        "audio": [b"RIFF\x24\x00\x00\x00WAVE", b"ID3\x04\x00"],
-        "video": [b"\x00\x00\x00\x18ftypmp42"],
+    from pdf_to_epub_spark.functions.mediacodec import make_bmp, make_gif, make_wav
+
+    def png_header_row(rng: random.Random) -> bytes:
+        w, h = rng.randint(16, 1024), rng.randint(16, 1024)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        chunk = b"IHDR" + ihdr
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr)) + chunk
+            + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+            + bytes(rng.getrandbits(8) for _ in range(rng.randint(32, 128)))
+        )
+
+    def jpeg_header_row(rng: random.Random) -> bytes:
+        w, h = rng.randint(16, 1024), rng.randint(16, 1024)
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00" * 6
+        sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+    kinds = ("bmp", "wav", "gif", "png", "jpeg", "mp3", "mp4")
+    media_type = {
+        "bmp": "image", "png": "image", "jpeg": "image",
+        "wav": "audio", "mp3": "audio",
+        "gif": "video", "mp4": "video",
     }
-    types = ("image", "image", "image", "audio", "video")
+    rows = []
     for i in range(n):
         rng = random.Random((seed << 16) ^ i)
-        mtype = types[i % len(types)]
-        magic = rng.choice(magics[mtype])
-        body = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 512)))
+        kind = kinds[i % len(kinds)]
+        if kind == "bmp":
+            w, h = rng.randint(16, 40), rng.randint(16, 40)
+            gx, gy, noise = rng.randint(1, 7), rng.randint(1, 7), rng.randint(0, 31)
+            payload = make_bmp(
+                w, h,
+                lambda x, y: (
+                    (x * gx * 255 // max(w, 1)) & 0xFF,
+                    (y * gy * 255 // max(h, 1)) & 0xFF,
+                    ((x ^ y) * noise) & 0xFF,
+                ),
+            )
+        elif kind == "wav":
+            rate = rng.choice((8000, 16000))
+            dur = rng.randint(400, 4000)
+            f1, f2 = rng.uniform(100, 900), rng.uniform(900, 3000)
+            payload = make_wav(
+                [
+                    int(9000 * math.sin(2 * math.pi * f1 * t / rate)
+                        + 4000 * math.sin(2 * math.pi * f2 * t / rate))
+                    for t in range(dur)
+                ],
+                rate=rate,
+            )
+        elif kind == "gif":
+            w, h = rng.randint(8, 16), rng.randint(8, 16)
+            nf = rng.randint(2, 6)
+            payload = make_gif(
+                w, h,
+                [[(x + y + f) % 4 for y in range(h) for x in range(w)]
+                 for f in range(nf)],
+            )
+        elif kind == "png":
+            payload = png_header_row(rng)
+        elif kind == "jpeg":
+            payload = jpeg_header_row(rng)
+        elif kind == "mp3":
+            payload = b"ID3\x04\x00" + bytes(
+                rng.getrandbits(8) for _ in range(rng.randint(64, 256))
+            )
+        else:  # mp4
+            payload = b"\x00\x00\x00\x18ftypmp42" + bytes(
+                rng.getrandbits(8) for _ in range(rng.randint(64, 256))
+            )
         rows.append(
             {
                 "media_id": i,
                 "url": f"https://crawl.invalid/media/{i:06d}",
-                "media_type": mtype,
-                "payload": magic + body,
+                "media_type": media_type[kind],
+                "payload": payload,
             }
         )
     return rows

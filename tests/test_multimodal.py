@@ -1,10 +1,27 @@
-"""Multimodal binary-column plumbing: sniffing, feature UDF, plans, stub."""
+"""Multimodal binary columns: REAL stdlib decode (BMP pixels, WAV PCM, GIF
+block walk, PNG/JPEG headers), JVM-side sniffing, feature UDF, plans, and
+the honest unsupported path for codec-needing formats."""
 
 from __future__ import annotations
+
+import math
 
 import pytest
 from pyspark.sql import functions as F
 
+from pdf_to_epub_spark.functions.mediacodec import (
+    UnsupportedMedia,
+    decode_bmp,
+    decode_wav,
+    energy_envelope,
+    gif_info,
+    jpeg_dimensions,
+    make_bmp,
+    make_gif,
+    make_wav,
+    png_dimensions,
+    pooled_embedding,
+)
 from pdf_to_epub_spark.operators.multimodal import (
     extract_media_features,
     frame_sample_plan,
@@ -13,8 +30,60 @@ from pdf_to_epub_spark.operators.multimodal import (
     sniff_container,
 )
 
-N = 50
+N = 70  # 10 of each of the 7 container kinds
 
+
+# -- pure codec tests (no Spark) --------------------------------------------
+
+def test_bmp_pixel_roundtrip():
+    raw = make_bmp(5, 3, lambda x, y: (x * 10, y * 20, 40))
+    w, h, gray = decode_bmp(raw)
+    assert (w, h) == (5, 3)
+    assert abs(gray[0] - 40 / 3) < 1e-9                     # (0,0,40)
+    assert abs(gray[1 * 5 + 2] - (20 + 20 + 40) / 3) < 1e-9  # (20,20,40)
+    emb = pooled_embedding(gray, w, h, grid=4)
+    assert len(emb) == 16 and all(-1.0 <= v <= 1.0 for v in emb)
+    with pytest.raises(UnsupportedMedia):
+        decode_bmp(b"BM" + b"\x00" * 60)  # truncated / wrong bpp
+
+
+def test_wav_pcm_roundtrip():
+    samples = [0, 100, -100, 32767, -32768]
+    rate, nch, got = decode_wav(make_wav(samples, rate=8000))
+    assert rate == 8000 and nch == 1 and got == samples
+    # sine decodes to the right RMS (A/sqrt(2))
+    sine = [int(16000 * math.sin(2 * math.pi * 440 * t / 8000)) for t in range(8000)]
+    _, _, got = decode_wav(make_wav(sine))
+    rms = (sum(s * s for s in got) / len(got)) ** 0.5
+    assert abs(rms - 16000 / math.sqrt(2)) < 200
+    env = energy_envelope(got, windows=16)
+    assert len(env) == 16
+    with pytest.raises(UnsupportedMedia):
+        decode_wav(b"RIFF\x10\x00\x00\x00WAVEjunk")
+
+
+def test_gif_block_walk():
+    raw = make_gif(9, 7, [[0] * 63] * 4)
+    assert gif_info(raw) == (9, 7, 4)
+    # extensions are skipped, truncation detected
+    with pytest.raises(UnsupportedMedia):
+        gif_info(b"GIF89a\x00")
+
+
+def test_header_dimension_parsers():
+    rows = {bytes(r["payload"]): r for r in make_media_corpus(N)}
+    pngs = [p for p in rows if p[:8] == b"\x89PNG\r\n\x1a\n"]
+    jpgs = [p for p in rows if p[:3] == b"\xff\xd8\xff"]
+    assert pngs and jpgs
+    for p in pngs:
+        w, h = png_dimensions(p)
+        assert 16 <= w <= 1024 and 16 <= h <= 1024
+    for p in jpgs:
+        w, h = jpeg_dimensions(p)
+        assert 16 <= w <= 1024 and 16 <= h <= 1024
+
+
+# -- Spark-side --------------------------------------------------------------
 
 @pytest.fixture(scope="module")
 def media_df(spark):
@@ -27,59 +96,73 @@ def media_df(spark):
 def test_container_sniffing_jvm_side(media_df):
     got = media_df.select("media_type", sniff_container().alias("c")).collect()
     image_containers = {r["c"] for r in got if r["media_type"] == "image"}
-    assert image_containers <= {"png", "jpeg", "gif"}
+    assert image_containers == {"bmp", "png", "jpeg"}
     audio_containers = {r["c"] for r in got if r["media_type"] == "audio"}
-    assert audio_containers <= {"riff", "mp3"}
-    assert {r["c"] for r in got if r["media_type"] == "video"} == {"mp4"}
+    assert audio_containers == {"riff", "mp3"}
+    assert {r["c"] for r in got if r["media_type"] == "video"} == {"gif", "mp4"}
     assert "unknown" not in {r["c"] for r in got}
 
 
-def test_feature_extraction_batch_shape(media_df):
+def test_feature_extraction_real_decode(media_df):
     feats = extract_media_features(media_df, salt_partitions=4).cache()
-    rows = feats.collect()
+    rows = {r["media_id"]: r for r in feats.collect()}
     assert len(rows) == N
-    assert all(r["status"] == "ok" for r in rows)
-    for r in rows:
-        assert r["n_bytes"] > 64
-        assert 16 <= r["width"] <= 2064 and 16 <= r["height"] <= 2064
+    by_container = {}
+    for r in rows.values():
+        by_container.setdefault(r["container"], []).append(r)
+    # full pixel/PCM decode paths carry real embeddings
+    for r in by_container["bmp"]:
+        assert r["status"] == "ok" and r["meta"]["codec_path"] == "pixels"
+        assert len(r["embedding"]) == 16 and r["n_frames"] == 1
+        assert 16 <= r["width"] <= 40 and 16 <= r["height"] <= 40
+        assert float(r["meta"]["mean_gray"]) > 0
+    for r in by_container["riff"]:
+        assert r["status"] == "ok" and r["meta"]["codec_path"] == "pcm"
+        assert r["width"] in (8000, 16000)      # sample rate
+        assert 400 <= r["n_frames"] <= 4000      # sample count
+        assert float(r["meta"]["rms"]) > 1000
         assert len(r["embedding"]) == 16
-        if r["media_type"] == "image":
-            assert r["n_frames"] == 1
-        assert r["meta"]["codec_path"] == "stub"
-    # deterministic: same payload → same embedding
+    for r in by_container["gif"]:
+        assert r["status"] == "ok" and r["meta"]["codec_path"] == "blocks"
+        assert 2 <= r["n_frames"] <= 6
+    for r in by_container["png"] + by_container["jpeg"]:
+        assert r["status"] == "ok" and r["meta"]["codec_path"] == "header"
+        assert r["width"] >= 16 and r["embedding"] is None
+    # codec-needing formats are honestly unsupported, never faked
+    for r in by_container["mp3"] + by_container["mp4"]:
+        assert r["status"] == "unsupported"
+        assert r["width"] is None and r["embedding"] is None
+    # deterministic across runs
     again = {r["media_id"]: r["embedding"] for r in extract_media_features(media_df).collect()}
-    assert again[rows[0]["media_id"]] == rows[0]["embedding"]
+    some_bmp = by_container["bmp"][0]["media_id"]
+    assert again[some_bmp] == rows[some_bmp]["embedding"]
 
 
 def test_frame_sampling_and_resize_plans(media_df):
     feats = extract_media_features(media_df)
-    frames = frame_sample_plan(feats, every_nth=10, max_frames=4).collect()
-    assert frames, "video rows expected"
+    frames = frame_sample_plan(feats, every_nth=2, max_frames=4).collect()
+    assert frames, "animated GIF rows expected"
     for r in frames:
         assert 1 <= len(r["frame_indices"]) <= 4
         assert r["frame_indices"][0] == 0
         assert all(i < max(r["n_frames"], 1) for i in r["frame_indices"])
 
-    resized = resize_spec(feats, target=224).collect()
+    resized = resize_spec(feats, target=24).collect()
+    assert resized
     for r in resized:
-        assert min(r["resized_w"], r["resized_h"]) == 224
-
-
-def test_real_codec_path_is_stubbed(spark, media_df):
-    feats = extract_media_features(media_df.limit(3), real_codecs=True).collect()
-    assert all(r["status"] == "unsupported" for r in feats)
-    assert all("not available" in r["meta"]["error"] for r in feats)
+        assert min(r["resized_w"], r["resized_h"]) == 24
 
 
 def test_corrupt_payload_rows(spark):
     rows = [
         {"media_id": 1, "url": "u://1", "media_type": "image", "payload": b""},
         {"media_id": 2, "url": "u://2", "media_type": "video", "payload": b"\x00"},
+        {"media_id": 3, "url": "u://3", "media_type": "image",
+         "payload": b"BM" + b"\x99" * 20},  # truncated BMP
     ]
     df = spark.createDataFrame(
         rows, "media_id long, url string, media_type string, payload binary"
     )
     got = {r["media_id"]: r for r in extract_media_features(df).collect()}
-    assert got[1]["status"] == "ok" and got[1]["n_bytes"] == 0
-    assert got[2]["status"] == "ok"
-    assert got[1]["embedding"] is not None
+    assert all(r["status"] == "unsupported" for r in got.values())
+    assert got[1]["n_bytes"] == 0
