@@ -286,28 +286,37 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH self-join: pairs sharing a
-    bucket are verified exactly against ``threshold``."""
+    """Embedding-cosine near-dup pairs via LSH buckets: candidate pairs are
+    generated INSIDE each bucket (groupBy + sorted collect_list +
+    combination explode — the bucket-assignment pass runs exactly once,
+    unlike a self-join whose two branches each recompute it), then verified
+    exactly against ``threshold``.  Vectors re-enter through broadcast
+    probes; the slim localCheckpoint barrier before the filter prevents
+    Catalyst from substituting the cosine into the pushed-down predicate
+    and evaluating it twice (see operators/dedup.py for the same pattern).
+    """
     planes = _hyperplanes(dim, bits, seed)
-    c = corpus.select(id_col, vec_col).withColumn(
-        "_bucket", lsh_bucket(F.col(vec_col), planes)
+    slim = corpus.select(id_col, lsh_bucket(F.col(vec_col), planes).alias("_bucket"))
+    buckets = (
+        slim.groupBy("_bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        .where(F.size("_ids") > 1)
     )
-    a = c.alias("a")
-    b = c.alias("b")
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a._bucket") == F.col("b._bucket"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias(
-                "cosine"
+    combos = F.flatten(
+        F.transform(
+            "_ids",
+            lambda a, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size("_ids")),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
             ),
         )
-        .where(F.col("cosine") >= threshold)
     )
+    pairs = buckets.select(F.explode(combos).alias("p")).select("p.id_a", "p.id_b")
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    scored = vb.join(F.broadcast(va.join(F.broadcast(pairs), "id_a")), "id_b").select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+    )
+    return scored.localCheckpoint(eager=False).where(F.col("cosine") >= threshold)
