@@ -69,6 +69,17 @@ class RawBlock:
     def link_density(self) -> float:
         return self.link_chars / len(self.text) if self.text else 0.0
 
+    @property
+    def n_words(self) -> int:
+        return len(self.text.split())
+
+    @property
+    def text_density(self) -> float:
+        """Words per 80-char wrapped line (Kohlschütter et al.'s block
+        text density): line count = ceil(len/80) over the trimmed run."""
+        lines = max(1, -(-len(self.text.strip()) // 80))
+        return self.n_words / lines
+
 
 class _BlockParser(HTMLParser):
     """Stream HTML into RawBlocks: text accumulates into the innermost open
@@ -152,12 +163,41 @@ def parse_blocks(html: str) -> list[RawBlock]:
     return p.blocks
 
 
+def numwords_is_content(
+    prev: RawBlock | None, curr: RawBlock, nxt: RawBlock | None
+) -> bool:
+    """The classic NumWords/LinkDensity decision rule (Kohlschütter,
+    Fankhauser & Nejdl, "Boilerplate Detection using Shallow Text
+    Features", WSDM 2010 — the densitometric classifier trained on
+    GoogleTrends-2008): context-sensitive word-count thresholds that keep
+    short prose when its neighbors are dense and drop link-light
+    boilerplate fragments the bare density rule cannot see."""
+    if curr.link_density > 0.333333:
+        return False
+    prev_ld = prev.link_density if prev is not None else 0.0
+    prev_w = prev.n_words if prev is not None else 0
+    next_w = nxt.n_words if nxt is not None else 0
+    if prev_ld <= 0.555556:
+        return curr.n_words > 16 or next_w > 15 or prev_w > 4
+    return curr.n_words > 40 or next_w > 17
+
+
 def classify_blocks(
     raw: list[RawBlock],
     min_words: int = 0,
     link_density_max: float = LINK_DENSITY_MAX,
+    mode: str = "density",
 ) -> tuple[list[Block], dict[str, int]]:
-    """RawBlocks → kept content Blocks (tiling span model) + counters."""
+    """RawBlocks → kept content Blocks (tiling span model) + counters.
+
+    ``mode='density'`` — pure link-density threshold (+ tag prior): the
+    fully deterministic rule the construction oracle replays in SQL.
+    ``mode='numwords'`` — the Boilerpipe NumWords rule (above) on top of
+    the tag prior: better on real pages with short link-free boilerplate
+    (copyright lines, timestamps); headings are exempt, as in Boilerpipe's
+    TitleMatch handling, when they precede kept content."""
+    if mode not in ("density", "numwords"):
+        raise ValueError(f"unknown classify mode {mode!r}")
     counters = {
         "html.blocks_total": len(raw),
         "html.dropped_tag_prior": 0,
@@ -167,26 +207,54 @@ def classify_blocks(
         "html.headings": 0,
         "html.paragraphs": 0,
     }
-    kept: list[Block] = []
-    offset = 0
+    cand: list[RawBlock] = []
     for b in raw:
         if b.boilerplate_ancestor:
             counters["html.dropped_tag_prior"] += 1
-            continue
-        if b.link_density > link_density_max:
+        else:
+            cand.append(b)
+
+    decisions: list[bool] = []
+    for i, b in enumerate(cand):
+        is_heading = b.tag in HEADING_TAGS
+        if mode == "numwords" and not is_heading:
+            prev = cand[i - 1] if i > 0 else None
+            nxt = cand[i + 1] if i + 1 < len(cand) else None
+            if not numwords_is_content(prev, b, nxt):
+                counters["html.dropped_link_density"] += 1
+                decisions.append(False)
+                continue
+        elif b.link_density > link_density_max:
             counters["html.dropped_link_density"] += 1
+            decisions.append(False)
+            continue
+        if min_words and not is_heading and b.n_words < min_words:
+            counters["html.dropped_short"] += 1
+            decisions.append(False)
+            continue
+        decisions.append(True)
+
+    if mode == "numwords":
+        # heading exemption only holds when the heading introduces kept
+        # content: drop a heading with no kept block after it.
+        for i, b in enumerate(cand):
+            if decisions[i] and b.tag in HEADING_TAGS:
+                if not any(decisions[i + 1:]):
+                    decisions[i] = False
+                    counters["html.dropped_link_density"] += 1
+
+    kept: list[Block] = []
+    offset = 0
+    for b, keep in zip(cand, decisions):
+        if not keep:
             continue
         is_heading = b.tag in HEADING_TAGS
-        if min_words and not is_heading and len(b.text.split()) < min_words:
-            counters["html.dropped_short"] += 1
-            continue
-        block_type = "heading" if is_heading else "paragraph"
         counters["html.headings" if is_heading else "html.paragraphs"] += 1
         text = b.text + "\n"
         kept.append(
             Block(
                 block_id=len(kept),
-                block_type=block_type,
+                block_type="heading" if is_heading else "paragraph",
                 text=text,
                 span_start=offset,
                 span_end=offset + len(text),
@@ -200,6 +268,7 @@ def extract_html_document(
     html: bytes | str,
     min_words: int = 0,
     link_density_max: float = LINK_DENSITY_MAX,
+    mode: str = "density",
     max_doc_bytes: int = 50_000_000,
 ) -> ExtractResult:
     """One HTML page → main-content blocks + counters (quarantining errors
@@ -221,6 +290,7 @@ def extract_html_document(
             parse_blocks(raw_html),
             min_words=min_words,
             link_density_max=link_density_max,
+            mode=mode,
         )
         text = "".join(b.text for b in blocks)
         return ExtractResult(text, blocks, counters)

@@ -204,6 +204,7 @@ def extract_html_documents(
     html_col: str = "html",
     salt_partitions: int | None = None,
     min_words: int = 0,
+    mode: str = "density",
 ) -> DataFrame:
     """pages(url, warc_ts, html, lang) → extracted rows via the HTML
     main-content mode (tag-aware block segmentation + link-density
@@ -226,7 +227,7 @@ def extract_html_documents(
     if salt_partitions:
         narrowed = narrowed.repartition(salt_partitions, F.xxhash64("url"))
 
-    fn = functools.partial(extract_html_document, min_words=min_words)
+    fn = functools.partial(extract_html_document, min_words=min_words, mode=mode)
     return narrowed.mapInArrow(_result_batches_arrow(fn, "html"), EXTRACTED_SCHEMA)
 
 

@@ -140,3 +140,53 @@ def test_spark_operator_roundtrip(spark):
     ctr = extracted.select(F.explode("counters").alias("k", "v"))
     keys = {r["k"] for r in ctr.select("k").distinct().collect()}
     assert "html.dropped_tag_prior" in keys and "html.paragraphs" in keys
+
+
+def test_numwords_classifier_rule():
+    """The Boilerpipe NumWords/LinkDensity rule (Kohlschütter et al., WSDM
+    2010): short link-free boilerplate fragments drop on context, short
+    prose inside a dense neighborhood survives, link-heavy neighbors raise
+    the word-count bar."""
+    from pdf_to_epub_spark.extractlib.htmlblocks import (
+        RawBlock,
+        numwords_is_content,
+    )
+
+    prose = lambda n: RawBlock("p", "word " * n, 0, False)  # noqa: E731
+    linky = RawBlock("p", "x " * 9, 25, False)  # link_density > 0.556
+    # isolated short fragment (copyright line) → boilerplate
+    assert not numwords_is_content(None, RawBlock("p", "Copyright 2025", 0, False), None)
+    # the same fragment after a dense paragraph (prev words > 4) → content
+    assert numwords_is_content(prose(20), RawBlock("p", "Short reply here.", 0, False), None)
+    # link-heavy previous block raises the bar to > 40 words
+    assert not numwords_is_content(linky, prose(20), None)
+    assert numwords_is_content(linky, prose(41), None)
+    # link-dense current block is always boilerplate
+    assert not numwords_is_content(prose(20), linky, prose(20))
+
+
+def test_numwords_mode_end_to_end():
+    html = (
+        "<body>"
+        "<h2>Title Of The Piece</h2>"
+        "<p>" + "word " * 30 + "</p>"
+        "<p>Posted in: misc</p>"          # short, isolated after dense? prev dense keeps it
+        "<div><a href='/a'>share</a> <a href='/b'>tweet</a></div>"
+        "<p>" + "prose " * 25 + "</p>"
+        "</body>"
+    )
+    blocks, counters = classify_blocks(parse_blocks(html), mode="numwords")
+    texts = [b.text for b in blocks]
+    assert texts[0] == "Title Of The Piece\n"
+    assert not any("share" in t for t in texts)  # link-dense div dropped
+    # a dangling heading with no kept content after it is dropped
+    blocks2, _ = classify_blocks(
+        parse_blocks("<body><h2>Orphan Head</h2><div><a href='/x'>only links</a></div></body>"),
+        mode="numwords",
+    )
+    assert blocks2 == []
+    # spans still tile
+    offset = 0
+    for b in blocks:
+        assert b.span_start == offset
+        offset = b.span_end
