@@ -254,16 +254,14 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    n_chars = F.length("text")
-    # run-delete counting (identical result, ~10× faster than a negated
-    # single-char class; see operators/textstats.py)
-    alpha = n_chars - F.length(
-        F.regexp_replace(F.col("text"), "[A-Za-zÀ-ÖØ-öø-ÿ]+", "")
-    )
-    return d.select(
-        "doc_id",
-        F.round(alpha / F.greatest(n_chars, F.lit(1)), 4).alias("alpha_ratio"),
+    """Full quality-feature surface through the actual operator: alpha /
+    punctuation density, mean word length, stopword ratio — every column
+    oracled in DuckDB."""
+    from pdf_to_epub_spark.operators import quality_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_features(d).select(
+        "doc_id", "alpha_ratio", "punct_ratio", "mean_word_len", "stopword_ratio"
     )
 
 
@@ -1121,11 +1119,27 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text), '[a-zà-öø-ÿ]+')) AS n_words
             FROM documents
         """,
+        # Mirrors operators/textstats.quality_features exactly: run-delete
+        # counting ≡ keep-class counting; words = accented-letter runs;
+        # stopwords = the English marker set.
         "quality_scores": """
+            WITH feats AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       length(regexp_replace(text,
+                           '[^A-Za-zÀ-ÖØ-öø-ÿ]', '', 'g')) AS alpha_chars,
+                       length(text) - length(regexp_replace(text,
+                           '[\\.,;:!\\?"''—–-]+', '', 'g')) AS punct_chars,
+                       regexp_extract_all(lower(text), '[a-zà-öø-ÿ]+') AS words
+                FROM documents)
             SELECT doc_id,
-                   round(length(regexp_replace(text, '[^A-Za-zÀ-ÖØ-öø-ÿ]', '', 'g'))
-                         / greatest(length(text), 1), 4) AS alpha_ratio
-            FROM documents
+                   round(alpha_chars / greatest(n_chars, 1), 4) AS alpha_ratio,
+                   round(punct_chars / greatest(n_chars, 1), 4) AS punct_ratio,
+                   round(alpha_chars / greatest(len(words), 1), 4) AS mean_word_len,
+                   round(len(list_filter(words, w -> w IN
+                         ('the','and','of','to','a','in','is','was')))
+                         / greatest(len(words), 1), 4) AS stopword_ratio
+            FROM feats
         """,
         "lang_guess": f"""
             SELECT doc_id, lang AS lang_guess FROM (

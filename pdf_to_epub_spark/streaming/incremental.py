@@ -43,14 +43,25 @@ def incremental_extract(
     checkpoint_dir: str,
     salt_partitions: int | None = None,
     await_termination: bool = True,
+    html_mode: bool = False,
 ):
     """Process all not-yet-committed parquet files under ``input_dir`` and
     append extracted rows to ``output_dir``; offsets live in
-    ``checkpoint_dir``.  Returns the StreamingQuery."""
-    from pdf_to_epub_spark.operators.extract import extract_documents
+    ``checkpoint_dir``.  Returns the StreamingQuery.
+
+    ``html_mode`` switches the per-document transform to the HTML
+    main-content extractor (same EXTRACTED_SCHEMA, so the sink and all
+    downstream batch queries are unchanged)."""
+    from pdf_to_epub_spark.operators.extract import (
+        extract_documents,
+        extract_html_documents,
+    )
 
     stream = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
-    extracted = extract_documents(stream, salt_partitions=salt_partitions)
+    if html_mode:
+        extracted = extract_html_documents(stream, salt_partitions=salt_partitions)
+    else:
+        extracted = extract_documents(stream, salt_partitions=salt_partitions)
     query = (
         extracted.writeStream.format("parquet")
         .option("path", output_dir)

@@ -103,3 +103,45 @@ def test_stateful_first_seen_dedup(spark, tmp_path):
     run_batch()
     got2 = spark.read.parquet(str(out_dir)).collect()
     assert len(got2) == 10  # only the 3 new hashes were appended
+
+
+def test_incremental_html_extract(spark, tmp_path):
+    """HTML-mode streaming: boilerplate pages arrive incrementally; the
+    recovered main content matches ground truth across batches."""
+    from pdf_to_epub_spark.sources.synth import (
+        expected_main_content,
+        make_boilerplate_page,
+        make_document_text,
+    )
+
+    inp = tmp_path / "hin"
+    outp = tmp_path / "hout"
+    cp = tmp_path / "hcp"
+    inp.mkdir()
+
+    def page_rows(lo, hi):
+        rows = []
+        for i in range(lo, hi):
+            text = make_document_text(i, seed=31)
+            rows.append(
+                {
+                    "url": f"doc://{i}",
+                    "warc_ts": None,
+                    "html": make_boilerplate_page(i, f"doc://{i}", text),
+                    "text": None,
+                    "lang": "en",
+                }
+            )
+        return rows
+
+    _write_batch(inp, page_rows(0, 6), "b1.parquet")
+    incremental_extract(spark, str(inp), str(outp), str(cp), html_mode=True)
+    assert spark.read.parquet(str(outp)).count() == 6
+
+    _write_batch(inp, page_rows(6, 10), "b2.parquet")
+    incremental_extract(spark, str(inp), str(outp), str(cp), html_mode=True)
+    got = {r["url"]: r["text"] for r in spark.read.parquet(str(outp)).collect()}
+    assert len(got) == 10
+    for i in range(10):
+        expected = expected_main_content(i, make_document_text(i, seed=31))
+        assert got[f"doc://{i}"] == expected, f"doc {i}"
