@@ -58,17 +58,26 @@ def first_protected_heading(lines: list[str]) -> int | None:
     return None
 
 
-def strip_running_heads(text: str, counters: dict) -> str:
+def strip_running_heads(
+    text: str, counters: dict, protect_chapter_heading: bool = True
+) -> str:
     """Delete header/footer blocks anchored on Volume / series-title lines.
 
     Region growing is strictly sequential per document (grow, absorb up to
     three dangling punct/number lines, boundary body check, protected-heading
     split, overlap merge) — which is why the whole document rides inside one
     pandas-UDF row rather than being exploded into per-line Spark rows.
+
+    ``protect_chapter_heading=False`` reproduces the legacy v10 behavior
+    byte-for-byte (reference Step1_ocr_cleanup_v10.py is exactly v11 minus
+    the protected-heading logic; `diff` confirms nothing else changed) —
+    the T26-adjacent variant the SURVEY scoped as legacy.
     """
     lines = text.splitlines()
     n = len(lines)
-    protected = first_protected_heading(lines)
+    protected = (
+        first_protected_heading(lines) if protect_chapter_heading else None
+    )
 
     def headerish(idx: int) -> bool:
         if protected is not None and idx == protected:
@@ -291,12 +300,20 @@ def reinstate_protected_lines(text: str, original_text: str) -> str:
 # Stage driver
 # --------------------------------------------------------------------------
 
-def run_stage1(text: str, counters: dict | None = None) -> str:
-    """Full stage 1 in reference order (Step1_ocr_cleanup_v11.py:204-207)."""
+def run_stage1(
+    text: str,
+    counters: dict | None = None,
+    protect_chapter_heading: bool = True,
+) -> str:
+    """Full stage 1 in reference order (Step1_ocr_cleanup_v11.py:204-207).
+
+    ``protect_chapter_heading=False`` is the legacy v10 pipeline
+    byte-for-byte (same pass order; Step1_ocr_cleanup_v10.py:185-187 —
+    v10 differs from v11 only by the protected-heading logic)."""
     if counters is None:
         counters = {}
     original = text
-    text = strip_running_heads(text, counters)
+    text = strip_running_heads(text, counters, protect_chapter_heading)
     text = repair_word_mojibake(text)
     text = reinstate_protected_lines(text, original)
     return text

@@ -89,3 +89,19 @@ def test_strip_numbers_general_guards():
     assert "1760" in out  # year guard
     assert "ducats" in out
     assert log["number_removals"]["deletions"]["standalone_line"] >= 0
+
+
+def test_stage1_v10_parity():
+    """run_stage1(protect_chapter_heading=False) is the legacy v10 pipeline
+    byte-for-byte (v10 = v11 minus the protected-heading logic; goldens
+    produced by tests/make_legacy_v10_goldens.py from the reference CLI)."""
+    from pdf_to_epub_spark.extractlib.cleanup import run_stage1
+
+    golden = pathlib.Path(__file__).resolve().parent / "golden"
+    cases = sorted(p for p in golden.iterdir() if (p / "step1_v10.txt").is_file())
+    assert len(cases) >= 24
+    for doc_dir in cases:
+        raw = (doc_dir / "input.txt").read_text(encoding="utf-8")
+        expected = (doc_dir / "step1_v10.txt").read_text(encoding="utf-8")
+        got = run_stage1(raw, {}, protect_chapter_heading=False)
+        assert got == expected, doc_dir.name
