@@ -665,7 +665,13 @@ def run_stage2(
     text: str,
     counters: dict | None = None,
     money_terms: frozenset[str] | set[str] = DEFAULT_MONEY_TERMS,
+    speaker_turn_split: bool = True,
 ) -> str:
+    """Full stage 2 in reference order (Step2_formatting_v14.py:514-547).
+
+    ``speaker_turn_split=False`` is the legacy v13 pipeline byte-for-byte
+    (Step2_formatting1_v13.py is exactly v14 minus the
+    split_adjacent_dialogue_turns pass — confirmed by diff)."""
     if counters is None:
         counters = {}
     text = bare_mojibake_prepass(text, counters)
@@ -685,7 +691,8 @@ def run_stage2(
     text = mend_quote_apostrophe_artifacts(text, counters)
     text = normalize_comma_quote_gap(text, counters)
     text = drop_quote_islands(text, counters)
-    text = split_speaker_turns(text, counters)
+    if speaker_turn_split:
+        text = split_speaker_turns(text, counters)
     text = tidy_intraline_spaces(text, counters)
     text = collapse_adjacent_dquotes(text, counters)
     return text

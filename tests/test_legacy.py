@@ -105,3 +105,19 @@ def test_stage1_v10_parity():
         expected = (doc_dir / "step1_v10.txt").read_text(encoding="utf-8")
         got = run_stage1(raw, {}, protect_chapter_heading=False)
         assert got == expected, doc_dir.name
+
+
+def test_stage2_v13_parity():
+    """run_stage2(speaker_turn_split=False) is the legacy v13 pipeline
+    byte-for-byte (v13 = v14 minus split_adjacent_dialogue_turns; goldens
+    from tests/make_legacy_v13_goldens.py via the reference CLI)."""
+    from pdf_to_epub_spark.extractlib.formatting import run_stage2
+
+    golden = pathlib.Path(__file__).resolve().parent / "golden"
+    cases = sorted(p for p in golden.iterdir() if (p / "step2_v13.txt").is_file())
+    assert len(cases) >= 24
+    for doc_dir in cases:
+        s1 = (doc_dir / "step1.txt").read_text(encoding="utf-8")
+        expected = (doc_dir / "step2_v13.txt").read_text(encoding="utf-8")
+        got = run_stage2(s1, {}, speaker_turn_split=False)
+        assert got == expected, doc_dir.name
