@@ -685,6 +685,24 @@ def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, q, k=10, n_centroids=16, nprobe=8)
 
 
+def _q_quarantine_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-isolation surface, oracled: documents are inflated ×50 and
+    extracted under a 100k-char cap — oversized docs must become
+    ``quarantined`` status rows (never task failures), everything else
+    extracts normally.  The oracle recomputes the expected status split
+    from lengths alone."""
+    _ship_package(spark)
+    from pdf_to_epub_spark.operators import extract_documents, status_summary
+
+    docs = _docs_as_pages(_t(spark, sf_dir, "documents")).select(
+        "url", "warc_ts", "lang", F.repeat("text", 50).alias("text")
+    )
+    extracted = extract_documents(docs, max_doc_chars=100_000)
+    return status_summary(extracted).select(
+        "status", F.col("docs").cast("long").alias("n_docs")
+    )
+
+
 def _q_resume_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/S3 checkpoint resume: first half committed → second half pending."""
     from pdf_to_epub_spark.operators import pending_documents, with_doc_hash
@@ -717,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs": _q_embedding_near_pairs,
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
         "resume_pending": _q_resume_pending,
+        "quarantine_summary": _q_quarantine_summary,
         "shard_merge_roundtrip": _q_shard_merge_roundtrip,
         "example_samples": _q_example_samples,
         "asof_latest_order": _q_asof_latest_order,
@@ -1198,6 +1217,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "resume_pending": """
             SELECT doc_id FROM documents WHERE doc_id % 2 <> 0
+        """,
+        "quarantine_summary": """
+            SELECT CASE WHEN length(text) * 50 > 100000
+                        THEN 'quarantined' ELSE 'ok' END AS status,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
         """,
         "shard_merge_roundtrip": """
             SELECT doc_id, length(text) AS merged_len FROM documents

@@ -173,6 +173,7 @@ def extract_documents(
     docs: DataFrame,
     text_col: str = "text",
     salt_partitions: int | None = None,
+    max_doc_chars: int = 50_000_000,
 ) -> DataFrame:
     """documents(url, warc_ts, html, text, lang) → extracted rows.
 
@@ -192,10 +193,13 @@ def extract_documents(
     if salt_partitions:
         narrowed = narrowed.repartition(salt_partitions, F.xxhash64("url"))
 
+    import functools
+
     from pdf_to_epub_spark.extractlib.pipeline import extract_document
 
+    fn = functools.partial(extract_document, max_doc_chars=max_doc_chars)
     return narrowed.mapInArrow(
-        _result_batches_arrow(extract_document, "text"), EXTRACTED_SCHEMA
+        _result_batches_arrow(fn, "text"), EXTRACTED_SCHEMA
     )
 
 
