@@ -205,6 +205,13 @@ def make_gif(
 
 def gif_info(raw: bytes) -> tuple[int, int, int]:
     """GIF → (width, height, n_frames) via a real block walk."""
+    try:
+        return _gif_info(raw)
+    except (IndexError, struct.error) as exc:  # truncated mid-structure
+        raise UnsupportedMedia(f"GIF: truncated ({exc})") from exc
+
+
+def _gif_info(raw: bytes) -> tuple[int, int, int]:
     if len(raw) < 13 or raw[:4] != b"GIF8":
         raise UnsupportedMedia("not a GIF")
     width, height, flags = struct.unpack_from("<HHB", raw, 6)

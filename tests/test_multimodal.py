@@ -166,3 +166,31 @@ def test_corrupt_payload_rows(spark):
     got = {r["media_id"]: r for r in extract_media_features(df).collect()}
     assert all(r["status"] == "unsupported" for r in got.values())
     assert got[1]["n_bytes"] == 0
+
+
+def test_fuzz_codecs_never_crash():
+    """Random bytes behind every known magic prefix must either decode or
+    raise UnsupportedMedia — never any other exception (the Spark stage
+    maps that to an error row, but the codecs themselves should classify
+    garbage as unsupported, not explode)."""
+    import random
+
+    from pdf_to_epub_spark.operators.multimodal import decode_media
+
+    magics = {
+        "bmp": b"BM", "png": b"\x89PNG\r\n\x1a\n", "jpeg": b"\xff\xd8\xff",
+        "gif": b"GIF89a", "riff": b"RIFF", "mp3": b"ID3",
+    }
+    for seed in range(80):
+        rng = random.Random(seed)
+        container = rng.choice(list(magics))
+        payload = magics[container] + bytes(
+            rng.getrandbits(8) for _ in range(rng.randint(0, 400))
+        )
+        try:
+            feat = decode_media(payload, container)
+            assert feat["width"] is None or feat["width"] >= 0
+        except UnsupportedMedia:
+            pass
+        # anything else (struct.error, IndexError, ...) propagates and
+        # fails the test: garbage must classify, not explode
