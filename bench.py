@@ -175,6 +175,10 @@ def run_bench(
         _force(simhash_near_pairs(entrymod.mutated_recrawl(spark, sf_dir), max_hamming=3))
 
     timed("simhash_pairs", simhash_scale_path)
+    timed(
+        "ngram_jaccard_pairs",
+        lambda: _force(queries["ngram_jaccard_pairs"](spark, sf_dir)),
+    )
     timed("ann_topk", lambda: queries["ann_topk"](spark, sf_dir).collect())
     timed("lang_guess", lambda: _force(queries["lang_guess"](spark, sf_dir)))
 
