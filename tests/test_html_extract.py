@@ -254,3 +254,84 @@ def test_fuzz_html_invariants():
         for rb in raw:
             if rb.link_density > LINK_DENSITY_MAX:
                 assert rb.text not in kept_texts
+
+
+def test_realistic_blog_page():
+    """Handcrafted blog-shaped page: chrome, share bars, related-posts and
+    comment-meta junk must vanish; title, byline-free prose and a quote
+    survive (numwords mode)."""
+    html = (
+        '<html><head><title>My Blog - A Post</title>'
+        '<style>.x{color:red}</style></head><body>'
+        '<header><div><a href="/">My Blog</a> <a href="/about">About</a> '
+        '<a href="/rss">RSS</a></div></header>'
+        '<nav><ul><li><a href="/t/spark">spark</a></li>'
+        '<li><a href="/t/data">data</a></li></ul></nav>'
+        '<article>'
+        '<h1>Why We Moved The Pipeline To Spark</h1>'
+        '<p>When our crawl corpus crossed a hundred terabytes the nightly '
+        'batch stopped finishing, and every ad-hoc fix made the DAG harder '
+        'to reason about than the one before it.</p>'
+        '<div class="share"><a href="/tw">Tweet</a> <a href="/fb">Share</a> '
+        '<a href="/hn">Upvote</a></div>'
+        # NB: this paragraph sits right after a link-dense share bar, which
+        # raises the NumWords bar to >40 words (prev.linkDensity > 0.556) —
+        # it must be long enough to clear it, exactly as the published rule
+        # prescribes.
+        '<p>The rewrite started with the smallest job we had, a '
+        'deduplication pass, because it touched every row and nothing '
+        'downstream depended on its internals, and from there we worked '
+        'outward one stage at a time, porting each transformation only '
+        'after its predecessor matched the legacy output byte for byte '
+        'on the full regression corpus.</p>'
+        '<blockquote>Declare the plan, let the optimizer schedule it, and '
+        'measure before believing anything.</blockquote>'
+        '<p>Six weeks later the same hardware finished in four hours.</p>'
+        '</article>'
+        '<aside><h3>Related</h3><ul><li><a href="/p/1">Scaling lessons</a>'
+        '</li><li><a href="/p/2">Parquet tips</a></li></ul></aside>'
+        '<footer><p>(c) 2025 myblog.example - <a href="/legal">legal</a>'
+        '</p></footer></body></html>'
+    )
+    blocks, _ = classify_blocks(parse_blocks(html), mode="numwords")
+    texts = [b.text.strip() for b in blocks]
+    assert texts[0] == "Why We Moved The Pipeline To Spark"
+    assert [b.block_type for b in blocks][0] == "heading"
+    assert any(t.startswith("When our crawl corpus") for t in texts)
+    assert any(t.startswith("The rewrite started") for t in texts)
+    assert any(t.startswith("Declare the plan") for t in texts)
+    assert any(t.startswith("Six weeks later") for t in texts)
+    joined = " ".join(texts)
+    for junk in ("Tweet", "Upvote", "Related", "RSS", "legal", "About",
+                 "Scaling lessons", "color:red", "My Blog - A Post"):
+        assert junk not in joined, junk
+
+
+def test_realistic_reference_page():
+    """Wiki-shaped page: infobox-ish link table and edit links drop; body
+    paragraphs and section heading survive (density mode — link-light
+    tables of prose would survive too, which is correct for wikis)."""
+    html = (
+        '<html><body>'
+        '<div id="siteSub"><a href="/wiki/Main">Main page</a> '
+        '<a href="/wiki/Random">Random</a> <a href="/wiki/Help">Help</a></div>'
+        '<h1>Common Crawl</h1>'
+        '<table class="infobox"><tr><td><a href="/wiki/Foundation">'
+        'Foundation</a></td><td><a href="/wiki/2007">2007</a></td></tr>'
+        '</table>'
+        '<p>Common Crawl is a nonprofit organization that crawls the web '
+        'and freely provides its archives and datasets to the public.</p>'
+        '<h2>History</h2>'
+        '<p>The corpus contains petabytes of data collected over more than '
+        'a decade of web crawling, released in monthly snapshots.</p>'
+        '</body></html>'
+    )
+    blocks, _ = classify_blocks(parse_blocks(html), mode="density")
+    texts = [b.text.strip() for b in blocks]
+    assert "Common Crawl" in texts[0]
+    assert any(t.startswith("Common Crawl is a nonprofit") for t in texts)
+    assert any(t == "History" for t in texts)
+    assert any(t.startswith("The corpus contains petabytes") for t in texts)
+    joined = " ".join(texts)
+    for junk in ("Main page", "Random", "Foundation", "2007"):
+        assert junk not in joined, junk
