@@ -475,6 +475,21 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _q_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate REMOVAL end-to-end: the mutated-recrawl corpus after
+    drop_near_duplicates must keep exactly the ids that never appear as
+    the higher id of a true near-dup pair (greedy keep-lowest policy) —
+    the oracle recomputes the survivor set from brute-force shingle
+    Jaccard."""
+    from pdf_to_epub_spark.operators import drop_near_duplicates
+
+    kept = drop_near_duplicates(
+        mutated_recrawl(spark, sf_dir),
+        k=3, num_hashes=32, bands=8, jaccard_threshold=0.7,
+    )
+    return kept.select("doc_id")
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with the md5-based 60-bit token hash so the
     whole fingerprint pipeline is reproducible in the DuckDB oracle.  The
@@ -746,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_documents": _q_assemble_documents,
         "extraction_metrics": _q_extraction_metrics,
         "minhash_pairs": _q_minhash_pairs,
+        "dedup_near_survivors": _q_dedup_near_survivors,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
@@ -755,7 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _shingle_jaccard_oracle(k: int, threshold: float) -> str:
+def _shingle_jaccard_oracle(k: int, threshold: float, final: str | None = None) -> str:
     """DuckDB replica of the mutated-recrawl shingle-Jaccard queries: exact
     k-word-shingle Jaccard over documents ∪ last-word-dropped copies.
 
@@ -763,7 +779,14 @@ def _shingle_jaccard_oracle(k: int, threshold: float) -> str:
     split(trim(lower(text)), '\\s+'), distinct k-grams joined by ' ', whole
     text as the single shingle when fewer than k tokens.  The min/max size
     prefilter is sound (J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|)), it just prunes
-    the quadratic pair scan."""
+    the quadratic pair scan.
+
+    ``final`` overrides the closing SELECT (receives a ``truepairs`` CTE
+    with id_a/id_b/jaccard and the ``corpus`` CTE) — used by the survivor
+    oracle for the near-dup removal query."""
+    final = final or """
+        SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM truepairs
+    """
     return f"""
         WITH corpus AS (
             SELECT doc_id, text FROM documents
@@ -782,17 +805,20 @@ def _shingle_jaccard_oracle(k: int, threshold: float) -> str:
                          regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
                   FROM corpus)
         ),
-        sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                     / (a.n + b.n - len(list_intersect(a.shingles, b.shingles))),
-                     4) AS jaccard
-        FROM sized a JOIN sized b
-          ON a.doc_id < b.doc_id
-         AND least(a.n, b.n)::DOUBLE / greatest(a.n, b.n) >= {threshold}
-        WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-              / (a.n + b.n - len(list_intersect(a.shingles, b.shingles)))
-              >= {threshold}
+        sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh),
+        truepairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                   / (a.n + b.n - len(list_intersect(a.shingles, b.shingles)))
+                   AS jaccard
+            FROM sized a JOIN sized b
+              ON a.doc_id < b.doc_id
+             AND least(a.n, b.n)::DOUBLE / greatest(a.n, b.n) >= {threshold}
+            WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                  / (a.n + b.n - len(list_intersect(a.shingles, b.shingles)))
+                  >= {threshold}
+        )
+        {final}
     """
 
 
@@ -1267,6 +1293,16 @@ def oracle_sql() -> dict[str, str]:
         # and the operator's exact-Jaccard verification removes all false
         # positives — so output == all pairs with true Jaccard ≥ 0.7.
         "minhash_pairs": _shingle_jaccard_oracle(k=3, threshold=0.7),
+        # Survivor oracle for the greedy near-dup removal (same recall
+        # argument as minhash_pairs; exact verify removes false positives,
+        # so dropped == distinct id_b of the true pair set).
+        "dedup_near_survivors": _shingle_jaccard_oracle(
+            k=3, threshold=0.7,
+            final="""
+                SELECT doc_id FROM corpus
+                WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM truepairs)
+            """,
+        ),
         # Exact oracle: banding recall is 1 by pigeonhole, and the md5-based
         # token hash is reproduced bit-for-bit in SQL.
         "simhash_pairs": _simhash_oracle(max_hamming=3),

@@ -1,6 +1,7 @@
 from .assemble import assemble_documents, ordered_concat
 from .dedup import (
     drop_exact_duplicates,
+    drop_near_duplicates,
     exact_duplicate_groups,
     md5_hash60,
     minhash_candidate_pairs,
@@ -39,6 +40,7 @@ __all__ = [
     "sessionize",
     "document_fingerprint",
     "drop_exact_duplicates",
+    "drop_near_duplicates",
     "embedding_near_duplicates",
     "exact_duplicate_groups",
     "guess_language",

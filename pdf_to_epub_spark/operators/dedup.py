@@ -246,6 +246,31 @@ def _verify_pairs_exact_jaccard(
     )
 
 
+def drop_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    signatures_path: str | None = None,
+    reuse_signatures: bool = False,
+) -> DataFrame:
+    """Greedy near-duplicate REMOVAL on top of the MinHash+LSH pairs: drop
+    every row whose id appears as the higher id of a verified pair, keeping
+    the lowest id of each pairwise chain (the CCNet-style keep-first
+    policy; full connected components would need an iterative algorithm and
+    buys nothing when the keep policy is id-ordered).  Deterministic, so
+    the survivor set is SQL-oracle-checkable."""
+    pairs = minhash_candidate_pairs(
+        df, text_col, id_col, k, num_hashes, bands, jaccard_threshold,
+        signatures_path, reuse_signatures,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -208,3 +208,23 @@ def test_ann_recall_floors(vectors):
     assert sorted(map(tuple, lsh.collect())) == sorted(map(tuple, again.collect()))
     ivf_again = ivf_topk(vectors, queries, k=5, n_centroids=8, nprobe=4, sample_size=200)
     assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, ivf_again.collect()))
+
+
+def test_drop_near_duplicates(dup_corpus):
+    """Greedy near-dup removal keeps the lowest id of each pair chain."""
+    from pdf_to_epub_spark.operators import drop_near_duplicates
+
+    kept = drop_near_duplicates(
+        dup_corpus, k=3, num_hashes=32, bands=8, jaccard_threshold=0.6
+    )
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in dup_corpus.select("doc_id").collect()}
+    # the mutated twins (higher ids) vanish, originals survive
+    assert ids < all_ids
+    dropped = all_ids - ids
+    assert dropped and all(i > min(all_ids) for i in dropped)
+    # idempotent: a second pass drops nothing
+    again = drop_near_duplicates(
+        kept, k=3, num_hashes=32, bands=8, jaccard_threshold=0.6
+    )
+    assert again.count() == len(ids)
