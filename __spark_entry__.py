@@ -243,6 +243,17 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicate_groups(recrawl)
 
 
+def _q_dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup REMOVAL: after drop_exact_duplicates on the self-union
+    re-crawl, exactly one row (the minimum id) survives per distinct
+    content."""
+    from pdf_to_epub_spark.operators import drop_exact_duplicates
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = d.union(d.select(F.col("doc_id") + F.lit(1_000_000), "text"))
+    return drop_exact_duplicates(recrawl).select("doc_id")
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -742,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_parts": _q_top_parts,
         # training-data operators (oracle-checked)
         "dedup_exact": _q_dedup_exact,
+        "dedup_exact_survivors": _q_dedup_exact_survivors,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
         "lang_guess": _q_lang_guess,
@@ -1158,6 +1170,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, count(*) AS n_docs,
                    min(doc_id) AS keeper_id
             FROM recrawl GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "dedup_exact_survivors": """
+            WITH recrawl AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents)
+            SELECT min(doc_id) AS doc_id FROM recrawl GROUP BY md5(text)
         """,
         "token_counts": """
             SELECT doc_id,
