@@ -335,3 +335,50 @@ def test_realistic_reference_page():
     joined = " ".join(texts)
     for junk in ("Main page", "Random", "Foundation", "2007"):
         assert junk not in joined, junk
+
+
+def test_empty_document_page():
+    """A page built from an empty document keeps only the heading (the
+    oracle's zero-lines CASE branch)."""
+    res = extract_html_document(make_boilerplate_page(5, "doc://5", ""))
+    assert res.status == "ok"
+    assert res.text == "Document 5\n"
+    assert [b.block_type for b in res.blocks] == ["heading"]
+
+
+def test_html_blocks_to_epub_sink(spark):
+    """HTML-mode blocks flow into the EPUB sink unchanged (same block
+    schema): the produced zip is a valid deterministic EPUB with the
+    heading in the TOC."""
+    import io
+    import zipfile
+
+    from pyspark.sql import functions as F
+
+    from pdf_to_epub_spark.export import epub_bytes
+    from pdf_to_epub_spark.operators import (
+        assemble_documents,
+        blocks_table,
+        extract_html_documents,
+    )
+
+    text = make_document_text(2, seed=33)
+    df = spark.createDataFrame(
+        [("doc://2", make_boilerplate_page(2, "doc://2", text), "en")],
+        "url string, html binary, lang string",
+    ).withColumn("warc_ts", F.to_timestamp(F.lit("2025-01-01 00:00:00")))
+    asm = assemble_documents(blocks_table(extract_html_documents(df))).collect()[0]
+    payload = epub_bytes(
+        [b.asDict() for b in asm["blocks"]], title="doc://2", lang="en"
+    )
+    z = zipfile.ZipFile(io.BytesIO(payload))
+    names = z.namelist()
+    assert names[0] == "mimetype"
+    nav = z.read("OEBPS/nav.xhtml").decode("utf-8")
+    assert "Document 2" in nav
+    opf = z.read("OEBPS/content.opf").decode("utf-8")
+    assert "dcterms:modified" in opf
+    # deterministic bytes
+    assert payload == epub_bytes(
+        [b.asDict() for b in asm["blocks"]], title="doc://2", lang="en"
+    )

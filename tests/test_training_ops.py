@@ -228,3 +228,29 @@ def test_drop_near_duplicates(dup_corpus):
         kept, k=3, num_hashes=32, bands=8, jaccard_threshold=0.6
     )
     assert again.count() == len(ids)
+
+
+def test_ann_recall_on_clustered_data(spark):
+    """Uniform-random vectors are ANN's worst case (recall ≈ fraction
+    examined); on clustered data — the realistic embedding shape — the
+    same LSH/IVF configs must recover most true neighbors, because true
+    neighbors share a cluster and clusters map to few buckets/cells."""
+    from pdf_to_epub_spark.operators.similarity import ivf_topk, topk_recall
+
+    rng = random.Random(5)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(8)]
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        rows.append((i, [float(x + rng.gauss(0, 0.15)) for x in c]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    queries = vecs.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(vecs, queries, k=10)
+    lsh = lsh_topk(vecs, queries, dim=16, k=10, bits=4, n_tables=8)
+    ivf = ivf_topk(vecs, queries, k=10, n_centroids=8, nprobe=2, sample_size=400)
+    r_lsh = topk_recall(exact, lsh, k=10)
+    r_ivf = topk_recall(exact, ivf, k=10)
+    assert r_lsh >= 0.9, f"clustered lsh recall {r_lsh}"
+    assert r_ivf >= 0.9, f"clustered ivf recall {r_ivf}"
