@@ -625,6 +625,35 @@ def _q_shard_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_shard_pagebreak_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 page-break-aware span scan: each synthesized shard carries one
+    page covering its whole text, so the jq-parity extractor emits
+    shard_text + sentinel per shard and the merged length is exactly
+    len(text) + n_shards · len(sentinel) — pure arithmetic for the
+    oracle."""
+    from pdf_to_epub_spark.sources.shards import (
+        make_shards_from_documents,
+        merge_shards,
+        parse_shard_json,
+        shard_text_with_pagebreaks,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("text")
+    )
+    shards = make_shards_from_documents(
+        docs.withColumnRenamed("doc_id", "url"), n_shards=4
+    )
+    parsed = parse_shard_json(shards).withColumn(
+        "shard_text", shard_text_with_pagebreaks(F.col("shard"))
+    )
+    merged = merge_shards(parsed)
+    return merged.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("merged_len"),
+    )
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode: binary payload + typed metadata → features via
     Arrow-batched mapInPandas.  Decode is REAL where the stdlib suffices
@@ -764,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_pending": _q_resume_pending,
         "quarantine_summary": _q_quarantine_summary,
         "shard_merge_roundtrip": _q_shard_merge_roundtrip,
+        "shard_pagebreak_roundtrip": _q_shard_pagebreak_roundtrip,
         "example_samples": _q_example_samples,
         "asof_latest_order": _q_asof_latest_order,
         "event_sessions": _q_event_sessions,
@@ -1271,6 +1301,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "shard_merge_roundtrip": """
             SELECT doc_id, length(text) AS merged_len FROM documents
+        """,
+        # 4 shards × one page each; sentinel '\n---Page-Break---\n' = 18 chars
+        "shard_pagebreak_roundtrip": """
+            SELECT doc_id, length(text) + 4 * 18 AS merged_len FROM documents
         """,
         "asof_latest_order": """
             WITH r AS (
