@@ -1005,11 +1005,16 @@ def _ivf_topk_oracle(
 ) -> str | None:
     """DuckDB replica of the IVF top-k.  The coarse centroids are data-
     dependent, so they are recomputed here in plain Python with the same
-    deterministic Lloyd's code over the same ordered 512-row sample the
-    Spark operator collects, once per testdata corpus, and inlined as a
-    corpus-keyed VALUES table (key = first component of vec 0, the corpora
-    share ids but not vectors).  Cell assignment, nprobe probing and exact
-    ranking are then recomputed relationally."""
+    deterministic Lloyd's code over the same hash-spread 512-row sample the
+    Spark operator collects (ordered by md5(str(vec_id)) — Spark
+    ``md5(cast(id as string))`` sorts identically to Python
+    ``hashlib.md5(str(id)).hexdigest()`` since both are lowercase-hex ASCII),
+    once per testdata corpus, and inlined as a corpus-keyed VALUES table
+    (key = first component of vec 0, the corpora share ids but not
+    vectors).  Cell assignment, nprobe probing and exact ranking are then
+    recomputed relationally."""
+    import hashlib
+
     import pyarrow.parquet as pq
 
     from pdf_to_epub_spark.operators.similarity import _kmeans_centroids
@@ -1021,7 +1026,11 @@ def _ivf_topk_oracle(
             return None
         t = pq.read_table(path, columns=["vec_id", "embedding"])
         by_id = sorted(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
-        sample = [[float(x) for x in v] for _, v in by_id[:sample_size]]
+        spread = sorted(
+            by_id,
+            key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]),
+        )
+        sample = [[float(x) for x in v] for _, v in spread[:sample_size]]
         key = round(float(by_id[0][1][0]), 6)
         for cid, c in enumerate(_kmeans_centroids(sample, n_centroids, seed=seed)):
             cent_rows.append(f"({key!r}, {cid}, {_vec_lit(c)})")

@@ -31,6 +31,7 @@ assemble_documents work unchanged on either mode's output.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from html.parser import HTMLParser
 
@@ -106,7 +107,12 @@ class _BlockParser(HTMLParser):
 
     def _flush(self) -> None:
         text = "".join(self._buf)
-        if text.strip():
+        # Non-blank test aligned with synth.NONBLANK_PATTERN ('[^ \t\r]' per
+        # line, so '[^ \t\r\n]' over the multi-line buffer): Python strip()
+        # would also eat NBSP/\f/\v, which the per-line classifier counts as
+        # content — the construction oracle and the parser must share one
+        # blankness definition.
+        if re.search(r"[^ \t\r\n]", text):
             self.blocks.append(
                 RawBlock(
                     tag=self._innermost_block(),

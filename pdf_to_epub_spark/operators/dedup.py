@@ -119,6 +119,53 @@ def minhash_signatures(
     )
 
 
+def _bucket_pairs(buckets: DataFrame, max_bucket: int = 4096) -> DataFrame:
+    """Buckets ``(…, _ids: sorted array<id>)`` → slim candidate ``(id_a,
+    id_b)`` rows, generated INSIDE each bucket.
+
+    Buckets up to ``max_bucket`` emit all C(n,2) combinations (the LSH
+    contract).  A larger bucket would materialize its O(n²) combination
+    array in ONE aggregation row — a single-task OOM on a degenerate band
+    value (e.g. millions of identical documents sharing every band); those
+    buckets emit STAR pairs instead (bucket-minimum id × each other id):
+    linear in bucket size, and exactly sufficient for the keep-lowest
+    removal policy on the identical-content buckets that cause the
+    degeneracy (every non-min id still pairs with the keeper and verifies
+    at Jaccard 1).  Pair LISTING under a triggered cap under-reports
+    non-adjacent pairs of a giant mixed bucket — documented, tested
+    (tests/test_skew.py), and avoidable: run exact dedup first; identical
+    content is its job, not LSH's.
+    """
+    combos = F.flatten(
+        F.transform(
+            "_ids",
+            lambda a, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size("_ids")),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+    star = F.transform(
+        F.slice("_ids", 2, F.size("_ids")),
+        lambda b: F.struct(
+            F.element_at("_ids", 1).alias("id_a"), b.alias("id_b")
+        ),
+    )
+    chosen = F.when(F.size("_ids") <= F.lit(max_bucket), combos).otherwise(star)
+    return buckets.select(F.explode(chosen).alias("p")).select("p.id_a", "p.id_b")
+
+
+def _fs_exists(spark, path: str) -> bool:
+    """Path existence through the Hadoop FileSystem API, so signature-store
+    reuse works for ANY URI scheme (hdfs://, s3a://, file:); a plain
+    ``pathlib.Path.exists()`` silently returns False for remote URIs and
+    would rebuild + rewrite the signature table every run."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -129,6 +176,7 @@ def minhash_candidate_pairs(
     jaccard_threshold: float = 0.5,
     signatures_path: str | None = None,
     reuse_signatures: bool = False,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification.
 
@@ -147,17 +195,17 @@ def minhash_candidate_pairs(
     The full shingle arrays never ride through a shuffle: exact-Jaccard
     verification re-shingles only the candidate rows after the broadcast
     probe.  A degenerate band value (all-identical docs) makes one giant
-    bucket — quadratic pair fan-out is inherent to LSH there; the exact
-    dedup pass is the right tool for identical content, run it first.
+    bucket — quadratic pair fan-out is inherent to LSH there; buckets over
+    ``max_bucket`` fall back to linear star pairs (see :func:`_bucket_pairs`)
+    so the degeneracy is bounded-memory instead of a single-task OOM.  The
+    exact dedup pass is still the right tool for identical content — run it
+    first.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
     if signatures_path is not None:
-        import pathlib
-
         spark = df.sparkSession
-        exists = pathlib.Path(signatures_path).exists()
-        if not (reuse_signatures and exists):
+        if not (reuse_signatures and _fs_exists(spark, signatures_path)):
             sigs.write.mode("overwrite").parquet(signatures_path)
         sigs = spark.read.parquet(signatures_path)
 
@@ -187,20 +235,7 @@ def minhash_candidate_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
         .where(F.size("_ids") > 1)
     )
-    combos = F.flatten(
-        F.transform(
-            "_ids",
-            lambda a, i: F.transform(
-                F.slice(F.col("_ids"), i + 2, F.size("_ids")),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-            ),
-        )
-    )
-    pairs = (
-        buckets.select(F.explode(combos).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pairs = _bucket_pairs(buckets, max_bucket).dropDuplicates(["id_a", "id_b"])
 
     return _verify_pairs_exact_jaccard(df, pairs, text_col, id_col, k, jaccard_threshold)
 
@@ -225,12 +260,18 @@ def _verify_pairs_exact_jaccard(
     substitutes the jaccard expression into the pushed-down threshold
     filter, evaluating the whole shingle pipeline TWICE per row (measured
     2× verify cost).  It materializes only (id_a, id_b, double) —
-    candidate-count rows — and is freed by the ContextCleaner."""
+    candidate-count rows — and is freed by the ContextCleaner.
+
+    Broadcast policy: only the SLIM (id_a, id_b) pair table is hinted —
+    candidate ids are small by construction (banding bounds them).  The
+    text-attached side is left to AQE: candidate-count × doc-text is
+    data-dependent, and on a duplicate-heavy corpus a forced broadcast
+    bypasses AQE's size check and OOMs where a shuffle hash join on id
+    degrades gracefully (AQE still converts to broadcast at runtime when
+    the post-shuffle stats come in small)."""
     ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_text_a"))
     tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_text_b"))
-    with_texts = tb.join(
-        F.broadcast(ta.join(F.broadcast(pairs), "id_a")), "id_b"
-    )
+    with_texts = tb.join(ta.join(F.broadcast(pairs), "id_a"), "id_b")
     sh_a = _word_shingles(F.col("_text_a"), k)
     sh_b = _word_shingles(F.col("_text_b"), k)
     scored = with_texts.select(
@@ -256,6 +297,7 @@ def drop_near_duplicates(
     jaccard_threshold: float = 0.5,
     signatures_path: str | None = None,
     reuse_signatures: bool = False,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Greedy near-duplicate REMOVAL on top of the MinHash+LSH pairs: drop
     every row whose id appears as the higher id of a verified pair, keeping
@@ -265,7 +307,7 @@ def drop_near_duplicates(
     the survivor set is SQL-oracle-checkable."""
     pairs = minhash_candidate_pairs(
         df, text_col, id_col, k, num_hashes, bands, jaccard_threshold,
-        signatures_path, reuse_signatures,
+        signatures_path, reuse_signatures, max_bucket,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")

@@ -20,11 +20,17 @@ def partition_metrics(extracted: DataFrame, run_id: str, stage: str) -> DataFram
     """extracted (with ``counters: map<string,long>``) → one row per input
     partition: (run_id, stage, partition_id, url_count, counters,
     committed_at)."""
+    # Lazy localCheckpoint: the slim (partition_id, url, counters) projection
+    # feeds TWO aggregations (url_count + per-key rollup); without the
+    # barrier each branch re-executes the full upstream plan — for
+    # extract_documents input that re-runs the whole Python extraction stage
+    # (~2× metrics-job cost).  partition_id is computed BEFORE the barrier,
+    # so it reflects the input partitioning; freed by the ContextCleaner.
     base = extracted.select(
         F.spark_partition_id().alias("partition_id"),
         F.col("url"),
         F.col("counters"),
-    )
+    ).localCheckpoint(eager=False)
     # url_count computed over ALL rows of the partition, independently of
     # counter keys — a max over per-counter distinct counts undercounts
     # partitions whose docs share no common counter key (e.g. ok docs with

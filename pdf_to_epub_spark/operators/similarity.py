@@ -230,11 +230,16 @@ def ivf_topk(
     """
     # orderBy before limit: a bare limit is not deterministic across
     # retries/partitionings (SURVEY §7.3.4 determinism rule) — this compiles
-    # to TakeOrderedAndProject, so the bound stays driver-safe.
+    # to TakeOrderedAndProject, so the bound stays driver-safe.  Ordering by
+    # a HASH of the id (not the id itself) spreads the training sample over
+    # the whole corpus instead of biasing the coarse quantizer to the
+    # lowest ids; md5-of-decimal-string rather than xxhash64 so the external
+    # SQL oracle can replay the exact sample in plain Python
+    # (hashlib.md5(str(id)) — see __spark_entry__._ivf_topk_oracle).
     sample = [
         [float(x) for x in r[vec_col]]
         for r in corpus.select(id_col, vec_col)
-        .orderBy(id_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(sample_size)
         .collect()
     ]
@@ -285,6 +290,7 @@ def embedding_near_duplicates(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH buckets: candidate pairs are
     generated INSIDE each bucket (groupBy + sorted collect_list +
@@ -294,7 +300,12 @@ def embedding_near_duplicates(
     probes; the slim localCheckpoint barrier before the filter prevents
     Catalyst from substituting the cosine into the pushed-down predicate
     and evaluating it twice (see operators/dedup.py for the same pattern).
+    Buckets over ``max_bucket`` fall back to linear star pairs
+    (dedup._bucket_pairs) — bounded memory on a degenerate bucket instead
+    of a single-task OOM.
     """
+    from pdf_to_epub_spark.operators.dedup import _bucket_pairs
+
     planes = _hyperplanes(dim, bits, seed)
     slim = corpus.select(id_col, lsh_bucket(F.col(vec_col), planes).alias("_bucket"))
     buckets = (
@@ -302,19 +313,15 @@ def embedding_near_duplicates(
         .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
         .where(F.size("_ids") > 1)
     )
-    combos = F.flatten(
-        F.transform(
-            "_ids",
-            lambda a, i: F.transform(
-                F.slice(F.col("_ids"), i + 2, F.size("_ids")),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-            ),
-        )
-    )
-    pairs = buckets.select(F.explode(combos).alias("p")).select("p.id_a", "p.id_b")
+    pairs = _bucket_pairs(buckets, max_bucket)
+    # Broadcast policy mirrors dedup._verify_pairs_exact_jaccard: only the
+    # slim id-pair table is hinted; the vector-attached side is left to AQE
+    # (candidate-count × vector is data-dependent — a near-dup-heavy corpus
+    # would OOM a forced broadcast where the shuffle join degrades
+    # gracefully).
     va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    scored = vb.join(F.broadcast(va.join(F.broadcast(pairs), "id_a")), "id_b").select(
+    scored = vb.join(va.join(F.broadcast(pairs), "id_a"), "id_b").select(
         "id_a",
         "id_b",
         F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),

@@ -40,3 +40,61 @@ def test_salting_balances_clustered_giants(spark):
     # control: range-partitioned input is badly skewed (clustered giants)
     unbalanced = partition_char_loads(df)
     assert unbalanced[-1] > 5 * unbalanced[0], unbalanced
+
+
+def test_degenerate_lsh_bucket_is_bounded(spark):
+    """N identical documents put EVERY id in one LSH bucket per band — the
+    documented degenerate case (operators/dedup.py).  The bucket cap must
+    (a) bound the in-task pair materialization to O(n) star pairs instead
+    of O(n²) combinations, (b) still drop every non-keeper id in
+    drop_near_duplicates (star pairs all verify at Jaccard 1), and (c) keep
+    the job a success, not an OOM-shaped failure mode hidden in a
+    docstring."""
+    from pdf_to_epub_spark.operators.dedup import (
+        drop_near_duplicates,
+        minhash_candidate_pairs,
+    )
+
+    n = 400
+    rows = [
+        {"doc_id": i, "text": "the same exact document body repeated verbatim"}
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows)
+
+    # cap far below the bucket size → star fallback engages
+    pairs = minhash_candidate_pairs(
+        df, k=3, num_hashes=16, bands=4, jaccard_threshold=0.9, max_bucket=50
+    )
+    got = sorted(map(tuple, pairs.select("id_a", "id_b").collect()))
+    # star shape: every pair anchored at the bucket-minimum id, linear count
+    assert got == [(0, i) for i in range(1, n)]
+
+    kept = drop_near_duplicates(
+        df, k=3, num_hashes=16, bands=4, jaccard_threshold=0.9, max_bucket=50
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [0]
+
+    # below the cap the full combination set is still emitted (LSH contract)
+    small = spark.createDataFrame(rows[:5])
+    allpairs = minhash_candidate_pairs(
+        small, k=3, num_hashes=16, bands=4, jaccard_threshold=0.9, max_bucket=50
+    )
+    assert allpairs.count() == 5 * 4 // 2
+
+
+def test_degenerate_embedding_bucket_is_bounded(spark):
+    """Same degeneracy for the embedding LSH path: identical vectors share
+    every hyperplane bucket; the cap bounds pair generation and the
+    keep-lowest removal survivor set is unchanged."""
+    from pdf_to_epub_spark.operators.similarity import embedding_near_duplicates
+
+    n = 300
+    vec = [float(x) for x in range(8)]
+    rows = [{"vec_id": i, "embedding": vec} for i in range(n)]
+    df = spark.createDataFrame(rows)
+    pairs = embedding_near_duplicates(
+        df, dim=8, threshold=0.99, bits=6, max_bucket=40
+    )
+    got = sorted(map(tuple, pairs.select("id_a", "id_b").collect()))
+    assert got == [(0, i) for i in range(1, n)]
