@@ -403,13 +403,23 @@ def _q_extraction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mutated_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ last-word-dropped copies (id + 1e6) — the shared
     near-duplicate test corpus for the minhash/simhash/ngram queries (each
-    doc gains one high-similarity partner)."""
+    doc gains one high-similarity partner).
+
+    The id-hash repartition is the same spread-before-CPU story as
+    extract_documents(salt_partitions=…): the testdata table is ONE parquet
+    split, so without it the shingle/signature/token narrow stages — the
+    dominant cost of every dedup query — run on a single core regardless of
+    cluster size (measured 2.6× on minhash at local[32]).  At 100 TB the
+    scan has thousands of splits and a real pipeline would skip this; for a
+    small-file corpus the one slim shuffle buys full parallelism."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     mutated = d.select(
         (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
         F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "").alias("text"),
     )
-    return d.union(mutated)
+    return d.union(mutated).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
 
 
 def _q_html_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -659,9 +669,10 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched mapInPandas.  Decode is REAL where the stdlib suffices
     (BMP pixels, WAV PCM, GIF block walk, PNG/JPEG headers); MP3/MP4 rows
     surface as honest ``unsupported`` (codecs absent in this image).
-    Rows-only by design: the corpus is generated in-query, so there is no
-    DuckDB view to oracle against; decode correctness is pinned by the
-    pure-codec roundtrip tests in tests/test_multimodal.py."""
+    Oracle: the corpus is deterministic, so expected features are computed
+    once by the same pure codecs and inlined as a VALUES golden
+    (_media_features_oracle); the Spark side exercises the JVM sniff +
+    Arrow batch path end-to-end against it."""
     _ship_package(spark)
     from pdf_to_epub_spark.operators.multimodal import (
         extract_media_features,
@@ -936,6 +947,58 @@ def _extraction_oracles() -> dict[str, str]:
             WHERE corpus_key = (SELECT md5(text) FROM documents WHERE doc_id = 0)
         """
     return oracles
+
+
+def _media_features_oracle(n: int = 200) -> str:
+    """Golden-VALUES oracle for the multimodal decode query: the corpus is
+    deterministic (make_media_corpus(seed=7)), so the expected
+    (container, n_bytes, width, height, n_frames, status) per media_id is
+    computed ONCE here with the pure stdlib codecs (no Spark) and inlined —
+    the same pattern as the reference-pipeline extraction goldens.  The
+    Python sniffing below replicates the JVM-side magic-byte when-chain in
+    operators/multimodal.sniff_container bit-for-bit (same _MAGIC order,
+    same ftyp-at-offset-5 mp4 rule)."""
+    from pdf_to_epub_spark.functions.mediacodec import UnsupportedMedia
+    from pdf_to_epub_spark.operators.multimodal import (
+        _MAGIC,
+        decode_media,
+        make_media_corpus,
+    )
+
+    def sniff(raw: bytes) -> str:
+        for name, magic in _MAGIC:
+            if raw[: len(magic)] == magic:
+                return name
+        if raw[4:8] == b"ftyp":
+            return "mp4"
+        return "unknown"
+
+    rows = []
+    for r in make_media_corpus(n):
+        raw = r["payload"]
+        container = sniff(raw)
+        try:
+            feat = decode_media(raw, container)
+            w, h, nf, status = feat["width"], feat["height"], feat["n_frames"], "ok"
+        except UnsupportedMedia:
+            w = h = nf = None
+            status = "unsupported"
+        sql_int = lambda v: "NULL" if v is None else str(v)  # noqa: E731
+        rows.append(
+            f"({r['media_id']},'{r['media_type']}','{container}',{len(raw)},"
+            f"{sql_int(w)},{sql_int(h)},{sql_int(nf)},'{status}')"
+        )
+    vals = ",\n            ".join(rows)
+    return f"""
+        WITH golden(media_id, media_type, container, n_bytes, width, height,
+                    n_frames, status) AS (VALUES
+            {vals})
+        SELECT media_id::BIGINT AS media_id, media_type, container,
+               n_bytes::BIGINT AS n_bytes, width::INTEGER AS width,
+               height::INTEGER AS height, n_frames::INTEGER AS n_frames,
+               status
+        FROM golden
+    """
 
 
 def _vec_lit(v: list[float]) -> str:
@@ -1414,6 +1477,9 @@ def oracle_sql() -> dict[str, str]:
                    n_paragraphs::BIGINT AS n_paragraphs
             FROM built
         """,
+        # Deterministic-corpus golden: expected features per media_id
+        # computed once by the same pure stdlib codecs, inlined as VALUES.
+        "media_features": _media_features_oracle(),
         # Reference-derived goldens: byte-identical extracted text per url.
         **_extraction_oracles(),
         # Approximate-ANN oracles: same hyperplanes/centroids inlined as

@@ -320,45 +320,61 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact n-gram-Jaccard pairing via a shared-shingle pre-join (inverted
-    index) over HASHED shingles, with exact string verification:
+    """Exact n-gram-Jaccard pairing via a PPJoin-style PREFIX-FILTERED
+    inverted index over HASHED shingles, with exact string verification:
 
-    1. explode xxhash64(shingle) — the inverted index and its self-join
-       shuffle carry only (id, n, long), never shingle strings (~2.5×
-       faster than string keys, and the shuffle volume that matters at
-       100 TB);
-    2. per-pair shared-hash counts give a hash-Jaccard that is ≥ the true
-       string-Jaccard (collisions can only inflate the intersection), so
-       thresholding it yields a SUPERSET of the true pair set;
-    3. candidates are re-verified with exact string shingles, so the
-       output is collision-proof exact.
-
-    Avoids the cross join; the shuffle key is the shingle hash, so
-    stopword-like shingles are the skew risk — callers should shingle at
-    k≥3 words."""
+    1. per doc, sort the distinct xxhash64(shingle) values (the hash IS the
+       canonical global token order — no df-statistics pass needed) and
+       index only the first ``n − ⌈t·n⌉ + 1`` of them (prefix-filtering
+       principle, Chaudhuri et al. SSJoin / Xiao et al. PPJoin: the
+       SMALLEST common token of any pair with Jaccard ≥ t must sit inside
+       both prefixes — if it didn't, the whole intersection would have to
+       fit in a suffix smaller than the required overlap).  This is the
+       100×-scale fix: a stopword-like shingle is indexed only by the
+       ~(1−t) fraction of docs where it falls in the prefix, so hot-shingle
+       join fan-out collapses from Σ df² to Σ ((1−t)·df)²;
+    2. the prefix self-join carries only (id, n, long) — never shingle
+       strings; a size-ratio filter (min(n_a,n_b) ≥ ⌈t·max⌉, sound because
+       J ≤ min/max) prunes length-incompatible pairs in the join itself;
+    3. candidates are re-verified with exact string shingles, so hash
+       collisions cannot create false positives.  (A collision between two
+       shingles of a near-threshold pair's intersection could in principle
+       drop a true pair from the candidate set; at 64-bit that is a
+       ~2⁻⁶⁴-per-pair event — the documented approximation bound.)"""
     sh = with_shingles(df.select(id_col, text_col), text_col, k).select(
         F.col(id_col).alias("id"), F.col("shingles")
     )
-    sized = sh.select("id", F.size("shingles").alias("n_sh"), "shingles")
-    inverted = sized.select(
+    hashed = sh.select(
         "id",
-        "n_sh",
-        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("h"),
+        F.array_sort(
+            F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
+        ).alias("hs"),
+    )
+    n = F.size("hs")
+    prefix_len = (n - F.ceil(n * F.lit(float(threshold))) + F.lit(1)).cast("int")
+    inverted = hashed.select(
+        "id",
+        n.alias("n_sh"),
+        F.explode(F.slice("hs", F.lit(1), prefix_len)).alias("h"),
     )
     a = inverted.alias("a")
     b = inverted.alias("b")
-    shared = (
-        a.join(b, on=[F.col("a.h") == F.col("b.h"), F.col("a.id") < F.col("b.id")])
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.h") == F.col("b.h"),
+                F.col("a.id") < F.col("b.id"),
+                F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+                >= F.ceil(
+                    F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+                    * F.lit(float(threshold))
+                ),
+            ],
         )
-        .agg(F.count("*").alias("shared"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
-    pairs = shared.where(jac >= threshold).select("id_a", "id_b")
     return _verify_pairs_exact_jaccard(df, pairs, text_col, id_col, k, threshold)
 
 
