@@ -496,6 +496,32 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _q_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-recrawl near-dup: yesterday's run left a signature store for
+    the original documents; today's batch (the mutated copies, found
+    pending by the resume anti-join shape) gets signatures computed ONLY
+    for itself, appended to the store, and LSH-joined new-vs-all.  Output
+    must equal the batch minhash_pairs run restricted to pairs touching a
+    new id (old–old near-dups were yesterday's output); the oracle is the
+    brute-force shingle-Jaccard set under the same restriction."""
+    import tempfile
+
+    from pdf_to_epub_spark.operators import (
+        incremental_near_dup_pairs,
+        minhash_signatures,
+    )
+
+    corpus = mutated_recrawl(spark, sf_dir)
+    old = corpus.where(F.col("doc_id") < 1_000_000)
+    store = tempfile.mkdtemp(prefix="sigstore_") + "/signatures"
+    minhash_signatures(old, k=3, num_hashes=32).write.parquet(store)
+    pending = corpus.where(F.col("doc_id") >= 1_000_000).select("doc_id")
+    return incremental_near_dup_pairs(
+        corpus, pending, store, k=3, num_hashes=32, bands=8,
+        jaccard_threshold=0.7,
+    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
 def _q_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate REMOVAL end-to-end: the mutated-recrawl corpus after
     drop_near_duplicates must keep exactly the ids that never appear as
@@ -814,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_documents": _q_assemble_documents,
         "extraction_metrics": _q_extraction_metrics,
         "minhash_pairs": _q_minhash_pairs,
+        "incremental_near_dups": _q_incremental_near_dups,
         "dedup_near_survivors": _q_dedup_near_survivors,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk_lsh": _q_ann_topk_lsh,
@@ -1418,6 +1445,16 @@ def oracle_sql() -> dict[str, str]:
         # and the operator's exact-Jaccard verification removes all false
         # positives — so output == all pairs with true Jaccard ≥ 0.7.
         "minhash_pairs": _shingle_jaccard_oracle(k=3, threshold=0.7),
+        # The incremental (signature-store) path emits only pairs touching a
+        # new id — old–old near-dups were yesterday's batch's output (some
+        # exist: original docs that are near-dups of each other).
+        "incremental_near_dups": _shingle_jaccard_oracle(
+            k=3, threshold=0.7,
+            final="""
+                SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM truepairs
+                WHERE id_a >= 1000000 OR id_b >= 1000000
+            """,
+        ),
         # Survivor oracle for the greedy near-dup removal (same recall
         # argument as minhash_pairs; exact verify removes false positives,
         # so dropped == distinct id_b of the true pair set).

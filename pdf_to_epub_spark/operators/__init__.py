@@ -3,6 +3,7 @@ from .dedup import (
     drop_exact_duplicates,
     drop_near_duplicates,
     exact_duplicate_groups,
+    incremental_near_dup_pairs,
     md5_hash60,
     minhash_candidate_pairs,
     minhash_signatures,
@@ -46,6 +47,7 @@ __all__ = [
     "guess_language",
     "lsh_topk",
     "md5_hash60",
+    "incremental_near_dup_pairs",
     "minhash_candidate_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",

@@ -201,7 +201,6 @@ def minhash_candidate_pairs(
     exact dedup pass is still the right tool for identical content — run it
     first.
     """
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
     if signatures_path is not None:
         spark = df.sparkSession
@@ -209,6 +208,22 @@ def minhash_candidate_pairs(
             sigs.write.mode("overwrite").parquet(signatures_path)
         sigs = spark.read.parquet(signatures_path)
 
+    pairs = _lsh_band_pairs(sigs, id_col, num_hashes, bands, max_bucket)
+    return _verify_pairs_exact_jaccard(df, pairs, text_col, id_col, k, jaccard_threshold)
+
+
+def _lsh_band_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Signature table ``(id, sig: array<long>)`` → deduped slim candidate
+    ``(id_a, id_b)`` pairs via banded LSH buckets.  Slim band rows —
+    signature arrays do NOT ride through the ×bands explode or the bucket
+    shuffle (they'd be duplicated ``bands`` times)."""
+    rows_per_band = num_hashes // bands
     band_hash = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -224,8 +239,6 @@ def minhash_candidate_pairs(
         )
         for b in range(bands)
     ]
-    # Slim band rows — signature arrays do NOT ride through the ×bands
-    # explode or the bucket shuffle (they'd be duplicated `bands` times).
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_hash)).alias("band")
     ).select(id_col, "band.band_id", "band.band_hash")
@@ -235,9 +248,7 @@ def minhash_candidate_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
         .where(F.size("_ids") > 1)
     )
-    pairs = _bucket_pairs(buckets, max_bucket).dropDuplicates(["id_a", "id_b"])
-
-    return _verify_pairs_exact_jaccard(df, pairs, text_col, id_col, k, jaccard_threshold)
+    return _bucket_pairs(buckets, max_bucket).dropDuplicates(["id_a", "id_b"])
 
 
 def _verify_pairs_exact_jaccard(
@@ -284,6 +295,61 @@ def _verify_pairs_exact_jaccard(
     )
     return scored.localCheckpoint(eager=False).where(
         F.col("jaccard") >= threshold
+    )
+
+
+def incremental_near_dup_pairs(
+    corpus: DataFrame,
+    pending_ids: DataFrame,
+    signatures_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """The daily-recrawl composition of the signature store and the resume
+    flow — the shape a 100 TB pipeline actually runs per batch:
+
+    1. signatures are computed ONLY for ``pending_ids`` docs (the resume
+       anti-join's output — operators/resume.py) and APPENDED to the
+       signature store; the old corpus's signature stage never re-executes
+       (its parquet files are not even rewritten — append adds new parts);
+    2. banding runs over stored-old ∪ new signatures;
+    3. candidate pairs are restricted to those touching a new id (old–old
+       pairs were already emitted by previous runs — re-verifying them
+       every batch would make the daily job O(corpus) instead of
+       O(batch × collision rate));
+    4. exact-Jaccard verification reads texts from ``corpus`` (the store
+       holds only slim (id, sig) rows; text access is the corpus table's
+       job).
+
+    Side effect: the append to ``signatures_path`` happens eagerly at call
+    time, so reruns of the RETURNED plan do not double-append.  Output is
+    identical to running :func:`minhash_candidate_pairs` on the full corpus
+    and keeping pairs that involve a new id (tested both ways)."""
+    spark = corpus.sparkSession
+    new_docs = corpus.join(pending_ids.select(id_col), id_col, "left_semi")
+    minhash_signatures(new_docs, text_col, id_col, k, num_hashes).write.mode(
+        "append"
+    ).parquet(signatures_path)
+    sigs = spark.read.parquet(signatures_path)
+
+    pairs = _lsh_band_pairs(sigs, id_col, num_hashes, bands, max_bucket)
+    new_ids = pending_ids.select(F.col(id_col))
+    touching_new = pairs.join(
+        F.broadcast(new_ids.withColumnRenamed(id_col, "id_a")), "id_a", "left_semi"
+    ).select("id_a", "id_b").union(
+        pairs.join(
+            F.broadcast(new_ids.withColumnRenamed(id_col, "id_b")),
+            "id_b",
+            "left_semi",
+        ).select("id_a", "id_b")
+    ).dropDuplicates(["id_a", "id_b"])
+    return _verify_pairs_exact_jaccard(
+        corpus, touching_new, text_col, id_col, k, jaccard_threshold
     )
 
 

@@ -62,6 +62,62 @@ def test_minhash_finds_near_dup(dup_corpus):
         assert r["jaccard"] >= 0.5
 
 
+def test_incremental_near_dups(dup_corpus, tmp_path):
+    """Signature-store reuse: the incremental path must (a) NOT rewrite or
+    recompute the old corpus's signatures — the store's original parquet
+    parts stay byte-identical and the append adds exactly one row per
+    pending doc — and (b) produce the same pairs as the batch run
+    restricted to pairs touching a new id."""
+    import os
+
+    from pdf_to_epub_spark.operators import (
+        incremental_near_dup_pairs,
+        minhash_signatures,
+    )
+
+    old = dup_corpus.where("doc_id < 100")
+    new = dup_corpus.where("doc_id >= 100")
+    store = str(tmp_path / "signatures")
+    minhash_signatures(old, k=3, num_hashes=32).write.parquet(store)
+    before = {
+        f: os.stat(os.path.join(store, f)).st_mtime_ns
+        for f in os.listdir(store)
+        if f.endswith(".parquet")
+    }
+
+    got = incremental_near_dup_pairs(
+        dup_corpus, new.select("doc_id"), store,
+        k=3, num_hashes=32, bands=8, jaccard_threshold=0.5,
+    )
+    found = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    assert (0, 100) in found and (1, 101) in found
+
+    # old parquet parts untouched; appended rows == pending count
+    after = {
+        f: os.stat(os.path.join(store, f)).st_mtime_ns
+        for f in os.listdir(store)
+        if f.endswith(".parquet")
+    }
+    assert set(before) <= set(after)
+    for f, mtime in before.items():
+        assert after[f] == mtime, f"old signature part rewritten: {f}"
+    spark = dup_corpus.sparkSession
+    assert spark.read.parquet(store).count() == dup_corpus.count()
+    assert len(after) > len(before)
+
+    # parity with the batch run restricted to new-touching pairs
+    batch = minhash_candidate_pairs(
+        dup_corpus, k=3, num_hashes=32, bands=8, jaccard_threshold=0.5
+    )
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    expected = {
+        (r["id_a"], r["id_b"])
+        for r in batch.collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    assert found == expected
+
+
 def test_ngram_jaccard(dup_corpus):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
              ngram_jaccard_pairs(dup_corpus, k=3, threshold=0.5).collect()}
