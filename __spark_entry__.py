@@ -496,6 +496,64 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents with deterministic injected PII (email
+    per doc, IPv4 per doc, phone on every third doc) so the scrubber has
+    known work; counts per class plus the md5 of the redacted text make the
+    whole rewrite oracle-checkable.  Patterns are Java/RE2-portable by
+    construction (operators/textstats.PII_PATTERNS)."""
+    from pdf_to_epub_spark.operators import scrub_pii
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" call +1 415 555 0"),
+                    F.lpad((F.col("doc_id") % 100).cast("string"), 3, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = scrub_pii(injected)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ip").cast("long").alias("n_ip"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gate (Rae et al. 2021 §A1.1) over documents —
+    every signal plus the combined keep verdict, all column algebra,
+    replicated exactly in the DuckDB oracle."""
+    from pdf_to_epub_spark.operators import gopher_quality
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = gopher_quality(d)
+    return out.select(
+        "doc_id",
+        F.col("n_words_g").cast("long").alias("n_words"),
+        F.col("mean_word_len_g").alias("mean_word_len"),
+        "symbol_ratio",
+        "bullet_line_ratio",
+        "ellipsis_line_ratio",
+        "alpha_word_ratio",
+        F.col("stopword_hits").cast("long").alias("stopword_hits"),
+        "keep",
+    )
+
+
 def _q_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-recrawl near-dup: yesterday's run left a signature store for
     the original documents; today's batch (the mutated copies, found
@@ -824,6 +882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "lang_guess": _q_lang_guess,
         "doc_fingerprints": _q_doc_fingerprints,
+        "pii_scrub": _q_pii_scrub,
+        "gopher_quality": _q_gopher_quality,
         "ann_topk": _q_ann_topk,
         "embedding_near_pairs": _q_embedding_near_pairs,
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
@@ -1341,6 +1401,96 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY score DESC, lang ASC) AS rn
                 FROM ({lang_votes}))
             WHERE rn = 1
+        """,
+        # Same injection + sequential (email -> ip -> phone) scrub replayed
+        # in RE2; patterns are engine-portable by construction.
+        "pii_scrub": r"""
+            WITH injected AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com from 10.0.'
+                            || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                            || CASE WHEN doc_id % 3 = 0
+                               THEN ' call +1 415 555 0'
+                                    || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0')
+                               ELSE '' END AS text
+                FROM documents),
+            s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                           AS n_email,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS text
+                FROM injected),
+            s2 AS (
+                SELECT doc_id, n_email,
+                       len(regexp_extract_all(text,
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+                       regexp_replace(text,
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '<IP>', 'g') AS text
+                FROM s1),
+            s3 AS (
+                SELECT doc_id, n_email, n_ip,
+                       len(regexp_extract_all(text, '\+?\d[\d() -]{6,}\d'))
+                           AS n_phone,
+                       regexp_replace(text, '\+?\d[\d() -]{6,}\d',
+                           '<PHONE>', 'g') AS text
+                FROM s2)
+            SELECT doc_id, n_email::BIGINT AS n_email, n_ip::BIGINT AS n_ip,
+                   n_phone::BIGINT AS n_phone, md5(text) AS clean_md5
+            FROM s3
+        """,
+        # Gopher §A1.1 rules recomputed relationally; ratios rounded to 4
+        # in both engines, keep computed on the unrounded doubles.
+        "gopher_quality": r"""
+            WITH w AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\s+') AS words,
+                       list_filter(string_split(text, chr(10)),
+                                   l -> regexp_matches(l, '[^ \t\r]')) AS lines
+                FROM documents),
+            feats AS (
+                SELECT doc_id,
+                    len(words) AS n_words,
+                    list_aggregate(list_transform(words, x -> length(x)),
+                                   'sum')::DOUBLE
+                        / greatest(len(words), 1) AS mean_wlen,
+                    (length(text) - length(replace(text, '#', ''))
+                     + len(regexp_extract_all(text, '\.\.\.')))::DOUBLE
+                        / greatest(len(words), 1) AS symbol_ratio,
+                    len(list_filter(lines,
+                        l -> regexp_matches(l, '^\s*[•\-\*]')))::DOUBLE
+                        / greatest(len(lines), 1) AS bullet_ratio,
+                    len(list_filter(lines,
+                        l -> regexp_matches(l, '\.\.\.\s*$')))::DOUBLE
+                        / greatest(len(lines), 1) AS ellipsis_ratio,
+                    len(list_filter(words,
+                        x -> regexp_matches(x, '[A-Za-zÀ-ÖØ-öø-ÿ]')))::DOUBLE
+                        / greatest(len(words), 1) AS alpha_ratio,
+                    len(list_intersect(
+                        list_distinct(regexp_extract_all(lower(text),
+                                                         '[a-zà-öø-ÿ]+')),
+                        ['the','be','to','of','and','that','have','with']))
+                        AS stop_hits
+                FROM w)
+            SELECT doc_id, n_words::BIGINT AS n_words,
+                   round(mean_wlen, 4) AS mean_word_len,
+                   round(symbol_ratio, 4) AS symbol_ratio,
+                   round(bullet_ratio, 4) AS bullet_line_ratio,
+                   round(ellipsis_ratio, 4) AS ellipsis_line_ratio,
+                   round(alpha_ratio, 4) AS alpha_word_ratio,
+                   stop_hits::BIGINT AS stopword_hits,
+                   (n_words BETWEEN 50 AND 100000
+                    AND mean_wlen BETWEEN 3.0 AND 10.0
+                    AND symbol_ratio < 0.1
+                    AND bullet_ratio < 0.9
+                    AND ellipsis_ratio < 0.3
+                    AND alpha_ratio > 0.8
+                    AND stop_hits >= 2) AS keep
+            FROM feats
         """,
         "ann_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

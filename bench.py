@@ -167,6 +167,35 @@ def run_bench(
             "minhash_pairs_cached_sigs",
             lambda: minhash_cached_sigs(sig_path, reuse=True),
         )
+    if not only or only == "incremental_near_dups":
+        # Daily re-crawl shape: yesterday's signature store exists
+        # (unmeasured build); the measured batch computes signatures ONLY
+        # for the new half, appends, and LSH-joins new-vs-all.
+        import shutil
+
+        from pdf_to_epub_spark.operators import (
+            incremental_near_dup_pairs,
+            minhash_signatures,
+        )
+
+        corpus_md = entrymod.mutated_recrawl(spark, sf_dir)
+        old_half = corpus_md.where(F.col("doc_id") < 1_000_000)
+        pending = corpus_md.where(F.col("doc_id") >= 1_000_000).select("doc_id")
+        incr_store = str(REPO / "data" / f"bench_incr_sigs_sf{sf}")
+        shutil.rmtree(incr_store, ignore_errors=True)
+        minhash_signatures(old_half, k=3, num_hashes=32).write.parquet(incr_store)
+
+        timed(
+            "incremental_near_dups",
+            lambda: _force(
+                incremental_near_dup_pairs(
+                    corpus_md, pending, incr_store,
+                    k=3, num_hashes=32, bands=8, jaccard_threshold=0.7,
+                )
+            ),
+        )
+        shutil.rmtree(incr_store, ignore_errors=True)
+
     def simhash_scale_path() -> None:
         # the query variant uses the md5 oracle hash; the bench measures the
         # xxhash64 scale default (same operator, same plan shape)

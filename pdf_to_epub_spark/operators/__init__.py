@@ -28,8 +28,10 @@ from .similarity import (
 )
 from .textstats import (
     document_fingerprint,
+    gopher_quality,
     guess_language,
     quality_features,
+    scrub_pii,
     token_count,
     with_token_stats,
 )
@@ -40,6 +42,7 @@ __all__ = [
     "ivf_topk",
     "sessionize",
     "document_fingerprint",
+    "gopher_quality",
     "drop_exact_duplicates",
     "drop_near_duplicates",
     "embedding_near_duplicates",
@@ -52,6 +55,7 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "quality_features",
+    "scrub_pii",
     "simhash64",
     "simhash_near_pairs",
     "token_count",

@@ -105,6 +105,99 @@ def guess_language(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_guess", F.element_at(ranked, 1)["lang"])
 
 
+# PII patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): ASCII classes, \b, bounded quantifiers — no backrefs or
+# lookaround.  Scrub ORDER is part of the contract (emails first so the
+# phone pattern can't eat digit runs inside addresses, IPs before phones).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d() -]{6,}\d", "<PHONE>"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / phone-shaped digit runs with typed
+    placeholder tokens and count each class — the pre-training privacy
+    scrub every web-corpus pipeline runs before tokenization.  Heuristic by
+    design (a phone-shaped false positive is redacted in both engines the
+    same way); all JVM-side regexp column algebra, counts taken BEFORE the
+    rewrite of each class, classes applied in PII_PATTERNS order."""
+    out = df
+    clean = F.col(text_col)
+    for name, pat, token in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(clean, F.lit(pat)))
+        clean = F.regexp_replace(clean, pat, token)
+    return out.withColumn("clean_text", clean)
+
+
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models", §A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-rule document quality gate as pure column algebra: word-count
+    bounds, mean word length in [3, 10], symbol-to-word ratio (# and ...)
+    < 0.1, < 90% bullet-started lines, < 30% ellipsis-ended lines, ≥ 80%
+    words with an alphabetic char, ≥ 2 distinct required stopwords.
+    Emits every signal plus the combined ``keep`` verdict so downstream
+    filters can loosen individual rules."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(words)
+    mean_wlen = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    ) / F.greatest(n_words, F.lit(1)).cast("double")
+    n_hash = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    n_ellipsis = F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
+    symbol_ratio = (n_hash + n_ellipsis) / F.greatest(n_words, F.lit(1)).cast(
+        "double"
+    )
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda l: l.rlike(r"[^ \t\r]")
+    )
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_ratio = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[•\-\*]"))) / n_lines
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$"))) / n_lines
+    )
+    alpha_ratio = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-zÀ-ÖØ-öø-ÿ]"))
+    ) / F.greatest(n_words, F.lit(1)).cast("double")
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(_tokens(text_col)), stops)
+    )
+    keep = (
+        n_words.between(min_words, max_words)
+        & mean_wlen.between(3.0, 10.0)
+        & (symbol_ratio < 0.1)
+        & (bullet_ratio < 0.9)
+        & (ellipsis_ratio < 0.3)
+        & (alpha_ratio > 0.8)
+        & (stop_hits >= 2)
+    )
+    return df.select(
+        "*",
+        n_words.alias("n_words_g"),
+        F.round(mean_wlen, 4).alias("mean_word_len_g"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_ratio, 4).alias("bullet_line_ratio"),
+        F.round(ellipsis_ratio, 4).alias("ellipsis_line_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_word_ratio"),
+        stop_hits.alias("stopword_hits"),
+        keep.alias("keep"),
+    )
+
+
 def document_fingerprint(
     df: DataFrame,
     text_col: str = "text",

@@ -74,6 +74,85 @@ def incremental_extract(
     return query
 
 
+def streaming_near_dup_pairs(
+    spark: SparkSession,
+    input_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    signatures_path: str,
+    text_col: str = "text",
+    id_col: str = "url",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    await_termination: bool = True,
+):
+    """Streaming composition of the incremental near-dup flow: each
+    micro-batch of new pages is treated as that day's pending set —
+    signatures are computed for the batch only and appended to the shared
+    signature store, banding runs over stored-old ∪ batch, and verified
+    new-vs-all pairs append to ``pairs_dir``.
+
+    foreachBatch is the right tool (not a stateful streaming agg): the
+    LSH join needs the FULL historical signature table, which lives in the
+    store as a plain parquet artifact — exactly the batch operator's
+    deployment shape, driven by the streaming offset log instead of a
+    scheduler.  Exactly-once note: the signature append and the pairs
+    append are two sinks, so a crash between them can leave a batch's
+    signatures committed without its pairs; re-running the batch re-emits
+    the pairs (idempotent downstream: pair rows are deterministic and
+    dedupable on (id_a, id_b)) but would double-append signatures — the
+    store therefore deduplicates on read in this path.
+    """
+    from pyspark.sql import functions as F
+
+    from pdf_to_epub_spark.operators.dedup import (
+        _lsh_band_pairs,
+        _verify_pairs_exact_jaccard,
+        minhash_signatures,
+    )
+
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        docs = batch_df.select(F.col(id_col), F.col(text_col))
+        minhash_signatures(docs, text_col, id_col, k, num_hashes).write.mode(
+            "append"
+        ).parquet(signatures_path)
+        # dedup on read: replays of a half-committed batch must not create
+        # duplicate signature rows for the banding
+        sigs = spark.read.parquet(signatures_path).dropDuplicates([id_col])
+        pairs = _lsh_band_pairs(sigs, id_col, num_hashes, bands)
+        new_ids = docs.select(F.col(id_col))
+        touching = pairs.join(
+            F.broadcast(new_ids.withColumnRenamed(id_col, "id_a")),
+            "id_a", "left_semi",
+        ).select("id_a", "id_b").union(
+            pairs.join(
+                F.broadcast(new_ids.withColumnRenamed(id_col, "id_b")),
+                "id_b", "left_semi",
+            ).select("id_a", "id_b")
+        ).dropDuplicates(["id_a", "id_b"])
+        corpus = spark.read.schema(PAGES_SCHEMA).parquet(input_dir).select(
+            F.col(id_col), F.col(text_col)
+        )
+        verified = _verify_pairs_exact_jaccard(
+            corpus, touching, text_col, id_col, k, jaccard_threshold
+        )
+        verified.write.mode("append").parquet(pairs_dir)
+
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query
+
+
 def windowed_ingest_rate(
     spark: SparkSession,
     input_dir: str,

@@ -145,3 +145,57 @@ def test_incremental_html_extract(spark, tmp_path):
     for i in range(10):
         expected = expected_main_content(i, make_document_text(i, seed=31))
         assert got[f"doc://{i}"] == expected, f"doc {i}"
+
+
+def test_streaming_near_dup_pairs(spark, tmp_path):
+    """foreachBatch near-dup: batch 1 seeds the signature store; batch 2
+    (mutated re-crawl of the same docs under new urls) must pair against
+    batch 1 via the store, and a third run with no new files must emit
+    nothing new."""
+    from pdf_to_epub_spark.streaming import streaming_near_dup_pairs
+
+    inp = tmp_path / "in"
+    pairs_out = tmp_path / "pairs"
+    cp = tmp_path / "cp"
+    store = tmp_path / "sigs"
+    inp.mkdir()
+
+    rows = make_documents(10, seed=9)
+    _write_batch(inp, rows, "day1.parquet")
+    streaming_near_dup_pairs(
+        spark, str(inp), str(pairs_out), str(cp), str(store),
+        k=3, num_hashes=32, bands=8, jaccard_threshold=0.7,
+    )
+    day1 = spark.read.parquet(str(pairs_out))
+    day1_pairs = {(r["id_a"], r["id_b"]) for r in day1.collect()}
+
+    # day 2: near-dup copies (last word dropped) under distinct urls
+    copies = []
+    for r in rows:
+        c = dict(r)
+        c["url"] = r["url"] + "-recrawl"
+        c["text"] = r["text"].rsplit(None, 1)[0]
+        copies.append(c)
+    _write_batch(inp, copies, "day2.parquet")
+    streaming_near_dup_pairs(
+        spark, str(inp), str(pairs_out), str(cp), str(store),
+        k=3, num_hashes=32, bands=8, jaccard_threshold=0.7,
+    )
+    day2 = spark.read.parquet(str(pairs_out))
+    got = {(r["id_a"], r["id_b"]) for r in day2.collect()}
+    for r in rows:
+        assert (r["url"], r["url"] + "-recrawl") in got
+    # day-2 emissions all touch a day-2 url (old-old pairs only on day 1)
+    for a, b in got - day1_pairs:
+        assert a.endswith("-recrawl") or b.endswith("-recrawl")
+
+    # signature store holds one row per doc ever seen
+    assert spark.read.parquet(str(store)).count() == 20
+
+    # no new files -> no new pairs, store unchanged
+    streaming_near_dup_pairs(
+        spark, str(inp), str(pairs_out), str(cp), str(store),
+        k=3, num_hashes=32, bands=8, jaccard_threshold=0.7,
+    )
+    assert spark.read.parquet(str(pairs_out)).count() == day2.count()
+    assert spark.read.parquet(str(store)).count() == 20

@@ -62,6 +62,55 @@ def test_minhash_finds_near_dup(dup_corpus):
         assert r["jaccard"] >= 0.5
 
 
+def test_scrub_pii(spark):
+    from pdf_to_epub_spark.operators import scrub_pii
+
+    rows = [
+        (0, "mail me at jo.doe+x@sub.example.org or visit 192.168.0.1 now"),
+        (1, "call +1 (415) 555-0123 today"),
+        (2, "no pii here at all"),
+        (3, "two mails a@b.io c@d.co and 10.0.0.7"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in scrub_pii(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[0]["n_email"] == 1 and out[0]["n_ip"] == 1 and out[0]["n_phone"] == 0
+    assert "<EMAIL>" in out[0]["clean_text"] and "<IP>" in out[0]["clean_text"]
+    assert "jo.doe" not in out[0]["clean_text"]
+    assert out[1]["n_phone"] == 1 and "<PHONE>" in out[1]["clean_text"]
+    assert "555" not in out[1]["clean_text"]
+    assert out[2]["clean_text"] == "no pii here at all"
+    assert out[3]["n_email"] == 2 and out[3]["n_ip"] == 1
+
+
+def test_gopher_quality(spark):
+    from pdf_to_epub_spark.operators import gopher_quality
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and that dog have "
+        "seen many foxes with great interest every single morning before "
+        "breakfast while the sun rises slowly over quiet hills and birds "
+        "begin to sing their songs of the new day in bright warm light "
+        "that covers all of it"
+    )
+    bullets = "\n".join(f"- item {i}" for i in range(20))
+    symbols = "## " * 40 + "the of and that"
+    rows = [(0, good), (1, "too short"), (2, bullets), (3, symbols)]
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[0]["keep"] is True
+    assert out[1]["keep"] is False  # word count below minimum
+    assert out[2]["keep"] is False and out[2]["bullet_line_ratio"] == 1.0
+    assert out[3]["keep"] is False and out[3]["symbol_ratio"] >= 0.1
+
+
 def test_incremental_near_dups(dup_corpus, tmp_path):
     """Signature-store reuse: the incremental path must (a) NOT rewrite or
     recompute the old corpus's signatures — the store's original parquet
