@@ -580,6 +580,27 @@ def _q_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: connected components (iterative
+    min-label propagation) over the verified MinHash pair graph — every
+    doc labeled with the smallest id reachable through any pair chain
+    (singletons keep their own id).  The oracle recomputes true components
+    from the brute-force pair set with a recursive CTE, so the iterative
+    algorithm is hash-checked, not rows-only."""
+    from pdf_to_epub_spark.operators import (
+        connected_components,
+        minhash_candidate_pairs,
+    )
+
+    corpus = mutated_recrawl(spark, sf_dir)
+    pairs = minhash_candidate_pairs(
+        corpus, k=3, num_hashes=32, bands=8, jaccard_threshold=0.7
+    )
+    return connected_components(
+        pairs.select("id_a", "id_b"), corpus.select("doc_id")
+    )
+
+
 def _q_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate REMOVAL end-to-end: the mutated-recrawl corpus after
     drop_near_duplicates must keep exactly the ids that never appear as
@@ -901,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_metrics": _q_extraction_metrics,
         "minhash_pairs": _q_minhash_pairs,
         "incremental_near_dups": _q_incremental_near_dups,
+        "dedup_components": _q_dedup_components,
         "dedup_near_survivors": _q_dedup_near_survivors,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk_lsh": _q_ann_topk_lsh,
@@ -1613,6 +1635,28 @@ def oracle_sql() -> dict[str, str]:
             final="""
                 SELECT doc_id FROM corpus
                 WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM truepairs)
+            """,
+        ),
+        # Transitive closure of the true pair set via recursive CTE — the
+        # iterative label-propagation result is hash-checked end-to-end.
+        "dedup_components": _shingle_jaccard_oracle(
+            k=3, threshold=0.7,
+            final="""
+                SELECT doc_id, component FROM (
+                    WITH RECURSIVE und AS (
+                        SELECT id_a AS a, id_b AS b FROM truepairs
+                        UNION
+                        SELECT id_b AS a, id_a AS b FROM truepairs),
+                    reach(a, b) AS (
+                        SELECT a, b FROM und
+                        UNION
+                        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+                    comp AS (
+                        SELECT a AS doc_id, least(a, min(b)) AS component
+                        FROM reach GROUP BY a)
+                    SELECT c.doc_id,
+                           coalesce(comp.component, c.doc_id) AS component
+                    FROM corpus c LEFT JOIN comp ON comp.doc_id = c.doc_id)
             """,
         ),
         # Exact oracle: banding recall is 1 by pigeonhole, and the md5-based

@@ -1,5 +1,6 @@
 from .assemble import assemble_documents, ordered_concat
 from .dedup import (
+    connected_components,
     drop_exact_duplicates,
     drop_near_duplicates,
     exact_duplicate_groups,
@@ -37,6 +38,7 @@ from .textstats import (
 )
 
 __all__ = [
+    "connected_components",
     "asof_join",
     "brute_force_topk",
     "ivf_topk",

@@ -444,6 +444,61 @@ def ngram_jaccard_pairs(
     return _verify_pairs_exact_jaccard(df, pairs, text_col, id_col, k, threshold)
 
 
+def connected_components(
+    edges: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Iterative min-label propagation over the near-dup pair graph:
+    ``(id, component)`` where component = the smallest id reachable through
+    any chain of verified pairs — the TRUE transitive-closure dedup
+    clustering.  The greedy pairwise policy (:func:`drop_near_duplicates`)
+    keeps every id with no smaller NEIGHBOR; this keeps one id per
+    connected COMPONENT — the two differ whenever a component's minimum is
+    not adjacent to every member (e.g. edges (1,3),(2,3): greedy keeps 1
+    and 2, components keep 1 only).
+
+    Algorithm: labels start as own id; each round every node takes the min
+    of its label and its neighbors' labels; converged when the global label
+    sum stops decreasing (labels are monotone non-increasing, so sum
+    equality IS the fixpoint — one cheap aggregate action per round, no
+    change-count join).  Rounds ≈ component diameter, which for near-dup
+    clusters is tiny; each round eagerly localCheckpoints the slim
+    (id, label) table so lineage stays flat (the standard iterative-algo
+    hygiene — without it the plan doubles every round).
+
+    ``edges`` needs (id_a, id_b); ``ids`` the full node set (singletons get
+    their own id as component).
+    """
+    und = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    und = und.localCheckpoint(eager=False)
+
+    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+
+    for _ in range(max_iterations):
+        nbr = (
+            und.join(labels, und.src == labels.id)
+            .select(F.col("dst").alias("id"), F.col("label"))
+        )
+        labels = (
+            labels.union(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("component"))
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -62,6 +62,32 @@ def test_minhash_finds_near_dup(dup_corpus):
         assert r["jaccard"] >= 0.5
 
 
+def test_connected_components(spark):
+    """CC must find transitive clusters the greedy pairwise policy cannot:
+    edges (1,3),(2,3) — greedy keeps both 1 and 2 (neither has a smaller
+    neighbor), CC labels all three with component 1.  Chains, singletons
+    and a star check convergence beyond one round."""
+    from pdf_to_epub_spark.operators import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (10, 11), (11, 12), (12, 13), (30, 31)],
+        "id_a long, id_b long",
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 12, 13, 20, 30, 31)], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(edges, ids).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1,          # non-adjacent minimum: CC ≠ greedy
+        10: 10, 11: 10, 12: 10, 13: 10,  # 3-hop chain needs >1 round
+        20: 20,                     # singleton keeps its own id
+        30: 30, 31: 30,
+    }
+
+
 def test_scrub_pii(spark):
     from pdf_to_epub_spark.operators import scrub_pii
 
