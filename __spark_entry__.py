@@ -554,6 +554,41 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over deterministically-built dirty URLs (mixed
+    host case, default ports, tracking params, unsorted queries,
+    fragments); every rule is replayed by the DuckDB oracle — RE2-portable
+    patterns by construction (operators/urls.py)."""
+    from pdf_to_epub_spark.operators import canonicalize_urls
+
+    doc_id = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("HTTP://Example.COM"),
+        F.when(doc_id % 2 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/Path/"),
+        doc_id.cast("string"),
+        F.when(doc_id % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(doc_id % 3 == 1, F.lit("?z=9&a=1&fbclid=XYZ"))
+        .otherwise(F.lit("")),
+        F.when(doc_id % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return canonicalize_urls(d.select("doc_id", url.alias("url"))).select(
+        "doc_id", "canon_url"
+    )
+
+
+def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters over documents: duplicate-line fractions
+    (count + char mass) and top-2-gram char coverage; the bigram leg is the
+    explode → groupBy → window path (linear, unlike the O(len²) in-array
+    count), recomputed relationally by the oracle."""
+    from pdf_to_epub_spark.operators import repetition_signals
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_signals(d)
+
+
 def _q_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-recrawl near-dup: yesterday's run left a signature store for
     the original documents; today's batch (the mutated copies, found
@@ -905,6 +940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "pii_scrub": _q_pii_scrub,
         "gopher_quality": _q_gopher_quality,
+        "repetition_signals": _q_repetition_signals,
+        "url_canonical": _q_url_canonical,
         "ann_topk": _q_ann_topk,
         "embedding_near_pairs": _q_embedding_near_pairs,
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
@@ -1513,6 +1550,104 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_ratio > 0.8
                     AND stop_hits >= 2) AS keep
             FROM feats
+        """,
+        # Same line/bigram constructions in DuckDB; top bigram by
+        # (count desc, gram asc) — overlapping occurrences counted, so the
+        # coverage ratio can exceed 1 by construction (both engines agree).
+        "repetition_signals": r"""
+            WITH lined AS (
+                SELECT doc_id, text,
+                       list_filter(string_split(text, chr(10)),
+                                   l -> regexp_matches(l, '[^ \t\r]')) AS lines
+                FROM documents),
+            base AS (
+                SELECT doc_id, text, length(text) AS n_chars,
+                       len(lines) AS n_lines,
+                       len(list_distinct(lines)) AS n_dlines,
+                       coalesce(list_aggregate(list_transform(lines,
+                           l -> length(l)), 'sum'), 0) AS chars,
+                       coalesce(list_aggregate(list_transform(
+                           list_distinct(lines), l -> length(l)), 'sum'), 0)
+                           AS dchars
+                FROM lined),
+            words AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i + 1])) AS gram
+                FROM words WHERE len(w) >= 2),
+            counts AS (
+                SELECT doc_id, gram, count(*) AS cnt
+                FROM grams GROUP BY doc_id, gram),
+            top AS (
+                SELECT doc_id, cnt * length(gram) AS covered
+                FROM (SELECT doc_id, gram, cnt,
+                             row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY cnt DESC, gram ASC) AS rn
+                      FROM counts)
+                WHERE rn = 1)
+            SELECT b.doc_id,
+                   CASE WHEN n_lines > 0 THEN
+                        round((n_lines - n_dlines)::DOUBLE / n_lines, 4)
+                   ELSE 0.0 END AS dup_line_ratio,
+                   CASE WHEN chars > 0 THEN
+                        round((chars - dchars)::DOUBLE / chars, 4)
+                   ELSE 0.0 END AS dup_line_char_ratio,
+                   round(coalesce(t.covered::DOUBLE
+                                  / greatest(b.n_chars, 1), 0.0), 4)
+                       AS top_bigram_char_ratio
+            FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id
+        """,
+        # Every canonicalization rule replayed in RE2 (fragment, lowercase
+        # scheme+host, default ports, tracking params, param sort, empty
+        # path -> /).
+        "url_canonical": r"""
+            WITH built AS (
+                SELECT doc_id,
+                       'HTTP://Example.COM'
+                       || CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END
+                       || '/Path/' || CAST(doc_id AS VARCHAR)
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN '?utm_source=feed&b=2&a=1'
+                               WHEN doc_id % 3 = 1
+                               THEN '?z=9&a=1&fbclid=XYZ'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END
+                           AS url
+                FROM documents),
+            s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u
+                   FROM built),
+            s2 AS (SELECT doc_id, u,
+                          regexp_extract(u,
+                              '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)', 1)
+                              AS head0
+                   FROM s1),
+            s3 AS (SELECT doc_id,
+                          regexp_replace(regexp_replace(lower(head0),
+                              '^(http://[^:/]*):80$', '\1'),
+                              '^(https://[^:/]*):443$', '\1') AS head,
+                          substr(u, length(head0) + 1) AS rest
+                   FROM s2),
+            s4 AS (SELECT doc_id, head,
+                          regexp_extract(rest, '^([^?]*)', 1) AS path,
+                          regexp_extract(rest, '^[^?]*\?(.*)$', 1) AS query
+                   FROM s3),
+            s5 AS (SELECT doc_id, head, path,
+                          array_to_string(list_sort(list_filter(
+                              string_split(query, '&'),
+                              p -> p <> '' AND NOT regexp_matches(p,
+                                  '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid)='))),
+                              '&') AS qs
+                   FROM s4)
+            SELECT doc_id,
+                   head || CASE WHEN path = '' THEN '/' ELSE path END
+                        || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+                       AS canon_url
+            FROM s5
         """,
         "ann_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -27,17 +27,21 @@ from .similarity import (
     ivf_topk,
     lsh_topk,
 )
+from .urls import canonical_url, canonicalize_urls
 from .textstats import (
     document_fingerprint,
     gopher_quality,
     guess_language,
     quality_features,
+    repetition_signals,
     scrub_pii,
     token_count,
     with_token_stats,
 )
 
 __all__ = [
+    "canonical_url",
+    "canonicalize_urls",
     "connected_components",
     "asof_join",
     "brute_force_topk",
@@ -57,6 +61,7 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "quality_features",
+    "repetition_signals",
     "scrub_pii",
     "simhash64",
     "simhash_near_pairs",

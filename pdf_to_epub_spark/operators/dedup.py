@@ -280,21 +280,30 @@ def _verify_pairs_exact_jaccard(
     bypasses AQE's size check and OOMs where a shuffle hash join on id
     degrades gracefully (AQE still converts to broadcast at runtime when
     the post-shuffle stats come in small)."""
+    scored = _score_pairs_exact_jaccard(df, pairs, text_col, id_col, k)
+    return scored.localCheckpoint(eager=False).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def _score_pairs_exact_jaccard(
+    df: DataFrame, pairs: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Pre-barrier scoring stage of the verify join (split out so plan
+    tests can inspect the join strategy, which the checkpoint barrier hides
+    from the public function's executedPlan)."""
     ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_text_a"))
     tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_text_b"))
     with_texts = tb.join(ta.join(F.broadcast(pairs), "id_a"), "id_b")
     sh_a = _word_shingles(F.col("_text_a"), k)
     sh_b = _word_shingles(F.col("_text_b"), k)
-    scored = with_texts.select(
+    return with_texts.select(
         "id_a",
         "id_b",
         (
             F.size(F.array_intersect(sh_a, sh_b))
             / F.size(F.array_union(sh_a, sh_b))
         ).alias("jaccard"),
-    )
-    return scored.localCheckpoint(eager=False).where(
-        F.col("jaccard") >= threshold
     )
 
 

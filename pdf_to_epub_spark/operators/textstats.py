@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Tiny per-language stopword seeds for the n-gram/stopword heuristic.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -195,6 +196,74 @@ def gopher_quality(
         F.round(alpha_ratio, 4).alias("alpha_word_ratio"),
         stop_hits.alias("stopword_hits"),
         keep.alias("keep"),
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher §A1.1 repetition filters: duplicate-line fraction (by line
+    count and by character mass) and the fraction of characters covered by
+    the most frequent word 2-gram.
+
+    The line signals are per-row array algebra (no shuffle).  The top-2-gram
+    signal EXPLODES bigrams and aggregates — deliberately: the per-row
+    alternative (count each distinct gram inside the array) is O(len²) per
+    document, which dies on a 100k-word doc, while the explode is linear
+    rows through one combiner-enabled groupBy + one window.  Ties broken by
+    gram ascending for determinism."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda l: l.rlike(r"[^ \t\r]")
+    )
+    dlines = F.array_distinct(lines)
+    n_lines = F.size(lines)
+    chars = F.aggregate(lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l))
+    dchars = F.aggregate(dlines, F.lit(0).cast("long"), lambda a, l: a + F.length(l))
+    base = df.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("_n_chars"),
+        F.when(
+            n_lines > 0,
+            F.round((n_lines - F.size(dlines)) / n_lines.cast("double"), 4),
+        ).otherwise(F.lit(0.0)).alias("dup_line_ratio"),
+        F.when(
+            chars > 0, F.round((chars - dchars) / chars.cast("double"), 4)
+        ).otherwise(F.lit(0.0)).alias("dup_line_char_ratio"),
+        F.col(text_col).alias("_text"),
+    )
+
+    words = F.split(F.trim(F.col("_text")), r"\s+")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(id_col, F.explode(bigrams).alias("gram"))
+    counts = grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("gram"))
+    top = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            (F.col("cnt") * F.length("gram")).cast("long").alias("_covered"),
+        )
+    )
+    return base.join(top, id_col, "left").select(
+        id_col,
+        "dup_line_ratio",
+        "dup_line_char_ratio",
+        F.round(
+            F.coalesce(
+                F.col("_covered") / F.greatest(F.col("_n_chars"), F.lit(1)).cast(
+                    "double"
+                ),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("top_bigram_char_ratio"),
     )
 
 

@@ -62,6 +62,34 @@ def test_minhash_finds_near_dup(dup_corpus):
         assert r["jaccard"] >= 0.5
 
 
+def test_verify_join_broadcast_gating(dup_corpus):
+    """The exact-verify join must degrade to a shuffle join when the
+    optimizer can't prove the candidate side small (forced here by turning
+    the auto-broadcast thresholds off — what AQE does at runtime for a
+    too-big candidate set), while the slim id-pair table keeps its one
+    unconditional broadcast.  Pins ADVICE's OOM scenario as a plan test."""
+    from pdf_to_epub_spark.operators.dedup import (
+        _lsh_band_pairs,
+        _score_pairs_exact_jaccard,
+        minhash_signatures,
+    )
+
+    spark = dup_corpus.sparkSession
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        sigs = minhash_signatures(dup_corpus, k=3, num_hashes=32)
+        pairs = _lsh_band_pairs(sigs, "doc_id", 32, 8)
+        scored = _score_pairs_exact_jaccard(dup_corpus, pairs, "text", "doc_id", 3)
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert plan.count("BroadcastExchange") == 1, plan[:2000]
+
+
 def test_connected_components(spark):
     """CC must find transitive clusters the greedy pairwise policy cannot:
     edges (1,3),(2,3) — greedy keeps both 1 and 2 (neither has a smaller
@@ -135,6 +163,58 @@ def test_gopher_quality(spark):
     assert out[1]["keep"] is False  # word count below minimum
     assert out[2]["keep"] is False and out[2]["bullet_line_ratio"] == 1.0
     assert out[3]["keep"] is False and out[3]["symbol_ratio"] >= 0.1
+
+
+def test_canonicalize_urls(spark):
+    from pdf_to_epub_spark.operators import canonicalize_urls
+
+    rows = [
+        (0, "HTTP://Example.COM:80/Path/One?utm_source=x&b=2&a=1#frag"),
+        (1, "https://A.B.c:443/"),
+        (2, "http://x.io"),                       # empty path -> /
+        (3, "http://x.io/p?fbclid=Z&z=9&a=1"),    # tracking dropped, sorted
+        (4, "http://x.io/Case/Sensitive"),        # path case preserved
+        (5, "http://x.io:8080/p"),                # non-default port kept
+        (6, "http://x.io/p?utm_a=1&utm_b=2"),     # all params tracking
+    ]
+    got = {
+        r["doc_id"]: r["canon_url"]
+        for r in canonicalize_urls(
+            spark.createDataFrame(rows, "doc_id long, url string")
+        ).collect()
+    }
+    assert got == {
+        0: "http://example.com/Path/One?a=1&b=2",
+        1: "https://a.b.c/",
+        2: "http://x.io/",
+        3: "http://x.io/p?a=1&z=9",
+        4: "http://x.io/Case/Sensitive",
+        5: "http://x.io:8080/p",
+        6: "http://x.io/p",
+    }
+
+
+def test_repetition_signals(spark):
+    from pdf_to_epub_spark.operators import repetition_signals
+
+    rows = [
+        (0, "alpha beta\nalpha beta\ngamma delta"),        # 1 dup line of 3
+        (1, "spam spam spam spam spam"),                   # one bigram everywhere
+        (2, "all lines differ\ncompletely here\nreally"),  # no repetition
+        (3, "single"),                                     # no bigrams at all
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in repetition_signals(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[0]["dup_line_ratio"] == round(1 / 3, 4)
+    assert out[0]["dup_line_char_ratio"] == round(10 / 31, 4)
+    # "spam spam" bigram occurs 4×, covers 4*9/24 of the chars
+    assert out[1]["top_bigram_char_ratio"] == round(4 * 9 / 24, 4)
+    assert out[2]["dup_line_ratio"] == 0.0
+    assert out[3]["top_bigram_char_ratio"] == 0.0
 
 
 def test_incremental_near_dups(dup_corpus, tmp_path):
