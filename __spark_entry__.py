@@ -554,6 +554,37 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash (md5-based so the
+    oracle replays the exact arithmetic; weights 0.5/0.25/0.25 make the
+    cumulative thresholds exactly representable doubles).  Membership is a
+    pure function of (id, salt) — repartition/retry stable, unlike
+    DataFrame.sample."""
+    from pdf_to_epub_spark.operators import hash_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(
+        d, {"train": 0.5, "val": 0.25, "test": 0.25}
+    ).select("doc_id", "split")
+
+
+def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain corpus stats over deterministically-built
+    urls (7 subdomains × 13 domains) — the quota/filter input table."""
+    from pdf_to_epub_spark.operators import domain_stats
+
+    doc_id = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    url = F.concat(
+        F.lit("http://sub"), (doc_id % 7).cast("string"),
+        F.lit(".site"), (doc_id % 13).cast("string"),
+        F.lit(".com/p/"), doc_id.cast("string"),
+    )
+    return domain_stats(d.select(url.alias("url"), "text")).select(
+        "domain", F.col("n_docs").cast("long").alias("n_docs"), "total_chars"
+    )
+
+
 def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization over deterministically-built dirty URLs (mixed
     host case, default ports, tracking params, unsorted queries,
@@ -942,6 +973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "repetition_signals": _q_repetition_signals,
         "url_canonical": _q_url_canonical,
+        "corpus_splits": _q_corpus_splits,
+        "domain_stats": _q_domain_stats,
         "ann_topk": _q_ann_topk,
         "embedding_near_pairs": _q_embedding_near_pairs,
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
@@ -1648,6 +1681,26 @@ def oracle_sql() -> dict[str, str]:
                         || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
                        AS canon_url
             FROM s5
+        """,
+        # md5-bucket split arithmetic replayed exactly (2^60 divisor, same
+        # cumulative thresholds — exactly-representable doubles by choice).
+        "corpus_splits": """
+            SELECT doc_id,
+                   CASE WHEN u < 0.5 THEN 'train'
+                        WHEN u < 0.75 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id,
+                       ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                       1, 15))::BIGINT
+                       / 1152921504606846976.0 AS u
+                FROM documents)
+        """,
+        "domain_stats": """
+            SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.com' AS domain,
+                   count(*) AS n_docs,
+                   sum(length(text))::BIGINT AS total_chars
+            FROM documents GROUP BY 1
         """,
         "ann_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -27,7 +27,8 @@ from .similarity import (
     ivf_topk,
     lsh_topk,
 )
-from .urls import canonical_url, canonicalize_urls
+from .sampling import hash_sample, hash_split
+from .urls import canonical_url, canonicalize_urls, domain_stats, registrable_domain
 from .textstats import (
     document_fingerprint,
     gopher_quality,
@@ -42,6 +43,10 @@ from .textstats import (
 __all__ = [
     "canonical_url",
     "canonicalize_urls",
+    "domain_stats",
+    "hash_sample",
+    "hash_split",
+    "registrable_domain",
     "connected_components",
     "asof_join",
     "brute_force_topk",

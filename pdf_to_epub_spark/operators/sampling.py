@@ -1,0 +1,63 @@
+"""Deterministic, corpus-stable sampling/splitting.
+
+``DataFrame.sample``/``sampleBy`` are seed-dependent on PARTITIONING —
+a repartition or a task retry can change which rows are kept, which is
+disqualifying for train/val/test splits of a training corpus.  These
+operators key every decision on a content-independent hash of the row id,
+so membership is a pure function of (id, salt): stable across runs,
+partitionings, engines — and replayable in the DuckDB oracle via the same
+md5 arithmetic (`operators.md5_hash60`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pdf_to_epub_spark.operators.dedup import md5_hash60
+
+_HASH_SPACE = float(1 << 60)
+
+
+def _unit_hash(id_col: Column, salt: str) -> Column:
+    """Uniform [0, 1) from the 60-bit md5 hash of ``salt:id``."""
+    return md5_hash60(
+        F.concat_ws(":", F.lit(salt), id_col.cast("string"))
+    ) / F.lit(_HASH_SPACE)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split with the given weight fractions,
+    deterministically by id hash.  Weights need not sum to 1 — they are
+    normalized; assignment walks the cumulative thresholds in dict order
+    (make it an ordered mapping for a stable contract)."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    u = _unit_hash(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        clause = F.when(u < acc, F.lit(name))
+        expr = clause if expr is None else expr.when(u < acc, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, deterministically by id hash — the
+    repartition-stable replacement for ``df.sample``."""
+    return df.where(_unit_hash(F.col(id_col), salt) < fraction)

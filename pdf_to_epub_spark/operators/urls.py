@@ -52,3 +52,34 @@ def canonicalize_urls(
     df: DataFrame, url_col: str = "url", out_col: str = "canon_url"
 ) -> DataFrame:
     return df.withColumn(out_col, canonical_url(F.col(url_col)))
+
+
+def registrable_domain(url_col: Column) -> Column:
+    """Last two host labels of the (lowercased) authority — the cheap
+    registrable-domain approximation (a real deployment swaps in the
+    public-suffix list; the two-label rule is the standard stand-in and is
+    exactly replayable in SQL)."""
+    host = F.regexp_extract(F.lower(url_col), r"^[a-z][a-z0-9+.\-]*://([^/:?#]*)", 1)
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(two != "", two).otherwise(host)
+
+
+def domain_stats(
+    df: DataFrame, url_col: str = "url", text_col: str | None = "text"
+) -> DataFrame:
+    """Per-registrable-domain corpus statistics — the input to the
+    per-domain quota/filter pass every web-corpus pipeline runs (domain
+    caps, spam-domain drops).  One combiner-enabled groupBy on a slim
+    (domain, n_chars) projection."""
+    slim = df.select(
+        registrable_domain(F.col(url_col)).alias("domain"),
+        *(
+            [F.length(F.col(text_col)).cast("long").alias("_chars")]
+            if text_col
+            else []
+        ),
+    )
+    aggs = [F.count("*").alias("n_docs")]
+    if text_col:
+        aggs.append(F.sum("_chars").alias("total_chars"))
+    return slim.groupBy("domain").agg(*aggs)

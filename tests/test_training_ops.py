@@ -165,6 +165,61 @@ def test_gopher_quality(spark):
     assert out[3]["keep"] is False and out[3]["symbol_ratio"] >= 0.1
 
 
+def test_hash_split_and_sample(spark):
+    """Split membership must be a pure function of (id, salt): identical
+    across repartitionings, weight-proportional in aggregate, and disjoint
+    across splits; hash_sample must keep ~fraction and be stable too."""
+    from pdf_to_epub_spark.operators import hash_sample, hash_split
+
+    ids = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    w = {"train": 0.5, "val": 0.25, "test": 0.25}
+    a = {r["doc_id"]: r["split"] for r in hash_split(ids, w).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(ids.repartition(13), w).collect()
+    }
+    assert a == b
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert abs(counts["train"] / 2000 - 0.5) < 0.05
+    assert abs(counts["val"] / 2000 - 0.25) < 0.05
+    assert abs(counts["test"] / 2000 - 0.25) < 0.05
+
+    s1 = {r["doc_id"] for r in hash_sample(ids, 0.1).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(ids.repartition(7), 0.1).collect()}
+    assert s1 == s2
+    assert abs(len(s1) / 2000 - 0.1) < 0.03
+    # a different salt draws a different (still deterministic) subset
+    s3 = {r["doc_id"] for r in hash_sample(ids, 0.1, salt="other").collect()}
+    assert s3 != s1
+
+
+def test_domain_stats(spark):
+    from pdf_to_epub_spark.operators import domain_stats, registrable_domain
+    from pyspark.sql import functions as FF
+
+    rows = [
+        (0, "http://a.news.example.com/x", "aaaa"),
+        (1, "https://b.example.com/y", "bb"),
+        (2, "http://example.com/z", "c"),
+        (3, "http://other.org/w", "dd"),
+        (4, "http://localhost/q", "e"),  # single-label host falls back whole
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    doms = {
+        r["doc_id"]: r["d"]
+        for r in df.select("doc_id", registrable_domain(FF.col("url")).alias("d")).collect()
+    }
+    assert doms == {
+        0: "example.com", 1: "example.com", 2: "example.com",
+        3: "other.org", 4: "localhost",
+    }
+    stats = {r["domain"]: (r["n_docs"], r["total_chars"]) for r in domain_stats(df).collect()}
+    assert stats["example.com"] == (3, 7)
+    assert stats["other.org"] == (1, 2)
+
+
 def test_canonicalize_urls(spark):
     from pdf_to_epub_spark.operators import canonicalize_urls
 
