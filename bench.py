@@ -218,6 +218,35 @@ def run_bench(
 
     timed("token_quality_stats", doc_stats)
 
+    def quality_filters() -> None:
+        """The full pre-training filter pass over the CC-style corpus:
+        Gopher quality gate + repetition filters (joined on url) gating a
+        PII scrub of the survivors — the per-document quality pipeline a
+        100 TB ingest runs between extraction and tokenization."""
+        from pdf_to_epub_spark.operators import (
+            gopher_quality,
+            repetition_signals,
+            scrub_pii,
+        )
+
+        docs = corpus.select("url", "text")
+        g = gopher_quality(docs).select("url", "text", "keep")
+        r = repetition_signals(docs, id_col="url")
+        kept = (
+            g.join(r, "url")
+            .where(
+                F.col("keep")
+                & (F.col("dup_line_char_ratio") < 0.2)
+                & (F.col("top_bigram_char_ratio") < 0.2)
+            )
+            .select("url", "text")
+        )
+        _force(
+            scrub_pii(kept).select("url", "n_email", "n_ip", "n_phone", "clean_text")
+        )
+
+    timed("quality_filters", quality_filters)
+
     # Recall@10 of the approximate ANN paths vs the brute-force oracle —
     # an approximate operator without a recall number isn't auditable.
     ann_recall: dict[str, float] = {}

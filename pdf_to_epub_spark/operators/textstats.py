@@ -212,16 +212,27 @@ def repetition_signals(
     document, which dies on a 100k-word doc, while the explode is linear
     rows through one combiner-enabled groupBy + one window.  Ties broken by
     gram ascending for determinism."""
-    lines = F.filter(
-        F.split(F.col(text_col), "\n"), lambda l: l.rlike(r"[^ \t\r]")
+    # Materialize the split arrays as COLUMNS before any higher-order
+    # lambda touches them: an expression tree referenced inside a
+    # transform() lambda is re-evaluated PER ELEMENT, so an embedded
+    # split() turns O(len) tokenization into O(len × n_words) per document
+    # (measured 109 s → 3 s on the 5000-doc bench corpus).
+    pre = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_text"),
+        F.filter(
+            F.split(F.col(text_col), "\n"), lambda l: l.rlike(r"[^ \t\r]")
+        ).alias("_lines"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_words"),
     )
+    lines = F.col("_lines")
     dlines = F.array_distinct(lines)
     n_lines = F.size(lines)
     chars = F.aggregate(lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l))
     dchars = F.aggregate(dlines, F.lit(0).cast("long"), lambda a, l: a + F.length(l))
-    base = df.select(
+    base = pre.select(
         F.col(id_col),
-        F.length(text_col).cast("long").alias("_n_chars"),
+        F.length("_text").cast("long").alias("_n_chars"),
         F.when(
             n_lines > 0,
             F.round((n_lines - F.size(dlines)) / n_lines.cast("double"), 4),
@@ -229,10 +240,10 @@ def repetition_signals(
         F.when(
             chars > 0, F.round((chars - dchars) / chars.cast("double"), 4)
         ).otherwise(F.lit(0.0)).alias("dup_line_char_ratio"),
-        F.col(text_col).alias("_text"),
+        F.col("_words"),
     )
 
-    words = F.split(F.trim(F.col("_text")), r"\s+")
+    words = F.col("_words")
     bigrams = F.when(
         F.size(words) >= 2,
         F.transform(
@@ -241,6 +252,7 @@ def repetition_signals(
         ),
     ).otherwise(F.array().cast("array<string>"))
     grams = base.select(id_col, F.explode(bigrams).alias("gram"))
+    base = base.drop("_words")
     counts = grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("gram"))
     top = (
