@@ -1007,7 +1007,7 @@ def _shingle_jaccard_oracle(k: int, threshold: float, final: str | None = None) 
     """DuckDB replica of the mutated-recrawl shingle-Jaccard queries: exact
     k-word-shingle Jaccard over documents ∪ last-word-dropped copies.
 
-    Shingle semantics mirror operators/dedup.py `_word_shingles` exactly:
+    Shingle semantics mirror operators/dedup.py `_shingles_from_tokens` exactly:
     split(trim(lower(text)), '\\s+'), distinct k-grams joined by ' ', whole
     text as the single shingle when fewer than k tokens.  The min/max size
     prefilter is sound (J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|)), it just prunes

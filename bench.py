@@ -167,6 +167,23 @@ def run_bench(
             "minhash_pairs_cached_sigs",
             lambda: minhash_cached_sigs(sig_path, reuse=True),
         )
+    def minhash_bigdocs() -> None:
+        """MinHash over the ~6 KB bench-corpus docs (the documents table's
+        rows are ~100× smaller) — guards the O(text_len × n_shingles)
+        re-tokenization class of regression, which tiny docs cannot see."""
+        from pdf_to_epub_spark.operators import minhash_candidate_pairs
+
+        docs = corpus.select(
+            F.xxhash64("url").alias("doc_id"), F.col("text")
+        )
+        _force(
+            minhash_candidate_pairs(
+                docs, k=5, num_hashes=32, bands=8, jaccard_threshold=0.7
+            )
+        )
+
+    timed("minhash_bigdocs", minhash_bigdocs)
+
     if not only or only == "incremental_near_dups":
         # Daily re-crawl shape: yesterday's signature store exists
         # (unmeasured build); the measured batch computes signatures ONLY

@@ -57,10 +57,20 @@ def drop_exact_duplicates(
 # Shingling + MinHash
 # --------------------------------------------------------------------------
 
-def _word_shingles(text_col: Column, k: int) -> Column:
-    """Distinct k-word shingles, JVM-side: tokenize → sliding window via
-    sequence+transform → de-dup."""
-    tokens = F.split(F.trim(F.lower(text_col)), r"\s+")
+def _word_tokens(text_col: Column) -> Column:
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def _shingles_from_tokens(tokens: Column, k: int) -> Column:
+    """Distinct k-word shingles from a MATERIALIZED token-array column.
+
+    ``tokens`` must be a bound column reference, never an expression tree:
+    an expression referenced inside a ``transform()`` lambda is re-evaluated
+    PER ELEMENT, so an embedded ``split()`` makes shingling
+    O(text_len × n_shingles) per document — measured 60× (105 s → 1.7 s)
+    on a 6 KB-doc corpus.  (Catalyst's CollapseProject keeps the two-step
+    projection intact because the token column is referenced multiple
+    times; tests/test_training_ops.py pins the single-split plan.)"""
     n = F.size(tokens)
     starts = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
     shingle_at = lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k))  # noqa: E731
@@ -72,7 +82,11 @@ def _word_shingles(text_col: Column, k: int) -> Column:
 def with_shingles(
     df: DataFrame, text_col: str = "text", k: int = 5, out_col: str = "shingles"
 ) -> DataFrame:
-    return df.withColumn(out_col, _word_shingles(F.col(text_col), k))
+    return (
+        df.withColumn("_toks", _word_tokens(F.col(text_col)))
+        .withColumn(out_col, _shingles_from_tokens(F.col("_toks"), k))
+        .drop("_toks")
+    )
 
 
 def _seeded(i: int):
@@ -291,13 +305,21 @@ def _score_pairs_exact_jaccard(
 ) -> DataFrame:
     """Pre-barrier scoring stage of the verify join (split out so plan
     tests can inspect the join strategy, which the checkpoint barrier hides
-    from the public function's executedPlan)."""
+    from the public function's executedPlan).  Token arrays are
+    materialized as columns on the candidate rows before the shingle
+    lambdas touch them (see :func:`_shingles_from_tokens`)."""
     ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_text_a"))
     tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_text_b"))
     with_texts = tb.join(ta.join(F.broadcast(pairs), "id_a"), "id_b")
-    sh_a = _word_shingles(F.col("_text_a"), k)
-    sh_b = _word_shingles(F.col("_text_b"), k)
-    return with_texts.select(
+    toks = with_texts.select(
+        "id_a",
+        "id_b",
+        _word_tokens(F.col("_text_a")).alias("_toks_a"),
+        _word_tokens(F.col("_text_b")).alias("_toks_b"),
+    )
+    sh_a = _shingles_from_tokens(F.col("_toks_a"), k)
+    sh_b = _shingles_from_tokens(F.col("_toks_b"), k)
+    return toks.select(
         "id_a",
         "id_b",
         (

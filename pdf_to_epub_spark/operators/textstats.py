@@ -291,15 +291,24 @@ def document_fingerprint(
     reproducible in an external SQL oracle (see __spark_entry__
     `doc_fingerprints`)."""
     h = token_hash or F.xxhash64
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    words = F.split(norm, " ")
+    # Materialize the normalized string and its word array as columns
+    # BEFORE the shingle lambda: an expression tree referenced inside a
+    # transform() lambda re-evaluates per element (the O(len × n_words)
+    # trap — see repetition_signals / dedup._shingles_from_tokens).
+    pre = df.select(
+        "*",
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias(
+            "_norm"
+        ),
+    ).withColumn("_nwords", F.split(F.col("_norm"), " "))
+    words = F.col("_nwords")
     n = F.size(words)
     starts = F.sequence(F.lit(0), F.greatest(n - F.lit(4), F.lit(0)))
     shingle_hashes = F.transform(
         starts, lambda i: h(F.concat_ws(" ", F.slice(words, i + 1, 4)))
     )
-    return df.select(
+    return pre.select(
         "*",
-        h(norm).alias("fingerprint"),
+        h(F.col("_norm")).alias("fingerprint"),
         F.array_min(shingle_hashes).alias("min_shingle_hash"),
-    )
+    ).drop("_norm", "_nwords")

@@ -62,6 +62,31 @@ def test_minhash_finds_near_dup(dup_corpus):
         assert r["jaccard"] >= 0.5
 
 
+def test_shingle_plan_single_tokenization(dup_corpus):
+    """Tokenization must appear exactly once in the optimized plan: if
+    CollapseProject ever inlines the token column back into the shingle
+    lambda, split() re-executes per element and shingling regresses
+    O(len × n_shingles) — measured 60× on 6 KB docs.  Same guard for the
+    fingerprint path."""
+    from pdf_to_epub_spark.operators import document_fingerprint, minhash_signatures
+
+    plan = (
+        minhash_signatures(dup_corpus, k=3, num_hashes=8)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("split(trim(lower") == 1, plan[:3000]
+
+    fplan = (
+        document_fingerprint(dup_corpus)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert fplan.count("regexp_replace(lower(trim") == 1, fplan[:3000]
+
+
 def test_verify_join_broadcast_gating(dup_corpus):
     """The exact-verify join must degrade to a shuffle join when the
     optimizer can't prove the candidate side small (forced here by turning
