@@ -554,6 +554,23 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage check: docs sharing ≥1 distinct 8-word shingle with a
+    benchmark set (here: the first 20 documents' own texts, so each
+    benchmark row must at minimum flag its source doc).  Corpus side
+    streams through a broadcast probe of the slim benchmark shingle-hash
+    table; the oracle recomputes shared counts on string shingles."""
+    from pdf_to_epub_spark.operators import benchmark_contamination
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_id"), F.col("text")
+    )
+    return benchmark_contamination(d, bench, k=8).select(
+        "doc_id", "bench_id", F.col("shared_shingles").cast("long").alias("shared_shingles")
+    )
+
+
 def _q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by id hash (md5-based so the
     oracle replays the exact arithmetic; weights 0.5/0.25/0.25 make the
@@ -974,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _q_repetition_signals,
         "url_canonical": _q_url_canonical,
         "corpus_splits": _q_corpus_splits,
+        "benchmark_contamination": _q_benchmark_contamination,
         "domain_stats": _q_domain_stats,
         "ann_topk": _q_ann_topk,
         "embedding_near_pairs": _q_embedding_near_pairs,
@@ -1701,6 +1719,30 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    sum(length(text))::BIGINT AS total_chars
             FROM documents GROUP BY 1
+        """,
+        # String-shingle recomputation of the contamination counts (the
+        # Spark side joins on 64-bit shingle hashes; collision probability
+        # is the documented ~2^-64 bound).
+        "benchmark_contamination": r"""
+            WITH sh AS (
+                SELECT doc_id,
+                    CASE WHEN len(toks) >= 8 THEN
+                        list_distinct(list_transform(
+                            generate_series(1, len(toks)-7),
+                            i -> array_to_string(list_slice(toks, i, i+7), ' ')))
+                    ELSE [array_to_string(toks, ' ')] END AS shingles
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                      FROM documents)),
+            bench AS (SELECT doc_id AS bench_id, shingles FROM sh
+                      WHERE doc_id < 20),
+            pairs AS (
+                SELECT c.doc_id, b.bench_id,
+                       len(list_intersect(c.shingles, b.shingles))
+                           AS shared_shingles
+                FROM sh c CROSS JOIN bench b)
+            SELECT doc_id, bench_id, shared_shingles::BIGINT AS shared_shingles
+            FROM pairs WHERE shared_shingles >= 1
         """,
         "ann_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1,5 +1,6 @@
 from .assemble import assemble_documents, ordered_concat
 from .dedup import (
+    benchmark_contamination,
     connected_components,
     drop_exact_duplicates,
     drop_near_duplicates,
@@ -41,6 +42,7 @@ from .textstats import (
 )
 
 __all__ = [
+    "benchmark_contamination",
     "canonical_url",
     "canonicalize_urls",
     "domain_stats",

@@ -99,7 +99,12 @@ def minhash_signature(shingles_col: Column, num_hashes: int = 64) -> Column:
     """Array of ``num_hashes`` min-hash values.  The shingle string is
     hashed to a long ONCE (xxhash64); per-seed hashes are then derived from
     that long (xxhash64(h, seed)), which keeps the per-seed pass integer-only
-    — ~an order of magnitude cheaper than num_hashes string hashings."""
+    — ~an order of magnitude cheaper than num_hashes string hashings.
+
+    ``shingles_col`` should be a MATERIALIZED column reference (it is
+    referenced ``num_hashes`` times as the transform collection; a heavy
+    embedded expression tree would re-evaluate per seed — prefer
+    :func:`minhash_signatures`, which materializes the hash array once)."""
     base = F.transform(shingles_col, lambda s: F.xxhash64(s))
     return F.array(
         *[
@@ -326,6 +331,49 @@ def _score_pairs_exact_jaccard(
             F.size(F.array_intersect(sh_a, sh_b))
             / F.size(F.array_union(sh_a, sh_b))
         ).alias("jaccard"),
+    )
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    k: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ≥
+    ``min_shared`` distinct k-word shingles with ANY benchmark document —
+    the standard eval-leakage check a training pipeline runs before a data
+    release (exact n-gram collision, the GPT-3/PaLM-style criterion; k≈8
+    words ≈ the 13-token window those reports use).
+
+    Plan shape for 100 TB corpus × small benchmark: the benchmark's shingle
+    hashes are a SLIM distinct (hash, bench_id) table joined via broadcast
+    against the corpus's exploded shingle hashes — the corpus is never
+    shuffled, and only matching (doc, bench) rows leave the probe.  Output:
+    one row per contaminated (doc_id, bench_id) with the shared-shingle
+    count; anti-join the doc_ids to decontaminate.
+    """
+    c = with_shingles(corpus.select(id_col, text_col), text_col, k)
+    c_hashed = c.select(
+        F.col(id_col),
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("h"),
+    )
+    b = with_shingles(
+        benchmark.select(bench_id_col, bench_text_col), bench_text_col, k
+    )
+    b_hashed = b.select(
+        F.col(bench_id_col),
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("h"),
+    ).dropDuplicates([bench_id_col, "h"])
+    return (
+        c_hashed.join(F.broadcast(b_hashed), "h")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count("*").alias("shared_shingles"))
+        .where(F.col("shared_shingles") >= min_shared)
     )
 
 

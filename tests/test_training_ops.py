@@ -190,6 +190,32 @@ def test_gopher_quality(spark):
     assert out[3]["keep"] is False and out[3]["symbol_ratio"] >= 0.1
 
 
+def test_benchmark_contamination(spark):
+    """A doc containing a benchmark passage verbatim must be flagged
+    against exactly that benchmark row; clean docs must not appear."""
+    from pdf_to_epub_spark.operators import benchmark_contamination
+
+    passage = "the quick brown fox jumps over the lazy dog today"  # 10 words
+    corpus = spark.createDataFrame(
+        [
+            (0, "intro words here " + passage + " trailing content follows"),
+            (1, "completely unrelated text about something else entirely ok"),
+            (2, passage),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, passage), (101, "no overlap with anything in the corpus set")],
+        "bench_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["bench_id"]): r["shared_shingles"]
+        for r in benchmark_contamination(corpus, bench, k=8).collect()
+    }
+    # 10-word passage -> 3 distinct 8-grams, all shared by docs 0 and 2
+    assert got == {(0, 100): 3, (2, 100): 3}
+
+
 def test_hash_split_and_sample(spark):
     """Split membership must be a pure function of (id, salt): identical
     across repartitionings, weight-proportional in aggregate, and disjoint
