@@ -1,0 +1,89 @@
+"""End-to-end ingest composition: extraction → quality → scrub → dedup →
+split, on a corpus engineered to exercise every gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_to_epub_spark.pipeline import ingest
+from pdf_to_epub_spark.sources.synth import make_documents
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+def test_ingest_end_to_end(spark):
+    rows = make_documents(30, seed=21)
+    # a near-duplicate pair: same doc re-crawled with the last word dropped
+    dup = dict(rows[0])
+    dup["url"] = rows[0]["url"] + "-recrawl"
+    dup["text"] = rows[0]["text"].rsplit(None, 1)[0]
+    # a doc that must fail the Gopher word-count gate
+    short = dict(rows[1])
+    short["url"] = "doc://short"
+    short["text"] = "way too short"
+    pages = _pages(spark, rows + [dup, short])
+
+    result = ingest(pages, min_words=20, near_dup_threshold=0.7)
+    corpus = result.corpus.cache()
+    urls = {r["url"] for r in corpus.select("url").collect()}
+
+    # the short doc fell to the quality gate
+    assert "doc://short" not in urls
+    # exactly one of the near-dup pair survived (keep-lowest on url)
+    assert (rows[0]["url"] in urls) != (rows[0]["url"] + "-recrawl" in urls)
+    # every surviving row has a split; weights default to 98/1/1
+    assert corpus.where(F.col("split").isNull()).count() == 0
+
+    # audit aggregates are consistent with the corpus
+    assert result.audit["deduped"].collect()[0][0] == corpus.count()
+    ext = {r["status"]: r["count"] for r in result.audit["extracted"].collect()}
+    assert ext.get("ok", 0) == 32
+
+
+def test_ingest_html_mode_scrubs_pii(spark):
+    """PII can only survive into the scrub stage via the HTML path: the
+    OCR-cleanup transform (correctly, per reference semantics) strips
+    digits and spaces dotted tokens, mangling emails/IPs before the scrub
+    ever sees them.  HTML extraction preserves block text verbatim."""
+    rows = []
+    for i, r in enumerate(make_documents(10, seed=23)):
+        body = r["text"].replace("&", "&amp;").replace("<", "&lt;")
+        extra = " reach me at who@example.org now" if i < 2 else ""
+        paras = "".join(
+            f"<p>{line}</p>"
+            for line in body.split("\n")
+            if line.strip()
+        )
+        html = f"<html><body>{paras}<p>closing words{extra}</p></body></html>"
+        rows.append(
+            {
+                "url": r["url"],
+                "warc_ts": r["warc_ts"],
+                "html": html.encode(),
+                "text": None,
+                "lang": r["lang"],
+            }
+        )
+    pages = _pages(spark, rows)
+    result = ingest(pages, html_mode=True, min_words=10)
+    corpus = result.corpus.cache()
+    scrubbed = corpus.where(F.col("n_email") > 0)
+    assert scrubbed.count() == 2
+    for row in scrubbed.collect():
+        assert "who@example.org" not in row["text"]
+        assert "<EMAIL>" in row["text"]
+
+
+def test_ingest_resume_skips_done(spark):
+    from pdf_to_epub_spark.operators import with_doc_hash
+
+    rows = make_documents(10, seed=22)
+    pages = _pages(spark, rows)
+    done = with_doc_hash(pages.limit(4), payload_col="text").select("doc_hash")
+    result = ingest(pages, done_hashes=done, min_words=1)
+    assert result.corpus.count() == 6

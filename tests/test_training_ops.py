@@ -190,6 +190,34 @@ def test_gopher_quality(spark):
     assert out[3]["keep"] is False and out[3]["symbol_ratio"] >= 0.1
 
 
+def test_scrub_and_canonical_idempotent(spark):
+    """Both rewrites must be idempotent: scrubbing already-scrubbed text
+    and canonicalizing an already-canonical URL are no-ops — the property
+    that makes replays/retries of either stage safe."""
+    from pyspark.sql import functions as FF
+
+    from pdf_to_epub_spark.operators import canonicalize_urls, scrub_pii
+    from pdf_to_epub_spark.sources.synth import make_documents
+
+    rows = [
+        {"doc_id": i, "text": r["text"] + f" x{i}@ex.com 10.1.2.{i % 250} +1 415 555 00{i % 10:02d}"}
+        for i, r in enumerate(make_documents(40, seed=17))
+    ]
+    df = spark.createDataFrame(rows)
+    once = scrub_pii(df).select("doc_id", FF.col("clean_text").alias("text"))
+    twice = scrub_pii(once)
+    assert twice.where("n_email + n_ip + n_phone > 0").count() == 0
+    assert twice.where("clean_text <> text").count() == 0
+
+    urls = spark.createDataFrame(
+        [(i, f"HTTP://Ex{i % 5}.COM:80/P{i}?utm_x=1&b={i}&a=2#f") for i in range(40)],
+        "doc_id long, url string",
+    )
+    c1 = canonicalize_urls(urls).select("doc_id", FF.col("canon_url").alias("url"))
+    c2 = canonicalize_urls(c1)
+    assert c2.where("canon_url <> url").count() == 0
+
+
 def test_benchmark_contamination(spark):
     """A doc containing a benchmark passage verbatim must be flagged
     against exactly that benchmark row; clean docs must not appear."""
