@@ -585,6 +585,18 @@ def _q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): greedy fixed-capacity
+    training-context assembly, parallel per md5 id-hash shard.  The oracle
+    replays the exact fold with a recursive CTE — per-doc (shard, seq_id)
+    assignment is a pure function of the id/token-count multiset, so the
+    whole placement decision is hash-checkable."""
+    from pdf_to_epub_spark.operators import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(d, max_tokens=512, n_shards=16)
+
+
 def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registrable-domain corpus stats over deterministically-built
     urls (7 subdomains × 13 domains) — the quota/filter input table."""
@@ -991,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _q_repetition_signals,
         "url_canonical": _q_url_canonical,
         "corpus_splits": _q_corpus_splits,
+        "pack_sequences": _q_pack_sequences,
         "benchmark_contamination": _q_benchmark_contamination,
         "domain_stats": _q_domain_stats,
         "ann_topk": _q_ann_topk,
@@ -1713,6 +1726,37 @@ def oracle_sql() -> dict[str, str]:
                                        1, 15))::BIGINT
                        / 1152921504606846976.0 AS u
                 FROM documents)
+        """,
+        # Exact replay of the greedy per-shard pack: shard = md5-hash of
+        # the id mod 16, walk docs in id order, new sequence whenever
+        # fill + tok would exceed 512.  The recursive CTE advances every
+        # shard one row per iteration (rn join), i.e. the same O(rows)
+        # integer fold packing.py runs in pandas.
+        "pack_sequences": """
+            WITH RECURSIVE docs AS (
+                SELECT CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                                            1, 15))::BIGINT % 16 AS INTEGER) AS shard,
+                       doc_id,
+                       len(regexp_extract_all(lower(text), '[a-zà-öø-ÿ]+'))::BIGINT AS tok
+                FROM documents
+            ), ordered AS (
+                SELECT shard, doc_id, tok,
+                       row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+                FROM docs
+            ), pack AS (
+                SELECT shard, doc_id, tok, rn,
+                       0::BIGINT AS seq_id, tok AS fill
+                FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT d.shard, d.doc_id, d.tok, d.rn,
+                       CASE WHEN p.fill + d.tok <= 512 THEN p.seq_id
+                            ELSE p.seq_id + 1 END,
+                       CASE WHEN p.fill + d.tok <= 512 THEN p.fill + d.tok
+                            ELSE d.tok END
+                FROM pack p
+                JOIN ordered d ON d.shard = p.shard AND d.rn = p.rn + 1
+            )
+            SELECT shard, doc_id, tok, seq_id FROM pack
         """,
         "domain_stats": """
             SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.com' AS domain,

@@ -29,6 +29,7 @@ from .similarity import (
     lsh_topk,
 )
 from .sampling import hash_sample, hash_split
+from .packing import pack_sequences, packed_sequence_stats
 from .urls import canonical_url, canonicalize_urls, domain_stats, registrable_domain
 from .textstats import (
     document_fingerprint,
@@ -48,6 +49,8 @@ __all__ = [
     "domain_stats",
     "hash_sample",
     "hash_split",
+    "pack_sequences",
+    "packed_sequence_stats",
     "registrable_domain",
     "connected_components",
     "asof_join",

@@ -1,0 +1,116 @@
+"""Sequence packing: greedy assembly of tokenized documents into
+fixed-capacity training contexts.
+
+The standard last step of an LLM data pipeline: documents are concatenated
+in a deterministic order into sequences of at most ``max_tokens`` tokens
+(one training context each).  Global greedy packing is inherently
+sequential, so the corpus is first split into ``n_shards`` deterministic
+id-hash shards and packing runs independently per shard — embarrassingly
+parallel, and exactly how production packers bound the sequential region.
+
+Scale design (100 TB):
+- Only the slim ``(shard, doc_id, tok)`` triple enters the shuffle — the
+  document text NEVER rides it.  At ~16 bytes/doc, a 10^12-doc corpus is
+  ~16 TB of slim rows total; ``n_shards`` is chosen so one shard's rows
+  (corpus_docs / n_shards) fit comfortably in a single task (e.g. 2^16
+  shards -> ~15M rows/shard -> ~250 MB in pandas).  The per-shard pack
+  itself is a trivial O(rows) integer fold.
+- Materializing the packed text is a SEPARATE co-partitioned join of this
+  assignment table back to the documents, shard-to-shard (no extra
+  shuffle of the assignment side); this operator only decides placement.
+- Determinism: shard = md5-hash of the doc id (replayable in DuckDB /
+  plain Python — see :func:`pdf_to_epub_spark.operators.dedup.md5_hash60`),
+  pack order = doc_id ascending within shard.  Assignment is a pure
+  function of the id/token-count multiset: stable across partitionings,
+  task retries, and engines.
+
+Packing rule (mirrored exactly by the recursive-CTE oracle in
+`__spark_entry__.oracle_sql()['pack_sequences']`): walk docs in doc_id
+order; a doc joins the current sequence iff ``fill + tok <= max_tokens``,
+else it opens a new sequence with ``fill = tok``.  A doc longer than
+``max_tokens`` therefore always sits alone in its own (overflow) sequence
+— flagged via ``tok > max_tokens`` downstream, never silently truncated.
+
+Reference parity note: the reference pipeline has no packing stage (it is
+a per-book converter); this is one of the training-data operators the
+build adds beyond the reference surface.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdf_to_epub_spark.operators.dedup import md5_hash60
+
+_OUT_SCHEMA = "shard int, doc_id bigint, tok bigint, seq_id bigint"
+
+
+def _pack_shard(pdf: pd.DataFrame, max_tokens: int) -> pd.DataFrame:
+    """Greedy sequential pack of one shard (already a single group)."""
+    import numpy as np
+
+    pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    toks = pdf["tok"].to_numpy()
+    seq_ids = np.empty(len(toks), dtype=np.int64)
+    seq = -1
+    fill = max_tokens + 1  # forces the first doc to open sequence 0
+    for i, t in enumerate(toks):
+        if fill + t <= max_tokens:
+            fill += t
+        else:
+            seq += 1
+            fill = t
+        seq_ids[i] = seq
+    pdf["seq_id"] = seq_ids
+    return pdf[["shard", "doc_id", "tok", "seq_id"]]
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int = 512,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign every document to a (shard, seq_id) training context.
+
+    Returns one row per document: ``(shard, doc_id, tok, seq_id)`` where
+    ``tok`` is the word-token count (same tokenizer as
+    :func:`textstats token_counts`, so it replays in the SQL oracle) and
+    ``seq_id`` numbers sequences within the shard from 0.
+    """
+    base = df.select(
+        F.pmod(
+            md5_hash60(
+                F.concat(F.lit("shard:"), F.col(id_col).cast("string"))
+            ),
+            F.lit(n_shards),
+        )
+        .cast("int")
+        .alias("shard"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-zà-öø-ÿ]+', 0)")
+        )
+        .cast("long")
+        .alias("tok"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _pack_shard(pdf, max_tokens)
+
+    return base.groupBy("shard").applyInPandas(_pack, _OUT_SCHEMA)
+
+
+def packed_sequence_stats(assignments: DataFrame, max_tokens: int) -> DataFrame:
+    """Per-sequence utilization rollup of a :func:`pack_sequences` result:
+    docs per sequence, filled tokens, fill ratio, overflow flag.  Pure
+    column algebra over the slim assignment table (one shuffle on the
+    (shard, seq_id) key, map-side partials)."""
+    return assignments.groupBy("shard", "seq_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("fill_tokens"),
+        F.max((F.col("tok") > max_tokens).cast("int")).alias("is_overflow"),
+    )

@@ -599,3 +599,67 @@ def test_ann_recall_on_clustered_data(spark):
     r_ivf = topk_recall(exact, ivf, k=10)
     assert r_lsh >= 0.9, f"clustered lsh recall {r_lsh}"
     assert r_ivf >= 0.9, f"clustered ivf recall {r_ivf}"
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (operators/packing.py)
+# ---------------------------------------------------------------------------
+
+def _word_doc(n_words: int, tag: str) -> str:
+    return " ".join(f"{tag}{i}" for i in range(n_words))
+
+
+class TestPackSequences:
+    def _assignments(self, spark, rows, max_tokens=10, n_shards=1):
+        from pdf_to_epub_spark.operators import pack_sequences
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: (r["shard"], r["seq_id"], r["tok"])
+            for r in pack_sequences(
+                df, max_tokens=max_tokens, n_shards=n_shards
+            ).collect()
+        }
+
+    def test_greedy_fill_and_reset(self, spark):
+        # single shard: docs of 4,4,4 words at cap 10 -> [0,0,1]
+        rows = [(i, _word_doc(4, "w")) for i in range(3)]
+        got = self._assignments(spark, rows, max_tokens=10, n_shards=1)
+        assert [got[i][1] for i in range(3)] == [0, 0, 1]
+        assert all(got[i][2] == 4 for i in range(3))
+
+    def test_overflow_doc_sits_alone(self, spark):
+        # 3-word, 15-word (over cap), 3-word -> sequences 0, 1, 2
+        rows = [(0, _word_doc(3, "a")), (1, _word_doc(15, "b")),
+                (2, _word_doc(3, "c"))]
+        got = self._assignments(spark, rows, max_tokens=10, n_shards=1)
+        assert [got[i][1] for i in range(3)] == [0, 1, 2]
+
+    def test_zero_token_docs_join_current_sequence(self, spark):
+        rows = [(0, _word_doc(9, "a")), (1, "???"), (2, _word_doc(9, "c"))]
+        got = self._assignments(spark, rows, max_tokens=10, n_shards=1)
+        assert got[1][2] == 0          # punctuation-only doc has 0 word tokens
+        assert got[1][1] == got[0][1]  # absorbed into the open sequence
+        assert got[2][1] == got[0][1] + 1
+
+    def test_repartition_stable(self, spark):
+        from pdf_to_epub_spark.operators import pack_sequences
+
+        rows = [(i, _word_doc(3 + i % 7, "w")) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, pack_sequences(df, 16, n_shards=4).collect()))
+        b = sorted(map(tuple,
+                       pack_sequences(df.repartition(13), 16, n_shards=4).collect()))
+        assert a == b
+
+    def test_stats_fill_never_exceeds_cap_except_overflow(self, spark):
+        from pdf_to_epub_spark.operators import pack_sequences, packed_sequence_stats
+
+        rows = [(i, _word_doc(2 + (i * 5) % 13, "w")) for i in range(60)]
+        rows.append((200, _word_doc(40, "big")))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        stats = packed_sequence_stats(pack_sequences(df, 16, n_shards=4), 16)
+        for r in stats.collect():
+            assert r["fill_tokens"] <= 16 or r["is_overflow"] == 1
+            if r["is_overflow"]:
+                assert r["n_docs"] == 1  # overflow docs are never co-packed
