@@ -597,6 +597,17 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, max_tokens=512, n_shards=16)
 
 
+def _q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal (operators/lm.py): add-one-smoothed
+    char-bigram model trained on the corpus, every doc scored under it.
+    Scores are sums of integer micro-nat costs, so the oracle hash-matches
+    exactly — float summation order never enters the result."""
+    from pdf_to_epub_spark.operators import bigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_lm_scores(d)
+
+
 def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registrable-domain corpus stats over deterministically-built
     urls (7 subdomains × 13 domains) — the quota/filter input table."""
@@ -1004,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": _q_url_canonical,
         "corpus_splits": _q_corpus_splits,
         "pack_sequences": _q_pack_sequences,
+        "bigram_lm_scores": _q_bigram_lm_scores,
         "benchmark_contamination": _q_benchmark_contamination,
         "domain_stats": _q_domain_stats,
         "ann_topk": _q_ann_topk,
@@ -1726,6 +1738,43 @@ def oracle_sql() -> dict[str, str]:
                                        1, 15))::BIGINT
                        / 1152921504606846976.0 AS u
                 FROM documents)
+        """,
+        # Full replay of the char-bigram LM: same normalization, same
+        # add-one smoothing, same integer micro-nat costs.  Train corpus =
+        # score corpus here, so every scored bigram is in the model and
+        # the inner join is total (the floor/uniform fallbacks only fire
+        # with a separate train split — unit-tested instead).
+        "bigram_lm_scores": """
+            WITH norm AS (
+                SELECT doc_id,
+                       regexp_replace(lower(text), '[^a-z ]', '#', 'g') AS s
+                FROM documents
+            ), bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, length(s) - 1),
+                                             i -> s[i:i+1])) AS bg
+                FROM norm WHERE length(s) >= 2
+            ), counts AS (
+                SELECT bg, count(*)::BIGINT AS n_bg FROM bg GROUP BY bg
+            ), c1 AS (
+                SELECT substr(bg, 1, 1) AS c1, sum(n_bg)::BIGINT AS n_c1
+                FROM counts GROUP BY 1
+            ), model AS (
+                SELECT bg,
+                       CAST(round(-ln((n_bg + 1.0) / (n_c1 + 28.0)) * 1000000)
+                            AS BIGINT) AS cost
+                FROM counts JOIN c1 ON substr(counts.bg, 1, 1) = c1.c1
+            ), scored AS (
+                SELECT b.doc_id,
+                       count(*)::BIGINT AS n_bigrams,
+                       sum(m.cost)::BIGINT AS cost_micro_total
+                FROM bg b JOIN model m USING (bg)
+                GROUP BY b.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+                   coalesce(s.cost_micro_total, 0)::BIGINT AS cost_micro_total
+            FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         # Exact replay of the greedy per-shard pack: shard = md5-hash of
         # the id mod 16, walk docs in id order, new sequence whenever

@@ -30,6 +30,7 @@ from .similarity import (
 )
 from .sampling import hash_sample, hash_split
 from .packing import pack_sequences, packed_sequence_stats
+from .lm import bigram_lm_scores, train_bigram_lm
 from .urls import canonical_url, canonicalize_urls, domain_stats, registrable_domain
 from .textstats import (
     document_fingerprint,
@@ -51,6 +52,8 @@ __all__ = [
     "hash_split",
     "pack_sequences",
     "packed_sequence_stats",
+    "bigram_lm_scores",
+    "train_bigram_lm",
     "registrable_domain",
     "connected_components",
     "asof_join",

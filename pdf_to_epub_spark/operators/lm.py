@@ -1,0 +1,167 @@
+"""Character-bigram language-model quality scoring (CCNet-style).
+
+CCNet (Wenzek et al., LREC 2020) buckets web documents by the perplexity
+of a small LM trained on a clean corpus — the single most load-bearing
+quality signal in Common-Crawl pipelines.  This is that operator with the
+smallest honest model that stays engine-reproducible: an add-one-smoothed
+character-bigram LM over a 28-symbol alphabet (``a-z``, space, ``#`` for
+everything else after lowercasing).
+
+Determinism contract: per-bigram costs are stored as integer **micro-nats**
+(``round(-ln(p) * 1e6)``), so every per-document score is a sum of
+integers — order-independent, hash-stable across Spark and the DuckDB
+oracle (float summation order never enters the result).  The only float
+step is the one ``ln`` per model row; a cross-engine mismatch would need
+the true value within ~1e-9 of a rounding boundary — negligible over a
+<=784-row model.
+
+Scale design (100 TB):
+- Model training is one map-side-combined groupBy over exploded bigrams:
+  partial aggregation collapses each partition to <= 784 rows before the
+  shuffle, so training shuffles O(partitions * 784) slim rows regardless
+  of corpus size.
+- Scoring broadcast-joins the <=784-row model against the exploded bigram
+  stream (narrow), then groupBy(doc_id) — documents are never split
+  across input partitions, so map-side partials collapse to ONE row per
+  doc before the only scoring shuffle.  No text, array, or float rides
+  any shuffle.
+- The exploded bigram view is recomputed for the scoring pass rather than
+  cached: it is a narrow projection of the scan, and at 100 TB a second
+  columnar scan is cheaper than materializing ~text-sized intermediates.
+- ``train_df`` lets production train on a clean split (the CCNet shape:
+  train on Wikipedia, score Common Crawl) — unseen bigrams then fall back
+  to the smoothed per-context floor, and unseen contexts to the uniform
+  ``-ln(1/V)``.
+
+Reference parity note: no analog in the reference (a per-book converter);
+part of the training-data surface this build adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ALPHABET_SIZE = 28  # a-z, space, '#'
+_MICRO = 1_000_000.0
+
+
+def _normalized(text_col: str) -> Column:
+    return F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", "#")
+
+
+def _bigram_rows(
+    df: DataFrame, id_col: str, text_col: str, keep_empty: bool = False
+) -> DataFrame:
+    """(doc_id, bg) — one row per adjacent character pair, narrow.
+    ``keep_empty`` emits a single null-bg row for docs with <2 normalized
+    chars (explode_outer), so scoring keeps every doc without a join-back.
+
+    ``chars`` is materialized as a real column before the zip_with lambda
+    (multi-referenced columns are not inlined by CollapseProject), so
+    nothing re-evaluates per element — the measured 60x trap documented
+    in PLANS.md.  The slice/zip_with form is O(len) per doc; the naive
+    ``transform(sequence(...), i -> substring(norm, i, 2))`` is O(len^2)
+    byte-walks on UTF8String and is deliberately avoided."""
+    n = F.size(F.col("chars"))
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("chars", 1, n - 1),
+            F.slice(F.col("chars"), 2, n - 1),
+            lambda a, b: F.concat(a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    explode = F.explode_outer if keep_empty else F.explode
+    return (
+        df.select(F.col(id_col).alias("doc_id"), _normalized(text_col).alias("norm"))
+        .withColumn("chars", F.split("norm", ""))
+        .select("doc_id", explode(bigrams).alias("bg"))
+    )
+
+
+def _cost_micro(num: Column, den: Column) -> Column:
+    return F.round(-F.log(num / den) * _MICRO).cast("long")
+
+
+def train_bigram_lm(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the smoothed bigram model.
+
+    Returns ``(model, floors)``: ``model`` has one row per observed bigram
+    with ``cost_micro = round(-ln((n_bg + 1) / (n_c1 + V)) * 1e6)``;
+    ``floors`` has one row per observed context char with the
+    unseen-bigram cost ``round(-ln(1 / (n_c1 + V)) * 1e6)``.  At most
+    784 + 28 rows — always broadcastable."""
+    # Lazy localCheckpoint: `counts` (<=784 rows) feeds both the model and
+    # the context totals; without it the full-corpus bigram scan runs twice.
+    counts = (
+        _bigram_rows(df, id_col, text_col)
+        .groupBy("bg")
+        .agg(F.count("*").alias("n_bg"))
+        .localCheckpoint(eager=False)
+    )
+    c1_totals = counts.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("n_bg").alias("n_c1")
+    )
+    joined = counts.join(
+        c1_totals, F.substring(counts["bg"], 1, 1) == c1_totals["c1"]
+    )
+    v = float(ALPHABET_SIZE)
+    model = joined.select(
+        "bg", _cost_micro(F.col("n_bg") + 1.0, F.col("n_c1") + v).alias("cost_micro")
+    )
+    floors = c1_totals.select(
+        "c1", _cost_micro(F.lit(1.0), F.col("n_c1") + v).alias("floor_cost")
+    )
+    return model, floors
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    train_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document under the bigram LM.
+
+    Returns ``(doc_id, n_bigrams, cost_micro_total)`` — all integers.
+    Cross-entropy in nats is ``cost_micro_total / (1e6 * n_bigrams)``;
+    perplexity its exp.  Documents shorter than 2 normalized chars score
+    ``(0, 0)``.
+    """
+    model, floors = train_bigram_lm(
+        train_df if train_df is not None else df, id_col, text_col
+    )
+    # explode_outer keeps a null-bg row for <2-char docs, so every doc
+    # reaches the final aggregate without a distinct+join-back scan.
+    rows = _bigram_rows(df, id_col, text_col, keep_empty=True)
+    uniform = F.round(F.log(F.lit(float(ALPHABET_SIZE))) * _MICRO).cast("long")
+    return (
+        rows.join(
+            F.broadcast(model.withColumnRenamed("bg", "model_bg")),
+            rows["bg"] == F.col("model_bg"),
+            "left",
+        )
+        .join(
+            F.broadcast(floors),
+            F.substring(rows["bg"], 1, 1) == floors["c1"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "bg",
+            F.when(
+                F.col("bg").isNotNull(),
+                F.coalesce("cost_micro", "floor_cost", uniform),
+            ).alias("cost"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("bg").cast("long").alias("n_bigrams"),
+            F.coalesce(F.sum("cost"), F.lit(0))
+            .cast("long")
+            .alias("cost_micro_total"),
+        )
+    )

@@ -663,3 +663,70 @@ class TestPackSequences:
             assert r["fill_tokens"] <= 16 or r["is_overflow"] == 1
             if r["is_overflow"]:
                 assert r["n_docs"] == 1  # overflow docs are never co-packed
+
+
+# ---------------------------------------------------------------------------
+# Char-bigram LM quality scoring (operators/lm.py)
+# ---------------------------------------------------------------------------
+
+class TestBigramLM:
+    def test_natural_text_scores_lower_than_gibberish(self, spark):
+        from pdf_to_epub_spark.operators import bigram_lm_scores
+
+        train = spark.createDataFrame(
+            [(i, BASE + " " + BASE) for i in range(5)], "doc_id long, text string"
+        )
+        score_rows = [(0, BASE), (1, "zq xv jk qz wx vj kq zx " * 4)]
+        df = spark.createDataFrame(score_rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in bigram_lm_scores(df, train_df=train).collect()}
+        nat = got[0]["cost_micro_total"] / got[0]["n_bigrams"]
+        gib = got[1]["cost_micro_total"] / got[1]["n_bigrams"]
+        assert nat < gib  # in-domain text is cheaper under the model
+
+    def test_short_and_empty_docs_present_with_zero(self, spark):
+        from pdf_to_epub_spark.operators import bigram_lm_scores
+
+        df = spark.createDataFrame(
+            [(0, "hello world"), (1, "x"), (2, "")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+        assert len(got) == 3
+        assert (got[1]["n_bigrams"], got[1]["cost_micro_total"]) == (0, 0)
+        assert (got[2]["n_bigrams"], got[2]["cost_micro_total"]) == (0, 0)
+
+    def test_unseen_bigram_floor_and_unseen_context_uniform(self, spark):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from pdf_to_epub_spark.operators import bigram_lm_scores
+
+        train = spark.createDataFrame([(0, "abab")], "doc_id long, text string")
+        # "ac": 'a' seen as context (n_a=2) but bigram unseen -> floor
+        # "zz": 'z' never seen as context -> uniform -ln(1/28)
+        df = spark.createDataFrame([(0, "ac"), (1, "zz")], "doc_id long, text string")
+        got = {r["doc_id"]: r for r in bigram_lm_scores(df, train_df=train).collect()}
+        floor = round(-math.log(1.0 / (2 + 28.0)) * 1e6)
+        uniform = round(math.log(28.0) * 1e6)
+        assert got[0]["cost_micro_total"] == floor
+        assert got[1]["cost_micro_total"] == uniform
+
+    def test_exact_hand_model(self, spark):
+        import math
+
+        from pdf_to_epub_spark.operators import bigram_lm_scores
+
+        # corpus "aab": bigrams aa, ab; contexts: a->2
+        df = spark.createDataFrame([(0, "aab")], "doc_id long, text string")
+        r = bigram_lm_scores(df).collect()[0]
+        exp = round(-math.log(2.0 / 30.0) * 1e6) * 2  # both bigrams cost equal
+        assert (r["n_bigrams"], r["cost_micro_total"]) == (2, exp)
+
+    def test_repartition_stable(self, spark):
+        from pdf_to_epub_spark.operators import bigram_lm_scores
+
+        rows = [(i, (BASE + f" tail{i}") * 2) for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, bigram_lm_scores(df).collect()))
+        b = sorted(map(tuple, bigram_lm_scores(df.repartition(7)).collect()))
+        assert a == b
