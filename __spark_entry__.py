@@ -258,7 +258,7 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.expr("regexp_extract_all(lower(text), '[a-zà-öø-ÿ]+', 0)"))
+        F.expr("regexp_count(lower(text), '[a-zà-öø-ÿ]+')")
         .cast("long")
         .alias("n_words"),
     )
@@ -585,6 +585,50 @@ def _q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+def _docs_with_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + the deterministic 7x13 url scheme's registrable domain
+    (same construction as _q_domain_stats)."""
+    doc_id = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.withColumn(
+        "domain",
+        F.concat(F.lit("site"), (doc_id % 13).cast("string"), F.lit(".com")),
+    )
+
+
+def _q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional per-domain quota (operators/sampling.py
+    `domain_quota_sample`): keep-rate = min(1, cap/n_domain), membership
+    decided by the md5 id hash — no window, no per-domain sort; the scale
+    path for domain balancing.  The oracle replays count, rate, and hash
+    arithmetic exactly."""
+    from pdf_to_epub_spark.operators import domain_quota_sample
+
+    d = _docs_with_domain(spark, sf_dir)
+    return domain_quota_sample(d, cap=20).select("doc_id", "domain")
+
+
+def _q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-domain cap (operators/sampling.py `domain_caps_exact`):
+    the cap smallest id-hashes per domain survive (window rank).  Exact
+    form of the quota op; hot-domain skew note in the docstring."""
+    from pdf_to_epub_spark.operators import domain_caps_exact
+
+    d = _docs_with_domain(spark, sf_dir)
+    return domain_caps_exact(d, cap=20).select("doc_id", "domain")
+
+
+def _q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab induction + per-doc OOV stats (operators/textstats.py
+    `build_vocab`/`oov_rates`): top-200 corpus vocabulary (count desc,
+    word asc — a total order, so the set is engine-identical), then the
+    per-doc out-of-vocab word counts.  Integer outputs, hash-stable."""
+    from pdf_to_epub_spark.operators import oov_rates
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return oov_rates(d, k=200)
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (operators/packing.py): greedy fixed-capacity
     training-context assembly, parallel per md5 id-hash shard.  The oracle
@@ -595,6 +639,17 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return pack_sequences(d, max_tokens=512, n_shards=16)
+
+
+def _q_packed_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed contexts (operators/packing.py `packed_texts`):
+    member docs concatenated in doc_id order per (shard, seq_id).  The
+    oracle replays the pack fold then string_agg's the same join — the
+    full concatenated text is hash-checked."""
+    from pdf_to_epub_spark.operators import packed_texts
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return packed_texts(d, max_tokens=512, n_shards=16)
 
 
 def _q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1015,6 +1070,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": _q_url_canonical,
         "corpus_splits": _q_corpus_splits,
         "pack_sequences": _q_pack_sequences,
+        "packed_texts": _q_packed_texts,
+        "domain_quota": _q_domain_quota,
+        "domain_caps": _q_domain_caps,
+        "vocab_oov": _q_vocab_oov,
         "bigram_lm_scores": _q_bigram_lm_scores,
         "benchmark_contamination": _q_benchmark_contamination,
         "domain_stats": _q_domain_stats,
@@ -1739,6 +1798,62 @@ def oracle_sql() -> dict[str, str]:
                        / 1152921504606846976.0 AS u
                 FROM documents)
         """,
+        # Proportional quota: rate = least(1, 20/n_domain); membership =
+        # md5-unit-hash(quota:id) < rate — identical double arithmetic.
+        "domain_quota": """
+            WITH d AS (
+                SELECT doc_id,
+                       'site' || CAST(doc_id % 13 AS VARCHAR) || '.com' AS domain
+                FROM documents
+            ), caps AS (
+                SELECT domain, count(*)::BIGINT AS n_domain FROM d GROUP BY domain
+            )
+            SELECT d.doc_id, d.domain
+            FROM d JOIN caps USING (domain)
+            WHERE ('0x' || substr(md5('quota:' || CAST(d.doc_id AS VARCHAR)),
+                                  1, 15))::BIGINT
+                  / 1152921504606846976.0
+                  < least(1.0, 20.0 / caps.n_domain)
+        """,
+        # Exact cap: the 20 smallest md5 id-hashes per domain survive.
+        "domain_caps": """
+            WITH d AS (
+                SELECT doc_id,
+                       'site' || CAST(doc_id % 13 AS VARCHAR) || '.com' AS domain,
+                       ('0x' || substr(md5('quota:' || CAST(doc_id AS VARCHAR)),
+                                       1, 15))::BIGINT AS h
+                FROM documents
+            )
+            SELECT doc_id, domain
+            FROM (SELECT doc_id, domain,
+                         row_number() OVER (PARTITION BY domain
+                                            ORDER BY h ASC, doc_id ASC) AS rn
+                  FROM d)
+            WHERE rn <= 20
+        """,
+        # Top-200 vocab by (count desc, word asc) — a total order, so the
+        # set is engine-identical; per-doc OOV counts under it.
+        "vocab_oov": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-zà-öø-ÿ]+')) AS word
+                FROM documents
+            ), vocab AS (
+                SELECT word FROM (
+                    SELECT word, count(*) AS n FROM words GROUP BY word
+                ) ORDER BY n DESC, word ASC LIMIT 200
+            ), sc AS (
+                SELECT w.doc_id,
+                       count(*)::BIGINT AS n_words,
+                       (count(*) - count(v.word))::BIGINT AS n_oov
+                FROM words w LEFT JOIN vocab v USING (word)
+                GROUP BY w.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_words, 0)::BIGINT AS n_words,
+                   coalesce(s.n_oov, 0)::BIGINT AS n_oov
+            FROM documents d LEFT JOIN sc s USING (doc_id)
+        """,
         # Full replay of the char-bigram LM: same normalization, same
         # add-one smoothing, same integer micro-nat costs.  Train corpus =
         # score corpus here, so every scored bigram is in the model and
@@ -1806,6 +1921,39 @@ def oracle_sql() -> dict[str, str]:
                 JOIN ordered d ON d.shard = p.shard AND d.rn = p.rn + 1
             )
             SELECT shard, doc_id, tok, seq_id FROM pack
+        """,
+        # Same pack fold, then the materialization join: docs concatenated
+        # in doc_id order per (shard, seq_id) with a blank-line separator.
+        "packed_texts": """
+            WITH RECURSIVE docs AS (
+                SELECT CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                                            1, 15))::BIGINT % 16 AS INTEGER) AS shard,
+                       doc_id,
+                       len(regexp_extract_all(lower(text), '[a-zà-öø-ÿ]+'))::BIGINT AS tok
+                FROM documents
+            ), ordered AS (
+                SELECT shard, doc_id, tok,
+                       row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+                FROM docs
+            ), pack AS (
+                SELECT shard, doc_id, tok, rn,
+                       0::BIGINT AS seq_id, tok AS fill
+                FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT d.shard, d.doc_id, d.tok, d.rn,
+                       CASE WHEN p.fill + d.tok <= 512 THEN p.seq_id
+                            ELSE p.seq_id + 1 END,
+                       CASE WHEN p.fill + d.tok <= 512 THEN p.fill + d.tok
+                            ELSE d.tok END
+                FROM pack p
+                JOIN ordered d ON d.shard = p.shard AND d.rn = p.rn + 1
+            )
+            SELECT p.shard, p.seq_id,
+                   count(*)::BIGINT AS n_docs,
+                   sum(p.tok)::BIGINT AS fill_tokens,
+                   string_agg(d.text, chr(10) || chr(10) ORDER BY p.doc_id) AS text
+            FROM pack p JOIN documents d USING (doc_id)
+            GROUP BY p.shard, p.seq_id
         """,
         "domain_stats": """
             SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.com' AS domain,

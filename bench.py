@@ -271,6 +271,18 @@ def run_bench(
 
     timed("quality_filters", quality_filters)
 
+    def lm_pack() -> None:
+        """Post-filter tail of the ingest: CCNet-style LM scoring of the
+        CC corpus (train + score, broadcast model) feeding packed-context
+        materialization (2048-token contexts, 64 shards)."""
+        from pdf_to_epub_spark.operators import bigram_lm_scores, packed_texts
+
+        docs = corpus.select(F.xxhash64("url").alias("doc_id"), "text")
+        _force(bigram_lm_scores(docs))
+        _force(packed_texts(docs, max_tokens=2048, n_shards=64))
+
+    timed("lm_pack", lm_pack)
+
     # Recall@10 of the approximate ANN paths vs the brute-force oracle —
     # an approximate operator without a recall number isn't auditable.
     ann_recall: dict[str, float] = {}

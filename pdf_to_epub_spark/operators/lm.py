@@ -118,11 +118,74 @@ def train_bigram_lm(
     return model, floors
 
 
+def _char_lut():
+    """256-entry byte->code table: a-z -> 0..25, space -> 26, '#' -> 27.
+    Valid because normalized text is pure ASCII by construction."""
+    import numpy as np
+
+    lut = np.full(256, 27, dtype=np.int64)
+    for i in range(26):
+        lut[ord("a") + i] = i
+    lut[ord(" ")] = 26
+    return lut
+
+
+def _train_cost_vector(df: DataFrame, id_col: str, text_col: str):
+    """Arrow-path model fit: global bigram-code counts (one mapInArrow pass
+    emitting <=784 slim rows per batch, map-side-combined groupBy, then a
+    BOUNDED 784-row collect — same driver-collect budget as the IVF
+    centroid sample), turned into the full 784-entry integer micro-nat
+    cost table.  Full-table add-one smoothing makes the seen/floor/uniform
+    distinction fall out of the same formula: count 0 with a seen context
+    gives the floor cost, an unseen context gives -ln(1/V)."""
+    import math
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    lut = _char_lut()
+    sub = re.compile("[^a-z ]")
+
+    def count_batches(it):
+        for batch in it:
+            acc = np.zeros(784, dtype=np.int64)
+            for t in batch.column(0).to_pylist():
+                if t is None:
+                    continue
+                a = lut[np.frombuffer(sub.sub("#", t.lower()).encode("ascii"),
+                                      dtype=np.uint8)]
+                if len(a) >= 2:
+                    acc += np.bincount(a[:-1] * 28 + a[1:], minlength=784)
+            nz = np.nonzero(acc)[0]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(nz.astype(np.int64)), pa.array(acc[nz])],
+                names=["code", "cnt"],
+            )
+
+    rows = (
+        df.select(F.col(text_col))
+        .mapInArrow(count_batches, "code long, cnt long")
+        .groupBy("code")
+        .agg(F.sum("cnt").alias("n"))
+        .collect()
+    )
+    counts = np.zeros(784, dtype=np.int64)
+    for r in rows:
+        counts[r["code"]] = r["n"]
+    n_c1 = counts.reshape(28, 28).sum(axis=1)
+    # integer micro-nats, half-up (costs are positive) — matches Spark
+    # ROUND HALF_UP and DuckDB round-half-away used by the SQL engine path
+    p = (counts + 1.0) / (np.repeat(n_c1, 28) + float(ALPHABET_SIZE))
+    return np.floor(-np.log(p) * _MICRO + 0.5).astype(np.int64)
+
+
 def bigram_lm_scores(
     df: DataFrame,
     train_df: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Score every document under the bigram LM.
 
@@ -130,7 +193,61 @@ def bigram_lm_scores(
     Cross-entropy in nats is ``cost_micro_total / (1e6 * n_bigrams)``;
     perplexity its exp.  Documents shorter than 2 normalized chars score
     ``(0, 0)``.
+
+    ``engine='arrow'`` (default, the scale path) vectorizes both passes in
+    numpy over Arrow batches: training collects a bounded 784-row count
+    table, scoring is ``costvec[codes].sum()`` per doc with ZERO shuffles
+    (the model ships in the closure).  Measured ~10x faster than the
+    column-algebra path, whose interpreted zip_with lambdas dominate.
+    ``engine='sql'`` keeps everything in built-in column algebra — the
+    construction the DuckDB oracle replays term-for-term; tests assert the
+    two engines agree row-for-row.  Unicode note: 'arrow' uses Python
+    full case mapping (same as DuckDB's utf8proc); 'sql' uses the JVM's
+    simple mapping — they can differ on exotic case mappings (e.g.
+    U+0130), never on ASCII/Latin-1 text.
     """
+    if engine == "arrow":
+        import re
+
+        import numpy as np
+        import pyarrow as pa
+
+        costvec = _train_cost_vector(
+            train_df if train_df is not None else df, id_col, text_col
+        )
+        lut = _char_lut()
+
+        def score_batches(it):
+            sub = re.compile("[^a-z ]")
+            for batch in it:
+                ids = batch.column(0)
+                texts = batch.column(1).to_pylist()
+                n_out = np.zeros(len(texts), dtype=np.int64)
+                c_out = np.zeros(len(texts), dtype=np.int64)
+                for j, t in enumerate(texts):
+                    if t is None:
+                        continue
+                    a = lut[
+                        np.frombuffer(
+                            sub.sub("#", t.lower()).encode("ascii"), dtype=np.uint8
+                        )
+                    ]
+                    if len(a) >= 2:
+                        codes = a[:-1] * 28 + a[1:]
+                        n_out[j] = len(codes)
+                        c_out[j] = costvec[codes].sum()
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.array(n_out), pa.array(c_out)],
+                    names=["doc_id", "n_bigrams", "cost_micro_total"],
+                )
+
+        return df.select(
+            F.col(id_col).cast("long").alias("doc_id"), F.col(text_col)
+        ).mapInArrow(
+            score_batches, "doc_id long, n_bigrams long, cost_micro_total long"
+        )
+    if engine != "sql":
+        raise ValueError(f"unknown engine {engine!r}")
     model, floors = train_bigram_lm(
         train_df if train_df is not None else df, id_col, text_col
     )

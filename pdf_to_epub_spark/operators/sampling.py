@@ -61,3 +61,53 @@ def hash_sample(
     """Keep ~``fraction`` of rows, deterministically by id hash — the
     repartition-stable replacement for ``df.sample``."""
     return df.where(_unit_hash(F.col(id_col), salt) < fraction)
+
+
+def domain_quota_sample(
+    df: DataFrame,
+    caps: DataFrame | None = None,
+    cap: int = 1000,
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    salt: str = "quota",
+) -> DataFrame:
+    """Proportional per-domain quota (the 100 TB scale path): keep each row
+    with probability ``min(1, cap / n_domain)``, decided by the id hash —
+    no window, no per-domain sort, just one count aggregation (map-side
+    combined, one slim row per domain) broadcast-joined back as a filter.
+    Exact in expectation; deterministic membership (pure function of
+    (id, salt, domain count)), so it replays in the SQL oracle.
+
+    ``caps`` overrides the per-domain counts table (schema: domain_col,
+    n_domain) — e.g. yesterday's counts for a streaming ingest."""
+    if caps is None:
+        caps = df.groupBy(domain_col).agg(F.count("*").alias("n_domain"))
+    rate = F.least(F.lit(1.0), F.lit(float(cap)) / F.col("n_domain"))
+    return (
+        df.join(F.broadcast(caps), domain_col)
+        .where(_unit_hash(F.col(id_col), salt) < rate)
+        .drop("n_domain")
+    )
+
+
+def domain_caps_exact(
+    df: DataFrame,
+    cap: int = 1000,
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    salt: str = "quota",
+) -> DataFrame:
+    """Exact per-domain cap: keep the ``cap`` rows with the smallest id
+    hashes per domain (deterministic, order-free).  Implemented as a
+    window rank — correct everywhere, but a hot domain serializes into
+    one task's sort; at 100 TB prefer :func:`domain_quota_sample` (or run
+    this after it has knocked domains down to ~cap scale)."""
+    from pyspark.sql.window import Window
+
+    h = md5_hash60(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(domain_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

@@ -730,3 +730,107 @@ class TestBigramLM:
         a = sorted(map(tuple, bigram_lm_scores(df).collect()))
         b = sorted(map(tuple, bigram_lm_scores(df.repartition(7)).collect()))
         assert a == b
+
+    def test_packed_texts_order_and_separator(self, spark):
+        from pdf_to_epub_spark.operators import packed_texts
+
+        rows = [(2, "beta doc"), (0, "alpha doc"), (1, "middle doc")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = packed_texts(df, max_tokens=100, n_shards=1, sep=" <EOS> ").collect()
+        assert len(out) == 1
+        assert out[0]["text"] == "alpha doc <EOS> middle doc <EOS> beta doc"
+        assert out[0]["n_docs"] == 3
+
+    def test_arrow_and_sql_engines_agree(self, spark):
+        from pdf_to_epub_spark.operators import bigram_lm_scores
+
+        rows = [(i, (BASE + f" Zörk-{i}! ") * 3) for i in range(15)]
+        rows += [(100, "x"), (101, ""), (102, "???! 42")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, bigram_lm_scores(df, engine="arrow").collect()))
+        s = sorted(map(tuple, bigram_lm_scores(df, engine="sql").collect()))
+        assert a == s
+
+
+# ---------------------------------------------------------------------------
+# Domain quotas and vocab/OOV
+# ---------------------------------------------------------------------------
+
+class TestDomainQuota:
+    @pytest.fixture(scope="class")
+    def domain_df(self, spark):
+        rows = [(i, "hot.com" if i < 80 else f"cold{i % 5}.com") for i in range(100)]
+        return spark.createDataFrame(rows, "doc_id long, domain string")
+
+    def test_exact_cap_exactly_min_cap_n(self, spark, domain_df):
+        from pdf_to_epub_spark.operators import domain_caps_exact
+
+        out = domain_caps_exact(domain_df, cap=10).groupBy("domain").count()
+        got = {r["domain"]: r["count"] for r in out.collect()}
+        assert got["hot.com"] == 10
+        assert all(v == 4 for d, v in got.items() if d != "hot.com")
+
+    def test_quota_bounds_and_determinism(self, spark, domain_df):
+        from pdf_to_epub_spark.operators import domain_quota_sample
+
+        a = sorted(r["doc_id"] for r in domain_quota_sample(domain_df, cap=10).collect())
+        b = sorted(
+            r["doc_id"]
+            for r in domain_quota_sample(domain_df.repartition(9), cap=10).collect()
+        )
+        assert a == b  # membership is partitioning-independent
+        # small domains (4 docs < cap 10) are kept whole (rate clamps to 1)
+        kept = domain_quota_sample(domain_df, cap=10)
+        cold = kept.where(kept["domain"] != "hot.com").count()
+        assert cold == 20
+
+    def test_exact_caps_subset_is_hash_minimal(self, spark, domain_df):
+        from pdf_to_epub_spark.operators import domain_caps_exact
+        from pdf_to_epub_spark.operators.dedup import md5_hash60
+        from pyspark.sql import functions as F
+
+        kept = {
+            r["doc_id"]
+            for r in domain_caps_exact(domain_df, cap=10)
+            .where("domain = 'hot.com'")
+            .collect()
+        }
+        hashes = {
+            r["doc_id"]: r["h"]
+            for r in domain_df.where("domain = 'hot.com'")
+            .select(
+                "doc_id",
+                md5_hash60(
+                    F.concat_ws(":", F.lit("quota"), F.col("doc_id").cast("string"))
+                ).alias("h"),
+            )
+            .collect()
+        }
+        expected = set(sorted(hashes, key=lambda i: (hashes[i], i))[:10])
+        assert kept == expected
+
+
+class TestVocabOov:
+    def test_vocab_topk_and_tiebreak(self, spark):
+        from pdf_to_epub_spark.operators import build_vocab
+
+        df = spark.createDataFrame(
+            [(0, "aa bb aa cc bb aa zz")], "doc_id long, text string"
+        )
+        v = [r["word"] for r in build_vocab(df, k=2).collect()]
+        assert v == ["aa", "bb"]  # count desc, then word asc
+
+    def test_oov_counts(self, spark):
+        from pdf_to_epub_spark.operators import oov_rates
+
+        df = spark.createDataFrame(
+            [(0, "aa aa bb rarex"), (1, "bb rarey rarey"), (2, "")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: (r["n_words"], r["n_oov"])
+               for r in oov_rates(df, k=2).collect()}
+        # counts: aa=2, bb=2, rarey=2, rarex=1 -> vocab (k=2, count desc
+        # then word asc) = {aa, bb}
+        assert got[0] == (4, 1)
+        assert got[1] == (3, 2)
+        assert got[2] == (0, 0)
