@@ -496,6 +496,61 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (operators/textstats.py
+    `normalize_unicode`): every doc gets a deterministic denormalized
+    suffix (combining acute, ligature, superscript) so the pass has known
+    work; the oracle is DuckDB's utf8proc `nfc_normalize` over the same
+    construction, compared via md5 of the normalized text."""
+    from pdf_to_epub_spark.operators import normalize_unicode
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        # suffix: 'e'+combining-acute (U+0301, NFC-composes), the fi
+        # ligature U+FB01 and superscript U+00B9 (both NFC-stable)
+        F.concat(
+            F.col("text"), F.lit(" cafe\u0301 \ufb01n 2\u00b9")
+        ).alias("text"),
+    )
+    return normalize_unicode(d).select(
+        "doc_id", F.md5("text_norm").alias("norm_md5"), "changed"
+    )
+
+
+def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: MinHash-verified near-dup pairs
+    whose endpoints landed in DIFFERENT train/val/test splits — the
+    leakage check a training pipeline runs after splitting (a near-dup of
+    a training doc sitting in test inflates eval).  Pure composition of
+    two oracled surfaces: hash_split membership + verified near-dup pairs;
+    the oracle replays both (split hash arithmetic over the brute-force
+    shingle-Jaccard pair scan)."""
+    from pdf_to_epub_spark.operators import hash_split, minhash_candidate_pairs
+
+    corpus = mutated_recrawl(spark, sf_dir)
+    pairs = minhash_candidate_pairs(
+        corpus, k=3, num_hashes=32, bands=8, jaccard_threshold=0.7
+    )
+    splits = hash_split(
+        corpus.select("doc_id"), {"train": 0.5, "val": 0.25, "test": 0.25}
+    )
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select(
+            "id_a", "id_b", "split_a", "split_b",
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+    )
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over documents with deterministic injected PII (email
     per doc, IPv4 per doc, phone on every third doc) so the scrubber has
@@ -1071,6 +1126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_splits": _q_corpus_splits,
         "pack_sequences": _q_pack_sequences,
         "packed_texts": _q_packed_texts,
+        "split_leakage": _q_split_leakage,
+        "unicode_nfc": _q_unicode_nfc,
         "domain_quota": _q_domain_quota,
         "domain_caps": _q_domain_caps,
         "vocab_oov": _q_vocab_oov,
@@ -1798,6 +1855,17 @@ def oracle_sql() -> dict[str, str]:
                        / 1152921504606846976.0 AS u
                 FROM documents)
         """,
+        # utf8proc NFC over the same combining-acute construction; changed
+        # is always true (the suffix denormalizes every doc).
+        "unicode_nfc": """
+            SELECT doc_id,
+                   md5(nfc_normalize(text || ' cafe' || chr(769) || ' '
+                                     || chr(64257) || 'n 2' || chr(185)))
+                       AS norm_md5,
+                   (text || ' cafe' || chr(769)
+                    <> nfc_normalize(text || ' cafe' || chr(769))) AS changed
+            FROM documents
+        """,
         # Proportional quota: rate = least(1, 20/n_domain); membership =
         # md5-unit-hash(quota:id) < rate — identical double arithmetic.
         "domain_quota": """
@@ -2088,6 +2156,33 @@ def oracle_sql() -> dict[str, str]:
         # and the operator's exact-Jaccard verification removes all false
         # positives — so output == all pairs with true Jaccard ≥ 0.7.
         "minhash_pairs": _shingle_jaccard_oracle(k=3, threshold=0.7),
+        # Same true-pair scan, endpoints tagged with the md5 hash_split
+        # assignment; only cross-split pairs survive (the leakage audit).
+        "split_leakage": _shingle_jaccard_oracle(
+            k=3,
+            threshold=0.7,
+            final="""
+            , splits AS (
+                SELECT doc_id,
+                       CASE WHEN u < 0.5 THEN 'train'
+                            WHEN u < 0.75 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM (
+                    SELECT doc_id,
+                           ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                           1, 15))::BIGINT
+                           / 1152921504606846976.0 AS u
+                    FROM corpus)
+            )
+            SELECT t.id_a, t.id_b,
+                   sa.split AS split_a, sb.split AS split_b,
+                   round(t.jaccard, 4) AS jaccard
+            FROM truepairs t
+            JOIN splits sa ON sa.doc_id = t.id_a
+            JOIN splits sb ON sb.doc_id = t.id_b
+            WHERE sa.split <> sb.split
+            """,
+        ),
         # The incremental (signature-store) path emits only pairs touching a
         # new id — old–old near-dups were yesterday's batch's output (some
         # exist: original docs that are near-dups of each other).

@@ -357,3 +357,43 @@ def oov_rates(
             (F.count("word") - F.count("__v_word")).cast("long").alias("n_oov"),
         )
     )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    form: str = "NFC",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the canonicalization
+    step web-text pipelines run before hashing/dedup so that 'é' and
+    'e'+U+0301 dedup together.  Spark has no builtin normalizer, so this
+    is an Arrow-batched pass (unicodedata is a C module; the per-batch
+    loop is pointer chasing, not codepoint work).  Python's unicodedata
+    and DuckDB's utf8proc implement the same UAX #15 tables, which is what
+    makes the NFC form exactly oracle-checkable.
+
+    Returns ``(doc_id, text_norm, changed)``."""
+    import unicodedata
+
+    import pyarrow as pa
+
+    def batches(it):
+        for b in it:
+            texts = b.column(1).to_pylist()
+            out = [
+                unicodedata.normalize(form, t) if t is not None else None
+                for t in texts
+            ]
+            changed = [
+                (o != t) if t is not None else None
+                for o, t in zip(out, texts)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), pa.array(out, pa.string()), pa.array(changed)],
+                names=["doc_id", "text_norm", "changed"],
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col)
+    ).mapInArrow(batches, "doc_id long, text_norm string, changed boolean")

@@ -834,3 +834,24 @@ class TestVocabOov:
         assert got[0] == (4, 1)
         assert got[1] == (3, 2)
         assert got[2] == (0, 0)
+
+
+class TestNormalizeUnicode:
+    def test_nfc_composes_and_flags(self, spark):
+        from pdf_to_epub_spark.operators import normalize_unicode
+
+        rows = [(0, "café"), (1, "plain ascii"), (2, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in normalize_unicode(df).collect()}
+        assert got[0]["text_norm"] == "café" and got[0]["changed"]
+        assert got[1]["text_norm"] == "plain ascii" and not got[1]["changed"]
+        assert got[2]["text_norm"] is None and got[2]["changed"] is None
+
+    def test_nfkc_folds_compatibility_chars(self, spark):
+        from pdf_to_epub_spark.operators import normalize_unicode
+
+        df = spark.createDataFrame(
+            [(0, "ﬁn 2¹")], "doc_id long, text string"
+        )
+        r = normalize_unicode(df, form="NFKC").collect()[0]
+        assert r["text_norm"] == "fin 21" and r["changed"]
