@@ -241,10 +241,12 @@ def bigram_lm_scores(
                     names=["doc_id", "n_bigrams", "cost_micro_total"],
                 )
 
+        id_type = df.select(F.col(id_col)).schema[0].dataType.simpleString()
         return df.select(
-            F.col(id_col).cast("long").alias("doc_id"), F.col(text_col)
+            F.col(id_col).alias("doc_id"), F.col(text_col)
         ).mapInArrow(
-            score_batches, "doc_id long, n_bigrams long, cost_micro_total long"
+            score_batches,
+            f"doc_id {id_type}, n_bigrams long, cost_micro_total long",
         )
     if engine != "sql":
         raise ValueError(f"unknown engine {engine!r}")

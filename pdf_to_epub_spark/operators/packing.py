@@ -44,7 +44,6 @@ from pyspark.sql import functions as F
 
 from pdf_to_epub_spark.operators.dedup import md5_hash60
 
-_OUT_SCHEMA = "shard int, doc_id bigint, tok bigint, seq_id bigint"
 
 
 def _pack_shard(pdf: pd.DataFrame, max_tokens: int) -> pd.DataFrame:
@@ -81,6 +80,7 @@ def pack_sequences(
     :func:`textstats token_counts`, so it replays in the SQL oracle) and
     ``seq_id`` numbers sequences within the shard from 0.
     """
+    id_type = df.select(F.col(id_col)).schema[0].dataType.simpleString()
     base = df.select(
         F.pmod(
             md5_hash60(
@@ -90,7 +90,7 @@ def pack_sequences(
         )
         .cast("int")
         .alias("shard"),
-        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).alias("doc_id"),
         # regexp_count ≡ size(regexp_extract_all(...)) but skips the word
         # array materialization — measured 4x faster on ~6 KB docs
         F.expr(f"regexp_count(lower({text_col}), '[a-zà-öø-ÿ]+')")
@@ -101,7 +101,11 @@ def pack_sequences(
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         return _pack_shard(pdf, max_tokens)
 
-    return base.groupBy("shard").applyInPandas(_pack, _OUT_SCHEMA)
+    # id passes through at its input type (string urls sort bytewise in
+    # pandas same as ASCII codepoint order — ties to the oracle contract)
+    return base.groupBy("shard").applyInPandas(
+        _pack, f"shard int, doc_id {id_type}, tok bigint, seq_id bigint"
+    )
 
 
 def packed_sequence_stats(assignments: DataFrame, max_tokens: int) -> DataFrame:
@@ -138,7 +142,7 @@ def packed_texts(
     zero-exchange (see DEPLOYMENT.md on bucketed layout)."""
     asg = pack_sequences(df, max_tokens, n_shards, id_col, text_col)
     docs = df.select(
-        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
     return (
         asg.join(docs, "doc_id")

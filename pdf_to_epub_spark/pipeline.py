@@ -8,7 +8,11 @@ table) →
 3. quality gates: Gopher rules + repetition filters;
 4. PII scrub of the survivors;
 5. exact dedup, then MinHash near-dup removal (signature store optional);
-6. deterministic train/val/test split.
+6. optional per-domain quota (proportional hash-threshold — the scale
+   path) and optional LM perplexity gate (CCNet-style char-bigram model);
+7. deterministic train/val/test split;
+8. optional packed-context materialization (per split, so train sequences
+   never mix with eval docs).
 
 Every stage is an independently-oracled operator (see __spark_entry__);
 this module only wires them, so the composition's correctness is the
@@ -44,6 +48,7 @@ from pdf_to_epub_spark.operators import (
 class IngestResult:
     corpus: DataFrame
     audit: dict[str, DataFrame] = field(default_factory=dict)
+    packed: DataFrame | None = None
 
 
 def ingest(
@@ -57,6 +62,10 @@ def ingest(
     near_dup_threshold: float = 0.7,
     signatures_path: str | None = None,
     split_weights: dict[str, float] | None = None,
+    max_per_domain: int | None = None,
+    max_lm_nats_micro: int | None = None,
+    pack_max_tokens: int | None = None,
+    pack_shards: int = 64,
 ) -> IngestResult:
     """Run the full pipeline; returns the cleaned, deduplicated, split
     corpus ``(url, text, n_email, n_ip, n_phone, split)`` plus per-stage
@@ -110,6 +119,55 @@ def ingest(
     ).localCheckpoint(eager=False)
     audit["deduped"] = deduped.groupBy().count()
 
+    if max_per_domain is not None:
+        from pdf_to_epub_spark.operators import (
+            domain_quota_sample,
+            registrable_domain,
+        )
+
+        deduped = domain_quota_sample(
+            deduped.withColumn("domain", registrable_domain(F.col("url"))),
+            cap=max_per_domain,
+            id_col="url",
+        ).drop("domain")
+        audit["domain_quota_kept"] = deduped.groupBy().count()
+
+    if max_lm_nats_micro is not None:
+        from pdf_to_epub_spark.operators import bigram_lm_scores
+
+        # per-bigram threshold in micro-nats (cross-entropy * 1e6); the
+        # slim over-threshold id set anti-joins the corpus (AQE broadcasts
+        # it when small)
+        scores = bigram_lm_scores(deduped, id_col="url")
+        bad = scores.where(
+            (F.col("n_bigrams") > 0)
+            & (
+                F.col("cost_micro_total")
+                > F.lit(max_lm_nats_micro) * F.col("n_bigrams")
+            )
+        ).select(F.col("doc_id").alias("url"))
+        deduped = deduped.join(bad, "url", "left_anti")
+        audit["lm_gate_kept"] = deduped.groupBy().count()
+
     out = hash_split(deduped, split_weights, id_col="url")
     audit["splits"] = out.groupBy("split").count()
-    return IngestResult(corpus=out, audit=audit)
+
+    packed = None
+    if pack_max_tokens is not None:
+        from functools import reduce
+
+        from pdf_to_epub_spark.operators import packed_texts
+
+        # pack WITHIN each split so train contexts never contain eval docs
+        weights = split_weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+        parts = [
+            packed_texts(
+                out.where(F.col("split") == name),
+                max_tokens=pack_max_tokens,
+                n_shards=pack_shards,
+                id_col="url",
+            ).withColumn("split", F.lit(name))
+            for name in weights
+        ]
+        packed = reduce(DataFrame.unionByName, parts)
+    return IngestResult(corpus=out, audit=audit, packed=packed)

@@ -87,3 +87,53 @@ def test_ingest_resume_skips_done(spark):
     done = with_doc_hash(pages.limit(4), payload_col="text").select("doc_hash")
     result = ingest(pages, done_hashes=done, min_words=1)
     assert result.corpus.count() == 6
+
+
+def test_ingest_tail_quota_lm_gate_and_packing(spark):
+    """Tail stages: per-domain quota, LM perplexity gate, per-split packed
+    contexts — composed behind the oracled per-stage operators."""
+    rows = make_documents(24, seed=23)
+    # gibberish doc: passes word-count/Gopher shape but costs far more
+    # under the corpus bigram LM than natural text
+    gib = dict(rows[0])
+    gib["url"] = "doc://gibberish"
+    gib["text"] = ("zq xv jk qz wx vj kq zx qj vk the of and that have " * 6)
+    pages = _pages(spark, rows + [gib])
+
+    result = ingest(
+        pages,
+        min_words=10,
+        max_per_domain=1000,            # above every count: keeps all
+        max_lm_nats_micro=3_500_000,    # ~e^3.5 ppl per char-bigram
+        pack_max_tokens=256,
+        pack_shards=4,
+    )
+    corpus = result.corpus.cache()
+    urls = {r["url"] for r in corpus.select("url").collect()}
+    assert "doc://gibberish" not in urls     # LM gate caught it
+    assert len(urls) >= 20                   # natural docs survived
+
+    packed = result.packed.cache()
+    # packing covered every split present in the corpus, nothing else
+    assert {r["split"] for r in packed.select("split").collect()} == {
+        r["split"] for r in corpus.select("split").distinct().collect()
+    }
+    # utilization: no sequence exceeds the cap unless it is a lone overflow
+    for r in packed.collect():
+        assert r["fill_tokens"] <= 256 or r["n_docs"] == 1
+    # every corpus doc is packed exactly once
+    assert packed.agg(F.sum("n_docs")).collect()[0][0] == corpus.count()
+
+
+def test_ingest_quota_caps_hot_domain(spark):
+    rows = []
+    for i, r in enumerate(make_documents(20, seed=24)):
+        r = dict(r)
+        r["url"] = f"http://{'hot' if i < 15 else 'cold' + str(i)}.com/p/{i}"
+        rows.append(r)
+    pages = _pages(spark, rows)
+    res = ingest(pages, min_words=1, max_per_domain=4)
+    hot = res.corpus.where(F.col("url").like("http://hot.com%")).count()
+    cold = res.corpus.where(~F.col("url").like("http://hot.com%")).count()
+    assert hot < 15          # quota thinned the hot domain
+    assert cold == 5         # rate clamps to 1 for small domains
