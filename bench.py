@@ -321,6 +321,10 @@ def run_bench(
     # other queries (block-manager residue, JIT state), so both are
     # reported — r1's 957 vs 2193 split was exactly this difference.
     if not only:
+        # stop the suite JVM first: its 32 idle executor threads + GC
+        # otherwise steal ~60% of the subprocess's throughput (measured
+        # 447 vs 1193 docs/s with/without the parent alive)
+        spark.stop()
         out = subprocess.run(
             [sys.executable, str(REPO / "bench.py"), "--sf-dir", sf_dir,
              "--cpus", str(cpus), "--only", "extract_assemble",
