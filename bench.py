@@ -430,6 +430,14 @@ def run_scaling(sf_dir: str, levels: tuple[int, ...] = (2, 8, 32)) -> dict:
     )
     md = REPO / "BENCH" / "BASELINE.md"
     md.parent.mkdir(exist_ok=True)
+    # Preserve hand-written addenda ("## Addendum" onward) across
+    # regenerations — only the measured tables above them are rewritten.
+    addendum = ""
+    if md.exists():
+        prev = md.read_text(encoding="utf-8")
+        idx = prev.find("## Addendum")
+        if idx != -1:
+            addendum = "\n" + prev[idx:]
     md.write_text(
         "# BENCH baseline — extraction throughput & scaling\n\n"
         f"Corpus: deterministic Common-Crawl-style table (input_hint "
@@ -454,7 +462,7 @@ def run_scaling(sf_dir: str, levels: tuple[int, ...] = (2, 8, 32)) -> dict:
         "## Hardware ceiling (same transform, multiprocessing.Pool)\n\n"
         "| procs | docs/sec |\n|---|---|\n"
         f"{ceil_rows}\n\n"
-        "Method: `python bench.py --scaling`.\n",
+        "Method: `python bench.py --scaling`.\n" + addendum,
         encoding="utf-8",
     )
     return {
