@@ -855,3 +855,43 @@ class TestNormalizeUnicode:
         )
         r = normalize_unicode(df, form="NFKC").collect()[0]
         assert r["text_norm"] == "fin 21" and r["changed"]
+
+
+class TestNewOpPlans:
+    """Plan shapes pinned: these are the scale claims PLANS.md makes."""
+
+    def test_lm_arrow_scoring_plan_has_no_exchange(self, spark):
+        from pdf_to_epub_spark.operators import bigram_lm_scores
+
+        df = spark.createDataFrame(
+            [(i, BASE) for i in range(10)], "doc_id long, text string"
+        )
+        scores = bigram_lm_scores(df, train_df=df.limit(5), engine="arrow")
+        plan = scores._jdf.queryExecution().executedPlan().toString()
+        # the model ships in the closure; scoring is scan -> mapInArrow
+        assert "Exchange" not in plan, plan[:2000]
+
+    def test_oov_join_is_broadcast(self, spark):
+        from pdf_to_epub_spark.operators import oov_rates
+
+        df = spark.createDataFrame(
+            [(i, BASE) for i in range(10)], "doc_id long, text string"
+        )
+        plan = oov_rates(df, k=5)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+        assert "SortMergeJoin" not in plan, plan[:2000]
+
+    def test_quota_plan_has_no_window(self, spark):
+        from pdf_to_epub_spark.operators import domain_quota_sample
+
+        df = spark.createDataFrame(
+            [(i, f"d{i % 3}.com") for i in range(30)], "doc_id long, domain string"
+        )
+        plan = (
+            domain_quota_sample(df, cap=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Window" not in plan, plan[:2000]
+        assert "BroadcastHashJoin" in plan, plan[:2000]
