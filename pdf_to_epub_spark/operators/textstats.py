@@ -147,35 +147,71 @@ def gopher_quality(
     < 0.1, < 90% bullet-started lines, < 30% ellipsis-ended lines, ≥ 80%
     words with an alphabetic char, ≥ 2 distinct required stopwords.
     Emits every signal plus the combined ``keep`` verdict so downstream
-    filters can loosen individual rules."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_words = F.size(words)
-    mean_wlen = F.aggregate(
-        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-    ) / F.greatest(n_words, F.lit(1)).cast("double")
+    filters can loosen individual rules.
+
+    Implementation note: every signal is a regexp_count/arithmetic — NO
+    split arrays or higher-order lambdas (those run interpreted outside
+    codegen and dominated this operator's cost; measured ~2.5x).  Each
+    count is proven value-identical to the original split/filter algebra,
+    including the edges: split-with-trim's leading/trailing empty-token
+    quirks (``n_words = regexp_count(trim, '\\s+') + 1``, blank -> 1),
+    exotic whitespace (\\x0B, \\f are \\s for bullet/ellipsis classes but
+    CONTENT for the non-blank line test, matching the original
+    ``[^ \\t\\r]`` filter), and CRLF.  tests/test_training_ops.py pins the
+    equivalence differentially against the original expressions on an
+    edge-case corpus; the DuckDB oracle replicates the original algebra."""
+    trimmed = F.col("_g_trim")
+    n_words = F.when(trimmed == "", 1).otherwise(
+        F.expr("regexp_count(_g_trim, '\\\\s+')") + 1
+    )
+    n_words_d = F.greatest(n_words, F.lit(1)).cast("double")
+    # sum of split-token lengths == count of non-\s chars in the trimmed
+    # text (empty quirk-tokens contribute 0)
+    mean_wlen = F.length(F.regexp_replace(trimmed, r"\s+", "")) / n_words_d
     n_hash = F.length(F.col(text_col)) - F.length(
         F.regexp_replace(F.col(text_col), "#", "")
     )
     n_ellipsis = F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
-    symbol_ratio = (n_hash + n_ellipsis) / F.greatest(n_words, F.lit(1)).cast(
-        "double"
-    )
-    lines = F.filter(
-        F.split(F.col(text_col), "\n"), lambda l: l.rlike(r"[^ \t\r]")
-    )
-    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    symbol_ratio = (n_hash + n_ellipsis) / n_words_d
+    # non-blank line: contains a char outside [ \t\r] (so \x0B/\f count as
+    # content, exactly like the original filter's [^ \t\r] test)
+    n_lines = F.greatest(
+        F.expr("regexp_count(" + text_col + ", '(?m)^[ \\\\t\\\\r]*[^ \\\\t\\\\r\\\\n]')"),
+        F.lit(1),
+    ).cast("double")
     bullet_ratio = (
-        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[•\-\*]"))) / n_lines
+        F.expr(
+            "regexp_count(" + text_col + ", '(?m)^[ \\\\t\\\\x0B\\\\f\\\\r]*[•\\\\-\\\\*]')"
+        )
+        / n_lines
     )
     ellipsis_ratio = (
-        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$"))) / n_lines
+        F.expr(
+            "regexp_count(" + text_col + ", '(?m)\\\\.\\\\.\\\\.[ \\\\t\\\\x0B\\\\f\\\\r]*$')"
+        )
+        / n_lines
     )
-    alpha_ratio = F.size(
-        F.filter(words, lambda w: w.rlike("[A-Za-zÀ-ÖØ-öø-ÿ]"))
-    ) / F.greatest(n_words, F.lit(1)).cast("double")
-    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    # tokens containing a letter == \S+ runs of the trimmed text that
+    # contain a letter (empty quirk-tokens can't): anchor each run start
+    # with a lookbehind so mid-run positions never re-match
+    alpha_ratio = (
+        F.expr(
+            "regexp_count(_g_trim,"
+            " '(?<!\\\\S)\\\\S*[A-Za-zÀ-ÖØ-öø-ÿ]')"
+        )
+        / n_words_d
+    )
+    # distinct-stopword presence in ONE scan: zero-width lookarounds keep
+    # adjacent hits ("of and") from eating each other's delimiters; the
+    # extracted hits are a tiny array (stopword occurrences only)
+    stop_alt = "|".join(GOPHER_STOPWORDS)
     stop_hits = F.size(
-        F.array_intersect(F.array_distinct(_tokens(text_col)), stops)
+        F.array_distinct(
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), "
+                f"'(?<![a-zà-öø-ÿ])({stop_alt})(?![a-zà-öø-ÿ])', 1)"
+            )
+        )
     )
     keep = (
         n_words.between(min_words, max_words)
@@ -186,7 +222,7 @@ def gopher_quality(
         & (alpha_ratio > 0.8)
         & (stop_hits >= 2)
     )
-    return df.select(
+    return df.withColumn("_g_trim", F.trim(F.col(text_col))).select(
         "*",
         n_words.alias("n_words_g"),
         F.round(mean_wlen, 4).alias("mean_word_len_g"),
@@ -196,7 +232,7 @@ def gopher_quality(
         F.round(alpha_ratio, 4).alias("alpha_word_ratio"),
         stop_hits.alias("stopword_hits"),
         keep.alias("keep"),
-    )
+    ).drop("_g_trim")
 
 
 def repetition_signals(
@@ -244,24 +280,28 @@ def repetition_signals(
     )
 
     words = F.col("_words")
+    # zip_with over two slices: two array copies per DOC, vs the previous
+    # per-element slice lambda (one copy per BIGRAM) — measured ~2x on the
+    # 6 KB bench corpus; identical gram strings.
+    n_words = F.size(words)
     bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - 2),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+        n_words >= 2,
+        F.zip_with(
+            F.slice(words, 1, n_words - 1),
+            F.slice(F.col("_words"), 2, n_words - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     grams = base.select(id_col, F.explode(bigrams).alias("gram"))
     base = base.drop("_words")
     counts = grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("gram"))
-    top = (
-        counts.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(
-            F.col(id_col),
-            (F.col("cnt") * F.length("gram")).cast("long").alias("_covered"),
-        )
+    # arg-min of (-cnt, gram): max count, ties by gram ASC — one partial
+    # aggregation instead of a per-doc window sort (same tie-break).
+    top = counts.groupBy(id_col).agg(
+        F.min(F.struct((-F.col("cnt")).alias("_neg"), F.col("gram"))).alias("_t")
+    ).select(
+        F.col(id_col),
+        ((-F.col("_t._neg")) * F.length("_t.gram")).cast("long").alias("_covered"),
     )
     return base.join(top, id_col, "left").select(
         id_col,

@@ -895,3 +895,76 @@ class TestNewOpPlans:
         )
         assert "Window" not in plan, plan[:2000]
         assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_gopher_regexp_rewrite_matches_original_algebra(spark):
+    """The regexp_count-based gopher_quality must be value-identical to the
+    original split/filter/aggregate algebra on every edge the rewrite
+    reasons about: blank/whitespace-only docs, leading tabs (split's
+    empty-token quirk), CRLF, \\x0B/\\f lines, bullet/ellipsis lines,
+    control chars, unicode words."""
+    from pyspark.sql import functions as FF
+
+    from pdf_to_epub_spark.operators import gopher_quality
+
+    docs = [
+        "",
+        "   ",
+        "\t\t",
+        "\tleading tab words here",
+        "trailing tab\t",
+        "a\r\nb\r\n- bullet\r\n",
+        "line one\n\x0b\n\f\n...\n",
+        "- a\n- b\n- c\n",
+        "ends with dots...   \nnext...\t\n",
+        "the quick brown fox of and that have with be to it",
+        "Tökens wïth ünïcode and the of be",
+        "### ## #\nthe of\n",
+        "one\n\n\n\ntwo\n",
+        "\x01control\x02 chars the of be and",
+        "juxtaposed...words the of be and",
+        "• unicode bullet\n* star\n- dash\nplain\n",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = gopher_quality(df, min_words=2, max_words=50)
+
+    # original algebra, verbatim
+    text_col = "text"
+    words = FF.split(FF.trim(FF.col(text_col)), r"\s+")
+    n_words = FF.size(words)
+    mean_wlen = FF.aggregate(
+        words, FF.lit(0).cast("long"), lambda acc, w: acc + FF.length(w)
+    ) / FF.greatest(n_words, FF.lit(1)).cast("double")
+    n_hash = FF.length(FF.col(text_col)) - FF.length(
+        FF.regexp_replace(FF.col(text_col), "#", "")
+    )
+    n_ellipsis = FF.regexp_count(FF.col(text_col), FF.lit(r"\.\.\."))
+    symbol_ratio = (n_hash + n_ellipsis) / FF.greatest(n_words, FF.lit(1)).cast("double")
+    lines = FF.filter(FF.split(FF.col(text_col), "\n"), lambda l: l.rlike(r"[^ \t\r]"))
+    n_lines = FF.greatest(FF.size(lines), FF.lit(1)).cast("double")
+    bullet_ratio = FF.size(FF.filter(lines, lambda l: l.rlike(r"^\s*[•\-\*]"))) / n_lines
+    ellipsis_ratio = FF.size(FF.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$"))) / n_lines
+    alpha_ratio = FF.size(
+        FF.filter(words, lambda w: w.rlike("[A-Za-zÀ-ÖØ-öø-ÿ]"))
+    ) / FF.greatest(n_words, FF.lit(1)).cast("double")
+    from pdf_to_epub_spark.operators.textstats import GOPHER_STOPWORDS, _tokens
+
+    stops = FF.array(*[FF.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = FF.size(FF.array_intersect(FF.array_distinct(_tokens(text_col)), stops))
+    ref = df.select(
+        "doc_id",
+        n_words.alias("n_words_g"),
+        FF.round(mean_wlen, 4).alias("mean_word_len_g"),
+        FF.round(symbol_ratio, 4).alias("symbol_ratio"),
+        FF.round(bullet_ratio, 4).alias("bullet_line_ratio"),
+        FF.round(ellipsis_ratio, 4).alias("ellipsis_line_ratio"),
+        FF.round(alpha_ratio, 4).alias("alpha_word_ratio"),
+        stop_hits.alias("stopword_hits"),
+    )
+    cols = ref.columns
+    a = {r["doc_id"]: tuple(r[c] for c in cols[1:]) for r in got.select(*cols).collect()}
+    b = {r["doc_id"]: tuple(r[c] for c in cols[1:]) for r in ref.collect()}
+    for i in sorted(b):
+        assert a[i] == b[i], (i, docs[i][:40], a[i], b[i])
