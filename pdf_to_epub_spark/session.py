@@ -45,7 +45,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 24g on this 128 GiB box: 8g GC-thrashes the 32-thread text
+        # workloads (quality_filters measured 16.7 s at 8g vs 13.2 s at
+        # 32g cold); on a real cluster executor memory is set per-node in
+        # spark-submit (DEPLOYMENT.md)
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
