@@ -496,6 +496,47 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source round-trip (sources/warc.py), fully distributed and
+    disk-free: docs grouped 8 ways -> applyInPandas serializes each group
+    as a per-record-gzip WARC file (the Common Crawl layout) -> the Arrow
+    parser reads the records back.  The oracle reconstructs every field
+    from documents (url/date are pure functions of doc_id; payload md5 and
+    byte length replay in SQL), so the parser+writer pair is exactly
+    hash-checked."""
+    import pandas as pd
+
+    from pdf_to_epub_spark.sources.warc import build_warc_bytes, parse_warc_contents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            (
+                f"http://corpus.example/doc/{i}",
+                f"2024-01-01T{i // 3600:02d}:{(i // 60) % 60:02d}:{i % 60:02d}Z",
+                ("<html><body>" + t + "</body></html>").encode("utf-8"),
+            )
+            for i, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        return pd.DataFrame(
+            {"content": [build_warc_bytes(recs, gzip_members=True)]}
+        )
+
+    files = (
+        d.withColumn("g", F.pmod("doc_id", F.lit(8)))
+        .groupBy("g")
+        .applyInPandas(build, "content binary")
+    )
+    return parse_warc_contents(files).select(
+        "url",
+        "warc_date",
+        F.md5("html").alias("html_md5"),
+        F.length("html").cast("long").alias("n_bytes"),
+    )
+
+
 def _q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization (operators/textstats.py
     `normalize_unicode`): every doc gets a deterministic denormalized
@@ -1128,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_texts": _q_packed_texts,
         "split_leakage": _q_split_leakage,
         "unicode_nfc": _q_unicode_nfc,
+        "warc_roundtrip": _q_warc_roundtrip,
         "domain_quota": _q_domain_quota,
         "domain_caps": _q_domain_caps,
         "vocab_oov": _q_vocab_oov,
@@ -1854,6 +1896,18 @@ def oracle_sql() -> dict[str, str]:
                                        1, 15))::BIGINT
                        / 1152921504606846976.0 AS u
                 FROM documents)
+        """,
+        # Reconstruct every parsed-WARC field from documents: url/date are
+        # pure functions of doc_id, payload md5/bytes of text.
+        "warc_roundtrip": """
+            SELECT 'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                   strftime(TIMESTAMP '2024-01-01 00:00:00'
+                            + INTERVAL (doc_id) SECOND,
+                            '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                   md5('<html><body>' || text || '</body></html>') AS html_md5,
+                   strlen('<html><body>' || text || '</body></html>')::BIGINT
+                       AS n_bytes
+            FROM documents
         """,
         # utf8proc NFC over the same combining-acute construction; changed
         # is always true (the suffix denormalizes every doc).

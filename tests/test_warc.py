@@ -1,0 +1,73 @@
+"""WARC source (sources/warc.py): writer/parser round-trips, the
+binaryFile and streaming-paths read forms, and malformed-input tolerance."""
+
+from __future__ import annotations
+
+import gzip
+
+from pdf_to_epub_spark.sources.warc import (
+    build_warc_bytes,
+    iter_warc_records,
+    parse_warc_contents,
+    read_warc,
+    read_warc_paths,
+)
+
+RECS = [
+    (f"http://w.example/p/{i}", f"2024-02-0{1 + i % 9}T00:00:0{i % 10}Z",
+     f"<html><body>page {i} tvåß</body></html>".encode())
+    for i in range(12)
+]
+
+
+def test_pure_roundtrip_all_layouts():
+    for gz in (False, True):
+        for http in (False, True):
+            got = list(iter_warc_records(build_warc_bytes(RECS, gz, http)))
+            assert [(u, d, b) for u, d, _, b in got] == RECS
+            expected_type = "response" if http else "resource"
+            assert all(t == expected_type for _, _, t, _ in got)
+
+
+def test_non_page_records_and_truncation_skipped():
+    data = build_warc_bytes(RECS[:3])
+    # a warcinfo record (no Target-URI) must be ignored
+    info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            b"Content-Length: 4\r\n\r\nblah\r\n\r\n")
+    # truncated record at the tail must end iteration, not raise
+    trunc = b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://x/\r\n"
+    got = list(iter_warc_records(info + data + trunc))
+    assert [u for u, _, _, _ in got] == [u for u, _, _ in RECS[:3]]
+
+
+def test_corrupt_gzip_tail_stops_cleanly():
+    data = build_warc_bytes(RECS[:2], gzip_members=True)
+    got = list(iter_warc_records(data + b"\x1f\x8bgarbage"))
+    assert len(got) == 2
+
+
+def test_read_warc_binaryfile_and_paths(spark, tmp_path):
+    p1 = tmp_path / "a.warc.gz"
+    p2 = tmp_path / "b.warc"
+    p1.write_bytes(build_warc_bytes(RECS[:7], gzip_members=True))
+    p2.write_bytes(build_warc_bytes(RECS[7:]))
+
+    via_files = read_warc(spark, str(tmp_path / "*")).collect()
+    assert {r["url"] for r in via_files} == {u for u, _, _ in RECS}
+    by_url = {r["url"]: r for r in via_files}
+    for u, d, payload in RECS:
+        assert by_url[u]["warc_date"] == d
+        assert bytes(by_url[u]["html"]) == payload
+
+    paths = spark.createDataFrame([(str(p1),), (str(p2),)], "path string")
+    via_paths = read_warc_paths(spark, paths).collect()
+    assert {r["url"] for r in via_paths} == {u for u, _, _ in RECS}
+
+
+def test_parse_contents_dataframe(spark):
+    rows = [(build_warc_bytes(RECS[:5], gzip_members=True),),
+            (build_warc_bytes(RECS[5:]),), (None,)]
+    df = spark.createDataFrame(rows, "content binary")
+    got = parse_warc_contents(df).collect()
+    assert len(got) == len(RECS)
+    assert {r["record_type"] for r in got} == {"response"}
