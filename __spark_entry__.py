@@ -592,6 +592,20 @@ def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style global paragraph dedup (operators/dedup.py
+    `dedup_lines_global`) over the mutated re-crawl corpus (each doc's
+    recrawl copy shares almost every line, so the keep-first rule has
+    heavy real work).  The rebuilt per-doc text is hash-checked; the
+    oracle replays hashing, first-occurrence choice, and reassembly."""
+    from pdf_to_epub_spark.operators import dedup_lines_global
+
+    out = dedup_lines_global(mutated_recrawl(spark, sf_dir))
+    return out.select(
+        "doc_id", F.md5("text").alias("dedup_md5"), "n_lines", "n_kept"
+    )
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over documents with deterministic injected PII (email
     per doc, IPv4 per doc, phone on every third doc) so the scrubber has
@@ -1168,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "packed_texts": _q_packed_texts,
         "split_leakage": _q_split_leakage,
+        "dedup_lines": _q_dedup_lines,
         "unicode_nfc": _q_unicode_nfc,
         "warc_roundtrip": _q_warc_roundtrip,
         "domain_quota": _q_domain_quota,
@@ -1896,6 +1911,50 @@ def oracle_sql() -> dict[str, str]:
                                        1, 15))::BIGINT
                        / 1152921504606846976.0 AS u
                 FROM documents)
+        """,
+        # Replay of the CCNet line dedup: same md5-60 line hash, same
+        # (doc_id, pos) first-occurrence rule, same blank passthrough and
+        # reassembly order, over the recrawl corpus CTE.
+        "dedup_lines": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, regexp_replace(text, '\\s+\\S+\\s*$', '')
+                FROM documents
+            ), lines AS (
+                SELECT doc_id, u.pos, u.ln FROM (
+                    SELECT doc_id, string_split(text, chr(10)) AS lst FROM corpus
+                ), UNNEST(list_transform(generate_series(1, len(lst)),
+                                         j -> {'pos': j - 1, 'ln': lst[j]})) AS t(u)
+            ), nb AS (
+                SELECT doc_id, pos, ln,
+                       ('0x' || substr(md5(ln), 1, 15))::BIGINT AS h
+                FROM lines WHERE regexp_matches(ln, '[^ \\t\\r]')
+            ), firsts AS (
+                SELECT doc_id, pos, ln FROM (
+                    SELECT doc_id, pos, ln,
+                           row_number() OVER (PARTITION BY h
+                                              ORDER BY doc_id, pos) AS rn
+                    FROM nb)
+                WHERE rn = 1
+            ), kept AS (
+                SELECT doc_id, pos, ln FROM firsts
+                UNION ALL
+                SELECT doc_id, pos, ln FROM lines
+                WHERE NOT regexp_matches(ln, '[^ \\t\\r]')
+            ), reb AS (
+                SELECT doc_id,
+                       string_agg(ln, chr(10) ORDER BY pos) AS text,
+                       count(*)::BIGINT AS n_kept
+                FROM kept GROUP BY doc_id
+            ), tot AS (
+                SELECT doc_id, count(*)::BIGINT AS n_lines FROM lines GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   md5(coalesce(r.text, '')) AS dedup_md5,
+                   t.n_lines,
+                   coalesce(r.n_kept, 0)::BIGINT AS n_kept
+            FROM tot t LEFT JOIN reb r USING (doc_id)
         """,
         # Reconstruct every parsed-WARC field from documents: url/date are
         # pure functions of doc_id, payload md5/bytes of text.

@@ -683,3 +683,74 @@ def simhash_near_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# --------------------------------------------------------------------------
+# Global line-level dedup (CCNet paragraph dedup)
+# --------------------------------------------------------------------------
+
+def dedup_lines_global(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style corpus-global paragraph dedup: every non-blank line
+    that appears more than once in the corpus is kept only at its FIRST
+    occurrence (smallest (doc_id, pos)) and dropped everywhere else;
+    blank lines always pass through (they are structure, not content).
+    Returns ``(doc_id, text, n_lines, n_kept)`` with the rebuilt text.
+
+    Scale shape: lines shuffle ONCE keyed by their md5 hash (the groupBy
+    computing each hash's first occurrence is map-side combined to one
+    slim row per distinct line per partition); the keeper table joins
+    back on the same hash key — Catalyst reuses the partitioning, so the
+    line text crosses the wire once.  Reassembly shuffles kept lines by
+    doc — bounded by document size.  This is the exact CCNet dedup
+    topology (Wenzek et al. 2020 §3.1) expressed as DataFrame algebra.
+
+    Determinism: hash = md5-based (replayable in the DuckDB oracle);
+    first-occurrence = arg-min of (doc_id, pos) — a pure function of the
+    corpus, independent of partitioning.
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "ln"),
+    )
+    nonblank = lines.where(F.expr("ln rlike '[^ \\\\t\\\\r]'"))
+    hashed = nonblank.select(
+        "doc_id", "pos", "ln", md5_hash60(F.col("ln")).alias("h")
+    )
+    keepers = hashed.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    kept_nonblank = (
+        hashed.join(keepers, "h")
+        .where(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        )
+        .select("doc_id", "pos", "ln")
+    )
+    blanks = lines.where(~F.expr("ln rlike '[^ \\\\t\\\\r]'")).select(
+        "doc_id", "pos", "ln"
+    )
+    kept = kept_nonblank.unionByName(blanks)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ln"))),
+                lambda s: s["ln"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines")
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )

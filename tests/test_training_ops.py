@@ -968,3 +968,43 @@ def test_gopher_regexp_rewrite_matches_original_algebra(spark):
     b = {r["doc_id"]: tuple(r[c] for c in cols[1:]) for r in ref.collect()}
     for i in sorted(b):
         assert a[i] == b[i], (i, docs[i][:40], a[i], b[i])
+
+
+class TestDedupLinesGlobal:
+    def test_keep_first_blank_passthrough_and_rebuild(self, spark):
+        from pdf_to_epub_spark.operators import dedup_lines_global
+
+        docs = [
+            (1, "alpha\nshared line\n\nbeta"),
+            (2, "shared line\ngamma\n   \nshared line"),
+            (3, "delta"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in dedup_lines_global(df).collect()}
+        # doc 1 owns the first occurrence of "shared line" (doc_id order)
+        assert got[1]["text"] == "alpha\nshared line\n\nbeta"
+        # doc 2 loses both copies; blanks survive
+        assert got[2]["text"] == "gamma\n   "
+        assert (got[2]["n_lines"], got[2]["n_kept"]) == (4, 2)
+        assert got[3]["text"] == "delta"
+
+    def test_within_doc_repeats_collapse_to_first(self, spark):
+        from pdf_to_epub_spark.operators import dedup_lines_global
+
+        df = spark.createDataFrame(
+            [(7, "x\nx\nx\ny")], "doc_id long, text string"
+        )
+        r = dedup_lines_global(df).collect()[0]
+        assert r["text"] == "x\ny" and r["n_kept"] == 2
+
+    def test_partitioning_invariance(self, spark):
+        from pdf_to_epub_spark.operators import dedup_lines_global
+
+        docs = [(i, f"common header\nbody {i}\ncommon footer") for i in range(20)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        a = sorted(map(tuple, dedup_lines_global(df).collect()))
+        b = sorted(map(tuple, dedup_lines_global(df.repartition(11)).collect()))
+        assert a == b
+        got = dict((t[0], t[1]) for t in a)
+        assert got[0] == "common header\nbody 0\ncommon footer"
+        assert got[5] == "body 5"  # header/footer deduped away
