@@ -728,6 +728,24 @@ def _q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_caps_exact(d, cap=20).select("doc_id", "domain")
 
 
+def _q_blocked_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL blocklist gate (operators/urls.py `filter_blocked_urls`):
+    broadcast anti-join on the registrable domain — the UT1-shape filter.
+    Three of the 13 deterministic domains are blocked; survivors are
+    hash-checked."""
+    from pdf_to_epub_spark.operators import filter_blocked_urls
+
+    d = _docs_with_domain(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("http://sub."), F.col("domain"), F.lit("/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+    )
+    blocked = spark.createDataFrame(
+        [("site1.com",), ("site4.com",), ("site11.com",)], "domain string"
+    )
+    return filter_blocked_urls(d, blocked).select("doc_id", "url")
+
+
 def _q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocab induction + per-doc OOV stats (operators/textstats.py
     `build_vocab`/`oov_rates`): top-200 corpus vocabulary (count desc,
@@ -1188,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quota": _q_domain_quota,
         "domain_caps": _q_domain_caps,
         "vocab_oov": _q_vocab_oov,
+        "blocked_urls": _q_blocked_urls,
         "bigram_lm_scores": _q_bigram_lm_scores,
         "benchmark_contamination": _q_benchmark_contamination,
         "domain_stats": _q_domain_stats,
@@ -2011,6 +2030,13 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY h ASC, doc_id ASC) AS rn
                   FROM d)
             WHERE rn <= 20
+        """,
+        "blocked_urls": """
+            SELECT doc_id,
+                   'http://sub.site' || CAST(doc_id % 13 AS VARCHAR)
+                       || '.com/p/' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
+            WHERE doc_id % 13 NOT IN (1, 4, 11)
         """,
         # Top-200 vocab by (count desc, word asc) — a total order, so the
         # set is engine-identical; per-doc OOV counts under it.

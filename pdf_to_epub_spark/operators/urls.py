@@ -83,3 +83,21 @@ def domain_stats(
     if text_col:
         aggs.append(F.sum("_chars").alias("total_chars"))
     return slim.groupBy("domain").agg(*aggs)
+
+
+def filter_blocked_urls(
+    df: DataFrame,
+    blocked_domains: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop rows whose registrable domain appears in a blocklist (the
+    UT1/adult-list shape every CC pipeline applies).  The blocklist is a
+    one-column ``(domain)`` DataFrame; the filter is a broadcast anti-join
+    on the registrable domain — no shuffle of the page table, blocklists
+    (even UT1's ~4M rows) broadcast comfortably."""
+    bl = F.broadcast(blocked_domains.select(F.col("domain").alias("__bl_domain")))
+    return (
+        df.withColumn("__dom", registrable_domain(F.col(url_col)))
+        .join(bl, F.col("__dom") == F.col("__bl_domain"), "left_anti")
+        .drop("__dom")
+    )

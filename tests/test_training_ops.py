@@ -1008,3 +1008,18 @@ class TestDedupLinesGlobal:
         got = dict((t[0], t[1]) for t in a)
         assert got[0] == "common header\nbody 0\ncommon footer"
         assert got[5] == "body 5"  # header/footer deduped away
+
+
+def test_filter_blocked_urls(spark):
+    from pdf_to_epub_spark.operators import filter_blocked_urls
+
+    rows = [
+        (0, "http://www.bad.com/x"),
+        (1, "https://sub.deep.bad.com/y"),   # registrable domain bad.com
+        (2, "http://good.org/z"),
+        (3, "http://badcom.org/w"),          # not bad.com — must survive
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    blocked = spark.createDataFrame([("bad.com",)], "domain string")
+    kept = {r["doc_id"] for r in filter_blocked_urls(df, blocked).collect()}
+    assert kept == {2, 3}
