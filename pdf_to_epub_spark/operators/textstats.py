@@ -59,19 +59,26 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     punct_chars = n_chars - F.length(
         F.regexp_replace(F.col(text_col), r"""[\.,;:!\?"'—–-]+""", "")
     )
-    words = _tokens(text_col)
-    en_stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
-    stop_hits = F.size(F.filter(words, lambda w: F.array_contains(en_stop, w)))
+    # token COUNT without the token array (regexp_count ≡ size(extract_all))
+    # and stopword OCCURRENCES in one lookaround-delimited scan: zero-width
+    # run anchors mean a marker counts iff it equals a whole letter-run —
+    # exactly the array_contains-over-tokens semantics.
+    n_words = F.expr(f"regexp_count(lower({text_col}), '[a-zà-öø-ÿ]+')")
+    stop_alt = "|".join(LANG_MARKERS["en"])
+    stop_hits = F.expr(
+        f"regexp_count(lower({text_col}), "
+        f"'(?<![a-zà-öø-ÿ])({stop_alt})(?![a-zà-öø-ÿ])')"
+    )
     return df.select(
         "*",
         n_chars.alias("n_chars_q"),
         F.round(alpha_chars / F.greatest(n_chars, F.lit(1)), 4).alias("alpha_ratio"),
         F.round(punct_chars / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
         F.round(
-            alpha_chars / F.greatest(F.size(words), F.lit(1)).cast("double"), 4
+            alpha_chars / F.greatest(n_words, F.lit(1)).cast("double"), 4
         ).alias("mean_word_len"),
         F.round(
-            stop_hits / F.greatest(F.size(words), F.lit(1)).cast("double"), 4
+            stop_hits / F.greatest(n_words, F.lit(1)).cast("double"), 4
         ).alias("stopword_ratio"),
     )
 
@@ -264,8 +271,10 @@ def repetition_signals(
     lines = F.col("_lines")
     dlines = F.array_distinct(lines)
     n_lines = F.size(lines)
-    chars = F.aggregate(lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l))
-    dchars = F.aggregate(dlines, F.lit(0).cast("long"), lambda a, l: a + F.length(l))
+    # sum of element lengths == length of the concatenation — native
+    # array_join instead of an interpreted per-element aggregate lambda
+    chars = F.length(F.array_join(lines, "")).cast("long")
+    dchars = F.length(F.array_join(dlines, "")).cast("long")
     base = pre.select(
         F.col(id_col),
         F.length("_text").cast("long").alias("_n_chars"),
