@@ -189,7 +189,9 @@ def run_bench(
             )
         )
 
-    timed("minhash_bigdocs", minhash_bigdocs)
+    # min-of-2 like minhash_pairs: same repartition-shuffle noise tail
+    # (observed 3.5-12 s for identical work)
+    timed("minhash_bigdocs", minhash_bigdocs, runs=2)
 
     if not only or only == "incremental_near_dups":
         # Daily re-crawl shape: yesterday's signature store exists
