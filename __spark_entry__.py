@@ -511,11 +511,18 @@ def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import datetime as dt
+
         pdf = pdf.sort_values("doc_id")
+        epoch = dt.datetime(2024, 1, 1)
         recs = [
             (
                 f"http://corpus.example/doc/{i}",
-                f"2024-01-01T{i // 3600:02d}:{(i // 60) % 60:02d}:{i % 60:02d}Z",
+                # real datetime arithmetic: rolls over days exactly like
+                # the oracle's TIMESTAMP + INTERVAL for doc_id >= 86400
+                (epoch + dt.timedelta(seconds=int(i))).strftime(
+                    "%Y-%m-%dT%H:%M:%SZ"
+                ),
                 ("<html><body>" + t + "</body></html>").encode("utf-8"),
             )
             for i, t in zip(pdf["doc_id"], pdf["text"])
@@ -1931,9 +1938,9 @@ def oracle_sql() -> dict[str, str]:
                        / 1152921504606846976.0 AS u
                 FROM documents)
         """,
-        # Replay of the CCNet line dedup: same md5-60 line hash, same
-        # (doc_id, pos) first-occurrence rule, same blank passthrough and
-        # reassembly order, over the recrawl corpus CTE.
+        # Replay of the CCNet line dedup: keyed on the LINE VALUE (exact,
+        # collision-free), same (doc_id, pos) first-occurrence rule, same
+        # blank passthrough and reassembly order, over the recrawl CTE.
         "dedup_lines": """
             WITH corpus AS (
                 SELECT doc_id, text FROM documents
@@ -1946,13 +1953,12 @@ def oracle_sql() -> dict[str, str]:
                 ), UNNEST(list_transform(generate_series(1, len(lst)),
                                          j -> {'pos': j - 1, 'ln': lst[j]})) AS t(u)
             ), nb AS (
-                SELECT doc_id, pos, ln,
-                       ('0x' || substr(md5(ln), 1, 15))::BIGINT AS h
+                SELECT doc_id, pos, ln
                 FROM lines WHERE regexp_matches(ln, '[^ \\t\\r]')
             ), firsts AS (
                 SELECT doc_id, pos, ln FROM (
                     SELECT doc_id, pos, ln,
-                           row_number() OVER (PARTITION BY h
+                           row_number() OVER (PARTITION BY ln
                                               ORDER BY doc_id, pos) AS rn
                     FROM nb)
                 WHERE rn = 1

@@ -323,10 +323,9 @@ def run_bench(
     # other queries (block-manager residue, JIT state), so both are
     # reported — r1's 957 vs 2193 split was exactly this difference.
     if not only:
-        # stop the suite JVM first: its 32 idle executor threads + GC
-        # otherwise steal ~60% of the subprocess's throughput (measured
-        # 447 vs 1193 docs/s with/without the parent alive)
-        spark.stop()
+        # NB: the session was already stopped above; the standalone number
+        # is still bimodal run-to-run (observed 430-1740 docs/s on this
+        # shared VM) — treat single observations as noisy.
         out = subprocess.run(
             [sys.executable, str(REPO / "bench.py"), "--sf-dir", sf_dir,
              "--cpus", str(cpus), "--only", "extract_assemble",

@@ -700,31 +700,34 @@ def dedup_lines_global(
     blank lines always pass through (they are structure, not content).
     Returns ``(doc_id, text, n_lines, n_kept)`` with the rebuilt text.
 
-    Scale shape: lines shuffle ONCE keyed by their md5 hash (the groupBy
-    computing each hash's first occurrence is map-side combined to one
+    Scale shape: lines shuffle ONCE keyed by the line value (the groupBy
+    computing each line's first occurrence is map-side combined to one
     slim row per distinct line per partition); the keeper table joins
-    back on the same hash key — Catalyst reuses the partitioning, so the
-    line text crosses the wire once.  Reassembly shuffles kept lines by
-    doc — bounded by document size.  This is the exact CCNet dedup
-    topology (Wenzek et al. 2020 §3.1) expressed as DataFrame algebra.
+    back on the same key — Catalyst reuses the partitioning, so the
+    line text crosses the wire once.  Keying on the LINE, not a 60-bit
+    hash of it, matters at corpus scale: a hash-keyed keep/drop silently
+    deletes the collision victim's line everywhere (birthday bound
+    ~1.2e9 distinct lines), while Spark's internal shuffle hashing of the
+    string key costs the same and stays exact.  Reassembly shuffles kept
+    lines by doc — bounded by document size.  This is the exact CCNet
+    dedup topology (Wenzek et al. 2020 §3.1) as DataFrame algebra.
 
-    Determinism: hash = md5-based (replayable in the DuckDB oracle);
-    first-occurrence = arg-min of (doc_id, pos) — a pure function of the
-    corpus, independent of partitioning.
+    Determinism: first-occurrence = arg-min of (doc_id, pos) — a pure
+    function of the corpus, independent of partitioning.  Null text is
+    treated as empty (the doc survives with one blank line).
     """
     lines = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "ln"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "ln"),
     )
     nonblank = lines.where(F.expr("ln rlike '[^ \\\\t\\\\r]'"))
-    hashed = nonblank.select(
-        "doc_id", "pos", "ln", md5_hash60(F.col("ln")).alias("h")
-    )
-    keepers = hashed.groupBy("h").agg(
+    keepers = nonblank.groupBy("ln").agg(
         F.min(F.struct("doc_id", "pos")).alias("first")
     )
     kept_nonblank = (
-        hashed.join(keepers, "h")
+        nonblank.join(keepers, "ln")
         .where(
             (F.col("doc_id") == F.col("first.doc_id"))
             & (F.col("pos") == F.col("first.pos"))

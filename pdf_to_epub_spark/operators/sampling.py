@@ -79,12 +79,19 @@ def domain_quota_sample(
     (id, salt, domain count)), so it replays in the SQL oracle.
 
     ``caps`` overrides the per-domain counts table (schema: domain_col,
-    n_domain) — e.g. yesterday's counts for a streaming ingest."""
+    n_domain) — e.g. yesterday's counts for a streaming ingest.  Domains
+    absent from ``caps`` (a brand-new domain today) and null domains keep
+    ALL their rows: an unknown domain cannot be over quota, so the join is
+    a LEFT join and a missing count means rate 1 — an inner join would
+    silently delete exactly the rows quota-ing must not touch."""
     if caps is None:
         caps = df.groupBy(domain_col).agg(F.count("*").alias("n_domain"))
-    rate = F.least(F.lit(1.0), F.lit(float(cap)) / F.col("n_domain"))
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(cap)) / F.coalesce(F.col("n_domain"), F.lit(float(cap))),
+    )
     return (
-        df.join(F.broadcast(caps), domain_col)
+        df.join(F.broadcast(caps), [domain_col], "left")
         .where(_unit_hash(F.col(id_col), salt) < rate)
         .drop("n_domain")
     )

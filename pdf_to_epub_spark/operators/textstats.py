@@ -164,7 +164,11 @@ def gopher_quality(
     quirks (``n_words = regexp_count(trim, '\\s+') + 1``, blank -> 1),
     exotic whitespace (\\x0B, \\f are \\s for bullet/ellipsis classes but
     CONTENT for the non-blank line test, matching the original
-    ``[^ \\t\\r]`` filter), and CRLF.  tests/test_training_ops.py pins the
+    ``[^ \\t\\r]`` filter), CRLF, and lone ``\\r``/U+2028/U+0085
+    terminators (the ``(?d)`` UNIX_LINES flag restricts ``^``/``$`` to
+    ``\\n``, matching split-on-newline — without it Java MULTILINE treats
+    those as line breaks and the counts diverge).
+    tests/test_training_ops.py pins the
     equivalence differentially against the original expressions on an
     edge-case corpus; the DuckDB oracle replicates the original algebra."""
     trimmed = F.col("_g_trim")
@@ -183,18 +187,18 @@ def gopher_quality(
     # non-blank line: contains a char outside [ \t\r] (so \x0B/\f count as
     # content, exactly like the original filter's [^ \t\r] test)
     n_lines = F.greatest(
-        F.expr("regexp_count(" + text_col + ", '(?m)^[ \\\\t\\\\r]*[^ \\\\t\\\\r\\\\n]')"),
+        F.expr("regexp_count(" + text_col + ", '(?md)^[ \\\\t\\\\r]*[^ \\\\t\\\\r\\\\n]')"),
         F.lit(1),
     ).cast("double")
     bullet_ratio = (
         F.expr(
-            "regexp_count(" + text_col + ", '(?m)^[ \\\\t\\\\x0B\\\\f\\\\r]*[•\\\\-\\\\*]')"
+            "regexp_count(" + text_col + ", '(?md)^[ \\\\t\\\\x0B\\\\f\\\\r]*[•\\\\-\\\\*]')"
         )
         / n_lines
     )
     ellipsis_ratio = (
         F.expr(
-            "regexp_count(" + text_col + ", '(?m)\\\\.\\\\.\\\\.[ \\\\t\\\\x0B\\\\f\\\\r]*$')"
+            "regexp_count(" + text_col + ", '(?md)\\\\.\\\\.\\\\.[ \\\\t\\\\x0B\\\\f\\\\r]*$')"
         )
         / n_lines
     )
@@ -443,6 +447,8 @@ def normalize_unicode(
                 names=["doc_id", "text_norm", "changed"],
             )
 
-    return df.select(
-        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col)
-    ).mapInArrow(batches, "doc_id long, text_norm string, changed boolean")
+    # id passes through at its input type (string urls included)
+    id_type = df.select(F.col(id_col)).schema[0].dataType.simpleString()
+    return df.select(F.col(id_col).alias("doc_id"), F.col(text_col)).mapInArrow(
+        batches, f"doc_id {id_type}, text_norm string, changed boolean"
+    )

@@ -133,6 +133,11 @@ def ingest(
         audit["domain_quota_kept"] = deduped.groupBy().count()
 
     if max_lm_nats_micro is not None:
+        # NB: the arrow LM engine trains its (bounded, 784-row) model with
+        # a collect(), so enabling this gate runs the upstream pipeline
+        # EAGERLY inside ingest() — model fitting is an action, not a
+        # plan.  Callers that only want the lazy plan should gate LM
+        # scoring themselves downstream.
         from pdf_to_epub_spark.operators import bigram_lm_scores
 
         # per-bigram threshold in micro-nats (cross-entropy * 1e6); the

@@ -924,6 +924,17 @@ def test_gopher_regexp_rewrite_matches_original_algebra(spark):
         "\x01control\x02 chars the of be and",
         "juxtaposed...words the of be and",
         "• unicode bullet\n* star\n- dash\nplain\n",
+        # lone \r / NEL / LS / PS are NOT line breaks for split('\n') —
+        # (?d) in the rewrite must keep Java MULTILINE from treating them
+        # as terminators (a real divergence caught in review)
+        "a\rb the of be and words",
+        "x...\rdef the of and be",
+        "one two the of be and",
+        "nelline the of be and",
+        "dots... tail the of be and",
+        "nel\u0085line the of be and",
+        "ls\u2028sep... the of be and",
+        "- b\u2029- c the of be and",
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
@@ -1023,3 +1034,19 @@ def test_filter_blocked_urls(spark):
     blocked = spark.createDataFrame([("bad.com",)], "domain string")
     kept = {r["doc_id"] for r in filter_blocked_urls(df, blocked).collect()}
     assert kept == {2, 3}
+
+
+def test_quota_keeps_unknown_and_null_domains(spark):
+    from pdf_to_epub_spark.operators import domain_quota_sample
+
+    rows = [(i, "known.com") for i in range(10)]
+    rows += [(100, "newtoday.com"), (101, None)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    caps = spark.createDataFrame(
+        [("known.com", 1000)], "domain string, n_domain long"
+    )
+    kept = {
+        r["doc_id"] for r in domain_quota_sample(df, caps=caps, cap=5).collect()
+    }
+    # domains absent from caps (and null domains) are never dropped
+    assert 100 in kept and 101 in kept

@@ -71,3 +71,34 @@ def test_parse_contents_dataframe(spark):
     got = parse_warc_contents(df).collect()
     assert len(got) == len(RECS)
     assert {r["record_type"] for r in got} == {"response"}
+
+
+def test_stream_matches_inmemory_parser_all_layouts():
+    import io
+
+    from pdf_to_epub_spark.sources.warc import stream_warc_records
+
+    big = [(f"http://s.example/{i}", "2024-03-01T00:00:00Z",
+            (f"<html>{'x' * (i * 37 % 900)}</html>").encode())
+           for i in range(40)]
+    for gz in (False, True):
+        for http in (False, True):
+            data = build_warc_bytes(big, gz, http)
+            ref = list(iter_warc_records(data))
+            # tiny chunks force every straddle/compaction path
+            for chunk in (7, 64, 1 << 20):
+                got = list(stream_warc_records(io.BytesIO(data), chunk))
+                assert got == ref, (gz, http, chunk, len(got), len(ref))
+
+
+def test_stream_tolerates_corrupt_and_truncated_tails():
+    import io
+
+    from pdf_to_epub_spark.sources.warc import stream_warc_records
+
+    data = build_warc_bytes(RECS[:3], gzip_members=True)
+    assert len(list(stream_warc_records(io.BytesIO(data + b"\x1f\x8bbad"), 16))) == 3
+    plain = build_warc_bytes(RECS[:3])
+    cut = plain[: len(plain) - 40]  # truncate inside the last record
+    got = list(stream_warc_records(io.BytesIO(cut), 16))
+    assert [u for u, _, _, _ in got] == [u for u, _, _ in RECS[:2]]
