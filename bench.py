@@ -285,6 +285,21 @@ def run_bench(
 
     timed("lm_pack", lm_pack)
 
+    warc_paths = _warc_corpus_paths(corpus)  # one-time build, unmeasured
+
+    def warc_parse() -> None:
+        """Parse throughput of the WARC source over the CC-layout archive
+        derived once from the bench corpus (32 per-record-gzip files via
+        the streaming path reader)."""
+        from pdf_to_epub_spark.sources.warc import read_warc_paths
+
+        paths = spark.createDataFrame(
+            [(p,) for p in warc_paths], "path string"
+        )
+        _force(read_warc_paths(spark, paths))
+
+    timed("warc_parse", warc_parse)
+
     # Recall@10 of the approximate ANN paths vs the brute-force oracle —
     # an approximate operator without a recall number isn't auditable.
     ann_recall: dict[str, float] = {}
@@ -340,6 +355,30 @@ def run_bench(
 
 
 SCALING_CORPUS_DOCS = 20_000
+
+
+def _warc_corpus_paths(corpus) -> list[str]:
+    """Once per bench corpus: serialize it as 8 per-record-gzip WARC files
+    under data/ (deterministic content) and return their paths."""
+    from pdf_to_epub_spark.sources.warc import build_warc_bytes
+
+    out_dir = REPO / "data" / "bench_warc"
+    paths = [str(out_dir / f"part-{g}.warc.gz") for g in range(32)]
+    if not out_dir.exists():
+        out_dir.mkdir(parents=True)
+        rows = sorted(
+            corpus.select("url", "text").collect(), key=lambda r: r["url"]
+        )
+        groups: list[list] = [[] for _ in range(32)]
+        for i, r in enumerate(rows):
+            groups[i % 32].append(
+                (r["url"], "2024-01-01T00:00:00Z", r["text"].encode("utf-8"))
+            )
+        for g, recs in enumerate(groups):
+            pathlib.Path(paths[g]).write_bytes(
+                build_warc_bytes(recs, gzip_members=True)
+            )
+    return paths
 
 
 def _machine_ceiling(texts_n: int = 4000) -> dict[int, float]:
