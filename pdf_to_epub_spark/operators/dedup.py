@@ -151,9 +151,13 @@ def _bucket_pairs(buckets: DataFrame, max_bucket: int = 4096) -> DataFrame:
     removal policy on the identical-content buckets that cause the
     degeneracy (every non-min id still pairs with the keeper and verifies
     at Jaccard 1).  Pair LISTING under a triggered cap under-reports
-    non-adjacent pairs of a giant mixed bucket — documented, tested
-    (tests/test_skew.py), and avoidable: run exact dedup first; identical
-    content is its job, not LSH's.
+    non-adjacent pairs of ANY over-cap bucket — including a legitimately
+    hot mixed bucket (e.g. boilerplate-heavy corpora), not only the
+    identical-content degeneracy — documented, tested (tests/test_skew.py),
+    and auditable: :func:`lsh_bucket_stats` reports whether any bucket
+    tripped the cap so a pipeline can alert instead of silently losing
+    recall.  Mitigations: run exact dedup first (identical content is its
+    job, not LSH's), or raise ``max_bucket``.
     """
     combos = F.flatten(
         F.transform(
@@ -172,6 +176,188 @@ def _bucket_pairs(buckets: DataFrame, max_bucket: int = 4096) -> DataFrame:
     )
     chosen = F.when(F.size("_ids") <= F.lit(max_bucket), combos).otherwise(star)
     return buckets.select(F.explode(chosen).alias("p")).select("p.id_a", "p.id_b")
+
+
+def _lsh_band_pairs_touching(
+    sigs: DataFrame,
+    new_ids: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Like :func:`_lsh_band_pairs` but generates ONLY pairs touching a
+    ``new_ids`` member, IN-BUCKET — per-bucket work is
+    O(new_in_bucket x bucket_size) and buckets containing no new id are
+    skipped entirely, so a daily batch over a huge stored corpus costs
+    O(batch x collision rate), not O(corpus collision volume).  (The
+    filter-after-generate alternative materializes every old-old
+    combination first just to discard it.)  Over-``max_bucket`` buckets
+    degrade to the same star shape as :func:`_bucket_pairs`, restricted
+    to star pairs touching a new id."""
+    rows_per_band = num_hashes // bands
+    band_hash = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    flagged = sigs.join(
+        F.broadcast(
+            new_ids.select(F.col(id_col)).withColumn("_new", F.lit(True))
+        ),
+        id_col,
+        "left",
+    )
+    banded = flagged.select(
+        F.col(id_col),
+        F.coalesce("_new", F.lit(False)).alias("_new"),
+        F.explode(F.array(*band_hash)).alias("band"),
+    ).select(id_col, "_new", "band.band_id", "band.band_hash")
+
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(
+            F.sort_array(F.collect_list(id_col)).alias("_ids"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_new"), F.col(id_col)))
+            ).alias("_new_ids"),
+        )
+        .where((F.size("_ids") > 1) & (F.size("_new_ids") > 0))
+    )
+    mn = F.element_at("_ids", 1)
+    normal = F.flatten(
+        F.transform(
+            "_new_ids",
+            lambda a: F.transform(
+                F.filter(F.col("_ids"), lambda b: b != a),
+                lambda b: F.struct(
+                    F.least(a, b).alias("id_a"), F.greatest(a, b).alias("id_b")
+                ),
+            ),
+        )
+    )
+    star_all = F.transform(
+        F.slice("_ids", 2, F.size("_ids")),
+        lambda b: F.struct(mn.alias("id_a"), b.alias("id_b")),
+    )
+    star_new = F.transform(
+        F.filter("_new_ids", lambda b: b != mn),
+        lambda b: F.struct(mn.alias("id_a"), b.alias("id_b")),
+    )
+    chosen = F.when(F.size("_ids") <= F.lit(max_bucket), normal).otherwise(
+        F.when(F.array_contains("_new_ids", mn), star_all).otherwise(star_new)
+    )
+    return (
+        buckets.select(F.explode(chosen).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def lsh_bucket_stats(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """One-row audit of the LSH bucket distribution for a signature table:
+    total buckets, the largest bucket, and how many exceed ``max_bucket``
+    (where pair listing degrades to star pairs and recall is capped).  Run
+    it when a corpus might be boilerplate-heavy — the cap itself engages
+    silently inside the executors and cannot log."""
+    rows_per_band = num_hashes // bands
+    band_hash = [
+        F.xxhash64(
+            F.concat_ws(
+                ":",
+                *[
+                    F.element_at("sig", b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+            )
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), *band_hash)
+    sizes = None
+    for b in range(bands):
+        s = banded.groupBy(F.col(f"b{b}").alias("h")).agg(
+            F.count("*").alias("n")
+        ).select(F.lit(b).alias("band_id"), "n")
+        sizes = s if sizes is None else sizes.unionByName(s)
+    return sizes.where(F.col("n") > 1).agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.max("n").cast("long").alias("max_bucket_size"),
+        F.sum((F.col("n") > max_bucket).cast("long")).alias("n_over_cap"),
+    )
+
+
+def _latest_version(df: DataFrame, id_col: str, value_col: str) -> DataFrame:
+    """Deterministically keep ONE row per id: arg-max of the value's
+    content hash.  Used when a re-crawled id appears with changed payload
+    — an arbitrary dropDuplicates would make candidate recall vary run to
+    run; this pick is a pure function of the row set."""
+    return df.groupBy(id_col).agg(
+        F.expr(
+            f"max_by({value_col}, xxhash64(cast({value_col} as string)))"
+        ).alias(value_col)
+    )
+
+
+def incremental_pair_batch(
+    spark,
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    signatures_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Shared batch/streaming core of the incremental near-dup flow:
+    append ``new_docs``' signatures to the store, band stored-old ∪ new,
+    generate in-bucket pairs touching a new id, verify exact Jaccard
+    against ``corpus``.
+
+    Replay/recrawl semantics (deterministic by construction):
+    - the store is deduplicated on read per id (crash-replay double
+      appends are harmless);
+    - when an id re-appears with CHANGED text, one signature version and
+      one text version are each kept by content-hash arg-max.  The kept
+      signature may lag the kept text by one crawl (they are picked
+      independently); candidates are then approximate for that id, but
+      verification always runs on the kept text, so the OUTPUT stays a
+      deterministic function of the store + corpus state."""
+    new_ids = new_docs.select(F.col(id_col))
+    minhash_signatures(new_docs, text_col, id_col, k, num_hashes).write.mode(
+        "append"
+    ).parquet(signatures_path)
+    sigs = _latest_version(
+        spark.read.parquet(signatures_path), id_col, "sig"
+    )
+    pairs = _lsh_band_pairs_touching(
+        sigs, new_ids, id_col, num_hashes, bands, max_bucket
+    )
+    corpus_one = _latest_version(
+        corpus.select(F.col(id_col), F.col(text_col)), id_col, text_col
+    )
+    return _verify_pairs_exact_jaccard(
+        corpus_one, pairs, text_col, id_col, k, jaccard_threshold
+    )
 
 
 def _fs_exists(spark, path: str) -> bool:
@@ -406,29 +592,28 @@ def incremental_near_dup_pairs(
        job).
 
     Side effect: the append to ``signatures_path`` happens eagerly at call
-    time, so reruns of the RETURNED plan do not double-append.  Output is
-    identical to running :func:`minhash_candidate_pairs` on the full corpus
-    and keeping pairs that involve a new id (tested both ways)."""
+    time, so reruns of the RETURNED plan do not double-append; the store
+    is also deduplicated on read, so a crash-replay double append cannot
+    corrupt banding.  Candidate generation is in-bucket touching-new
+    (:func:`_lsh_band_pairs_touching`) — old–old combinations are never
+    materialized, keeping the per-batch cost at the step-3 O() above.
+    Output is identical to running :func:`minhash_candidate_pairs` on the
+    full corpus and keeping pairs that involve a new id (tested both
+    ways)."""
     spark = corpus.sparkSession
     new_docs = corpus.join(pending_ids.select(id_col), id_col, "left_semi")
-    minhash_signatures(new_docs, text_col, id_col, k, num_hashes).write.mode(
-        "append"
-    ).parquet(signatures_path)
-    sigs = spark.read.parquet(signatures_path)
-
-    pairs = _lsh_band_pairs(sigs, id_col, num_hashes, bands, max_bucket)
-    new_ids = pending_ids.select(F.col(id_col))
-    touching_new = pairs.join(
-        F.broadcast(new_ids.withColumnRenamed(id_col, "id_a")), "id_a", "left_semi"
-    ).select("id_a", "id_b").union(
-        pairs.join(
-            F.broadcast(new_ids.withColumnRenamed(id_col, "id_b")),
-            "id_b",
-            "left_semi",
-        ).select("id_a", "id_b")
-    ).dropDuplicates(["id_a", "id_b"])
-    return _verify_pairs_exact_jaccard(
-        corpus, touching_new, text_col, id_col, k, jaccard_threshold
+    return incremental_pair_batch(
+        spark,
+        new_docs,
+        corpus,
+        signatures_path,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket=max_bucket,
     )
 
 
@@ -539,10 +724,13 @@ def connected_components(
     and 2, components keep 1 only).
 
     Algorithm: labels start as own id; each round every node takes the min
-    of its label and its neighbors' labels; converged when the global label
-    sum stops decreasing (labels are monotone non-increasing, so sum
-    equality IS the fixpoint — one cheap aggregate action per round, no
-    change-count join).  Rounds ≈ component diameter, which for near-dup
+    of its label and its neighbors' labels (min by the id type's ordering —
+    lexicographic for string/url ids); converged when NO label changed,
+    checked with a slim prev-vs-new anti-condition probe (take-1, stops at
+    the first difference).  A sum-of-labels check would be cheaper but is
+    numeric-only — it crashes (ANSI) or silently null-converges after one
+    round on string ids, which the url-keyed pipelines use.
+    Rounds ≈ component diameter, which for near-dup
     clusters is tiny; each round eagerly localCheckpoints the slim
     (id, label) table so lineage stays flat (the standard iterative-algo
     hygiene — without it the plan doubles every round).
@@ -557,23 +745,27 @@ def connected_components(
 
     labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
 
     for _ in range(max_iterations):
         nbr = (
             und.join(labels, und.src == labels.id)
             .select(F.col("dst").alias("id"), F.col("label"))
         )
-        labels = (
+        new_labels = (
             labels.union(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
+        prev = labels.select("id", F.col("label").alias("prev_label"))
+        converged = (
+            new_labels.join(prev, "id")
+            .where(F.col("label") != F.col("prev_label"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if converged:
             break
-        prev_sum = cur_sum
 
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("component"))
 

@@ -75,12 +75,21 @@ def ingest(
     if done_hashes is not None:
         from pdf_to_epub_spark.operators import pending_documents, with_doc_hash
 
+        # hash the column that actually carries the payload: in html mode
+        # ``text`` is null, so hashing it would make every doc_hash null
+        # and the resume anti-join a silent no-op (100% re-extraction)
+        payload = "html" if html_mode else "text"
         pages = pending_documents(
-            with_doc_hash(pages, payload_col="text"), done_hashes
+            with_doc_hash(pages, payload_col=payload), done_hashes
         )
 
     extractor = extract_html_documents if html_mode else extract_documents
-    extracted = extractor(pages, salt_partitions=salt_partitions)
+    # checkpoint the extractor output itself: both the assembly branch and
+    # the status audit read it, and without the barrier materializing
+    # audit["extracted"] re-runs the whole Python extraction pass
+    extracted = extractor(pages, salt_partitions=salt_partitions).localCheckpoint(
+        eager=False
+    )
     docs = (
         assemble_documents(blocks_table(extracted))
         .select("url", F.col("assembled_text").alias("text"))

@@ -98,47 +98,35 @@ def streaming_near_dup_pairs(
     LSH join needs the FULL historical signature table, which lives in the
     store as a plain parquet artifact — exactly the batch operator's
     deployment shape, driven by the streaming offset log instead of a
-    scheduler.  Exactly-once note: the signature append and the pairs
-    append are two sinks, so a crash between them can leave a batch's
-    signatures committed without its pairs; re-running the batch re-emits
-    the pairs (idempotent downstream: pair rows are deterministic and
-    dedupable on (id_a, id_b)) but would double-append signatures — the
-    store therefore deduplicates on read in this path.
+    scheduler.  The per-batch core is the SAME helper the batch operator
+    uses (operators/dedup.incremental_pair_batch), so replay/recrawl
+    semantics cannot drift between the two paths: the store deduplicates
+    on read (a crash between the two sinks double-appends harmlessly),
+    and a re-crawled id with changed text resolves deterministically by
+    content-hash arg-max (see the helper's docstring).
     """
     from pyspark.sql import functions as F
 
-    from pdf_to_epub_spark.operators.dedup import (
-        _lsh_band_pairs,
-        _verify_pairs_exact_jaccard,
-        minhash_signatures,
-    )
+    from pdf_to_epub_spark.operators.dedup import incremental_pair_batch
 
     stream = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
 
     def process_batch(batch_df, batch_id: int) -> None:
         docs = batch_df.select(F.col(id_col), F.col(text_col))
-        minhash_signatures(docs, text_col, id_col, k, num_hashes).write.mode(
-            "append"
-        ).parquet(signatures_path)
-        # dedup on read: replays of a half-committed batch must not create
-        # duplicate signature rows for the banding
-        sigs = spark.read.parquet(signatures_path).dropDuplicates([id_col])
-        pairs = _lsh_band_pairs(sigs, id_col, num_hashes, bands)
-        new_ids = docs.select(F.col(id_col))
-        touching = pairs.join(
-            F.broadcast(new_ids.withColumnRenamed(id_col, "id_a")),
-            "id_a", "left_semi",
-        ).select("id_a", "id_b").union(
-            pairs.join(
-                F.broadcast(new_ids.withColumnRenamed(id_col, "id_b")),
-                "id_b", "left_semi",
-            ).select("id_a", "id_b")
-        ).dropDuplicates(["id_a", "id_b"])
         corpus = spark.read.schema(PAGES_SCHEMA).parquet(input_dir).select(
             F.col(id_col), F.col(text_col)
         )
-        verified = _verify_pairs_exact_jaccard(
-            corpus, touching, text_col, id_col, k, jaccard_threshold
+        verified = incremental_pair_batch(
+            spark,
+            docs,
+            corpus,
+            signatures_path,
+            text_col=text_col,
+            id_col=id_col,
+            k=k,
+            num_hashes=num_hashes,
+            bands=bands,
+            jaccard_threshold=jaccard_threshold,
         )
         verified.write.mode("append").parquet(pairs_dir)
 

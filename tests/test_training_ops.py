@@ -1050,3 +1050,73 @@ def test_quota_keeps_unknown_and_null_domains(spark):
     }
     # domains absent from caps (and null domains) are never dropped
     assert 100 in kept and 101 in kept
+
+
+def test_connected_components_string_ids(spark):
+    """url-keyed clustering (the pipelines' id type): a 3-hop chain must
+    fully converge — the old sum-of-labels convergence check could not
+    even evaluate on strings."""
+    from pdf_to_epub_spark.operators import connected_components
+
+    edges = spark.createDataFrame(
+        [("u://a", "u://b"), ("u://b", "u://c"), ("u://c", "u://d")],
+        "id_a string, id_b string",
+    )
+    ids = spark.createDataFrame(
+        [(u,) for u in ("u://a", "u://b", "u://c", "u://d", "u://solo")],
+        "doc_id string",
+    )
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(edges, ids).collect()}
+    assert got == {"u://a": "u://a", "u://b": "u://a", "u://c": "u://a",
+                   "u://d": "u://a", "u://solo": "u://solo"}
+
+
+def test_incremental_recrawl_changed_text_is_deterministic(spark, tmp_path):
+    """A url re-appearing with changed text must not make candidate or
+    output pairs vary run to run: the store and corpus each resolve to one
+    version by content-hash arg-max (operators/dedup.incremental_pair_batch)."""
+    from pdf_to_epub_spark.operators.dedup import incremental_pair_batch
+
+    base = (BASE + " tail one two three four five six seven eight nine ten")
+    day1 = spark.createDataFrame(
+        [("u://a", base), ("u://b", base + " extra")], "url string, text string"
+    )
+    store = str(tmp_path / "sigs")
+    incremental_pair_batch(
+        spark, day1, day1, store, id_col="url", k=3, num_hashes=32, bands=8,
+        jaccard_threshold=0.5,
+    ).collect()
+
+    # day 2: u://a re-crawled with CHANGED text; corpus holds both versions
+    day2_new = spark.createDataFrame(
+        [("u://a", base + " changed revision")], "url string, text string"
+    )
+    corpus_both = day1.union(day2_new)
+    outs = []
+    for _ in range(2):
+        rows = incremental_pair_batch(
+            spark, day2_new, corpus_both, str(tmp_path / "sigs2"),
+            id_col="url", k=3, num_hashes=32, bands=8, jaccard_threshold=0.5,
+        ).collect()
+        outs.append(sorted(map(tuple, rows)))
+    assert outs[0] == outs[1]
+    # exactly one jaccard row per pair (no dual-version duplicates)
+    pairs = [r[:2] for r in outs[0]]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_lsh_bucket_stats_reports_over_cap(spark):
+    from pdf_to_epub_spark.operators.dedup import lsh_bucket_stats, minhash_signatures
+
+    # 12 identical docs share every band -> every band has a 12-bucket
+    df = spark.createDataFrame(
+        [(i, BASE) for i in range(12)] + [(100, "completely different words here")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(df, k=3, num_hashes=32)
+    r = lsh_bucket_stats(sigs, num_hashes=32, bands=8, max_bucket=10).collect()[0]
+    assert r["max_bucket_size"] == 12
+    assert r["n_over_cap"] == 8      # one over-cap bucket per band
+    r2 = lsh_bucket_stats(sigs, num_hashes=32, bands=8, max_bucket=4096).collect()[0]
+    assert r2["n_over_cap"] == 0
