@@ -2,9 +2,10 @@
 Crawl actually ships.
 
 Parser + writer for the subset a text pipeline needs: ``response`` /
-``resource`` records, WARC/1.0 and 1.1, plain or per-record-gzip-member
-files (the CC layout — each record its own gzip member, members
-concatenated; ``zlib`` decompresses them in sequence).
+``resource`` / ``conversion`` records (the last is WET — Common Crawl's
+extracted-text sibling, same container), WARC/1.0 and 1.1, plain or
+per-record-gzip-member files (the CC layout — each record its own gzip
+member, members concatenated; ``zlib`` decompresses them in sequence).
 
 Scale shape: parsing is a :meth:`mapInArrow` pass over ``(content:
 binary)`` rows — one row per WARC file (or file split).  Nothing
@@ -37,6 +38,10 @@ RECORD_SCHEMA = (
 )
 
 _GZIP_MAGIC = b"\x1f\x8b"
+
+# "conversion" is the WET (extracted-text) record type: a WET file is a
+# WARC whose payloads are plain text — same container, same parser.
+_PAGE_RECORD_TYPES = ("response", "resource", "conversion")
 
 
 def build_warc_bytes(
@@ -135,7 +140,7 @@ def iter_warc_records(
                 http_end = body.find(b"\r\n\r\n")
                 if http_end != -1:
                     body = body[http_end + 4 :]
-            if rtype in ("response", "resource") and url:
+            if rtype in _PAGE_RECORD_TYPES and url:
                 yield url, date, rtype, body
 
 
@@ -231,7 +236,7 @@ def stream_warc_records(
             http_end = body.find(b"\r\n\r\n")
             if http_end != -1:
                 body = body[http_end + 4 :]
-        if rtype in ("response", "resource") and url:
+        if rtype in _PAGE_RECORD_TYPES and url:
             yield url, date, rtype, body
 
 

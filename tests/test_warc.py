@@ -102,3 +102,28 @@ def test_stream_tolerates_corrupt_and_truncated_tails():
     cut = plain[: len(plain) - 40]  # truncate inside the last record
     got = list(stream_warc_records(io.BytesIO(cut), 16))
     assert [u for u, _, _, _ in got] == [u for u, _, _ in RECS[:2]]
+
+
+def test_wet_conversion_records_parse():
+    """A WET file is a WARC of 'conversion' records with plain-text
+    payloads — same container, parsed by the same reader."""
+    import io
+
+    from pdf_to_epub_spark.sources.warc import stream_warc_records
+
+    wet = b"".join(
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"WARC-Target-URI: " + u.encode() + b"\r\n"
+        b"WARC-Date: 2024-04-01T00:00:00Z\r\n"
+        b"Content-Type: text/plain\r\n"
+        b"Content-Length: " + str(len(t)).encode() + b"\r\n\r\n"
+        + t + b"\r\n\r\n"
+        for u, t in [("http://w/1", b"extracted text one"),
+                     ("http://w/2", "tvåß text".encode())]
+    )
+    got = list(iter_warc_records(wet))
+    assert [(u, t, b) for u, _, t, b in got] == [
+        ("http://w/1", "conversion", b"extracted text one"),
+        ("http://w/2", "conversion", "tvåß text".encode()),
+    ]
+    assert list(stream_warc_records(io.BytesIO(wet), 16)) == got
