@@ -735,6 +735,21 @@ def _q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_caps_exact(d, cap=20).select("doc_id", "domain")
 
 
+def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length profile (p50/p90/p99 of n_chars) — the
+    corpus-analytics rollup every ingest publishes.  Exact percentile here
+    (bit-identical interpolation to DuckDB quantile_cont, verified); at
+    100 TB swap in approx_percentile(..., accuracy) — same plan shape,
+    bounded-memory sketch instead of per-group sort."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99_chars"),
+    )
+
+
 def _q_blocked_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL blocklist gate (operators/urls.py `filter_blocked_urls`):
     broadcast anti-join on the registrable domain — the UT1-shape filter.
@@ -1214,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_caps": _q_domain_caps,
         "vocab_oov": _q_vocab_oov,
         "blocked_urls": _q_blocked_urls,
+        "length_quantiles": _q_length_quantiles,
         "bigram_lm_scores": _q_bigram_lm_scores,
         "benchmark_contamination": _q_benchmark_contamination,
         "domain_stats": _q_domain_stats,
@@ -2036,6 +2052,16 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY h ASC, doc_id ASC) AS rn
                   FROM d)
             WHERE rn <= 20
+        """,
+        # quantile_cont interpolates identically to Spark's exact
+        # percentile ((n-1)*p linear), verified bit-for-bit.
+        "length_quantiles": """
+            SELECT lang,
+                   count(*)::BIGINT AS n_docs,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+                   round(quantile_cont(n_chars, 0.99), 4) AS p99_chars
+            FROM documents GROUP BY lang
         """,
         "blocked_urls": """
             SELECT doc_id,
