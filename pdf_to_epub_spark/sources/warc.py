@@ -53,7 +53,12 @@ def build_warc_bytes(
 
     ``with_http_headers`` wraps each payload in a minimal HTTP/1.1
     response block (the CC ``response`` record shape); otherwise records
-    are ``resource`` records carrying the raw payload."""
+    are ``resource`` records carrying the raw payload.
+
+    Header-value contract (per ISO 28500): values are whitespace-trimmed
+    on parse, so urls/dates must not carry leading/trailing whitespace —
+    real urls percent-encode it (property-tested in
+    tests/test_property_ops.py)."""
     out = io.BytesIO()
     for url, date, payload in records:
         if with_http_headers:

@@ -1,0 +1,134 @@
+"""Property-based invariants for the round-3 training-data operators.
+
+Pure-Python properties run under hypothesis directly (WARC round-trip,
+stream==in-memory equivalence); Spark-backed properties use a handful of
+hypothesis-DRAWN example corpora evaluated in one Spark job each
+(per-example Spark jobs would be prohibitively slow, so examples are
+pre-drawn with a fixed seed — deterministic, like the fuzz-parity suite).
+"""
+
+from __future__ import annotations
+
+import io
+import random
+import unicodedata
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pdf_to_epub_spark.sources.warc import (
+    build_warc_bytes,
+    iter_warc_records,
+    stream_warc_records,
+)
+
+_SETTINGS = dict(
+    max_examples=60,
+    derandomize=True,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# urls: header-safe — no whitespace at all (WARC header values are
+# whitespace-trimmed per spec, so a url with leading/trailing \f etc.
+# cannot round-trip; real urls percent-encode whitespace).  hypothesis
+# FOUND that edge ('http://h/\x0c') before this constraint existed.
+_url = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        exclude_characters="\r\n",
+        exclude_categories=("Cs", "Zs", "Zl", "Zp", "Cc"),
+    ),
+    min_size=1,
+    max_size=40,
+).map(lambda s: "http://h/" + s)
+_payload = st.binary(max_size=400)
+_record = st.tuples(_url, st.just("2024-05-01T00:00:00Z"), _payload)
+
+
+@given(
+    recs=st.lists(_record, min_size=0, max_size=8),
+    gz=st.booleans(),
+    http=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_warc_roundtrip_property(recs, gz, http):
+    data = build_warc_bytes(recs, gzip_members=gz, with_http_headers=http)
+    got = [(u, d, b) for u, d, _, b in iter_warc_records(data)]
+    assert got == recs
+
+
+@given(
+    recs=st.lists(_record, min_size=0, max_size=8),
+    gz=st.booleans(),
+    chunk=st.integers(min_value=5, max_value=333),
+)
+@settings(**_SETTINGS)
+def test_warc_stream_equals_inmemory_property(recs, gz, chunk):
+    data = build_warc_bytes(recs, gzip_members=gz)
+    assert list(stream_warc_records(io.BytesIO(data), chunk)) == list(
+        iter_warc_records(data)
+    )
+
+
+@given(st.text(max_size=200))
+@settings(**_SETTINGS)
+def test_nfc_idempotent_property(s):
+    once = unicodedata.normalize("NFC", s)
+    assert unicodedata.normalize("NFC", once) == once
+
+
+def _draw_pack_corpora(n_corpora: int = 5):
+    rng = random.Random(71)
+    words = ["alpha", "beta", "gamma", "delta", "x", "longerword"]
+    corpora = []
+    for c in range(n_corpora):
+        docs = []
+        for i in range(rng.randint(1, 25)):
+            n = rng.choice([0, 1, 3, 7, 15, 40])
+            docs.append((c * 1000 + i, " ".join(rng.choices(words, k=n))))
+        corpora.append(docs)
+    return corpora
+
+
+def test_pack_sequences_invariants(spark):
+    """Every doc appears exactly once; no sequence exceeds the cap unless
+    it is a lone overflow doc; assignment is repartition-stable — over
+    randomly drawn corpora including empty docs and overflow docs."""
+    from pyspark.sql import functions as F
+
+    from pdf_to_epub_spark.operators import pack_sequences, packed_sequence_stats
+
+    for docs in _draw_pack_corpora():
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        asg = pack_sequences(df, max_tokens=10, n_shards=3)
+        rows = asg.collect()
+        assert sorted(r["doc_id"] for r in rows) == sorted(d for d, _ in docs)
+        stats = packed_sequence_stats(asg, 10).collect()
+        for s in stats:
+            assert s["fill_tokens"] <= 10 or (
+                s["is_overflow"] == 1 and s["n_docs"] == 1
+            )
+        again = sorted(
+            map(tuple, pack_sequences(df.repartition(5), 10, n_shards=3).collect())
+        )
+        assert again == sorted(map(tuple, rows))
+
+
+def test_dedup_lines_total_and_conservative(spark):
+    """Rebuilt corpora never gain lines, every doc survives, and a corpus
+    with no repeated non-blank lines is returned verbatim."""
+    from pdf_to_epub_spark.operators import dedup_lines_global
+
+    rng = random.Random(72)
+    docs = []
+    for i in range(12):
+        lines = [f"unique-{i}-{j}" for j in range(rng.randint(1, 5))]
+        if rng.random() < 0.5:
+            lines.insert(rng.randint(0, len(lines)), "")
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_lines_global(df).collect()}
+    for i, text in docs:
+        assert got[i]["text"] == text          # nothing repeated -> verbatim
+        assert got[i]["n_kept"] == got[i]["n_lines"]
