@@ -346,17 +346,39 @@ def incremental_pair_batch(
     minhash_signatures(new_docs, text_col, id_col, k, num_hashes).write.mode(
         "append"
     ).parquet(signatures_path)
-    sigs = _latest_version(
-        spark.read.parquet(signatures_path), id_col, "sig"
-    )
+    sigs = spark.read.parquet(signatures_path)
+    # adaptive: resolve store versions (crash replays / recrawls) only when
+    # an id-only probe finds duplicates — the groupBy otherwise shuffles
+    # every signature array across the whole store every batch
+    s_rows, s_ids = sigs.agg(F.count(id_col), F.count_distinct(id_col)).first()
+    if s_rows != s_ids:
+        sigs = _latest_version(sigs, id_col, "sig")
     pairs = _lsh_band_pairs_touching(
         sigs, new_ids, id_col, num_hashes, bands, max_bucket
     )
-    corpus_one = _latest_version(
-        corpus.select(F.col(id_col), F.col(text_col)), id_col, text_col
-    )
+    corpus_slim = corpus.select(F.col(id_col), F.col(text_col))
+    # adaptive recrawl handling: an id-only probe (slim, no text shuffle)
+    # detects whether any id carries multiple text versions.  The common
+    # append-only case takes the fast path; only when recrawled ids exist
+    # do we pay version resolution — and then only over the candidate-id
+    # subset (a full-corpus groupBy would shuffle every text every batch).
+    n_rows, n_ids = corpus_slim.agg(
+        F.count(id_col), F.count_distinct(id_col)
+    ).first()
+    if n_rows != n_ids:
+        # checkpoint: the pair table feeds both the candidate-id set and
+        # the verify join — without the barrier banding runs twice
+        pairs = pairs.localCheckpoint(eager=False)
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .union(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        corpus_slim = _latest_version(
+            corpus_slim.join(cand_ids, id_col, "left_semi"), id_col, text_col
+        )
     return _verify_pairs_exact_jaccard(
-        corpus_one, pairs, text_col, id_col, k, jaccard_threshold
+        corpus_slim, pairs, text_col, id_col, k, jaccard_threshold
     )
 
 
