@@ -1164,7 +1164,7 @@ def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     q = e.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_topk(e, q, k=10, n_centroids=16, nprobe=8)
+    return ivf_topk(e, q, k=10, n_centroids=16, nprobe=10)
 
 
 def _q_quarantine_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1500,7 +1500,7 @@ def _lsh_topk_oracle(
 
 
 def _ivf_topk_oracle(
-    k: int = 10, n_centroids: int = 16, nprobe: int = 8,
+    k: int = 10, n_centroids: int = 16, nprobe: int = 10,
     sample_size: int = 512, seed: int = 5,
 ) -> str | None:
     """DuckDB replica of the IVF top-k.  The coarse centroids are data-
