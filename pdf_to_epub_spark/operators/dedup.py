@@ -17,10 +17,25 @@ hash builtins) — no Python in the row path:
 from __future__ import annotations
 
 from collections.abc import Callable
+from fractions import Fraction
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _ceil_mul(n: Column, threshold: float) -> Column:
+    """⌈n·t⌉ with t taken at its decimal-literal value, in exact integer
+    arithmetic.  ``F.ceil(n * lit(t))`` is wrong whenever the float product
+    rounds up past an exact integer (100 × 0.07 = 7.000000000000001 → ceil
+    8): the PPJoin prefix shortens and the size-ratio bound over-tightens
+    by one, silently dropping true pairs.  ⌈n·p/q⌉ = ⌊(n·p + q − 1)/q⌋;
+    the double division is exact-enough because n·p < 2⁵³ and any
+    non-integer quotient sits ≥ 1/q > 2⁻⁵² · ⌈n·t⌉ away from an integer
+    for q ≤ 10⁹."""
+    frac = Fraction(str(threshold))
+    p, q = frac.numerator, frac.denominator
+    return F.floor((n * F.lit(p) + F.lit(q - 1)) / F.lit(q)).cast("long")
 
 
 # --------------------------------------------------------------------------
@@ -275,27 +290,34 @@ def lsh_bucket_stats(
     total buckets, the largest bucket, and how many exceed ``max_bucket``
     (where pair listing degrades to star pairs and recall is capped).  Run
     it when a corpus might be boilerplate-heavy — the cap itself engages
-    silently inside the executors and cannot log."""
+    silently inside the executors and cannot log.
+
+    Single-pass: the signature table is exploded once to slim
+    (band_id, band_hash) rows — the same shape ``_lsh_band_pairs`` shuffles
+    — and aggregated with ONE groupBy, so the audit costs what one banding
+    pass costs (the previous per-band groupBy loop + unionByName rescanned
+    the signature table ``bands`` times, which nobody would run at 100 TB)."""
     rows_per_band = num_hashes // bands
     band_hash = [
-        F.xxhash64(
-            F.concat_ws(
-                ":",
-                *[
-                    F.element_at("sig", b * rows_per_band + r + 1)
-                    for r in range(rows_per_band)
-                ],
-            )
-        ).alias(f"b{b}")
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
         for b in range(bands)
     ]
-    banded = sigs.select(F.col(id_col), *band_hash)
-    sizes = None
-    for b in range(bands):
-        s = banded.groupBy(F.col(f"b{b}").alias("h")).agg(
-            F.count("*").alias("n")
-        ).select(F.lit(b).alias("band_id"), "n")
-        sizes = s if sizes is None else sizes.unionByName(s)
+    sizes = (
+        sigs.select(F.explode(F.array(*band_hash)).alias("band"))
+        .groupBy("band.band_id", "band.band_hash")
+        .agg(F.count("*").alias("n"))
+    )
     return sizes.where(F.col("n") > 1).agg(
         F.count("*").cast("long").alias("n_buckets"),
         F.max("n").cast("long").alias("max_bucket_size"),
@@ -342,7 +364,10 @@ def incremental_pair_batch(
       independently); candidates are then approximate for that id, but
       verification always runs on the kept text, so the OUTPUT stays a
       deterministic function of the store + corpus state."""
-    new_ids = new_docs.select(F.col(id_col))
+    # distinct: a recrawl batch may carry multiple versions of an id; a
+    # duplicated probe id would replicate every matching signature row
+    # through banding and inflate bucket sizes toward max_bucket
+    new_ids = new_docs.select(F.col(id_col)).distinct()
     minhash_signatures(new_docs, text_col, id_col, k, num_hashes).write.mode(
         "append"
     ).parquet(signatures_path)
@@ -703,7 +728,7 @@ def ngram_jaccard_pairs(
         ).alias("hs"),
     )
     n = F.size("hs")
-    prefix_len = (n - F.ceil(n * F.lit(float(threshold))) + F.lit(1)).cast("int")
+    prefix_len = (n - _ceil_mul(n, threshold) + F.lit(1)).cast("int")
     inverted = hashed.select(
         "id",
         n.alias("n_sh"),
@@ -718,9 +743,8 @@ def ngram_jaccard_pairs(
                 F.col("a.h") == F.col("b.h"),
                 F.col("a.id") < F.col("b.id"),
                 F.least(F.col("a.n_sh"), F.col("b.n_sh"))
-                >= F.ceil(
-                    F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
-                    * F.lit(float(threshold))
+                >= _ceil_mul(
+                    F.greatest(F.col("a.n_sh"), F.col("b.n_sh")), threshold
                 ),
             ],
         )

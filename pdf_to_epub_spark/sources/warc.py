@@ -158,7 +158,11 @@ def stream_warc_records(
     buffer is compacted after every yield — peak memory is
     O(chunk + largest single record), never O(file).  Semantics (record
     selection, HTTP header stripping, corrupt-tail tolerance) match
-    :func:`iter_warc_records` exactly; tests pin the equivalence."""
+    :func:`iter_warc_records` on well-formed input; tests pin the
+    equivalence.  On a malformed Content-Length mid-file the two recover
+    differently: the bytes form skips to the next gzip member, this one
+    rescans from the next record marker (≥ the records the bytes form
+    yields)."""
     import zlib
 
     head = fobj.read(2)
@@ -221,7 +225,14 @@ def stream_warc_records(
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            return
+            # malformed/missing Content-Length mid-file: skip past the bad
+            # header block and rescan for the next record marker instead of
+            # dropping the whole remaining file (the bytes-form parser
+            # recovers at the next gzip member; rescanning from the next
+            # "WARC/" is the streaming equivalent and may even recover
+            # later records inside the damaged member)
+            pos = hdr_end + 4
+            continue
         end = hdr_end + 4 + length
         if len(buf) < end:
             del buf[:start]

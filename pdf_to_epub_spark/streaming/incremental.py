@@ -102,8 +102,10 @@ def streaming_near_dup_pairs(
     uses (operators/dedup.incremental_pair_batch), so replay/recrawl
     semantics cannot drift between the two paths: the store deduplicates
     on read (a crash between the two sinks double-appends harmlessly),
-    and a re-crawled id with changed text resolves deterministically by
-    content-hash arg-max (see the helper's docstring).
+    the pairs sink partitions by batch_id with dynamic-partition overwrite
+    (a replayed batch rewrites its own partition instead of appending
+    duplicate pair rows), and a re-crawled id with changed text resolves
+    deterministically by content-hash arg-max (see the helper's docstring).
     """
     from pyspark.sql import functions as F
 
@@ -128,7 +130,17 @@ def streaming_near_dup_pairs(
             bands=bands,
             jaccard_threshold=jaccard_threshold,
         )
-        verified.write.mode("append").parquet(pairs_dir)
+        # idempotent pairs sink: foreachBatch is at-least-once, so a crash
+        # after the write but before the checkpoint commit replays the
+        # batch.  Each batch overwrites its own hive-style partition
+        # directory, so a replay rewrites the same rows instead of
+        # appending duplicates (the store side is already safe: it
+        # deduplicates on read).  The explicit path — rather than
+        # partitionBy + dynamic overwrite — keeps an empty batch readable:
+        # it still lands schema-bearing empty part files.
+        verified.write.mode("overwrite").parquet(
+            f"{pairs_dir}/batch_id={int(batch_id)}"
+        )
 
     query = (
         stream.writeStream.foreachBatch(process_batch)

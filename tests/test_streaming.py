@@ -182,7 +182,9 @@ def test_streaming_near_dup_pairs(spark, tmp_path):
         k=3, num_hashes=32, bands=8, jaccard_threshold=0.7,
     )
     day2 = spark.read.parquet(str(pairs_out))
-    got = {(r["id_a"], r["id_b"]) for r in day2.collect()}
+    day2_rows = day2.collect()
+    day2_count = len(day2_rows)
+    got = {(r["id_a"], r["id_b"]) for r in day2_rows}
     for r in rows:
         assert (r["url"], r["url"] + "-recrawl") in got
     # day-2 emissions all touch a day-2 url (old-old pairs only on day 1)
@@ -197,5 +199,21 @@ def test_streaming_near_dup_pairs(spark, tmp_path):
         spark, str(inp), str(pairs_out), str(cp), str(store),
         k=3, num_hashes=32, bands=8, jaccard_threshold=0.7,
     )
-    assert spark.read.parquet(str(pairs_out)).count() == day2.count()
+    assert spark.read.parquet(str(pairs_out)).count() == day2_count
     assert spark.read.parquet(str(store)).count() == 20
+
+    # crash-replay: deleting the last checkpoint commit makes availableNow
+    # re-process day 2 (foreachBatch is at-least-once).  The per-batch
+    # partition overwrite must rewrite — not duplicate — its pair rows.
+    commits = sorted(p for p in (cp / "commits").iterdir() if not p.name.startswith("."))
+    commits[-1].unlink()
+    crc = commits[-1].with_name(f".{commits[-1].name}.crc")
+    if crc.exists():
+        crc.unlink()
+    streaming_near_dup_pairs(
+        spark, str(inp), str(pairs_out), str(cp), str(store),
+        k=3, num_hashes=32, bands=8, jaccard_threshold=0.7,
+    )
+    replayed = spark.read.parquet(str(pairs_out))
+    assert replayed.count() == day2_count
+    assert {(r["id_a"], r["id_b"]) for r in replayed.collect()} == got

@@ -1120,3 +1120,51 @@ def test_lsh_bucket_stats_reports_over_cap(spark):
     assert r["n_over_cap"] == 8      # one over-cap bucket per band
     r2 = lsh_bucket_stats(sigs, num_hashes=32, bands=8, max_bucket=4096).collect()[0]
     assert r2["n_over_cap"] == 0
+
+
+def test_ceil_mul_exact_rational(spark):
+    """⌈n·t⌉ must use t's decimal-literal value: float products that round
+    up past an exact integer (100 × 0.07 → 7.000000000000001) would ceil
+    to 8 and over-tighten the PPJoin prefix/size-ratio bounds by one."""
+    import math
+
+    from pdf_to_epub_spark.operators.dedup import _ceil_mul
+    from fractions import Fraction
+
+    cases = [(n, t) for n in (1, 7, 99, 100, 1000, 10**6)
+             for t in (0.07, 0.1, 0.3, 0.5, 0.7, 0.8, 0.95)]
+    df = spark.createDataFrame(cases, "n long, t double")
+    for t in {t for _, t in cases}:
+        got = {
+            r["n"]: r["c"]
+            for r in df.where(F.col("t") == t)
+            .select("n", _ceil_mul(F.col("n"), t).alias("c"))
+            .collect()
+        }
+        frac = Fraction(str(t))
+        for n, c in got.items():
+            assert c == math.ceil(Fraction(n) * frac), (n, t, c)
+    # the motivating case: naive float ceil gives 8
+    assert math.ceil(100 * 0.07) == 8  # the trap exists
+    one = spark.range(1).select(_ceil_mul(F.lit(100), 0.07).alias("c")).first()
+    assert one["c"] == 7
+
+
+def test_lsh_bucket_stats_single_scan(spark):
+    """The audit must cost one banding pass: ONE scan of the signature
+    table and one shuffled groupBy on (band_id, band_hash), not a
+    per-band groupBy loop that rescans the signatures ``bands`` times."""
+    from pdf_to_epub_spark.operators.dedup import lsh_bucket_stats, minhash_signatures
+
+    df = spark.createDataFrame(
+        [(i, BASE + f" tail{i % 3}") for i in range(20)], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(df, k=3, num_hashes=32)
+    sigs.write.mode("overwrite").parquet("/tmp/_bucket_stats_sigs")
+    stats = lsh_bucket_stats(
+        spark.read.parquet("/tmp/_bucket_stats_sigs"), num_hashes=32, bands=8
+    )
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan[:3000]
+    # bucket-size groupBy + final single-row agg: two exchanges total
+    assert plan.count("Exchange") <= 2, plan[:3000]

@@ -104,6 +104,25 @@ def test_stream_tolerates_corrupt_and_truncated_tails():
     assert [u for u, _, _, _ in got] == [u for u, _, _ in RECS[:2]]
 
 
+def test_stream_resyncs_past_malformed_content_length():
+    """A garbled Content-Length mid-file must cost at most that record:
+    the streaming parser rescans from the next record marker instead of
+    dropping the whole remaining file."""
+    import io
+
+    from pdf_to_epub_spark.sources.warc import stream_warc_records
+
+    good = build_warc_bytes(RECS[:4], with_http_headers=False)
+    # corrupt record 1's WARC Content-Length value in place
+    rec1 = good.find(b"WARC/1.0", 1)
+    cl = good.index(b"Content-Length:", rec1)
+    eol = good.index(b"\r\n", cl)
+    bad = good[:cl] + b"Content-Length: NaN" + good[eol:]
+    for chunk in (16, 1 << 20):
+        got = [u for u, _, _, _ in stream_warc_records(io.BytesIO(bad), chunk)]
+        assert got == [RECS[0][0], RECS[2][0], RECS[3][0]], got
+
+
 def test_wet_conversion_records_parse():
     """A WET file is a WARC of 'conversion' records with plain-text
     payloads — same container, parsed by the same reader."""
