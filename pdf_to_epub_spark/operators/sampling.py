@@ -103,18 +103,51 @@ def domain_caps_exact(
     domain_col: str = "domain",
     id_col: str = "doc_id",
     salt: str = "quota",
+    salt_bits: int = 4,
 ) -> DataFrame:
     """Exact per-domain cap: keep the ``cap`` rows with the smallest id
-    hashes per domain (deterministic, order-free).  Implemented as a
-    window rank — correct everywhere, but a hot domain serializes into
-    one task's sort; at 100 TB prefer :func:`domain_quota_sample` (or run
-    this after it has knocked domains down to ~cap scale)."""
+    hashes per domain (deterministic, order-free) — skew-safely.
+
+    Two-phase salted rank: the top ``salt_bits`` of the 60-bit order hash
+    RANGE-bucket each domain into 2^salt_bits sub-partitions, so a hot
+    domain's sort spreads over that many tasks instead of serializing into
+    one window task.  Because the bucket is the hash's own prefix, every
+    row of bucket s orders strictly before every row of bucket s+1, so a
+    per-(domain, bucket) row_number plus an exclusive cumulative offset
+    from the slim (domain, bucket, count) table reconstructs the global
+    per-domain rank EXACTLY — the kept row set is identical to a single
+    ``Window.partitionBy(domain)`` rank (which is how the SQL oracle
+    replays it).  Cost: one extra map-side-combined count scan and a
+    broadcast of (domains × 2^salt_bits) slim rows.  At 100 TB still
+    prefer :func:`domain_quota_sample` first, then this to make the cap
+    exact on the ~cap-scale survivors."""
     from pyspark.sql.window import Window
 
     h = md5_hash60(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
-    w = Window.partitionBy(domain_col).orderBy(h.asc(), F.col(id_col).asc())
+    bucketed = df.withColumn("__h", h).withColumn(
+        "__s", F.shiftright(F.col("__h"), 60 - salt_bits)
+    )
+    w = Window.partitionBy(domain_col, "__s").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    counts = bucketed.groupBy(domain_col, "__s").agg(F.count("*").alias("__n"))
+    off_w = (
+        Window.partitionBy(domain_col)
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        F.col(domain_col).alias("__dom"),
+        F.col("__s").alias("__os"),
+        F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off"),
+    )
+    ranked = bucketed.withColumn("__rn", F.row_number().over(w))
+    joined = ranked.join(
+        F.broadcast(offsets),
+        F.col(domain_col).eqNullSafe(F.col("__dom")) & (F.col("__s") == F.col("__os")),
+        "left",
+    )
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= cap)
-        .drop("__rn")
+        joined.where(F.coalesce(F.col("__off"), F.lit(0)) + F.col("__rn") <= cap)
+        .drop("__h", "__s", "__rn", "__dom", "__os", "__off")
     )

@@ -809,6 +809,53 @@ class TestDomainQuota:
         expected = set(sorted(hashes, key=lambda i: (hashes[i], i))[:10])
         assert kept == expected
 
+    def test_exact_cap_hot_domain_spreads_over_salt_buckets(self, spark):
+        """Skew safety of the two-phase exact cap: a domain that dwarfs all
+        others must (a) keep the same rows as a single global-rank window
+        and (b) have its rank work partitioned on (domain, bucket), with
+        the hot domain's rows actually spanning several hash-prefix
+        buckets — i.e. more than one task carries the hot key."""
+        from pyspark.sql.window import Window
+
+        from pdf_to_epub_spark.operators import domain_caps_exact
+        from pdf_to_epub_spark.operators.dedup import md5_hash60
+
+        rows = [(i, "hot.com" if i < 5000 else f"cold{i % 7}.com")
+                for i in range(5100)]
+        df = spark.createDataFrame(rows, "doc_id long, domain string")
+        capped = domain_caps_exact(df, cap=100, salt_bits=3)
+
+        # (b) the rank exchange partitions on (domain, __s), not domain alone
+        plan = capped._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning" in plan and "__s" in plan, plan[:3000]
+
+        got = {r["doc_id"] for r in capped.where("domain = 'hot.com'").collect()}
+        # (a) identical to the reference single-window rank
+        h = md5_hash60(
+            F.concat_ws(":", F.lit("quota"), F.col("doc_id").cast("string"))
+        )
+        w = Window.partitionBy("domain").orderBy(h.asc(), F.col("doc_id").asc())
+        ref = {
+            r["doc_id"]
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .where("rn <= 100 and domain = 'hot.com'")
+            .collect()
+        }
+        assert got == ref
+        # the hot domain's RANK WORK (all its rows, not just the kept ones —
+        # the kept minimum-hash rows naturally concentrate in the lowest
+        # prefix bucket) spans every hash-prefix bucket, i.e. 2^salt_bits
+        # tasks carry the hot key's sort instead of one
+        buckets = {
+            r["s"]
+            for r in df.where("domain = 'hot.com'")
+            .select(F.shiftright(h, 57).alias("s"))
+            .collect()
+        }
+        assert len(buckets) == 8, buckets
+        # cold domains are kept whole (< cap), null-safety of the offset join
+        assert capped.count() == 100 + 100
+
 
 class TestVocabOov:
     def test_vocab_topk_and_tiebreak(self, spark):
