@@ -63,6 +63,61 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on=on)
 
 
+def write_pages_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    n_buckets: int = 1024,
+    ts_col: str = "warc_ts",
+    url_col: str = "url",
+) -> None:
+    """DEPLOYMENT.md §Iceberg write path, behind :func:`iceberg_available`:
+    with a runtime jar this issues the DataSourceV2 ``writeTo`` with the
+    recipe's ``days(warc_ts), bucket(N, url)`` partition spec; without one
+    it falls back to the parquet ``bucketBy`` emulation, which carries the
+    same url-hash co-location property (shuffle-free joins, asserted in
+    tests/test_bucketing.py).  The Iceberg branch is exercised by a
+    mocked-catalog contract test so the recipe is executable the day a
+    runtime jar exists."""
+    if iceberg_available(spark):
+        from pyspark.sql.functions import partitioning as P
+
+        (
+            df.writeTo(table)
+            .using("iceberg")
+            .partitionedBy(P.days(ts_col), P.bucket(n_buckets, url_col))
+            .createOrReplace()
+        )
+    else:
+        write_bucketed(df, table, url_col, n_buckets)
+
+
+def append_run(spark: SparkSession, df: DataFrame, table: str) -> None:
+    """Append a run's output as one atomic commit: an Iceberg snapshot
+    (``writeTo(...).append()``) when the runtime is present, a parquet
+    managed-table append otherwise.  Pair with
+    :func:`committed_hashes` + ``operators.resume.resume_pending`` for
+    the resume-from-last-committed-snapshot loop."""
+    if iceberg_available(spark):
+        df.writeTo(table).append()
+    else:
+        df.write.mode("append").format("parquet").saveAsTable(table)
+
+
+def committed_hashes(
+    spark: SparkSession, table: str, hash_col: str = "doc_hash"
+) -> DataFrame:
+    """The committed-work index the resume anti-join runs against: the
+    distinct content hashes present in the table's CURRENT snapshot (an
+    aborted run's uncommitted files are invisible to an Iceberg read, and
+    absent from the parquet emulation because saveAsTable appends are
+    task-committed).  Returns an empty frame when the table doesn't exist
+    yet — first run resumes from nothing."""
+    if not spark.catalog.tableExists(table):
+        return spark.createDataFrame([], f"{hash_col} string")
+    return spark.table(table).select(hash_col).distinct()
+
+
 def plan_has_exchange(df: DataFrame) -> bool:
     """Inspect the physical plan for a SHUFFLE exchange (hash/range
     repartitioning).  BroadcastExchange is not a shuffle and is ignored."""

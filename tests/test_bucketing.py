@@ -69,3 +69,80 @@ def test_bucketed_agg_has_no_shuffle(spark, bucketed_tables):
 def test_iceberg_probe(spark):
     # This image has no Iceberg runtime jar; the probe must say so cleanly.
     assert iceberg_available(spark) is False
+
+
+class _FakeWriterV2:
+    """Stand-in for the DataSourceV2 writer a real Iceberg catalog returns:
+    records the exact call chain DEPLOYMENT.md §Iceberg prescribes and
+    executes the parquet equivalent so the downstream flow keeps running.
+    Lets the recipe be exercised end-to-end without the runtime jar."""
+
+    calls: list[dict] = []
+
+    def __init__(self, df, table):
+        self.df, self.table = df, table
+        self.log = {"table": table}
+
+    def using(self, fmt):
+        self.log["using"] = fmt
+        return self
+
+    def partitionedBy(self, *cols):
+        self.log["partitionedBy"] = [str(c) for c in cols]
+        return self
+
+    def createOrReplace(self):
+        self.log["action"] = "createOrReplace"
+        _FakeWriterV2.calls.append(self.log)
+        self.df.write.mode("overwrite").format("parquet").saveAsTable(self.table)
+
+    def append(self):
+        self.log["action"] = "append"
+        _FakeWriterV2.calls.append(self.log)
+        self.df.write.mode("append").format("parquet").saveAsTable(self.table)
+
+
+def test_iceberg_recipe_contract_with_mocked_catalog(spark, monkeypatch):
+    """Dry-wires DEPLOYMENT.md §Iceberg through the iceberg_available()
+    switch: with the probe forced on and writeTo mocked to a recording
+    writer, the write path must issue exactly the recipe's V2 chain
+    (using iceberg, partitionedBy days(warc_ts) + bucket(N, url), snapshot
+    append) and the resume loop must skip committed work on the second
+    run.  Green here means the recipe is executable the day a runtime jar
+    exists — only the writer object changes."""
+    from pdf_to_epub_spark.operators import bucketing
+    from pdf_to_epub_spark.operators.resume import pending_documents, with_doc_hash
+
+    monkeypatch.setattr(bucketing, "iceberg_available", lambda _s: True)
+    pages = spark.createDataFrame(make_documents(30, seed=4))
+    # patch the concrete class (pyspark.sql.DataFrame is a facade in 4.x)
+    monkeypatch.setattr(
+        type(pages), "writeTo", lambda self, t: _FakeWriterV2(self, t)
+    )
+    _FakeWriterV2.calls = []
+    try:
+        bucketing.write_pages_table(spark, pages, "pages_ct", n_buckets=8)
+        create = _FakeWriterV2.calls[-1]
+        assert create["using"] == "iceberg"
+        assert create["action"] == "createOrReplace"
+        assert any("days(warc_ts)" in c for c in create["partitionedBy"])
+        assert any("bucket(8, url)" in c for c in create["partitionedBy"])
+
+        # run 1: nothing committed yet -> everything pending; commit 20
+        docs = with_doc_hash(spark.table("pages_ct"), payload_col="text")
+        done = bucketing.committed_hashes(spark, "pages_done_ct")
+        assert done.count() == 0
+        pending = pending_documents(docs, done)
+        assert pending.count() == 30
+        bucketing.append_run(
+            spark, pending.limit(20).select("url", "doc_hash"), "pages_done_ct"
+        )
+        assert _FakeWriterV2.calls[-1]["action"] == "append"
+
+        # run 2: resume skips the 20 committed docs
+        done2 = bucketing.committed_hashes(spark, "pages_done_ct")
+        assert done2.count() == 20
+        assert pending_documents(docs, done2).count() == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages_ct")
+        spark.sql("DROP TABLE IF EXISTS pages_done_ct")
