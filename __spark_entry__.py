@@ -1083,8 +1083,9 @@ def _q_shard_pagebreak_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode: binary payload + typed metadata → features via
     Arrow-batched mapInPandas.  Decode is REAL where the stdlib suffices
-    (BMP pixels, WAV PCM, GIF block walk, PNG/JPEG headers); MP3/MP4 rows
-    surface as honest ``unsupported`` (codecs absent in this image).
+    (BMP pixels, WAV PCM, GIF block walk, PNG/JPEG headers, MP3 frame
+    walk, MP4 box walk); ID3/ftyp wrappers around junk surface as honest
+    ``unsupported`` (audio/video payload codecs absent in this image).
     Oracle: the corpus is deterministic, so expected features are computed
     once by the same pure codecs and inlined as a VALUES golden
     (_media_features_oracle); the Spark side exercises the JVM sniff +
@@ -1397,18 +1398,10 @@ def _media_features_oracle(n: int = 200) -> str:
     same ftyp-at-offset-5 mp4 rule)."""
     from pdf_to_epub_spark.functions.mediacodec import UnsupportedMedia
     from pdf_to_epub_spark.operators.multimodal import (
-        _MAGIC,
         decode_media,
         make_media_corpus,
+        py_sniff_container as sniff,
     )
-
-    def sniff(raw: bytes) -> str:
-        for name, magic in _MAGIC:
-            if raw[: len(magic)] == magic:
-                return name
-        if raw[4:8] == b"ftyp":
-            return "mp4"
-        return "unknown"
 
     rows = []
     for r in make_media_corpus(n):

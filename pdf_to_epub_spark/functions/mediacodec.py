@@ -14,7 +14,11 @@ matrix is exactly what the Python standard library + struct parsing can do:
   reset the dictionary with CLEAR before it grows past code width).
 * **PNG / JPEG** — real header parsing (IHDR / SOF scan) for dimensions;
   pixel decode is out of scope (inflate+unfilter for PNG, DCT for JPEG).
-* **MP3 / MP4** — recognized by magic only; decode unsupported.
+* **MP3** — MPEG Layer III frame-header walk (ID3v2/v1 skip) → sample
+  rate, frame count, duration, bitrate; audio decode is out of scope.
+* **MP4** — ISO BMFF box walk (moov→mvhd, tkhd, stbl→stsz) → dimensions,
+  duration, sample count; codec payload decode is out of scope.  An
+  ID3/ftyp wrapper around arbitrary bytes stays honestly unsupported.
 
 Every decoder raises :class:`UnsupportedMedia` on formats or encodings it
 cannot truly handle — callers map that to an ``unsupported`` status row,
@@ -278,3 +282,204 @@ def jpeg_dimensions(raw: bytes) -> tuple[int, int]:
             return w, h
         pos += 2 + seglen
     raise UnsupportedMedia("JPEG: no SOF marker found")
+
+
+# ---------------------------------------------------------------------------
+# MP3 — MPEG audio frame-header walk (no audio decode: header math only)
+# ---------------------------------------------------------------------------
+
+# MPEG1 Layer III bitrate table, kbps (index 1-14; 0=free and 15=bad are
+# rejected), and the per-version sample-rate tables (ISO/IEC 11172-3 §2.4)
+_MP3_BITRATES_V1 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_BITRATES_V2 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000)}
+
+
+def _syncsafe(b: bytes) -> int:
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def make_mp3(
+    n_frames: int,
+    rate: int = 44100,
+    bitrate_kbps: int = 128,
+    with_id3: bool = True,
+    id3_pad: int = 32,
+) -> bytes:
+    """Serialize a spec-correct MPEG Layer III frame stream (headers +
+    zeroed payloads) with an optional ID3v2 prefix — enough structure for
+    any header-walking parser; no audible content."""
+    version = 3 if rate in _MP3_RATES[3] else 2
+    rates = _MP3_RATES[version]
+    rate_idx = rates.index(rate)
+    table = _MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2
+    br_idx = table.index(bitrate_kbps)
+    coef = 144 if version == 3 else 72  # samples/8 ÷ per Layer III
+    out = io.BytesIO()
+    if with_id3:
+        body = b"\x00" * id3_pad
+        sz = len(body)
+        out.write(
+            b"ID3\x04\x00\x00"
+            + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F])
+            + body
+        )
+    for i in range(n_frames):
+        padding = 0
+        h0 = 0xFF
+        h1 = 0xE0 | (version << 3) | (1 << 1) | 1  # sync|version|layerIII|noCRC
+        h2 = (br_idx << 4) | (rate_idx << 2) | (padding << 1)
+        h3 = 0xC0  # mono
+        frame_len = coef * bitrate_kbps * 1000 // rate + padding
+        out.write(bytes([h0, h1, h2, h3]) + b"\x00" * (frame_len - 4))
+    return out.getvalue()
+
+
+def mp3_info(raw: bytes) -> tuple[int, int, int, int]:
+    """Walk MPEG Layer III frame headers → (sample_rate, n_frames,
+    duration_ms, bitrate_kbps of the first frame).  Skips a leading ID3v2
+    tag (syncsafe size) and a trailing ID3v1 'TAG' block; raises
+    :class:`UnsupportedMedia` when no valid frame sequence exists (an
+    ID3 wrapper around arbitrary bytes is NOT an MP3)."""
+    pos = 0
+    if raw[:3] == b"ID3":
+        if len(raw) < 10:
+            raise UnsupportedMedia("MP3: truncated ID3v2 header")
+        pos = 10 + _syncsafe(raw[6:10])
+        if raw[5] & 0x10:  # footer-present flag
+            pos += 10
+    n_frames = 0
+    rate = kbps = None
+    samples_total = 0.0
+    while pos + 4 <= len(raw):
+        if raw[pos : pos + 3] == b"TAG":  # ID3v1 trailer
+            break
+        h0, h1, h2, _h3 = raw[pos : pos + 4]
+        version = (h1 >> 3) & 0x3
+        layer = (h1 >> 1) & 0x3
+        br_idx = (h2 >> 4) & 0xF
+        rate_idx = (h2 >> 2) & 0x3
+        if (
+            h0 != 0xFF or (h1 & 0xE0) != 0xE0
+            or version not in _MP3_RATES or layer != 1  # Layer III only
+            or br_idx in (0, 15) or rate_idx == 3
+        ):
+            if n_frames:
+                break  # trailing junk after a valid stream: stop cleanly
+            raise UnsupportedMedia("MP3: no valid Layer III frame header")
+        f_rate = _MP3_RATES[version][rate_idx]
+        table = _MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2
+        f_kbps = table[br_idx]
+        padding = (h2 >> 1) & 0x1
+        coef = 144 if version == 3 else 72
+        frame_len = coef * f_kbps * 1000 // f_rate + padding
+        if frame_len < 4 or pos + frame_len > len(raw):
+            break  # truncated final frame: count what fully parsed
+        if rate is None:
+            rate, kbps = f_rate, f_kbps
+        n_frames += 1
+        samples_total += 1152.0 if version == 3 else 576.0
+        pos += frame_len
+    if not n_frames:
+        raise UnsupportedMedia("MP3: no complete frame")
+    return rate, n_frames, round(1000.0 * samples_total / rate), kbps
+
+
+# ---------------------------------------------------------------------------
+# MP4 — ISO BMFF box walk (moov→mvhd duration, tkhd dims, stbl→stsz samples)
+# ---------------------------------------------------------------------------
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_boxes(raw: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for the boxes in a span."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", raw, pos)[0]
+        btype = raw[pos + 4 : pos + 8]
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = struct.unpack_from(">Q", raw, pos + 8)[0]
+            hdr = 16
+        else:
+            hdr = 8
+        if size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return  # malformed/truncated box: stop the walk
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def make_mp4(
+    duration_ms: int,
+    width: int = 640,
+    height: int = 360,
+    n_samples: int = 0,
+    timescale: int = 1000,
+    mdat_bytes: int = 64,
+) -> bytes:
+    """Serialize a minimal spec-shaped ISO BMFF file: ftyp +
+    moov[mvhd + trak[tkhd + mdia[minf[stbl[stsz]]]]] + mdat filler."""
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    duration = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, timescale, duration)
+        + b"\x00" * 80,
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 52
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    stsz = box(b"stsz", b"\x00\x00\x00\x00" + struct.pack(">II", 0, n_samples))
+    stbl = box(b"stbl", stsz)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    ftyp = box(b"ftyp", b"mp42" + struct.pack(">I", 0) + b"mp42isom")
+    return ftyp + moov + box(b"mdat", b"\x00" * mdat_bytes)
+
+
+def mp4_info(raw: bytes) -> tuple[int, int, int, int]:
+    """Box-walk an ISO BMFF payload → (width, height, n_samples,
+    duration_ms).  Width/height come from the first ``tkhd`` with nonzero
+    dims (16.16 fixed point), duration from ``mvhd`` (v0 or v1),
+    n_samples from the first ``stsz``.  Raises :class:`UnsupportedMedia`
+    when no ``moov``/``mvhd`` exists — an ``ftyp`` prefix on arbitrary
+    bytes is NOT a decodable MP4."""
+    width = height = None
+    n_samples = None
+    duration_ms = None
+
+    def walk(start: int, end: int) -> None:
+        nonlocal width, height, n_samples, duration_ms
+        for btype, p0, p1 in _mp4_boxes(raw, start, end):
+            if btype in _MP4_CONTAINERS:
+                walk(p0, p1)
+            elif btype == b"mvhd" and duration_ms is None and p1 - p0 >= 20:
+                ver = raw[p0]
+                if ver == 1 and p1 - p0 >= 28:
+                    ts, dur = struct.unpack_from(">IQ", raw, p0 + 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", raw, p0 + 12)
+                if ts:
+                    duration_ms = round(1000.0 * dur / ts)
+            elif btype == b"tkhd" and width is None and p1 - p0 >= 84:
+                w_fx, h_fx = struct.unpack_from(">II", raw, p1 - 8)
+                if w_fx or h_fx:
+                    width, height = w_fx >> 16, h_fx >> 16
+            elif btype == b"stsz" and n_samples is None and p1 - p0 >= 12:
+                n_samples = struct.unpack_from(">I", raw, p0 + 8)[0]
+
+    walk(0, len(raw))
+    if duration_ms is None:
+        raise UnsupportedMedia("MP4: no moov/mvhd box (metadata-less stream)")
+    return width or 0, height or 0, n_samples or 0, duration_ms

@@ -74,16 +74,35 @@ _MAGIC = (
 
 
 def sniff_container(payload_col: str = "payload") -> F.Column:
-    """JVM-side magic-byte container detection on the binary prefix."""
+    """JVM-side magic-byte container detection on the binary prefix.
+    Keep :func:`py_sniff_container` (the oracle's pure-Python replica)
+    bit-for-bit in sync with this when-chain."""
     hexprefix = F.hex(F.substring(F.col(payload_col), 1, 8))
     col = F.lit("unknown")
     cases = None
     for name, magic in _MAGIC:
         cond = hexprefix.startswith(magic.hex().upper())
         cases = F.when(cond, F.lit(name)) if cases is None else cases.when(cond, F.lit(name))
+    # bare MPEG frame sync (an ID3-less mp3): 0xFF + top-3-bits-set second
+    # byte — hex "FFE0".."FFFF"; cannot collide with jpeg's FFD8 above
+    sync = hexprefix.startswith("FFE") | hexprefix.startswith("FFF")
+    cases = cases.when(sync, F.lit("mp3"))
     # mp4: 'ftyp' at offset 5 (bytes 5-8 of the box header)
     mp4 = F.hex(F.substring(F.col(payload_col), 5, 4)) == "66747970"
     return cases.when(mp4, F.lit("mp4")).otherwise(col)
+
+
+def py_sniff_container(raw: bytes) -> str:
+    """Pure-Python replica of :func:`sniff_container` for golden-oracle
+    construction — same _MAGIC order, same frame-sync and ftyp rules."""
+    for name, magic in _MAGIC:
+        if raw[: len(magic)] == magic:
+            return name
+    if len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0:
+        return "mp3"
+    if raw[4:8] == b"ftyp":
+        return "mp4"
+    return "unknown"
 
 
 def decode_media(raw: bytes, container: str) -> dict:
@@ -134,6 +153,18 @@ def decode_media(raw: bytes, container: str) -> dict:
         return {
             "width": w, "height": h, "n_frames": 1, "embedding": None,
             "meta": {"codec_path": "header"},
+        }
+    if container == "mp3":
+        rate, nf, dur_ms, kbps = mc.mp3_info(raw)
+        return {
+            "width": rate, "height": kbps, "n_frames": nf, "embedding": None,
+            "meta": {"codec_path": "frames", "duration_ms": str(dur_ms)},
+        }
+    if container == "mp4":
+        w, h, n_samples, dur_ms = mc.mp4_info(raw)
+        return {
+            "width": w, "height": h, "n_frames": n_samples, "embedding": None,
+            "meta": {"codec_path": "boxes", "duration_ms": str(dur_ms)},
         }
     raise mc.UnsupportedMedia(
         f"container '{container}': no stdlib decoder (needs external codecs)"
@@ -315,13 +346,35 @@ def make_media_corpus(n: int, seed: int = 7) -> list[dict]:
         elif kind == "jpeg":
             payload = jpeg_header_row(rng)
         elif kind == "mp3":
-            payload = b"ID3\x04\x00" + bytes(
-                rng.getrandbits(8) for _ in range(rng.randint(64, 256))
-            )
+            if i % 3 == 0:  # genuinely undecodable: ID3 wrapper on junk
+                payload = b"ID3\x04\x00" + bytes(
+                    rng.getrandbits(8) for _ in range(rng.randint(64, 256))
+                )
+            else:
+                from pdf_to_epub_spark.functions.mediacodec import make_mp3
+
+                rate = rng.choice((32000, 44100, 22050))
+                table = (32, 64, 128, 160) if rate != 22050 else (32, 64, 96)
+                payload = make_mp3(
+                    rng.randint(5, 60), rate=rate,
+                    bitrate_kbps=rng.choice(table),
+                    with_id3=bool(rng.getrandbits(1)),
+                )
         else:  # mp4
-            payload = b"\x00\x00\x00\x18ftypmp42" + bytes(
-                rng.getrandbits(8) for _ in range(rng.randint(64, 256))
-            )
+            if i % 3 == 0:  # genuinely undecodable: ftyp prefix on junk
+                payload = b"\x00\x00\x00\x18ftypmp42" + bytes(
+                    rng.getrandbits(8) for _ in range(rng.randint(64, 256))
+                )
+            else:
+                from pdf_to_epub_spark.functions.mediacodec import make_mp4
+
+                payload = make_mp4(
+                    rng.randint(500, 600000),
+                    width=rng.choice((640, 1280, 1920)),
+                    height=rng.choice((360, 720, 1080)),
+                    n_samples=rng.randint(10, 5000),
+                    mdat_bytes=rng.randint(32, 128),
+                )
         rows.append(
             {
                 "media_id": i,

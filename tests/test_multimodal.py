@@ -83,6 +83,50 @@ def test_header_dimension_parsers():
         assert 16 <= w <= 1024 and 16 <= h <= 1024
 
 
+def test_mp3_frame_walk_roundtrip():
+    from pdf_to_epub_spark.functions.mediacodec import make_mp3, mp3_info
+
+    for rate, kbps, n, id3 in (
+        (44100, 128, 25, True), (32000, 64, 7, False), (22050, 32, 40, True),
+    ):
+        raw = make_mp3(n, rate=rate, bitrate_kbps=kbps, with_id3=id3)
+        got_rate, got_n, dur_ms, got_kbps = mp3_info(raw)
+        assert (got_rate, got_n, got_kbps) == (rate, n, kbps)
+        spf = 1152 if rate >= 32000 else 576
+        assert dur_ms == round(1000.0 * n * spf / rate)
+    # ID3v1 trailer and a truncated final frame are tolerated
+    raw = make_mp3(10, with_id3=False)
+    assert mp3_info(raw + b"TAG" + b"\x00" * 125)[1] == 10
+    assert mp3_info(raw[:-30])[1] == 9
+    # junk behind the ID3 magic stays unsupported
+    with pytest.raises(UnsupportedMedia):
+        mp3_info(b"ID3\x04\x00\x00\x00\x00\x00\x04abcdjunk-not-frames")
+
+
+def test_mp4_box_walk_roundtrip():
+    import struct
+
+    from pdf_to_epub_spark.functions.mediacodec import make_mp4, mp4_info
+
+    raw = make_mp4(5500, width=1280, height=720, n_samples=132)
+    assert mp4_info(raw) == (1280, 720, 132, 5500)
+    # 64-bit (version 1) mvhd: hand-build the box around the writer's moov
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+    mvhd_v1 = box(
+        b"mvhd",
+        b"\x01\x00\x00\x00" + struct.pack(">QQIQ", 0, 0, 90000, 90000 * 7)
+        + b"\x00" * 80,
+    )
+    assert mp4_info(box(b"moov", mvhd_v1))[3] == 7000
+    # ftyp prefix on junk stays unsupported
+    with pytest.raises(UnsupportedMedia):
+        mp4_info(b"\x00\x00\x00\x18ftypmp42" + b"j" * 64)
+    # truncated box walk stops cleanly instead of exploding
+    with pytest.raises(UnsupportedMedia):
+        mp4_info(raw[:20])
+
+
 # -- Spark-side --------------------------------------------------------------
 
 @pytest.fixture(scope="module")
@@ -128,9 +172,26 @@ def test_feature_extraction_real_decode(media_df):
     for r in by_container["png"] + by_container["jpeg"]:
         assert r["status"] == "ok" and r["meta"]["codec_path"] == "header"
         assert r["width"] >= 16 and r["embedding"] is None
-    # codec-needing formats are honestly unsupported, never faked
-    for r in by_container["mp3"] + by_container["mp4"]:
-        assert r["status"] == "unsupported"
+    # MP3/MP4: header-walk metadata is real where structure exists; an
+    # ID3/ftyp wrapper on junk stays honestly unsupported, never faked
+    mp3_ok = [r for r in by_container["mp3"] if r["status"] == "ok"]
+    mp3_bad = [r for r in by_container["mp3"] if r["status"] == "unsupported"]
+    assert mp3_ok and mp3_bad
+    for r in mp3_ok:
+        assert r["meta"]["codec_path"] == "frames"
+        assert r["width"] in (32000, 44100, 22050)   # sample rate
+        assert 5 <= r["n_frames"] <= 60
+        assert int(r["meta"]["duration_ms"]) > 0
+        assert r["embedding"] is None                # no audio decode faked
+    mp4_ok = [r for r in by_container["mp4"] if r["status"] == "ok"]
+    mp4_bad = [r for r in by_container["mp4"] if r["status"] == "unsupported"]
+    assert mp4_ok and mp4_bad
+    for r in mp4_ok:
+        assert r["meta"]["codec_path"] == "boxes"
+        assert r["width"] in (640, 1280, 1920) and r["height"] in (360, 720, 1080)
+        assert 10 <= r["n_frames"] <= 5000           # stsz sample count
+        assert int(r["meta"]["duration_ms"]) >= 500
+    for r in mp3_bad + mp4_bad:
         assert r["width"] is None and r["embedding"] is None
     # deterministic across runs
     again = {r["media_id"]: r["embedding"] for r in extract_media_features(media_df).collect()}
@@ -180,6 +241,7 @@ def test_fuzz_codecs_never_crash():
     magics = {
         "bmp": b"BM", "png": b"\x89PNG\r\n\x1a\n", "jpeg": b"\xff\xd8\xff",
         "gif": b"GIF89a", "riff": b"RIFF", "mp3": b"ID3",
+        "mp4": b"\x00\x00\x00\x18ftyp",
     }
     for seed in range(80):
         rng = random.Random(seed)
