@@ -45,6 +45,11 @@ def _ship_package(spark: SparkSession) -> None:
     sc.addPyFile(tmp.name)
     _SHIPPED.add(id(sc))
 
+# sources/pdf.py layout constants, inlined into the pdf_extract_blocks
+# oracle (import kept lazy there; these two are the whole contract)
+_PDF_WPL = 8   # words per rendered line  (= sources.pdf.WORDS_PER_LINE)
+_PDF_LPP = 6   # line blocks per page     (= sources.pdf.LINES_PER_PAGE)
+
 _LANG_MARKER_SQL = {
     "en": "('the','and','of','to','a','in','is','was')",
     "fr": "('le','la','les','et','de','un','une','est')",
@@ -1116,6 +1121,36 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _q_pdf_extract_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF/layout-parse surface, oracled end-to-end: each documents row is
+    rendered into a real PDF (sources/pdf.make_pdf_bytes — FlateDecode
+    content streams, xref, page tree) whose per-page blocks are emitted in
+    a doc-seeded SCRAMBLED content order; the parse side inflates the
+    streams, walks the BT/ET text operators, and the reading-order stage
+    must reconstruct the layout from (page, y, x) coordinates and classify
+    blocks by font size.  The oracle recomputes the expected reading-order
+    lines relationally from the raw text — so a parser that trusts content
+    order, mis-tracks Td, or drops a page fails the hash."""
+    _ship_package(spark)
+    from pdf_to_epub_spark.sources.pdf import (
+        blocks_in_reading_order,
+        documents_as_pdfs,
+        parse_pdf_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    blocks = blocks_in_reading_order(parse_pdf_payloads(documents_as_pdfs(docs)))
+    return blocks.select(
+        "doc_id",
+        F.col("block_id").cast("long").alias("block_id"),
+        F.col("page").cast("long").alias("page"),
+        "block_type",
+        "text",
+    )
+
+
 def _q_binary_decode_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-source surface, oracled end-to-end: the documents table is
     wrapped into ``html: binary`` pages JVM-side (exact replica of
@@ -1257,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "binary_decode_extract": _q_binary_decode_extract,
+        "pdf_extract_blocks": _q_pdf_extract_blocks,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "media_features": _q_media_features,
     }
@@ -1645,6 +1681,39 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        # relational replay of sources/pdf.doc_to_pdf's layout mapping: the
+        # Spark side must recover these lines FROM THE PDF BYTES (inflate,
+        # text-operator walk, coordinate sort) — scrambled content order
+        # makes a content-order-trusting parser fail the hash
+        "pdf_extract_blocks": f"""
+            WITH d AS (
+                SELECT doc_id, coalesce(text, '') AS text FROM documents),
+            words AS (
+                SELECT doc_id,
+                       CASE WHEN text = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(text, ' ') END AS ws
+                FROM d),
+            lines AS (
+                SELECT doc_id, 0::BIGINT AS block_id,
+                       'Document ' || doc_id AS text
+                FROM words
+                UNION ALL
+                SELECT doc_id, i AS block_id,
+                       array_to_string(
+                           list_slice(ws, (i - 1) * {_PDF_WPL} + 1,
+                                      i * {_PDF_WPL}), ' ') AS text
+                FROM (
+                    SELECT doc_id, ws,
+                           unnest(generate_series(
+                               1, CAST(ceil(len(ws) / {_PDF_WPL}.0) AS BIGINT)
+                           )) AS i
+                    FROM words))
+            SELECT doc_id, block_id, block_id // {_PDF_LPP} AS page,
+                   CASE WHEN block_id = 0 THEN 'heading'
+                        ELSE 'paragraph' END AS block_type,
+                   text
+            FROM lines
         """,
         "building_segment_orders": """
             SELECT o_orderpriority, count(*) AS n_orders

@@ -285,6 +285,23 @@ def run_bench(
 
     timed("lm_pack", lm_pack)
 
+    def pdf_parse() -> None:
+        """PDF/layout path end-to-end: render the corpus into per-doc PDFs
+        (FlateDecode streams, scrambled block order), inflate + walk the
+        text operators back out, reconstruct reading order, classify."""
+        from pdf_to_epub_spark.sources.pdf import (
+            blocks_in_reading_order,
+            documents_as_pdfs,
+            parse_pdf_payloads,
+        )
+
+        docs = corpus.select(
+            F.xxhash64("url").alias("doc_id"), F.coalesce("text", F.lit("")).alias("text")
+        ).repartition(cpus * 2, "doc_id")
+        _force(blocks_in_reading_order(parse_pdf_payloads(documents_as_pdfs(docs))))
+
+    timed("pdf_parse", pdf_parse, warmup=True, runs=2)
+
     warc_paths = _warc_corpus_paths(corpus)  # one-time build, unmeasured
 
     def warc_parse() -> None:

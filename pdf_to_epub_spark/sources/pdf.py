@@ -1,0 +1,534 @@
+"""PDF source: minimal-PDF writer + REAL content-stream text extraction.
+
+The north-star transform names "PDF/layout parse" alongside the HTML path:
+this module is that path, pure-stdlib like sources/warc.py — a
+spec-correct PDF 1.4 writer (objects, FlateDecode content streams, xref
+table) and a parser that does the genuine work a layout pass needs:
+
+* object scan + stream inflate (``/FlateDecode`` via zlib),
+* page-tree walk in ``/Kids`` order,
+* content-stream tokenization of the text operators (``BT/ET``, ``Tf``,
+  ``Td/TD/Tm``, ``Tj/TJ``, ``'``), literal + hex string forms with escape
+  handling,
+* per-block (x, y, font-size, text) emission in CONTENT order — which is
+  NOT reading order: real-world PDF generators emit blocks in arbitrary
+  z/content order, so reconstruction (sort by page, -y, x) is a separate,
+  testable stage (operators side), exactly like the reference pipeline's
+  shard merge-in-reading-order (SURVEY §2 S8).
+
+Scope (honest): text extraction only — no font/CMap decoding (strings are
+byte-decoded latin-1; the writer emits ASCII), no rotation matrices beyond
+``Tm`` translation, no encryption (``/Encrypt`` raises
+:class:`UnsupportedPdf`), no image XObjects.  That is the same
+"structure real, codec out of scope" line sources/warc.py and
+functions/mediacodec.py draw.
+"""
+
+from __future__ import annotations
+
+import io
+import random
+import re
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+class UnsupportedPdf(Exception):
+    """Raised for PDFs this parser cannot genuinely handle (encrypted,
+    non-Flate filters, no page tree)."""
+
+
+# ---------------------------------------------------------------------------
+# Writer
+# ---------------------------------------------------------------------------
+
+def _esc(s: str) -> bytes:
+    return (
+        s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    ).encode("latin-1", "replace")
+
+
+def make_pdf_bytes(pages: list[list[tuple[float, float, float, str]]]) -> bytes:
+    """Serialize pages of (x, y, font_size, text) blocks as a valid PDF 1.4
+    file: catalog → page tree → per-page FlateDecode content streams, one
+    ``BT/Tf/Td/Tj/ET`` group per block, correct xref offsets.  Blocks are
+    written in the LIST order given (pass a scrambled list to exercise
+    reading-order reconstruction downstream)."""
+    objs: list[bytes] = []  # 1-indexed
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    n_pages = len(pages)
+    font_id = 3 + 2 * n_pages
+    page_ids = [3 + 2 * i for i in range(n_pages)]
+    add(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    kids = b" ".join(b"%d 0 R" % p for p in page_ids)
+    add(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
+    )  # 2
+    for i, blocks in enumerate(pages):
+        content = io.BytesIO()
+        for x, y, size, text in blocks:
+            content.write(
+                b"BT /F1 %s Tf %s %s Td (%s) Tj ET\n"
+                % (
+                    (b"%g" % size),
+                    (b"%g" % x),
+                    (b"%g" % y),
+                    _esc(text),
+                )
+            )
+        stream = zlib.compress(content.getvalue())
+        page_id = add(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
+            % (font_id, page_ids[i] + 1)
+        )
+        assert page_id == page_ids[i]
+        add(
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(stream)
+            + stream
+            + b"\nendstream"
+        )
+    add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(out.tell())
+        out.write(b"%d 0 obj\n" % i + body + b"\nendobj\n")
+    xref_at = out.tell()
+    out.write(b"xref\n0 %d\n" % (len(objs) + 1))
+    out.write(b"0000000000 65535 f \n")
+    for off in offsets:
+        out.write(b"%010d 00000 n \n" % off)
+    out.write(
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return out.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
+_NUM = rb"[+-]?(?:\d+\.?\d*|\.\d+)"
+_TOKEN_RE = re.compile(
+    rb"\((?:[^()\\]|\\.)*\)"      # literal string
+    rb"|<[0-9A-Fa-f\s]*>"          # hex string
+    rb"|\[|\]"
+    rb"|" + _NUM +
+    rb"|/[^\s/\[\]()<>{}%]*"
+    rb"|[A-Za-z'\"*]+"
+)
+
+
+def _xref_offsets(raw: bytes) -> dict[int, int]:
+    """Object id → byte offset from the LAST classic xref table (the
+    spec's lookup path; also the only robust one — a byte scan can match
+    object/endobj keywords inside compressed stream data)."""
+    sx = raw.rfind(b"startxref")
+    if sx == -1:
+        return {}
+    m = re.match(rb"startxref\s+(\d+)", raw[sx:])
+    if not m:
+        return {}
+    pos = int(m.group(1))
+    if raw[pos : pos + 4] != b"xref":
+        return {}
+    offsets: dict[int, int] = {}
+    pos += 4
+    while True:
+        sub = re.match(rb"\s*(\d+)\s+(\d+)\s*[\r\n]+", raw[pos : pos + 64])
+        if not sub:
+            break
+        start, count = int(sub.group(1)), int(sub.group(2))
+        pos += sub.end()
+        for i in range(count):
+            entry = raw[pos : pos + 20]
+            em = re.match(rb"(\d{10})\s+\d{5}\s+([nf])", entry)
+            if not em:
+                return {}
+            if em.group(2) == b"n":
+                offsets[start + i] = int(em.group(1))
+            pos += 20
+    return offsets
+
+
+def _parse_object_at(
+    raw: bytes, off: int
+) -> tuple[int, bytes, bytes | None, int] | None:
+    """Parse one ``N 0 obj`` at a byte offset → (id, body, stream|None,
+    end_offset — first byte past the object, for scan resumption).
+    Stream extent comes from ``/Length`` when present (exact — trailing
+    EOL trimming would corrupt zlib data ending in 0x0A/0x0D); otherwise
+    from the next ``endstream``."""
+    m = _OBJ_RE.match(raw, off)
+    if not m:
+        return None
+    s = raw.find(b"stream", m.end())
+    endobj = raw.find(b"endobj", m.end())
+    if s == -1 or (endobj != -1 and endobj < s):
+        if endobj == -1:
+            return None
+        return int(m.group(1)), raw[m.end() : endobj], None, endobj + 6
+    head = raw[m.end() : s]
+    data_start = s + len(b"stream")
+    if raw[data_start : data_start + 2] == b"\r\n":
+        data_start += 2
+    elif raw[data_start : data_start + 1] in (b"\n", b"\r"):
+        data_start += 1
+    mlen = re.search(rb"/Length\s+(\d+)\b", head)
+    if mlen:
+        data_end = data_start + int(mlen.group(1))
+    else:
+        data_end = raw.find(b"endstream", data_start)
+        if data_end == -1:
+            return None
+        if raw[data_end - 1 : data_end] == b"\n":
+            data_end -= 1
+        if raw[data_end - 1 : data_end] == b"\r":
+            data_end -= 1
+    data = raw[data_start:data_end]
+    if b"/FlateDecode" in head:
+        try:
+            data = zlib.decompress(data)
+        except zlib.error as exc:
+            raise UnsupportedPdf(f"bad FlateDecode stream: {exc}") from exc
+    elif b"/Filter" in head:
+        raise UnsupportedPdf("non-Flate stream filter")
+    tail = raw.find(b"endobj", data_end)
+    return int(m.group(1)), head, data, (len(raw) if tail == -1 else tail + 6)
+
+
+def _parse_objects(raw: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """object id → (dict/body bytes, inflated stream bytes or None).
+    xref-driven when the table is intact; a forward object scan otherwise
+    (truncated or rewritten-in-place files)."""
+    objects: dict[int, tuple[bytes, bytes | None]] = {}
+    offsets = _xref_offsets(raw)
+    if offsets:
+        for _num, off in sorted(offsets.items()):
+            parsed = _parse_object_at(raw, off)
+            if parsed:
+                objects[parsed[0]] = (parsed[1], parsed[2])
+    if not objects:
+        pos = 0
+        while True:
+            m = _OBJ_RE.search(raw, pos)
+            if not m:
+                break
+            parsed = _parse_object_at(raw, m.start())
+            if parsed is None:
+                pos = m.end()
+                continue
+            objects.setdefault(parsed[0], (parsed[1], parsed[2]))
+            # resume past the object's true extent so the scan cannot
+            # re-match keywords inside its compressed stream bytes
+            pos = parsed[3]
+    if not objects:
+        raise UnsupportedPdf("no PDF objects found")
+    return objects
+
+
+def _unescape_literal(tok: bytes) -> str:
+    out = io.BytesIO()
+    i = 1
+    end = len(tok) - 1
+    while i < end:
+        c = tok[i]
+        if c == 0x5C and i + 1 < end:  # backslash
+            n = tok[i + 1]
+            mapped = {
+                ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t",
+                ord("b"): b"\b", ord("f"): b"\f",
+                ord("("): b"(", ord(")"): b")", ord("\\"): b"\\",
+            }.get(n)
+            if mapped is not None:
+                out.write(mapped)
+                i += 2
+                continue
+            if 0x30 <= n <= 0x37:  # octal escape, up to 3 digits
+                j = i + 1
+                oct_digits = b""
+                while j < end and len(oct_digits) < 3 and 0x30 <= tok[j] <= 0x37:
+                    oct_digits += bytes([tok[j]])
+                    j += 1
+                out.write(bytes([int(oct_digits, 8) & 0xFF]))
+                i = j
+                continue
+            i += 1  # lone backslash: PDF spec says drop it
+            continue
+        out.write(bytes([c]))
+        i += 1
+    return out.getvalue().decode("latin-1")
+
+
+def _iter_text_ops(content: bytes) -> Iterator[tuple[float, float, float, str]]:
+    """Walk one content stream's text operators → (x, y, size, text) per
+    shown string, in CONTENT order.  Tracks ``Tf`` size, ``Td/TD`` line
+    moves (relative to the current line start), ``Tm`` translation, and
+    both ``Tj`` and array-``TJ`` shows."""
+    size = 0.0
+    x = y = 0.0
+    in_text = False
+    stack: list[bytes] = []
+    pending_strings: list[str] = []
+    in_array = False
+    for m in _TOKEN_RE.finditer(content):
+        tok = m.group(0)
+        if tok == b"[":
+            in_array = True
+            pending_strings = []
+            continue
+        if tok == b"]":
+            in_array = False
+            stack.append(b"]")  # marker so TJ sees its operand
+            continue
+        if tok.startswith(b"("):
+            if in_array:
+                pending_strings.append(_unescape_literal(tok))
+            else:
+                stack.append(tok)
+            continue
+        if tok.startswith(b"<"):
+            hexs = re.sub(rb"\s", b"", tok[1:-1])
+            if len(hexs) % 2:
+                hexs += b"0"
+            s = bytes.fromhex(hexs.decode("ascii")).decode("latin-1")
+            if in_array:
+                pending_strings.append(s)
+            else:
+                stack.append(b"(" + s.encode("latin-1") + b")")
+            continue
+        if re.fullmatch(_NUM, tok):
+            stack.append(tok)
+            continue
+        if tok.startswith(b"/"):
+            stack.append(tok)
+            continue
+        # operator
+        if tok == b"BT":
+            in_text, x, y = True, 0.0, 0.0
+        elif tok == b"ET":
+            in_text = False
+        elif tok == b"Tf" and len(stack) >= 1:
+            size = float(stack[-1])
+        elif tok in (b"Td", b"TD") and len(stack) >= 2:
+            x += float(stack[-2])
+            y += float(stack[-1])
+        elif tok == b"Tm" and len(stack) >= 6:
+            x, y = float(stack[-2]), float(stack[-1])
+        elif tok == b"Tj" and in_text and stack and stack[-1].startswith(b"("):
+            yield x, y, size, _unescape_literal(stack[-1])
+        elif tok == b"'" and in_text and stack and stack[-1].startswith(b"("):
+            yield x, y, size, _unescape_literal(stack[-1])
+        elif tok == b"TJ" and in_text and pending_strings:
+            # kerning numbers between strings are positioning-only; the
+            # shown text is the concatenation
+            yield x, y, size, "".join(pending_strings)
+            pending_strings = []
+        stack.clear()
+    return
+
+
+def extract_pdf_blocks(raw: bytes) -> list[tuple[int, float, float, float, str]]:
+    """One PDF's bytes → (page_idx, x, y, font_size, text) rows in content
+    order.  Pages come from the ``/Kids`` array of the page tree; each
+    page's ``/Contents`` stream is inflated and walked."""
+    if b"/Encrypt" in raw[-2048:] or b"/Encrypt" in raw[:2048]:
+        raise UnsupportedPdf("encrypted PDF")
+    objects = _parse_objects(raw)
+    pages_obj = None
+    for body, _ in objects.values():
+        if b"/Type" in body and b"/Pages" in body and b"/Kids" in body:
+            pages_obj = body
+            break
+    if pages_obj is None:
+        raise UnsupportedPdf("no page tree")
+    kids_src = pages_obj[pages_obj.find(b"/Kids") :]
+    kid_ids = [int(g) for g in _REF_RE.findall(kids_src)]
+    rows: list[tuple[int, float, float, float, str]] = []
+    for page_idx, kid in enumerate(kid_ids):
+        if kid not in objects:
+            continue
+        body, _ = objects[kid]
+        cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
+        if not cm:
+            continue
+        content_id = int(cm.group(1))
+        if content_id not in objects or objects[content_id][1] is None:
+            continue
+        for x, y, size, text in _iter_text_ops(objects[content_id][1]):
+            rows.append((page_idx, x, y, size, text))
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Spark source
+# ---------------------------------------------------------------------------
+
+PDF_BLOCK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("page", IntegerType()),
+        StructField("x", DoubleType()),
+        StructField("y", DoubleType()),
+        StructField("font_size", DoubleType()),
+        StructField("text", StringType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def parse_pdf_payloads(
+    df: DataFrame, payload_col: str = "pdf", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pdf: binary) rows → one row per text block, Arrow-batched and
+    narrow (no shuffle).  Undecodable payloads become a single
+    ``status='unsupported'`` row — error isolation, never a task failure
+    (same contract as operators/multimodal.py)."""
+    import pyarrow as pa
+
+    def batches(it):
+        for b in it:
+            ids, pages, xs, ys, sizes, texts, statuses = [], [], [], [], [], [], []
+            for doc_id, payload in zip(
+                b.column(0).to_pylist(), b.column(1).to_pylist()
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    blocks = extract_pdf_blocks(raw)
+                except UnsupportedPdf:
+                    ids.append(doc_id)
+                    pages.append(None)
+                    xs.append(None)
+                    ys.append(None)
+                    sizes.append(None)
+                    texts.append(None)
+                    statuses.append("unsupported")
+                    continue
+                for page, x, y, size, text in blocks:
+                    ids.append(doc_id)
+                    pages.append(page)
+                    xs.append(x)
+                    ys.append(y)
+                    sizes.append(size)
+                    texts.append(text)
+                    statuses.append("ok")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(pages, pa.int32()),
+                    pa.array(xs, pa.float64()),
+                    pa.array(ys, pa.float64()),
+                    pa.array(sizes, pa.float64()),
+                    pa.array(texts, pa.string()),
+                    pa.array(statuses, pa.string()),
+                ],
+                names=[f.name for f in PDF_BLOCK_SCHEMA.fields],
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInArrow(
+        batches, PDF_BLOCK_SCHEMA
+    )
+
+
+def blocks_in_reading_order(
+    blocks: DataFrame,
+    heading_min_size: float = 14.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Layout reconstruction, Spark-side: content-order blocks → reading
+    order (page asc, y desc, x asc — top-to-bottom, left-to-right) with a
+    per-doc ``block_id`` and a font-size block classification.  One
+    shuffle on the doc id; the window is per-document, so skew is bounded
+    by the largest single PDF, not the corpus."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.asc("page"), F.desc("y"), F.asc("x")
+    )
+    return (
+        blocks.where(F.col("status") == "ok")
+        .withColumn("block_id", F.row_number().over(w) - F.lit(1))
+        .withColumn(
+            "block_type",
+            F.when(F.col("font_size") >= heading_min_size, F.lit("heading"))
+            .otherwise(F.lit("paragraph")),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus mapping (documents table → per-doc PDF)
+# ---------------------------------------------------------------------------
+
+WORDS_PER_LINE = 8
+LINES_PER_PAGE = 6
+
+
+def doc_to_pdf(doc_id: int, text: str) -> bytes:
+    """Deterministic documents-table row → PDF bytes: a size-18 title
+    block ("Document <id>") then the text re-flowed into
+    ``WORDS_PER_LINE``-word, size-11 lines, ``LINES_PER_PAGE`` blocks per
+    page at descending y.  Within every page the blocks are emitted in a
+    doc_id-seeded SHUFFLED content order — real generators emit blocks in
+    arbitrary order, so a parser that trusts content order is wrong; the
+    reading-order stage must recover the layout from coordinates.  The
+    whole mapping is replayable in SQL (words → 1-based line windows), so
+    the round-trip is oracle-checkable end-to-end."""
+    words = text.split(" ") if text else []
+    lines = ["Document %d" % doc_id] + [
+        " ".join(words[i : i + WORDS_PER_LINE])
+        for i in range(0, len(words), WORDS_PER_LINE)
+    ]
+    pages: list[list[tuple[float, float, float, str]]] = []
+    for p0 in range(0, len(lines), LINES_PER_PAGE):
+        chunk = lines[p0 : p0 + LINES_PER_PAGE]
+        blocks = [
+            (72.0, 720.0 - 40.0 * r, 18.0 if p0 + r == 0 else 11.0, line)
+            for r, line in enumerate(chunk)
+        ]
+        rng = random.Random((doc_id << 8) ^ (p0 // LINES_PER_PAGE))
+        rng.shuffle(blocks)
+        pages.append(blocks)
+    return make_pdf_bytes(pages)
+
+
+def documents_as_pdfs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """documents → (doc_id, pdf: binary), Arrow-batched."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    # no annotations: PEP-563 stringized hints (future-import above) break
+    # pandas_udf signature inference; the returnType argument is the contract
+    @pandas_udf("binary")
+    def render(ids, texts):
+        return pd.Series(
+            [doc_to_pdf(int(i), t or "") for i, t in zip(ids, texts)]
+        )
+
+    return docs.select(
+        F.col(id_col), render(F.col(id_col), F.col(text_col)).alias("pdf")
+    )

@@ -1,0 +1,166 @@
+"""PDF source (sources/pdf.py): writer/parser round-trips, xref-driven
+object lookup, text-operator coverage, reading-order reconstruction, and
+the honest unsupported path."""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import pytest
+
+from pdf_to_epub_spark.sources.pdf import (
+    LINES_PER_PAGE,
+    WORDS_PER_LINE,
+    UnsupportedPdf,
+    blocks_in_reading_order,
+    doc_to_pdf,
+    documents_as_pdfs,
+    extract_pdf_blocks,
+    make_pdf_bytes,
+    parse_pdf_payloads,
+)
+
+PAGES = [
+    [(72.0, 720.0, 18.0, "Title (with) parens \\ and backslash"),
+     (72.0, 680.0, 11.0, "body one")],
+    [(72.0, 720.0, 11.0, "second page"), (200.0, 720.0, 11.0, "right block")],
+]
+
+
+def test_writer_parser_roundtrip():
+    raw = make_pdf_bytes(PAGES)
+    assert raw.startswith(b"%PDF-1.4")
+    got = extract_pdf_blocks(raw)
+    expected = [
+        (pi, x, y, s, t)
+        for pi, blocks in enumerate(PAGES)
+        for (x, y, s, t) in blocks
+    ]
+    assert got == expected
+
+
+def test_xref_is_the_lookup_path():
+    """The parser must resolve objects through the xref table — offsets in
+    the table are authoritative.  Corrupting startxref forces the scan
+    fallback, which must still parse (same result)."""
+    raw = make_pdf_bytes(PAGES)
+    ref = extract_pdf_blocks(raw)
+    broken = raw.replace(b"startxref", b"startxrfX")
+    assert extract_pdf_blocks(broken) == ref
+
+
+def test_stream_bytes_ending_in_newline_survive():
+    """/Length-exact stream extents: a compressed stream whose last byte
+    is 0x0A must not be EOL-trimmed (a rstrip-based parser corrupts it)."""
+    for seed in range(200):
+        text = "word%d " % seed * (seed % 37 + 1)
+        raw = make_pdf_bytes([[(72.0, 720.0, 11.0, text.strip())]])
+        got = extract_pdf_blocks(raw)
+        assert got == [(0, 72.0, 720.0, 11.0, text.strip())]
+
+
+def test_tj_array_and_hex_strings_parse():
+    content = (
+        b"BT /F1 12 Tf 10 700 Td [(he) -20 (llo)] TJ ET\n"
+        b"BT /F1 9 Tf 1 0 0 1 50 600 Tm <776f726c64> Tj ET\n"
+        b"BT /F1 9 Tf 10 500 Td (a) Tj 0 -40 Td (b) Tj ET\n"
+    )
+    stream = zlib.compress(content)
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + b"4 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+        % len(stream)
+        + stream + b"\nendstream\nendobj\n"
+    )
+    got = extract_pdf_blocks(body)  # no xref: exercises the scan fallback
+    assert got == [
+        (0, 10.0, 700.0, 12.0, "hello"),
+        (0, 50.0, 600.0, 9.0, "world"),
+        (0, 10.0, 500.0, 9.0, "a"),
+        (0, 10.0, 460.0, 9.0, "b"),  # relative Td accumulates
+    ]
+
+
+def test_unsupported_paths():
+    with pytest.raises(UnsupportedPdf):
+        extract_pdf_blocks(b"not a pdf at all")
+    raw = make_pdf_bytes(PAGES)
+    with pytest.raises(UnsupportedPdf):
+        extract_pdf_blocks(raw + b"<< /Encrypt 9 0 R >>")
+    lzw = raw.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode")
+    with pytest.raises(UnsupportedPdf):
+        extract_pdf_blocks(lzw)
+
+
+def test_doc_mapping_scrambles_content_order():
+    """doc_to_pdf must emit blocks in non-reading content order for at
+    least some docs — otherwise the reading-order stage is untested."""
+    scrambled = 0
+    for doc_id in range(20):
+        text = " ".join("w%d" % i for i in range(40))
+        raw = doc_to_pdf(doc_id, text)
+        content_order = [t for _, _, _, _, t in extract_pdf_blocks(raw)]
+        reading = sorted(
+            extract_pdf_blocks(raw), key=lambda b: (b[0], -b[2], b[1])
+        )
+        if content_order != [t for _, _, _, _, t in reading]:
+            scrambled += 1
+    assert scrambled > 10
+
+
+def test_spark_roundtrip_reading_order_and_classification(spark):
+    rows = [
+        (0, ("alpha beta gamma " * 20).strip()),
+        (1, ""),
+        (2, "one two"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    blocks = blocks_in_reading_order(parse_pdf_payloads(documents_as_pdfs(docs)))
+    got = blocks.select("doc_id", "block_id", "page", "block_type", "text").collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["doc_id"], r["block_id"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: 60 words -> 8 lines + title = 9 blocks over 2 pages
+    d0 = by_doc[0]
+    assert len(d0) == 9
+    assert d0[0]["block_type"] == "heading" and d0[0]["text"] == "Document 0"
+    assert all(r["block_type"] == "paragraph" for r in d0[1:])
+    assert [r["page"] for r in d0] == [0] * LINES_PER_PAGE + [1] * 3
+    joined = " ".join(r["text"] for r in d0[1:])
+    assert joined == rows[0][1].strip()
+    # empty doc: title only
+    assert [r["text"] for r in by_doc[1]] == ["Document 1"]
+    assert [r["text"] for r in by_doc[2]] == ["Document 2", "one two"]
+
+
+def test_spark_unsupported_payload_isolated(spark):
+    docs = spark.createDataFrame(
+        [(0, bytearray(b"%PDF-1.4 garbage with no objects"))],
+        "doc_id long, pdf binary",
+    )
+    got = parse_pdf_payloads(docs).collect()
+    assert len(got) == 1 and got[0]["status"] == "unsupported"
+    assert got[0]["text"] is None
+
+
+def test_constants_match_entry_oracle():
+    import __spark_entry__ as e
+
+    assert e._PDF_WPL == WORDS_PER_LINE
+    assert e._PDF_LPP == LINES_PER_PAGE
+
+
+def test_parse_plan_is_narrow(spark):
+    """The parse stage must be a single narrow mapInArrow pass — no
+    shuffle before the reading-order window's one exchange."""
+    docs = spark.createDataFrame(
+        [(i, "w " * 50) for i in range(10)], "doc_id long, text string"
+    )
+    blocks = blocks_in_reading_order(parse_pdf_payloads(documents_as_pdfs(docs)))
+    plan = blocks._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan[:3000]
+    assert len(re.findall(r"\bArrowEvalPython|\bMapInArrow|\bPythonMapInArrow", plan)) >= 2
