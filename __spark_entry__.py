@@ -859,6 +859,24 @@ def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused pre-training quality gate, arrow engine: Gopher + line-dup
+    signals in codegen column algebra and the top-bigram coverage in a
+    vectorized Arrow batch — ZERO shuffles (plan-pinned in tests).  The
+    oracle replays the relational composition (gopher ⋈ repetition) in
+    DuckDB, so the per-row histogram path is verified against the
+    explode/groupBy algebra term-for-term."""
+    _ship_package(spark)
+    from pdf_to_epub_spark.operators import quality_gate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = quality_gate(d, id_col="doc_id", min_words=20, max_words=100_000)
+    return out.select(
+        "doc_id", "keep", "dup_line_ratio", "dup_line_char_ratio",
+        "top_bigram_char_ratio", "keep_all",
+    )
+
+
 def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition filters over documents: duplicate-line fractions
     (count + char mass) and top-2-gram char coverage; the bigram leg is the
@@ -1252,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "pii_scrub": _q_pii_scrub,
         "gopher_quality": _q_gopher_quality,
+        "quality_gate": _q_quality_gate,
         "repetition_signals": _q_repetition_signals,
         "url_canonical": _q_url_canonical,
         "corpus_splits": _q_corpus_splits,
@@ -1903,6 +1922,95 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_ratio > 0.8
                     AND stop_hits >= 2) AS keep
             FROM feats
+        """,
+        # fused gate: the gopher feats and repetition replicas joined, with
+        # keep_all computed from the ROUNDED ratios exactly as the Spark
+        # out_cols do — verifies the zero-shuffle arrow engine end-to-end
+        "quality_gate": r"""
+            WITH w AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\s+') AS words,
+                       list_filter(string_split(text, chr(10)),
+                                   l -> regexp_matches(l, '[^ \t\r]')) AS lines
+                FROM documents),
+            feats AS (
+                SELECT doc_id,
+                    len(words) AS n_words,
+                    list_aggregate(list_transform(words, x -> length(x)),
+                                   'sum')::DOUBLE
+                        / greatest(len(words), 1) AS mean_wlen,
+                    (length(text) - length(replace(text, '#', ''))
+                     + len(regexp_extract_all(text, '\.\.\.')))::DOUBLE
+                        / greatest(len(words), 1) AS symbol_ratio,
+                    len(list_filter(lines,
+                        l -> regexp_matches(l, '^\s*[•\-\*]')))::DOUBLE
+                        / greatest(len(lines), 1) AS bullet_ratio,
+                    len(list_filter(lines,
+                        l -> regexp_matches(l, '\.\.\.\s*$')))::DOUBLE
+                        / greatest(len(lines), 1) AS ellipsis_ratio,
+                    len(list_filter(words,
+                        x -> regexp_matches(x, '[A-Za-zÀ-ÖØ-öø-ÿ]')))::DOUBLE
+                        / greatest(len(words), 1) AS alpha_ratio,
+                    len(list_intersect(
+                        list_distinct(regexp_extract_all(lower(text),
+                                                         '[a-zà-öø-ÿ]+')),
+                        ['the','be','to','of','and','that','have','with']))
+                        AS stop_hits
+                FROM w),
+            verdicts AS (
+                SELECT doc_id,
+                       (n_words BETWEEN 20 AND 100000
+                        AND mean_wlen BETWEEN 3.0 AND 10.0
+                        AND symbol_ratio < 0.1
+                        AND bullet_ratio < 0.9
+                        AND ellipsis_ratio < 0.3
+                        AND alpha_ratio > 0.8
+                        AND stop_hits >= 2) AS keep
+                FROM feats),
+            base AS (
+                SELECT doc_id, length(text) AS n_chars,
+                       len(lines) AS n_lines,
+                       len(list_distinct(lines)) AS n_dlines,
+                       coalesce(list_aggregate(list_transform(lines,
+                           l -> length(l)), 'sum'), 0) AS chars,
+                       coalesce(list_aggregate(list_transform(
+                           list_distinct(lines), l -> length(l)), 'sum'), 0)
+                           AS dchars
+                FROM w),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(words) - 1),
+                           i -> words[i] || ' ' || words[i + 1])) AS gram
+                FROM w WHERE len(words) >= 2),
+            counts AS (
+                SELECT doc_id, gram, count(*) AS cnt
+                FROM grams GROUP BY doc_id, gram),
+            top AS (
+                SELECT doc_id, cnt * length(gram) AS covered
+                FROM (SELECT doc_id, gram, cnt,
+                             row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY cnt DESC, gram ASC) AS rn
+                      FROM counts)
+                WHERE rn = 1),
+            reps AS (
+                SELECT b.doc_id,
+                       CASE WHEN n_lines > 0 THEN
+                            round((n_lines - n_dlines)::DOUBLE / n_lines, 4)
+                       ELSE 0.0 END AS dup_line_ratio,
+                       CASE WHEN chars > 0 THEN
+                            round((chars - dchars)::DOUBLE / chars, 4)
+                       ELSE 0.0 END AS dup_line_char_ratio,
+                       round(coalesce(t.covered::DOUBLE
+                                      / greatest(b.n_chars, 1), 0.0), 4)
+                           AS top_bigram_char_ratio
+                FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id)
+            SELECT v.doc_id, v.keep,
+                   r.dup_line_ratio, r.dup_line_char_ratio,
+                   r.top_bigram_char_ratio,
+                   (v.keep AND r.dup_line_char_ratio < 0.2
+                    AND r.top_bigram_char_ratio < 0.2) AS keep_all
+            FROM verdicts v JOIN reps r ON r.doc_id = v.doc_id
         """,
         # Same line/bigram constructions in DuckDB; top bigram by
         # (count desc, gram asc) — overlapping occurrences counted, so the

@@ -246,32 +246,28 @@ def run_bench(
 
     def quality_filters() -> None:
         """The full pre-training filter pass over the CC-style corpus:
-        Gopher quality gate + repetition filters (joined on url) gating a
-        PII scrub of the survivors — the per-document quality pipeline a
-        100 TB ingest runs between extraction and tokenization."""
-        from pdf_to_epub_spark.operators import (
-            gopher_quality,
-            repetition_signals,
-            scrub_pii,
-        )
+        the fused shuffle-free quality gate (Gopher + repetition signals
+        in one narrow pass; arrow top-bigram histogram) gating a PII
+        scrub of the survivors — the per-document quality pipeline a
+        100 TB ingest runs between extraction and tokenization.  The
+        previous composition (gopher ⋈ repetition on url) paid two corpus
+        scans and a text-carrying shuffle join; the fused gate's plan has
+        no Exchange at all (pinned in tests)."""
+        from pdf_to_epub_spark.operators import quality_gate, scrub_pii
 
         docs = corpus.select("url", "text")
-        g = gopher_quality(docs).select("url", "text", "keep")
-        r = repetition_signals(docs, id_col="url")
         kept = (
-            g.join(r, "url")
-            .where(
-                F.col("keep")
-                & (F.col("dup_line_char_ratio") < 0.2)
-                & (F.col("top_bigram_char_ratio") < 0.2)
-            )
+            quality_gate(docs, id_col="url")
+            .where(F.col("keep_all"))
             .select("url", "text")
         )
         _force(
             scrub_pii(kept).select("url", "n_email", "n_ip", "n_phone", "clean_text")
         )
 
-    timed("quality_filters", quality_filters)
+    # min-of-2: the first run pays whole-stage codegen for the ~30
+    # regexp-heavy signal expressions — a fixed per-executor-lifetime cost
+    timed("quality_filters", quality_filters, runs=2)
 
     def lm_pack() -> None:
         """Post-filter tail of the ingest: CCNet-style LM scoring of the

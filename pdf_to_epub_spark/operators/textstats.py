@@ -246,6 +246,131 @@ def gopher_quality(
     ).drop("_g_trim")
 
 
+def _line_dup_ratio_cols() -> tuple[Column, Column]:
+    """(dup_line_ratio, dup_line_char_ratio) over a materialized
+    ``_lines`` array column — shared by repetition_signals and the fused
+    quality_gate so the two cannot drift."""
+    lines = F.col("_lines")
+    dlines = F.array_distinct(lines)
+    n_lines = F.size(lines)
+    # sum of element lengths == length of the concatenation — native
+    # array_join instead of an interpreted per-element aggregate lambda
+    chars = F.length(F.array_join(lines, "")).cast("long")
+    dchars = F.length(F.array_join(dlines, "")).cast("long")
+    dup_line_ratio = F.when(
+        n_lines > 0,
+        F.round((n_lines - F.size(dlines)) / n_lines.cast("double"), 4),
+    ).otherwise(F.lit(0.0))
+    dup_line_char_ratio = F.when(
+        chars > 0, F.round((chars - dchars) / chars.cast("double"), 4)
+    ).otherwise(F.lit(0.0))
+    return dup_line_ratio, dup_line_char_ratio
+
+
+def _py_top_bigram_ratio(text: str | None) -> float:
+    """Pure-Python replica of the top-bigram coverage signal, matched
+    bit-for-bit to the SQL/column form: Java-split token semantics
+    (``F.split(trim(text), '\\s+')`` — space-only trim, ASCII ``\\s``,
+    leading/trailing empty tokens kept), (count desc, gram asc) tie-break,
+    and Spark's HALF_UP double rounding via the shortest-repr decimal."""
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if not text:
+        return 0.0
+    words = re.split(r"\s+", text.strip(" "), flags=re.ASCII)
+    if len(words) < 2:
+        return 0.0
+    counts: dict[str, int] = {}
+    prev = words[0]
+    for w in words[1:]:
+        g = prev + " " + w
+        counts[g] = counts.get(g, 0) + 1
+        prev = w
+    neg, gram = min((-c, g) for g, c in counts.items())
+    ratio = (-neg) * len(gram) / max(len(text), 1)
+    return float(
+        Decimal(repr(ratio)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def quality_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    max_dup_line_char_ratio: float = 0.2,
+    max_top_bigram_char_ratio: float = 0.2,
+    engine: str = "arrow",
+) -> DataFrame:
+    """Fused pre-training quality gate: the Gopher rules and the
+    repetition filters in one pass, plus the combined ``keep_all`` verdict
+    the ingest actually filters on.
+
+    engine='arrow' (the scale default): ZERO shuffles.  The Gopher and
+    duplicate-line signals are the same codegen column algebra as
+    :func:`gopher_quality` / :func:`repetition_signals`; the top-bigram
+    coverage — the one signal whose column form needs explode → groupBy →
+    join-back (two shuffles keyed on the id, plus a text-carrying join in
+    the composed form) — moves into a vectorized Arrow batch that builds
+    each doc's bigram histogram in one linear dict pass.  The whole gate
+    becomes a narrow map over the scan: at 100 TB that is the difference
+    between a filter stage and re-shuffling the corpus between extraction
+    and tokenization.  tests pin arrow == sql on an edge-case corpus
+    (exotic whitespace, split-token quirks, rounding boundaries).
+
+    engine='sql': the composition of the two audited operators — the form
+    the external DuckDB oracle replays term-for-term."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    slim = df.select(F.col(id_col), F.col(text_col))
+    keep_all = (
+        F.col("keep")
+        & (F.col("dup_line_char_ratio") < max_dup_line_char_ratio)
+        & (F.col("top_bigram_char_ratio") < max_top_bigram_char_ratio)
+    )
+    out_cols = [
+        F.col(id_col),
+        F.col(text_col),
+        F.col("keep"),
+        F.col("dup_line_ratio"),
+        F.col("dup_line_char_ratio"),
+        F.col("top_bigram_char_ratio"),
+        keep_all.alias("keep_all"),
+    ]
+    if engine == "sql":
+        g = gopher_quality(slim, text_col, min_words, max_words)
+        r = repetition_signals(slim, text_col, id_col)
+        return g.join(r, id_col).select(*out_cols)
+    if engine != "arrow":
+        raise ValueError(f"unknown engine {engine!r}")
+
+    # no annotations on the inner fn: PEP-563 stringized hints break
+    # pandas_udf signature inference under `from __future__ import annotations`
+    @pandas_udf("double")
+    def top_bigram(texts):
+        return pd.Series(
+            [_py_top_bigram_ratio(t) for t in texts], dtype="float64"
+        )
+
+    dup_line_ratio, dup_line_char_ratio = _line_dup_ratio_cols()
+    pre = gopher_quality(slim, text_col, min_words, max_words).withColumn(
+        "_lines",
+        F.filter(F.split(F.col(text_col), "\n"), lambda l: l.rlike(r"[^ \t\r]")),
+    )
+    scored = pre.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.col("keep"),
+        dup_line_ratio.alias("dup_line_ratio"),
+        dup_line_char_ratio.alias("dup_line_char_ratio"),
+        top_bigram(F.col(text_col)).alias("top_bigram_char_ratio"),
+    )
+    return scored.select(*out_cols)
+
+
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -272,23 +397,12 @@ def repetition_signals(
         ).alias("_lines"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("_words"),
     )
-    lines = F.col("_lines")
-    dlines = F.array_distinct(lines)
-    n_lines = F.size(lines)
-    # sum of element lengths == length of the concatenation — native
-    # array_join instead of an interpreted per-element aggregate lambda
-    chars = F.length(F.array_join(lines, "")).cast("long")
-    dchars = F.length(F.array_join(dlines, "")).cast("long")
+    dup_line_ratio, dup_line_char_ratio = _line_dup_ratio_cols()
     base = pre.select(
         F.col(id_col),
         F.length("_text").cast("long").alias("_n_chars"),
-        F.when(
-            n_lines > 0,
-            F.round((n_lines - F.size(dlines)) / n_lines.cast("double"), 4),
-        ).otherwise(F.lit(0.0)).alias("dup_line_ratio"),
-        F.when(
-            chars > 0, F.round((chars - dchars) / chars.cast("double"), 4)
-        ).otherwise(F.lit(0.0)).alias("dup_line_char_ratio"),
+        dup_line_ratio.alias("dup_line_ratio"),
+        dup_line_char_ratio.alias("dup_line_char_ratio"),
         F.col("_words"),
     )
 

@@ -944,6 +944,47 @@ class TestNewOpPlans:
         assert "BroadcastHashJoin" in plan, plan[:2000]
 
 
+def test_quality_gate_arrow_matches_sql_and_is_shuffle_free(spark):
+    """The fused gate's arrow engine (per-row bigram histogram, zero
+    shuffles) must be value-identical to the sql engine (the audited
+    gopher ⋈ repetition composition) on the whitespace/tokenization edge
+    corpus, and its physical plan must contain no Exchange."""
+    from pdf_to_epub_spark.operators import quality_gate
+
+    docs = [
+        "",
+        "   ",
+        "\t\t",
+        "\tleading tab words here",
+        "trailing tab\t",
+        "a\r\nb\r\n- bullet\r\n",
+        "the quick brown fox of and that have with be to it",
+        "Tökens wïth ünïcode and the of be",
+        "dup dup dup dup dup the of be and",           # heavy bigram repeat
+        "x y x y x y x y the of be and",
+        "same line\nsame line\nsame line\nother the of be",
+        "a\rb the of be and words",
+        "one\n\n\n\ntwo the of be and\n",
+        "ab " * 500 + "the of be and",                  # long repeat, ratio ~1
+        "w%d " % 7 + " ".join(f"w{i}" for i in range(60)) + " the of be and",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    kw = dict(id_col="doc_id", min_words=2, max_words=50)
+    a = quality_gate(df, engine="arrow", **kw)
+    s = quality_gate(df, engine="sql", **kw)
+    a_rows = sorted(map(tuple, a.collect()))
+    s_rows = sorted(map(tuple, s.collect()))
+    assert a_rows == s_rows
+    # at least one row must actually trip each repetition threshold, or
+    # the equality above proves nothing about the fused signals
+    trip = [r for r in a.collect() if r["keep"] and not r["keep_all"]]
+    assert trip, "edge corpus must exercise the repetition gates"
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:3000]
+
+
 def test_gopher_regexp_rewrite_matches_original_algebra(spark):
     """The regexp_count-based gopher_quality must be value-identical to the
     original split/filter/aggregate algebra on every edge the rewrite
