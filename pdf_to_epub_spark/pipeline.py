@@ -5,7 +5,7 @@ table) →
 
 1. resume anti-join against the committed output (operators/resume.py);
 2. extraction (OCR-text or HTML mode) + chapter assembly;
-3. quality gates: Gopher rules + repetition filters;
+3. quality gate: fused Gopher + repetition signals (one narrow pass);
 4. PII scrub of the survivors;
 5. exact dedup, then MinHash near-dup removal (signature store optional);
 6. optional per-domain quota (proportional hash-threshold — the scale
@@ -37,9 +37,8 @@ from pdf_to_epub_spark.operators import (
     drop_near_duplicates,
     extract_documents,
     extract_html_documents,
-    gopher_quality,
+    quality_gate,
     hash_split,
-    repetition_signals,
     scrub_pii,
 )
 
@@ -93,22 +92,23 @@ def ingest(
     docs = (
         assemble_documents(blocks_table(extracted))
         .select("url", F.col("assembled_text").alias("text"))
-        # one materialization: five downstream stages (gopher + repetition
-        # + join + dedup text access ×2) would each re-run the Python
-        # extraction otherwise
+        # one materialization: the quality gate and the dedup stages'
+        # text accesses would each re-run the Python extraction otherwise
         .localCheckpoint(eager=False)
     )
     audit["extracted"] = extracted.groupBy("status").count()
 
-    g = gopher_quality(docs, min_words=min_words).select("url", "text", "keep")
-    r = repetition_signals(docs, id_col="url")
+    # fused shuffle-free gate (arrow top-bigram histogram): one narrow
+    # pass instead of two corpus scans + a text-carrying join on url
     kept = (
-        g.join(r, "url")
-        .where(
-            F.col("keep")
-            & (F.col("dup_line_char_ratio") < max_dup_line_char_ratio)
-            & (F.col("top_bigram_char_ratio") < max_top_bigram_char_ratio)
+        quality_gate(
+            docs,
+            id_col="url",
+            min_words=min_words,
+            max_dup_line_char_ratio=max_dup_line_char_ratio,
+            max_top_bigram_char_ratio=max_top_bigram_char_ratio,
         )
+        .where(F.col("keep_all"))
         .select("url", "text")
     )
     audit["quality_kept"] = kept.groupBy().count()
