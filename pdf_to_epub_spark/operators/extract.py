@@ -235,6 +235,78 @@ def extract_html_documents(
     return narrowed.mapInArrow(_result_batches_arrow(fn, "html"), EXTRACTED_SCHEMA)
 
 
+def extract_pdf_document(raw, heading_min_size: float = 14.0):
+    """One PDF payload → ExtractResult: parse the content streams,
+    reconstruct reading order from coordinates (page asc, y desc, x asc),
+    classify blocks by font size, and tile the assembled text with spans —
+    the same per-document contract as the OCR and HTML modes, so the PDF
+    path plugs into the identical assembly/metrics/resume wiring."""
+    from pdf_to_epub_spark.extractlib.blocks import Block
+    from pdf_to_epub_spark.extractlib.pipeline import ExtractResult
+    from pdf_to_epub_spark.sources.pdf import UnsupportedPdf, extract_pdf_blocks
+
+    if raw is None:
+        return ExtractResult("", [], {}, status="error", error="null payload")
+    try:
+        parsed = extract_pdf_blocks(bytes(raw))
+    except UnsupportedPdf as exc:
+        return ExtractResult(
+            "", [], {}, status="unsupported", error=str(exc)[:500]
+        )
+    except Exception as exc:  # noqa: BLE001 — quarantine, don't kill the task
+        return ExtractResult("", [], {}, status="error", error=repr(exc)[:500])
+    ordered = sorted(parsed, key=lambda b: (b[0], -b[2], b[1]))
+    blocks: list[Block] = []
+    offset = 0
+    headings = 0
+    for i, (_page, _x, _y, size, text) in enumerate(ordered):
+        btype = "heading" if size >= heading_min_size else "paragraph"
+        headings += btype == "heading"
+        # blocks TILE the assembled text, separator included (the same
+        # contract as segment_blocks) so assemble_documents' exact
+        # concatenation reproduces the document byte-for-byte
+        piece = text if i == len(ordered) - 1 else text + "\n"
+        blocks.append(Block(i, btype, piece, offset, offset + len(piece)))
+        offset += len(piece)
+    full = "".join(b.text for b in blocks)
+    counters = {
+        "pdf.pages": (max(b[0] for b in parsed) + 1) if parsed else 0,
+        "pdf.blocks": len(blocks),
+        "pdf.headings": headings,
+    }
+    return ExtractResult(full, blocks, counters)
+
+
+def extract_pdf_documents(
+    docs: DataFrame,
+    pdf_col: str = "html",
+    salt_partitions: int | None = None,
+    heading_min_size: float = 14.0,
+) -> DataFrame:
+    """pages(url, warc_ts, html=PDF bytes, lang) → extracted rows via the
+    PDF/layout mode (sources/pdf.py parser + per-doc reading-order
+    reconstruction).  Same plan shape as the OCR/HTML modes: narrow scan →
+    optional url-hash salt → ONE Arrow-batched Python stage; the
+    reading-order sort happens per document inside the worker, so it adds
+    no shuffle.  The binary payload rides its column name into Python as
+    ``html`` (the pages-schema slot for the raw capture, whatever its
+    container)."""
+    import functools
+
+    narrowed = docs.select(
+        F.col("url"),
+        F.col("warc_ts"),
+        F.col("lang"),
+        F.sha2(F.col(pdf_col), 256).alias("doc_hash"),
+        F.col(pdf_col).alias("html"),
+    )
+    if salt_partitions:
+        narrowed = narrowed.repartition(salt_partitions, F.xxhash64("url"))
+
+    fn = functools.partial(extract_pdf_document, heading_min_size=heading_min_size)
+    return narrowed.mapInArrow(_result_batches_arrow(fn, "html"), EXTRACTED_SCHEMA)
+
+
 def blocks_table(extracted: DataFrame) -> DataFrame:
     """Explode to the per-row output contract
     ``(url, block_id, block_type, text, span_start, span_end)``."""

@@ -37,6 +37,7 @@ from pdf_to_epub_spark.operators import (
     drop_near_duplicates,
     extract_documents,
     extract_html_documents,
+    extract_pdf_documents,
     quality_gate,
     hash_split,
     scrub_pii,
@@ -54,6 +55,7 @@ def ingest(
     pages: DataFrame,
     done_hashes: DataFrame | None = None,
     html_mode: bool = False,
+    pdf_mode: bool = False,
     salt_partitions: int | None = None,
     min_words: int = 50,
     max_dup_line_char_ratio: float = 0.3,
@@ -74,15 +76,22 @@ def ingest(
     if done_hashes is not None:
         from pdf_to_epub_spark.operators import pending_documents, with_doc_hash
 
-        # hash the column that actually carries the payload: in html mode
-        # ``text`` is null, so hashing it would make every doc_hash null
-        # and the resume anti-join a silent no-op (100% re-extraction)
-        payload = "html" if html_mode else "text"
+        # hash the column that actually carries the payload: in html/pdf
+        # mode ``text`` is null, so hashing it would make every doc_hash
+        # null and the resume anti-join a silent no-op (100% re-extraction)
+        payload = "html" if (html_mode or pdf_mode) else "text"
         pages = pending_documents(
             with_doc_hash(pages, payload_col=payload), done_hashes
         )
 
-    extractor = extract_html_documents if html_mode else extract_documents
+    if html_mode and pdf_mode:
+        raise ValueError("pick one of html_mode / pdf_mode")
+    if pdf_mode:
+        extractor = extract_pdf_documents
+    elif html_mode:
+        extractor = extract_html_documents
+    else:
+        extractor = extract_documents
     # checkpoint the extractor output itself: both the assembly branch and
     # the status audit read it, and without the barrier materializing
     # audit["extracted"] re-runs the whole Python extraction pass

@@ -17,7 +17,8 @@ table) and a parser that does the genuine work a layout pass needs:
   shard merge-in-reading-order (SURVEY §2 S8).
 
 Scope (honest): text extraction only — no font/CMap decoding (strings are
-byte-decoded latin-1; the writer emits ASCII), no rotation matrices beyond
+byte-decoded latin-1, or UTF-16BE behind the spec's BOM-prefixed Unicode
+form, which the writer emits for non-latin text), no rotation matrices beyond
 ``Tm`` translation, no encryption (``/Encrypt`` raises
 :class:`UnsupportedPdf`), no image XObjects.  That is the same
 "structure real, codec out of scope" line sources/warc.py and
@@ -53,10 +54,18 @@ class UnsupportedPdf(Exception):
 # Writer
 # ---------------------------------------------------------------------------
 
-def _esc(s: str) -> bytes:
-    return (
-        s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
-    ).encode("latin-1", "replace")
+def _string_token(s: str) -> bytes:
+    """A PDF string token for ``s``: an escaped literal when latin-1
+    suffices, else a BOM-prefixed UTF-16BE hex string (the spec's Unicode
+    text-string form) — so non-latin content (bullets, CJK) round-trips
+    instead of degrading to '?'."""
+    try:
+        b = (
+            s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+        ).encode("latin-1")
+        return b"(" + b + b")"
+    except UnicodeEncodeError:
+        return b"<FEFF" + s.encode("utf-16-be").hex().upper().encode("ascii") + b">"
 
 
 def make_pdf_bytes(pages: list[list[tuple[float, float, float, str]]]) -> bytes:
@@ -83,12 +92,12 @@ def make_pdf_bytes(pages: list[list[tuple[float, float, float, str]]]) -> bytes:
         content = io.BytesIO()
         for x, y, size, text in blocks:
             content.write(
-                b"BT /F1 %s Tf %s %s Td (%s) Tj ET\n"
+                b"BT /F1 %s Tf %s %s Td %s Tj ET\n"
                 % (
                     (b"%g" % size),
                     (b"%g" % x),
                     (b"%g" % y),
-                    _esc(text),
+                    _string_token(text),
                 )
             )
         stream = zlib.compress(content.getvalue())
@@ -278,7 +287,16 @@ def _unescape_literal(tok: bytes) -> str:
             continue
         out.write(bytes([c]))
         i += 1
-    return out.getvalue().decode("latin-1")
+    return _decode_pdf_string(out.getvalue())
+
+
+def _decode_pdf_string(bs: bytes) -> str:
+    """PDF text-string semantics: a UTF-16BE BOM selects Unicode, anything
+    else is byte-decoded (latin-1 covers PDFDocEncoding's printable
+    range)."""
+    if bs[:2] == b"\xfe\xff":
+        return bs[2:].decode("utf-16-be", "replace")
+    return bs.decode("latin-1")
 
 
 def _iter_text_ops(content: bytes) -> Iterator[tuple[float, float, float, str]]:
@@ -289,7 +307,7 @@ def _iter_text_ops(content: bytes) -> Iterator[tuple[float, float, float, str]]:
     size = 0.0
     x = y = 0.0
     in_text = False
-    stack: list[bytes] = []
+    stack: list = []  # bytes operands + decoded str string tokens
     pending_strings: list[str] = []
     in_array = False
     for m in _TOKEN_RE.finditer(content):
@@ -303,20 +321,21 @@ def _iter_text_ops(content: bytes) -> Iterator[tuple[float, float, float, str]]:
             stack.append(b"]")  # marker so TJ sees its operand
             continue
         if tok.startswith(b"("):
+            s = _unescape_literal(tok)
             if in_array:
-                pending_strings.append(_unescape_literal(tok))
+                pending_strings.append(s)
             else:
-                stack.append(tok)
+                stack.append(s)  # decoded str rides the stack directly
             continue
         if tok.startswith(b"<"):
             hexs = re.sub(rb"\s", b"", tok[1:-1])
             if len(hexs) % 2:
                 hexs += b"0"
-            s = bytes.fromhex(hexs.decode("ascii")).decode("latin-1")
+            s = _decode_pdf_string(bytes.fromhex(hexs.decode("ascii")))
             if in_array:
                 pending_strings.append(s)
             else:
-                stack.append(b"(" + s.encode("latin-1") + b")")
+                stack.append(s)
             continue
         if re.fullmatch(_NUM, tok):
             stack.append(tok)
@@ -336,10 +355,10 @@ def _iter_text_ops(content: bytes) -> Iterator[tuple[float, float, float, str]]:
             y += float(stack[-1])
         elif tok == b"Tm" and len(stack) >= 6:
             x, y = float(stack[-2]), float(stack[-1])
-        elif tok == b"Tj" and in_text and stack and stack[-1].startswith(b"("):
-            yield x, y, size, _unescape_literal(stack[-1])
-        elif tok == b"'" and in_text and stack and stack[-1].startswith(b"("):
-            yield x, y, size, _unescape_literal(stack[-1])
+        elif tok == b"Tj" and in_text and stack and isinstance(stack[-1], str):
+            yield x, y, size, stack[-1]
+        elif tok == b"'" and in_text and stack and isinstance(stack[-1], str):
+            yield x, y, size, stack[-1]
         elif tok == b"TJ" and in_text and pending_strings:
             # kerning numbers between strings are positioning-only; the
             # shown text is the concatenation
@@ -352,7 +371,9 @@ def _iter_text_ops(content: bytes) -> Iterator[tuple[float, float, float, str]]:
 def extract_pdf_blocks(raw: bytes) -> list[tuple[int, float, float, float, str]]:
     """One PDF's bytes → (page_idx, x, y, font_size, text) rows in content
     order.  Pages come from the ``/Kids`` array of the page tree; each
-    page's ``/Contents`` stream is inflated and walked."""
+    page's ``/Contents`` — a single stream ref or an ARRAY of refs (the
+    spec treats the concatenation as one stream; generators commonly split
+    a page across streams) — is inflated and walked in array order."""
     if b"/Encrypt" in raw[-2048:] or b"/Encrypt" in raw[:2048]:
         raise UnsupportedPdf("encrypted PDF")
     objects = _parse_objects(raw)
@@ -370,13 +391,24 @@ def extract_pdf_blocks(raw: bytes) -> list[tuple[int, float, float, float, str]]
         if kid not in objects:
             continue
         body, _ = objects[kid]
-        cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
+        cm = re.search(
+            rb"/Contents\s*(?:(\d+)\s+\d+\s+R|\[((?:\s*\d+\s+\d+\s+R)+)\s*\])",
+            body,
+        )
         if not cm:
             continue
-        content_id = int(cm.group(1))
-        if content_id not in objects or objects[content_id][1] is None:
-            continue
-        for x, y, size, text in _iter_text_ops(objects[content_id][1]):
+        if cm.group(1) is not None:
+            content_ids = [int(cm.group(1))]
+        else:
+            content_ids = [int(g) for g in _REF_RE.findall(cm.group(2))]
+        # the concatenation is ONE stream: operator state (Tf size, text
+        # position) carries across the boundary, so join before walking
+        content = b"\n".join(
+            objects[cid][1]
+            for cid in content_ids
+            if cid in objects and objects[cid][1] is not None
+        )
+        for x, y, size, text in _iter_text_ops(content):
             rows.append((page_idx, x, y, size, text))
     return rows
 

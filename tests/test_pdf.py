@@ -164,3 +164,62 @@ def test_parse_plan_is_narrow(spark):
     plan = blocks._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan[:3000]
     assert len(re.findall(r"\bArrowEvalPython|\bMapInArrow|\bPythonMapInArrow", plan)) >= 2
+
+
+def test_contents_array_concatenation():
+    """/Contents as an ARRAY of stream refs is one logical stream: Tf/Td
+    state carries across the boundary and blocks appear in array order."""
+    s1 = zlib.compress(b"BT /F1 12 Tf 10 700 Td (first) Tj ET\nBT /F1 9 Tf 10 660 Td ")
+    s2 = zlib.compress(b"(second) Tj ET\n")
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>\nendobj\n"
+        + b"4 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(s1)
+        + s1 + b"\nendstream\nendobj\n"
+        + b"5 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(s2)
+        + s2 + b"\nendstream\nendobj\n"
+    )
+    got = extract_pdf_blocks(body)
+    assert got == [
+        (0, 10.0, 700.0, 12.0, "first"),
+        (0, 10.0, 660.0, 9.0, "second"),  # size/pos set in stream 1
+    ]
+
+
+def test_parser_never_crashes_on_garbage():
+    """Any mutation of a valid PDF must either parse (possibly partially)
+    or raise UnsupportedPdf — never any other exception (the Spark stage
+    maps UnsupportedPdf to an isolated row)."""
+    import random
+
+    base = make_pdf_bytes(PAGES)
+    for seed in range(150):
+        rng = random.Random(seed)
+        raw = bytearray(base)
+        mode = seed % 4
+        if mode == 0:      # truncate
+            raw = raw[: rng.randint(0, len(raw))]
+        elif mode == 1:    # flip bytes
+            for _ in range(rng.randint(1, 12)):
+                raw[rng.randrange(len(raw))] = rng.getrandbits(8)
+        elif mode == 2:    # splice random garbage
+            at = rng.randrange(len(raw))
+            raw = raw[:at] + bytes(rng.getrandbits(8) for _ in range(64)) + raw[at:]
+        else:              # pure noise with a pdf-ish header
+            raw = bytearray(b"%PDF-1.4\n") + bytearray(
+                rng.getrandbits(8) for _ in range(rng.randint(0, 600))
+            )
+        try:
+            extract_pdf_blocks(bytes(raw))
+        except UnsupportedPdf:
+            pass
+
+
+def test_unicode_utf16_string_form_roundtrip():
+    """Non-latin text rides the spec's BOM-prefixed UTF-16BE hex string
+    form and round-trips exactly (bullets, CJK, accents)."""
+    pages = [[(72.0, 720.0, 11.0, "Prêt • 中文 (mix) déjà")]]
+    got = extract_pdf_blocks(make_pdf_bytes(pages))
+    assert got == [(0, 72.0, 720.0, 11.0, "Prêt • 中文 (mix) déjà")]

@@ -137,3 +137,48 @@ def test_ingest_quota_caps_hot_domain(spark):
     cold = res.corpus.where(~F.col("url").like("http://hot.com%")).count()
     assert hot < 15          # quota thinned the hot domain
     assert cold == 5         # rate clamps to 1 for small domains
+
+
+def test_ingest_pdf_mode_end_to_end(spark):
+    """PDF pages ride the same pipeline: per-doc PDFs (scrambled content
+    order) are parsed, reading-ordered, assembled, and quality-gated —
+    the recovered text must equal title + original body, and a
+    non-PDF payload must quarantine as a row, not a task failure."""
+    from pdf_to_epub_spark.sources.pdf import doc_to_pdf
+
+    rows = []
+    originals = {}
+    for i, r in enumerate(make_documents(10, seed=29)):
+        flat = " ".join(r["text"].split())
+        originals[r["url"]] = flat
+        rows.append(
+            {
+                "url": r["url"],
+                "warc_ts": r["warc_ts"],
+                "html": doc_to_pdf(i, flat),
+                "text": None,
+                "lang": r["lang"],
+            }
+        )
+    rows.append(
+        {
+            "url": "doc://broken",
+            "warc_ts": rows[0]["warc_ts"],
+            "html": b"%PDF-1.4 but empty inside",
+            "text": None,
+            "lang": "en",
+        }
+    )
+    pages = _pages(spark, rows)
+    result = ingest(pages, pdf_mode=True, min_words=5)
+    ext = {r["status"]: r["count"] for r in result.audit["extracted"].collect()}
+    assert ext.get("ok", 0) == 10
+    assert ext.get("unsupported", 0) == 1
+    corpus = {r["url"]: r["text"] for r in result.corpus.collect()}
+    assert "doc://broken" not in corpus
+    for i, (url, flat) in enumerate(sorted(originals.items())):
+        if url not in corpus:  # may fall to quality/dedup gates
+            continue
+        body = corpus[url].split("\n", 1)
+        assert body[0].startswith("Document ")
+        assert " ".join(body[1].split("\n")) == flat
