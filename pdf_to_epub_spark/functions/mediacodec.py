@@ -466,7 +466,7 @@ def mp4_info(raw: bytes) -> tuple[int, int, int, int]:
                 walk(p0, p1)
             elif btype == b"mvhd" and duration_ms is None and p1 - p0 >= 20:
                 ver = raw[p0]
-                if ver == 1 and p1 - p0 >= 28:
+                if ver == 1 and p1 - p0 >= 32:  # 20 + 4 (ts) + 8 (dur)
                     ts, dur = struct.unpack_from(">IQ", raw, p0 + 20)
                 else:
                     ts, dur = struct.unpack_from(">II", raw, p0 + 12)

@@ -34,6 +34,12 @@ def _ceil_mul(n: Column, threshold: float) -> Column:
     non-integer quotient sits ≥ 1/q > 2⁻⁵² · ⌈n·t⌉ away from an integer
     for q ≤ 10⁹."""
     frac = Fraction(str(threshold))
+    if frac.denominator > 10**9:
+        # a float-arithmetic threshold (0.1 + 0.2 → '0.30000000000000004')
+        # would blow the exactness precondition (n·p < 2⁵³); the nearest
+        # ≤1e-9-denominator rational is beyond any meaningful Jaccard
+        # resolution and keeps the bound exact
+        frac = frac.limit_denominator(10**9)
     p, q = frac.numerator, frac.denominator
     return F.floor((n * F.lit(p) + F.lit(q - 1)) / F.lit(q)).cast("long")
 

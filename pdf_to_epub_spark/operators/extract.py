@@ -203,6 +203,25 @@ def extract_documents(
     )
 
 
+def _binary_mode_extract(
+    docs, payload_col: str, fn, salt_partitions: int | None
+) -> DataFrame:
+    """Shared narrow-scan → url-hash salt → Arrow-stage shape of the
+    binary-payload extraction modes (HTML, PDF): the payload column rides
+    into Python under the pages-schema slot name ``html``; nothing else
+    leaves the JVM."""
+    narrowed = docs.select(
+        F.col("url"),
+        F.col("warc_ts"),
+        F.col("lang"),
+        F.sha2(F.col(payload_col), 256).alias("doc_hash"),
+        F.col(payload_col).alias("html"),
+    )
+    if salt_partitions:
+        narrowed = narrowed.repartition(salt_partitions, F.xxhash64("url"))
+    return narrowed.mapInArrow(_result_batches_arrow(fn, "html"), EXTRACTED_SCHEMA)
+
+
 def extract_html_documents(
     docs: DataFrame,
     html_col: str = "html",
@@ -221,18 +240,8 @@ def extract_html_documents(
 
     from pdf_to_epub_spark.extractlib.htmlblocks import extract_html_document
 
-    narrowed = docs.select(
-        F.col("url"),
-        F.col("warc_ts"),
-        F.col("lang"),
-        F.sha2(F.col(html_col), 256).alias("doc_hash"),
-        F.col(html_col).alias("html"),
-    )
-    if salt_partitions:
-        narrowed = narrowed.repartition(salt_partitions, F.xxhash64("url"))
-
     fn = functools.partial(extract_html_document, min_words=min_words, mode=mode)
-    return narrowed.mapInArrow(_result_batches_arrow(fn, "html"), EXTRACTED_SCHEMA)
+    return _binary_mode_extract(docs, html_col, fn, salt_partitions)
 
 
 def extract_pdf_document(raw, heading_min_size: float = 14.0):
@@ -293,18 +302,8 @@ def extract_pdf_documents(
     container)."""
     import functools
 
-    narrowed = docs.select(
-        F.col("url"),
-        F.col("warc_ts"),
-        F.col("lang"),
-        F.sha2(F.col(pdf_col), 256).alias("doc_hash"),
-        F.col(pdf_col).alias("html"),
-    )
-    if salt_partitions:
-        narrowed = narrowed.repartition(salt_partitions, F.xxhash64("url"))
-
     fn = functools.partial(extract_pdf_document, heading_min_size=heading_min_size)
-    return narrowed.mapInArrow(_result_batches_arrow(fn, "html"), EXTRACTED_SCHEMA)
+    return _binary_mode_extract(docs, pdf_col, fn, salt_partitions)
 
 
 def blocks_table(extracted: DataFrame) -> DataFrame:

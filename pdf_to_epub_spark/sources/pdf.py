@@ -204,7 +204,13 @@ def _parse_object_at(
         data_start += 2
     elif raw[data_start : data_start + 1] in (b"\n", b"\r"):
         data_start += 1
-    mlen = re.search(rb"/Length\s+(\d+)\b", head)
+    # direct /Length only: "/Length 9 0 R" is an indirect reference whose
+    # number is an OBJECT id, not a byte count — treating it as one
+    # truncates the stream (garbled text or a spurious zlib failure).
+    # Indirect lengths fall back to the endstream scan.
+    # (?!\d) pins the number's end first — without it backtracking shrinks
+    # \d+ ("99" → "9") until the not-a-reference lookahead passes
+    mlen = re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)", head)
     if mlen:
         data_end = data_start + int(mlen.group(1))
     else:
@@ -299,6 +305,14 @@ def _decode_pdf_string(bs: bytes) -> str:
     return bs.decode("latin-1")
 
 
+def _num(operand, default: float) -> float:
+    """Numeric operand or ``default`` for a malformed stack entry."""
+    try:
+        return float(operand)
+    except (TypeError, ValueError):
+        return default
+
+
 def _iter_text_ops(content: bytes) -> Iterator[tuple[float, float, float, str]]:
     """Walk one content stream's text operators → (x, y, size, text) per
     shown string, in CONTENT order.  Tracks ``Tf`` size, ``Td/TD`` line
@@ -343,18 +357,20 @@ def _iter_text_ops(content: bytes) -> Iterator[tuple[float, float, float, str]]:
         if tok.startswith(b"/"):
             stack.append(tok)
             continue
-        # operator
+        # operator.  Operand conversion via _num: a malformed sequence
+        # (e.g. "BT (a) 5 Td") must skip the op, not raise ValueError out
+        # of the generator and kill the task.
         if tok == b"BT":
             in_text, x, y = True, 0.0, 0.0
         elif tok == b"ET":
             in_text = False
         elif tok == b"Tf" and len(stack) >= 1:
-            size = float(stack[-1])
+            size = _num(stack[-1], size)
         elif tok in (b"Td", b"TD") and len(stack) >= 2:
-            x += float(stack[-2])
-            y += float(stack[-1])
+            x += _num(stack[-2], 0.0)
+            y += _num(stack[-1], 0.0)
         elif tok == b"Tm" and len(stack) >= 6:
-            x, y = float(stack[-2]), float(stack[-1])
+            x, y = _num(stack[-2], x), _num(stack[-1], y)
         elif tok == b"Tj" and in_text and stack and isinstance(stack[-1], str):
             yield x, y, size, stack[-1]
         elif tok == b"'" and in_text and stack and isinstance(stack[-1], str):
@@ -420,6 +436,7 @@ def extract_pdf_blocks(raw: bytes) -> list[tuple[int, float, float, float, str]]
 PDF_BLOCK_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
+        StructField("seq", IntegerType()),
         StructField("page", IntegerType()),
         StructField("x", DoubleType()),
         StructField("y", DoubleType()),
@@ -433,15 +450,31 @@ PDF_BLOCK_SCHEMA = StructType(
 def parse_pdf_payloads(
     df: DataFrame, payload_col: str = "pdf", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, pdf: binary) rows → one row per text block, Arrow-batched and
-    narrow (no shuffle).  Undecodable payloads become a single
-    ``status='unsupported'`` row — error isolation, never a task failure
-    (same contract as operators/multimodal.py)."""
+    """(id, pdf: binary) rows → one row per text block (with its content-
+    order ``seq`` — the reading-order sort's deterministic tiebreaker),
+    Arrow-batched and narrow (no shuffle).  Every input doc yields at
+    least one row: undecodable payloads a ``status='unsupported'`` row,
+    decode crashes a ``status='error'`` row, and a valid but textless PDF
+    (blank pages) a ``status='empty'`` row — error isolation, never a
+    task failure and never a silently vanished document (same contract as
+    operators/multimodal.py)."""
     import pyarrow as pa
 
     def batches(it):
         for b in it:
-            ids, pages, xs, ys, sizes, texts, statuses = [], [], [], [], [], [], []
+            ids, seqs, pages = [], [], []
+            xs, ys, sizes, texts, statuses = [], [], [], [], []
+
+            def marker(doc_id, status):
+                ids.append(doc_id)
+                seqs.append(None)
+                pages.append(None)
+                xs.append(None)
+                ys.append(None)
+                sizes.append(None)
+                texts.append(None)
+                statuses.append(status)
+
             for doc_id, payload in zip(
                 b.column(0).to_pylist(), b.column(1).to_pylist()
             ):
@@ -449,16 +482,17 @@ def parse_pdf_payloads(
                 try:
                     blocks = extract_pdf_blocks(raw)
                 except UnsupportedPdf:
-                    ids.append(doc_id)
-                    pages.append(None)
-                    xs.append(None)
-                    ys.append(None)
-                    sizes.append(None)
-                    texts.append(None)
-                    statuses.append("unsupported")
+                    marker(doc_id, "unsupported")
                     continue
-                for page, x, y, size, text in blocks:
+                except Exception:  # noqa: BLE001 — isolate, don't kill the task
+                    marker(doc_id, "error")
+                    continue
+                if not blocks:
+                    marker(doc_id, "empty")
+                    continue
+                for seq, (page, x, y, size, text) in enumerate(blocks):
                     ids.append(doc_id)
+                    seqs.append(seq)
                     pages.append(page)
                     xs.append(x)
                     ys.append(y)
@@ -468,6 +502,7 @@ def parse_pdf_payloads(
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(ids, pa.int64()),
+                    pa.array(seqs, pa.int32()),
                     pa.array(pages, pa.int32()),
                     pa.array(xs, pa.float64()),
                     pa.array(ys, pa.float64()),
@@ -495,8 +530,12 @@ def blocks_in_reading_order(
     by the largest single PDF, not the corpus."""
     from pyspark.sql.window import Window
 
+    # seq (content order) breaks coordinate ties deterministically —
+    # consecutive shows at one position (Tj Tj) would otherwise get
+    # partition-order-dependent block_ids; matches the Python-side stable
+    # sorted() in extract_pdf_document
     w = Window.partitionBy(id_col).orderBy(
-        F.asc("page"), F.desc("y"), F.asc("x")
+        F.asc("page"), F.desc("y"), F.asc("x"), F.asc("seq")
     )
     return (
         blocks.where(F.col("status") == "ok")

@@ -162,7 +162,12 @@ def stream_warc_records(
     equivalence.  On a malformed Content-Length mid-file the two recover
     differently: the bytes form skips to the next gzip member, this one
     rescans from the next record marker (≥ the records the bytes form
-    yields)."""
+    yields).  Caveat of the rescan: when the damaged record's body itself
+    contains WARC-shaped text (a crawled page ABOUT warc files, or
+    warc-in-warc), records embedded in that one unskippable body can
+    surface as top-level records — bounded to the single record whose
+    length was lost; an intact Content-Length always skips its body
+    whole."""
     import zlib
 
     head = fobj.read(2)

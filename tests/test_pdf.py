@@ -223,3 +223,57 @@ def test_unicode_utf16_string_form_roundtrip():
     pages = [[(72.0, 720.0, 11.0, "Prêt • 中文 (mix) déjà")]]
     got = extract_pdf_blocks(make_pdf_bytes(pages))
     assert got == [(0, 72.0, 720.0, 11.0, "Prêt • 中文 (mix) déjà")]
+
+
+def test_indirect_length_falls_back_to_endstream():
+    """'/Length 9 0 R' is an OBJECT REFERENCE, not a byte count: treating
+    it as one truncates the stream.  The parser must fall back to the
+    endstream scan and still decode."""
+    raw = make_pdf_bytes(PAGES)
+    ref = extract_pdf_blocks(raw)
+    mutated = re.sub(rb"/Length \d+", b"/Length 99 0 R", raw)
+    # xref offsets shift with the edit, so force the scan path too
+    mutated = mutated.replace(b"startxref", b"startxrfX")
+    assert extract_pdf_blocks(mutated) == ref
+
+
+def test_malformed_operand_skips_op_not_task():
+    """'BT (a) 5 Td (x) Tj ET' has a string where Td expects a number —
+    the op must be skipped (position unchanged), never a ValueError out
+    of the Spark worker."""
+    content = b"BT /F1 9 Tf 10 500 Td (ok) Tj (a) 5 Td (x) Tj ET"
+    stream = zlib.compress(content)
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + b"4 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(stream)
+        + stream + b"\nendstream\nendobj\n"
+    )
+    got = extract_pdf_blocks(body)
+    assert [t for *_, t in got] == ["ok", "x"]
+
+
+def test_blank_pdf_emits_empty_marker_row(spark):
+    """A valid PDF with no text must surface as a status='empty' row, not
+    silently vanish from the output (doc accounting at scale)."""
+    blank = make_pdf_bytes([[]])
+    docs = spark.createDataFrame(
+        [(0, bytearray(blank)), (1, bytearray(b"junk"))],
+        "doc_id long, pdf binary",
+    )
+    got = {r["doc_id"]: r["status"] for r in parse_pdf_payloads(docs).collect()}
+    assert got == {0: "empty", 1: "unsupported"}
+
+
+def test_coordinate_ties_break_by_content_order(spark):
+    """Two shows at one position (Tj Tj, no move between) must get
+    deterministic block_ids in content order — matching the Python-side
+    stable sort."""
+    pages = [[(72.0, 700.0, 11.0, "first"), (72.0, 700.0, 11.0, "second")]]
+    raw = make_pdf_bytes(pages)
+    docs = spark.createDataFrame([(0, bytearray(raw))], "doc_id long, pdf binary")
+    ordered = blocks_in_reading_order(parse_pdf_payloads(docs))
+    got = [r["text"] for r in ordered.orderBy("block_id").collect()]
+    assert got == ["first", "second"]

@@ -1238,7 +1238,7 @@ def test_ceil_mul_exact_rational(spark):
     assert one["c"] == 7
 
 
-def test_lsh_bucket_stats_single_scan(spark):
+def test_lsh_bucket_stats_single_scan(spark, tmp_path):
     """The audit must cost one banding pass: ONE scan of the signature
     table and one shuffled groupBy on (band_id, band_hash), not a
     per-band groupBy loop that rescans the signatures ``bands`` times."""
@@ -1248,9 +1248,10 @@ def test_lsh_bucket_stats_single_scan(spark):
         [(i, BASE + f" tail{i % 3}") for i in range(20)], "doc_id long, text string"
     )
     sigs = minhash_signatures(df, k=3, num_hashes=32)
-    sigs.write.mode("overwrite").parquet("/tmp/_bucket_stats_sigs")
+    sig_path = str(tmp_path / "bucket_stats_sigs")
+    sigs.write.mode("overwrite").parquet(sig_path)
     stats = lsh_bucket_stats(
-        spark.read.parquet("/tmp/_bucket_stats_sigs"), num_hashes=32, bands=8
+        spark.read.parquet(sig_path), num_hashes=32, bands=8
     )
     plan = stats._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan[:3000]
