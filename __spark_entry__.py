@@ -818,6 +818,18 @@ def _q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(d)
 
 
+def _q_lm_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet §4.3 perplexity partition: head/middle/tail thirds by mean
+    bigram cost.  Tertile cutoffs from ONE exact percentile aggregation
+    (no global sort/window); means and cutoffs rounded to 6 dp before the
+    boundary compare so the DuckDB quantile_cont replay classifies
+    identically."""
+    from pdf_to_epub_spark.operators import bigram_lm_scores, lm_partition
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return lm_partition(bigram_lm_scores(d))
+
+
 def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registrable-domain corpus stats over deterministically-built
     urls (7 subdomains × 13 domains) — the quota/filter input table."""
@@ -1286,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocked_urls": _q_blocked_urls,
         "length_quantiles": _q_length_quantiles,
         "bigram_lm_scores": _q_bigram_lm_scores,
+        "lm_partition": _q_lm_partition,
         "benchmark_contamination": _q_benchmark_contamination,
         "domain_stats": _q_domain_stats,
         "ann_topk": _q_ann_topk,
@@ -2299,6 +2312,55 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
                    coalesce(s.cost_micro_total, 0)::BIGINT AS cost_micro_total
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        # CCNet head/middle/tail thirds over the same LM replica: mean
+        # nats rounded to 6 dp, tertile cutoffs = quantile_cont (the same
+        # p*(n-1) linear interpolation as Spark's exact percentile), also
+        # rounded before the boundary compare.
+        "lm_partition": """
+            WITH norm AS (
+                SELECT doc_id,
+                       regexp_replace(lower(text), '[^a-z ]', '#', 'g') AS s
+                FROM documents
+            ), bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, length(s) - 1),
+                                             i -> s[i:i+1])) AS bg
+                FROM norm WHERE length(s) >= 2
+            ), counts AS (
+                SELECT bg, count(*)::BIGINT AS n_bg FROM bg GROUP BY bg
+            ), c1 AS (
+                SELECT substr(bg, 1, 1) AS c1, sum(n_bg)::BIGINT AS n_c1
+                FROM counts GROUP BY 1
+            ), model AS (
+                SELECT bg,
+                       CAST(round(-ln((n_bg + 1.0) / (n_c1 + 28.0)) * 1000000)
+                            AS BIGINT) AS cost
+                FROM counts JOIN c1 ON substr(counts.bg, 1, 1) = c1.c1
+            ), scored AS (
+                SELECT b.doc_id,
+                       count(*)::BIGINT AS n_bigrams,
+                       sum(m.cost)::BIGINT AS cost_micro_total
+                FROM bg b JOIN model m USING (bg)
+                GROUP BY b.doc_id
+            ), means AS (
+                SELECT d.doc_id,
+                       coalesce(s.n_bigrams, 0) AS n_bigrams,
+                       round(coalesce(s.cost_micro_total, 0)::DOUBLE
+                             / greatest(coalesce(s.n_bigrams, 0), 1) / 1e6,
+                             6) AS mean_nats
+                FROM documents d LEFT JOIN scored s USING (doc_id)
+            ), cuts AS (
+                SELECT round(quantile_cont(mean_nats, 1.0/3), 6) AS c1,
+                       round(quantile_cont(mean_nats, 2.0/3), 6) AS c2
+                FROM means WHERE n_bigrams > 0
+            )
+            SELECT m.doc_id, m.mean_nats,
+                   CASE WHEN m.n_bigrams = 0 THEN 'tail'
+                        WHEN m.mean_nats <= c.c1 THEN 'head'
+                        WHEN m.mean_nats <= c.c2 THEN 'middle'
+                        ELSE 'tail' END AS lm_bucket
+            FROM means m CROSS JOIN cuts c
         """,
         # Exact replay of the greedy per-shard pack: shard = md5-hash of
         # the id mod 16, walk docs in id order, new sequence whenever

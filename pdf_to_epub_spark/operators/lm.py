@@ -284,3 +284,49 @@ def bigram_lm_scores(
             .alias("cost_micro_total"),
         )
     )
+
+
+def lm_partition(
+    scores: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet §4.3 perplexity partition: bucket documents into
+    ``head`` / ``middle`` / ``tail`` thirds by mean bigram cost (the
+    perplexity proxy — exp is monotonic, so bucketing on mean nats is
+    bucketing on perplexity).
+
+    Scale shape: the two tertile cutoffs come from ONE exact
+    ``percentile`` aggregation over the slim (id, mean) projection —
+    a single partial-aggregated pass, broadcast back as two doubles; no
+    global sort, no window over the corpus.  (At 100 TB swap in
+    ``percentile_approx`` — documented trade, same plan shape.)
+
+    Determinism across engines: means and cutoffs are rounded to 6
+    decimals BEFORE comparison, so the boundary predicate compares the
+    same rounded doubles in Spark and the DuckDB oracle replay.  Docs
+    with no bigrams (sub-2-char) have no perplexity and land in ``tail``
+    explicitly.  Bucket sizes are ~n/3 ± ties (ties at a cutoff all take
+    the lower bucket — value-deterministic, id-independent)."""
+    mean = F.round(
+        F.col("cost_micro_total")
+        / F.greatest(F.col("n_bigrams"), F.lit(1)).cast("double")
+        / F.lit(1e6),
+        6,
+    )
+    slim = scores.select(
+        F.col(id_col), F.col("n_bigrams"), mean.alias("mean_nats")
+    )
+    cuts = slim.where(F.col("n_bigrams") > 0).agg(
+        F.round(F.expr("percentile(mean_nats, 1.0/3)"), 6).alias("_c1"),
+        F.round(F.expr("percentile(mean_nats, 2.0/3)"), 6).alias("_c2"),
+    )
+    bucket = (
+        F.when(F.col("n_bigrams") == 0, F.lit("tail"))
+        .when(F.col("mean_nats") <= F.col("_c1"), F.lit("head"))
+        .when(F.col("mean_nats") <= F.col("_c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        slim.crossJoin(F.broadcast(cuts))
+        .select(F.col(id_col), F.col("mean_nats"), bucket.alias("lm_bucket"))
+    )

@@ -1257,3 +1257,36 @@ def test_lsh_bucket_stats_single_scan(spark, tmp_path):
     assert plan.count("Scan parquet") == 1, plan[:3000]
     # bucket-size groupBy + final single-row agg: two exchanges total
     assert plan.count("Exchange") <= 2, plan[:3000]
+
+
+def test_lm_partition_thirds_and_edge_docs(spark):
+    """CCNet head/middle/tail: thirds by mean cost, no-bigram docs land in
+    tail explicitly, and the plan has no global-sort Window (cutoffs come
+    from one percentile aggregation broadcast back)."""
+    from pdf_to_epub_spark.operators import bigram_lm_scores, lm_partition
+
+    rows = [(i, "the quick brown fox " * (2 + i % 5)) for i in range(30)]
+    rows += [(100 + i, "zzq xqz qzx jjw " * 3) for i in range(6)]  # costly
+    rows.append((200, ""))   # no bigrams
+    rows.append((201, "a"))  # single char: no bigrams
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lm_partition(bigram_lm_scores(df))
+    got = {r["doc_id"]: r["lm_bucket"] for r in out.collect()}
+    assert got[200] == "tail" and got[201] == "tail"
+    from collections import Counter
+
+    sizes = Counter(got.values())
+    assert set(sizes) == {"head", "middle", "tail"}
+    # the gibberish docs are the costliest -> all in tail
+    assert all(got[100 + i] == "tail" for i in range(6))
+    # buckets are thirds up to cutoff ties (+2 explicit no-bigram tails)
+    n_scored = len(rows) - 2
+    assert sizes["head"] >= n_scored // 6
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:3000]
+    # deterministic across repartitionings
+    again = {
+        r["doc_id"]: r["lm_bucket"]
+        for r in lm_partition(bigram_lm_scores(df.repartition(7))).collect()
+    }
+    assert again == got
