@@ -1142,6 +1142,18 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring spans (Lee et al. substring-level dedup):
+    maximal token intervals covered by corpus-repeated 8-grams over the
+    mutated-recrawl corpus — each doc's surviving prefix is an exact
+    duplicate of its recrawl partner, so spans must recover it."""
+    from pdf_to_epub_spark.operators import duplicate_ngram_spans
+
+    return duplicate_ngram_spans(
+        mutated_recrawl(spark, sf_dir), id_col="doc_id", k=8
+    ).select("doc_id", "span_start", "span_end", "n_tokens")
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index pre-join."""
     from pdf_to_epub_spark.operators import ngram_jaccard_pairs
@@ -1326,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_decode_extract": _q_binary_decode_extract,
         "pdf_extract_blocks": _q_pdf_extract_blocks,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "dup_ngram_spans": _q_dup_ngram_spans,
         "media_features": _q_media_features,
     }
 
@@ -2552,6 +2565,50 @@ def oracle_sql() -> dict[str, str]:
         # Exact oracle: the inverted-index pre-join is an exact algorithm,
         # so its output must equal the brute-force all-pairs set.
         "ngram_jaccard_pairs": _shingle_jaccard_oracle(k=4, threshold=0.8),
+        # duplicated-substring spans: same 60-bit md5 gram hash as the
+        # Spark side (Spark conv(substr(md5),16,10) ≡ DuckDB
+        # ('0x'||substr(md5,1,15))::BIGINT), same gaps-and-islands merge
+        "dup_ngram_spans": r"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, regexp_replace(text, '\s+\S+\s*$', '')
+                FROM documents
+            ), toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                FROM corpus
+            ), pos AS (
+                SELECT doc_id, i - 1 AS pos,
+                       ('0x' || substr(md5(array_to_string(
+                            list_slice(t, i, i + 7), ' ')), 1, 15))::BIGINT AS h
+                FROM (SELECT doc_id, t,
+                             unnest(generate_series(1, len(t) - 7)) AS i
+                      FROM toks WHERE len(t) >= 8)
+            ), dups AS (
+                SELECT h FROM pos GROUP BY h HAVING count(*) >= 2
+            ), hits AS (
+                SELECT doc_id, pos FROM pos SEMI JOIN dups USING (h)
+            ), islands AS (
+                SELECT doc_id, pos,
+                       CASE WHEN coalesce(pos > max(pos + 8) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), TRUE)
+                            THEN 1 ELSE 0 END AS newi
+                FROM hits
+            ), labeled AS (
+                SELECT doc_id, pos,
+                       sum(newi) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS island
+                FROM islands
+            )
+            SELECT doc_id,
+                   min(pos)::BIGINT AS span_start,
+                   (max(pos) + 8)::BIGINT AS span_end,
+                   (max(pos) + 8 - min(pos))::BIGINT AS n_tokens
+            FROM labeled GROUP BY doc_id, island
+        """,
         # Recall oracle: LSH banding is probabilistic in general, but with
         # this (num_hashes=32, bands=8) config on the mutated-recrawl corpus
         # the candidate set provably-in-practice (deterministic signatures,

@@ -1001,3 +1001,85 @@ def dedup_lines_global(
         "n_lines",
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
     )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): maximal token spans
+    covered by k-grams that occur ≥ ``min_df`` times corpus-wide
+    (within- or cross-document).  The memorization-prone spans a
+    substring-level dedup pass masks or drops — finer-grained than
+    whole-doc (MinHash) or line (CCNet) dedup.
+
+    Plan shape at scale: one narrow pass materializes the token array and
+    explodes to slim (id, pos, gram_hash60) rows — the ONLY corpus-sized
+    shuffle is the gram-hash groupBy (map-side combined) plus the
+    left-semi join back, both keyed on the 60-bit hash, never the gram
+    string.  Span merging is per-document gaps-and-islands (running-max
+    window keyed on the id, skew bounded by the longest doc, not the
+    corpus).  60-bit md5 grams keep the DuckDB oracle replay exact; a
+    cross-gram hash collision (~2⁻⁶⁰/pair) could at worst merge two
+    unrelated spans.
+
+    Returns (id, span_start, span_end, n_tokens): token-index intervals
+    [start, end) in the doc's whitespace tokenization.
+    """
+    toks = df.select(
+        F.col(id_col), _word_tokens(F.col(text_col)).alias("_toks")
+    )
+    n = F.size("_toks")
+    positions = (
+        toks.where(n >= k)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), n - k)).alias("pos"),
+            "_toks",
+        )
+        .select(
+            F.col(id_col),
+            "pos",
+            md5_hash60(
+                F.concat_ws(" ", F.slice("_toks", F.col("pos") + 1, k))
+            ).alias("h"),
+        )
+    )
+    dup_grams = (
+        positions.groupBy("h")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") >= min_df)
+        .select("h")
+    )
+    hits = positions.join(dup_grams, "h", "left_semi").select(id_col, "pos")
+
+    w_order = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + k).over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "_new",
+        (prev_max_end.isNull() | (F.col("pos") > prev_max_end)).cast("int"),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(
+            w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
+        )
+    )

@@ -1290,3 +1290,31 @@ def test_lm_partition_thirds_and_edge_docs(spark):
         for r in lm_partition(bigram_lm_scores(df.repartition(7))).collect()
     }
     assert again == got
+
+
+def test_duplicate_ngram_spans_hand_case(spark):
+    """Maximal duplicated spans: two docs share a 10-token run (k=4 →
+    7 overlapping duplicated grams merging into ONE [start, end) span per
+    doc); a doc repeating a 4-token phrase twice within itself also
+    surfaces; unique text yields nothing."""
+    from pdf_to_epub_spark.operators import duplicate_ngram_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, "unique lead words " + shared),          # span at tokens 3..13
+        (1, shared + " unique tail words"),          # span at tokens 0..10
+        (2, "self dup one two three four mid one two three four end"),
+        (3, "totally different content with no repeats whatsoever here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])
+        for r in duplicate_ngram_spans(df, k=4).collect()
+    }
+    assert (0, 3, 13, 10) in got
+    assert (1, 0, 10, 10) in got
+    # within-doc repeat: "one two three four" at positions 2 and 7 -> two
+    # islands (7 > 2 + 4)... adjacent? 7 > 6, so separate spans
+    assert (2, 2, 6, 4) in got and (2, 7, 11, 4) in got
+    assert not any(d == 3 for d, *_ in got)
+    assert len(got) == 4
