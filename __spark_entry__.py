@@ -1154,6 +1154,17 @@ def _q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "span_start", "span_end", "n_tokens")
 
 
+def _q_masked_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actionable substring dedup: documents rebuilt with their duplicated
+    spans removed (case-preserving token rebuild, hash-compared)."""
+    from pdf_to_epub_spark.operators import mask_duplicate_spans
+
+    out = mask_duplicate_spans(mutated_recrawl(spark, sf_dir), id_col="doc_id", k=8)
+    return out.select(
+        "doc_id", F.md5(F.col("text")).alias("masked_md5"), "n_masked_tokens"
+    )
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index pre-join."""
     from pdf_to_epub_spark.operators import ngram_jaccard_pairs
@@ -1339,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract_blocks": _q_pdf_extract_blocks,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "dup_ngram_spans": _q_dup_ngram_spans,
+        "masked_dup_spans": _q_masked_dup_spans,
         "media_features": _q_media_features,
     }
 
@@ -2608,6 +2620,74 @@ def oracle_sql() -> dict[str, str]:
                    (max(pos) + 8)::BIGINT AS span_end,
                    (max(pos) + 8 - min(pos))::BIGINT AS n_tokens
             FROM labeled GROUP BY doc_id, island
+        """,
+        # mask rebuild: same span pipeline, then tokens outside every span
+        # re-joined in order (case-preserving split — span indices come
+        # from the lowered tokenization but \s+ positions are case-free)
+        "masked_dup_spans": r"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, regexp_replace(text, '\s+\S+\s*$', '')
+                FROM documents
+            ), toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                FROM corpus
+            ), pos AS (
+                SELECT doc_id, i - 1 AS pos,
+                       ('0x' || substr(md5(array_to_string(
+                            list_slice(t, i, i + 7), ' ')), 1, 15))::BIGINT AS h
+                FROM (SELECT doc_id, t,
+                             unnest(generate_series(1, len(t) - 7)) AS i
+                      FROM toks WHERE len(t) >= 8)
+            ), dups AS (
+                SELECT h FROM pos GROUP BY h HAVING count(*) >= 2
+            ), hits AS (
+                SELECT doc_id, pos FROM pos SEMI JOIN dups USING (h)
+            ), islands AS (
+                SELECT doc_id, pos,
+                       CASE WHEN coalesce(pos > max(pos + 8) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), TRUE)
+                            THEN 1 ELSE 0 END AS newi
+                FROM hits
+            ), labeled AS (
+                SELECT doc_id, pos,
+                       sum(newi) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS island
+                FROM islands
+            ), spans AS (
+                SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+                FROM labeled GROUP BY doc_id, island
+            ), raw AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS t2
+                FROM corpus
+            ), tok_idx AS (
+                SELECT doc_id, i - 1 AS idx, t2[i] AS tok
+                FROM (SELECT doc_id, t2,
+                             unnest(generate_series(1, len(t2))) AS i
+                      FROM raw)
+            ), masked AS (
+                SELECT k.doc_id,
+                       string_agg(k.tok, ' ' ORDER BY k.idx) AS text
+                FROM tok_idx k
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM spans s
+                    WHERE s.doc_id = k.doc_id
+                      AND k.idx >= s.s AND k.idx < s.e)
+                GROUP BY k.doc_id
+            ), masked_counts AS (
+                SELECT doc_id, sum(e - s)::BIGINT AS n FROM spans GROUP BY doc_id
+            )
+            SELECT c.doc_id,
+                   md5(coalesce(m.text, '')) AS masked_md5,
+                   coalesce(mc.n, 0)::BIGINT AS n_masked_tokens
+            FROM corpus c
+            LEFT JOIN masked m USING (doc_id)
+            LEFT JOIN masked_counts mc USING (doc_id)
         """,
         # Recall oracle: LSH banding is probabilistic in general, but with
         # this (num_hashes=32, bands=8) config on the mutated-recrawl corpus

@@ -1083,3 +1083,75 @@ def duplicate_ngram_spans(
             (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
         )
     )
+
+
+def mask_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_df: int = 2,
+    min_span_tokens: int | None = None,
+) -> DataFrame:
+    """The actionable form of :func:`duplicate_ngram_spans`: rebuild each
+    document with its duplicated spans REMOVED (Lee et al. drop the
+    repeated substring from all-but-one occurrence; this conservative
+    variant drops every occurrence — deterministic and idempotent, no
+    keep-one coordination shuffle).
+
+    ``spans`` defaults to ``duplicate_ngram_spans(df, ...)``;
+    ``min_span_tokens`` ignores short spans (keep incidental k-gram
+    collisions).  Rebuild is column algebra over the token array: spans
+    arrive as a per-doc struct array via one slim groupBy, and a token
+    keeps its place iff no span covers its index — O(tokens × spans) per
+    doc, spans per doc are few by construction.  Docs with no spans pass
+    through the left join untouched.
+
+    Returns (id, text, n_masked_tokens)."""
+    if spans is None:
+        spans = duplicate_ngram_spans(df, text_col, id_col, k, min_df)
+    if min_span_tokens:
+        spans = spans.where(F.col("n_tokens") >= min_span_tokens)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = F.col("_toks")
+    idx = F.sequence(F.lit(0), F.size(toks) - 1)
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+    )
+    kept = F.filter(
+        F.zip_with(toks, idx, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda p: ~covered(p["i"]),
+    )
+    # rebuild on the CASE-PRESERVING token split: span positions come from
+    # the lowered tokenization but \s+ split indices are case-independent,
+    # so they align — masking must not lowercase the surviving text
+    rebuilt = (
+        df.select(
+            F.col(id_col),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+        )
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("_spans").isNull(), F.concat_ws(" ", toks)
+            ).otherwise(
+                F.concat_ws(
+                    " ", F.transform(kept, lambda p: p["t"])
+                )
+            ).alias(text_col),
+            F.coalesce(
+                F.aggregate(
+                    "_spans",
+                    F.lit(0).cast("long"),
+                    lambda acc, s: acc + (s["span_end"] - s["span_start"]),
+                ),
+                F.lit(0).cast("long"),
+            ).alias("n_masked_tokens"),
+        )
+    )
+    return rebuilt

@@ -1318,3 +1318,33 @@ def test_duplicate_ngram_spans_hand_case(spark):
     assert (2, 2, 6, 4) in got and (2, 7, 11, 4) in got
     assert not any(d == 3 for d, *_ in got)
     assert len(got) == 4
+
+
+def test_mask_duplicate_spans(spark):
+    """Masking drops exactly the duplicated spans' tokens, preserves case
+    and pass-through docs, and is idempotent on its own output."""
+    from pdf_to_epub_spark.operators import mask_duplicate_spans
+
+    shared = "Alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, "Unique lead words " + shared),
+        (1, shared + " unique tail words"),
+        (3, "Totally different content with no repeats whatsoever here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in mask_duplicate_spans(df, k=4).collect()}
+    assert out[0]["text"] == "Unique lead words"
+    assert out[0]["n_masked_tokens"] == 10
+    assert out[1]["text"] == "unique tail words"
+    assert out[3]["text"] == rows[2][1] and out[3]["n_masked_tokens"] == 0
+    # idempotent: the survivors share no 4-gram anymore
+    again = {
+        r["doc_id"]: r["text"]
+        for r in mask_duplicate_spans(
+            spark.createDataFrame(
+                [(k, v["text"]) for k, v in out.items()], "doc_id long, text string"
+            ),
+            k=4,
+        ).collect()
+    }
+    assert again == {k: v["text"] for k, v in out.items()}
