@@ -830,6 +830,102 @@ def _q_lm_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_partition(bigram_lm_scores(d))
 
 
+def _q_epub_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FINAL artifact as a distributed column: extraction →
+    assembly → per-doc EPUB3 zip bytes (export.epub_bytes — mimetype-first
+    STORED entry, fixed timestamps ⇒ byte-deterministic), hash-compared
+    against a pure-Python replay of the same transform.  Bounded to 40
+    docs per corpus so the oracle VALUES stay small; the plan shape is the
+    full-corpus one (narrow extract → one assembly shuffle → narrow
+    export)."""
+    _ship_package(spark)
+    from pdf_to_epub_spark.operators import (
+        assemble_documents,
+        blocks_table,
+        extract_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 40").select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.col("lang"),
+        F.col("text"),
+    )
+    assembled = assemble_documents(blocks_table(extract_documents(docs)))
+    with_lang = assembled.join(
+        F.broadcast(docs.select("url", "lang")), "url"
+    ).select("url", "lang", "blocks")
+
+    def gen(batches):
+        import hashlib as _h
+
+        import pandas as pd
+
+        from pdf_to_epub_spark.export import epub_bytes
+
+        for pdf in batches:
+            urls, md5s, sizes = [], [], []
+            for url, lang, blocks in zip(pdf["url"], pdf["lang"], pdf["blocks"]):
+                payload = epub_bytes(
+                    [dict(b) for b in blocks], title=url, lang=lang, url=url
+                )
+                urls.append(url)
+                md5s.append(_h.md5(payload).hexdigest())
+                sizes.append(len(payload))
+            yield pd.DataFrame(
+                {"url": urls, "epub_md5": md5s, "n_bytes": sizes}
+            )
+
+    return with_lang.mapInPandas(gen, "url string, epub_md5 string, n_bytes long")
+
+
+def _epub_export_oracle(limit: int = 40) -> str | None:
+    """Pure-Python replay of the EPUB export over the same 40 docs per
+    corpus (same pattern as the IVF-centroid oracle: computed once at
+    oracle-build time from the testdata parquet, keyed by the corpus'
+    doc-0 text md5, inlined as VALUES)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from pdf_to_epub_spark.export import epub_bytes
+    from pdf_to_epub_spark.extractlib.pipeline import extract_document
+
+    rows: list[str] = []
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        path = pathlib.Path(sf_dir) / "documents.parquet"
+        if not path.exists():
+            return None
+        t = pq.read_table(path, columns=["doc_id", "text", "lang"])
+        recs = sorted(
+            zip(
+                t["doc_id"].to_pylist(),
+                t["text"].to_pylist(),
+                t["lang"].to_pylist(),
+            )
+        )
+        key = hashlib.md5((recs[0][1] or "").encode()).hexdigest()
+        for doc_id, text, lang in recs:
+            if doc_id >= limit:
+                continue
+            url = f"doc://{doc_id}"
+            res = extract_document(text)
+            payload = epub_bytes(
+                [b._asdict() for b in res.blocks], title=url, lang=lang, url=url
+            )
+            rows.append(
+                f"('{key}','{url}','{hashlib.md5(payload).hexdigest()}',"
+                f"{len(payload)})"
+            )
+    vals = ",\n            ".join(rows)
+    return f"""
+        WITH golden(corpus_key, url, epub_md5, n_bytes) AS (VALUES
+            {vals})
+        SELECT url, epub_md5, n_bytes::BIGINT AS n_bytes FROM golden
+        WHERE corpus_key = (SELECT md5(text) FROM documents WHERE doc_id = 0)
+    """
+
+
 def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registrable-domain corpus stats over deterministically-built
     urls (7 subdomains × 13 domains) — the quota/filter input table."""
@@ -1338,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_boilerplate_extract": _q_html_boilerplate_extract,
         "extract_blocks": _q_extract_blocks,
         "assemble_documents": _q_assemble_documents,
+        "epub_export": _q_epub_export,
         "extraction_metrics": _q_extraction_metrics,
         "minhash_pairs": _q_minhash_pairs,
         "incremental_near_dups": _q_incremental_near_dups,
@@ -2824,5 +2921,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": _lsh_topk_oracle(),
         **(
             {"ann_topk_ivf": o} if (o := _ivf_topk_oracle()) is not None else {}
+        ),
+        # EPUB final-artifact golden: pure-Python replay of extraction →
+        # assembly → byte-deterministic EPUB3 zip, md5 per url.
+        **(
+            {"epub_export": e} if (e := _epub_export_oracle()) is not None else {}
         ),
     }

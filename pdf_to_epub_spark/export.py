@@ -123,13 +123,22 @@ def epub_bytes(
         "</package>\n"
     )
 
+    # fixed entry date: zipfile stamps wall-clock time on bare-name
+    # writestr, which made "identical" EPUBs byte-differ across seconds —
+    # retries/re-runs must reproduce the artifact bit-for-bit (matches the
+    # fixed dcterms:modified above)
+    _DATE = (2020, 1, 1, 0, 0, 0)
+
+    def entry(name: str) -> zipfile.ZipInfo:
+        return zipfile.ZipInfo(name, date_time=_DATE)
+
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as z:
         # EPUB spec: mimetype first, STORED (uncompressed)
-        z.writestr("mimetype", "application/epub+zip", compress_type=zipfile.ZIP_STORED)
-        z.writestr("META-INF/container.xml", _CONTAINER_XML, compress_type=zipfile.ZIP_DEFLATED)
+        z.writestr(entry("mimetype"), "application/epub+zip", compress_type=zipfile.ZIP_STORED)
+        z.writestr(entry("META-INF/container.xml"), _CONTAINER_XML, compress_type=zipfile.ZIP_DEFLATED)
         for name, content in files.items():
-            z.writestr(name, content, compress_type=zipfile.ZIP_DEFLATED)
+            z.writestr(entry(name), content, compress_type=zipfile.ZIP_DEFLATED)
     return buf.getvalue()
 
 

@@ -50,3 +50,15 @@ def test_epub_empty_doc():
     payload = epub_bytes([], title="empty", url="u://e")
     z = zipfile.ZipFile(io.BytesIO(payload))
     assert "OEBPS/Text/chap_001.xhtml" in z.namelist()
+
+
+def test_epub_bytes_deterministic_across_seconds():
+    """Byte-determinism must not depend on wall clock: zip entry dates are
+    fixed, so the same blocks give the same bytes even across a second
+    boundary (retries/re-runs reproduce the artifact bit-for-bit)."""
+    import time
+
+    blocks = _make_blocks()
+    a = epub_bytes(blocks, title="T", url="u://x")
+    time.sleep(1.1)
+    assert epub_bytes(blocks, title="T", url="u://x") == a
