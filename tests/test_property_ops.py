@@ -132,3 +132,62 @@ def test_dedup_lines_total_and_conservative(spark):
     for i, text in docs:
         assert got[i]["text"] == text          # nothing repeated -> verbatim
         assert got[i]["n_kept"] == got[i]["n_lines"]
+
+
+# ---------------------------------------------------------------------------
+# PDF writer ⇄ parser round-trip
+# ---------------------------------------------------------------------------
+
+# PDF literal/hex strings round-trip any text EXCEPT: the parser
+# normalizes \r inside literals per the spec's EOL handling scope, so
+# exclude bare control chars; surrogates can't encode.
+_pdf_text = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs", "Cc")),
+    min_size=0,
+    max_size=60,
+)
+_pdf_block = st.tuples(
+    st.floats(min_value=0, max_value=600, allow_nan=False).map(lambda v: round(v, 2)),
+    st.floats(min_value=0, max_value=790, allow_nan=False).map(lambda v: round(v, 2)),
+    st.sampled_from([9.0, 11.0, 14.0, 18.0]),
+    _pdf_text,
+)
+
+
+@given(pages=st.lists(st.lists(_pdf_block, max_size=6), min_size=1, max_size=4))
+@settings(**_SETTINGS)
+def test_pdf_roundtrip_property(pages):
+    """make_pdf_bytes ∘ extract_pdf_blocks is the identity on
+    (page, x, y, size, text) for arbitrary unicode block text — both
+    string encodings (escaped latin-1 literal, BOM'd UTF-16BE hex) and
+    arbitrary float coords."""
+    from pdf_to_epub_spark.sources.pdf import extract_pdf_blocks, make_pdf_bytes
+
+    got = extract_pdf_blocks(make_pdf_bytes(pages))
+    expected = [
+        (pi, x, y, s, t)
+        for pi, blocks in enumerate(pages)
+        for (x, y, s, t) in blocks
+    ]
+    assert got == expected
+
+
+@given(
+    pages=st.lists(st.lists(_pdf_block, max_size=4), min_size=1, max_size=2),
+    cut=st.integers(min_value=0, max_value=10_000),
+)
+@settings(**_SETTINGS)
+def test_pdf_truncation_never_crashes(pages, cut):
+    """Any prefix of a valid PDF parses partially or raises
+    UnsupportedPdf — never another exception."""
+    from pdf_to_epub_spark.sources.pdf import (
+        UnsupportedPdf,
+        extract_pdf_blocks,
+        make_pdf_bytes,
+    )
+
+    raw = make_pdf_bytes(pages)
+    try:
+        extract_pdf_blocks(raw[: min(cut, len(raw))])
+    except UnsupportedPdf:
+        pass
