@@ -341,3 +341,64 @@ def read_warc(spark: SparkSession, glob: str) -> DataFrame:
     row should hold."""
     files = spark.read.format("binaryFile").load(glob)
     return parse_warc_contents(files, "content")
+
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "html",
+    gzip_members: bool = True,
+    with_http_headers: bool = False,
+) -> None:
+    """Distributed WARC sink: each partition serializes its rows as ONE
+    CC-layout archive (``part-<partition_id>.warc.gz``, per-record gzip
+    members) under ``out_dir`` — the write-side mirror of
+    :func:`read_warc_paths`, so a corpus can round-trip through the
+    archival format without leaving the engine.  Rows are written in
+    url order within each partition (deterministic member order for a
+    deterministic partitioning).
+
+    Scope (honest): executors write through Python ``open()``, so
+    ``out_dir`` must be a path every executor can reach (local disk in
+    local mode, NFS/fuse mounts on a cluster).  An object-store sink
+    would route through the Hadoop FS API driver-side or a committer —
+    out of scope here; the parquet sinks remain the primary output path,
+    this is the interchange/export format.
+
+    Timestamps: ``ts_col`` (timestamp) renders as the WARC-Date ISO
+    instant; null timestamps write the epoch."""
+    import pathlib
+
+    pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
+    slim = df.select(F.col(url_col), F.col(ts_col), F.col(payload_col))
+
+    def write_partition(rows) -> None:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        recs = []
+        for row in rows:
+            ts = row[1]
+            date = (
+                ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                if ts is not None
+                else "1970-01-01T00:00:00Z"
+            )
+            payload = row[2]
+            if isinstance(payload, str):
+                payload = payload.encode("utf-8")
+            recs.append((row[0], date, payload or b""))
+        if not recs:
+            return
+        recs.sort(key=lambda r: r[0])
+        data = build_warc_bytes(recs, gzip_members, with_http_headers)
+        # write-then-rename: a retried/speculative task never exposes a
+        # half-written archive (rename is atomic on a posix dir)
+        final = pathlib.Path(out_dir) / f"part-{pid:05d}.warc.gz"
+        tmp = final.with_name(final.name + ".inprogress")
+        tmp.write_bytes(data)
+        tmp.replace(final)
+
+    slim.foreachPartition(write_partition)

@@ -146,3 +146,36 @@ def test_wet_conversion_records_parse():
         ("http://w/2", "conversion", "tvåß text".encode()),
     ]
     assert list(stream_warc_records(io.BytesIO(wet), 16)) == got
+
+
+def test_write_warc_distributed_roundtrip(spark, tmp_path):
+    """write_warc ∘ read_warc_paths is the identity on (url, payload):
+    each partition lands one CC-layout archive; empty partitions write
+    nothing; text payloads encode as UTF-8."""
+    import datetime
+
+    from pdf_to_epub_spark.sources.warc import read_warc_paths, write_warc
+
+    ts = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [(f"http://w.example/{i}", ts if i % 2 else None,
+             f"<html>page {i} tvåß</html>".encode()) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    ).repartition(4)
+    out = tmp_path / "warcs"
+    write_warc(df, str(out))
+    files = sorted(out.glob("part-*.warc.gz"))
+    assert 1 <= len(files) <= 4
+    assert not list(out.glob("*.inprogress"))
+    paths = spark.createDataFrame([(str(p),) for p in files], "path string")
+    got = {
+        (r["url"], bytes(r["html"]))
+        for r in read_warc_paths(spark, paths).collect()
+    }
+    assert got == {(u, p) for u, _, p in rows}
+    dates = {
+        r["url"]: r["warc_date"]
+        for r in read_warc_paths(spark, paths).collect()
+    }
+    assert dates["http://w.example/1"] == "2024-03-01T12:00:00Z"
+    assert dates["http://w.example/0"] == "1970-01-01T00:00:00Z"
