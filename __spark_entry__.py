@@ -1073,16 +1073,18 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table hyperplane LSH top-k (bits=4 × 8 tables ⇒ recall@10 ≈
-    0.7 on this uniform-random corpus — audited against the brute-force
-    oracle by tests/test_training_ops.py and reported in bench.py)."""
+    """Multi-table hyperplane LSH top-k (bits=4 × 12 tables ⇒ recall@10 ≈
+    0.90 on this uniform-random corpus — ANN's worst case; the candidate
+    union covers ~53% of it, the recall/scan-fraction trade the table
+    count controls.  Audited against the brute-force oracle by
+    tests/test_training_ops.py and reported in bench.py)."""
     from pdf_to_epub_spark.operators import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     q = e.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
-    return lsh_topk(e, q, dim=64, k=10, bits=4, n_tables=8)
+    return lsh_topk(e, q, dim=64, k=10, bits=4, n_tables=12)
 
 
 def _q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1632,7 +1634,7 @@ _COSINE = (
 
 
 def _lsh_topk_oracle(
-    dim: int = 64, bits: int = 4, n_tables: int = 8, seed: int = 7, k: int = 10
+    dim: int = 64, bits: int = 4, n_tables: int = 12, seed: int = 7, k: int = 10
 ) -> str:
     """DuckDB replica of the multi-table hyperplane LSH top-k: the SAME
     hyperplanes the Spark operator generates (similarity._hyperplanes is
