@@ -851,10 +851,13 @@ def _q_epub_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang"),
         F.col("text"),
     )
+    # LEFT join from the doc list: a doc whose extraction yields zero
+    # blocks would otherwise vanish in blocks_table's explode while the
+    # oracle still carries its (valid, empty-body) EPUB row
     assembled = assemble_documents(blocks_table(extract_documents(docs)))
-    with_lang = assembled.join(
-        F.broadcast(docs.select("url", "lang")), "url"
-    ).select("url", "lang", "blocks")
+    with_lang = docs.select("url", "lang").join(
+        assembled.select("url", "blocks"), "url", "left"
+    )
 
     def gen(batches):
         import hashlib as _h
@@ -867,7 +870,8 @@ def _q_epub_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             urls, md5s, sizes = [], [], []
             for url, lang, blocks in zip(pdf["url"], pdf["lang"], pdf["blocks"]):
                 payload = epub_bytes(
-                    [dict(b) for b in blocks], title=url, lang=lang, url=url
+                    [dict(b) for b in blocks] if blocks is not None else [],
+                    title=url, lang=lang, url=url,
                 )
                 urls.append(url)
                 md5s.append(_h.md5(payload).hexdigest())
@@ -2782,7 +2786,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, sum(e - s)::BIGINT AS n FROM spans GROUP BY doc_id
             )
             SELECT c.doc_id,
-                   md5(coalesce(m.text, '')) AS masked_md5,
+                   CASE WHEN mc.n IS NULL THEN md5(c.text)
+                        ELSE md5(coalesce(m.text, '')) END AS masked_md5,
                    coalesce(mc.n, 0)::BIGINT AS n_masked_tokens
             FROM corpus c
             LEFT JOIN masked m USING (doc_id)

@@ -130,7 +130,11 @@ def epub_bytes(
     _DATE = (2020, 1, 1, 0, 0, 0)
 
     def entry(name: str) -> zipfile.ZipInfo:
-        return zipfile.ZipInfo(name, date_time=_DATE)
+        zi = zipfile.ZipInfo(name, date_time=_DATE)
+        # bare ZipInfo leaves external_attr 0 (mode 000 on unix
+        # extractors); mirror writestr's bare-name default
+        zi.external_attr = 0o600 << 16
+        return zi
 
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as z:

@@ -1049,13 +1049,17 @@ def duplicate_ngram_spans(
             ).alias("h"),
         )
     )
-    dup_grams = (
-        positions.groupBy("h")
-        .agg(F.count("*").alias("_df"))
+    # dup detection as a window count over h: ONE pass over the positions
+    # (one shuffle keyed on the hash) — the groupBy + semi-join-back form
+    # would re-run the tokenize/explode/md5 subtree for the probe side,
+    # doubling the dominant narrow-stage cost (no exchange reuse across a
+    # partial aggregate)
+    w_gram = Window.partitionBy("h")
+    hits = (
+        positions.withColumn("_df", F.count("*").over(w_gram))
         .where(F.col("_df") >= min_df)
-        .select("h")
+        .select(id_col, "pos")
     )
-    hits = positions.join(dup_grams, "h", "left_semi").select(id_col, "pos")
 
     w_order = Window.partitionBy(id_col).orderBy("pos")
     prev_max_end = F.max(F.col("pos") + k).over(
@@ -1106,7 +1110,11 @@ def mask_duplicate_spans(
     arrive as a per-doc struct array via one slim groupBy, and a token
     keeps its place iff no span covers its index — O(tokens × spans) per
     doc, spans per doc are few by construction.  Docs with no spans pass
-    through the left join untouched.
+    through with their ORIGINAL text byte-for-byte; a doc that was
+    actually masked is rebuilt from its whitespace-split tokens,
+    single-space joined (the spliced whitespace around removed spans has
+    no faithful reconstruction) — run line-structure-sensitive ops before
+    this one.
 
     Returns (id, text, n_masked_tokens)."""
     if spans is None:
@@ -1132,13 +1140,14 @@ def mask_duplicate_spans(
     rebuilt = (
         df.select(
             F.col(id_col),
+            F.col(text_col).alias("_orig"),
             F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
         )
         .join(per_doc, id_col, "left")
         .select(
             F.col(id_col),
             F.when(
-                F.col("_spans").isNull(), F.concat_ws(" ", toks)
+                F.col("_spans").isNull(), F.col("_orig")
             ).otherwise(
                 F.concat_ws(
                     " ", F.transform(kept, lambda p: p["t"])

@@ -367,22 +367,27 @@ def write_warc(
     out of scope here; the parquet sinks remain the primary output path,
     this is the interchange/export format.
 
-    Timestamps: ``ts_col`` (timestamp) renders as the WARC-Date ISO
-    instant; null timestamps write the epoch."""
+    Timestamps: ``ts_col`` (timestamp) renders as the WARC-Date UTC
+    instant at second precision; null timestamps write the epoch."""
     import pathlib
 
     pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
     slim = df.select(F.col(url_col), F.col(ts_col), F.col(payload_col))
 
     def write_partition(rows) -> None:
+        import datetime as _dt
+
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         recs = []
         for row in rows:
             ts = row[1]
+            # PySpark hands executors NAIVE local-time datetimes; format
+            # the UTC instant, not the local wall time with a fake 'Z'
             date = (
-                ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                ts.astimezone(_dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
                 if ts is not None
                 else "1970-01-01T00:00:00Z"
             )
@@ -395,9 +400,11 @@ def write_warc(
         recs.sort(key=lambda r: r[0])
         data = build_warc_bytes(recs, gzip_members, with_http_headers)
         # write-then-rename: a retried/speculative task never exposes a
-        # half-written archive (rename is atomic on a posix dir)
+        # half-written archive (rename is atomic on a posix dir); the tmp
+        # name carries the task ATTEMPT id so concurrent attempts of the
+        # same partition cannot truncate each other mid-write
         final = pathlib.Path(out_dir) / f"part-{pid:05d}.warc.gz"
-        tmp = final.with_name(final.name + ".inprogress")
+        tmp = final.with_name(f"{final.name}.{ctx.taskAttemptId()}.inprogress")
         tmp.write_bytes(data)
         tmp.replace(final)
 
