@@ -270,6 +270,64 @@ def classify_blocks(
     return kept, counters
 
 
+# IANA names browsers see in the wild → Python codecs; unknown names fall
+# back through the utf-8-strict → cp1252 ladder below.  latin-1/ascii map
+# to cp1252 deliberately: that is what browsers actually do (WHATWG).
+_CHARSET_ALIASES = {
+    "utf8": "utf-8", "utf-8": "utf-8",
+    "latin1": "cp1252", "latin-1": "cp1252", "iso-8859-1": "cp1252",
+    "us-ascii": "cp1252", "ascii": "cp1252", "windows-1252": "cp1252",
+    "cp1252": "cp1252", "iso-8859-15": "iso-8859-15",
+    "windows-1251": "cp1251", "cp1251": "cp1251", "koi8-r": "koi8-r",
+    "shift_jis": "shift_jis", "shift-jis": "shift_jis", "sjis": "shift_jis",
+    "euc-jp": "euc_jp", "euc-kr": "euc_kr",
+    "gb2312": "gb18030", "gbk": "gb18030", "gb18030": "gb18030",
+    "big5": "big5", "utf-16": "utf-16", "utf-16le": "utf-16-le",
+    "utf-16be": "utf-16-be",
+}
+
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+?(?:charset\s*=\s*["']?([A-Za-z0-9_.:-]+))""",
+    re.IGNORECASE,
+)
+
+
+def sniff_decode(html: bytes) -> tuple[str, str]:
+    """Bytes → (text, charset actually used), the browser resolution
+    order a Common-Crawl page needs: BOM first, then a ``<meta charset>``
+    / ``http-equiv`` declaration in the first 4 KB (WHATWG prescan),
+    then strict UTF-8, then the cp1252 fallback (the web's de-facto
+    latin-1 — real pages declared latin-1 routinely carry 0x93-0x94
+    smart quotes that only cp1252 maps).  Errors in the chosen codec
+    degrade with replacement rather than cascading to the fallback: a
+    declared charset with a few mojibake bytes is still that charset."""
+    if html[:3] == b"\xef\xbb\xbf":
+        return html[3:].decode("utf-8", "replace"), "utf-8"
+    if html[:2] == b"\xff\xfe":
+        return html[2:].decode("utf-16-le", "replace"), "utf-16-le"
+    if html[:2] == b"\xfe\xff":
+        return html[2:].decode("utf-16-be", "replace"), "utf-16-be"
+    m = _META_CHARSET_RE.search(html[:4096])
+    if m:
+        declared = m.group(1).decode("ascii", "ignore").lower()
+        codec = _CHARSET_ALIASES.get(declared)
+        if codec is None:
+            # codecs.lookup, not a probe decode: b"".decode() fast-paths
+            # empty input and never validates the codec name
+            import codecs as _codecs
+
+            try:
+                codec = _codecs.lookup(declared).name
+            except LookupError:
+                codec = None
+        if codec is not None:
+            return html.decode(codec, "replace"), codec
+    try:
+        return html.decode("utf-8"), "utf-8"
+    except UnicodeDecodeError:
+        return html.decode("cp1252", "replace"), "cp1252"
+
+
 def extract_html_document(
     html: bytes | str,
     min_words: int = 0,
@@ -287,11 +345,10 @@ def extract_html_document(
             status="quarantined", error=f"page exceeds {max_doc_bytes} bytes",
         )
     try:
-        raw_html = (
-            html.decode("utf-8", errors="replace")
-            if isinstance(html, (bytes, bytearray))
-            else html
-        )
+        if isinstance(html, (bytes, bytearray)):
+            raw_html, charset = sniff_decode(bytes(html))
+        else:
+            raw_html, charset = html, "str"
         blocks, counters = classify_blocks(
             parse_blocks(raw_html),
             min_words=min_words,
@@ -299,6 +356,7 @@ def extract_html_document(
             mode=mode,
         )
         text = "".join(b.text for b in blocks)
+        counters[f"charset.{charset}"] = 1
         return ExtractResult(text, blocks, counters)
     except Exception as exc:  # noqa: BLE001 — quarantine, don't kill the task
         return ExtractResult("", [], {}, status="error", error=repr(exc)[:500])

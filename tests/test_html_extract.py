@@ -382,3 +382,38 @@ def test_html_blocks_to_epub_sink(spark):
     assert payload == epub_bytes(
         [b.asDict() for b in asm["blocks"]], title="doc://2", lang="en"
     )
+
+
+def test_charset_sniffing_paths():
+    """CC pages arrive in many charsets: BOMs, meta declarations (incl.
+    http-equiv), strict-utf8, and the cp1252 fallback for undeclared
+    legacy bytes must all decode; the charset used lands in counters."""
+    from pdf_to_epub_spark.extractlib.htmlblocks import (
+        extract_html_document,
+        sniff_decode,
+    )
+
+    ru = "<html><head><meta charset='windows-1251'></head><body><p>Привет мир тест</p></body></html>"
+    text, cs = sniff_decode(ru.encode("cp1251"))
+    assert cs == "cp1251" and "Привет" in text
+    jp = ('<html><head><meta http-equiv="Content-Type" '
+          'content="text/html; charset=Shift_JIS"></head>'
+          "<body><p>日本語のページです</p></body></html>")
+    text, cs = sniff_decode(jp.encode("shift_jis"))
+    assert cs == "shift_jis" and "日本語" in text
+    # undeclared cp1252 smart quotes: utf-8 strict fails, fallback maps them
+    text, cs = sniff_decode("café “smart quotes”".encode("cp1252"))
+    assert cs == "cp1252" and "“smart quotes”" in text
+    # declared-but-unknown charset: ladder falls through, page still decodes
+    text, cs = sniff_decode(b"<meta charset='x-bogus-enc'><p>still works</p>")
+    assert "still works" in text
+    # a declared charset with stray mojibake bytes stays that charset
+    text, cs = sniff_decode(
+        "<meta charset='utf-8'><p>ok</p>".encode() + b"\xff\xfe\xfa"
+    )
+    assert cs == "utf-8" and "ok" in text
+
+    res = extract_html_document(ru.encode("cp1251"))
+    assert res.status == "ok"
+    assert "Привет мир тест" in res.text
+    assert res.counters.get("charset.cp1251") == 1
