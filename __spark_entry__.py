@@ -930,6 +930,37 @@ def _epub_export_oracle(limit: int = 40) -> str | None:
     """
 
 
+def _q_page_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction + crawler-style resolution over deterministic
+    link pages (one absolute, one scheme-relative, one path-absolute, one
+    directory-relative anchor per doc, plus a dropped mailto) — the
+    frontier/webgraph primitive, JVM-side end to end."""
+    from pdf_to_epub_spark.operators import extract_outlinks
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://sub"), (i % 7).cast("string"),
+        F.lit(".site"), (i % 13).cast("string"),
+        F.lit(".example/dir"), (i % 3).cast("string"),
+        F.lit("/page"), i.cast("string"), F.lit(".html"),
+    )
+    html = F.encode(
+        F.concat(
+            F.lit('<html><body><a href="https://ext'), (i % 5).cast("string"),
+            F.lit('.example.org/x'), i.cast("string"),
+            F.lit('">a</a><a href=\'//cdn'), (i % 2).cast("string"),
+            F.lit(".example.net/y'>b</a>"),
+            F.lit('<a href="/root'), (i % 4).cast("string"),
+            F.lit('.html">c</a><a href="rel'), (i % 6).cast("string"),
+            F.lit('.html">d</a><a href="mailto:x@y.z">e</a></body></html>'),
+        ),
+        "UTF-8",
+    )
+    pages = d.select(url.alias("url"), html.alias("html"))
+    return extract_outlinks(pages).select("url", "target")
+
+
 def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registrable-domain corpus stats over deterministically-built
     urls (7 subdomains × 13 domains) — the quota/filter input table."""
@@ -1424,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": _q_length_quantiles,
         "bigram_lm_scores": _q_bigram_lm_scores,
         "lm_partition": _q_lm_partition,
+        "page_outlinks": _q_page_outlinks,
         "benchmark_contamination": _q_benchmark_contamination,
         "domain_stats": _q_domain_stats,
         "ann_topk": _q_ann_topk,
@@ -2063,6 +2095,38 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_ratio > 0.8
                     AND stop_hits >= 2) AS keep
             FROM feats
+        """,
+        # outlink resolution replayed arithmetically: the synthetic pages
+        # are pure functions of doc_id, so the expected (url, target) set
+        # is constructed directly — any regex/when-chain bug on the Spark
+        # side (missed quote form, wrong base join, undropped mailto)
+        # breaks the hash
+        "page_outlinks": """
+            WITH src AS (
+                SELECT doc_id AS i,
+                       'https://sub' || (doc_id % 7) || '.site'
+                       || (doc_id % 13) || '.example/dir' || (doc_id % 3)
+                       || '/page' || doc_id || '.html' AS url
+                FROM documents)
+            SELECT url, target FROM (
+                SELECT url,
+                       'https://ext' || (i % 5) || '.example.org/x' || i
+                           AS target
+                FROM src
+                UNION ALL
+                SELECT url, 'https://cdn' || (i % 2) || '.example.net/y'
+                FROM src
+                UNION ALL
+                SELECT url,
+                       'https://sub' || (i % 7) || '.site' || (i % 13)
+                       || '.example/root' || (i % 4) || '.html'
+                FROM src
+                UNION ALL
+                SELECT url,
+                       'https://sub' || (i % 7) || '.site' || (i % 13)
+                       || '.example/dir' || (i % 3) || '/rel' || (i % 6)
+                       || '.html'
+                FROM src)
         """,
         # fused gate: the gopher feats and repetition replicas joined, with
         # keep_all computed from the ROUNDED ratios exactly as the Spark

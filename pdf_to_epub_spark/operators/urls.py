@@ -101,3 +101,69 @@ def filter_blocked_urls(
         .join(bl, F.col("__dom") == F.col("__bl_domain"), "left_anti")
         .drop("__dom")
     )
+
+
+def extract_outlinks(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    max_scan_bytes: int = 1 << 20,
+) -> DataFrame:
+    """(url, href …) → one (url, target) row per ``<a href=…>`` — the
+    frontier/webgraph primitive.  Entirely JVM-side column algebra: one
+    regexp_extract_all over the (bounded) page prefix, then a when-chain
+    resolving each href the way a crawler does:
+
+    * ``http(s)://…``     kept verbatim
+    * ``//host/path``     inherits the source scheme
+    * ``/path``           joins the source origin
+    * ``other``           joins the source directory (naive relative —
+      no ``..`` normalization; canonicalize_urls downstream if needed)
+    * ``#…``, ``javascript:``, ``mailto:``, ``data:``, empty → dropped
+
+    The explode is the only row amplification; no shuffle at all until
+    the caller aggregates.  ``max_scan_bytes`` bounds the regex scan on
+    pathological pages."""
+    page_text = F.decode(
+        F.substring(F.col(html_col).cast("binary"), 1, max_scan_bytes), "UTF-8"
+    )
+    href_pat = "(?i)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"'<>]+)"
+    hrefs = F.regexp_extract_all(page_text, F.lit(href_pat), F.lit(1))
+    src = F.col(url_col)
+    origin = F.regexp_extract(src, r"^(https?://[^/]+)", 1)
+    scheme = F.regexp_extract(src, r"^(https?):", 1)
+    srcdir = F.regexp_replace(src, r"[^/]*$", "")
+    h = F.col("_href")
+    resolved = (
+        F.when(h.rlike(r"^(?i)https?://"), h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(origin, h))
+        .otherwise(F.concat(srcdir, h))
+    )
+    return (
+        pages.select(src.alias(url_col), F.explode(hrefs).alias("_href"))
+        .where(
+            (F.length("_href") > 0)
+            & ~F.col("_href").startswith("#")
+            & ~F.col("_href").rlike(r"^(?i)(javascript|mailto|data|tel):")
+        )
+        .select(F.col(url_col), resolved.alias("target"))
+        .where(F.col("target").rlike(r"^(?i)https?://"))
+    )
+
+
+def domain_graph(
+    outlinks: DataFrame, url_col: str = "url", target_col: str = "target"
+) -> DataFrame:
+    """Outlink rows → the registrable-domain webgraph edge table
+    (src_domain, dst_domain, n_links).  One map-side-combined groupBy on
+    the slim domain pair; self-loops kept (intra-site link mass is a
+    real quality signal)."""
+    return (
+        outlinks.select(
+            registrable_domain(F.col(url_col)).alias("src_domain"),
+            registrable_domain(F.col(target_col)).alias("dst_domain"),
+        )
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count("*").alias("n_links"))
+    )

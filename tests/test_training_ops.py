@@ -1348,3 +1348,47 @@ def test_mask_duplicate_spans(spark):
         ).collect()
     }
     assert again == {k: v["text"] for k, v in out.items()}
+
+
+def test_extract_outlinks_resolution_and_graph(spark):
+    """Crawler-style href resolution: absolute kept, scheme-relative
+    inherits the scheme, path-absolute joins the origin, bare-relative
+    joins the source directory; fragment/js/mailto/data dropped; the
+    domain graph aggregates registrable-domain edges with self-loops."""
+    from pdf_to_epub_spark.operators import domain_graph, extract_outlinks
+
+    html = (
+        '<html><body>'
+        '<a href="https://other.example.com/x">abs</a>'
+        "<a href='//cdn.example.net/y'>scheme-rel</a>"
+        '<a href="/local/page">path-abs</a>'
+        '<a href="sibling.html">rel</a>'
+        '<a href="#frag">frag</a>'
+        '<a href="javascript:void(0)">js</a>'
+        '<a href="mailto:a@b.c">mail</a>'
+        '<A HREF="HTTPS://CAPS.example.org/Z">caps</A>'
+        "</body></html>"
+    ).encode()
+    df = spark.createDataFrame(
+        [("https://src.example.com/dir/page.html", bytearray(html))],
+        "url string, html binary",
+    )
+    out = extract_outlinks(df)
+    targets = sorted(r["target"] for r in out.collect())
+    assert targets == [
+        "HTTPS://CAPS.example.org/Z",
+        "https://cdn.example.net/y",
+        "https://other.example.com/x",
+        "https://src.example.com/dir/sibling.html",
+        "https://src.example.com/local/page",
+    ]
+    g = {(r["src_domain"], r["dst_domain"]): r["n_links"]
+         for r in domain_graph(out).collect()}
+    assert g == {
+        ("example.com", "example.com"): 3,
+        ("example.com", "example.net"): 1,
+        ("example.com", "example.org"): 1,
+    }
+    # no shuffle before the caller aggregates
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
