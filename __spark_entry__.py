@@ -961,6 +961,39 @@ def _q_page_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_outlinks(pages).select("url", "target")
 
 
+def _q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction (title / robots noindex-nofollow /
+    rel=canonical) over deterministic page heads — the polite-crawl gate's
+    input columns."""
+    from pdf_to_epub_spark.operators import page_meta
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    robots = (
+        F.when(i % 4 == 0, F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(i % 4 == 1, F.lit("<meta name='robots' content='nofollow'>"))
+        .when(i % 4 == 2, F.lit("<meta name=robots content=noindex>"))
+        .otherwise(F.lit(""))
+    )
+    canonical = F.when(
+        i % 3 == 0,
+        F.concat(F.lit('<link rel="canonical" href="https://c.example/p'),
+                 i.cast("string"), F.lit('">')),
+    ).otherwise(F.lit(""))
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title> Doc "), i.cast("string"),
+            F.lit(" </title>"), robots, canonical,
+            F.lit("</head><body>x</body></html>"),
+        ),
+        "UTF-8",
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    return page_meta(pages).select(
+        "doc_id", "title", "noindex", "nofollow", "canonical"
+    )
+
+
 def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registrable-domain corpus stats over deterministically-built
     urls (7 subdomains × 13 domains) — the quota/filter input table."""
@@ -1456,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_scores": _q_bigram_lm_scores,
         "lm_partition": _q_lm_partition,
         "page_outlinks": _q_page_outlinks,
+        "page_meta": _q_page_meta,
         "benchmark_contamination": _q_benchmark_contamination,
         "domain_stats": _q_domain_stats,
         "ann_topk": _q_ann_topk,
@@ -2095,6 +2129,17 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_ratio > 0.8
                     AND stop_hits >= 2) AS keep
             FROM feats
+        """,
+        # head-metadata replayed arithmetically from the same doc_id rules
+        "page_meta": """
+            SELECT doc_id,
+                   'Doc ' || doc_id AS title,
+                   (doc_id % 4) IN (0, 2) AS noindex,
+                   (doc_id % 4) IN (0, 1) AS nofollow,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'https://c.example/p' || doc_id
+                        ELSE NULL END AS canonical
+            FROM documents
         """,
         # outlink resolution replayed arithmetically: the synthetic pages
         # are pure functions of doc_id, so the expected (url, target) set

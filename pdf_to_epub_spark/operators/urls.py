@@ -167,3 +167,54 @@ def domain_graph(
         .groupBy("src_domain", "dst_domain")
         .agg(F.count("*").alias("n_links"))
     )
+
+
+def page_meta(
+    pages: DataFrame,
+    html_col: str = "html",
+    max_scan_bytes: int = 8192,
+) -> DataFrame:
+    """Head-metadata columns from the page prefix, JVM-side: ``title``
+    (first <title> text, entity-light trim), ``noindex`` / ``nofollow``
+    (robots meta directives — the pages a polite corpus must exclude from
+    training/link-following), ``canonical`` (rel=canonical href or null).
+    One bounded decode + three regexes over the first ``max_scan_bytes``
+    (the WHATWG-prescan-style bound); no shuffle."""
+    head = F.decode(
+        F.substring(F.col(html_col).cast("binary"), 1, max_scan_bytes), "UTF-8"
+    )
+    title = F.regexp_extract(head, r"(?is)<title[^>]*>\s*(.*?)\s*</title", 1)
+    # quoted content values may contain spaces/commas; unquoted ones stop
+    # at whitespace — two extracts coalesced (Java regex lacks branch-reset)
+    robots_q = F.regexp_extract(
+        head,
+        r"""(?is)<meta\s[^>]*?name\s*=\s*["']?robots["']?[^>]*?content\s*=\s*["']([^"'<>]*)""",
+        1,
+    )
+    robots_u = F.regexp_extract(
+        head,
+        r"""(?is)<meta\s[^>]*?name\s*=\s*["']?robots["']?[^>]*?content\s*=\s*([^\s"'<>]+)""",
+        1,
+    )
+    robots = F.lower(F.when(robots_q != "", robots_q).otherwise(robots_u))
+    canonical = F.regexp_extract(
+        head,
+        r"""(?is)<link\s[^>]*?rel\s*=\s*["']?canonical["']?[^>]*?href\s*=\s*["']([^"'<>]+)""",
+        1,
+    )
+    return pages.select(
+        "*",
+        F.when(title == "", None).otherwise(title).alias("title"),
+        robots.contains("noindex").alias("noindex"),
+        robots.contains("nofollow").alias("nofollow"),
+        F.when(canonical == "", None).otherwise(canonical).alias("canonical"),
+    )
+
+
+def drop_noindex(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Exclude pages whose robots meta declares noindex — the polite-crawl
+    gate a training corpus runs before everything else (a directive the
+    publisher set; honoring it is not optional)."""
+    return page_meta(pages, html_col).where(~F.col("noindex")).drop(
+        "title", "noindex", "nofollow", "canonical"
+    )

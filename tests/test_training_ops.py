@@ -1392,3 +1392,32 @@ def test_extract_outlinks_resolution_and_graph(spark):
     # no shuffle before the caller aggregates
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:2000]
+
+
+def test_page_meta_and_noindex_gate(spark):
+    from pdf_to_epub_spark.operators import drop_noindex, page_meta
+
+    rows = [
+        (0, b"<html><head><title> My Page </title>"
+            b'<meta name="robots" content="noindex, nofollow">'
+            b'<link rel="canonical" href="https://c.example/p"></head></html>'),
+        (1, b"<html><head><TITLE>Caps</TITLE>"
+            b"<meta name='ROBOTS' content='NOFOLLOW'></head></html>"),
+        (2, b"<html><head></head><body>no meta at all</body></html>"),
+        (3, b"<html><head><meta name=robots content=noindex></head></html>"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(h)) for i, h in rows], "doc_id long, html binary"
+    )
+    got = {r["doc_id"]: r for r in page_meta(df).collect()}
+    assert got[0]["title"] == "My Page"
+    assert got[0]["noindex"] and got[0]["nofollow"]
+    assert got[0]["canonical"] == "https://c.example/p"
+    assert got[1]["title"] == "Caps"
+    assert not got[1]["noindex"] and got[1]["nofollow"]
+    assert got[2]["title"] is None and not got[2]["noindex"]
+    assert got[3]["noindex"]  # unquoted attribute form
+    kept = {r["doc_id"] for r in drop_noindex(df).collect()}
+    assert kept == {1, 2}
+    plan = page_meta(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
