@@ -994,6 +994,70 @@ def _q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the registrable-domain webgraph built from the same
+    deterministic link pages as page_outlinks — the full chain
+    extract_outlinks → domain_graph → 10 iterations of domain_rank.  The
+    distinct edge set depends only on doc_id residues (full coverage at
+    both test scales), so the oracle is one static pure-Python replay."""
+    from pdf_to_epub_spark.operators import (
+        domain_graph,
+        domain_rank,
+        extract_outlinks,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://sub"), (i % 7).cast("string"),
+        F.lit(".site"), (i % 13).cast("string"),
+        F.lit(".example/dir"), (i % 3).cast("string"),
+        F.lit("/page"), i.cast("string"), F.lit(".html"),
+    )
+    html = F.encode(
+        F.concat(
+            F.lit('<html><body><a href="https://ext'), (i % 5).cast("string"),
+            F.lit('.example.org/x'), i.cast("string"),
+            F.lit('">a</a><a href=\'//cdn'), (i % 2).cast("string"),
+            F.lit(".example.net/y'>b</a>"),
+            F.lit('<a href="/root'), (i % 4).cast("string"),
+            F.lit('.html">c</a></body></html>'),
+        ),
+        "UTF-8",
+    )
+    pages = d.select(url.alias("url"), html.alias("html"))
+    return domain_rank(domain_graph(extract_outlinks(pages)))
+
+
+def _domain_pagerank_oracle() -> str:
+    """Pure-Python replay of the simple-variant PageRank over the exact
+    distinct edge set the synthetic pages produce: 13 site domains each →
+    {example.org, example.net, itself}."""
+    srcs = [f"site{r}.example" for r in range(13)]
+    edges = sorted(
+        {(s, d) for s in srcs for d in ("example.org", "example.net", s)}
+    )
+    nodes = sorted({x for e in edges for x in e})
+    out: dict[str, int] = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    n, damp = len(nodes), 0.85
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(10):
+        nxt = {v: (1 - damp) / n for v in nodes}
+        for s, t in edges:
+            nxt[t] += damp * r[s] / out[s]
+        r = nxt
+    vals = ",\n            ".join(
+        f"('{v}', {round(r[v], 9)!r})" for v in nodes
+    )
+    return f"""
+        WITH golden(domain, rank) AS (VALUES
+            {vals})
+        SELECT domain, rank::DOUBLE AS rank FROM golden
+    """
+
+
 def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registrable-domain corpus stats over deterministically-built
     urls (7 subdomains × 13 domains) — the quota/filter input table."""
@@ -1490,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_partition": _q_lm_partition,
         "page_outlinks": _q_page_outlinks,
         "page_meta": _q_page_meta,
+        "domain_pagerank": _q_domain_pagerank,
         "benchmark_contamination": _q_benchmark_contamination,
         "domain_stats": _q_domain_stats,
         "ann_topk": _q_ann_topk,
@@ -2130,6 +2195,9 @@ def oracle_sql() -> dict[str, str]:
                     AND stop_hits >= 2) AS keep
             FROM feats
         """,
+        # webgraph PageRank: static pure-Python replay (edge set is a pure
+        # function of doc_id residues, identical at both test scales)
+        "domain_pagerank": _domain_pagerank_oracle(),
         # head-metadata replayed arithmetically from the same doc_id rules
         "page_meta": """
             SELECT doc_id,

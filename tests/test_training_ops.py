@@ -1421,3 +1421,35 @@ def test_page_meta_and_noindex_gate(spark):
     assert kept == {1, 2}
     plan = page_meta(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_domain_rank_hand_graph(spark):
+    """PageRank sanity on a hand graph: a sink pointed to by everyone
+    outranks the pointers; values match a NumPy-free reference iteration
+    to 1e-9; deterministic across repartitioning."""
+    from pdf_to_epub_spark.operators import domain_rank
+
+    edges = [("a", "c"), ("b", "c"), ("c", "d"), ("d", "a"), ("b", "d")]
+    df = spark.createDataFrame(edges, "src_domain string, dst_domain string")
+    got = {r["domain"]: r["rank"] for r in domain_rank(df).collect()}
+
+    # reference: same simple-variant iteration in plain Python
+    nodes = sorted({x for e in edges for x in e})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    n, d = len(nodes), 0.85
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(10):
+        nxt = {v: (1 - d) / n for v in nodes}
+        for s, t in edges:
+            nxt[t] += d * r[s] / out[s]
+        r = nxt
+    for v in nodes:
+        assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
+    assert got["c"] > got["a"] and got["d"] > got["b"]
+    again = {
+        r2["domain"]: r2["rank"]
+        for r2 in domain_rank(df.repartition(5)).collect()
+    }
+    assert again == got
