@@ -930,14 +930,14 @@ def _epub_export_oracle(limit: int = 40) -> str | None:
     """
 
 
-def _q_page_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Outlink extraction + crawler-style resolution over deterministic
-    link pages (one absolute, one scheme-relative, one path-absolute, one
-    directory-relative anchor per doc, plus a dropped mailto) — the
-    frontier/webgraph primitive, JVM-side end to end."""
-    from pdf_to_epub_spark.operators import extract_outlinks
-
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+def _link_pages(d: DataFrame, extra_anchors: bool = False) -> DataFrame:
+    """Deterministic (url, html) link pages shared by page_outlinks and
+    domain_pagerank: one absolute, one scheme-relative and one
+    path-absolute anchor per doc.  ``extra_anchors`` adds a
+    directory-relative anchor, an UNQUOTED-href anchor (legal HTML the
+    extractor must still see) and a dropped mailto — all of which resolve
+    to the page's own domain (or vanish), so enabling them never changes
+    the DISTINCT domain edge set the static pagerank oracle replays."""
     i = F.col("doc_id")
     url = F.concat(
         F.lit("https://sub"), (i % 7).cast("string"),
@@ -945,19 +945,33 @@ def _q_page_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(".example/dir"), (i % 3).cast("string"),
         F.lit("/page"), i.cast("string"), F.lit(".html"),
     )
-    html = F.encode(
-        F.concat(
-            F.lit('<html><body><a href="https://ext'), (i % 5).cast("string"),
-            F.lit('.example.org/x'), i.cast("string"),
-            F.lit('">a</a><a href=\'//cdn'), (i % 2).cast("string"),
-            F.lit(".example.net/y'>b</a>"),
-            F.lit('<a href="/root'), (i % 4).cast("string"),
-            F.lit('.html">c</a><a href="rel'), (i % 6).cast("string"),
-            F.lit('.html">d</a><a href="mailto:x@y.z">e</a></body></html>'),
-        ),
-        "UTF-8",
-    )
-    pages = d.select(url.alias("url"), html.alias("html"))
+    parts = [
+        F.lit('<html><body><a href="https://ext'), (i % 5).cast("string"),
+        F.lit('.example.org/x'), i.cast("string"),
+        F.lit('">a</a><a href=\'//cdn'), (i % 2).cast("string"),
+        F.lit(".example.net/y'>b</a>"),
+        F.lit('<a href="/root'), (i % 4).cast("string"), F.lit('.html">c</a>'),
+    ]
+    if extra_anchors:
+        parts += [
+            F.lit('<a href="rel'), (i % 6).cast("string"),
+            F.lit('.html">d</a><a href=uq'), (i % 6).cast("string"),
+            F.lit('.html>e</a><a href="mailto:x@y.z">f</a>'),
+        ]
+    parts.append(F.lit("</body></html>"))
+    html = F.encode(F.concat(*parts), "UTF-8")
+    return d.select(url.alias("url"), html.alias("html"))
+
+
+def _q_page_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction + crawler-style resolution over deterministic
+    link pages (absolute, scheme-relative, path-absolute,
+    directory-relative and UNQUOTED anchors per doc, plus a dropped
+    mailto) — the frontier/webgraph primitive, JVM-side end to end."""
+    from pdf_to_epub_spark.operators import extract_outlinks
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    pages = _link_pages(d, extra_anchors=True)
     return extract_outlinks(pages).select("url", "target")
 
 
@@ -970,10 +984,19 @@ def _q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id")
     i = F.col("doc_id")
     robots = (
-        F.when(i % 4 == 0, F.lit('<meta name="robots" content="noindex, nofollow">'))
-        .when(i % 4 == 1, F.lit("<meta name='robots' content='nofollow'>"))
-        .when(i % 4 == 2, F.lit("<meta name=robots content=noindex>"))
-        .otherwise(F.lit(""))
+        F.when(i % 6 == 0, F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(i % 6 == 1, F.lit("<meta name='robots' content='nofollow'>"))
+        .when(i % 6 == 2, F.lit("<meta name=robots content=noindex>"))
+        .when(i % 6 == 3, F.lit(""))
+        # reversed attribute order + the 'none' directive
+        .when(i % 6 == 4, F.lit('<meta content="none" name="robots">'))
+        # multiple robots metas whose directives union
+        .otherwise(
+            F.lit(
+                '<meta name=robots content=noindex>'
+                '<meta name="robots" content="nofollow">'
+            )
+        )
     )
     canonical = F.when(
         i % 3 == 0,
@@ -990,7 +1013,11 @@ def _q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pages = d.select("doc_id", html.alias("html"))
     return page_meta(pages).select(
-        "doc_id", "title", "noindex", "nofollow", "canonical"
+        "doc_id",
+        F.col("page_title").alias("title"),
+        F.col("page_noindex").alias("noindex"),
+        F.col("page_nofollow").alias("nofollow"),
+        F.col("page_canonical").alias("canonical"),
     )
 
 
@@ -1007,25 +1034,7 @@ def _q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
-    i = F.col("doc_id")
-    url = F.concat(
-        F.lit("https://sub"), (i % 7).cast("string"),
-        F.lit(".site"), (i % 13).cast("string"),
-        F.lit(".example/dir"), (i % 3).cast("string"),
-        F.lit("/page"), i.cast("string"), F.lit(".html"),
-    )
-    html = F.encode(
-        F.concat(
-            F.lit('<html><body><a href="https://ext'), (i % 5).cast("string"),
-            F.lit('.example.org/x'), i.cast("string"),
-            F.lit('">a</a><a href=\'//cdn'), (i % 2).cast("string"),
-            F.lit(".example.net/y'>b</a>"),
-            F.lit('<a href="/root'), (i % 4).cast("string"),
-            F.lit('.html">c</a></body></html>'),
-        ),
-        "UTF-8",
-    )
-    pages = d.select(url.alias("url"), html.alias("html"))
+    pages = _link_pages(d)
     return domain_rank(domain_graph(extract_outlinks(pages)))
 
 
@@ -2202,8 +2211,8 @@ def oracle_sql() -> dict[str, str]:
         "page_meta": """
             SELECT doc_id,
                    'Doc ' || doc_id AS title,
-                   (doc_id % 4) IN (0, 2) AS noindex,
-                   (doc_id % 4) IN (0, 1) AS nofollow,
+                   (doc_id % 6) IN (0, 2, 4, 5) AS noindex,
+                   (doc_id % 6) IN (0, 1, 4, 5) AS nofollow,
                    CASE WHEN doc_id % 3 = 0
                         THEN 'https://c.example/p' || doc_id
                         ELSE NULL END AS canonical
@@ -2238,6 +2247,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT url,
                        'https://sub' || (i % 7) || '.site' || (i % 13)
                        || '.example/dir' || (i % 3) || '/rel' || (i % 6)
+                       || '.html'
+                FROM src
+                UNION ALL
+                SELECT url,
+                       'https://sub' || (i % 7) || '.site' || (i % 13)
+                       || '.example/dir' || (i % 3) || '/uq' || (i % 6)
                        || '.html'
                 FROM src)
         """,

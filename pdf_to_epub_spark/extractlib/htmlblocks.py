@@ -286,13 +286,22 @@ _CHARSET_ALIASES = {
     "utf-16be": "utf-16-be",
 }
 
-_META_CHARSET_RE = re.compile(
-    rb"""<meta[^>]+?(?:charset\s*=\s*["']?([A-Za-z0-9_.:-]+))""",
-    re.IGNORECASE,
+# two declaration forms, attribute-anchored so charset= inside an
+# unrelated content value (a description meta, prose about charsets)
+# cannot match: the HTML5 <meta charset=...> form, and the legacy
+# http-equiv Content-Type form (lookahead pins http-equiv to the SAME tag)
+_META_CHARSET5_RE = re.compile(
+    rb"""<meta\s+charset\s*=\s*["']?([A-Za-z0-9_.:-]+)""", re.IGNORECASE
 )
+_META_CHARSET_EQUIV_RE = re.compile(
+    rb"""<meta(?=[^>]*?http-equiv\s*=\s*["']?content-type)"""
+    rb"""[^>]*?charset\s*=\s*["']?([A-Za-z0-9_.:-]+)""",
+    re.IGNORECASE | re.DOTALL,
+)
+_HTML_COMMENT_RE = re.compile(rb"<!--.*?-->", re.DOTALL)
 
 
-def sniff_decode(html: bytes) -> tuple[str, str]:
+def sniff_decode(html: bytes | bytearray) -> tuple[str, str]:
     """Bytes → (text, charset actually used), the browser resolution
     order a Common-Crawl page needs: BOM first, then a ``<meta charset>``
     / ``http-equiv`` declaration in the first 4 KB (WHATWG prescan),
@@ -307,17 +316,24 @@ def sniff_decode(html: bytes) -> tuple[str, str]:
         return html[2:].decode("utf-16-le", "replace"), "utf-16-le"
     if html[:2] == b"\xfe\xff":
         return html[2:].decode("utf-16-be", "replace"), "utf-16-be"
-    m = _META_CHARSET_RE.search(html[:4096])
+    # commented-out declarations must not win over the live one
+    head = _HTML_COMMENT_RE.sub(b"", bytes(html[:4096]))
+    m = _META_CHARSET5_RE.search(head) or _META_CHARSET_EQUIV_RE.search(head)
     if m:
         declared = m.group(1).decode("ascii", "ignore").lower()
         codec = _CHARSET_ALIASES.get(declared)
         if codec is None:
             # codecs.lookup, not a probe decode: b"".decode() fast-paths
-            # empty input and never validates the codec name
+            # empty input and never validates the codec name; reject
+            # resolvable NON-TEXT codecs (hex, base64, zlib) that would
+            # raise out of the "replace" decode below
             import codecs as _codecs
 
             try:
-                codec = _codecs.lookup(declared).name
+                info = _codecs.lookup(declared)
+                codec = info.name if getattr(
+                    info, "_is_text_encoding", True
+                ) else None
             except LookupError:
                 codec = None
         if codec is not None:
@@ -346,7 +362,7 @@ def extract_html_document(
         )
     try:
         if isinstance(html, (bytes, bytearray)):
-            raw_html, charset = sniff_decode(bytes(html))
+            raw_html, charset = sniff_decode(html)
         else:
             raw_html, charset = html, "str"
         blocks, counters = classify_blocks(

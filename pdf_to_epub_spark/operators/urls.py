@@ -124,11 +124,20 @@ def extract_outlinks(
     The explode is the only row amplification; no shuffle at all until
     the caller aggregates.  ``max_scan_bytes`` bounds the regex scan on
     pathological pages."""
+    # JVM-side utf-8 decode: href/url bytes are overwhelmingly ASCII (and
+    # non-ASCII hrefs are percent-encoded by compliant generators); a page
+    # in a legacy charset can mangle the rare raw non-ASCII href — the
+    # charset-exact path is the Python-side extractor (sniff_decode), this
+    # operator deliberately stays in codegen
     page_text = F.decode(
         F.substring(F.col(html_col).cast("binary"), 1, max_scan_bytes), "UTF-8"
     )
-    href_pat = "(?i)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"'<>]+)"
-    hrefs = F.regexp_extract_all(page_text, F.lit(href_pat), F.lit(1))
+    quoted = "(?i)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"'<>]+)"
+    unquoted = "(?i)<a\\s[^>]*?href\\s*=\\s*([^\\s\"'<>]+)"
+    hrefs = F.concat(
+        F.regexp_extract_all(page_text, F.lit(quoted), F.lit(1)),
+        F.regexp_extract_all(page_text, F.lit(unquoted), F.lit(1)),
+    )
     src = F.col(url_col)
     origin = F.regexp_extract(src, r"^(https?://[^/]+)", 1)
     scheme = F.regexp_extract(src, r"^(https?):", 1)
@@ -174,29 +183,48 @@ def page_meta(
     html_col: str = "html",
     max_scan_bytes: int = 8192,
 ) -> DataFrame:
-    """Head-metadata columns from the page prefix, JVM-side: ``title``
-    (first <title> text, entity-light trim), ``noindex`` / ``nofollow``
-    (robots meta directives — the pages a polite corpus must exclude from
-    training/link-following), ``canonical`` (rel=canonical href or null).
-    One bounded decode + three regexes over the first ``max_scan_bytes``
-    (the WHATWG-prescan-style bound); no shuffle."""
+    """Head-metadata columns from the page prefix, JVM-side:
+    ``page_title`` (first <title> text, entity-light trim),
+    ``page_noindex`` / ``page_nofollow`` (robots meta directives — the
+    pages a polite corpus must exclude from training/link-following),
+    ``page_canonical`` (rel=canonical href or null).  Output columns are
+    ``page_``-prefixed so they cannot silently shadow caller columns.
+    One bounded decode + a handful of regexes over the first
+    ``max_scan_bytes`` (the WHATWG-prescan-style bound); no shuffle.
+
+    Robots handling covers the forms real CMSes emit: both attribute
+    orders (``name=… content=…`` and the reversed ``content=… name=…``),
+    quoted and unquoted content values, MULTIPLE robots metas on one page
+    (directives union), and the ``none`` directive (= noindex,nofollow).
+    A NULL html column yields false flags (nothing declared), never a
+    dropped row downstream."""
     head = F.decode(
         F.substring(F.col(html_col).cast("binary"), 1, max_scan_bytes), "UTF-8"
     )
     title = F.regexp_extract(head, r"(?is)<title[^>]*>\s*(.*?)\s*</title", 1)
-    # quoted content values may contain spaces/commas; unquoted ones stop
-    # at whitespace — two extracts coalesced (Java regex lacks branch-reset)
-    robots_q = F.regexp_extract(
-        head,
+    # all robots metas, both attribute orders × quoted/unquoted content
+    # (quoted values may contain spaces/commas; unquoted stop at
+    # whitespace; [^>]*? never crosses a tag boundary, so the reversed
+    # patterns can't pair content from one tag with name from the next)
+    _robots_pats = (
         r"""(?is)<meta\s[^>]*?name\s*=\s*["']?robots["']?[^>]*?content\s*=\s*["']([^"'<>]*)""",
-        1,
-    )
-    robots_u = F.regexp_extract(
-        head,
         r"""(?is)<meta\s[^>]*?name\s*=\s*["']?robots["']?[^>]*?content\s*=\s*([^\s"'<>]+)""",
-        1,
+        r"""(?is)<meta\s[^>]*?content\s*=\s*["']([^"'<>]*)["'][^>]*?name\s*=\s*["']?robots["']?""",
+        r"""(?is)<meta\s[^>]*?content\s*=\s*([^\s"'<>]+)[^>]*?name\s*=\s*["']?robots["']?""",
     )
-    robots = F.lower(F.when(robots_q != "", robots_q).otherwise(robots_u))
+    # concat_ws skips NULL pieces, so a NULL head (fetch-failed row)
+    # degrades to "" → both flags false rather than NULL
+    robots = F.lower(
+        F.concat_ws(
+            ",",
+            *(
+                F.array_join(
+                    F.regexp_extract_all(head, F.lit(p), F.lit(1)), ","
+                )
+                for p in _robots_pats
+            ),
+        )
+    )
     canonical = F.regexp_extract(
         head,
         r"""(?is)<link\s[^>]*?rel\s*=\s*["']?canonical["']?[^>]*?href\s*=\s*["']([^"'<>]+)""",
@@ -204,19 +232,26 @@ def page_meta(
     )
     return pages.select(
         "*",
-        F.when(title == "", None).otherwise(title).alias("title"),
-        robots.contains("noindex").alias("noindex"),
-        robots.contains("nofollow").alias("nofollow"),
-        F.when(canonical == "", None).otherwise(canonical).alias("canonical"),
+        F.when(title == "", None).otherwise(title).alias("page_title"),
+        (robots.contains("noindex") | robots.contains("none")).alias(
+            "page_noindex"
+        ),
+        (robots.contains("nofollow") | robots.contains("none")).alias(
+            "page_nofollow"
+        ),
+        F.when(canonical == "", None)
+        .otherwise(canonical)
+        .alias("page_canonical"),
     )
 
 
 def drop_noindex(pages: DataFrame, html_col: str = "html") -> DataFrame:
-    """Exclude pages whose robots meta declares noindex — the polite-crawl
-    gate a training corpus runs before everything else (a directive the
-    publisher set; honoring it is not optional)."""
-    return page_meta(pages, html_col).where(~F.col("noindex")).drop(
-        "title", "noindex", "nofollow", "canonical"
+    """Exclude pages whose robots meta declares noindex (or ``none``) —
+    the polite-crawl gate a training corpus runs before everything else
+    (a directive the publisher set; honoring it is not optional).  Rows
+    with a NULL html column carry no directive and are KEPT."""
+    return page_meta(pages, html_col).where(~F.col("page_noindex")).drop(
+        "page_title", "page_noindex", "page_nofollow", "page_canonical"
     )
 
 
@@ -252,6 +287,10 @@ def domain_rank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        # empty edge table (e.g. the filters upstream emptied the graph):
+        # an empty (domain, rank) frame, not a 1/N ZeroDivisionError
+        return nodes.select("domain", F.lit(0.0).alias("rank"))
     outdeg = e.groupBy("src").agg(F.count("*").alias("out"))
     ranks = nodes.select("domain", F.lit(1.0 / n).alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)

@@ -412,6 +412,31 @@ def test_charset_sniffing_paths():
         "<meta charset='utf-8'><p>ok</p>".encode() + b"\xff\xfe\xfa"
     )
     assert cs == "utf-8" and "ok" in text
+    # codecs.lookup-resolvable NON-TEXT codec (hex/base64/zlib): must fall
+    # through the ladder, not raise LookupError out of the decode
+    text, cs = sniff_decode(b"<meta charset='hex'><p>hex trap</p>")
+    assert cs in ("utf-8", "cp1252") and "hex trap" in text
+    # charset= inside an unrelated attribute value must NOT win
+    desc = ('<html><head><meta name="description" '
+            'content="how to set charset=koi8-r in html">'
+            "<body>plain utf-8 “text”</body></html>")
+    text, cs = sniff_decode(desc.encode("utf-8"))
+    assert cs == "utf-8" and "“text”" in text
+    # commented-out declaration loses to the live one
+    text, cs = sniff_decode(
+        b"<!-- <meta charset='koi8-r'> --><meta charset='windows-1251'>"
+        + "<p>Привет</p>".encode("cp1251")
+    )
+    assert cs == "cp1251" and "Привет" in text
+    # reversed http-equiv attribute order (content first) still resolves
+    text, cs = sniff_decode(
+        ('<meta content="text/html; charset=Shift_JIS" '
+         'http-equiv="Content-Type"><p>日本語</p>').encode("shift_jis")
+    )
+    assert cs == "shift_jis" and "日本語" in text
+    # bytearray input (the Spark binary column shape) works unchanged
+    text, cs = sniff_decode(bytearray(ru.encode("cp1251")))
+    assert cs == "cp1251" and "Привет" in text
 
     res = extract_html_document(ru.encode("cp1251"))
     assert res.status == "ok"

@@ -1367,6 +1367,7 @@ def test_extract_outlinks_resolution_and_graph(spark):
         '<a href="javascript:void(0)">js</a>'
         '<a href="mailto:a@b.c">mail</a>'
         '<A HREF="HTTPS://CAPS.example.org/Z">caps</A>'
+        "<a href=unquoted.html>legacy unquoted</a>"
         "</body></html>"
     ).encode()
     df = spark.createDataFrame(
@@ -1380,12 +1381,13 @@ def test_extract_outlinks_resolution_and_graph(spark):
         "https://cdn.example.net/y",
         "https://other.example.com/x",
         "https://src.example.com/dir/sibling.html",
+        "https://src.example.com/dir/unquoted.html",
         "https://src.example.com/local/page",
     ]
     g = {(r["src_domain"], r["dst_domain"]): r["n_links"]
          for r in domain_graph(out).collect()}
     assert g == {
-        ("example.com", "example.com"): 3,
+        ("example.com", "example.com"): 4,
         ("example.com", "example.net"): 1,
         ("example.com", "example.org"): 1,
     }
@@ -1405,20 +1407,31 @@ def test_page_meta_and_noindex_gate(spark):
             b"<meta name='ROBOTS' content='NOFOLLOW'></head></html>"),
         (2, b"<html><head></head><body>no meta at all</body></html>"),
         (3, b"<html><head><meta name=robots content=noindex></head></html>"),
+        # reversed attribute order + the 'none' directive (= both flags)
+        (4, b'<html><head><meta content="none" name="robots"></head></html>'),
+        # multiple robots metas: directives union
+        (5, b"<html><head><meta name=robots content=noindex>"
+            b'<meta name="robots" content="nofollow"></head></html>'),
+        # fetch-failed row: NULL html must carry no directive, not vanish
+        (6, None),
     ]
     df = spark.createDataFrame(
-        [(i, bytearray(h)) for i, h in rows], "doc_id long, html binary"
+        [(i, bytearray(h) if h is not None else None) for i, h in rows],
+        "doc_id long, html binary",
     )
     got = {r["doc_id"]: r for r in page_meta(df).collect()}
-    assert got[0]["title"] == "My Page"
-    assert got[0]["noindex"] and got[0]["nofollow"]
-    assert got[0]["canonical"] == "https://c.example/p"
-    assert got[1]["title"] == "Caps"
-    assert not got[1]["noindex"] and got[1]["nofollow"]
-    assert got[2]["title"] is None and not got[2]["noindex"]
-    assert got[3]["noindex"]  # unquoted attribute form
+    assert got[0]["page_title"] == "My Page"
+    assert got[0]["page_noindex"] and got[0]["page_nofollow"]
+    assert got[0]["page_canonical"] == "https://c.example/p"
+    assert got[1]["page_title"] == "Caps"
+    assert not got[1]["page_noindex"] and got[1]["page_nofollow"]
+    assert got[2]["page_title"] is None and not got[2]["page_noindex"]
+    assert got[3]["page_noindex"]  # unquoted attribute form
+    assert got[4]["page_noindex"] and got[4]["page_nofollow"]
+    assert got[5]["page_noindex"] and got[5]["page_nofollow"]
+    assert got[6]["page_noindex"] is False and got[6]["page_nofollow"] is False
     kept = {r["doc_id"] for r in drop_noindex(df).collect()}
-    assert kept == {1, 2}
+    assert kept == {1, 2, 6}
     plan = page_meta(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
 
@@ -1453,3 +1466,16 @@ def test_domain_rank_hand_graph(spark):
         for r2 in domain_rank(df.repartition(5)).collect()
     }
     assert again == got
+
+
+def test_domain_rank_empty_graph(spark):
+    """An emptied-out edge table (filters can empty the graph) returns an
+    empty (domain, rank) frame, not a driver-side ZeroDivisionError."""
+    from pdf_to_epub_spark.operators import domain_rank
+
+    empty = spark.createDataFrame([], "src_domain string, dst_domain string")
+    got = domain_rank(empty)
+    assert got.count() == 0
+    assert [(f.name, f.dataType.simpleString()) for f in got.schema.fields] == [
+        ("domain", "string"), ("rank", "double"),
+    ]
