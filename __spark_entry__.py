@@ -1067,6 +1067,181 @@ def _domain_pagerank_oracle() -> str:
     """
 
 
+def _robots_fixture(d13: DataFrame) -> DataFrame:
+    """Deterministic robots.txt table over the 13 site domains (input: a
+    one-column ``r`` frame of the distinct doc_id%13 residues): r%3==0 has
+    a star group with a plain and a wildcard Disallow, r%3==1 buries the
+    star group behind a named group and stacked UA lines plus an empty
+    Disallow, r%3==2 has only a named group (no rules for us)."""
+    r = F.col("r")
+    body = (
+        F.when(
+            r % 3 == 0,
+            F.concat(
+                F.lit("# corpus politeness\nUser-agent: *\nDisallow: /private"),
+                r.cast("string"),
+                F.lit("/\nDisallow: /tmp"),
+                r.cast("string"),
+                F.lit("*x\n"),
+            ),
+        )
+        .when(
+            r % 3 == 1,
+            F.concat(
+                F.lit(
+                    "User-agent: Googlebot\nDisallow: /g/\n\n"
+                    "User-agent: FooBot\nUser-agent: *\nDisallow: /only"
+                ),
+                r.cast("string"),
+                F.lit("/\nDisallow:\n"),
+            ),
+        )
+        .otherwise(F.lit("User-agent: Googlebot\nDisallow: /g/\n"))
+    )
+    return d13.select(
+        F.concat(F.lit("site"), r.cast("string"), F.lit(".example")).alias(
+            "domain"
+        ),
+        body.alias("body"),
+    )
+
+
+def _q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt star-group parsing over the deterministic per-domain
+    fixture — comments, named groups, stacked user-agent lines, empty and
+    wildcard Disallows (operators/robots.py)."""
+    from pdf_to_epub_spark.operators import robots_rules
+
+    d13 = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 13).alias("r"))
+        .distinct()
+    )
+    return robots_rules(_robots_fixture(d13)).select(
+        "domain", F.array_join("disallow", "|").alias("rules")
+    )
+
+
+def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl-politeness chain: parse the robots fixture, then
+    broadcast-filter deterministic page URLs whose paths hit (or miss)
+    the star-group Disallow prefixes, including the conservative
+    wildcard-prefix match."""
+    from pdf_to_epub_spark.operators import filter_disallowed, robots_rules
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    path = (
+        F.when(
+            i % 4 == 0,
+            F.concat(
+                F.lit("/private"), (i % 13).cast("string"),
+                F.lit("/p"), i.cast("string"), F.lit(".html"),
+            ),
+        )
+        .when(i % 4 == 1, F.concat(F.lit("/ok/p"), i.cast("string"), F.lit(".html")))
+        .when(
+            i % 4 == 2,
+            F.concat(F.lit("/only"), (i % 13).cast("string"), F.lit("/x")),
+        )
+        .otherwise(F.concat(F.lit("/tmp"), (i % 13).cast("string"), F.lit("zz")))
+    )
+    url = F.concat(
+        F.lit("https://sub"), (i % 7).cast("string"),
+        F.lit(".site"), (i % 13).cast("string"),
+        F.lit(".example"), path,
+    )
+    pages = d.select("doc_id", url.alias("url"))
+    d13 = d.select((i % 13).alias("r")).distinct()
+    rules = robots_rules(_robots_fixture(d13))
+    return filter_disallowed(pages, rules).select("doc_id", "url")
+
+
+def _anchor_pages(d: DataFrame) -> DataFrame:
+    """Deterministic anchor-text pages: a tag-wrapped double-spaced
+    external anchor, a relative local anchor, a dropped mailto and a
+    dropped empty/image anchor per doc."""
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://sub"), (i % 7).cast("string"),
+        F.lit(".site"), (i % 13).cast("string"),
+        F.lit(".example/a/page"), i.cast("string"), F.lit(".html"),
+    )
+    html = F.encode(
+        F.concat(
+            F.lit('<html><body><a href="https://t'), (i % 3).cast("string"),
+            F.lit(".example/x"), (i % 5).cast("string"),
+            F.lit('"><b>Guide  '), (i % 4).cast("string"),
+            F.lit('</b></a><a href="/p'), i.cast("string"),
+            F.lit('">Local '), (i % 2).cast("string"),
+            F.lit('</a><a href="mailto:a@b.c">m</a>'),
+            F.lit('<a href="https://t0.example/empty"> <img src="x"> </a>'),
+            F.lit("</body></html>"),
+        ),
+        "UTF-8",
+    )
+    return d.select(url.alias("url"), html.alias("html"))
+
+
+def _q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text extraction: (url, target, anchor) with inner tags
+    stripped, whitespace collapsed, empty/mailto anchors dropped and
+    relative targets resolved (operators/urls.py extract_anchor_texts)."""
+    from pdf_to_epub_spark.operators import extract_anchor_texts
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return extract_anchor_texts(_anchor_pages(d)).select(
+        "url", "target", "anchor"
+    )
+
+
+def _q_top_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target-domain top-2 anchor texts (count desc, lexical ties) —
+    the aggregated web-IR signal over the same deterministic anchor
+    pages."""
+    from pdf_to_epub_spark.operators import (
+        extract_anchor_texts,
+        top_anchors_per_domain,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return top_anchors_per_domain(
+        extract_anchor_texts(_anchor_pages(d)), k=2
+    ).select("domain", "anchor", "n_refs", F.col("rank").cast("long").alias("rank"))
+
+
+def _q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publisher-declared URL dedup: every 3k+1 page declares page 3k as
+    canonical (collapses onto it), every 3k+2 page declares one shared
+    external canonical (the lexically-smallest member represents the
+    cluster), 3k pages stand alone."""
+    from pdf_to_epub_spark.operators import canonical_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    url = F.concat(F.lit("https://d.example/p"), i.cast("string"))
+    canon = (
+        F.when(
+            i % 3 == 1,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://d.example/p'),
+                (i - 1).cast("string"), F.lit('">'),
+            ),
+        )
+        .when(
+            i % 3 == 2,
+            F.lit('<link rel="canonical" href="https://x.example/shared">'),
+        )
+        .otherwise(F.lit(""))
+    )
+    html = F.encode(
+        F.concat(F.lit("<html><head>"), canon, F.lit("</head><body>x</body></html>")),
+        "UTF-8",
+    )
+    pages = d.select("doc_id", url.alias("url"), html.alias("html"))
+    return canonical_dedup(pages).select("doc_id", "url")
+
+
 def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registrable-domain corpus stats over deterministically-built
     urls (7 subdomains × 13 domains) — the quota/filter input table."""
@@ -1566,6 +1741,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_pagerank": _q_domain_pagerank,
         "benchmark_contamination": _q_benchmark_contamination,
         "domain_stats": _q_domain_stats,
+        "robots_rules": _q_robots_rules,
+        "robots_gate": _q_robots_gate,
+        "anchor_texts": _q_anchor_texts,
+        "top_anchors": _q_top_anchors,
+        "canonical_dedup": _q_canonical_dedup,
         "ann_topk": _q_ann_topk,
         "embedding_near_pairs": _q_embedding_near_pairs,
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
@@ -2208,6 +2388,95 @@ def oracle_sql() -> dict[str, str]:
         # function of doc_id residues, identical at both test scales)
         "domain_pagerank": _domain_pagerank_oracle(),
         # head-metadata replayed arithmetically from the same doc_id rules
+        # robots.txt star-group parsing replayed arithmetically from the
+        # residue rules the fixture encodes (r%3==2 domains have no star
+        # group and are absent)
+        "robots_rules": """
+            WITH rs AS (SELECT DISTINCT doc_id % 13 AS r FROM documents)
+            SELECT 'site' || r || '.example' AS domain,
+                   CASE WHEN r % 3 = 0
+                        THEN '/private' || r || '/|/tmp' || r || '*x'
+                        ELSE '/only' || r || '/' END AS rules
+            FROM rs WHERE r % 3 IN (0, 1)
+        """,
+        # the politeness gate: blocked iff the path case hits the domain's
+        # star-group Disallow set (incl. the conservative /tmp{r} wildcard
+        # prefix)
+        "robots_gate": """
+            WITH p AS (
+                SELECT doc_id, doc_id % 13 AS r, doc_id % 4 AS m,
+                       'https://sub' || (doc_id % 7) || '.site'
+                       || (doc_id % 13) || '.example' ||
+                       CASE doc_id % 4
+                           WHEN 0 THEN '/private' || (doc_id % 13) || '/p'
+                                       || doc_id || '.html'
+                           WHEN 1 THEN '/ok/p' || doc_id || '.html'
+                           WHEN 2 THEN '/only' || (doc_id % 13) || '/x'
+                           ELSE '/tmp' || (doc_id % 13) || 'zz'
+                       END AS url
+                FROM documents)
+            SELECT doc_id, url FROM p
+            WHERE NOT ((r % 3 = 0 AND m IN (0, 3)) OR (r % 3 = 1 AND m = 2))
+        """,
+        # anchor extraction replayed arithmetically (two surviving anchors
+        # per page: the tag-stripped external one, the resolved local one)
+        "anchor_texts": """
+            WITH src AS (
+                SELECT doc_id AS i,
+                       'https://sub' || (doc_id % 7) || '.site'
+                       || (doc_id % 13) || '.example' AS origin,
+                       'https://sub' || (doc_id % 7) || '.site'
+                       || (doc_id % 13) || '.example/a/page' || doc_id
+                       || '.html' AS url
+                FROM documents)
+            SELECT url, target, anchor FROM (
+                SELECT url,
+                       'https://t' || (i % 3) || '.example/x' || (i % 5)
+                           AS target,
+                       'Guide ' || (i % 4) AS anchor
+                FROM src
+                UNION ALL
+                SELECT url, origin || '/p' || i, 'Local ' || (i % 2)
+                FROM src)
+        """,
+        # the per-domain top-2 replay: same counts, same (count desc,
+        # lexical) tie-break
+        "top_anchors": """
+            WITH a AS (
+                SELECT 't' || (doc_id % 3) || '.example' AS domain,
+                       'Guide ' || (doc_id % 4) AS anchor
+                FROM documents
+                UNION ALL
+                SELECT 'site' || (doc_id % 13) || '.example',
+                       'Local ' || (doc_id % 2)
+                FROM documents),
+            c AS (SELECT domain, anchor, COUNT(*) AS n_refs
+                  FROM a GROUP BY domain, anchor)
+            SELECT domain, anchor, n_refs, rank FROM (
+                SELECT domain, anchor, n_refs,
+                       ROW_NUMBER() OVER (PARTITION BY domain
+                           ORDER BY n_refs DESC, anchor) AS rank
+                FROM c)
+            WHERE rank <= 2
+        """,
+        # publisher-declared dedup replayed: cluster by declared canonical
+        # (or self), keep the canonical member else the lexical min
+        "canonical_dedup": """
+            WITH p AS (
+                SELECT doc_id, 'https://d.example/p' || doc_id AS url,
+                       CASE WHEN doc_id % 3 = 1
+                            THEN 'https://d.example/p' || (doc_id - 1)
+                            WHEN doc_id % 3 = 2
+                            THEN 'https://x.example/shared' END AS canon
+                FROM documents),
+            c AS (SELECT doc_id, url, COALESCE(canon, url) AS cluster FROM p)
+            SELECT doc_id, url FROM (
+                SELECT doc_id, url,
+                       ROW_NUMBER() OVER (PARTITION BY cluster
+                           ORDER BY (url = cluster) DESC, url) AS rn
+                FROM c)
+            WHERE rn = 1
+        """,
         "page_meta": """
             SELECT doc_id,
                    'Doc ' || doc_id AS title,

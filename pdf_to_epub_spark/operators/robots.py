@@ -1,0 +1,134 @@
+"""robots.txt parsing + the per-domain disallow gate — the crawl-politeness
+layer in front of a web corpus (the complement of the per-page robots-meta
+``drop_noindex`` gate in operators/urls.py).
+
+Scope is the original Robots Exclusion Protocol subset, applied
+conservatively (when in doubt, exclude MORE):
+
+* only ``User-agent: *`` groups are honored (a corpus crawler has no
+  registered product token);
+* ``Disallow`` prefixes only; ``Allow`` overrides are ignored, which can
+  only over-exclude;
+* wildcard rules are matched by their literal prefix up to the first
+  ``*`` (``/a*b`` → prefix ``/a``), and ``$`` anchors are ignored — both
+  strictly over-exclude relative to full RFC 9309 matching;
+* a bare ``Disallow:`` (empty value = allow everything) contributes no
+  rule; a ``Disallow: *`` / ``Disallow: /`` blocks the whole host.
+
+Everything is JVM column algebra: split → posexplode → one window pass to
+assign lines to their User-agent group (robots.txt is a line-stateful
+format; the "which group am I in" running sum is exactly a prefix sum, so
+it stays declarative), then two map-side-combined groupBys.  The rules
+table is tiny (one row per domain) and broadcast into the page filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .urls import registrable_domain
+
+_UA_VAL = r"(?i)^user-agent\s*:\s*(\S+)"
+_DIS_VAL = r"(?i)^disallow\s*:\s*(\S*)"
+
+
+def robots_rules(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    body_col: str = "body",
+) -> DataFrame:
+    """(domain, robots.txt body) → (domain, disallow array<string>): the
+    sorted, deduplicated Disallow prefixes of every ``User-agent: *``
+    group.  Domains whose robots.txt contains no star group (or no rules)
+    are absent from the output — absence means unrestricted."""
+    lines = (
+        robots.select(
+            F.col(domain_col).alias("domain"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(body_col), F.lit("")), r"\r?\n")
+            ).alias("pos", "raw"),
+        )
+        # strip comments, trim; blank lines stay (they end a group in the
+        # spec, but group assignment below only needs UA-run boundaries)
+        .select(
+            "domain",
+            "pos",
+            F.trim(F.regexp_replace("raw", r"#.*$", "")).alias("line"),
+        )
+    )
+    is_ua = F.col("line").rlike(r"(?i)^user-agent\s*:")
+    w = Window.partitionBy("domain").orderBy("pos")
+    # a group starts at the FIRST user-agent line of a consecutive run
+    grouped = lines.select(
+        "domain",
+        "pos",
+        "line",
+        is_ua.alias("is_ua"),
+        F.sum(
+            (
+                is_ua
+                & ~F.coalesce(F.lag(is_ua, 1).over(w), F.lit(False))
+            ).cast("int")
+        )
+        .over(w)
+        .alias("grp"),
+    )
+    per_group = grouped.groupBy("domain", "grp").agg(
+        F.max(
+            (F.regexp_extract("line", _UA_VAL, 1) == "*").cast("int")
+        ).alias("star"),
+        F.collect_set(
+            F.when(
+                F.col("line").rlike(r"(?i)^disallow\s*:")
+                & (F.regexp_extract("line", _DIS_VAL, 1) != ""),
+                F.regexp_extract("line", _DIS_VAL, 1),
+            )
+        ).alias("dis"),
+    )
+    return (
+        per_group.where((F.col("star") == 1) & (F.size("dis") > 0))
+        .groupBy("domain")
+        .agg(
+            F.sort_array(
+                F.array_distinct(F.flatten(F.collect_list("dis")))
+            ).alias("disallow")
+        )
+    )
+
+
+def filter_disallowed(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop pages whose URL path falls under a Disallow prefix of their
+    registrable domain's ``User-agent: *`` rules (``robots_rules``
+    output).  Broadcast left join — no shuffle of the page table; pages
+    on domains without rules are kept."""
+    path = F.coalesce(
+        F.nullif(
+            F.regexp_extract(
+                F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(/[^?#]*)?", 1
+            ),
+            F.lit(""),
+        ),
+        F.lit("/"),
+    )
+    r = F.broadcast(
+        rules.select(
+            F.col("domain").alias("__r_domain"), F.col("disallow").alias("__r_dis")
+        )
+    )
+    blocked = F.exists(
+        F.col("__r_dis"),
+        # literal prefix up to the first '*' (conservative wildcard)
+        lambda d: F.col("__path").startswith(F.regexp_extract(d, r"^([^*]*)", 1)),
+    )
+    return (
+        pages.withColumn("__dom", registrable_domain(F.col(url_col)))
+        .withColumn("__path", path)
+        .join(r, F.col("__dom") == F.col("__r_domain"), "left")
+        .where(~F.coalesce(blocked, F.lit(False)))
+        .drop("__dom", "__path", "__r_domain", "__r_dis")
+    )

@@ -139,25 +139,141 @@ def extract_outlinks(
         F.regexp_extract_all(page_text, F.lit(unquoted), F.lit(1)),
     )
     src = F.col(url_col)
+    return (
+        pages.select(src.alias(url_col), F.explode(hrefs).alias("_href"))
+        .where(_keepable_href(F.col("_href")))
+        .select(F.col(url_col), _resolve_href(F.col("_href"), src).alias("target"))
+        .where(F.col("target").rlike(r"^(?i)https?://"))
+    )
+
+
+def _keepable_href(h: Column) -> Column:
+    """Anchors a crawler follows: non-empty, not a fragment, not a
+    non-fetchable scheme."""
+    return (
+        (F.length(h) > 0)
+        & ~h.startswith("#")
+        & ~h.rlike(r"^(?i)(javascript|mailto|data|tel):")
+    )
+
+
+def _resolve_href(h: Column, src: Column) -> Column:
+    """Crawler-style href resolution against the source URL: absolute
+    kept, ``//host`` inherits the scheme, ``/path`` joins the origin,
+    bare-relative joins the source directory (naive — no ``..``
+    normalization)."""
     origin = F.regexp_extract(src, r"^(https?://[^/]+)", 1)
     scheme = F.regexp_extract(src, r"^(https?):", 1)
     srcdir = F.regexp_replace(src, r"[^/]*$", "")
-    h = F.col("_href")
-    resolved = (
+    return (
         F.when(h.rlike(r"^(?i)https?://"), h)
         .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
         .when(h.startswith("/"), F.concat(origin, h))
         .otherwise(F.concat(srcdir, h))
     )
-    return (
-        pages.select(src.alias(url_col), F.explode(hrefs).alias("_href"))
-        .where(
-            (F.length("_href") > 0)
-            & ~F.col("_href").startswith("#")
-            & ~F.col("_href").rlike(r"^(?i)(javascript|mailto|data|tel):")
+
+
+def extract_anchor_texts(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    max_scan_bytes: int = 1 << 20,
+) -> DataFrame:
+    """(url, html) → one (url, target, anchor) row per quoted
+    ``<a href=…>text</a>`` — anchor text is the strongest external
+    description of a target page (the classic web-IR signal a corpus
+    pipeline aggregates for titles/queries).  Inner tags are stripped and
+    whitespace collapsed; empty anchors (image links) are dropped.
+
+    JVM-side end to end: the two capture groups are pulled by two
+    ``regexp_extract_all`` passes over the same bounded prefix (Spark's
+    extract-all takes ONE group index), zipped positionally, exploded
+    once.  Only quoted hrefs carry anchor pairing (the unquoted form is
+    handled by ``extract_outlinks``; pairing both forms positionally
+    would interleave wrong)."""
+    page_text = F.decode(
+        F.substring(F.col(html_col).cast("binary"), 1, max_scan_bytes), "UTF-8"
+    )
+    pat = r"""(?is)<a\s[^>]*?href\s*=\s*["']([^"'<>]+)["'][^>]*>(.*?)</a"""
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(page_text, F.lit(pat), F.lit(1)).alias("href"),
+        F.regexp_extract_all(page_text, F.lit(pat), F.lit(2)).alias("raw"),
+    )
+    src = F.col(url_col)
+    anchor = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("_p.raw"), r"<[^>]*>", " "), r"\s+", " "
         )
-        .select(F.col(url_col), resolved.alias("target"))
-        .where(F.col("target").rlike(r"^(?i)https?://"))
+    )
+    h = F.col("_p.href")
+    return (
+        pages.select(src.alias(url_col), F.explode(pairs).alias("_p"))
+        .where(_keepable_href(h))
+        .select(
+            F.col(url_col),
+            _resolve_href(h, src).alias("target"),
+            anchor.alias("anchor"),
+        )
+        .where(F.col("target").rlike(r"^(?i)https?://") & (F.col("anchor") != ""))
+    )
+
+
+def top_anchors_per_domain(anchors: DataFrame, k: int = 3) -> DataFrame:
+    """(url, target, anchor) → the k most frequent anchor texts per
+    target registrable domain: (domain, anchor, n_refs, rank).  One
+    map-side-combined groupBy then a per-domain top-k window on the
+    already-aggregated (small) table; ties break lexically so the result
+    is deterministic."""
+    from pyspark.sql import Window
+
+    counts = (
+        anchors.select(
+            registrable_domain(F.col("target")).alias("domain"), "anchor"
+        )
+        .groupBy("domain", "anchor")
+        .agg(F.count("*").alias("n_refs"))
+    )
+    w = (
+        Window.partitionBy("domain")
+        .orderBy(F.col("n_refs").desc(), F.col("anchor"))
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def canonical_dedup(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Collapse URL variants that declare the same ``rel=canonical``
+    target to ONE representative row — the publisher-declared dedup a web
+    corpus applies before any content-based dedup (print views, mobile
+    mirrors, tracking-URL duplicates all point at one canonical).
+
+    Cluster key = declared canonical target (or own URL when absent);
+    the representative is the member whose URL IS the canonical target
+    when captured, else the lexically-smallest member.  One shuffle on
+    the cluster key; all original columns pass through."""
+    meta = page_meta(pages, html_col)
+    cluster = F.coalesce(F.col("page_canonical"), F.col(url_col))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__cluster").orderBy(
+        (F.col(url_col) == F.col("__cluster")).desc(), F.col(url_col)
+    )
+    return (
+        meta.withColumn("__cluster", cluster)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop(
+            "__cluster",
+            "__rn",
+            "page_title",
+            "page_noindex",
+            "page_nofollow",
+            "page_canonical",
+        )
     )
 
 

@@ -1479,3 +1479,129 @@ def test_domain_rank_empty_graph(spark):
     assert [(f.name, f.dataType.simpleString()) for f in got.schema.fields] == [
         ("domain", "string"), ("rank", "double"),
     ]
+
+
+def test_robots_rules_and_filter(spark):
+    """robots.txt star-group parsing (comments, named groups ignored,
+    stacked user-agent lines, empty Disallow, wildcard rules) and the
+    conservative per-domain disallow gate."""
+    from pdf_to_epub_spark.operators import filter_disallowed, robots_rules
+
+    a_body = (
+        "# politeness\n"
+        "User-agent: Googlebot\n"
+        "Disallow: /gbot-only/\n"
+        "\n"
+        "User-agent: FooBot\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Disallow: /tmp*junk\n"
+        "Disallow:\n"
+        "Allow: /private/ok\n"
+        "User-agent: Other\n"
+        "Disallow: /other/\n"
+    )
+    robots = spark.createDataFrame(
+        [
+            ("a.example", a_body),
+            ("b.example", "User-agent: Googlebot\nDisallow: /x/\n"),
+            ("c.example", "User-agent: *\r\nDisallow: *\r\n"),
+        ],
+        "domain string, body string",
+    )
+    rules = {r["domain"]: r["disallow"] for r in robots_rules(robots).collect()}
+    assert rules == {
+        "a.example": ["/private/", "/tmp*junk"],
+        "c.example": ["*"],
+    }
+    pages = spark.createDataFrame(
+        [
+            (0, "https://www.a.example/private/doc.html"),   # blocked
+            (1, "https://a.example/public/ok.html"),          # kept
+            (2, "https://a.example/tmp-X-junk"),              # blocked (prefix /tmp)
+            (3, "https://c.example/anything"),                # blocked (*)
+            (4, "https://b.example/x/"),                      # kept (no star group)
+            (5, "https://unknown.example/whatever"),          # kept (no rules)
+            (6, "https://a.example"),                         # kept (path /)
+        ],
+        "doc_id long, url string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in filter_disallowed(pages, robots_rules(robots)).collect()
+    }
+    assert kept == {1, 4, 5, 6}
+
+
+def test_anchor_texts_and_top_anchors(spark):
+    """Anchor-text pairs: inner tags stripped, whitespace collapsed,
+    empty/image anchors and non-fetchable schemes dropped, relative
+    targets resolved; the per-domain top-k ranks by count then lexically."""
+    from pdf_to_epub_spark.operators import (
+        extract_anchor_texts,
+        top_anchors_per_domain,
+    )
+
+    html = (
+        '<html><body>'
+        '<a href="https://t.example/a"><b>Click  here</b></a>'
+        '<a href="/img"><img src="x.png"></a>'
+        '<a href="rel.html">Rel</a>'
+        '<a href="mailto:x@y.z">mail</a>'
+        '<a href="https://t.example/b">Click here</a>'
+        '<a href="https://t.example/c">Also this</a>'
+        "</body></html>"
+    ).encode()
+    df = spark.createDataFrame(
+        [("https://src.example/dir/page.html", bytearray(html))],
+        "url string, html binary",
+    )
+    got = sorted(
+        (r["target"], r["anchor"]) for r in extract_anchor_texts(df).collect()
+    )
+    assert got == [
+        ("https://src.example/dir/rel.html", "Rel"),
+        ("https://t.example/a", "Click here"),
+        ("https://t.example/b", "Click here"),
+        ("https://t.example/c", "Also this"),
+    ]
+    top = [
+        (r["domain"], r["anchor"], r["n_refs"], r["rank"])
+        for r in top_anchors_per_domain(extract_anchor_texts(df), k=1)
+        .orderBy("domain")
+        .collect()
+    ]
+    assert top == [
+        ("src.example", "Rel", 1, 1),
+        ("t.example", "Click here", 2, 1),
+    ]
+
+
+def test_canonical_dedup(spark):
+    """Publisher-declared dedup: variants sharing a rel=canonical target
+    collapse to the canonical member when present, else to the lexically
+    smallest member; pages without a declaration survive untouched."""
+    from pdf_to_epub_spark.operators import canonical_dedup
+
+    def page(canonical=None):
+        c = (
+            f'<link rel="canonical" href="{canonical}">' if canonical else ""
+        )
+        return bytearray(f"<html><head>{c}</head><body>x</body></html>".encode())
+
+    rows = [
+        ("https://d.example/a", page()),
+        ("https://d.example/a?utm=1", page("https://d.example/a")),
+        ("https://d.example/a-amp", page("https://d.example/a")),
+        ("https://d.example/solo", page()),
+        ("https://d.example/m1", page("https://x.example/shared")),
+        ("https://d.example/m2", page("https://x.example/shared")),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    kept = sorted(r["url"] for r in canonical_dedup(df).collect())
+    assert kept == [
+        "https://d.example/a",
+        "https://d.example/m1",
+        "https://d.example/solo",
+    ]
+    assert canonical_dedup(df).columns == ["url", "html"]
