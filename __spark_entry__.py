@@ -1242,6 +1242,58 @@ def _q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_dedup(pages).select("doc_id", "url")
 
 
+def _q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap scan over deterministic XML: even docs are urlsets (one
+    plain and one CDATA loc), odd docs are sitemapindexes (one child
+    sitemap loc) — the frontier-seeding walk, JVM-side."""
+    from pdf_to_epub_spark.operators import extract_sitemap_urls
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc> https://s'),
+        (i % 3).cast("string"), F.lit(".example/u"), i.cast("string"),
+        F.lit(" </loc></url><url><loc><![CDATA[https://s"),
+        (i % 3).cast("string"), F.lit(".example/c"), i.cast("string"),
+        F.lit("]]></loc></url></urlset>"),
+    )
+    index = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex><sitemap><loc>'),
+        F.lit("https://s"), (i % 3).cast("string"),
+        F.lit(".example/child"), i.cast("string"),
+        F.lit(".xml</loc></sitemap></sitemapindex>"),
+    )
+    xml = F.encode(F.when(i % 2 == 0, urlset).otherwise(index), "UTF-8")
+    sitemaps = d.select(
+        F.concat(
+            F.lit("https://s"), (i % 3).cast("string"),
+            F.lit(".example/sm"), i.cast("string"), F.lit(".xml"),
+        ).alias("url"),
+        xml.alias("xml"),
+    )
+    return extract_sitemap_urls(sitemaps).select("url", "loc", "is_index")
+
+
+def _q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed next-wave frontier over the shared link pages:
+    outlinks → canonicalized distinct targets → minus the (even-doc ext)
+    crawled set → per-domain cap of 5 in lexical order."""
+    from pdf_to_epub_spark.operators import crawl_frontier
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    pages = _link_pages(d, extra_anchors=True)
+    crawled = d.where(i % 2 == 0).select(
+        F.concat(
+            F.lit("https://ext"), (i % 5).cast("string"),
+            F.lit(".example.org/x"), i.cast("string"),
+        ).alias("url")
+    )
+    return crawl_frontier(pages, crawled, per_domain_limit=5).select(
+        "domain", "target", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registrable-domain corpus stats over deterministically-built
     urls (7 subdomains × 13 domains) — the quota/filter input table."""
@@ -1742,6 +1794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_contamination": _q_benchmark_contamination,
         "domain_stats": _q_domain_stats,
         "robots_rules": _q_robots_rules,
+        "sitemap_urls": _q_sitemap_urls,
+        "crawl_frontier": _q_crawl_frontier,
         "robots_gate": _q_robots_gate,
         "anchor_texts": _q_anchor_texts,
         "top_anchors": _q_top_anchors,
@@ -2388,6 +2442,82 @@ def oracle_sql() -> dict[str, str]:
         # function of doc_id residues, identical at both test scales)
         "domain_pagerank": _domain_pagerank_oracle(),
         # head-metadata replayed arithmetically from the same doc_id rules
+        # sitemap locs replayed arithmetically (even docs: two urlset
+        # locs incl. the CDATA one; odd docs: one flagged index loc)
+        "sitemap_urls": """
+            WITH s AS (
+                SELECT doc_id AS i,
+                       'https://s' || (doc_id % 3) || '.example/sm'
+                       || doc_id || '.xml' AS url
+                FROM documents)
+            SELECT url, loc, is_index FROM (
+                SELECT url,
+                       'https://s' || (i % 3) || '.example/u' || i AS loc,
+                       FALSE AS is_index
+                FROM s WHERE i % 2 = 0
+                UNION ALL
+                SELECT url, 'https://s' || (i % 3) || '.example/c' || i,
+                       FALSE
+                FROM s WHERE i % 2 = 0
+                UNION ALL
+                SELECT url,
+                       'https://s' || (i % 3) || '.example/child' || i
+                       || '.xml',
+                       TRUE
+                FROM s WHERE i % 2 = 1)
+        """,
+        # frontier replay: same target construction as page_outlinks
+        # (targets are already canonical by construction), minus the
+        # even-doc ext crawl set, per-domain row_number cap of 5
+        "crawl_frontier": """
+            WITH src AS (
+                SELECT doc_id AS i,
+                       'https://sub' || (doc_id % 7) || '.site'
+                       || (doc_id % 13) || '.example' AS origin,
+                       '/dir' || (doc_id % 3) AS dir
+                FROM documents),
+            tgt AS (
+                SELECT DISTINCT target FROM (
+                    SELECT 'https://ext' || (i % 5) || '.example.org/x'
+                           || i AS target FROM src
+                    UNION ALL
+                    SELECT 'https://cdn' || (i % 2) || '.example.net/y'
+                    FROM src
+                    UNION ALL
+                    SELECT origin || '/root' || (i % 4) || '.html' FROM src
+                    UNION ALL
+                    SELECT origin || dir || '/rel' || (i % 6) || '.html'
+                    FROM src
+                    UNION ALL
+                    SELECT origin || dir || '/uq' || (i % 6) || '.html'
+                    FROM src)),
+            fresh AS (
+                SELECT target FROM tgt
+                WHERE target NOT IN (
+                    SELECT 'https://ext' || (doc_id % 5)
+                           || '.example.org/x' || doc_id
+                    FROM documents WHERE doc_id % 2 = 0)),
+            ranked AS (
+                SELECT CASE
+                           WHEN target LIKE '%.example.org/%'
+                               THEN 'example.org'
+                           WHEN target LIKE '%.example.net/%'
+                               THEN 'example.net'
+                           ELSE regexp_extract(target,
+                               'https://[^./]*\\.(site[0-9]+\\.example)/', 1)
+                       END AS domain,
+                       target,
+                       ROW_NUMBER() OVER (PARTITION BY CASE
+                           WHEN target LIKE '%.example.org/%'
+                               THEN 'example.org'
+                           WHEN target LIKE '%.example.net/%'
+                               THEN 'example.net'
+                           ELSE regexp_extract(target,
+                               'https://[^./]*\\.(site[0-9]+\\.example)/', 1)
+                       END ORDER BY target) AS rank
+                FROM fresh)
+            SELECT domain, target, rank FROM ranked WHERE rank <= 5
+        """,
         # robots.txt star-group parsing replayed arithmetically from the
         # residue rules the fixture encodes (r%3==2 domains have no star
         # group and are absent)

@@ -277,6 +277,76 @@ def canonical_dedup(
     )
 
 
+def extract_sitemap_urls(
+    sitemaps: DataFrame,
+    xml_col: str = "xml",
+    url_col: str = "url",
+    max_scan_bytes: int = 8 << 20,
+) -> DataFrame:
+    """Sitemap / sitemap-index scan: (sitemap url, xml) → one
+    (url, loc, is_index) row per ``<loc>`` entry.  ``is_index`` is true
+    when the document is a ``<sitemapindex>`` (its locs are CHILD
+    sitemaps to fetch, not pages) — the two-level walk every crawler
+    seeds its frontier from.  JVM-side: one bounded decode, one
+    regexp_extract_all, one explode; CDATA wrappers stripped."""
+    xml_text = F.decode(
+        F.substring(F.col(xml_col).cast("binary"), 1, max_scan_bytes), "UTF-8"
+    )
+    locs = F.regexp_extract_all(
+        xml_text, F.lit(r"(?is)<loc[^>]*>\s*(.*?)\s*</loc"), F.lit(1)
+    )
+    is_index = xml_text.rlike(r"(?is)<\s*sitemapindex[\s>]")
+    loc = F.regexp_replace(
+        F.col("_loc"), r"(?is)^<!\[CDATA\[\s*(.*?)\s*\]\]>$", r"$1"
+    )
+    return (
+        sitemaps.select(
+            F.col(url_col).alias(url_col),
+            is_index.alias("is_index"),
+            F.explode(locs).alias("_loc"),
+        )
+        .select(F.col(url_col), loc.alias("loc"), "is_index")
+        .where(F.col("loc").rlike(r"^(?i)https?://"))
+    )
+
+
+def crawl_frontier(
+    pages: DataFrame,
+    crawled: DataFrame,
+    per_domain_limit: int = 1000,
+    html_col: str = "html",
+    url_col: str = "url",
+    crawled_col: str = "url",
+) -> DataFrame:
+    """The next crawl wave: outlinks of the fetched pages →
+    canonicalized distinct targets → minus everything already crawled →
+    capped per registrable domain (the politeness/budget cap) —
+    (domain, target, rank) with rank 1..limit in lexical target order
+    (deterministic across runs and partitionings).
+
+    Scale shape: the distinct and the anti-join shuffle on the canonical
+    target (the natural key); the per-domain cap is one window on the
+    already-deduplicated slim table.  ``crawled`` can be arbitrarily
+    large — the anti-join is sort-merge, no driver-side set."""
+    from pyspark.sql import Window
+
+    links = extract_outlinks(pages, html_col=html_col, url_col=url_col)
+    targets = links.select(
+        canonical_url(F.col("target")).alias("target")
+    ).distinct()
+    seen = crawled.select(
+        canonical_url(F.col(crawled_col)).alias("__seen")
+    )
+    fresh = targets.join(seen, F.col("target") == F.col("__seen"), "left_anti")
+    w = Window.partitionBy("domain").orderBy("target")
+    return (
+        fresh.withColumn("domain", registrable_domain(F.col("target")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= per_domain_limit)
+        .select("domain", "target", "rank")
+    )
+
+
 def domain_graph(
     outlinks: DataFrame, url_col: str = "url", target_col: str = "target"
 ) -> DataFrame:

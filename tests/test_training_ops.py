@@ -1605,3 +1605,73 @@ def test_canonical_dedup(spark):
         "https://d.example/solo",
     ]
     assert canonical_dedup(df).columns == ["url", "html"]
+
+
+def test_extract_sitemap_urls(spark):
+    """Sitemap scan: urlset locs extracted (CDATA unwrapped, whitespace
+    trimmed, non-http dropped), sitemapindex flagged so its locs are
+    treated as child sitemaps."""
+    from pdf_to_epub_spark.operators import extract_sitemap_urls
+
+    urlset = (
+        '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/'
+        'schemas/sitemap/0.9"><url><loc> https://a.example/p1 </loc>'
+        "<lastmod>2024-01-01</lastmod></url>"
+        "<url><loc><![CDATA[ https://a.example/p2 ]]></loc></url>"
+        "<url><loc>ftp://a.example/skip</loc></url></urlset>"
+    ).encode()
+    index = (
+        '<?xml version="1.0"?><sitemapindex><sitemap>'
+        "<loc>https://a.example/sitemap-1.xml</loc></sitemap></sitemapindex>"
+    ).encode()
+    df = spark.createDataFrame(
+        [
+            ("https://a.example/sitemap.xml", bytearray(urlset)),
+            ("https://a.example/sitemap_index.xml", bytearray(index)),
+        ],
+        "url string, xml binary",
+    )
+    got = sorted(
+        (r["url"], r["loc"], r["is_index"])
+        for r in extract_sitemap_urls(df).collect()
+    )
+    assert got == [
+        ("https://a.example/sitemap.xml", "https://a.example/p1", False),
+        ("https://a.example/sitemap.xml", "https://a.example/p2", False),
+        ("https://a.example/sitemap_index.xml",
+         "https://a.example/sitemap-1.xml", True),
+    ]
+
+
+def test_crawl_frontier(spark):
+    """Frontier = canonicalized distinct outlink targets minus the
+    crawled set, capped per registrable domain in lexical order."""
+    from pdf_to_epub_spark.operators import crawl_frontier
+
+    html = (
+        '<a href="https://t.example/B">1</a>'
+        '<a href="https://t.example/A">2</a>'
+        '<a href="https://t.example/A#frag-dup">3</a>'
+        '<a href="https://t.example/C">4</a>'
+        '<a href="https://u.example/only">5</a>'
+        '<a href="https://crawled.example/x">6</a>'
+    ).encode()
+    pages = spark.createDataFrame(
+        [("https://src.example/p", bytearray(html))],
+        "url string, html binary",
+    )
+    crawled = spark.createDataFrame(
+        [("https://crawled.example/x",), ("https://t.example/C",)],
+        "url string",
+    )
+    got = sorted(
+        (r["domain"], r["target"], r["rank"])
+        for r in crawl_frontier(pages, crawled, per_domain_limit=2).collect()
+    )
+    # t.example/C is crawled; A (fragment-dup collapses) and B survive,
+    # capped at 2; u.example has its single target
+    assert got == [
+        ("t.example", "https://t.example/A", 1),
+        ("t.example", "https://t.example/B", 2),
+        ("u.example", "https://u.example/only", 1),
+    ]
