@@ -1093,7 +1093,7 @@ def _robots_fixture(d13: DataFrame) -> DataFrame:
                     "User-agent: FooBot\nUser-agent: *\nDisallow: /only"
                 ),
                 r.cast("string"),
-                F.lit("/\nDisallow:\n"),
+                F.lit("/\nDisallow:\nCrawl-delay: 2\n"),
             ),
         )
         .otherwise(F.lit("User-agent: Googlebot\nDisallow: /g/\n"))
@@ -1118,7 +1118,7 @@ def _q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return robots_rules(_robots_fixture(d13)).select(
-        "domain", F.array_join("disallow", "|").alias("rules")
+        "domain", F.array_join("disallow", "|").alias("rules"), "crawl_delay"
     )
 
 
@@ -2526,7 +2526,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'site' || r || '.example' AS domain,
                    CASE WHEN r % 3 = 0
                         THEN '/private' || r || '/|/tmp' || r || '*x'
-                        ELSE '/only' || r || '/' END AS rules
+                        ELSE '/only' || r || '/' END AS rules,
+                   CASE WHEN r % 3 = 1 THEN 2.0 END::DOUBLE AS crawl_delay
             FROM rs WHERE r % 3 IN (0, 1)
         """,
         # the politeness gate: blocked iff the path case hits the domain's

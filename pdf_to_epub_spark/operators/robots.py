@@ -31,6 +31,7 @@ from .urls import registrable_domain
 
 _UA_VAL = r"(?i)^user-agent\s*:\s*(\S+)"
 _DIS_VAL = r"(?i)^disallow\s*:\s*(\S*)"
+_DELAY_VAL = r"(?i)^crawl-delay\s*:\s*([0-9]+(?:\.[0-9]+)?)"
 
 
 def robots_rules(
@@ -38,10 +39,12 @@ def robots_rules(
     domain_col: str = "domain",
     body_col: str = "body",
 ) -> DataFrame:
-    """(domain, robots.txt body) → (domain, disallow array<string>): the
-    sorted, deduplicated Disallow prefixes of every ``User-agent: *``
-    group.  Domains whose robots.txt contains no star group (or no rules)
-    are absent from the output — absence means unrestricted."""
+    """(domain, robots.txt body) → (domain, disallow array<string>,
+    crawl_delay double|null): the sorted, deduplicated Disallow prefixes
+    and the largest ``Crawl-delay`` of every ``User-agent: *`` group
+    (largest = most polite when groups disagree).  Domains whose
+    robots.txt contains no star group (or no rules at all) are absent
+    from the output — absence means unrestricted."""
     lines = (
         robots.select(
             F.col(domain_col).alias("domain"),
@@ -85,14 +88,23 @@ def robots_rules(
                 F.regexp_extract("line", _DIS_VAL, 1),
             )
         ).alias("dis"),
+        F.max(
+            F.nullif(
+                F.regexp_extract("line", _DELAY_VAL, 1), F.lit("")
+            ).cast("double")
+        ).alias("delay"),
     )
     return (
-        per_group.where((F.col("star") == 1) & (F.size("dis") > 0))
+        per_group.where(
+            (F.col("star") == 1)
+            & ((F.size("dis") > 0) | F.col("delay").isNotNull())
+        )
         .groupBy("domain")
         .agg(
             F.sort_array(
                 F.array_distinct(F.flatten(F.collect_list("dis")))
-            ).alias("disallow")
+            ).alias("disallow"),
+            F.max("delay").alias("crawl_delay"),
         )
     )
 

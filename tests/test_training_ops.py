@@ -1497,6 +1497,7 @@ def test_robots_rules_and_filter(spark):
         "Disallow: /private/\n"
         "Disallow: /tmp*junk\n"
         "Disallow:\n"
+        "Crawl-delay: 1.5\n"
         "Allow: /private/ok\n"
         "User-agent: Other\n"
         "Disallow: /other/\n"
@@ -1504,15 +1505,21 @@ def test_robots_rules_and_filter(spark):
     robots = spark.createDataFrame(
         [
             ("a.example", a_body),
-            ("b.example", "User-agent: Googlebot\nDisallow: /x/\n"),
+            ("b.example", "User-agent: Googlebot\nDisallow: /x/\nCrawl-delay: 9\n"),
             ("c.example", "User-agent: *\r\nDisallow: *\r\n"),
+            # delay-only star group still yields a (rule-less) row
+            ("d.example", "User-agent: *\nCrawl-delay: 4\n"),
         ],
         "domain string, body string",
     )
-    rules = {r["domain"]: r["disallow"] for r in robots_rules(robots).collect()}
+    rules = {
+        r["domain"]: (r["disallow"], r["crawl_delay"])
+        for r in robots_rules(robots).collect()
+    }
     assert rules == {
-        "a.example": ["/private/", "/tmp*junk"],
-        "c.example": ["*"],
+        "a.example": (["/private/", "/tmp*junk"], 1.5),
+        "c.example": (["*"], None),
+        "d.example": ([], 4.0),
     }
     pages = spark.createDataFrame(
         [
