@@ -84,8 +84,28 @@ def build_warc_bytes(
             b"Content-Length: " + str(len(http)).encode() + b"\r\n"
             b"\r\n" + http + b"\r\n\r\n"
         )
-        out.write(gzip.compress(block) if gzip_members else block)
+        # mtime=0: a gzip member embeds a timestamp; pin it so archive
+        # bytes are identical across runs (determinism contract)
+        out.write(gzip.compress(block, mtime=0) if gzip_members else block)
     return out.getvalue()
+
+
+def surt_key(url: str) -> str:
+    """SURT (Sort-friendly URI Reordering Transform) key, the CDX sort
+    key CC-style indexes use: host labels reversed and comma-joined
+    (lowercased, ``www.`` and userinfo/port stripped) + ``)`` + path +
+    ``?query``.  Simplified vs. full canonicalization (no %-decoding or
+    session-param stripping) but deterministic and order-compatible."""
+    import re as _re
+
+    m = _re.match(r"(?i)^[a-z][a-z0-9+.\-]*://([^/?#]*)([^?#]*)(\?[^#]*)?", url)
+    if not m:
+        return url.lower()
+    host, path, query = m.group(1).lower(), m.group(2) or "/", m.group(3) or ""
+    host = host.split("@")[-1].partition(":")[0]
+    if host.startswith("www."):
+        host = host[4:]
+    return ",".join(reversed(host.split("."))) + ")" + (path or "/") + query
 
 
 def _split_gzip_members(data: bytes) -> Iterator[bytes]:
@@ -343,6 +363,23 @@ def read_warc(spark: SparkSession, glob: str) -> DataFrame:
     return parse_warc_contents(files, "content")
 
 
+def load_cdx(spark: SparkSession, out_dir: str) -> DataFrame:
+    """``part-*.cdx`` files (``write_warc(..., cdx=True)`` output) → a
+    queryable index DataFrame (surt, ts, url, filename, offset, length,
+    digest).  One JVM-side text scan + regexp/from_json split — the
+    lookup side of the archive random-access contract."""
+    lines = spark.read.text(f"{out_dir}/part-*.cdx")
+    parsed = F.from_json(
+        F.regexp_extract("value", r"^\S+ \d+ (.*)$", 1),
+        "url string, filename string, offset long, length long, digest string",
+    )
+    return lines.select(
+        F.regexp_extract("value", r"^(\S+)", 1).alias("surt"),
+        F.regexp_extract("value", r"^\S+ (\d+)", 1).alias("ts"),
+        parsed.alias("_j"),
+    ).select("surt", "ts", "_j.*")
+
+
 def write_warc(
     df: DataFrame,
     out_dir: str,
@@ -351,6 +388,7 @@ def write_warc(
     payload_col: str = "html",
     gzip_members: bool = True,
     with_http_headers: bool = False,
+    cdx: bool = False,
 ) -> None:
     """Distributed WARC sink: each partition serializes its rows as ONE
     CC-layout archive (``part-<partition_id>.warc.gz``, per-record gzip
@@ -368,7 +406,14 @@ def write_warc(
     this is the interchange/export format.
 
     Timestamps: ``ts_col`` (timestamp) renders as the WARC-Date UTC
-    instant at second precision; null timestamps write the epoch."""
+    instant at second precision; null timestamps write the epoch.
+
+    ``cdx=True`` additionally writes a ``part-<pid>.cdx`` sibling per
+    archive — CDXJ-style lines ``<surt key> <ts14> <json>`` (json carries
+    url/filename/offset/length/sha1-b32 digest), sorted by key, offsets
+    measured on the exact bytes written — the random-access index CC
+    ships next to its archives (a reader seeks to ``offset``, reads
+    ``length`` bytes, gunzips one member)."""
     import pathlib
 
     pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
@@ -398,14 +443,57 @@ def write_warc(
         if not recs:
             return
         recs.sort(key=lambda r: r[0])
-        data = build_warc_bytes(recs, gzip_members, with_http_headers)
+        final = pathlib.Path(out_dir) / f"part-{pid:05d}.warc.gz"
+        if cdx:
+            # build member-at-a-time so each record's (offset, length)
+            # on the exact output bytes is known; concatenating
+            # per-record builds is byte-identical to the one-shot build
+            import base64 as _b64
+            import json as _json
+            import re as _re
+
+            parts, entries, offset = [], [], 0
+            for url, date, payload in recs:
+                member = build_warc_bytes(
+                    [(url, date, payload)], gzip_members, with_http_headers
+                )
+                digest = _b64.b32encode(
+                    hashlib.sha1(payload).digest()
+                ).decode("ascii")
+                entries.append(
+                    (
+                        surt_key(url),
+                        _re.sub(r"[^0-9]", "", date)[:14],
+                        _json.dumps(
+                            {
+                                "url": url,
+                                "filename": final.name,
+                                "offset": offset,
+                                "length": len(member),
+                                "digest": "sha1:" + digest,
+                            },
+                            sort_keys=True,
+                        ),
+                    )
+                )
+                parts.append(member)
+                offset += len(member)
+            data = b"".join(parts)
+            entries.sort()
+            cdx_text = "".join(f"{k} {ts} {js}\n" for k, ts, js in entries)
+        else:
+            data = build_warc_bytes(recs, gzip_members, with_http_headers)
         # write-then-rename: a retried/speculative task never exposes a
         # half-written archive (rename is atomic on a posix dir); the tmp
         # name carries the task ATTEMPT id so concurrent attempts of the
         # same partition cannot truncate each other mid-write
-        final = pathlib.Path(out_dir) / f"part-{pid:05d}.warc.gz"
         tmp = final.with_name(f"{final.name}.{ctx.taskAttemptId()}.inprogress")
         tmp.write_bytes(data)
         tmp.replace(final)
+        if cdx:
+            idx = final.with_suffix("").with_suffix(".cdx")  # part-N.cdx
+            itmp = idx.with_name(f"{idx.name}.{ctx.taskAttemptId()}.inprogress")
+            itmp.write_text(cdx_text, encoding="utf-8")
+            itmp.replace(idx)
 
     slim.foreachPartition(write_partition)

@@ -179,3 +179,71 @@ def test_write_warc_distributed_roundtrip(spark, tmp_path):
     }
     assert dates["http://w.example/1"] == "2024-03-01T12:00:00Z"
     assert dates["http://w.example/0"] == "1970-01-01T00:00:00Z"
+
+
+def test_write_warc_cdx_index(spark, tmp_path):
+    """cdx=True writes a CDXJ sibling per archive: lines sorted by SURT
+    key, each (offset, length) extracting exactly one gzip member whose
+    record matches the indexed url and sha1-b32 digest; archive bytes
+    are unchanged vs cdx=False and deterministic across runs; load_cdx
+    reads the index back as a DataFrame."""
+    import base64
+    import datetime
+    import hashlib
+    import json
+
+    from pdf_to_epub_spark.sources.warc import (
+        iter_warc_records,
+        load_cdx,
+        surt_key,
+        write_warc,
+    )
+
+    assert surt_key("https://WWW.Example.COM/A/b?q=1") == "com,example)/A/b?q=1"
+    assert surt_key("http://u:p@sub.example.org:8080/") == "org,example,sub)/"
+
+    ts = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [(f"http://w{i % 3}.example/p{i}", ts,
+             f"<html>page {i}</html>".encode()) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    ).repartition(3)
+    out1, out2, out3 = tmp_path / "a", tmp_path / "b", tmp_path / "c"
+    write_warc(df, str(out1), cdx=True)
+    write_warc(df, str(out2), cdx=True)
+    write_warc(df, str(out3), cdx=False)
+
+    payloads = {u: p for u, _, p in rows}
+    n_lines = 0
+    for cdxfile in sorted(out1.glob("part-*.cdx")):
+        arc = cdxfile.with_name(cdxfile.name.replace(".cdx", ".warc.gz"))
+        data = arc.read_bytes()
+        # byte-determinism across runs, and cdx building didn't change
+        # the archive bytes
+        assert data == (out2 / arc.name).read_bytes()
+        assert data == (out3 / arc.name).read_bytes()
+        lines = cdxfile.read_text().splitlines()
+        n_lines += len(lines)
+        assert [ln.split(" ", 1)[0] for ln in lines] == sorted(
+            ln.split(" ", 1)[0] for ln in lines
+        )
+        for ln in lines:
+            key, ts14, js = ln.split(" ", 2)
+            meta = json.loads(js)
+            assert ts14 == "20240301120000" and meta["filename"] == arc.name
+            member = data[meta["offset"]: meta["offset"] + meta["length"]]
+            (rec,) = iter_warc_records(member)
+            assert rec[0] == meta["url"] and key == surt_key(meta["url"])
+            digest = base64.b32encode(
+                hashlib.sha1(payloads[meta["url"]]).digest()
+            ).decode("ascii")
+            assert meta["digest"] == "sha1:" + digest
+    assert n_lines == 20
+
+    idx = load_cdx(spark, str(out1))
+    assert idx.count() == 20
+    assert {r["url"] for r in idx.collect()} == set(payloads)
+    assert idx.schema.simpleString() == (
+        "struct<surt:string,ts:string,url:string,filename:string,"
+        "offset:bigint,length:bigint,digest:string>"
+    )
