@@ -298,6 +298,74 @@ def run_bench(
 
     timed("pdf_parse", pdf_parse, warmup=True, runs=2)
 
+    def web_politeness() -> None:
+        """The crawl-politeness + webgraph pass over CC-style pages
+        synthesized from the corpus (urls + anchor-bearing html with the
+        document text as body): robots.txt gate (broadcast) → robots-meta
+        noindex gate → outlink extraction → canonicalized, capped crawl
+        frontier.  All JVM column algebra — the per-page cost is the
+        bounded regex scans, the only wide ops are on the slim distinct
+        target table."""
+        from pdf_to_epub_spark.operators import (
+            crawl_frontier,
+            drop_noindex,
+            filter_disallowed,
+            robots_rules,
+        )
+
+        h = F.abs(F.xxhash64("url"))
+        url = F.concat(
+            F.lit("https://sub"), (h % 7).cast("string"),
+            F.lit(".site"), (h % 97).cast("string"),
+            F.lit(".example/p"), (h % 100000).cast("string"), F.lit(".html"),
+        )
+        html = F.encode(
+            F.concat(
+                F.lit("<html><head><title>t</title>"),
+                F.when(
+                    h % 20 == 0,
+                    F.lit('<meta name="robots" content="noindex">'),
+                ).otherwise(F.lit("")),
+                F.lit('</head><body><a href="https://ext'),
+                (h % 53).cast("string"),
+                F.lit('.example.org/x'), (h % 9973).cast("string"),
+                F.lit('">l</a><a href="/n'), (h % 89).cast("string"),
+                F.lit('.html">m</a><p>'),
+                F.coalesce("text", F.lit("")),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        )
+        pages = corpus.select(url.alias("url"), html.alias("html"))
+        r = F.col("r")
+        robots = (
+            spark.range(97)
+            .select(F.col("id").cast("int").alias("r"))
+            .select(
+                F.concat(F.lit("site"), r.cast("string"), F.lit(".example")).alias(
+                    "domain"
+                ),
+                F.when(
+                    r % 2 == 0,
+                    F.concat(
+                        F.lit("User-agent: *\nDisallow: /p"),
+                        r.cast("string"), F.lit("\n"),
+                    ),
+                ).otherwise(F.lit("User-agent: Googlebot\nDisallow: /\n"))
+                .alias("body"),
+            )
+        )
+        gated = filter_disallowed(drop_noindex(pages), robots_rules(robots))
+        _force(
+            crawl_frontier(
+                gated, corpus.select("url"), per_domain_limit=100
+            )
+        )
+
+    # min-of-2 for the same codegen reason as quality_filters (the meta/
+    # anchor regex battery compiles once per executor lifetime)
+    timed("web_politeness_graph", web_politeness, runs=2)
+
     warc_paths = _warc_corpus_paths(corpus)  # one-time build, unmeasured
 
     def warc_parse() -> None:

@@ -25,6 +25,17 @@ from pyspark.sql import functions as F
 TRACKING_PARAM_PATTERN = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid)="
 
 
+def _permissive_text(col: str, max_scan_bytes: int) -> Column:
+    """Bounded page prefix as a string WITHOUT charset validation: the
+    binary→string cast keeps malformed bytes opaque instead of raising
+    the way ``decode(…, 'UTF-8')`` does (a 100 TB scan meets mojibake
+    and mid-codepoint prefix cuts on the first partition; the regex
+    batteries treat the bad bytes as noise)."""
+    return F.substring(F.col(col).cast("binary"), 1, max_scan_bytes).cast(
+        "string"
+    )
+
+
 def canonical_url(url_col: Column) -> Column:
     no_frag = F.regexp_replace(url_col, r"#.*$", "")
     head = F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
@@ -129,9 +140,7 @@ def extract_outlinks(
     # in a legacy charset can mangle the rare raw non-ASCII href — the
     # charset-exact path is the Python-side extractor (sniff_decode), this
     # operator deliberately stays in codegen
-    page_text = F.decode(
-        F.substring(F.col(html_col).cast("binary"), 1, max_scan_bytes), "UTF-8"
-    )
+    page_text = _permissive_text(html_col, max_scan_bytes)
     quoted = "(?i)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"'<>]+)"
     unquoted = "(?i)<a\\s[^>]*?href\\s*=\\s*([^\\s\"'<>]+)"
     hrefs = F.concat(
@@ -191,9 +200,7 @@ def extract_anchor_texts(
     once.  Only quoted hrefs carry anchor pairing (the unquoted form is
     handled by ``extract_outlinks``; pairing both forms positionally
     would interleave wrong)."""
-    page_text = F.decode(
-        F.substring(F.col(html_col).cast("binary"), 1, max_scan_bytes), "UTF-8"
-    )
+    page_text = _permissive_text(html_col, max_scan_bytes)
     pat = r"""(?is)<a\s[^>]*?href\s*=\s*["']([^"'<>]+)["'][^>]*>(.*?)</a"""
     pairs = F.arrays_zip(
         F.regexp_extract_all(page_text, F.lit(pat), F.lit(1)).alias("href"),
@@ -289,9 +296,7 @@ def extract_sitemap_urls(
     sitemaps to fetch, not pages) — the two-level walk every crawler
     seeds its frontier from.  JVM-side: one bounded decode, one
     regexp_extract_all, one explode; CDATA wrappers stripped."""
-    xml_text = F.decode(
-        F.substring(F.col(xml_col).cast("binary"), 1, max_scan_bytes), "UTF-8"
-    )
+    xml_text = _permissive_text(xml_col, max_scan_bytes)
     locs = F.regexp_extract_all(
         xml_text, F.lit(r"(?is)<loc[^>]*>\s*(.*?)\s*</loc"), F.lit(1)
     )
@@ -384,9 +389,7 @@ def page_meta(
     (directives union), and the ``none`` directive (= noindex,nofollow).
     A NULL html column yields false flags (nothing declared), never a
     dropped row downstream."""
-    head = F.decode(
-        F.substring(F.col(html_col).cast("binary"), 1, max_scan_bytes), "UTF-8"
-    )
+    head = _permissive_text(html_col, max_scan_bytes)
     title = F.regexp_extract(head, r"(?is)<title[^>]*>\s*(.*?)\s*</title", 1)
     # all robots metas, both attribute orders × quoted/unquoted content
     # (quoted values may contain spaces/commas; unquoted stop at

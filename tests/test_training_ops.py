@@ -1682,3 +1682,25 @@ def test_crawl_frontier(spark):
         ("t.example", "https://t.example/B", 2),
         ("u.example", "https://u.example/only", 1),
     ]
+
+
+def test_web_scans_tolerate_malformed_bytes(spark):
+    """A CC-scale scan meets mojibake and mid-codepoint prefix cuts; the
+    bounded page scans must treat bad bytes as noise, not raise
+    MALFORMED_CHARACTER_CODING (strict decode did)."""
+    from pdf_to_epub_spark.operators import extract_outlinks, page_meta
+
+    html = (
+        b"<html><head><title>ok\xff\xfe</title></head><body>"
+        b'<a href="https://t.example/x">\xc3</a>'  # truncated codepoint
+        b"\x80\x81 stray continuation bytes</body></html>"
+    )
+    df = spark.createDataFrame(
+        [("https://src.example/p", bytearray(html))],
+        "url string, html binary",
+    )
+    assert [r["target"] for r in extract_outlinks(df).collect()] == [
+        "https://t.example/x"
+    ]
+    row = page_meta(df).collect()[0]
+    assert row["page_title"] is not None and not row["page_noindex"]
