@@ -288,10 +288,14 @@ _CHARSET_ALIASES = {
 
 # two declaration forms, attribute-anchored so charset= inside an
 # unrelated content value (a description meta, prose about charsets)
-# cannot match: the HTML5 <meta charset=...> form, and the legacy
-# http-equiv Content-Type form (lookahead pins http-equiv to the SAME tag)
+# cannot match: the HTML5 <meta charset=...> form — any attribute order,
+# but ONLY in tags without a content= attribute (a content-bearing meta
+# is either http-equiv, handled below, or an unrelated meta whose value
+# could embed the word charset=) — and the legacy http-equiv
+# Content-Type form (lookahead pins http-equiv to the SAME tag)
 _META_CHARSET5_RE = re.compile(
-    rb"""<meta\s+charset\s*=\s*["']?([A-Za-z0-9_.:-]+)""", re.IGNORECASE
+    rb"""<meta(?![^>]*?\scontent\s*=)[^>]*?\scharset\s*=\s*["']?([A-Za-z0-9_.:-]+)""",
+    re.IGNORECASE,
 )
 _META_CHARSET_EQUIV_RE = re.compile(
     rb"""<meta(?=[^>]*?http-equiv\s*=\s*["']?content-type)"""
@@ -299,6 +303,10 @@ _META_CHARSET_EQUIV_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _HTML_COMMENT_RE = re.compile(rb"<!--.*?-->", re.DOTALL)
+# a comment whose '-->' lies beyond the prescan cut: everything from the
+# unmatched opener is dead text, drop it (only unterminated openers
+# remain after _HTML_COMMENT_RE ran)
+_HTML_COMMENT_OPEN_RE = re.compile(rb"<!--.*$", re.DOTALL)
 
 
 def sniff_decode(html: bytes | bytearray) -> tuple[str, str]:
@@ -318,6 +326,7 @@ def sniff_decode(html: bytes | bytearray) -> tuple[str, str]:
         return html[2:].decode("utf-16-be", "replace"), "utf-16-be"
     # commented-out declarations must not win over the live one
     head = _HTML_COMMENT_RE.sub(b"", bytes(html[:4096]))
+    head = _HTML_COMMENT_OPEN_RE.sub(b"", head)
     m = _META_CHARSET5_RE.search(head) or _META_CHARSET_EQUIV_RE.search(head)
     if m:
         declared = m.group(1).decode("ascii", "ignore").lower()

@@ -44,27 +44,46 @@ def robots_rules(
     and the largest ``Crawl-delay`` of every ``User-agent: *`` group
     (largest = most polite when groups disagree).  Domains whose
     robots.txt contains no star group (or no rules at all) are absent
-    from the output — absence means unrestricted."""
+    from the output — absence means unrestricted.
+
+    Duplicate input rows per domain (multiple captures, several hosts
+    mapping to one registrable domain) are supported: group structure is
+    computed PER INPUT BODY (a per-row id keeps the window from
+    interleaving lines of different bodies), then star-group rules union
+    per domain — a set union, so the row-id values never affect the
+    output."""
+    # rid must be assigned BEFORE the explode (in the same projection as
+    # a generator it would be re-evaluated per exploded row, fragmenting
+    # every body into per-line "groups"); nondeterministic expressions
+    # are not collapsed across the Generate, so the two-step is stable
+    with_id = robots.select(
+        F.col(domain_col).alias("domain"),
+        F.monotonically_increasing_id().alias("rid"),
+        F.col(body_col).alias("__body"),
+    )
     lines = (
-        robots.select(
-            F.col(domain_col).alias("domain"),
+        with_id.select(
+            "domain",
+            "rid",
             F.posexplode(
-                F.split(F.coalesce(F.col(body_col), F.lit("")), r"\r?\n")
+                F.split(F.coalesce(F.col("__body"), F.lit("")), r"\r?\n")
             ).alias("pos", "raw"),
         )
         # strip comments, trim; blank lines stay (they end a group in the
         # spec, but group assignment below only needs UA-run boundaries)
         .select(
             "domain",
+            "rid",
             "pos",
             F.trim(F.regexp_replace("raw", r"#.*$", "")).alias("line"),
         )
     )
     is_ua = F.col("line").rlike(r"(?i)^user-agent\s*:")
-    w = Window.partitionBy("domain").orderBy("pos")
+    w = Window.partitionBy("domain", "rid").orderBy("pos")
     # a group starts at the FIRST user-agent line of a consecutive run
     grouped = lines.select(
         "domain",
+        "rid",
         "pos",
         "line",
         is_ua.alias("is_ua"),
@@ -77,7 +96,7 @@ def robots_rules(
         .over(w)
         .alias("grp"),
     )
-    per_group = grouped.groupBy("domain", "grp").agg(
+    per_group = grouped.groupBy("domain", "rid", "grp").agg(
         F.max(
             (F.regexp_extract("line", _UA_VAL, 1) == "*").cast("int")
         ).alias("star"),

@@ -19,6 +19,9 @@ patterns so the DuckDB oracle replays every rule bit-for-bit):
 
 from __future__ import annotations
 
+import functools
+from operator import or_
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -141,8 +144,11 @@ def extract_outlinks(
     # charset-exact path is the Python-side extractor (sniff_decode), this
     # operator deliberately stays in codegen
     page_text = _permissive_text(html_col, max_scan_bytes)
-    quoted = "(?i)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"'<>]+)"
-    unquoted = "(?i)<a\\s[^>]*?href\\s*=\\s*([^\\s\"'<>]+)"
+    # (?:[^>]*?\s)? pins href to an ATTRIBUTE boundary: without it the
+    # quoted pattern also matches the href= suffix of data-href= /
+    # xlink:href= and one tag emits two targets
+    quoted = "(?i)<a\\s(?:[^>]*?\\s)?href\\s*=\\s*[\"']([^\"'<>]+)"
+    unquoted = "(?i)<a\\s(?:[^>]*?\\s)?href\\s*=\\s*([^\\s\"'<>]+)"
     hrefs = F.concat(
         F.regexp_extract_all(page_text, F.lit(quoted), F.lit(1)),
         F.regexp_extract_all(page_text, F.lit(unquoted), F.lit(1)),
@@ -201,7 +207,14 @@ def extract_anchor_texts(
     handled by ``extract_outlinks``; pairing both forms positionally
     would interleave wrong)."""
     page_text = _permissive_text(html_col, max_scan_bytes)
-    pat = r"""(?is)<a\s[^>]*?href\s*=\s*["']([^"'<>]+)["'][^>]*>(.*?)</a"""
+    # attribute-boundary href (no data-href double-claims) + tempered
+    # inner text that refuses to cross into a following <a — an UNCLOSED
+    # anchor drops its own pair instead of swallowing the next anchors'
+    # text up to the stray </a>
+    pat = (
+        r"""(?is)<a\s(?:[^>]*?\s)?href\s*=\s*["']([^"'<>]+)["']"""
+        r"""[^>]*>((?:(?!<a[\s>]).)*?)</a"""
+    )
     pairs = F.arrays_zip(
         F.regexp_extract_all(page_text, F.lit(pat), F.lit(1)).alias("href"),
         F.regexp_extract_all(page_text, F.lit(pat), F.lit(2)).alias("raw"),
@@ -261,26 +274,23 @@ def canonical_dedup(
     Cluster key = declared canonical target (or own URL when absent);
     the representative is the member whose URL IS the canonical target
     when captured, else the lexically-smallest member.  One shuffle on
-    the cluster key; all original columns pass through."""
-    meta = page_meta(pages, html_col)
-    cluster = F.coalesce(F.col("page_canonical"), F.col(url_col))
+    the cluster key; all original columns pass through.  Only the
+    rel=canonical regex runs per page (not the full page_meta battery —
+    the other head scans would be paid and dropped)."""
+    canon = _canonical_of(_permissive_text(html_col, 8192))
+    cluster = F.coalesce(
+        F.when(canon == "", None).otherwise(canon), F.col(url_col)
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("__cluster").orderBy(
         (F.col(url_col) == F.col("__cluster")).desc(), F.col(url_col)
     )
     return (
-        meta.withColumn("__cluster", cluster)
+        pages.withColumn("__cluster", cluster)
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .drop(
-            "__cluster",
-            "__rn",
-            "page_title",
-            "page_noindex",
-            "page_nofollow",
-            "page_canonical",
-        )
+        .drop("__cluster", "__rn")
     )
 
 
@@ -414,23 +424,30 @@ def page_meta(
             ),
         )
     )
-    canonical = F.regexp_extract(
-        head,
-        r"""(?is)<link\s[^>]*?rel\s*=\s*["']?canonical["']?[^>]*?href\s*=\s*["']([^"'<>]+)""",
-        1,
+    canonical = _canonical_of(head)
+    # token-exact directive match (comma-split, trimmed): a substring
+    # test would flag the harmless 'max-image-preview:none' as noindex
+    tokens = F.transform(F.split(robots, ","), lambda t: F.trim(t))
+    has = lambda *names: F.exists(  # noqa: E731
+        tokens, lambda t: functools.reduce(or_, [t == n for n in names])
     )
     return pages.select(
         "*",
         F.when(title == "", None).otherwise(title).alias("page_title"),
-        (robots.contains("noindex") | robots.contains("none")).alias(
-            "page_noindex"
-        ),
-        (robots.contains("nofollow") | robots.contains("none")).alias(
-            "page_nofollow"
-        ),
+        (has("noindex", "none")).alias("page_noindex"),
+        (has("nofollow", "none")).alias("page_nofollow"),
         F.when(canonical == "", None)
         .otherwise(canonical)
         .alias("page_canonical"),
+    )
+
+
+def _canonical_of(head: Column) -> Column:
+    """rel=canonical href from a bounded head prefix ('' when absent)."""
+    return F.regexp_extract(
+        head,
+        r"""(?is)<link\s[^>]*?rel\s*=\s*["']?canonical["']?[^>]*?href\s*=\s*["']([^"'<>]+)""",
+        1,
     )
 
 

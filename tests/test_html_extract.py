@@ -442,3 +442,26 @@ def test_charset_sniffing_paths():
     assert res.status == "ok"
     assert "Привет мир тест" in res.text
     assert res.counters.get("charset.cp1251") == 1
+
+
+def test_charset_sniffing_review_fixes():
+    """Round-4 review pins: charset attribute in any position (HTML5
+    allows it) still detected; a comment left open past the prescan
+    window can't resurrect a dead declaration."""
+    from pdf_to_epub_spark.extractlib.htmlblocks import sniff_decode
+
+    text, cs = sniff_decode(
+        '<meta id="x" charset="windows-1251"><p>Привет</p>'.encode("cp1251")
+    )
+    assert cs == "cp1251" and "Привет" in text
+    # opener inside the window, '-->' beyond it: the commented-out
+    # declaration must not win (page body is utf-8)
+    page = (
+        b"<!-- legacy header <meta charset='koi8-r'> "
+        + b"x" * 5000
+        + b" --><meta charset='utf-8'>"
+        + "<p>ok “q”</p>".encode("utf-8")
+    )
+    text, cs = sniff_decode(page)
+    assert cs in ("utf-8", "cp1252") and "ok" in text
+    assert "“q”" in text

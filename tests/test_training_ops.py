@@ -1704,3 +1704,60 @@ def test_web_scans_tolerate_malformed_bytes(spark):
     ]
     row = page_meta(df).collect()[0]
     assert row["page_title"] is not None and not row["page_noindex"]
+
+
+def test_review_fix_regressions(spark):
+    """Pins for the round-4 review findings: directive tokens (not
+    substrings), data-href single-emit, unclosed-anchor containment,
+    multi-row robots domains."""
+    from pdf_to_epub_spark.operators import (
+        extract_anchor_texts,
+        extract_outlinks,
+        page_meta,
+        robots_rules,
+    )
+
+    # 'max-image-preview:none' is NOT noindex/nofollow/none
+    df = spark.createDataFrame(
+        [(0, bytearray(
+            b'<html><head><meta name="robots" '
+            b'content="max-image-preview:none"></head></html>'))],
+        "doc_id long, html binary",
+    )
+    row = page_meta(df).collect()[0]
+    assert row["page_noindex"] is False and row["page_nofollow"] is False
+
+    # data-href must not double-emit; unquoted still extracted
+    pages = spark.createDataFrame(
+        [("https://s.example/d/p", bytearray(
+            b'<a href=page.html data-href="lazy.js">x</a>'))],
+        "url string, html binary",
+    )
+    assert [r["target"] for r in extract_outlinks(pages).collect()] == [
+        "https://s.example/d/page.html"
+    ]
+
+    # an unclosed <a> drops its own pair, not the next anchor's
+    pages2 = spark.createDataFrame(
+        [("https://s.example/p", bytearray(
+            b'<a href="https://u1.example/">no close '
+            b'<a href="https://u2.example/">t2</a>'))],
+        "url string, html binary",
+    )
+    assert [
+        (r["target"], r["anchor"])
+        for r in extract_anchor_texts(pages2).collect()
+    ] == [("https://u2.example/", "t2")]
+
+    # several robots.txt rows for one domain: star groups union, named
+    # groups stay excluded, regardless of row interleaving
+    robots = spark.createDataFrame(
+        [
+            ("a.example", "User-agent: *\nDisallow: /a\n"),
+            ("a.example", "User-agent: Googlebot\nDisallow: /g\n"),
+            ("a.example", "User-agent: *\nDisallow: /b\n"),
+        ],
+        "domain string, body string",
+    ).repartition(3)
+    (r,) = robots_rules(robots).collect()
+    assert r["domain"] == "a.example" and r["disallow"] == ["/a", "/b"]
