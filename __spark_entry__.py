@@ -1294,6 +1294,64 @@ def _q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_recrawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two deterministic crawls: every 11th page
+    vanishes, every 5th changes text, every 13th gains a new sibling —
+    the re-crawl scheduler's added/removed/changed/unchanged statuses."""
+    from pdf_to_epub_spark.operators import recrawl_diff
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    url = F.concat(F.lit("https://d.example/p"), i.cast("string"))
+    old = d.select(url.alias("url"), "text")
+    changed = F.when(i % 5 == 0, F.concat(F.col("text"), F.lit("X"))).otherwise(
+        F.col("text")
+    )
+    new = (
+        d.where(i % 11 != 0)
+        .select(url.alias("url"), changed.alias("text"))
+        .unionByName(
+            d.where(i % 13 == 0).select(
+                F.concat(F.lit("https://d.example/new"), i.cast("string")).alias(
+                    "url"
+                ),
+                "text",
+            )
+        )
+    )
+    return recrawl_diff(old, new).select("url", "status")
+
+
+def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The politeness-aware fetch plan over the composed frontier: the
+    Crawl-delay domains (r%3==1 in the robots fixture) pace at 2 s, all
+    others at the 1 s default — eta_s = (rank−1)·delay."""
+    from pdf_to_epub_spark.operators import (
+        crawl_frontier,
+        crawl_schedule,
+        robots_rules,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    pages = _link_pages(d, extra_anchors=True)
+    crawled = d.where(i % 2 == 0).select(
+        F.concat(
+            F.lit("https://ext"), (i % 5).cast("string"),
+            F.lit(".example.org/x"), i.cast("string"),
+        ).alias("url")
+    )
+    frontier = crawl_frontier(pages, crawled, per_domain_limit=5)
+    d13 = d.select((i % 13).alias("r")).distinct()
+    rules = robots_rules(_robots_fixture(d13))
+    return crawl_schedule(frontier, rules).select(
+        "domain",
+        "target",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("eta_s", 6).alias("eta_s"),
+    )
+
+
 def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registrable-domain corpus stats over deterministically-built
     urls (7 subdomains × 13 domains) — the quota/filter input table."""
@@ -1796,6 +1854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rules": _q_robots_rules,
         "sitemap_urls": _q_sitemap_urls,
         "crawl_frontier": _q_crawl_frontier,
+        "recrawl_diff": _q_recrawl_diff,
+        "crawl_schedule": _q_crawl_schedule,
         "robots_gate": _q_robots_gate,
         "anchor_texts": _q_anchor_texts,
         "top_anchors": _q_top_anchors,
@@ -2517,6 +2577,76 @@ def oracle_sql() -> dict[str, str]:
                        END ORDER BY target) AS rank
                 FROM fresh)
             SELECT domain, target, rank FROM ranked WHERE rank <= 5
+        """,
+        # snapshot-diff statuses replayed from the residue rules (11th
+        # removed, 5th changed, 13th gains a sibling; removed wins over
+        # changed because the page is absent from the new crawl)
+        "recrawl_diff": """
+            SELECT 'https://d.example/p' || doc_id AS url,
+                   CASE WHEN doc_id % 11 = 0 THEN 'removed'
+                        WHEN doc_id % 5 = 0 THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM documents
+            UNION ALL
+            SELECT 'https://d.example/new' || doc_id, 'added'
+            FROM documents WHERE doc_id % 13 = 0
+        """,
+        # the frontier replay again, joined with the fixture's arithmetic
+        # Crawl-delay (2 s on r%3==1 site domains, 1 s default elsewhere)
+        "crawl_schedule": """
+            WITH src AS (
+                SELECT doc_id AS i,
+                       'https://sub' || (doc_id % 7) || '.site'
+                       || (doc_id % 13) || '.example' AS origin,
+                       '/dir' || (doc_id % 3) AS dir
+                FROM documents),
+            tgt AS (
+                SELECT DISTINCT target FROM (
+                    SELECT 'https://ext' || (i % 5) || '.example.org/x'
+                           || i AS target FROM src
+                    UNION ALL
+                    SELECT 'https://cdn' || (i % 2) || '.example.net/y'
+                    FROM src
+                    UNION ALL
+                    SELECT origin || '/root' || (i % 4) || '.html' FROM src
+                    UNION ALL
+                    SELECT origin || dir || '/rel' || (i % 6) || '.html'
+                    FROM src
+                    UNION ALL
+                    SELECT origin || dir || '/uq' || (i % 6) || '.html'
+                    FROM src)),
+            fresh AS (
+                SELECT target FROM tgt
+                WHERE target NOT IN (
+                    SELECT 'https://ext' || (doc_id % 5)
+                           || '.example.org/x' || doc_id
+                    FROM documents WHERE doc_id % 2 = 0)),
+            ranked AS (
+                SELECT CASE
+                           WHEN target LIKE '%.example.org/%'
+                               THEN 'example.org'
+                           WHEN target LIKE '%.example.net/%'
+                               THEN 'example.net'
+                           ELSE regexp_extract(target,
+                               'https://[^./]*\\.(site[0-9]+\\.example)/', 1)
+                       END AS domain,
+                       target,
+                       ROW_NUMBER() OVER (PARTITION BY CASE
+                           WHEN target LIKE '%.example.org/%'
+                               THEN 'example.org'
+                           WHEN target LIKE '%.example.net/%'
+                               THEN 'example.net'
+                           ELSE regexp_extract(target,
+                               'https://[^./]*\\.(site[0-9]+\\.example)/', 1)
+                       END ORDER BY target) AS rank
+                FROM fresh)
+            SELECT domain, target, rank,
+                   ROUND((rank - 1) * CASE
+                       WHEN domain LIKE 'site%.example'
+                            AND CAST(regexp_extract(domain,
+                                'site([0-9]+)', 1) AS INT) % 3 = 1
+                           THEN 2.0 ELSE 1.0 END, 6)::DOUBLE AS eta_s
+            FROM ranked WHERE rank <= 5
         """,
         # robots.txt star-group parsing replayed arithmetically from the
         # residue rules the fixture encodes (r%3==2 domains have no star

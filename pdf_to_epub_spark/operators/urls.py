@@ -362,6 +362,65 @@ def crawl_frontier(
     )
 
 
+def recrawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two crawls of the same corpus — the
+    re-crawl scheduler's input (changed pages re-extract, added pages
+    enter the pipeline, removed pages tombstone): one row per canonical
+    URL with ``status`` ∈ added / removed / changed / unchanged.
+
+    One full-outer sort-merge join on the canonical URL over slim
+    (url, content-hash) projections — the page text never shuffles."""
+    o = old.select(
+        canonical_url(F.col(url_col)).alias("url"),
+        F.md5(F.col(text_col)).alias("__old_hash"),
+    )
+    n = new.select(
+        canonical_url(F.col(url_col)).alias("url"),
+        F.md5(F.col(text_col)).alias("__new_hash"),
+    )
+    status = (
+        F.when(F.col("__old_hash").isNull(), F.lit("added"))
+        .when(F.col("__new_hash").isNull(), F.lit("removed"))
+        .when(F.col("__old_hash") != F.col("__new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return o.join(n, "url", "full_outer").select("url", status.alias("status"))
+
+
+def crawl_schedule(
+    frontier: DataFrame,
+    rules: DataFrame,
+    default_delay_s: float = 1.0,
+) -> DataFrame:
+    """Politeness-aware fetch plan: the ``crawl_frontier`` output joined
+    (broadcast) with the ``robots_rules`` Crawl-delay per domain →
+    (domain, target, rank, eta_s) where ``eta_s = (rank−1) · delay`` and
+    delay = max(declared crawl delay, default) — a host is fetched
+    serially at its declared pace, hosts run in parallel.  No shuffle of
+    the frontier (the per-domain rank already exists)."""
+    r = F.broadcast(
+        rules.select("domain", F.col("crawl_delay").alias("__delay"))
+    )
+    delay = F.coalesce(
+        F.greatest(F.col("__delay"), F.lit(default_delay_s)),
+        F.lit(default_delay_s),
+    )
+    return (
+        frontier.join(r, "domain", "left")
+        .select(
+            "domain",
+            "target",
+            "rank",
+            ((F.col("rank") - 1) * delay).alias("eta_s"),
+        )
+    )
+
+
 def domain_graph(
     outlinks: DataFrame, url_col: str = "url", target_col: str = "target"
 ) -> DataFrame:

@@ -1761,3 +1761,55 @@ def test_review_fix_regressions(spark):
     ).repartition(3)
     (r,) = robots_rules(robots).collect()
     assert r["domain"] == "a.example" and r["disallow"] == ["/a", "/b"]
+
+
+def test_recrawl_diff_and_schedule(spark):
+    """Snapshot diff statuses over canonicalized URLs, and the
+    politeness-aware fetch plan (declared Crawl-delay paces a host,
+    default elsewhere)."""
+    from pdf_to_epub_spark.operators import crawl_schedule, recrawl_diff
+
+    old = spark.createDataFrame(
+        [
+            ("https://a.example/p1#frag", "same"),
+            ("https://a.example/p2", "will change"),
+            ("https://a.example/p3", "will vanish"),
+        ],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("https://a.example/p1", "same"),
+            ("https://a.example/p2", "CHANGED"),
+            ("https://a.example/p4", "brand new"),
+        ],
+        "url string, text string",
+    )
+    got = {r["url"]: r["status"] for r in recrawl_diff(old, new).collect()}
+    assert got == {
+        "https://a.example/p1": "unchanged",
+        "https://a.example/p2": "changed",
+        "https://a.example/p3": "removed",
+        "https://a.example/p4": "added",
+    }
+
+    frontier = spark.createDataFrame(
+        [("slow.example", "https://slow.example/a", 1),
+         ("slow.example", "https://slow.example/b", 2),
+         ("fast.example", "https://fast.example/a", 3)],
+        "domain string, target string, rank int",
+    )
+    rules = spark.createDataFrame(
+        [("slow.example", ["/x"], 2.5),
+         ("half.example", [], 0.25)],  # below default → default wins
+        "domain string, disallow array<string>, crawl_delay double",
+    )
+    sched = {
+        r["target"]: r["eta_s"]
+        for r in crawl_schedule(frontier, rules).collect()
+    }
+    assert sched == {
+        "https://slow.example/a": 0.0,
+        "https://slow.example/b": 2.5,
+        "https://fast.example/a": 2.0,  # (3-1) * default 1.0
+    }
