@@ -374,20 +374,37 @@ def recrawl_diff(
     URL with ``status`` ∈ added / removed / changed / unchanged.
 
     One full-outer sort-merge join on the canonical URL over slim
-    (url, content-hash) projections — the page text never shuffles."""
-    o = old.select(
-        canonical_url(F.col(url_col)).alias("url"),
-        F.md5(F.col(text_col)).alias("__old_hash"),
-    )
-    n = new.select(
-        canonical_url(F.col(url_col)).alias("url"),
-        F.md5(F.col(text_col)).alias("__new_hash"),
-    )
+    (url, content-hash) projections — the page text never shuffles.
+    URL variants that canonicalize identically within one snapshot
+    collapse first (min hash — deterministic pick), so the output is
+    exactly one row per canonical URL; presence is tracked explicitly,
+    so a NULL text column cannot masquerade as an absent row."""
+
+    def side(df: DataFrame, hash_alias: str, present_alias: str) -> DataFrame:
+        return (
+            df.select(
+                canonical_url(F.col(url_col)).alias("url"),
+                F.md5(F.col(text_col)).alias("__h"),
+            )
+            .groupBy("url")
+            .agg(F.min("__h").alias(hash_alias))
+            .withColumn(present_alias, F.lit(True))
+        )
+
+    o = side(old, "__old_hash", "__old_present")
+    n = side(new, "__new_hash", "__new_present")
     status = (
-        F.when(F.col("__old_hash").isNull(), F.lit("added"))
-        .when(F.col("__new_hash").isNull(), F.lit("removed"))
-        .when(F.col("__old_hash") != F.col("__new_hash"), F.lit("changed"))
-        .otherwise(F.lit("unchanged"))
+        F.when(
+            ~F.coalesce(F.col("__old_present"), F.lit(False)), F.lit("added")
+        )
+        .when(
+            ~F.coalesce(F.col("__new_present"), F.lit(False)), F.lit("removed")
+        )
+        .when(
+            F.col("__old_hash").eqNullSafe(F.col("__new_hash")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
     )
     return o.join(n, "url", "full_outer").select("url", status.alias("status"))
 
@@ -406,10 +423,9 @@ def crawl_schedule(
     r = F.broadcast(
         rules.select("domain", F.col("crawl_delay").alias("__delay"))
     )
-    delay = F.coalesce(
-        F.greatest(F.col("__delay"), F.lit(default_delay_s)),
-        F.lit(default_delay_s),
-    )
+    # greatest skips NULL inputs, so a missing/undeclared delay already
+    # resolves to the (non-null) default
+    delay = F.greatest(F.col("__delay"), F.lit(default_delay_s))
     return (
         frontier.join(r, "domain", "left")
         .select(

@@ -1774,6 +1774,12 @@ def test_recrawl_diff_and_schedule(spark):
             ("https://a.example/p1#frag", "same"),
             ("https://a.example/p2", "will change"),
             ("https://a.example/p3", "will vanish"),
+            # variants collapsing to one canonical url: ONE output row
+            ("https://a.example/p5", "v"),
+            ("https://a.example/p5?utm_source=x", "v"),
+            # NULL text is still a PRESENT row (must diff as removed,
+            # not resurrect as added)
+            ("https://a.example/p6", None),
         ],
         "url string, text string",
     )
@@ -1782,26 +1788,32 @@ def test_recrawl_diff_and_schedule(spark):
             ("https://a.example/p1", "same"),
             ("https://a.example/p2", "CHANGED"),
             ("https://a.example/p4", "brand new"),
+            ("https://a.example/p5", "v"),
         ],
         "url string, text string",
     )
-    got = {r["url"]: r["status"] for r in recrawl_diff(old, new).collect()}
+    rows = recrawl_diff(old, new).collect()
+    assert len(rows) == 6  # one row per canonical url
+    got = {r["url"]: r["status"] for r in rows}
     assert got == {
         "https://a.example/p1": "unchanged",
         "https://a.example/p2": "changed",
         "https://a.example/p3": "removed",
         "https://a.example/p4": "added",
+        "https://a.example/p5": "unchanged",
+        "https://a.example/p6": "removed",
     }
 
     frontier = spark.createDataFrame(
         [("slow.example", "https://slow.example/a", 1),
          ("slow.example", "https://slow.example/b", 2),
-         ("fast.example", "https://fast.example/a", 3)],
+         ("fast.example", "https://fast.example/a", 3),
+         ("half.example", "https://half.example/a", 2)],
         "domain string, target string, rank int",
     )
     rules = spark.createDataFrame(
         [("slow.example", ["/x"], 2.5),
-         ("half.example", [], 0.25)],  # below default → default wins
+         ("half.example", [], 0.25)],
         "domain string, disallow array<string>, crawl_delay double",
     )
     sched = {
@@ -1812,4 +1824,5 @@ def test_recrawl_diff_and_schedule(spark):
         "https://slow.example/a": 0.0,
         "https://slow.example/b": 2.5,
         "https://fast.example/a": 2.0,  # (3-1) * default 1.0
+        "https://half.example/a": 1.0,  # declared 0.25 < default → default
     }
