@@ -67,11 +67,45 @@ def ingest(
     max_lm_nats_micro: int | None = None,
     pack_max_tokens: int | None = None,
     pack_shards: int = 64,
+    robots_txt: DataFrame | None = None,
+    blocked_domains: DataFrame | None = None,
 ) -> IngestResult:
     """Run the full pipeline; returns the cleaned, deduplicated, split
     corpus ``(url, text, n_email, n_ip, n_phone, split)`` plus per-stage
-    audit aggregates."""
+    audit aggregates.
+
+    ``robots_txt`` (html mode; a ``(domain, body)`` frame) switches on
+    the crawl-politeness gates BEFORE extraction: robots.txt Disallow
+    filtering (broadcast) and the robots-meta noindex gate —
+    publisher-declared exclusions never reach the extractor.
+    ``blocked_domains`` (any mode; ``(domain)``) applies the UT1-shape
+    registrable-domain blocklist the same way."""
     audit: dict[str, DataFrame] = {}
+
+    if robots_txt is not None and not html_mode:
+        raise ValueError("robots_txt gating needs html_mode pages")
+    n_raw = None
+    if robots_txt is not None or blocked_domains is not None:
+        n_raw = pages.count()
+    if blocked_domains is not None:
+        from pdf_to_epub_spark.operators import filter_blocked_urls
+
+        pages = filter_blocked_urls(pages, blocked_domains)
+    if robots_txt is not None:
+        from pdf_to_epub_spark.operators import (
+            drop_noindex,
+            filter_disallowed,
+            robots_rules,
+        )
+
+        pages = filter_disallowed(drop_noindex(pages), robots_rules(robots_txt))
+    if n_raw is not None:
+        spark = pages.sparkSession
+        n_gated = pages.count()
+        audit["politeness"] = spark.createDataFrame(
+            [(n_raw, n_gated, n_raw - n_gated)],
+            "n_raw long, n_kept long, n_excluded long",
+        )
 
     if done_hashes is not None:
         from pdf_to_epub_spark.operators import pending_documents, with_doc_hash

@@ -182,3 +182,45 @@ def test_ingest_pdf_mode_end_to_end(spark):
         body = corpus[url].split("\n", 1)
         assert body[0].startswith("Document ")
         assert " ".join(body[1].split("\n")) == flat
+
+
+def test_ingest_politeness_gates(spark):
+    """robots_txt + blocked_domains wire the crawl-politeness layer in
+    front of html-mode extraction: blocklisted domains, noindex pages and
+    Disallow'd paths never reach the extractor; the politeness audit row
+    carries the raw/kept/excluded counts."""
+    rows = []
+    for i, r in enumerate(make_documents(12, seed=31)):
+        body = "".join(
+            f"<p>{line}</p>" for line in r["text"].split("\n") if line.strip()
+        )
+        meta = '<meta name="robots" content="noindex">' if i % 4 == 0 else ""
+        html = f"<html><head>{meta}</head><body>{body}</body></html>"
+        path = "/private/p" if i % 4 == 1 else "/ok/p"
+        rows.append(
+            {
+                "url": f"https://site{i % 3}.example{path}{i}.html",
+                "warc_ts": r["warc_ts"],
+                "html": html.encode(),
+                "text": None,
+                "lang": r["lang"],
+            }
+        )
+    pages = _pages(spark, rows)
+    robots = spark.createDataFrame(
+        [(f"site{d}.example", "User-agent: *\nDisallow: /private/\n")
+         for d in range(3)],
+        "domain string, body string",
+    )
+    blocked = spark.createDataFrame([("site2.example",)], "domain string")
+    result = ingest(
+        pages, html_mode=True, min_words=10,
+        robots_txt=robots, blocked_domains=blocked,
+    )
+    (pol,) = result.audit["politeness"].collect()
+    # blocked domain: i%3==2 (4 docs); then noindex i%4==0 (0,4) and
+    # Disallow'd /private/ i%4==1 (1,9) among the rest → 4 survivors
+    assert (pol["n_raw"], pol["n_kept"], pol["n_excluded"]) == (12, 4, 8)
+    kept = {r2["url"] for r2 in result.corpus.select("url").collect()}
+    allowed = {f"https://site{i % 3}.example/ok/p{i}.html" for i in (3, 6, 7, 10)}
+    assert kept <= allowed and kept
