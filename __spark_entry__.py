@@ -1352,6 +1352,32 @@ def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-shape quality signals over deterministically-dirty URLs
+    (hyphened hosts, digit-heavy paths, variable-depth paths, optional
+    query strings); the oracle recomputes every feature with DuckDB's own
+    string functions over the same constructed URL — an independent
+    implementation, not a closed form."""
+    from pdf_to_epub_spark.operators import url_quality_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(i % 3 == 0, F.lit("my-spam-")).otherwise(F.lit("s")),
+        F.lit("site"), (i % 13).cast("string"), F.lit(".example"),
+        F.when(i % 4 == 0, F.concat(F.lit("/a/b"), i.cast("string"))).otherwise(
+            F.lit("/p")
+        ),
+        F.lit("/page"), i.cast("string"), F.lit(".html"),
+        F.when(i % 5 == 0, F.lit("?x=1&utm_source=9&y=22")).otherwise(F.lit("")),
+    )
+    return url_quality_features(d.select("doc_id", url.alias("url"))).select(
+        "doc_id", "url_len", "host_len", "host_hyphens", "path_depth",
+        "n_digits", "digit_ratio", "n_params",
+    )
+
+
 def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registrable-domain corpus stats over deterministically-built
     urls (7 subdomains × 13 domains) — the quota/filter input table."""
@@ -1856,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": _q_crawl_frontier,
         "recrawl_diff": _q_recrawl_diff,
         "crawl_schedule": _q_crawl_schedule,
+        "url_features": _q_url_features,
         "robots_gate": _q_robots_gate,
         "anchor_texts": _q_anchor_texts,
         "top_anchors": _q_top_anchors,
@@ -2647,6 +2674,44 @@ def oracle_sql() -> dict[str, str]:
                                 'site([0-9]+)', 1) AS INT) % 3 = 1
                            THEN 2.0 ELSE 1.0 END, 6)::DOUBLE AS eta_s
             FROM ranked WHERE rank <= 5
+        """,
+        # URL features recomputed with DuckDB's OWN string functions over
+        # the same constructed url — independent implementation
+        "url_features": """
+            WITH u AS (
+                SELECT doc_id,
+                       'https://'
+                       || CASE WHEN doc_id % 3 = 0 THEN 'my-spam-'
+                               ELSE 's' END
+                       || 'site' || (doc_id % 13) || '.example'
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN '/a/b' || doc_id ELSE '/p' END
+                       || '/page' || doc_id || '.html'
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN '?x=1&utm_source=9&y=22' ELSE '' END
+                           AS url
+                FROM documents),
+            parts AS (
+                SELECT doc_id, url,
+                       regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host,
+                       regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+                       regexp_extract(url, '\\?([^#]*)', 1) AS query
+                FROM u)
+            SELECT doc_id,
+                   length(url)::INT AS url_len,
+                   length(host)::INT AS host_len,
+                   (length(host) - length(replace(host, '-', '')))::INT
+                       AS host_hyphens,
+                   (length(path) - length(replace(path, '/', '')))::INT
+                       AS path_depth,
+                   (length(url) - length(regexp_replace(url, '[0-9]', '', 'g')))::INT
+                       AS n_digits,
+                   ROUND((length(url) - length(regexp_replace(url, '[0-9]', '', 'g')))
+                         / length(url)::DOUBLE, 6)::DOUBLE AS digit_ratio,
+                   CASE WHEN query = '' THEN 0
+                        ELSE length(query) - length(replace(query, '&', '')) + 1
+                        END::INT AS n_params
+            FROM parts
         """,
         # robots.txt star-group parsing replayed arithmetically from the
         # residue rules the fixture encodes (r%3==2 domains have no star

@@ -362,6 +362,37 @@ def crawl_frontier(
     )
 
 
+def url_quality_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Classic URL-shape quality/spam signals, appended as columns:
+    ``url_len``, ``host_len``, ``host_hyphens``, ``path_depth`` ('/'
+    count in the path), ``n_digits`` / ``digit_ratio`` (spammy URLs are
+    digit-heavy), ``n_params`` (query parameter count).  Pure codegen
+    column algebra (length/replace arithmetic — every rule replayable in
+    portable SQL); no shuffle."""
+    u = F.col(url_col)
+    host = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+
+    def n_char(col: Column, ch: str) -> Column:
+        return F.length(col) - F.length(F.replace(col, F.lit(ch)))
+
+    n_digits = F.length(u) - F.length(F.regexp_replace(u, r"[0-9]", ""))
+    return df.select(
+        "*",
+        F.length(u).cast("int").alias("url_len"),
+        F.length(host).cast("int").alias("host_len"),
+        n_char(host, "-").cast("int").alias("host_hyphens"),
+        n_char(path, "/").cast("int").alias("path_depth"),
+        n_digits.cast("int").alias("n_digits"),
+        F.round(n_digits / F.length(u), 6).alias("digit_ratio"),
+        F.when(query == "", F.lit(0))
+        .otherwise(n_char(query, "&") + 1)
+        .cast("int")
+        .alias("n_params"),
+    )
+
+
 def recrawl_diff(
     old: DataFrame,
     new: DataFrame,

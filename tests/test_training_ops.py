@@ -1826,3 +1826,26 @@ def test_recrawl_diff_and_schedule(spark):
         "https://fast.example/a": 2.0,  # (3-1) * default 1.0
         "https://half.example/a": 1.0,  # declared 0.25 < default → default
     }
+
+
+def test_url_quality_features(spark):
+    from pdf_to_epub_spark.operators import url_quality_features
+
+    df = spark.createDataFrame(
+        [
+            ("https://my-spam-site99.example/a/b/c123.html?x=1&y=2&utm_a=z",),
+            ("https://clean.example/",),
+        ],
+        "url string",
+    )
+    got = {r["url"]: r for r in url_quality_features(df).collect()}
+    r1 = got["https://my-spam-site99.example/a/b/c123.html?x=1&y=2&utm_a=z"]
+    assert r1["host_len"] == len("my-spam-site99.example")
+    assert r1["host_hyphens"] == 2
+    assert r1["path_depth"] == 3
+    assert r1["n_digits"] == 7 and r1["n_params"] == 3
+    assert abs(r1["digit_ratio"] - round(7 / r1["url_len"], 6)) < 1e-9
+    r2 = got["https://clean.example/"]
+    assert (r2["path_depth"], r2["n_digits"], r2["n_params"]) == (1, 0, 0)
+    plan = url_quality_features(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
