@@ -1378,6 +1378,37 @@ def _q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the documents table: one row per (term, doc)
+    with the term frequency — the retrieval-side companion to the dedup
+    shingle index (operators/ir.py; one (term, doc)-keyed shuffle)."""
+    from pdf_to_epub_spark.operators import term_postings
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return term_postings(d).select("term", "doc_id", "tf")
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Lucene idf variant, k1=1.2 b=0.75) for the
+    query {spark, window, merge}: top-25 docs by rounded score.  The
+    oracle replays the full math — df, avgdl, idf, per-term weight —
+    in DuckDB SQL; ranking uses the ROUNDED score + doc_id so the k-cut
+    is engine-reproducible."""
+    from pdf_to_epub_spark.operators import bm25_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(d, ["spark", "window", "merge"], k=25)
+
+
+def _q_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF weights per (term, doc) over the full postings
+    table — (1+ln tf)·ln((1+N)/(1+df)), 6-dp rounded."""
+    from pdf_to_epub_spark.operators import tfidf_weights
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_weights(d).select("term", "doc_id", "tf", "df", "tfidf")
+
+
 def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registrable-domain corpus stats over deterministically-built
     urls (7 subdomains × 13 domains) — the quota/filter input table."""
@@ -1883,6 +1914,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_diff": _q_recrawl_diff,
         "crawl_schedule": _q_crawl_schedule,
         "url_features": _q_url_features,
+        "term_postings": _q_term_postings,
+        "bm25_topk": _q_bm25_topk,
+        "tfidf_weights": _q_tfidf_weights,
         "robots_gate": _q_robots_gate,
         "anchor_texts": _q_anchor_texts,
         "top_anchors": _q_top_anchors,
@@ -2712,6 +2746,63 @@ def oracle_sql() -> dict[str, str]:
                         ELSE length(query) - length(replace(query, '&', '')) + 1
                         END::INT AS n_params
             FROM parts
+        """,
+        "term_postings": """
+            SELECT term, doc_id, count(*)::INT AS tf
+            FROM (SELECT doc_id,
+                         unnest(regexp_extract_all(lower(text),
+                                                   '[a-zà-öø-ÿ]+')) AS term
+                  FROM documents)
+            GROUP BY term, doc_id
+        """,
+        "bm25_topk": """
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-zà-öø-ÿ]+') AS toks
+                FROM documents),
+            consts AS (
+                SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM base),
+            toks AS (
+                SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+                FROM base),
+            hits AS (
+                SELECT doc_id, dl, term, count(*) AS tf
+                FROM toks
+                WHERE term IN ('merge', 'spark', 'window')
+                GROUP BY doc_id, dl, term),
+            dfreq AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+            scored AS (
+                SELECT h.doc_id,
+                       ROUND(SUM(
+                           ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                           * (h.tf * (1.2 + 1.0))
+                           / (h.tf + 1.2 * (1.0 - 0.75
+                                            + 0.75 * h.dl / c.avgdl))
+                       ), 6)::DOUBLE AS score
+                FROM hits h
+                JOIN dfreq d USING (term)
+                CROSS JOIN consts c
+                GROUP BY h.doc_id)
+            SELECT doc_id, score FROM scored
+            ORDER BY score DESC, doc_id
+            LIMIT 25
+        """,
+        "tfidf_weights": """
+            WITH postings AS (
+                SELECT term, doc_id, count(*)::INT AS tf
+                FROM (SELECT doc_id,
+                             unnest(regexp_extract_all(lower(text),
+                                                       '[a-zà-öø-ÿ]+')) AS term
+                      FROM documents)
+                GROUP BY term, doc_id),
+            dfreq AS (
+                SELECT term, count(*)::INT AS df FROM postings GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT p.term, p.doc_id, p.tf, d.df,
+                   ROUND((1.0 + ln(p.tf::DOUBLE))
+                         * ln((1.0 + n.n_docs) / (1.0 + d.df)),
+                         6)::DOUBLE AS tfidf
+            FROM postings p JOIN dfreq d USING (term) CROSS JOIN n
         """,
         # robots.txt star-group parsing replayed arithmetically from the
         # residue rules the fixture encodes (r%3==2 domains have no star

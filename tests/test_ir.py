@@ -1,0 +1,139 @@
+"""Web-IR operators (operators/ir.py): inverted index, TF-IDF, BM25.
+
+Hand-computed goldens on a tiny corpus plus physical-plan pins for the
+scale-critical properties (broadcast df join, TakeOrderedAndProject
+top-k — no global sort shuffle)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_to_epub_spark.operators import (
+    bm25_topk,
+    document_frequencies,
+    term_postings,
+    tfidf_weights,
+)
+
+CORPUS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat"),
+    (3, "a cat and a dog"),
+    (4, "numbers 123 only!"),  # no letter-run tokens besides 'numbers'/'only'
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, ["doc_id", "text"]).cache()
+
+
+def test_postings_unique_and_tf(docs):
+    rows = {
+        (r.term, r.doc_id): r.tf for r in term_postings(docs).collect()
+    }
+    assert rows[("the", 1)] == 2
+    assert rows[("the", 2)] == 1
+    assert rows[("cat", 3)] == 1
+    assert ("123", 4) not in rows  # digits are not word tokens
+    # unique per (term, doc)
+    assert len(rows) == len(set(rows))
+
+
+def test_document_frequencies(docs):
+    dfreq = {
+        r.term: r.df
+        for r in document_frequencies(term_postings(docs)).collect()
+    }
+    assert dfreq["the"] == 2
+    assert dfreq["cat"] == 2
+    assert dfreq["mat"] == 1
+
+
+def _bm25_hand(tf: int, df: int, dl: int, n: int, avgdl: float,
+               k1: float = 1.2, b: float = 0.75) -> float:
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+def test_bm25_matches_hand_computation(docs):
+    # corpus: dl = [6, 3, 5, 2], N=4, avgdl=16/4
+    got = {r.doc_id: r.score for r in bm25_topk(docs, ["cat"], k=10).collect()}
+    avgdl = 16 / 4
+    exp1 = round(_bm25_hand(1, 2, 6, 4, avgdl), 6)
+    exp3 = round(_bm25_hand(1, 2, 5, 4, avgdl), 6)
+    assert got == {1: pytest.approx(exp1, abs=1e-9),
+                   3: pytest.approx(exp3, abs=1e-9)}
+    # shorter doc scores higher for equal tf
+    assert got[3] > got[1]
+
+
+def test_bm25_multi_term_sum_and_order(docs):
+    rows = bm25_topk(docs, ["cat", "dog"], k=10).collect()
+    ids = [r.doc_id for r in rows]
+    # doc 3 has both terms -> highest
+    assert ids[0] == 3
+    assert set(ids) == {1, 2, 3}
+    # scores strictly ordered by (score desc, doc_id)
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True) or all(
+        (a > b) or (a == b and i < j)
+        for (i, a), (j, b) in zip(
+            [(r.doc_id, r.score) for r in rows],
+            [(r.doc_id, r.score) for r in rows[1:]],
+        )
+    )
+
+
+def test_bm25_empty_query_and_no_match(docs):
+    assert bm25_topk(docs, [], k=5).count() == 0
+    assert bm25_topk(docs, ["zebra"], k=5).count() == 0
+
+
+def test_bm25_case_folding(docs):
+    a = {r.doc_id: r.score for r in bm25_topk(docs, ["CAT"], k=5).collect()}
+    b = {r.doc_id: r.score for r in bm25_topk(docs, ["cat"], k=5).collect()}
+    assert a == b
+
+
+def test_tfidf_golden(docs):
+    rows = {
+        (r.term, r.doc_id): r
+        for r in tfidf_weights(docs).collect()
+    }
+    r = rows[("the", 1)]
+    assert r.tf == 2 and r.df == 2
+    exp = round((1 + math.log(2.0)) * math.log((1 + 4) / (1 + 2)), 6)
+    assert r.tfidf == pytest.approx(exp, abs=1e-9)
+    # a term appearing in every doc with tf=1 gets weight ln(5/ (1+df))
+    r = rows[("sat", 1)]
+    assert r.tf == 1 and r.df == 2
+
+
+def test_bm25_plan_topk_and_broadcasts(docs):
+    """Scale pins: the k-cut is TakeOrderedAndProject (no global sort
+    Exchange) and the df/consts joins are broadcasts, never shuffled
+    joins."""
+    plan = (
+        bm25_topk(docs, ["cat", "dog"], k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_postings_single_exchange(docs):
+    """The inverted-index build is exactly one shuffle, keyed on
+    (term, doc) — the doc id in the key is the stop-word skew guard."""
+    plan = (
+        term_postings(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan[:2000]
