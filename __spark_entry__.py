@@ -1409,6 +1409,132 @@ def _q_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_weights(d).select("term", "doc_id", "tf", "df", "tfidf")
 
 
+def _q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level corpus profile (leaf / per-lang / grand total) in one
+    ROLLUP aggregate — three report levels for one shuffle."""
+    from pdf_to_epub_spark.operators import corpus_rollup
+
+    d = _t(spark, sf_dir, "documents").select("lang", "source", "n_chars")
+    return corpus_rollup(d).select(
+        "lang", "source", "gid", "n_docs", "total_chars", "avg_chars"
+    )
+
+
+def _q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats over deterministically-punctuated text
+    (fragments of the document joined by './!/?' terminators, residue-
+    varied tails) — the RE2-portable segmentation replayed in DuckDB via
+    list_transform/list_filter."""
+    from pdf_to_epub_spark.operators import sentence_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    txt = F.concat(
+        F.substring("text", 1, 40), F.lit(". "),
+        F.substring("text", 41, 60), F.lit("! "),
+        F.substring("text", 101, 50),
+        F.when(i % 3 == 0, F.lit("? Short tail.")).otherwise(F.lit("...")),
+    )
+    return sentence_stats(d.select("doc_id", txt.alias("text"))).select(
+        "doc_id", "n_sentences", "avg_sentence_chars",
+        "max_sentence_chars", "short_sentence_ratio",
+    )
+
+
+def _q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global exact paragraph dedup over docs carrying a shared
+    boilerplate header, a unique body paragraph, and a 7-way shared
+    footer — the header survives once, each footer 7 times fewer, every
+    body paragraph always."""
+    from pdf_to_epub_spark.operators import dedup_paragraphs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    txt = F.concat_ws(
+        "\n\n",
+        F.lit("Shared boilerplate header unit"),
+        F.concat(F.substring("text", 1, 80), F.lit(" tail "), i.cast("string")),
+        F.concat(F.lit("Footer block "), (i % 7).cast("string")),
+    )
+    return dedup_paragraphs(d.select("doc_id", txt.alias("text"))).select(
+        "doc_id", "text", "n_paras", "n_kept"
+    )
+
+
+def _q_html_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading outline (h1–h6 in document order) over deterministic pages
+    exercising mixed case, nested inline tags, attribute-bearing open
+    tags, and whitespace-bearing close tags."""
+    from pdf_to_epub_spark.operators import extract_headings
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    html = F.encode(
+        F.concat(
+            F.lit('<html><body><h1 class="t">Doc '), i.cast("string"),
+            F.lit("</h1>"),
+            F.when(
+                i % 3 == 0,
+                F.concat(
+                    F.lit("<h2> Intro <em>"), i.cast("string"),
+                    F.lit("</em></h2><p>xx</p><h2>Methods</h2>"),
+                ),
+            )
+            .when(i % 3 == 1, F.lit("<H2>Only</H2>"))
+            .otherwise(F.lit("")),
+            F.when(
+                i % 4 == 0,
+                F.concat(F.lit("<h3>Deep "), (i % 5).cast("string"),
+                         F.lit("</h3 >")),
+            ).otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        ),
+        "UTF-8",
+    )
+    return extract_headings(d.select("doc_id", html.alias("html"))).select(
+        "doc_id", "pos", "level", "heading"
+    )
+
+
+def _q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table extraction (tables → rows → joined cell texts) over
+    deterministic pages with th/td mixes, inline markup in cells,
+    attribute-bearing tr/td tags, variable row counts, and a second
+    table on every fourth page."""
+    from pdf_to_epub_spark.operators import extract_tables
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    r1 = F.concat(
+        F.lit("<tr><td>a"), i.cast("string"),
+        F.lit("</td><td><b>bold</b> "), (i % 9).cast("string"),
+        F.lit("</td></tr>"),
+    )
+    r2 = F.lit("<tr ><td>x</td><td>y</td></tr>")
+    r3 = F.concat(
+        F.lit("<tr><td colspan=2>wide "), (i % 4).cast("string"),
+        F.lit("</td></tr>"),
+    )
+    html = F.encode(
+        F.concat(
+            F.lit('<html><body><table id="t">'),
+            F.lit("<tr><th>Name</th><th> Value </th></tr>"),
+            r1,
+            F.when(i % 3 >= 1, r2).otherwise(F.lit("")),
+            F.when(i % 3 == 2, r3).otherwise(F.lit("")),
+            F.lit("</table>"),
+            F.when(
+                i % 4 == 0, F.lit("<table><tr><td>z</td></tr></table >")
+            ).otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        ),
+        "UTF-8",
+    )
+    return extract_tables(d.select("doc_id", html.alias("html"))).select(
+        "doc_id", "table_id", "row_id", "n_cells", "cells"
+    )
+
+
 def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registrable-domain corpus stats over deterministically-built
     urls (7 subdomains × 13 domains) — the quota/filter input table."""
@@ -1917,6 +2043,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_postings": _q_term_postings,
         "bm25_topk": _q_bm25_topk,
         "tfidf_weights": _q_tfidf_weights,
+        "corpus_rollup": _q_corpus_rollup,
+        "sentence_stats": _q_sentence_stats,
+        "dedup_paragraphs": _q_dedup_paragraphs,
+        "html_outline": _q_html_outline,
+        "html_tables": _q_html_tables,
         "robots_gate": _q_robots_gate,
         "anchor_texts": _q_anchor_texts,
         "top_anchors": _q_top_anchors,
@@ -2803,6 +2934,173 @@ def oracle_sql() -> dict[str, str]:
                          * ln((1.0 + n.n_docs) / (1.0 + d.df)),
                          6)::DOUBLE AS tfidf
             FROM postings p JOIN dfreq d USING (term) CROSS JOIN n
+        """,
+        "corpus_rollup": """
+            SELECT lang, source,
+                   GROUPING(lang, source)::INT AS gid,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars,
+                   ROUND(avg(n_chars), 6)::DOUBLE AS avg_chars
+            FROM documents
+            GROUP BY ROLLUP(lang, source)
+        """,
+        "sentence_stats": """
+            WITH s AS (
+                SELECT doc_id,
+                       substr(text, 1, 40) || '. '
+                       || substr(text, 41, 60) || '! '
+                       || substr(text, 101, 50)
+                       || CASE WHEN doc_id % 3 = 0 THEN '? Short tail.'
+                               ELSE '...' END AS text
+                FROM documents),
+            t AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(
+                               regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                               x -> trim(x)),
+                           x -> x != '') AS sents
+                FROM s),
+            m AS (
+                SELECT doc_id, sents, len(sents) AS n,
+                       list_transform(sents, x -> length(x)) AS lens
+                FROM t)
+            SELECT doc_id,
+                   n::INT AS n_sentences,
+                   CASE WHEN n > 0
+                        THEN ROUND(list_sum(lens) / n::DOUBLE, 6)
+                        END::DOUBLE AS avg_sentence_chars,
+                   CASE WHEN n > 0 THEN list_max(lens) END::INT
+                       AS max_sentence_chars,
+                   CASE WHEN n > 0
+                        THEN ROUND(len(list_filter(sents,
+                                                   x -> length(x) < 20))
+                                   / n::DOUBLE, 6)
+                        END::DOUBLE AS short_sentence_ratio
+            FROM m
+        """,
+        "dedup_paragraphs": """
+            WITH src AS (
+                SELECT doc_id,
+                       'Shared boilerplate header unit'
+                       || chr(10) || chr(10)
+                       || substr(text, 1, 80) || ' tail ' || doc_id
+                       || chr(10) || chr(10)
+                       || 'Footer block ' || (doc_id % 7) AS text
+                FROM documents),
+            paras AS (
+                SELECT doc_id, u.pos, u.para FROM (
+                    SELECT doc_id,
+                           string_split(text, chr(10) || chr(10)) AS lst
+                    FROM src),
+                UNNEST(list_transform(generate_series(1, len(lst)),
+                                      j -> {'pos': j - 1, 'para': lst[j]}))
+                    AS t(u)
+                WHERE trim(u.para) != ''),
+            keep AS (
+                SELECT doc_id, pos, para FROM (
+                    SELECT doc_id, pos, para,
+                           row_number() OVER (PARTITION BY para
+                                              ORDER BY doc_id, pos) AS rn
+                    FROM paras)
+                WHERE rn = 1),
+            tot AS (
+                SELECT doc_id, count(*)::BIGINT AS n_paras
+                FROM paras GROUP BY doc_id),
+            agg AS (
+                SELECT doc_id,
+                       string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                           AS text,
+                       count(*)::BIGINT AS n_kept
+                FROM keep GROUP BY doc_id)
+            SELECT t.doc_id,
+                   coalesce(a.text, '') AS text,
+                   t.n_paras,
+                   coalesce(a.n_kept, 0)::BIGINT AS n_kept
+            FROM tot t LEFT JOIN agg a USING (doc_id)
+        """,
+        "html_outline": """
+            WITH pages AS (
+                SELECT doc_id,
+                       '<html><body><h1 class="t">Doc ' || doc_id || '</h1>'
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN '<h2> Intro <em>' || doc_id
+                                    || '</em></h2><p>xx</p><h2>Methods</h2>'
+                               WHEN doc_id % 3 = 1 THEN '<H2>Only</H2>'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN '<h3>Deep ' || (doc_id % 5) || '</h3 >'
+                               ELSE '' END
+                       || '</body></html>' AS html
+                FROM documents),
+            hm AS (
+                SELECT doc_id, u.pos, u.m FROM (
+                    SELECT doc_id,
+                           regexp_extract_all(html,
+                               '(?is)<h[1-6][^>]*>.*?</h[1-6]\\s*>') AS lst
+                    FROM pages),
+                UNNEST(list_transform(generate_series(1, len(lst)),
+                                      j -> {'pos': j - 1, 'm': lst[j]}))
+                    AS t(u))
+            SELECT doc_id, pos::INT AS pos,
+                   regexp_extract(m, '(?i)<h([1-6])', 1)::INT AS level,
+                   trim(regexp_replace(regexp_replace(m,
+                        '(?s)<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))
+                       AS heading
+            FROM hm
+        """,
+        "html_tables": """
+            WITH pages AS (
+                SELECT doc_id,
+                       '<html><body><table id="t">'
+                       || '<tr><th>Name</th><th> Value </th></tr>'
+                       || '<tr><td>a' || doc_id
+                       || '</td><td><b>bold</b> ' || (doc_id % 9)
+                       || '</td></tr>'
+                       || CASE WHEN doc_id % 3 >= 1
+                               THEN '<tr ><td>x</td><td>y</td></tr>'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 3 = 2
+                               THEN '<tr><td colspan=2>wide '
+                                    || (doc_id % 4) || '</td></tr>'
+                               ELSE '' END
+                       || '</table>'
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN '<table><tr><td>z</td></tr></table >'
+                               ELSE '' END
+                       || '</body></html>' AS html
+                FROM documents),
+            tb AS (
+                SELECT doc_id, u.table_id, u.t FROM (
+                    SELECT doc_id,
+                           regexp_extract_all(html,
+                               '(?is)<table[^>]*>.*?</table\\s*>') AS lst
+                    FROM pages),
+                UNNEST(list_transform(generate_series(1, len(lst)),
+                                      j -> {'table_id': j - 1,
+                                            't': lst[j]})) AS x(u)),
+            rw AS (
+                SELECT doc_id, table_id, u.row_id, u.r FROM (
+                    SELECT doc_id, table_id,
+                           regexp_extract_all(t,
+                               '(?is)<tr[^>]*>(.*?)</tr\\s*>', 1) AS lst
+                    FROM tb),
+                UNNEST(list_transform(generate_series(1, len(lst)),
+                                      j -> {'row_id': j - 1,
+                                            'r': lst[j]})) AS x(u)),
+            cl AS (
+                SELECT doc_id, table_id, row_id,
+                       list_transform(
+                           regexp_extract_all(r,
+                               '(?is)<t[dh][^>]*>(.*?)</t[dh]\\s*>', 1),
+                           x -> trim(regexp_replace(regexp_replace(x,
+                                '(?s)<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')))
+                           AS cells
+                FROM rw)
+            SELECT doc_id, table_id::INT AS table_id, row_id::INT AS row_id,
+                   len(cells)::INT AS n_cells,
+                   array_to_string(cells, '|') AS cells
+            FROM cl
         """,
         # robots.txt star-group parsing replayed arithmetically from the
         # residue rules the fixture encodes (r%3==2 domains have no star

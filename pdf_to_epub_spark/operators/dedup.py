@@ -1164,3 +1164,63 @@ def mask_duplicate_spans(
         )
     )
     return rebuilt
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-global exact PARAGRAPH dedup — the boilerplate-removal pass
+    of a web-crawl pipeline: a paragraph (``\\n\\n``-separated unit) that
+    appears in many pages (nav bars, cookie banners, footers) is kept only
+    at its first occurrence (smallest ``(doc_id, pos)``) and dropped from
+    every other page.  Returns ``(doc_id, text, n_paras, n_kept)`` with
+    the rebuilt text; whitespace-only units are dropped outright.
+
+    Same single-value-keyed-shuffle topology as
+    :func:`dedup_lines_global` (keyed on the PARAGRAPH text, not a hash —
+    exact at any corpus size); reassembly shuffles kept paragraphs by
+    doc, bounded by document size.  A doc whose every paragraph is a
+    duplicate survives with empty text (n_kept = 0) so downstream joins
+    never lose the row.
+    """
+    paras = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n\n")
+        ).alias("pos", "para"),
+    ).where(F.expr("para rlike '[^ \\\\t\\\\r\\\\n]'"))
+    keepers = paras.groupBy("para").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    kept = (
+        paras.join(keepers, "para")
+        .where(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                "\n\n",
+            ).alias("text"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+        )
+    )
+    totals = paras.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras")
+    )
+    return (
+        totals.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

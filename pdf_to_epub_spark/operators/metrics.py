@@ -86,3 +86,24 @@ def status_summary(extracted: DataFrame) -> DataFrame:
         F.sum("n_chars").alias("chars"),
         F.sum("n_blocks").alias("blocks"),
     )
+
+
+def corpus_rollup(
+    docs: DataFrame,
+    dims: tuple[str, ...] = ("lang", "source"),
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Multi-level corpus profile in ONE pass: per-(lang, source) doc
+    counts and char volumes plus per-lang subtotals and the grand total,
+    via ``ROLLUP`` — Spark expands the grouping sets inside a single
+    hash aggregate with map-side partials, so the three levels cost one
+    shuffle, not three queries.  ``gid`` is the grouping bitmask
+    (0 = leaf, 1 = per-lang subtotal, 3 = grand total) distinguishing a
+    subtotal row from a genuine NULL dimension value.
+    """
+    return docs.rollup(*[F.col(c) for c in dims]).agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(chars_col).cast("long").alias("total_chars"),
+        F.round(F.avg(chars_col), 6).alias("avg_chars"),
+    )

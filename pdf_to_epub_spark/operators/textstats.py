@@ -566,3 +566,38 @@ def normalize_unicode(
     return df.select(F.col(id_col).alias("doc_id"), F.col(text_col)).mapInArrow(
         batches, f"doc_id {id_type}, text_norm string, changed boolean"
     )
+
+
+def sentence_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document sentence segmentation stats: sentences are maximal
+    ``[^.!?]+`` runs with their trailing terminator cluster attached
+    (an RE2-portable segmentation — no lookbehind, so the same pattern
+    replays in the DuckDB oracle), trimmed, whitespace-only units
+    dropped.  Adds ``n_sentences``, ``avg_sentence_chars`` (6 dp),
+    ``max_sentence_chars``, ``short_sentence_ratio`` (< 20 chars, 6 dp).
+
+    All column algebra over one array column — no shuffle, no UDF.  The
+    higher-order ``transform``/``filter``/``aggregate`` calls run
+    interpreted (not codegen), which is fine here: one pass over ≤ a few
+    hundred sentence strings per row, dwarfed by the regex scan itself.
+    """
+    sents = F.expr(
+        f"filter(transform(regexp_extract_all({text_col},"
+        f" '[^.!?]+[.!?]*', 0), x -> trim(x)), x -> x != '')"
+    )
+    d = df.withColumn("__sents", sents)
+    lens = F.expr("transform(__sents, x -> length(x))")
+    n = F.size("__sents")
+    total = F.expr(
+        "aggregate(transform(__sents, x -> length(x)), 0L, (a, x) -> a + x)"
+    )
+    n_short = F.size(F.expr("filter(__sents, x -> length(x) < 20)"))
+    return d.select(
+        *df.columns,
+        n.cast("int").alias("n_sentences"),
+        F.when(n > 0, F.round(total / n, 6)).alias("avg_sentence_chars"),
+        F.when(n > 0, F.array_max(lens)).cast("int").alias(
+            "max_sentence_chars"
+        ),
+        F.when(n > 0, F.round(n_short / n, 6)).alias("short_sentence_ratio"),
+    )

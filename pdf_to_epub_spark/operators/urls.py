@@ -626,3 +626,116 @@ def domain_rank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("domain", F.round("rank", 9).alias("rank"))
+
+
+def _strip_tags(col: Column) -> Column:
+    """Inner text of an HTML fragment: tags → spaces, whitespace
+    collapsed, trimmed (RE2-portable; the DuckDB oracle replays it)."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(col, F.lit(r"(?s)<[^>]*>"), F.lit(" ")),
+            F.lit(r"\s+"),
+            F.lit(" "),
+        )
+    )
+
+
+def extract_headings(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    max_scan_bytes: int = 1 << 20,
+) -> DataFrame:
+    """Document outline from the page body: one row per ``<h1>``–``<h6>``
+    element in document order — ``(id, pos, level, heading)``.  This is
+    the chapter/section skeleton the reference's Step-3 structuring pass
+    derives from CHAPTER lines (reference
+    `text-processing/Step3_structuring_v1.py`), re-expressed for web
+    pages where the structure is explicit markup.
+
+    Pure per-row column algebra (permissive decode + regexp_extract_all
+    + posexplode): no shuffle, scales linearly with pages.  Regex-level
+    parsing by design: headings nested inside comments/scripts are rare
+    enough on real crawls that a full DOM parse (a Python UDF) isn't
+    worth leaving codegen for this signal.
+    """
+    body = _permissive_text(html_col, max_scan_bytes)
+    d = pages.select(F.col(id_col), body.alias("__b"))
+    exploded = d.select(
+        id_col,
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("__b"),
+                F.lit(r"(?is)<h[1-6][^>]*>.*?</h[1-6]\s*>"),
+                F.lit(0),
+            )
+        ).alias("pos", "__m"),
+    )
+    return exploded.select(
+        id_col,
+        F.col("pos").cast("int").alias("pos"),
+        F.regexp_extract("__m", r"(?i)<h([1-6])", 1)
+        .cast("int")
+        .alias("level"),
+        _strip_tags(F.col("__m")).alias("heading"),
+    )
+
+
+def extract_tables(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    max_scan_bytes: int = 1 << 20,
+    cell_sep: str = "|",
+) -> DataFrame:
+    """HTML table extraction: one output row per ``<tr>`` —
+    ``(id, table_id, row_id, n_cells, cells)`` with cell inner texts
+    joined by ``cell_sep``.  The structured-data mining pass of a
+    web-corpus pipeline (tables are the densest fact source in a crawl).
+
+    Two nested posexplodes over regexp_extract_all (tables → rows, then
+    a cells transform per row) — still per-row column algebra with no
+    shuffle; a page's tables never leave their partition.  Regex-level:
+    a NESTED inner table terminates the outer match early (non-greedy
+    ``.*?``), so deeply nested layout tables degrade to their inner
+    tables rather than erroring — acceptable for mining, documented
+    here.
+    """
+    body = _permissive_text(html_col, max_scan_bytes)
+    d = pages.select(F.col(id_col), body.alias("__b"))
+    tables = d.select(
+        id_col,
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("__b"),
+                F.lit(r"(?is)<table[^>]*>.*?</table\s*>"),
+                F.lit(0),
+            )
+        ).alias("table_id", "__t"),
+    )
+    rows = tables.select(
+        id_col,
+        F.col("table_id").cast("int").alias("table_id"),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("__t"),
+                F.lit(r"(?is)<tr[^>]*>(.*?)</tr\s*>"),
+                F.lit(1),
+            )
+        ).alias("row_id", "__r"),
+    )
+    cells = F.transform(
+        F.regexp_extract_all(
+            F.col("__r"),
+            F.lit(r"(?is)<t[dh][^>]*>(.*?)</t[dh]\s*>"),
+            F.lit(1),
+        ),
+        _strip_tags,
+    )
+    return rows.select(
+        id_col,
+        "table_id",
+        F.col("row_id").cast("int").alias("row_id"),
+        F.size(cells).cast("int").alias("n_cells"),
+        F.array_join(cells, cell_sep).alias("cells"),
+    )

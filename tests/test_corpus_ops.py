@@ -1,0 +1,154 @@
+"""Unit tests for the corpus-profile / segmentation / paragraph-dedup /
+HTML-structure operators added alongside the IR module."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_to_epub_spark.operators import (
+    corpus_rollup,
+    dedup_paragraphs,
+    extract_headings,
+    extract_tables,
+    sentence_stats,
+)
+
+
+# ---------------------------------------------------------------- rollup
+def test_corpus_rollup_levels(spark):
+    docs = spark.createDataFrame(
+        [("en", "web", 10), ("en", "web", 20), ("en", "pdf", 30),
+         ("fr", "web", 40)],
+        ["lang", "source", "n_chars"],
+    )
+    rows = {(r.lang, r.source, r.gid): r for r in corpus_rollup(docs).collect()}
+    assert rows[("en", "web", 0)].n_docs == 2
+    assert rows[("en", "web", 0)].total_chars == 30
+    assert rows[("en", None, 1)].n_docs == 3          # per-lang subtotal
+    assert rows[("en", None, 1)].total_chars == 60
+    assert rows[(None, None, 3)].n_docs == 4          # grand total
+    assert rows[(None, None, 3)].avg_chars == 25.0
+    # one pass: exactly 3 leaf + 2 lang + 1 total rows
+    assert len(rows) == 6
+
+
+def test_corpus_rollup_single_exchange(spark):
+    docs = spark.createDataFrame(
+        [("en", "web", 10)], ["lang", "source", "n_chars"]
+    )
+    plan = (
+        corpus_rollup(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan[:2000]
+
+
+# ------------------------------------------------------------- sentences
+def test_sentence_stats_basic(spark):
+    df = spark.createDataFrame(
+        [(1, "One two three. Four! Five six seven eight nine ten eleven?")],
+        ["doc_id", "text"],
+    )
+    r = sentence_stats(df).collect()[0]
+    assert r.n_sentences == 3
+    # "One two three." (14) "Four!" (5) "Five…eleven?" (37)
+    assert r.max_sentence_chars == 37
+    assert r.avg_sentence_chars == pytest.approx(round(56 / 3, 6))
+    assert r.short_sentence_ratio == pytest.approx(round(2 / 3, 6))
+
+
+def test_sentence_stats_empty_and_punct_only(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "..."), (3, "   ")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in sentence_stats(df).collect()}
+    for i in (1, 2, 3):
+        assert rows[i].n_sentences == 0
+        assert rows[i].avg_sentence_chars is None
+        assert rows[i].max_sentence_chars is None
+
+
+# ------------------------------------------------------------ paragraphs
+def test_dedup_paragraphs_first_occurrence(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "SHARED\n\nunique one"),
+            (2, "SHARED\n\nunique two"),
+            (3, "SHARED"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in dedup_paragraphs(docs).collect()}
+    assert rows[1].text == "SHARED\n\nunique one"
+    assert rows[1].n_paras == 2 and rows[1].n_kept == 2
+    assert rows[2].text == "unique two"
+    assert rows[2].n_kept == 1
+    # all-duplicate doc survives with empty text, not a dropped row
+    assert rows[3].text == "" and rows[3].n_kept == 0 and rows[3].n_paras == 1
+
+
+def test_dedup_paragraphs_within_doc_and_null(spark):
+    docs = spark.createDataFrame(
+        [(1, "A\n\nA\n\nB"), (2, None)], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in dedup_paragraphs(docs).collect()}
+    # repeated paragraph inside ONE doc dedups to its first position
+    assert rows[1].text == "A\n\nB"
+    assert rows[1].n_paras == 3 and rows[1].n_kept == 2
+    # null text → zero paragraphs → doc absent from totals by design?
+    # No: null coalesces to '' which yields one empty unit, filtered;
+    # the doc then has no rows in `paras` and drops out of totals.
+    assert 2 not in rows
+
+
+# --------------------------------------------------------------- outline
+def _pages(spark, html: str):
+    return spark.createDataFrame(
+        [(1, html.encode("utf-8"))], ["doc_id", "html"]
+    )
+
+
+def test_extract_headings_order_case_and_nesting(spark):
+    html = (
+        "<html><body><H1>Top</H1><p>x</p>"
+        "<h2 class='a'> Sub <em>One</em> </h2>"
+        "<h3>Deep</h3 ></body></html>"
+    )
+    rows = extract_headings(_pages(spark, html)).orderBy("pos").collect()
+    assert [(r.pos, r.level, r.heading) for r in rows] == [
+        (0, 1, "Top"), (1, 2, "Sub One"), (2, 3, "Deep"),
+    ]
+
+
+def test_extract_headings_none_and_null(spark):
+    assert extract_headings(_pages(spark, "<p>no headings</p>")).count() == 0
+    null_pages = spark.createDataFrame(
+        [(1, None)], "doc_id: long, html: binary"
+    )
+    assert extract_headings(null_pages).count() == 0
+
+
+def test_extract_tables_structure(spark):
+    html = (
+        "<table><tr><th>H1</th><th>H2</th></tr>"
+        "<tr ><td>a</td><td><b>b</b> c</td></tr></table>"
+        "<table><tr><td colspan=2>z</td></tr></table >"
+    )
+    rows = extract_tables(_pages(spark, html)).orderBy(
+        "table_id", "row_id"
+    ).collect()
+    assert [(r.table_id, r.row_id, r.n_cells, r.cells) for r in rows] == [
+        (0, 0, 2, "H1|H2"),
+        (0, 1, 2, "a|b c"),
+        (1, 0, 1, "z"),
+    ]
+
+
+def test_extract_tables_no_shuffle(spark):
+    plan = (
+        extract_tables(_pages(spark, "<table><tr><td>x</td></tr></table>"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:2000]
