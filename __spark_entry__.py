@@ -1409,6 +1409,75 @@ def _q_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_weights(d).select("term", "doc_id", "tf", "df", "tfidf")
 
 
+def _q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (PMI over adjacent word pairs, min_count=5)
+    over the documents table; the oracle replays bigram construction via
+    generate_series indexing and the exact division/multiplication
+    order."""
+    from pdf_to_epub_spark.operators import bigram_pmi
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_pmi(d, min_count=5).select("w1", "w2", "c_ab", "pmi")
+
+
+def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 terms by corpus frequency with deterministic
+    tie-break (count desc, term asc) — the group-wise top-k pattern
+    windowed over the aggregated vocabulary table."""
+    from pdf_to_epub_spark.operators import top_terms
+
+    d = _t(spark, sf_dir, "documents").select("lang", "text")
+    return top_terms(d, group_col="lang", k=5).select(
+        "lang", "term", "n", "rank"
+    )
+
+
+def _q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal over residue-deterministic
+    text (repeated prose + run-length junk, 13 classes) — the one
+    pandas_udf quality signal; the oracle is a pure-Python zlib replay
+    of the 13 classes joined back on doc_id % 13."""
+    from pdf_to_epub_spark.operators import compression_ratio
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    txt = F.concat(
+        F.expr(
+            "repeat('lorem ipsum dolor sit amet ',"
+            " cast(doc_id % 13 as int) + 1)"
+        ),
+        F.expr("repeat('ab', 10 * cast(doc_id % 13 as int))"),
+        F.lit(" tail "),
+        (F.col("doc_id") % 13).cast("string"),
+    )
+    return compression_ratio(d.select("doc_id", txt.alias("text"))).select(
+        "doc_id", "compression_ratio"
+    )
+
+
+def _compression_oracle() -> str:
+    """Golden VALUES: the 13 residue-class ratios computed by the same
+    pure-Python zlib call the pandas_udf makes."""
+    import zlib
+
+    vals = []
+    for r in range(13):
+        t = (
+            "lorem ipsum dolor sit amet " * (r + 1)
+            + "ab" * (10 * r)
+            + " tail "
+            + str(r)
+        )
+        raw = t.encode("utf-8")
+        vals.append(f"({r}, {round(len(zlib.compress(raw, 6)) / len(raw), 6)!r})")
+    rows = ",\n            ".join(vals)
+    return f"""
+        WITH golden(r, ratio) AS (VALUES
+            {rows})
+        SELECT d.doc_id, g.ratio::DOUBLE AS compression_ratio
+        FROM documents d JOIN golden g ON d.doc_id % 13 = g.r
+    """
+
+
 def _q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level corpus profile (leaf / per-lang / grand total) in one
     ROLLUP aggregate — three report levels for one shuffle."""
@@ -2044,6 +2113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "tfidf_weights": _q_tfidf_weights,
         "corpus_rollup": _q_corpus_rollup,
+        "bigram_pmi": _q_bigram_pmi,
+        "top_terms": _q_top_terms,
+        "compression_ratio": _q_compression_ratio,
         "sentence_stats": _q_sentence_stats,
         "dedup_paragraphs": _q_dedup_paragraphs,
         "html_outline": _q_html_outline,
@@ -2935,6 +3007,51 @@ def oracle_sql() -> dict[str, str]:
                          6)::DOUBLE AS tfidf
             FROM postings p JOIN dfreq d USING (term) CROSS JOIN n
         """,
+        "bigram_pmi": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-zà-öø-ÿ]+') AS ws
+                FROM documents),
+            uni AS (
+                SELECT w, count(*) AS c
+                FROM (SELECT unnest(ws) AS w FROM toks)
+                GROUP BY w),
+            tt AS (SELECT sum(c) AS t_total FROM uni),
+            bg AS (
+                SELECT u.w1, u.w2 FROM (SELECT ws FROM toks),
+                UNNEST(list_transform(generate_series(1, len(ws) - 1),
+                                      j -> {'w1': ws[j], 'w2': ws[j + 1]}))
+                    AS t(u)),
+            big AS (
+                SELECT w1, w2, count(*) AS c_ab
+                FROM bg GROUP BY w1, w2
+                HAVING count(*) >= 5),
+            bt AS (
+                SELECT sum(greatest(len(ws) - 1, 0)) AS b_total FROM toks)
+            SELECT b.w1, b.w2, b.c_ab::BIGINT AS c_ab,
+                   ROUND(ln(((b.c_ab / bt.b_total)
+                             * (tt.t_total / ua.c))
+                            * (tt.t_total / ub.c)), 6)::DOUBLE AS pmi
+            FROM big b
+            JOIN uni ua ON ua.w = b.w1
+            JOIN uni ub ON ub.w = b.w2, tt, bt
+        """,
+        "top_terms": """
+            WITH counts AS (
+                SELECT lang, w AS term, count(*)::BIGINT AS n
+                FROM (SELECT lang,
+                             unnest(regexp_extract_all(lower(text),
+                                                       '[a-zà-öø-ÿ]+')) AS w
+                      FROM documents)
+                GROUP BY lang, w)
+            SELECT lang, term, n, rank::INT AS rank FROM (
+                SELECT lang, term, n,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n DESC, term) AS rank
+                FROM counts)
+            WHERE rank <= 5
+        """,
+        "compression_ratio": _compression_oracle(),
         "corpus_rollup": """
             SELECT lang, source,
                    GROUPING(lang, source)::INT AS gid,

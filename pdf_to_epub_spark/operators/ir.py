@@ -90,7 +90,6 @@ def bm25_topk(
     k is engine-reproducible.
     """
     terms = sorted(set(t.lower() for t in query_terms))
-    dl = F.expr(f"regexp_count(lower({text_col}), '{_TOKEN_RE}')")
     base = docs.select(F.col(id_col), _tokens(text_col).alias("__toks"))
 
     # Corpus constants: one 1-row aggregate, broadcast back.
@@ -173,4 +172,111 @@ def tfidf_weights(
                 6,
             ).alias("tfidf"),
         )
+    )
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation mining: pointwise mutual information over adjacent
+    word pairs, ``pmi = ln(((c_ab/B) * (T/c_a)) * (T/c_b))`` with c_ab
+    the corpus bigram count, c_a/c_b unigram counts, B/T the bigram and
+    token totals.  The phrase-detection pass of a training-data pipeline
+    (word2vec-style phrase merging, stock-phrase diagnostics).
+
+    Output: ``(w1, w2, c_ab, pmi)`` for pairs with ``c_ab >= min_count``,
+    pmi rounded to 6 dp.  The division/multiplication order is fixed
+    (and mirrored in the oracle) so the float result is reproducible.
+
+    Scale shape: bigrams explode once and aggregate keyed (w1, w2) with
+    map-side partials; the unigram side aggregates keyed on the word.
+    Both joins attach VOCABULARY-sized tables (≪ corpus) — Spark
+    broadcasts them when they fit, and the totals are 1-row broadcast
+    cross-joins.  The O(len) slice/zip_with pair build follows the
+    lm.py pattern (arrays materialized before the lambda — the measured
+    60x re-evaluation trap)."""
+    toks = docs.select(
+        F.col(id_col), _tokens(text_col).alias("__toks")
+    )
+    n = F.size("__toks")
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("__toks", 1, n - 1),
+            F.slice(F.col("__toks"), 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    uni = (
+        toks.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        toks.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    tot_t = uni.agg(F.sum("c").alias("t_total"))
+    b_total = (
+        toks.select(
+            F.greatest(n - 1, F.lit(0)).alias("nb")
+        ).agg(F.sum("nb").alias("b_total"))
+    )
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        big.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(b_total))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("b_total"))
+                    * (F.col("t_total") / F.col("c_a"))
+                    * (F.col("t_total") / F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def top_terms(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Group-wise top-k terms by corpus frequency: ``(group, term, n,
+    rank)`` with rank 1..k per group, ties broken by term (ascending) so
+    the cut is deterministic.
+
+    The window runs over the AGGREGATED (group, term) count table —
+    vocabulary-sized, orders of magnitude smaller than the corpus — so
+    the per-group sort is bounded by vocabulary, not document volume;
+    the corpus itself only pays the one counting shuffle."""
+    counts = (
+        docs.select(F.col(group_col).alias("grp"), F.explode(_tokens(text_col)).alias("term"))
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("grp").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "term", "n",
+                F.col("rank").cast("int").alias("rank"))
     )

@@ -601,3 +601,37 @@ def sentence_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         F.when(n > 0, F.round(n_short / n, 6)).alias("short_sentence_ratio"),
     )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """zlib compression ratio per document (compressed bytes / raw UTF-8
+    bytes, 6 dp) — the classic cheap junk detector: boilerplate-stuffed
+    or repetitive machine-generated pages compress far below prose
+    (Gopher uses it as a repetition companion signal).  Empty/null text
+    yields NULL.
+
+    zlib is not expressible in column algebra, so this is the one
+    quality signal that pays the Python boundary — as an Arrow-batched
+    ``pandas_udf`` (whole batches cross per call, no per-row pickling),
+    level pinned so the ratio is deterministic and replayable by the
+    pure-Python oracle.  No annotations on the inner function: under
+    ``from __future__ import annotations`` stringized hints break
+    pandas_udf signature inference, the returnType argument carries the
+    type instead."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s):  # no hints: see docstring
+        def one(t):
+            if t is None or t == "":
+                return None
+            raw = t.encode("utf-8")
+            return round(len(zlib.compress(raw, level)) / len(raw), 6)
+
+        return s.map(one)
+
+    return df.withColumn("compression_ratio", _ratio(F.col(text_col)))

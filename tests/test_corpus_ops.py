@@ -152,3 +152,26 @@ def test_extract_tables_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan[:2000]
+
+
+# ---------------------------------------------------------- compression
+def test_compression_ratio_signal(spark):
+    import zlib
+
+    from pdf_to_epub_spark.operators import compression_ratio
+
+    rep = "spam spam spam " * 50
+    uniq = "the quick brown fox jumps over the lazy dog 0123456789"
+    docs = spark.createDataFrame(
+        [(1, rep), (2, uniq), (3, ""), (4, None)], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r.compression_ratio
+            for r in compression_ratio(docs).collect()}
+    # deterministic replay of the UDF's own math
+    for i, t in ((1, rep), (2, uniq)):
+        raw = t.encode("utf-8")
+        assert rows[i] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
+    # repetitive text compresses far better than unique prose
+    assert rows[1] < rows[2] / 3
+    # empty/null -> NULL, rows survive
+    assert rows[3] is None and rows[4] is None

@@ -12,10 +12,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from pdf_to_epub_spark.operators import (
+    bigram_pmi,
     bm25_topk,
     document_frequencies,
     term_postings,
     tfidf_weights,
+    top_terms,
 )
 
 CORPUS = [
@@ -137,3 +139,48 @@ def test_postings_single_exchange(docs):
         .toString()
     )
     assert plan.count("Exchange") == 1, plan[:2000]
+
+
+def test_bigram_pmi_golden(spark):
+    import math
+
+    # "a b" appears 3x, tokens: a:3, b:3, T=6, B=3 (three 2-token docs)
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b")], ["doc_id", "text"]
+    )
+    rows = bigram_pmi(docs, min_count=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.w1, r.w2, r.c_ab) == ("a", "b", 3)
+    exp = round(math.log(((3 / 3) * (6 / 3)) * (6 / 3)), 6)
+    assert r.pmi == pytest.approx(exp, abs=1e-9)
+
+
+def test_bigram_pmi_min_count_and_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "solo"), (3, "")], ["doc_id", "text"]
+    )
+    # "x y" occurs once < min_count=2; 1-token and empty docs contribute
+    # no pairs and must not error
+    assert bigram_pmi(docs, min_count=2).count() == 0
+
+
+def test_top_terms_rank_and_ties(spark):
+    docs = spark.createDataFrame(
+        [("en", "b b a a c"), ("en", "a"), ("fr", "z z y")],
+        ["lang", "text"],
+    )
+    rows = {(r.lang, r.rank): (r.term, r.n) for r in
+            top_terms(docs, k=2).collect()}
+    assert rows[("en", 1)] == ("a", 3)
+    assert rows[("en", 2)] == ("b", 2)
+    assert rows[("fr", 1)] == ("z", 2)
+    assert rows[("fr", 2)] == ("y", 1)
+    assert len(rows) == 4  # k cut applied per group
+
+
+def test_top_terms_tie_broken_by_term(spark):
+    docs = spark.createDataFrame([("en", "b a")], ["lang", "text"])
+    rows = top_terms(docs, k=2).orderBy("rank").collect()
+    # equal counts -> lexicographic term order decides rank
+    assert [r.term for r in rows] == ["a", "b"]
