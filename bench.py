@@ -366,6 +366,41 @@ def run_bench(
     # anchor regex battery compiles once per executor lifetime)
     timed("web_politeness_graph", web_politeness, runs=2)
 
+    def bm25_retrieval() -> None:
+        """Ranked retrieval over the full bench corpus with deliberately
+        HIGH-df query terms (near stop words) — the worst case for the
+        postings prune, so this bounds per-query latency rather than
+        showing off a selective query."""
+        from pdf_to_epub_spark.operators import bm25_topk
+
+        docs = corpus.select(F.xxhash64("url").alias("doc_id"), "text")
+        bm25_topk(docs, ["the", "and", "chapter"], k=100).collect()
+
+    timed("bm25_retrieval", bm25_retrieval, runs=2)
+
+    def html_structure_mining() -> None:
+        """Heading-outline + table-row extraction over the full
+        boilerplate pages — the regex-battery cost of the structure
+        mining pass (shuffle-free, scales with page bytes)."""
+        from pdf_to_epub_spark.operators import extract_headings, extract_tables
+
+        pages = spark.read.parquet(str(html_corpus))
+        _force(extract_headings(pages, id_col="url"))
+        _force(extract_tables(pages, id_col="url"))
+
+    # min-of-2: first run pays codegen for the (?is) regex battery
+    timed("html_structure_mining", html_structure_mining, runs=2)
+
+    def paragraph_dedup() -> None:
+        """Corpus-global exact paragraph dedup over the real ~6 KB docs —
+        the value-keyed boilerplate-removal shuffle at its honest text
+        volume."""
+        from pdf_to_epub_spark.operators import dedup_paragraphs
+
+        _force(dedup_paragraphs(corpus, id_col="url"))
+
+    timed("paragraph_dedup", paragraph_dedup)
+
     warc_paths = _warc_corpus_paths(corpus)  # one-time build, unmeasured
 
     def warc_parse() -> None:

@@ -1178,27 +1178,35 @@ def dedup_paragraphs(
     every other page.  Returns ``(doc_id, text, n_paras, n_kept)`` with
     the rebuilt text; whitespace-only units are dropped outright.
 
-    Same single-value-keyed-shuffle topology as
-    :func:`dedup_lines_global` (keyed on the PARAGRAPH text, not a hash —
-    exact at any corpus size); reassembly shuffles kept paragraphs by
-    doc, bounded by document size.  A doc whose every paragraph is a
-    duplicate survives with empty text (n_kept = 0) so downstream joins
-    never lose the row.
+    Value-keyed like :func:`dedup_lines_global` (keyed on the PARAGRAPH
+    text, not a hash — exact at any corpus size) but WITHOUT the
+    groupBy-then-join-back: the keeper aggregate's rows (paragraph →
+    arg-min (doc, pos)) ARE the kept occurrences, so reassembly regroups
+    the keeper table by doc directly.  Two shuffles total (explode →
+    groupBy para with map-side partial min, skew-safe on a mega-hot
+    boilerplate paragraph; then regroup by doc), zero joins, and the
+    expensive explode subtree executes once — the measured
+    double-execution trap of the join-back form (PLANS.md).  Totals per
+    doc come from column algebra on the un-exploded array.  A doc whose
+    every paragraph is a duplicate survives with empty text
+    (n_kept = 0) so downstream joins never lose the row.
     """
-    paras = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n\n")
-        ).alias("pos", "para"),
-    ).where(F.expr("para rlike '[^ \\\\t\\\\r\\\\n]'"))
+    arr = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n\n"),
+        lambda x: x.rlike("[^ \t\r\n]"),
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), arr.alias("__arr"))
+    paras = base.select(
+        "doc_id", F.posexplode("__arr").alias("pos", "para")
+    )
     keepers = paras.groupBy("para").agg(
         F.min(F.struct("doc_id", "pos")).alias("first")
     )
-    kept = (
-        paras.join(keepers, "para")
-        .where(
-            (F.col("doc_id") == F.col("first.doc_id"))
-            & (F.col("pos") == F.col("first.pos"))
+    rebuilt = (
+        keepers.select(
+            F.col("first.doc_id").alias("doc_id"),
+            F.col("first.pos").alias("pos"),
+            "para",
         )
         .groupBy("doc_id")
         .agg(
@@ -1212,11 +1220,11 @@ def dedup_paragraphs(
             F.count(F.lit(1)).cast("long").alias("n_kept"),
         )
     )
-    totals = paras.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_paras")
-    )
+    totals = base.select(
+        "doc_id", F.size("__arr").cast("long").alias("n_paras")
+    ).where(F.col("n_paras") > 0)
     return (
-        totals.join(kept, "doc_id", "left")
+        totals.join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("text", F.lit("")).alias("text"),

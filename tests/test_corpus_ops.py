@@ -175,3 +175,20 @@ def test_compression_ratio_signal(spark):
     assert rows[1] < rows[2] / 3
     # empty/null -> NULL, rows survive
     assert rows[3] is None and rows[4] is None
+
+
+def test_dedup_paragraphs_no_value_join_back(spark):
+    """Plan pin: the kept set comes straight from the keeper aggregate —
+    no join keyed on the paragraph VALUE (the double-subtree-execution
+    trap); the only join is the doc-keyed totals attach."""
+    import re
+
+    docs = spark.createDataFrame(
+        [(1, "A\n\nB"), (2, "A\n\nC")], ["doc_id", "text"]
+    )
+    plan = (
+        dedup_paragraphs(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    joins = re.findall(r"(?:SortMergeJoin|BroadcastHashJoin)[^\n]*", plan)
+    assert len(joins) == 1, plan[:3000]
+    assert "para" not in joins[0], joins[0]
