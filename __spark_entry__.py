@@ -1409,6 +1409,42 @@ def _q_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_weights(d).select("term", "doc_id", "tf", "df", "tfidf")
 
 
+def _q_script_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script-mix signal over deterministically multilingual text
+    (residue-selected Cyrillic/Greek/CJK snippets appended to the Latin
+    base) — counts, Latin share, and the fixed-precedence dominant
+    label, all replayed by the oracle with the same literal ranges."""
+    from pdf_to_epub_spark.operators import script_ratios
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    txt = F.concat(
+        F.substring("text", 1, 30),
+        F.when(i % 4 == 0, F.lit(" привет мир здравствуй"))
+        .when(i % 4 == 1, F.lit(" γειά σου κόσμε"))
+        .when(i % 4 == 2, F.lit(" 你好世界再见"))
+        .otherwise(F.lit(" plain")),
+        F.when(i % 8 == 2, F.lit(" 漢字漢字漢字漢字漢字漢字漢字漢字漢字漢字漢字漢字漢字漢字"))
+        .otherwise(F.lit("")),
+    )
+    return script_ratios(d.select("doc_id", txt.alias("text"))).select(
+        "doc_id", "n_latin", "n_cyrillic", "n_greek", "n_cjk",
+        "latin_ratio", "dominant_script",
+    )
+
+
+def _q_event_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour rollup of the events table keyed
+    (bucket, event_type) — epoch-arithmetic windows, no timezone
+    dependence."""
+    from pdf_to_epub_spark.operators import hourly_rollup
+
+    e = _t(spark, sf_dir, "events")
+    return hourly_rollup(e).select(
+        "bucket_epoch", "event_type", "n_events", "sum_value", "avg_value"
+    )
+
+
 def _q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining (PMI over adjacent word pairs, min_count=5)
     over the documents table; the oracle replays bigram construction via
@@ -2113,6 +2149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "tfidf_weights": _q_tfidf_weights,
         "corpus_rollup": _q_corpus_rollup,
+        "script_ratios": _q_script_ratios,
+        "event_hourly": _q_event_hourly,
         "bigram_pmi": _q_bigram_pmi,
         "top_terms": _q_top_terms,
         "compression_ratio": _q_compression_ratio,
@@ -3006,6 +3044,52 @@ def oracle_sql() -> dict[str, str]:
                          * ln((1.0 + n.n_docs) / (1.0 + d.df)),
                          6)::DOUBLE AS tfidf
             FROM postings p JOIN dfreq d USING (term) CROSS JOIN n
+        """,
+        "script_ratios": """
+            WITH s AS (
+                SELECT doc_id,
+                       substr(text, 1, 30)
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN ' привет мир здравствуй'
+                               WHEN doc_id % 4 = 1 THEN ' γειά σου κόσμε'
+                               WHEN doc_id % 4 = 2 THEN ' 你好世界再见'
+                               ELSE ' plain' END
+                       || CASE WHEN doc_id % 8 = 2
+                               THEN ' 漢字漢字漢字漢字漢字漢字漢字漢字漢字漢字漢字漢字漢字漢字'
+                               ELSE '' END AS text
+                FROM documents),
+            c AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '[A-Za-zÀ-ÖØ-öø-ÿĀ-ɏ]'))::INT AS n_latin,
+                       len(regexp_extract_all(text, '[Ѐ-ӿ]'))::INT AS n_cyrillic,
+                       len(regexp_extract_all(text, '[Ͱ-Ͽ]'))::INT AS n_greek,
+                       len(regexp_extract_all(text, '[一-鿿]'))::INT AS n_cjk
+                FROM s)
+            SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk,
+                   CASE WHEN n_latin + n_cyrillic + n_greek + n_cjk > 0
+                        THEN ROUND(n_latin
+                             / (n_latin + n_cyrillic + n_greek + n_cjk)::DOUBLE,
+                             6)
+                        END::DOUBLE AS latin_ratio,
+                   CASE WHEN n_latin + n_cyrillic + n_greek + n_cjk = 0
+                        THEN NULL
+                        WHEN n_latin >= greatest(n_cyrillic, n_greek, n_cjk)
+                        THEN 'latin'
+                        WHEN n_cyrillic >= greatest(n_greek, n_cjk)
+                        THEN 'cyrillic'
+                        WHEN n_greek >= n_cjk THEN 'greek'
+                        ELSE 'cjk' END AS dominant_script
+            FROM c
+        """,
+        "event_hourly": """
+            SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
+                       AS bucket_epoch,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   ROUND(sum(value), 4)::DOUBLE AS sum_value,
+                   ROUND(avg(value), 4)::DOUBLE AS avg_value
+            FROM events
+            GROUP BY 1, 2
         """,
         "bigram_pmi": """
             WITH toks AS (

@@ -107,3 +107,34 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+
+
+def hourly_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_cols: tuple = ("event_type",),
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Tumbling-window rollup: events bucketed to fixed windows by pure
+    epoch arithmetic (``floor(epoch/bucket)*bucket`` — timezone-proof,
+    unlike date_trunc under non-whole-hour offsets), aggregated per
+    (bucket, *group_cols).  The batch analog of the streaming windowed
+    aggregation in streaming/incremental.py; one map-side-combinable
+    shuffle keyed (bucket, groups), so a hot hour still fans out across
+    its group values.
+
+    Output: ``bucket_epoch`` (window start, epoch seconds) + groups +
+    ``n_events`` / ``sum_value`` / ``avg_value`` (4 dp)."""
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
+        * bucket_seconds
+    ).cast("long")
+    return (
+        events.groupBy(bucket.alias("bucket_epoch"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+            F.round(F.avg(value_col), 4).alias("avg_value"),
+        )
+    )

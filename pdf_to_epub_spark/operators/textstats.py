@@ -635,3 +635,40 @@ def compression_ratio(
         return s.map(one)
 
     return df.withColumn("compression_ratio", _ratio(F.col(text_col)))
+
+
+def script_ratios(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode script mix per document: counts of Latin / Cyrillic /
+    Greek / CJK letters, the Latin share of all script letters (6 dp),
+    and the dominant script under a FIXED precedence (latin > cyrillic >
+    greek > cjk on ties) so the label is deterministic.  The script
+    filter a multilingual crawl applies before language-ID — mixed-script
+    spam and wrong-script mojibake fall out of ratio bounds.
+
+    Pure codegen regex counting (literal-range character classes, RE2-
+    portable — the DuckDB oracle counts with the same classes); no
+    shuffle."""
+    classes = {
+        "n_latin": "[A-Za-zÀ-ÖØ-öø-ÿĀ-ɏ]",
+        "n_cyrillic": "[Ѐ-ӿ]",
+        "n_greek": "[Ͱ-Ͽ]",
+        "n_cjk": "[一-鿿]",
+    }
+    d = df
+    for name, pat in classes.items():
+        d = d.withColumn(
+            name, F.expr(f"regexp_count({text_col}, '{pat}')").cast("int")
+        )
+    total = sum(F.col(c) for c in classes)
+    dominant = (
+        F.when(F.col("n_latin") >= F.greatest("n_cyrillic", "n_greek", "n_cjk"), "latin")
+        .when(F.col("n_cyrillic") >= F.greatest("n_greek", "n_cjk"), "cyrillic")
+        .when(F.col("n_greek") >= F.col("n_cjk"), "greek")
+        .otherwise("cjk")
+    )
+    return d.withColumn(
+        "latin_ratio",
+        F.when(total > 0, F.round(F.col("n_latin") / total, 6)),
+    ).withColumn(
+        "dominant_script", F.when(total > 0, dominant)
+    )

@@ -192,3 +192,57 @@ def test_dedup_paragraphs_no_value_join_back(spark):
     joins = re.findall(r"(?:SortMergeJoin|BroadcastHashJoin)[^\n]*", plan)
     assert len(joins) == 1, plan[:3000]
     assert "para" not in joins[0], joins[0]
+
+
+# -------------------------------------------------------------- scripts
+def test_script_ratios_dominant_and_ties(spark):
+    from pdf_to_epub_spark.operators import script_ratios
+
+    docs = spark.createDataFrame(
+        [
+            (1, "привет мир"),          # cyrillic only
+            (2, "hello κόσμε"),         # latin 5, greek 5 -> tie -> latin
+            (3, "你好"),                 # cjk only
+            (4, "12345 !!"),            # no script letters
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in script_ratios(docs).collect()}
+    assert rows[1].dominant_script == "cyrillic" and rows[1].n_cyrillic == 9
+    assert rows[2].dominant_script == "latin"     # fixed precedence on tie
+    assert rows[2].latin_ratio == 0.5
+    assert rows[3].dominant_script == "cjk" and rows[3].n_cjk == 2
+    assert rows[4].dominant_script is None and rows[4].latin_ratio is None
+
+
+# ----------------------------------------------------------- hourly roll
+def test_hourly_rollup_buckets(spark):
+    import datetime as dt
+
+    from pdf_to_epub_spark.operators import hourly_rollup
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    events = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(minutes=5), "click", 1.0),
+            (2, base + dt.timedelta(minutes=59), "click", 2.0),
+            (3, base + dt.timedelta(minutes=61), "click", 4.0),
+            (4, base + dt.timedelta(minutes=5), "view", 8.0),
+        ],
+        ["event_id", "ts", "event_type", "value"],
+    )
+    rows = {(r.bucket_epoch, r.event_type): r
+            for r in hourly_rollup(events).collect()}
+    h0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    # session TZ may shift the naive literal; recover bucket from data
+    buckets = sorted({b for b, _ in rows})
+    assert len(buckets) == 2 and buckets[1] - buckets[0] == 3600
+    first, second = buckets
+    assert rows[(first, "click")].n_events == 2
+    assert rows[(first, "click")].sum_value == 3.0
+    assert rows[(second, "click")].avg_value == 4.0
+    assert rows[(first, "view")].n_events == 1
+    # quarter-hour buckets compose the same way
+    q = {(r.bucket_epoch, r.event_type): r.n_events
+         for r in hourly_rollup(events, bucket_seconds=900).collect()}
+    assert sum(v for (_, t), v in q.items() if t == "click") == 3
