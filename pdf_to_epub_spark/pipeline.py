@@ -69,6 +69,8 @@ def ingest(
     pack_shards: int = 64,
     robots_txt: DataFrame | None = None,
     blocked_domains: DataFrame | None = None,
+    allowed_scripts: tuple[str, ...] | None = None,
+    min_compression_ratio: float | None = None,
 ) -> IngestResult:
     """Run the full pipeline; returns the cleaned, deduplicated, split
     corpus ``(url, text, n_email, n_ip, n_phone, split)`` plus per-stage
@@ -155,6 +157,33 @@ def ingest(
         .select("url", "text")
     )
     audit["quality_kept"] = kept.groupBy().count()
+
+    if allowed_scripts is not None:
+        # script gate BEFORE the zlib gate: codegen regex counting is far
+        # cheaper than the Python boundary, so it shrinks what crosses it.
+        # A doc with no script letters at all (dominant NULL) is junk here.
+        from pdf_to_epub_spark.operators import script_ratios
+
+        kept = (
+            script_ratios(kept)
+            .where(F.col("dominant_script").isin(list(allowed_scripts)))
+            .select("url", "text")
+        )
+        audit["script_kept"] = kept.groupBy().count()
+
+    if min_compression_ratio is not None:
+        # zlib repetition gate: ratios BELOW the floor are repetitive
+        # machine junk (NULL ratio = empty text → dropped; the quality
+        # gate has already removed short docs, so this only fires on
+        # degenerate survivors)
+        from pdf_to_epub_spark.operators import compression_ratio
+
+        kept = (
+            compression_ratio(kept)
+            .where(F.col("compression_ratio") >= min_compression_ratio)
+            .select("url", "text")
+        )
+        audit["compression_kept"] = kept.groupBy().count()
 
     scrubbed = scrub_pii(kept).select(
         "url", F.col("clean_text").alias("text"), "n_email", "n_ip", "n_phone"

@@ -224,3 +224,35 @@ def test_ingest_politeness_gates(spark):
     kept = {r2["url"] for r2 in result.corpus.select("url").collect()}
     allowed = {f"https://site{i % 3}.example/ok/p{i}.html" for i in (3, 6, 7, 10)}
     assert kept <= allowed and kept
+
+
+def test_ingest_script_and_compression_gates(spark):
+    rows = make_documents(12, seed=33)
+    # a Cyrillic doc the latin-only script gate must drop
+    cyr = dict(rows[0])
+    cyr["url"] = "doc://cyrillic"
+    cyr["text"] = "привет мир здравствуй планета " * 20
+    # a pathologically repetitive doc the compression gate must drop
+    # (long enough to clear the word-count gate; one token repeated)
+    junk = dict(rows[1])
+    junk["url"] = "doc://junk"
+    junk["text"] = "spam ham " * 400
+    pages = _pages(spark, rows + [cyr, junk])
+
+    result = ingest(
+        pages,
+        min_words=20,
+        # the synthetic prose has some repeated lines; relax the line gate
+        max_dup_line_char_ratio=1.0,
+        max_top_bigram_char_ratio=1.0,
+        allowed_scripts=("latin",),
+        min_compression_ratio=0.2,
+    )
+    urls = {r["url"] for r in result.corpus.select("url").collect()}
+    assert "doc://cyrillic" not in urls
+    assert "doc://junk" not in urls
+    assert urls - {"doc://cyrillic", "doc://junk"}  # normal docs survive
+    # audit counters present and ordered: script gate runs before zlib
+    n_script = result.audit["script_kept"].collect()[0][0]
+    n_comp = result.audit["compression_kept"].collect()[0][0]
+    assert n_script >= n_comp == result.audit["deduped"].collect()[0][0]
