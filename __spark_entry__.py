@@ -1409,6 +1409,60 @@ def _q_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_weights(d).select("term", "doc_id", "tf", "df", "tfidf")
 
 
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-token phrase retrieval over text with residue-planted
+    phrases (full phrase, 2/3 prefix, none).  The Spark plan is the
+    positional-postings adjacency-join chain; the oracle is an
+    INDEPENDENT algorithm — a boundary-anchored regex over the raw
+    text — so agreement is cross-algorithm, not replay."""
+    from pdf_to_epub_spark.operators import phrase_search
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    txt = F.concat(
+        F.substring("text", 1, 120),
+        F.when(i % 5 == 0, F.lit(" spark window merge end"))
+        .when(i % 5 == 1, F.lit(" spark window only"))
+        .otherwise(F.lit(" filler")),
+    )
+    return phrase_search(
+        d.select("doc_id", txt.alias("text")), ["spark", "window", "merge"]
+    ).select("doc_id")
+
+
+def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval (spark AND window AND NOT slow) as posting-list
+    set algebra (intersect/except on slim id sets); the oracle checks
+    token membership per document directly."""
+    from pdf_to_epub_spark.operators import boolean_search
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return boolean_search(d, ["spark", "window"], ["slow"]).select("doc_id")
+
+
+def _q_update_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance for a daily re-crawl: even docs form
+    yesterday's index, odd docs are new, every fourth doc is re-crawled
+    with truncated text (delete + re-add) — the final index must equal a
+    from-scratch build over the logical corpus, which is exactly what
+    the oracle computes."""
+    from pdf_to_epub_spark.operators import term_postings, update_postings
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    evens = d.filter(F.col("doc_id") % 2 == 0)
+    old = term_postings(evens)
+    recrawl = d.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", F.substring("text", 1, 100).alias("text")
+    )
+    news = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .unionByName(recrawl)
+    )
+    deleted = d.filter(F.col("doc_id") % 4 == 0).select("doc_id")
+    return update_postings(old, news, deleted).select("term", "doc_id", "tf")
+
+
 def _q_script_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode script-mix signal over deterministically multilingual text
     (residue-selected Cyrillic/Greek/CJK snippets appended to the Latin
@@ -2149,6 +2203,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "tfidf_weights": _q_tfidf_weights,
         "corpus_rollup": _q_corpus_rollup,
+        "phrase_search": _q_phrase_search,
+        "boolean_search": _q_boolean_search,
+        "update_postings": _q_update_postings,
         "script_ratios": _q_script_ratios,
         "event_hourly": _q_event_hourly,
         "bigram_pmi": _q_bigram_pmi,
@@ -3044,6 +3101,45 @@ def oracle_sql() -> dict[str, str]:
                          * ln((1.0 + n.n_docs) / (1.0 + d.df)),
                          6)::DOUBLE AS tfidf
             FROM postings p JOIN dfreq d USING (term) CROSS JOIN n
+        """,
+        "phrase_search": """
+            WITH s AS (
+                SELECT doc_id,
+                       substr(text, 1, 120)
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' spark window merge end'
+                               WHEN doc_id % 5 = 1 THEN ' spark window only'
+                               ELSE ' filler' END AS text
+                FROM documents)
+            SELECT doc_id FROM s
+            WHERE regexp_matches(lower(text),
+                '(^|[^a-zà-öø-ÿ])spark[^a-zà-öø-ÿ]+window[^a-zà-öø-ÿ]+merge([^a-zà-öø-ÿ]|$)')
+        """,
+        "boolean_search": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-zà-öø-ÿ]+') AS ws
+                FROM documents)
+            SELECT doc_id FROM t
+            WHERE list_contains(ws, 'spark')
+              AND list_contains(ws, 'window')
+              AND NOT list_contains(ws, 'slow')
+        """,
+        "update_postings": """
+            WITH src AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id % 2 = 0 AND doc_id % 4 != 0
+                UNION ALL
+                SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+                UNION ALL
+                SELECT doc_id, substr(text, 1, 100) FROM documents
+                WHERE doc_id % 4 = 0)
+            SELECT term, doc_id, count(*)::INT AS tf
+            FROM (SELECT doc_id,
+                         unnest(regexp_extract_all(lower(text),
+                                                   '[a-zà-öø-ÿ]+')) AS term
+                  FROM src)
+            GROUP BY term, doc_id
         """,
         "script_ratios": """
             WITH s AS (

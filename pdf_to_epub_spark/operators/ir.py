@@ -280,3 +280,93 @@ def top_terms(
         .select(F.col("grp").alias(group_col), "term", "n",
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase retrieval: ids of documents containing the token
+    sequence ``phrase`` (adjacent positions, any non-token separator
+    between words).  Positional-postings plan: tokenize with positions,
+    keep ONLY the phrase's terms (an ``isin`` prune inside the scan
+    stage), then chain position-adjacency joins term-by-term — the
+    classic positional inverted-index intersection, with per-join key
+    ``(id, pos)`` so skew follows documents, not terms.
+
+    The DuckDB oracle is a genuinely independent implementation (a
+    boundary-anchored regex over the raw text), which is the point: two
+    different algorithms agreeing on the result set."""
+    terms = [t.lower() for t in phrase]
+    if not terms:
+        return docs.select(F.col(id_col)).limit(0)
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(_tokens(text_col)).alias("pos", "term"),
+    ).filter(F.col("term").isin(list(set(terms))))
+    cur = (
+        toks.filter(F.col("term") == terms[0])
+        .select(id_col, F.col("pos").alias("p0"))
+    )
+    for k, t in enumerate(terms[1:], start=1):
+        nxt = toks.filter(F.col("term") == t).select(
+            F.col(id_col), (F.col("pos") - k).alias("p0")
+        )
+        cur = cur.join(nxt, [id_col, "p0"], "left_semi")
+    return cur.select(id_col).distinct()
+
+
+def boolean_search(
+    docs: DataFrame,
+    must: list[str],
+    must_not: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boolean retrieval (AND over ``must``, NOT over ``must_not``) as
+    set algebra over posting lists: per-term id sets INTERSECT down the
+    must-chain, then EXCEPT the union of the must-not sets.  Distinct id
+    streams are slim (ids only); Spark executes intersect/except as
+    semi/anti aggregates keyed on the id, so nothing document-sized
+    shuffles."""
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("term")
+    )
+    def ids_of(t: str) -> DataFrame:
+        return toks.filter(F.col("term") == t.lower()).select(id_col).distinct()
+
+    if not must:
+        return docs.select(F.col(id_col)).limit(0)
+    cur = ids_of(must[0])
+    for t in must[1:]:
+        cur = cur.intersect(ids_of(t))
+    for t in must_not or []:
+        cur = cur.exceptAll(ids_of(t)).distinct()
+    return cur
+
+
+def update_postings(
+    postings: DataFrame,
+    new_docs: DataFrame,
+    deleted_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental inverted-index maintenance for the daily re-crawl:
+    drop postings of deleted/re-crawled ids (broadcast anti-join on the
+    slim id set), tokenize ONLY the new batch, and union — the existing
+    index is never re-tokenized, so the daily cost is O(batch), matching
+    the incremental-dedup design (operators/dedup.py incremental path).
+    Re-crawled ids should appear in BOTH ``deleted_ids`` and
+    ``new_docs`` (replace semantics)."""
+    kept = postings
+    if deleted_ids is not None:
+        kept = postings.join(
+            F.broadcast(deleted_ids.select(id_col).distinct()),
+            id_col,
+            "left_anti",
+        )
+    fresh = term_postings(new_docs, id_col, text_col)
+    return kept.unionByName(fresh)

@@ -184,3 +184,76 @@ def test_top_terms_tie_broken_by_term(spark):
     rows = top_terms(docs, k=2).orderBy("rank").collect()
     # equal counts -> lexicographic term order decides rank
     assert [r.term for r in rows] == ["a", "b"]
+
+
+def test_phrase_search_adjacency(spark):
+    from pdf_to_epub_spark.operators import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big data spark window merge now"),
+            (2, "spark then window merge"),        # not adjacent
+            (3, "spark window merge"),             # whole doc is the phrase
+            (4, "SPARK window, merge!"),           # case + punctuation seps
+            (5, "window merge spark"),             # wrong order
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id for r in
+           phrase_search(docs, ["spark", "window", "merge"]).collect()}
+    assert got == {1, 3, 4}
+
+
+def test_phrase_search_repeated_token_phrase(spark):
+    from pdf_to_epub_spark.operators import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "go go go"), (2, "go stop go")], ["doc_id", "text"]
+    )
+    assert {r.doc_id for r in phrase_search(docs, ["go", "go"]).collect()} \
+        == {1}
+    assert phrase_search(docs, []).count() == 0
+
+
+def test_boolean_search_set_algebra(spark):
+    from pdf_to_epub_spark.operators import boolean_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window fast"),
+            (2, "spark window slow"),   # excluded by must_not
+            (3, "spark only"),          # missing a must term
+            (4, "window spark window"), # dup terms collapse to one id row
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id for r in
+           boolean_search(docs, ["spark", "window"], ["slow"]).collect()}
+    assert got == {1, 4}
+    rows = boolean_search(docs, ["window"]).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2, 4]  # distinct ids
+    assert boolean_search(docs, []).count() == 0
+
+
+def test_update_postings_equals_fresh_build(spark):
+    from pdf_to_epub_spark.operators import term_postings, update_postings
+
+    v1 = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "c d")], ["doc_id", "text"]
+    )
+    # recrawl doc 2 with new text, add doc 4, delete doc 3
+    new = spark.createDataFrame([(2, "x y"), (4, "a z")], ["doc_id", "text"])
+    deleted = spark.createDataFrame([(2,), (3,)], ["doc_id"])
+    updated = update_postings(term_postings(v1), new, deleted)
+
+    logical = spark.createDataFrame(
+        [(1, "a b a"), (2, "x y"), (4, "a z")], ["doc_id", "text"]
+    )
+    exp = {(r.term, r.doc_id, r.tf) for r in term_postings(logical).collect()}
+    got = {(r.term, r.doc_id, r.tf) for r in updated.collect()}
+    assert got == exp
+    # no deletions: pure append
+    app = update_postings(
+        term_postings(v1), spark.createDataFrame([(5, "q")], ["doc_id", "text"])
+    )
+    assert ("q", 5, 1) in {(r.term, r.doc_id, r.tf) for r in app.collect()}
