@@ -3293,7 +3293,9 @@ def oracle_sql() -> dict[str, str]:
                 UNNEST(list_transform(generate_series(1, len(lst)),
                                       j -> {'pos': j - 1, 'para': lst[j]}))
                     AS t(u)
-                WHERE trim(u.para) != ''),
+                -- same unit-is-content class as the Spark side
+                -- (space/tab/CR/NL), not space-only trim
+                WHERE regexp_matches(u.para, '[^ \\t\\r\\n]')),
             keep AS (
                 SELECT doc_id, pos, para FROM (
                     SELECT doc_id, pos, para,

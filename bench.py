@@ -114,7 +114,9 @@ def run_bench(
     # HTML-mode extraction (north_star Boilerpipe surface) over full
     # boilerplate pages built around the same documents.
     html_corpus = REPO / "data" / f"bench_html_corpus_sf{sf}_42"
-    if not html_corpus.exists() and (not only or only == "html_extract_assemble"):
+    if not html_corpus.exists() and (
+        not only or only in ("html_extract_assemble", "html_structure_mining")
+    ):
         from pdf_to_epub_spark.sources.synth import write_boilerplate_parquet
 
         write_boilerplate_parquet(

@@ -38,13 +38,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Word tokens: lowercase letter runs (accented Latin included) — the same
-# token class textstats uses, RE2-portable for the oracle.
-_TOKEN_RE = "[a-zà-öø-ÿ]+"
-
-
-def _tokens(text_col: str) -> Column:
-    return F.expr(f"regexp_extract_all(lower({text_col}), '{_TOKEN_RE}', 0)")
+# Word tokens: lowercase letter runs (accented Latin included) — the ONE
+# token class, imported from textstats so the two modules cannot drift
+# (identical oracles depend on it).
+from .textstats import _tokens  # noqa: E402
 
 
 def term_postings(
@@ -60,9 +57,7 @@ def term_postings(
     )
 
 
-def document_frequencies(
-    postings: DataFrame, id_col: str = "doc_id"
-) -> DataFrame:
+def document_frequencies(postings: DataFrame) -> DataFrame:
     """Per-term document frequency from a postings table (rows unique per
     (term, doc) by construction, so count(*) == count(distinct doc))."""
     return postings.groupBy("term").agg(
@@ -153,7 +148,7 @@ def tfidf_weights(
     ``(1 + ln tf) * ln((1 + N)/(1 + df))``, rounded to 6 dp.  One postings
     shuffle + one term agg; the df/N sides join back as broadcasts."""
     postings = term_postings(docs, id_col, text_col)
-    dfreq = document_frequencies(postings, id_col)
+    dfreq = document_frequencies(postings)
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         postings.join(F.broadcast(dfreq), "term")
@@ -296,26 +291,46 @@ def phrase_search(
     classic positional inverted-index intersection, with per-join key
     ``(id, pos)`` so skew follows documents, not terms.
 
+    ONE corpus scan, ONE shuffle: an all-terms ``array_contains``
+    prefilter drops non-candidate docs inside the scan stage, the
+    surviving (pos, term) hits group per doc, and the adjacency test is
+    per-row array algebra — each term's position list shifted by its
+    phrase offset, then intersected (a k-leg join chain would re-run the
+    tokenize subtree once per term; measured as the double-execution
+    class in PLANS.md).
+
     The DuckDB oracle is a genuinely independent implementation (a
     boundary-anchored regex over the raw text), which is the point: two
     different algorithms agreeing on the result set."""
     terms = [t.lower() for t in phrase]
     if not terms:
         return docs.select(F.col(id_col)).limit(0)
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(_tokens(text_col)).alias("pos", "term"),
-    ).filter(F.col("term").isin(list(set(terms))))
-    cur = (
-        toks.filter(F.col("term") == terms[0])
-        .select(id_col, F.col("pos").alias("p0"))
-    )
-    for k, t in enumerate(terms[1:], start=1):
-        nxt = toks.filter(F.col("term") == t).select(
-            F.col(id_col), (F.col("pos") - k).alias("p0")
+    base = docs.select(F.col(id_col), _tokens(text_col).alias("__toks"))
+    for t in set(terms):
+        base = base.filter(F.array_contains("__toks", t))
+    hits = (
+        base.select(
+            id_col, F.posexplode("__toks").alias("pos", "term")
         )
-        cur = cur.join(nxt, [id_col, "p0"], "left_semi")
-    return cur.select(id_col).distinct()
+        .filter(F.col("term").isin(list(set(terms))))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("pos", "term")).alias("tp"))
+    )
+    # positions of term k, shifted back by k — the phrase exists iff the
+    # shifted lists share a start position.  (A closure factory, not
+    # default-arg lambdas: a 2-parameter lambda would be read by the
+    # higher-order-function API as (element, index).)
+    def _shifted(t: str, k: int) -> Column:
+        return F.transform(
+            F.filter(F.col("tp"), lambda s: s["term"] == F.lit(t)),
+            lambda s: s["pos"] - k,
+        )
+
+    shifted = [_shifted(t, k) for k, t in enumerate(terms)]
+    common = shifted[0]
+    for arr in shifted[1:]:
+        common = F.array_intersect(common, arr)
+    return hits.filter(F.size(common) > 0).select(id_col)
 
 
 def boolean_search(
@@ -325,26 +340,21 @@ def boolean_search(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Boolean retrieval (AND over ``must``, NOT over ``must_not``) as
-    set algebra over posting lists: per-term id sets INTERSECT down the
-    must-chain, then EXCEPT the union of the must-not sets.  Distinct id
-    streams are slim (ids only); Spark executes intersect/except as
-    semi/anti aggregates keyed on the id, so nothing document-sized
-    shuffles."""
-    toks = docs.select(
-        F.col(id_col), F.explode(_tokens(text_col)).alias("term")
-    )
-    def ids_of(t: str) -> DataFrame:
-        return toks.filter(F.col("term") == t.lower()).select(id_col).distinct()
-
+    """Boolean retrieval (AND over ``must``, NOT over ``must_not``):
+    logically the posting-list set algebra (intersect the must sets,
+    subtract the must-not union), executed as ONE corpus scan with a
+    per-row membership test on the token array — a per-term
+    intersect/except chain would re-tokenize the corpus once per term
+    (the double-execution class in PLANS.md), while this plan never
+    shuffles anything at all: the id set IS the filter output."""
     if not must:
         return docs.select(F.col(id_col)).limit(0)
-    cur = ids_of(must[0])
-    for t in must[1:]:
-        cur = cur.intersect(ids_of(t))
+    base = docs.select(F.col(id_col), _tokens(text_col).alias("__toks"))
+    for t in must:
+        base = base.filter(F.array_contains("__toks", t.lower()))
     for t in must_not or []:
-        cur = cur.exceptAll(ids_of(t)).distinct()
-    return cur
+        base = base.filter(~F.array_contains("__toks", t.lower()))
+    return base.select(id_col)
 
 
 def update_postings(
