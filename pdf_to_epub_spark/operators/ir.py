@@ -35,6 +35,10 @@ DuckDB oracle in ``__spark_entry__`` replays the same math.
 
 from __future__ import annotations
 
+import functools
+import re
+from operator import or_
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -83,60 +87,84 @@ def bm25_topk(
     Output: ``(<id_col>, score)`` ordered by (score desc, id) — the score
     is rounded to 6 dp and the ROUNDED value is what ranks, so the cut at
     k is engine-reproducible.
-    """
-    terms = sorted(set(t.lower() for t in query_terms))
-    base = docs.select(F.col(id_col), _tokens(text_col).alias("__toks"))
 
-    # Corpus constants: one 1-row aggregate, broadcast back.
+    Plan shape: for a bounded query-term set the whole retrieval is
+    per-row codegen — ``tf`` per term via a lookaround-anchored
+    ``regexp_count`` (Java regex; the token boundaries consume nothing,
+    so adjacent occurrences all count), ``df``/``avgdl``/``N`` in ONE
+    slim 1-row aggregate broadcast back, score as column arithmetic, and
+    the k-cut as TakeOrderedAndProject.  The corpus never shuffles and
+    no token stream is ever exploded — the earlier explode+groupBy form
+    paid a (doc, term)-keyed exchange of every matching token (measured
+    6.8 → 2.3 s on the high-df bench query; plan-pinned to zero data
+    exchanges).  The DuckDB oracle keeps the explode+group formulation:
+    two independent algorithms, one result.
+    """
+    # a term that is not a single token (digits, punctuation, spaces)
+    # can never equal an exploded token — drop it up front so the regex
+    # path cannot accidentally match it as a raw substring
+    terms = sorted(
+        {
+            t.lower()
+            for t in query_terms
+            if re.fullmatch("[a-zà-öø-ÿ]+", t.lower())
+        }
+    )
+    if not terms:
+        return docs.select(F.col(id_col)).limit(0).withColumn(
+            "score", F.lit(None).cast("double")
+        )
+
+    def tf_of(t: str) -> Column:
+        return F.expr(
+            f"regexp_count(lower({text_col}),"
+            f" '(?<![a-zà-öø-ÿ]){t}(?![a-zà-öø-ÿ])')"
+        )
+
+    dl = F.expr(f"regexp_count(lower({text_col}), '[a-zà-öø-ÿ]+')")
+    base = docs.select(
+        F.col(id_col),
+        dl.alias("__dl"),
+        *[tf_of(t).alias(f"__tf_{i}") for i, t in enumerate(terms)],
+    )
+
+    # N, avgdl, and every term's df in ONE 1-row aggregate.
     consts = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size("__toks")).alias("avgdl"),
+        F.avg("__dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
     )
 
-    # Pre-explode prune: only docs containing at least one query term
-    # survive to the explode; then the exploded stream keeps query terms
-    # only.  Both predicates sit inside the scan/codegen stage.
-    any_match = None
-    for t in terms:
-        c = F.array_contains("__toks", t)
-        any_match = c if any_match is None else (any_match | c)
-    matched = base.filter(any_match if any_match is not None else F.lit(False))
-    hits = (
-        matched.select(
-            id_col,
-            F.size("__toks").alias("dl"),
-            F.explode("__toks").alias("term"),
-        )
-        .filter(F.col("term").isin(terms))
-        .groupBy(id_col, "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    matched = base.filter(
+        functools.reduce(or_, [F.col(f"__tf_{i}") > 0 for i in range(len(terms))])
+    ).crossJoin(F.broadcast(consts))
 
-    # df per query term — tiny (≤ |terms| rows), broadcast back onto hits.
-    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        hits.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(consts))
-        .withColumn(
-            "__idf",
-            F.log(
-                (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-                + F.lit(1.0)
-            ),
+    def weight(i: int) -> Column:
+        tf = F.col(f"__tf_{i}")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"__df_{i}") + F.lit(0.5))
+            / (F.col(f"__df_{i}") + F.lit(0.5))
+            + F.lit(1.0)
         )
-        .withColumn(
-            "__w",
-            F.col("__idf")
-            * (F.col("tf") * (F.lit(k1) + 1.0))
+        w = (
+            idf
+            * (tf * (F.lit(k1) + 1.0))
             / (
-                F.col("tf")
+                tf
                 + F.lit(k1)
-                * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-            ),
+                * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("__dl") / F.col("avgdl"))
+            )
         )
-        .groupBy(id_col)
-        .agg(F.round(F.sum("__w"), 6).alias("score"))
+        return F.when(tf > 0, w).otherwise(F.lit(0.0))
+
+    total = weight(0)
+    for i in range(1, len(terms)):
+        total = total + weight(i)
+    scored = matched.select(
+        id_col, F.round(total, 6).alias("score")
     )
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 

@@ -257,3 +257,39 @@ def test_update_postings_equals_fresh_build(spark):
         term_postings(v1), spark.createDataFrame([(5, "q")], ["doc_id", "text"])
     )
     assert ("q", 5, 1) in {(r.term, r.doc_id, r.tf) for r in app.collect()}
+
+
+def test_bm25_zero_corpus_exchange(docs):
+    """The count-based BM25 plan never shuffles the corpus: tf per term
+    is lookaround-anchored regexp_count (per-row codegen), df/avgdl ride
+    one 1-row broadcast aggregate, the k-cut is TakeOrderedAndProject."""
+    import re
+
+    plan = (
+        bm25_topk(docs, ["cat", "dog"], k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not re.findall(r"Exchange (hash|range)partitioning", plan), plan[:3000]
+
+
+def test_bm25_adjacent_occurrences_count(spark):
+    """Lookaround boundaries consume nothing: 'the the the' must count
+    tf=3, not 2 (a consuming-boundary regex undercounts alternates)."""
+    docs = spark.createDataFrame([(1, "the the the")], ["doc_id", "text"])
+    r = bm25_topk(docs, ["the"], k=1).collect()[0]
+    # tf=3, df=1, N=1, dl=3, avgdl=3
+    import math
+    idf = math.log((1 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    exp = round(idf * 3 * 2.2 / (3 + 1.2 * (0.25 + 0.75 * 1.0)), 6)
+    assert r.score == pytest.approx(exp, abs=1e-9)
+
+
+def test_bm25_non_token_terms_ignored(spark):
+    """Digits/punctuation can never equal a token — '123' must not match
+    raw text as a substring via the regex path."""
+    docs = spark.createDataFrame([(1, "price 123 only")], ["doc_id", "text"])
+    assert bm25_topk(docs, ["123"], k=5).count() == 0
+    got = {r.doc_id for r in bm25_topk(docs, ["price", "123"], k=5).collect()}
+    assert got == {1}  # the valid term still scores
