@@ -246,3 +246,20 @@ def test_hourly_rollup_buckets(spark):
     q = {(r.bucket_epoch, r.event_type): r.n_events
          for r in hourly_rollup(events, bucket_seconds=900).collect()}
     assert sum(v for (_, t), v in q.items() if t == "click") == 3
+
+
+# ------------------------------------------------- approx-quantile swap
+def test_approx_percentile_close_to_exact(spark):
+    """length_quantiles documents approx_percentile as the 100 TB swap
+    for the exact percentile; this pins the swap's error on real data:
+    with accuracy 10000 the approx p50/p90/p99 of the document length
+    distribution must land within 1% of the exact values."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = docs.selectExpr(
+        "percentile(n_chars, array(0.5, 0.9, 0.99)) AS q"
+    ).collect()[0].q
+    approx = docs.selectExpr(
+        "approx_percentile(n_chars, array(0.5, 0.9, 0.99), 10000) AS q"
+    ).collect()[0].q
+    for e, a in zip(exact, approx):
+        assert abs(a - e) <= max(1.0, 0.01 * e), (exact, approx)
