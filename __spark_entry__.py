@@ -1463,6 +1463,42 @@ def _q_update_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return update_postings(old, news, deleted).select("term", "doc_id", "tf")
 
 
+def _q_keyword_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC snippet (25 chars context each side of the first whole-token
+    'merge') per document, NULL when absent — the same lookaround-free
+    regex runs under Java and RE2."""
+    from pdf_to_epub_spark.operators import keyword_snippets
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return keyword_snippets(d, "merge", width=25).select(
+        "doc_id", "snippet"
+    )
+
+
+def _q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the transitive near-dup components —
+    the audit a dedup run ships with (how much mass sits in how-big
+    clusters); oracled against the recursive-CTE true components."""
+    from pdf_to_epub_spark.operators import (
+        connected_components,
+        minhash_candidate_pairs,
+    )
+
+    corpus = mutated_recrawl(spark, sf_dir)
+    pairs = minhash_candidate_pairs(
+        corpus, k=3, num_hashes=32, bands=8, jaccard_threshold=0.7
+    )
+    comps = connected_components(
+        pairs.select("id_a", "id_b"), corpus.select("doc_id")
+    )
+    return (
+        comps.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    )
+
+
 def _q_script_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode script-mix signal over deterministically multilingual text
     (residue-selected Cyrillic/Greek/CJK snippets appended to the Latin
@@ -2204,6 +2240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_weights": _q_tfidf_weights,
         "corpus_rollup": _q_corpus_rollup,
         "phrase_search": _q_phrase_search,
+        "keyword_snippets": _q_keyword_snippets,
+        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "boolean_search": _q_boolean_search,
         "update_postings": _q_update_postings,
         "script_ratios": _q_script_ratios,
@@ -3115,6 +3153,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE regexp_matches(lower(text),
                 '(^|[^a-zà-öø-ÿ])spark[^a-zà-öø-ÿ]+window[^a-zà-öø-ÿ]+merge([^a-zà-öø-ÿ]|$)')
         """,
+        "keyword_snippets": """
+            SELECT doc_id,
+                   NULLIF(regexp_extract(text,
+                       '(?is).{0,25}(?:^|[^a-zà-öø-ÿ])merge(?:[^a-zà-öø-ÿ]|$).{0,25}',
+                       0), '') AS snippet
+            FROM documents
+        """,
+        "dedup_cluster_sizes": _shingle_jaccard_oracle(
+            k=3, threshold=0.7,
+            final="""
+                SELECT size, count(*)::BIGINT AS n_clusters FROM (
+                    SELECT component, count(*)::BIGINT AS size FROM (
+                        WITH RECURSIVE und AS (
+                            SELECT id_a AS a, id_b AS b FROM truepairs
+                            UNION
+                            SELECT id_b AS a, id_a AS b FROM truepairs),
+                        reach(a, b) AS (
+                            SELECT a, b FROM und
+                            UNION
+                            SELECT r.a, u.b FROM reach r
+                            JOIN und u ON r.b = u.a),
+                        comp AS (
+                            SELECT a AS doc_id, least(a, min(b)) AS component
+                            FROM reach GROUP BY a)
+                        SELECT c.doc_id,
+                               coalesce(comp.component, c.doc_id) AS component
+                        FROM corpus c LEFT JOIN comp ON comp.doc_id = c.doc_id)
+                    GROUP BY component)
+                GROUP BY size
+            """,
+        ),
         "boolean_search": """
             WITH t AS (
                 SELECT doc_id,

@@ -17,16 +17,12 @@ Scale design (the part that matters at 100 TB):
   input rows are already unique per (term, doc), so a ``count(*)`` — a
   map-side-combinable agg — equals ``count(distinct doc)`` without the
   distinct's extra exchange.
-* ``bm25_topk`` never materializes the full index for a query: the
-  postings build is filtered with ``term IN (query terms)`` BEFORE the
-  tokenize explode leaves the scan stage (an ``array_contains`` prefilter
-  on the token array drops non-matching docs pre-explode), the per-term
-  ``df``/``idf`` table is a handful of rows joined back via broadcast,
-  and the final top-k is ``ORDER BY … LIMIT k`` which Spark executes as
-  TakeOrderedAndProject (per-partition heaps + driver merge, no global
-  sort shuffle).
-* Corpus constants (N, avgdl) come from one tiny aggregate cross-joined
-  back as a broadcast — no ``collect()``.
+* ``bm25_topk`` never materializes any index for a query: per-term tf is
+  a lookaround-anchored ``regexp_count`` per row, every corpus constant
+  (N, avgdl, per-term df) rides ONE slim 1-row aggregate broadcast back
+  (no ``collect()``), and the top-k is TakeOrderedAndProject
+  (per-partition heaps + driver merge).  Zero data exchanges —
+  plan-pinned.
 
 Scores are rounded to 6 dp and ranking uses the ROUNDED score (then doc
 id) so the ordering is reproducible bit-for-bit across engines — the
@@ -408,3 +404,34 @@ def update_postings(
         )
     fresh = term_postings(new_docs, id_col, text_col)
     return kept.unionByName(fresh)
+
+
+def keyword_snippets(
+    docs: DataFrame,
+    term: str,
+    width: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """KWIC snippet per document: up to ``width`` chars of context on
+    each side of the FIRST whole-token occurrence of ``term``
+    (case-insensitive), NULL when absent — the result-presentation
+    companion to :func:`bm25_topk`.
+
+    One boundary-anchored ``regexp_extract`` per row (the pattern avoids
+    lookarounds so the DuckDB oracle can run the SAME regex under RE2);
+    pure codegen, no shuffle."""
+    t = term.lower()
+    if not re.fullmatch("[a-zà-öø-ÿ]+", t):
+        return docs.select(
+            F.col(id_col), F.lit(None).cast("string").alias("snippet")
+        )
+    pat = (
+        f"(?is).{{0,{width}}}(?:^|[^a-zà-öø-ÿ]){t}"
+        f"(?:[^a-zà-öø-ÿ]|$).{{0,{width}}}"
+    )
+    sn = F.regexp_extract(F.col(text_col), pat, 0)
+    return docs.select(
+        F.col(id_col),
+        F.when(F.length(sn) > 0, sn).alias("snippet"),
+    )

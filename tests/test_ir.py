@@ -293,3 +293,29 @@ def test_bm25_non_token_terms_ignored(spark):
     assert bm25_topk(docs, ["123"], k=5).count() == 0
     got = {r.doc_id for r in bm25_topk(docs, ["price", "123"], k=5).collect()}
     assert got == {1}  # the valid term still scores
+
+
+def test_keyword_snippets(spark):
+    from pdf_to_epub_spark.operators import keyword_snippets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa bbb ccc MERGE ddd eee fff"),
+            (2, "no hit here"),
+            (3, "merged edges only"),   # substring, not a whole token
+            (4, "merge at start"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r.snippet
+            for r in keyword_snippets(docs, "merge", width=8).collect()}
+    assert "MERGE" in rows[1]
+    # at most width chars each side (plus the boundary chars)
+    assert len(rows[1]) <= 8 + 1 + 5 + 1 + 8
+    assert rows[2] is None
+    assert rows[3] is None           # token boundary respected
+    assert rows[4].startswith("merge")  # ^ anchor at doc start
+    # non-token terms yield all-NULL, never a raw substring match
+    rows = {r.doc_id: r.snippet
+            for r in keyword_snippets(docs, "a+b", width=8).collect()}
+    assert all(v is None for v in rows.values())
