@@ -3155,8 +3155,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "keyword_snippets": """
             SELECT doc_id,
-                   NULLIF(regexp_extract(text,
-                       '(?is).{0,25}(?:^|[^a-zà-öø-ÿ])merge(?:[^a-zà-öø-ÿ]|$).{0,25}',
+                   NULLIF(regexp_extract(lower(text),
+                       '(?s).{0,25}(?:^|[^a-zà-öø-ÿ])merge(?:[^a-zà-öø-ÿ]|$).{0,25}',
                        0), '') AS snippet
             FROM documents
         """,

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 # Word tokens: lowercase letter runs (accented Latin included) — the ONE
 # token class, imported from textstats so the two modules cannot drift
 # (identical oracles depend on it).
-from .textstats import _tokens  # noqa: E402
+from .textstats import _TOKEN_CLASS, _tokens  # noqa: E402
 
 
 def term_postings(
@@ -103,7 +103,7 @@ def bm25_topk(
         {
             t.lower()
             for t in query_terms
-            if re.fullmatch("[a-zà-öø-ÿ]+", t.lower())
+            if re.fullmatch(f"{_TOKEN_CLASS}+", t.lower())
         }
     )
     if not terms:
@@ -114,10 +114,10 @@ def bm25_topk(
     def tf_of(t: str) -> Column:
         return F.expr(
             f"regexp_count(lower({text_col}),"
-            f" '(?<![a-zà-öø-ÿ]){t}(?![a-zà-öø-ÿ])')"
+            f" '(?<!{_TOKEN_CLASS}){t}(?!{_TOKEN_CLASS})')"
         )
 
-    dl = F.expr(f"regexp_count(lower({text_col}), '[a-zà-öø-ÿ]+')")
+    dl = F.expr(f"regexp_count(lower({text_col}), '{_TOKEN_CLASS}+')")
     base = docs.select(
         F.col(id_col),
         dl.alias("__dl"),
@@ -369,8 +369,11 @@ def boolean_search(
     subtract the must-not union), executed as ONE corpus scan with a
     per-row membership test on the token array — a per-term
     intersect/except chain would re-tokenize the corpus once per term
-    (the double-execution class in PLANS.md), while this plan never
-    shuffles anything at all: the id set IS the filter output."""
+    (the double-execution class in PLANS.md).  The result is a DISTINCT
+    id set (set semantics, like the posting-list algebra it models), so
+    a corpus carrying duplicate id rows still yields each id once; the
+    dedup aggregate runs over the slim post-filter id stream — the only
+    shuffle in the plan."""
     if not must:
         return docs.select(F.col(id_col)).limit(0)
     base = docs.select(F.col(id_col), _tokens(text_col).alias("__toks"))
@@ -378,7 +381,7 @@ def boolean_search(
         base = base.filter(F.array_contains("__toks", t.lower()))
     for t in must_not or []:
         base = base.filter(~F.array_contains("__toks", t.lower()))
-    return base.select(id_col)
+    return base.select(id_col).distinct()
 
 
 def update_postings(
@@ -414,23 +417,25 @@ def keyword_snippets(
     text_col: str = "text",
 ) -> DataFrame:
     """KWIC snippet per document: up to ``width`` chars of context on
-    each side of the FIRST whole-token occurrence of ``term``
-    (case-insensitive), NULL when absent — the result-presentation
-    companion to :func:`bm25_topk`.
-
-    One boundary-anchored ``regexp_extract`` per row (the pattern avoids
-    lookarounds so the DuckDB oracle can run the SAME regex under RE2);
-    pure codegen, no shuffle."""
+    each side of the FIRST whole-token occurrence of ``term``, NULL when
+    absent — the result-presentation companion to :func:`bm25_topk`.
+    Snippets are LOWERCASED: the match runs over ``lower(text)`` with a
+    case-sensitive pattern, because ``(?i)`` folds ASCII-only under Java
+    but full-Unicode under RE2 — an uppercase accented letter adjacent
+    to the term would make the two engines disagree about the token
+    boundary.  Lowering first gives one deterministic answer that the
+    DuckDB oracle reproduces with the literally identical regex (no
+    lookarounds, so it runs under RE2 too); pure codegen, no shuffle."""
     t = term.lower()
-    if not re.fullmatch("[a-zà-öø-ÿ]+", t):
+    if not re.fullmatch(f"{_TOKEN_CLASS}+", t):
         return docs.select(
             F.col(id_col), F.lit(None).cast("string").alias("snippet")
         )
     pat = (
-        f"(?is).{{0,{width}}}(?:^|[^a-zà-öø-ÿ]){t}"
-        f"(?:[^a-zà-öø-ÿ]|$).{{0,{width}}}"
+        f"(?s).{{0,{width}}}(?:^|[^{_TOKEN_CLASS[1:-1]}]){t}"
+        f"(?:[^{_TOKEN_CLASS[1:-1]}]|$).{{0,{width}}}"
     )
-    sn = F.regexp_extract(F.col(text_col), pat, 0)
+    sn = F.regexp_extract(F.lower(F.col(text_col)), pat, 0)
     return docs.select(
         F.col(id_col),
         F.when(F.length(sn) > 0, sn).alias("snippet"),

@@ -24,9 +24,17 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+# The ONE token character class (lowercase letters incl. accented Latin)
+# — every tokenizer-derived regex in this package and in operators/ir.py
+# builds from this string so the definitions cannot drift.
+_TOKEN_CLASS = "[a-zà-öø-ÿ]"
+
+
 def _tokens(col_name: str) -> Column:
     """Word tokens (letters incl. accented), lowercased."""
-    return F.expr(f"regexp_extract_all(lower({col_name}), '[a-zà-öø-ÿ]+', 0)")
+    return F.expr(
+        f"regexp_extract_all(lower({col_name}), '{_TOKEN_CLASS}+', 0)"
+    )
 
 
 def token_count(col_name: str) -> Column:

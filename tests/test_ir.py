@@ -309,7 +309,9 @@ def test_keyword_snippets(spark):
     )
     rows = {r.doc_id: r.snippet
             for r in keyword_snippets(docs, "merge", width=8).collect()}
-    assert "MERGE" in rows[1]
+    # snippets are lowercased (matching runs over lower(text) so Java and
+    # RE2 agree on boundaries — no (?i) folding divergence)
+    assert "merge" in rows[1] and "MERGE" not in rows[1]
     # at most width chars each side (plus the boundary chars)
     assert len(rows[1]) <= 8 + 1 + 5 + 1 + 8
     assert rows[2] is None
@@ -319,3 +321,24 @@ def test_keyword_snippets(spark):
     rows = {r.doc_id: r.snippet
             for r in keyword_snippets(docs, "a+b", width=8).collect()}
     assert all(v is None for v in rows.values())
+
+
+def test_boolean_search_duplicate_id_rows(spark):
+    from pdf_to_epub_spark.operators import boolean_search
+
+    docs = spark.createDataFrame(
+        [(1, "spark window"), (1, "spark window again")],
+        ["doc_id", "text"],
+    )
+    rows = boolean_search(docs, ["spark"]).collect()
+    assert [r.doc_id for r in rows] == [1]  # distinct ids, set semantics
+
+
+def test_keyword_snippets_accented_boundary_parity(spark):
+    """Uppercase accented letter adjacent to the term: lower() first makes
+    it part of the token run, so 'merge' is NOT a whole token — the exact
+    case where (?i) folding diverged between Java and RE2."""
+    from pdf_to_epub_spark.operators import keyword_snippets
+
+    docs = spark.createDataFrame([(1, "zÀmerge ok")], ["doc_id", "text"])
+    assert keyword_snippets(docs, "merge").collect()[0].snippet is None
