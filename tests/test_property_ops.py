@@ -191,3 +191,62 @@ def test_pdf_truncation_never_crashes(pages, cut):
         extract_pdf_blocks(raw[: min(cut, len(raw))])
     except UnsupportedPdf:
         pass
+
+
+# ----------------------------------------------------------------- IR ops
+def _py_tokens(text: str) -> list[str]:
+    """Pure-Python replica of the shared token class — the differential
+    oracle for the IR operators."""
+    import re as _re
+
+    return _re.findall("[a-zà-öø-ÿ]+", text.lower())
+
+
+def test_ir_differential_on_drawn_corpora(spark):
+    """term_postings / bm25 tf / boolean / phrase results must agree with
+    a pure-Python tokenizer on hypothesis-drawn unicode corpora (drawn
+    once with a fixed seed; one Spark job per operator, not per example)."""
+    from collections import Counter
+
+    from pdf_to_epub_spark.operators import (
+        boolean_search,
+        phrase_search,
+        term_postings,
+    )
+
+    rnd = random.Random(77)
+    corpus: list[tuple[int, str]] = []
+    # mix: accented words, digits, punctuation runs, empty, newlines
+    pieces = ["café", "merge", "x1y", "...", "Ångström", "naïve", "",
+              "spark\nwindow", "ÀÉÎ", "the the", "øre"]
+    for i in range(40):
+        corpus.append(
+            (i, " ".join(rnd.choice(pieces) for _ in range(rnd.randint(0, 8))))
+        )
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+
+    got = {(r.term, r.doc_id): r.tf for r in term_postings(docs).collect()}
+    exp = {}
+    for i, t in corpus:
+        for w, c in Counter(_py_tokens(t)).items():
+            exp[(w, i)] = c
+    assert got == exp
+
+    # boolean: docs containing 'merge' AND 'café' but NOT 'naïve'
+    got_b = {r.doc_id for r in
+             boolean_search(docs, ["merge", "café"], ["naïve"]).collect()}
+    exp_b = {
+        i for i, t in corpus
+        if {"merge", "café"} <= set(_py_tokens(t))
+        and "naïve" not in _py_tokens(t)
+    }
+    assert got_b == exp_b
+
+    # phrase: adjacent 'the the' (the repeated-token worst case)
+    got_p = {r.doc_id for r in phrase_search(docs, ["the", "the"]).collect()}
+    exp_p = set()
+    for i, t in corpus:
+        toks = _py_tokens(t)
+        if any(toks[j] == toks[j + 1] == "the" for j in range(len(toks) - 1)):
+            exp_p.add(i)
+    assert got_p == exp_p
