@@ -187,3 +187,67 @@ def windowed_ingest_rate(
         .queryName(query_name)
         .start()
     )
+
+
+def streaming_postings(
+    spark: SparkSession,
+    input_dir: str,
+    postings_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "url",
+    text_col: str = "text",
+    await_termination: bool = True,
+):
+    """Streaming inverted-index maintenance: each micro-batch of pages is
+    tokenized ON ITS OWN (the O(batch) property of
+    operators/ir.update_postings, driven by the streaming offset log) and
+    written to a postings store partitioned by ``batch_id`` with
+    dynamic-partition overwrite — foreachBatch is at-least-once, so a
+    replayed batch rewrites its own partition instead of appending
+    duplicate postings.  Re-crawled ids are resolved at READ time
+    (:func:`load_postings` keeps each doc's newest batch), the same
+    resolve-on-read shape as the signature store.
+    """
+    from pyspark.sql import functions as F
+
+    from pdf_to_epub_spark.operators import term_postings
+
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        fresh = term_postings(
+            batch_df.select(F.col(id_col), F.col(text_col)),
+            id_col=id_col,
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        if fresh.isEmpty():
+            return
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        fresh.write.mode("overwrite").partitionBy("batch_id").parquet(
+            postings_dir
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
+def load_postings(spark: SparkSession, postings_dir: str, id_col: str = "url"):
+    """Current view of the streamed postings store: for every doc keep
+    only its NEWEST batch's rows (a re-crawled page fully replaces its
+    old postings).  The latest-batch table is slim (one row per doc) and
+    joins back on (id, batch_id)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(postings_dir)
+    latest = df.groupBy(id_col).agg(F.max("batch_id").alias("batch_id"))
+    return df.join(latest, [id_col, "batch_id"]).select(
+        "term", id_col, "tf"
+    )

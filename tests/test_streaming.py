@@ -217,3 +217,57 @@ def test_streaming_near_dup_pairs(spark, tmp_path):
     replayed = spark.read.parquet(str(pairs_out))
     assert replayed.count() == day2_count
     assert {(r["id_a"], r["id_b"]) for r in replayed.collect()} == got
+
+
+def test_streaming_postings_maintenance(spark, tmp_path):
+    """Streamed inverted-index upkeep: day 1 indexes the seed corpus; day
+    2 adds new pages AND a re-crawl of an old url with changed text — the
+    loaded view must equal a from-scratch index over the logical corpus
+    (old minus re-crawled original, plus day 2).  Replaying day 2 (crash
+    between sink write and checkpoint commit) must not change the view."""
+    import pathlib
+
+    from pdf_to_epub_spark.operators import term_postings
+    from pdf_to_epub_spark.streaming import load_postings, streaming_postings
+
+    inp = tmp_path / "in"
+    store = tmp_path / "postings"
+    cp = tmp_path / "cp"
+    inp.mkdir()
+
+    rows = make_documents(8, seed=13)
+    _write_batch(inp, rows, "day1.parquet")
+    streaming_postings(spark, str(inp), str(store), str(cp))
+
+    # day 2: two new pages + a re-crawl of rows[0] with truncated text
+    new = make_documents(2, seed=14)
+    for n in new:
+        n["url"] = n["url"] + "-day2"
+    recrawl = dict(rows[0])
+    recrawl["text"] = " ".join(rows[0]["text"].split()[:20])
+    _write_batch(inp, new + [recrawl], "day2.parquet")
+    streaming_postings(spark, str(inp), str(store), str(cp))
+
+    logical = rows[1:] + new + [recrawl]
+    docs = spark.createDataFrame(
+        [(r["url"], r["text"]) for r in logical], ["url", "text"]
+    )
+    exp = {(r.term, r.url, r.tf)
+           for r in term_postings(docs, id_col="url").collect()}
+    got = {(r.term, r.url, r.tf)
+           for r in load_postings(spark, str(store)).collect()}
+    assert got == exp
+
+    # crash replay: drop the last checkpoint commit (and its .crc sibling)
+    commits = sorted(
+        p for p in (pathlib.Path(cp) / "commits").iterdir()
+        if not p.name.startswith(".")
+    )
+    commits[-1].unlink()
+    crc = commits[-1].parent / f".{commits[-1].name}.crc"
+    if crc.exists():
+        crc.unlink()
+    streaming_postings(spark, str(inp), str(store), str(cp))
+    got2 = {(r.term, r.url, r.tf)
+            for r in load_postings(spark, str(store)).collect()}
+    assert got2 == exp
