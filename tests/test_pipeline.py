@@ -256,3 +256,38 @@ def test_ingest_script_and_compression_gates(spark):
     n_script = result.audit["script_kept"].collect()[0][0]
     n_comp = result.audit["compression_kept"].collect()[0][0]
     assert n_script >= n_comp == result.audit["deduped"].collect()[0][0]
+
+
+def test_ingest_then_retrieve_end_to_end(spark):
+    """The full product loop: ingest (extract -> quality -> scrub ->
+    dedup -> split) then QUERY the resulting corpus — BM25 ranking,
+    boolean filtering, and KWIC snippets over the ingested text."""
+    from pdf_to_epub_spark.operators import (
+        bm25_topk,
+        boolean_search,
+        keyword_snippets,
+    )
+
+    rows = make_documents(10, seed=41)
+    result = ingest(
+        _pages(spark, rows),
+        min_words=20,
+        max_dup_line_char_ratio=1.0,
+        max_top_bigram_char_ratio=1.0,
+    )
+    corpus = result.corpus.select("url", "text").cache()
+    n = corpus.count()
+    assert n > 0
+
+    # every ingested doc contains prose with 'the'; ranking is total
+    hits = bm25_topk(corpus, ["the"], k=n + 5, id_col="url").collect()
+    assert len(hits) == n
+    scores = [r.score for r in hits]
+    assert scores == sorted(scores, reverse=True)
+
+    ids = {r.url for r in boolean_search(corpus, ["the"], id_col="url").collect()}
+    assert ids == {r.url for r in corpus.collect()}
+
+    sn = {r.url: r.snippet
+          for r in keyword_snippets(corpus, "the", id_col="url").collect()}
+    assert all(s is not None and "the" in s for s in sn.values())
