@@ -263,3 +263,37 @@ def test_approx_percentile_close_to_exact(spark):
     ).collect()[0].q
     for e, a in zip(exact, approx):
         assert abs(a - e) <= max(1.0, 0.01 * e), (exact, approx)
+
+
+# ------------------------------------------------ pathological HTML fuzz
+def test_html_structure_ops_pathological_pages(spark):
+    """Headings/tables extraction must degrade, not crash, on hostile
+    markup: unclosed elements, nested tables, megabyte attributes,
+    mismatched case, truncated bytes mid-tag, and binary junk."""
+    pages = spark.createDataFrame(
+        [
+            (1, b"<h1>unclosed heading <p>rest of page"),
+            (2, b"<table><tr><td><table><tr><td>inner</td></tr></table>"
+                b"</td></tr></table>"),
+            (3, ("<h2 " + "x" * 100_000 + ">big attr</h2>").encode()),
+            (4, b"<H3>MiXeD</h3><h4>trunc"),
+            (5, b"\xff\xfe\x00junk<table><tr><th>ok</th></tr></table>"),
+            (6, b"<h1></h1><table></table>"),  # empty element bodies
+        ],
+        ["doc_id", "html"],
+    )
+    h = {(r.doc_id, r.pos): (r.level, r.heading)
+         for r in extract_headings(pages).collect()}
+    # unclosed h1 never matches (no closing tag) — dropped, not crashed
+    assert not any(d == 1 for d, _ in h)
+    assert h[(3, 0)] == (2, "big attr")
+    assert h[(4, 0)] == (3, "MiXeD")
+    assert h[(6, 0)] == (1, "")
+    t = {(r.doc_id, r.table_id, r.row_id): r.cells
+         for r in extract_tables(pages).collect()}
+    # nested table: non-greedy match ends at the INNER close (documented)
+    assert t[(2, 0, 0)] == "inner"
+    # binary junk before the table does not poison the scan
+    assert t[(5, 0, 0)] == "ok"
+    # empty table yields no rows
+    assert not any(d == 6 for d, _, _ in t)
