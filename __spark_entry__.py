@@ -1067,6 +1067,40 @@ def _domain_pagerank_oracle() -> str:
     """
 
 
+def _hits_oracle() -> str:
+    """Pure-Python replay of hits_scores (5 L1-normalized Kleinberg
+    iterations) over the same static edge set as the PageRank oracle:
+    13 site domains each → {example.org, example.net, itself}."""
+    srcs = [f"site{r}.example" for r in range(13)]
+    edges = sorted(
+        {(s, d) for s in srcs for d in ("example.org", "example.net", s)}
+    )
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    hub = {v: 1.0 / n for v in nodes}
+    auth = {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        raw = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            raw[t] += hub[s]
+        tot = sum(raw[v] for v in nodes)
+        auth = {v: (raw[v] / tot if tot > 0 else 0.0) for v in nodes}
+        raw = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            raw[s] += auth[t]
+        tot = sum(raw[v] for v in nodes)
+        hub = {v: (raw[v] / tot if tot > 0 else 0.0) for v in nodes}
+    vals = ",\n            ".join(
+        f"('{v}', {round(hub[v], 9)!r}, {round(auth[v], 9)!r})" for v in nodes
+    )
+    return f"""
+        WITH golden(domain, hub, authority) AS (VALUES
+            {vals})
+        SELECT domain, hub::DOUBLE AS hub, authority::DOUBLE AS authority
+        FROM golden
+    """
+
+
 def _robots_fixture(d13: DataFrame) -> DataFrame:
     """Deterministic robots.txt table over the 13 site domains (input: a
     one-column ``r`` frame of the distinct doc_id%13 residues): r%3==0 has
@@ -2185,6 +2219,94 @@ def _q_resume_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pending_documents(d, done).select("doc_id")
 
 
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention triangle over the events table: users cohorted by
+    first-touch epoch day, distinct-active counts per (cohort, offset)
+    cell (operators/analytics.py).  Epoch-day arithmetic end to end — no
+    timezone dependence."""
+    from pdf_to_epub_spark.operators import cohort_retention
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return cohort_retention(e)
+
+
+def _q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup → view → purchase funnel walk per user: one HOF-aggregate
+    pass over each user's time-sorted events (operators/analytics.py);
+    the oracle replays the identical fixpoint as three chained
+    conditional-min CTEs."""
+    from pdf_to_epub_spark.operators import funnel_stages
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return funnel_stages(e)
+
+
+def _q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window training-example chunking (64-token windows, stride
+    48; operators/packing.py chunk_by_tokens) — zero-shuffle codegen;
+    the oracle replays starts/slices via generate_series + list_slice."""
+    from pdf_to_epub_spark.operators import chunk_by_tokens
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_by_tokens(d, size=64, stride=48)
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language stratified sample: ceil(n/5) smallest-hash rows
+    per stratum via the two-phase salted rank (operators/sampling.py
+    stratified_sample_exact); the oracle is the single-window form the
+    salted plan reconstructs exactly."""
+    from pdf_to_epub_spark.operators import stratified_sample_exact
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample_exact(d, num=1, den=5, strata_col="lang").select(
+        "doc_id", "lang"
+    )
+
+
+def _q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the same deterministic domain webgraph
+    as domain_pagerank (operators/urls.py hits_scores, 5 L1-normalized
+    iterations); the oracle is a pure-Python replay over the static edge
+    set."""
+    from pdf_to_epub_spark.operators import (
+        domain_graph,
+        extract_outlinks,
+        hits_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    pages = _link_pages(d)
+    return hits_scores(domain_graph(extract_outlinks(pages)), iterations=5)
+
+
+def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink/source round-trip (sources/jsonl.py), disk-free: docs →
+    to_json lines → from_json under the explicit schema.  The oracle
+    recomputes the payload md5/byte-length from documents directly, so
+    any serialization loss (escaping, nulls, field order) breaks the
+    hash; parsed_ok pins the PERMISSIVE corrupt column to all-clean."""
+    from pdf_to_epub_spark.sources.jsonl import (
+        parse_jsonl_lines,
+        to_jsonl_lines,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    back = parse_jsonl_lines(
+        to_jsonl_lines(d, ("doc_id", "text", "lang", "source"))
+    )
+    return back.select(
+        "doc_id",
+        F.md5(F.coalesce("text", F.lit(""))).alias("text_md5"),
+        F.octet_length(F.coalesce("text", F.lit("")))
+        .cast("long")
+        .alias("text_bytes"),
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.coalesce("source", F.lit("")).alias("source"),
+        F.col("_corrupt").isNull().alias("parsed_ok"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -2286,6 +2408,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_spans": _q_dup_ngram_spans,
         "masked_dup_spans": _q_masked_dup_spans,
         "media_features": _q_media_features,
+        # behavioral analytics / training-example shaping / graph (r4 s4)
+        "cohort_retention": _q_cohort_retention,
+        "funnel_stages": _q_funnel_stages,
+        "chunk_tokens": _q_chunk_tokens,
+        "stratified_sample": _q_stratified_sample,
+        "hits_scores": _q_hits_scores,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
     }
 
 
@@ -4478,4 +4607,103 @@ def oracle_sql() -> dict[str, str]:
         **(
             {"epub_export": e} if (e := _epub_export_oracle()) is not None else {}
         ),
+        "cohort_retention": """
+            WITH d AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+                FROM events),
+            c AS (
+                SELECT user_id, day,
+                       min(day) OVER (PARTITION BY user_id) AS cohort
+                FROM d)
+            SELECT cohort AS cohort_day,
+                   day - cohort AS day_offset,
+                   count(DISTINCT user_id) AS active_users
+            FROM c
+            GROUP BY 1, 2
+        """,
+        # chained conditional-min fixpoint == the Spark side's sorted-array
+        # walk: stage k is the min event time of its type STRICTLY after
+        # stage k-1 (see operators/analytics.py funnel_stages docstring)
+        "funnel_stages": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            s1 AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY 1),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'view' AND e.ts > s1.t1
+                GROUP BY e.user_id),
+            s3 AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                GROUP BY e.user_id)
+            SELECT u.user_id,
+                   (CASE WHEN t3 IS NOT NULL THEN 3
+                         WHEN t2 IS NOT NULL THEN 2
+                         WHEN t1 IS NOT NULL THEN 1
+                         ELSE 0 END)::INT AS stages_reached,
+                   epoch_us(t1) AS t1_us,
+                   epoch_us(t2) AS t2_us,
+                   epoch_us(t3) AS t3_us
+            FROM u
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
+        """,
+        "chunk_tokens": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents),
+            s AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       list_filter(
+                           generate_series(1, greatest(1, len(toks)), 48),
+                           s -> s = 1 OR s - 48 + 64 - 1 < len(toks)
+                       ) AS starts
+                FROM t),
+            e AS (
+                SELECT doc_id, toks, n, starts,
+                       unnest(generate_series(1, len(starts))) AS i
+                FROM s)
+            SELECT doc_id,
+                   (i - 1)::INT AS chunk_id,
+                   starts[i]::INT AS start_tok,
+                   least(64, n - starts[i] + 1)::INT AS n_toks,
+                   md5(array_to_string(
+                       list_slice(toks, starts[i], starts[i] + 63), ' '))
+                       AS chunk_md5
+            FROM e
+        """,
+        # single-window form of the two-phase salted rank (the salted plan
+        # reconstructs exactly this kept set); integer ceil, never float
+        "stratified_sample": """
+            WITH d AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)),
+                                       1, 15))::BIGINT AS h
+                FROM documents),
+            c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+            r AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY h ASC, doc_id ASC) AS rn
+                FROM d)
+            SELECT r.doc_id, r.lang
+            FROM r JOIN c USING (lang)
+            WHERE rn <= (n * 1 + 5 - 1) // 5
+        """,
+        "hits_scores": _hits_oracle(),
+        "jsonl_roundtrip": """
+            SELECT doc_id,
+                   md5(coalesce(text, '')) AS text_md5,
+                   strlen(coalesce(text, '')) AS text_bytes,
+                   coalesce(lang, '') AS lang,
+                   coalesce(source, '') AS source,
+                   TRUE AS parsed_ok
+            FROM documents
+        """,
     }

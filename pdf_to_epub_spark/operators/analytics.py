@@ -1,0 +1,139 @@
+"""Behavioral analytics over the events stream: cohort retention and
+funnel progression.
+
+Neither exists in the reference (a document-conversion pipeline), but a
+web-scale corpus engine is routinely pointed at its own telemetry — crawl
+events, ingest attempts, user interactions — and these two are the
+canonical event-table queries a warehouse migration would expect.  Both
+are expressed as plain DataFrame algebra (window + groupBy / HOF
+aggregate), fully DuckDB-oracle-replayable.
+
+Scale notes (100 TB events):
+
+* ``cohort_retention`` is one window keyed on the user plus one
+  map-side-combined groupBy on (cohort, offset) — the user shuffle is the
+  unavoidable one (first-touch attribution needs all of a user's rows
+  together); the rollup output is tiny (days x offsets).
+* ``funnel_stages`` shuffles each user's slim (ts, type) pairs once and
+  walks them with a codegen'd higher-order ``aggregate`` — no per-step
+  joins, no re-scan per funnel stage (a per-step chained-min join plan
+  would rescan the events table len(steps) times).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _epoch_day(ts: Column) -> Column:
+    """Timezone-proof epoch-day bucket (same idiom as hourly_rollup:
+    floor-epoch integer arithmetic, never date_trunc)."""
+    return F.floor(F.unix_timestamp(ts) / 86400).cast("long")
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Classic cohort-retention triangle: users are cohorted by the epoch
+    day of their first event; each (cohort_day, day_offset) cell counts
+    the distinct cohort users active that day.
+
+    Output: ``cohort_day`` (epoch days), ``day_offset`` (>= 0),
+    ``active_users``.
+    """
+    day = _epoch_day(F.col(ts_col)).alias("__day")
+    w = Window.partitionBy(user_col)
+    with_cohort = events.select(F.col(user_col), day).withColumn(
+        "__cohort", F.min("__day").over(w)
+    )
+    return (
+        with_cohort.groupBy(
+            F.col("__cohort").alias("cohort_day"),
+            (F.col("__day") - F.col("__cohort")).alias("day_offset"),
+        )
+        .agg(F.countDistinct(user_col).cast("long").alias("active_users"))
+    )
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("signup", "view", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user funnel walk: how far through ``steps`` did each user get,
+    and when did each stage first complete?
+
+    Semantics (chosen to be chained-min replayable in SQL): stage k's
+    timestamp is the minimum event time of type ``steps[k]`` STRICTLY
+    after stage k-1's timestamp (stage 0 is the unconditional minimum).
+    The walk over the time-sorted event array reaches exactly that
+    fixpoint, but in ONE pass: ``sort_array(collect_list(struct))`` per
+    user, then a higher-order ``aggregate`` whose accumulator carries
+    (stage, last_ts, times).  No per-stage join, no per-stage rescan.
+
+    Output: ``<user_col>``, ``stages_reached`` (0..len(steps)) and
+    ``t<k>_us`` epoch-microsecond timestamps (NULL when never reached).
+    """
+    n = len(steps)
+    evs = (
+        events.select(
+            F.col(user_col),
+            F.col(ts_col).alias("__ts"),
+            F.col(type_col).alias("__et"),
+        )
+        .groupBy(user_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__ts"), F.col("__et")))
+            ).alias("__evs")
+        )
+    )
+    init = F.struct(
+        F.lit(0).alias("stage"),
+        F.lit("1900-01-01 00:00:00").cast("timestamp").alias("last_ts"),
+        F.array().cast("array<timestamp>").alias("times"),
+    )
+
+    def _step_name(stage: Column) -> Column:
+        # steps[stage] without element_at (ANSI mode: index 0 / overflow
+        # must stay error-free inside the non-taken branch)
+        expr = F.lit(steps[-1])
+        for i in range(n - 2, -1, -1):
+            expr = F.when(stage == i, F.lit(steps[i])).otherwise(expr)
+        return expr
+
+    def _merge(acc: Column, e: Column) -> Column:
+        advance = (
+            (acc["stage"] < n)
+            & (e["__et"] == _step_name(acc["stage"]))
+            & (e["__ts"] > acc["last_ts"])
+        )
+        return F.when(
+            advance,
+            F.struct(
+                (acc["stage"] + 1).alias("stage"),
+                e["__ts"].alias("last_ts"),
+                F.concat(acc["times"], F.array(e["__ts"])).alias("times"),
+            ),
+        ).otherwise(acc)
+
+    walked = evs.select(
+        F.col(user_col),
+        F.aggregate(F.col("__evs"), init, _merge).alias("__w"),
+    )
+    cols = [
+        F.col(user_col),
+        F.col("__w.stage").cast("int").alias("stages_reached"),
+    ]
+    for k in range(n):
+        # F.get: 0-based, NULL (not an ANSI error) past the end
+        cols.append(
+            F.unix_micros(F.get(F.col("__w.times"), k)).alias(f"t{k + 1}_us")
+        )
+    return walked.select(*cols)

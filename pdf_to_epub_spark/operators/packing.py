@@ -108,6 +108,64 @@ def pack_sequences(
     )
 
 
+def chunk_by_tokens(
+    df: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking: split each document into overlapping
+    windows of ``size`` whitespace tokens advancing by ``stride`` — the
+    step that turns cleaned documents into fixed-length training examples
+    (the stride < size overlap preserves cross-boundary context).
+
+    Window-start contract (replayed verbatim by the SQL oracle): starts
+    are 1, 1+stride, 1+2*stride, ... and a start is kept only when it is
+    the first window or the PREVIOUS window did not already reach the last
+    token (``s - stride + size - 1 < n``) — so no emitted chunk is fully
+    contained in its predecessor, and every token is covered exactly
+    once past the overlap.  Chunk text is the space-rejoined token slice
+    (whitespace runs normalize to single spaces — the same contract the
+    tokenizer downstream sees).
+
+    Pure codegen column algebra: split → sequence → filter →
+    posexplode → slice.  ZERO shuffles — chunking parallelizes by input
+    split and never moves data, which is exactly what a 100 TB corpus
+    pass needs.  Output: ``(<id_col>, chunk_id, start_tok, n_toks,
+    chunk_md5)`` — the md5 stands in for the chunk text so the wide
+    column never rides further than this projection (select the slice
+    itself in a real export).
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("__toks")).withColumn(
+        "__n", F.size("__toks")
+    )
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.col("__n")), F.lit(stride)),
+        lambda s: (s == 1)
+        | (s - F.lit(stride) + F.lit(size) - 1 < F.col("__n")),
+    )
+    ex = base.select(
+        F.col(id_col),
+        "__toks",
+        "__n",
+        F.posexplode(starts).alias("chunk_id", "start_tok"),
+    )
+    chunk = F.array_join(F.slice(F.col("__toks"), F.col("start_tok"), size), " ")
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.least(F.lit(size), F.col("__n") - F.col("start_tok") + 1)
+        .cast("int")
+        .alias("n_toks"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
 def packed_sequence_stats(assignments: DataFrame, max_tokens: int) -> DataFrame:
     """Per-sequence utilization rollup of a :func:`pack_sequences` result:
     docs per sequence, filled tokens, fill ratio, overflow flag.  Pure

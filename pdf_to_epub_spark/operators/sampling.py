@@ -151,3 +151,69 @@ def domain_caps_exact(
         joined.where(F.coalesce(F.col("__off"), F.lit(0)) + F.col("__rn") <= cap)
         .drop("__h", "__s", "__rn", "__dom", "__os", "__off")
     )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    num: int = 1,
+    den: int = 5,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+    salt_bits: int = 4,
+) -> DataFrame:
+    """Exact proportional stratified sample: from every stratum keep
+    EXACTLY ``ceil(n_stratum * num / den)`` rows — the ones with the
+    smallest order hashes — deterministically and skew-safely.
+
+    The fraction is a RATIONAL (num/den), not a float: ``ceil(n * 0.07)``
+    style float products round up past exact integers (100 * 0.07 =
+    7.000000000000001), silently changing the kept count; integer
+    ``(n*num + den - 1) DIV den`` is exact for any n.
+
+    Same two-phase salted rank as :func:`domain_caps_exact` (hash-prefix
+    range buckets reconstruct the global per-stratum rank exactly, so a
+    hot stratum — and language strata ARE hot, half a corpus can be one
+    language — sorts across 2^salt_bits tasks instead of one).  The slim
+    (stratum, bucket, count) table is broadcast; per-stratum totals ride
+    the same rows.  When exactness is not required, a plain
+    ``hash_sample(df, frac)`` keeps every stratum at ~frac with zero
+    aggregation — use that first at 100 TB, this when the sample contract
+    is "exactly ceil" (e.g. a fixed-size eval slice per language)."""
+    if num <= 0 or den <= 0:
+        raise ValueError("num and den must be positive")
+    from pyspark.sql.window import Window
+
+    h = md5_hash60(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    bucketed = df.withColumn("__h", h).withColumn(
+        "__s", F.shiftright(F.col("__h"), 60 - salt_bits)
+    )
+    counts = bucketed.groupBy(strata_col, "__s").agg(F.count("*").alias("__n"))
+    off_w = (
+        Window.partitionBy(strata_col)
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot_w = Window.partitionBy(strata_col)
+    offsets = counts.select(
+        F.col(strata_col).alias("__st"),
+        F.col("__s").alias("__os"),
+        F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off"),
+        F.sum("__n").over(tot_w).alias("__tot"),
+    )
+    w = Window.partitionBy(strata_col, "__s").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    ranked = bucketed.withColumn("__rn", F.row_number().over(w))
+    joined = ranked.join(
+        F.broadcast(offsets),
+        F.col(strata_col).eqNullSafe(F.col("__st")) & (F.col("__s") == F.col("__os")),
+        "left",
+    )
+    target = F.expr(f"CAST((__tot * {num} + {den} - 1) DIV {den} AS BIGINT)")
+    return (
+        joined.where(
+            F.coalesce(F.col("__off"), F.lit(0)) + F.col("__rn") <= target
+        )
+        .drop("__h", "__s", "__rn", "__st", "__os", "__off", "__tot")
+    )

@@ -628,6 +628,95 @@ def domain_rank(
     return ranks.select("domain", F.round("rank", 9).alias("rank"))
 
 
+def hits_scores(
+    edges: DataFrame,
+    iterations: int = 5,
+    src_col: str = "src_domain",
+    dst_col: str = "dst_domain",
+) -> DataFrame:
+    """HITS hubs-and-authorities over the (deduplicated) domain edge
+    table — the complementary webgraph prior to :func:`domain_rank`
+    (PageRank rewards being linked; authority rewards being linked BY
+    GOOD HUBS, and hub scores surface the directory/aggregator domains a
+    crawl frontier should expand first).
+
+    Kleinberg's iteration, L1-normalized each half-step so the oracle can
+    replay it term-for-term: hub_0 = auth_0 = 1/N; auth'(v) = Σ hub(u)
+    over distinct in-edges then auth = auth'/Σauth'; hub'(u) = Σ auth(v)
+    over distinct out-edges then hub = hub'/Σhub'.  Fixed iteration
+    count; nodes with no in-edges (resp. out-edges) carry authority
+    (resp. hub) 0 after the first round.
+
+    Scale shape: per half-step one slim (domain, score) join onto the
+    edge list + one map-side-combined groupBy — identical movement to
+    PageRank; the normalizer is a 1-row aggregate broadcast back via
+    crossJoin (never collected).  Eager localCheckpoint per round keeps
+    the iterative lineage flat.  Returns (domain, hub, authority)
+    rounded to 9 dp."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("domain"))
+        .union(e.select(F.col("dst").alias("domain")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "domain",
+            F.lit(0.0).alias("hub"),
+            F.lit(0.0).alias("authority"),
+        )
+    scores = nodes.select(
+        "domain", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth")
+    ).localCheckpoint(eager=True)
+
+    def _half_step(
+        scores: DataFrame, from_col: str, to_col: str, score_col: str
+    ) -> DataFrame:
+        """Sum ``score_col`` over edges into ``to_col`` endpoints, then
+        L1-normalize; returns the slim (domain, new) table."""
+        raw = (
+            e.join(scores, e[from_col] == scores.domain)
+            .select(F.col(to_col).alias("domain"), F.col(score_col).alias("c"))
+            .groupBy("domain")
+            .agg(F.sum("c").alias("raw"))
+        )
+        full = nodes.join(raw, "domain", "left").select(
+            "domain", F.coalesce("raw", F.lit(0.0)).alias("raw")
+        )
+        total = full.agg(F.sum("raw").alias("__t"))
+        return full.crossJoin(F.broadcast(total)).select(
+            "domain",
+            F.when(F.col("__t") > 0, F.col("raw") / F.col("__t"))
+            .otherwise(F.lit(0.0))
+            .alias("new"),
+        )
+
+    for _ in range(iterations):
+        auth = _half_step(scores, "src", "dst", "hub").withColumnRenamed(
+            "new", "auth2"
+        )
+        hub = _half_step(auth.withColumnRenamed("auth2", "auth"), "dst", "src", "auth")
+        scores = (
+            auth.join(hub.withColumnRenamed("new", "hub2"), "domain")
+            .select(
+                "domain",
+                F.col("hub2").alias("hub"),
+                F.col("auth2").alias("auth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return scores.select(
+        "domain",
+        F.round("hub", 9).alias("hub"),
+        F.round("auth", 9).alias("authority"),
+    )
+
+
 def _strip_tags(col: Column) -> Column:
     """Inner text of an HTML fragment: tags → spaces, whitespace
     collapsed, trimmed (RE2-portable; the DuckDB oracle replays it)."""

@@ -1,0 +1,112 @@
+"""Unit tests for batch-2 r4-s4 operators: hash-feature classifier
+scores, range-frame rolling window, event-type pivot."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def _weight(token: str) -> float:
+    h = int(hashlib.md5(f"feat:{token}".encode()).hexdigest()[:15], 16)
+    return ((h % 1024) % 997) / 996.0 - 0.5
+
+
+def test_classifier_scores_replay(spark):
+    from pdf_to_epub_spark.operators import classifier_scores
+
+    texts = {
+        1: "Alpha beta GAMMA alpha",
+        2: "",
+        3: "1234 !!",  # no letter tokens at all
+        4: "caféé déjà vu",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    got = {r.doc_id: r for r in classifier_scores(df).collect()}
+    for doc_id, text in texts.items():
+        import re
+
+        toks = re.findall(r"[a-zà-öø-ÿ]+", text.lower())
+        s = 0.0
+        for t in toks:
+            s += _weight(t)
+        raw = s / max(1, len(toks))
+        prob = 1.0 / (1.0 + math.exp(-4.0 * raw))
+        r = got[doc_id]
+        assert r.n_feats == len(toks)
+        assert r.raw_score == round(raw, 6)
+        assert r.prob == round(prob, 6)
+        assert r.keep == (prob >= 0.5)
+
+
+def test_classifier_scores_no_shuffle(spark):
+    from pdf_to_epub_spark.operators import classifier_scores
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    plan = classifier_scores(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_event_rolling_trailing_hour(spark):
+    from pdf_to_epub_spark.operators import rolling_window
+
+    rows = [
+        # user 1: events at 0, 30, 59, 61 minutes; value = index
+        (0, 1, _ts(0), 10.0),
+        (1, 1, _ts(30), 20.0),
+        (2, 1, _ts(59), 30.0),
+        (3, 1, dt.datetime(2024, 1, 1, 1, 1), 40.0),
+        # user 2: single event
+        (4, 2, _ts(5), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id int, user_id int, ts timestamp, value double")
+    got = {r.event_id: r for r in rolling_window(df).collect()}
+    assert (got[0].roll_n, got[0].roll_sum) == (1, 10.0)
+    assert (got[1].roll_n, got[1].roll_sum) == (2, 30.0)
+    assert (got[2].roll_n, got[2].roll_sum) == (3, 60.0)
+    # at 61 min the event at minute 0 has fallen out of the trailing hour
+    # (60*60s window, inclusive bounds: 0:00 is 3660s earlier)
+    assert (got[3].roll_n, got[3].roll_sum) == (3, 90.0)
+    assert (got[4].roll_n, got[4].roll_avg) == (1, 5.0)
+
+
+def test_event_rolling_inclusive_boundary(spark):
+    from pdf_to_epub_spark.operators import rolling_window
+
+    rows = [
+        (0, 1, dt.datetime(2024, 1, 1, 0, 0, 0), 1.0),
+        # exactly 3600 s later: still inside the inclusive frame
+        (1, 1, dt.datetime(2024, 1, 1, 1, 0, 0), 2.0),
+        # 3601 s after event 0: event 0 out, event 1 in
+        (2, 1, dt.datetime(2024, 1, 1, 1, 0, 1), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id int, user_id int, ts timestamp, value double")
+    got = {r.event_id: r for r in rolling_window(df).collect()}
+    assert (got[1].roll_n, got[1].roll_sum) == (2, 3.0)
+    assert (got[2].roll_n, got[2].roll_sum) == (2, 6.0)
+
+
+def test_event_pivot_counts(spark):
+    from pdf_to_epub_spark.operators import pivot_counts
+
+    rows = [
+        (1, "click"), (1, "click"), (1, "purchase"),
+        (2, "view"),
+        (3, "weird_type"),  # not in the fixed vocabulary: total-only
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_type string")
+    got = {r.user_id: r for r in pivot_counts(df).collect()}
+    assert (got[1].n_click, got[1].n_purchase, got[1].n_view) == (2, 1, 0)
+    assert got[1].n_total == 3
+    assert (got[2].n_view, got[2].n_total) == (1, 1)
+    # unknown types count toward the total but no pivot column
+    assert got[3].n_total == 1
+    assert (got[3].n_click + got[3].n_error + got[3].n_purchase
+            + got[3].n_signup + got[3].n_view) == 0
