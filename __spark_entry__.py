@@ -2307,6 +2307,37 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier (operators/classify.py):
+    md5-bucket features, deterministic weights, sigmoid keep-probability —
+    zero-shuffle HOF scoring; the oracle replays hash, weights, and
+    summation order bit-for-bit."""
+    from pdf_to_epub_spark.operators import classifier_scores
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return classifier_scores(d)
+
+
+def _q_event_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour RANGE-frame rolling count/sum/avg per user
+    (operators/analytics.py rolling_window) — the burst-detection
+    primitive; epoch-second ordering, inclusive wall-clock bounds."""
+    from pdf_to_epub_spark.operators import rolling_window
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return rolling_window(e)
+
+
+def _q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type pivot with an explicit column vocabulary
+    (operators/analytics.py pivot_counts) — wide ML feature rows from
+    the event log, one map-side-combined shuffle."""
+    from pdf_to_epub_spark.operators import pivot_counts
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    return pivot_counts(e)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -2415,6 +2446,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "hits_scores": _q_hits_scores,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "classifier_scores": _q_classifier_scores,
+        "event_rolling": _q_event_rolling,
+        "event_pivot": _q_event_pivot,
     }
 
 
@@ -4705,5 +4739,50 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(source, '') AS source,
                    TRUE AS parsed_ok
             FROM documents
+        """,
+        # bit-for-bit replay of the hashed linear model: same md5-prefix
+        # bucket, same weight arithmetic, same left-to-right token-array
+        # summation order (list_sum == HOF aggregate order)
+        "classifier_scores": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-zà-öø-ÿ]+') AS ts
+                FROM documents),
+            f AS (
+                SELECT doc_id, len(ts) AS n,
+                       coalesce(list_sum(list_transform(ts, t ->
+                           ((('0x' || substr(md5('feat:' || t), 1, 15))::BIGINT
+                             % 1024) % 997) / 996.0 - 0.5)), 0.0) AS s
+                FROM toks)
+            SELECT doc_id,
+                   n::BIGINT AS n_feats,
+                   round(s / greatest(1, n), 6)::DOUBLE AS raw_score,
+                   round(1.0 / (1.0 + exp(-4.0 * (s / greatest(1, n)))), 6)::DOUBLE
+                       AS prob,
+                   (1.0 / (1.0 + exp(-4.0 * (s / greatest(1, n)))) >= 0.5)
+                       AS keep
+            FROM f
+        """,
+        "event_rolling": """
+            SELECT event_id, user_id,
+                   count(*) OVER w AS roll_n,
+                   round(sum(value) OVER w, 4)::DOUBLE AS roll_sum,
+                   round(avg(value) OVER w, 4)::DOUBLE AS roll_avg
+            FROM (SELECT event_id, user_id, value,
+                         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        """,
+        "event_pivot": """
+            SELECT user_id,
+                   CAST(sum((event_type = 'click')::BIGINT) AS BIGINT) AS n_click,
+                   CAST(sum((event_type = 'error')::BIGINT) AS BIGINT) AS n_error,
+                   CAST(sum((event_type = 'purchase')::BIGINT) AS BIGINT) AS n_purchase,
+                   CAST(sum((event_type = 'signup')::BIGINT) AS BIGINT) AS n_signup,
+                   CAST(sum((event_type = 'view')::BIGINT) AS BIGINT) AS n_view,
+                   count(*) AS n_total
+            FROM events
+            GROUP BY user_id
         """,
     }

@@ -137,3 +137,69 @@ def funnel_stages(
             F.unix_micros(F.get(F.col("__w.times"), k)).alias(f"t{k + 1}_us")
         )
     return walked.select(*cols)
+
+
+def rolling_window(
+    events: DataFrame,
+    window_seconds: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Trailing time-RANGE window per user: for every event, the count /
+    sum / avg of that user's events in the inclusive
+    ``[t - window_seconds, t]`` frame — the rate-limit / burst-detection
+    primitive (is this crawler hitting us 1000×/hour?).
+
+    A RANGE frame, not ROWS: equal-second peers all see the same frame,
+    and the bound is wall-clock, not row-count.  Ordering is the
+    truncated epoch second (the same timezone-proof idiom as
+    hourly_rollup), which both engines compute identically.
+
+    One shuffle on the user key; the frame scan is linear per user (sorted
+    within partition).  Output: ``(<id_col>, <user_col>, roll_n,
+    roll_sum, roll_avg)`` — floats rounded to 4 dp.
+    """
+    from pyspark.sql.window import Window
+
+    sec = F.unix_timestamp(F.col(ts_col)).cast("long")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(sec)
+        .rangeBetween(-window_seconds, 0)
+    )
+    return events.select(
+        F.col(id_col),
+        F.col(user_col),
+        F.count(F.lit(1)).over(w).cast("long").alias("roll_n"),
+        F.round(F.sum(value_col).over(w), 4).alias("roll_sum"),
+        F.round(F.avg(value_col).over(w), 4).alias("roll_avg"),
+    )
+
+
+def pivot_counts(
+    events: DataFrame,
+    values: tuple[str, ...] = ("click", "error", "purchase", "signup", "view"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Wide per-user activity profile: one count column per event type
+    (``n_<type>``) plus ``n_total`` — the pivot that turns an event log
+    into ML feature rows.
+
+    The pivot vocabulary is EXPLICIT: ``.pivot(col)`` without values
+    triggers a full distinct pre-scan AND makes the output schema
+    data-dependent — both disqualifying at 100 TB (and for the SQL
+    oracle, whose column list must be static).  Types outside the
+    vocabulary still count toward ``n_total``.  One map-side-combinable
+    shuffle on the user key."""
+    agg = [
+        F.sum(
+            (F.col(type_col) == v).cast("long")
+        ).alias(f"n_{v}")
+        for v in values
+    ]
+    return events.groupBy(user_col).agg(
+        *agg, F.count(F.lit(1)).cast("long").alias("n_total")
+    )

@@ -1,0 +1,83 @@
+"""Model-based quality filtering: a hashed-feature linear classifier
+scored entirely JVM-side.
+
+The production pattern (fastText-style quality models in CCNet/Dolma
+pipelines): tokens hash into a fixed feature space, a pretrained weight
+vector scores the mean feature weight, a sigmoid turns it into a keep
+probability.  Nothing here needs Python on the hot path — the hash is
+``md5``, the weight lookup is pure arithmetic on the bucket id, and the
+per-document sum is a higher-order ``aggregate`` over the materialized
+token array, so scoring is ZERO-shuffle and scales with input splits.
+
+The shipped weights are a deterministic function of the bucket id (a
+synthetic stand-in the DuckDB oracle replays bit-for-bit).  A real model
+drops in two ways without changing the plan shape: weights as a literal
+``CASE``/array lookup when the feature space is small, or a broadcast
+(bucket, weight) join when it isn't — either way the corpus table never
+shuffles.
+
+Float contract: the token array gives BOTH engines the same left-to-right
+summation order, so the raw score is bit-identical, and round(6) absorbs
+libm ulp drift in the sigmoid's ``exp``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pdf_to_epub_spark.operators.textstats import _tokens
+
+N_BUCKETS = 1024
+_WEIGHT_MOD = 997  # coprime to the bucket count: spreads weights
+
+
+def _bucket(tok: Column) -> Column:
+    """Feature bucket: 60-bit md5 of 'feat:<token>' mod N_BUCKETS (the
+    same hex-prefix hash idiom as operators.md5_hash60, inlined so it
+    stays valid inside a HOF lambda)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("feat:"), tok)), 1, 15), 16, 10
+    ).cast("long")
+    return h % N_BUCKETS
+
+
+def _weight(tok: Column) -> Column:
+    """Synthetic pretrained weight in [-0.5, 0.5] as a pure function of
+    the feature bucket."""
+    return ((_bucket(tok) % _WEIGHT_MOD) / F.lit(float(_WEIGHT_MOD - 1))) - 0.5
+
+
+def classifier_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score every document with the hashed linear model: raw score =
+    mean feature weight over letter tokens (repeats count — term
+    frequency IS the feature value), prob = sigmoid(4·raw), keep =
+    prob >= threshold.  Token-free documents score raw 0 / prob 0.5.
+
+    Output: ``(<id_col>, n_feats, raw_score, prob, keep)``; raw/prob
+    rounded to 6 dp.
+
+    The token array is materialized ONCE before the lambda (the 60×
+    re-tokenization trap: an array-producing expression inside a HOF
+    re-evaluates per element)."""
+    toks = docs.select(F.col(id_col), _tokens(text_col).alias("__toks"))
+    s = F.aggregate(
+        F.col("__toks"),
+        F.lit(0.0),
+        lambda acc, t: acc + _weight(t),
+    )
+    n = F.size("__toks")
+    raw = s / F.greatest(F.lit(1), n)
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-4.0) * raw))
+    return toks.select(
+        F.col(id_col),
+        n.cast("long").alias("n_feats"),
+        F.round(raw, 6).alias("raw_score"),
+        F.round(prob, 6).alias("prob"),
+        (prob >= threshold).alias("keep"),
+    )

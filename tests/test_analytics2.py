@@ -7,6 +7,8 @@ import datetime as dt
 import hashlib
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -41,8 +43,9 @@ def test_classifier_scores_replay(spark):
         prob = 1.0 / (1.0 + math.exp(-4.0 * raw))
         r = got[doc_id]
         assert r.n_feats == len(toks)
-        assert r.raw_score == round(raw, 6)
-        assert r.prob == round(prob, 6)
+        # approx, not ==: Spark rounds HALF_UP, Python banker's
+        assert r.raw_score == pytest.approx(raw, abs=1e-6)
+        assert r.prob == pytest.approx(prob, abs=1e-6)
         assert r.keep == (prob >= 0.5)
 
 
