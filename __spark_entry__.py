@@ -2338,6 +2338,34 @@ def _q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivot_counts(e)
 
 
+def _q_snapshot_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set-ops between two corpus snapshots (EXCEPT ALL /
+    INTERSECT ALL — the §2.7 surface): snapshot A carries intentional
+    duplicates (docs divisible by 7 appear twice) so the ALL-multiplicity
+    semantics are actually exercised, not just the distinct special
+    case.  Spark's exceptAll/intersectAll compile to count-aggregated
+    generate plans — one shuffle per operand, no row explosion."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    a = d.where(F.col("doc_id") % 3 != 0).unionAll(
+        d.where(F.col("doc_id") % 7 == 0)
+    )
+    b = d.where(F.col("doc_id") % 2 == 0)
+    return (
+        a.exceptAll(b)
+        .select(F.lit("a_minus_b").alias("op"), "doc_id", "lang")
+        .unionAll(
+            b.exceptAll(a).select(
+                F.lit("b_minus_a").alias("op"), "doc_id", "lang"
+            )
+        )
+        .unionAll(
+            a.intersectAll(b).select(
+                F.lit("common").alias("op"), "doc_id", "lang"
+            )
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -2449,6 +2477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_scores": _q_classifier_scores,
         "event_rolling": _q_event_rolling,
         "event_pivot": _q_event_pivot,
+        "snapshot_set_ops": _q_snapshot_set_ops,
     }
 
 
@@ -4773,6 +4802,21 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WINDOW w AS (PARTITION BY user_id ORDER BY sec
                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        """,
+        "snapshot_set_ops": """
+            WITH a AS (
+                SELECT doc_id, lang FROM documents WHERE doc_id % 3 != 0
+                UNION ALL
+                SELECT doc_id, lang FROM documents WHERE doc_id % 7 = 0),
+            b AS (SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0)
+            SELECT 'a_minus_b' AS op, doc_id, lang
+            FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+            UNION ALL
+            SELECT 'b_minus_a' AS op, doc_id, lang
+            FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a)
+            UNION ALL
+            SELECT 'common' AS op, doc_id, lang
+            FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
         """,
         "event_pivot": """
             SELECT user_id,

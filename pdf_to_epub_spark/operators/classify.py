@@ -66,6 +66,19 @@ def classifier_scores(
     re-tokenization trap: an array-producing expression inside a HOF
     re-evaluates per element)."""
     toks = docs.select(F.col(id_col), _tokens(text_col).alias("__toks"))
+    n, raw, prob = _score_cols()
+    return toks.select(
+        F.col(id_col),
+        n.cast("long").alias("n_feats"),
+        F.round(raw, 6).alias("raw_score"),
+        F.round(prob, 6).alias("prob"),
+        (prob >= threshold).alias("keep"),
+    )
+
+
+def _score_cols() -> tuple[Column, Column, Column]:
+    """(n_tokens, raw_score, prob) over a materialized ``__toks`` array
+    column."""
     s = F.aggregate(
         F.col("__toks"),
         F.lit(0.0),
@@ -74,10 +87,22 @@ def classifier_scores(
     n = F.size("__toks")
     raw = s / F.greatest(F.lit(1), n)
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-4.0) * raw))
-    return toks.select(
-        F.col(id_col),
-        n.cast("long").alias("n_feats"),
-        F.round(raw, 6).alias("raw_score"),
-        F.round(prob, 6).alias("prob"),
-        (prob >= threshold).alias("keep"),
+    return n, raw, prob
+
+
+def classifier_gate(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Filter form of :func:`classifier_scores` for pipeline wiring:
+    keeps every input column, drops rows whose keep-probability is below
+    ``threshold``.  Computed in-row (no groupBy, no join-back — a
+    score-then-join plan would re-run the upstream subtree), so it
+    composes into an ingest chain as one more narrow filter."""
+    _, _, prob = _score_cols()
+    return (
+        docs.withColumn("__toks", _tokens(text_col))
+        .where(prob >= threshold)
+        .drop("__toks")
     )

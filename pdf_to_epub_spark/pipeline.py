@@ -70,6 +70,7 @@ def ingest(
     robots_txt: DataFrame | None = None,
     blocked_domains: DataFrame | None = None,
     allowed_scripts: tuple[str, ...] | None = None,
+    min_classifier_prob: float | None = None,
     min_compression_ratio: float | None = None,
 ) -> IngestResult:
     """Run the full pipeline; returns the cleaned, deduplicated, split
@@ -170,6 +171,15 @@ def ingest(
             .select("url", "text")
         )
         audit["script_kept"] = kept.groupBy().count()
+
+    if min_classifier_prob is not None:
+        # model-based quality gate (hashed linear classifier): pure
+        # codegen like the script gate, so it also runs BEFORE the zlib
+        # Python boundary; in-row filter, no join-back
+        from pdf_to_epub_spark.operators import classifier_gate
+
+        kept = classifier_gate(kept, threshold=min_classifier_prob)
+        audit["classifier_kept"] = kept.groupBy().count()
 
     if min_compression_ratio is not None:
         # zlib repetition gate: ratios BELOW the floor are repetitive

@@ -258,6 +258,42 @@ def test_ingest_script_and_compression_gates(spark):
     assert n_script >= n_comp == result.audit["deduped"].collect()[0][0]
 
 
+def test_ingest_classifier_gate(spark):
+    import hashlib
+    import itertools
+    import string
+
+    def weight(tok: str) -> float:
+        h = int(hashlib.md5(f"feat:{tok}".encode()).hexdigest()[:15], 16)
+        return ((h % 1024) % 997) / 996.0 - 0.5
+
+    # craft a junk doc from tokens the model weights most negatively
+    bad_toks = [
+        "".join(p)
+        for p in itertools.product(string.ascii_lowercase, repeat=2)
+        if weight("".join(p)) < -0.45
+    ]
+    assert len(bad_toks) >= 5
+    rows = make_documents(10, seed=44)
+    junk = dict(rows[0])
+    junk["url"] = "doc://model-junk"
+    junk["text"] = " ".join(bad_toks * (60 // len(bad_toks) + 1))
+    pages = _pages(spark, rows + [junk])
+
+    result = ingest(
+        pages,
+        min_words=20,
+        max_dup_line_char_ratio=1.0,
+        max_top_bigram_char_ratio=1.0,
+        min_classifier_prob=0.4,
+    )
+    urls = {r["url"] for r in result.corpus.select("url").collect()}
+    assert "doc://model-junk" not in urls
+    assert urls  # ordinary prose (mean weight ~0 -> prob ~0.5) survives
+    n_cls = result.audit["classifier_kept"].collect()[0][0]
+    assert n_cls == len(urls) >= 1
+
+
 def test_ingest_then_retrieve_end_to_end(spark):
     """The full product loop: ingest (extract -> quality -> scrub ->
     dedup -> split) then QUERY the resulting corpus — BM25 ranking,
