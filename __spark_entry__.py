@@ -2338,6 +2338,61 @@ def _q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivot_counts(e)
 
 
+def _q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase joined as-of to the same
+    user's most recent click at-or-before purchase time, attributed only
+    within a 24 h lookback.  Reuses the union-sort-window as-of operator
+    (operators/asof.py) on a second domain; the oracle uses DuckDB's
+    native ASOF JOIN plus the same window postfilter."""
+    from pdf_to_epub_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        # dedupe per (user, ts): deterministic pick on timestamp ties
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.min("event_id").alias("click_id"))
+    )
+    joined = asof_join(
+        purchases, clicks,
+        key_left="user_id", key_right="user_id",
+        time_left="ts", time_right="click_ts",
+        value_cols=["click_id", "click_ts"],
+    )
+    # parquet timestamps read as NTZ; cast to LTZ (UTC session) for
+    # unix_micros — same coercion funnel_stages' array cast performs
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("click_ts").cast("timestamp")
+    )
+    within = F.col("click_ts").isNotNull() & (gap <= 86_400_000_000)
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(within, F.col("click_id")).alias("click_id"),
+        F.when(within, gap).alias("gap_us"),
+    )
+
+
+def _q_compact_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSM-style index compaction (operators/ir.py compact_postings):
+    segment 0 = full-corpus postings, segment 1 = a recrawl of every
+    5th doc with the last word dropped; compaction must keep exactly the
+    newest segment per document — one doc-keyed window, no join-back."""
+    from pdf_to_epub_spark.operators import compact_postings, term_postings
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seg0 = term_postings(d).withColumn("segment", F.lit(0))
+    recrawled = d.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.regexp_replace("text", r"\s+\S+\s*$", "").alias("text"),
+    )
+    seg1 = term_postings(recrawled).withColumn("segment", F.lit(1))
+    return compact_postings(seg0.unionByName(seg1))
+
+
 def _q_snapshot_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiset set-ops between two corpus snapshots (EXCEPT ALL /
     INTERSECT ALL — the §2.7 surface): snapshot A carries intentional
@@ -2478,6 +2533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rolling": _q_event_rolling,
         "event_pivot": _q_event_pivot,
         "snapshot_set_ops": _q_snapshot_set_ops,
+        "click_attribution": _q_click_attribution,
+        "compact_postings": _q_compact_postings,
     }
 
 
@@ -4802,6 +4859,50 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WINDOW w AS (PARTITION BY user_id ORDER BY sec
                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        """,
+        "click_attribution": """
+            WITH p AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'),
+            c AS (
+                SELECT user_id, ts AS click_ts, min(event_id) AS click_id
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id, ts)
+            SELECT p.event_id, p.user_id,
+                   CASE WHEN c.click_ts IS NOT NULL
+                             AND epoch_us(p.ts) - epoch_us(c.click_ts)
+                                 <= 86400000000
+                        THEN c.click_id END AS click_id,
+                   CASE WHEN c.click_ts IS NOT NULL
+                             AND epoch_us(p.ts) - epoch_us(c.click_ts)
+                                 <= 86400000000
+                        THEN epoch_us(p.ts) - epoch_us(c.click_ts)
+                        END AS gap_us
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND c.click_ts <= p.ts
+        """,
+        "compact_postings": """
+            WITH src AS (
+                SELECT doc_id, text, 0 AS segment FROM documents
+                UNION ALL
+                SELECT doc_id,
+                       regexp_replace(text, '\\s+\\S+\\s*$', '') AS text,
+                       1 AS segment
+                FROM documents WHERE doc_id % 5 = 0),
+            post AS (
+                SELECT term, doc_id, count(*)::INT AS tf, segment
+                FROM (SELECT doc_id, segment,
+                             unnest(regexp_extract_all(lower(text),
+                                                       '[a-zà-öø-ÿ]+')) AS term
+                      FROM src)
+                GROUP BY term, doc_id, segment)
+            SELECT term, doc_id, tf
+            FROM post
+            -- mirror the operator: winner = max segment among rows that
+            -- EXIST (a recrawl yielding zero postings leaves the old
+            -- segment in place; deletions need update_postings'
+            -- deleted_ids, not compaction)
+            QUALIFY segment = max(segment) OVER (PARTITION BY doc_id)
         """,
         "snapshot_set_ops": """
             WITH a AS (

@@ -409,6 +409,35 @@ def update_postings(
     return kept.unionByName(fresh)
 
 
+def compact_postings(
+    segments: DataFrame,
+    id_col: str = "doc_id",
+    seg_col: str = "segment",
+) -> DataFrame:
+    """Merge a segmented inverted index into one segment: a document
+    appearing in segment *s* means *s* holds that document's COMPLETE
+    postings (the :func:`update_postings` replace contract), so
+    compaction keeps, per document, only the rows of its newest segment.
+
+    The read-side resolve-on-read does this per query; compaction
+    materializes it once so queries stop paying it — the LSM-style
+    background merge every incremental index needs.
+
+    One window (max(segment) over the doc partition) — a single shuffle
+    on the doc key, NO join-back (a max-agg + join plan would re-scan
+    the postings subtree twice).  Doc-keyed partitioning also means a
+    posting store bucketed by doc_id compacts with zero exchanges.
+    Output: the input columns minus ``seg_col``."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col)
+    return (
+        segments.withColumn("__max_seg", F.max(seg_col).over(w))
+        .where(F.col(seg_col) == F.col("__max_seg"))
+        .drop("__max_seg", seg_col)
+    )
+
+
 def keyword_snippets(
     docs: DataFrame,
     term: str,
