@@ -618,6 +618,46 @@ def _q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_template_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain chrome removal (operators/dedup.py
+    `strip_template_lines`): deterministic site chrome is injected ahead
+    of each document's prose — a copyright banner on every page of the
+    domain (100 % → stripped), a cookie notice on 13/25 pages (52 % —
+    crosses the ≥50 % threshold exactly), and a promo line on 5/25 pages
+    (20 % — kept, even though the SAME literal line appears on every
+    domain: the frequency test is domain-scoped).  The oracle replays the
+    injection, the distinct-doc frequency test, and the reassembly."""
+    from pdf_to_epub_spark.operators import strip_template_lines
+
+    d = _t(spark, sf_dir, "documents")
+    j = F.floor(F.col("doc_id") / 20)
+    banner = F.concat(
+        F.lit("(c) "), F.col("source"), F.lit(" - all rights reserved\n")
+    )
+    cookie = F.when(
+        j % 2 == 0,
+        F.concat(F.lit("We use cookies on "), F.col("source"), F.lit("\n")),
+    ).otherwise(F.lit(""))
+    promo = F.when(
+        j % 5 == 0, F.lit("Limited promo - subscribe today\n")
+    ).otherwise(F.lit(""))
+    mutated = d.select(
+        "doc_id",
+        "source",
+        F.concat(banner, cookie, promo, F.coalesce("text", F.lit(""))).alias(
+            "text"
+        ),
+    )
+    out = strip_template_lines(mutated)
+    return out.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("text_md5"),
+        "n_lines",
+        "n_removed",
+    )
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over documents with deterministic injected PII (email
     per doc, IPv4 per doc, phone on every third doc) so the scrubber has
@@ -2535,6 +2575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_set_ops": _q_snapshot_set_ops,
         "click_attribution": _q_click_attribution,
         "compact_postings": _q_compact_postings,
+        "template_strip": _q_template_strip,
     }
 
 
@@ -4903,6 +4944,48 @@ def oracle_sql() -> dict[str, str]:
             -- segment in place; deletions need update_postings'
             -- deleted_ids, not compaction)
             QUALIFY segment = max(segment) OVER (PARTITION BY doc_id)
+        """,
+        "template_strip": """
+            WITH mutated AS (
+                SELECT doc_id, source,
+                       '(c) ' || source || ' - all rights reserved' || chr(10) ||
+                       CASE WHEN (doc_id // 20) % 2 = 0
+                            THEN 'We use cookies on ' || source || chr(10)
+                            ELSE '' END ||
+                       CASE WHEN (doc_id // 20) % 5 = 0
+                            THEN 'Limited promo - subscribe today' || chr(10)
+                            ELSE '' END ||
+                       coalesce(text, '') AS text
+                FROM documents
+            ), lines AS (
+                SELECT doc_id, source, u.pos, u.ln FROM (
+                    SELECT doc_id, source,
+                           string_split(text, chr(10)) AS lst FROM mutated
+                ), UNNEST(list_transform(generate_series(1, len(lst)),
+                                         j -> {'pos': j - 1, 'ln': lst[j]})) AS t(u)
+            ), gd AS (
+                SELECT source, count(DISTINCT doc_id) AS gdocs
+                FROM mutated GROUP BY source
+            ), tpl AS (
+                SELECT d.source, d.ln
+                FROM (SELECT DISTINCT source, ln, doc_id FROM lines
+                      WHERE regexp_matches(ln, '[^ \\t\\r]')) d
+                JOIN gd USING (source)
+                GROUP BY d.source, d.ln, gd.gdocs
+                HAVING gd.gdocs >= 3 AND count(*) * 2 >= gd.gdocs
+            ), marked AS (
+                SELECT l.doc_id, l.source, l.pos, l.ln,
+                       (t.ln IS NOT NULL) AS is_tpl
+                FROM lines l
+                LEFT JOIN tpl t ON t.source = l.source AND t.ln = l.ln
+            )
+            SELECT doc_id, source,
+                   md5(coalesce(string_agg(ln, chr(10) ORDER BY pos)
+                                FILTER (WHERE NOT is_tpl), '')) AS text_md5,
+                   count(*)::BIGINT AS n_lines,
+                   coalesce(sum(CASE WHEN is_tpl THEN 1 ELSE 0 END),
+                            0)::BIGINT AS n_removed
+            FROM marked GROUP BY doc_id, source
         """,
         "snapshot_set_ops": """
             WITH a AS (

@@ -1232,3 +1232,103 @@ def dedup_paragraphs(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Domain-scoped template (chrome) removal
+# --------------------------------------------------------------------------
+
+
+def strip_template_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    min_docs: int = 3,
+    frac_num: int = 1,
+    frac_den: int = 2,
+) -> DataFrame:
+    """Per-domain boilerplate ("chrome") removal: a non-blank line that
+    appears in at least ``frac_num/frac_den`` of a domain's documents
+    (domains with ≥ ``min_docs`` docs) is site template — nav, cookie
+    banner, copyright footer — and is removed from EVERY document of that
+    domain.  Blank lines always pass through.  Complements
+    :func:`dedup_lines_global` (which keeps the first occurrence of a
+    repeated line corpus-wide): template stripping keeps *no* occurrence,
+    and its frequency test is scoped to the site, which is how crawl
+    pipelines actually separate chrome from quoted-across-sites content.
+
+    Returns ``(id, group, text, n_lines, n_removed)`` with the rebuilt
+    text.
+
+    Scale shape — deliberately NOT the single-pass window form: a window
+    keyed ``(domain, line)`` would funnel every copy of a mega-site's
+    chrome line through one reducer (occurrences = pages-in-domain, 1e8+
+    for a large crawl domain).  Instead the frequency branch aggregates
+    twice over SLIM projections — ``(domain, line, doc)`` distinct (map-
+    side combined, so per-task duplicates die before the wire), then
+    ``(domain, line)`` counts — and only the filtered template table
+    (chrome lines are few per domain) is broadcast back onto the line
+    stream.  The rebuild side therefore never shuffles line text at all
+    except by document id, which is bounded by document size.  The
+    documents scan runs twice (the groupBy+join-back double-scan noted in
+    PLANS.md) — at web scale two narrow columnar scans are far cheaper
+    than one skew-prone wide exchange.
+
+    The threshold compares in exact integer arithmetic
+    (``ndocs·den ≥ num·gdocs``) — no float ``ceil`` boundary drift (see
+    :func:`_ceil_mul`).  Determinism: output is a pure function of the
+    corpus, independent of partitioning.
+    """
+    lines = df.select(
+        F.col(group_col).alias("__grp"),
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "ln"),
+    )
+    nonblank = lines.where(F.col("ln").rlike("[^ \t\r]"))
+
+    gdocs = df.groupBy(F.col(group_col).alias("__grp")).agg(
+        F.countDistinct(F.col(id_col)).alias("__gdocs")
+    )
+    templates = (
+        nonblank.select("__grp", "ln", "__id")
+        .distinct()  # (domain, line, doc) — map-side combined partial agg
+        .groupBy("__grp", "ln")
+        .agg(F.count("*").alias("__ndocs"))
+        .join(F.broadcast(gdocs), "__grp")
+        .where(
+            (F.col("__gdocs") >= F.lit(min_docs))
+            & (F.col("__ndocs") * F.lit(frac_den) >= F.lit(frac_num) * F.col("__gdocs"))
+        )
+        .select("__grp", "ln", F.lit(True).alias("__tpl"))
+    )
+
+    marked = lines.join(F.broadcast(templates), ["__grp", "ln"], "left")
+    is_tpl = F.coalesce(F.col("__tpl"), F.lit(False))
+    return (
+        marked.groupBy("__id", "__grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~is_tpl, F.struct("pos", "ln"))
+                        )
+                    ),
+                    lambda s: s["ln"],
+                ),
+                "\n",
+            ).alias("text"),
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(is_tpl.cast("long")).alias("n_removed"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__grp").alias(group_col),
+            "text",
+            "n_lines",
+            "n_removed",
+        )
+    )

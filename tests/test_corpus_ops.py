@@ -297,3 +297,67 @@ def test_html_structure_ops_pathological_pages(spark):
     assert t[(5, 0, 0)] == "ok"
     # empty table yields no rows
     assert not any(d == 6 for d, _, _ in t)
+
+
+# ------------------------------------------------- template (chrome) strip
+def test_strip_template_lines_threshold(spark):
+    from pdf_to_epub_spark.operators import strip_template_lines
+
+    # domain a: 4 docs — banner on all 4 (template at 1/2), cookie on 2/4
+    # (exactly the >= boundary), promo on 1/4 (kept)
+    rows = []
+    for i in range(4):
+        t = "BANNER\n"
+        if i % 2 == 0:
+            t += "COOKIE\n"
+        if i == 0:
+            t += "PROMO\n"
+        t += f"body {i}\n\nshared closing"
+        rows.append((i, "a", t))
+    # domain b: only 2 docs (< min_docs=3) — nothing stripped even though
+    # BANNER appears on both
+    rows += [(10, "b", "BANNER\nunique ten"), (11, "b", "BANNER\nunique eleven")]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r.doc_id: r for r in strip_template_lines(df).collect()}
+
+    # BANNER (4/4) and COOKIE (2/4) stripped; PROMO (1/4) kept; the
+    # 'shared closing' line (4/4) is also template
+    assert out[0].text == "PROMO\nbody 0\n"
+    assert out[1].text == "body 1\n"
+    assert out[0].n_removed == 3  # banner, cookie, shared closing
+    assert out[1].n_removed == 2  # banner, shared closing
+    assert out[2].n_removed == 3
+    # the blank line survives as the trailing empty element
+    assert out[1].text.endswith("body 1\n")
+    assert out[1].n_lines == 4
+    # small domain: untouched
+    assert out[10].text == "BANNER\nunique ten"
+    assert out[10].n_removed == 0
+
+
+def test_strip_template_lines_null_and_empty(spark):
+    from pdf_to_epub_spark.operators import strip_template_lines
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", ""), (3, "a", "x")],
+        "doc_id long, source string, text string",
+    )
+    out = {r.doc_id: r for r in strip_template_lines(df).collect()}
+    assert out[1].text == "" and out[1].n_lines == 1 and out[1].n_removed == 0
+    assert out[2].text == ""
+    assert out[3].text == "x"
+
+
+def test_strip_template_lines_no_value_keyed_wide_exchange(spark):
+    """The line-value shuffle only ever carries the SLIM distinct
+    projection; the rebuild side must not hash-exchange on the line."""
+    from pdf_to_epub_spark.operators import strip_template_lines
+
+    df = spark.createDataFrame(
+        [(1, "a", "x\ny"), (2, "a", "x\nz"), (3, "a", "x\nw")],
+        ["doc_id", "source", "text"],
+    )
+    plan = strip_template_lines(df)._jdf.queryExecution().executedPlan().toString()
+    # template table reaches the line stream via broadcast, not shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
