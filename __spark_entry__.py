@@ -2232,6 +2232,21 @@ def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, q, k=10, n_centroids=16, nprobe=10)
 
 
+def _q_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's iteration profile (similarity.kmeans_step):
+    full-corpus nearest-centroid assignment against the deterministic
+    sample-trained quantizer, then the per-cluster update — member count,
+    inertia (mean member distance), and centroid shift.  The oracle
+    replays the seeding in Python (the _ivf_topk_oracle pattern) and the
+    assignment/update relationally."""
+    from pdf_to_epub_spark.operators import kmeans_step
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return kmeans_step(e, n_centroids=16)
+
+
 def _q_quarantine_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-isolation surface, oracled: documents are inflated ×50 and
     extracted under a 100k-char cap — oversized docs must become
@@ -2576,6 +2591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_attribution": _q_click_attribution,
         "compact_postings": _q_compact_postings,
         "template_strip": _q_template_strip,
+        "kmeans_profile": _q_kmeans_profile,
     }
 
 
@@ -2885,6 +2901,73 @@ def _ivf_topk_oracle(
             FROM scored)
         SELECT query_id, vec_id, round(raw, 6) AS score, rank
         FROM ranked WHERE rank <= {k}
+    """
+
+
+def _kmeans_profile_oracle(
+    n_centroids: int = 16, sample_size: int = 512, seed: int = 5
+) -> str | None:
+    """DuckDB replica of the Lloyd's-step profile: seed centroids replayed
+    in Python over the same hash-spread sample (see _ivf_topk_oracle),
+    assignment by list_distance argmin, update/inertia recomputed
+    relationally (component explode via the generate_series trick)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from pdf_to_epub_spark.operators.similarity import _kmeans_centroids
+
+    cent_rows: list[str] = []
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        path = pathlib.Path(sf_dir) / "embeddings.parquet"
+        if not path.exists():
+            return None
+        t = pq.read_table(path, columns=["vec_id", "embedding"])
+        by_id = sorted(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+        spread = sorted(
+            by_id,
+            key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]),
+        )
+        sample = [[float(x) for x in v] for _, v in spread[:sample_size]]
+        key = round(float(by_id[0][1][0]), 6)
+        for cid, c in enumerate(_kmeans_centroids(sample, n_centroids, seed=seed)):
+            cent_rows.append(f"({key!r}, {cid}, {_vec_lit(c)})")
+    vals = ",\n            ".join(cent_rows)
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents(corpus_key, cid, c) AS (VALUES
+            {vals}),
+        acts AS (
+            SELECT cid, c FROM cents
+            WHERE abs(corpus_key - (
+                SELECT round((embedding::DOUBLE[])[1], 6)
+                FROM embeddings WHERE vec_id = 0)) < 1e-9),
+        cell AS (
+            SELECT vec_id, v, cid, d FROM (
+                SELECT e.vec_id, e.v, a.cid, list_distance(e.v, a.c) AS d,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_distance(e.v, a.c), a.cid) AS rn
+                FROM e CROSS JOIN acts a)
+            WHERE rn = 1),
+        stats AS (
+            SELECT cid, count(*)::BIGINT AS n_points, avg(d) AS mean_dist
+            FROM cell GROUP BY cid),
+        comp AS (
+            SELECT cid, u.j, avg(u.val) AS m
+            FROM cell,
+                 UNNEST(list_transform(generate_series(1, len(v)),
+                                       j -> {{'j': j, 'val': v[j]}})) AS t(u)
+            GROUP BY cid, u.j),
+        shifts AS (
+            SELECT comp.cid,
+                   sqrt(sum((comp.m - a.c[comp.j]) * (comp.m - a.c[comp.j])))
+                       AS shift
+            FROM comp JOIN acts a USING (cid)
+            GROUP BY comp.cid)
+        SELECT s.cid AS cluster_id, s.n_points,
+               round(s.mean_dist, 6) AS mean_dist,
+               round(sh.shift, 6) AS shift
+        FROM stats s JOIN shifts sh USING (cid)
     """
 
 
@@ -4762,6 +4845,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": _lsh_topk_oracle(),
         **(
             {"ann_topk_ivf": o} if (o := _ivf_topk_oracle()) is not None else {}
+        ),
+        **(
+            {"kmeans_profile": o}
+            if (o := _kmeans_profile_oracle()) is not None
+            else {}
         ),
         # EPUB final-artifact golden: pure-Python replay of extraction →
         # assembly → byte-deterministic EPUB3 zip, md5 per url.

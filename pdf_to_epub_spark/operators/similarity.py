@@ -285,6 +285,93 @@ def ivf_topk(
     )
 
 
+def kmeans_step(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    sample_size: int = 512,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One distributed Lloyd's iteration over the FULL corpus: assign every
+    vector to its nearest coarse centroid (the IVF quantizer trained by
+    :func:`_kmeans_centroids` on the deterministic hash-spread sample), then
+    compute the per-cluster update — exactly the map/reduce shape an
+    embedding-clustering job runs at scale, where the sample-trained seed
+    centroids are refined by full passes.
+
+    Returns one row per NON-EMPTY cluster:
+    ``(cluster_id, n_points, mean_dist, shift)`` — member count, mean L2
+    distance of members to the old centroid (per-cluster inertia), and the
+    L2 distance the centroid moves after averaging its members (the Lloyd
+    update; convergence is ``max(shift) → 0``).
+
+    Scale shape: centroids ride into the executors as literals (k·dim
+    floats — no join, no shuffle for assignment); the only exchange is the
+    k-row groupBy, whose partials are map-side combined (count + dim
+    component sums per cluster per task).  Floats are rounded to 6 dp so
+    the result is engine-reproducible."""
+    sample = [
+        [float(x) for x in r[vec_col]]
+        for r in corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    ]
+    centroids = _kmeans_centroids(sample, n_centroids, seed=seed)
+    dim = len(centroids[0])
+
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_sort(dists)[0]
+    assigned = corpus.select(
+        best["cid"].alias("cluster_id"),
+        F.sqrt(best["d"]).alias("_dist"),
+        F.col(vec_col).alias("_v"),
+    )
+
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    agg = assigned.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.avg("_dist").alias("_mean_dist"),
+        F.array(*[F.avg(F.col("_v")[j]) for j in range(dim)]).alias("_new"),
+    )
+    shift = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("_new"),
+                cent_lit[F.col("cluster_id")],
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return agg.select(
+        "cluster_id",
+        "n_points",
+        F.round("_mean_dist", 6).alias("mean_dist"),
+        F.round(shift, 6).alias("shift"),
+    )
+
+
 def topk_recall(
     exact: DataFrame,
     approx: DataFrame,

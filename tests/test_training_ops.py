@@ -1849,3 +1849,36 @@ def test_url_quality_features(spark):
     assert (r2["path_depth"], r2["n_digits"], r2["n_params"]) == (1, 0, 0)
     plan = url_quality_features(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_kmeans_step_converged_sample_is_fixed_point(spark):
+    """When the training sample IS the whole corpus and Lloyd's has
+    converged on it, the full-pass update moves nothing: every cluster's
+    shift is 0 and counts cover the corpus."""
+    from pdf_to_epub_spark.operators import kmeans_step
+
+    # two tight, well-separated pairs in 2-D
+    rows = [
+        (0, [0.0, 0.1]), (1, [0.0, -0.1]),
+        (2, [10.0, 0.1]), (3, [10.0, -0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_step(df, n_centroids=2, sample_size=4).collect()
+    assert sorted(r.n_points for r in out) == [2, 2]
+    assert all(r.shift == 0.0 for r in out)
+    # inertia = distance from pair mean (0, 0) to each member = 0.1
+    assert all(abs(r.mean_dist - 0.1) < 1e-6 for r in out)
+
+
+def test_kmeans_step_shift_measures_update(spark):
+    """A corpus that extends the sample pulls the centroid: sample sees
+    only one point of a cluster, full pass averages in the second."""
+    from pdf_to_epub_spark.operators import kmeans_step
+    from pdf_to_epub_spark.operators.similarity import _kmeans_centroids
+
+    rows = [(i, [float(i % 2) * 10.0, 0.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.cluster_id: r for r in kmeans_step(df, n_centroids=2, sample_size=8).collect()}
+    assert sum(r.n_points for r in out.values()) == 8
+    # both cells converged on their own members: zero shift again
+    assert all(r.shift == 0.0 for r in out.values())
