@@ -2232,6 +2232,32 @@ def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, q, k=10, n_centroids=16, nprobe=10)
 
 
+def _q_minimizer_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing minimizer fingerprints (operators/dedup.py
+    `minimizer_fingerprints`, k=3-token shingles, w=4 windows) with the
+    md5-backed 60-bit hash so DuckDB replays the sketch exactly —
+    shingle hashing, sliding-window minima, and the short-document
+    degenerate cases all included."""
+    from pdf_to_epub_spark.operators import md5_hash60, minimizer_fingerprints
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minimizer_fingerprints(d, k=3, w=4, token_hash=md5_hash60)
+
+
+def _q_minimizer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-minimizer overlap candidates over the mutated re-crawl
+    corpus (each doc + its last-word-dropped twin): position-local
+    fingerprints catch the copied-passage case whole-document MinHash
+    dilutes.  The oracle recomputes the sketch AND the full pair join
+    with shared counts."""
+    from pdf_to_epub_spark.operators import md5_hash60, minimizer_overlap_pairs
+
+    return minimizer_overlap_pairs(
+        mutated_recrawl(spark, sf_dir),
+        k=3, w=4, min_shared=5, token_hash=md5_hash60,
+    )
+
+
 def _q_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's iteration profile (similarity.kmeans_step):
     full-corpus nearest-centroid assignment against the deterministic
@@ -2592,6 +2618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_postings": _q_compact_postings,
         "template_strip": _q_template_strip,
         "kmeans_profile": _q_kmeans_profile,
+        "minimizer_sketch": _q_minimizer_sketch,
+        "minimizer_pairs": _q_minimizer_pairs,
     }
 
 
@@ -5032,6 +5060,73 @@ def oracle_sql() -> dict[str, str]:
             -- segment in place; deletions need update_postings'
             -- deleted_ids, not compaction)
             QUALIFY segment = max(segment) OVER (PARTITION BY doc_id)
+        """,
+        "minimizer_sketch": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-zà-öø-ÿ]+') AS tk
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(tk) >= 3 THEN
+                           list_transform(generate_series(1, len(tk) - 2),
+                               i -> ('0x' || substr(md5(array_to_string(
+                                        list_slice(tk, i, i + 2), ' ')),
+                                     1, 15))::BIGINT)
+                       ELSE []::BIGINT[] END AS gs
+                FROM toks
+            ), mins AS (
+                SELECT doc_id,
+                       CASE WHEN len(gs) = 0 THEN []::BIGINT[]
+                            WHEN len(gs) <= 4 THEN [list_min(gs)]
+                            ELSE list_distinct(list_transform(
+                                     generate_series(1, len(gs) - 3),
+                                     j -> list_min(list_slice(gs, j, j + 3))))
+                       END AS ms
+                FROM grams
+            )
+            SELECT doc_id, unnest(ms) AS minimizer FROM mins
+        """,
+        "minimizer_pairs": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000,
+                       regexp_replace(text, '\\s+\\S+\\s*$', '')
+                FROM documents
+            ), toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-zà-öø-ÿ]+') AS tk
+                FROM corpus
+            ), grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(tk) >= 3 THEN
+                           list_transform(generate_series(1, len(tk) - 2),
+                               i -> ('0x' || substr(md5(array_to_string(
+                                        list_slice(tk, i, i + 2), ' ')),
+                                     1, 15))::BIGINT)
+                       ELSE []::BIGINT[] END AS gs
+                FROM toks
+            ), mins AS (
+                SELECT doc_id,
+                       CASE WHEN len(gs) = 0 THEN []::BIGINT[]
+                            WHEN len(gs) <= 4 THEN [list_min(gs)]
+                            ELSE list_distinct(list_transform(
+                                     generate_series(1, len(gs) - 3),
+                                     j -> list_min(list_slice(gs, j, j + 3))))
+                       END AS ms
+                FROM grams
+            ), sk AS (
+                SELECT doc_id, unnest(ms) AS minimizer FROM mins
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*)::BIGINT AS n_shared
+            FROM sk a JOIN sk b
+              ON b.minimizer = a.minimizer AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 5
         """,
         "template_strip": """
             WITH mutated AS (

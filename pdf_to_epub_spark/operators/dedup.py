@@ -1332,3 +1332,107 @@ def strip_template_lines(
             "n_removed",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Minimizer fingerprints (winnowing)
+# --------------------------------------------------------------------------
+
+
+def minimizer_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash: Callable[[Column], Column] = F.xxhash64,
+) -> DataFrame:
+    """Winnowing minimizer sketch (Schleimer, Wilkerson & Aiken, SIGMOD'03
+    — the MOSS fingerprint; also the seed-sampling scheme of minimap):
+    hash every k-token shingle, slide a w-gram window, keep each window's
+    MINIMUM hash.  Guarantees: any shared token run of ≥ w+k-1 tokens
+    yields at least one shared fingerprint (position-local, unlike
+    MinHash's whole-document signature), and expected density is
+    2/(w+1) of the grams — sketch size tunes with w.
+
+    Entirely Catalyst array algebra (sequence/slice/array_min — no
+    explode until the final distinct emit, no Python), so the sketch is a
+    narrow map stage; the only shuffle is whatever the caller does with
+    the emitted ``(id, minimizer)`` rows.
+
+    ``token_hash`` defaults to xxhash64 (scale path); pass
+    :func:`md5_hash60` for an externally replayable sketch (same contract
+    as :func:`simhash64`).
+
+    Guard rails: Spark ``sequence(1, n)`` DESCENDS when n < 1 — both
+    ladders are gated on emptiness instead (a doc with < k tokens has no
+    grams; with ≤ w grams the whole gram array is one window).
+    """
+    from .textstats import _tokens
+
+    toks = df.select(
+        F.col(id_col),
+        _tokens(text_col).alias("tk"),
+    )
+    n_tk = F.size(F.col("tk"))
+    grams = F.when(
+        n_tk >= k,
+        F.transform(
+            F.sequence(F.lit(1), n_tk - k + 1),
+            lambda i: token_hash(
+                F.concat_ws(" ", F.slice(F.col("tk"), i, F.lit(k)))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    g = toks.select(id_col, grams.alias("gs"))
+    n_g = F.size(F.col("gs"))
+    mins = (
+        F.when(n_g == 0, F.array().cast("array<bigint>"))
+        .when(n_g <= w, F.array(F.array_min("gs")))
+        .otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_g - w + 1),
+                    lambda j: F.array_min(F.slice(F.col("gs"), j, F.lit(w))),
+                )
+            )
+        )
+    )
+    return g.select(
+        F.col(id_col), F.explode_outer(mins).alias("minimizer")
+    ).where(F.col("minimizer").isNotNull())
+
+
+def minimizer_overlap_pairs(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash: Callable[[Column], Column] = F.xxhash64,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Candidate near-dup/overlap pairs from shared minimizers: bucket-join
+    the sketch on the fingerprint value, count shared minimizers per pair,
+    keep pairs sharing ≥ ``min_shared``.  Position-local sketches mean
+    this catches long COPIED PASSAGES between otherwise different
+    documents — the case a whole-document MinHash signature dilutes away.
+
+    The join is the LSH-bucket topology (:func:`_bucket_pairs`): one
+    shuffle on the minimizer value; a degenerate bucket (a fingerprint
+    occurring in > ``max_bucket`` docs — boilerplate the caller should
+    have stripped first, see :func:`strip_template_lines`) degrades to
+    linear star pairs, which under-counts ``n_shared`` for those ids
+    only — the bounded-worst-case trade documented at
+    :func:`_bucket_pairs`."""
+    sk = minimizer_fingerprints(df, k, w, id_col, text_col, token_hash)
+    buckets = sk.groupBy("minimizer").agg(
+        F.array_sort(F.collect_set(id_col)).alias("_ids")
+    )
+    pairs = _bucket_pairs(buckets, max_bucket)
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -1882,3 +1882,58 @@ def test_kmeans_step_shift_measures_update(spark):
     assert sum(r.n_points for r in out.values()) == 8
     # both cells converged on their own members: zero shift again
     assert all(r.shift == 0.0 for r in out.values())
+
+
+def test_minimizer_guarantee_shared_run(spark):
+    """Winnowing guarantee: documents sharing a token run of >= w+k-1
+    tokens share at least one minimizer fingerprint."""
+    from pdf_to_epub_spark.operators import minimizer_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = w+k-1 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"unrelated prefix one {shared} tail words here"),
+            (2, f"different opening {shared} and a different ending"),
+        ],
+        ["doc_id", "text"],
+    )
+    sk = minimizer_fingerprints(df, k=3, w=4).collect()
+    a = {r.minimizer for r in sk if r.doc_id == 1}
+    b = {r.minimizer for r in sk if r.doc_id == 2}
+    assert a & b
+
+
+def test_minimizer_degenerate_lengths(spark):
+    from pdf_to_epub_spark.operators import minimizer_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "two words"),              # < k tokens: no grams, no rows
+            (2, "exactly three tokens"),   # one gram -> one minimizer
+            (3, None),                     # null text: no rows
+            (4, "a b c d e f"),            # 4 grams == w: single window
+        ],
+        "doc_id long, text string",
+    )
+    rows = minimizer_fingerprints(df, k=3, w=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.minimizer)
+    assert 1 not in by_doc and 3 not in by_doc
+    assert len(by_doc[2]) == 1
+    assert len(by_doc[4]) == 1  # whole gram array is one window
+
+
+def test_minimizer_pairs_finds_twins(spark):
+    from pdf_to_epub_spark.operators import minimizer_overlap_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the storm gathers over the quiet harbor town tonight")
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "totally different short text")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r.id_a, r.id_b) for r in
+             minimizer_overlap_pairs(df, min_shared=3).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
