@@ -2232,6 +2232,31 @@ def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, q, k=10, n_centroids=16, nprobe=10)
 
 
+def _q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-BPE-merge pair statistics (textstats.bpe_pair_counts):
+    within-word adjacent character pairs weighted by corpus word
+    frequency, overlapping occurrences counted separately — all symbol
+    work on the vocabulary table, never the corpus."""
+    from pdf_to_epub_spark.operators import bpe_pair_counts
+
+    return bpe_pair_counts(
+        _t(spark, sf_dir, "documents"), min_weight=5
+    )
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 8 learned BPE merges (textstats.bpe_learn_merges) — an
+    iterative distributed algorithm: per round one vocabulary-sized pair
+    aggregation, a 1-row argmax collect, and a greedy HOF rewrite of the
+    symbol arrays.  The oracle is an independent pure-Python Sennrich
+    replay over the same parquet (golden-VALUES pattern)."""
+    from pdf_to_epub_spark.operators import bpe_learn_merges
+
+    return bpe_learn_merges(
+        _t(spark, sf_dir, "documents"), n_merges=8, min_weight=2
+    )
+
+
 def _q_minimizer_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing minimizer fingerprints (operators/dedup.py
     `minimizer_fingerprints`, k=3-token shingles, w=4 windows) with the
@@ -2620,6 +2645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_profile": _q_kmeans_profile,
         "minimizer_sketch": _q_minimizer_sketch,
         "minimizer_pairs": _q_minimizer_pairs,
+        "bpe_pairs": _q_bpe_pairs,
+        "bpe_merges": _q_bpe_merges,
     }
 
 
@@ -2929,6 +2956,65 @@ def _ivf_topk_oracle(
             FROM scored)
         SELECT query_id, vec_id, round(raw, 6) AS score, rank
         FROM ranked WHERE rank <= {k}
+    """
+
+
+def _bpe_merges_oracle(n_merges: int = 8, min_weight: int = 2) -> str | None:
+    """Independent pure-Python Sennrich BPE replay (tokenize → weighted
+    vocab → iterative pair argmax with (weight desc, pair asc) ties →
+    greedy leftmost merge), inlined as a corpus-keyed VALUES table (key =
+    document count, which differs across the testdata SFs)."""
+    import collections
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    rows: list[str] = []
+    tok = _re.compile("[a-zà-öø-ÿ]+")
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        path = pathlib.Path(sf_dir) / "documents.parquet"
+        if not path.exists():
+            return None
+        texts = pq.read_table(path, columns=["text"])["text"].to_pylist()
+        vocab = collections.Counter()
+        for t in texts:
+            vocab.update(tok.findall((t or "").lower()))
+        syms = {w: list(w) for w in vocab}
+        # the SF dirs share the document COUNT — total text length is the
+        # distinguishing corpus key
+        key = sum(len(t or "") for t in texts)
+        for rank in range(n_merges):
+            pc: collections.Counter = collections.Counter()
+            for w, n in vocab.items():
+                s = syms[w]
+                for x, y in zip(s, s[1:]):
+                    pc[(x, y)] += n
+            if not pc:
+                break
+            (a, b), weight = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if weight < min_weight:
+                break
+            esc_a = a.replace("'", "''")
+            esc_b = b.replace("'", "''")
+            rows.append(f"({key}, {rank}, '{esc_a}', '{esc_b}', {weight})")
+            for w, s in syms.items():
+                out: list[str] = []
+                for t in s:
+                    if out and out[-1] == a and t == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(t)
+                syms[w] = out
+    vals = ",\n            ".join(rows)
+    return f"""
+        WITH golden(corpus_key, rank, "left", "right", weight) AS (VALUES
+            {vals})
+        SELECT rank, "left", "right", weight::BIGINT AS weight
+        FROM golden
+        WHERE corpus_key = (SELECT sum(length(coalesce(text, '')))
+                            FROM documents)
     """
 
 
@@ -4879,6 +4965,11 @@ def oracle_sql() -> dict[str, str]:
             if (o := _kmeans_profile_oracle()) is not None
             else {}
         ),
+        **(
+            {"bpe_merges": o}
+            if (o := _bpe_merges_oracle()) is not None
+            else {}
+        ),
         # EPUB final-artifact golden: pure-Python replay of extraction →
         # assembly → byte-deterministic EPUB3 zip, md5 per url.
         **(
@@ -5060,6 +5151,23 @@ def oracle_sql() -> dict[str, str]:
             -- segment in place; deletions need update_postings'
             -- deleted_ids, not compaction)
             QUALIFY segment = max(segment) OVER (PARTITION BY doc_id)
+        """,
+        "bpe_pairs": """
+            WITH vocab AS (
+                SELECT word, count(*)::BIGINT AS n FROM (
+                    SELECT unnest(regexp_extract_all(
+                               lower(coalesce(text, '')),
+                               '[a-zà-öø-ÿ]+')) AS word
+                    FROM documents)
+                GROUP BY word
+            ), pairs AS (
+                SELECT substr(word, i, 2) AS pair, n
+                FROM vocab, UNNEST(generate_series(1, length(word) - 1)) AS t(i)
+                WHERE length(word) >= 2
+            )
+            SELECT pair, sum(n)::BIGINT AS weight
+            FROM pairs GROUP BY pair
+            HAVING sum(n) >= 5
         """,
         "minimizer_sketch": """
             WITH toks AS (

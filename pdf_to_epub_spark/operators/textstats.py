@@ -680,3 +680,139 @@ def script_ratios(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn(
         "dominant_script", F.when(total > 0, dominant)
     )
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer-training prep
+# --------------------------------------------------------------------------
+
+
+def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """Frequency-weighted word vocabulary ``(word, n)`` — the corpus→vocab
+    compression every BPE step runs on: one map-side-combined groupBy, and
+    all later symbol algebra is VOCABULARY-sized however large the corpus
+    grows (the same bound as `top_terms`)."""
+    return (
+        df.select(F.explode(_tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", min_weight: int = 2
+) -> DataFrame:
+    """Adjacent character-pair statistics for the FIRST BPE merge (Sennrich
+    et al. 2016): every within-word adjacent character pair, weighted by
+    corpus word frequency — ``(pair, weight)``, overlapping occurrences
+    counted separately ('aaa' contributes ('a','a') twice, the reference
+    BPE convention).
+
+    Two shuffles total, both slim: corpus→vocab (word, count), then the
+    vocabulary-sized pair aggregation.  The corpus text itself never
+    re-shuffles — at 100 TB the pair step touches only the few-million-row
+    vocab table."""
+    vocab = _word_vocab(df, text_col)
+    pairs = vocab.select(
+        F.explode(
+            F.when(
+                F.length("word") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.col("word").substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+        F.col("n"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("weight"))
+        .where(F.col("weight") >= min_weight)
+    )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    min_weight: int = 2,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges distributively: the word
+    vocabulary stays a DataFrame; each round aggregates adjacent SYMBOL
+    pairs (weighted by word frequency), picks the deterministic argmax
+    (weight desc, then pair lexicographic asc), and rewrites every word's
+    symbol array with a left-to-right greedy fold — the exact Sennrich
+    learner, with the corpus-sized work done once up front.
+
+    Per round: one vocabulary-sized aggregation + a 1-row collect (the
+    learned merge — O(1) driver data, the fixpoint pattern of any
+    iterative algorithm), then a narrow HOF rewrite.  ``localCheckpoint``
+    keeps the lineage flat across rounds.  Returns
+    ``(rank, left, right, weight)``; stops early when no pair reaches
+    ``min_weight``."""
+    spark = df.sparkSession
+    # NOT split(word, '(?!^)'): Spark split keeps trailing empties
+    # (limit=-1), and the lookahead matches the end-of-string position too,
+    # so every word would gain a phantom '' symbol.
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    vocab = (
+        _word_vocab(df, text_col)
+        .select(chars.alias("syms"), "n")
+        .localCheckpoint(eager=False)
+    )
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = vocab.select(
+            F.explode(
+                F.when(
+                    F.size("syms") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("a"),
+                            F.element_at("syms", i + 1).alias("b"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<a:string,b:string>>")
+                )
+            ).alias("p"),
+            "n",
+        )
+        best = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("weight"))
+            .orderBy(F.col("weight").desc(), F.col("a").asc(), F.col("b").asc())
+            .first()
+        )
+        if best is None or best["weight"] < min_weight:
+            break
+        a, b = best["a"], best["b"]
+        merges.append((rank, a, b, int(best["weight"])))
+        # branch ORDER matters: the empty-acc case must be decided before
+        # element_at(acc, -1) is touched (ANSI mode raises on the empty
+        # array; CaseWhen evaluates branches lazily in order)
+        merged = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(F.size(acc) == 0, F.array(s))
+            .when(
+                (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(a + b)),
+                ),
+            )
+            .otherwise(F.concat(acc, F.array(s))),
+        )
+        vocab = vocab.select(merged.alias("syms"), "n").localCheckpoint(
+            eager=False
+        )
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, weight long"
+    )

@@ -361,3 +361,47 @@ def test_strip_template_lines_no_value_keyed_wide_exchange(spark):
     # template table reaches the line stream via broadcast, not shuffle
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------- BPE prep
+def test_bpe_pair_counts_hand_weighted(spark):
+    from pdf_to_epub_spark.operators import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower lower"), (2, "newest newest newest newest widest")],
+        ["doc_id", "text"],
+    )
+    got = {r.pair: r.weight for r in bpe_pair_counts(df, min_weight=1).collect()}
+    # 'we' from lower(x2) + newest(x4) = 6; 'lo' from low(3)+lower(2) = 5
+    assert got["we"] == 6
+    assert got["lo"] == 5
+    assert got["st"] == 5  # newest x4 + widest
+    assert got["wi"] == 1
+
+
+def test_bpe_learn_merges_sennrich_order(spark):
+    from pdf_to_epub_spark.operators import bpe_learn_merges
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower lower"), (2, "newest newest newest newest widest")],
+        ["doc_id", "text"],
+    )
+    got = bpe_learn_merges(df, n_merges=2, min_weight=1).collect()
+    assert [(r.rank, r.left, r.right, r.weight) for r in got] == [
+        (0, "w", "e", 6),
+        # after w+e: ('l','o') and ('s','t') tie at 5 — lexicographic asc
+        (1, "l", "o", 5),
+    ]
+
+
+def test_bpe_learn_merges_overlap_and_stop(spark):
+    from pdf_to_epub_spark.operators import bpe_learn_merges
+
+    # 'aaaa' x2: pair ('a','a') counted overlapping (3 per word -> 6);
+    # greedy leftmost merge gives aa+aa, then ('aa','aa')
+    df = spark.createDataFrame([(1, "aaaa aaaa")], ["doc_id", "text"])
+    got = bpe_learn_merges(df, n_merges=4, min_weight=2).collect()
+    assert (got[0].left, got[0].right, got[0].weight) == ("a", "a", 6)
+    assert (got[1].left, got[1].right, got[1].weight) == ("aa", "aa", 2)
+    # after aaaa is one symbol there are no pairs left: early stop
+    assert len(got) == 2
