@@ -427,24 +427,12 @@ def mutated_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_html_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HTML main-content extraction (north_star's Boilerpipe-style DOM
-    surface): each document's non-blank lines are wrapped JVM-side into a
-    realistic page — nav/header/footer/aside boilerplate plus interleaved
-    link-dense ad divs (exact twin of sources/synth.make_boilerplate_page)
-    — then parsed back through the tag-aware link-density classifier
-    (extractlib/htmlblocks.py).  Recovered main content must be exactly
-    heading 'Document <id>' + the non-blank lines, which the DuckDB oracle
-    computes directly from the documents table."""
-    _ship_package(spark)
-    from pdf_to_epub_spark.operators import (
-        assemble_documents,
-        blocks_table,
-        extract_html_documents,
-    )
+def _boilerplate_page_expr() -> F.Column:
+    """The synthetic Common-Crawl-style page as a Column over (doc_id,
+    text) — JVM-side twin of sources/synth.make_boilerplate_page, shared
+    by the extraction and extraction-eval queries."""
     from pdf_to_epub_spark.sources.synth import _AD, _ASIDE, _NAV, NONBLANK_PATTERN
 
-    d = _t(spark, sf_dir, "documents")
     doc_id = F.col("doc_id").cast("string")
     url = F.concat(F.lit("doc://"), doc_id)
     esc = F.replace(
@@ -465,7 +453,7 @@ def _q_html_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    page = F.concat(
+    return F.concat(
         F.lit("<html><head><title>"), url,
         F.lit("</title></head><body>" + _NAV + "<header><p>Crawl header "),
         doc_id,
@@ -474,6 +462,28 @@ def _q_html_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_ASIDE + "<footer><p>(c) 2025 crawl.invalid "), doc_id,
         F.lit("</p></footer></body></html>"),
     )
+
+
+def _q_html_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction (north_star's Boilerpipe-style DOM
+    surface): each document's non-blank lines are wrapped JVM-side into a
+    realistic page — nav/header/footer/aside boilerplate plus interleaved
+    link-dense ad divs (exact twin of sources/synth.make_boilerplate_page)
+    — then parsed back through the tag-aware link-density classifier
+    (extractlib/htmlblocks.py).  Recovered main content must be exactly
+    heading 'Document <id>' + the non-blank lines, which the DuckDB oracle
+    computes directly from the documents table."""
+    _ship_package(spark)
+    from pdf_to_epub_spark.operators import (
+        assemble_documents,
+        blocks_table,
+        extract_html_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("doc://"), doc_id)
+    page = _boilerplate_page_expr()
     pages = d.select(
         url.alias("url"),
         F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
@@ -2232,6 +2242,30 @@ def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, q, k=10, n_centroids=16, nprobe=10)
 
 
+def _q_extraction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction-quality eval harness (operators/evaluate.py
+    `token_overlap_eval`): a NAIVE tag-strip extractor over the synthetic
+    boilerplate pages is scored against the ground-truth main content —
+    recall stays 1.0 (stripping never loses article tokens) while
+    precision drops to the boilerplate fraction, which is exactly the gap
+    the link-density classifier closes (`html_boilerplate_extract` is
+    byte-perfect on the same pages).  The oracle rebuilds the page, the
+    strip, and the multiset P/R/F1 relationally."""
+    from pdf_to_epub_spark.operators import token_overlap_eval
+
+    d = _t(spark, sf_dir, "documents")
+    pair = d.select(
+        "doc_id",
+        F.regexp_replace(_boilerplate_page_expr(), "<[^>]*>", " ").alias(
+            "pred"
+        ),
+        F.concat(
+            F.lit("Document\n"), F.coalesce(F.col("text"), F.lit(""))
+        ).alias("gold"),
+    )
+    return token_overlap_eval(pair)
+
+
 def _q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-BPE-merge pair statistics (textstats.bpe_pair_counts):
     within-word adjacent character pairs weighted by corpus word
@@ -2647,6 +2681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minimizer_pairs": _q_minimizer_pairs,
         "bpe_pairs": _q_bpe_pairs,
         "bpe_merges": _q_bpe_merges,
+        "extraction_eval": _q_extraction_eval,
     }
 
 
@@ -2956,6 +2991,81 @@ def _ivf_topk_oracle(
             FROM scored)
         SELECT query_id, vec_id, round(raw, 6) AS score, rank
         FROM ranked WHERE rank <= {k}
+    """
+
+
+def _extraction_eval_oracle() -> str:
+    """DuckDB replay of the naive-strip extraction eval: page rebuild
+    (constants interpolated from sources/synth so the two constructions
+    cannot drift), global tag strip, tokenization, and the multiset
+    P/R/F1 — NULL/zero denominators included."""
+    from pdf_to_epub_spark.sources.synth import _AD, _ASIDE, _NAV
+
+    return f"""
+        WITH esc AS (
+            SELECT doc_id,
+                   replace(replace(replace(coalesce(text, ''),
+                       '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS t,
+                   coalesce(text, '') AS raw
+            FROM documents
+        ), lns AS (
+            SELECT doc_id, raw,
+                   list_filter(string_split(t, chr(10)),
+                               x -> regexp_matches(x, '[^ \\t\\r]')) AS ls
+            FROM esc
+        ), pg AS (
+            SELECT doc_id, raw,
+                   '<html><head><title>doc://' || doc_id ||
+                   '</title></head><body>{_NAV}<header><p>Crawl header ' ||
+                   doc_id || '</p></header><h1>Document ' || doc_id ||
+                   '</h1>' ||
+                   array_to_string(list_transform(generate_series(1, len(ls)),
+                       i -> '<p>' || ls[i] || '</p>' ||
+                            CASE WHEN (i - 1) % 4 = 2
+                                 THEN '{_AD}' ELSE '' END), '') ||
+                   '{_ASIDE}<footer><p>(c) 2025 crawl.invalid ' || doc_id ||
+                   '</p></footer></body></html>' AS page
+            FROM lns
+        ), tagged AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(
+                       regexp_replace(page, '<[^>]*>', ' ', 'g')),
+                       '[a-zà-öø-ÿ]+')) AS tok,
+                   1 AS is_pred
+            FROM pg
+            UNION ALL
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(
+                       'Document' || chr(10) || raw), '[a-zà-öø-ÿ]+')) AS tok,
+                   0 AS is_pred
+            FROM pg
+        ), pertok AS (
+            SELECT doc_id, tok,
+                   sum(CASE WHEN is_pred = 1 THEN 1 ELSE 0 END) AS c_p,
+                   sum(CASE WHEN is_pred = 0 THEN 1 ELSE 0 END) AS c_g
+            FROM tagged GROUP BY doc_id, tok
+        ), perdoc AS (
+            SELECT doc_id,
+                   sum(c_p)::BIGINT AS n_pred,
+                   sum(c_g)::BIGINT AS n_gold,
+                   sum(least(c_p, c_g))::BIGINT AS n_overlap
+            FROM pertok GROUP BY doc_id
+        )
+        SELECT doc_id, n_pred, n_gold, n_overlap,
+               round(CASE WHEN n_pred > 0
+                          THEN n_overlap::DOUBLE / n_pred END, 6) AS p,
+               round(CASE WHEN n_gold > 0
+                          THEN n_overlap::DOUBLE / n_gold END, 6) AS r,
+               round(CASE WHEN n_pred > 0 AND n_gold > 0 THEN
+                          CASE WHEN (n_overlap::DOUBLE / n_pred
+                                     + n_overlap::DOUBLE / n_gold) > 0
+                               THEN 2 * (n_overlap::DOUBLE / n_pred)
+                                    * (n_overlap::DOUBLE / n_gold)
+                                    / (n_overlap::DOUBLE / n_pred
+                                       + n_overlap::DOUBLE / n_gold)
+                               ELSE 0.0 END
+                     END, 6) AS f1
+        FROM perdoc
     """
 
 
@@ -4970,6 +5080,7 @@ def oracle_sql() -> dict[str, str]:
             if (o := _bpe_merges_oracle()) is not None
             else {}
         ),
+        "extraction_eval": _extraction_eval_oracle(),
         # EPUB final-artifact golden: pure-Python replay of extraction →
         # assembly → byte-deterministic EPUB3 zip, md5 per url.
         **(

@@ -1,0 +1,81 @@
+"""Extraction-quality evaluation: token-multiset precision/recall/F1 of a
+predicted text column against a gold column — the harness that turns the
+north-rule's byte-identical contract into a graded signal when a candidate
+extractor is NOT byte-perfect (e.g. comparing a naive tag-strip against the
+link-density classifier, or re-scoring after a parser change).
+
+Reference anchor: the reference pipeline's only quality check is byte
+equality of Step-3 output (pdf_to_epub.sh golden diffs); this module is the
+set-oriented generalization a 10^12-page corpus needs — per-document scores
+you can aggregate, regress on, and gate with.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import _tokens
+
+
+def token_overlap_eval(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    pred_col: str = "pred",
+    gold_col: str = "gold",
+) -> DataFrame:
+    """Per-document multiset token overlap between ``pred_col`` and
+    ``gold_col`` (both must be plain column NAMES): returns
+    ``(id, n_pred, n_gold, n_overlap, p, r, f1)`` where overlap is the
+    multiset intersection size (repeated tokens count up to their minimum
+    multiplicity on the two sides — duplicated boilerplate can't inflate
+    precision the way a set intersection would let it).
+
+    Shape: ONE pass over the rows builds a tagged token array
+    (pred-tokens ⊕ gold-tokens) that explodes into a single
+    ``(id, token)``-keyed aggregation — the id in the key makes a hot
+    token (stop words) irrelevant to skew — followed by the doc-keyed
+    rollup, bounded by document size.  No joins: a pred-side vs
+    gold-side join would scan the input twice and re-key the same rows.
+
+    Metrics: ``p = overlap/n_pred``, ``r = overlap/n_gold`` (NULL when
+    the denominator is 0), ``f1 = 2pr/(p+r)`` (0.0 when both defined but
+    overlap is 0; NULL when either side is undefined), rounded to 6 dp
+    for engine-stable comparison."""
+    empty = F.array().cast("array<string>")
+    tagged = F.concat(
+        F.transform(
+            F.coalesce(_tokens(pred_col), empty),
+            lambda t: F.struct(t.alias("tok"), F.lit(1).alias("is_pred")),
+        ),
+        F.transform(
+            F.coalesce(_tokens(gold_col), empty),
+            lambda t: F.struct(t.alias("tok"), F.lit(0).alias("is_pred")),
+        ),
+    )
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.explode_outer(tagged).alias("t")
+    )
+    per_tok = toks.groupBy("__id", F.col("t.tok").alias("tok")).agg(
+        F.sum(F.when(F.col("t.is_pred") == 1, 1).otherwise(0)).alias("c_p"),
+        F.sum(F.when(F.col("t.is_pred") == 0, 1).otherwise(0)).alias("c_g"),
+    )
+    per_doc = per_tok.groupBy("__id").agg(
+        F.sum("c_p").cast("long").alias("n_pred"),
+        F.sum("c_g").cast("long").alias("n_gold"),
+        F.sum(F.least("c_p", "c_g")).cast("long").alias("n_overlap"),
+    )
+    p = F.when(F.col("n_pred") > 0, F.col("n_overlap") / F.col("n_pred"))
+    r = F.when(F.col("n_gold") > 0, F.col("n_overlap") / F.col("n_gold"))
+    f1 = F.when(
+        p.isNotNull() & r.isNotNull() & ((p + r) > 0), 2 * p * r / (p + r)
+    ).when(p.isNotNull() & r.isNotNull(), F.lit(0.0))
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        "n_pred",
+        "n_gold",
+        "n_overlap",
+        F.round(p, 6).alias("p"),
+        F.round(r, 6).alias("r"),
+        F.round(f1, 6).alias("f1"),
+    )
