@@ -2291,6 +2291,24 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION (textstats.bpe_encode_symbols): the corpus is
+    re-encoded with the 8 merges learned by `bpe_merges` and the resulting
+    subword symbol table (symbol, n_words, occurrences) is returned — the
+    encode runs per DISTINCT vocabulary word in an Arrow batch, so corpus
+    text crosses into Python exactly zero times.  The ≤8-row merge-table
+    collect is the tokenizer artifact itself (bounded driver data).  The
+    oracle replays learn+encode+count in pure Python (golden-VALUES)."""
+    from pdf_to_epub_spark.operators import (
+        bpe_encode_symbols,
+        bpe_learn_merges,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    m = bpe_learn_merges(d, n_merges=8, min_weight=2).orderBy("rank").collect()
+    return bpe_encode_symbols(d, [(r["left"], r["right"]) for r in m])
+
+
 def _q_minimizer_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing minimizer fingerprints (operators/dedup.py
     `minimizer_fingerprints`, k=3-token shingles, w=4 windows) with the
@@ -2681,6 +2699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minimizer_pairs": _q_minimizer_pairs,
         "bpe_pairs": _q_bpe_pairs,
         "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
         "extraction_eval": _q_extraction_eval,
     }
 
@@ -3122,6 +3141,70 @@ def _bpe_merges_oracle(n_merges: int = 8, min_weight: int = 2) -> str | None:
         WITH golden(corpus_key, rank, "left", "right", weight) AS (VALUES
             {vals})
         SELECT rank, "left", "right", weight::BIGINT AS weight
+        FROM golden
+        WHERE corpus_key = (SELECT sum(length(coalesce(text, '')))
+                            FROM documents)
+    """
+
+
+def _bpe_encode_oracle(n_merges: int = 8, min_weight: int = 2) -> str | None:
+    """Pure-Python replay of learn(8)+encode+symbol-count (the encode half
+    of `_bpe_merges_oracle`'s Sennrich replay), inlined as a corpus-keyed
+    VALUES table."""
+    import collections
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    rows: list[str] = []
+    tok = _re.compile("[a-zà-öø-ÿ]+")
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        path = pathlib.Path(sf_dir) / "documents.parquet"
+        if not path.exists():
+            return None
+        texts = pq.read_table(path, columns=["text"])["text"].to_pylist()
+        vocab = collections.Counter()
+        for t in texts:
+            vocab.update(tok.findall((t or "").lower()))
+        syms = {w: list(w) for w in vocab}
+        key = sum(len(t or "") for t in texts)
+        for _rank in range(n_merges):
+            pc: collections.Counter = collections.Counter()
+            for w, n in vocab.items():
+                s = syms[w]
+                for x, y in zip(s, s[1:]):
+                    pc[(x, y)] += n
+            if not pc:
+                break
+            (a, b), weight = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if weight < min_weight:
+                break
+            for w, s in syms.items():
+                out: list[str] = []
+                for t in s:
+                    if out and out[-1] == a and t == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(t)
+                syms[w] = out
+        n_words: collections.Counter = collections.Counter()
+        occ: collections.Counter = collections.Counter()
+        for w, n in vocab.items():
+            for sym in set(syms[w]):
+                n_words[sym] += 1
+            for sym in syms[w]:
+                occ[sym] += n
+        for sym in sorted(occ):
+            esc = sym.replace("'", "''")
+            rows.append(f"({key}, '{esc}', {n_words[sym]}, {occ[sym]})")
+    vals = ",\n            ".join(rows)
+    return f"""
+        WITH golden(corpus_key, symbol, n_words, occurrences) AS (VALUES
+            {vals})
+        SELECT symbol, n_words::BIGINT AS n_words,
+               occurrences::BIGINT AS occurrences
         FROM golden
         WHERE corpus_key = (SELECT sum(length(coalesce(text, '')))
                             FROM documents)
@@ -5081,6 +5164,11 @@ def oracle_sql() -> dict[str, str]:
             else {}
         ),
         "extraction_eval": _extraction_eval_oracle(),
+        **(
+            {"bpe_encode": o}
+            if (o := _bpe_encode_oracle()) is not None
+            else {}
+        ),
         # EPUB final-artifact golden: pure-Python replay of extraction →
         # assembly → byte-deterministic EPUB3 zip, md5 per url.
         **(

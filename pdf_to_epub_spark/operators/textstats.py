@@ -816,3 +816,77 @@ def bpe_learn_merges(
     return spark.createDataFrame(
         merges, "rank int, left string, right string, weight long"
     )
+
+
+def bpe_encode_symbols(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode the corpus with a learned BPE merge list and return the
+    subword symbol table ``(symbol, n_words, occurrences)`` — the
+    tokenizer-application half of the Sennrich pipeline
+    (`bpe_pair_counts` / `bpe_learn_merges` are the training half).
+
+    ``merges`` is the rank-ordered merge list (driver-side: it is tiny —
+    the tokenizer artifact, 8..50k pairs — and was already materialized by
+    the learner).  Each merge rewrites every adjacent (left, right)
+    occurrence leftmost-first, in rank order — the exact reference encode.
+
+    Shape: the corpus is scanned ONCE into the frequency-weighted word
+    vocabulary; the merge loop then runs per DISTINCT word in an
+    Arrow-batched pandas UDF, so the Python cost is O(vocab × merges)
+    regardless of corpus size — at 100 TB the encode stage touches only
+    the few-million-row vocab table (the same bound as the learner).  A
+    built-in HOF fold would work for toy merge lists but a production
+    30k-merge tokenizer cannot nest 30k expressions; the vocab-sized UDF
+    is the honest scale path.  ``occurrences`` is weighted by word
+    frequency; ``n_words`` counts distinct vocabulary words containing
+    the symbol."""
+    from pyspark.sql.functions import pandas_udf
+
+    merge_list = [(str(a), str(b)) for a, b in merges]
+
+    # no parameter/return annotations: stringized hints under
+    # `from __future__ import annotations` break signature inference;
+    # returnType carries the schema.
+    @pandas_udf("array<string>")
+    def _encode(words):
+        import pandas as pd
+
+        def enc(w):
+            if w is None:
+                return []
+            out = list(w)
+            for a, b in merge_list:
+                if len(out) < 2:
+                    break
+                merged = []
+                i = 0
+                while i < len(out):
+                    if (
+                        i + 1 < len(out)
+                        and out[i] == a
+                        and out[i + 1] == b
+                    ):
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(out[i])
+                        i += 1
+                out = merged
+            return out
+
+        return pd.Series([enc(w) for w in words])
+
+    vocab = _word_vocab(df, text_col)
+    return (
+        vocab.select(
+            "word", F.explode(_encode("word")).alias("symbol"), "n"
+        )
+        .groupBy("symbol")
+        .agg(
+            F.countDistinct("word").cast("long").alias("n_words"),
+            F.sum("n").cast("long").alias("occurrences"),
+        )
+    )

@@ -405,3 +405,38 @@ def test_bpe_learn_merges_overlap_and_stop(spark):
     assert (got[1].left, got[1].right, got[1].weight) == ("aa", "aa", 2)
     # after aaaa is one symbol there are no pairs left: early stop
     assert len(got) == 2
+
+
+def test_bpe_encode_symbols_cascade_and_counts(spark):
+    from pdf_to_epub_spark.operators import bpe_encode_symbols
+
+    # merges cascade in rank order: l+o -> lo, lo+w -> low
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, None), (3, "slow")], ["doc_id", "text"]
+    )
+    got = {
+        r.symbol: (r.n_words, r.occurrences)
+        for r in bpe_encode_symbols(
+            df, [("l", "o"), ("lo", "w")]
+        ).collect()
+    }
+    # 'low' appears as a full symbol in words low(x2), lower, slow
+    assert got["low"] == (3, 4)
+    assert got["s"] == (1, 1)
+    assert got["e"] == (1, 1)
+    assert got["r"] == (1, 1)
+    assert "lo" not in got  # fully absorbed by the second merge
+    assert set(got) == {"low", "s", "e", "r"}
+
+
+def test_bpe_encode_symbols_leftmost_nonoverlapping(spark):
+    from pdf_to_epub_spark.operators import bpe_encode_symbols
+
+    # 'aaa' under (a,a): leftmost pair merges, remainder stays single
+    df = spark.createDataFrame([(1, "aaa aaaa")], ["doc_id", "text"])
+    got = {
+        r.symbol: (r.n_words, r.occurrences)
+        for r in bpe_encode_symbols(df, [("a", "a")]).collect()
+    }
+    assert got["aa"] == (2, 3)  # aaa -> [aa, a]; aaaa -> [aa, aa]
+    assert got["a"] == (1, 1)
