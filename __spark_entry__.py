@@ -2291,6 +2291,20 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/sampling.py `dsir_log_weights`,
+    Xie et al. 2023): hashed unigram+bigram bucket distributions of the
+    raw corpus vs the English-target subset, per-document log importance
+    weight as an order-independent integer micro-nat sum.  The 4096-row
+    ratio table broadcasts; the corpus shuffles only on doc_id.  The
+    oracle replays buckets (md5-60 arithmetic), smoothing, and the sum
+    relationally."""
+    from pdf_to_epub_spark.operators import dsir_log_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_log_weights(d, d.where(F.col("lang") == "en"))
+
+
 def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLICATION (textstats.bpe_encode_symbols): the corpus is
     re-encoded with the 8 merges learned by `bpe_merges` and the resulting
@@ -2700,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": _q_bpe_pairs,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
+        "dsir_weights": _q_dsir_weights,
         "extraction_eval": _q_extraction_eval,
     }
 
@@ -5169,6 +5184,57 @@ def oracle_sql() -> dict[str, str]:
             if (o := _bpe_encode_oracle()) is not None
             else {}
         ),
+        # DSIR: hashed-feature buckets via the md5-60 arithmetic, add-one
+        # smoothed log-ratio per bucket in integer micro-nats, doc-keyed
+        # sum; docs with no features kept at (0, 0).
+        "dsir_weights": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-zà-öø-ÿ]+') AS ws
+                FROM documents
+            ), feats AS (
+                SELECT doc_id, lang, unnest(ws) AS f FROM toks
+                UNION ALL
+                SELECT doc_id, lang,
+                       unnest(list_transform(generate_series(1, len(ws) - 1),
+                              i -> ws[i] || ' ' || ws[i + 1])) AS f
+                FROM toks
+            ), bk AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096
+                           AS bucket
+                FROM feats
+            ), rc AS (
+                SELECT bucket, count(*)::BIGINT AS c_r FROM bk
+                GROUP BY bucket
+            ), tc AS (
+                SELECT bucket, count(*)::BIGINT AS c_t FROM bk
+                WHERE lang = 'en' GROUP BY bucket
+            ), tot AS (
+                SELECT (SELECT coalesce(sum(c_r), 0) FROM rc) AS n_r,
+                       (SELECT coalesce(sum(c_t), 0) FROM tc) AS n_t
+            ), ratio AS (
+                SELECT g.bucket,
+                       round((ln((coalesce(tc.c_t, 0) + 1.0)
+                                 / (tot.n_t + 4096.0))
+                            - ln((coalesce(rc.c_r, 0) + 1.0)
+                                 / (tot.n_r + 4096.0))) * 1e6)::BIGINT
+                           AS lr_micro
+                FROM (SELECT unnest(generate_series(0, 4095)) AS bucket) g
+                LEFT JOIN rc ON rc.bucket = g.bucket
+                LEFT JOIN tc ON tc.bucket = g.bucket, tot
+            ), scored AS (
+                SELECT bk.doc_id, count(*)::BIGINT AS n_feats,
+                       sum(r.lr_micro)::BIGINT AS lwm
+                FROM bk JOIN ratio r ON r.bucket = bk.bucket
+                GROUP BY bk.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_feats, 0)::BIGINT AS n_feats,
+                   coalesce(s.lwm, 0)::BIGINT AS log_weight_micro
+            FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+        """,
         # EPUB final-artifact golden: pure-Python replay of extraction →
         # assembly → byte-deterministic EPUB3 zip, md5 per url.
         **(

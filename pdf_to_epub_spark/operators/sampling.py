@@ -217,3 +217,134 @@ def stratified_sample_exact(
         )
         .drop("__h", "__s", "__rn", "__st", "__os", "__off", "__tot")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling")
+# --------------------------------------------------------------------------
+
+
+def _hashed_features(
+    df: DataFrame, text_col: str, n_buckets: int
+) -> DataFrame:
+    """Hashed unigram+bigram features per document: ``(doc_id, bucket)``,
+    one row per feature OCCURRENCE (multiplicity matters — the importance
+    weight is a product over the document's feature sequence).  Empty/null
+    texts keep a null-bucket row (explode_outer) so they survive to the
+    scoring aggregation with ``n_feats = 0``."""
+    from pdf_to_epub_spark.operators.textstats import _tokens
+
+    ws = _tokens(text_col)
+    bigrams = F.when(
+        F.size("__ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__ws") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("__ws", i), F.element_at("__ws", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select("doc_id", ws.alias("__ws"))
+        .select("doc_id", F.explode_outer(F.concat("__ws", bigrams)).alias("__f"))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("__f").isNotNull(),
+                F.pmod(md5_hash60(F.col("__f")), F.lit(n_buckets)),
+            ).alias("bucket"),
+        )
+    )
+
+
+def dsir_log_ratios(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Per-bucket importance log-ratio table ``(bucket, lr_micro)`` for
+    every one of the ``n_buckets`` hashed-feature buckets: with add-one
+    smoothing over bucket counts,
+
+        lr_micro = round((ln((c_t+1)/(N_t+B)) - ln((c_r+1)/(N_r+B))) * 1e6)
+
+    stored as integer micro-nats so downstream per-document sums are
+    order-independent and oracle-exact (the `operators/lm.py` determinism
+    contract).  Both corpora are scanned once into B-bounded count tables;
+    the totals ride a 1-row broadcast cross join — nothing collects."""
+    b = float(n_buckets)
+    full = raw_df.sparkSession.range(n_buckets).select(
+        F.col("id").alias("bucket")
+    )
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            _hashed_features(df, text_col, n_buckets)
+            .where(F.col("bucket").isNotNull())
+            .groupBy("bucket")
+            .agg(F.count("*").alias(name))
+        )
+
+    raw_c = counts(raw_df, "c_r")
+    tgt_c = counts(target_df, "c_t")
+    totals = raw_c.agg(F.sum("c_r").alias("n_r")).crossJoin(
+        tgt_c.agg(F.sum("c_t").alias("n_t"))
+    )
+    joined = (
+        full.join(F.broadcast(raw_c), "bucket", "left")
+        .join(F.broadcast(tgt_c), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.coalesce("c_r", F.lit(0)).alias("c_r"),
+            F.coalesce("c_t", F.lit(0)).alias("c_t"),
+            F.coalesce("n_r", F.lit(0)).alias("n_r"),
+            F.coalesce("n_t", F.lit(0)).alias("n_t"),
+        )
+    )
+    lr = (
+        F.log((F.col("c_t") + 1.0) / (F.col("n_t") + b))
+        - F.log((F.col("c_r") + 1.0) / (F.col("n_r") + b))
+    )
+    return joined.select(
+        "bucket", F.round(lr * 1e6).cast("long").alias("lr_micro")
+    )
+
+
+def dsir_log_weights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight over the raw corpus:
+    ``(doc_id, n_feats, log_weight_micro)`` where ``log_weight_micro`` is
+    the integer micro-nat sum of the per-feature bucket log-ratios — the
+    log of the (unnormalized) importance weight p_target(doc)/p_raw(doc)
+    under the hashed-n-gram bag model.  Selection = take the top-k by
+    weight (or Gumbel top-k for sampled selection; deterministic rank is
+    the replayable default here).
+
+    Shape at 100 TB: the ratio table is exactly ``n_buckets`` rows and
+    BROADCASTS to the feature stream — the raw corpus is scanned once and
+    shuffles only on ``(doc_id)`` for the final sum (id-keyed: hot
+    features cannot skew it).  The target corpus (small by construction
+    in DSIR) is scanned once for its count table."""
+    ratios = dsir_log_ratios(raw_df, target_df, text_col, n_buckets)
+    feats = _hashed_features(
+        raw_df.select(F.col(id_col).alias("doc_id"), text_col), text_col,
+        n_buckets,
+    )
+    return (
+        feats.join(F.broadcast(ratios), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.col("bucket")).cast("long").alias("n_feats"),
+            F.coalesce(F.sum("lr_micro"), F.lit(0)).cast("long").alias(
+                "log_weight_micro"
+            ),
+        )
+    )

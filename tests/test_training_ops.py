@@ -1937,3 +1937,48 @@ def test_minimizer_pairs_finds_twins(spark):
              minimizer_overlap_pairs(df, min_shared=3).collect()}
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+# ------------------------------------------------------------------- DSIR
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from pdf_to_epub_spark.operators import dsir_log_weights
+
+    raw = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "le chat est sur le tapis"),
+            (3, "the dog sat on the rug"),
+            (4, None),
+        ],
+        ["doc_id", "text"],
+    )
+    target = raw.where("doc_id in (1, 3)")
+    got = {r.doc_id: r for r in dsir_log_weights(raw, target).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # "the cat sat": 6 unigrams + 5 bigrams
+    assert got[1].n_feats == 11
+    assert got[4].n_feats == 0 and got[4].log_weight_micro == 0
+    # English docs carry higher importance than the French one
+    assert got[1].log_weight_micro > got[2].log_weight_micro
+    assert got[3].log_weight_micro > got[2].log_weight_micro
+
+
+def test_dsir_ratio_table_is_complete_and_broadcast(spark):
+    from pdf_to_epub_spark.operators import dsir_log_ratios, dsir_log_weights
+
+    raw = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], ["doc_id", "text"]
+    )
+    ratios = dsir_log_ratios(raw, raw.where("doc_id = 1"), n_buckets=64)
+    rows = ratios.collect()
+    assert len(rows) == 64  # every bucket present, unseen ones included
+    assert all(r.lr_micro is not None for r in rows)
+    plan = (
+        dsir_log_weights(raw, raw.where("doc_id = 1"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the ratio table reaches the corpus feature stream via broadcast
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
