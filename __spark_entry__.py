@@ -2291,6 +2291,28 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment detection (operators/dedup.py
+    `containment_pairs`) over documents ∪ first-half excerpts: an excerpt
+    is ~fully contained in its source (c ≈ 1) while the pair's Jaccard is
+    only ~0.5 — the syndication/quote case the Jaccard queries
+    structurally miss.  Probe-side-only prefix filter; exact
+    string-shingle verification.  The oracle recomputes containment
+    through a shared-shingle inverted index."""
+    from pdf_to_epub_spark.operators import containment_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("_tk"))
+    excerpts = t.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice("_tk", F.lit(1), ((F.size("_tk") + 1) / 2).cast("int")),
+        ).alias("text"),
+    )
+    return containment_pairs(d.unionByName(excerpts), k=5, threshold=0.8)
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (operators/sampling.py `dsir_log_weights`,
     Xie et al. 2023): hashed unigram+bigram bucket distributions of the
@@ -2715,6 +2737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
         "dsir_weights": _q_dsir_weights,
+        "containment_pairs": _q_containment_pairs,
         "extraction_eval": _q_extraction_eval,
     }
 
@@ -5184,6 +5207,57 @@ def oracle_sql() -> dict[str, str]:
             if (o := _bpe_encode_oracle()) is not None
             else {}
         ),
+        # Containment over documents ∪ half-excerpts: shingle semantics as
+        # in _shingle_jaccard_oracle; candidates via a shared-shingle
+        # inverted index (sound: threshold > 0 needs shared ≥ 1); filter on
+        # ROUNDED c to mirror the Spark boundary exactly.
+        "containment_pairs": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000,
+                       array_to_string(list_slice(
+                           regexp_split_to_array(trim(text), '\\s+'), 1,
+                           (len(regexp_split_to_array(trim(text), '\\s+'))
+                            + 1) // 2), ' ')
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                    CASE WHEN len(toks) >= 5 THEN
+                        list_distinct(list_transform(
+                            generate_series(1, len(toks) - 4),
+                            i -> array_to_string(
+                                     list_slice(toks, i, i + 4), ' ')))
+                    ELSE [array_to_string(toks, ' ')] END AS shingles
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(lower(text)),
+                                                   '\\s+') AS toks
+                      FROM corpus)
+            ),
+            sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh),
+            inv AS (SELECT doc_id, unnest(shingles) AS s FROM sized),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM inv a JOIN inv b
+                  ON a.s = b.s AND a.doc_id < b.doc_id
+            ),
+            scored AS (
+                SELECT c.id_a, c.id_b,
+                       len(list_intersect(a.shingles, b.shingles))::BIGINT
+                           AS shared,
+                       a.n AS n_a, b.n AS n_b
+                FROM cand c
+                JOIN sized a ON a.doc_id = c.id_a
+                JOIN sized b ON b.doc_id = c.id_b
+            )
+            SELECT id_a, id_b, shared,
+                   round(shared::DOUBLE / n_a, 4) AS c_a,
+                   round(shared::DOUBLE / n_b, 4) AS c_b
+            FROM scored
+            WHERE greatest(round(shared::DOUBLE / n_a, 4),
+                           round(shared::DOUBLE / n_b, 4)) >= 0.8
+        """,
         # DSIR: hashed-feature buckets via the md5-60 arithmetic, add-one
         # smoothed log-ratio per bucket in integer micro-nats, doc-keyed
         # sum; docs with no features kept at (0, 0).

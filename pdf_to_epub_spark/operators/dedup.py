@@ -760,6 +760,101 @@ def ngram_jaccard_pairs(
     return _verify_pairs_exact_jaccard(df, pairs, text_col, id_col, k, threshold)
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact ASYMMETRIC shingle-containment pairing — the
+    syndication/excerpt detector Jaccard structurally misses: when A is an
+    excerpt of a much larger B, C(A→B) = |A∩B|/|A| ≈ 1 while
+    J(A,B) ≈ |A|/|B| stays far below any useful threshold.  Returns
+    unordered ``(id_a, id_b, shared, c_a, c_b)`` (sizes measured in
+    distinct k-word shingles, ``c_x`` = shared/|x| rounded to 4 dp) for
+    every pair where EITHER direction reaches ``threshold``.
+
+    Candidate generation is prefix-filtered on the PROBE side only (the
+    prospective containee): containment ≥ t forces overlap ≥ ⌈t·n_probe⌉,
+    so the smallest common hash must fall within the probe's first
+    ``n − ⌈t·n⌉ + 1`` sorted hashes — but unlike Jaccard there is no lower
+    bound on overlap relative to the CONTAINER's size, so the index side
+    carries full sets and no size-ratio prune applies (that asymmetry is
+    the point of the metric).  The join itself carries only
+    (id, long hash); candidates are then re-verified with exact string
+    shingles (`_shingles_from_tokens`), so hash collisions cannot create
+    false positives — a collision can only drop a near-threshold true
+    pair, the same ~2⁻⁶⁴ bound `ngram_jaccard_pairs` documents.
+
+    Scale note: a boilerplate shingle shared by d docs costs
+    ~(1−t)·d · d index fan-out (probe-side prefix shrinks one factor
+    only).  Run `strip_template_lines` upstream, or raise k, before
+    pointing this at a chrome-heavy crawl."""
+    sh = with_shingles(df.select(id_col, text_col), text_col, k).select(
+        F.col(id_col).alias("id"), F.col("shingles")
+    )
+    hashed = sh.select(
+        "id",
+        F.array_sort(
+            F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
+        ).alias("hs"),
+    )
+    n = F.size("hs")
+    prefix_len = (n - _ceil_mul(n, threshold) + F.lit(1)).cast("int")
+    probe = hashed.select(
+        "id", F.explode(F.slice("hs", F.lit(1), prefix_len)).alias("h")
+    )
+    index = hashed.select("id", F.explode("hs").alias("h"))
+    p, ix = probe.alias("p"), index.alias("ix")
+    pairs = (
+        p.join(
+            ix,
+            on=[F.col("p.h") == F.col("ix.h"), F.col("p.id") != F.col("ix.id")],
+        )
+        .select(
+            F.least(F.col("p.id"), F.col("ix.id")).alias("id_a"),
+            F.greatest(F.col("p.id"), F.col("ix.id")).alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = _score_pairs_exact_containment(df, pairs, text_col, id_col, k)
+    return scored.localCheckpoint(eager=False).where(
+        F.greatest(F.col("c_a"), F.col("c_b")) >= threshold
+    )
+
+
+def _score_pairs_exact_containment(
+    df: DataFrame, pairs: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Containment counterpart of `_score_pairs_exact_jaccard` (same
+    broadcast/plan policy, same token-materialization discipline): exact
+    string-shingle intersection plus BOTH directed containments."""
+    ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_text_a"))
+    tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_text_b"))
+    with_texts = tb.join(ta.join(F.broadcast(pairs), "id_a"), "id_b")
+    toks = with_texts.select(
+        "id_a",
+        "id_b",
+        _word_tokens(F.col("_text_a")).alias("_toks_a"),
+        _word_tokens(F.col("_text_b")).alias("_toks_b"),
+    )
+    shingled = toks.select(
+        "id_a",
+        "id_b",
+        _shingles_from_tokens(F.col("_toks_a"), k).alias("_sh_a"),
+        _shingles_from_tokens(F.col("_toks_b"), k).alias("_sh_b"),
+    )
+    shared = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("long")
+    return shingled.select(
+        "id_a",
+        "id_b",
+        shared.alias("shared"),
+        F.round(shared / F.size("_sh_a"), 4).alias("c_a"),
+        F.round(shared / F.size("_sh_b"), 4).alias("c_b"),
+    )
+
+
 def connected_components(
     edges: DataFrame,
     ids: DataFrame,

@@ -1982,3 +1982,43 @@ def test_dsir_ratio_table_is_complete_and_broadcast(spark):
     # the ratio table reaches the corpus feature stream via broadcast
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------------------- containment
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    from pdf_to_epub_spark.operators import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    big = " ".join(f"w{i} token{i % 7} filler{i}" for i in range(40))
+    excerpt = " ".join(big.split()[:24])  # first fifth of the big doc
+    other = "completely unrelated text about different things entirely ok"
+    df = spark.createDataFrame(
+        [(1, big), (2, excerpt), (3, other)], ["doc_id", "text"]
+    )
+    got = {
+        (r.id_a, r.id_b): r
+    for r in containment_pairs(df, k=5, threshold=0.9).collect()}
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r.c_b == 1.0  # the excerpt is fully contained in the source
+    assert r.c_a < 0.9  # the source is NOT contained in the excerpt
+    # Jaccard at the same bar misses the pair entirely
+    assert ngram_jaccard_pairs(df, k=5, threshold=0.9).collect() == []
+
+
+def test_containment_short_doc_fallback_and_rounding(spark):
+    from pdf_to_epub_spark.operators import containment_pairs
+
+    # <k tokens: the whole text is the single shingle; identical shorts
+    # are mutually contained
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc"), (3, "tiny other")],
+        ["doc_id", "text"],
+    )
+    got = [
+        (r.id_a, r.id_b, r.shared, r.c_a, r.c_b)
+        for r in containment_pairs(df, k=5, threshold=0.8).collect()
+    ]
+    assert got == [(1, 2, 1, 1.0, 1.0)]
