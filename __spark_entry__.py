@@ -2291,6 +2291,39 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection (textstats.soft404_signals): every 11th document
+    is rewritten into an HTTP-200 error page (body + /404 URL path) and
+    the phrase/length/URL heuristic must flag exactly those — the crawl
+    contaminant that survives status-code filtering.  Pure codegen column
+    algebra; the oracle mirrors each signal."""
+    from pdf_to_epub_spark.operators import soft404_signals
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    is_err = (F.col("doc_id") % 11) == 3
+    pages = d.select(
+        "doc_id",
+        F.when(
+            is_err,
+            F.concat(
+                F.lit("404 Page Not Found - The requested URL /doc/"),
+                sid,
+                F.lit(" was not found on this server."),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+        F.when(
+            is_err, F.concat(F.lit("https://crawl.invalid/"), sid, F.lit("/404"))
+        ).otherwise(
+            F.concat(F.lit("https://crawl.invalid/doc/"), sid)
+        ).alias("url"),
+    )
+    return soft404_signals(pages, url_col="url").select(
+        "doc_id", "n_error_phrases", "n_word_tokens", "url_error_hint",
+        "is_soft404",
+    )
+
+
 def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle-containment detection (operators/dedup.py
     `containment_pairs`) over documents ∪ first-half excerpts: an excerpt
@@ -2738,6 +2771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "dsir_weights": _q_dsir_weights,
         "containment_pairs": _q_containment_pairs,
+        "soft404_detect": _q_soft404,
         "extraction_eval": _q_extraction_eval,
     }
 
@@ -5207,6 +5241,49 @@ def oracle_sql() -> dict[str, str]:
             if (o := _bpe_encode_oracle()) is not None
             else {}
         ),
+        # Soft-404: phrase membership via contains() on the lowered body,
+        # word tokens via the shared token class, URL hint via the same
+        # RE2-safe pattern; every-11th doc rewritten as in the Spark query.
+        "soft404_detect": """
+            WITH pages AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 3 THEN
+                           '404 Page Not Found - The requested URL /doc/'
+                           || doc_id || ' was not found on this server.'
+                       ELSE text END AS text,
+                       CASE WHEN doc_id % 11 = 3 THEN
+                           'https://crawl.invalid/' || doc_id || '/404'
+                       ELSE 'https://crawl.invalid/doc/' || doc_id
+                       END AS url
+                FROM documents
+            ), low AS (
+                SELECT doc_id, url,
+                       lower(coalesce(text, '')) AS t
+                FROM pages
+            ), sig AS (
+                SELECT doc_id,
+                       (contains(t, 'page not found')::INT
+                        + contains(t, '404 not found')::INT
+                        + contains(t, 'error 404')::INT
+                        + contains(t, 'not found on this server')::INT
+                        + contains(t, 'access denied')::INT
+                        + contains(t, 'no longer available')::INT
+                        + contains(t, 'temporarily unavailable')::INT
+                        + contains(t, 'this page does not exist')::INT
+                       )::INT AS n_error_phrases,
+                       len(regexp_extract_all(t, '[a-zà-öø-ÿ]+'))::INT
+                           AS n_word_tokens,
+                       coalesce(regexp_matches(lower(url),
+                           '(404|not-found|error)([/.?]|$)'), false)
+                           AS url_error_hint
+                FROM low
+            )
+            SELECT doc_id, n_error_phrases, n_word_tokens, url_error_hint,
+                   (n_error_phrases >= 1
+                    AND (n_word_tokens <= 40 OR url_error_hint))
+                       AS is_soft404
+            FROM sig
+        """,
         # Containment over documents ∪ half-excerpts: shingle semantics as
         # in _shingle_jaccard_oracle; candidates via a shared-shingle
         # inverted index (sound: threshold > 0 needs shared ≥ 1); filter on

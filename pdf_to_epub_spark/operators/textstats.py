@@ -890,3 +890,75 @@ def bpe_encode_symbols(
             F.sum("n").cast("long").alias("occurrences"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Soft-404 / error-page detection
+# --------------------------------------------------------------------------
+
+# Phrases counted case-insensitively as distinct error signals; a page
+# matching ≥1 while being short (or living on an error-looking URL path)
+# is classified soft-404.  Deliberately a small, auditable list — the
+# crawl-cleaning heuristic, not a trained classifier (classify.py holds
+# the trained path).
+SOFT404_PHRASES: tuple[str, ...] = (
+    "page not found",
+    "404 not found",
+    "error 404",
+    "not found on this server",
+    "access denied",
+    "no longer available",
+    "temporarily unavailable",
+    "this page does not exist",
+)
+
+_SOFT404_URL_PATTERN = "(404|not-found|error)([/.?]|$)"
+
+
+def soft404_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    url_col: str | None = None,
+    max_tokens: int = 40,
+) -> DataFrame:
+    """Soft-404 detection signals per page: pages that return HTTP 200 but
+    carry an error body are a notorious crawl contaminant — they survive
+    status-code filtering and then dominate exact/near dedup clusters
+    ("Page not found" × 10⁷).  Appends ``n_error_phrases`` (distinct
+    `SOFT404_PHRASES` present, case-insensitive), ``n_word_tokens``,
+    ``url_error_hint`` (when ``url_col`` given), and the verdict
+    ``is_soft404`` = ≥1 phrase AND (short page OR error-looking URL).
+
+    All signals are codegen column algebra (instr/regexp_count on a
+    materialized lowercase column — one lower() per row, not one per
+    phrase); zero shuffles, zero UDFs.  Run BEFORE dedup so error pages
+    don't form giant clusters there."""
+    low = df.withColumn(
+        "__low", F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    n_err = sum(
+        F.when(F.instr("__low", p) > 0, 1).otherwise(0)
+        for p in SOFT404_PHRASES
+    ).cast("int")
+    n_tok = F.expr(
+        f"regexp_count(__low, '{_TOKEN_CLASS}+')"
+    ).cast("int")
+    out = low.withColumn("n_error_phrases", n_err).withColumn(
+        "n_word_tokens", n_tok
+    )
+    if url_col is not None:
+        out = out.withColumn(
+            "url_error_hint",
+            F.coalesce(
+                F.lower(F.col(url_col)).rlike(_SOFT404_URL_PATTERN),
+                F.lit(False),
+            ),
+        )
+        hint = F.col("url_error_hint")
+    else:
+        hint = F.lit(False)
+    return out.withColumn(
+        "is_soft404",
+        (F.col("n_error_phrases") >= 1)
+        & ((F.col("n_word_tokens") <= max_tokens) | hint),
+    ).drop("__low")

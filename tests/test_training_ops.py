@@ -2022,3 +2022,28 @@ def test_containment_short_doc_fallback_and_rounding(spark):
         for r in containment_pairs(df, k=5, threshold=0.8).collect()
     ]
     assert got == [(1, 2, 1, 1.0, 1.0)]
+
+
+# ---------------------------------------------------------------- soft-404
+def test_soft404_flags_error_pages_not_articles(spark):
+    from pdf_to_epub_spark.operators import soft404_signals
+
+    long_body = " ".join(["word"] * 120)
+    df = spark.createDataFrame(
+        [
+            (1, "Error 404 - Page Not Found", "https://x.example/a"),
+            (2, long_body, "https://x.example/b"),
+            # long page that MENTIONS an error phrase: not soft-404 unless
+            # the URL also looks like an error path
+            (3, long_body + " page not found", "https://x.example/c"),
+            (4, long_body + " page not found", "https://x.example/404"),
+            (5, None, "https://x.example/e"),
+        ],
+        ["doc_id", "text", "url"],
+    )
+    got = {r.doc_id: r for r in soft404_signals(df, url_col="url").collect()}
+    assert got[1].is_soft404 and got[1].n_error_phrases == 2
+    assert not got[2].is_soft404
+    assert not got[3].is_soft404  # phrase but long and clean URL
+    assert got[4].is_soft404  # phrase + error URL, length irrelevant
+    assert not got[5].is_soft404 and got[5].n_word_tokens == 0
