@@ -2291,6 +2291,36 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture planning + deterministic application
+    (operators/sampling.py `mixture_plan`/`apply_mixture`): a 40/30/20/10
+    char-weighted target over four sources, largest-achievable budget
+    with no upsampling, membership by md5 unit hash.  Returns the plan
+    joined with the post-sample per-source summary; the oracle replays
+    T*, the rates, and the hash filter relationally."""
+    from pdf_to_epub_spark.operators import apply_mixture, mixture_plan
+
+    d = _t(spark, sf_dir, "documents")
+    targets = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    plan = mixture_plan(d, targets, weight_col="n_chars")
+    kept = (
+        apply_mixture(d, targets, weight_col="n_chars")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_kept"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+        )
+    )
+    return plan.join(kept, "source", "left").select(
+        "source",
+        F.round("target_frac", 6).alias("target_frac"),
+        "available",
+        F.round("rate", 6).alias("rate"),
+        F.coalesce("n_docs_kept", F.lit(0)).cast("long").alias("n_docs_kept"),
+        F.coalesce("chars_kept", F.lit(0)).cast("long").alias("chars_kept"),
+    )
+
+
 def _q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft-404 detection (textstats.soft404_signals): every 11th document
     is rewritten into an HTTP-200 error page (body + /404 URL path) and
@@ -2772,6 +2802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "containment_pairs": _q_containment_pairs,
         "soft404_detect": _q_soft404,
+        "corpus_mixture": _q_corpus_mixture,
         "extraction_eval": _q_extraction_eval,
     }
 
@@ -5241,6 +5272,46 @@ def oracle_sql() -> dict[str, str]:
             if (o := _bpe_encode_oracle()) is not None
             else {}
         ),
+        # Mixture: T* = min(available/frac), rate = frac*T*/available,
+        # membership by the md5 unit hash; target fractions cast ::DOUBLE
+        # immediately (a bare VALUES 0.4 is DECIMAL in DuckDB and would
+        # poison the arithmetic/formatting).
+        "corpus_mixture": """
+            WITH targets AS (
+                SELECT source, target_frac::DOUBLE AS target_frac
+                FROM (VALUES ('src0', 0.4), ('src1', 0.3),
+                             ('src2', 0.2), ('src3', 0.1))
+                     t(source, target_frac)
+            ), avail AS (
+                SELECT source, sum(n_chars)::BIGINT AS available
+                FROM documents GROUP BY source
+            ), plan AS (
+                SELECT t.source, t.target_frac,
+                       coalesce(a.available, 0)::BIGINT AS available
+                FROM targets t LEFT JOIN avail a ON a.source = t.source
+            ), tstar AS (
+                SELECT min(available / target_frac) AS t FROM plan
+            ), rates AS (
+                SELECT source, target_frac, available,
+                       CASE WHEN available > 0
+                            THEN target_frac * tstar.t / available
+                            ELSE 0.0 END AS rate
+                FROM plan, tstar
+            ), kept AS (
+                SELECT d.source, count(*)::BIGINT AS n_docs_kept,
+                       sum(d.n_chars)::BIGINT AS chars_kept
+                FROM documents d JOIN rates r ON r.source = d.source
+                WHERE ('0x' || substr(md5('mixture:'
+                          || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                      / 1152921504606846976.0 < r.rate
+                GROUP BY d.source
+            )
+            SELECT r.source, round(r.target_frac, 6) AS target_frac,
+                   r.available, round(r.rate, 6) AS rate,
+                   coalesce(k.n_docs_kept, 0)::BIGINT AS n_docs_kept,
+                   coalesce(k.chars_kept, 0)::BIGINT AS chars_kept
+            FROM rates r LEFT JOIN kept k ON k.source = r.source
+        """,
         # Soft-404: phrase membership via contains() on the lowered body,
         # word tokens via the shared token class, URL hint via the same
         # RE2-safe pattern; every-11th doc rewritten as in the Spark query.

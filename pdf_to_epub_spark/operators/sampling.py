@@ -348,3 +348,77 @@ def dsir_log_weights(
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Source-mixture planning (Pile/DoReMi-style static mixing)
+# --------------------------------------------------------------------------
+
+
+def mixture_plan(
+    df: DataFrame,
+    targets: dict[str, float],
+    source_col: str = "source",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Largest-achievable-corpus mixture plan: given target fractions
+    ``targets`` (source → fraction of the final mix) and the corpus's
+    per-source availability (row count, or ``sum(weight_col)`` when a
+    token/char weight column is given), the maximal total budget with NO
+    upsampling is ``T* = min_s(available_s / frac_s)``; each source then
+    samples at ``rate_s = frac_s · T* / available_s`` (≤ 1 by
+    construction).  Returns ``(source, target_frac, available, rate)``
+    for every targeted source — a source missing from the corpus drives
+    ``T*`` (and every rate) to 0, surfacing the unsatisfiable mixture
+    instead of silently re-normalizing it.
+
+    Shape: one map-side-combined per-source aggregation (a handful of
+    rows however big the corpus) and a 1-row min cross-joined back —
+    nothing collects, nothing shuffles the corpus."""
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(s, float(f)) for s, f in sorted(targets.items()) if float(f) > 0],
+        f"{source_col} string, target_frac double",
+    )
+    w = F.count("*") if weight_col is None else F.sum(weight_col)
+    avail = df.groupBy(source_col).agg(w.cast("long").alias("available"))
+    plan = tgt.join(avail, source_col, "left").select(
+        source_col,
+        "target_frac",
+        F.coalesce("available", F.lit(0)).cast("long").alias("available"),
+    )
+    t_star = plan.agg(
+        F.min(F.col("available") / F.col("target_frac")).alias("__t")
+    )
+    return plan.crossJoin(F.broadcast(t_star)).select(
+        source_col,
+        "target_frac",
+        "available",
+        F.when(
+            F.col("available") > 0,
+            F.col("target_frac") * F.col("__t") / F.col("available"),
+        ).otherwise(F.lit(0.0)).alias("rate"),
+    )
+
+
+def apply_mixture(
+    df: DataFrame,
+    targets: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    weight_col: str | None = None,
+    salt: str = "mixture",
+) -> DataFrame:
+    """Deterministically sample the corpus to the `mixture_plan` rates:
+    row membership = ``unit_hash(salt:id) < rate_source`` — a pure
+    function of (id, salt, per-source totals), so it is retry- and
+    partitioning-stable and replays in the SQL oracle via the same md5
+    arithmetic.  Untargeted sources drop entirely (rate 0).  The
+    plan table broadcasts; the corpus is scanned once with no shuffle."""
+    rates = mixture_plan(df, targets, source_col, weight_col).select(
+        source_col, "rate"
+    )
+    joined = df.join(F.broadcast(rates), source_col, "left")
+    return joined.where(
+        _unit_hash(F.col(id_col), salt) < F.coalesce("rate", F.lit(0.0))
+    ).drop("rate")

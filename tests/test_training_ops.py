@@ -2047,3 +2047,39 @@ def test_soft404_flags_error_pages_not_articles(spark):
     assert not got[3].is_soft404  # phrase but long and clean URL
     assert got[4].is_soft404  # phrase + error URL, length irrelevant
     assert not got[5].is_soft404 and got[5].n_word_tokens == 0
+
+
+# ----------------------------------------------------------------- mixture
+def test_mixture_plan_no_upsampling_and_missing_source(spark):
+    from pdf_to_epub_spark.operators import mixture_plan
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 80 else "b", 10) for i in range(100)],
+        ["doc_id", "source", "n_tok"],
+    )
+    # a: 800 weight avail, b: 200.  b is the binding source:
+    # T* = min(800/0.5, 200/0.5) = 400 -> rate_a = 0.25, rate_b = 1.0
+    plan = {r.source: r for r in
+            mixture_plan(df, {"a": 0.5, "b": 0.5}, weight_col="n_tok").collect()}
+    assert plan["a"].rate == 0.25
+    assert plan["b"].rate == 1.0
+    # a targeted source absent from the corpus -> every rate collapses to 0
+    plan2 = {r.source: r.rate for r in
+             mixture_plan(df, {"a": 0.5, "zz": 0.5}).collect()}
+    assert plan2 == {"a": 0.0, "zz": 0.0}
+
+
+def test_apply_mixture_deterministic_and_drops_untargeted(spark):
+    from pdf_to_epub_spark.operators import apply_mixture
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(300)],
+        ["doc_id", "source"],
+    )
+    kept1 = sorted(r.doc_id for r in apply_mixture(df, {"a": 0.5, "b": 0.5}).collect())
+    kept2 = sorted(
+        r.doc_id
+        for r in apply_mixture(df.repartition(7), {"a": 0.5, "b": 0.5}).collect()
+    )
+    assert kept1 == kept2  # partitioning-stable membership
+    assert all(i % 3 != 2 for i in kept1)  # source c dropped entirely
