@@ -2291,6 +2291,17 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel top-k DSIR selection (sampling.dsir_resample): draw 50
+    documents without replacement with probability ∝ importance weight —
+    deterministic Gumbel noise from the md5 unit hash, rank on the
+    6-dp-rounded key, TakeOrderedAndProject cut."""
+    from pdf_to_epub_spark.operators import dsir_resample
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_resample(d, d.where(F.col("lang") == "en"), k=50)
+
+
 def _q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-mixture planning + deterministic application
     (operators/sampling.py `mixture_plan`/`apply_mixture`): a 40/30/20/10
@@ -2803,6 +2814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,
         "soft404_detect": _q_soft404,
         "corpus_mixture": _q_corpus_mixture,
+        "dsir_resample": _q_dsir_resample,
         "extraction_eval": _q_extraction_eval,
     }
 
@@ -3247,6 +3259,68 @@ def _bpe_merges_oracle(n_merges: int = 8, min_weight: int = 2) -> str | None:
         FROM golden
         WHERE corpus_key = (SELECT sum(length(coalesce(text, '')))
                             FROM documents)
+    """
+
+
+def _dsir_weights_oracle(final: str | None = None) -> str:
+    """Shared DuckDB replay of the DSIR importance weights (see
+    `_q_dsir_weights`): hashed unigram+bigram buckets via the md5-60
+    arithmetic, add-one smoothed per-bucket log-ratios in integer
+    micro-nats, doc-keyed sums.  ``final`` overrides the closing SELECT
+    (receives a ``weights`` CTE with doc_id/n_feats/log_weight_micro) —
+    used by the Gumbel-resample oracle."""
+    final = final or """
+        SELECT doc_id, n_feats, log_weight_micro FROM weights
+    """
+    return f"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-zà-öø-ÿ]+') AS ws
+                FROM documents
+            ), feats AS (
+                SELECT doc_id, lang, unnest(ws) AS f FROM toks
+                UNION ALL
+                SELECT doc_id, lang,
+                       unnest(list_transform(generate_series(1, len(ws) - 1),
+                              i -> ws[i] || ' ' || ws[i + 1])) AS f
+                FROM toks
+            ), bk AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096
+                           AS bucket
+                FROM feats
+            ), rc AS (
+                SELECT bucket, count(*)::BIGINT AS c_r FROM bk
+                GROUP BY bucket
+            ), tc AS (
+                SELECT bucket, count(*)::BIGINT AS c_t FROM bk
+                WHERE lang = 'en' GROUP BY bucket
+            ), tot AS (
+                SELECT (SELECT coalesce(sum(c_r), 0) FROM rc) AS n_r,
+                       (SELECT coalesce(sum(c_t), 0) FROM tc) AS n_t
+            ), ratio AS (
+                SELECT g.bucket,
+                       round((ln((coalesce(tc.c_t, 0) + 1.0)
+                                 / (tot.n_t + 4096.0))
+                            - ln((coalesce(rc.c_r, 0) + 1.0)
+                                 / (tot.n_r + 4096.0))) * 1e6)::BIGINT
+                           AS lr_micro
+                FROM (SELECT unnest(generate_series(0, 4095)) AS bucket) g
+                LEFT JOIN rc ON rc.bucket = g.bucket
+                LEFT JOIN tc ON tc.bucket = g.bucket, tot
+            ), scored AS (
+                SELECT bk.doc_id, count(*)::BIGINT AS n_feats,
+                       sum(r.lr_micro)::BIGINT AS lwm
+                FROM bk JOIN ratio r ON r.bucket = bk.bucket
+                GROUP BY bk.doc_id
+            ), weights AS (
+                SELECT d.doc_id,
+                       coalesce(s.n_feats, 0)::BIGINT AS n_feats,
+                       coalesce(s.lwm, 0)::BIGINT AS log_weight_micro
+                FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+            )
+            {final}
     """
 
 
@@ -5409,54 +5483,22 @@ def oracle_sql() -> dict[str, str]:
         # DSIR: hashed-feature buckets via the md5-60 arithmetic, add-one
         # smoothed log-ratio per bucket in integer micro-nats, doc-keyed
         # sum; docs with no features kept at (0, 0).
-        "dsir_weights": """
-            WITH toks AS (
-                SELECT doc_id, lang,
-                       regexp_extract_all(lower(coalesce(text, '')),
-                                          '[a-zà-öø-ÿ]+') AS ws
-                FROM documents
-            ), feats AS (
-                SELECT doc_id, lang, unnest(ws) AS f FROM toks
-                UNION ALL
-                SELECT doc_id, lang,
-                       unnest(list_transform(generate_series(1, len(ws) - 1),
-                              i -> ws[i] || ' ' || ws[i + 1])) AS f
-                FROM toks
-            ), bk AS (
-                SELECT doc_id, lang,
-                       ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096
-                           AS bucket
-                FROM feats
-            ), rc AS (
-                SELECT bucket, count(*)::BIGINT AS c_r FROM bk
-                GROUP BY bucket
-            ), tc AS (
-                SELECT bucket, count(*)::BIGINT AS c_t FROM bk
-                WHERE lang = 'en' GROUP BY bucket
-            ), tot AS (
-                SELECT (SELECT coalesce(sum(c_r), 0) FROM rc) AS n_r,
-                       (SELECT coalesce(sum(c_t), 0) FROM tc) AS n_t
-            ), ratio AS (
-                SELECT g.bucket,
-                       round((ln((coalesce(tc.c_t, 0) + 1.0)
-                                 / (tot.n_t + 4096.0))
-                            - ln((coalesce(rc.c_r, 0) + 1.0)
-                                 / (tot.n_r + 4096.0))) * 1e6)::BIGINT
-                           AS lr_micro
-                FROM (SELECT unnest(generate_series(0, 4095)) AS bucket) g
-                LEFT JOIN rc ON rc.bucket = g.bucket
-                LEFT JOIN tc ON tc.bucket = g.bucket, tot
-            ), scored AS (
-                SELECT bk.doc_id, count(*)::BIGINT AS n_feats,
-                       sum(r.lr_micro)::BIGINT AS lwm
-                FROM bk JOIN ratio r ON r.bucket = bk.bucket
-                GROUP BY bk.doc_id
-            )
-            SELECT d.doc_id,
-                   coalesce(s.n_feats, 0)::BIGINT AS n_feats,
-                   coalesce(s.lwm, 0)::BIGINT AS log_weight_micro
-            FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
-        """,
+        "dsir_weights": _dsir_weights_oracle(),
+        # Gumbel top-k resampling over the same weights: deterministic
+        # Gumbel from the md5 unit hash, rank on the ROUNDED key.
+        "dsir_resample": _dsir_weights_oracle(
+            final="""
+            SELECT doc_id, log_weight_micro,
+                   round(log_weight_micro / 1000000.0
+                         - ln(-ln((('0x' || substr(md5('dsir:'
+                               || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                               + 0.5) / 1152921504606846976.0)), 6)
+                       AS gumbel_key
+            FROM weights
+            ORDER BY gumbel_key DESC, doc_id
+            LIMIT 50
+            """
+        ),
         # EPUB final-artifact golden: pure-Python replay of extraction →
         # assembly → byte-deterministic EPUB3 zip, md5 per url.
         **(

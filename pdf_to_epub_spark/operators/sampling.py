@@ -422,3 +422,40 @@ def apply_mixture(
     return joined.where(
         _unit_hash(F.col(id_col), salt) < F.coalesce("rate", F.lit(0.0))
     ).drop("rate")
+
+
+def dsir_resample(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Gumbel top-k importance resampling — the selection step of DSIR:
+    sampling k documents WITHOUT replacement with probability ∝ their
+    importance weight is exactly taking the top k of
+    ``log w_i + Gumbel_i`` (the Gumbel-max trick), and the Gumbel is
+    realized deterministically from the id hash
+    (``u = (h + 0.5)/2^60 ∈ (0,1)``, ``g = -ln(-ln(u))``) so the draw is
+    retry/partitioning-stable and oracle-replayable.
+
+    Returns ``(doc_id, log_weight_micro, gumbel_key)`` for the k winners,
+    ordered by (key desc, id); the key is rounded to 6 dp and the ROUNDED
+    value ranks, so the cut at k is engine-reproducible (the `bm25_topk`
+    contract).  Plan: the weight computation's shuffles plus one
+    TakeOrderedAndProject — no global sort materializes."""
+    lw = dsir_log_weights(raw_df, target_df, text_col, id_col, n_buckets)
+    h = md5_hash60(
+        F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string"))
+    )
+    u = (h + F.lit(0.5)) / F.lit(_HASH_SPACE)
+    key = F.round(
+        F.col("log_weight_micro") / F.lit(1e6) - F.log(-F.log(u)), 6
+    )
+    return (
+        lw.select("doc_id", "log_weight_micro", key.alias("gumbel_key"))
+        .orderBy(F.desc("gumbel_key"), F.col("doc_id").asc())
+        .limit(k)
+    )

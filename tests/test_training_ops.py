@@ -2083,3 +2083,20 @@ def test_apply_mixture_deterministic_and_drops_untargeted(spark):
     )
     assert kept1 == kept2  # partitioning-stable membership
     assert all(i % 3 != 2 for i in kept1)  # source c dropped entirely
+
+
+def test_dsir_resample_is_weight_biased_and_stable(spark):
+    from pdf_to_epub_spark.operators import dsir_resample
+
+    rows = [(i, "the cat sat on the mat again and again") for i in range(30)]
+    rows += [(100 + i, "le chat est sur le tapis encore et encore") for i in range(30)]
+    raw = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = raw.where("doc_id < 100")  # English-side target
+    got = dsir_resample(raw, target, k=20).collect()
+    assert len(got) == 20
+    # selection is biased toward target-like docs
+    n_en = sum(1 for r in got if r.doc_id < 100)
+    assert n_en >= 15
+    # deterministic under repartitioning
+    got2 = dsir_resample(raw.repartition(9), target, k=20).collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in got2]
