@@ -2291,6 +2291,58 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_collapse_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line collapse (dedup.collapse_repeated_lines):
+    each doc is wrapped with a repeated NAV chrome line plus a duplicate of
+    its own first line; the collapse must keep first occurrences and blanks
+    only, entirely in per-row HOF algebra (zero shuffles).  The oracle
+    replays the index-lambda filter in DuckDB."""
+    from pdf_to_epub_spark.operators import collapse_repeated_lines
+
+    d = _t(spark, sf_dir, "documents")
+    body = F.coalesce(F.col("text"), F.lit(""))
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("NAV MENU\n"),
+            body,
+            F.lit("\nNAV MENU\n"),
+            F.element_at(F.split(body, "\n"), 1),
+        ).alias("text"),
+    )
+    return collapse_repeated_lines(pages)
+
+
+def _q_term_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist gate (textstats.term_blocklist_signals): every
+    7th doc gains a spam footer; token-sequence term counts must flag
+    exactly those.  Both engines count by the separator-doubling
+    normalize + literal replace — the RE2-safe mirror of whole-token
+    phrase matching."""
+    from pdf_to_epub_spark.operators import term_blocklist_signals
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 7) == 2,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(
+                    " Click here to subscribe. Casino winner! Click here now."
+                ),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    terms = (
+        "click here", "subscribe", "casino", "winner", "buy now",
+        "lorem ipsum",
+    )
+    return term_blocklist_signals(pages, terms).select(
+        "doc_id", "n_blocklist_hits", "blocked_ratio", "is_blocked"
+    )
+
+
 def _q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gumbel top-k DSIR selection (sampling.dsir_resample): draw 50
     documents without replacement with probability ∝ importance weight —
@@ -2815,6 +2867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404_detect": _q_soft404,
         "corpus_mixture": _q_corpus_mixture,
         "dsir_resample": _q_dsir_resample,
+        "collapse_lines": _q_collapse_lines,
+        "term_blocklist": _q_term_blocklist,
         "extraction_eval": _q_extraction_eval,
     }
 
@@ -5346,6 +5400,71 @@ def oracle_sql() -> dict[str, str]:
             if (o := _bpe_encode_oracle()) is not None
             else {}
         ),
+        # Intra-doc line collapse: the same index-lambda filter (keep line
+        # i iff blank or first occurrence) replayed with DuckDB lambdas.
+        "collapse_lines": """
+            WITH pages AS (
+                SELECT doc_id,
+                       'NAV MENU' || chr(10) || coalesce(text, '')
+                       || chr(10) || 'NAV MENU' || chr(10)
+                       || split_part(coalesce(text, ''), chr(10), 1) AS t
+                FROM documents
+            ), arr AS (
+                SELECT doc_id, string_split(t, chr(10)) AS ls FROM pages
+            ), kept AS (
+                SELECT doc_id, ls,
+                       list_filter(ls, (x, i) -> x = ''
+                                   OR list_position(ls, x) = i) AS ks
+                FROM arr
+            )
+            SELECT doc_id,
+                   array_to_string(ks, chr(10)) AS text_clean,
+                   len(ls)::INT AS n_lines,
+                   (len(ls) - len(ks))::INT AS n_dropped
+            FROM kept
+        """,
+        # Blocklist: identical separator-doubling normalize + literal
+        # replace arithmetic in both engines.
+        "term_blocklist": """
+            WITH pages AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 2 THEN coalesce(text, '')
+                            || ' Click here to subscribe. Casino winner!'
+                            || ' Click here now.'
+                       ELSE text END AS text
+                FROM documents
+            ), low AS (
+                SELECT doc_id, lower(coalesce(text, '')) AS lt FROM pages
+            ), norm AS (
+                SELECT doc_id, lt,
+                       ' ' || regexp_replace(lt, '[^a-zà-öø-ÿ]+', '  ', 'g')
+                       || ' ' AS nm
+                FROM low
+            ), hits AS (
+                SELECT doc_id,
+                       ((length(nm) - length(replace(nm, ' click  here ', '')))
+                            // length(' click  here ')
+                        + (length(nm) - length(replace(nm, ' subscribe ', '')))
+                            // length(' subscribe ')
+                        + (length(nm) - length(replace(nm, ' casino ', '')))
+                            // length(' casino ')
+                        + (length(nm) - length(replace(nm, ' winner ', '')))
+                            // length(' winner ')
+                        + (length(nm) - length(replace(nm, ' buy  now ', '')))
+                            // length(' buy  now ')
+                        + (length(nm) - length(replace(nm,
+                              ' lorem  ipsum ', ''))) // length(' lorem  ipsum ')
+                       )::INT AS n_blocklist_hits,
+                       len(regexp_extract_all(lt, '[a-zà-öø-ÿ]+'))
+                           AS n_words
+                FROM norm
+            )
+            SELECT doc_id, n_blocklist_hits,
+                   round(n_blocklist_hits
+                         / greatest(n_words, 1)::DOUBLE, 6) AS blocked_ratio,
+                   (n_blocklist_hits >= 1) AS is_blocked
+            FROM hits
+        """,
         # Mixture: T* = min(available/frac), rate = frac*T*/available,
         # membership by the md5 unit hash; target fractions cast ::DOUBLE
         # immediately (a bare VALUES 0.4 is DECIMAL in DuckDB and would

@@ -1531,3 +1531,39 @@ def minimizer_overlap_pairs(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def collapse_repeated_lines(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """WITHIN-document repeated-line collapse: keep the FIRST occurrence of
+    every exact non-blank line, drop later repeats, preserve order and
+    blank lines (structure).  The intra-doc complement of the corpus-level
+    `dedup_lines_global` — repeated nav/footer lines that a boilerplate
+    stripper missed typically repeat WITHIN the page first.
+
+    Shape: pure per-row higher-order algebra — ``filter`` with the index
+    lambda keeps line i iff it is blank or ``array_position`` (first
+    match) returns i.  O(L²) comparisons per doc on the materialized line
+    array, ZERO shuffles and no join-back (the keeper-rebuild lesson:
+    the kept lines are recomputable in place, so never re-key the corpus
+    to fetch them)."""
+    lines = df.withColumn(
+        "__lines", F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    )
+    kept = F.filter(
+        F.col("__lines"),
+        lambda x, i: (x == F.lit(""))
+        | (F.array_position(F.col("__lines"), x) == i + F.lit(1)),
+    )
+    return (
+        lines.withColumn("__kept", kept)
+        .select(
+            id_col,
+            F.array_join("__kept", "\n").alias("text_clean"),
+            F.size("__lines").cast("int").alias("n_lines"),
+            (F.size("__lines") - F.size("__kept")).cast("int").alias(
+                "n_dropped"
+            ),
+        )
+    )

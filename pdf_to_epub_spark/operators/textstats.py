@@ -962,3 +962,80 @@ def soft404_signals(
         (F.col("n_error_phrases") >= 1)
         & ((F.col("n_word_tokens") <= max_tokens) | hint),
     ).drop("__low")
+
+
+# --------------------------------------------------------------------------
+# Term-blocklist gate (C4-style "any listed term drops the page")
+# --------------------------------------------------------------------------
+
+
+def term_blocklist_signals(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    text_col: str = "text",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Blocklist-term gate: count whole-token, case-insensitive
+    occurrences of each listed term/phrase and flag documents at
+    ``min_hits`` or more (C4's policy is min_hits=1 over its bad-words
+    list; the list itself is a parameter — ship your own).  Appends
+    ``n_blocklist_hits``, ``blocked_ratio`` (hits per word token, 6 dp)
+    and ``is_blocked``.
+
+    Matching is on the TOKEN SEQUENCE, not the raw bytes: the lowered
+    text is normalized once (every non-letter run → two spaces, padded),
+    after which a term's occurrences are literal-substring occurrences of
+    its double-spaced form — so "click, here" and "click\\nhere" both
+    count for "click here", exactly the token-adjacency semantics a
+    C4-style list means.  Counting is
+    ``(len(norm) − len(replace(norm, needle, ''))) / len(needle)`` —
+    plain length/replace codegen, no token arrays, no lookarounds (RE2
+    has none, so this is also what keeps the DuckDB oracle
+    expression-identical).  Counts are non-overlapping leftmost; a term
+    that overlaps itself token-wise ("buy buy" in "buy buy buy") counts
+    each disjoint occurrence once.  Terms are lowercase letter words
+    separated by single spaces."""
+    import re as _re
+
+    for t in terms:
+        if not _re.fullmatch(f"{_TOKEN_CLASS}+( {_TOKEN_CLASS}+)*", t):
+            raise ValueError(
+                f"blocklist term {t!r} must be lowercase letter words "
+                "separated by single spaces"
+            )
+    low = df.withColumn(
+        "__low", F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    ).withColumn(
+        "__norm",
+        F.concat(
+            F.lit(" "),
+            F.regexp_replace(F.col("__low"), f"{_TOKEN_CLASS.replace('[', '[^', 1)}+", "  "),
+            F.lit(" "),
+        ),
+    )
+
+    def _term_count(t: str) -> Column:
+        needle = " " + t.replace(" ", "  ") + " "
+        return (
+            (
+                F.length("__norm")
+                - F.length(F.replace(F.col("__norm"), F.lit(needle)))
+            )
+            / F.lit(len(needle))
+        ).cast("int")
+
+    hits = sum(_term_count(t) for t in terms).cast("int")
+    n_words = F.expr(f"regexp_count(__low, '{_TOKEN_CLASS}+')")
+    return (
+        low.withColumn("n_blocklist_hits", hits)
+        .withColumn(
+            "blocked_ratio",
+            F.round(
+                F.col("n_blocklist_hits")
+                / F.greatest(n_words, F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+        .withColumn("is_blocked", F.col("n_blocklist_hits") >= min_hits)
+        .drop("__low", "__norm")
+    )

@@ -2100,3 +2100,42 @@ def test_dsir_resample_is_weight_biased_and_stable(spark):
     # deterministic under repartitioning
     got2 = dsir_resample(raw.repartition(9), target, k=20).collect()
     assert [r.doc_id for r in got] == [r.doc_id for r in got2]
+
+
+def test_collapse_repeated_lines_keeps_first_and_blanks(spark):
+    from pdf_to_epub_spark.operators import collapse_repeated_lines
+
+    df = spark.createDataFrame(
+        [(1, "NAV\nbody one\nNAV\n\nbody two\nNAV\n"), (2, None)],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in collapse_repeated_lines(df).collect()}
+    assert got[1].text_clean == "NAV\nbody one\n\nbody two\n"
+    assert (got[1].n_lines, got[1].n_dropped) == (7, 2)
+    assert got[2].text_clean == "" and got[2].n_dropped == 0
+
+
+def test_term_blocklist_token_sequence_semantics(spark):
+    from pdf_to_epub_spark.operators import term_blocklist_signals
+
+    df = spark.createDataFrame(
+        [
+            # separators between phrase words still count (token adjacency)
+            (1, "Click, here! Then click\nhere and CLICK HERE now."),
+            # substring inside a longer word must NOT count
+            (2, "casinos are not casino halls"),
+            (3, "clean page about nothing"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r
+        for r in term_blocklist_signals(df, ("click here", "casino")).collect()
+    }
+    assert got[1].n_blocklist_hits == 3 and got[1].is_blocked
+    assert got[2].n_blocklist_hits == 1  # only the bare 'casino' token
+    assert got[3].n_blocklist_hits == 0 and not got[3].is_blocked
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        term_blocklist_signals(df, ("Bad-Term!",)).collect()
