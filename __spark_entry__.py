@@ -2291,6 +2291,29 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators/sketch.py): 4×1024 counter grid over
+    the corpus token stream, point estimates for the true top-30 tokens —
+    ``(tok, true_n, cms_est)`` with est ≥ true by construction.  The
+    sketch shuffle is a fixed ≤4096 groups regardless of corpus size; the
+    estimate stage is broadcast-only.  The oracle replays the md5 bucket
+    arithmetic, the counters, and the min-over-rows exactly."""
+    from pdf_to_epub_spark.operators import cms_estimate, cms_sketch
+    from pdf_to_epub_spark.operators.textstats import _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    sketch = cms_sketch(d, depth=4, width=1024)
+    true = (
+        d.select(F.explode(_tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("true_n"))
+        .orderBy(F.desc("true_n"), F.col("tok").asc())
+        .limit(30)
+    )
+    est = cms_estimate(sketch, true.select("tok"), depth=4, width=1024)
+    return true.join(est, "tok").select("tok", "true_n", "cms_est")
+
+
 def _q_collapse_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line collapse (dedup.collapse_repeated_lines):
     each doc is wrapped with a repeated NAV chrome line plus a duplicate of
@@ -2869,6 +2892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": _q_dsir_resample,
         "collapse_lines": _q_collapse_lines,
         "term_blocklist": _q_term_blocklist,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         "extraction_eval": _q_extraction_eval,
     }
 
@@ -5400,6 +5424,39 @@ def oracle_sql() -> dict[str, str]:
             if (o := _bpe_encode_oracle()) is not None
             else {}
         ),
+        # CMS: same md5 bucket arithmetic, counters, and min-over-rows;
+        # the top-30 cut orders by (count desc, token asc) in both engines.
+        "cms_heavy_hitters": """
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                              '[a-zà-öø-ÿ]+')) AS tok
+                FROM documents
+            ), truec AS (
+                SELECT tok, count(*)::BIGINT AS true_n FROM toks GROUP BY tok
+            ), top AS (
+                SELECT tok, true_n FROM truec
+                ORDER BY true_n DESC, tok LIMIT 30
+            ), rows_ AS (
+                SELECT unnest(generate_series(0, 3)) AS row
+            ), counters AS (
+                SELECT r.row,
+                       ('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':'
+                           || t.tok), 1, 15))::BIGINT % 1024 AS bucket,
+                       count(*)::BIGINT AS c
+                FROM toks t CROSS JOIN rows_ r
+                GROUP BY 1, 2
+            ), probes AS (
+                SELECT top.tok, top.true_n, r.row,
+                       ('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':'
+                           || top.tok), 1, 15))::BIGINT % 1024 AS bucket
+                FROM top CROSS JOIN rows_ r
+            )
+            SELECT p.tok, p.true_n,
+                   min(coalesce(c.c, 0))::BIGINT AS cms_est
+            FROM probes p
+            LEFT JOIN counters c ON c.row = p.row AND c.bucket = p.bucket
+            GROUP BY p.tok, p.true_n
+        """,
         # Intra-doc line collapse: the same index-lambda filter (keep line
         # i iff blank or first occurrence) replayed with DuckDB lambdas.
         "collapse_lines": """

@@ -1,0 +1,98 @@
+"""Count-min sketch over the corpus token stream.
+
+The CMS (Cormode & Muthukrishnan 2005) is the mergeable frequency sketch a
+100 TB pipeline wants for heavy-hitter questions ("which tokens/n-grams
+exceed N occurrences?") without materializing the full vocabulary: the
+sketch is a fixed ``depth × width`` counter grid however large the corpus,
+partial-aggregates map-side, and unions across corpora/days by plain
+counter addition.  Point estimates only over-count (min over depth rows of
+hash-bucket counters ≥ the true count, w.h.p. within εN).
+
+Everything here is deterministic — the row hashes are the md5-60 family —
+so estimates replay exactly in the SQL oracle (`F.xxhash64` is the faster
+drop-in at scale, same shape).
+
+Reference anchor: the reference pipeline has no sketches (its corpus fits
+one machine); this is part of the training-data surface (SURVEY §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdf_to_epub_spark.operators.dedup import md5_hash60
+from pdf_to_epub_spark.operators.textstats import _tokens
+
+
+def cms_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Build the ``(row, bucket, c)`` counter table: every token occurrence
+    feeds ``depth`` counters, ``bucket_i = md5_60(i ++ ':' ++ token) mod
+    width``.  One corpus scan; the aggregation has at most depth×width
+    groups so the shuffle is a fixed few-KB regardless of corpus size
+    (map-side combine does essentially all the work)."""
+    toks = df.select(F.explode(_tokens(text_col)).alias("tok"))
+    probes = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            md5_hash60(F.concat(F.lit(f"{i}:"), F.col("tok"))),
+                            F.lit(width),
+                        ).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("p")
+    )
+    return (
+        probes.groupBy(F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    token_col: str = "tok",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate the frequency of each query token against a built
+    sketch: ``est = min over rows of counter[row][h_row(tok)]`` (0 when a
+    probed bucket was never touched — then the true count is certainly 0).
+    The sketch is ≤ depth×width rows and BROADCASTS; queries explode into
+    ``depth`` slim probe rows each, so estimating k tokens costs k×depth
+    broadcast-hash lookups — no corpus access at all."""
+    probes = queries.select(
+        F.col(token_col).alias("tok"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            md5_hash60(
+                                F.concat(F.lit(f"{i}:"), F.col(token_col))
+                            ),
+                            F.lit(width),
+                        ).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("tok", F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return (
+        joined.groupBy("tok")
+        .agg(F.min(F.coalesce("c", F.lit(0))).cast("long").alias("cms_est"))
+    )

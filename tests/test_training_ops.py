@@ -2139,3 +2139,32 @@ def test_term_blocklist_token_sequence_semantics(spark):
 
     with _pytest.raises(ValueError):
         term_blocklist_signals(df, ("Bad-Term!",)).collect()
+
+
+# --------------------------------------------------------------------- CMS
+def test_cms_never_undercounts_and_is_mergeable(spark):
+    from pyspark.sql import functions as F
+    from pdf_to_epub_spark.operators import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta " * (i + 1) + "gamma") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    sketch = cms_sketch(df, depth=4, width=64)
+    q = spark.createDataFrame(
+        [("alpha",), ("gamma",), ("missing",)], ["tok"]
+    )
+    got = {r.tok: r.cms_est for r in cms_estimate(sketch, q, depth=4, width=64).collect()}
+    assert got["alpha"] >= 55  # true count = sum(1..10) = 55
+    assert got["gamma"] >= 10
+    assert got["missing"] >= 0
+    # merging two half-corpus sketches by counter addition == whole sketch
+    s1 = cms_sketch(df.where("doc_id < 5"), depth=4, width=64)
+    s2 = cms_sketch(df.where("doc_id >= 5"), depth=4, width=64)
+    merged = (
+        s1.unionByName(s2)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    whole = {(r.row, r.bucket): r.c for r in sketch.collect()}
+    assert {(r.row, r.bucket): r.c for r in merged.collect()} == whole
