@@ -2291,6 +2291,19 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language (textstats.bpe_fertility): the
+    corpus-learned 8-merge BPE applied per (lang, word) vocab row — a
+    merge list dominated by the majority language over-fragments the
+    rest, and this table quantifies it.  Oracle = pure-Python
+    learn+encode+aggregate replay (golden-VALUES)."""
+    from pdf_to_epub_spark.operators import bpe_fertility, bpe_learn_merges
+
+    d = _t(spark, sf_dir, "documents")
+    m = bpe_learn_merges(d, n_merges=8, min_weight=2).orderBy("rank").collect()
+    return bpe_fertility(d, [(r["left"], r["right"]) for r in m])
+
+
 def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (operators/sketch.py): 4×1024 counter grid over
     the corpus token stream, point estimates for the true top-30 tokens —
@@ -2893,6 +2906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_lines": _q_collapse_lines,
         "term_blocklist": _q_term_blocklist,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "bpe_fertility": _q_bpe_fertility,
         "extraction_eval": _q_extraction_eval,
     }
 
@@ -3460,6 +3474,71 @@ def _bpe_encode_oracle(n_merges: int = 8, min_weight: int = 2) -> str | None:
             {vals})
         SELECT symbol, n_words::BIGINT AS n_words,
                occurrences::BIGINT AS occurrences
+        FROM golden
+        WHERE corpus_key = (SELECT sum(length(coalesce(text, '')))
+                            FROM documents)
+    """
+
+
+def _bpe_fertility_oracle(n_merges: int = 8, min_weight: int = 2) -> str | None:
+    """Pure-Python replay of learn(8) + per-(lang, word) encode +
+    fertility aggregation, inlined as a corpus-keyed VALUES table."""
+    import collections
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    rows: list[str] = []
+    tok = _re.compile("[a-zà-öø-ÿ]+")
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        path = pathlib.Path(sf_dir) / "documents.parquet"
+        if not path.exists():
+            return None
+        t = pq.read_table(path, columns=["text", "lang"])
+        texts = t["text"].to_pylist()
+        langs = t["lang"].to_pylist()
+        vocab = collections.Counter()
+        by_lang: dict = collections.defaultdict(collections.Counter)
+        for txt, lg in zip(texts, langs):
+            ws = tok.findall((txt or "").lower())
+            vocab.update(ws)
+            by_lang[lg].update(ws)
+        syms = {w: list(w) for w in vocab}
+        key = sum(len(t_ or "") for t_ in texts)
+        for _rank in range(n_merges):
+            pc: collections.Counter = collections.Counter()
+            for w, n in vocab.items():
+                s = syms[w]
+                for x, y in zip(s, s[1:]):
+                    pc[(x, y)] += n
+            if not pc:
+                break
+            (a, b), weight = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if weight < min_weight:
+                break
+            for w, s in syms.items():
+                out: list[str] = []
+                for c in s:
+                    if out and out[-1] == a and c == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(c)
+                syms[w] = out
+        for lg in sorted(by_lang):
+            n_tok = sum(by_lang[lg].values())
+            n_sub = sum(n * len(syms[w]) for w, n in by_lang[lg].items())
+            fert = round(n_sub / n_tok, 6) if n_tok else None
+            rows.append(f"({key}, '{lg}', {n_tok}, {n_sub}, {fert})")
+    vals = ",\n            ".join(rows)
+    return f"""
+        WITH golden(corpus_key, lang, n_tokens, n_subwords, fertility)
+             AS (VALUES
+            {vals})
+        SELECT lang, n_tokens::BIGINT AS n_tokens,
+               n_subwords::BIGINT AS n_subwords,
+               fertility::DOUBLE AS fertility
         FROM golden
         WHERE corpus_key = (SELECT sum(length(coalesce(text, '')))
                             FROM documents)
@@ -5422,6 +5501,11 @@ def oracle_sql() -> dict[str, str]:
         **(
             {"bpe_encode": o}
             if (o := _bpe_encode_oracle()) is not None
+            else {}
+        ),
+        **(
+            {"bpe_fertility": o}
+            if (o := _bpe_fertility_oracle()) is not None
             else {}
         ),
         # CMS: same md5 bucket arithmetic, counters, and min-over-rows;

@@ -843,6 +843,25 @@ def bpe_encode_symbols(
     is the honest scale path.  ``occurrences`` is weighted by word
     frequency; ``n_words`` counts distinct vocabulary words containing
     the symbol."""
+    _encode = _bpe_word_encoder(merges)
+    vocab = _word_vocab(df, text_col)
+    return (
+        vocab.select(
+            "word", F.explode(_encode("word")).alias("symbol"), "n"
+        )
+        .groupBy("symbol")
+        .agg(
+            F.countDistinct("word").cast("long").alias("n_words"),
+            F.sum("n").cast("long").alias("occurrences"),
+        )
+    )
+
+
+def _bpe_word_encoder(merges: list[tuple[str, str]]):
+    """Arrow-batched word→symbols encoder for a rank-ordered merge list:
+    each merge rewrites every adjacent (left, right) occurrence
+    leftmost-first, in rank order — the exact Sennrich encode.  Shared by
+    `bpe_encode_symbols` and `bpe_fertility`."""
     from pyspark.sql.functions import pandas_udf
 
     merge_list = [(str(a), str(b)) for a, b in merges]
@@ -879,15 +898,48 @@ def bpe_encode_symbols(
 
         return pd.Series([enc(w) for w in words])
 
-    vocab = _word_vocab(df, text_col)
+    return _encode
+
+
+def bpe_fertility(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer fertility per group (typically language): weighted mean
+    subword symbols per word under the learned merge list —
+    ``(group, n_tokens, n_subwords, fertility)`` with fertility =
+    n_subwords / n_tokens rounded to 6 dp.  THE standard multilingual
+    tokenizer-quality metric: a merge list learned on an English-heavy
+    mix over-fragments the under-represented languages, and this is the
+    table that shows it.
+
+    Shape: one corpus scan into the per-(group, word) frequency table,
+    the encoder UDF runs once per vocab row (same O(vocab × merges)
+    bound as `bpe_encode_symbols` — a word shared by g groups encodes g
+    times, which beats re-keying the corpus through a join-back), then a
+    group-count aggregation."""
+    _encode = _bpe_word_encoder(merges)
+    vocab = (
+        df.select(F.col(group_col).alias("grp"), F.explode(_tokens(text_col)).alias("word"))
+        .groupBy("grp", "word")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    enc = vocab.select("grp", "n", F.size(_encode("word")).alias("n_syms"))
     return (
-        vocab.select(
-            "word", F.explode(_encode("word")).alias("symbol"), "n"
-        )
-        .groupBy("symbol")
+        enc.groupBy("grp")
         .agg(
-            F.countDistinct("word").cast("long").alias("n_words"),
-            F.sum("n").cast("long").alias("occurrences"),
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("n_syms")).cast("long").alias("n_subwords"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "n_subwords",
+            F.round(F.col("n_subwords") / F.col("n_tokens"), 6).alias(
+                "fertility"
+            ),
         )
     )
 

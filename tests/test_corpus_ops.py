@@ -440,3 +440,20 @@ def test_bpe_encode_symbols_leftmost_nonoverlapping(spark):
     }
     assert got["aa"] == (2, 3)  # aaa -> [aa, a]; aaaa -> [aa, aa]
     assert got["a"] == (1, 1)
+
+
+def test_bpe_fertility_majority_language_wins(spark):
+    from pdf_to_epub_spark.operators import bpe_fertility, bpe_learn_merges
+
+    # English-heavy corpus: learned merges compress 'the'-family words,
+    # so the minority language fragments into more symbols per word
+    rows = [(i, "the then there these those them", "en") for i in range(8)]
+    rows += [(100, "zulu xhosa qwerty vexing", "zz")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    m = bpe_learn_merges(df, n_merges=4, min_weight=2).orderBy("rank").collect()
+    got = {r.lang: r for r in
+           bpe_fertility(df, [(r["left"], r["right"]) for r in m]).collect()}
+    assert got["en"].n_tokens == 48
+    assert got["en"].fertility < got["zz"].fertility
+    # fertility is exactly n_subwords / n_tokens
+    assert got["zz"].fertility == round(got["zz"].n_subwords / got["zz"].n_tokens, 6)
