@@ -2291,6 +2291,24 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_domain_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-lower-bound domain curation (urls.domain_quality_rank) over
+    the 13 deterministic domains with a length-based quality bit: the
+    95%-confident floor of each domain's pass rate — the rank a
+    crawl-budget allocator should use instead of the raw fraction.  The
+    oracle replays the bound with the identical expression shape."""
+    from pdf_to_epub_spark.operators import domain_quality_rank
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 13).cast("string"), F.lit(".com")
+        ).alias("domain"),
+        (F.col("n_chars") >= 400).alias("keep"),
+    )
+    return domain_quality_rank(pages)
+
+
 def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per language (textstats.bpe_fertility): the
     corpus-learned 8-merge BPE applied per (lang, word) vocab row — a
@@ -2907,6 +2925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_blocklist": _q_term_blocklist,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "bpe_fertility": _q_bpe_fertility,
+        "domain_quality_rank": _q_domain_quality_rank,
         "extraction_eval": _q_extraction_eval,
     }
 
@@ -5508,6 +5527,35 @@ def oracle_sql() -> dict[str, str]:
             if (o := _bpe_fertility_oracle()) is not None
             else {}
         ),
+        # Wilson bound: identical expression shape (z² as the double
+        # product 1.96::DOUBLE * 1.96::DOUBLE, same nesting), rounded 6 dp.
+        "domain_quality_rank": """
+            WITH d AS (
+                SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.com'
+                           AS domain,
+                       (n_chars >= 400) AS keep
+                FROM documents
+            ), agg AS (
+                SELECT domain, count(*)::BIGINT AS n_docs,
+                       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT
+                           AS n_quality
+                FROM d GROUP BY domain
+            )
+            SELECT domain, n_docs, n_quality,
+                   round(n_quality / n_docs::DOUBLE, 6) AS quality_rate,
+                   round(((n_quality / n_docs::DOUBLE)
+                          + (1.96::DOUBLE * 1.96::DOUBLE)
+                              / (2 * n_docs::DOUBLE)
+                          - 1.96::DOUBLE * sqrt((
+                                (n_quality / n_docs::DOUBLE)
+                                * (1 - (n_quality / n_docs::DOUBLE))
+                                + (1.96::DOUBLE * 1.96::DOUBLE)
+                                    / (4 * n_docs::DOUBLE)
+                            ) / n_docs::DOUBLE))
+                         / (1 + (1.96::DOUBLE * 1.96::DOUBLE)
+                                / n_docs::DOUBLE), 6) AS wilson_lb
+            FROM agg
+        """,
         # CMS: same md5 bucket arithmetic, counters, and min-over-rows;
         # the top-30 cut orders by (count desc, token asc) in both engines.
         "cms_heavy_hitters": """

@@ -828,3 +828,44 @@ def extract_tables(
         F.size(cells).cast("int").alias("n_cells"),
         F.array_join(cells, cell_sep).alias("cells"),
     )
+
+
+def domain_quality_rank(
+    df: DataFrame,
+    domain_col: str = "domain",
+    keep_col: str = "keep",
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-domain quality with a Wilson-score LOWER bound: rank domains by
+    the 95%-confident floor of their quality-pass rate instead of the raw
+    fraction, so a 2/2 domain does not outrank an 950/1000 one — the
+    statistically honest version of domain-level curation (allowlists,
+    crawl-budget assignment).
+
+    ``wilson_lb = (p + z²/2n − z·√((p(1−p) + z²/4n)/n)) / (1 + z²/n)``
+    with p = n_quality/n_docs.  One combiner-enabled groupBy on the slim
+    (domain, bool) projection; the bound is per-group scalar algebra.
+    Returns ``(domain, n_docs, n_quality, quality_rate, wilson_lb)``,
+    both rates rounded to 6 dp."""
+    z2 = float(z) * float(z)
+    agg = df.groupBy(domain_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col(keep_col), 1).otherwise(0))
+        .cast("long")
+        .alias("n_quality"),
+    )
+    n = F.col("n_docs").cast("double")
+    p = F.col("n_quality") / n
+    lb = (
+        p
+        + F.lit(z2) / (2 * n)
+        - F.lit(float(z))
+        * F.sqrt((p * (1 - p) + F.lit(z2) / (4 * n)) / n)
+    ) / (1 + F.lit(z2) / n)
+    return agg.select(
+        domain_col,
+        "n_docs",
+        "n_quality",
+        F.round(p, 6).alias("quality_rate"),
+        F.round(lb, 6).alias("wilson_lb"),
+    )

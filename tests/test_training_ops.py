@@ -2168,3 +2168,19 @@ def test_cms_never_undercounts_and_is_mergeable(spark):
     )
     whole = {(r.row, r.bucket): r.c for r in sketch.collect()}
     assert {(r.row, r.bucket): r.c for r in merged.collect()} == whole
+
+
+def test_wilson_bound_penalizes_small_samples(spark):
+    from pdf_to_epub_spark.operators import domain_quality_rank
+
+    rows = [("tiny.com", True)] * 2  # 2/2 = 100% but tiny
+    rows += [("big.com", True)] * 950 + [("big.com", False)] * 50  # 95%
+    df = spark.createDataFrame(rows, ["domain", "keep"])
+    got = {r.domain: r for r in domain_quality_rank(df).collect()}
+    assert got["tiny.com"].quality_rate == 1.0
+    assert got["big.com"].quality_rate == 0.95
+    # the confident floor reverses the raw-rate ranking
+    assert got["big.com"].wilson_lb > got["tiny.com"].wilson_lb
+    # sanity: bounds are proper lower bounds in [0, rate]
+    for r in got.values():
+        assert 0.0 <= r.wilson_lb <= r.quality_rate
