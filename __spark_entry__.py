@@ -2291,6 +2291,29 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter crawl membership (operators/sketch.py): the filter is
+    built over the already-crawled third of the url space and every url
+    probes it — no false negatives by construction, false positives
+    deterministic (and oracle-replayed) because the bit hashes are md5-60.
+    Output: (doc_id, might_contain, actually_in)."""
+    from pdf_to_epub_spark.operators import bloom_build, bloom_probe
+
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://crawl.invalid/doc/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+    )
+    bloom = bloom_build(urls.where((F.col("doc_id") % 3) == 0))
+    return bloom_probe(urls, bloom).select(
+        "doc_id",
+        "might_contain",
+        ((F.col("doc_id") % 3) == 0).alias("actually_in"),
+    )
+
+
 def _q_domain_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wilson-lower-bound domain curation (urls.domain_quality_rank) over
     the 13 deterministic domains with a length-based quality bit: the
@@ -2926,6 +2949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "bpe_fertility": _q_bpe_fertility,
         "domain_quality_rank": _q_domain_quality_rank,
+        "bloom_membership": _q_bloom_membership,
         "extraction_eval": _q_extraction_eval,
     }
 
@@ -5527,6 +5551,36 @@ def oracle_sql() -> dict[str, str]:
             if (o := _bpe_fertility_oracle()) is not None
             else {}
         ),
+        # Bloom: same md5-60 bit arithmetic; all-6-bits-set membership.
+        "bloom_membership": """
+            WITH urls AS (
+                SELECT doc_id,
+                       'https://crawl.invalid/doc/' || doc_id AS url
+                FROM documents
+            ), ks AS (
+                SELECT unnest(generate_series(0, 5)) AS i
+            ), bits AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                           || url), 1, 15))::BIGINT % 8192 AS bit
+                FROM urls CROSS JOIN ks
+                WHERE doc_id % 3 = 0
+            ), probes AS (
+                SELECT u.doc_id,
+                       ('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                           || u.url), 1, 15))::BIGINT % 8192 AS bit
+                FROM urls u CROSS JOIN ks
+            ), hits AS (
+                SELECT doc_id,
+                       (sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)
+                        = 6) AS might_contain
+                FROM probes p LEFT JOIN bits b ON b.bit = p.bit
+                GROUP BY doc_id
+            )
+            SELECT doc_id, might_contain,
+                   (doc_id % 3 = 0) AS actually_in
+            FROM hits
+        """,
         # Wilson bound: identical expression shape (z² as the double
         # product 1.96::DOUBLE * 1.96::DOUBLE, same nesting), rounded 6 dp.
         "domain_quality_rank": """

@@ -96,3 +96,74 @@ def cms_estimate(
         joined.groupBy("tok")
         .agg(F.min(F.coalesce("c", F.lit(0))).cast("long").alias("cms_est"))
     )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str = "url",
+    n_bits: int = 8192,
+    k: int = 6,
+) -> DataFrame:
+    """Build a Bloom filter over a key column as the SPARSE set-bit table
+    ``(bit)`` — "seen this url before?" at crawl scale without shipping
+    the url set.  Each key sets ``k`` bits, ``bit_i = md5_60(i ++ ':' ++
+    key) mod n_bits``; the result is ≤ n_bits slim rows, mergeable across
+    snapshots by plain union+distinct, and broadcastable to any probe
+    stream.  One scan, one bounded-cardinality distinct."""
+    probes = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        md5_hash60(
+                            F.concat(F.lit(f"{i}:"), F.col(key_col).cast("string"))
+                        ),
+                        F.lit(n_bits),
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("bit")
+    )
+    return probes.distinct()
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "url",
+    n_bits: int = 8192,
+    k: int = 6,
+) -> DataFrame:
+    """Probe a built Bloom filter: appends ``might_contain`` — true iff
+    ALL k probe bits are set (no false negatives; false positives at the
+    classic (1−e^{−kn/m})^k rate).  The bit table broadcasts; probing is
+    k slim lookups per row with a key-grouped count — the key in the
+    shuffle key keeps hot bits irrelevant to skew."""
+    probes = df.select(
+        F.col(key_col).alias("__key"),
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        md5_hash60(
+                            F.concat(F.lit(f"{i}:"), F.col(key_col).cast("string"))
+                        ),
+                        F.lit(n_bits),
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("bit"),
+    )
+    marked = probes.join(
+        F.broadcast(bloom.withColumn("__set", F.lit(1))), "bit", "left"
+    )
+    hits = marked.groupBy("__key").agg(
+        (F.sum(F.coalesce("__set", F.lit(0))) == F.lit(k)).alias(
+            "might_contain"
+        )
+    )
+    return df.join(
+        hits, df[key_col] == hits["__key"], "left"
+    ).drop("__key")

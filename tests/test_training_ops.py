@@ -2184,3 +2184,27 @@ def test_wilson_bound_penalizes_small_samples(spark):
     # sanity: bounds are proper lower bounds in [0, rate]
     for r in got.values():
         assert 0.0 <= r.wilson_lb <= r.quality_rate
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from pdf_to_epub_spark.operators import bloom_build, bloom_probe
+
+    df = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(200)], ["doc_id", "url"]
+    )
+    seen = df.where("doc_id < 100")
+    bloom = bloom_build(seen, n_bits=4096, k=5)
+    got = {r.doc_id: r.might_contain
+           for r in bloom_probe(df, bloom, n_bits=4096, k=5).collect()}
+    # every inserted key MUST report present
+    assert all(got[i] for i in range(100))
+    # at 100 keys / 4096 bits the FP rate is tiny; most absent keys clear
+    assert sum(1 for i in range(100, 200) if got[i]) <= 5
+    # union of two half-filters == filter of the union
+    b1 = bloom_build(df.where("doc_id < 50"), n_bits=4096, k=5)
+    b2 = bloom_build(df.where("doc_id >= 50 and doc_id < 100"), n_bits=4096, k=5)
+    merged = b1.union(b2).distinct()
+    assert (
+        sorted(r.bit for r in merged.collect())
+        == sorted(r.bit for r in bloom.collect())
+    )
