@@ -2425,10 +2425,12 @@ def _q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents without replacement with probability ∝ importance weight —
     deterministic Gumbel noise from the md5 unit hash, rank on the
     6-dp-rounded key, TakeOrderedAndProject cut."""
-    from pdf_to_epub_spark.operators import dsir_resample
+    from pdf_to_epub_spark.operators import dsir_resample, md5_hash60
 
     d = _t(spark, sf_dir, "documents")
-    return dsir_resample(d, d.where(F.col("lang") == "en"), k=50)
+    return dsir_resample(
+        d, d.where(F.col("lang") == "en"), k=50, token_hash=md5_hash60
+    )
 
 
 def _q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2524,10 +2526,12 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio table broadcasts; the corpus shuffles only on doc_id.  The
     oracle replays buckets (md5-60 arithmetic), smoothing, and the sum
     relationally."""
-    from pdf_to_epub_spark.operators import dsir_log_weights
+    from pdf_to_epub_spark.operators import dsir_log_weights, md5_hash60
 
     d = _t(spark, sf_dir, "documents")
-    return dsir_log_weights(d, d.where(F.col("lang") == "en"))
+    return dsir_log_weights(
+        d, d.where(F.col("lang") == "en"), token_hash=md5_hash60
+    )
 
 
 def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:

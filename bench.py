@@ -403,6 +403,60 @@ def run_bench(
 
     timed("paragraph_dedup", paragraph_dedup)
 
+    def dsir_weights() -> None:
+        """DSIR importance weights over the real ~6 KB docs: two corpus
+        scans (raw + target counts) into the 4096-bucket tables, then the
+        broadcast-ratio scoring pass — the whole thing is JVM column
+        algebra, so this is the honest feature-hashing throughput."""
+        from pdf_to_epub_spark.operators import dsir_log_weights
+        from pdf_to_epub_spark.operators.sampling import _unit_hash
+
+        docs = corpus.select(F.xxhash64("url").alias("doc_id"), "text")
+        target = docs.where(_unit_hash(F.col("doc_id"), "bench-dsir") < 0.1)
+        _force(dsir_log_weights(docs, target))
+
+    timed("dsir_weights", dsir_weights, runs=2)
+
+    def containment() -> None:
+        """Asymmetric containment over docs ∪ half-excerpts at honest text
+        volume — probe-prefix inverted index + exact string verify.  The
+        bench prose is TEMPLATE-generated (some 5-gram shingles appear in
+        every doc — df 500 at sf0.01), so this runs the capped scale path
+        (max_df) that a chrome-heavy crawl needs; uncapped, the template
+        shingles make every doc pair a candidate."""
+        from pdf_to_epub_spark.operators import containment_pairs
+
+        docs = corpus.select(F.xxhash64("url").alias("doc_id"), "text")
+        toks = docs.select(
+            "doc_id", F.split(F.trim("text"), r"\s+").alias("_tk")
+        )
+        excerpts = toks.select(
+            (F.col("doc_id") + 1).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "_tk", F.lit(1), ((F.size("_tk") + 1) / 2).cast("int")
+                ),
+            ).alias("text"),
+        )
+        _force(
+            containment_pairs(
+                docs.unionByName(excerpts), k=5, threshold=0.8, max_df=8
+            )
+        )
+
+    timed("containment_pairs", containment, runs=2)
+
+    def cms_build() -> None:
+        """Count-min sketch build over the full token stream — explode +
+        fixed-4096-group aggregation; measures map-side combine
+        throughput on the heaviest-fanout shape (4 rows per token)."""
+        from pdf_to_epub_spark.operators import cms_sketch
+
+        _force(cms_sketch(corpus, depth=4, width=1024))
+
+    timed("cms_sketch", cms_build)
+
     warc_paths = _warc_corpus_paths(corpus)  # one-time build, unmeasured
 
     def warc_parse() -> None:

@@ -596,18 +596,25 @@ def benchmark_contamination(
     one row per contaminated (doc_id, bench_id) with the shared-shingle
     count; anti-join the doc_ids to decontaminate.
     """
+    # explode_outer + null filter on both sides (see containment_pairs):
+    # a plain explode's inferred size()>0 filter re-inlines the shingle
+    # pipeline per element below the token projection — quadratic per doc.
     c = with_shingles(corpus.select(id_col, text_col), text_col, k)
     c_hashed = c.select(
         F.col(id_col),
-        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("h"),
-    )
+        F.explode_outer(
+            F.transform("shingles", lambda s: F.xxhash64(s))
+        ).alias("h"),
+    ).where(F.col("h").isNotNull())
     b = with_shingles(
         benchmark.select(bench_id_col, bench_text_col), bench_text_col, k
     )
     b_hashed = b.select(
         F.col(bench_id_col),
-        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("h"),
-    ).dropDuplicates([bench_id_col, "h"])
+        F.explode_outer(
+            F.transform("shingles", lambda s: F.xxhash64(s))
+        ).alias("h"),
+    ).where(F.col("h").isNotNull()).dropDuplicates([bench_id_col, "h"])
     return (
         c_hashed.join(F.broadcast(b_hashed), "h")
         .groupBy(id_col, bench_id_col)
@@ -735,11 +742,15 @@ def ngram_jaccard_pairs(
     )
     n = F.size("hs")
     prefix_len = (n - _ceil_mul(n, threshold) + F.lit(1)).cast("int")
+    # explode_outer + null filter (see containment_pairs): a plain explode
+    # gets an inferred size()>0 filter pushed below the token projection
+    # with the full shingle pipeline inlined per element — quadratic on
+    # big docs.
     inverted = hashed.select(
         "id",
         n.alias("n_sh"),
-        F.explode(F.slice("hs", F.lit(1), prefix_len)).alias("h"),
-    )
+        F.explode_outer(F.slice("hs", F.lit(1), prefix_len)).alias("h"),
+    ).where(F.col("h").isNotNull())
     a = inverted.alias("a")
     b = inverted.alias("b")
     pairs = (
@@ -766,6 +777,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     k: int = 5,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact ASYMMETRIC shingle-containment pairing — the
     syndication/excerpt detector Jaccard structurally misses: when A is an
@@ -789,23 +801,53 @@ def containment_pairs(
 
     Scale note: a boilerplate shingle shared by d docs costs
     ~(1−t)·d · d index fan-out (probe-side prefix shrinks one factor
-    only).  Run `strip_template_lines` upstream, or raise k, before
-    pointing this at a chrome-heavy crawl."""
+    only) — a phrase present in EVERY doc makes every doc pair a
+    candidate.  ``max_df`` caps that: shingles whose document frequency
+    exceeds it are excluded from CANDIDATE GENERATION (both sides; the
+    `minhash` max_bucket precedent).  Verification stays exact on full
+    string shingles, so capping never creates false positives — it can
+    only miss a pair whose every shared shingle is template-hot, which
+    is the pair you didn't want anyway.  Default None = exact; set it
+    (or run `strip_template_lines` upstream / raise k) on
+    template-heavy corpora."""
     sh = with_shingles(df.select(id_col, text_col), text_col, k).select(
         F.col(id_col).alias("id"), F.col("shingles")
     )
+    # lazy checkpoint: (id, hs) feeds the probe, the index, and (under
+    # max_df) the df-count — without the barrier the shingle+hash subtree
+    # recomputes once per consumer (measured 3×); the materialized table
+    # is slim (longs only).
     hashed = sh.select(
         "id",
         F.array_sort(
             F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
         ).alias("hs"),
-    )
+    ).localCheckpoint(eager=False)
     n = F.size("hs")
     prefix_len = (n - _ceil_mul(n, threshold) + F.lit(1)).cast("int")
+    # explode_outer + null filter, NOT explode: InferFiltersFromGenerate
+    # turns a plain explode into a pushed-down `size(arr) > 0` filter with
+    # the WHOLE shingle expression inlined per element below the token
+    # projection — the O(len × n_shingles) trap re-entering through the
+    # optimizer's back door (measured 26× on 6 KB docs; the null filter
+    # references only the generator output, so nothing pushes down).
     probe = hashed.select(
-        "id", F.explode(F.slice("hs", F.lit(1), prefix_len)).alias("h")
+        "id", F.explode_outer(F.slice("hs", F.lit(1), prefix_len)).alias("h")
+    ).where(F.col("h").isNotNull())
+    index = hashed.select("id", F.explode_outer("hs").alias("h")).where(
+        F.col("h").isNotNull()
     )
-    index = hashed.select("id", F.explode("hs").alias("h"))
+    if max_df is not None:
+        # same shuffle key (h) as the candidate join below, so the df
+        # filter rides the exchange the join pays anyway
+        cold = (
+            index.groupBy("h")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("h")
+        )
+        index = index.join(cold, "h")
+        probe = probe.join(cold, "h")
     p, ix = probe.alias("p"), index.alias("ix")
     pairs = (
         p.join(
@@ -941,10 +983,19 @@ def simhash64(
 
     ``token_hash`` defaults to xxhash64 (fastest); pass :func:`md5_hash60`
     to make the fingerprint reproducible in an external SQL oracle."""
-    tokens = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
-    ).withColumn("h", token_hash(F.col("tok")))
+    # explode_outer + null filter: a plain explode's inferred size()>0
+    # filter re-runs the split once more per row (pure overhead — a Java
+    # split is never empty); the outer form infers nothing.
+    tokens = (
+        df.select(
+            F.col(id_col),
+            F.explode_outer(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("tok"),
+        )
+        .where(F.col("tok").isNotNull())
+        .withColumn("h", token_hash(F.col("tok")))
+    )
 
     bit_votes = [
         F.sum(

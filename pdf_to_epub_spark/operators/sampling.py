@@ -226,14 +226,18 @@ def stratified_sample_exact(
 
 
 def _hashed_features(
-    df: DataFrame, text_col: str, n_buckets: int
+    df: DataFrame, text_col: str, n_buckets: int, token_hash=None
 ) -> DataFrame:
     """Hashed unigram+bigram features per document: ``(doc_id, bucket)``,
     one row per feature OCCURRENCE (multiplicity matters — the importance
     weight is a product over the document's feature sequence).  Empty/null
     texts keep a null-bucket row (explode_outer) so they survive to the
-    scoring aggregation with ``n_feats = 0``."""
+    scoring aggregation with ``n_feats = 0``.  ``token_hash`` defaults to
+    ``xxhash64`` (the scale path); pass `md5_hash60` for the
+    oracle-replayable form (the package-wide convention)."""
     from pdf_to_epub_spark.operators.textstats import _tokens
+
+    token_hash = token_hash or F.xxhash64
 
     ws = _tokens(text_col)
     bigrams = F.when(
@@ -252,7 +256,7 @@ def _hashed_features(
             "doc_id",
             F.when(
                 F.col("__f").isNotNull(),
-                F.pmod(md5_hash60(F.col("__f")), F.lit(n_buckets)),
+                F.pmod(token_hash(F.col("__f")), F.lit(n_buckets)),
             ).alias("bucket"),
         )
     )
@@ -263,6 +267,7 @@ def dsir_log_ratios(
     target_df: DataFrame,
     text_col: str = "text",
     n_buckets: int = 4096,
+    token_hash=None,
 ) -> DataFrame:
     """Per-bucket importance log-ratio table ``(bucket, lr_micro)`` for
     every one of the ``n_buckets`` hashed-feature buckets: with add-one
@@ -273,7 +278,11 @@ def dsir_log_ratios(
     stored as integer micro-nats so downstream per-document sums are
     order-independent and oracle-exact (the `operators/lm.py` determinism
     contract).  Both corpora are scanned once into B-bounded count tables;
-    the totals ride a 1-row broadcast cross join — nothing collects."""
+    the totals ride a 1-row broadcast cross join — nothing collects.
+    The count tables localCheckpoint (≤ n_buckets rows each): each feeds
+    both the ratio join and the totals aggregation, and without the
+    barrier the corpus-wide feature explode re-runs once per branch
+    (measured 2× scoring cost on the bench corpus)."""
     b = float(n_buckets)
     full = raw_df.sparkSession.range(n_buckets).select(
         F.col("id").alias("bucket")
@@ -281,10 +290,11 @@ def dsir_log_ratios(
 
     def counts(df: DataFrame, name: str) -> DataFrame:
         return (
-            _hashed_features(df, text_col, n_buckets)
+            _hashed_features(df, text_col, n_buckets, token_hash)
             .where(F.col("bucket").isNotNull())
             .groupBy("bucket")
             .agg(F.count("*").alias(name))
+            .localCheckpoint(eager=False)
         )
 
     raw_c = counts(raw_df, "c_r")
@@ -319,6 +329,7 @@ def dsir_log_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 4096,
+    token_hash=None,
 ) -> DataFrame:
     """Per-document DSIR importance log-weight over the raw corpus:
     ``(doc_id, n_feats, log_weight_micro)`` where ``log_weight_micro`` is
@@ -333,10 +344,10 @@ def dsir_log_weights(
     shuffles only on ``(doc_id)`` for the final sum (id-keyed: hot
     features cannot skew it).  The target corpus (small by construction
     in DSIR) is scanned once for its count table."""
-    ratios = dsir_log_ratios(raw_df, target_df, text_col, n_buckets)
+    ratios = dsir_log_ratios(raw_df, target_df, text_col, n_buckets, token_hash)
     feats = _hashed_features(
         raw_df.select(F.col(id_col).alias("doc_id"), text_col), text_col,
-        n_buckets,
+        n_buckets, token_hash,
     )
     return (
         feats.join(F.broadcast(ratios), "bucket", "left")
@@ -432,6 +443,7 @@ def dsir_resample(
     id_col: str = "doc_id",
     n_buckets: int = 4096,
     salt: str = "dsir",
+    token_hash=None,
 ) -> DataFrame:
     """Gumbel top-k importance resampling — the selection step of DSIR:
     sampling k documents WITHOUT replacement with probability ∝ their
@@ -446,7 +458,8 @@ def dsir_resample(
     value ranks, so the cut at k is engine-reproducible (the `bm25_topk`
     contract).  Plan: the weight computation's shuffles plus one
     TakeOrderedAndProject — no global sort materializes."""
-    lw = dsir_log_weights(raw_df, target_df, text_col, id_col, n_buckets)
+    lw = dsir_log_weights(raw_df, target_df, text_col, id_col, n_buckets,
+                          token_hash)
     h = md5_hash60(
         F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string"))
     )

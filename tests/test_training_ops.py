@@ -2208,3 +2208,63 @@ def test_bloom_no_false_negatives_and_merge(spark):
         sorted(r.bit for r in merged.collect())
         == sorted(r.bit for r in bloom.collect())
     )
+
+
+def test_containment_max_df_cap_keeps_true_pairs(spark):
+    from pdf_to_epub_spark.operators import containment_pairs
+
+    # 'TPL' shingle words appear in EVERY doc (template); each doc keeps
+    # a unique tail, and doc 1/2 share their unique content
+    tpl = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, tpl + " unique one two three four five six"),
+        (2, tpl + " unique one two three four five six"),
+        (3, tpl + " other content entirely different here now"),
+        (4, tpl + " fourth body with its own words too ok"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # cap below the template df (4): template shingles leave candidate
+    # generation, but 1-2 still pair through their unique shingles
+    got = {(r.id_a, r.id_b) for r in
+           containment_pairs(df, k=5, threshold=0.9, max_df=3).collect()}
+    assert (1, 2) in got
+    # pairs related ONLY through the template are gone under the cap
+    assert got == {(1, 2)}
+
+
+def test_no_inferred_generate_filter_reinlines_shingles(spark, dup_corpus):
+    """InferFiltersFromGenerate turns a plain explode over a shingle-
+    derived array into a pushed-down size()>0 filter with the WHOLE
+    shingle pipeline (split included) inlined per element — the 60× trap
+    through the optimizer's back door (measured 26× on 6 KB docs).  Pin:
+    tokenization appears exactly once in the explode-side plans of the
+    inverted-index and contamination paths."""
+    from pyspark.sql import functions as FF
+
+    from pdf_to_epub_spark.operators import benchmark_contamination
+    from pdf_to_epub_spark.operators.dedup import with_shingles
+
+    bench = dup_corpus.limit(2).select(
+        FF.col("doc_id").alias("bench_id"), "text"
+    )
+    plan = (
+        benchmark_contamination(dup_corpus, bench, k=3)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("split(trim(lower") == 2, plan[:3000]  # corpus + bench
+
+    # the index/probe shape containment_pairs and ngram_jaccard_pairs use
+    sh = with_shingles(dup_corpus.select("doc_id", "text"), "text", 3)
+    hashed = sh.select(
+        "doc_id",
+        FF.array_sort(
+            FF.array_distinct(FF.transform("shingles", lambda s: FF.xxhash64(s)))
+        ).alias("hs"),
+    )
+    index = hashed.select(
+        "doc_id", FF.explode_outer("hs").alias("h")
+    ).where(FF.col("h").isNotNull())
+    iplan = index._jdf.queryExecution().optimizedPlan().toString()
+    assert iplan.count("split(trim(lower") == 1, iplan[:3000]
