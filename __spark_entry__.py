@@ -2291,6 +2291,21 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantile sketch (operators/sketch.py): 50
+    fixed-width bins over n_chars in [0, 5000), interpolated estimates at
+    4 quantiles — the data-INdependent-edges sketch that merges across
+    corpora by counter addition (exact percentile and GK cannot).  The
+    oracle replays binning, cumulative walk, and interpolation."""
+    from pdf_to_epub_spark.operators import histogram_quantiles, histogram_sketch
+
+    d = _t(spark, sf_dir, "documents")
+    sk = histogram_sketch(d, "n_chars", lo=0.0, hi=5000.0, n_bins=50)
+    return histogram_quantiles(
+        sk, [0.25, 0.5, 0.9, 0.99], lo=0.0, hi=5000.0, n_bins=50
+    )
+
+
 def _q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter crawl membership (operators/sketch.py): the filter is
     built over the already-crawled third of the url space and every url
@@ -2954,6 +2969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": _q_bpe_fertility,
         "domain_quality_rank": _q_domain_quality_rank,
         "bloom_membership": _q_bloom_membership,
+        "histogram_quantiles": _q_histogram_quantiles,
         "extraction_eval": _q_extraction_eval,
     }
 
@@ -5555,6 +5571,39 @@ def oracle_sql() -> dict[str, str]:
             if (o := _bpe_fertility_oracle()) is not None
             else {}
         ),
+        # Histogram sketch: same bin clamp, cumulative walk, and linear
+        # interpolation (width 100.0 = (5000-0)/50, exact in double).
+        "histogram_quantiles": """
+            WITH vals AS (
+                SELECT n_chars::DOUBLE AS x FROM documents
+                WHERE n_chars IS NOT NULL
+            ), bins AS (
+                SELECT least(greatest(floor((x - 0.0) / 100.0), 0),
+                             49)::BIGINT AS bin,
+                       count(*)::BIGINT AS c
+                FROM vals GROUP BY 1
+            ), cum AS (
+                SELECT bin, c,
+                       sum(c) OVER (ORDER BY bin) AS cum,
+                       coalesce(sum(c) OVER (ORDER BY bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS cum_before
+                FROM bins
+            ), tot AS (SELECT sum(c)::BIGINT AS n FROM bins),
+            qs AS (
+                SELECT unnest([0.25, 0.5, 0.9, 0.99]::DOUBLE[]) AS q
+            ), hit AS (
+                SELECT q.q, t.n, c.bin, c.c, c.cum_before,
+                       row_number() OVER (PARTITION BY q.q
+                                          ORDER BY c.bin) AS rn
+                FROM qs q CROSS JOIN tot t
+                JOIN cum c ON c.cum >= q.q * t.n
+            )
+            SELECT q,
+                   round(0.0 + (bin + (q * n - cum_before) / c) * 100.0, 6)
+                       AS estimate
+            FROM hit WHERE rn = 1
+        """,
         # Bloom: same md5-60 bit arithmetic; all-6-bits-set membership.
         "bloom_membership": """
             WITH urls AS (

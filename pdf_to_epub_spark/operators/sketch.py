@@ -167,3 +167,76 @@ def bloom_probe(
     return df.join(
         hits, df[key_col] == hits["__key"], "left"
     ).drop("__key")
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Fixed-range equi-width histogram ``(bin, c)`` — the mergeable
+    quantile sketch: because the bin edges are data-INdependent
+    (``[lo, hi)`` split into ``n_bins``), histograms from different
+    corpora/days/partitions merge by counter addition, which a
+    data-dependent sketch (exact percentile, GK) cannot do without a
+    re-pass.  Values outside the range clamp to the edge bins (count is
+    preserved; the estimate degrades only at the clamped tails — pick
+    the range from domain knowledge or yesterday's min/max).  One scan,
+    ≤ n_bins groups."""
+    x = F.col(value_col).cast("double")
+    width = (hi - lo) / n_bins
+    raw = F.floor((x - F.lit(float(lo))) / F.lit(width)).cast("long")
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.where(x.isNotNull())
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Interpolated quantile estimates from a `histogram_sketch`:
+    for each q, find the first bin whose cumulative count reaches
+    ``q·N`` and interpolate linearly inside it —
+    ``est = lo + (bin + (q·N − cum_before)/c_bin) · width``, rounded to
+    6 dp.  Error is bounded by one bin width.  The sketch is ≤ n_bins
+    rows, so the cumulative window and the per-q probe cost nothing at
+    any corpus size."""
+    from pyspark.sql.window import Window
+
+    width = (hi - lo) / n_bins
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        "bin",
+        "c",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        ).alias("cum_before"),
+    ).withColumn("cum_before", F.coalesce("cum_before", F.lit(0)))
+    total = sketch.agg(F.sum("c").alias("n"))
+    qdf = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    ).crossJoin(F.broadcast(total))
+    target = F.col("q") * F.col("n")
+    hit = (
+        qdf.join(F.broadcast(cum), F.col("cum") >= target)
+        .groupBy("q", "n")
+        .agg(F.min_by(F.struct("bin", "c", "cum_before"), "bin").alias("b"))
+    )
+    est = F.lit(float(lo)) + (
+        F.col("b.bin")
+        + (F.col("q") * F.col("n") - F.col("b.cum_before")) / F.col("b.c")
+    ) * F.lit(width)
+    return hit.select("q", F.round(est, 6).alias("estimate"))

@@ -2268,3 +2268,27 @@ def test_no_inferred_generate_filter_reinlines_shingles(spark, dup_corpus):
     ).where(FF.col("h").isNotNull())
     iplan = index._jdf.queryExecution().optimizedPlan().toString()
     assert iplan.count("split(trim(lower") == 1, iplan[:3000]
+
+
+def test_histogram_quantiles_accuracy_and_merge(spark):
+    from pyspark.sql import functions as F
+    from pdf_to_epub_spark.operators import histogram_quantiles, histogram_sketch
+
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], ["x"])
+    sk = histogram_sketch(df, "x", lo=0.0, hi=1000.0, n_bins=100)
+    got = {r.q: r.estimate
+           for r in histogram_quantiles(sk, [0.5, 0.9], 0.0, 1000.0, 100).collect()}
+    # uniform data: error bounded by one bin width (10)
+    assert abs(got[0.5] - 500) <= 10
+    assert abs(got[0.9] - 900) <= 10
+    # merging two half-corpus sketches == whole-corpus sketch
+    s1 = histogram_sketch(df.where("x < 300"), "x", 0.0, 1000.0, 100)
+    s2 = histogram_sketch(df.where("x >= 300"), "x", 0.0, 1000.0, 100)
+    merged = s1.union(s2).groupBy("bin").agg(F.sum("c").cast("long").alias("c"))
+    assert ({(r.bin, r.c) for r in merged.collect()}
+            == {(r.bin, r.c) for r in sk.collect()})
+    # out-of-range values clamp into edge bins, count preserved
+    df2 = spark.createDataFrame([(-5.0,), (99.0,), (5000.0,)], ["x"])
+    bins = {r.bin: r.c for r in
+            histogram_sketch(df2, "x", 0.0, 100.0, 10).collect()}
+    assert bins == {0: 1, 9: 2}
