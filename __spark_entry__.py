@@ -2291,6 +2291,48 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD structured-data mining (urls.extract_jsonld): pages carry
+    an Article block, every 5th a second BreadcrumbList block, every 7th
+    a MALFORMED block — typed fields must parse out via the real JSON
+    parser and the bad block must yield NULLs, not errors.  The oracle
+    replays block extraction and uses DuckDB's JSON parser behind a
+    json_valid guard (its extract raises where Spark's returns null)."""
+    from pdf_to_epub_spark.operators import extract_jsonld
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    day = F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0")
+    article = F.concat(
+        F.lit('{"@type":"Article","name":"Document '), sid,
+        F.lit('","datePublished":"2025-01-'), day, F.lit('"}'),
+    )
+    crumbs = F.when(
+        (F.col("doc_id") % 5) == 0,
+        F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type":"BreadcrumbList","name":"crumbs '),
+            sid, F.lit('"}</script>'),
+        ),
+    ).otherwise(F.lit(""))
+    bad = F.when(
+        (F.col("doc_id") % 7) == 3,
+        F.lit('<script type="application/ld+json">{oops not json'
+              "</script>"),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'),
+        article,
+        F.lit("</script>"), crumbs, bad,
+        F.lit("</head><body>x</body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("doc://"), sid).alias("url"),
+        html.cast("binary").alias("html"),
+    )
+    return extract_jsonld(pages)
+
+
 def _q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable histogram quantile sketch (operators/sketch.py): 50
     fixed-width bins over n_chars in [0, 5000), interpolated estimates at
@@ -2970,6 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality_rank": _q_domain_quality_rank,
         "bloom_membership": _q_bloom_membership,
         "histogram_quantiles": _q_histogram_quantiles,
+        "jsonld_extract": _q_jsonld_extract,
         "extraction_eval": _q_extraction_eval,
     }
 
@@ -5571,6 +5614,50 @@ def oracle_sql() -> dict[str, str]:
             if (o := _bpe_fertility_oracle()) is not None
             else {}
         ),
+        # JSON-LD: replay the synthetic block layout directly (Article
+        # always block 0; BreadcrumbList next when doc_id%5=0; the
+        # malformed block takes the following slot when doc_id%7=3) and
+        # parse with DuckDB's JSON parser behind a json_valid guard —
+        # its json_extract RAISES on malformed input where Spark's
+        # get_json_object returns NULL.
+        "jsonld_extract": """
+            WITH docs AS (
+                SELECT doc_id,
+                       'doc://' || CAST(doc_id AS VARCHAR) AS url,
+                       (doc_id % 5 = 0) AS has_crumbs,
+                       (doc_id % 7 = 3) AS has_bad
+                FROM documents
+            ), blocks AS (
+                SELECT url, 0 AS block_id,
+                       '{"@type":"Article","name":"Document '
+                           || CAST(doc_id AS VARCHAR)
+                           || '","datePublished":"2025-01-'
+                           || lpad(CAST((doc_id % 28) + 1 AS VARCHAR),
+                                   2, '0')
+                           || '"}' AS block
+                FROM docs
+                UNION ALL
+                SELECT url, 1,
+                       '{"@type":"BreadcrumbList","name":"crumbs '
+                           || CAST(doc_id AS VARCHAR) || '"}'
+                FROM docs WHERE has_crumbs
+                UNION ALL
+                SELECT url, CASE WHEN has_crumbs THEN 2 ELSE 1 END,
+                       '{oops not json'
+                FROM docs WHERE has_bad
+            )
+            SELECT url, block_id::INT AS block_id,
+                   CASE WHEN json_valid(block) THEN
+                       json_extract_string(block, '$."@type"') END
+                       AS ld_type,
+                   CASE WHEN json_valid(block) THEN
+                       json_extract_string(block, '$.name') END
+                       AS ld_name,
+                   CASE WHEN json_valid(block) THEN
+                       json_extract_string(block, '$.datePublished') END
+                       AS ld_date
+            FROM blocks
+        """,
         # Histogram sketch: same bin clamp, cumulative walk, and linear
         # interpolation (width 100.0 = (5000-0)/50, exact in double).
         "histogram_quantiles": """

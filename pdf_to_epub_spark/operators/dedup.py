@@ -795,7 +795,8 @@ def containment_pairs(
     carries full sets and no size-ratio prune applies (that asymmetry is
     the point of the metric).  The join itself carries only
     (id, long hash); candidates are then re-verified with exact string
-    shingles (`_shingles_from_tokens`), so hash collisions cannot create
+    shingles (`_score_pairs_from_shingle_sets`, over the once-computed
+    per-doc set table), so hash collisions cannot create
     false positives — a collision can only drop a near-threshold true
     pair, the same ~2⁻⁶⁴ bound `ngram_jaccard_pairs` documents.
 
@@ -810,17 +811,25 @@ def containment_pairs(
     is the pair you didn't want anyway.  Default None = exact; set it
     (or run `strip_template_lines` upstream / raise k) on
     template-heavy corpora."""
-    sh = with_shingles(df.select(id_col, text_col), text_col, k).select(
-        F.col(id_col).alias("id"), F.col("shingles")
+    # lazy checkpoint on the STRING shingle sets: they feed the hash
+    # pipeline below AND the exact verify at the end — on a boilerplate-
+    # heavy corpus candidates run ~20× the doc count, so re-shingling the
+    # raw text per PAIR (the first-draft verify) multiplied the dominant
+    # cost by the mean pair degree (measured 77 s → 7 s at sf0.1 with
+    # ~100k candidates over 10k docs; each doc shingles ONCE here).
+    sets = (
+        with_shingles(df.select(id_col, text_col), text_col, k)
+        .select(F.col(id_col).alias("id"), F.col("shingles").alias("_sh"))
+        .localCheckpoint(eager=False)
     )
-    # lazy checkpoint: (id, hs) feeds the probe, the index, and (under
-    # max_df) the df-count — without the barrier the shingle+hash subtree
-    # recomputes once per consumer (measured 3×); the materialized table
-    # is slim (longs only).
-    hashed = sh.select(
+    # second lazy checkpoint: (id, hs) feeds the probe, the index, and
+    # (under max_df) the df-count — without the barrier the hash+sort
+    # subtree recomputes once per consumer (measured 3×); the materialized
+    # table is slim (longs only).
+    hashed = sets.select(
         "id",
         F.array_sort(
-            F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
+            F.array_distinct(F.transform("_sh", lambda s: F.xxhash64(s)))
         ).alias("hs"),
     ).localCheckpoint(eager=False)
     n = F.size("hs")
@@ -860,40 +869,41 @@ def containment_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    scored = _score_pairs_exact_containment(df, pairs, text_col, id_col, k)
+    scored = _score_pairs_from_shingle_sets(sets, pairs)
     return scored.localCheckpoint(eager=False).where(
         F.greatest(F.col("c_a"), F.col("c_b")) >= threshold
     )
 
 
-def _score_pairs_exact_containment(
-    df: DataFrame, pairs: DataFrame, text_col: str, id_col: str, k: int
+def _score_pairs_from_shingle_sets(
+    sets: DataFrame, pairs: DataFrame
 ) -> DataFrame:
-    """Containment counterpart of `_score_pairs_exact_jaccard` (same
-    broadcast/plan policy, same token-materialization discipline): exact
-    string-shingle intersection plus BOTH directed containments."""
-    ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_text_a"))
-    tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_text_b"))
-    with_texts = tb.join(ta.join(F.broadcast(pairs), "id_a"), "id_b")
-    toks = with_texts.select(
+    """Exact string-shingle intersection plus BOTH directed containments,
+    over a MATERIALIZED per-doc shingle-set table ``(id, _sh)`` (each doc
+    shingled once upstream, never per pair — see `containment_pairs`).
+    Broadcast policy matches `_verify_pairs_exact_jaccard`: only the slim
+    (id_a, id_b) pair table is hinted; the set-attached intermediate is
+    left to AQE.  Verification stays exact on shingle STRINGS, so hash
+    collisions in candidate generation cannot create false positives.
+    The intersect/size step is its own projection so the shared count is
+    computed once per row (three ratio references would otherwise inline
+    three intersections)."""
+    sa = sets.select(F.col("id").alias("id_a"), F.col("_sh").alias("_sh_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    with_sets = sb.join(sa.join(F.broadcast(pairs), "id_a"), "id_b")
+    step = with_sets.select(
         "id_a",
         "id_b",
-        _word_tokens(F.col("_text_a")).alias("_toks_a"),
-        _word_tokens(F.col("_text_b")).alias("_toks_b"),
+        F.size(F.array_intersect("_sh_a", "_sh_b")).cast("long").alias("shared"),
+        F.size("_sh_a").alias("_na"),
+        F.size("_sh_b").alias("_nb"),
     )
-    shingled = toks.select(
+    return step.select(
         "id_a",
         "id_b",
-        _shingles_from_tokens(F.col("_toks_a"), k).alias("_sh_a"),
-        _shingles_from_tokens(F.col("_toks_b"), k).alias("_sh_b"),
-    )
-    shared = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("long")
-    return shingled.select(
-        "id_a",
-        "id_b",
-        shared.alias("shared"),
-        F.round(shared / F.size("_sh_a"), 4).alias("c_a"),
-        F.round(shared / F.size("_sh_b"), 4).alias("c_b"),
+        "shared",
+        F.round(F.col("shared") / F.col("_na"), 4).alias("c_a"),
+        F.round(F.col("shared") / F.col("_nb"), 4).alias("c_b"),
     )
 
 

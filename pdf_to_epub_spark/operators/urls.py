@@ -869,3 +869,36 @@ def domain_quality_rank(
         F.round(p, 6).alias("quality_rate"),
         F.round(lb, 6).alias("wilson_lb"),
     )
+
+
+def extract_jsonld(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    max_scan_bytes: int = 65536,
+) -> DataFrame:
+    """schema.org structured data from JSON-LD script blocks — the
+    machine-readable page annotations (Article/Product/Recipe/...) a
+    web-corpus pipeline mines for typed metadata and page-type
+    classification.  One row per ``<script type="application/ld+json">``
+    block: ``(url, block_id, ld_type, ld_name, ld_date)`` via a REAL
+    JSON parse (``get_json_object``, JVM-side) — a malformed block
+    yields NULL fields, never a dropped page or a raised error
+    (permissive-by-construction, like the rest of the web layer).
+    Bounded prefix scan, zero shuffles, zero UDFs."""
+    text = _permissive_text(html_col, max_scan_bytes)
+    pat = (
+        r"""(?is)<script[^>]*type\s*=\s*["']application/ld\+json["']"""
+        r"""[^>]*>\s*(.*?)\s*</script"""
+    )
+    arr = F.regexp_extract_all(text, F.lit(pat), F.lit(1))
+    exploded = pages.select(
+        F.col(url_col).alias("url"), F.posexplode_outer(arr).alias("block_id", "block")
+    ).where(F.col("block").isNotNull())
+    return exploded.select(
+        "url",
+        F.col("block_id").cast("int").alias("block_id"),
+        F.get_json_object("block", "$['@type']").alias("ld_type"),
+        F.get_json_object("block", "$.name").alias("ld_name"),
+        F.get_json_object("block", "$.datePublished").alias("ld_date"),
+    )

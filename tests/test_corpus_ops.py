@@ -120,6 +120,39 @@ def test_extract_headings_order_case_and_nesting(spark):
     ]
 
 
+def test_extract_jsonld_blocks(spark):
+    """Typed fields parse; malformed JSON yields NULLs not errors; attr
+    quoting/case/whitespace variants all match; a block-less page emits
+    no rows; a null page survives."""
+    from pdf_to_epub_spark.operators import extract_jsonld
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "u1",
+                (
+                    '<script type="application/ld+json">'
+                    '{"@type":"Article","name":"N1",'
+                    '"datePublished":"2024-02-03"}</script>'
+                    "<script TYPE='application/ld+json' async>"
+                    " {broken </script>"
+                ).encode(),
+            ),
+            ("u2", b"<script type='text/javascript'>var x=1</script>"),
+            ("u3", None),
+        ],
+        "url: string, html: binary",
+    )
+    rows = {
+        (r.url, r.block_id): (r.ld_type, r.ld_name, r.ld_date)
+        for r in extract_jsonld(pages).collect()
+    }
+    assert rows == {
+        ("u1", 0): ("Article", "N1", "2024-02-03"),
+        ("u1", 1): (None, None, None),
+    }
+
+
 def test_extract_headings_none_and_null(spark):
     assert extract_headings(_pages(spark, "<p>no headings</p>")).count() == 0
     null_pages = spark.createDataFrame(
