@@ -2333,6 +2333,43 @@ def _q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_jsonld(pages)
 
 
+def _q_hll_domain_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-URL count per domain (operators/sketch.py):
+    md5-60 hash split into 8 bucket bits + 52-bit rank suffix, integer
+    harmonic sum (order-independent, exact), small-range linear-counting
+    branch.  The oracle replays registers, the integer sum, and the same
+    branch in SQL; `exact_distinct` + relative error ride along so the
+    row is self-auditing."""
+    from pdf_to_epub_spark.operators import hll_estimate, hll_sketch
+
+    d = _t(spark, sf_dir, "documents")
+    domain = F.concat(
+        F.lit("site"), (F.col("doc_id") % 13).cast("string"), F.lit(".com")
+    )
+    pages = d.select(
+        domain.alias("domain"),
+        F.concat(
+            F.lit("https://"), domain, F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    regs = hll_sketch(pages, "url", p=8, group_cols=["domain"])
+    est = hll_estimate(regs, p=8, group_cols=["domain"])
+    exact = pages.groupBy("domain").agg(
+        F.count_distinct("url").alias("exact_distinct")
+    )
+    return est.join(exact, "domain").select(
+        "domain",
+        "exact_distinct",
+        "est_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_error"),
+    )
+
+
 def _q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable histogram quantile sketch (operators/sketch.py): 50
     fixed-width bins over n_chars in [0, 5000), interpolated estimates at
@@ -3012,6 +3049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality_rank": _q_domain_quality_rank,
         "bloom_membership": _q_bloom_membership,
         "histogram_quantiles": _q_histogram_quantiles,
+        "hll_domain_distinct": _q_hll_domain_distinct,
         "jsonld_extract": _q_jsonld_extract,
         "extraction_eval": _q_extraction_eval,
     }
@@ -5657,6 +5695,56 @@ def oracle_sql() -> dict[str, str]:
                        json_extract_string(block, '$.datePublished') END
                        AS ld_date
             FROM blocks
+        """,
+        # HLL: same md5-60 bucket/rank split, integer harmonic sum in
+        # units of 2^-53 (exact, order-independent), same linear-counting
+        # branch; alpha mirrored as the same expression shape.
+        "hll_domain_distinct": """
+            WITH pages AS (
+                SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.com'
+                           AS domain,
+                       'https://site' || CAST(doc_id % 13 AS VARCHAR)
+                           || '.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+                FROM documents
+            ), hashed AS (
+                SELECT domain,
+                       ('0x' || substr(md5(url), 1, 15))::BIGINT AS h
+                FROM pages
+            ), regs AS (
+                SELECT domain, h >> 52 AS bucket,
+                       max(CASE WHEN (h & 4503599627370495) = 0 THEN 53
+                                ELSE 52 - length(bin(h & 4503599627370495))
+                                     + 1 END) AS max_rho
+                FROM hashed GROUP BY domain, bucket
+            ), agg AS (
+                SELECT domain,
+                       sum((1::BIGINT << (53 - max_rho)))::BIGINT
+                           AS present_sum,
+                       count(*)::BIGINT AS n_present
+                FROM regs GROUP BY domain
+            ), raws AS (
+                SELECT domain,
+                       (0.7213::DOUBLE / (1 + 1.079::DOUBLE / 256)) * 256
+                           * 256 * 9007199254740992::DOUBLE
+                           / (present_sum
+                              + (256 - n_present) * 9007199254740992)
+                           AS raw,
+                       256 - n_present AS v
+                FROM agg
+            ), ests AS (
+                SELECT domain,
+                       round(CASE WHEN raw <= 2.5::DOUBLE * 256 AND v > 0
+                                  THEN 256 * ln(256 / v::DOUBLE)
+                                  ELSE raw END, 4) AS est_distinct
+                FROM raws
+            ), exact AS (
+                SELECT domain, count(DISTINCT url)::BIGINT AS exact_distinct
+                FROM pages GROUP BY domain
+            )
+            SELECT e.domain, x.exact_distinct, e.est_distinct,
+                   round(abs(e.est_distinct - x.exact_distinct)
+                         / x.exact_distinct, 4) AS rel_error
+            FROM ests e JOIN exact x ON e.domain = x.domain
         """,
         # Histogram sketch: same bin clamp, cumulative walk, and linear
         # interpolation (width 100.0 = (5000-0)/50, exact in double).

@@ -240,3 +240,86 @@ def histogram_quantiles(
         + (F.col("q") * F.col("n") - F.col("b.cum_before")) / F.col("b.c")
     ) * F.lit(width)
     return hit.select("q", F.round(est, 6).alias("estimate"))
+
+
+def hll_sketch(
+    df: DataFrame,
+    value_col: str,
+    p: int = 8,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """HyperLogLog register table ``(group..., bucket, max_rho)`` —
+    the mergeable DISTINCT-count sketch (Flajolet et al. 2007) that
+    completes the family (CMS = frequency, Bloom = membership,
+    histogram = quantiles): "how many distinct URLs per domain across
+    10^12 pages" without shuffling one row per distinct value.  The
+    register table is ≤ 2^p rows per group however large the corpus;
+    registers from different corpora/days/partitions merge by
+    ``max(max_rho)`` — exactly what the groupBy's map-side partial
+    aggregation already does, so the shuffle carries only per-partition
+    register tables.
+
+    Hash layout over the deterministic 60-bit md5 family (oracle-exact;
+    ``F.xxhash64`` + a 64-bit split is the faster drop-in at scale):
+    top ``p`` bits pick the bucket, the low ``60-p`` bits ``w`` yield
+    ``rho`` = position of the highest set bit from the top = ``(60-p) -
+    bitlength(w) + 1``, with the all-zero suffix capped at ``60-p+1``.
+    ``bitlength`` is ``length(bin(w))`` in both engines — no
+    float-log2 edge cases at powers of two."""
+    groups = list(group_cols or [])
+    sub_bits = 60 - p
+    h = md5_hash60(F.col(value_col))
+    bucket = F.shiftright(h, sub_bits)
+    w = h.bitwiseAND(F.lit((1 << sub_bits) - 1))
+    rho = F.when(w == 0, F.lit(sub_bits + 1)).otherwise(
+        F.lit(sub_bits) - F.length(F.bin(w)) + F.lit(1)
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*groups, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*groups, "bucket")
+        .agg(F.max("rho").cast("int").alias("max_rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    p: int = 8,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Distinct-count estimate per group from a `hll_sketch` register
+    table: raw HLL ``E = alpha_m · m² / Σ_j 2^(−M_j)`` (absent registers
+    contribute 2^0), with the standard small-range correction
+    ``E = m · ln(m / V)`` when ``E ≤ 2.5m`` and some register is empty
+    (V = count of empty registers).
+
+    Oracle-exact float discipline: the harmonic sum is accumulated as an
+    INTEGER in units of 2^−(sub_bits+1) — every ``2^(−rho)`` term is a
+    power of two, so the integer sum is exact and order-independent
+    (the lm.py micro-nat pattern; a double accumulation would round
+    differently per partition order).  The single double division
+    happens once at the end, so Spark and the SQL oracle see
+    bit-identical estimates."""
+    groups = list(group_cols or [])
+    m = 1 << p
+    sub_bits = 60 - p
+    unit = 1 << (sub_bits + 1)  # 2^(sub_bits+1) = contribution of rho=0
+    # integer contribution of one register: 2^(sub_bits+1-rho); max_rho is
+    # ≤ sub_bits+1 so the exponent stays ≥ 0; absent registers add the
+    # rho=0 unit. Sum bound: m · 2^(sub_bits+1) = 2^(p+sub_bits+1) = 2^61.
+    # (expr(): the Python shiftleft binding only accepts an int literal
+    # shift; the underlying ShiftLeft expression takes any column.)
+    contrib = F.expr(f"shiftleft(CAST(1 AS BIGINT), {sub_bits + 1} - max_rho)")
+    agg = registers.groupBy(*groups).agg(
+        F.sum(contrib).cast("long").alias("_present_sum"),
+        F.count("*").cast("long").alias("_n_present"),
+    )
+    sum_int = F.col("_present_sum") + (F.lit(m) - F.col("_n_present")) * F.lit(unit)
+    alpha = F.lit(0.7213) / (F.lit(1) + F.lit(1.079) / F.lit(m))
+    raw = alpha * F.lit(m) * F.lit(m) * F.lit(float(unit)) / sum_int
+    v = F.lit(m) - F.col("_n_present")
+    est = F.when(
+        (raw <= F.lit(2.5) * F.lit(m)) & (v > 0),
+        F.lit(m) * F.log(F.lit(m) / v),
+    ).otherwise(raw)
+    return agg.select(*groups, F.round(est, 4).alias("est_distinct"))

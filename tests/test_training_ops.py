@@ -2292,3 +2292,45 @@ def test_histogram_quantiles_accuracy_and_merge(spark):
     bins = {r.bin: r.c for r in
             histogram_sketch(df2, "x", 0.0, 100.0, 10).collect()}
     assert bins == {0: 1, 9: 2}
+
+
+def test_hll_accuracy_merge_and_small_range(spark):
+    from pyspark.sql import functions as F
+    from pdf_to_epub_spark.operators import hll_estimate, hll_sketch
+
+    df = spark.range(5000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("u"),
+        (F.col("id") % 2).alias("g"),
+    )
+    # raw-branch accuracy: m=256 → σ ≈ 1.04/16 ≈ 6.5%; assert 4σ
+    regs = hll_sketch(df, "u", p=8, group_cols=["g"])
+    for r in hll_estimate(regs, p=8, group_cols=["g"]).collect():
+        assert abs(r.est_distinct - 2500) / 2500 < 0.26
+    # merging two half-corpus register tables by max == whole-corpus sketch
+    whole = hll_sketch(df, "u", p=8)
+    r1 = hll_sketch(df.where("id < 2500"), "u", p=8)
+    r2 = hll_sketch(df.where("id >= 2500"), "u", p=8)
+    merged = (
+        r1.unionByName(r2)
+        .groupBy("bucket")
+        .agg(F.max("max_rho").cast("int").alias("max_rho"))
+    )
+    assert {(r.bucket, r.max_rho) for r in merged.collect()} == {
+        (r.bucket, r.max_rho) for r in whole.collect()
+    }
+    # duplicates don't inflate: distinct-ness is what's counted
+    dup = df.unionByName(df).unionByName(df)
+    est_dup = hll_estimate(hll_sketch(dup, "u", p=8), p=8).first().est_distinct
+    est_one = hll_estimate(whole, p=8).first().est_distinct
+    assert est_dup == est_one
+    # small-range linear-counting branch: 40 distinct values, estimate
+    # within ±15% (linear counting is near-exact this far below m)
+    small = spark.range(40).select(F.concat(F.lit("v"), F.col("id")).alias("u"))
+    est = hll_estimate(hll_sketch(small, "u", p=8), p=8).first().est_distinct
+    assert abs(est - 40) / 40 < 0.15
+    # nulls are ignored, not hashed
+    withnull = spark.createDataFrame(
+        [("a",), (None,), ("b",)], "u: string"
+    )
+    regs_n = hll_sketch(withnull, "u", p=8)
+    assert regs_n.count() <= 2
