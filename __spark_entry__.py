@@ -2333,6 +2333,18 @@ def _q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_jsonld(pages)
 
 
+def _q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line/page cleaning (textstats.c4_filters): terminal-punct
+    + ≥3-words + no-'javascript' line keep, ≥5-sentence / no-lorem /
+    no-curly page keep; cleaned text checked via md5.  The oracle
+    replays the line predicates with DuckDB list_filter (RE2-portable
+    by construction)."""
+    from pdf_to_epub_spark.operators import c4_filters
+
+    d = _t(spark, sf_dir, "documents")
+    return c4_filters(d.select("doc_id", "text"), id_col="doc_id")
+
+
 def _q_hll_domain_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-URL count per domain (operators/sketch.py):
     md5-60 hash split into 8 bucket bits + 52-bit rank suffix, integer
@@ -3048,6 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": _q_bpe_fertility,
         "domain_quality_rank": _q_domain_quality_rank,
         "bloom_membership": _q_bloom_membership,
+        "c4_page_filter": _q_c4_filters,
         "histogram_quantiles": _q_histogram_quantiles,
         "hll_domain_distinct": _q_hll_domain_distinct,
         "jsonld_extract": _q_jsonld_extract,
@@ -5695,6 +5708,39 @@ def oracle_sql() -> dict[str, str]:
                        json_extract_string(block, '$.datePublished') END
                        AS ld_date
             FROM blocks
+        """,
+        # C4: same line predicates via list_filter (RE2 both sides),
+        # same page rules; cleaned bytes compared by md5.
+        "c4_page_filter": """
+            WITH lined AS (
+                SELECT doc_id,
+                       coalesce(text, '') AS t,
+                       string_split(coalesce(text, ''), chr(10)) AS lines
+                FROM documents
+            ), kept AS (
+                SELECT doc_id, t, len(lines) AS n_lines,
+                       list_filter(lines, x ->
+                           regexp_matches(x, '[.!?"][ \t\r]*$')
+                           AND len(regexp_extract_all(x, '\S+')) >= 3
+                           AND NOT contains(lower(x), 'javascript')
+                       ) AS keptl
+                FROM lined
+            ), c AS (
+                SELECT doc_id, n_lines, len(keptl) AS n_kept,
+                       coalesce(array_to_string(keptl, chr(10)), '')
+                           AS cleaned, t
+                FROM kept
+            )
+            SELECT doc_id,
+                   n_lines::INT AS n_lines,
+                   n_kept::INT AS n_kept,
+                   len(regexp_extract_all(cleaned, '[.!?]'))::INT
+                       AS n_sentences,
+                   (len(regexp_extract_all(cleaned, '[.!?]')) >= 5
+                    AND NOT contains(lower(t), 'lorem ipsum')
+                    AND NOT contains(t, '{')) AS page_kept,
+                   md5(cleaned) AS cleaned_md5
+            FROM c
         """,
         # HLL: same md5-60 bucket/rank split, integer harmonic sum in
         # units of 2^-53 (exact, order-independent), same linear-counting

@@ -1091,3 +1091,74 @@ def term_blocklist_signals(
         .withColumn("is_blocked", F.col("n_blocklist_hits") >= min_hits)
         .drop("__low", "__norm")
     )
+
+
+def c4_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """C4-style line/page cleaning (Raffel et al. 2020 §2.2): keep only
+    lines that end in terminal punctuation (``. ! ? "``), carry at least
+    ``min_words_per_line`` words, and do not mention "javascript"; then
+    keep only pages whose CLEANED text still has ≥ ``min_sentences``
+    terminal marks and whose ORIGINAL text contains neither "lorem
+    ipsum" nor a curly brace (the code-page tell).  (C4's remaining
+    rule, global three-sentence-span dedup, is `dup_ngram_spans` /
+    `mask_duplicate_spans` in this engine.)
+
+    Emits per-page audit columns plus ``cleaned_md5`` so the verdict and
+    the exact cleaned bytes are both checkable without shipping full
+    text through the compare.
+
+    Plan shape: one projection materializes the line array, the filter
+    is a per-element lambda over it (predicates reference ONLY the
+    lambda variable, so nothing heavy re-evaluates per element — the
+    `_shingles_from_tokens` discipline).  Line predicates are also RE2-
+    portable, which is what lets the DuckDB oracle replay them with
+    ``list_filter`` verbatim.  HOF lambdas run interpreted, so this
+    operator trades some per-row speed for the per-LINE semantics the
+    regexp_count algebra (gopher_quality) cannot express; it remains
+    shuffle-free."""
+    keep_line = lambda ln: (  # noqa: E731
+        (F.regexp_count(ln, F.lit('[.!?"][ \t\r]*$')) >= 1)
+        & (F.regexp_count(ln, F.lit(r"\S+")) >= min_words_per_line)
+        & (F.instr(F.lower(ln), "javascript") == 0)
+    )
+    lined = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_text"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1).alias(
+            "_lines"
+        ),
+    )
+    kept = lined.select(
+        id_col,
+        "_text",
+        F.size("_lines").alias("n_lines"),
+        F.filter("_lines", keep_line).alias("_kept"),
+    )
+    cleaned = F.concat_ws("\n", F.col("_kept"))
+    out = kept.select(
+        id_col,
+        F.col("n_lines"),
+        F.size("_kept").alias("n_kept"),
+        cleaned.alias("_cleaned"),
+        F.regexp_count(cleaned, F.lit(r"[.!?]")).alias("n_sentences"),
+        (F.instr(F.lower("_text"), "lorem ipsum") > 0).alias("_lorem"),
+        (F.instr("_text", "{") > 0).alias("_curly"),
+    )
+    return out.select(
+        id_col,
+        "n_lines",
+        "n_kept",
+        "n_sentences",
+        (
+            (F.col("n_sentences") >= min_sentences)
+            & ~F.col("_lorem")
+            & ~F.col("_curly")
+        ).alias("page_kept"),
+        F.md5("_cleaned").alias("cleaned_md5"),
+    )

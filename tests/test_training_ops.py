@@ -2334,3 +2334,40 @@ def test_hll_accuracy_merge_and_small_range(spark):
     )
     regs_n = hll_sketch(withnull, "u", p=8)
     assert regs_n.count() <= 2
+
+
+def test_c4_filters_line_and_page_rules(spark):
+    import hashlib
+
+    from pdf_to_epub_spark.operators import c4_filters
+
+    good = "This line has five good words."
+    docs = [
+        # 0: clean page — 6 sentence-ending lines survive
+        (0, "\n".join([good] * 6)),
+        # 1: line rules — short line, no-punct line, javascript line all
+        # drop; page then fails the 5-sentence floor
+        (1, "Too short.\nNo terminal punctuation here\n"
+            "Enable JavaScript to continue.\n" + good),
+        # 2: lorem ipsum kills the page even with enough sentences
+        (2, "\n".join([good] * 6) + "\nLorem Ipsum dolor sit amet."),
+        # 3: curly brace kills the page
+        (3, "\n".join([good] * 6) + "\nvar x = { a: 1 };"),
+        # 4: null text
+        (4, None),
+        # 5: quote-terminated and CRLF-terminated lines both count
+        (5, 'He said "stop right there now."\r\n' + "\n".join([good] * 5)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    rows = {r.doc_id: r for r in c4_filters(df, id_col="doc_id").collect()}
+    assert rows[0].page_kept and rows[0].n_kept == 6
+    assert rows[1].n_kept == 1 and not rows[1].page_kept
+    assert rows[2].n_kept == 7 and not rows[2].page_kept  # lorem rule
+    assert not rows[3].page_kept  # curly rule
+    assert rows[4].n_kept == 0 and not rows[4].page_kept
+    assert rows[4].cleaned_md5 == hashlib.md5(b"").hexdigest()
+    # CRLF: trailing \r is absorbed by the terminal-punct class
+    assert rows[5].n_kept == 6 and rows[5].page_kept
+    # cleaned bytes are exactly the kept lines rejoined
+    exp = hashlib.md5(("\n".join([good] * 6)).encode()).hexdigest()
+    assert rows[0].cleaned_md5 == exp
