@@ -2333,6 +2333,32 @@ def _q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_jsonld(pages)
 
 
+def _q_mirror_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-site detection (urls.mirror_domains): every 10th doc is
+    republished byte-identical under a second registrable domain (.org
+    mirror); the operator must flag exactly those content hashes with
+    both domains listed, and no near-unique doc may leak in."""
+    from pdf_to_epub_spark.operators import mirror_domains
+
+    d = _t(spark, sf_dir, "documents")
+    site = (F.col("doc_id") % 13).cast("string")
+    pages = d.select(
+        F.concat(
+            F.lit("https://site"), site, F.lit(".com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    mirrored = d.where((F.col("doc_id") % 10) == 0).select(
+        F.concat(
+            F.lit("https://mirror-site"), site, F.lit(".org/copy/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    return mirror_domains(pages.unionByName(mirrored))
+
+
 def _q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line/page cleaning (textstats.c4_filters): terminal-punct
     + ≥3-words + no-'javascript' line keep, ≥5-sentence / no-lorem /
@@ -3061,6 +3087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality_rank": _q_domain_quality_rank,
         "bloom_membership": _q_bloom_membership,
         "c4_page_filter": _q_c4_filters,
+        "mirror_domains": _q_mirror_domains,
         "histogram_quantiles": _q_histogram_quantiles,
         "hll_domain_distinct": _q_hll_domain_distinct,
         "jsonld_extract": _q_jsonld_extract,
@@ -5708,6 +5735,28 @@ def oracle_sql() -> dict[str, str]:
                        json_extract_string(block, '$.datePublished') END
                        AS ld_date
             FROM blocks
+        """,
+        # Mirrors: same registrable-domain extraction (last two host
+        # labels), same md5-of-coalesced-text key, sorted distinct CSV.
+        "mirror_domains": """
+            WITH pages AS (
+                SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.com'
+                           AS domain,
+                       md5(coalesce(text, '')) AS content_md5
+                FROM documents
+                UNION ALL
+                SELECT 'mirror-site' || CAST(doc_id % 13 AS VARCHAR)
+                           || '.org' AS domain,
+                       md5(coalesce(text, '')) AS content_md5
+                FROM documents WHERE doc_id % 10 = 0
+            )
+            SELECT content_md5,
+                   count(*)::BIGINT AS n_pages,
+                   count(DISTINCT domain)::INT AS n_domains,
+                   array_to_string(list_sort(list_distinct(list(domain))),
+                                   ',') AS domains_csv
+            FROM pages GROUP BY content_md5
+            HAVING count(DISTINCT domain) >= 2
         """,
         # C4: same line predicates via list_filter (RE2 both sides),
         # same page rules; cleaned bytes compared by md5.

@@ -902,3 +902,38 @@ def extract_jsonld(
         F.get_json_object("block", "$.name").alias("ld_name"),
         F.get_json_object("block", "$.datePublished").alias("ld_date"),
     )
+
+
+def mirror_domains(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_domains: int = 2,
+) -> DataFrame:
+    """Mirror-site detection: content (by exact md5 of the page text)
+    served under ≥ ``min_domains`` distinct registrable domains — the
+    standing web-corpus failure mode exact PER-URL dedup misses when the
+    dedup key includes the URL, and the evidence a crawl needs to
+    collapse mirror families before domain-level quotas (a mirrored site
+    otherwise multiplies its quota by its domain count).
+
+    One slim (domain, md5) projection, one combiner-friendly groupBy on
+    the hash; domain lists are deduped+sorted in-group so output is
+    deterministic.  Returns ``(content_md5, n_pages, n_domains,
+    domains_csv)``; join back on md5(text) to tag or drop mirrored
+    pages."""
+    slim = pages.select(
+        registrable_domain(F.col(url_col)).alias("domain"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("content_md5"),
+    )
+    return (
+        slim.groupBy("content_md5")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.size(F.collect_set("domain")).alias("n_domains"),
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set("domain"))
+            ).alias("domains_csv"),
+        )
+        .where(F.col("n_domains") >= min_domains)
+    )

@@ -490,3 +490,26 @@ def test_bpe_fertility_majority_language_wins(spark):
     assert got["en"].fertility < got["zz"].fertility
     # fertility is exactly n_subwords / n_tokens
     assert got["zz"].fertility == round(got["zz"].n_subwords / got["zz"].n_tokens, 6)
+
+
+def test_mirror_domains_flags_cross_domain_content(spark):
+    from pdf_to_epub_spark.operators import mirror_domains
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/1", "shared content"),
+            ("https://www.b.org/x", "shared content"),
+            ("https://a.com/2", "unique one"),
+            ("https://sub.a.com/3", "same domain twice"),
+            ("https://a.com/4", "same domain twice"),
+            ("https://c.net/n", None),
+            ("https://d.net/n", None),
+        ],
+        "url: string, text: string",
+    )
+    rows = {r.domains_csv: r for r in mirror_domains(pages).collect()}
+    # cross-domain dup flagged; subdomain collapses to the registrable
+    # domain so the a.com pair is NOT a mirror; null texts mirror too
+    assert set(rows) == {"a.com,b.org", "c.net,d.net"}
+    assert rows["a.com,b.org"].n_pages == 2
+    assert rows["a.com,b.org"].n_domains == 2
