@@ -2333,6 +2333,50 @@ def _q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_jsonld(pages)
 
 
+def _q_corpus_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier extraction — the deliverable shape of this graft cell: every
+    document lands in exactly one training tier by composing signals the
+    engine already computes.  ``reject`` = exact-dup loser (keep-lowest
+    md5 group policy) or hard quality floor (n_words < 25, alpha word
+    ratio ≤ 0.8, or symbol ratio ≥ 0.1); ``head`` = surviving docs in
+    the strict band (≥ 70 words, mean word length in [3, 10]); ``mid``
+    = everything else kept.  (Thresholds sit at this corpus's quartiles
+    so all three tiers are populated; the full Gopher ``keep`` verdict
+    is its own query.)  Tier rules read the ROUNDED gopher signals so
+    the Spark/DuckDB threshold comparisons are bit-identical; the
+    oracle reuses the gopher feature algebra (_GOPHER_ORACLE) as a
+    CTE."""
+    from pyspark.sql.window import Window
+
+    from pdf_to_epub_spark.operators import gopher_quality
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    g = gopher_quality(d)
+    w = Window.partitionBy(F.md5(F.coalesce(F.col("text"), F.lit(""))))
+    dup = d.select(
+        "doc_id",
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("dup_loser"),
+    )
+    j = g.join(dup, "doc_id")
+    rejected = (
+        F.col("dup_loser")
+        | (F.col("n_words_g") < 25)
+        | (F.col("alpha_word_ratio") <= 0.8)
+        | (F.col("symbol_ratio") >= 0.1)
+    )
+    tier = (
+        F.when(rejected, F.lit("reject"))
+        .when(
+            (F.col("n_words_g") >= 70)
+            & (F.col("mean_word_len_g") >= 3.0)
+            & (F.col("mean_word_len_g") <= 10.0),
+            F.lit("head"),
+        )
+        .otherwise(F.lit("mid"))
+    )
+    return j.select("doc_id", "dup_loser", "keep", tier.alias("tier"))
+
+
 def _q_mirror_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mirror-site detection (urls.mirror_domains): every 10th doc is
     republished byte-identical under a second registrable domain (.org
@@ -3087,6 +3131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality_rank": _q_domain_quality_rank,
         "bloom_membership": _q_bloom_membership,
         "c4_page_filter": _q_c4_filters,
+        "corpus_tiers": _q_corpus_tiers,
         "mirror_domains": _q_mirror_domains,
         "histogram_quantiles": _q_histogram_quantiles,
         "hll_domain_distinct": _q_hll_domain_distinct,
@@ -3266,6 +3311,57 @@ def _media_features_oracle(n: int = 200) -> str:
 
 def _vec_lit(v: list[float]) -> str:
     return "[" + ",".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+
+# Gopher feature algebra shared by the gopher_quality oracle and the
+# corpus_tiers composition (tier rules read the same rounded signals).
+_GOPHER_ORACLE = r"""
+            WITH w AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\s+') AS words,
+                       list_filter(string_split(text, chr(10)),
+                                   l -> regexp_matches(l, '[^ \t\r]')) AS lines
+                FROM documents),
+            feats AS (
+                SELECT doc_id,
+                    len(words) AS n_words,
+                    list_aggregate(list_transform(words, x -> length(x)),
+                                   'sum')::DOUBLE
+                        / greatest(len(words), 1) AS mean_wlen,
+                    (length(text) - length(replace(text, '#', ''))
+                     + len(regexp_extract_all(text, '\.\.\.')))::DOUBLE
+                        / greatest(len(words), 1) AS symbol_ratio,
+                    len(list_filter(lines,
+                        l -> regexp_matches(l, '^\s*[•\-\*]')))::DOUBLE
+                        / greatest(len(lines), 1) AS bullet_ratio,
+                    len(list_filter(lines,
+                        l -> regexp_matches(l, '\.\.\.\s*$')))::DOUBLE
+                        / greatest(len(lines), 1) AS ellipsis_ratio,
+                    len(list_filter(words,
+                        x -> regexp_matches(x, '[A-Za-zÀ-ÖØ-öø-ÿ]')))::DOUBLE
+                        / greatest(len(words), 1) AS alpha_ratio,
+                    len(list_intersect(
+                        list_distinct(regexp_extract_all(lower(text),
+                                                         '[a-zà-öø-ÿ]+')),
+                        ['the','be','to','of','and','that','have','with']))
+                        AS stop_hits
+                FROM w)
+            SELECT doc_id, n_words::BIGINT AS n_words,
+                   round(mean_wlen, 4) AS mean_word_len,
+                   round(symbol_ratio, 4) AS symbol_ratio,
+                   round(bullet_ratio, 4) AS bullet_line_ratio,
+                   round(ellipsis_ratio, 4) AS ellipsis_line_ratio,
+                   round(alpha_ratio, 4) AS alpha_word_ratio,
+                   stop_hits::BIGINT AS stopword_hits,
+                   (n_words BETWEEN 50 AND 100000
+                    AND mean_wlen BETWEEN 3.0 AND 10.0
+                    AND symbol_ratio < 0.1
+                    AND bullet_ratio < 0.9
+                    AND ellipsis_ratio < 0.3
+                    AND alpha_ratio > 0.8
+                    AND stop_hits >= 2) AS keep
+            FROM feats
+        """
 
 
 _COSINE = (
@@ -4046,53 +4142,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Gopher §A1.1 rules recomputed relationally; ratios rounded to 4
         # in both engines, keep computed on the unrounded doubles.
-        "gopher_quality": r"""
-            WITH w AS (
-                SELECT doc_id, text,
-                       regexp_split_to_array(trim(text), '\s+') AS words,
-                       list_filter(string_split(text, chr(10)),
-                                   l -> regexp_matches(l, '[^ \t\r]')) AS lines
-                FROM documents),
-            feats AS (
-                SELECT doc_id,
-                    len(words) AS n_words,
-                    list_aggregate(list_transform(words, x -> length(x)),
-                                   'sum')::DOUBLE
-                        / greatest(len(words), 1) AS mean_wlen,
-                    (length(text) - length(replace(text, '#', ''))
-                     + len(regexp_extract_all(text, '\.\.\.')))::DOUBLE
-                        / greatest(len(words), 1) AS symbol_ratio,
-                    len(list_filter(lines,
-                        l -> regexp_matches(l, '^\s*[•\-\*]')))::DOUBLE
-                        / greatest(len(lines), 1) AS bullet_ratio,
-                    len(list_filter(lines,
-                        l -> regexp_matches(l, '\.\.\.\s*$')))::DOUBLE
-                        / greatest(len(lines), 1) AS ellipsis_ratio,
-                    len(list_filter(words,
-                        x -> regexp_matches(x, '[A-Za-zÀ-ÖØ-öø-ÿ]')))::DOUBLE
-                        / greatest(len(words), 1) AS alpha_ratio,
-                    len(list_intersect(
-                        list_distinct(regexp_extract_all(lower(text),
-                                                         '[a-zà-öø-ÿ]+')),
-                        ['the','be','to','of','and','that','have','with']))
-                        AS stop_hits
-                FROM w)
-            SELECT doc_id, n_words::BIGINT AS n_words,
-                   round(mean_wlen, 4) AS mean_word_len,
-                   round(symbol_ratio, 4) AS symbol_ratio,
-                   round(bullet_ratio, 4) AS bullet_line_ratio,
-                   round(ellipsis_ratio, 4) AS ellipsis_line_ratio,
-                   round(alpha_ratio, 4) AS alpha_word_ratio,
-                   stop_hits::BIGINT AS stopword_hits,
-                   (n_words BETWEEN 50 AND 100000
-                    AND mean_wlen BETWEEN 3.0 AND 10.0
-                    AND symbol_ratio < 0.1
-                    AND bullet_ratio < 0.9
-                    AND ellipsis_ratio < 0.3
-                    AND alpha_ratio > 0.8
-                    AND stop_hits >= 2) AS keep
-            FROM feats
-        """,
+        "gopher_quality": _GOPHER_ORACLE,
         # webgraph PageRank: static pure-Python replay (edge set is a pure
         # function of doc_id residues, identical at both test scales)
         "domain_pagerank": _domain_pagerank_oracle(),
@@ -5735,6 +5785,27 @@ def oracle_sql() -> dict[str, str]:
                        json_extract_string(block, '$.datePublished') END
                        AS ld_date
             FROM blocks
+        """,
+        # Tiers: gopher algebra as a CTE + the keep-lowest exact-dup
+        # window; thresholds compare the same rounded signals.
+        "corpus_tiers": """
+            WITH g AS (""" + _GOPHER_ORACLE + """),
+            dup AS (
+                SELECT doc_id,
+                       doc_id <> min(doc_id) OVER (
+                           PARTITION BY md5(coalesce(text, ''))
+                       ) AS dup_loser
+                FROM documents
+            )
+            SELECT g.doc_id, d.dup_loser, g.keep,
+                   CASE WHEN d.dup_loser OR g.n_words < 25
+                             OR g.alpha_word_ratio <= 0.8
+                             OR g.symbol_ratio >= 0.1 THEN 'reject'
+                        WHEN g.n_words >= 70
+                             AND g.mean_word_len BETWEEN 3.0 AND 10.0
+                             THEN 'head'
+                        ELSE 'mid' END AS tier
+            FROM g JOIN dup d ON g.doc_id = d.doc_id
         """,
         # Mirrors: same registrable-domain extraction (last two host
         # labels), same md5-of-coalesced-text key, sorted distinct CSV.
