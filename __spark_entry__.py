@@ -2333,6 +2333,46 @@ def _q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_jsonld(pages)
 
 
+def _q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap template mining (urls.url_templates): four synthetic
+    URL families — calendar paths, article ids, 16-hex session ids, and
+    a static page — must collapse to exactly four skeletons per domain
+    with correct counts and domain shares."""
+    from pdf_to_epub_spark.operators import url_templates
+
+    d = _t(spark, sf_dir, "documents")
+    site = (F.col("doc_id") % 5).cast("string")
+    sid = F.col("doc_id").cast("string")
+    month = F.lpad(((F.col("doc_id") % 12) + 1).cast("string"), 2, "0")
+    url = (
+        F.when(
+            (F.col("doc_id") % 4) == 0,
+            F.concat(
+                F.lit("https://site"), site, F.lit(".com/cal/2024/"),
+                month, F.lit("/"), sid,
+            ),
+        )
+        .when(
+            (F.col("doc_id") % 4) == 1,
+            F.concat(
+                F.lit("https://site"), site, F.lit(".com/article/"),
+                sid, F.lit("-page"),
+            ),
+        )
+        .when(
+            (F.col("doc_id") % 4) == 2,
+            F.concat(
+                F.lit("https://site"), site, F.lit(".com/session/"),
+                F.substring(F.md5(sid), 1, 16), F.lit("/view?sid="), sid,
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://site"), site, F.lit(".com/about"))
+        )
+    )
+    return url_templates(d.select(url.alias("url")))
+
+
 def _q_corpus_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tier extraction — the deliverable shape of this graft cell: every
     document lands in exactly one training tier by composing signals the
@@ -3132,6 +3172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": _q_bloom_membership,
         "c4_page_filter": _q_c4_filters,
         "corpus_tiers": _q_corpus_tiers,
+        "url_templates": _q_url_templates,
         "mirror_domains": _q_mirror_domains,
         "histogram_quantiles": _q_histogram_quantiles,
         "hll_domain_distinct": _q_hll_domain_distinct,
@@ -5785,6 +5826,55 @@ def oracle_sql() -> dict[str, str]:
                        json_extract_string(block, '$.datePublished') END
                        AS ld_date
             FROM blocks
+        """,
+        # Templates: same skeleton regexes (hex-run pass before digit
+        # pass, global flag explicit in DuckDB), same share window.
+        "url_templates": """
+            WITH urls AS (
+                SELECT CASE
+                    WHEN doc_id % 4 = 0 THEN
+                        'https://site' || CAST(doc_id % 5 AS VARCHAR)
+                        || '.com/cal/2024/'
+                        || lpad(CAST((doc_id % 12) + 1 AS VARCHAR), 2, '0')
+                        || '/' || CAST(doc_id AS VARCHAR)
+                    WHEN doc_id % 4 = 1 THEN
+                        'https://site' || CAST(doc_id % 5 AS VARCHAR)
+                        || '.com/article/' || CAST(doc_id AS VARCHAR)
+                        || '-page'
+                    WHEN doc_id % 4 = 2 THEN
+                        'https://site' || CAST(doc_id % 5 AS VARCHAR)
+                        || '.com/session/'
+                        || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+                        || '/view?sid=' || CAST(doc_id AS VARCHAR)
+                    ELSE 'https://site' || CAST(doc_id % 5 AS VARCHAR)
+                         || '.com/about' END AS url
+                FROM documents
+            ), slim AS (
+                SELECT regexp_extract(lower(url),
+                           '^[a-z][a-z0-9+.\-]*://([^/:?#]*)', 1)
+                           AS host,
+                       regexp_replace(regexp_replace(
+                           regexp_extract(url,
+                               '^[a-z][a-z0-9+.\-]*://[^/]*(/[^?#]*)?', 1),
+                           '[0-9a-f]{8,}', '{H}', 'g'),
+                           '[0-9]+', '{N}', 'g') AS template
+                FROM urls
+            ), named AS (
+                SELECT CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+                                 <> ''
+                            THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+                            ELSE host END AS domain,
+                       CASE WHEN template = '' THEN '/' ELSE template END
+                           AS template
+                FROM slim
+            ), counts AS (
+                SELECT domain, template, count(*)::BIGINT AS n_urls
+                FROM named GROUP BY domain, template
+            )
+            SELECT domain, template, n_urls,
+                   round(n_urls / (sum(n_urls) OVER (PARTITION BY domain))
+                         ::DOUBLE, 6) AS share
+            FROM counts WHERE n_urls >= 2
         """,
         # Tiers: gopher algebra as a CTE + the keep-lowest exact-dup
         # window; thresholds compare the same rounded signals.

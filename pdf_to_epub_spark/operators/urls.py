@@ -937,3 +937,44 @@ def mirror_domains(
         )
         .where(F.col("n_domains") >= min_domains)
     )
+
+
+def url_templates(
+    pages: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 2,
+) -> DataFrame:
+    """Crawler-trap / path-template mining: collapse every URL path to a
+    skeleton (digit runs → ``{N}``, ≥8-char hex runs → ``{H}``, query
+    string dropped) and count URLs per (domain, template).  Calendar
+    pages, session-id paths, and paginated archives — the families that
+    explode a frontier at crawl time — all collapse to one template row
+    whose count and domain share scream "trap" long before content is
+    fetched.  Pure regexp_replace chain (codegen, RE2-portable) + one
+    combiner-friendly groupBy on a slim projection; ``share`` is the
+    template's fraction of its domain's URLs (window over the small
+    aggregated table, not the page table)."""
+    from pyspark.sql.window import Window
+
+    path = F.regexp_extract(
+        F.col(url_col), r"^[a-z][a-z0-9+.\-]*://[^/]*(/[^?#]*)?", 1
+    )
+    skeleton = F.regexp_replace(
+        F.regexp_replace(path, r"[0-9a-f]{8,}", "{H}"),
+        r"[0-9]+",
+        "{N}",
+    )
+    slim = pages.select(
+        registrable_domain(F.col(url_col)).alias("domain"),
+        F.when(skeleton == "", "/").otherwise(skeleton).alias("template"),
+    )
+    counts = slim.groupBy("domain", "template").agg(
+        F.count("*").cast("long").alias("n_urls")
+    )
+    w = Window.partitionBy("domain")
+    return counts.select(
+        "domain",
+        "template",
+        "n_urls",
+        F.round(F.col("n_urls") / F.sum("n_urls").over(w), 6).alias("share"),
+    ).where(F.col("n_urls") >= min_urls)

@@ -513,3 +513,31 @@ def test_mirror_domains_flags_cross_domain_content(spark):
     assert set(rows) == {"a.com,b.org", "c.net,d.net"}
     assert rows["a.com,b.org"].n_pages == 2
     assert rows["a.com,b.org"].n_domains == 2
+
+
+def test_url_templates_skeletons_and_share(spark):
+    from pdf_to_epub_spark.operators import url_templates
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/cal/2024/01/5",),
+            ("https://a.com/cal/2024/02/6",),
+            ("https://a.com/s/deadbeef01234567/x?q=1",),
+            ("https://a.com/s/cafebabe99887766/x",),
+            ("https://b.org/p/12",),
+            ("https://b.org/p/13",),
+            ("https://a.com/once/1",),  # below min_urls, dropped
+            ("https://a.com",),         # empty path -> '/'... dropped (<2)
+        ],
+        "url: string",
+    )
+    rows = {(r.domain, r.template): r for r in url_templates(pages).collect()}
+    assert set(rows) == {
+        ("a.com", "/cal/{N}/{N}/{N}"),
+        ("a.com", "/s/{H}/x"),
+        ("b.org", "/p/{N}"),
+    }
+    assert rows[("a.com", "/cal/{N}/{N}/{N}")].n_urls == 2
+    # share is over ALL of the domain's urls incl. the dropped singletons
+    assert rows[("a.com", "/cal/{N}/{N}/{N}")].share == round(2 / 6, 6)
+    assert rows[("b.org", "/p/{N}")].share == 1.0
