@@ -2333,6 +2333,31 @@ def _q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_jsonld(pages)
 
 
+def _q_code_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing (textstats.code_signals): every 7th doc's
+    text is replaced by a synthetic code file (keywords, indentation,
+    brace/semicolon lines) which must flag is_code while the prose docs
+    stay false; the oracle replays all four signal families under RE2
+    (?m) semantics."""
+    from pdf_to_epub_spark.operators import code_signals
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    code_text = F.concat(
+        F.lit("def handler_"), sid, F.lit("(x):\n    return x + "), sid,
+        F.lit(";\n\nclass Page"), sid,
+        F.lit(":\n    import os\n    var cache = {};\n    const LIMIT = "),
+        sid, F.lit(";\n"),
+    )
+    docs = d.select(
+        "doc_id",
+        F.when((F.col("doc_id") % 7) == 3, code_text)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return code_signals(docs)
+
+
 def _q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawler-trap template mining (urls.url_templates): four synthetic
     URL families — calendar paths, article ids, 16-hex session ids, and
@@ -3171,6 +3196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality_rank": _q_domain_quality_rank,
         "bloom_membership": _q_bloom_membership,
         "c4_page_filter": _q_c4_filters,
+        "code_signals": _q_code_signals,
         "corpus_tiers": _q_corpus_tiers,
         "url_templates": _q_url_templates,
         "mirror_domains": _q_mirror_domains,
@@ -5875,6 +5901,63 @@ def oracle_sql() -> dict[str, str]:
                    round(n_urls / (sum(n_urls) OVER (PARTITION BY domain))
                          ::DOUBLE, 6) AS share
             FROM counts WHERE n_urls >= 2
+        """,
+        # Code signals: same four families under RE2 (?m); thresholds
+        # compare the same rounded values.
+        "code_signals": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 3 THEN
+                           'def handler_' || CAST(doc_id AS VARCHAR)
+                           || '(x):' || chr(10) || '    return x + '
+                           || CAST(doc_id AS VARCHAR) || ';' || chr(10)
+                           || chr(10) || 'class Page'
+                           || CAST(doc_id AS VARCHAR) || ':' || chr(10)
+                           || '    import os' || chr(10)
+                           || '    var cache = {};' || chr(10)
+                           || '    const LIMIT = '
+                           || CAST(doc_id AS VARCHAR) || ';' || chr(10)
+                       ELSE text END AS text
+                FROM documents
+            ), base AS (
+                SELECT doc_id, coalesce(text, '') AS t FROM docs
+            ), feats AS (
+                SELECT doc_id,
+                    greatest(length(t), 1)::DOUBLE AS n_chars,
+                    greatest(CASE WHEN t = '' THEN 0
+                             ELSE len(regexp_extract_all(t, '\n')) + 1 END,
+                             1)::DOUBLE AS n_lines,
+                    len(regexp_extract_all(t, '[{}();=<>]')) AS n_punct,
+                    len(regexp_extract_all(t, '(?m)^[ \t]{2,}\S'))
+                        AS n_indent,
+                    len(regexp_extract_all(t, '(?m)[;{}][ \t\r]*$'))
+                        AS n_termin,
+                    (CASE WHEN regexp_matches(t, '\bdef\b') THEN 1 ELSE 0 END
+                     + CASE WHEN regexp_matches(t, '\breturn\b') THEN 1 ELSE 0 END
+                     + CASE WHEN regexp_matches(t, '\bimport\b') THEN 1 ELSE 0 END
+                     + CASE WHEN regexp_matches(t, '\bfunction\b') THEN 1 ELSE 0 END
+                     + CASE WHEN regexp_matches(t, '\bvar\b') THEN 1 ELSE 0 END
+                     + CASE WHEN regexp_matches(t, '\bconst\b') THEN 1 ELSE 0 END
+                     + CASE WHEN regexp_matches(t, '\bclass\b') THEN 1 ELSE 0 END
+                     + CASE WHEN regexp_matches(t, '\bvoid\b') THEN 1 ELSE 0 END
+                     + CASE WHEN regexp_matches(t, '\binclude\b') THEN 1 ELSE 0 END
+                     + CASE WHEN regexp_matches(t, '\bpublic\b') THEN 1 ELSE 0 END
+                    )::INT AS keyword_hits
+                FROM base
+            ), sig AS (
+                SELECT doc_id,
+                       round(n_punct / n_chars, 6) AS punct_density,
+                       round(n_indent / n_lines, 6) AS indent_ratio,
+                       round(n_termin / n_lines, 6) AS terminator_ratio,
+                       keyword_hits
+                FROM feats
+            )
+            SELECT doc_id, punct_density, indent_ratio, terminator_ratio,
+                   keyword_hits,
+                   ((punct_density >= 0.02 AND indent_ratio >= 0.2)
+                    OR (keyword_hits >= 3 AND punct_density >= 0.01))
+                       AS is_code
+            FROM sig
         """,
         # Tiers: gopher algebra as a CTE + the keep-lowest exact-dup
         # window; thresholds compare the same rounded signals.

@@ -1162,3 +1162,57 @@ def c4_filters(
         ).alias("page_kept"),
         F.md5("_cleaned").alias("cleaned_md5"),
     )
+
+
+_CODE_KEYWORDS = (
+    "def", "return", "import", "function", "var", "const", "class",
+    "void", "include", "public",
+)
+
+
+def code_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Code-vs-prose routing signals — the gate a training pipeline runs
+    to route documents into a code tier (or keep code out of a prose
+    corpus): code-punctuation density (``{}();=<>``), indented-line and
+    semicolon/brace-terminated-line ratios, and distinct code-keyword
+    presence (``\\b``-bounded, ASCII word boundary in both Java and
+    RE2).  ``is_code`` combines them: structural shape (punct + indent)
+    or lexical shape (≥3 keywords + punct).  All regexp_count column
+    algebra — no split arrays, no lambdas, shuffle-free; line anchors
+    use (?dm) on the Java side so ``^``/``$`` bind to ``\\n`` exactly
+    like RE2's (?m) (the gopher_quality UNIX_LINES discipline)."""
+    base = df.select(
+        id_col, F.coalesce(F.col(text_col), F.lit("")).alias("_ct")
+    )
+    n_chars = F.greatest(F.length("_ct"), F.lit(1)).cast("double")
+    n_lines = F.when(F.col("_ct") == "", F.lit(0)).otherwise(
+        F.expr("regexp_count(_ct, '\\n')") + 1
+    )
+    n_lines_d = F.greatest(n_lines, F.lit(1)).cast("double")
+    n_punct = F.expr("regexp_count(_ct, '[{}();=<>]')")
+    n_indent = F.expr("regexp_count(_ct, '(?dm)^[ \\t]{2,}\\\\S')")
+    n_termin = F.expr("regexp_count(_ct, '(?dm)[;{}][ \\t\\r]*$')")
+    kw_hits = sum(
+        (F.expr(f"regexp_count(_ct, '\\\\b{kw}\\\\b')") >= 1).cast(
+            "int"
+        )
+        for kw in _CODE_KEYWORDS
+    ).cast("int")
+    punct_density = F.round(n_punct / n_chars, 6)
+    indent_ratio = F.round(n_indent / n_lines_d, 6)
+    terminator_ratio = F.round(n_termin / n_lines_d, 6)
+    is_code = (
+        (punct_density >= 0.02) & (indent_ratio >= 0.2)
+    ) | ((kw_hits >= 3) & (punct_density >= 0.01))
+    return base.select(
+        id_col,
+        punct_density.alias("punct_density"),
+        indent_ratio.alias("indent_ratio"),
+        terminator_ratio.alias("terminator_ratio"),
+        kw_hits.alias("keyword_hits"),
+        is_code.alias("is_code"),
+    )

@@ -2371,3 +2371,28 @@ def test_c4_filters_line_and_page_rules(spark):
     # cleaned bytes are exactly the kept lines rejoined
     exp = hashlib.md5(("\n".join([good] * 6)).encode()).hexdigest()
     assert rows[0].cleaned_md5 == exp
+
+
+def test_code_signals_routing(spark):
+    from pdf_to_epub_spark.operators import code_signals
+
+    code = (
+        "def f(x):\n    return x + 1;\n\nclass A:\n    import os\n"
+        "    var y = {1: 2};\nconst z = [];\npublic void g() {}"
+    )
+    prose = (
+        "The quick brown fox jumps over the lazy dog. It was a dark and "
+        "stormy night, and the rain fell in torrents."
+    )
+    # 'variable' must NOT count as the keyword 'var' (word boundary)
+    prosey = "A variable definition includes classic returns. " * 3
+    df = spark.createDataFrame(
+        [(1, code), (2, prose), (3, None), (4, ""), (5, prosey)],
+        "doc_id: long, text: string",
+    )
+    rows = {r.doc_id: r for r in code_signals(df).collect()}
+    assert rows[1].is_code and rows[1].keyword_hits >= 5
+    assert rows[1].indent_ratio > 0.3 and rows[1].terminator_ratio > 0.3
+    for i in (2, 3, 4, 5):
+        assert not rows[i].is_code
+    assert rows[5].keyword_hits == 0
