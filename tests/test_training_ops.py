@@ -2396,3 +2396,31 @@ def test_code_signals_routing(spark):
     for i in (2, 3, 4, 5):
         assert not rows[i].is_code
     assert rows[5].keyword_hits == 0
+
+
+def test_containment_verify_reads_materialized_sets(spark, dup_corpus):
+    """Plan pin for the shingle-once verify: the scoring subtree reads
+    the checkpointed shingle-set table — no tokenizing split() of raw
+    text may appear below the verify join (the per-pair re-shingling
+    regression cost ~8x wall at sf0.1)."""
+    from pyspark.sql import functions as F
+
+    from pdf_to_epub_spark.operators.dedup import (
+        _score_pairs_from_shingle_sets,
+        with_shingles,
+    )
+
+    sets = (
+        with_shingles(dup_corpus.select("doc_id", "text"), "text", 3)
+        .select(F.col("doc_id").alias("id"), F.col("shingles").alias("_sh"))
+        .localCheckpoint(eager=False)
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id_a: long, id_b: long")
+    plan = (
+        _score_pairs_from_shingle_sets(sets, pairs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "split(" not in plan, plan[:2000]
+    assert "array_intersect" in plan
