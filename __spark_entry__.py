@@ -2333,6 +2333,21 @@ def _q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_jsonld(pages)
 
 
+def _q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5/CC-100 α-sampling plan over languages, char-weighted
+    (sampling.temperature_mixture, α=0.5): head languages flatten, tail
+    grows, epochs > 1 marks upsampled groups.  n^α is quantized to
+    integer micro-units before the cross-group sum so the oracle's
+    normalization is order-independent."""
+    from pdf_to_epub_spark.operators import temperature_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_mixture(
+        d, group_col="lang", weight_col="n_chars", alpha=0.5,
+        budget=10_000_000,
+    )
+
+
 def _q_code_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Code-vs-prose routing (textstats.code_signals): every 7th doc's
     text is replaced by a synthetic code file (keywords, indentation,
@@ -3197,6 +3212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": _q_bloom_membership,
         "c4_page_filter": _q_c4_filters,
         "code_signals": _q_code_signals,
+        "temperature_mixture": _q_temperature_mixture,
         "corpus_tiers": _q_corpus_tiers,
         "url_templates": _q_url_templates,
         "mirror_domains": _q_mirror_domains,
@@ -5901,6 +5917,29 @@ def oracle_sql() -> dict[str, str]:
                    round(n_urls / (sum(n_urls) OVER (PARTITION BY domain))
                          ::DOUBLE, 6) AS share
             FROM counts WHERE n_urls >= 2
+        """,
+        # Temperature sampling: n^alpha as exp(a ln n) quantized to
+        # integer micro-units (the 1-ulp libm difference dies in the
+        # floor), integer normalizing sum, one division at the end.
+        "temperature_mixture": """
+            WITH sizes AS (
+                SELECT lang, sum(n_chars)::BIGINT AS n_units
+                FROM documents GROUP BY lang
+            ), wtd AS (
+                SELECT lang, n_units,
+                       floor(exp(0.5::DOUBLE * ln(n_units))
+                             * 1000000.0::DOUBLE + 0.5)::BIGINT AS w
+                FROM sizes
+            ), tot AS (
+                SELECT sum(w)::BIGINT AS tw, sum(n_units)::BIGINT AS tn
+                FROM wtd
+            )
+            SELECT lang, n_units,
+                   round(n_units / tn, 6) AS share_raw,
+                   round(w / tw, 6) AS share_temp,
+                   floor((w / tw) * 10000000)::BIGINT AS target_units,
+                   round(floor((w / tw) * 10000000) / n_units, 4) AS epochs
+            FROM wtd CROSS JOIN tot
         """,
         # Code signals: same four families under RE2 (?m); thresholds
         # compare the same rounded values.

@@ -472,3 +472,49 @@ def dsir_resample(
         .orderBy(F.desc("gumbel_key"), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str = "lang",
+    weight_col: str | None = None,
+    alpha: float = 0.5,
+    budget: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-weighted sampling plan (the mT5 / CC-100 α-sampling
+    rule): sample group i with probability ``p_i ∝ n_i^α`` where n_i is
+    the group's size (rows, or ``sum(weight_col)``).  α < 1 flattens the
+    natural distribution — head languages/domains shrink, tail ones
+    grow — without the hard floor/ceiling artifacts of per-group caps.
+    Returns ``(group, n_units, share_raw, share_temp, target_units,
+    epochs)``: target under ``budget`` total units and the implied
+    epochs over the group's data (> 1 ⇒ the tail group repeats).
+
+    Float discipline for the SQL oracle: ``n^α`` is computed as
+    ``exp(α·ln n)`` and immediately quantized to integer micro-units
+    (×1e6, HALF_UP via +0.5/floor both engines), so the cross-group
+    normalizing SUM is integer-exact and order-independent; shares and
+    epochs divide once at the end and round to 6 dp.  One tiny
+    aggregation (groups ≪ corpus) + a 1-row broadcast — the corpus
+    never shuffles beyond the map-side combine."""
+    w = F.count("*") if weight_col is None else F.sum(weight_col)
+    sizes = df.groupBy(group_col).agg(w.cast("long").alias("n_units"))
+    micro = F.floor(
+        F.exp(F.lit(float(alpha)) * F.log(F.col("n_units"))) * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    weighted = sizes.select(group_col, "n_units", micro.alias("_w"))
+    tot = weighted.agg(
+        F.sum("_w").alias("_tw"), F.sum("n_units").alias("_tn")
+    )
+    j = weighted.crossJoin(F.broadcast(tot))
+    share_temp = F.col("_w") / F.col("_tw")
+    target = F.floor(share_temp * F.lit(int(budget))).cast("long")
+    return j.select(
+        group_col,
+        "n_units",
+        F.round(F.col("n_units") / F.col("_tn"), 6).alias("share_raw"),
+        F.round(share_temp, 6).alias("share_temp"),
+        target.alias("target_units"),
+        F.round(target / F.col("n_units"), 4).alias("epochs"),
+    )

@@ -2424,3 +2424,31 @@ def test_containment_verify_reads_materialized_sets(spark, dup_corpus):
     )
     assert "split(" not in plan, plan[:2000]
     assert "array_intersect" in plan
+
+
+def test_temperature_mixture_flattens_head(spark):
+    from pdf_to_epub_spark.operators import temperature_mixture
+
+    # 9000 'en' rows vs 100 'yo' rows
+    df = spark.range(9100).selectExpr(
+        "CASE WHEN id < 9000 THEN 'en' ELSE 'yo' END AS lang"
+    )
+    rows = {
+        r.lang: r
+        for r in temperature_mixture(df, alpha=0.5, budget=1000).collect()
+    }
+    en, yo = rows["en"], rows["yo"]
+    # alpha=0.5: weights sqrt(9000):sqrt(100) ~ 94.87:10 -> en share drops
+    # from 0.989 raw to ~0.905, yo rises from 0.011 to ~0.095
+    assert en.share_temp < en.share_raw
+    assert yo.share_temp > yo.share_raw
+    assert abs(yo.share_temp - 10 / (10 + 9000 ** 0.5)) < 1e-4
+    # epochs: the tail group repeats to meet its target
+    assert yo.epochs == round(yo.target_units / 100, 4)
+    # targets never exceed the budget
+    assert en.target_units + yo.target_units <= 1000
+    # alpha=1 degenerates to the raw distribution
+    raw = {
+        r.lang: r for r in temperature_mixture(df, alpha=1.0).collect()
+    }
+    assert abs(raw["en"].share_temp - raw["en"].share_raw) < 1e-5
