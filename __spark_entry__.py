@@ -2333,6 +2333,17 @@ def _q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_jsonld(pages)
 
 
+def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier z-scores (similarity.embedding_outliers)
+    over the embeddings table's natural label clusters; the oracle
+    replays centroid, distance, and moments relationally with the same
+    naive-moment formulas (no builtin stddev on either side)."""
+    from pdf_to_epub_spark.operators import embedding_outliers
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_outliers(e)
+
+
 def _q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mT5/CC-100 α-sampling plan over languages, char-weighted
     (sampling.temperature_mixture, α=0.5): head languages flatten, tail
@@ -3212,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": _q_bloom_membership,
         "c4_page_filter": _q_c4_filters,
         "code_signals": _q_code_signals,
+        "embedding_outliers": _q_embedding_outliers,
         "temperature_mixture": _q_temperature_mixture,
         "corpus_tiers": _q_corpus_tiers,
         "url_templates": _q_url_templates,
@@ -5917,6 +5929,37 @@ def oracle_sql() -> dict[str, str]:
                    round(n_urls / (sum(n_urls) OVER (PARTITION BY domain))
                          ::DOUBLE, 6) AS share
             FROM counts WHERE n_urls >= 2
+        """,
+        # Outliers: component explode via generate_series, same naive
+        # moments, z compared on the rounded value.
+        "embedding_outliers": """
+            WITH comp AS (
+                SELECT vec_id, label, u.j AS j, u.val AS val
+                FROM (SELECT vec_id, label,
+                             embedding::DOUBLE[] AS v FROM embeddings),
+                     UNNEST(list_transform(generate_series(1, len(v)),
+                            j -> {'j': j, 'val': v[j]})) AS t(u)
+            ), cent AS (
+                SELECT label, j, avg(val) AS m FROM comp GROUP BY label, j
+            ), d AS (
+                SELECT c.vec_id, c.label,
+                       sqrt(sum((c.val - ct.m) * (c.val - ct.m))) AS dist
+                FROM comp c JOIN cent ct ON c.label = ct.label AND c.j = ct.j
+                GROUP BY c.vec_id, c.label
+            ), stats AS (
+                SELECT label, avg(dist) AS mu, avg(dist * dist) AS m2
+                FROM d GROUP BY label
+            )
+            SELECT d.vec_id, d.label,
+                   round(d.dist, 6) AS dist,
+                   round(CASE WHEN sqrt(s.m2 - s.mu * s.mu) > 0
+                              THEN (d.dist - s.mu)
+                                   / sqrt(s.m2 - s.mu * s.mu) END, 4) AS z,
+                   coalesce(round(CASE WHEN sqrt(s.m2 - s.mu * s.mu) > 0
+                              THEN (d.dist - s.mu)
+                                   / sqrt(s.m2 - s.mu * s.mu) END, 4)
+                            > 2.0::DOUBLE, FALSE) AS is_outlier
+            FROM d JOIN stats s ON d.label = s.label
         """,
         # Temperature sampling: n^alpha as exp(a ln n) quantized to
         # integer micro-units (the 1-ulp libm difference dies in the

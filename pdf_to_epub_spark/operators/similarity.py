@@ -434,3 +434,59 @@ def embedding_near_duplicates(
         F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
     )
     return scored.localCheckpoint(eager=False).where(F.col("cosine") >= threshold)
+
+
+def embedding_outliers(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    group_col: str = "label",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Per-cluster embedding outlier detection: distance of every vector
+    to its group's mean vector, z-scored within the group — the sanity
+    pass a pipeline runs over labeled/clustered embeddings to surface
+    mis-embedded or mis-clustered documents before they poison ANN
+    indexes or dedup thresholds.
+
+    Plan: one posexplode to component rows (rows × dim, slim doubles),
+    a combiner-friendly (group, dim) mean, a broadcast join back, and a
+    per-vector sum — no UDFs, no collect.  Distance moments are computed
+    relationally from the same sums in both engines (no builtin stddev:
+    Welford vs naive implementations differ in low bits); the outlier
+    verdict compares the ROUNDED z so the boundary is engine-stable.
+    Zero-variance groups yield z = NULL / is_outlier = false."""
+    comp = embeddings.select(
+        id_col,
+        group_col,
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("j", "val"),
+    )
+    cent = comp.groupBy(group_col, "j").agg(F.avg("val").alias("m"))
+    d = (
+        comp.join(F.broadcast(cent), [group_col, "j"])
+        .groupBy(id_col, group_col)
+        .agg(
+            F.sqrt(
+                F.sum((F.col("val") - F.col("m")) * (F.col("val") - F.col("m")))
+            ).alias("dist")
+        )
+    )
+    stats = d.groupBy(group_col).agg(
+        F.avg("dist").alias("_mu"),
+        F.avg(F.col("dist") * F.col("dist")).alias("_m2"),
+    )
+    sigma = F.sqrt(F.col("_m2") - F.col("_mu") * F.col("_mu"))
+    z = F.when(sigma > 0, (F.col("dist") - F.col("_mu")) / sigma)
+    zr = F.round(z, 4)
+    return (
+        d.join(F.broadcast(stats), group_col)
+        .select(
+            id_col,
+            group_col,
+            F.round(F.col("dist"), 6).alias("dist"),
+            zr.alias("z"),
+            F.coalesce(zr > F.lit(float(z_threshold)), F.lit(False)).alias(
+                "is_outlier"
+            ),
+        )
+    )

@@ -2452,3 +2452,37 @@ def test_temperature_mixture_flattens_head(spark):
         r.lang: r for r in temperature_mixture(df, alpha=1.0).collect()
     }
     assert abs(raw["en"].share_temp - raw["en"].share_raw) < 1e-5
+
+
+def test_embedding_outliers_flags_planted_point(spark):
+    from pdf_to_epub_spark.operators import embedding_outliers
+
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # two tight clusters + one planted far point in cluster 0
+    for i in range(30):
+        rows.append((i, [rng.gauss(0.0, 0.05) for _ in range(8)], 0))
+    for i in range(30, 60):
+        rows.append((i, [5.0 + rng.gauss(0.0, 0.05) for _ in range(8)], 1))
+    rows.append((99, [3.0] * 8, 0))
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>, label: int"
+    )
+    out = {r.vec_id: r for r in embedding_outliers(df).collect()}
+    assert out[99].is_outlier and out[99].z > 2
+    # the planted point dominates every organic >2-sigma fluctuation
+    assert out[99].z == max(r.z for r in out.values() if r.z is not None)
+    assert all(
+        not r.is_outlier
+        for i, r in out.items()
+        if i != 99 and r.label == 0
+    )
+    # zero-variance group: z NULL, not an outlier, no crash
+    const = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [1.0, 2.0], 0)],
+        "vec_id: long, embedding: array<double>, label: int",
+    )
+    rows2 = embedding_outliers(const).collect()
+    assert all(r.z is None and not r.is_outlier for r in rows2)
