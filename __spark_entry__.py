@@ -2333,6 +2333,51 @@ def _q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_jsonld(pages)
 
 
+def _q_license_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License routing (textstats.license_signals): deterministic grant/
+    reservation footers are appended by doc_id residue; the conservative
+    class rule (any reservation wins) must replay.  The oracle composes
+    the SAME pattern tuple the operator uses (imported, not retyped) so
+    the two sides cannot drift."""
+    from pdf_to_epub_spark.operators import license_signals
+
+    d = _t(spark, sf_dir, "documents")
+    footer = (
+        F.when(
+            (F.col("doc_id") % 6) == 0,
+            F.lit(" Licensed under Creative Commons Attribution 4.0."),
+        )
+        .when(
+            (F.col("doc_id") % 6) == 1,
+            F.lit(" All Rights Reserved. Copyright 2021 Site."),
+        )
+        .when(
+            (F.col("doc_id") % 6) == 2,
+            F.lit(" Released into the Public Domain (CC0)."),
+        )
+        .when(
+            (F.col("doc_id") % 6) == 3,
+            F.lit(" Shared as CC-BY-SA. (c) 2020 Someone."),
+        )
+        .otherwise(F.lit(""))
+    )
+    docs = d.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), footer).alias("text"),
+    )
+    return license_signals(docs)
+
+
+def _q_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease (textstats.flesch_reading_ease) over raw
+    documents; counts and the two ratio terms replay exactly in RE2
+    with the mirrored division order."""
+    from pdf_to_epub_spark.operators import flesch_reading_ease
+
+    d = _t(spark, sf_dir, "documents")
+    return flesch_reading_ease(d.select("doc_id", "text"))
+
+
 def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding outlier z-scores (similarity.embedding_outliers)
     over the embeddings table's natural label clusters; the oracle
@@ -3224,6 +3269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_page_filter": _q_c4_filters,
         "code_signals": _q_code_signals,
         "embedding_outliers": _q_embedding_outliers,
+        "license_signals": _q_license_signals,
+        "flesch_scores": _q_flesch,
         "temperature_mixture": _q_temperature_mixture,
         "corpus_tiers": _q_corpus_tiers,
         "url_templates": _q_url_templates,
@@ -3917,6 +3964,45 @@ def _bpe_fertility_oracle(n_merges: int = 8, min_weight: int = 2) -> str | None:
         FROM golden
         WHERE corpus_key = (SELECT sum(length(coalesce(text, '')))
                             FROM documents)
+    """
+
+
+def _license_signals_oracle() -> str:
+    """Composes the operator's own pattern tuple (imported, not retyped —
+    the patterns are RE2-portable by construction) over the residue-footer
+    corpus; the class rule mirrors the conservative reservation-wins
+    CASE."""
+    from pdf_to_epub_spark.operators.textstats import _LICENSE_PATTERNS
+
+    cols = ",\n                       ".join(
+        f"regexp_matches(lt, '{pat}') AS {name}"
+        for name, pat in _LICENSE_PATTERNS
+    )
+    return f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   lower(coalesce(text, '') || CASE
+                       WHEN doc_id % 6 = 0 THEN
+                           ' Licensed under Creative Commons Attribution 4.0.'
+                       WHEN doc_id % 6 = 1 THEN
+                           ' All Rights Reserved. Copyright 2021 Site.'
+                       WHEN doc_id % 6 = 2 THEN
+                           ' Released into the Public Domain (CC0).'
+                       WHEN doc_id % 6 = 3 THEN
+                           ' Shared as CC-BY-SA. (c) 2020 Someone.'
+                       ELSE '' END) AS lt
+            FROM documents
+        ), sig AS (
+            SELECT doc_id,
+                   {cols}
+            FROM docs
+        )
+        SELECT doc_id, cc_license, public_domain, all_rights,
+               copyright_line,
+               CASE WHEN all_rights OR copyright_line THEN 'restricted'
+                    WHEN cc_license OR public_domain THEN 'open'
+                    ELSE 'unknown' END AS license_class
+        FROM sig
     """
 
 
@@ -5929,6 +6015,32 @@ def oracle_sql() -> dict[str, str]:
                    round(n_urls / (sum(n_urls) OVER (PARTITION BY domain))
                          ::DOUBLE, 6) AS share
             FROM counts WHERE n_urls >= 2
+        """,
+        "license_signals": _license_signals_oracle(),
+        # Flesch: same counts, same division order, round 4.
+        "flesch_scores": """
+            WITH base AS (
+                SELECT doc_id, lower(coalesce(text, '')) AS lt
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(lt, '[.!?]+')) AS n_sentences,
+                       len(regexp_extract_all(lt, '[a-zà-öø-ÿ]+'))
+                           AS n_words,
+                       len(regexp_extract_all(lt, '[aeiouy]+')) AS vg
+                FROM base
+            )
+            SELECT doc_id,
+                   n_sentences::INT AS n_sentences,
+                   n_words::INT AS n_words,
+                   greatest(vg, n_words)::INT AS n_syllables,
+                   CASE WHEN n_sentences > 0 AND n_words > 0 THEN
+                       round(206.835::DOUBLE
+                             - 1.015::DOUBLE * (n_words / n_sentences)
+                             - 84.6::DOUBLE
+                               * (greatest(vg, n_words) / n_words), 4)
+                   END AS flesch
+            FROM c
         """,
         # Outliers: component explode via generate_series, same naive
         # moments, z compared on the rounded value.

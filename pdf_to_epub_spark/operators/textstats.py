@@ -1216,3 +1216,103 @@ def code_signals(
         kw_hits.alias("keyword_hits"),
         is_code.alias("is_code"),
     )
+
+
+_LICENSE_PATTERNS: tuple[tuple[str, str], ...] = (
+    # (signal name, RE2-portable case-folded pattern over lower(text))
+    ("cc_license", r"creative commons|\bcc[ -]by(?:[ -](?:sa|nc|nd)){0,2}\b"),
+    ("public_domain", r"public domain|\bcc0\b"),
+    ("all_rights", r"all rights reserved"),
+    ("copyright_line", r"(?:copyright|\(c\)|©) *(?:19|20)[0-9][0-9]"),
+)
+
+
+def license_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """License/compliance routing signals: detect open-license grants
+    (Creative Commons/CC0/public domain) vs explicit reservation
+    ("all rights reserved", copyright-year lines) so a corpus build can
+    route pages into permissive/restricted tiers or honor opt-outs.
+    Purely heuristic (page text, not rel=license headers — those are
+    `page_meta`'s job) and deliberately conservative: ``license_class``
+    is 'open' only on a grant WITHOUT a reservation, 'restricted' on
+    any reservation, 'unknown' otherwise.  All regexp_count column
+    algebra over one lowercased projection; RE2-portable (no
+    lookaround, bounded quantifiers) so the oracle replays patterns
+    verbatim."""
+    base = df.select(
+        id_col,
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("_lt"),
+    )
+    # double the backslashes: the pattern rides inside a Spark SQL string
+    # literal, where a bare \b is a BACKSPACE escape, not a boundary
+    flags = [
+        (
+            F.expr(
+                "regexp_count(_lt, '" + pat.replace("\\", "\\\\") + "')"
+            )
+            >= 1
+        ).alias(name)
+        for name, pat in _LICENSE_PATTERNS
+    ]
+    sig = base.select(id_col, *flags)
+    grant = F.col("cc_license") | F.col("public_domain")
+    reserved = F.col("all_rights") | F.col("copyright_line")
+    return sig.select(
+        id_col,
+        "cc_license",
+        "public_domain",
+        "all_rights",
+        "copyright_line",
+        F.when(reserved, "restricted")
+        .when(grant, "open")
+        .otherwise("unknown")
+        .alias("license_class"),
+    )
+
+
+def flesch_reading_ease(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading-ease score as column algebra: ``206.835 − 1.015 ·
+    (words/sentences) − 84.6 · (syllables/words)`` with the standard
+    vowel-group syllable approximation (runs of [aeiouy] per word, min 1
+    per word) — the classic readability axis quality classifiers use as
+    a feature.  Sentences = terminal-mark runs ``[.!?]+``; words =
+    letter runs; syllables = vowel-group runs, floored by the word
+    count (a vowelless token still costs one syllable).  Everything is
+    regexp_count over one lowercased projection — no arrays, no
+    lambdas, shuffle-free; counts and the two ratios replay exactly in
+    RE2, and the final score rounds to 4 dp with the division order
+    mirrored in the oracle."""
+    base = df.select(
+        id_col,
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("_lt"),
+    )
+    counts = base.select(
+        id_col,
+        F.expr("regexp_count(_lt, '[.!?]+')").alias("n_sentences"),
+        F.expr(f"regexp_count(_lt, '{_TOKEN_CLASS}+')").alias("n_words"),
+        F.expr("regexp_count(_lt, '[aeiouy]+')").alias("_vg"),
+    )
+    n_sent, n_words = F.col("n_sentences"), F.col("n_words")
+    n_syll = F.greatest(F.col("_vg"), n_words)
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sent)
+        - F.lit(84.6) * (n_syll / n_words)
+    )
+    return counts.select(
+        id_col,
+        "n_sentences",
+        "n_words",
+        n_syll.alias("n_syllables"),
+        F.when(
+            (n_sent > 0) & (n_words > 0), F.round(score, 4)
+        ).alias("flesch"),
+    )

@@ -2486,3 +2486,43 @@ def test_embedding_outliers_flags_planted_point(spark):
     )
     rows2 = embedding_outliers(const).collect()
     assert all(r.z is None and not r.is_outlier for r in rows2)
+
+
+def test_license_and_flesch_signals(spark):
+    from pdf_to_epub_spark.operators import (
+        flesch_reading_ease,
+        license_signals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Licensed under a Creative Commons Attribution license."),
+            (2, "Copyright 2019 Acme. All rights reserved."),
+            (3, "CC0: public domain dedication."),
+            # grant + reservation -> conservative 'restricted'
+            (4, "CC-BY applies. (c) 2020 Someone."),
+            (5, None),
+            # 'cc' inside words must not fire the cc-by pattern
+            (6, "An accomplice occupies the occult bay."),
+        ],
+        "doc_id: long, text: string",
+    )
+    cls = {r.doc_id: r.license_class for r in license_signals(df).collect()}
+    assert cls == {
+        1: "open", 2: "restricted", 3: "open", 4: "restricted",
+        5: "unknown", 6: "unknown",
+    }
+    fl = {
+        r.doc_id: r
+        for r in flesch_reading_ease(
+            spark.createDataFrame(
+                [(1, "The cat sat. The dog ran."), (2, ""), (3, None)],
+                "doc_id: long, text: string",
+            )
+        ).collect()
+    }
+    # 6 words / 2 sentences, 6 one-syllable words
+    assert fl[1].n_sentences == 2 and fl[1].n_words == 6
+    assert fl[1].n_syllables == 6
+    assert fl[1].flesch == round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 4)
+    assert fl[2].flesch is None and fl[3].flesch is None
