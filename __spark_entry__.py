@@ -2389,6 +2389,20 @@ def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_outliers(e)
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (similarity.semantic_dedup): deterministic
+    sample-trained coarse clusters, within-cluster cosine ≥ 0.4 drops the
+    higher id; one verdict row per vector.  The oracle replays the
+    quantizer in Python (the _kmeans_profile_oracle pattern) and the
+    assignment / pair / keep logic relationally."""
+    from pdf_to_epub_spark.operators import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return semantic_dedup(e, tau=0.4, n_centroids=16)
+
+
 def _q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mT5/CC-100 α-sampling plan over languages, char-weighted
     (sampling.temperature_mixture, α=0.5): head languages flatten, tail
@@ -3269,6 +3283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_page_filter": _q_c4_filters,
         "code_signals": _q_code_signals,
         "embedding_outliers": _q_embedding_outliers,
+        "semantic_dedup": _q_semantic_dedup,
         "license_signals": _q_license_signals,
         "flesch_scores": _q_flesch,
         "temperature_mixture": _q_temperature_mixture,
@@ -4070,6 +4085,65 @@ def _kmeans_profile_oracle(
                round(s.mean_dist, 6) AS mean_dist,
                round(sh.shift, 6) AS shift
         FROM stats s JOIN shifts sh USING (cid)
+    """
+
+
+def _semantic_dedup_oracle(
+    tau: float = 0.4, n_centroids: int = 16, sample_size: int = 512, seed: int = 5
+) -> str | None:
+    """DuckDB replica of SemDeDup: centroids replayed in Python over the
+    same md5-spread sample (per-sf VALUES keyed on vec 0's first
+    component, as in _kmeans_profile_oracle), nearest-cell assignment by
+    list_distance argmin (ties → cid, matching _nearest_centroids'
+    struct sort), within-cell pairs, ROUNDED-cosine threshold, and the
+    keep-lowest-id drop rule."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from pdf_to_epub_spark.operators.similarity import _kmeans_centroids
+
+    cent_rows: list[str] = []
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        path = pathlib.Path(sf_dir) / "embeddings.parquet"
+        if not path.exists():
+            return None
+        t = pq.read_table(path, columns=["vec_id", "embedding"])
+        by_id = sorted(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+        spread = sorted(
+            by_id,
+            key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]),
+        )
+        sample = [[float(x) for x in v] for _, v in spread[:sample_size]]
+        key = round(float(by_id[0][1][0]), 6)
+        for cid, c in enumerate(_kmeans_centroids(sample, n_centroids, seed=seed)):
+            cent_rows.append(f"({key!r}, {cid}, {_vec_lit(c)})")
+    vals = ",\n            ".join(cent_rows)
+    cos = _COSINE.format(a="a.v", b="b.v")
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents(corpus_key, cid, c) AS (VALUES
+            {vals}),
+        acts AS (
+            SELECT cid, c FROM cents
+            WHERE abs(corpus_key - (
+                SELECT round((embedding::DOUBLE[])[1], 6)
+                FROM embeddings WHERE vec_id = 0)) < 1e-9),
+        cell AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, a.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_distance(e.v, a.c), a.cid) AS rn
+                FROM e CROSS JOIN acts a)
+            WHERE rn = 1),
+        dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM cell a JOIN cell b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE round({cos}, 6) >= {tau})
+        SELECT c.vec_id, c.cid AS cluster_id,
+               (d.vec_id IS NULL) AS kept
+        FROM cell c LEFT JOIN dropped d ON c.vec_id = d.vec_id
     """
 
 
@@ -5905,6 +5979,11 @@ def oracle_sql() -> dict[str, str]:
         **(
             {"kmeans_profile": o}
             if (o := _kmeans_profile_oracle()) is not None
+            else {}
+        ),
+        **(
+            {"semantic_dedup": o}
+            if (o := _semantic_dedup_oracle()) is not None
             else {}
         ),
         **(

@@ -436,6 +436,91 @@ def embedding_near_duplicates(
     return scored.localCheckpoint(eager=False).where(F.col("cosine") >= threshold)
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    tau: float = 0.7,
+    n_centroids: int = 16,
+    sample_size: int = 512,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 65536,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a small deterministic
+    coarse quantizer, then compare pairs only WITHIN each cluster and drop
+    every vector that has a lower-id cluster-mate with cosine ≥ ``tau``.
+
+    Returns one row per input vector: ``(id, cluster_id, kept)`` — the
+    survivors are ``kept = true``; emitting the verdict for every row (not
+    just survivors) keeps the output row count equal to the corpus size,
+    which is what a pipeline audits (and what the oracle hashes).
+
+    Keep rule: deterministic keep-lowest-id per above-threshold edge — a
+    vector is dropped iff ANY smaller-id vector in its cluster is ≥ tau
+    similar (greedy over edges, independent of the fate of that smaller
+    id).  The paper keeps the member farthest from the centroid; id-greedy
+    is equally principled for dedup purposes and, unlike the
+    centroid-distance rule, replayable exactly by an external SQL oracle
+    with no float-tie hazards.
+
+    Scale shape (100 TB audit): the quantizer is trained once on a
+    hash-spread ``sample_size`` collect (bounded driver memory) and
+    broadcast as literals; assignment is one narrow codegen map.  Pair
+    generation is the bucketed collect_list + combination-explode form
+    shared with :func:`embedding_near_duplicates` — the assignment pass
+    runs once (a self-join would recompute it per branch), only slim
+    ``(id_a, id_b)`` rows shuffle, and vectors re-enter through a
+    broadcast of the pair list.  Cost is Σ cluster_size² — at real scale
+    ``n_centroids`` grows ~√N (SemDeDup uses 50k clusters for LAION) so
+    cluster populations stay bounded; degenerate clusters past
+    ``max_cluster`` fall back to linear star pairs with the same audit
+    semantics as LSH buckets (dedup._bucket_pairs docstring).
+
+    The threshold compares the ROUNDED (6 dp) cosine so the keep/drop
+    boundary is engine-stable between Spark's fold and the oracle's
+    list_dot_product.
+    """
+    from pdf_to_epub_spark.operators.dedup import _bucket_pairs
+
+    sample = [
+        [float(x) for x in r[vec_col]]
+        for r in corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    ]
+    centroids = _kmeans_centroids(sample, n_centroids, seed=seed)
+
+    assigned = corpus.select(id_col, vec_col).withColumn(
+        "_cell", _nearest_centroids(F.col(vec_col), centroids, 1)[0]
+    )
+    slim = assigned.select(id_col, "_cell").localCheckpoint(eager=False)
+    buckets = (
+        slim.groupBy("_cell")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        .where(F.size("_ids") > 1)
+    )
+    pairs = _bucket_pairs(buckets, max_cluster)
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    scored = vb.join(va.join(F.broadcast(pairs), "id_a"), "id_b").select(
+        "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("_cos")
+    )
+    dropped = (
+        scored.localCheckpoint(eager=False)
+        .where(F.col("_cos") >= F.lit(float(tau)))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return slim.join(dropped, id_col, "left").select(
+        id_col,
+        F.col("_cell").alias("cluster_id"),
+        F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+    )
+
+
 def embedding_outliers(
     embeddings: DataFrame,
     vec_col: str = "embedding",

@@ -2526,3 +2526,27 @@ def test_license_and_flesch_signals(spark):
     assert fl[1].n_syllables == 6
     assert fl[1].flesch == round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 4)
     assert fl[2].flesch is None and fl[3].flesch is None
+
+
+def test_semantic_dedup_drops_clones_keeps_originals(vectors):
+    from pdf_to_epub_spark.operators import semantic_dedup
+
+    # plant exact-direction clones (scaled → cosine exactly 1) of the
+    # first 10 vectors under higher ids; random 16-d gaussians are far
+    # below tau=0.9 pairwise, so only the clones must be dropped.
+    clones = vectors.where("vec_id < 10").select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    corpus = vectors.unionByName(clones).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = {r.vec_id: r for r in semantic_dedup(corpus, tau=0.9, n_centroids=4).collect()}
+    assert len(out) == 210  # one verdict row per input vector
+    for i in range(10):
+        # clone shares the original's direction → same nearest centroid,
+        # and loses the keep-lowest-id rule to the original
+        assert out[1000 + i].cluster_id == out[i].cluster_id
+        assert not out[1000 + i].kept
+        assert out[i].kept
+    assert all(r.kept for i, r in out.items() if i < 1000)
