@@ -2389,6 +2389,26 @@ def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_outliers(e)
 
 
+def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-budget curriculum cut (sampling.token_budget_select):
+    docs ranked by alpha-ratio quality, best prefix under a 100k-token
+    budget kept; cum_tokens audits where the line fell.  The Spark side
+    reconstructs the global prefix sum with the two-phase score-bucket
+    form; the oracle is the single global window cumsum it must equal
+    bit-exactly (integer token sums)."""
+    from pdf_to_epub_spark.operators import token_budget_select
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.length(F.regexp_replace("text", "[^A-Za-zÀ-ÖØ-öø-ÿ]", ""))
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("score"),
+        F.expr("regexp_count(lower(text), '[a-zà-öø-ÿ]+')").alias("n_tokens"),
+    )
+    return token_budget_select(d, budget=100_000)
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (similarity.semantic_dedup): deterministic
     sample-trained coarse clusters, within-cluster cosine ≥ 0.4 drops the
@@ -3284,6 +3304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_signals": _q_code_signals,
         "embedding_outliers": _q_embedding_outliers,
         "semantic_dedup": _q_semantic_dedup,
+        "token_budget": _q_token_budget,
         "license_signals": _q_license_signals,
         "flesch_scores": _q_flesch,
         "temperature_mixture": _q_temperature_mixture,
@@ -4323,6 +4344,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(regexp_extract_all(lower(text), '[a-zà-öø-ÿ]+')) AS n_words
             FROM documents
+        """,
+        # Single global window cumsum — the exact result the two-phase
+        # score-bucket reconstruction must reproduce bit-for-bit.
+        "token_budget": """
+            WITH feats AS (
+                SELECT doc_id,
+                       round(length(regexp_replace(text,
+                               '[^A-Za-zÀ-ÖØ-öø-ÿ]', '', 'g'))
+                             / greatest(length(text), 1), 6) AS score,
+                       len(regexp_extract_all(lower(text),
+                               '[a-zà-öø-ÿ]+'))::BIGINT AS n_tokens
+                FROM documents)
+            SELECT doc_id, score, n_tokens,
+                   (sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                        ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens,
+                   ((sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                        ROWS UNBOUNDED PRECEDING)) <= 100000) AS selected
+            FROM feats
         """,
         # Mirrors operators/textstats.quality_features exactly: run-delete
         # counting ≡ keep-class counting; words = accented-letter runs;

@@ -153,6 +153,81 @@ def domain_caps_exact(
     )
 
 
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    bucket_dp: int = 3,
+) -> DataFrame:
+    """Exact token-budget curriculum selection: rank documents by quality
+    ``(score DESC, id ASC)`` and keep the best prefix whose cumulative
+    token count stays ≤ ``budget`` (the first document that would cross
+    the budget — and everything after it — is excluded).  This is the
+    "keep the top-quality X-token subset" step every pretraining mix ends
+    with once per-source budgets are planned (mixture_plan allocates
+    across sources; this selects within one).
+
+    Returns one verdict row per input document: ``(id, score, n_tokens,
+    cum_tokens, selected)`` — ``cum_tokens`` is the inclusive prefix sum
+    in quality order, so the audit table shows exactly where the budget
+    line fell.
+
+    Scale shape: a single global ``Window.orderBy(score)`` cumsum would
+    serialize the corpus through ONE task.  Instead the two-phase
+    range-bucket form of :func:`domain_caps_exact`: ``round(score,
+    bucket_dp)`` is a monotone coarsening of the order key, so every row
+    of a higher bucket precedes every row of a lower bucket — a
+    per-bucket window cumsum (parallel across ~10^bucket_dp buckets) plus
+    an exclusive cross-bucket offset from the slim ``(bucket,
+    sum_tokens)`` table (broadcast) reconstructs the global prefix sum
+    EXACTLY, independent of how scores distribute over buckets.  Token
+    sums are integer, so the reconstruction is bit-exact and the external
+    oracle replays it as one plain window cumsum.  Scores are rounded to
+    6 dp BEFORE ordering so the rank (and therefore cum_tokens) is
+    engine-stable; ``score_col`` must be non-null.
+    """
+    from pyspark.sql.window import Window
+
+    s = F.round(F.col(score_col), 6)
+    b = F.round(s, bucket_dp)
+    rows = df.select(
+        F.col(id_col),
+        s.alias("__score"),
+        F.col(tokens_col).cast("long").alias("__tok"),
+    ).withColumn("__b", F.round(F.col("__score"), bucket_dp))
+    w = (
+        Window.partitionBy("__b")
+        .orderBy(F.desc("__score"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    off_w = (
+        Window.orderBy(F.desc("__ob"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        rows.groupBy(F.col("__b").alias("__ob"))
+        .agg(F.sum("__tok").alias("__n"))
+        .select(
+            "__ob",
+            F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off"),
+        )
+    )
+    cum = (
+        rows.withColumn("__part", F.sum("__tok").over(w))
+        .join(F.broadcast(offsets), F.col("__b") == F.col("__ob"))
+        .withColumn("__cum", F.col("__off") + F.col("__part"))
+    )
+    return cum.select(
+        id_col,
+        F.col("__score").alias("score"),
+        F.col("__tok").alias("n_tokens"),
+        F.col("__cum").alias("cum_tokens"),
+        (F.col("__cum") <= F.lit(int(budget))).alias("selected"),
+    )
+
+
 def stratified_sample_exact(
     df: DataFrame,
     num: int = 1,

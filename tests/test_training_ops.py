@@ -2550,3 +2550,34 @@ def test_semantic_dedup_drops_clones_keeps_originals(vectors):
         assert not out[1000 + i].kept
         assert out[i].kept
     assert all(r.kept for i, r in out.items() if i < 1000)
+
+
+def test_token_budget_select_matches_global_cumsum(spark):
+    from pdf_to_epub_spark.operators import token_budget_select
+
+    import random
+
+    rng = random.Random(3)
+    # heavy bucket collisions: only 5 distinct scores over 300 rows, so
+    # correctness must come from the (score desc, id) tie order inside a
+    # bucket plus the cross-bucket offsets — not from bucket uniqueness.
+    rows = [
+        (i, rng.choice([0.1, 0.25, 0.5, 0.5001, 0.9]), rng.randrange(1, 50))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n_tokens long")
+    budget = 2000
+    got = {
+        r.doc_id: r for r in token_budget_select(df, budget=budget).collect()
+    }
+    assert len(got) == 300
+    # python replay: single global prefix sum in (score desc, id) order
+    cum = 0
+    for i, sc, tok in sorted(rows, key=lambda r: (-round(r[1], 6), r[0])):
+        cum += tok
+        assert got[i].cum_tokens == cum
+        assert got[i].selected == (cum <= budget)
+    # a budget equal to some row's exact cum boundary keeps that row
+    boundary = sorted(r.cum_tokens for r in got.values())[10]
+    got2 = token_budget_select(df, budget=boundary).collect()
+    assert sum(1 for r in got2 if r.selected) == 11
