@@ -2389,6 +2389,52 @@ def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_outliers(e)
 
 
+# Deterministic corruption tails for the encoding/OCR signal queries —
+# built from escapes (never typed literals: the artifact bytes include
+# NBSP and C1 controls).  The oracle builders splice the SAME constants
+# into the SQL, so the bytes cannot drift between engines.
+_MOJI_TAIL = " Caf\u00c3\u00a9 d\u00c3\u00a9j\u00c3\u00a0 vu \u00e2\u20ac\u2122na\u00c3\u00afve"
+_OCR_TAIL = "\nthe exam-\nple con-\ntinued w1th c0nfusi0n b q\nab\n"
+
+
+def _q_encoding_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-artifact router (textstats.encoding_signals): every 6th
+    doc (≡1) gets a mojibake tail, every 6th (≡4) gets replacement/
+    control/NBSP bytes — those must flag while clean docs stay quiet.
+    The oracle splices the same marker alternation and tails."""
+    from pdf_to_epub_spark.operators import encoding_signals
+
+    d = _t(spark, sf_dir, "documents")
+    bad = F.concat(
+        F.col("text"), F.lit("\ufffd\ufffd\x07\u00a0")
+    )
+    docs = d.select(
+        "doc_id",
+        F.when((F.col("doc_id") % 6) == 1, F.concat("text", F.lit(_MOJI_TAIL)))
+        .when((F.col("doc_id") % 6) == 4, bad)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return encoding_signals(docs)
+
+
+def _q_ocr_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR-damage router (textstats.ocr_artifact_signals): every 4th doc
+    (≡2) gets hyphen-wrap/digit-confusion/broken-word damage appended and
+    must come back needs_repair; the oracle replays all five counters
+    under RE2."""
+    from pdf_to_epub_spark.operators import ocr_artifact_signals
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.when((F.col("doc_id") % 4) == 2, F.concat("text", F.lit(_OCR_TAIL)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return ocr_artifact_signals(docs)
+
+
 def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-budget curriculum cut (sampling.token_budget_select):
     docs ranked by alpha-ratio quality, best prefix under a 100k-token
@@ -3305,6 +3351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": _q_embedding_outliers,
         "semantic_dedup": _q_semantic_dedup,
         "token_budget": _q_token_budget,
+        "encoding_signals": _q_encoding_signals,
+        "ocr_artifacts": _q_ocr_artifacts,
         "license_signals": _q_license_signals,
         "flesch_scores": _q_flesch,
         "temperature_mixture": _q_temperature_mixture,
@@ -4106,6 +4154,79 @@ def _kmeans_profile_oracle(
                round(s.mean_dist, 6) AS mean_dist,
                round(sh.shift, 6) AS shift
         FROM stats s JOIN shifts sh USING (cid)
+    """
+
+
+def _encoding_signals_oracle() -> str:
+    """DuckDB replica of encoding_signals over the mutated corpus: the
+    marker alternation and the corruption tails are spliced from the SAME
+    runtime constants the Spark query uses (never retyped — the bytes
+    include NBSP and C1 controls), counters via len(regexp_extract_all)."""
+    from pdf_to_epub_spark.operators.textstats import mojibake_pattern
+
+    return f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 6 = 1 THEN text || '{_MOJI_TAIL}'
+                        WHEN doc_id % 6 = 4 THEN
+                            text || chr(65533) || chr(65533) || chr(7)
+                                 || chr(160)
+                        ELSE text END AS t
+            FROM documents),
+        c AS (
+            SELECT doc_id, length(t) AS n_chars,
+                   len(regexp_extract_all(t, '{mojibake_pattern()}'))
+                       AS mojibake_hits,
+                   len(regexp_extract_all(t, '\\x{{FFFD}}'))
+                       AS replacement_chars,
+                   len(regexp_extract_all(t,
+                       '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS ctrl_chars,
+                   len(regexp_extract_all(t, '\\x{{00A0}}')) AS nbsp_hits
+            FROM docs),
+        r AS (
+            SELECT *,
+                   round((mojibake_hits + replacement_chars + ctrl_chars)
+                         / greatest(n_chars, 1), 6) AS artifact_rate
+            FROM c)
+        SELECT doc_id, n_chars, mojibake_hits, replacement_chars, ctrl_chars,
+               nbsp_hits, artifact_rate::DOUBLE AS artifact_rate,
+               (artifact_rate >= 0.001) AS flagged
+        FROM r
+    """
+
+
+def _ocr_artifacts_oracle() -> str:
+    """DuckDB replica of ocr_artifact_signals over the mutated corpus
+    (same _OCR_TAIL constant spliced; real newlines ride inside the SQL
+    literal)."""
+    return f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 2 THEN text || '{_OCR_TAIL}'
+                        ELSE text END AS t
+            FROM documents),
+        c AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(t, '\\n')) AS n_lines_break,
+                   len(regexp_extract_all(t, '-\\n[a-z]')) AS hyphen_wraps,
+                   len(regexp_extract_all(t, '[A-Za-z][0-9][A-Za-z]'))
+                       AS digit_confusions,
+                   len(regexp_extract_all(t, '(^|[ \\n])[b-hj-z]([ \\n]|$)'))
+                       AS isolated_consonants,
+                   len(regexp_extract_all(t, '(^|\\n).{{0,3}}(\\n|$)'))
+                       AS short_lines,
+                   len(regexp_extract_all(t, '[a-zà-öø-ÿ]+')) AS n_words
+            FROM docs),
+        r AS (
+            SELECT *,
+                   round((hyphen_wraps + digit_confusions
+                          + isolated_consonants)
+                         / greatest(n_words, 1), 6) AS damage_rate
+            FROM c)
+        SELECT doc_id, hyphen_wraps, digit_confusions, isolated_consonants,
+               short_lines, n_words, damage_rate::DOUBLE AS damage_rate,
+               (damage_rate >= 0.01) AS needs_repair
+        FROM r
     """
 
 
@@ -6025,6 +6146,8 @@ def oracle_sql() -> dict[str, str]:
             if (o := _semantic_dedup_oracle()) is not None
             else {}
         ),
+        "encoding_signals": _encoding_signals_oracle(),
+        "ocr_artifacts": _ocr_artifacts_oracle(),
         **(
             {"bpe_merges": o}
             if (o := _bpe_merges_oracle()) is not None

@@ -1316,3 +1316,167 @@ def flesch_reading_ease(
             (n_sent > 0) & (n_words > 0), F.round(score, 4)
         ).alias("flesch"),
     )
+
+
+# Mojibake markers = the stage-1 repair table's keys (extractlib/cleanup.py
+# _STAGE1_MOJIBAKE, reference Step1_ocr_cleanup_v11.py:7-27) plus the
+# cp1252 curly-quote/dash artifacts of UTF-8 read as Latin-1 that web text
+# adds on top of the reference's accented-letter set.  Plain literals (no
+# regex metacharacters), so the alternation below is engine-portable.
+#
+# Every marker is written with explicit \u escapes: several second
+# characters are invisible, whitespace-like (A0), or C1 controls, and
+# hand-typed literals silently corrupt them (tests/test_tables.py
+# precedent).  The C3-pair set mirrors the stage-1 repair table
+# (extractlib/cleanup.py _STAGE1_MOJIBAKE, reference
+# Step1_ocr_cleanup_v11.py:7-27); the E2-triples are the cp1252
+# curly-quote/dash artifacts web text adds on top.
+MOJIBAKE_MARKERS: tuple[str, ...] = (
+    "\u00c3\u00a9",  # e-acute
+    "\u00c3\u00a8",  # e-grave
+    "\u00c3\u00aa",  # e-circ
+    "\u00c3\u00ab",  # e-uml
+    "\u00c3\u00a0",  # a-grave (2nd char NBSP-like A0)
+    "\u00c3\u00a2",  # a-circ
+    "\u00c3\u00a4",  # a-uml
+    "\u00c3\u00b9",  # u-grave
+    "\u00c3\u00bb",  # u-circ
+    "\u00c3\u00bc",  # u-uml
+    "\u00c3\u00ae",  # i-circ
+    "\u00c3\u00af",  # i-uml
+    "\u00c3\u00b4",  # o-circ
+    "\u00c3\u00b6",  # o-uml
+    "\u00c3\u2021",  # C-cedilla cap
+    "\u00c3\u00a7",  # c-cedilla
+    "\u00c3\u2030",  # E-acute cap
+    "\u00c3\u02c6",  # E-grave cap
+    "\u00c3\u0160",  # E-circ cap
+    "\u00c3\u2039",  # E-uml cap
+    "\u00c3\u20ac",  # A-grave cap
+    "\u00c3\u201a",  # A-circ cap
+    "\u00c3\u201e",  # A-uml cap
+    "\u00c3\u2122",  # U-grave cap
+    "\u00c3\u203a",  # U-circ cap
+    "\u00c3\u0153",  # U-uml cap
+    "\u00c3\u017d",  # I-circ cap
+    "\u00c3\u008f",  # I-uml cap (2nd char invisible C1)
+    "\u00c3\u201d",  # O-circ cap
+    "\u00c3\u2013",  # O-uml cap
+    "\u00e2\u20ac\u2122",  # right single quote
+    "\u00e2\u20ac\u02dc",  # left single quote
+    "\u00e2\u20ac\u0153",  # left double quote
+    "\u00e2\u20ac\u009d",  # right double quote (3rd char invisible C1)
+    "\u00e2\u20ac\u201c",  # en dash
+    "\u00e2\u20ac\u201d",  # em dash
+    "\u00e2\u20ac\u00a6",  # ellipsis
+    "\u00c2\u00b7",  # middle dot
+    "\u00c2\u00bb",  # raquo
+    "\u00c2\u00ab",  # laquo
+)
+
+
+def mojibake_pattern() -> str:
+    """The shared RE2/Java alternation over :data:`MOJIBAKE_MARKERS`
+    (longest-first so 3-char artifacts win over their 2-char prefixes)."""
+    return "|".join(sorted(MOJIBAKE_MARKERS, key=len, reverse=True))
+
+
+def encoding_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Encoding-artifact detection for web-scale text: per-document counts
+    of UTF-8-as-Latin-1 mojibake markers, U+FFFD replacement characters,
+    stray C0 control characters, and no-break spaces, plus a combined
+    artifact rate and a ``flagged`` verdict (rate ≥ 1 per 1000 chars on
+    the ROUNDED ratio, so the boundary is engine-stable).
+
+    A pipeline routes flagged pages to re-decode (charset sniff) or
+    drops them; the repair table itself lives in extractlib (the
+    reference's in-word mojibake pass) — this operator is the cheap
+    corpus-wide *detector* that decides who pays for repair.  All four
+    signals are ``regexp_count`` over one projection: codegen end to
+    end, shuffle-free, linear scan at any scale."""
+    pat = mojibake_pattern()
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(id_col, t.alias("_t"))
+    counts = base.select(
+        id_col,
+        F.length("_t").alias("n_chars"),
+        F.expr(f"regexp_count(_t, '{pat}')").alias("mojibake_hits"),
+        F.expr("regexp_count(_t, '\\\\x{FFFD}')").alias("replacement_chars"),
+        F.expr(
+            "regexp_count(_t, '[\\\\x00-\\\\x08\\\\x0b\\\\x0c\\\\x0e-\\\\x1f]')"
+        ).alias("ctrl_chars"),
+        F.expr("regexp_count(_t, '\\\\x{00A0}')").alias("nbsp_hits"),
+    )
+    rate = F.round(
+        (
+            F.col("mojibake_hits")
+            + F.col("replacement_chars")
+            + F.col("ctrl_chars")
+        )
+        / F.greatest(F.col("n_chars"), F.lit(1)),
+        6,
+    )
+    return counts.select(
+        id_col,
+        "n_chars",
+        "mojibake_hits",
+        "replacement_chars",
+        "ctrl_chars",
+        "nbsp_hits",
+        rate.alias("artifact_rate"),
+        (rate >= 0.001).alias("flagged"),
+    )
+
+
+def ocr_artifact_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """OCR-damage detection signals over a text corpus: hyphen line-wrap
+    rate (``-`` at end of line continuing into a lowercase letter — the
+    de-hyphenation workload extractlib's reflow pass repairs), digit
+    letter confusion (a digit sandwiched inside a letter word, the 0/O
+    1/l scanner classic), isolated single-consonant tokens (broken
+    words), and the short-line ratio (hard-wrapped or column-split
+    pages).  Like :func:`encoding_signals` this is the corpus-wide
+    router: pages with high OCR damage go to the heavy extractlib
+    repair pipeline, clean pages skip it.  Four regexp_counts over one
+    projection — codegen, shuffle-free; the verdict compares the
+    ROUNDED damage rate."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(id_col, t.alias("_t"))
+    counts = base.select(
+        id_col,
+        F.expr("regexp_count(_t, '\\n')").alias("n_lines_break"),
+        F.expr("regexp_count(_t, '-\\n[a-z]')").alias("hyphen_wraps"),
+        F.expr(
+            "regexp_count(_t, '[A-Za-z][0-9][A-Za-z]')"
+        ).alias("digit_confusions"),
+        F.expr(
+            "regexp_count(_t, '(^|[ \\n])[b-hj-z]([ \\n]|$)')"
+        ).alias("isolated_consonants"),
+        F.expr(
+            "regexp_count(_t, '(^|\\n).{0,3}(\\n|$)')"
+        ).alias("short_lines"),
+        F.expr(f"regexp_count(_t, '{_TOKEN_CLASS}+')").alias("n_words"),
+    )
+    rate = F.round(
+        (
+            F.col("hyphen_wraps")
+            + F.col("digit_confusions")
+            + F.col("isolated_consonants")
+        )
+        / F.greatest(F.col("n_words"), F.lit(1)),
+        6,
+    )
+    return counts.select(
+        id_col,
+        "hyphen_wraps",
+        "digit_confusions",
+        "isolated_consonants",
+        "short_lines",
+        "n_words",
+        rate.alias("damage_rate"),
+        (rate >= 0.01).alias("needs_repair"),
+    )

@@ -2581,3 +2581,37 @@ def test_token_budget_select_matches_global_cumsum(spark):
     boundary = sorted(r.cum_tokens for r in got.values())[10]
     got2 = token_budget_select(df, budget=boundary).collect()
     assert sum(1 for r in got2 if r.selected) == 11
+
+
+def test_encoding_and_ocr_signals(spark):
+    from pdf_to_epub_spark.operators import encoding_signals, ocr_artifact_signals
+    from pdf_to_epub_spark.operators.textstats import MOJIBAKE_MARKERS
+
+    # marker bytes are escape-built, never hand-typed: the a-grave artifact
+    # carries A0 (not a space) and the I-uml artifact an invisible C1
+    assert (chr(0xC3) + chr(0xA0)) in MOJIBAKE_MARKERS
+    assert (chr(0xC3) + chr(0x8F)) in MOJIBAKE_MARKERS
+    assert not any(" " in m for m in MOJIBAKE_MARKERS)
+
+    moji = "short text " + (chr(0xC3) + chr(0xA9)) * 3  # e-acute artifact x3
+    clean = "a perfectly ordinary clean sentence about nothing " * 3
+    bad = "x" + "�" * 4
+    docs = spark.createDataFrame(
+        [(0, moji), (1, clean), (2, bad), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in encoding_signals(docs).collect()}
+    assert out[0].mojibake_hits == 3 and out[0].flagged
+    assert out[1].mojibake_hits == 0 and not out[1].flagged
+    assert out[2].replacement_chars == 4 and out[2].flagged
+    assert out[3].n_chars == 0 and not out[3].flagged  # null-safe
+
+    ocr = "the exam-\nple con-\ntinued w1th c0nfusi0n b q\nab\n"
+    docs2 = spark.createDataFrame(
+        [(0, ocr), (1, clean)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in ocr_artifact_signals(docs2).collect()}
+    assert got[0].hyphen_wraps == 2
+    assert got[0].digit_confusions >= 2
+    assert got[0].needs_repair
+    assert not got[1].needs_repair
