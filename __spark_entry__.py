@@ -2397,6 +2397,16 @@ _MOJI_TAIL = " Caf\u00c3\u00a9 d\u00c3\u00a9j\u00c3\u00a0 vu \u00e2\u20ac\u2122n
 _OCR_TAIL = "\nthe exam-\nple con-\ntinued w1th c0nfusi0n b q\nab\n"
 
 
+def _q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (sampling.training_shards): salted
+    md5-60 hash → shard assignment + in-shard position, 16 shards; the
+    oracle replays the hash and the per-shard rank as one window."""
+    from pdf_to_epub_spark.operators import training_shards
+
+    d = _t(spark, sf_dir, "documents")
+    return training_shards(d, n_shards=16, salt="epoch0")
+
+
 def _q_encoding_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding-artifact router (textstats.encoding_signals): every 6th
     doc (≡1) gets a mojibake tail, every 6th (≡4) gets replacement/
@@ -3353,6 +3363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": _q_token_budget,
         "encoding_signals": _q_encoding_signals,
         "ocr_artifacts": _q_ocr_artifacts,
+        "training_shards": _q_training_shards,
         "license_signals": _q_license_signals,
         "flesch_scores": _q_flesch,
         "temperature_mixture": _q_temperature_mixture,
@@ -6148,6 +6159,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "encoding_signals": _encoding_signals_oracle(),
         "ocr_artifacts": _ocr_artifacts_oracle(),
+        # Salted md5-60 shard hash + per-shard rank, one window.
+        "training_shards": """
+            WITH h AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('epoch0:' ||
+                           CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+                FROM documents)
+            SELECT doc_id,
+                   (hv % 16)::INTEGER AS shard,
+                   row_number() OVER (PARTITION BY hv % 16
+                                      ORDER BY hv, doc_id)::INTEGER AS pos
+            FROM h
+        """,
         **(
             {"bpe_merges": o}
             if (o := _bpe_merges_oracle()) is not None

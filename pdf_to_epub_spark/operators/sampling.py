@@ -228,6 +228,48 @@ def token_budget_select(
     )
 
 
+def training_shards(
+    df: DataFrame,
+    n_shards: int = 256,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    hash_fn=None,
+) -> DataFrame:
+    """Deterministic global training shuffle: every document gets a shard
+    assignment and a stable position within its shard, both derived from a
+    salted content-id hash — the reproducible pseudo-random ordering a
+    training run reads instead of a true random (irreproducible) shuffle.
+
+    Returns ``(id, shard, pos)``: ``shard = h % n_shards``, ``pos`` =
+    rank of ``h`` within the shard (ties impossible for distinct ids
+    modulo hash collisions, which the ``(h, id)`` order key absorbs).
+    Changing ``salt`` yields an independent permutation per epoch —
+    the standard trick for multi-epoch training without re-shuffling
+    bytes on disk.
+
+    Scale shape: no global sort — the only shuffle is the per-shard
+    window, and shards are the parallelism unit (corpus/n_shards rows
+    per task, hash-uniform so skew-free by construction; raise
+    ``n_shards`` with corpus size).  At write time ``partitionBy(shard)
+    + sortWithinPartitions(pos)`` lays the files out in read order with
+    zero additional passes.  Default hash is the md5-60 verification
+    form (oracle-replayable); pass ``hash_fn=F.xxhash64``-style for the
+    cheaper scale path."""
+    from pyspark.sql.window import Window
+
+    from pdf_to_epub_spark.operators.dedup import md5_hash60
+
+    key = F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    h = (hash_fn or md5_hash60)(key)
+    w = Window.partitionBy("shard").orderBy(F.asc("_h"), F.asc(id_col))
+    return (
+        df.select(id_col, h.alias("_h"))
+        .withColumn("shard", (F.col("_h") % F.lit(int(n_shards))).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )
+
+
 def stratified_sample_exact(
     df: DataFrame,
     num: int = 1,

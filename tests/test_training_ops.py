@@ -2615,3 +2615,25 @@ def test_encoding_and_ocr_signals(spark):
     assert got[0].digit_confusions >= 2
     assert got[0].needs_repair
     assert not got[1].needs_repair
+
+
+def test_training_shards_permutation_properties(spark):
+    from pdf_to_epub_spark.operators import training_shards
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = training_shards(df, n_shards=8, salt="e0").collect()
+    assert len(out) == 500
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) == set(range(8))
+    # positions are a dense 1..n sequence per shard
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # deterministic: same salt reproduces, different salt permutes
+    again = training_shards(df, n_shards=8, salt="e0").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = {r.doc_id: (r.shard, r.pos) for r in
+             training_shards(df, n_shards=8, salt="e1").collect()}
+    first = {r.doc_id: (r.shard, r.pos) for r in out}
+    assert sum(1 for i in first if first[i] != other[i]) > 400
