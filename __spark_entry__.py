@@ -2397,6 +2397,24 @@ _MOJI_TAIL = " Caf\u00c3\u00a9 d\u00c3\u00a9j\u00c3\u00a0 vu \u00e2\u20ac\u2122n
 _OCR_TAIL = "\nthe exam-\nple con-\ntinued w1th c0nfusi0n b q\nab\n"
 
 
+def _q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (similarity.bitext_margin_mine): even
+    vec_ids play the source language, odd the target; top-1 target per
+    source at margin ≥ 1.02 with k=4 neighborhoods.  Integer micro-unit
+    cosine sums make the margins replay hash-exactly in SQL."""
+    from pdf_to_epub_spark.operators import bitext_margin_mine
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return bitext_margin_mine(
+        e.where(F.col("vec_id") % 2 == 0),
+        e.where(F.col("vec_id") % 2 == 1),
+        k=4,
+        threshold=1.02,
+    )
+
+
 def _q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle (sampling.training_shards): salted
     md5-60 hash → shard assignment + in-shard position, 16 shards; the
@@ -3364,6 +3382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_signals": _q_encoding_signals,
         "ocr_artifacts": _q_ocr_artifacts,
         "training_shards": _q_training_shards,
+        "bitext_mining": _q_bitext_mining,
         "license_signals": _q_license_signals,
         "flesch_scores": _q_flesch,
         "temperature_mixture": _q_temperature_mixture,
@@ -6159,6 +6178,46 @@ def oracle_sql() -> dict[str, str]:
         ),
         "encoding_signals": _encoding_signals_oracle(),
         "ocr_artifacts": _ocr_artifacts_oracle(),
+        # Artetxe-Schwenk margin: micro-unit cosine ints, exact top-k
+        # neighborhood sums, one double division — mirrors
+        # similarity.bitext_margin_mine term for term.
+        "bitext_mining": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            s AS (SELECT vec_id AS src_id, v FROM e WHERE vec_id % 2 = 0),
+            t AS (SELECT vec_id AS tgt_id, v FROM e WHERE vec_id % 2 = 1),
+            scored AS (
+                SELECT s.src_id, t.tgt_id,
+                       round({_COSINE.format(a='s.v', b='t.v')} * 1000000,
+                             0)::BIGINT AS c6
+                FROM s CROSS JOIN t),
+            nx AS (
+                SELECT src_id, sum(c6) AS sx, count(*) AS cx FROM (
+                    SELECT src_id, c6,
+                           row_number() OVER (PARTITION BY src_id
+                               ORDER BY c6 DESC, tgt_id) AS r
+                    FROM scored) WHERE r <= 4 GROUP BY src_id),
+            ny AS (
+                SELECT tgt_id, sum(c6) AS sy, count(*) AS cy FROM (
+                    SELECT tgt_id, c6,
+                           row_number() OVER (PARTITION BY tgt_id
+                               ORDER BY c6 DESC, src_id) AS r
+                    FROM scored) WHERE r <= 4 GROUP BY tgt_id),
+            m AS (
+                SELECT sc.src_id, sc.tgt_id, sc.c6,
+                       round(sc.c6 * 2.0 * nx.cx * ny.cy
+                             / (nx.sx * ny.cy + ny.sy * nx.cx), 6) AS margin
+                FROM scored sc
+                JOIN nx ON sc.src_id = nx.src_id
+                JOIN ny ON sc.tgt_id = ny.tgt_id
+                WHERE round(sc.c6 * 2.0 * nx.cx * ny.cy
+                            / (nx.sx * ny.cy + ny.sy * nx.cx), 6) >= 1.02)
+            SELECT src_id, tgt_id, (c6 / 1000000)::DOUBLE AS cosine,
+                   margin::DOUBLE AS margin
+            FROM (SELECT *, row_number() OVER (PARTITION BY src_id
+                      ORDER BY margin DESC, tgt_id) AS rk FROM m)
+            WHERE rk = 1
+        """,
         # Salted md5-60 shard hash + per-shard rank, one window.
         "training_shards": """
             WITH h AS (

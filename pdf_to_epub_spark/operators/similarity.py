@@ -521,6 +521,90 @@ def semantic_dedup(
     )
 
 
+def bitext_margin_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019,
+    arXiv:1811.01136 §4.3, the LASER/CCMatrix alignment rule): a source
+    sentence x pairs with target y when ``cos(x,y)`` stands out against
+    both sides' neighborhoods — ``margin = cos(x,y) / ((meanTopK(x) +
+    meanTopK(y)) / 2)`` — which kills the hub sentences plain cosine
+    thresholds mis-pair.  Emits the top-1 target per source with
+    ``margin ≥ threshold``.
+
+    Engine-stable arithmetic: cosines are quantized to integer
+    micro-units (``c6 = round(cos·1e6)``) BEFORE the neighborhood sums,
+    so both mean terms are exact integer sums and the margin is ONE
+    double division of exact integers — order-independent, hence
+    hash-identical in the SQL oracle.  With fewer than k candidates the
+    true row counts replace k (margin = c6·2·cx·cy / (sx·cy + sy·cx)).
+
+    This is the verification form: the cross scores come from one
+    broadcast pass over the smaller (target) side.  At 100 TB the scored
+    candidate set comes from :func:`lsh_topk` in both directions instead
+    of the dense product — the margin/threshold algebra downstream is
+    unchanged.  The scored table is checkpoint-pinned: three consumers
+    (two neighborhood aggs + the final join) would otherwise recompute
+    the cosine pass."""
+    a = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("_va"))
+    b = tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("_vb"))
+    scored = (
+        a.join(F.broadcast(b))
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(cosine(F.col("_va"), F.col("_vb")) * 1_000_000, 0)
+            .cast("long")
+            .alias("_c6"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wx = Window.partitionBy("src_id").orderBy(F.desc("_c6"), F.asc("tgt_id"))
+    wy = Window.partitionBy("tgt_id").orderBy(F.desc("_c6"), F.asc("src_id"))
+    nx = (
+        scored.withColumn("_r", F.row_number().over(wx))
+        .where(F.col("_r") <= k)
+        .groupBy("src_id")
+        .agg(F.sum("_c6").alias("_sx"), F.count("*").alias("_cx"))
+    )
+    ny = (
+        scored.withColumn("_r", F.row_number().over(wy))
+        .where(F.col("_r") <= k)
+        .groupBy("tgt_id")
+        .agg(F.sum("_c6").alias("_sy"), F.count("*").alias("_cy"))
+    )
+    margin = F.round(
+        F.col("_c6")
+        * 2.0
+        * F.col("_cx")
+        * F.col("_cy")
+        / (F.col("_sx") * F.col("_cy") + F.col("_sy") * F.col("_cx")),
+        6,
+    )
+    ranked = (
+        scored.join(F.broadcast(nx), "src_id")
+        .join(F.broadcast(ny), "tgt_id")
+        .withColumn("margin", margin)
+        .where(F.col("margin") >= F.lit(float(threshold)))
+    )
+    w1 = Window.partitionBy("src_id").orderBy(F.desc("margin"), F.asc("tgt_id"))
+    return (
+        ranked.withColumn("_rk", F.row_number().over(w1))
+        .where(F.col("_rk") == 1)
+        .select(
+            "src_id",
+            "tgt_id",
+            (F.col("_c6") / 1_000_000).alias("cosine"),
+            "margin",
+        )
+    )
+
+
 def embedding_outliers(
     embeddings: DataFrame,
     vec_col: str = "embedding",

@@ -2637,3 +2637,27 @@ def test_training_shards_permutation_properties(spark):
              training_shards(df, n_shards=8, salt="e1").collect()}
     first = {r.doc_id: (r.shard, r.pos) for r in out}
     assert sum(1 for i in first if first[i] != other[i]) > 400
+
+
+def test_bitext_margin_mine_finds_planted_pair(spark):
+    from pdf_to_epub_spark.operators import bitext_margin_mine
+
+    import random
+
+    rng = random.Random(13)
+    src_rows, tgt_rows = [], []
+    for i in range(0, 40, 2):
+        src_rows.append((i, [rng.gauss(0, 1) for _ in range(16)]))
+    for i in range(1, 40, 2):
+        tgt_rows.append((i, [rng.gauss(0, 1) for _ in range(16)]))
+    # plant a translation: tgt 1 = scaled copy of src 0's direction
+    tgt_rows[0] = (1, [2.0 * x for x in src_rows[0][1]])
+    src = spark.createDataFrame(src_rows, "vec_id long, embedding array<double>")
+    tgt = spark.createDataFrame(tgt_rows, "vec_id long, embedding array<double>")
+    got = bitext_margin_mine(src, tgt, k=4, threshold=1.0).collect()
+    by_src = {r.src_id: r for r in got}
+    assert len(got) == len(by_src)  # top-1 per source
+    assert by_src[0].tgt_id == 1
+    assert abs(by_src[0].cosine - 1.0) < 1e-5
+    # the planted pair's margin dominates all organic pairings
+    assert by_src[0].margin == max(r.margin for r in got)
