@@ -1088,6 +1088,56 @@ def _q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_rank(domain_graph(extract_outlinks(pages)))
 
 
+def _q_trust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank over the same deterministic domain graph as
+    domain_pagerank, seeded at site0/site1 (urls.trust_rank) — trust
+    decays one hop into {example.org, example.net, self}; unreachable
+    site domains must land at exactly 0.  Static pure-Python oracle."""
+    from pdf_to_epub_spark.operators import (
+        domain_graph,
+        extract_outlinks,
+        trust_rank,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    pages = _link_pages(d)
+    return trust_rank(
+        domain_graph(extract_outlinks(pages)),
+        seeds=["site0.example", "site1.example"],
+    )
+
+
+def _trust_rank_oracle() -> str:
+    """Pure-Python replay of trust_rank over the static synthetic edge
+    set (13 site domains each → {example.org, example.net, itself}),
+    seeds site0/site1."""
+    srcs = [f"site{r}.example" for r in range(13)]
+    edges = sorted(
+        {(s, d) for s in srcs for d in ("example.org", "example.net", s)}
+    )
+    nodes = sorted({x for e in edges for x in e})
+    out: dict[str, int] = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    seeds = {"site0.example", "site1.example"}
+    damp = 0.85
+    tp = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in nodes}
+    r = dict(tp)
+    for _ in range(10):
+        nxt = {v: (1 - damp) * tp[v] for v in nodes}
+        for s, t in edges:
+            nxt[t] += damp * r[s] / out[s]
+        r = nxt
+    vals = ",\n            ".join(
+        f"('{v}', {round(r[v], 9)!r})" for v in nodes
+    )
+    return f"""
+        WITH golden(domain, trust) AS (VALUES
+            {vals})
+        SELECT domain, trust::DOUBLE AS trust FROM golden
+    """
+
+
 def _domain_pagerank_oracle() -> str:
     """Pure-Python replay of the simple-variant PageRank over the exact
     distinct edge set the synthetic pages produce: 13 site domains each →
@@ -3383,6 +3433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_artifacts": _q_ocr_artifacts,
         "training_shards": _q_training_shards,
         "bitext_mining": _q_bitext_mining,
+        "trust_rank": _q_trust_rank,
         "license_signals": _q_license_signals,
         "flesch_scores": _q_flesch,
         "temperature_mixture": _q_temperature_mixture,
@@ -4591,6 +4642,7 @@ def oracle_sql() -> dict[str, str]:
         # webgraph PageRank: static pure-Python replay (edge set is a pure
         # function of doc_id residues, identical at both test scales)
         "domain_pagerank": _domain_pagerank_oracle(),
+        "trust_rank": _trust_rank_oracle(),
         # head-metadata replayed arithmetically from the same doc_id rules
         # sitemap locs replayed arithmetically (even docs: two urlset
         # locs incl. the CDATA one; odd docs: one flagged index loc)

@@ -2661,3 +2661,28 @@ def test_bitext_margin_mine_finds_planted_pair(spark):
     assert abs(by_src[0].cosine - 1.0) < 1e-5
     # the planted pair's margin dominates all organic pairings
     assert by_src[0].margin == max(r.margin for r in got)
+
+
+def test_trust_rank_decays_from_seeds(spark):
+    from pdf_to_epub_spark.operators import trust_rank
+
+    import pytest as _pytest
+
+    # seed -> good -> leaf chain, plus a spam island linking only itself
+    edges = spark.createDataFrame(
+        [
+            ("seed.example", "good.example"),
+            ("good.example", "leaf.example"),
+            ("spam-a.example", "spam-b.example"),
+            ("spam-b.example", "spam-a.example"),
+        ],
+        "src_domain string, dst_domain string",
+    )
+    out = {r.domain: r.trust for r in
+           trust_rank(edges, seeds=["seed.example"]).collect()}
+    # trust decays with distance from the seed
+    assert out["seed.example"] > out["good.example"] > out["leaf.example"] > 0
+    # the unreachable spam island gets exactly zero despite its link loop
+    assert out["spam-a.example"] == 0.0 and out["spam-b.example"] == 0.0
+    with _pytest.raises(ValueError):
+        trust_rank(edges, seeds=[])
