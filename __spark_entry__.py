@@ -1088,6 +1088,24 @@ def _q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_rank(domain_graph(extract_outlinks(pages)))
 
 
+def _q_calibrated_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language score calibration (classify.calibrate_scores):
+    alpha-ratio quality mapped to its within-language percent-rank via
+    the skew-safe two-phase bucket-rank form; the oracle is DuckDB's
+    native percent_rank window, which the reconstruction must equal."""
+    from pdf_to_epub_spark.operators import calibrate_scores
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (
+            F.length(F.regexp_replace("text", "[^A-Za-zÀ-ÖØ-öø-ÿ]", ""))
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("score"),
+    )
+    return calibrate_scores(d, score_col="score", group_col="lang")
+
+
 def _q_trust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TrustRank over the same deterministic domain graph as
     domain_pagerank, seeded at site0/site1 (urls.trust_rank) — trust
@@ -3434,6 +3452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards": _q_training_shards,
         "bitext_mining": _q_bitext_mining,
         "trust_rank": _q_trust_rank,
+        "calibrated_scores": _q_calibrated_scores,
         "license_signals": _q_license_signals,
         "flesch_scores": _q_flesch,
         "temperature_mixture": _q_temperature_mixture,
@@ -6230,6 +6249,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "encoding_signals": _encoding_signals_oracle(),
         "ocr_artifacts": _ocr_artifacts_oracle(),
+        # Native percent_rank window — the per-(lang,bucket) rank +
+        # cross-bucket offset reconstruction must equal it exactly.
+        "calibrated_scores": """
+            WITH feats AS (
+                SELECT doc_id, lang,
+                       round(length(regexp_replace(text,
+                               '[^A-Za-zÀ-ÖØ-öø-ÿ]', '', 'g'))
+                             / greatest(length(text), 1), 6) AS score
+                FROM documents)
+            SELECT doc_id, lang, score,
+                   round(percent_rank() OVER (PARTITION BY lang
+                         ORDER BY score), 6)::DOUBLE AS pct_rank
+            FROM feats
+        """,
         # Artetxe-Schwenk margin: micro-unit cosine ints, exact top-k
         # neighborhood sums, one double division — mirrors
         # similarity.bitext_margin_mine term for term.

@@ -106,3 +106,77 @@ def classifier_gate(
         .where(prob >= threshold)
         .drop("__toks")
     )
+
+
+def calibrate_scores(
+    df: DataFrame,
+    score_col: str = "score",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    bucket_dp: int = 3,
+) -> DataFrame:
+    """Per-source quality-score calibration: every document's score is
+    mapped to its percent-rank WITHIN its source (RANK ties-share
+    semantics: ``(rank_min − 1) / (n − 1)``, 0 for singleton groups) —
+    so a "keep the top 30%" threshold transfers across sources whose
+    raw classifier distributions differ (the quality-classifier
+    calibration step mixes like DCLM/FineWeb apply before cross-source
+    thresholds).
+
+    Scale shape: sources are few and huge, so a plain
+    ``Window.partitionBy(source).orderBy(score)`` serializes each source
+    through one task.  Instead the two-phase range-bucket form shared
+    with sampling.token_budget_select / domain_caps_exact:
+    ``round(score, bucket_dp)`` monotonically coarsens the order key,
+    rank-within-bucket (parallel) plus an exclusive cross-bucket count
+    offset (slim broadcast) reconstructs the exact per-source min-rank —
+    equal scores always land in the same bucket, so RANK tie semantics
+    survive the split.  Scores are rounded to 6 dp before ranking
+    (engine-stable order); the oracle is DuckDB's native
+    ``percent_rank()``."""
+    from pyspark.sql.window import Window
+
+    s = F.round(F.col(score_col), 6)
+    rows = df.select(
+        id_col,
+        F.col(group_col).alias("_g"),
+        s.alias("_s"),
+    ).withColumn("_b", F.round(F.col("_s"), bucket_dp))
+    w = Window.partitionBy("_g", "_b").orderBy(F.asc("_s"))
+    off_w = (
+        Window.partitionBy("_og")
+        .orderBy(F.asc("_ob"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        rows.groupBy(F.col("_g").alias("_og"), F.col("_b").alias("_ob"))
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "_og",
+            "_ob",
+            F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off"),
+            F.sum("_n").over(
+                Window.partitionBy("_og").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("_gn"),
+        )
+    )
+    ranked = (
+        rows.withColumn("_r", F.rank().over(w))
+        .join(
+            F.broadcast(offsets),
+            (F.col("_g").eqNullSafe(F.col("_og"))) & (F.col("_b") == F.col("_ob")),
+        )
+        .withColumn("_rank", F.col("_off") + F.col("_r"))
+    )
+    pct = F.when(
+        F.col("_gn") > 1,
+        F.round((F.col("_rank") - 1) / (F.col("_gn") - 1), 6),
+    ).otherwise(F.lit(0.0))
+    return ranked.select(
+        id_col,
+        F.col("_g").alias(group_col),
+        F.col("_s").alias("score"),
+        pct.alias("pct_rank"),
+    )

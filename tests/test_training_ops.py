@@ -2686,3 +2686,35 @@ def test_trust_rank_decays_from_seeds(spark):
     assert out["spam-a.example"] == 0.0 and out["spam-b.example"] == 0.0
     with _pytest.raises(ValueError):
         trust_rank(edges, seeds=[])
+
+
+def test_calibrate_scores_matches_percent_rank(spark):
+    from pdf_to_epub_spark.operators import calibrate_scores
+
+    import random
+
+    rng = random.Random(5)
+    # ties + a singleton group + a null group
+    rows = [(i, "a", rng.choice([0.2, 0.4, 0.4, 0.7, 0.9])) for i in range(100)]
+    rows += [(100, "b", 0.5)]
+    rows += [(101, None, 0.1), (102, None, 0.3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    got = {r.doc_id: r for r in calibrate_scores(df).collect()}
+    assert len(got) == 103
+    # python replay: RANK ties-share percent rank per group
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for i, g, s in rows:
+        groups[g].append((s, i))
+    for g, members in groups.items():
+        n = len(members)
+        scores = sorted(s for s, _ in members)
+        for s, i in members:
+            if n == 1:
+                expect = 0.0
+            else:
+                rank_min = 1 + sum(1 for x in scores if x < s)
+                expect = round((rank_min - 1) / (n - 1), 6)
+            assert abs(got[i].pct_rank - expect) < 1e-9, (i, g)
+    assert got[100].pct_rank == 0.0  # singleton group
