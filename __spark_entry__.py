@@ -1088,6 +1088,33 @@ def _q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_rank(domain_graph(extract_outlinks(pages)))
 
 
+def _q_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL projection (similarity.project_embeddings): 64-d embeddings
+    onto 8 seeded Gaussian directions, long-form rows; the oracle inlines
+    the SAME seeded planes and replays via list_dot_product."""
+    from pdf_to_epub_spark.operators import project_embeddings
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return project_embeddings(e, dim=64, out_dim=8, seed=3)
+
+
+def _project_embeddings_oracle(dim: int = 64, out_dim: int = 8, seed: int = 3) -> str:
+    """Same seeded hyperplanes inlined as literals; one UNION ALL branch
+    per component."""
+    from pdf_to_epub_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, out_dim, seed)
+    branches = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {j} AS component,"
+        f" round(list_dot_product(embedding::DOUBLE[], {_vec_lit(p)}), 6)"
+        f" AS value FROM embeddings"
+        for j, p in enumerate(planes)
+    )
+    return branches
+
+
 def _q_calibrated_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language score calibration (classify.calibrate_scores):
     alpha-ratio quality mapped to its within-language percent-rank via
@@ -3453,6 +3480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_mining": _q_bitext_mining,
         "trust_rank": _q_trust_rank,
         "calibrated_scores": _q_calibrated_scores,
+        "project_embeddings": _q_project_embeddings,
         "license_signals": _q_license_signals,
         "flesch_scores": _q_flesch,
         "temperature_mixture": _q_temperature_mixture,
@@ -6234,6 +6262,7 @@ def oracle_sql() -> dict[str, str]:
         # Approximate-ANN oracles: same hyperplanes/centroids inlined as
         # literals, bucket/cell assignment and ranking recomputed in SQL.
         "ann_topk_lsh": _lsh_topk_oracle(),
+        "project_embeddings": _project_embeddings_oracle(),
         **(
             {"ann_topk_ivf": o} if (o := _ivf_topk_oracle()) is not None else {}
         ),

@@ -521,6 +521,40 @@ def semantic_dedup(
     )
 
 
+def project_embeddings(
+    corpus: DataFrame,
+    dim: int,
+    out_dim: int = 8,
+    seed: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: map every ``dim``-d embedding
+    onto ``out_dim`` deterministic Gaussian directions (the same seeded
+    generator as the LSH hyperplanes, :func:`_hyperplanes`) — the
+    dimensionality-reduction pass a 100 TB pipeline runs BEFORE dedup /
+    ANN so the downstream cosine work touches 8-64 floats instead of
+    768+.  JL guarantees pairwise distances are preserved to (1±ε) with
+    out_dim = O(log N / ε²) — the distance-based operators downstream
+    (semantic_dedup, embedding_near_duplicates) work unchanged on the
+    projected column.
+
+    Emits long-form ``(id, component, value)`` rows (value = dot(v,
+    r_j), 6 dp).  Plan: the planes ride inline as literals — one narrow
+    codegen map over the corpus, no shuffle, no UDF; the oracle replays
+    the same seeded planes via list_dot_product."""
+    planes = _hyperplanes(dim, out_dim, seed)
+    dots = F.array(
+        *[
+            _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p]))
+            for p in planes
+        ]
+    )
+    return corpus.select(
+        id_col, F.posexplode(dots).alias("component", "_v")
+    ).select(id_col, "component", F.round("_v", 6).alias("value"))
+
+
 def bitext_margin_mine(
     src: DataFrame,
     tgt: DataFrame,

@@ -2718,3 +2718,32 @@ def test_calibrate_scores_matches_percent_rank(spark):
                 expect = round((rank_min - 1) / (n - 1), 6)
             assert abs(got[i].pct_rank - expect) < 1e-9, (i, g)
     assert got[100].pct_rank == 0.0  # singleton group
+
+
+def test_project_embeddings_preserves_relative_distance(vectors):
+    from pdf_to_epub_spark.operators import project_embeddings
+
+    out = project_embeddings(
+        vectors.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+        dim=16, out_dim=8, seed=3,
+    ).collect()
+    assert len(out) == 200 * 8
+    proj: dict[int, list[float]] = {}
+    for r in out:
+        proj.setdefault(r.vec_id, [0.0] * 8)[r.component] = r.value
+    # deterministic across runs
+    again = project_embeddings(
+        vectors.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+        dim=16, out_dim=8, seed=3,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # JL sanity: identical inputs stay identical, and projection is linear
+    # (proj of v0 scaled 2x == 2x proj of v0) — verified via the planes
+    data = {r["vec_id"]: r["embedding"] for r in vectors.collect()}
+    from pdf_to_epub_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(16, 8, 3)
+    for vid in (0, 7, 123):
+        for j, p in enumerate(planes):
+            expect = round(sum(a * b for a, b in zip(data[vid], p)), 6)
+            assert abs(proj[vid][j] - expect) < 1e-6
