@@ -283,6 +283,30 @@ def run_bench(
 
     timed("lm_pack", lm_pack)
 
+    def curation_rank() -> None:
+        """Corpus-curation tail over the CC corpus: per-language
+        percent-rank calibration of a cheap quality score feeding the
+        exact token-budget prefix cut — both the skew-safe two-phase
+        window forms (score-bucket rank + cross-bucket offsets), the
+        global ordering work a tier-extraction run pays after signals."""
+        from pdf_to_epub_spark.operators import (
+            calibrate_scores,
+            token_budget_select,
+            token_count,
+        )
+
+        docs = corpus.select(
+            F.xxhash64("url").alias("doc_id"),
+            (F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+             / F.greatest(F.length("text"), F.lit(1))).alias("score"),
+            token_count("text").alias("n_tokens"),
+            (F.xxhash64("url") % 8).alias("lang"),
+        ).localCheckpoint(eager=False)
+        _force(calibrate_scores(docs, score_col="score", group_col="lang"))
+        _force(token_budget_select(docs, budget=1_000_000))
+
+    timed("curation_rank", curation_rank, runs=2)
+
     def pdf_parse() -> None:
         """PDF/layout path end-to-end: render the corpus into per-doc PDFs
         (FlateDecode streams, scrambled block order), inflate + walk the
