@@ -6496,20 +6496,28 @@ def oracle_sql() -> dict[str, str]:
                        sqrt(sum((c.val - ct.m) * (c.val - ct.m))) AS dist
                 FROM comp c JOIN cent ct ON c.label = ct.label AND c.j = ct.j
                 GROUP BY c.vec_id, c.label
+            ), base AS (
+                -- every input vector keeps its verdict row: NULL/empty
+                -- embeddings (no comp rows) surface with dist NULL and
+                -- is_outlier = true, mirroring the Spark operator
+                SELECT e.vec_id, e.label, d.dist
+                FROM embeddings e
+                LEFT JOIN d ON e.vec_id = d.vec_id AND e.label = d.label
             ), stats AS (
                 SELECT label, avg(dist) AS mu, avg(dist * dist) AS m2
-                FROM d GROUP BY label
+                FROM base GROUP BY label
             )
-            SELECT d.vec_id, d.label,
-                   round(d.dist, 6) AS dist,
+            SELECT b.vec_id, b.label,
+                   round(b.dist, 6) AS dist,
                    round(CASE WHEN sqrt(s.m2 - s.mu * s.mu) > 0
-                              THEN (d.dist - s.mu)
+                              THEN (b.dist - s.mu)
                                    / sqrt(s.m2 - s.mu * s.mu) END, 4) AS z,
-                   coalesce(round(CASE WHEN sqrt(s.m2 - s.mu * s.mu) > 0
-                              THEN (d.dist - s.mu)
+                   CASE WHEN b.dist IS NULL THEN TRUE
+                        ELSE coalesce(round(CASE WHEN sqrt(s.m2 - s.mu * s.mu) > 0
+                              THEN (b.dist - s.mu)
                                    / sqrt(s.m2 - s.mu * s.mu) END, 4)
-                            > 2.0::DOUBLE, FALSE) AS is_outlier
-            FROM d JOIN stats s ON d.label = s.label
+                            > 2.0::DOUBLE, FALSE) END AS is_outlier
+            FROM base b LEFT JOIN stats s ON b.label = s.label
         """,
         # Temperature sampling: n^alpha as exp(a ln n) quantized to
         # integer micro-units (the 1-ulp libm difference dies in the
@@ -6518,6 +6526,7 @@ def oracle_sql() -> dict[str, str]:
             WITH sizes AS (
                 SELECT lang, sum(n_chars)::BIGINT AS n_units
                 FROM documents GROUP BY lang
+                HAVING sum(n_chars) > 0
             ), wtd AS (
                 SELECT lang, n_units,
                        floor(exp(0.5::DOUBLE * ln(n_units))

@@ -300,7 +300,7 @@ def run_bench(
             (F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
              / F.greatest(F.length("text"), F.lit(1))).alias("score"),
             token_count("text").alias("n_tokens"),
-            (F.xxhash64("url") % 8).alias("lang"),
+            F.pmod(F.xxhash64("url"), F.lit(8)).alias("lang"),
         ).localCheckpoint(eager=False)
         _force(calibrate_scores(docs, score_col="score", group_col="lang"))
         _force(token_budget_select(docs, budget=1_000_000))

@@ -142,10 +142,12 @@ def calibrate_scores(
         F.col(group_col).alias("_g"),
         s.alias("_s"),
     ).withColumn("_b", F.round(F.col("_s"), bucket_dp))
-    w = Window.partitionBy("_g", "_b").orderBy(F.asc("_s"))
+    # NULLS LAST on both levels (Spark asc defaults nulls-FIRST) so a
+    # null score ranks exactly where DuckDB's percent_rank puts it.
+    w = Window.partitionBy("_g", "_b").orderBy(F.asc_nulls_last("_s"))
     off_w = (
         Window.partitionBy("_og")
-        .orderBy(F.asc("_ob"))
+        .orderBy(F.asc_nulls_last("_ob"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
@@ -166,7 +168,11 @@ def calibrate_scores(
         rows.withColumn("_r", F.rank().over(w))
         .join(
             F.broadcast(offsets),
-            (F.col("_g").eqNullSafe(F.col("_og"))) & (F.col("_b") == F.col("_ob")),
+            # eqNullSafe on BOTH keys: a null score means a null bucket,
+            # and a null-unsafe bucket equality would silently drop the
+            # row (violating one-verdict-row-per-document).
+            (F.col("_g").eqNullSafe(F.col("_og")))
+            & (F.col("_b").eqNullSafe(F.col("_ob"))),
         )
         .withColumn("_rank", F.col("_off") + F.col("_r"))
     )

@@ -191,7 +191,6 @@ def token_budget_select(
     from pyspark.sql.window import Window
 
     s = F.round(F.col(score_col), 6)
-    b = F.round(s, bucket_dp)
     rows = df.select(
         F.col(id_col),
         s.alias("__score"),
@@ -264,7 +263,13 @@ def training_shards(
     w = Window.partitionBy("shard").orderBy(F.asc("_h"), F.asc(id_col))
     return (
         df.select(id_col, h.alias("_h"))
-        .withColumn("shard", (F.col("_h") % F.lit(int(n_shards))).cast("int"))
+        # pmod, not %: Spark % keeps the dividend's sign, so the
+        # documented hash_fn=F.xxhash64 swap (signed longs) would emit
+        # negative shard ids.  Identical for the non-negative md5-60
+        # default.
+        .withColumn(
+            "shard", F.pmod(F.col("_h"), F.lit(int(n_shards))).cast("int")
+        )
         .withColumn("pos", F.row_number().over(w))
         .select(id_col, "shard", "pos")
     )
@@ -615,7 +620,14 @@ def temperature_mixture(
     aggregation (groups ≪ corpus) + a 1-row broadcast — the corpus
     never shuffles beyond the map-side combine."""
     w = F.count("*") if weight_col is None else F.sum(weight_col)
-    sizes = df.groupBy(group_col).agg(w.cast("long").alias("n_units"))
+    # Drop zero-size groups BEFORE the log: n_units can be 0 only via a
+    # weight_col summing to 0, and ln(0) would silently NULL the group's
+    # share (mis-normalizing the total) in Spark while aborting the SQL
+    # replica outright.  A zero-weight group has no sampleable mass, so
+    # excluding it is the correct plan semantics, not a workaround.
+    sizes = df.groupBy(group_col).agg(w.cast("long").alias("n_units")).where(
+        F.col("n_units") > 0
+    )
     micro = F.floor(
         F.exp(F.lit(float(alpha)) * F.log(F.col("n_units"))) * F.lit(1_000_000.0)
         + F.lit(0.5)

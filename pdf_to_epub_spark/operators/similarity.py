@@ -658,15 +658,23 @@ def embedding_outliers(
     relationally from the same sums in both engines (no builtin stddev:
     Welford vs naive implementations differ in low bits); the outlier
     verdict compares the ROUNDED z so the boundary is engine-stable.
-    Zero-variance groups yield z = NULL / is_outlier = false."""
+    Zero-variance groups yield z = NULL / is_outlier = false.  A NULL or
+    empty vector — precisely the mis-embedded document this pass exists
+    to flag — still gets its verdict row (posexplode_outer keeps it as a
+    null component row; the null-unsafe centroid join leaves its m NULL
+    so dist comes out NULL) with ``is_outlier = true``."""
     comp = embeddings.select(
         id_col,
         group_col,
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("j", "val"),
+        F.posexplode_outer(F.col(vec_col).cast("array<double>")).alias(
+            "j", "val"
+        ),
     )
-    cent = comp.groupBy(group_col, "j").agg(F.avg("val").alias("m"))
+    cent = comp.where(F.col("j").isNotNull()).groupBy(group_col, "j").agg(
+        F.avg("val").alias("m")
+    )
     d = (
-        comp.join(F.broadcast(cent), [group_col, "j"])
+        comp.join(F.broadcast(cent), [group_col, "j"], "left")
         .groupBy(id_col, group_col)
         .agg(
             F.sqrt(
@@ -682,14 +690,16 @@ def embedding_outliers(
     z = F.when(sigma > 0, (F.col("dist") - F.col("_mu")) / sigma)
     zr = F.round(z, 4)
     return (
-        d.join(F.broadcast(stats), group_col)
+        d.join(F.broadcast(stats), group_col, "left")
         .select(
             id_col,
             group_col,
             F.round(F.col("dist"), 6).alias("dist"),
             zr.alias("z"),
-            F.coalesce(zr > F.lit(float(z_threshold)), F.lit(False)).alias(
-                "is_outlier"
-            ),
+            F.when(F.col("dist").isNull(), F.lit(True))
+            .otherwise(
+                F.coalesce(zr > F.lit(float(z_threshold)), F.lit(False))
+            )
+            .alias("is_outlier"),
         )
     )

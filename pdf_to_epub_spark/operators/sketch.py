@@ -301,6 +301,8 @@ def hll_estimate(
     happens once at the end, so Spark and the SQL oracle see
     bit-identical estimates."""
     groups = list(group_cols or [])
+    if p < 4 or p > 18:
+        raise ValueError(f"hll_estimate: p must be in [4, 18], got {p}")
     m = 1 << p
     sub_bits = 60 - p
     unit = 1 << (sub_bits + 1)  # 2^(sub_bits+1) = contribution of rho=0
@@ -315,7 +317,14 @@ def hll_estimate(
         F.count("*").cast("long").alias("_n_present"),
     )
     sum_int = F.col("_present_sum") + (F.lit(m) - F.col("_n_present")) * F.lit(unit)
-    alpha = F.lit(0.7213) / (F.lit(1) + F.lit(1.079) / F.lit(m))
+    # Flajolet et al. 2007 bias constants: the closed form
+    # 0.7213/(1+1.079/m) is only derived for m >= 128; smaller register
+    # counts use the tabulated values.
+    alpha_small = {16: 0.673, 32: 0.697, 64: 0.709}
+    if m in alpha_small:
+        alpha = F.lit(alpha_small[m])
+    else:
+        alpha = F.lit(0.7213) / (F.lit(1) + F.lit(1.079) / F.lit(m))
     raw = alpha * F.lit(m) * F.lit(m) * F.lit(float(unit)) / sum_int
     v = F.lit(m) - F.col("_n_present")
     est = F.when(

@@ -1123,7 +1123,11 @@ def c4_filters(
     regexp_count algebra (gopher_quality) cannot express; it remains
     shuffle-free."""
     keep_line = lambda ln: (  # noqa: E731
-        (F.regexp_count(ln, F.lit('[.!?"][ \t\r]*$')) >= 1)
+        # (?d) pins Java's `$` to \n-only (UNIX_LINES) so it cannot match
+        # before a trailing U+2028/U+0085/lone-CR terminator that RE2's
+        # `$` (absolute end) ignores — same portability fix as
+        # gopher_quality's sentence counter in this file.
+        (F.regexp_count(ln, F.lit('(?d)[.!?"][ \t\r]*$')) >= 1)
         & (F.regexp_count(ln, F.lit(r"\S+")) >= min_words_per_line)
         & (F.instr(F.lower(ln), "javascript") == 0)
     )
@@ -1454,10 +1458,16 @@ def ocr_artifact_signals(
             "regexp_count(_t, '[A-Za-z][0-9][A-Za-z]')"
         ).alias("digit_confusions"),
         F.expr(
-            "regexp_count(_t, '(^|[ \\n])[b-hj-z]([ \\n]|$)')"
+            # (?d) = UNIX_LINES: pins Java's `$` to absolute-end/\n and
+            # `.` to exclude only \n, matching RE2 on lone-CR / U+2028 /
+            # U+0085 tails (classic OCR artifacts, exactly this input
+            # domain).  The explicit \n alternative shadows the one
+            # remaining before-final-\n `$` case, so counts are engine-
+            # identical.
+            "regexp_count(_t, '(?d)(^|[ \\n])[b-hj-z]([ \\n]|$)')"
         ).alias("isolated_consonants"),
         F.expr(
-            "regexp_count(_t, '(^|\\n).{0,3}(\\n|$)')"
+            "regexp_count(_t, '(?d)(^|\\n).{0,3}(\\n|$)')"
         ).alias("short_lines"),
         F.expr(f"regexp_count(_t, '{_TOKEN_CLASS}+')").alias("n_words"),
     )

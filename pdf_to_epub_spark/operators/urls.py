@@ -567,6 +567,73 @@ def drop_noindex(pages: DataFrame, html_col: str = "html") -> DataFrame:
     )
 
 
+def _domain_graph(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared graph prep for the webgraph score family: deduplicated
+    (src, dst) edge table plus the node set (either endpoint), both
+    localCheckpointed — every fixed-point operator re-reads them each
+    round."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("domain"))
+        .union(e.select(F.col("dst").alias("domain")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return e, nodes
+
+
+def _pagerank_fixed_point(
+    e: DataFrame,
+    nodes: DataFrame,
+    init,
+    reset,
+    damping: float,
+    iterations: int,
+) -> DataFrame:
+    """Shared simple-variant PageRank fixed point (the teleport vector
+    parameterizes uniform PageRank vs seed-restricted TrustRank):
+    rank₀ = ``init``; rankₜ₊₁(v) = ``reset``(v) + d·Σ rankₜ(u)/out(u)
+    over distinct in-edges, no dangling-mass redistribution.  ``reset``
+    is passed pre-folded (e.g. ``lit((1−d)/n)``) rather than rebuilt as
+    ``lit(1−d)·tp`` so callers keep the exact float expression shape
+    their 9-dp-rounded SQL oracles replay.  Per round one slim
+    (domain, rank) join onto the edge list + one map-side-combined
+    groupBy on dst, eager localCheckpoint per round (iterative-lineage
+    hygiene)."""
+    outdeg = e.groupBy("src").agg(F.count("*").alias("out"))
+    ranks = nodes.select("domain", init.alias("rank")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iterations):
+        contribs = (
+            e.join(outdeg, "src")
+            .join(ranks, e.src == ranks.domain)
+            .select(
+                F.col("dst").alias("domain"),
+                (F.col("rank") / F.col("out")).alias("c"),
+            )
+            .groupBy("domain")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contribs, "domain", "left")
+            .select(
+                "domain",
+                (
+                    reset
+                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def domain_rank(
     edges: DataFrame,
     damping: float = 0.85,
@@ -590,41 +657,20 @@ def domain_rank(
     layout.  Each round eagerly localCheckpoints the slim rank table
     (iterative-lineage hygiene, same as connected_components).  Returns
     (domain, rank) rounded to 9 dp."""
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
-    e = e.localCheckpoint(eager=False)
-    nodes = (
-        e.select(F.col("src").alias("domain"))
-        .union(e.select(F.col("dst").alias("domain")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e, nodes = _domain_graph(edges, src_col, dst_col)
     n = nodes.count()
     if n == 0:
         # empty edge table (e.g. the filters upstream emptied the graph):
         # an empty (domain, rank) frame, not a 1/N ZeroDivisionError
         return nodes.select("domain", F.lit(0.0).alias("rank"))
-    outdeg = e.groupBy("src").agg(F.count("*").alias("out"))
-    ranks = nodes.select("domain", F.lit(1.0 / n).alias("rank"))
-    ranks = ranks.localCheckpoint(eager=True)
-    for _ in range(iterations):
-        contribs = (
-            e.join(outdeg, "src")
-            .join(ranks, e.src == ranks.domain)
-            .select(F.col("dst").alias("domain"), (F.col("rank") / F.col("out")).alias("c"))
-            .groupBy("domain")
-            .agg(F.sum("c").alias("in_mass"))
-        )
-        ranks = (
-            nodes.join(contribs, "domain", "left")
-            .select(
-                "domain",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
+    ranks = _pagerank_fixed_point(
+        e,
+        nodes,
+        F.lit(1.0 / n),
+        F.lit((1.0 - damping) / n),
+        damping,
+        iterations,
+    )
     return ranks.select("domain", F.round("rank", 9).alias("rank"))
 
 
@@ -653,43 +699,13 @@ def trust_rank(
     the iterative lineage.  Returns (domain, trust) rounded to 9 dp."""
     if not seeds:
         raise ValueError("trust_rank requires a non-empty seed set")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
-    e = e.localCheckpoint(eager=False)
-    nodes = (
-        e.select(F.col("src").alias("domain"))
-        .union(e.select(F.col("dst").alias("domain")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e, nodes = _domain_graph(edges, src_col, dst_col)
     tp = F.when(
         F.col("domain").isin(*seeds), F.lit(1.0 / len(seeds))
     ).otherwise(F.lit(0.0))
-    outdeg = e.groupBy("src").agg(F.count("*").alias("out"))
-    ranks = nodes.select("domain", tp.alias("rank")).localCheckpoint(eager=True)
-    for _ in range(iterations):
-        contribs = (
-            e.join(outdeg, "src")
-            .join(ranks, e.src == ranks.domain)
-            .select(
-                F.col("dst").alias("domain"),
-                (F.col("rank") / F.col("out")).alias("c"),
-            )
-            .groupBy("domain")
-            .agg(F.sum("c").alias("in_mass"))
-        )
-        ranks = (
-            nodes.join(contribs, "domain", "left")
-            .select(
-                "domain",
-                (
-                    F.lit(1.0 - damping) * tp
-                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
+    ranks = _pagerank_fixed_point(
+        e, nodes, tp, F.lit(1.0 - damping) * tp, damping, iterations
+    )
     return ranks.select("domain", F.round("rank", 9).alias("trust"))
 
 
@@ -718,16 +734,7 @@ def hits_scores(
     crossJoin (never collected).  Eager localCheckpoint per round keeps
     the iterative lineage flat.  Returns (domain, hub, authority)
     rounded to 9 dp."""
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
-    e = e.localCheckpoint(eager=False)
-    nodes = (
-        e.select(F.col("src").alias("domain"))
-        .union(e.select(F.col("dst").alias("domain")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e, nodes = _domain_graph(edges, src_col, dst_col)
     n = nodes.count()
     if n == 0:
         return nodes.select(

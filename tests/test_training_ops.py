@@ -2747,3 +2747,90 @@ def test_project_embeddings_preserves_relative_distance(vectors):
         for j, p in enumerate(planes):
             expect = round(sum(a * b for a, b in zip(data[vid], p)), 6)
             assert abs(proj[vid][j] - expect) < 1e-6
+
+
+def test_review_fix_edge_cases(spark):
+    """Regression pins for the round-4 review findings: exotic line
+    terminators, signed-hash shards, null scores, zero-weight groups,
+    small-m HLL alpha, and null-embedding verdict rows."""
+    from pdf_to_epub_spark.operators import (
+        c4_filters,
+        calibrate_scores,
+        embedding_outliers,
+        ocr_artifact_signals,
+        temperature_mixture,
+        training_shards,
+    )
+    from pdf_to_epub_spark.operators.sketch import hll_estimate
+
+    # c4_filters: a line whose only "terminal punctuation at end" match
+    # would come from Java's $ stopping before a trailing U+2028 must be
+    # DROPPED (RE2/DuckDB semantics — absolute end only).
+    df = spark.createDataFrame(
+        [(1, "Good sentence here today. "), (2, "Good sentence here today.")],
+        "doc_id int, text string",
+    )
+    kept = {r.doc_id: r.n_kept for r in c4_filters(df).collect()}
+    assert kept[1] == 0 and kept[2] == 1
+
+    # ocr signals: lone-CR tail must not count as a short line (Java $
+    # before final \r diverges from RE2 without (?d)).
+    o = spark.createDataFrame(
+        [(1, "abc\r"), (2, "abc\n")], "doc_id int, text string"
+    )
+    srt = {r.doc_id: r.short_lines for r in ocr_artifact_signals(o).collect()}
+    assert srt[1] == 0  # "abc\r" is one 4-char line, not a short line
+    assert srt[2] == 1  # "abc" before the newline IS a short line
+
+    # training_shards with a signed hash: shard ids stay in [0, n).
+    t = spark.range(50).select(F.col("id").alias("doc_id"))
+    shards = [
+        r.shard
+        for r in training_shards(t, n_shards=8, hash_fn=F.xxhash64).collect()
+    ]
+    assert min(shards) >= 0 and max(shards) < 8
+
+    # calibrate_scores: a NULL score keeps its verdict row, ranked last.
+    c = spark.createDataFrame(
+        [(1, "a", 0.1), (2, "a", 0.9), (3, "a", None)],
+        "doc_id int, source string, score double",
+    )
+    rows = {r.doc_id: r for r in calibrate_scores(c).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[3].pct_rank == 1.0  # NULLS LAST, DuckDB percent_rank
+
+    # temperature_mixture: a zero-weight group is excluded, and the
+    # remaining shares still normalize to ~1.
+    m = spark.createDataFrame(
+        [("en", 100), ("xx", 0), ("fr", 50)], "lang string, n_chars int"
+    )
+    plan = {r.lang: r for r in temperature_mixture(m, weight_col="n_chars").collect()}
+    assert "xx" not in plan and set(plan) == {"en", "fr"}
+    assert abs(sum(r.share_temp for r in plan.values()) - 1.0) < 1e-5
+
+    # hll_estimate: p=4 uses the tabulated alpha (0.673), not the
+    # closed form; p=3 rejected.
+    from pdf_to_epub_spark.operators.sketch import hll_sketch
+
+    vals = spark.range(1000).select(
+        F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    regs = hll_sketch(vals, value_col="v", p=4)
+    est = hll_estimate(regs, p=4).collect()[0].est_distinct
+    assert 400 < est < 2500  # m=16 is coarse; just sanity + no crash
+    with pytest.raises(ValueError):
+        hll_estimate(regs, p=3)
+
+    # embedding_outliers: a NULL embedding keeps its row, flagged.
+    e = spark.createDataFrame(
+        [
+            (1, "g", [1.0, 0.0]),
+            (2, "g", [0.9, 0.1]),
+            (3, "g", [1.1, -0.1]),
+            (4, "g", None),
+        ],
+        "vec_id int, label string, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in embedding_outliers(e).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[4].dist is None and out[4].is_outlier is True
