@@ -3337,6 +3337,172 @@ def _q_snapshot_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_edit_verify_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level candidate verification (dedup.edit_similarity_pairs):
+    the planted near-dup pairs (doc, last-word-dropped recrawl copy) are
+    scored by prefix Levenshtein — the final edit-distance check after the
+    sketch stages.  The oracle replays levenshtein over the same 300-char
+    prefixes in DuckDB (both engines implement plain unit-cost edit
+    distance), so dist, the 6-dp similarity, and the 0.75 verdict must all
+    hash-match."""
+    from pdf_to_epub_spark.operators import edit_similarity_pairs
+
+    corpus = mutated_recrawl(spark, sf_dir)
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = ids.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(1_000_000)).alias("id_b"),
+    )
+    return edit_similarity_pairs(
+        pairs, corpus, prefix_chars=300, threshold=0.75
+    )
+
+
+def _q_dedup_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster survivor policy (dedup.dedup_keep_best): the
+    mutated-recrawl corpus with word count as the quality score — in every
+    planted cluster {i, i+1e6} the untruncated original must win (higher
+    count, or the tie falls to the smaller id when the mutation was a
+    no-op on single-word/short docs).  The oracle replays the component
+    labels arithmetically (cluster = id mod 1e6 is exact for the planted
+    pair graph) and the (score desc, id asc) window."""
+    from pdf_to_epub_spark.operators import dedup_keep_best
+
+    corpus = mutated_recrawl(spark, sf_dir)
+    docs = corpus.select(
+        "doc_id",
+        F.expr("regexp_count(lower(text), '[a-zà-öø-ÿ]+')")
+        .cast("long")
+        .alias("n_words"),
+    )
+    pairs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + F.lit(1_000_000)).alias("id_b"),
+        )
+    )
+    return dedup_keep_best(docs, pairs, score_col="n_words")
+
+
+def _q_robots_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt Sitemap discovery (robots.robots_sitemaps): global
+    directives across casing/tab/comment forms, a `NotSitemap:` decoy
+    that must NOT match (the key is line-anchored), and duplicate
+    declarations across captures collapsing via distinct."""
+    from pdf_to_epub_spark.operators import robots_sitemaps
+
+    d13 = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 13).alias("r"))
+        .distinct()
+    )
+    r = F.col("r")
+    rs = r.cast("string")
+    site = F.concat(F.lit("https://site"), rs, F.lit(".example"))
+    body = (
+        F.when(
+            r % 3 == 0,
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /x\nSitemap: "),
+                site, F.lit("/sitemap.xml\n\tSITEMAP:\t"),
+                site, F.lit("/news.xml\n"),
+            ),
+        )
+        .when(
+            r % 3 == 1,
+            F.concat(
+                F.lit("sitemap: "), site,
+                F.lit("/s.xml # primary\nNotSitemap: https://decoy.example/no.xml\n"
+                      "Sitemap: "), site, F.lit("/s.xml\n"),
+            ),
+        )
+        .otherwise(F.lit("User-agent: *\nDisallow: /private/\n"))
+    )
+    robots = d13.select(
+        F.concat(F.lit("site"), rs, F.lit(".example")).alias("domain"),
+        body.alias("body"),
+    )
+    return robots_sitemaps(robots)
+
+
+def _q_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift monitor (textstats.unigram_drift): the new snapshot
+    appends a cookie-banner phrase to every third document, so its tokens
+    must dominate the KL movers table.  The oracle replays the add-one
+    smoothing, the nano-nat quantization (floor(x·1e9 + 0.5) — exact
+    either sign in both engines), and the (|contrib| desc, token) cut."""
+    from pdf_to_epub_spark.operators import unigram_drift
+
+    old = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = old.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" cookie banner accept tracking")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return unigram_drift(old, new, top_k=20)
+
+
+def _q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET (extracted-text archive) round-trip: docs grouped 8 ways →
+    conversion-record WARC bytes (build_warc_bytes(record_type=
+    'conversion'), the CC WET layout this engine's extraction output
+    ships in) → parsed back by the same record scanner.  The oracle
+    reconstructs url/date/md5/length from documents directly, so the
+    conversion-record writer+parser pair is exactly hash-checked."""
+    import pandas as pd
+
+    from pdf_to_epub_spark.sources.warc import (
+        build_warc_bytes,
+        parse_warc_contents,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import datetime as dt
+
+        pdf = pdf.sort_values("doc_id")
+        epoch = dt.datetime(2024, 1, 1)
+        recs = [
+            (
+                f"http://corpus.example/doc/{i}",
+                (epoch + dt.timedelta(seconds=int(i))).strftime(
+                    "%Y-%m-%dT%H:%M:%SZ"
+                ),
+                t.encode("utf-8"),
+            )
+            for i, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        return pd.DataFrame(
+            {
+                "content": [
+                    build_warc_bytes(
+                        recs, gzip_members=True, record_type="conversion"
+                    )
+                ]
+            }
+        )
+
+    files = (
+        d.withColumn("g", F.pmod("doc_id", F.lit(8)))
+        .groupBy("g")
+        .applyInPandas(build, "content binary")
+    )
+    return parse_warc_contents(files).select(
+        "url",
+        "warc_date",
+        "record_type",
+        F.md5("html").alias("text_md5"),
+        F.length("html").cast("long").alias("n_bytes"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -3369,6 +3535,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": _q_dedup_lines,
         "unicode_nfc": _q_unicode_nfc,
         "warc_roundtrip": _q_warc_roundtrip,
+        "wet_roundtrip": _q_wet_roundtrip,
+        "edit_verify_pairs": _q_edit_verify_pairs,
+        "dedup_best_survivors": _q_dedup_best_survivors,
+        "robots_sitemap_urls": _q_robots_sitemap_urls,
+        "unigram_drift": _q_unigram_drift,
         "domain_quota": _q_domain_quota,
         "domain_caps": _q_domain_caps,
         "vocab_oov": _q_vocab_oov,
@@ -5646,6 +5817,137 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Reconstruct every parsed-WARC field from documents: url/date are
         # pure functions of doc_id, payload md5/bytes of text.
+        # WET round-trip: conversion records carry the raw text bytes, so
+        # url/date/md5/length all reconstruct arithmetically.
+        "wet_roundtrip": """
+            SELECT 'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                   strftime(TIMESTAMP '2024-01-01 00:00:00'
+                            + INTERVAL (doc_id) SECOND,
+                            '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                   'conversion' AS record_type,
+                   md5(text) AS text_md5,
+                   strlen(text)::BIGINT AS n_bytes
+            FROM documents
+        """,
+        # Edit verification: DuckDB levenshtein is the same unit-cost edit
+        # distance; prefixes, the 6-dp similarity, and the 0.75 verdict
+        # mirror the operator exactly.
+        "edit_verify_pairs": r"""
+            WITH m AS (
+                SELECT doc_id,
+                       substr(text, 1, 300) AS pa,
+                       substr(regexp_replace(text, '\s+\S+\s*$', ''),
+                              1, 300) AS pb
+                FROM documents
+            )
+            SELECT doc_id AS id_a,
+                   (doc_id + 1000000)::BIGINT AS id_b,
+                   levenshtein(pa, pb)::INT AS edit_dist,
+                   round(CASE WHEN greatest(len(pa), len(pb)) = 0 THEN 1.0
+                         ELSE 1.0 - levenshtein(pa, pb)
+                              / greatest(len(pa), len(pb))::DOUBLE END,
+                         6) AS sim,
+                   (round(CASE WHEN greatest(len(pa), len(pb)) = 0 THEN 1.0
+                          ELSE 1.0 - levenshtein(pa, pb)
+                               / greatest(len(pa), len(pb))::DOUBLE END,
+                          6) >= 0.75) AS is_dup
+            FROM m
+        """,
+        # Keep-best survivors: the planted pair graph {i, i+1e6} makes the
+        # component label arithmetic (id mod 1e6); the (score desc, id)
+        # window replays the survivor policy.
+        "dedup_best_survivors": r"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000,
+                       regexp_replace(text, '\s+\S+\s*$', '')
+                FROM documents
+            ), scored AS (
+                SELECT doc_id,
+                       (doc_id % 1000000)::BIGINT AS cluster,
+                       len(regexp_extract_all(lower(text),
+                           '[a-zà-öø-ÿ]+'))::BIGINT AS score
+                FROM corpus
+            )
+            SELECT doc_id, cluster, score,
+                   (row_number() OVER (PARTITION BY cluster
+                        ORDER BY score DESC, doc_id) = 1) AS keep
+            FROM scored
+        """,
+        # Sitemap discovery: RE2 (?im)^ anchors after \n only, which is
+        # exactly what the Spark side's (?dim) pins Java to.
+        "robots_sitemap_urls": r"""
+            WITH r AS (
+                SELECT DISTINCT (doc_id % 13) AS r FROM documents
+            ), b AS (
+                SELECT 'site' || CAST(r AS VARCHAR) || '.example' AS domain,
+                       CASE WHEN r % 3 = 0 THEN
+                           'User-agent: *' || chr(10) || 'Disallow: /x'
+                           || chr(10) || 'Sitemap: https://site'
+                           || CAST(r AS VARCHAR) || '.example/sitemap.xml'
+                           || chr(10) || chr(9) || 'SITEMAP:' || chr(9)
+                           || 'https://site' || CAST(r AS VARCHAR)
+                           || '.example/news.xml' || chr(10)
+                       WHEN r % 3 = 1 THEN
+                           'sitemap: https://site' || CAST(r AS VARCHAR)
+                           || '.example/s.xml # primary' || chr(10)
+                           || 'NotSitemap: https://decoy.example/no.xml'
+                           || chr(10) || 'Sitemap: https://site'
+                           || CAST(r AS VARCHAR) || '.example/s.xml'
+                           || chr(10)
+                       ELSE 'User-agent: *' || chr(10)
+                           || 'Disallow: /private/' || chr(10) END AS body
+                FROM r
+            )
+            SELECT DISTINCT domain, u AS sitemap_url
+            FROM b, UNNEST(regexp_extract_all(body,
+                '(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^ \t\r\n#]+)', 1)) AS t(u)
+        """,
+        # Unigram KL drift: add-one smoothing over the union vocab,
+        # nano-nat quantization floor(x*1e9 + 0.5) with the same
+        # multiplication order, (|contrib| desc, token) top-20.
+        "unigram_drift": r"""
+            WITH oldc AS (
+                SELECT u AS token, count(*)::BIGINT AS c_old
+                FROM documents,
+                     UNNEST(regexp_extract_all(lower(text),
+                            '[a-zà-öø-ÿ]+')) AS t(u)
+                GROUP BY u
+            ), newdocs AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN
+                           text || ' cookie banner accept tracking'
+                       ELSE text END AS text
+                FROM documents
+            ), newc AS (
+                SELECT u AS token, count(*)::BIGINT AS c_new
+                FROM newdocs,
+                     UNNEST(regexp_extract_all(lower(text),
+                            '[a-zà-öø-ÿ]+')) AS t(u)
+                GROUP BY u
+            ), j AS (
+                SELECT coalesce(o.token, n.token) AS token,
+                       coalesce(c_old, 0)::BIGINT AS c_old,
+                       coalesce(c_new, 0)::BIGINT AS c_new
+                FROM oldc o FULL OUTER JOIN newc n ON o.token = n.token
+            ), tot AS (
+                SELECT sum(c_old)::BIGINT AS no_, sum(c_new)::BIGINT AS nn,
+                       count(*)::BIGINT AS v
+                FROM j
+            ), contrib AS (
+                SELECT token, c_old, c_new,
+                       floor((c_new + 1.0) / (nn + v)
+                             * ln(((c_new + 1.0) / (nn + v))
+                                  / ((c_old + 1.0) / (no_ + v)))
+                             * 1e9 + 0.5)::BIGINT AS contrib_nano
+                FROM j CROSS JOIN tot
+            )
+            SELECT token, c_old, c_new, contrib_nano
+            FROM contrib
+            ORDER BY abs(contrib_nano) DESC, token
+            LIMIT 20
+        """,
         "warc_roundtrip": """
             SELECT 'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
                    strftime(TIMESTAMP '2024-01-01 00:00:00'
@@ -6645,7 +6947,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # C4: same line predicates via list_filter (RE2 both sides),
         # same page rules; cleaned bytes compared by md5.
-        "c4_page_filter": """
+        "c4_page_filter": r"""
             WITH lined AS (
                 SELECT doc_id,
                        coalesce(text, '') AS t,

@@ -1628,3 +1628,104 @@ def collapse_repeated_lines(
             ),
         )
     )
+
+
+def edit_similarity_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_chars: int = 400,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Edit-distance verification of near-duplicate CANDIDATE pairs — the
+    final character-level check a dedup pipeline runs after the cheap
+    sketch stages (MinHash/SimHash give set similarity; two docs can share
+    every shingle yet read differently, and OCR/encoding noise can break
+    shingles while the texts stay one edit apart).
+
+    ``sim = 1 − lev(a, b) / max(len(a), len(b))`` over the first
+    ``prefix_chars`` characters of each side; identical empty prefixes
+    are similarity 1.  The prefix cap is the scale contract: Levenshtein
+    is O(n·m) per pair, so the cost per candidate is bounded at
+    ``prefix_chars²`` regardless of document length — candidates come
+    from the sketch stages, so the pair table is tiny next to the corpus,
+    and the texts are fetched through two slim (id, prefix) joins (the
+    full text column never shuffles).
+
+    Returns ``(id_a, id_b, edit_dist, sim, is_dup)`` with ``sim`` rounded
+    to 6 dp so the ``threshold`` verdict is engine-stable."""
+    slim = docs.select(
+        F.col(id_col),
+        F.substring(F.col(text_col), 1, int(prefix_chars)).alias("__pfx"),
+    )
+    a = slim.select(
+        F.col(id_col).alias("id_a"), F.col("__pfx").alias("__pa")
+    )
+    b = slim.select(
+        F.col(id_col).alias("id_b"), F.col("__pfx").alias("__pb")
+    )
+    d = F.levenshtein("__pa", "__pb")
+    denom = F.greatest(F.length("__pa"), F.length("__pb"))
+    sim = F.round(
+        F.when(denom == 0, F.lit(1.0)).otherwise(
+            F.lit(1.0) - d / denom.cast("double")
+        ),
+        6,
+    )
+    return (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            d.alias("edit_dist"),
+            sim.alias("sim"),
+            (sim >= F.lit(float(threshold))).alias("is_dup"),
+        )
+    )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster-representative selection: label every document with its
+    near-dup connected component (over the verified pair graph) and keep
+    the HIGHEST-``score_col`` member per cluster (ties → smallest id) —
+    the survivor policy curated corpora actually use (keep the
+    best-quality capture, not the lowest id; a truncated or boilerplate-
+    ridden copy should lose to the clean one even when it crawled first).
+
+    Returns one row per input doc: ``(id, cluster, score, keep)`` —
+    the full verdict table (audit shape), so the kept corpus is
+    ``.where("keep")`` and the drop log is the complement.
+
+    Plan: connected components over the slim pair graph (iterative
+    min-label propagation, id-keyed joins only), one join of the labels
+    back to the slim (id, score) projection, and one per-cluster window
+    on that slim table — document text never shuffles; cluster count ≈
+    doc count so the window partitioning is skew-free (the largest
+    cluster bounds the largest partition)."""
+    from pyspark.sql.window import Window
+
+    labels = connected_components(
+        pairs, docs.select(id_col), id_col=id_col
+    )
+    slim = docs.select(F.col(id_col), F.col(score_col).alias("score"))
+    labeled = slim.join(
+        labels.select(F.col(id_col), F.col("component").alias("cluster")),
+        id_col,
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc_nulls_last("score"), F.asc(id_col)
+    )
+    return labeled.select(
+        id_col,
+        "cluster",
+        "score",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

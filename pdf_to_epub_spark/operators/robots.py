@@ -163,3 +163,37 @@ def filter_disallowed(
         .where(~F.coalesce(blocked, F.lit(False)))
         .drop("__dom", "__path", "__r_domain", "__r_dis")
     )
+
+
+def robots_sitemaps(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    body_col: str = "body",
+) -> DataFrame:
+    """(domain, robots.txt body) → (domain, sitemap_url): the ``Sitemap:``
+    directives — the crawl-seed discovery path that feeds
+    :func:`~pdf_to_epub_spark.operators.urls.extract_sitemap_urls` (a
+    frontier bootstraps from robots.txt sitemaps before it ever fetches a
+    page).  Per REP, ``Sitemap`` is a GLOBAL directive: it belongs to no
+    User-agent group, so unlike :func:`robots_rules` no group assembly is
+    needed — one ``regexp_extract_all`` per body, zero shuffle beyond the
+    final distinct.
+
+    Directive matching is case-insensitive on the key, value runs to the
+    first whitespace (urls with spaces are invalid in robots.txt), and
+    ``(?d)`` + an explicit ``[ \\t]`` class keep Java and RE2 line
+    semantics identical (the ``(?m)^`` of the two engines disagree on
+    ``\\r``/U+2028 otherwise).  Duplicate declarations across captures of
+    the same domain collapse via distinct."""
+    urls = F.expr(
+        f"regexp_extract_all({body_col}, "
+        "'(?dim)^[ \\\\t]*sitemap[ \\\\t]*:[ \\\\t]*([^ \\\\t\\\\r\\\\n#]+)', 1)"
+    )
+    return (
+        robots.select(
+            F.col(domain_col).alias("domain"),
+            F.explode_outer(urls).alias("sitemap_url"),
+        )
+        .where(F.col("sitemap_url").isNotNull())
+        .distinct()
+    )

@@ -1490,3 +1490,61 @@ def ocr_artifact_signals(
         rate.alias("damage_rate"),
         (rate >= 0.01).alias("needs_repair"),
     )
+
+
+def unigram_drift(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus drift monitor: the per-token contributions to
+    ``KL(P_new ‖ P_old)`` between two snapshots' add-one-smoothed unigram
+    distributions — the check a recurring crawl runs before swapping a new
+    snapshot into the training mix (a burst of one template token, a
+    language-mix shift, or a scraper regression shows up as a dominant
+    mover long before eyeballing samples would catch it).
+
+    Smoothing: ``p = (c_new + 1) / (N_new + V)``, ``q = (c_old + 1) /
+    (N_old + V)`` over the UNION vocabulary (V = union vocab size), so
+    both distributions are positive everywhere and the KL is finite.
+    Each token's contribution ``p·ln(p/q)`` is quantized to integer
+    NANO-nats (``floor(x·1e9 + 0.5)``, exact either sign in both
+    engines — the lm.py micro-nat discipline one scale finer), so
+    ranking and any downstream total are integer-exact and
+    order-independent.  Returns the ``top_k`` movers by ``|contribution|``
+    (ties → token asc): ``(token, c_old, c_new, contrib_nano)``.
+
+    Scale shape: one map-side-combined count per snapshot (the only
+    corpus-sized shuffles), a vocabulary-sized full-outer join, one 1-row
+    totals aggregate broadcast back, and a TakeOrdered k-cut — no global
+    sort, document text never moves."""
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(_tokens(text_col)).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias(name))
+        )
+
+    joined = counts(old_df, "c_old").join(
+        counts(new_df, "c_new"), "token", "full_outer"
+    ).select(
+        "token",
+        F.coalesce("c_old", F.lit(0)).alias("c_old"),
+        F.coalesce("c_new", F.lit(0)).alias("c_new"),
+    )
+    joined = joined.localCheckpoint(eager=False)  # feeds totals AND output
+    tot = joined.agg(
+        F.sum("c_old").alias("_no"),
+        F.sum("c_new").alias("_nn"),
+        F.count("*").alias("_v"),
+    )
+    p = (F.col("c_new") + 1.0) / (F.col("_nn") + F.col("_v"))
+    q = (F.col("c_old") + 1.0) / (F.col("_no") + F.col("_v"))
+    contrib = F.floor(p * F.log(p / q) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select("token", "c_old", "c_new", contrib.alias("contrib_nano"))
+        .orderBy(F.abs(F.col("contrib_nano")).desc(), F.col("token").asc())
+        .limit(int(top_k))
+    )

@@ -48,12 +48,17 @@ def build_warc_bytes(
     records: Iterable[tuple[str, str, bytes]],
     gzip_members: bool = False,
     with_http_headers: bool = True,
+    record_type: str | None = None,
 ) -> bytes:
     """Serialize (url, iso_date, payload) triples as a WARC file.
 
     ``with_http_headers`` wraps each payload in a minimal HTTP/1.1
     response block (the CC ``response`` record shape); otherwise records
     are ``resource`` records carrying the raw payload.
+    ``record_type="conversion"`` writes CC WET-shape records instead:
+    ``WARC-Type: conversion`` with a ``text/plain`` payload and no HTTP
+    wrapping (``with_http_headers`` is ignored) — the archive format CC
+    ships extracted text in.
 
     Header-value contract (per ISO 28500): values are whitespace-trimmed
     on parse, so urls/dates must not carry leading/trailing whitespace —
@@ -61,7 +66,11 @@ def build_warc_bytes(
     tests/test_property_ops.py)."""
     out = io.BytesIO()
     for url, date, payload in records:
-        if with_http_headers:
+        if record_type == "conversion":
+            http = payload
+            rtype = b"conversion"
+            ctype = b"text/plain"
+        elif with_http_headers:
             http = (
                 b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
                 + b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
@@ -389,6 +398,7 @@ def write_warc(
     gzip_members: bool = True,
     with_http_headers: bool = False,
     cdx: bool = False,
+    wet: bool = False,
 ) -> None:
     """Distributed WARC sink: each partition serializes its rows as ONE
     CC-layout archive (``part-<partition_id>.warc.gz``, per-record gzip
@@ -413,7 +423,14 @@ def write_warc(
     url/filename/offset/length/sha1-b32 digest), sorted by key, offsets
     measured on the exact bytes written — the random-access index CC
     ships next to its archives (a reader seeks to ``offset``, reads
-    ``length`` bytes, gunzips one member)."""
+    ``length`` bytes, gunzips one member).
+
+    ``wet=True`` writes WET archives instead (``part-<pid>.warc.wet.gz``,
+    ``WARC-Type: conversion`` / ``text/plain`` records) — point
+    ``payload_col`` at the EXTRACTED-TEXT column; this is the CC-standard
+    interchange format for the output of exactly this engine's
+    extraction stage, and :func:`read_warc_paths` reads it back
+    (conversion is a page record type)."""
     import pathlib
 
     pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
@@ -443,7 +460,9 @@ def write_warc(
         if not recs:
             return
         recs.sort(key=lambda r: r[0])
-        final = pathlib.Path(out_dir) / f"part-{pid:05d}.warc.gz"
+        suffix = "warc.wet.gz" if wet else "warc.gz"
+        rtype = "conversion" if wet else None
+        final = pathlib.Path(out_dir) / f"part-{pid:05d}.{suffix}"
         if cdx:
             # build member-at-a-time so each record's (offset, length)
             # on the exact output bytes is known; concatenating
@@ -455,7 +474,8 @@ def write_warc(
             parts, entries, offset = [], [], 0
             for url, date, payload in recs:
                 member = build_warc_bytes(
-                    [(url, date, payload)], gzip_members, with_http_headers
+                    [(url, date, payload)], gzip_members, with_http_headers,
+                    record_type=rtype,
                 )
                 digest = _b64.b32encode(
                     hashlib.sha1(payload).digest()
@@ -482,7 +502,9 @@ def write_warc(
             entries.sort()
             cdx_text = "".join(f"{k} {ts} {js}\n" for k, ts, js in entries)
         else:
-            data = build_warc_bytes(recs, gzip_members, with_http_headers)
+            data = build_warc_bytes(
+                recs, gzip_members, with_http_headers, record_type=rtype
+            )
         # write-then-rename: a retried/speculative task never exposes a
         # half-written archive (rename is atomic on a posix dir); the tmp
         # name carries the task ATTEMPT id so concurrent attempts of the

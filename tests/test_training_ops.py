@@ -2834,3 +2834,106 @@ def test_review_fix_edge_cases(spark):
     out = {r.vec_id: r for r in embedding_outliers(e).collect()}
     assert set(out) == {1, 2, 3, 4}
     assert out[4].dist is None and out[4].is_outlier is True
+
+
+def test_edit_similarity_pairs(spark):
+    from pdf_to_epub_spark.operators import edit_similarity_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumped over the lazy dog"),  # 2 edits
+            (3, "an entirely different sentence about spark plans"),
+            (4, ""),
+            (5, ""),
+        ],
+        "doc_id int, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "id_a int, id_b int"
+    )
+    out = {(r.id_a, r.id_b): r for r in edit_similarity_pairs(
+        pairs, docs, threshold=0.8
+    ).collect()}
+    assert out[(1, 2)].edit_dist == 2 and out[(1, 2)].is_dup
+    assert not out[(1, 3)].is_dup
+    # identical empty prefixes: similarity 1, not a 0/0 NULL
+    assert out[(4, 5)].sim == 1.0 and out[(4, 5)].is_dup
+    # prefix cap: differences beyond the cap are invisible
+    long_docs = spark.createDataFrame(
+        [(1, "a" * 500), (2, "a" * 400 + "b" * 100)],
+        "doc_id int, text string",
+    )
+    r = edit_similarity_pairs(
+        spark.createDataFrame([(1, 2)], "id_a int, id_b int"),
+        long_docs, prefix_chars=400,
+    ).collect()[0]
+    assert r.edit_dist == 0 and r.sim == 1.0
+
+
+def test_dedup_keep_best(spark):
+    from pdf_to_epub_spark.operators import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 7), (9, 1)],
+        "doc_id int, score int",
+    )
+    # component {1,2,3} via chain, {4} singleton-with-edge-to-nothing
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a int, id_b int"
+    )
+    out = {r.doc_id: r for r in dedup_keep_best(docs, pairs).collect()}
+    assert len(out) == 5
+    # cluster {1,2,3}: best score 9 tie between 2 and 3 -> smaller id 2
+    assert [out[i].keep for i in (1, 2, 3)] == [False, True, False]
+    assert out[1].cluster == 1 and out[2].cluster == 1 and out[3].cluster == 1
+    # singletons keep themselves
+    assert out[4].keep and out[9].keep
+
+
+def test_robots_sitemaps(spark):
+    from pdf_to_epub_spark.operators import robots_sitemaps
+
+    robots = spark.createDataFrame(
+        [
+            ("a.example",
+             "User-agent: *\nDisallow: /x\n"
+             "Sitemap: https://a.example/s.xml\n"
+             "\tsitemap:\thttps://a.example/t.xml  \n"
+             "SITEMAP: https://a.example/u.xml # comment\n"
+             "NotSitemap: https://decoy/no.xml\n"),
+            # duplicate capture of the same domain: collapses
+            ("a.example", "Sitemap: https://a.example/s.xml\n"),
+            # lone-CR line endings must still anchor the ^ (UNIX_LINES pin)
+            ("b.example", "Sitemap: https://b.example/1.xml\r\nUser-agent: *\n"),
+            ("c.example", "User-agent: *\nDisallow: /\n"),
+        ],
+        "domain string, body string",
+    )
+    got = {(r.domain, r.sitemap_url) for r in robots_sitemaps(robots).collect()}
+    assert got == {
+        ("a.example", "https://a.example/s.xml"),
+        ("a.example", "https://a.example/t.xml"),
+        ("a.example", "https://a.example/u.xml"),
+        ("b.example", "https://b.example/1.xml"),
+    }
+
+
+def test_unigram_drift(spark):
+    from pdf_to_epub_spark.operators import unigram_drift
+
+    old = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(20)],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        [(i, "alpha beta gamma delta spamtoken spamtoken") for i in range(20)],
+        "doc_id int, text string",
+    )
+    out = unigram_drift(old, new, top_k=3).collect()
+    assert out[0].token == "spamtoken"
+    assert out[0].c_old == 0 and out[0].c_new == 40
+    assert out[0].contrib_nano > 0
+    # identical snapshots: every contribution is ~0 (N and V equal)
+    flat = unigram_drift(old, old, top_k=5).collect()
+    assert all(r.contrib_nano == 0 for r in flat)

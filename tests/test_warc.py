@@ -247,3 +247,40 @@ def test_write_warc_cdx_index(spark, tmp_path):
         "struct<surt:string,ts:string,url:string,filename:string,"
         "offset:bigint,length:bigint,digest:string>"
     )
+
+
+def test_write_warc_wet_mode(spark, tmp_path):
+    """wet=True writes WET archives: part-*.warc.wet.gz files of
+    WARC-Type: conversion / text/plain records carrying the raw text
+    bytes (no HTTP wrapping), readable back by the same scanner; cdx
+    indexing composes with wet mode."""
+    import datetime
+    import gzip as _gzip
+
+    from pdf_to_epub_spark.sources.warc import read_warc_paths, write_warc
+
+    ts = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (f"http://w.example/{i}", ts, f"extracted text {i} tvåß")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string"
+    ).repartition(3)
+    out = tmp_path / "wet"
+    write_warc(df, str(out), payload_col="text", wet=True, cdx=True)
+    files = sorted(out.glob("part-*.warc.wet.gz"))
+    assert files and not list(out.glob("part-*.warc.gz"))
+    raw = _gzip.decompress(files[0].read_bytes()[:])  # first member only
+    head = raw.split(b"\r\n\r\n", 1)[0]
+    assert b"WARC-Type: conversion" in head
+    assert b"Content-Type: text/plain" in head
+    assert b"HTTP/1.1" not in raw
+    # cdx sibling exists per archive
+    assert len(list(out.glob("part-*.cdx"))) == len(files)
+    paths = spark.createDataFrame([(str(p),) for p in files], "path string")
+    got = {
+        (r["url"], bytes(r["html"]).decode("utf-8"), r["record_type"])
+        for r in read_warc_paths(spark, paths).collect()
+    }
+    assert got == {(u, t, "conversion") for u, _, t in rows}
