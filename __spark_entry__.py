@@ -3503,6 +3503,85 @@ def _q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_publish_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publication-date extraction (urls.extract_publish_dates) across
+    the full resolution ladder: OG meta tag (valid and deliberately
+    malformed content), JSON-LD datePublished, the /YYYY/MM/DD/ URL
+    convention, and pages with no date at all; the malformed meta row
+    must keep its raw string with a NULL parsed date (ANSI-safe
+    try_to_date)."""
+    from pdf_to_epub_spark.operators import extract_publish_dates
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    iso = F.concat(
+        (F.lit(2020) + i % 6).cast("string"),
+        F.lit("-"),
+        F.lpad((F.lit(1) + i % 12).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.lit(1) + i % 28).cast("string"), 2, "0"),
+    )
+    meta_content = F.when(i % 3 == 0, F.lit("not-a-date")).otherwise(
+        F.concat(iso, F.lit("T10:00:00Z"))
+    )
+    r = i % 4
+    html = (
+        F.when(
+            r == 0,
+            F.concat(
+                F.lit('<html><head><meta property="article:published_time" content="'),
+                meta_content,
+                F.lit('"></head><body>x</body></html>'),
+            ),
+        )
+        .when(
+            r == 1,
+            F.concat(
+                F.lit('<html><head><script type="application/ld+json">'
+                      '{"@type":"Article","datePublished":"'),
+                iso,
+                F.lit('"}</script></head><body>x</body></html>'),
+            ),
+        )
+        .otherwise(F.lit("<html><body>undated page</body></html>"))
+    )
+    url = F.when(
+        r == 2,
+        F.concat(
+            F.lit("https://blog.example/"),
+            F.translate(iso, "-", "/"),
+            F.lit("/post-"), i.cast("string"), F.lit(".html"),
+        ),
+    ).otherwise(
+        F.concat(F.lit("https://site.example/p"), i.cast("string"))
+    )
+    pages = d.select(url.alias("url"), html.alias("html"))
+    return extract_publish_dates(pages)
+
+
+def _q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-link ratio (urls.link_reciprocity) over a deterministic
+    7-domain graph: the ring edges (r → r±1) are all mutual, the %5 chord
+    edges (r → r+3) are one-way, so ratios land strictly between the
+    organic and link-farm poles."""
+    from pdf_to_epub_spark.operators import link_reciprocity
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    r = i % 7
+    dom = lambda c: F.concat(F.lit("s"), c.cast("string"), F.lit(".example"))  # noqa: E731
+    ring = d.select(
+        dom(r).alias("src_domain"),
+        dom(
+            F.when(i % 2 == 0, (r + 1) % 7).otherwise((r + 6) % 7)
+        ).alias("dst_domain"),
+    )
+    chords = d.where(i % 5 == 0).select(
+        dom(r).alias("src_domain"), dom((r + 3) % 7).alias("dst_domain")
+    )
+    return link_reciprocity(ring.unionAll(chords))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -3536,6 +3615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_nfc": _q_unicode_nfc,
         "warc_roundtrip": _q_warc_roundtrip,
         "wet_roundtrip": _q_wet_roundtrip,
+        "publish_dates": _q_publish_dates,
+        "link_reciprocity": _q_link_reciprocity,
         "edit_verify_pairs": _q_edit_verify_pairs,
         "dedup_best_survivors": _q_dedup_best_survivors,
         "robots_sitemap_urls": _q_robots_sitemap_urls,
@@ -5817,6 +5898,76 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Reconstruct every parsed-WARC field from documents: url/date are
         # pure functions of doc_id, payload md5/bytes of text.
+        # Publish dates: the fixture's resolution ladder replays
+        # arithmetically — meta (incl. the malformed row), JSON-LD, URL
+        # path date, none; TRY_CAST mirrors try_to_date's NULL-on-junk.
+        "publish_dates": """
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(2020 + doc_id % 6 AS VARCHAR) || '-'
+                       || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+                       || '-'
+                       || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                           AS iso,
+                       (doc_id % 4) AS r
+                FROM documents
+            ), resolved AS (
+                SELECT doc_id, r, iso,
+                       CASE WHEN r = 0 THEN
+                                CASE WHEN doc_id % 3 = 0 THEN 'not-a-date'
+                                     ELSE iso || 'T10:00:00Z' END
+                            WHEN r = 1 THEN iso
+                            WHEN r = 2 THEN iso
+                       END AS published_raw,
+                       CASE WHEN r = 0 THEN 'meta'
+                            WHEN r = 1 THEN 'jsonld'
+                            WHEN r = 2 THEN 'url' END AS published_src
+                FROM base
+            )
+            SELECT CASE WHEN r = 2 THEN
+                       'https://blog.example/' || replace(iso, '-', '/')
+                       || '/post-' || CAST(doc_id AS VARCHAR) || '.html'
+                   ELSE 'https://site.example/p' || CAST(doc_id AS VARCHAR)
+                   END AS url,
+                   published_raw,
+                   published_src,
+                   TRY_CAST(substr(published_raw, 1, 10) AS DATE)
+                       AS published_date
+            FROM resolved
+        """,
+        # Link reciprocity: the ring/chord construction, the distinct
+        # edge set, the reversed semi-join and the outdegree ratio all
+        # replay as plain SQL.
+        "link_reciprocity": """
+            WITH raw_edges AS (
+                SELECT 's' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS src,
+                       's' || CAST(CASE WHEN doc_id % 2 = 0
+                                        THEN (doc_id % 7 + 1) % 7
+                                        ELSE (doc_id % 7 + 6) % 7 END
+                                   AS VARCHAR) || '.example' AS dst
+                FROM documents
+                UNION ALL
+                SELECT 's' || CAST(doc_id % 7 AS VARCHAR) || '.example',
+                       's' || CAST((doc_id % 7 + 3) % 7 AS VARCHAR)
+                           || '.example'
+                FROM documents WHERE doc_id % 5 = 0
+            ), e AS (
+                SELECT DISTINCT src, dst FROM raw_edges WHERE src != dst
+            ), recip AS (
+                SELECT a.src, a.dst FROM e a
+                SEMI JOIN e b ON a.src = b.dst AND a.dst = b.src
+            ), outs AS (
+                SELECT src, count(*)::BIGINT AS n_out FROM e GROUP BY src
+            ), recs AS (
+                SELECT src, count(*)::BIGINT AS n_recip
+                FROM recip GROUP BY src
+            )
+            SELECT o.src AS domain, o.n_out,
+                   coalesce(r.n_recip, 0)::BIGINT AS n_recip,
+                   round(coalesce(r.n_recip, 0) / o.n_out::DOUBLE, 6)
+                       AS reciprocity
+            FROM outs o LEFT JOIN recs r ON o.src = r.src
+        """,
         # WET round-trip: conversion records carry the raw text bytes, so
         # url/date/md5/length all reconstruct arithmetically.
         "wet_roundtrip": """

@@ -1050,3 +1050,120 @@ def url_templates(
         "n_urls",
         F.round(F.col("n_urls") / F.sum("n_urls").over(w), 6).alias("share"),
     ).where(F.col("n_urls") >= min_urls)
+
+
+def extract_publish_dates(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    max_scan_bytes: int = 16384,
+) -> DataFrame:
+    """Publication-date extraction — the freshness metadata a corpus
+    keeps per page (recency-weighted sampling, time-sliced training
+    sets, news dedup windows all key on it).  Resolution order mirrors
+    what real pages actually carry, most-authoritative first:
+
+    1. ``<meta property="article:published_time" content=...>`` (Open
+       Graph; both attribute orders, quoted or unquoted values),
+    2. JSON-LD ``"datePublished": "..."`` anywhere in the scanned prefix,
+    3. a ``/YYYY/MM/DD/`` segment in the URL path (the blog/CMS
+       convention), months/days pre-filtered to plausible ranges.
+
+    Returns ``(url, published_raw, published_src, published_date)``;
+    ``published_date`` is ``to_date`` of the first 10 chars, so a
+    malformed raw value (e.g. month 13) yields a row with the raw string
+    kept and the date NULL — malformed metadata must never drop a page.
+    One bounded decode + a handful of regexes; zero shuffle (the
+    page_meta plan shape)."""
+    head = _permissive_text(html_col, max_scan_bytes)
+    k = r"(?:property|name)"
+    meta_pats = (
+        rf"""(?is)<meta\s[^>]*?{k}\s*=\s*["']?article:published_time["']?[^>]*?content\s*=\s*["']([^"'<>]+)""",
+        rf"""(?is)<meta\s[^>]*?{k}\s*=\s*["']?article:published_time["']?[^>]*?content\s*=\s*([^\s"'<>]+)""",
+        rf"""(?is)<meta\s[^>]*?content\s*=\s*["']([^"'<>]+)["'][^>]*?{k}\s*=\s*["']?article:published_time["']?""",
+        rf"""(?is)<meta\s[^>]*?content\s*=\s*([^\s"'<>]+)[^>]*?{k}\s*=\s*["']?article:published_time["']?""",
+    )
+    first_nonempty = F.coalesce(
+        *(
+            F.nullif(F.regexp_extract(head, p, 1), F.lit(""))
+            for p in meta_pats
+        )
+    )
+    jsonld = F.nullif(
+        F.regexp_extract(
+            head, r'(?is)"datePublished"\s*:\s*"([^"<>]+)"', 1
+        ),
+        F.lit(""),
+    )
+    url_date = F.nullif(
+        F.regexp_replace(
+            F.regexp_extract(
+                F.col(url_col),
+                r"/((?:19|20)\d{2})/(0[1-9]|1[0-2])/(0[1-9]|[12]\d|3[01])(?:/|$)",
+                0,
+            ),
+            r"^/|/$",
+            "",
+        ),
+        F.lit(""),
+    )
+    url_iso = F.translate(url_date, "/", "-")
+    raw = F.coalesce(first_nonempty, jsonld, url_iso)
+    src = (
+        F.when(first_nonempty.isNotNull(), F.lit("meta"))
+        .when(jsonld.isNotNull(), F.lit("jsonld"))
+        .when(url_iso.isNotNull(), F.lit("url"))
+    )
+    return pages.select(
+        F.col(url_col).alias("url"),
+        raw.alias("published_raw"),
+        src.alias("published_src"),
+        # try_to_date, not to_date: the session runs ANSI mode, where
+        # to_date RAISES on malformed input — a junk content attribute
+        # must yield a NULL date, never a failed scan
+        F.try_to_date(F.substring(raw, 1, 10), "yyyy-MM-dd").alias(
+            "published_date"
+        ),
+    )
+
+
+def link_reciprocity(
+    edges: DataFrame,
+    src_col: str = "src_domain",
+    dst_col: str = "dst_domain",
+) -> DataFrame:
+    """Per-domain reciprocal-link ratio over the (deduplicated,
+    self-loop-free) domain edge table — a classic link-farm tell: organic
+    sites link out mostly one-way, while farms and link rings
+    cross-link, pushing reciprocity toward 1 (the signal TrustRank-style
+    demotion pipelines combine with the rank scores).
+
+    ``ratio = |{(a,b) : (b,a) also present}| / outdegree(a)``, rounded
+    to 6 dp.  Plan: one distinct on the slim edge table, one self
+    left-semi join keyed (src, dst) against the reversed edges, one
+    map-side-combined groupBy — edge-table-sized work throughout, no
+    page-table involvement."""
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds probe AND reverse sides
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    out = e.groupBy("src").agg(F.count("*").alias("n_out"))
+    rec = recip.groupBy("src").agg(F.count("*").alias("n_recip"))
+    return (
+        out.join(rec, "src", "left")
+        .select(
+            F.col("src").alias("domain"),
+            "n_out",
+            F.coalesce("n_recip", F.lit(0)).alias("n_recip"),
+            F.round(
+                F.coalesce("n_recip", F.lit(0)) / F.col("n_out").cast("double"),
+                6,
+            ).alias("reciprocity"),
+        )
+    )

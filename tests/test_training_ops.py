@@ -2937,3 +2937,68 @@ def test_unigram_drift(spark):
     # identical snapshots: every contribution is ~0 (N and V equal)
     flat = unigram_drift(old, old, top_k=5).collect()
     assert all(r.contrib_nano == 0 for r in flat)
+
+
+def test_extract_publish_dates_matrix(spark):
+    from pdf_to_epub_spark.operators import extract_publish_dates
+
+    pages = spark.createDataFrame(
+        [
+            # reversed attribute order + unquoted content
+            (1, "https://a/x", '<meta content=2024-05-06T01:02:03Z '
+                'property="article:published_time">'),
+            # meta wins over jsonld and url date
+            (2, "https://a/2020/01/02/x",
+             '<meta property="article:published_time" content="2023-01-01">'
+             '<script type="application/ld+json">'
+             '{"datePublished":"2022-02-02"}</script>'),
+            # jsonld wins over url date
+            (3, "https://a/2020/01/02/x",
+             '{"datePublished": "2021-03-04T05:06:07+02:00"}'),
+            # url date only; /2024/13/01/ is not a plausible date
+            (4, "https://a/2024/13/01/x", "<html></html>"),
+            (5, "https://a/2024/12/31/post", "<html></html>"),
+            # nothing anywhere; null html
+            (6, "https://a/plain", None),
+            # malformed meta: raw kept, date NULL
+            (7, "https://a/y",
+             '<meta property="article:published_time" content="soon">'),
+        ],
+        "doc_id int, url string, html string",
+    )
+    out = {r.url: r for r in extract_publish_dates(pages).collect()}
+    assert out["https://a/x"].published_raw == "2024-05-06T01:02:03Z"
+    assert str(out["https://a/x"].published_date) == "2024-05-06"
+    # two rows share this url; split by src
+    rows2 = [r for r in extract_publish_dates(pages).collect()
+             if r.url == "https://a/2020/01/02/x"]
+    srcs = {r.published_src: r for r in rows2}
+    assert str(srcs["meta"].published_date) == "2023-01-01"
+    assert str(srcs["jsonld"].published_date) == "2021-03-04"
+    assert out["https://a/2024/13/01/x"].published_src is None
+    r5 = out["https://a/2024/12/31/post"]
+    assert r5.published_src == "url" and str(r5.published_date) == "2024-12-31"
+    assert out["https://a/plain"].published_raw is None
+    r7 = out["https://a/y"]
+    assert r7.published_raw == "soon" and r7.published_date is None
+
+
+def test_link_reciprocity(spark):
+    from pdf_to_epub_spark.operators import link_reciprocity
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),        # mutual
+            ("a", "c"),                     # one-way
+            ("a", "c"),                     # duplicate collapses
+            ("c", "c"),                     # self loop dropped
+            ("d", "a"),                     # one-way in
+        ],
+        "src_domain string, dst_domain string",
+    )
+    out = {r.domain: r for r in link_reciprocity(edges).collect()}
+    assert out["a"].n_out == 2 and out["a"].n_recip == 1
+    assert abs(out["a"].reciprocity - 0.5) < 1e-9
+    assert out["b"].n_out == 1 and out["b"].reciprocity == 1.0
+    assert out["d"].n_out == 1 and out["d"].reciprocity == 0.0
+    assert "c" not in out  # only outdegree-0 after self-loop drop
