@@ -3582,6 +3582,51 @@ def _q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_reciprocity(ring.unionAll(chords))
 
 
+def _q_gate_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel report (metrics.gate_attrition): four ordered gates
+    (word floor, alpha ratio, code-brace tell, plausible lang tag) over
+    the documents table — per gate, docs reaching it, surviving it, and
+    cumulative survival, computed in ONE corpus aggregate."""
+    from pdf_to_epub_spark.operators import gate_attrition
+
+    d = _t(spark, sf_dir, "documents")
+    n_words = F.expr("regexp_count(lower(text), '[a-zà-öø-ÿ]+')")
+    alpha = F.round(
+        F.length(F.regexp_replace("text", "[^A-Za-zÀ-ÖØ-öø-ÿ]", ""))
+        / F.greatest(F.length("text"), F.lit(1)),
+        6,
+    )
+    gates = [
+        ("min_words", n_words >= 20),
+        ("alpha_ratio", alpha >= F.lit(0.6)),
+        ("no_braces", F.instr("text", "{") == 0),
+        ("lang_known", F.col("lang").rlike("^[a-z]{2}$")),
+    ]
+    return gate_attrition(d, gates)
+
+
+def _q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware split assignment (sampling.leakage_safe_splits) over
+    the mutated-recrawl corpus: both members of every planted near-dup
+    pair must land in the SAME split because the hash keys the component
+    label, not the doc id — the fix for what the split_leakage audit
+    detects."""
+    from pdf_to_epub_spark.operators import leakage_safe_splits
+
+    corpus = mutated_recrawl(spark, sf_dir)
+    pairs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + F.lit(1_000_000)).alias("id_b"),
+        )
+    )
+    return leakage_safe_splits(
+        corpus, pairs, weights={"train": 0.5, "val": 0.25, "test": 0.25}
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -3617,6 +3662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_roundtrip": _q_wet_roundtrip,
         "publish_dates": _q_publish_dates,
         "link_reciprocity": _q_link_reciprocity,
+        "gate_attrition": _q_gate_attrition,
+        "leakage_safe_splits": _q_leakage_safe_splits,
         "edit_verify_pairs": _q_edit_verify_pairs,
         "dedup_best_survivors": _q_dedup_best_survivors,
         "robots_sitemap_urls": _q_robots_sitemap_urls,
@@ -5898,6 +5945,66 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Reconstruct every parsed-WARC field from documents: url/date are
         # pure functions of doc_id, payload md5/bytes of text.
+        # Gate attrition: each cumulative conjunction is a SUM(CASE) in
+        # one aggregate; the funnel pivots via VALUES.
+        "gate_attrition": r"""
+            WITH g AS (
+                SELECT (len(regexp_extract_all(lower(text),
+                            '[a-zà-öø-ÿ]+')) >= 20) AS g1,
+                       (round(length(regexp_replace(text,
+                            '[^A-Za-zÀ-ÖØ-öø-ÿ]', '', 'g'))
+                            / greatest(length(text), 1), 6) >= 0.6) AS g2,
+                       (NOT contains(text, '{')) AS g3,
+                       regexp_matches(lang, '^[a-z]{2}$') AS g4
+                FROM documents
+            ), s AS (
+                SELECT count(*)::BIGINT AS n0,
+                       sum(CASE WHEN g1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+                       sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END)::BIGINT
+                           AS n2,
+                       sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0
+                           END)::BIGINT AS n3,
+                       sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0
+                           END)::BIGINT AS n4
+                FROM g
+            )
+            SELECT v.gate_idx::INT AS gate_idx, v.gate,
+                   CASE v.gate_idx WHEN 1 THEN n0 WHEN 2 THEN n1
+                        WHEN 3 THEN n2 ELSE n3 END AS n_in,
+                   CASE v.gate_idx WHEN 1 THEN n1 WHEN 2 THEN n2
+                        WHEN 3 THEN n3 ELSE n4 END AS n_pass,
+                   CASE v.gate_idx WHEN 1 THEN n0 - n1 WHEN 2 THEN n1 - n2
+                        WHEN 3 THEN n2 - n3 ELSE n3 - n4 END AS n_killed,
+                   round(CASE v.gate_idx WHEN 1 THEN n1 WHEN 2 THEN n2
+                         WHEN 3 THEN n3 ELSE n4 END
+                         / greatest(n0, 1)::DOUBLE, 6) AS cum_survival
+            FROM s, (VALUES (1, 'min_words'), (2, 'alpha_ratio'),
+                            (3, 'no_braces'), (4, 'lang_known'))
+                 AS v(gate_idx, gate)
+        """,
+        # Leakage-safe splits: cluster = id mod 1e6 on the planted pair
+        # graph; the split replays the same md5 unit-hash thresholds as
+        # corpus_splits, keyed on the CLUSTER label.
+        "leakage_safe_splits": """
+            WITH corpus AS (
+                SELECT doc_id FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 FROM documents
+            ), labeled AS (
+                SELECT doc_id, (doc_id % 1000000)::BIGINT AS cluster
+                FROM corpus
+            )
+            SELECT doc_id, cluster,
+                   CASE WHEN u < 0.5 THEN 'train'
+                        WHEN u < 0.75 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id, cluster,
+                       ('0x' || substr(md5('split:'
+                            || CAST(cluster AS VARCHAR)), 1, 15))::BIGINT
+                       / 1152921504606846976.0 AS u
+                FROM labeled)
+        """,
         # Publish dates: the fixture's resolution ladder replays
         # arithmetically — meta (incl. the malformed row), JSON-LD, URL
         # path date, none; TRY_CAST mirrors try_to_date's NULL-on-junk.
@@ -6860,7 +6967,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Templates: same skeleton regexes (hex-run pass before digit
         # pass, global flag explicit in DuckDB), same share window.
-        "url_templates": """
+        "url_templates": r"""
             WITH urls AS (
                 SELECT CASE
                     WHEN doc_id % 4 = 0 THEN

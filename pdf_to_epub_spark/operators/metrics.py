@@ -12,7 +12,7 @@ partial (map-side) sum → re-assemble a map.  One shuffle, combiner-enabled.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -106,4 +106,60 @@ def corpus_rollup(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(chars_col).cast("long").alias("total_chars"),
         F.round(F.avg(chars_col), 6).alias("avg_chars"),
+    )
+
+
+def gate_attrition(
+    df: DataFrame, gates: list[tuple[str, Column]]
+) -> DataFrame:
+    """Per-gate attrition funnel — the report a tier-extraction run ships
+    with its output: for each filter gate, in declared order, how many
+    documents reached it, how many survived it, and the cumulative
+    survival rate (so "which gate costs us the most mass" is one glance,
+    and gate-order experiments are comparable run to run).
+
+    ``gates`` is an ordered list of ``(name, boolean Column)``; a
+    document "reaches" gate i iff it passed gates 0..i-1 (the standard
+    short-circuit pipeline semantics).  Computed as ONE aggregate over
+    the corpus — each cumulative conjunction is a sum(boolean) in the
+    same pass, so the funnel costs a single scan + a 1-row reduce
+    regardless of gate count; the tiny result pivots to rows driver-side
+    via an explode over a literal-index array (no collect of corpus
+    data)."""
+    n_total = F.count("*")
+    prefix: Column | None = None
+    aggs = [n_total.alias("_n0")]
+    for i, (_, cond) in enumerate(gates):
+        c = F.coalesce(cond, F.lit(False))
+        prefix = c if prefix is None else (prefix & c)
+        aggs.append(
+            F.sum(prefix.cast("long")).alias(f"_n{i + 1}")
+        )
+    one = df.agg(*aggs)
+    names = F.array(*[F.lit(n) for n, _ in gates])
+    rows = one.select(
+        F.posexplode(names).alias("gate_idx", "gate"),
+        *[F.col(f"_n{i}") for i in range(len(gates) + 1)],
+    )
+    n_in = F.coalesce(
+        *[
+            F.when(F.col("gate_idx") == i, F.col(f"_n{i}"))
+            for i in range(len(gates))
+        ]
+    )
+    n_pass = F.coalesce(
+        *[
+            F.when(F.col("gate_idx") == i, F.col(f"_n{i + 1}"))
+            for i in range(len(gates))
+        ]
+    )
+    return rows.select(
+        (F.col("gate_idx") + 1).cast("int").alias("gate_idx"),
+        "gate",
+        n_in.alias("n_in"),
+        n_pass.alias("n_pass"),
+        (n_in - n_pass).alias("n_killed"),
+        F.round(
+            n_pass / F.greatest(F.col("_n0"), F.lit(1)).cast("double"), 6
+        ).alias("cum_survival"),
     )

@@ -647,3 +647,32 @@ def temperature_mixture(
         target.alias("target_units"),
         F.round(target / F.col("n_units"), 4).alias("epochs"),
     )
+
+
+def leakage_safe_splits(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Split assignment that CANNOT leak near-duplicates across splits:
+    every document is labeled with its near-dup connected component, and
+    the train/val/test decision hashes the CLUSTER label instead of the
+    document id — so a val doc's near-twin can never sit in train (the
+    fix for what the `split_leakage` audit detects; plain
+    :func:`hash_split` scatters twins independently).
+
+    Returns ``(id, cluster, split)``.  Same md5 unit-hash arithmetic and
+    cumulative-threshold walk as :func:`hash_split` (oracle-replayable);
+    plan = the component propagation (slim id-keyed joins) + one
+    labels-to-ids join — the document text never shuffles."""
+    from pdf_to_epub_spark.operators.dedup import connected_components
+
+    labels = connected_components(pairs, docs.select(id_col), id_col=id_col)
+    labeled = labels.select(
+        F.col(id_col), F.col("component").alias("cluster")
+    )
+    return hash_split(
+        labeled, weights, id_col="cluster", salt=salt, out_col="split"
+    ).select(id_col, "cluster", "split")

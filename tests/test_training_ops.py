@@ -3002,3 +3002,47 @@ def test_link_reciprocity(spark):
     assert out["b"].n_out == 1 and out["b"].reciprocity == 1.0
     assert out["d"].n_out == 1 and out["d"].reciprocity == 0.0
     assert "c" not in out  # only outdegree-0 after self-loop drop
+
+
+def test_gate_attrition_funnel(spark):
+    from pdf_to_epub_spark.operators import gate_attrition
+
+    df = spark.createDataFrame(
+        [(1, 10, True), (2, 10, False), (3, 3, True), (4, 10, None)],
+        "doc_id int, n int, ok boolean",
+    )
+    gates = [
+        ("long_enough", F.col("n") >= 5),
+        ("flagged_ok", F.col("ok")),
+    ]
+    out = {r.gate: r for r in gate_attrition(df, gates).collect()}
+    g1, g2 = out["long_enough"], out["flagged_ok"]
+    assert (g1.gate_idx, g1.n_in, g1.n_pass, g1.n_killed) == (1, 4, 3, 1)
+    # NULL gate value counts as a kill (coalesce false), not a crash
+    assert (g2.gate_idx, g2.n_in, g2.n_pass, g2.n_killed) == (2, 3, 1, 2)
+    assert abs(g2.cum_survival - 0.25) < 1e-9
+
+
+def test_leakage_safe_splits(spark):
+    from pdf_to_epub_spark.operators import hash_split, leakage_safe_splits
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)] , "doc_id int"
+    )
+    # chain 0-1-2 one cluster; 3-4 another; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id_a int, id_b int"
+    )
+    out = {r.doc_id: r for r in leakage_safe_splits(
+        docs, pairs, weights={"train": 0.5, "val": 0.25, "test": 0.25}
+    ).collect()}
+    assert len(out) == 40
+    assert len({out[i].split for i in (0, 1, 2)}) == 1
+    assert out[3].split == out[4].split
+    assert out[0].cluster == 0 and out[4].cluster == 3
+    # singleton assignment identical to plain hash_split on the id
+    plain = {r.doc_id: r.split for r in hash_split(
+        docs, weights={"train": 0.5, "val": 0.25, "test": 0.25}
+    ).collect()}
+    for i in range(5, 40):
+        assert out[i].split == plain[i]
