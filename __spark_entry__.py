@@ -3716,6 +3716,130 @@ def _q_hreflang_alternates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_hreflang(pages)
 
 
+# Mojibake fixture fragments, one per doc_id%8 residue class — shared
+# by the Spark query and the golden-VALUES oracle replay.  Each fragment
+# ends in clean ASCII so the per-doc ASCII tail cannot extend a run.
+# Classes: repairable cp1252 (0, 3, 4-double, 6, 7-nbsp), clean ASCII
+# (1), genuine accents that must survive (2), an undecodable surrogate
+# run that must stay byte-identical (5).
+_MOJI_FRAGS: tuple[str, ...] = (
+    "CafÃ© crÃ¨me brulee.",
+    "plain ascii text only.",
+    "déjà vu naïve café.",
+    "quoteâ€™s â€“ dashâ€¦ end.",
+    "cafÃƒÂ© twice baked.",
+    "bad í € run stays.",
+    "MÃ¼nchen Ãœber alles.",
+    "Â  leading nbsp gap.",
+)
+
+
+def _q_repair_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated cp1252 round-trip repair (textstats.repair_mojibake) over 8
+    residue classes of damage — repairable mojibake, double-encoding,
+    clean ASCII, genuine accents, and an undecodable surrogate run that
+    must pass through byte-identical.  The oracle replays the repair in
+    pure Python per class (golden-VALUES, the compression_ratio
+    convention)."""
+    from pdf_to_epub_spark.operators import repair_mojibake
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    frag = F.lit(_MOJI_FRAGS[0])
+    for r in range(1, 8):
+        frag = F.when(F.col("doc_id") % 8 == r, F.lit(_MOJI_FRAGS[r])).otherwise(frag)
+    text = F.concat(frag, F.lit(" tail "), F.col("doc_id").cast("string"))
+    return repair_mojibake(d.select("doc_id", text.alias("text")))
+
+
+def _mojibake_oracle() -> str:
+    """Golden VALUES: per residue class the repaired fragment, run
+    count, and repaired verdict computed by the same pure-Python
+    function the Arrow UDF maps."""
+    from pdf_to_epub_spark.operators import fix_mojibake_text
+    from pdf_to_epub_spark.operators.textstats import _moji_run_re
+
+    vals = []
+    for r, frag in enumerate(_MOJI_FRAGS):
+        fixed = fix_mojibake_text(frag)
+        n_runs = len(_moji_run_re().findall(frag))
+        rep = "TRUE" if fixed != frag else "FALSE"
+        vals.append(f"({r}, '{fixed}', {n_runs}, {rep})")
+    rows = ",\n            ".join(vals)
+    return f"""
+        WITH golden(r, fixed, n_runs, repaired) AS (VALUES
+            {rows})
+        SELECT d.doc_id,
+               g.fixed || ' tail ' || CAST(d.doc_id AS VARCHAR) AS text,
+               g.n_runs::INT AS n_runs,
+               g.repaired AS repaired
+        FROM documents d JOIN golden g ON d.doc_id % 8 = g.r
+    """
+
+
+def _q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-lang vs script-evidence audit
+    (textstats.lang_script_mismatch) over the script_ratios fixture text
+    (residue-class script suffixes) with the real lang column — zh-tagged
+    docs whose letters stay Latin-dominant must flag, unknown-script
+    residues abstain."""
+    from pdf_to_epub_spark.operators import lang_script_mismatch
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 0, " привет мир здравствуй")
+        .when(F.col("doc_id") % 4 == 1, " γειά σου κόσμε")
+        .when(F.col("doc_id") % 4 == 2, " 你好世界再见")
+        .otherwise(" plain")
+    )
+    text = F.concat(F.substring("text", 1, 30), suffix)
+    pages = d.select("doc_id", "lang", text.alias("text"))
+    return lang_script_mismatch(pages)
+
+
+def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth (textstats.vocab_growth): 16
+    deterministic ingest batches, new-type attribution via min(batch)
+    per type — cumulative type/token curve must reproduce exactly."""
+    from pdf_to_epub_spark.operators import vocab_growth
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return vocab_growth(d, n_batches=16)
+
+
+def _q_filter_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style line corrections (textstats.filter_lines) over
+    documents rebuilt as multi-line pages with injected junk lines
+    (numeric, counter, all-caps nav, short boilerplate) — the cleaned
+    text, drop counts, and whole-doc flag must reproduce."""
+    from pdf_to_epub_spark.operators import filter_lines
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    text = F.concat(
+        F.substring("text", 1, 60),
+        F.lit("\n1,234\n42 likes\nHOME | ABOUT | CONTACT\n"),
+        F.when(i % 3 == 0, F.lit("Please enable JavaScript now\n")).otherwise(
+            F.lit("A second surviving prose line follows here.\n")
+        ),
+        F.substring("text", 61, 40),
+    )
+    return filter_lines(d.select("doc_id", text.alias("text")))
+
+
+def _q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration profile (analytics.corpus_diversity) over a
+    deterministic skewed domain assignment — entropy / effective-domain
+    count / exact Gini / top-share from the counts-of-counts table."""
+    from pdf_to_epub_spark.operators import corpus_diversity
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    domain = F.concat(
+        F.lit("site"),
+        F.least(F.col("doc_id") % 16, F.col("doc_id") % 7).cast("string"),
+    )
+    return corpus_diversity(d.select(domain.alias("domain")), "domain")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -3756,6 +3880,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_lang_mix": _q_domain_lang_mix,
         "feed_items": _q_feed_items,
         "hreflang_alternates": _q_hreflang_alternates,
+        "repair_mojibake": _q_repair_mojibake,
+        "lang_mismatch": _q_lang_mismatch,
+        "vocab_growth": _q_vocab_growth,
+        "filter_lines": _q_filter_lines,
+        "corpus_diversity": _q_corpus_diversity,
         "edit_verify_pairs": _q_edit_verify_pairs,
         "dedup_best_survivors": _q_dedup_best_survivors,
         "robots_sitemap_urls": _q_robots_sitemap_urls,
@@ -6099,6 +6228,177 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'https://x.example/en/' || s, 'fr',
                    'https://x.example/fr/' || s
             FROM d
+        """,
+        # Mojibake repair: golden-VALUES pure-Python replay per residue
+        # class (the compression_ratio convention).
+        "repair_mojibake": _mojibake_oracle(),
+        # Lang/script mismatch: script_ratios counting classes + the
+        # expected-script CASE + the abstention rule, all in SQL.
+        "lang_mismatch": """
+            WITH s AS (
+                SELECT doc_id, lang,
+                       substr(text, 1, 30)
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN ' привет мир здравствуй'
+                               WHEN doc_id % 4 = 1 THEN ' γειά σου κόσμε'
+                               WHEN doc_id % 4 = 2 THEN ' 你好世界再见'
+                               ELSE ' plain' END AS text
+                FROM documents),
+            c AS (
+                SELECT doc_id, lang,
+                       len(regexp_extract_all(text, '[A-Za-zÀ-ÖØ-öø-ÿĀ-ɏ]'))::INT AS n_latin,
+                       len(regexp_extract_all(text, '[Ѐ-ӿ]'))::INT AS n_cyrillic,
+                       len(regexp_extract_all(text, '[Ͱ-Ͽ]'))::INT AS n_greek,
+                       len(regexp_extract_all(text, '[一-鿿]'))::INT AS n_cjk
+                FROM s),
+            e AS (
+                SELECT *,
+                       n_latin + n_cyrillic + n_greek + n_cjk AS total,
+                       CASE lang
+                            WHEN 'en' THEN 'latin' WHEN 'fr' THEN 'latin'
+                            WHEN 'de' THEN 'latin' WHEN 'es' THEN 'latin'
+                            WHEN 'it' THEN 'latin' WHEN 'pt' THEN 'latin'
+                            WHEN 'nl' THEN 'latin' WHEN 'la' THEN 'latin'
+                            WHEN 'ru' THEN 'cyrillic' WHEN 'uk' THEN 'cyrillic'
+                            WHEN 'bg' THEN 'cyrillic' WHEN 'sr' THEN 'cyrillic'
+                            WHEN 'el' THEN 'greek'
+                            WHEN 'zh' THEN 'cjk' WHEN 'ja' THEN 'cjk'
+                            END AS expected_script,
+                       CASE WHEN n_latin + n_cyrillic + n_greek + n_cjk = 0
+                            THEN NULL
+                            WHEN n_latin >= greatest(n_cyrillic, n_greek, n_cjk)
+                            THEN 'latin'
+                            WHEN n_cyrillic >= greatest(n_greek, n_cjk)
+                            THEN 'cyrillic'
+                            WHEN n_greek >= n_cjk THEN 'greek'
+                            ELSE 'cjk' END AS dominant_script
+                FROM c)
+            SELECT doc_id, lang, n_latin, n_cyrillic, n_greek, n_cjk,
+                   dominant_script, expected_script,
+                   CASE WHEN expected_script IS NULL OR total < 20
+                        THEN NULL
+                        ELSE dominant_script != expected_script
+                        END AS mismatch
+            FROM e
+        """,
+        # Heaps-law growth: min(batch) per type replaces the
+        # cumulative-distinct scan; window sums over the 16-row result.
+        "vocab_growth": """
+            WITH toks AS (
+                SELECT CAST(doc_id % 16 AS INT) AS batch,
+                       unnest(regexp_extract_all(lower(text), '[a-zà-öø-ÿ]+'))
+                           AS token
+                FROM documents),
+            vol AS (
+                SELECT batch, count(*)::BIGINT AS batch_tokens
+                FROM toks GROUP BY batch),
+            first AS (
+                SELECT token, min(batch) AS batch FROM toks GROUP BY token),
+            fresh AS (
+                SELECT batch, count(*)::BIGINT AS new_types
+                FROM first GROUP BY batch),
+            per AS (
+                SELECT coalesce(v.batch, f.batch) AS batch,
+                       coalesce(v.batch_tokens, 0)::BIGINT AS batch_tokens,
+                       coalesce(f.new_types, 0)::BIGINT AS new_types
+                FROM vol v FULL JOIN fresh f ON v.batch = f.batch)
+            SELECT batch, batch_tokens, new_types,
+                   (sum(batch_tokens) OVER w)::BIGINT AS cum_tokens,
+                   (sum(new_types) OVER w)::BIGINT AS cum_types,
+                   round((sum(new_types) OVER w)
+                         / greatest(sum(batch_tokens) OVER w, 1)::DOUBLE,
+                         6) AS type_token_ratio
+            FROM per
+            WINDOW w AS (ORDER BY batch
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        # Line corrections: the same drop predicates as list_filter
+        # lambdas (RE2 == Java on these ASCII-keyword patterns).
+        "filter_lines": """
+            WITH pages AS (
+                SELECT doc_id,
+                       substr(text, 1, 60) || chr(10)
+                       || '1,234' || chr(10) || '42 likes' || chr(10)
+                       || 'HOME | ABOUT | CONTACT' || chr(10)
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN 'Please enable JavaScript now'
+                               ELSE 'A second surviving prose line follows here.'
+                               END
+                       || chr(10) || substr(text, 61, 40) AS text
+                FROM documents),
+            k AS (
+                SELECT doc_id,
+                       len(string_split(text, chr(10)))::INT AS n_lines,
+                       list_filter(
+                           string_split(text, chr(10)),
+                           x -> NOT (
+                               regexp_matches(x,
+                                   '(?:^[0-9 .,:/%()+-]*[0-9][0-9 .,:/%()+-]*$)'
+                                   || '|(?:(?i)^ *[0-9]+ *(likes?|shares?|comments?|views?|votes?|replies|points?) *$)'
+                                   || '|(?:^[^a-zà-öø-ÿ]*[A-Z][^a-zà-öø-ÿ]*$)')
+                               OR (length(x) < 80 AND regexp_matches(x,
+                                   '(?i)(javascript|cookies?|sign in|log in|subscribe|newsletter|read more|click here|all rights reserved)'))
+                           )) AS keep
+                FROM pages)
+            SELECT doc_id,
+                   array_to_string(keep, chr(10)) AS text,
+                   n_lines,
+                   (n_lines - len(keep))::INT AS n_dropped,
+                   round((n_lines - len(keep))
+                         / greatest(n_lines, 1)::DOUBLE, 6) AS drop_ratio,
+                   (round((n_lines - len(keep))
+                          / greatest(n_lines, 1)::DOUBLE, 6)
+                    > 0.5) AS doc_flagged
+            FROM k
+        """,
+        # Corpus diversity: full counts-of-counts replay — integer-exact
+        # rank sums (HUGEINT vs decimal(38,0)) and micro-nat entropy
+        # terms keep both engines order-independent.
+        "corpus_diversity": """
+            WITH pages AS (
+                SELECT 'site' || CAST(least(doc_id % 16, doc_id % 7)
+                                      AS VARCHAR) AS domain
+                FROM documents),
+            counts AS (
+                SELECT domain, count(*)::BIGINT AS n
+                FROM pages GROUP BY domain),
+            cc AS (
+                SELECT n, count(*)::BIGINT AS cnt FROM counts GROUP BY n),
+            staged AS (
+                SELECT n, cnt,
+                       sum(cnt) OVER (ORDER BY n
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - cnt AS off,
+                       sum(cnt) OVER (ORDER BY n DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cum_desc
+                FROM cc),
+            agg AS (
+                SELECT sum(n * cnt)::BIGINT AS n_pages,
+                       sum(cnt)::BIGINT AS n_groups,
+                       sum((n::HUGEINT) * cnt * (2 * off + cnt + 1))
+                           AS rank_sum2,
+                       max(n) AS max_n,
+                       sum(greatest(least(10, cum_desc)
+                                    - (cum_desc - cnt), 0) * n)::BIGINT
+                           AS top_n_pages,
+                       sum(round(ln(n) * 1e6)::HUGEINT * n * cnt)
+                           AS nlogn_micro
+                FROM staged),
+            ent AS (
+                SELECT *,
+                       round(ln(n_pages::DOUBLE)
+                             - (nlogn_micro::DOUBLE / 1e6)
+                               / n_pages::DOUBLE, 6) AS entropy
+                FROM agg)
+            SELECT n_pages, n_groups, entropy,
+                   round(exp(entropy), 6) AS effective_groups,
+                   round(rank_sum2::DOUBLE
+                         / (n_groups::DOUBLE * n_pages::DOUBLE)
+                         - (n_groups + 1.0::DOUBLE) / n_groups, 6) AS gini,
+                   round(max_n / n_pages::DOUBLE, 6) AS top1_share,
+                   round(top_n_pages / n_pages::DOUBLE, 6) AS topn_share
+            FROM ent
         """,
         # Gate attrition: each cumulative conjunction is a SUM(CASE) in
         # one aggregate; the funnel pivots via VALUES.

@@ -203,3 +203,97 @@ def pivot_counts(
     return events.groupBy(user_col).agg(
         *agg, F.count(F.lit(1)).cast("long").alias("n_total")
     )
+
+
+def corpus_diversity(
+    df: DataFrame,
+    group_col: str = "domain",
+    top_n: int = 10,
+) -> DataFrame:
+    """One-row corpus concentration profile over a grouping key (domain
+    by convention): group count, Shannon entropy of the group shares
+    (nats), the effective group count ``exp(H)``, the exact Gini
+    coefficient, and the share held by the single largest / ``top_n``
+    largest groups.  The report a mixture designer reads before
+    sampling: a crawl whose effective-domain count collapsed is one
+    template farm wearing a million URLs.
+
+    Scale shape: pages reduce to per-group counts (one map-side-
+    combined groupBy), and EVERYTHING else — entropy, Gini, top-N — is
+    computed from the counts-of-counts table (count value → how many
+    groups have it), which is tiny (≤ thousands of distinct count
+    values) regardless of group cardinality.  Gini needs the groups in
+    sorted order, but equal counts occupy consecutive ranks, so the
+    rank-sum over a tie block is ``cnt·(off + (cnt+1)/2)`` — the exact
+    sorted-rank Gini with no global sort over the group table (the
+    same rank-reconstruction idea as the salted exact domain cap).
+    The only window runs over the counts-of-counts rows."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n"))
+    cc = counts.groupBy("n").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("n").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wd = Window.orderBy(F.desc("n")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    staged = cc.select(
+        "n",
+        "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("off"),
+        F.sum("cnt").over(wd).alias("cum_desc"),
+    )
+    # DOUBLED rank-sum of a tie block of `cnt` groups each of size n
+    # after `off` smaller groups — n·cnt·(2·off+cnt+1) is integer-exact,
+    # so the sum is order-independent across engines (the micro-nat
+    # convention); decimal(38,0) because n·cnt·rank overflows long at
+    # 10^12 pages.
+    dec = "decimal(38,0)"
+    rank_sum2 = (
+        F.col("n").cast(dec)
+        * F.col("cnt")
+        * (F.lit(2) * F.col("off") + F.col("cnt") + F.lit(1))
+    )
+    # Per-block ln(n) in integer micro-nats BEFORE the sum: exact
+    # integer aggregation, same quantization in the DuckDB oracle.
+    nlogn_micro = (
+        F.round(F.log(F.col("n").cast("double")) * 1e6).cast(dec)
+        * F.col("n")
+        * F.col("cnt")
+    )
+    # Top-N contribution from the descending cumulative: the block
+    # supplies min(top_n, cum_desc) - (cum_desc - cnt) groups (≥0).
+    top_take = F.greatest(
+        F.least(F.lit(top_n), F.col("cum_desc"))
+        - (F.col("cum_desc") - F.col("cnt")),
+        F.lit(0),
+    )
+    agg = staged.agg(
+        F.sum(F.col("n") * F.col("cnt")).alias("n_pages"),
+        F.sum("cnt").alias("n_groups"),
+        F.sum(rank_sum2).alias("rank_sum2"),
+        F.max(F.col("n")).alias("max_n"),
+        F.sum(top_take * F.col("n")).alias("top_n_pages"),
+        F.sum(nlogn_micro).alias("nlogn_micro"),
+    )
+    total = F.col("n_pages").cast("double")
+    # H = ln(total) - sum(n*ln n)/total  (algebraic form keeps one pass)
+    entropy = F.round(
+        F.log(total)
+        - (F.col("nlogn_micro").cast("double") / 1e6) / total,
+        6,
+    )
+    gini = F.round(
+        F.col("rank_sum2").cast("double")
+        / (F.col("n_groups").cast("double") * total)
+        - (F.col("n_groups") + F.lit(1.0)) / F.col("n_groups"),
+        6,
+    )
+    return agg.select(
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_groups").cast("long").alias("n_groups"),
+        entropy.alias("entropy"),
+        F.round(F.exp(entropy), 6).alias("effective_groups"),
+        gini.alias("gini"),
+        F.round(F.col("max_n") / total, 6).alias("top1_share"),
+        F.round(F.col("top_n_pages") / total, 6).alias("topn_share"),
+    )

@@ -1548,3 +1548,314 @@ def unigram_drift(
         .orderBy(F.abs(F.col("contrib_nano")).desc(), F.col("token").asc())
         .limit(int(top_k))
     )
+
+
+# --- Mojibake repair (ftfy-style cp1252 round-trip) ---------------------
+#
+# A UTF-8 byte sequence mis-decoded as cp1252 turns each byte into one
+# character; the repair is the inverse round-trip (encode the characters
+# back to cp1252 bytes, decode as UTF-8).  The classes below are the
+# cp1252 DECODE images of the UTF-8 byte ranges: lead bytes 0xC2-0xDF /
+# 0xE0-0xEF / 0xF0-0xF4 land on U+00C2-U+00DF / U+00E0-U+00EF /
+# U+00F0-U+00F4 (all defined in cp1252), continuation bytes 0x80-0xBF
+# land on U+00A0-U+00BF plus the cp1252 0x80-0x9F punctuation page —
+# with the five undefined bytes (81 8D 8F 90 9D) passed through as C1
+# controls, ftfy's "sloppy cp1252" convention (a browser that produced
+# the mojibake did the same).  Every char below is written as an
+# explicit escape: several are invisible (tests/test_tables.py rule).
+_MOJI_CONT_CLASS = (
+    "\\u00a0-\\u00bf"  # cont bytes A0-BF decode to themselves
+    "\\u0081\\u008d\\u008f\\u0090\\u009d"  # sloppy holes
+    "\\u20ac\\u201a\\u0192\\u201e\\u2026\\u2020\\u2021\\u02c6"
+    "\\u2030\\u0160\\u2039\\u0152\\u017d\\u2018\\u2019\\u201c"
+    "\\u201d\\u2022\\u2013\\u2014\\u02dc\\u2122\\u0161\\u203a"
+    "\\u0153\\u017e\\u0178"  # cp1252 0x80-0x9F page
+)
+# One mis-decoded UTF-8 character: 2/3/4-byte lead + its continuations.
+_MOJI_UNIT = (
+    f"(?:[\\u00c2-\\u00df][{_MOJI_CONT_CLASS}]"
+    f"|[\\u00e0-\\u00ef][{_MOJI_CONT_CLASS}]{{2}}"
+    f"|[\\u00f0-\\u00f4][{_MOJI_CONT_CLASS}]{{3}})"
+)
+
+
+def _encode_sloppy_cp1252(s: str) -> bytes:
+    """cp1252 encode with the five undefined code points (U+0081 U+008D
+    U+008F U+0090 U+009D) passed through as their raw byte values."""
+    try:
+        return s.encode("cp1252")
+    except UnicodeEncodeError:
+        out = bytearray()
+        for ch in s:
+            try:
+                out += ch.encode("cp1252")
+            except UnicodeEncodeError:
+                o = ord(ch)
+                if o > 0xFF:
+                    raise
+                out.append(o)
+        return bytes(out)
+
+
+def fix_mojibake_text(s: str | None, max_rounds: int = 3) -> str | None:
+    """Pure-Python mojibake repair shared by the Arrow UDF, the tests,
+    and the golden-VALUES oracle replay.  Each maximal run of
+    mis-decoded characters is round-tripped independently (encode
+    sloppy-cp1252, decode strict UTF-8); a run that fails the strict
+    decode (overlong form, surrogate, truncated sequence) is left
+    byte-for-byte intact — the repair never corrupts what it cannot
+    prove is mojibake.  Runs repair independently of surrounding
+    already-correct non-ASCII text (a whole-string round-trip would
+    refuse mixed pages).  Up to ``max_rounds`` passes unwind
+    double-encoded pages; a pass with no change terminates early."""
+    import re
+
+    if s is None:
+        return None
+    pat = _moji_run_re()
+    cur = s
+    for _ in range(max_rounds):
+        changed = False
+
+        def _sub(m: "re.Match[str]") -> str:
+            nonlocal changed
+            try:
+                dec = _encode_sloppy_cp1252(m.group()).decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                return m.group()
+            changed = True
+            return dec
+
+        nxt = pat.sub(_sub, cur)
+        if not changed or nxt == cur:
+            break
+        cur = nxt
+    return cur
+
+
+def _moji_run_re():
+    """Compiled Python regex for a maximal mojibake run (module-level
+    cache; the class strings use \\uXXXX escapes valid in both Python
+    and Java regex, so Spark's gate and this repair see the same runs)."""
+    import re
+
+    global _MOJI_RUN_RE
+    try:
+        return _MOJI_RUN_RE
+    except NameError:
+        _MOJI_RUN_RE = re.compile(f"{_MOJI_UNIT}+")
+        return _MOJI_RUN_RE
+
+
+def repair_mojibake(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide mojibake repair, gated so only damaged rows pay the
+    Python boundary: a codegen ``rlike`` over the same run pattern
+    routes rows, clean rows keep their original string untouched (the
+    fused-gate convention from quality_gate — when one signal forces
+    the expensive path, make THAT signal per-row and cheap).  Damaged
+    rows cross into an Arrow-batched ``pandas_udf`` running
+    :func:`fix_mojibake_text`; ``n_runs`` (regexp_count, pre-repair)
+    and the ``repaired`` verdict ride along for audit.  Shuffle-free,
+    linear scan; at CC scale the gate typically passes <2% of rows to
+    Python.
+
+    The gate is applied to the UDF's INPUT, not around its call: Spark
+    extracts Python UDFs out of CASE WHEN and evaluates them for every
+    row (SPARK-22347), so ``when(gate, udf(t))`` would pay Arrow
+    transfer + repair for the whole corpus.  ``udf(when(gate, t))``
+    ships NULL for clean rows instead — the batch still crosses, but
+    carries no bytes for the ~98% clean majority — and ``coalesce``
+    restores the original string."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _fix(s):  # no hints: stringized-annotation pandas_udf rule
+        return s.map(fix_mojibake_text)
+
+    t = F.col(text_col)
+    gate = t.rlike(_MOJI_UNIT)
+    n_runs = F.when(
+        t.isNull(), F.lit(None).cast("int")
+    ).otherwise(F.expr(f"regexp_count({text_col}, '{_MOJI_UNIT}+')"))
+    repaired_text = F.coalesce(_fix(F.when(gate, t)), t)
+    return df.select(
+        id_col,
+        repaired_text.alias("text"),
+        n_runs.alias("n_runs"),
+        F.coalesce(repaired_text != t, F.lit(False)).alias("repaired"),
+    )
+
+
+# Declared-language → expected-script table for the mismatch audit.
+# Only languages whose script is unambiguous get an expectation; every
+# other tag yields NULL (no verdict, never a false flag).
+LANG_EXPECTED_SCRIPT: dict[str, str] = {
+    "en": "latin", "fr": "latin", "de": "latin", "es": "latin",
+    "it": "latin", "pt": "latin", "nl": "latin", "la": "latin",
+    "ru": "cyrillic", "uk": "cyrillic", "bg": "cyrillic",
+    "sr": "cyrillic", "el": "greek", "zh": "cjk", "ja": "cjk",
+}
+
+
+def lang_script_mismatch(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    min_letters: int = 20,
+) -> DataFrame:
+    """Declared-language vs script-evidence audit: a page tagged ``ru``
+    whose letters are overwhelmingly Latin (or ``en`` in Cyrillic) is
+    either mis-tagged, transliterated, or encoding-corrupted — all
+    reasons to exclude it from per-language corpus pools.  Builds on
+    :func:`script_ratios` (same literal-range classes, same dominant-
+    script precedence); the expectation table maps unambiguous language
+    tags to scripts and abstains (NULL verdict) for unknown tags or
+    pages with fewer than ``min_letters`` script letters — too little
+    evidence to overrule the tag.  Pure codegen + one broadcast-sized
+    CASE; no shuffle."""
+    scored = script_ratios(df, text_col)
+    expected = F.col(lang_col)
+    mapping = F.lit(None).cast("string")
+    # Build the CASE from the table (deterministic iteration order).
+    for tag, script in LANG_EXPECTED_SCRIPT.items():
+        mapping = F.when(expected == tag, F.lit(script)).otherwise(mapping)
+    total = (
+        F.col("n_latin") + F.col("n_cyrillic")
+        + F.col("n_greek") + F.col("n_cjk")
+    )
+    verdict = F.when(
+        F.col("expected_script").isNull() | (total < min_letters),
+        F.lit(None).cast("boolean"),
+    ).otherwise(F.col("dominant_script") != F.col("expected_script"))
+    return (
+        scored.withColumn("expected_script", mapping)
+        .withColumn("mismatch", verdict)
+        .select(
+            id_col, lang_col, "n_latin", "n_cyrillic", "n_greek",
+            "n_cjk", "dominant_script", "expected_script", "mismatch",
+        )
+    )
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_batches: int = 16,
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: the corpus is processed as
+    ``n_batches`` deterministic ingest batches (``doc_id mod
+    n_batches``) and each batch reports its token volume, the NEW word
+    types it contributes, and the cumulative type/token counts — the
+    curve a tokenizer-training run reads to decide when vocabulary has
+    saturated (sub-linear growth) vs when the corpus keeps paying
+    (fresh domains still arriving).
+
+    The cumulative-distinct trap is avoided by attribution: a type is
+    NEW in the batch where it FIRST appears, so one ``min(batch)`` per
+    type replaces any running-distinct scan — two map-side-combined
+    aggregations over token rows, then a window over the n_batches-row
+    result (driver-bounded).  explode_outer + isNotNull keeps the
+    optimizer from re-inlining the token array below the generator
+    (the InferFiltersFromGenerate guard)."""
+    b = F.pmod(F.col(id_col), F.lit(n_batches)).cast("int")
+    toks = (
+        df.select(b.alias("batch"), F.explode_outer(_tokens(text_col)).alias("token"))
+        .where(F.col("token").isNotNull())
+    )
+    vol = toks.groupBy("batch").agg(F.count("*").alias("batch_tokens"))
+    first = toks.groupBy("token").agg(F.min("batch").alias("batch"))
+    fresh = first.groupBy("batch").agg(F.count("*").alias("new_types"))
+    per = (
+        vol.join(fresh, "batch", "full_outer")
+        .select(
+            "batch",
+            F.coalesce("batch_tokens", F.lit(0)).alias("batch_tokens"),
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+    )
+    w = (
+        Window.orderBy("batch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.select(
+        "batch",
+        "batch_tokens",
+        "new_types",
+        F.sum("batch_tokens").over(w).alias("cum_tokens"),
+        F.sum("new_types").over(w).alias("cum_types"),
+    ).withColumn(
+        "type_token_ratio",
+        F.round(
+            F.col("cum_types")
+            / F.greatest(F.col("cum_tokens"), F.lit(1)).cast("double"),
+            6,
+        ),
+    )
+
+
+# RefinedWeb-style line-correction rules (Penedo et al. 2023 §A.2 drop
+# categories, re-expressed as RE2/Java-portable predicates).  ASCII-only
+# (?i) keywords: Java's default case folding is ASCII, RE2's is Unicode
+# — identical on these patterns.
+LINE_DROP_RULES: tuple[tuple[str, str], ...] = (
+    ("numeric", r"^[0-9 .,:/%()+-]*[0-9][0-9 .,:/%()+-]*$"),
+    ("counter", r"(?i)^ *[0-9]+ *(likes?|shares?|comments?|views?|votes?|replies|points?) *$"),
+    ("allcaps", r"^[^a-zà-öø-ÿ]*[A-Z][^a-zà-öø-ÿ]*$"),
+)
+# Keyword rule fires only on SHORT lines (nav chrome), never inside real
+# prose that merely mentions a cookie banner.  Kept separate from the
+# regex-only table because RE2 has no lookahead to express the length
+# bound in-pattern — the length test is a second lambda predicate, the
+# same shape the DuckDB oracle's list_filter uses.
+BOILERPLATE_LINE_PATTERN = (
+    r"(?i)(javascript|cookies?|sign in|log in|subscribe|newsletter"
+    r"|read more|click here|all rights reserved)"
+)
+BOILERPLATE_LINE_MAX_CHARS = 80
+
+
+def filter_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_drop_ratio: float = 0.5,
+) -> DataFrame:
+    """Per-line corrections (the RefinedWeb pass that runs AFTER
+    document-level gates): drop lines that are pure numbers/dates,
+    social counters ("3 likes"), shouting all-caps navigation, or
+    short boilerplate-keyword lines, rebuild the document from the
+    kept lines, and flag documents that lose more than
+    ``max_drop_ratio`` of their lines (a page that is mostly chrome is
+    dropped whole rather than shipped as a stub).  One split + one
+    higher-order ``filter`` + ``array_join`` — all codegen, no Python,
+    no shuffle; the same predicates run as ``list_filter`` lambdas in
+    the DuckDB oracle."""
+    drop_pat = "|".join(f"(?:{p})" for _, p in LINE_DROP_RULES)
+
+    def _keep(line: Column) -> Column:
+        short_chrome = (
+            F.length(line) < BOILERPLATE_LINE_MAX_CHARS
+        ) & line.rlike(BOILERPLATE_LINE_PATTERN)
+        return ~(line.rlike(drop_pat) | short_chrome)
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, "\n")
+    kept = F.filter(lines, _keep)
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    ratio = F.round(
+        (n_lines - n_kept) / F.greatest(n_lines, F.lit(1)).cast("double"),
+        6,
+    )
+    return df.select(
+        id_col,
+        F.array_join(kept, "\n").alias("text"),
+        n_lines.alias("n_lines"),
+        (n_lines - n_kept).alias("n_dropped"),
+        ratio.alias("drop_ratio"),
+        (ratio > F.lit(float(max_drop_ratio))).alias("doc_flagged"),
+    )

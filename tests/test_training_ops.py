@@ -3115,3 +3115,120 @@ def test_extract_hreflang_matrix(spark):
         ("de", "https://e/de"),
         ("fr", "https://e/fr"),
     }
+
+
+def test_repair_mojibake_gated(spark):
+    from pdf_to_epub_spark.operators import fix_mojibake_text, repair_mojibake
+
+    rows = [
+        (0, "cafÃ© MÃ¼nchen"),          # classic cp1252
+        (1, "plain ascii text"),                             # clean: untouched
+        (2, "déjà vu — naïve"),          # real accents kept
+        (3, None),                                            # null passthrough
+        (4, "quoteâ€™s â€“ x"),  # 3-byte punct
+        (5, "bad í € run"),                   # surrogate: intact
+        (6, "cafÃƒÂ© twice"),            # double-encoded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repair_mojibake(df).collect()}
+    assert out[0].text == "café München" and out[0].repaired
+    assert out[1].text == "plain ascii text" and not out[1].repaired
+    assert out[2].text == rows[2][1] and not out[2].repaired
+    assert out[3].text is None and not out[3].repaired
+    assert out[4].text == "quote’s – x" and out[4].repaired
+    assert out[5].text == rows[5][1] and not out[5].repaired
+    assert out[6].text == "café twice" and out[6].repaired
+    # UDF and pure function agree on every row
+    for i, t in rows:
+        assert out[i].text == fix_mojibake_text(t)
+    assert out[0].n_runs == 2 and out[1].n_runs == 0
+
+
+def test_lang_script_mismatch(spark):
+    from pdf_to_epub_spark.operators import lang_script_mismatch
+
+    latin = "the quick brown fox jumps over the lazy dog again and again"
+    cyr = "привет мир здравствуй товарищ привет мир здравствуй товарищ"
+    rows = [
+        (0, "en", latin),      # consistent
+        (1, "ru", latin),      # mismatch: declared ru, latin letters
+        (2, "ru", cyr),        # consistent
+        (3, "xx", latin),      # unknown tag: NULL verdict
+        (4, "en", "hi"),       # too few letters: NULL verdict
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.doc_id: r for r in lang_script_mismatch(df).collect()}
+    assert out[0].mismatch is False
+    assert out[1].mismatch is True and out[1].expected_script == "cyrillic"
+    assert out[2].mismatch is False
+    assert out[3].mismatch is None and out[3].expected_script is None
+    assert out[4].mismatch is None
+
+
+def test_vocab_growth_attribution(spark):
+    from pdf_to_epub_spark.operators import vocab_growth
+
+    # 4 batches: 'alpha' everywhere, 'beta' first in batch 1, 'gamma'
+    # only in batch 3; batch 2 adds nothing new.
+    rows = [
+        (0, "alpha alpha beta"),  # wait: batch 0 introduces alpha AND beta
+        (1, "alpha beta"),
+        (2, "alpha"),
+        (3, "alpha gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.batch: r for r in vocab_growth(df, n_batches=4).collect()}
+    assert out[0].new_types == 2 and out[0].batch_tokens == 3
+    assert out[1].new_types == 0
+    assert out[2].new_types == 0
+    assert out[3].new_types == 1
+    assert out[3].cum_types == 3 and out[3].cum_tokens == 8
+    assert abs(out[3].type_token_ratio - 0.375) < 1e-9
+
+
+def test_filter_lines_rules(spark):
+    from pdf_to_epub_spark.operators import filter_lines
+
+    text = "\n".join([
+        "A normal prose line that clearly survives.",
+        "1,234",                      # numeric-only: drop
+        "42 likes",                   # counter: drop
+        "HOME | ABOUT | CONTACT",     # all-caps nav: drop
+        "Please enable JavaScript to view this page",  # boilerplate: drop
+        "Second real sentence stays here.",
+        "This line mentions javascript deep inside a long enough paragraph "
+        "that keeps going well past the eighty character cap so it stays.",
+    ])
+    df = spark.createDataFrame([(0, text), (1, None), (2, "9\n8\n7")],
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in filter_lines(df).collect()}
+    kept = out[0].text.split("\n")
+    assert kept == [
+        "A normal prose line that clearly survives.",
+        "Second real sentence stays here.",
+        "This line mentions javascript deep inside a long enough paragraph "
+        "that keeps going well past the eighty character cap so it stays.",
+    ]
+    assert out[0].n_dropped == 4 and out[0].doc_flagged is True
+    assert out[1].text == "" and out[1].n_lines == 1
+    assert out[2].n_dropped == 3 and out[2].doc_flagged is True
+
+
+def test_corpus_diversity_profile(spark):
+    from pdf_to_epub_spark.operators import corpus_diversity
+    import math
+
+    # 3 domains: 6 + 3 + 1 pages
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "domain string")
+    r = corpus_diversity(df, "domain", top_n=2).collect()[0]
+    assert r.n_pages == 10 and r.n_groups == 3
+    ps = [0.6, 0.3, 0.1]
+    h = -sum(p * math.log(p) for p in ps)
+    assert abs(r.entropy - round(h, 6)) < 2e-6
+    assert abs(r.effective_groups - round(math.exp(round(h, 6)), 6)) < 2e-6
+    # exact gini over sorted counts [1,3,6]: 2*(1*1+2*3+3*6)/(3*10)-(4/3)
+    g = 2 * (1 * 1 + 2 * 3 + 3 * 6) / (3 * 10) - 4 / 3
+    assert abs(r.gini - round(g, 6)) < 1e-6
+    assert abs(r.top1_share - 0.6) < 1e-9
+    assert abs(r.topn_share - 0.9) < 1e-9
