@@ -3734,6 +3734,112 @@ _MOJI_FRAGS: tuple[str, ...] = (
 )
 
 
+def _phash_media_payloads() -> list[tuple[int, bytes]]:
+    """The 8 residue-class media payloads for the perceptual-dedup
+    query (pure function — shared by the Spark query and the oracle
+    replay): base image, its 2× rescale (aHash-equal), a one-cell
+    perturbation (Hamming 1), a far image, an audio pair, far audio,
+    and a junk row that must surface as unsupported."""
+    import math
+
+    from pdf_to_epub_spark.functions.mediacodec import make_bmp, make_wav
+
+    def grad(d):
+        return lambda x, y: ((x * 255 // d) & 0xFF,) * 3
+
+    def near(x, y):
+        return (
+            min(255, (x * 255 // 16) + (200 if (x < 2 and y < 2) else 0)),
+        ) * 3
+
+    def far(x, y):
+        return ((y * 255 // 16) & 0xFF, (x * 17) & 0xFF, 0)
+
+    def sine(f1, f2, amp):
+        return [
+            int(amp * math.sin(2 * math.pi * f1 * t / 8000)
+                + 4000 * math.sin(2 * math.pi * f2 * t / 8000))
+            for t in range(1600)
+        ]
+
+    return [
+        (0, make_bmp(16, 16, grad(16))),
+        (1, make_bmp(32, 32, grad(32))),
+        (2, make_bmp(16, 16, near)),
+        (3, make_bmp(16, 16, far)),
+        (4, make_wav(sine(300, 1200, 9000))),
+        (5, make_wav(sine(300, 1200, 9000))),
+        (6, make_wav(sine(700, 2500, 2000))),
+        (7, b"not media at all"),
+    ]
+
+
+def _q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual media dedup (multimodal.media_fingerprints +
+    media_dedup_clusters): every document carries one of 8 residue-class
+    payloads; rescaled copies must hash EQUAL, the one-cell perturbation
+    must cluster within Hamming 1, far content must stand alone, junk
+    must drop as unsupported."""
+    _ship_package(spark)
+    from pdf_to_epub_spark.operators.multimodal import (
+        media_dedup_clusters,
+        media_fingerprints,
+    )
+
+    payloads = spark.createDataFrame(
+        [(r, bytearray(p)) for r, p in _phash_media_payloads()],
+        "cls long, payload binary",
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 8).alias("cls"),
+    )
+    media = docs.join(F.broadcast(payloads), "cls").select(
+        "media_id", "payload"
+    )
+    fps = media_fingerprints(media, salt_partitions=8)
+    return media_dedup_clusters(fps)
+
+
+def _media_phash_oracle() -> str:
+    """Golden VALUES: per-class fingerprint + one-hop min-label rep
+    replayed in pure Python over the distinct class fingerprints."""
+    from pdf_to_epub_spark.functions.mediacodec import (
+        ahash64,
+        audio_fingerprint64,
+        decode_bmp,
+        decode_wav,
+        hamming64,
+        to_signed64,
+    )
+
+    rows = []
+    for r, payload in _phash_media_payloads():
+        if payload[:2] == b"BM":
+            w, h, gray = decode_bmp(payload)
+            rows.append((r, "image", to_signed64(ahash64(gray, w, h))))
+        elif payload[:4] == b"RIFF":
+            _, _, samples = decode_wav(payload)
+            rows.append((r, "audio", to_signed64(audio_fingerprint64(samples))))
+    reps: dict[int, int] = {}
+    for r, kind, fp in rows:
+        within = [
+            fp2 for _, k2, fp2 in rows
+            if k2 == kind and hamming64(fp, fp2) <= 3
+        ]
+        reps[r] = min(within)
+    vals = ",\n            ".join(
+        f"({r}, '{kind}', {fp}, {reps[r]})" for r, kind, fp in rows
+    )
+    return f"""
+        WITH golden(r, kind, fp, rep_fp) AS (VALUES
+            {vals})
+        SELECT d.doc_id AS media_id, g.kind, g.fp::BIGINT AS fp,
+               g.rep_fp::BIGINT AS rep_fp, 'ok' AS status
+        FROM documents d JOIN golden g ON d.doc_id % 8 = g.r
+    """
+
+
 def _q_repair_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gated cp1252 round-trip repair (textstats.repair_mojibake) over 8
     residue classes of damage — repairable mojibake, double-encoding,
@@ -3881,6 +3987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_items": _q_feed_items,
         "hreflang_alternates": _q_hreflang_alternates,
         "repair_mojibake": _q_repair_mojibake,
+        "media_phash_dedup": _q_media_phash_dedup,
         "lang_mismatch": _q_lang_mismatch,
         "vocab_growth": _q_vocab_growth,
         "filter_lines": _q_filter_lines,
@@ -6232,6 +6339,9 @@ def oracle_sql() -> dict[str, str]:
         # Mojibake repair: golden-VALUES pure-Python replay per residue
         # class (the compression_ratio convention).
         "repair_mojibake": _mojibake_oracle(),
+        # Media perceptual dedup: golden-VALUES python replay of the
+        # class fingerprints and the one-hop min-label reps.
+        "media_phash_dedup": _media_phash_oracle(),
         # Lang/script mismatch: script_ratios counting classes + the
         # expected-script CASE + the abstention rule, all in SQL.
         "lang_mismatch": """

@@ -483,3 +483,60 @@ def mp4_info(raw: bytes) -> tuple[int, int, int, int]:
     if duration_ms is None:
         raise UnsupportedMedia("MP4: no moov/mvhd box (metadata-less stream)")
     return width or 0, height or 0, n_samples or 0, duration_ms
+
+
+# ---------------------------------------------------------------------------
+# Perceptual fingerprints — media near-dup primitives
+# ---------------------------------------------------------------------------
+
+def ahash64(gray: list[float], width: int, height: int) -> int:
+    """8×8 average hash (aHash): mean-pool the grayscale to 64 cells,
+    set bit i when cell i exceeds the mean of the 64 cells.  The
+    classic cheap perceptual image hash — stable under resize and mild
+    noise, so exact-equal hashes catch rescaled copies and small
+    Hamming distance catches re-encodes.  Returns the UNSIGNED 64-bit
+    value (callers storing it in a Spark LongType wrap it two's-
+    complement via :func:`to_signed64`)."""
+    grid = 8
+    sums = [0.0] * (grid * grid)
+    counts = [0] * (grid * grid)
+    for y in range(height):
+        cy = min(y * grid // height, grid - 1)
+        for x in range(width):
+            cx = min(x * grid // width, grid - 1)
+            i = cy * grid + cx
+            sums[i] += gray[y * width + x]
+            counts[i] += 1
+    means = [s / n if n else 0.0 for s, n in zip(sums, counts)]
+    overall = sum(means) / len(means)
+    bits = 0
+    for i, v in enumerate(means):
+        if v > overall:
+            bits |= 1 << (63 - i)
+    return bits
+
+
+def audio_fingerprint64(samples: list[int], windows: int = 16) -> int:
+    """64-bit audio fingerprint: the 16-window RMS energy envelope,
+    each window quantized to 4 bits — a loudness-contour hash that
+    matches re-encoded/level-identical copies exactly and trimmed or
+    slightly renormalized copies within small Hamming distance."""
+    env = energy_envelope(samples, windows)
+    bits = 0
+    for i, v in enumerate(env):
+        q = int((v + 1.0) / 2.0 * 16)
+        q = 0 if q < 0 else (15 if q > 15 else q)
+        bits |= q << ((windows - 1 - i) * 4)
+    return bits
+
+
+def to_signed64(u: int) -> int:
+    """Two's-complement wrap of an unsigned 64-bit value into the range
+    of a Spark/DuckDB BIGINT."""
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def hamming64(a: int, b: int) -> int:
+    """Bit distance between two 64-bit values given in ANY mix of
+    signed/unsigned representation."""
+    return ((a ^ b) & ((1 << 64) - 1)).bit_count()

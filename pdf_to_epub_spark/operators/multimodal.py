@@ -384,3 +384,147 @@ def make_media_corpus(n: int, seed: int = 7) -> list[dict]:
             }
         )
     return rows
+
+
+FINGERPRINT_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("fp", LongType()),
+    StructField("status", StringType()),
+])
+
+
+def media_fingerprints(
+    media: DataFrame, salt_partitions: int | None = None
+) -> DataFrame:
+    """Perceptual fingerprints for media near-dup: 8×8 average hash for
+    decodable images (BMP pixels), 16×4-bit energy-envelope hash for
+    decodable audio (WAV PCM) — both resize/re-encode tolerant, both
+    64-bit so downstream banding shares one code path with SimHash.
+    Header-only and undecodable containers surface as honest
+    ``unsupported`` rows with NULL fp (same contract as
+    extract_media_features).  One Arrow stage, binary payload is the
+    only column crossing; optional url-less id-hash salting mirrors the
+    media-feature partitioning contract."""
+    from pdf_to_epub_spark.operators.multimodal import sniff_container
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from pdf_to_epub_spark.functions.mediacodec import (
+            UnsupportedMedia,
+            ahash64,
+            audio_fingerprint64,
+            decode_bmp,
+            decode_wav,
+            to_signed64,
+        )
+
+        for pdf in batches:
+            ids, kinds, fps, statuses = [], [], [], []
+            for mid, container, payload in zip(
+                pdf["media_id"], pdf["container"], pdf["payload"]
+            ):
+                ids.append(mid)
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    if container == "bmp":
+                        w, h, gray = decode_bmp(raw)
+                        kinds.append("image")
+                        fps.append(to_signed64(ahash64(gray, w, h)))
+                        statuses.append("ok")
+                    elif container == "riff":  # RIFF: WAV or unsupported
+                        _, _, samples = decode_wav(raw)
+                        kinds.append("audio")
+                        fps.append(to_signed64(audio_fingerprint64(samples)))
+                        statuses.append("ok")
+                    else:
+                        kinds.append(None)
+                        fps.append(None)
+                        statuses.append("unsupported")
+                except UnsupportedMedia:
+                    kinds.append(None)
+                    fps.append(None)
+                    statuses.append("unsupported")
+            # fp MUST be nullable Int64: a plain list with a None makes
+            # pandas infer float64, which silently rounds 64-bit hashes
+            # to the 53-bit double mantissa (observed: ...910323 →
+            # ...910528) before Arrow ever sees them.
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds,
+                 "fp": pd.array(fps, dtype="Int64"),
+                 "status": statuses}
+            )
+
+    df = media.withColumn("container", sniff_container("payload"))
+    if salt_partitions:
+        df = df.repartition(salt_partitions, F.xxhash64("media_id"))
+    return df.select("media_id", "container", "payload").mapInPandas(
+        gen, FINGERPRINT_SCHEMA
+    )
+
+
+def media_dedup_clusters(
+    fps: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Near-dup clustering over media fingerprints: every media row gets
+    ``rep_fp`` — the smallest fingerprint within ``max_hamming`` bits
+    (including itself) — so exact copies, rescales, and light
+    re-encodes collapse onto one representative.
+
+    Scale shape: pairing runs over DISTINCT fingerprints only (bounded
+    by distinct content, orders of magnitude below media count), using
+    the SimHash pigeonhole — 4 bands of 16 bits; any pair within 3
+    bits agrees on ≥1 whole band — so candidate generation is a
+    bucket join, never all-pairs; ``bit_count(xor)`` verifies
+    JVM-side.  One-hop min-label is exact for dup clusters whose
+    diameter ≤ max_hamming (the common case); chains beyond that need
+    dedup.connected_components — documented, not silently absorbed.
+    Media rows join back on fp (broadcast: the rep table is
+    distinct-content-sized)."""
+    ok = fps.where(F.col("status") == "ok")
+    distinct = ok.select("kind", "fp").distinct()
+    bands = None
+    for b in range(n_bands):
+        one = distinct.select(
+            "kind",
+            "fp",
+            F.lit(b).alias("band"),
+            F.expr(f"shiftrightunsigned(fp, {16 * b}) & 65535").alias(
+                "band_val"
+            ),
+        )
+        bands = one if bands is None else bands.unionAll(one)
+    a = bands.alias("a")
+    bside = bands.alias("b")
+    cand = (
+        a.join(
+            bside,
+            (F.col("a.kind") == F.col("b.kind"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.fp") < F.col("b.fp")),
+        )
+        .select(
+            F.col("a.kind").alias("kind"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+        .where(F.expr(f"bit_count(fp_a ^ fp_b) <= {int(max_hamming)}"))
+    )
+    neighbors = cand.select(
+        "kind", F.col("fp_b").alias("fp"), F.col("fp_a").alias("nb")
+    )
+    reps = (
+        distinct.join(neighbors, ["kind", "fp"], "left")
+        .groupBy("kind", "fp")
+        .agg(F.min("nb").alias("_min_nb"))
+        .select(
+            "kind", "fp",
+            F.least(F.col("_min_nb"), F.col("fp")).alias("rep_fp"),
+        )
+    )
+    return ok.join(F.broadcast(reps), ["kind", "fp"], "left").select(
+        "media_id", "kind", "fp", "rep_fp", "status"
+    )
