@@ -3734,6 +3734,84 @@ _MOJI_FRAGS: tuple[str, ...] = (
 )
 
 
+def _q_amp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared AMP twin graph (urls.extract_amp_pairs): every 3k page
+    declares its AMP twin, every 3k+1 is the AMP page pointing back
+    (html-attribute marker + rel=canonical), every 3k+2 is a plain page
+    with a canonical link that must NOT emit (not an AMP page)."""
+    from pdf_to_epub_spark.operators import extract_amp_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    r = i % 3
+    html = (
+        F.when(
+            r == 0,
+            F.concat(
+                F.lit('<html><head><link rel="amphtml" href="https://e/amp/'),
+                s, F.lit('"></head></html>'),
+            ),
+        )
+        .when(
+            r == 1,
+            F.concat(
+                F.lit('<html amp lang="en"><head><link rel="canonical" href="https://e/'),
+                s, F.lit('"></head></html>'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('<html><link rel="canonical" href="https://e/x/'),
+                s, F.lit('"></html>'),
+            )
+        )
+    )
+    pages = d.select(
+        F.concat(F.lit("https://e/p"), s).alias("url"), html.alias("html")
+    )
+    return extract_amp_pairs(pages)
+
+
+def _q_declared_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publisher-declared language ladder (urls.extract_declared_lang):
+    html lang attr (region-tagged, mixed case) > http-equiv list >
+    og:locale underscore form > nothing declared."""
+    from pdf_to_epub_spark.operators import extract_declared_lang
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    r = i % 4
+    html = (
+        F.when(r == 0, F.lit('<html lang="PT-br"><head></head></html>'))
+        .when(
+            r == 1,
+            F.lit('<head><meta http-equiv="Content-Language" content="fr, en"></head>'),
+        )
+        .when(
+            r == 2,
+            F.lit('<head><meta property="og:locale" content="de_DE"></head>'),
+        )
+        .otherwise(F.lit("<html><body>nothing declared</body></html>"))
+    )
+    pages = d.select(
+        F.concat(F.lit("https://e/l"), s).alias("url"), html.alias("html")
+    )
+    return extract_declared_lang(pages)
+
+
+def _q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader manifest over the training-shard layout
+    (sampling.shard_manifest): per-shard doc/token/char volumes and the
+    order-independent sorted-md5 checksum, same salt/shard-count
+    conventions as the training_shards query."""
+    from pdf_to_epub_spark.operators import shard_manifest
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return shard_manifest(d, n_shards=16, salt="epoch0")
+
+
 def _phash_media_payloads() -> list[tuple[int, bytes]]:
     """The 8 residue-class media payloads for the perceptual-dedup
     query (pure function — shared by the Spark query and the oracle
@@ -3988,6 +4066,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_alternates": _q_hreflang_alternates,
         "repair_mojibake": _q_repair_mojibake,
         "media_phash_dedup": _q_media_phash_dedup,
+        "amp_pairs": _q_amp_pairs,
+        "declared_lang": _q_declared_lang,
+        "shard_manifest": _q_shard_manifest,
         "lang_mismatch": _q_lang_mismatch,
         "vocab_growth": _q_vocab_growth,
         "filter_lines": _q_filter_lines,
@@ -6339,6 +6420,57 @@ def oracle_sql() -> dict[str, str]:
         # Mojibake repair: golden-VALUES pure-Python replay per residue
         # class (the compression_ratio convention).
         "repair_mojibake": _mojibake_oracle(),
+        # AMP twins: arithmetic replay of both edge directions.
+        "amp_pairs": """
+            WITH d AS (
+                SELECT CAST(doc_id AS VARCHAR) AS s, doc_id % 3 AS r
+                FROM documents
+            )
+            SELECT 'https://e/p' || s AS url, FALSE AS is_amp,
+                   'https://e/amp/' || s AS twin_url,
+                   'amphtml' AS edge
+            FROM d WHERE r = 0
+            UNION ALL
+            SELECT 'https://e/p' || s, TRUE, 'https://e/' || s, 'canonical'
+            FROM d WHERE r = 1
+        """,
+        # Declared language: arithmetic replay of the precedence ladder.
+        "declared_lang": """
+            WITH d AS (
+                SELECT CAST(doc_id AS VARCHAR) AS s, doc_id % 4 AS r
+                FROM documents
+            )
+            SELECT 'https://e/l' || s AS url,
+                   CASE r WHEN 0 THEN 'pt-br' WHEN 1 THEN 'fr, en'
+                          WHEN 2 THEN 'de_de' END AS declared_lang_raw,
+                   CASE r WHEN 0 THEN 'pt' WHEN 1 THEN 'fr'
+                          WHEN 2 THEN 'de' END AS declared_lang,
+                   CASE r WHEN 0 THEN 'html_lang' WHEN 1 THEN 'http_equiv'
+                          WHEN 2 THEN 'og_locale' END AS declared_source
+            FROM d
+        """,
+        # Shard manifest: md5-60 shard replay + ORDER BY inside
+        # string_agg reproduces the sorted-concat checksum.
+        "shard_manifest": r"""
+            WITH h AS (
+                SELECT ('0x' || substr(md5('epoch0:' ||
+                           CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv,
+                       coalesce(text, '') AS t
+                FROM documents),
+            m AS (
+                SELECT (hv % 16)::INTEGER AS shard,
+                       md5(t) AS dmd5,
+                       length(t)::BIGINT AS chars,
+                       len(regexp_extract_all(t,
+                           '[A-Za-zÀ-ÖØ-öø-ÿ]+|[0-9]+|[^A-Za-zÀ-ÖØ-öø-ÿ0-9\s]'
+                       ))::BIGINT AS toks
+                FROM h)
+            SELECT shard, count(*)::BIGINT AS n_docs,
+                   sum(toks)::BIGINT AS n_tokens,
+                   sum(chars)::BIGINT AS n_chars,
+                   md5(string_agg(dmd5, '' ORDER BY dmd5)) AS checksum
+            FROM m GROUP BY shard
+        """,
         # Media perceptual dedup: golden-VALUES python replay of the
         # class fingerprints and the one-hop min-label reps.
         "media_phash_dedup": _media_phash_oracle(),

@@ -676,3 +676,56 @@ def leakage_safe_splits(
     return hash_split(
         labeled, weights, id_col="cluster", salt=salt, out_col="split"
     ).select(id_col, "cluster", "split")
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "shuffle",
+    hash_fn=None,
+) -> DataFrame:
+    """Loader manifest for the training-shard layout: one row per shard
+    with document count, token volume, byte volume, and an
+    order-independent content checksum — what a data-loader fleet
+    reads at startup to size itself, verify integrity after transfer,
+    and detect a silently-rewritten shard (the checksum changes iff
+    any member document's bytes change or membership changes).
+
+    The checksum is ``md5`` over the shard's member-document md5s
+    concatenated IN SORTED ORDER — sorting makes it independent of
+    aggregation order (Spark's collect_list order is
+    nondeterministic), and the same construction is one
+    ``string_agg(… ORDER BY …)`` in the SQL oracle.  Per-shard member
+    lists are corpus/n_shards-sized (hash-uniform), so the sorted
+    concat is bounded per task; token counts reuse the package token
+    regex (map-side, before the one shard shuffle)."""
+    from pdf_to_epub_spark.operators.textstats import token_count
+
+    shards = training_shards(
+        df, n_shards=n_shards, id_col=id_col, salt=salt, hash_fn=hash_fn
+    )
+    slim = df.select(
+        id_col, F.coalesce(F.col(text_col), F.lit("")).alias("_t")
+    ).select(
+        id_col,
+        F.md5(F.col("_t")).alias("_md5"),
+        F.length(F.col("_t")).cast("long").alias("_chars"),
+        token_count("_t").cast("long").alias("_toks"),
+    )
+    joined = shards.join(slim, id_col)
+    return (
+        joined.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_toks").alias("n_tokens"),
+            F.sum("_chars").alias("n_chars"),
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list("_md5"))).cast(
+                    "binary"
+                )
+            ).alias("checksum"),
+        )
+        .select("shard", "n_docs", "n_tokens", "n_chars", "checksum")
+    )

@@ -1338,3 +1338,119 @@ def extract_hreflang(
             F.col("_t.href").alias("href"),
         )
     )
+
+
+def extract_amp_pairs(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    max_scan_bytes: int = 1 << 18,
+) -> DataFrame:
+    """AMP twin detection — both directions of the declared pairing:
+    a canonical page pointing at its AMP twin via ``<link
+    rel="amphtml" href=…>``, and an AMP page pointing back via ``<link
+    rel="canonical" href=…>`` plus the ``<html amp>`` / ``<html ⚡>``
+    attribute marker.  AMP twins are guaranteed near-duplicates with
+    different URLs and different boilerplate — dropping the AMP side
+    by declaration is free precision before any MinHash spend, the
+    same reasoning as `canonical_dedup` (which handles the generic
+    rel=canonical collapse; this operator adds the amphtml edge and
+    the is_amp verdict).
+
+    Tag-scoped extraction (whole <link> tags, attributes pulled
+    per-element in a transform lambda — the extract_hreflang rule);
+    the amp marker is a bounded scan of the first <html …> tag.  Zero
+    shuffle."""
+    text = _permissive_text(html_col, max_scan_bytes)
+    tags = F.regexp_extract_all(text, F.lit(r"(?is)<link\s[^>]*>"), F.lit(0))
+    attr = lambda b, name: F.nullif(  # noqa: E731
+        F.regexp_extract(
+            b, rf"""(?is)\s{name}\s*=\s*["']?([^"'\s<>]+)""", 1
+        ),
+        F.lit(""),
+    )
+    per = F.transform(
+        tags,
+        lambda b: F.struct(
+            F.lower(attr(b, "rel")).alias("rel"),
+            attr(b, "href").alias("href"),
+        ),
+    )
+    html_tag = F.regexp_extract(text, r"(?is)<html(\s[^>]*)?>", 1)
+    is_amp = html_tag.rlike(r"(?i)(^|\s)(amp|⚡)(\s|=|$)")
+    links = pages.select(
+        F.col(url_col).alias("url"),
+        is_amp.alias("is_amp"),
+        F.explode_outer(per).alias("_t"),
+    )
+    amp_edge = links.where(F.col("_t.rel") == "amphtml").select(
+        "url",
+        "is_amp",
+        F.col("_t.href").alias("twin_url"),
+        F.lit("amphtml").alias("edge"),
+    )
+    canon_edge = links.where(
+        F.col("is_amp") & (F.col("_t.rel") == "canonical")
+    ).select(
+        "url",
+        "is_amp",
+        F.col("_t.href").alias("twin_url"),
+        F.lit("canonical").alias("edge"),
+    )
+    return amp_edge.unionAll(canon_edge)
+
+
+def extract_declared_lang(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    max_scan_bytes: int = 1 << 16,
+) -> DataFrame:
+    """Publisher-declared language: the ``<html lang=…>`` attribute,
+    the ``<meta http-equiv=content-language>`` header equivalent, and
+    ``<meta property="og:locale">`` — normalized to a lowercase
+    BCP-47-ish primary subtag (``pt-BR`` → ``pt``, ``en_US`` → ``en``).
+    The declared tag is the cheap prior a language-ID cascade checks
+    first (agreement → skip the n-gram model; disagreement → the
+    lang_script_mismatch audit); precedence html lang > http-equiv >
+    og:locale, first non-null wins.  Three bounded regex pulls on the
+    page head; zero shuffle."""
+    text = _permissive_text(html_col, max_scan_bytes)
+    html_lang = F.nullif(
+        F.regexp_extract(
+            text, r"""(?is)<html\s[^>]*?\blang\s*=\s*["']?([A-Za-z][A-Za-z0-9_-]*)""", 1
+        ),
+        F.lit(""),
+    )
+    # The value class admits spaces so the list form ("fr, en") survives
+    # intact; the trailing trim keeps an unquoted-attribute overcapture
+    # from carrying whitespace.
+    http_equiv = F.nullif(
+        F.trim(
+            F.regexp_extract(
+                text,
+                r"""(?is)<meta\s[^>]*?http-equiv\s*=\s*["']?content-language["']?[^>]*?\bcontent\s*=\s*["']?([A-Za-z][A-Za-z0-9_, -]*)""",
+                1,
+            )
+        ),
+        F.lit(""),
+    )
+    og_locale = F.nullif(
+        F.regexp_extract(
+            text,
+            r"""(?is)<meta\s[^>]*?property\s*=\s*["']?og:locale["']?[^>]*?\bcontent\s*=\s*["']?([A-Za-z][A-Za-z0-9_-]*)""",
+            1,
+        ),
+        F.lit(""),
+    )
+    raw = F.coalesce(html_lang, http_equiv, og_locale)
+    primary = F.lower(F.regexp_extract(raw, r"^([A-Za-z]+)", 1))
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.lower(raw).alias("declared_lang_raw"),
+        F.when(primary != "", primary).alias("declared_lang"),
+        F.when(html_lang.isNotNull(), "html_lang")
+        .when(http_equiv.isNotNull(), "http_equiv")
+        .when(og_locale.isNotNull(), "og_locale")
+        .alias("declared_source"),
+    )

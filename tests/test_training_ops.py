@@ -3232,3 +3232,81 @@ def test_corpus_diversity_profile(spark):
     assert abs(r.gini - round(g, 6)) < 1e-6
     assert abs(r.top1_share - 0.6) < 1e-9
     assert abs(r.topn_share - 0.9) < 1e-9
+
+
+def test_extract_amp_pairs(spark):
+    from pdf_to_epub_spark.operators import extract_amp_pairs
+
+    pages = spark.createDataFrame(
+        [
+            ("https://e/a",       # canonical page declaring its AMP twin
+             '<html><head><link rel="amphtml" href="https://e/amp/a">'
+             "</head></html>"),
+            ("https://e/amp/a",   # AMP page pointing back
+             '<html ⚡ lang="en"><head>'
+             '<link rel="canonical" href="https://e/a"></head></html>'),
+            ("https://e/amp/b",   # amp attribute form
+             '<html amp><link href="https://e/b" rel="canonical"></html>'),
+            ("https://e/plain",   # canonical link but NOT amp: no row
+             '<html><link rel="canonical" href="https://e/x"></html>'),
+            ("https://e/none", None),
+        ],
+        "url string, html string",
+    )
+    got = {(r.url, r.is_amp, r.twin_url, r.edge)
+           for r in extract_amp_pairs(pages).collect()}
+    assert got == {
+        ("https://e/a", False, "https://e/amp/a", "amphtml"),
+        ("https://e/amp/a", True, "https://e/a", "canonical"),
+        ("https://e/amp/b", True, "https://e/b", "canonical"),
+    }
+
+
+def test_extract_declared_lang_precedence(spark):
+    from pdf_to_epub_spark.operators import extract_declared_lang
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", '<html lang="pt-BR"><head>'
+                   '<meta http-equiv="content-language" content="es"></head>'),
+            ("u2", '<head><meta http-equiv="Content-Language" content="fr, en">'
+                   '</head>'),
+            ("u3", '<head><meta property="og:locale" content="de_DE"></head>'),
+            ("u4", "<html><body>nothing declared</body></html>"),
+            ("u5", None),
+        ],
+        "url string, html string",
+    )
+    out = {r.url: r for r in extract_declared_lang(pages).collect()}
+    assert (out["u1"].declared_lang, out["u1"].declared_source) == ("pt", "html_lang")
+    assert out["u1"].declared_lang_raw == "pt-br"
+    assert (out["u2"].declared_lang, out["u2"].declared_source) == ("fr", "http_equiv")
+    assert (out["u3"].declared_lang, out["u3"].declared_source) == ("de", "og_locale")
+    assert out["u4"].declared_lang is None and out["u4"].declared_source is None
+    assert out["u5"].declared_lang is None
+
+
+def test_shard_manifest_checksum(spark):
+    import hashlib
+
+    from pdf_to_epub_spark.operators import shard_manifest, training_shards
+
+    docs = [(i, f"doc {i} body text") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    man = {r.shard: r for r in shard_manifest(df, n_shards=4).collect()}
+    assign = {r.doc_id: r.shard
+              for r in training_shards(df, n_shards=4).collect()}
+    assert sum(m.n_docs for m in man.values()) == 40
+    # replay shard 0's checksum independently
+    members = sorted(
+        hashlib.md5(t.encode()).hexdigest()
+        for i, t in docs if assign[i] == 0
+    )
+    exp = hashlib.md5("".join(members).encode()).hexdigest()
+    assert man[0].checksum == exp
+    assert man[0].n_tokens > 0 and man[0].n_chars > 0
+    # membership change changes the checksum
+    df2 = spark.createDataFrame(docs[1:], "doc_id long, text string")
+    man2 = {r.shard: r for r in shard_manifest(df2, n_shards=4).collect()}
+    changed = assign[0]
+    assert man2[changed].checksum != man[changed].checksum
