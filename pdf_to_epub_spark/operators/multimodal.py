@@ -484,17 +484,27 @@ def media_dedup_clusters(
     distinct-content-sized)."""
     ok = fps.where(F.col("status") == "ok")
     distinct = ok.select("kind", "fp").distinct()
-    bands = None
-    for b in range(n_bands):
-        one = distinct.select(
-            "kind",
-            "fp",
+    # One explode over a literal 4-struct array — NOT a per-band
+    # unionAll, which would re-run the distinct subtree once per band.
+    # (The array is built from cheap bit ops on fp, so the optimizer's
+    # inferred size()>0 filter re-inlining is harmless here.)
+    band_structs = F.array(*[
+        F.struct(
             F.lit(b).alias("band"),
             F.expr(f"shiftrightunsigned(fp, {16 * b}) & 65535").alias(
                 "band_val"
             ),
         )
-        bands = one if bands is None else bands.unionAll(one)
+        for b in range(n_bands)
+    ])
+    bands = distinct.select(
+        "kind", "fp", F.explode(band_structs).alias("_b")
+    ).select(
+        "kind",
+        "fp",
+        F.col("_b.band").alias("band"),
+        F.col("_b.band_val").alias("band_val"),
+    )
     a = bands.alias("a")
     bside = bands.alias("b")
     cand = (
