@@ -481,6 +481,27 @@ def run_bench(
 
     timed("cms_sketch", cms_build)
 
+    def corpus_hygiene() -> None:
+        """Ingest hygiene tail over the CC corpus: RefinedWeb-style line
+        corrections feeding the gated mojibake repair.  1/16 of the
+        documents get cp1252 damage injected up front so the repair gate
+        routes a realistic minority through the Arrow stage — the entry
+        measures that the other 15/16 pay only the codegen rlike gate
+        (their batch slots cross Arrow as NULLs)."""
+        from pdf_to_epub_spark.operators import filter_lines, repair_mojibake
+
+        docs = corpus.select(F.xxhash64("url").alias("doc_id"), "text")
+        damaged = docs.withColumn(
+            "text",
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(16)) == 0,
+                F.concat(F.lit("CafÃ© â€“ naÃ¯ve intro\n"), F.col("text")),
+            ).otherwise(F.col("text")),
+        )
+        _force(repair_mojibake(filter_lines(damaged)))
+
+    timed("corpus_hygiene", corpus_hygiene, runs=2)
+
     warc_paths = _warc_corpus_paths(corpus)  # one-time build, unmeasured
 
     def warc_parse() -> None:
