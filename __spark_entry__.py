@@ -3787,7 +3787,9 @@ def _q_declared_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(r == 0, F.lit('<html lang="PT-br"><head></head></html>'))
         .when(
             r == 1,
-            F.lit('<head><meta http-equiv="Content-Language" content="fr, en"></head>'),
+            # content BEFORE http-equiv: attribute order is free in the
+            # wild, and the tag-scoped extractor must not care.
+            F.lit('<head><meta content="fr, en" http-equiv="Content-Language"></head>'),
         )
         .when(
             r == 2,

@@ -464,9 +464,7 @@ def media_fingerprints(
     )
 
 
-def media_dedup_clusters(
-    fps: DataFrame, max_hamming: int = 3, n_bands: int = 4
-) -> DataFrame:
+def media_dedup_clusters(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup clustering over media fingerprints: every media row gets
     ``rep_fp`` — the smallest fingerprint within ``max_hamming`` bits
     (including itself) — so exact copies, rescales, and light
@@ -474,26 +472,39 @@ def media_dedup_clusters(
 
     Scale shape: pairing runs over DISTINCT fingerprints only (bounded
     by distinct content, orders of magnitude below media count), using
-    the SimHash pigeonhole — 4 bands of 16 bits; any pair within 3
-    bits agrees on ≥1 whole band — so candidate generation is a
-    bucket join, never all-pairs; ``bit_count(xor)`` verifies
-    JVM-side.  One-hop min-label is exact for dup clusters whose
-    diameter ≤ max_hamming (the common case); chains beyond that need
+    the SimHash pigeonhole exactly as dedup.simhash_near_pairs:
+    ``max_hamming + 1`` contiguous bands over an even 64-bit split, so
+    any pair within ``max_hamming`` bits agrees on ≥1 whole band and
+    banded recall is exactly 1; candidate generation is a bucket join,
+    never all-pairs; ``bit_count(xor)`` verifies JVM-side.  One-hop
+    min-label is exact for dup clusters whose diameter ≤ max_hamming
+    (the common case); chains beyond that need
     dedup.connected_components — documented, not silently absorbed.
     Media rows join back on fp (broadcast: the rep table is
     distinct-content-sized)."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_bands = max_hamming + 1
+    bounds = [(64 * b) // n_bands for b in range(n_bands + 1)]
+
+    def _band_value(b: int) -> F.Column:
+        lo, hi = bounds[b], bounds[b + 1]
+        if hi - lo == 64:  # single band (max_hamming=0)
+            return F.col("fp")
+        return F.expr(
+            f"shiftrightunsigned(fp, {lo}) & {(1 << (hi - lo)) - 1}"
+        )
+
     ok = fps.where(F.col("status") == "ok")
     distinct = ok.select("kind", "fp").distinct()
-    # One explode over a literal 4-struct array — NOT a per-band
+    # One explode over a literal band-struct array — NOT a per-band
     # unionAll, which would re-run the distinct subtree once per band.
     # (The array is built from cheap bit ops on fp, so the optimizer's
     # inferred size()>0 filter re-inlining is harmless here.)
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.expr(f"shiftrightunsigned(fp, {16 * b}) & 65535").alias(
-                "band_val"
-            ),
+            _band_value(b).alias("band_val"),
         )
         for b in range(n_bands)
     ])

@@ -1608,8 +1608,6 @@ def fix_mojibake_text(s: str | None, max_rounds: int = 3) -> str | None:
     already-correct non-ASCII text (a whole-string round-trip would
     refuse mixed pages).  Up to ``max_rounds`` passes unwind
     double-encoded pages; a pass with no change terminates early."""
-    import re
-
     if s is None:
         return None
     pat = _moji_run_re()
@@ -1617,7 +1615,7 @@ def fix_mojibake_text(s: str | None, max_rounds: int = 3) -> str | None:
     for _ in range(max_rounds):
         changed = False
 
-        def _sub(m: "re.Match[str]") -> str:
+        def _sub(m) -> str:
             nonlocal changed
             try:
                 dec = _encode_sloppy_cp1252(m.group()).decode("utf-8")

@@ -39,6 +39,48 @@ def _permissive_text(col: str, max_scan_bytes: int) -> Column:
     )
 
 
+def _html_tags(text: Column, tag: str) -> Column:
+    """All whole ``<tag …>`` opening tags in the bounded page prefix —
+    the first step of tag-scoped attribute extraction (attributes are
+    then pulled per-element, so pairing can never cross tag
+    boundaries and attribute order is free)."""
+    return F.regexp_extract_all(text, F.lit(rf"(?is)<{tag}\s[^>]*>"), F.lit(0))
+
+
+def _tag_attr(tag_str: Column, name: str) -> Column:
+    """Attribute value pulled from ONE tag string, token form: stops at
+    whitespace/quote — right for URL- and tag-valued attributes
+    (href/hreflang/rel).  The leading ``\\s`` pins the attribute-name
+    boundary so ``data-href`` never matches ``href``."""
+    return F.nullif(
+        F.regexp_extract(
+            tag_str, rf"""(?is)\s{name}\s*=\s*["']?([^"'\s<>]+)""", 1
+        ),
+        F.lit(""),
+    )
+
+
+def _tag_attr_quoted(tag_str: Column, name: str) -> Column:
+    """Attribute value from ONE tag string, full-value form: a quoted
+    value keeps internal spaces (``content="fr, en"``), an unquoted
+    value stops at whitespace.  Three coalesced pulls because a single
+    RE2/Java-portable regex cannot alternate capture groups through
+    ``regexp_extract``'s one-group contract."""
+    dq = F.regexp_extract(
+        tag_str, rf'(?is)\s{name}\s*=\s*"([^"]*)"', 1
+    )
+    sq = F.regexp_extract(
+        tag_str, rf"(?is)\s{name}\s*=\s*'([^']*)'", 1
+    )
+    bare = F.regexp_extract(
+        tag_str, rf"""(?is)\s{name}\s*=\s*([^"'\s<>][^\s<>]*)""", 1
+    )
+    return F.nullif(
+        F.coalesce(F.nullif(dq, F.lit("")), F.nullif(sq, F.lit("")), bare),
+        F.lit(""),
+    )
+
+
 def canonical_url(url_col: Column) -> Column:
     no_frag = F.regexp_replace(url_col, r"#.*$", "")
     head = F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
@@ -1234,14 +1276,21 @@ def extract_feed_items(
     lead).  Per-block inner extraction runs inside a transform lambda
     over the block array, so pairing (title, link) within one item can
     never cross item boundaries — the tag-scoped pairing rule from
-    extract_anchor_texts.  Zero shuffle; regexes are RE2-portable."""
+    extract_anchor_texts.
+
+    Both kinds ride ONE projection and one explode (the per-kind
+    struct arrays concatenate before the generator) — a per-kind
+    union would re-run the page scan once per branch, the same
+    re-execution shape media_dedup_clusters' banding avoids.  Zero
+    shuffle; regexes are RE2-portable."""
     text = _permissive_text(html_col, max_scan_bytes)
     cdata = lambda c: F.regexp_replace(  # noqa: E731
         c, r"(?s)^\s*<!\[CDATA\[(.*?)\]\]>\s*$", "$1"
     )
-    def items(kind: str, block_pat: str, link_pat: str) -> DataFrame:
+
+    def per_kind(kind: str, block_pat: str, link_pat: str) -> Column:
         blocks = F.regexp_extract_all(text, F.lit(block_pat), F.lit(0))
-        per = F.transform(
+        return F.transform(
             blocks,
             lambda b: F.struct(
                 F.nullif(
@@ -1257,33 +1306,34 @@ def extract_feed_items(
                 F.nullif(
                     F.trim(F.regexp_extract(b, link_pat, 1)), F.lit("")
                 ).alias("item_link"),
+                F.lit(kind).alias("kind"),
             ),
         )
-        return (
-            pages.select(
-                F.col(url_col).alias("url"),
-                F.explode_outer(per).alias("_it"),
-            )
-            .where(F.col("_it.item_link").isNotNull())
-            .select(
-                "url",
-                F.col("_it.item_title").alias("item_title"),
-                F.col("_it.item_link").alias("item_link"),
-                F.lit(kind).alias("kind"),
-            )
-        )
 
-    rss = items(
-        "rss",
-        r"(?is)<item[\s>].*?</item>",
-        r"(?is)<link[^>]*>\s*(?:<!\[CDATA\[)?\s*([^<\]\s]+)",
+    items = F.concat(
+        per_kind(
+            "rss",
+            r"(?is)<item[\s>].*?</item>",
+            r"(?is)<link[^>]*>\s*(?:<!\[CDATA\[)?\s*([^<\]\s]+)",
+        ),
+        per_kind(
+            "atom",
+            r"(?is)<entry[\s>].*?</entry>",
+            r"""(?is)<link\s[^>]*?href\s*=\s*["']?([^"'\s<>]+)""",
+        ),
     )
-    atom = items(
-        "atom",
-        r"(?is)<entry[\s>].*?</entry>",
-        r"""(?is)<link\s[^>]*?href\s*=\s*["']?([^"'\s<>]+)""",
+    return (
+        pages.select(
+            F.col(url_col).alias("url"), F.explode_outer(items).alias("_it")
+        )
+        .where(F.col("_it.item_link").isNotNull())
+        .select(
+            "url",
+            F.col("_it.item_title").alias("item_title"),
+            F.col("_it.item_link").alias("item_link"),
+            F.col("_it.kind").alias("kind"),
+        )
     )
-    return rss.unionAll(atom)
 
 
 def extract_hreflang(
@@ -1304,23 +1354,12 @@ def extract_hreflang(
     boundaries by construction.  Emits one (url, hreflang, href) row per
     declared alternate; zero shuffle."""
     text = _permissive_text(html_col, max_scan_bytes)
-    tags = F.regexp_extract_all(
-        text, F.lit(r"(?is)<link\s[^>]*>"), F.lit(0)
-    )
-    attr = lambda b, name: F.nullif(  # noqa: E731
-        F.regexp_extract(
-            b,
-            rf"""(?is)\s{name}\s*=\s*["']?([^"'\s<>]+)""",
-            1,
-        ),
-        F.lit(""),
-    )
     per = F.transform(
-        tags,
+        _html_tags(text, "link"),
         lambda b: F.struct(
-            attr(b, "rel").alias("rel"),
-            attr(b, "hreflang").alias("hreflang"),
-            attr(b, "href").alias("href"),
+            _tag_attr(b, "rel").alias("rel"),
+            _tag_attr(b, "hreflang").alias("hreflang"),
+            _tag_attr(b, "href").alias("href"),
         ),
     )
     return (
@@ -1362,18 +1401,11 @@ def extract_amp_pairs(
     the amp marker is a bounded scan of the first <html …> tag.  Zero
     shuffle."""
     text = _permissive_text(html_col, max_scan_bytes)
-    tags = F.regexp_extract_all(text, F.lit(r"(?is)<link\s[^>]*>"), F.lit(0))
-    attr = lambda b, name: F.nullif(  # noqa: E731
-        F.regexp_extract(
-            b, rf"""(?is)\s{name}\s*=\s*["']?([^"'\s<>]+)""", 1
-        ),
-        F.lit(""),
-    )
     per = F.transform(
-        tags,
+        _html_tags(text, "link"),
         lambda b: F.struct(
-            F.lower(attr(b, "rel")).alias("rel"),
-            attr(b, "href").alias("href"),
+            F.lower(_tag_attr(b, "rel")).alias("rel"),
+            _tag_attr(b, "href").alias("href"),
         ),
     )
     html_tag = F.regexp_extract(text, r"(?is)<html(\s[^>]*)?>", 1)
@@ -1413,37 +1445,35 @@ def extract_declared_lang(
     The declared tag is the cheap prior a language-ID cascade checks
     first (agreement → skip the n-gram model; disagreement → the
     lang_script_mismatch audit); precedence html lang > http-equiv >
-    og:locale, first non-null wins.  Three bounded regex pulls on the
-    page head; zero shuffle."""
+    og:locale, first non-null wins.  Tag-scoped extraction throughout
+    (whole <html>/<meta> tags, attributes pulled per-tag) so attribute
+    order is free — ``<meta content="fr" http-equiv=…>`` works; the
+    quoted-value puller keeps the list form ("fr, en") intact.  Zero
+    shuffle."""
     text = _permissive_text(html_col, max_scan_bytes)
-    html_lang = F.nullif(
-        F.regexp_extract(
-            text, r"""(?is)<html\s[^>]*?\blang\s*=\s*["']?([A-Za-z][A-Za-z0-9_-]*)""", 1
+    html_tag = F.get(
+        F.regexp_extract_all(
+            text, F.lit(r"(?is)<html(?:\s[^>]*)?>"), F.lit(0)
         ),
-        F.lit(""),
+        F.lit(0),
     )
-    # The value class admits spaces so the list form ("fr, en") survives
-    # intact; the trailing trim keeps an unquoted-attribute overcapture
-    # from carrying whitespace.
-    http_equiv = F.nullif(
-        F.trim(
-            F.regexp_extract(
-                text,
-                r"""(?is)<meta\s[^>]*?http-equiv\s*=\s*["']?content-language["']?[^>]*?\bcontent\s*=\s*["']?([A-Za-z][A-Za-z0-9_, -]*)""",
-                1,
+    html_lang = _tag_attr_quoted(html_tag, "lang")
+    metas = _html_tags(text, "meta")
+
+    def meta_content(key_attr: str, key_val: str) -> Column:
+        matched = F.filter(
+            metas,
+            lambda b: F.lower(
+                F.coalesce(_tag_attr_quoted(b, key_attr), F.lit(""))
             )
-        ),
-        F.lit(""),
-    )
-    og_locale = F.nullif(
-        F.regexp_extract(
-            text,
-            r"""(?is)<meta\s[^>]*?property\s*=\s*["']?og:locale["']?[^>]*?\bcontent\s*=\s*["']?([A-Za-z][A-Za-z0-9_-]*)""",
-            1,
-        ),
-        F.lit(""),
-    )
-    raw = F.coalesce(html_lang, http_equiv, og_locale)
+            == key_val,
+        )
+        return _tag_attr_quoted(F.get(matched, F.lit(0)), "content")
+
+    http_equiv = meta_content("http-equiv", "content-language")
+    og_locale = meta_content("property", "og:locale")
+    raw = F.trim(F.coalesce(html_lang, http_equiv, og_locale))
+    raw = F.nullif(raw, F.lit(""))
     primary = F.lower(F.regexp_extract(raw, r"^([A-Za-z]+)", 1))
     return pages.select(
         F.col(url_col).alias("url"),

@@ -259,35 +259,18 @@ def test_fuzz_codecs_never_crash():
 
 
 def test_media_fingerprints_and_dedup_clusters(spark):
-    import math
-
+    from __spark_entry__ import _phash_media_payloads
     from pdf_to_epub_spark.functions.mediacodec import (
-        ahash64, decode_bmp, hamming64, make_bmp, make_wav, to_signed64,
+        ahash64, decode_bmp, hamming64, to_signed64,
     )
     from pdf_to_epub_spark.operators.multimodal import (
         media_dedup_clusters, media_fingerprints,
     )
 
-    grad = lambda d: (lambda x, y: ((x * 255 // d) & 0xFF,) * 3)  # noqa: E731
-    near = lambda x, y: (  # one bright aHash cell: hamming 1 from base
-        min(255, (x * 255 // 16) + (200 if (x < 2 and y < 2) else 0)),
-    ) * 3
-    far = lambda x, y: ((y * 255 // 16) & 0xFF, (x * 17) & 0xFF, 0)
-    sine = lambda f1, f2, amp: [  # noqa: E731
-        int(amp * math.sin(2 * math.pi * f1 * t / 8000)
-            + 4000 * math.sin(2 * math.pi * f2 * t / 8000))
-        for t in range(1600)
-    ]
-    payloads = [
-        (0, make_bmp(16, 16, grad(16))),   # base image
-        (1, make_bmp(32, 32, grad(32))),   # 2x rescale: hash-equal
-        (2, make_bmp(16, 16, near)),       # near: hamming 1
-        (3, make_bmp(16, 16, far)),        # far image
-        (4, make_wav(sine(300, 1200, 9000))),   # base audio
-        (5, make_wav(sine(300, 1200, 9000))),   # exact audio copy
-        (6, make_wav(sine(700, 2500, 2000))),   # far audio
-        (7, b"not media at all"),               # unsupported
-    ]
+    # The SAME residue-class payloads the driver query and its oracle
+    # share: 0 base image, 1 its 2x rescale, 2 a hamming-1 near copy,
+    # 3 far image, 4/5 identical audio, 6 far audio, 7 junk.
+    payloads = _phash_media_payloads()
     media = spark.createDataFrame(
         [(i, bytearray(p)) for i, p in payloads],
         "media_id long, payload binary",
@@ -295,8 +278,8 @@ def test_media_fingerprints_and_dedup_clusters(spark):
     fps = media_fingerprints(media)
     out = {r.media_id: r for r in media_dedup_clusters(fps).collect()}
 
-    h_base = to_signed64(ahash64(*(lambda w, h, g: (g, w, h))(
-        *decode_bmp(make_bmp(16, 16, grad(16))))))
+    w0, h0, g0 = decode_bmp(payloads[0][1])
+    h_base = to_signed64(ahash64(g0, w0, h0))
     assert out[0].fp == h_base == out[1].fp          # rescale invariance
     assert hamming64(out[0].fp, out[2].fp) == 1
     rep_img = min(out[0].fp, out[2].fp)

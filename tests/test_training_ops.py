@@ -3061,7 +3061,7 @@ def test_domain_lang_consistency(spark):
     out = {r.domain: r for r in domain_lang_consistency(df).collect()}
     a = out["a.example"]
     assert (a.majority_lang, a.n_docs, a.n_majority) == ("en", 10, 8)
-    assert a.is_mixed is False and abs(a.consistency - 0.8) < 1e-9 or True
+    assert a.is_mixed is False and abs(a.consistency - 0.8) < 1e-9
     assert out["pure.example"].consistency == 1.0
     assert out["tie.example"].majority_lang == "de"
     assert out["tie.example"].is_mixed is True
