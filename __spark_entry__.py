@@ -559,6 +559,133 @@ def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord source round-trip (sources/tfrecord.py), disk-free like
+    warc_roundtrip: docs grouped 8 ways -> applyInPandas serializes each
+    group as one TFRecord shard (hand-encoded tf.train.Example protos +
+    masked-CRC32C framing, pure stdlib) -> the Arrow parser reads the
+    records back with CRC verification ON.  The float feature passes
+    through the format's float32 — doc_id/4 is exactly representable in
+    f32, so the oracle's REAL cast replays the precision loss exactly
+    and the whole writer+parser pair is hash-checked."""
+    import pandas as pd
+
+    from pdf_to_epub_spark.sources.tfrecord import (
+        build_tfrecord_bytes,
+        encode_example,
+        parse_tfrecord_contents,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        exs = [
+            encode_example(
+                {
+                    "url": f"tfr://doc/{i}".encode("ascii"),
+                    "text": (t or "").encode("utf-8"),
+                    "n_chars": [len(t or "")],
+                    "score": [i / 4.0],
+                }
+            )
+            for i, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        return pd.DataFrame({"content": [build_tfrecord_bytes(exs)]})
+
+    files = (
+        d.withColumn("g", F.pmod("doc_id", F.lit(8)))
+        .groupBy("g")
+        .applyInPandas(build, "content binary")
+    )
+    parsed = parse_tfrecord_contents(
+        files,
+        bytes_cols=("url", "text"),
+        int_cols=("n_chars",),
+        float_cols=("score",),
+    )
+    return parsed.select(
+        "url",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        F.element_at("n_chars", 1).alias("n_chars"),
+        F.element_at("score", 1).alias("score_f32"),
+    )
+
+
+def _cdc_class_texts() -> list[str]:
+    """13 deterministic residue-class documents built from a shared pool
+    of 7 fragments (~800 ASCII bytes each) so content-defined chunks
+    dedup ACROSS classes — the property the query measures."""
+    import hashlib as _hl
+
+    frags = [
+        "".join(
+            _hl.md5(f"frag{f}:{j}".encode("ascii")).hexdigest()
+            for j in range(25)
+        )
+        for f in range(7)
+    ]
+    return [
+        " ".join(frags[(r + 2 * k) % 7] for k in range(5)) for r in range(13)
+    ]
+
+
+def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (operators/cdc.py): every doc gets
+    one of 13 fragment-composed texts; the gear-hash chunker (numpy
+    vector form) splits them and the corpus chunk store is one groupBy
+    on chunk_hash.  The oracle replays chunking with the INDEPENDENT
+    pure-Python reference loop (`cdc_boundaries`) per class and scales
+    occurrence counts by per-class doc counts — engine path and oracle
+    path share only the GEAR table spec."""
+    from pdf_to_epub_spark.operators.cdc import cdc_chunks, chunk_dedup_table
+
+    texts = _cdc_class_texts()
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(t) for t in texts]), (F.col("doc_id") % 13 + 1).cast("int")
+        ).alias("text"),
+    )
+    return chunk_dedup_table(cdc_chunks(d)).select(
+        "chunk_hash", "chunk_bytes", "n_copies"
+    )
+
+
+def _cdc_oracle() -> str:
+    """Golden VALUES: per-class chunk (hash, bytes, occurrences) from the
+    pure reference chunker, scaled by per-class doc counts in SQL."""
+    import collections
+    import hashlib as _hl
+
+    from pdf_to_epub_spark.operators.cdc import chunk_bytes
+
+    vals = []
+    for r, t in enumerate(_cdc_class_texts()):
+        occ: collections.Counter = collections.Counter()
+        sizes: dict[str, int] = {}
+        for piece in chunk_bytes(t.encode("ascii")):
+            h = _hl.md5(piece).hexdigest()
+            occ[h] += 1
+            sizes[h] = len(piece)
+        for h, c in sorted(occ.items()):
+            vals.append(f"({r}, '{h}', {sizes[h]}, {c})")
+    rows = ",\n            ".join(vals)
+    return f"""
+        WITH golden(r, chunk_hash, chunk_bytes, occ) AS (VALUES
+            {rows}),
+        cls AS (
+            SELECT doc_id % 13 AS r, count(*)::BIGINT AS n
+            FROM documents GROUP BY 1
+        )
+        SELECT g.chunk_hash,
+               min(g.chunk_bytes) AS chunk_bytes,
+               SUM(g.occ * cls.n)::BIGINT AS n_copies
+        FROM golden g JOIN cls USING (r)
+        GROUP BY g.chunk_hash
+    """
+
+
 def _q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization (operators/textstats.py
     `normalize_unicode`): every doc gets a deterministic denormalized
@@ -4059,6 +4186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_nfc": _q_unicode_nfc,
         "warc_roundtrip": _q_warc_roundtrip,
         "wet_roundtrip": _q_wet_roundtrip,
+        "tfrecord_roundtrip": _q_tfrecord_roundtrip,
+        "cdc_chunks": _q_cdc_chunks,
         "publish_dates": _q_publish_dates,
         "link_reciprocity": _q_link_reciprocity,
         "gate_attrition": _q_gate_attrition,
@@ -5803,6 +5932,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
         """,
         "compression_ratio": _compression_oracle(),
+        "cdc_chunks": _cdc_oracle(),
         "corpus_rollup": """
             SELECT lang, source,
                    GROUPING(lang, source)::INT AS gid,
@@ -6913,6 +7043,16 @@ def oracle_sql() -> dict[str, str]:
                    md5('<html><body>' || text || '</body></html>') AS html_md5,
                    strlen('<html><body>' || text || '</body></html>')::BIGINT
                        AS n_bytes
+            FROM documents
+        """,
+        # text passes through tf.train.Example bytes features losslessly
+        # (valid UTF-8 in == same bytes out); the float32 feature is
+        # replayed by the REAL cast (doc_id/4 is f32-exact anyway).
+        "tfrecord_roundtrip": """
+            SELECT 'tfr://doc/' || CAST(doc_id AS VARCHAR) AS url,
+                   md5(coalesce(text, '')) AS text_md5,
+                   length(coalesce(text, ''))::BIGINT AS n_chars,
+                   CAST(doc_id / 4.0 AS REAL)::DOUBLE AS score_f32
             FROM documents
         """,
         # utf8proc NFC over the same combining-acute construction; changed
