@@ -686,6 +686,115 @@ def _cdc_oracle() -> str:
     """
 
 
+def _delta_class_pairs() -> list[tuple[str, str]]:
+    """13 deterministic (old, new) snapshot texts: 5 fragment lines, the
+    new side edited by residue (unchanged / insert / delete / replace)."""
+    import hashlib as _hl
+
+    frags = [
+        "".join(
+            _hl.md5(f"frag{f}:{j}".encode("ascii")).hexdigest()
+            for j in range(25)
+        )
+        for f in range(7)
+    ]
+    pairs = []
+    for r in range(13):
+        lines = [frags[(r + 2 * k) % 7] for k in range(5)]
+        old = "\n".join(lines)
+        nl = list(lines)
+        if r % 4 == 1:
+            nl.insert(2, f"INSERTED LINE {r}")
+        elif r % 4 == 2:
+            del nl[0]
+        elif r % 4 == 3:
+            nl[2] = f"REPLACED LINE {r}"
+        pairs.append((old, "\n".join(nl)))
+    return pairs
+
+
+def _q_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl delta storage (operators/delta.py): old/new snapshots per
+    doc from 13 deterministic (old, new) class pairs, docs dropped from
+    new (doc_id%17==0 -> deleted) or absent from old (doc_id%19==3 ->
+    added).  The query runs delta_encode AND delta_apply and emits the
+    reconstruction md5 — the oracle asserts rt_md5 == new_md5 from the
+    pure-Python patch replay, so encode+apply roundtrip is hash-gated."""
+    from pdf_to_epub_spark.operators.delta import delta_apply, delta_encode
+
+    pairs = _delta_class_pairs()
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    r1 = (F.col("doc_id") % 13 + 1).cast("int")
+    olds = F.element_at(F.array(*[F.lit(o) for o, _ in pairs]), r1)
+    news = F.element_at(F.array(*[F.lit(n) for _, n in pairs]), r1)
+    old_df = d.filter(F.col("doc_id") % 19 != 3).select(
+        "doc_id", olds.alias("text")
+    )
+    new_df = d.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id", news.alias("text")
+    )
+    deltas = delta_encode(old_df, new_df)
+    rebuilt = delta_apply(old_df, deltas).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("rt_md5")
+    )
+    return deltas.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "status",
+        "old_md5",
+        "new_md5",
+        "patch_bytes",
+        "full_bytes",
+        "rt_md5",
+    )
+
+
+def _snapshot_delta_oracle() -> str:
+    """Golden VALUES per residue class: md5s and patch sizes from the
+    pure-Python serialize_patch replay; statuses derive from doc_id mods
+    in SQL; rt_md5 is asserted equal to new_md5 (byte-exact rebuild)."""
+    import hashlib as _hl
+
+    from pdf_to_epub_spark.operators.delta import serialize_patch
+
+    vals = []
+    for r, (old, new) in enumerate(_delta_class_pairs()):
+        omd5 = _hl.md5(old.encode()).hexdigest()
+        nmd5 = _hl.md5(new.encode()).hexdigest()
+        changed = old != new
+        pb = len(serialize_patch(old, new).encode()) if changed else "NULL"
+        apb = len(serialize_patch("", new).encode())
+        fb = len(new.encode())
+        vals.append(
+            f"({r}, '{omd5}', '{nmd5}', {str(changed).upper()}, {pb}, {apb}, {fb})"
+        )
+    rows = ",\n            ".join(vals)
+    return f"""
+        WITH golden(r, old_md5, new_md5, changed, patch_bytes,
+                    add_patch_bytes, full_bytes) AS (VALUES
+            {rows}),
+        d AS (
+            SELECT doc_id, doc_id % 13 AS r,
+                   doc_id % 17 = 0 AS is_del, doc_id % 19 = 3 AS is_add
+            FROM documents
+            WHERE NOT (doc_id % 17 = 0 AND doc_id % 19 = 3)
+        )
+        SELECT d.doc_id,
+               CASE WHEN is_del THEN 'deleted' WHEN is_add THEN 'added'
+                    WHEN g.changed THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               CASE WHEN is_add THEN NULL ELSE g.old_md5 END AS old_md5,
+               CASE WHEN is_del THEN NULL ELSE g.new_md5 END AS new_md5,
+               (CASE WHEN is_del THEN NULL
+                     WHEN is_add THEN g.add_patch_bytes
+                     WHEN g.changed THEN g.patch_bytes
+                     ELSE NULL END)::INTEGER AS patch_bytes,
+               (CASE WHEN is_del THEN NULL
+                     ELSE g.full_bytes END)::INTEGER AS full_bytes,
+               CASE WHEN is_del THEN NULL ELSE g.new_md5 END AS rt_md5
+        FROM d JOIN golden g USING (r)
+    """
+
+
 def _q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization (operators/textstats.py
     `normalize_unicode`): every doc gets a deterministic denormalized
@@ -4188,6 +4297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_roundtrip": _q_wet_roundtrip,
         "tfrecord_roundtrip": _q_tfrecord_roundtrip,
         "cdc_chunks": _q_cdc_chunks,
+        "snapshot_delta": _q_snapshot_delta,
         "publish_dates": _q_publish_dates,
         "link_reciprocity": _q_link_reciprocity,
         "gate_attrition": _q_gate_attrition,
@@ -5933,6 +6043,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "compression_ratio": _compression_oracle(),
         "cdc_chunks": _cdc_oracle(),
+        "snapshot_delta": _snapshot_delta_oracle(),
         "corpus_rollup": """
             SELECT lang, source,
                    GROUPING(lang, source)::INT AS gid,
