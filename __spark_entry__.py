@@ -795,6 +795,100 @@ def _snapshot_delta_oracle() -> str:
     """
 
 
+_LANG_SPAN_SENTS = {
+    "en": "the cat and the dog was in the house.",
+    "fr": "le chat et la fille est une belle personne.",
+    "de": "der hund und die katze ist ein gutes tier.",
+    "es": "el perro y la casa es de los amigos.",
+}
+
+
+def _lang_spans_layout(r: int) -> list[tuple[str, int]]:
+    """Deterministic code-switching layout for residue class r: four
+    segments (en, fr, de-or-es, en) with residue-varied run lengths."""
+    return [
+        ("en", 1 + r % 2),
+        ("fr", 1 + (r // 2) % 2),
+        ("de" if r % 3 == 0 else "es", 1),
+        ("en", 2),
+    ]
+
+
+def _lang_spans_text(r: int) -> str:
+    return " ".join(
+        _LANG_SPAN_SENTS[lang]
+        for lang, n in _lang_spans_layout(r)
+        for _ in range(n)
+    )
+
+
+def _q_lang_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching segmentation (textstats.lang_spans): docs carry one
+    of 13 deterministic multilingual layouts; the operator sentence-
+    splits, votes per-sentence language, and compresses runs into spans.
+    The oracle replays split+vote+runs in independent pure Python
+    (golden-VALUES; only the marker table is shared, by design)."""
+    from pdf_to_epub_spark.operators import lang_spans
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(_lang_spans_text(r)) for r in range(13)]),
+            (F.col("doc_id") % 13 + 1).cast("int"),
+        ).alias("text"),
+    )
+    return lang_spans(d)
+
+
+def _lang_spans_oracle() -> str:
+    """Independent replay: re-based tokenizer + marker vote + run
+    compression per residue class, inlined as VALUES."""
+    import re as _re
+
+    from pdf_to_epub_spark.operators.textstats import LANG_MARKERS
+
+    def guess(sent: str) -> str:
+        toks = _re.findall("[a-zà-öø-ÿ]+", sent.lower())
+        scores = {
+            lang: sum(t in set(m) for t in toks)
+            for lang, m in LANG_MARKERS.items()
+        }
+        return sorted(scores, key=lambda l: (-scores[l], l))[0]
+
+    vals = []
+    for r in range(13):
+        text = _lang_spans_text(r)
+        sents = [
+            x.strip(" ")
+            for x in _re.findall(r"[^.!?]+[.!?]*", text)
+            if x.strip(" ") != ""
+        ]
+        langs = [guess(s) for s in sents]
+        span_idx = -1
+        spans: list[list] = []
+        for i, (s, lg) in enumerate(zip(sents, langs)):
+            if span_idx < 0 or spans[-1][0] != lg:
+                span_idx += 1
+                spans.append([lg, 0, 0, i, i])
+            spans[-1][1] += 1
+            spans[-1][2] += len(s)
+            spans[-1][4] = i
+        for si, (lg, ns, nc, a, b) in enumerate(spans):
+            vals.append(f"({r}, {si}, '{lg}', {ns}, {nc}, {a}, {b})")
+    rows = ",\n            ".join(vals)
+    return f"""
+        WITH golden(r, span_idx, lang, n_sentences, n_chars,
+                    start_idx, end_idx) AS (VALUES
+            {rows})
+        SELECT d.doc_id, g.span_idx, g.lang,
+               g.n_sentences::INTEGER AS n_sentences,
+               g.n_chars::BIGINT AS n_chars,
+               g.start_idx::INTEGER AS start_idx,
+               g.end_idx::INTEGER AS end_idx
+        FROM documents d JOIN golden g ON d.doc_id % 13 = g.r
+    """
+
+
 def _q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization (operators/textstats.py
     `normalize_unicode`): every doc gets a deterministic denormalized
@@ -4298,6 +4392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfrecord_roundtrip": _q_tfrecord_roundtrip,
         "cdc_chunks": _q_cdc_chunks,
         "snapshot_delta": _q_snapshot_delta,
+        "lang_spans": _q_lang_spans,
         "publish_dates": _q_publish_dates,
         "link_reciprocity": _q_link_reciprocity,
         "gate_attrition": _q_gate_attrition,
@@ -6044,6 +6139,7 @@ def oracle_sql() -> dict[str, str]:
         "compression_ratio": _compression_oracle(),
         "cdc_chunks": _cdc_oracle(),
         "snapshot_delta": _snapshot_delta_oracle(),
+        "lang_spans": _lang_spans_oracle(),
         "corpus_rollup": """
             SELECT lang, source,
                    GROUPING(lang, source)::INT AS gid,

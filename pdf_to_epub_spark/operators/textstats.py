@@ -1857,3 +1857,65 @@ def filter_lines(
         ratio.alias("drop_ratio"),
         (ratio > F.lit(float(max_drop_ratio))).alias("doc_flagged"),
     )
+
+
+def lang_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-sentence language segmentation: split the document into the
+    RE2-portable sentence units (see :func:`sentence_stats`), vote each
+    sentence's language with the stopword markers (same argmax +
+    lang-ascending tie-break as :func:`guess_language`), then compress
+    contiguous same-language sentences into spans — the code-switching
+    map of a document.
+
+    Returns ``(id, span_idx, lang, n_sentences, n_chars, start_idx,
+    end_idx)`` with 0-based sentence indexes.
+
+    Plan shape: explode -> codegen column algebra -> one window + one
+    groupBy, both keyed on the doc id first, over slim (id, idx, lang,
+    len) rows — sentence TEXT is dropped before any shuffle.  The
+    explode uses the posexplode_outer + isNotNull guard so
+    InferFiltersFromGenerate cannot re-inline the sentence-array build
+    below the projection (the r4s4 trap)."""
+    sents = F.expr(
+        f"filter(transform(regexp_extract_all({text_col},"
+        f" '[^.!?]+[.!?]*', 0), x -> trim(x)), x -> x != '')"
+    )
+    exploded = (
+        df.select(F.col(id_col), sents.alias("__sents"))
+        .select(id_col, F.posexplode_outer("__sents").alias("idx", "sent"))
+        .where(F.col("sent").isNotNull())
+    )
+    langd = guess_language(exploded, text_col="sent").select(
+        id_col,
+        "idx",
+        F.col("lang_guess").alias("lang"),
+        F.length("sent").alias("sent_chars"),
+    )
+    w = Window.partitionBy(id_col).orderBy("idx")
+    prev = F.lag("lang").over(w)
+    chg = F.when(prev.isNull() | (prev != F.col("lang")), 1).otherwise(0)
+    run = F.sum(chg).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        langd.withColumn("__run", run)
+        .groupBy(id_col, "__run")
+        .agg(
+            F.min("lang").alias("lang"),  # constant within a run
+            F.count(F.lit(1)).cast("int").alias("n_sentences"),
+            F.sum("sent_chars").cast("long").alias("n_chars"),
+            F.min("idx").alias("start_idx"),
+            F.max("idx").alias("end_idx"),
+        )
+        .select(
+            id_col,
+            (F.col("__run") - 1).cast("int").alias("span_idx"),
+            "lang",
+            "n_sentences",
+            "n_chars",
+            "start_idx",
+            "end_idx",
+        )
+    )

@@ -3310,3 +3310,34 @@ def test_shard_manifest_checksum(spark):
     man2 = {r.shard: r for r in shard_manifest(df2, n_shards=4).collect()}
     changed = assign[0]
     assert man2[changed].checksum != man[changed].checksum
+
+
+def test_lang_spans_runs_and_edges(spark):
+    from pdf_to_epub_spark.operators import lang_spans
+
+    df = spark.createDataFrame(
+        [
+            # en, en, fr, en -> three spans
+            (1, "the cat was in the house. the dog was in the house. "
+                "le chat est une belle personne. the cat and the dog was here."),
+            (2, "the cat was in the house."),   # single span
+            (3, ""),                             # no sentences -> no rows
+            (4, None),                           # null text -> no rows
+            (5, "...!?"),                        # terminators only -> no rows
+        ],
+        "doc_id long, text string",
+    )
+    rows = lang_spans(df).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2}
+    d1 = sorted((r for r in rows if r["doc_id"] == 1), key=lambda r: r["span_idx"])
+    assert [(r["lang"], r["n_sentences"]) for r in d1] == [
+        ("en", 2), ("fr", 1), ("en", 1)
+    ]
+    assert [(r["start_idx"], r["end_idx"]) for r in d1] == [(0, 1), (2, 2), (3, 3)]
+    # spans tile the sentence index range with no gaps
+    assert all(
+        a["end_idx"] + 1 == b["start_idx"] for a, b in zip(d1, d1[1:])
+    )
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["span_idx"] == 0
+    assert d2[0]["n_chars"] == len("the cat was in the house.")
