@@ -522,6 +522,42 @@ def run_bench(
     # parser itself is zlib-bound (~15.7k records/s/core standalone).
     timed("warc_parse", warc_parse, warmup=True, runs=2)
 
+    def cdc_chunk_dedup() -> None:
+        """CDC chunk store over the CC corpus: numpy gear-hash chunking
+        (mapInPandas, 64 shifted vector adds per doc) + ONE slim groupBy
+        on chunk_hash — the storage-dedup primitive for snapshot
+        retention.  Bench prose is template-heavy, so real chunk sharing
+        exists across docs."""
+        from pdf_to_epub_spark.operators.cdc import cdc_chunks, chunk_dedup_table
+
+        docs = corpus.select(F.xxhash64("url").alias("doc_id"), "text")
+        _force(chunk_dedup_table(cdc_chunks(docs)))
+
+    timed("cdc_chunk_dedup", cdc_chunk_dedup, warmup=True, runs=2)
+
+    def snapshot_delta() -> None:
+        """Recrawl delta encode: new snapshot = corpus with 1/8 docs
+        line-edited, 1/16 deleted, plus url-suffixed adds; measures the
+        full-outer key join + the Arrow diff whose input is gated to the
+        changed minority (unchanged docs never cross into Python)."""
+        from pdf_to_epub_spark.operators.delta import (
+            delta_encode,
+            delta_storage_summary,
+        )
+
+        docs = corpus.select(F.xxhash64("url").alias("doc_id"), "text")
+        old = docs.filter(F.pmod("doc_id", F.lit(16)) != 3)
+        new = docs.filter(F.pmod("doc_id", F.lit(16)) != 0).withColumn(
+            "text",
+            F.when(
+                F.pmod("doc_id", F.lit(8)) == 1,
+                F.concat(F.lit("EDITED HEADLINE\n"), F.col("text")),
+            ).otherwise(F.col("text")),
+        )
+        _force(delta_storage_summary(delta_encode(old, new)))
+
+    timed("snapshot_delta", snapshot_delta, warmup=True, runs=2)
+
     # Recall@10 of the approximate ANN paths vs the brute-force oracle —
     # an approximate operator without a recall number isn't auditable.
     ann_recall: dict[str, float] = {}
