@@ -889,6 +889,22 @@ def _lang_spans_oracle() -> str:
     """
 
 
+def _q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-your-own quality classifier (classify.nb_train_scores):
+    multinomial NB trained ON-CLUSTER from the doc_id%3==0 subset
+    (label = even doc_id), then zero-shuffle HOF scoring of every doc
+    with integer micro-nat costs.  The oracle replays training AND
+    scoring entirely in SQL — counts, Laplace smoothing, ln costs,
+    priors, argmin — over the same parquet."""
+    from pdf_to_epub_spark.operators.classify import nb_train_scores
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    labels = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", (F.col("doc_id") % 2 == 0).alias("label")
+    )
+    return nb_train_scores(d, labels)
+
+
 def _q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization (operators/textstats.py
     `normalize_unicode`): every doc gets a deterministic denormalized
@@ -4393,6 +4409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": _q_cdc_chunks,
         "snapshot_delta": _q_snapshot_delta,
         "lang_spans": _q_lang_spans,
+        "nb_classifier": _q_nb_classifier,
         "publish_dates": _q_publish_dates,
         "link_reciprocity": _q_link_reciprocity,
         "gate_attrition": _q_gate_attrition,
@@ -6140,6 +6157,92 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": _cdc_oracle(),
         "snapshot_delta": _snapshot_delta_oracle(),
         "lang_spans": _lang_spans_oracle(),
+        # NB train+score replayed relationally: token buckets via the
+        # 60-bit md5-prefix idiom, Laplace costs in integer micro-nats
+        # (floor(x*1e6+0.5) == the driver-side Python rounding; ln is the
+        # same glibc on this box), priors from class doc counts.
+        "nb_classifier": """
+            WITH lab AS (
+                SELECT doc_id, doc_id % 2 = 0 AS label,
+                       lower(coalesce(text, '')) AS t
+                FROM documents WHERE doc_id % 3 = 0
+            ),
+            tok AS (
+                SELECT label,
+                       unnest(regexp_extract_all(t, '[a-zà-öø-ÿ]+')) AS tk
+                FROM lab
+            ),
+            tokb AS (
+                SELECT label,
+                       ('0x' || substr(md5('nb:' || tk), 1, 15))::BIGINT % 512
+                           AS bucket
+                FROM tok
+            ),
+            cnt AS (
+                SELECT label, bucket, count(*)::DOUBLE AS c
+                FROM tokb GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT label, count(*)::DOUBLE AS n FROM tokb GROUP BY 1
+            ),
+            grid AS (
+                SELECT l.label, g.bucket
+                FROM (SELECT DISTINCT label FROM lab) l
+                CROSS JOIN (
+                    SELECT unnest(generate_series(0, 511)) AS bucket) g
+            ),
+            cost AS (
+                SELECT grid.label, grid.bucket,
+                       floor(-ln((coalesce(cnt.c, 0) + 1.0)
+                                 / (tot.n + 512.0)) * 1e6 + 0.5)::BIGINT
+                           AS cost
+                FROM grid
+                JOIN tot USING (label)
+                LEFT JOIN cnt ON cnt.label = grid.label
+                             AND cnt.bucket = grid.bucket
+            ),
+            prior AS (SELECT label, count(*)::DOUBLE AS nd FROM lab GROUP BY 1),
+            pcost AS (
+                SELECT label,
+                       floor(-ln(nd / (SELECT sum(nd) FROM prior)) * 1e6
+                             + 0.5)::BIGINT AS pc
+                FROM prior
+            ),
+            alltok AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('nb:' || tk), 1, 15))::BIGINT % 512
+                           AS bucket
+                FROM (
+                    SELECT doc_id,
+                           unnest(regexp_extract_all(
+                               lower(coalesce(text, '')),
+                               '[a-zà-öø-ÿ]+')) AS tk
+                    FROM documents)
+            ),
+            dsum AS (
+                SELECT a.doc_id, c.label, sum(c.cost)::BIGINT AS s,
+                       count(*)::INTEGER AS nt
+                FROM alltok a JOIN cost c USING (bucket)
+                GROUP BY 1, 2
+            ),
+            pivoted AS (
+                SELECT b.doc_id,
+                       coalesce(max(CASE WHEN NOT d.label THEN d.s END), 0)
+                           + (SELECT pc FROM pcost WHERE NOT label) AS cf,
+                       coalesce(max(CASE WHEN d.label THEN d.s END), 0)
+                           + (SELECT pc FROM pcost WHERE label) AS ct,
+                       coalesce(max(d.nt), 0) AS n_tokens
+                FROM (SELECT doc_id FROM documents) b
+                LEFT JOIN dsum d ON d.doc_id = b.doc_id
+                GROUP BY b.doc_id
+            )
+            SELECT doc_id, n_tokens::INTEGER AS n_tokens,
+                   cf::BIGINT AS cost_false_micro,
+                   ct::BIGINT AS cost_true_micro,
+                   ct < cf AS pred_label,
+                   (cf - ct)::BIGINT AS margin_micro
+            FROM pivoted
+        """,
         "corpus_rollup": """
             SELECT lang, source,
                    GROUPING(lang, source)::INT AS gid,

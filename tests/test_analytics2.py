@@ -113,3 +113,51 @@ def test_event_pivot_counts(spark):
     assert got[3].n_total == 1
     assert (got[3].n_click + got[3].n_error + got[3].n_purchase
             + got[3].n_signup + got[3].n_view) == 0
+
+
+def test_nb_train_scores_separable_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_to_epub_spark.operators.classify import nb_train_scores
+
+    docs = spark.createDataFrame(
+        [
+            (i, ("the good interesting text with many fine words "
+                 if i % 2 == 0
+                 else "bad awful terrible junk spam noise ") * 3 + f"tail{i}")
+            for i in range(30)
+        ]
+        + [(99, None), (98, "")],
+        "doc_id long, text string",
+    )
+    labels = docs.filter("doc_id % 3 = 0 AND doc_id < 90").select(
+        "doc_id", (F.col("doc_id") % 2 == 0).alias("label")
+    )
+    rows = {r["doc_id"]: r for r in nb_train_scores(docs, labels).collect()}
+    # fully separable vocabulary -> every unlabeled doc classified right
+    assert all(rows[i]["pred_label"] == (i % 2 == 0) for i in range(30))
+    # margins are consistent with predictions and sums are exact ints
+    assert all(
+        (rows[i]["margin_micro"] > 0) == rows[i]["pred_label"]
+        for i in range(30)
+    )
+    # null/empty docs score priors only (equal doc counts -> equal priors
+    # -> false wins the exact tie)
+    for did in (98, 99):
+        assert rows[did]["n_tokens"] == 0
+        assert rows[did]["pred_label"] is False
+        assert rows[did]["margin_micro"] == 0
+
+
+def test_nb_train_scores_requires_both_classes(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pdf_to_epub_spark.operators.classify import nb_train_scores
+
+    docs = spark.createDataFrame(
+        [(i, "some text here") for i in range(6)], "doc_id long, text string"
+    )
+    one_class = docs.select("doc_id", F.lit(True).alias("label"))
+    with pytest.raises(ValueError, match="BOTH classes"):
+        nb_train_scores(docs, one_class)
