@@ -905,6 +905,20 @@ def _q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_train_scores(d, labels)
 
 
+def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance of the embeddings table (similarity.
+    embedding_covariance): one Arrow pass accumulates integer-nano
+    first/second moments (order-independent sums, dim^2-bounded output),
+    the final formula runs on exact integers — the PCA primitive whose
+    eigen step (pca_top_component) is then driver-side constant cost.
+    The oracle mirrors the per-product nano rounding via a vec_id
+    self-join in SQL."""
+    from pdf_to_epub_spark.operators.similarity import embedding_covariance
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return embedding_covariance(e)
+
+
 def _q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization (operators/textstats.py
     `normalize_unicode`): every doc gets a deterministic denormalized
@@ -4410,6 +4424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_delta": _q_snapshot_delta,
         "lang_spans": _q_lang_spans,
         "nb_classifier": _q_nb_classifier,
+        "embedding_covariance": _q_embedding_covariance,
         "publish_dates": _q_publish_dates,
         "link_reciprocity": _q_link_reciprocity,
         "gate_attrition": _q_gate_attrition,
@@ -6157,6 +6172,35 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": _cdc_oracle(),
         "snapshot_delta": _snapshot_delta_oracle(),
         "lang_spans": _lang_spans_oracle(),
+        # Covariance from integer-nano moment sums: per-product
+        # round-half-away nanos summed as BIGINT (order-independent),
+        # final formula shape mirrored exactly.
+        "embedding_covariance": """
+            WITH x AS (
+                SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                       unnest(generate_series(1, len(embedding))) AS i
+                FROM embeddings
+            ),
+            n AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+            sv AS (
+                SELECT i, sum(round(v * 1e9)::BIGINT) AS svn
+                FROM x GROUP BY i
+            ),
+            sp AS (
+                SELECT a.i AS i, b.i AS j,
+                       sum(round(a.v * b.v * 1e9)::BIGINT) AS spn
+                FROM x a JOIN x b USING (vec_id)
+                GROUP BY 1, 2
+            )
+            SELECT sp.i::INTEGER AS i, sp.j::INTEGER AS j,
+                   round((sp.spn / 1e9) / n.n
+                         - (sa.svn / 1e9 / n.n) * (sb.svn / 1e9 / n.n),
+                         6) AS cov
+            FROM sp
+            CROSS JOIN n
+            JOIN sv sa ON sa.i = sp.i
+            JOIN sv sb ON sb.i = sp.j
+        """,
         # NB train+score replayed relationally: token buckets via the
         # 60-bit md5-prefix idiom, Laplace costs in integer micro-nats
         # (floor(x*1e6+0.5) == the driver-side Python rounding; ln is the

@@ -703,3 +703,155 @@ def embedding_outliers(
             .alias("is_outlier"),
         )
     )
+
+
+def embedding_moments_nano(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """One-pass distributed first+second moments of an embedding column
+    in integer NANO units — the covariance/PCA primitive.
+
+    Per Arrow batch, numpy computes per-PRODUCT half-away-from-zero
+    nano roundings (``round(v_i * v_j * 1e9)``) and per-element
+    ``round(v_i * 1e9)``, accumulated as int64 — so the global sums are
+    integer and therefore partition-order independent AND replayable by
+    any engine that rounds half away from zero (Spark round / DuckDB
+    round / Python round all do).  Output rows:
+
+      (i, j,  spn)  for 1 <= i, j <= dim   — sum of product nanos
+      (i, 0,  svn)  for 1 <= i <= dim      — sum of element nanos
+      (0, 0,  n)                           — row count
+
+    One shuffle of ~dim^2 + dim + 1 slim rows per batch; at any corpus
+    size the aggregate output stays dim^2-bounded (64-dim -> 4 161
+    rows), which is what makes PCA over 10^12 vectors a single pass."""
+    import pandas as pd  # noqa: F401 (arrow path)
+
+    def emit(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            col = batch.column(0)
+            vecs = col.to_pylist()
+            rows_i: list[int] = []
+            rows_j: list[int] = []
+            rows_v: list[int] = []
+            mats = [v for v in vecs if v is not None]
+            if mats:
+                X = np.asarray(mats, dtype=np.float64)
+                dim = X.shape[1]
+                sp = np.zeros((dim, dim), dtype=np.int64)
+                sv = np.zeros(dim, dtype=np.int64)
+                # chunked so the per-row outer-product tensor stays small
+                for k in range(0, X.shape[0], 256):
+                    C = X[k : k + 256]
+                    P = C[:, :, None] * C[:, None, :] * 1e9
+                    sp += (
+                        np.where(P >= 0, np.floor(P + 0.5), np.ceil(P - 0.5))
+                        .astype(np.int64)
+                        .sum(axis=0)
+                    )
+                    V = C * 1e9
+                    sv += (
+                        np.where(V >= 0, np.floor(V + 0.5), np.ceil(V - 0.5))
+                        .astype(np.int64)
+                        .sum(axis=0)
+                    )
+                ii, jj = np.meshgrid(
+                    np.arange(1, dim + 1), np.arange(1, dim + 1), indexing="ij"
+                )
+                rows_i = ii.ravel().tolist() + list(range(1, dim + 1)) + [0]
+                rows_j = jj.ravel().tolist() + [0] * dim + [0]
+                rows_v = (
+                    sp.ravel().tolist() + sv.tolist() + [len(mats)]
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(rows_i, type=pa.int32()),
+                    pa.array(rows_j, type=pa.int32()),
+                    pa.array(rows_v, type=pa.int64()),
+                ],
+                names=["i", "j", "val"],
+            )
+
+    return (
+        df.select(F.col(vec_col))
+        .mapInArrow(emit, "i int, j int, val long")
+        .groupBy("i", "j")
+        .agg(F.sum("val").alias("val"))
+    )
+
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Mean-centered covariance entries ``(i, j, cov)`` (1-based dims,
+    round 6) from the one-pass nano moments — deterministic because
+    every floating-point input to the final formula is an exact integer
+    sum, and the formula shape is mirrored by the SQL oracle."""
+    m = embedding_moments_nano(df, vec_col).cache()
+    n = m.where((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("val").alias("n")
+    )
+    sv = m.where((F.col("i") > 0) & (F.col("j") == 0)).select(
+        F.col("i").alias("d"), F.col("val").alias("svn")
+    )
+    sp = m.where((F.col("i") > 0) & (F.col("j") > 0))
+    return (
+        sp.crossJoin(F.broadcast(n))
+        .join(F.broadcast(sv).withColumnRenamed("d", "i").withColumnRenamed("svn", "svi"), "i")
+        .join(F.broadcast(sv).withColumnRenamed("d", "j").withColumnRenamed("svn", "svj"), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                (F.col("val") / 1e9) / F.col("n")
+                - (F.col("svi") / 1e9 / F.col("n"))
+                * (F.col("svj") / 1e9 / F.col("n")),
+                6,
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    iters: int = 50,
+) -> "tuple[float, list[float]]":
+    """Top principal component by power iteration: the DISTRIBUTED work
+    is the single :func:`embedding_moments_nano` pass (dim^2-bounded
+    collect); the 64x64 eigen-iteration is driver-side numpy — at any
+    corpus scale the driver cost is constant.
+
+    Deterministic: fixed all-ones start, fixed iteration count, sign
+    normalized so the first nonzero loading is positive.  Returns
+    ``(eigenvalue, loadings)``; validated against numpy.linalg.eigh in
+    tests (no SQL oracle — eigendecomposition isn't SQL-expressible)."""
+    import numpy as np
+
+    rows = embedding_moments_nano(df, vec_col).collect()
+    n = next(r["val"] for r in rows if r["i"] == 0 and r["j"] == 0)
+    dim = max(r["i"] for r in rows)
+    sv = np.zeros(dim)
+    sp = np.zeros((dim, dim))
+    for r in rows:
+        if r["i"] > 0 and r["j"] == 0:
+            sv[r["i"] - 1] = r["val"]
+        elif r["i"] > 0:
+            sp[r["i"] - 1, r["j"] - 1] = r["val"]
+    mu = sv / 1e9 / n
+    cov = sp / 1e9 / n - np.outer(mu, mu)
+    v = np.ones(dim) / np.sqrt(dim)
+    for _ in range(iters):
+        w = cov @ v
+        nrm = np.linalg.norm(w)
+        if nrm == 0.0:
+            break
+        v = w / nrm
+    lam = float(v @ cov @ v)
+    nz = np.nonzero(np.abs(v) > 1e-12)[0]
+    if len(nz) and v[nz[0]] < 0:
+        v = -v
+    return lam, [float(x) for x in v]

@@ -3341,3 +3341,47 @@ def test_lang_spans_runs_and_edges(spark):
     d2 = [r for r in rows if r["doc_id"] == 2]
     assert len(d2) == 1 and d2[0]["span_idx"] == 0
     assert d2[0]["n_chars"] == len("the cat was in the house.")
+
+
+def test_embedding_covariance_and_pca(spark):
+    import numpy as np
+
+    from pdf_to_epub_spark.operators.similarity import (
+        embedding_covariance,
+        pca_top_component,
+    )
+
+    # deterministic anisotropic cloud: variance concentrated on a known
+    # direction u, so eigh and power iteration must agree on it
+    rng = np.random.RandomState(42)
+    dim = 8
+    u = np.zeros(dim)
+    u[1] = 0.8
+    u[4] = 0.6
+    X = (
+        rng.randn(400, 1) * 3.0 * u[None, :]
+        + rng.randn(400, dim) * 0.3
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+    cov_rows = embedding_covariance(df).collect()
+    assert len(cov_rows) == dim * dim
+    got = np.zeros((dim, dim))
+    for r in cov_rows:
+        got[r["i"] - 1, r["j"] - 1] = r["cov"]
+    Xd = X.astype(np.float64)
+    ref = np.cov(Xd, rowvar=False, bias=True)
+    assert np.allclose(got, ref, atol=2e-4)
+    assert np.allclose(got, got.T)  # symmetric by construction
+
+    lam, v = pca_top_component(df, iters=60)
+    w, V = np.linalg.eigh(ref)
+    top = V[:, -1]
+    cos = abs(float(np.dot(v, top)))
+    assert cos > 0.999
+    assert abs(lam - w[-1]) / w[-1] < 1e-3
+    # sign convention: first nonzero loading positive
+    nz = [x for x in v if abs(x) > 1e-12]
+    assert nz[0] > 0
