@@ -267,3 +267,39 @@ def ingest(
         ]
         packed = reduce(DataFrame.unionByName, parts)
     return IngestResult(corpus=out, audit=audit, packed=packed)
+
+
+def export_packed_tfrecords(
+    packed: DataFrame, out_dir: str, files_per_split: int = 32
+) -> None:
+    """Materialize packed training contexts (the ``IngestResult.packed``
+    frame) as TFRecord shards — the training-loader handoff format.
+
+    Layout: ``out_dir/split=<name>/part-*.tfrecord`` (one file per Spark
+    partition; raise ``files_per_split`` with corpus size).  Rows are
+    grouped by pack shard and written in (shard, seq_id) order, so a
+    loader streams each context sequence exactly as packed.  Features:
+    ``text`` bytes + shard/seq_id/n_docs/fill_tokens int64 — everything
+    a trainer needs to audit fill efficiency without re-tokenizing."""
+    from pdf_to_epub_spark.sources.tfrecord import write_tfrecords
+
+    has_split = "split" in packed.columns
+    splits = (
+        [r["split"] for r in packed.select("split").distinct().collect()]
+        if has_split
+        else ["all"]
+    )
+    for name in sorted(splits):
+        part = packed.where(F.col("split") == name) if has_split else packed
+        write_tfrecords(
+            part.withColumn("text_b", F.col("text").cast("binary"))
+            .withColumn(
+                "__order",
+                F.col("shard").cast("long") * F.lit(1 << 32) + F.col("seq_id"),
+            )
+            .repartition(files_per_split, "shard"),
+            f"{out_dir}/split={name}",
+            bytes_cols=("text_b",),
+            int_cols=("shard", "seq_id", "n_docs", "fill_tokens"),
+            order_col="__order",
+        )

@@ -123,3 +123,43 @@ def test_spark_write_read_roundtrip(spark, tmp_path):
         assert g[1] == text
         assert g[2] == toks
         assert g[3] == score  # /4 values are f32-exact
+
+
+def test_export_packed_tfrecords_roundtrip(spark, tmp_path):
+    from pdf_to_epub_spark.operators import packed_texts
+    from pdf_to_epub_spark.pipeline import export_packed_tfrecords
+    from pdf_to_epub_spark.sources.tfrecord import (
+        parse_tfrecord_contents,
+        read_tfrecord_paths,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"split{'AB'[i % 2]}", f"document body {i} " * (3 + i % 5))
+         for i in range(40)],
+        "doc_id long, split string, text string",
+    )
+    packed = None
+    for name in ("splitA", "splitB"):
+        p = packed_texts(
+            docs.where(F.col("split") == name), max_tokens=32, n_shards=4
+        ).withColumn("split", F.lit(name))
+        packed = p if packed is None else packed.unionByName(p)
+    expected = {
+        (r["split"], r["shard"], r["seq_id"]): (r["text"], r["n_docs"])
+        for r in packed.collect()
+    }
+    out = tmp_path / "tfr"
+    export_packed_tfrecords(packed, str(out), files_per_split=2)
+    got = {}
+    for name in ("splitA", "splitB"):
+        files = read_tfrecord_paths(spark, str(out / f"split={name}" / "*.tfrecord"))
+        parsed = parse_tfrecord_contents(
+            files,
+            bytes_cols=("text_b",),
+            int_cols=("shard", "seq_id", "n_docs", "fill_tokens"),
+        )
+        for r in parsed.collect():
+            got[(name, r["shard"][0], r["seq_id"][0])] = (
+                r["text_b"], r["n_docs"][0]
+            )
+    assert got == expected
