@@ -919,6 +919,84 @@ def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(e)
 
 
+def _q_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(batch) chunk-store maintenance (cdc.cdc_incremental): the
+    snapshot_delta class pairs drive a recrawl — changed docs (class
+    edit), added (%19==3), deleted (%17==0) — and the query emits the
+    per-chunk refcount delta.  The oracle replays per-class old/new
+    chunk multisets with the pure reference chunker and weights them by
+    each doc's status in SQL."""
+    from pdf_to_epub_spark.operators.cdc import cdc_chunks, cdc_incremental
+
+    pairs = _delta_class_pairs()
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    r1 = (F.col("doc_id") % 13 + 1).cast("int")
+    olds = F.element_at(F.array(*[F.lit(o) for o, _ in pairs]), r1)
+    news = F.element_at(F.array(*[F.lit(n) for _, n in pairs]), r1)
+    is_del = F.col("doc_id") % 17 == 0
+    is_add = F.col("doc_id") % 19 == 3
+    changed_r = F.col("doc_id") % 13 % 4 != 0
+    old_df = d.filter(~is_add).select("doc_id", olds.alias("text"))
+    old_chunks = cdc_chunks(old_df)
+    batch = d.filter(~is_del & (is_add | changed_r)).select(
+        "doc_id", news.alias("text")
+    )
+    deleted = d.filter(is_del & ~is_add).select("doc_id")
+    return cdc_incremental(old_chunks, batch, deleted)
+
+
+def _cdc_incremental_oracle() -> str:
+    """Golden VALUES: per class the old/new chunk occurrence counts from
+    the pure chunker; per-doc status weights them in SQL."""
+    import collections
+    import hashlib as _hl
+
+    from pdf_to_epub_spark.operators.cdc import chunk_bytes
+
+    vals = []
+    for r, (old, new) in enumerate(_delta_class_pairs()):
+        occ_old: collections.Counter = collections.Counter()
+        occ_new: collections.Counter = collections.Counter()
+        sizes: dict[str, int] = {}
+        for piece in chunk_bytes(old.encode("ascii")):
+            h = _hl.md5(piece).hexdigest()
+            occ_old[h] += 1
+            sizes[h] = len(piece)
+        for piece in chunk_bytes(new.encode("ascii")):
+            h = _hl.md5(piece).hexdigest()
+            occ_new[h] += 1
+            sizes[h] = len(piece)
+        changed = "TRUE" if old != new else "FALSE"
+        for h in sorted(set(occ_old) | set(occ_new)):
+            vals.append(
+                f"({r}, '{h}', {sizes[h]}, {occ_old[h]}, {occ_new[h]}, {changed})"
+            )
+    rows = ",\n            ".join(vals)
+    return f"""
+        WITH golden(r, chunk_hash, chunk_bytes, occ_old, occ_new,
+                    changed) AS (VALUES
+            {rows}),
+        d AS (
+            SELECT doc_id, doc_id % 13 AS r,
+                   doc_id % 17 = 0 AS is_del, doc_id % 19 = 3 AS is_add
+            FROM documents
+            WHERE NOT (doc_id % 17 = 0 AND doc_id % 19 = 3)
+        )
+        SELECT g.chunk_hash,
+               min(g.chunk_bytes) AS chunk_bytes,
+               SUM(CASE WHEN d.is_del THEN -g.occ_old
+                        WHEN d.is_add THEN g.occ_new
+                        WHEN g.changed THEN g.occ_new - g.occ_old
+                        ELSE 0 END)::BIGINT AS ref_delta
+        FROM d JOIN golden g USING (r)
+        GROUP BY g.chunk_hash
+        HAVING SUM(CASE WHEN d.is_del THEN -g.occ_old
+                        WHEN d.is_add THEN g.occ_new
+                        WHEN g.changed THEN g.occ_new - g.occ_old
+                        ELSE 0 END) <> 0
+    """
+
+
 def _q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization (operators/textstats.py
     `normalize_unicode`): every doc gets a deterministic denormalized
@@ -4425,6 +4503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_spans": _q_lang_spans,
         "nb_classifier": _q_nb_classifier,
         "embedding_covariance": _q_embedding_covariance,
+        "cdc_incremental": _q_cdc_incremental,
         "publish_dates": _q_publish_dates,
         "link_reciprocity": _q_link_reciprocity,
         "gate_attrition": _q_gate_attrition,
@@ -6171,6 +6250,7 @@ def oracle_sql() -> dict[str, str]:
         "compression_ratio": _compression_oracle(),
         "cdc_chunks": _cdc_oracle(),
         "snapshot_delta": _snapshot_delta_oracle(),
+        "cdc_incremental": _cdc_incremental_oracle(),
         "lang_spans": _lang_spans_oracle(),
         # Covariance from integer-nano moment sums: per-product
         # round-half-away nanos summed as BIGINT (order-independent),

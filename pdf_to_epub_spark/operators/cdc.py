@@ -224,3 +224,47 @@ def cdc_dedup_ratio(chunks: DataFrame) -> DataFrame:
             6,
         ).alias("dedup_ratio"),
     )
+
+
+def cdc_incremental(
+    old_chunks: DataFrame,
+    new_docs: DataFrame,
+    deleted_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_size: int = 64,
+    avg_bits: int = 8,
+    max_size: int = 1024,
+) -> DataFrame:
+    """O(batch) chunk-store maintenance for a recrawl: re-chunk ONLY the
+    changed/added documents, subtract the touched documents' old chunk
+    references, and emit the net refcount delta per chunk —
+    ``(chunk_hash, chunk_bytes, ref_delta)`` with zero-net rows dropped.
+
+    Applying the delta to the prior store (refcount += ref_delta, insert
+    unseen hashes, evict refcount 0) reproduces exactly the store a full
+    re-chunk of the new corpus would build — pinned by test.  The daily
+    cost is O(batch x chunks-per-doc): the untouched corpus is never
+    read, the only wide op is one groupBy on chunk_hash over slim
+    +1/-1-weighted rows (map-side combined).  ``new_docs`` must contain
+    the changed+added documents only (NOT unchanged recrawls — dedupe
+    upstream with :func:`pdf_to_epub_spark.operators.delta.delta_encode`
+    statuses); ``deleted_ids`` the disappeared keys."""
+    probe = new_docs.select(id_col).distinct()  # multi-version batch safe
+    if deleted_ids is not None:
+        probe = probe.unionByName(deleted_ids.select(id_col)).distinct()
+    minus = old_chunks.join(probe, id_col, "left_semi").select(
+        "chunk_hash", "chunk_bytes", F.lit(-1).alias("__w")
+    )
+    plus = cdc_chunks(
+        new_docs, id_col, text_col, min_size, avg_bits, max_size
+    ).select("chunk_hash", "chunk_bytes", F.lit(1).alias("__w"))
+    return (
+        plus.unionByName(minus)
+        .groupBy("chunk_hash")
+        .agg(
+            F.min("chunk_bytes").alias("chunk_bytes"),
+            F.sum("__w").alias("ref_delta"),
+        )
+        .where(F.col("ref_delta") != 0)
+    )

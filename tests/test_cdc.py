@@ -90,3 +90,45 @@ def test_spark_chunks_and_dedup_table(spark):
     ratio = cdc_dedup_ratio(chunks).collect()[0]
     assert ratio["logical_bytes"] > ratio["stored_bytes"]
     assert ratio["dedup_ratio"] > 1.0
+
+
+def test_cdc_incremental_matches_full_rechunk(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_to_epub_spark.operators.cdc import cdc_chunks, cdc_incremental
+
+    base = "the quick brown fox jumps over the lazy dog " * 30
+    old_rows = [(i, base + f"old tail {i} " * 10) for i in range(12)]
+    # new snapshot: 0..3 unchanged, 4..7 edited, 8..9 deleted, 20..21 added
+    new_rows = (
+        [(i, old_rows[i][1]) for i in range(4)]
+        + [(i, "EDIT " + old_rows[i][1]) for i in range(4, 8)]
+        + [(i, old_rows[i][1]) for i in range(10, 12)]
+        + [(20, base + "brand new A " * 10), (21, base + "brand new B " * 10)]
+    )
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    old_chunks = cdc_chunks(old)
+    batch = new.where((F.col("doc_id") >= 4) & (F.col("doc_id") <= 7) | (F.col("doc_id") >= 20))
+    deleted = spark.createDataFrame([(8,), (9,)], "doc_id long")
+    delta = {
+        r["chunk_hash"]: r["ref_delta"]
+        for r in cdc_incremental(old_chunks, batch, deleted).collect()
+    }
+    # old store refcounts + delta == full re-chunk of the new corpus
+    old_refs = {
+        r["chunk_hash"]: r["count"]
+        for r in old_chunks.groupBy("chunk_hash").count().collect()
+    }
+    want = {
+        r["chunk_hash"]: r["count"]
+        for r in cdc_chunks(new).groupBy("chunk_hash").count().collect()
+    }
+    applied = dict(old_refs)
+    for h, d in delta.items():
+        applied[h] = applied.get(h, 0) + d
+    applied = {h: c for h, c in applied.items() if c != 0}
+    assert applied == want
+    # the delta only references touched docs' chunks: every -1 hash was
+    # in the old store
+    assert all(h in old_refs for h, d in delta.items() if d < 0)
