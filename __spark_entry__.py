@@ -2057,6 +2057,17 @@ def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boolean_search(d, ["spark", "window"], ["slow"]).select("doc_id")
 
 
+def _q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity retrieval (ir.proximity_search): docs where 'spark' and
+    'window' co-occur within 12 token positions, plus the min distance —
+    zero-shuffle array algebra vs an independent positional self-join
+    oracle."""
+    from pdf_to_epub_spark.operators.ir import proximity_search
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return proximity_search(d, "spark", "window", window=12)
+
+
 def _q_update_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance for a daily re-crawl: even docs form
     yesterday's index, odd docs are new, every fourth doc is re-crawled
@@ -4504,6 +4515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classifier": _q_nb_classifier,
         "embedding_covariance": _q_embedding_covariance,
         "cdc_incremental": _q_cdc_incremental,
+        "proximity_search": _q_proximity_search,
         "publish_dates": _q_publish_dates,
         "link_reciprocity": _q_link_reciprocity,
         "gate_attrition": _q_gate_attrition,
@@ -6251,6 +6263,25 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": _cdc_oracle(),
         "snapshot_delta": _snapshot_delta_oracle(),
         "cdc_incremental": _cdc_incremental_oracle(),
+        # independent algorithm: positional rows (parallel unnest) +
+        # within-doc self-join; position BASE (0- vs 1-) cancels in the
+        # difference.
+        "proximity_search": """
+            WITH tok AS (
+                SELECT doc_id, unnest(tk) AS tk,
+                       unnest(generate_series(1, len(tk))) AS pos
+                FROM (
+                    SELECT doc_id,
+                           regexp_extract_all(lower(text),
+                                              '[a-zà-öø-ÿ]+') AS tk
+                    FROM documents)
+            )
+            SELECT a.doc_id, min(abs(a.pos - b.pos))::INTEGER AS min_dist
+            FROM tok a JOIN tok b USING (doc_id)
+            WHERE a.tk = 'spark' AND b.tk = 'window'
+            GROUP BY a.doc_id
+            HAVING min(abs(a.pos - b.pos)) <= 12
+        """,
         "lang_spans": _lang_spans_oracle(),
         # Covariance from integer-nano moment sums: per-product
         # round-half-away nanos summed as BIGINT (order-independent),

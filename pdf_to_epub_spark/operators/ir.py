@@ -469,3 +469,54 @@ def keyword_snippets(
         F.col(id_col),
         F.when(F.length(sn) > 0, sn).alias("snippet"),
     )
+
+
+def proximity_search(
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    window: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Proximity retrieval: documents where ``term_a`` and ``term_b``
+    occur within ``window`` token positions; returns ``(id, min_dist)``.
+
+    ZERO-shuffle plan (the boolean_search shape): an ``array_contains``
+    prefilter gates non-candidates inside the scan stage, then per-doc
+    array algebra — index-aware HOF extracts each term's position list
+    from the ONE materialized token array, a nested transform takes all
+    pairwise |pa - pb|, and array_min is the proximity.  Position-list
+    sizes are per-doc term frequencies, so the pairwise step is tiny;
+    no posting explode, no join, no exchange.
+
+    The DuckDB oracle is an independent algorithm: positional rows via
+    parallel unnest + a within-doc self-join."""
+    ta, tb = term_a.lower(), term_b.lower()
+
+    def _positions(term: str) -> Column:
+        # NB: a 2-parameter HOF lambda is ALWAYS (element, index)
+        return F.filter(
+            F.transform(
+                F.col("__toks"),
+                lambda x, i: F.when(x == F.lit(term), i).otherwise(F.lit(-1)),
+            ),
+            lambda v: v >= 0,
+        )
+
+    base = (
+        docs.select(F.col(id_col), _tokens(text_col).alias("__toks"))
+        .filter(F.array_contains("__toks", ta))
+        .filter(F.array_contains("__toks", tb))
+    )
+    dists = F.flatten(
+        F.transform(
+            _positions(ta),
+            lambda a: F.transform(_positions(tb), lambda b: F.abs(a - b)),
+        )
+    )
+    return (
+        base.withColumn("min_dist", F.array_min(dists).cast("int"))
+        .where(F.col("min_dist") <= window)
+        .select(id_col, "min_dist")
+    )

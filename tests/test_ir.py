@@ -342,3 +342,25 @@ def test_keyword_snippets_accented_boundary_parity(spark):
 
     docs = spark.createDataFrame([(1, "zÀmerge ok")], ["doc_id", "text"])
     assert keyword_snippets(docs, "merge").collect()[0].snippet is None
+
+
+def test_proximity_search_window_semantics(spark):
+    from pdf_to_epub_spark.operators.ir import proximity_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),          # dist 2 (alpha..gamma)
+            (2, "alpha x x x x x gamma"),            # dist 6
+            (3, "gamma y alpha"),                    # order-free, dist 2
+            (4, "alpha only here"),                  # missing term b
+            (5, "gamma gamma alpha gamma"),          # repeats -> min 1
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["min_dist"]
+           for r in proximity_search(df, "ALPHA", "gamma", window=4).collect()}
+    assert got == {1: 2, 3: 2, 5: 1}
+    wide = {r["doc_id"]: r["min_dist"]
+            for r in proximity_search(df, "alpha", "gamma", window=6).collect()}
+    assert wide == {1: 2, 2: 6, 3: 2, 5: 1}
