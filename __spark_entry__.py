@@ -997,6 +997,95 @@ def _cdc_incremental_oracle() -> str:
     """
 
 
+def _delta_chain_texts() -> list[tuple[str, str, str]]:
+    """Three-generation snapshot texts per residue class: the
+    _delta_class_pairs (old, new) plus a third generation appending a
+    class-stamped line (and dropping line 0 when r%5==0)."""
+    out = []
+    for r, (s1, s2) in enumerate(_delta_class_pairs()):
+        lines = s2.split("\n")
+        if r % 5 == 0 and len(lines) > 1:
+            lines = lines[1:]
+        lines.append(f"GENERATION THREE {r}")
+        out.append((s1, s2, "\n".join(lines)))
+    return out
+
+
+def _q_delta_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-chain storage (operators/delta.py composed): three
+    generations per doc, stored as base + two patch layers; the query
+    reconstructs generation 3 by applying the chain and reports the
+    storage ledger.  The oracle replays serialize/apply per class in
+    pure Python and asserts rt_md5 == the generation-3 md5."""
+    from pdf_to_epub_spark.operators.delta import delta_apply, delta_encode
+
+    texts = _delta_chain_texts()
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    r1 = (F.col("doc_id") % 13 + 1).cast("int")
+
+    def snap(k: int) -> DataFrame:
+        return d.select(
+            "doc_id",
+            F.element_at(
+                F.array(*[F.lit(t[k]) for t in texts]), r1
+            ).alias("text"),
+        )
+
+    s1, s2, s3 = snap(0), snap(1), snap(2)
+    d12 = delta_encode(s1, s2)
+    d23 = delta_encode(s2, s3)
+    rebuilt = delta_apply(delta_apply(s1, d12), d23)
+    pb = lambda dd, name: dd.select(  # noqa: E731
+        "doc_id", F.coalesce("patch_bytes", F.lit(0)).alias(name)
+    )
+    return (
+        rebuilt.select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("rt_md5")
+        )
+        .join(pb(d12, "pb1"), "doc_id")
+        .join(pb(d23, "pb2"), "doc_id")
+        .join(
+            s1.select(
+                "doc_id",
+                F.length(F.col("text").cast("binary")).alias("base_bytes"),
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "rt_md5",
+            (F.col("base_bytes") + F.col("pb1") + F.col("pb2"))
+            .cast("long")
+            .alias("stored_bytes"),
+        )
+    )
+
+
+def _delta_chain_oracle() -> str:
+    """Golden VALUES per class: generation-3 md5 (asserting byte-exact
+    chain reconstruction) and the patch-ledger byte total."""
+    import hashlib as _hl
+
+    from pdf_to_epub_spark.operators.delta import apply_patch, serialize_patch
+
+    vals = []
+    for r, (s1, s2, s3) in enumerate(_delta_chain_texts()):
+        p12 = serialize_patch(s1, s2)
+        p23 = serialize_patch(s2, s3)
+        assert apply_patch(apply_patch(s1, p12), p23) == s3
+        pb1 = len(p12.encode()) if s1 != s2 else 0
+        pb2 = len(p23.encode()) if s2 != s3 else 0
+        stored = len(s1.encode()) + pb1 + pb2
+        vals.append(f"({r}, '{_hl.md5(s3.encode()).hexdigest()}', {stored})")
+    rows = ",\n            ".join(vals)
+    return f"""
+        WITH golden(r, rt_md5, stored_bytes) AS (VALUES
+            {rows})
+        SELECT d.doc_id, g.rt_md5, g.stored_bytes::BIGINT AS stored_bytes
+        FROM documents d JOIN golden g ON d.doc_id % 13 = g.r
+    """
+
+
 def _q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization (operators/textstats.py
     `normalize_unicode`): every doc gets a deterministic denormalized
@@ -4516,6 +4605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance": _q_embedding_covariance,
         "cdc_incremental": _q_cdc_incremental,
         "proximity_search": _q_proximity_search,
+        "delta_chain": _q_delta_chain,
         "publish_dates": _q_publish_dates,
         "link_reciprocity": _q_link_reciprocity,
         "gate_attrition": _q_gate_attrition,
@@ -6263,6 +6353,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": _cdc_oracle(),
         "snapshot_delta": _snapshot_delta_oracle(),
         "cdc_incremental": _cdc_incremental_oracle(),
+        "delta_chain": _delta_chain_oracle(),
         # independent algorithm: positional rows (parallel unnest) +
         # within-doc self-join; position BASE (0- vs 1-) cancels in the
         # difference.
