@@ -1270,6 +1270,22 @@ def _q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional leak audit (dedup.contamination_spans): same benchmark
+    construction as benchmark_contamination (first 20 docs), but the
+    output is the MAXIMAL leaked token spans per (doc, bench) — the
+    oracle replays positional shingles on STRINGS (no hashes) and the
+    interval merge in SQL windows: two independent algorithms, one
+    result set."""
+    from pdf_to_epub_spark.operators.dedup import contamination_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_id"), F.col("text")
+    )
+    return contamination_spans(d, bench, k=8)
+
+
 def _q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by id hash (md5-based so the
     oracle replays the exact arithmetic; weights 0.5/0.25/0.25 make the
@@ -4606,6 +4622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental": _q_cdc_incremental,
         "proximity_search": _q_proximity_search,
         "delta_chain": _q_delta_chain,
+        "contamination_spans": _q_contamination_spans,
         "publish_dates": _q_publish_dates,
         "link_reciprocity": _q_link_reciprocity,
         "gate_attrition": _q_gate_attrition,
@@ -7874,6 +7891,57 @@ def oracle_sql() -> dict[str, str]:
                 FROM sh c CROSS JOIN bench b)
             SELECT doc_id, bench_id, shared_shingles::BIGINT AS shared_shingles
             FROM pairs WHERE shared_shingles >= 1
+        """,
+        # positional shingles on strings + window interval-merge — no
+        # hashing anywhere on the oracle side.
+        "contamination_spans": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM documents),
+            c AS (
+                SELECT doc_id, len(toks) AS nt,
+                       unnest(generate_series(
+                           1, greatest(len(toks) - 7, 1))) AS i,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(toks) - 7, 1)),
+                           i -> array_to_string(
+                               list_slice(toks, i, i + 7), ' '))) AS sh
+                FROM t),
+            bench AS (
+                SELECT DISTINCT doc_id AS bench_id,
+                       unnest(CASE WHEN len(toks) >= 8 THEN
+                           list_distinct(list_transform(
+                               generate_series(1, len(toks) - 7),
+                               i -> array_to_string(
+                                   list_slice(toks, i, i + 7), ' ')))
+                       ELSE [array_to_string(toks, ' ')] END) AS sh
+                FROM t WHERE doc_id < 20),
+            m AS (
+                SELECT c.doc_id, b.bench_id, c.i - 1 AS pos,
+                       least(c.i + 6, c.nt - 1) AS e
+                FROM c JOIN bench b USING (sh)),
+            g0 AS (
+                SELECT *, max(e) OVER (
+                    PARTITION BY doc_id, bench_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS pmax
+                FROM m),
+            g1 AS (
+                SELECT *, CASE WHEN pmax IS NULL OR pos > pmax + 1
+                               THEN 1 ELSE 0 END AS flag
+                FROM g0),
+            g2 AS (
+                SELECT *, sum(flag) OVER (
+                    PARTITION BY doc_id, bench_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                FROM g1)
+            SELECT doc_id, bench_id,
+                   min(pos)::INTEGER AS span_start,
+                   max(e)::INTEGER AS span_end,
+                   count(*)::INTEGER AS n_shingles
+            FROM g2
+            GROUP BY doc_id, bench_id, grp
         """,
         "ann_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

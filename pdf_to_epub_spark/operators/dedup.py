@@ -1729,3 +1729,85 @@ def dedup_keep_best(
         "score",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+def contamination_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    k: int = 8,
+) -> DataFrame:
+    """Positional eval-leakage audit: the MAXIMAL token spans of each
+    corpus document covered by k-word shingles shared with a benchmark
+    document — the where-exactly companion to
+    :func:`benchmark_contamination` (which only counts), and the input
+    a masking pass needs.  Returns ``(doc_id, bench_id, span_start,
+    span_end, n_shingles)`` with 0-based token indexes; overlapping or
+    adjacent shingle windows coalesce into one span.
+
+    Plan shape: corpus tokens materialize ONCE, positional shingles are
+    slices over the bound array (posexplode_outer + null guard — the
+    inferred-generate-filter trap), the benchmark side is a slim
+    DISTINCT (hash, bench_id) broadcast probe, and the interval merge is
+    one window + one groupBy keyed (doc, bench) over matched rows only —
+    at 100 TB the corpus never shuffles; only actual leak hits do."""
+    toks = corpus.select(
+        F.col(id_col), _word_tokens(F.col(text_col)).alias("__toks")
+    )
+    n = F.size("__toks")
+    starts = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    shingle_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice("__toks", i + 1, k)
+    )
+    positional = toks.select(
+        id_col,
+        n.alias("__n"),
+        F.posexplode_outer(F.transform(starts, shingle_at)).alias(
+            "pos", "__sh"
+        ),
+    ).where(F.col("__sh").isNotNull())
+    hits = positional.select(
+        id_col,
+        "pos",
+        F.least(F.col("pos") + F.lit(k - 1), F.col("__n") - 1).alias("__end"),
+        F.xxhash64("__sh").alias("__h"),
+    )
+    b = with_shingles(
+        benchmark.select(bench_id_col, bench_text_col), bench_text_col, k
+    )
+    bhash = (
+        b.select(
+            F.col(bench_id_col),
+            F.explode_outer(
+                F.transform("shingles", lambda s: F.xxhash64(s))
+            ).alias("__h"),
+        )
+        .where(F.col("__h").isNotNull())
+        .distinct()
+    )
+    m = hits.join(F.broadcast(bhash), "__h").select(
+        id_col, bench_id_col, "pos", "__end"
+    )
+    w = Window.partitionBy(id_col, bench_id_col).orderBy("pos")
+    prev_max = F.max("__end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flag = F.when(
+        prev_max.isNull() | (F.col("pos") > prev_max + 1), 1
+    ).otherwise(0)
+    grp = F.sum(flag).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        m.withColumn("__g", grp)
+        .groupBy(id_col, bench_id_col, "__g")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            F.max("__end").cast("int").alias("span_end"),
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+        )
+        .select(id_col, bench_id_col, "span_start", "span_end", "n_shingles")
+    )

@@ -3385,3 +3385,29 @@ def test_embedding_covariance_and_pca(spark):
     # sign convention: first nonzero loading positive
     nz = [x for x in v if abs(x) > 1e-12]
     assert nz[0] > 0
+
+
+def test_contamination_spans_interval_merge(spark):
+    from pdf_to_epub_spark.operators.dedup import contamination_spans
+
+    leak = "zero one two three four five six seven eight nine"  # 10 toks
+    corpus = spark.createDataFrame(
+        [
+            # leak at tokens 3..12, then again at 20..29 (split spans)
+            (1, "pad pad pad " + leak + " " + "x " * 7 + leak + " tail"),
+            (2, "no overlap with anything here at all"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, leak)], "bench_id long, text string")
+    rows = sorted(
+        contamination_spans(corpus, bench, k=8).collect(),
+        key=lambda r: (r["doc_id"], r["span_start"]),
+    )
+    assert [r["doc_id"] for r in rows] == [1, 1]
+    # 10-token leak with k=8 -> 3 shingle starts, span covers 10 tokens
+    first, second = rows
+    assert (first["span_start"], first["span_end"], first["n_shingles"]) == (3, 12, 3)
+    assert second["span_end"] - second["span_start"] == 9
+    assert second["n_shingles"] == 3
