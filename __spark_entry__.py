@@ -1086,6 +1086,68 @@ def _delta_chain_oracle() -> str:
     """
 
 
+def _dict_compression_inputs() -> list[tuple[str, str]]:
+    """(text, zdict) per residue class: the cdc fragment compositions as
+    page text, the class's lead fragment as the site dictionary."""
+    import hashlib as _hl
+
+    frags = [
+        "".join(
+            _hl.md5(f"frag{f}:{j}".encode("ascii")).hexdigest()
+            for j in range(25)
+        )
+        for f in range(7)
+    ]
+    texts = _cdc_class_texts()
+    return [(texts[r], frags[r % 7]) for r in range(13)]
+
+
+def _q_dict_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-dictionary storage win (textstats.dict_compression_ratio):
+    each doc carries its class text plus the class's template fragment
+    as the zlib preset dictionary; the golden oracle replays both
+    compressions with the same stdlib zlib per class."""
+    from pdf_to_epub_spark.operators.textstats import dict_compression_ratio
+
+    pairs = _dict_compression_inputs()
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    r1 = (F.col("doc_id") % 13 + 1).cast("int")
+    df = d.select(
+        "doc_id",
+        F.element_at(F.array(*[F.lit(t) for t, _ in pairs]), r1).alias("text"),
+        F.element_at(F.array(*[F.lit(z) for _, z in pairs]), r1).alias(
+            "zdict"
+        ),
+    )
+    return dict_compression_ratio(df).select(
+        "doc_id", "ratio_plain", "ratio_dict", "dict_gain"
+    )
+
+
+def _dict_compression_oracle() -> str:
+    """Golden VALUES: per-class plain/dict ratios from the same zlib."""
+    import zlib as _zlib
+
+    vals = []
+    for r, (t, z) in enumerate(_dict_compression_inputs()):
+        raw = t.encode("utf-8")
+        rp = round(len(_zlib.compress(raw, 6)) / len(raw), 6)
+        co = _zlib.compressobj(
+            6, _zlib.DEFLATED, 15, 8, _zlib.Z_DEFAULT_STRATEGY, z.encode("utf-8")
+        )
+        rd = round(len(co.compress(raw) + co.flush()) / len(raw), 6)
+        vals.append(f"({r}, {rp!r}, {rd!r}, {round(rp - rd, 6)!r})")
+    rows = ",\n            ".join(vals)
+    return f"""
+        WITH golden(r, ratio_plain, ratio_dict, dict_gain) AS (VALUES
+            {rows})
+        SELECT d.doc_id, g.ratio_plain::DOUBLE AS ratio_plain,
+               g.ratio_dict::DOUBLE AS ratio_dict,
+               g.dict_gain::DOUBLE AS dict_gain
+        FROM documents d JOIN golden g ON d.doc_id % 13 = g.r
+    """
+
+
 def _q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization (operators/textstats.py
     `normalize_unicode`): every doc gets a deterministic denormalized
@@ -4623,6 +4685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_search": _q_proximity_search,
         "delta_chain": _q_delta_chain,
         "contamination_spans": _q_contamination_spans,
+        "dict_compression": _q_dict_compression,
         "publish_dates": _q_publish_dates,
         "link_reciprocity": _q_link_reciprocity,
         "gate_attrition": _q_gate_attrition,
@@ -6371,6 +6434,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_delta": _snapshot_delta_oracle(),
         "cdc_incremental": _cdc_incremental_oracle(),
         "delta_chain": _delta_chain_oracle(),
+        "dict_compression": _dict_compression_oracle(),
         # independent algorithm: positional rows (parallel unnest) +
         # within-doc self-join; position BASE (0- vs 1-) cancels in the
         # difference.

@@ -3411,3 +3411,32 @@ def test_contamination_spans_interval_merge(spark):
     assert (first["span_start"], first["span_end"], first["n_shingles"]) == (3, 12, 3)
     assert second["span_end"] - second["span_start"] == 9
     assert second["n_shingles"] == 3
+
+
+def test_dict_compression_ratio(spark):
+    from pdf_to_epub_spark.operators.textstats import dict_compression_ratio
+
+    # 4 repeats: enough chrome to matter, few enough that zlib's own
+    # window can't already absorb it all (gain measured 0.127)
+    chrome = "site nav header footer copyright menu links sidebar banner " * 4
+    df = spark.createDataFrame(
+        [
+            (1, chrome + "unique article body about spark engines", chrome),
+            (2, "totally unrelated prose content with no template words "
+                "in common, discussing rivers mountains weather and travel "
+                "plans for the coming autumn season in great detail " * 3,
+             chrome),
+            (3, "no dict for this one", None),
+            (4, None, chrome),
+        ],
+        "doc_id long, text string, zdict string",
+    )
+    rows = {r["doc_id"]: r for r in dict_compression_ratio(df).collect()}
+    # template-heavy page compresses much better with the site dict
+    assert rows[1]["ratio_dict"] < rows[1]["ratio_plain"]
+    assert rows[1]["dict_gain"] > 0.1
+    # unrelated content: dict can't hurt much, gain stays >= ~0
+    assert rows[2]["dict_gain"] > -0.05
+    # null dict falls back to plain; null text yields nulls
+    assert rows[3]["ratio_dict"] == rows[3]["ratio_plain"]
+    assert rows[4]["ratio_plain"] is None and rows[4]["dict_gain"] is None
