@@ -612,19 +612,27 @@ def _q_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cdc_class_texts() -> list[str]:
-    """13 deterministic residue-class documents built from a shared pool
-    of 7 fragments (~800 ASCII bytes each) so content-defined chunks
-    dedup ACROSS classes — the property the query measures."""
+def _synth_frags() -> list[str]:
+    """The ONE shared 7-fragment pool (~800 ASCII bytes each) behind the
+    cdc / snapshot-delta / dict-compression fixtures — they are
+    documented as sharing bytes (cross-class chunk dedup depends on it),
+    so the builder must not fork."""
     import hashlib as _hl
 
-    frags = [
+    return [
         "".join(
             _hl.md5(f"frag{f}:{j}".encode("ascii")).hexdigest()
             for j in range(25)
         )
         for f in range(7)
     ]
+
+
+def _cdc_class_texts() -> list[str]:
+    """13 deterministic residue-class documents built from a shared pool
+    of 7 fragments (~800 ASCII bytes each) so content-defined chunks
+    dedup ACROSS classes — the property the query measures."""
+    frags = _synth_frags()
     return [
         " ".join(frags[(r + 2 * k) % 7] for k in range(5)) for r in range(13)
     ]
@@ -689,15 +697,7 @@ def _cdc_oracle() -> str:
 def _delta_class_pairs() -> list[tuple[str, str]]:
     """13 deterministic (old, new) snapshot texts: 5 fragment lines, the
     new side edited by residue (unchanged / insert / delete / replace)."""
-    import hashlib as _hl
-
-    frags = [
-        "".join(
-            _hl.md5(f"frag{f}:{j}".encode("ascii")).hexdigest()
-            for j in range(25)
-        )
-        for f in range(7)
-    ]
+    frags = _synth_frags()
     pairs = []
     for r in range(13):
         lines = [frags[(r + 2 * k) % 7] for k in range(5)]
@@ -1089,15 +1089,7 @@ def _delta_chain_oracle() -> str:
 def _dict_compression_inputs() -> list[tuple[str, str]]:
     """(text, zdict) per residue class: the cdc fragment compositions as
     page text, the class's lead fragment as the site dictionary."""
-    import hashlib as _hl
-
-    frags = [
-        "".join(
-            _hl.md5(f"frag{f}:{j}".encode("ascii")).hexdigest()
-            for j in range(25)
-        )
-        for f in range(7)
-    ]
+    frags = _synth_frags()
     texts = _cdc_class_texts()
     return [(texts[r], frags[r % 7]) for r in range(13)]
 

@@ -164,7 +164,20 @@ def cdc_chunks(
     reference loop is property-tested)."""
     import pandas as pd
 
-    out_schema = f"{id_col} long, chunk_idx int, chunk_hash string, chunk_bytes int"
+    # same invalid-parameter contract as the reference loop (the numpy
+    # path would otherwise silently chunk with a partial hash window)
+    if min_size < _WINDOW:
+        raise ValueError(f"min_size must be >= {_WINDOW} (full hash window)")
+    if max_size <= min_size:
+        raise ValueError("max_size must exceed min_size")
+
+    # carry the caller's id type through (url keys are the natural
+    # snapshot key; only integer ids take the Int64 nullable path)
+    id_type = df.schema[id_col].dataType.simpleString()
+    id_is_int = id_type in ("bigint", "int", "smallint", "tinyint", "long")
+    out_schema = (
+        f"{id_col} {id_type}, chunk_idx int, chunk_hash string, chunk_bytes int"
+    )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -190,7 +203,9 @@ def cdc_chunks(
                     start = end
             yield pd.DataFrame(
                 {
-                    id_col: pd.array(ids, dtype="Int64"),
+                    id_col: pd.array(ids, dtype="Int64")
+                    if id_is_int
+                    else pd.array(ids, dtype="object"),
                     "chunk_idx": pd.array(idxs, dtype="Int32"),
                     "chunk_hash": hashes,
                     "chunk_bytes": pd.array(sizes, dtype="Int32"),

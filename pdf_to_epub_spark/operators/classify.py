@@ -227,6 +227,11 @@ def nb_train_scores(
 
     lab = labels.select(
         F.col(id_col).alias("__id"), F.col(label_col).cast("boolean").alias("__lab")
+    ).where(
+        # a NULL label is "unlabeled", not a class: without this filter the
+        # NULL group would collapse onto False via bool(None) and silently
+        # corrupt priors/counts
+        F.col("__lab").isNotNull()
     )
     labeled = docs.select(
         F.col(id_col).alias("__id"),

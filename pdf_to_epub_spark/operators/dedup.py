@@ -1754,9 +1754,13 @@ def contamination_spans(
     DISTINCT (hash, bench_id) broadcast probe, and the interval merge is
     one window + one groupBy keyed (doc, bench) over matched rows only —
     at 100 TB the corpus never shuffles; only actual leak hits do."""
+    # NULL text must yield NO rows: greatest(n - k, 0) ignores a NULL n,
+    # so without this guard a NULL-text doc would fabricate one
+    # empty-string shingle (concat_ws over a NULL slice is '') and could
+    # "match" a NULL/empty benchmark doc — diverging from the oracle.
     toks = corpus.select(
         F.col(id_col), _word_tokens(F.col(text_col)).alias("__toks")
-    )
+    ).where(F.col("__toks").isNotNull())
     n = F.size("__toks")
     starts = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
     shingle_at = lambda i: F.concat_ws(  # noqa: E731
@@ -1776,7 +1780,12 @@ def contamination_spans(
         F.xxhash64("__sh").alias("__h"),
     )
     b = with_shingles(
-        benchmark.select(bench_id_col, bench_text_col), bench_text_col, k
+        # NULL-text benchmark rows would shingle to [''] — drop them
+        benchmark.select(bench_id_col, bench_text_col).where(
+            F.col(bench_text_col).isNotNull()
+        ),
+        bench_text_col,
+        k,
     )
     bhash = (
         b.select(

@@ -508,11 +508,17 @@ def proximity_search(
         docs.select(F.col(id_col), _tokens(text_col).alias("__toks"))
         .filter(F.array_contains("__toks", ta))
         .filter(F.array_contains("__toks", tb))
+        # MATERIALIZE both position arrays before the pairwise step: an
+        # unbound _positions(tb) expression inside the outer transform's
+        # lambda would re-scan the whole token array once per term_a
+        # occurrence (the per-element re-evaluation trap — see
+        # dedup._shingles_from_tokens)
+        .select(id_col, _positions(ta).alias("__pa"), _positions(tb).alias("__pb"))
     )
     dists = F.flatten(
         F.transform(
-            _positions(ta),
-            lambda a: F.transform(_positions(tb), lambda b: F.abs(a - b)),
+            "__pa",
+            lambda a: F.transform("__pb", lambda b: F.abs(a - b)),
         )
     )
     return (

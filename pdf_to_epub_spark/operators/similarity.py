@@ -779,7 +779,11 @@ def embedding_moments_nano(
         df.select(F.col(vec_col))
         .mapInArrow(emit, "i int, j int, val long")
         .groupBy("i", "j")
-        .agg(F.sum("val").alias("val"))
+        # decimal(38,0), not long: per-batch partials are ~1e9 x batch
+        # rows, so an int64 global sum would wrap silently past ~9e9
+        # vectors — decimal keeps the 10^12-vector claim honest (DuckDB
+        # mirrors with its HUGEINT sum)
+        .agg(F.sum(F.col("val").cast("decimal(38,0)")).alias("val"))
     )
 
 
@@ -832,15 +836,16 @@ def pca_top_component(
     import numpy as np
 
     rows = embedding_moments_nano(df, vec_col).collect()
-    n = next(r["val"] for r in rows if r["i"] == 0 and r["j"] == 0)
+    # val is decimal(38,0) (overflow-proof sum) — take it as int
+    n = int(next(r["val"] for r in rows if r["i"] == 0 and r["j"] == 0))
     dim = max(r["i"] for r in rows)
     sv = np.zeros(dim)
     sp = np.zeros((dim, dim))
     for r in rows:
         if r["i"] > 0 and r["j"] == 0:
-            sv[r["i"] - 1] = r["val"]
+            sv[r["i"] - 1] = int(r["val"])
         elif r["i"] > 0:
-            sp[r["i"] - 1, r["j"] - 1] = r["val"]
+            sp[r["i"] - 1, r["j"] - 1] = int(r["val"])
     mu = sv / 1e9 / n
     cov = sp / 1e9 / n - np.outer(mu, mu)
     v = np.ones(dim) / np.sqrt(dim)

@@ -284,11 +284,20 @@ def export_packed_tfrecords(
     from pdf_to_epub_spark.sources.tfrecord import write_tfrecords
 
     has_split = "split" in packed.columns
+    # persist: the distinct collect + one write per split would otherwise
+    # recompute the whole upstream ingest lineage once per consumer
+    packed = packed.persist()
     splits = (
         [r["split"] for r in packed.select("split").distinct().collect()]
         if has_split
         else ["all"]
     )
+    if has_split and any(s is None for s in splits):
+        packed.unpersist()
+        raise ValueError(
+            "export_packed_tfrecords: NULL split values present — rows "
+            "would be silently dropped; assign every row a split first"
+        )
     for name in sorted(splits):
         part = packed.where(F.col("split") == name) if has_split else packed
         write_tfrecords(
@@ -303,3 +312,4 @@ def export_packed_tfrecords(
             int_cols=("shard", "seq_id", "n_docs", "fill_tokens"),
             order_col="__order",
         )
+    packed.unpersist()

@@ -120,15 +120,17 @@ def _encode_feature(value) -> bytes:
     FloatList (packed float32 — precision loss is the FORMAT's, both
     sides of any oracle must model it).
     """
-    if isinstance(value, (bytes, str)):
+    if isinstance(value, (bytes, bytearray, str)):
         value = [value]
     elif isinstance(value, (int, float)) and not isinstance(value, bool):
         value = [value]
     if not isinstance(value, (list, tuple)):
         raise TypeError(f"unsupported feature value: {type(value)!r}")
-    if len(value) and isinstance(value[0], (bytes, str)):
+    if len(value) and isinstance(value[0], (bytes, bytearray, str)):
+        # bytearray included: Spark 3.x hands BinaryType to Python as
+        # bytearray (4.x happens to use bytes)
         items = b"".join(
-            _ld(1, v.encode("utf-8") if isinstance(v, str) else v)
+            _ld(1, v.encode("utf-8") if isinstance(v, str) else bytes(v))
             for v in value
         )
         return _ld(1, items)  # Feature.bytes_list

@@ -161,3 +161,25 @@ def test_nb_train_scores_requires_both_classes(spark):
     one_class = docs.select("doc_id", F.lit(True).alias("label"))
     with pytest.raises(ValueError, match="BOTH classes"):
         nb_train_scores(docs, one_class)
+
+
+def test_nb_train_scores_ignores_null_labels(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_to_epub_spark.operators.classify import nb_train_scores
+
+    docs = spark.createDataFrame(
+        [(i, "good fine words" if i % 2 == 0 else "bad junk noise")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    with_null = spark.createDataFrame(
+        [(0, True), (2, True), (1, False), (3, False), (7, None)],
+        "doc_id long, label boolean",
+    )
+    clean = with_null.where(F.col("label").isNotNull())
+    a = {r["doc_id"]: r["pred_label"]
+         for r in nb_train_scores(docs, with_null).collect()}
+    b = {r["doc_id"]: r["pred_label"]
+         for r in nb_train_scores(docs, clean).collect()}
+    assert a == b  # the NULL-label row contributes nothing

@@ -132,3 +132,22 @@ def test_cdc_incremental_matches_full_rechunk(spark):
     # the delta only references touched docs' chunks: every -1 hash was
     # in the old store
     assert all(h in old_refs for h, d in delta.items() if d < 0)
+
+
+def test_cdc_chunks_string_ids_and_engine_validation(spark):
+    import pytest
+
+    from pdf_to_epub_spark.operators.cdc import cdc_chunks
+
+    df = spark.createDataFrame(
+        [("http://a", "x " * 200), ("http://b", None)],
+        "url string, text string",
+    )
+    rows = cdc_chunks(df, id_col="url").collect()
+    assert rows and all(r["url"] == "http://a" for r in rows)
+    # the numpy engine path enforces the same parameter contract as the
+    # pure reference loop
+    with pytest.raises(ValueError, match="min_size"):
+        cdc_chunks(df, id_col="url", min_size=16)
+    with pytest.raises(ValueError, match="max_size"):
+        cdc_chunks(df, id_col="url", min_size=64, max_size=64)

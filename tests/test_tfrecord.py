@@ -163,3 +163,11 @@ def test_export_packed_tfrecords_roundtrip(spark, tmp_path):
                 r["text_b"], r["n_docs"][0]
             )
     assert got == expected
+
+
+def test_encode_feature_accepts_bytearray():
+    # Spark 3.x hands BinaryType to Python as bytearray
+    out = decode_example(
+        encode_example({"b": bytearray(b"abc"), "lb": [bytearray(b"x")]})
+    )
+    assert out["b"] == [b"abc"] and out["lb"] == [b"x"]

@@ -3440,3 +3440,13 @@ def test_dict_compression_ratio(spark):
     # null dict falls back to plain; null text yields nulls
     assert rows[3]["ratio_dict"] == rows[3]["ratio_plain"]
     assert rows[4]["ratio_plain"] is None and rows[4]["dict_gain"] is None
+
+
+def test_contamination_spans_null_text_yields_no_rows(spark):
+    from pdf_to_epub_spark.operators.dedup import contamination_spans
+
+    corpus = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, None), (101, "")], "bench_id long, text string"
+    )
+    assert contamination_spans(corpus, bench, k=8).count() == 0
