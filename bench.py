@@ -558,6 +558,21 @@ def run_bench(
 
     timed("snapshot_delta", snapshot_delta, warmup=True, runs=2)
 
+    def nb_classifier() -> None:
+        """Train-on-cluster Naive Bayes over the CC corpus (labels: even
+        url-hash = positive): one bounded training aggregation + a
+        zero-shuffle HOF scoring pass with the cost arrays in the plan
+        (0 exchanges plan-pinned in tests)."""
+        from pdf_to_epub_spark.operators.classify import nb_train_scores
+
+        docs = corpus.select(F.xxhash64("url").alias("doc_id"), "text")
+        labels = docs.filter(F.pmod("doc_id", F.lit(3)) == 0).select(
+            "doc_id", (F.pmod("doc_id", F.lit(2)) == 0).alias("label")
+        )
+        _force(nb_train_scores(docs, labels))
+
+    timed("nb_classifier", nb_classifier, runs=2)
+
     # Recall@10 of the approximate ANN paths vs the brute-force oracle —
     # an approximate operator without a recall number isn't auditable.
     ann_recall: dict[str, float] = {}

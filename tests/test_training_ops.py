@@ -3450,3 +3450,43 @@ def test_contamination_spans_null_text_yields_no_rows(spark):
         [(100, None), (101, "")], "bench_id long, text string"
     )
     assert contamination_spans(corpus, bench, k=8).count() == 0
+
+
+def test_session6_plan_shapes(spark):
+    """Plan pins for the session-6 zero-shuffle/one-pass claims:
+    proximity_search and nb scoring have NO exchange; lang_spans carries
+    exactly one token-array build into the explode; contamination_spans'
+    corpus side shuffles only matched rows (the single exchange pair
+    belongs to the window+groupBy over hits)."""
+    from pyspark.sql import functions as FF
+
+    from pdf_to_epub_spark.operators.classify import nb_train_scores
+    from pdf_to_epub_spark.operators.ir import proximity_search
+    from pdf_to_epub_spark.operators.textstats import lang_spans
+
+    docs = spark.createDataFrame(
+        [(i, "the cat and the dog was here. le chat est une belle. "
+             "alpha beta gamma window spark")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+
+    def plan_of(df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "Exchange" not in plan_of(proximity_search(docs, "spark", "window"))
+
+    labels = docs.select("doc_id", (FF.col("doc_id") % 2 == 0).alias("label"))
+    scored = nb_train_scores(docs, labels)  # training collects happen here
+    assert "Exchange" not in plan_of(scored)
+
+    spans_plan = plan_of(lang_spans(docs))
+    # one window + one groupBy partial/final pair, nothing else wide
+    assert spans_plan.count("Exchange") <= 3
+    # the sentence-array build appears once (no inferred-generate
+    # inline below the explode).  NB: the six per-language token
+    # extractions sit in ONE Project, where codegen subexpression
+    # elimination evaluates them once — only the SENTENCE pattern count
+    # is the trap signal.
+    opt = lang_spans(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("[^.!?]+") == 1
