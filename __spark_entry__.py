@@ -905,6 +905,27 @@ def _q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_train_scores(d, labels)
 
 
+def _q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the trained NB (evaluate.
+    binary_classifier_eval): train on doc_id%3==0, evaluate on the
+    %3==1 docs against parity truth — confusion counts plus EXACT
+    tie-aware AUC via the integer Mann-Whitney statistic.  The oracle
+    composes the shared relational NB replay with the same eval
+    aggregation in SQL."""
+    from pdf_to_epub_spark.operators.classify import nb_train_scores
+    from pdf_to_epub_spark.operators.evaluate import binary_classifier_eval
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    labels = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", (F.col("doc_id") % 2 == 0).alias("label")
+    )
+    scored = nb_train_scores(d, labels)
+    ev = scored.filter(F.col("doc_id") % 3 == 1).select(
+        "margin_micro", (F.col("doc_id") % 2 == 0).alias("truth")
+    )
+    return binary_classifier_eval(ev)
+
+
 def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed covariance of the embeddings table (similarity.
     embedding_covariance): one Arrow pass accumulates integer-nano
@@ -4634,6 +4655,84 @@ def _q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diversity(d.select(domain.alias("domain")), "domain")
 
 
+# Shared relational NB replay (train + per-doc costs) — used by the
+# nb_classifier oracle and composed further by classifier_eval.
+_NB_SQL_CORE = """WITH lab AS (
+                SELECT doc_id, doc_id % 2 = 0 AS label,
+                       lower(coalesce(text, '')) AS t
+                FROM documents WHERE doc_id % 3 = 0
+            ),
+            tok AS (
+                SELECT label,
+                       unnest(regexp_extract_all(t, '[a-zà-öø-ÿ]+')) AS tk
+                FROM lab
+            ),
+            tokb AS (
+                SELECT label,
+                       ('0x' || substr(md5('nb:' || tk), 1, 15))::BIGINT % 512
+                           AS bucket
+                FROM tok
+            ),
+            cnt AS (
+                SELECT label, bucket, count(*)::DOUBLE AS c
+                FROM tokb GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT label, count(*)::DOUBLE AS n FROM tokb GROUP BY 1
+            ),
+            grid AS (
+                SELECT l.label, g.bucket
+                FROM (SELECT DISTINCT label FROM lab) l
+                CROSS JOIN (
+                    SELECT unnest(generate_series(0, 511)) AS bucket) g
+            ),
+            cost AS (
+                SELECT grid.label, grid.bucket,
+                       floor(-ln((coalesce(cnt.c, 0) + 1.0)
+                                 / (tot.n + 512.0)) * 1e6 + 0.5)::BIGINT
+                           AS cost
+                FROM grid
+                JOIN tot USING (label)
+                LEFT JOIN cnt ON cnt.label = grid.label
+                             AND cnt.bucket = grid.bucket
+            ),
+            prior AS (SELECT label, count(*)::DOUBLE AS nd FROM lab GROUP BY 1),
+            pcost AS (
+                SELECT label,
+                       floor(-ln(nd / (SELECT sum(nd) FROM prior)) * 1e6
+                             + 0.5)::BIGINT AS pc
+                FROM prior
+            ),
+            alltok AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('nb:' || tk), 1, 15))::BIGINT % 512
+                           AS bucket
+                FROM (
+                    SELECT doc_id,
+                           unnest(regexp_extract_all(
+                               lower(coalesce(text, '')),
+                               '[a-zà-öø-ÿ]+')) AS tk
+                    FROM documents)
+            ),
+            dsum AS (
+                SELECT a.doc_id, c.label, sum(c.cost)::BIGINT AS s,
+                       count(*)::INTEGER AS nt
+                FROM alltok a JOIN cost c USING (bucket)
+                GROUP BY 1, 2
+            ),
+            pivoted AS (
+                SELECT b.doc_id,
+                       coalesce(max(CASE WHEN NOT d.label THEN d.s END), 0)
+                           + (SELECT pc FROM pcost WHERE NOT label) AS cf,
+                       coalesce(max(CASE WHEN d.label THEN d.s END), 0)
+                           + (SELECT pc FROM pcost WHERE label) AS ct,
+                       coalesce(max(d.nt), 0) AS n_tokens
+                FROM (SELECT doc_id FROM documents) b
+                LEFT JOIN dsum d ON d.doc_id = b.doc_id
+                GROUP BY b.doc_id
+            )"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -4678,6 +4777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_chain": _q_delta_chain,
         "contamination_spans": _q_contamination_spans,
         "dict_compression": _q_dict_compression,
+        "classifier_eval": _q_classifier_eval,
         "publish_dates": _q_publish_dates,
         "link_reciprocity": _q_link_reciprocity,
         "gate_attrition": _q_gate_attrition,
@@ -6427,6 +6527,50 @@ def oracle_sql() -> dict[str, str]:
         "cdc_incremental": _cdc_incremental_oracle(),
         "delta_chain": _delta_chain_oracle(),
         "dict_compression": _dict_compression_oracle(),
+        # NB replay core + the same integer Mann-Whitney eval aggregation
+        "classifier_eval": _NB_SQL_CORE + """,
+            ev AS (
+                SELECT (cf - ct)::BIGINT AS margin,
+                       doc_id % 2 = 0 AS truth
+                FROM pivoted WHERE doc_id % 3 = 1
+            ),
+            per AS (
+                SELECT margin,
+                       sum(CASE WHEN truth THEN 1 ELSE 0 END)::BIGINT AS np,
+                       sum(CASE WHEN truth THEN 0 ELSE 1 END)::BIGINT AS nn
+                FROM ev GROUP BY margin
+            ),
+            cum AS (
+                SELECT *, coalesce(sum(nn) OVER (
+                    ORDER BY margin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS cb
+                FROM per
+            ),
+            agg AS (
+                SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+                       sum(CASE WHEN margin > 0 THEN np ELSE 0 END)::BIGINT
+                           AS tp,
+                       sum(CASE WHEN margin > 0 THEN nn ELSE 0 END)::BIGINT
+                           AS fp,
+                       sum(CASE WHEN margin <= 0 THEN nn ELSE 0 END)::BIGINT
+                           AS tn,
+                       sum(CASE WHEN margin <= 0 THEN np ELSE 0 END)::BIGINT
+                           AS fn,
+                       sum(np * (2 * cb + nn))::BIGINT AS u2
+                FROM cum
+            )
+            SELECT n_pos, n_neg, tp, fp, tn, fn,
+                   CASE WHEN tp + fp > 0
+                        THEN round(tp / (tp + fp), 6) END AS precision,
+                   CASE WHEN n_pos > 0
+                        THEN round(tp / n_pos, 6) END AS recall,
+                   CASE WHEN tp + fp > 0 AND n_pos > 0 AND tp > 0
+                        THEN round(2 * tp / (2 * tp + fp + fn), 6) END AS f1,
+                   CASE WHEN n_pos > 0 AND n_neg > 0
+                        THEN round(u2 / (2 * n_pos * n_neg), 6) END AS auc
+            FROM agg
+        """,
         # independent algorithm: positional rows (parallel unnest) +
         # within-doc self-join; position BASE (0- vs 1-) cancels in the
         # difference.
@@ -6480,81 +6624,7 @@ def oracle_sql() -> dict[str, str]:
         # 60-bit md5-prefix idiom, Laplace costs in integer micro-nats
         # (floor(x*1e6+0.5) == the driver-side Python rounding; ln is the
         # same glibc on this box), priors from class doc counts.
-        "nb_classifier": """
-            WITH lab AS (
-                SELECT doc_id, doc_id % 2 = 0 AS label,
-                       lower(coalesce(text, '')) AS t
-                FROM documents WHERE doc_id % 3 = 0
-            ),
-            tok AS (
-                SELECT label,
-                       unnest(regexp_extract_all(t, '[a-zà-öø-ÿ]+')) AS tk
-                FROM lab
-            ),
-            tokb AS (
-                SELECT label,
-                       ('0x' || substr(md5('nb:' || tk), 1, 15))::BIGINT % 512
-                           AS bucket
-                FROM tok
-            ),
-            cnt AS (
-                SELECT label, bucket, count(*)::DOUBLE AS c
-                FROM tokb GROUP BY 1, 2
-            ),
-            tot AS (
-                SELECT label, count(*)::DOUBLE AS n FROM tokb GROUP BY 1
-            ),
-            grid AS (
-                SELECT l.label, g.bucket
-                FROM (SELECT DISTINCT label FROM lab) l
-                CROSS JOIN (
-                    SELECT unnest(generate_series(0, 511)) AS bucket) g
-            ),
-            cost AS (
-                SELECT grid.label, grid.bucket,
-                       floor(-ln((coalesce(cnt.c, 0) + 1.0)
-                                 / (tot.n + 512.0)) * 1e6 + 0.5)::BIGINT
-                           AS cost
-                FROM grid
-                JOIN tot USING (label)
-                LEFT JOIN cnt ON cnt.label = grid.label
-                             AND cnt.bucket = grid.bucket
-            ),
-            prior AS (SELECT label, count(*)::DOUBLE AS nd FROM lab GROUP BY 1),
-            pcost AS (
-                SELECT label,
-                       floor(-ln(nd / (SELECT sum(nd) FROM prior)) * 1e6
-                             + 0.5)::BIGINT AS pc
-                FROM prior
-            ),
-            alltok AS (
-                SELECT doc_id,
-                       ('0x' || substr(md5('nb:' || tk), 1, 15))::BIGINT % 512
-                           AS bucket
-                FROM (
-                    SELECT doc_id,
-                           unnest(regexp_extract_all(
-                               lower(coalesce(text, '')),
-                               '[a-zà-öø-ÿ]+')) AS tk
-                    FROM documents)
-            ),
-            dsum AS (
-                SELECT a.doc_id, c.label, sum(c.cost)::BIGINT AS s,
-                       count(*)::INTEGER AS nt
-                FROM alltok a JOIN cost c USING (bucket)
-                GROUP BY 1, 2
-            ),
-            pivoted AS (
-                SELECT b.doc_id,
-                       coalesce(max(CASE WHEN NOT d.label THEN d.s END), 0)
-                           + (SELECT pc FROM pcost WHERE NOT label) AS cf,
-                       coalesce(max(CASE WHEN d.label THEN d.s END), 0)
-                           + (SELECT pc FROM pcost WHERE label) AS ct,
-                       coalesce(max(d.nt), 0) AS n_tokens
-                FROM (SELECT doc_id FROM documents) b
-                LEFT JOIN dsum d ON d.doc_id = b.doc_id
-                GROUP BY b.doc_id
-            )
+        "nb_classifier": _NB_SQL_CORE + """
             SELECT doc_id, n_tokens::INTEGER AS n_tokens,
                    cf::BIGINT AS cost_false_micro,
                    ct::BIGINT AS cost_true_micro,

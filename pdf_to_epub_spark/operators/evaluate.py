@@ -79,3 +79,79 @@ def token_overlap_eval(
         F.round(r, 6).alias("r"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+def binary_classifier_eval(
+    scored: DataFrame,
+    truth_col: str = "truth",
+    margin_col: str = "margin_micro",
+) -> DataFrame:
+    """Threshold metrics + exact AUC for a binary classifier, one row:
+    ``(n_pos, n_neg, tp, fp, tn, fn, precision, recall, f1, auc)``.
+
+    Prediction is ``margin > 0``.  AUC is the Mann-Whitney rank form
+    with exact tie handling, computed as the INTEGER statistic
+    ``U2 = sum over distinct margins of n_pos*(2*cum_neg_below + n_neg)``
+    so the sum is partition-order independent and SQL-replayable;
+    ``auc = U2 / (2*P*N)``.
+
+    Scale shape: one groupBy on the margin value (slim counts), then a
+    window over the DISTINCT-margin table only — the window's single
+    ordered pass touches |distinct scores| rows, not the corpus, so the
+    global ordering never sees corpus-sized data.  Degenerate inputs
+    (no positives or no negatives) yield NULL ratio columns rather than
+    a divide-by-zero."""
+    from pyspark.sql.window import Window
+
+    t = F.col(truth_col).cast("boolean")
+    per = scored.groupBy(F.col(margin_col).alias("__m")).agg(
+        F.sum(F.when(t, 1).otherwise(0)).alias("np"),
+        F.sum(F.when(t, 0).otherwise(1)).alias("nn"),
+    )
+    w = Window.orderBy("__m")
+    cum_below = F.coalesce(
+        F.sum("nn").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    pred_pos = F.col("__m") > 0
+    agg = per.select(
+        "np",
+        "nn",
+        (F.col("np") * (2 * cum_below + F.col("nn"))).alias("__u2"),
+        F.when(pred_pos, F.col("np")).otherwise(F.lit(0)).alias("__tp"),
+        F.when(pred_pos, F.col("nn")).otherwise(F.lit(0)).alias("__fp"),
+        F.when(~pred_pos, F.col("nn")).otherwise(F.lit(0)).alias("__tn"),
+        F.when(~pred_pos, F.col("np")).otherwise(F.lit(0)).alias("__fn"),
+    ).agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.sum("__tp").cast("long").alias("tp"),
+        F.sum("__fp").cast("long").alias("fp"),
+        F.sum("__tn").cast("long").alias("tn"),
+        F.sum("__fn").cast("long").alias("fn"),
+        F.sum("__u2").cast("long").alias("u2"),
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6),
+    )
+    rec = F.when(
+        F.col("n_pos") > 0, F.round(F.col("tp") / F.col("n_pos"), 6)
+    )
+    f1 = F.when(
+        (F.col("tp") + F.col("fp") > 0) & (F.col("n_pos") > 0)
+        & (F.col("tp") > 0),
+        F.round(
+            2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+            6,
+        ),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.round(F.col("u2") / (2 * F.col("n_pos") * F.col("n_neg")), 6),
+    )
+    return agg.select(
+        "n_pos", "n_neg", "tp", "fp", "tn", "fn",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+        auc.alias("auc"),
+    )

@@ -183,3 +183,32 @@ def test_nb_train_scores_ignores_null_labels(spark):
     b = {r["doc_id"]: r["pred_label"]
          for r in nb_train_scores(docs, clean).collect()}
     assert a == b  # the NULL-label row contributes nothing
+
+
+def test_binary_classifier_eval_auc_matches_rank_reference(spark):
+    import bisect
+    import random
+
+    from pdf_to_epub_spark.operators.evaluate import binary_classifier_eval
+
+    rng = random.Random(3)
+    rows = [(i, rng.choice([True, False]), rng.randrange(-5, 6))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, truth boolean, margin_micro long")
+    got = binary_classifier_eval(df).collect()[0]
+    pos = sorted(m for _, t, m in rows if t)
+    neg = sorted(m for _, t, m in rows if not t)
+    u = sum(
+        bisect.bisect_left(neg, p)
+        + (bisect.bisect_right(neg, p) - bisect.bisect_left(neg, p)) / 2.0
+        for p in pos
+    )
+    assert got["auc"] == round(u / (len(pos) * len(neg)), 6)
+    assert got["tp"] == sum(1 for _, t, m in rows if t and m > 0)
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    # degenerate single-class input: AUC undefined, recall still defined
+    d2 = spark.createDataFrame(
+        [(1, True, 3), (2, True, -1)], "id long, truth boolean, margin_micro long"
+    )
+    g2 = binary_classifier_eval(d2).collect()[0]
+    assert g2["auc"] is None and g2["recall"] == 0.5
