@@ -1706,6 +1706,78 @@ def _q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_rank(domain_graph(extract_outlinks(pages)))
 
 
+def _communities_edge_residues() -> list[tuple[int, int]]:
+    """Deterministic two-cluster graph over the 13 site residues: two
+    cliques (0..5 and 6..12) joined by one weak bridge (5,6) — dense
+    internal cohesion so the bridge cannot flip either side."""
+    edges = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    edges += [(a, b) for a in range(6, 13) for b in range(a + 1, 13)]
+    edges += [(5, 6)]
+    return edges
+
+
+def _q_domain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (urls.label_propagation): the
+    deterministic two-cluster domain graph (rings + chords + one weak
+    bridge) must resolve into two communities — the op min-label
+    connected_components cannot express (CC would merge them through
+    the bridge).  Synchronous updates + smallest-label ties make the
+    fixed-point replayable; the oracle is a pure-Python replay of the
+    same 8 rounds."""
+    from pdf_to_epub_spark.operators.urls import label_propagation
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 13).alias("r")
+    ).distinct()
+    pred = None
+    for a, b in _communities_edge_residues():
+        term = (F.col("ra") == a) & (F.col("rb") == b)
+        pred = term if pred is None else (pred | term)
+    pairs = d.select(F.col("r").alias("ra")).crossJoin(
+        d.select(F.col("r").alias("rb"))
+    )
+    edges = pairs.filter(pred).select(
+        F.concat(F.lit("site"), F.col("ra").cast("string")).alias("src"),
+        F.concat(F.lit("site"), F.col("rb").cast("string")).alias("dst"),
+    )
+    return label_propagation(edges, iters=8)
+
+
+def _domain_communities_oracle() -> str:
+    """Pure-Python replay of 8 synchronous min-tie LPA rounds over the
+    same static edge set."""
+    import collections
+
+    edges = [
+        (f"site{a}", f"site{b}") for a, b in _communities_edge_residues()
+    ]
+    adj: dict[str, set] = collections.defaultdict(set)
+    for s, t in edges:
+        adj[s].add(t)
+        adj[t].add(s)
+    nodes = sorted(adj)
+    labels = {v: v for v in nodes}
+    for _ in range(8):
+        labels = {
+            v: sorted(
+                collections.Counter(
+                    # the self-vote, mirroring the operator
+                    [labels[u] for u in adj[v]] + [labels[v]]
+                ).items(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0][0]
+            for v in nodes
+        }
+    vals = ",\n            ".join(
+        f"('{v}', '{labels[v]}')" for v in nodes
+    )
+    return f"""
+        WITH golden(node, label) AS (VALUES
+            {vals})
+        SELECT node, label FROM golden
+    """
+
+
 def _q_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL projection (similarity.project_embeddings): 64-d embeddings
     onto 8 seeded Gaussian directions, long-form rows; the oracle inlines
@@ -4778,6 +4850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_spans": _q_contamination_spans,
         "dict_compression": _q_dict_compression,
         "classifier_eval": _q_classifier_eval,
+        "domain_communities": _q_domain_communities,
         "publish_dates": _q_publish_dates,
         "link_reciprocity": _q_link_reciprocity,
         "gate_attrition": _q_gate_attrition,
@@ -6118,6 +6191,7 @@ def oracle_sql() -> dict[str, str]:
         # webgraph PageRank: static pure-Python replay (edge set is a pure
         # function of doc_id residues, identical at both test scales)
         "domain_pagerank": _domain_pagerank_oracle(),
+        "domain_communities": _domain_communities_oracle(),
         "trust_rank": _trust_rank_oracle(),
         # head-metadata replayed arithmetically from the same doc_id rules
         # sitemap locs replayed arithmetically (even docs: two urlset

@@ -1484,3 +1484,73 @@ def extract_declared_lang(
         .when(og_locale.isNotNull(), "og_locale")
         .alias("declared_source"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation communities over an undirected
+    graph: every node starts as its own label; each round every node
+    adopts the most frequent label among its neighbors AND ITSELF (the
+    self-vote damps the oscillation synchronous LPA exhibits on
+    bipartite structure — rings otherwise converge to parity classes,
+    not clusters), ties broken by SMALLEST label, so the update is a
+    total order and the result deterministic — asynchronous LPA is
+    famously not.  Complements
+    :func:`pdf_to_epub_spark.operators.dedup.connected_components`:
+    min-label CC merges anything connected, LPA keeps weakly-bridged
+    clusters apart.
+
+    Scale shape: per round one join of the slim label table to the edge
+    list (both keyed on node — co-partitioned under bucketing) and one
+    (node, label) count + per-node argmax; lineage is cut per round with
+    a lazy localCheckpoint (the iterative-operator pattern, see
+    dedup.connected_components).  Fixed ``iters`` keeps it replayable —
+    LPA oscillates on bipartite structures, so a convergence loop would
+    not be deterministic; pick iters ~ graph diameter."""
+    from pyspark.sql.window import Window as _W
+
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    sym = e.unionByName(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct()
+    nodes = sym.select(F.col("s").alias("node")).distinct()
+    # self-vote edges (see docstring)
+    sym = sym.unionByName(
+        nodes.select(F.col("node").alias("s"), F.col("node").alias("d"))
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(iters):
+        nb = sym.join(
+            labels.select(
+                F.col("node").alias("d"), F.col("label").alias("nl")
+            ),
+            "d",
+        )
+        counts = nb.groupBy(F.col("s").alias("node"), "nl").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        best = (
+            counts.withColumn(
+                "r",
+                F.row_number().over(
+                    _W.partitionBy("node").orderBy(
+                        F.desc("c"), F.asc("nl")
+                    )
+                ),
+            )
+            .filter(F.col("r") == 1)
+            .select("node", F.col("nl").alias("label"))
+        )
+        labels = (
+            nodes.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("label"), F.col("node")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

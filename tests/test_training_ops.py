@@ -3490,3 +3490,31 @@ def test_session6_plan_shapes(spark):
     # is the trap signal.
     opt = lang_spans(docs)._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("[^.!?]+") == 1
+
+
+def test_label_propagation_separates_bridged_cliques(spark):
+    from pdf_to_epub_spark.operators.dedup import connected_components
+    from pdf_to_epub_spark.operators.urls import label_propagation
+
+    edges = (
+        [(f"a{i}", f"a{j}") for i in range(4) for j in range(i + 1, 4)]
+        + [(f"b{i}", f"b{j}") for i in range(4) for j in range(i + 1, 4)]
+        + [("a3", "b0")]  # one weak bridge
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    labels = {r["node"]: r["label"]
+              for r in label_propagation(df, iters=6).collect()}
+    a_labels = {labels[f"a{i}"] for i in range(4)}
+    b_labels = {labels[f"b{i}"] for i in range(4)}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels  # LPA keeps the bridged cliques apart
+    nodes = (
+        df.select(F.col("src").alias("doc_id"))
+        .unionByName(df.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    comp = connected_components(
+        df.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b")),
+        nodes,
+    )
+    assert comp.select("component").distinct().count() == 1  # CC merges
