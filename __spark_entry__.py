@@ -1361,6 +1361,33 @@ def _q_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_spans(d, bench, k=8)
 
 
+def _q_mask_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination ACT step (dedup.mask_spans over
+    contamination_spans): leaked token spans — merged across benchmark
+    docs — are rewritten to <REDACTED>; untouched docs keep their text
+    byte-identical.  The oracle composes the shared span-replay CTEs
+    with a SQL token rewrite (correlated list lambda over
+    generate_series positions)."""
+    from pdf_to_epub_spark.operators.dedup import (
+        contamination_spans,
+        mask_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_id"), F.col("text")
+    )
+    spans = contamination_spans(d, bench, k=8).select(
+        "doc_id", "span_start", "span_end"
+    )
+    return mask_spans(d, spans).select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("masked_md5"),
+        "n_tokens",
+        "n_masked",
+    )
+
+
 def _q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by id hash (md5-based so the
     oracle replays the exact arithmetic; weights 0.5/0.25/0.25 make the
@@ -4805,6 +4832,52 @@ _NB_SQL_CORE = """WITH lab AS (
             )"""
 
 
+# Shared positional-shingle contamination replay (CTEs through the
+# per-(doc, bench) interval merge g2) — composed by the
+# contamination_spans and mask_contaminated oracles.
+_CONTAM_SPANS_SQL_CORE = r"""WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM documents),
+            c AS (
+                SELECT doc_id, len(toks) AS nt,
+                       unnest(generate_series(
+                           1, greatest(len(toks) - 7, 1))) AS i,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(toks) - 7, 1)),
+                           i -> array_to_string(
+                               list_slice(toks, i, i + 7), ' '))) AS sh
+                FROM t),
+            bench AS (
+                SELECT DISTINCT doc_id AS bench_id,
+                       unnest(CASE WHEN len(toks) >= 8 THEN
+                           list_distinct(list_transform(
+                               generate_series(1, len(toks) - 7),
+                               i -> array_to_string(
+                                   list_slice(toks, i, i + 7), ' ')))
+                       ELSE [array_to_string(toks, ' ')] END) AS sh
+                FROM t WHERE doc_id < 20),
+            m AS (
+                SELECT c.doc_id, b.bench_id, c.i - 1 AS pos,
+                       least(c.i + 6, c.nt - 1) AS e
+                FROM c JOIN bench b USING (sh)),
+            g0 AS (
+                SELECT *, max(e) OVER (
+                    PARTITION BY doc_id, bench_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS pmax
+                FROM m),
+            g1 AS (
+                SELECT *, CASE WHEN pmax IS NULL OR pos > pmax + 1
+                               THEN 1 ELSE 0 END AS flag
+                FROM g0),
+            g2 AS (
+                SELECT *, sum(flag) OVER (
+                    PARTITION BY doc_id, bench_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                FROM g1)"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -4851,6 +4924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_compression": _q_dict_compression,
         "classifier_eval": _q_classifier_eval,
         "domain_communities": _q_domain_communities,
+        "mask_contaminated": _q_mask_contaminated,
         "publish_dates": _q_publish_dates,
         "link_reciprocity": _q_link_reciprocity,
         "gate_attrition": _q_gate_attrition,
@@ -6192,6 +6266,69 @@ def oracle_sql() -> dict[str, str]:
         # function of doc_id residues, identical at both test scales)
         "domain_pagerank": _domain_pagerank_oracle(),
         "domain_communities": _domain_communities_oracle(),
+        # span replay core + cross-bench merge + correlated-lambda token
+        # rewrite; untouched docs hash their ORIGINAL text
+        "mask_contaminated": _CONTAM_SPANS_SQL_CORE + """,
+            sp AS (
+                -- DISTINCT + (s, e) window order: duplicate spans from
+                -- two benches tie on s, and untied window passes may
+                -- order them differently (flag/grp disagree, merge
+                -- splits nondeterministically — observed)
+                SELECT DISTINCT doc_id, s, e FROM (
+                    SELECT doc_id, min(pos) AS s, max(e) AS e
+                    FROM g2 GROUP BY doc_id, bench_id, grp)
+            ),
+            m0 AS (
+                SELECT *, max(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS pmax
+                FROM sp
+            ),
+            m1 AS (
+                SELECT *, CASE WHEN pmax IS NULL OR s > pmax + 1
+                               THEN 1 ELSE 0 END AS flag
+                FROM m0
+            ),
+            m2 AS (
+                SELECT *, sum(flag) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS grp2
+                FROM m1
+            ),
+            ms AS (
+                SELECT doc_id, min(s) AS s, max(e) AS e
+                FROM m2 GROUP BY doc_id, grp2
+            ),
+            arr AS (
+                SELECT doc_id, list({'s': s, 'e': e} ORDER BY s) AS spans,
+                       sum(e - s + 1)::INTEGER AS n_masked
+                FROM ms GROUP BY doc_id
+            ),
+            outp AS (
+                SELECT t.doc_id,
+                       CASE WHEN a.spans IS NULL THEN d.text
+                            ELSE array_to_string(list_transform(
+                                generate_series(1, len(t.toks)),
+                                i -> CASE WHEN len(list_filter(a.spans,
+                                         sp -> i - 1 >= sp.s
+                                               AND i - 1 <= sp.e)) > 0
+                                     THEN '<REDACTED>'
+                                     ELSE t.toks[i] END), ' ')
+                       END AS text,
+                       CASE WHEN d.text IS NULL THEN NULL
+                            ELSE len(t.toks) END AS n_tokens,
+                       coalesce(a.n_masked, 0) AS n_masked
+                FROM t
+                JOIN documents d USING (doc_id)
+                LEFT JOIN arr a USING (doc_id)
+            )
+            SELECT doc_id, md5(text) AS masked_md5,
+                   n_tokens::INTEGER AS n_tokens,
+                   n_masked::INTEGER AS n_masked
+            FROM outp
+        """,
         "trust_rank": _trust_rank_oracle(),
         # head-metadata replayed arithmetically from the same doc_id rules
         # sitemap locs replayed arithmetically (even docs: two urlset
@@ -6686,9 +6823,10 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2
             )
             SELECT sp.i::INTEGER AS i, sp.j::INTEGER AS j,
+                   -- + 0 normalizes negative zero (engines disagree)
                    round((sp.spn / 1e9) / n.n
                          - (sa.svn / 1e9 / n.n) * (sb.svn / 1e9 / n.n),
-                         6) AS cov
+                         6) + 0 AS cov
             FROM sp
             CROSS JOIN n
             JOIN sv sa ON sa.i = sp.i
@@ -8094,48 +8232,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # positional shingles on strings + window interval-merge — no
         # hashing anywhere on the oracle side.
-        "contamination_spans": r"""
-            WITH t AS (
-                SELECT doc_id,
-                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-                FROM documents),
-            c AS (
-                SELECT doc_id, len(toks) AS nt,
-                       unnest(generate_series(
-                           1, greatest(len(toks) - 7, 1))) AS i,
-                       unnest(list_transform(
-                           generate_series(1, greatest(len(toks) - 7, 1)),
-                           i -> array_to_string(
-                               list_slice(toks, i, i + 7), ' '))) AS sh
-                FROM t),
-            bench AS (
-                SELECT DISTINCT doc_id AS bench_id,
-                       unnest(CASE WHEN len(toks) >= 8 THEN
-                           list_distinct(list_transform(
-                               generate_series(1, len(toks) - 7),
-                               i -> array_to_string(
-                                   list_slice(toks, i, i + 7), ' ')))
-                       ELSE [array_to_string(toks, ' ')] END) AS sh
-                FROM t WHERE doc_id < 20),
-            m AS (
-                SELECT c.doc_id, b.bench_id, c.i - 1 AS pos,
-                       least(c.i + 6, c.nt - 1) AS e
-                FROM c JOIN bench b USING (sh)),
-            g0 AS (
-                SELECT *, max(e) OVER (
-                    PARTITION BY doc_id, bench_id ORDER BY pos
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                    AS pmax
-                FROM m),
-            g1 AS (
-                SELECT *, CASE WHEN pmax IS NULL OR pos > pmax + 1
-                               THEN 1 ELSE 0 END AS flag
-                FROM g0),
-            g2 AS (
-                SELECT *, sum(flag) OVER (
-                    PARTITION BY doc_id, bench_id ORDER BY pos
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
-                FROM g1)
+        "contamination_spans": _CONTAM_SPANS_SQL_CORE + """
             SELECT doc_id, bench_id,
                    min(pos)::INTEGER AS span_start,
                    max(e)::INTEGER AS span_end,

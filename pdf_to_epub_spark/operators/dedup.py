@@ -1820,3 +1820,94 @@ def contamination_spans(
         )
         .select(id_col, bench_id_col, "span_start", "span_end", "n_shingles")
     )
+
+
+def merge_spans(
+    spans: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Collapse (id, span_start, span_end) rows — possibly from many
+    benchmark docs — into maximal non-overlapping per-document spans
+    (same window interval-merge as :func:`contamination_spans`, keyed
+    on the doc alone).
+
+    The window order must be TOTAL: duplicate spans (the same passage
+    leaked from two benchmark docs) tie on span_start, and the prev-max
+    and running-sum window passes may order ties differently — the
+    flag/group pair then disagrees and the merge nondeterministically
+    splits (observed in both engines).  distinct() + (start, end)
+    ordering makes every row unique within a doc."""
+    spans = spans.select(id_col, "span_start", "span_end").distinct()
+    w = Window.partitionBy(id_col).orderBy("span_start", "span_end")
+    prev_max = F.max("span_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flag = F.when(
+        prev_max.isNull() | (F.col("span_start") > prev_max + 1), 1
+    ).otherwise(0)
+    grp = F.sum(flag).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spans.withColumn("__g", grp)
+        .groupBy(id_col, "__g")
+        .agg(
+            F.min("span_start").cast("int").alias("span_start"),
+            F.max("span_end").cast("int").alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
+
+
+def mask_spans(
+    corpus: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask: str = "<REDACTED>",
+) -> DataFrame:
+    """Act on a leakage audit: replace every token inside the given
+    0-based token spans with ``mask`` — the decontamination companion
+    of :func:`contamination_spans` (same contract as
+    ``mask_duplicate_spans`` for within-corpus dup ngrams).
+
+    Returns ``(id, text, n_tokens, n_masked)``.  Documents WITHOUT
+    spans keep their text byte-identical (left join, null-guarded);
+    masked documents are rebuilt from whitespace tokens joined by
+    single spaces — token-level masking normalizes whitespace, which
+    is the documented trade (spans are token-indexed, not byte-
+    indexed).  Plan: spans merge per doc (slim rows), collect to ONE
+    array per doc, then a single index-aware HOF rewrite — the corpus
+    joins a tiny span table and never shuffles itself."""
+    merged = merge_spans(spans, id_col)
+    per_doc = merged.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    j = corpus.join(per_doc, id_col, "left").withColumn(
+        "__t", _word_tokens(F.col(text_col))
+    )
+    masked_toks = F.transform(
+        F.col("__t"),
+        # NB: 2-param HOF lambda is (element, index)
+        lambda x, i: F.when(
+            F.exists(
+                "__spans",
+                lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+            ),
+            F.lit(mask),
+        ).otherwise(x),
+    )
+    n_masked = F.aggregate(
+        F.coalesce("__spans", F.array()),
+        F.lit(0),
+        lambda acc, s: acc + (s["span_end"] - s["span_start"] + 1),
+    )
+    return j.select(
+        id_col,
+        F.when(F.col("__spans").isNull(), F.col(text_col))
+        .otherwise(F.array_join(masked_toks, " "))
+        .alias("text"),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("int"))
+        .otherwise(F.size("__t"))
+        .alias("n_tokens"),
+        n_masked.cast("int").alias("n_masked"),
+    )

@@ -809,11 +809,17 @@ def embedding_covariance(
         .select(
             "i",
             "j",
-            F.round(
-                (F.col("val") / 1e9) / F.col("n")
-                - (F.col("svi") / 1e9 / F.col("n"))
-                * (F.col("svj") / 1e9 / F.col("n")),
-                6,
+            # + 0 normalizes IEEE negative zero: DuckDB's round keeps
+            # the sign ('-0'), Spark's BigDecimal rounding drops it —
+            # -0.0 + 0 == +0.0 in both engines
+            (
+                F.round(
+                    (F.col("val") / 1e9) / F.col("n")
+                    - (F.col("svi") / 1e9 / F.col("n"))
+                    * (F.col("svj") / 1e9 / F.col("n")),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("cov"),
         )
     )

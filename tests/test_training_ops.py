@@ -3518,3 +3518,27 @@ def test_label_propagation_separates_bridged_cliques(spark):
         nodes,
     )
     assert comp.select("component").distinct().count() == 1  # CC merges
+
+
+def test_mask_spans_and_merge(spark):
+    from pdf_to_epub_spark.operators.dedup import mask_spans, merge_spans
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "untouched  doc   here"), (3, None)],
+        "doc_id long, text string",
+    )
+    # duplicate span (from two benches) + overlapping + disjoint
+    spans = spark.createDataFrame(
+        [(1, 1, 3), (1, 1, 3), (1, 3, 4), (1, 6, 7)],
+        "doc_id long, span_start int, span_end int",
+    )
+    merged = sorted(
+        (r["span_start"], r["span_end"])
+        for r in merge_spans(spans).collect()
+    )
+    assert merged == [(1, 4), (6, 7)]  # duplicates collapse, overlaps merge
+    out = {r["doc_id"]: r for r in mask_spans(corpus, spans).collect()}
+    assert out[1]["text"] == "a <REDACTED> <REDACTED> <REDACTED> <REDACTED> f <REDACTED> <REDACTED>"
+    assert out[1]["n_masked"] == 6 and out[1]["n_tokens"] == 8
+    assert out[2]["text"] == "untouched  doc   here"  # byte-identical
+    assert out[3]["text"] is None and out[3]["n_masked"] == 0
