@@ -573,6 +573,26 @@ def run_bench(
 
     timed("nb_classifier", nb_classifier, runs=2)
 
+    def decontamination() -> None:
+        """Audit -> act: positional contamination spans vs a 20-doc
+        benchmark (broadcast shingle probe; corpus never shuffles) piped
+        into the span mask rewrite — the full decontamination path."""
+        from pdf_to_epub_spark.operators.dedup import (
+            contamination_spans,
+            mask_spans,
+        )
+
+        docs = corpus.select(F.xxhash64("url").alias("doc_id"), "text")
+        bench = docs.orderBy("doc_id").limit(20).select(
+            F.col("doc_id").alias("bench_id"), "text"
+        )
+        spans = contamination_spans(docs, bench, k=8).select(
+            "doc_id", "span_start", "span_end"
+        )
+        _force(mask_spans(docs, spans))
+
+    timed("decontamination", decontamination, runs=2)
+
     # Recall@10 of the approximate ANN paths vs the brute-force oracle —
     # an approximate operator without a recall number isn't auditable.
     ann_recall: dict[str, float] = {}
