@@ -6306,22 +6306,30 @@ def oracle_sql() -> dict[str, str]:
                        sum(e - s + 1)::INTEGER AS n_masked
                 FROM ms GROUP BY doc_id
             ),
+            rt AS (
+                -- CASE-PRESERVING rebuild tokens (span indexes come from
+                -- the lowered split; \\s+ indices are case-independent)
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS rtoks
+                FROM documents
+            ),
             outp AS (
                 SELECT t.doc_id,
                        CASE WHEN a.spans IS NULL THEN d.text
                             ELSE array_to_string(list_transform(
-                                generate_series(1, len(t.toks)),
+                                generate_series(1, len(rt.rtoks)),
                                 i -> CASE WHEN len(list_filter(a.spans,
                                          sp -> i - 1 >= sp.s
                                                AND i - 1 <= sp.e)) > 0
                                      THEN '<REDACTED>'
-                                     ELSE t.toks[i] END), ' ')
+                                     ELSE rt.rtoks[i] END), ' ')
                        END AS text,
                        CASE WHEN d.text IS NULL THEN NULL
                             ELSE len(t.toks) END AS n_tokens,
                        coalesce(a.n_masked, 0) AS n_masked
                 FROM t
                 JOIN documents d USING (doc_id)
+                JOIN rt USING (doc_id)
                 LEFT JOIN arr a USING (doc_id)
             )
             SELECT doc_id, md5(text) AS masked_md5,
@@ -6776,10 +6784,11 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(tp / (tp + fp), 6) END AS precision,
                    CASE WHEN n_pos > 0
                         THEN round(tp / n_pos, 6) END AS recall,
-                   CASE WHEN tp + fp > 0 AND n_pos > 0 AND tp > 0
+                   CASE WHEN tp + fp > 0 AND n_pos > 0
                         THEN round(2 * tp / (2 * tp + fp + fn), 6) END AS f1,
                    CASE WHEN n_pos > 0 AND n_neg > 0
-                        THEN round(u2 / (2 * n_pos * n_neg), 6) END AS auc
+                        THEN round(u2::DOUBLE / (2 * n_pos * n_neg), 6)
+                   END AS auc
             FROM agg
         """,
         # independent algorithm: positional rows (parallel unnest) +

@@ -1800,19 +1800,11 @@ def contamination_spans(
     m = hits.join(F.broadcast(bhash), "__h").select(
         id_col, bench_id_col, "pos", "__end"
     )
-    w = Window.partitionBy(id_col, bench_id_col).orderBy("pos")
-    prev_max = F.max("__end").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flag = F.when(
-        prev_max.isNull() | (F.col("pos") > prev_max + 1), 1
-    ).otherwise(0)
-    grp = F.sum(flag).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # (pos, __end) is unique per (doc, bench) — the helper's total-order
+    # requirement holds without a distinct
     return (
-        m.withColumn("__g", grp)
-        .groupBy(id_col, bench_id_col, "__g")
+        _interval_groups(m, [id_col, bench_id_col], "pos", "__end")
+        .groupBy(id_col, bench_id_col, "__ig")
         .agg(
             F.min("pos").cast("int").alias("span_start"),
             F.max("__end").cast("int").alias("span_end"),
@@ -1822,34 +1814,44 @@ def contamination_spans(
     )
 
 
+def _interval_groups(
+    df: DataFrame,
+    part_cols: list,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Assign the interval-merge group id ``__ig``: overlapping or
+    adjacent [start, end] rows within a partition share a group.  The
+    window order is (start, end) — callers must guarantee row
+    uniqueness on that pair within a partition (distinct first), or the
+    prev-max and running-sum passes can order ties differently and the
+    merge splits nondeterministically (observed live)."""
+    w = Window.partitionBy(*part_cols).orderBy(start_col, end_col)
+    prev_max = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flag = F.when(
+        prev_max.isNull() | (F.col(start_col) > prev_max + 1), 1
+    ).otherwise(0)
+    return df.withColumn(
+        "__ig",
+        F.sum(flag).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
 def merge_spans(
     spans: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
     """Collapse (id, span_start, span_end) rows — possibly from many
     benchmark docs — into maximal non-overlapping per-document spans
-    (same window interval-merge as :func:`contamination_spans`, keyed
-    on the doc alone).
-
-    The window order must be TOTAL: duplicate spans (the same passage
-    leaked from two benchmark docs) tie on span_start, and the prev-max
-    and running-sum window passes may order ties differently — the
-    flag/group pair then disagrees and the merge nondeterministically
-    splits (observed in both engines).  distinct() + (start, end)
-    ordering makes every row unique within a doc."""
+    (the shared :func:`_interval_groups` merge, keyed on the doc
+    alone; distinct() first gives the required total order)."""
     spans = spans.select(id_col, "span_start", "span_end").distinct()
-    w = Window.partitionBy(id_col).orderBy("span_start", "span_end")
-    prev_max = F.max("span_end").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flag = F.when(
-        prev_max.isNull() | (F.col("span_start") > prev_max + 1), 1
-    ).otherwise(0)
-    grp = F.sum(flag).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return (
-        spans.withColumn("__g", grp)
-        .groupBy(id_col, "__g")
+        _interval_groups(spans, [id_col], "span_start", "span_end")
+        .groupBy(id_col, "__ig")
         .agg(
             F.min("span_start").cast("int").alias("span_start"),
             F.max("span_end").cast("int").alias("span_end"),
@@ -1882,8 +1884,15 @@ def mask_spans(
     per_doc = merged.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
-    j = corpus.join(per_doc, id_col, "left").withColumn(
-        "__t", _word_tokens(F.col(text_col))
+    # broadcast: spans are bounded by leak hits (tiny by design) while
+    # their lineage (join+windows) defeats size estimation — without
+    # the hint the corpus side could shuffle, the one exchange this
+    # operator forbids.  Rebuild on the CASE-PRESERVING split: span
+    # positions come from the lowered tokenization, but \s+ indices are
+    # case-independent so they align (the mask_duplicate_spans rule —
+    # masking must not lowercase the surviving text).
+    j = corpus.join(F.broadcast(per_doc), id_col, "left").withColumn(
+        "__t", F.split(F.trim(F.col(text_col)), r"\s+")
     )
     masked_toks = F.transform(
         F.col("__t"),

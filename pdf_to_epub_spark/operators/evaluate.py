@@ -104,6 +104,12 @@ def binary_classifier_eval(
     from pyspark.sql.window import Window
 
     t = F.col(truth_col).cast("boolean")
+    # NULL truth is "unlabeled", NULL margin is "unscored" — neither is
+    # a class (the nb_train_scores rule); counting them would inflate
+    # negatives / leak rows into no confusion cell
+    scored = scored.where(
+        t.isNotNull() & F.col(margin_col).isNotNull()
+    )
     per = scored.groupBy(F.col(margin_col).alias("__m")).agg(
         F.sum(F.when(t, 1).otherwise(0)).alias("np"),
         F.sum(F.when(t, 0).otherwise(1)).alias("nn"),
@@ -117,7 +123,12 @@ def binary_classifier_eval(
     agg = per.select(
         "np",
         "nn",
-        (F.col("np") * (2 * cum_below + F.col("nn"))).alias("__u2"),
+        # decimal(38,0): 2*P*N reaches 2^63 at P,N ~ 2e9 under a long
+        # sum (the embedding_moments_nano overflow rule); DuckDB's
+        # sum(BIGINT) is HUGEINT so the oracle mirrors exactly
+        (F.col("np") * (2 * cum_below + F.col("nn")))
+        .cast("decimal(38,0)")
+        .alias("__u2"),
         F.when(pred_pos, F.col("np")).otherwise(F.lit(0)).alias("__tp"),
         F.when(pred_pos, F.col("nn")).otherwise(F.lit(0)).alias("__fp"),
         F.when(~pred_pos, F.col("nn")).otherwise(F.lit(0)).alias("__tn"),
@@ -129,7 +140,7 @@ def binary_classifier_eval(
         F.sum("__fp").cast("long").alias("fp"),
         F.sum("__tn").cast("long").alias("tn"),
         F.sum("__fn").cast("long").alias("fn"),
-        F.sum("__u2").cast("long").alias("u2"),
+        F.sum("__u2").alias("u2"),
     )
     prec = F.when(
         F.col("tp") + F.col("fp") > 0,
@@ -138,9 +149,10 @@ def binary_classifier_eval(
     rec = F.when(
         F.col("n_pos") > 0, F.round(F.col("tp") / F.col("n_pos"), 6)
     )
+    # no tp>0 guard: under the two guards the denominator is positive,
+    # so an all-wrong classifier scores f1 = 0.0, not NULL
     f1 = F.when(
-        (F.col("tp") + F.col("fp") > 0) & (F.col("n_pos") > 0)
-        & (F.col("tp") > 0),
+        (F.col("tp") + F.col("fp") > 0) & (F.col("n_pos") > 0),
         F.round(
             2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
             6,
@@ -148,7 +160,11 @@ def binary_classifier_eval(
     )
     auc = F.when(
         (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-        F.round(F.col("u2") / (2 * F.col("n_pos") * F.col("n_neg")), 6),
+        F.round(
+            F.col("u2").cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ),
     )
     return agg.select(
         "n_pos", "n_neg", "tp", "fp", "tn", "fn",

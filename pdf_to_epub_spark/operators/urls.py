@@ -1518,8 +1518,10 @@ def label_propagation(
         e.select(F.col("d").alias("s"), F.col("s").alias("d"))
     ).distinct()
     nodes = sym.select(F.col("s").alias("node")).distinct()
-    # self-vote edges (see docstring)
-    sym = sym.unionByName(
+    # EXACTLY one self-vote edge per node (see docstring): input
+    # self-loops are dropped first or a looped node would vote for its
+    # own label twice and could wrongly resist its community
+    sym = sym.filter(F.col("s") != F.col("d")).unionByName(
         nodes.select(F.col("node").alias("s"), F.col("node").alias("d"))
     )
     labels = nodes.withColumn("label", F.col("node"))

@@ -212,3 +212,30 @@ def test_binary_classifier_eval_auc_matches_rank_reference(spark):
     )
     g2 = binary_classifier_eval(d2).collect()[0]
     assert g2["auc"] is None and g2["recall"] == 0.5
+
+
+def test_binary_classifier_eval_null_rows_and_zero_f1(spark):
+    from pdf_to_epub_spark.operators.evaluate import binary_classifier_eval
+
+    df = spark.createDataFrame(
+        [
+            (1, True, 5), (2, False, -3),
+            (3, None, 4),      # unlabeled -> ignored
+            (4, True, None),   # unscored -> ignored
+        ],
+        "id long, truth boolean, margin_micro long",
+    )
+    got = binary_classifier_eval(df).collect()[0]
+    assert got["n_pos"] == 1 and got["n_neg"] == 1
+    assert got["tp"] + got["fn"] == got["n_pos"]
+    assert got["auc"] == 1.0
+
+    # all-wrong classifier: f1 is 0.0, not NULL
+    wrong = spark.createDataFrame(
+        [(1, True, -2), (2, False, 3)],
+        "id long, truth boolean, margin_micro long",
+    )
+    g2 = binary_classifier_eval(wrong).collect()[0]
+    assert g2["precision"] == 0.0 and g2["recall"] == 0.0
+    assert g2["f1"] == 0.0
+    assert g2["auc"] == 0.0

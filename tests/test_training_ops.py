@@ -3542,3 +3542,32 @@ def test_mask_spans_and_merge(spark):
     assert out[1]["n_masked"] == 6 and out[1]["n_tokens"] == 8
     assert out[2]["text"] == "untouched  doc   here"  # byte-identical
     assert out[3]["text"] is None and out[3]["n_masked"] == 0
+
+
+def test_mask_spans_preserves_case_and_lpa_self_loop(spark):
+    from pdf_to_epub_spark.operators.dedup import mask_spans
+    from pdf_to_epub_spark.operators.urls import label_propagation
+
+    corpus = spark.createDataFrame(
+        [(1, "The QUICK Fox ate The Benchmark Passage Here")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 3, 5)], "doc_id long, span_start int, span_end int"
+    )
+    out = mask_spans(corpus, spans).collect()[0]
+    # surviving tokens keep their original case (span indexes come from
+    # the lowered split; the rebuild must not lowercase)
+    assert out["text"] == (
+        "The QUICK Fox <REDACTED> <REDACTED> <REDACTED> Passage Here"
+    )
+
+    # a self-loop must not double the self-vote: x's two L-labeled
+    # neighbors outvote its own label even with edge (x, x) present
+    edges = spark.createDataFrame(
+        [("l1", "l2"), ("l1", "x"), ("l2", "x"), ("x", "x")],
+        "src string, dst string",
+    )
+    labels = {r["node"]: r["label"]
+              for r in label_propagation(edges, iters=4).collect()}
+    assert labels["x"] == labels["l1"] == labels["l2"]
