@@ -1388,6 +1388,83 @@ def _q_mask_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_recrawl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy recrawl change detection (dedup.recrawl_drift): simhash
+    Hamming distance between the snapshot_delta class pairs, md5-hash60
+    token form so the oracle replays the fingerprints bit-for-bit in
+    pure Python."""
+    from pdf_to_epub_spark.operators.dedup import md5_hash60, recrawl_drift
+
+    pairs = _delta_class_pairs()
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    r1 = (F.col("doc_id") % 13 + 1).cast("int")
+    old = d.select(
+        "doc_id",
+        F.element_at(F.array(*[F.lit(o) for o, _ in pairs]), r1).alias("text"),
+    )
+    new = d.select(
+        "doc_id",
+        F.element_at(F.array(*[F.lit(n) for _, n in pairs]), r1).alias("text"),
+    )
+    return recrawl_drift(old, new, token_hash=md5_hash60)
+
+
+def _recrawl_drift_oracle() -> str:
+    """Pure-Python simhash replay per class: md5-60bit token hashes,
+    per-occurrence +-1 bit votes, same class thresholds."""
+    import hashlib as _hl
+    import re as _re
+
+    def simhash(text: str) -> int:
+        votes = [0] * 64
+        for tok in _re.split(r"\s+", text.strip(" ").lower()):
+            h = int(_hl.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        return sum(1 << i for i in range(64) if votes[i] > 0)
+
+    vals = []
+    for r, (old, new) in enumerate(_delta_class_pairs()):
+        ham = bin(simhash(old) ^ simhash(new)).count("1")
+        cls = (
+            "identical" if ham == 0
+            else "minor" if ham <= 3
+            else "moderate" if ham <= 16
+            else "rewrite"
+        )
+        vals.append(f"({r}, {ham}, '{cls}')")
+    rows = ",\n            ".join(vals)
+    return f"""
+        WITH golden(r, hamming, drift_class) AS (VALUES
+            {rows})
+        SELECT d.doc_id, g.hamming::INTEGER AS hamming, g.drift_class
+        FROM documents d JOIN golden g ON d.doc_id % 13 = g.r
+    """
+
+
+def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health Zipf fit (textstats.zipf_fit): OLS ln(freq) vs
+    ln(rank) over the top-64 vocabulary; integer-nano quantization +
+    decimal sums make the fit engine-exact, and the oracle replays the
+    full pipeline (counts, deterministic top-k, logs, OLS) in SQL."""
+    from pdf_to_epub_spark.operators.textstats import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents").select("text"))
+
+
+def _q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-split novelty check (textstats.ngram_coverage): distinct
+    1/2/3-gram coverage of the doc_id%3==1 test slice by the rest of
+    the corpus; the oracle replays gram construction and the semi-join
+    membership per n in SQL."""
+    from pdf_to_epub_spark.operators.textstats import ngram_coverage
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_coverage(
+        d.filter(F.col("doc_id") % 3 != 1), d.filter(F.col("doc_id") % 3 == 1)
+    )
+
+
 def _q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by id hash (md5-based so the
     oracle replays the exact arithmetic; weights 0.5/0.25/0.25 make the
@@ -4925,6 +5002,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_eval": _q_classifier_eval,
         "domain_communities": _q_domain_communities,
         "mask_contaminated": _q_mask_contaminated,
+        "ngram_coverage": _q_ngram_coverage,
+        "recrawl_drift": _q_recrawl_drift,
+        "zipf_fit": _q_zipf_fit,
         "publish_dates": _q_publish_dates,
         "link_reciprocity": _q_link_reciprocity,
         "gate_attrition": _q_gate_attrition,
@@ -6266,6 +6346,95 @@ def oracle_sql() -> dict[str, str]:
         # function of doc_id residues, identical at both test scales)
         "domain_pagerank": _domain_pagerank_oracle(),
         "domain_communities": _domain_communities_oracle(),
+        # grams rebuilt per n on each side, SEMI JOIN membership;
+        # short docs contribute nothing (len guard mirrors the gate)
+        "ngram_coverage": r"""
+            WITH 
+            tr1 AS (
+                SELECT DISTINCT unnest(list_transform(
+                    generate_series(1, len(toks) - 1 + 1),
+                    i -> array_to_string(list_slice(toks, i, i + 1 - 1), ' ')))
+                    AS g
+                FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+')
+                          AS toks
+                      FROM documents WHERE doc_id % 3 <> 1)
+                WHERE len(toks) >= 1
+            ),
+            te1 AS (
+                SELECT DISTINCT unnest(list_transform(
+                    generate_series(1, len(toks) - 1 + 1),
+                    i -> array_to_string(list_slice(toks, i, i + 1 - 1), ' ')))
+                    AS g
+                FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+')
+                          AS toks
+                      FROM documents WHERE doc_id % 3 = 1)
+                WHERE len(toks) >= 1
+            ),
+            tr2 AS (
+                SELECT DISTINCT unnest(list_transform(
+                    generate_series(1, len(toks) - 2 + 1),
+                    i -> array_to_string(list_slice(toks, i, i + 2 - 1), ' ')))
+                    AS g
+                FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+')
+                          AS toks
+                      FROM documents WHERE doc_id % 3 <> 1)
+                WHERE len(toks) >= 2
+            ),
+            te2 AS (
+                SELECT DISTINCT unnest(list_transform(
+                    generate_series(1, len(toks) - 2 + 1),
+                    i -> array_to_string(list_slice(toks, i, i + 2 - 1), ' ')))
+                    AS g
+                FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+')
+                          AS toks
+                      FROM documents WHERE doc_id % 3 = 1)
+                WHERE len(toks) >= 2
+            ),
+            tr3 AS (
+                SELECT DISTINCT unnest(list_transform(
+                    generate_series(1, len(toks) - 3 + 1),
+                    i -> array_to_string(list_slice(toks, i, i + 3 - 1), ' ')))
+                    AS g
+                FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+')
+                          AS toks
+                      FROM documents WHERE doc_id % 3 <> 1)
+                WHERE len(toks) >= 3
+            ),
+            te3 AS (
+                SELECT DISTINCT unnest(list_transform(
+                    generate_series(1, len(toks) - 3 + 1),
+                    i -> array_to_string(list_slice(toks, i, i + 3 - 1), ' ')))
+                    AS g
+                FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+')
+                          AS toks
+                      FROM documents WHERE doc_id % 3 = 1)
+                WHERE len(toks) >= 3
+            )
+
+            SELECT 1 AS n,
+                   (SELECT count(*) FROM te1)::BIGINT AS test_ngrams,
+                   (SELECT count(*) FROM te1 SEMI JOIN tr1 USING (g))::BIGINT
+                       AS covered,
+                   round((SELECT count(*) FROM te1 SEMI JOIN tr1 USING (g))
+                         / greatest((SELECT count(*) FROM te1), 1)::DOUBLE,
+                         6) AS coverage
+            UNION ALL
+            SELECT 2 AS n,
+                   (SELECT count(*) FROM te2)::BIGINT AS test_ngrams,
+                   (SELECT count(*) FROM te2 SEMI JOIN tr2 USING (g))::BIGINT
+                       AS covered,
+                   round((SELECT count(*) FROM te2 SEMI JOIN tr2 USING (g))
+                         / greatest((SELECT count(*) FROM te2), 1)::DOUBLE,
+                         6) AS coverage
+            UNION ALL
+            SELECT 3 AS n,
+                   (SELECT count(*) FROM te3)::BIGINT AS test_ngrams,
+                   (SELECT count(*) FROM te3 SEMI JOIN tr3 USING (g))::BIGINT
+                       AS covered,
+                   round((SELECT count(*) FROM te3 SEMI JOIN tr3 USING (g))
+                         / greatest((SELECT count(*) FROM te3), 1)::DOUBLE,
+                         6) AS coverage
+        """,
         # span replay core + cross-bench merge + correlated-lambda token
         # rewrite; untouched docs hash their ORIGINAL text
         "mask_contaminated": _CONTAM_SPANS_SQL_CORE + """,
@@ -6745,6 +6914,41 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_delta": _snapshot_delta_oracle(),
         "cdc_incremental": _cdc_incremental_oracle(),
         "delta_chain": _delta_chain_oracle(),
+        "recrawl_drift": _recrawl_drift_oracle(),
+        # same quantized OLS: nano logs as HUGEINT, mirrored formula order
+        "zipf_fit": """
+            WITH cnt AS (
+                SELECT unnest(regexp_extract_all(lower(text),
+                                                 '[a-zà-öø-ÿ]+')) AS t
+                FROM documents),
+            top AS (
+                SELECT t, count(*)::BIGINT AS c FROM cnt
+                GROUP BY t ORDER BY c DESC, t ASC LIMIT 64),
+            pts AS (
+                SELECT round(ln(row_number() OVER (ORDER BY c DESC, t ASC))
+                             * 1e9)::HUGEINT AS x,
+                       round(ln(c) * 1e9)::HUGEINT AS y
+                FROM top),
+            s AS (
+                SELECT count(*)::BIGINT AS k, sum(x) AS sx, sum(y) AS sy,
+                       sum(x * y) AS sxy, sum(x * x) AS sxx
+                FROM pts)
+            SELECT k::INTEGER AS n_terms,
+                   CASE WHEN k::DOUBLE * sxx::DOUBLE
+                             - sx::DOUBLE * sx::DOUBLE <> 0 THEN
+                   round((k::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                         / (k::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE),
+                         6) END AS slope,
+                   CASE WHEN k::DOUBLE * sxx::DOUBLE
+                             - sx::DOUBLE * sx::DOUBLE <> 0 THEN
+                   round(((sy::DOUBLE
+                           - ((k::DOUBLE * sxy::DOUBLE
+                               - sx::DOUBLE * sy::DOUBLE)
+                              / (k::DOUBLE * sxx::DOUBLE
+                                 - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
+                          / k::DOUBLE) / 1e9, 6) END AS intercept
+            FROM s
+        """,
         "dict_compression": _dict_compression_oracle(),
         # NB replay core + the same integer Mann-Whitney eval aggregation
         "classifier_eval": _NB_SQL_CORE + """,

@@ -1920,3 +1920,48 @@ def mask_spans(
         .alias("n_tokens"),
         n_masked.cast("int").alias("n_masked"),
     )
+
+
+def recrawl_drift(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash: Callable[[Column], Column] = F.xxhash64,
+) -> DataFrame:
+    """Fuzzy change detection between two crawl snapshots: per-doc
+    Hamming distance between the simhash fingerprints.  md5 equality
+    (``delta_encode``) says WHETHER a page changed; the simhash distance
+    says HOW MUCH — timestamp/boilerplate tweaks land within a few
+    bits, template swaps mid-range, rewrites near the ~32-bit random
+    floor.  A recrawl scheduler prioritizes by drift, not by changed
+    flag.
+
+    Returns ``(id, hamming, drift_class)`` for docs present in BOTH
+    snapshots (identical / minor <= 3 / moderate <= 16 / rewrite).
+    Plan: two simhash passes (slim (id, fingerprint) outputs) and one
+    id-keyed join — co-located when snapshots are bucketed by the doc
+    key.  Pass ``token_hash=md5_hash60`` for the oracle-replayable
+    form."""
+    a = simhash64(old, text_col, id_col, token_hash).withColumnRenamed(
+        "simhash", "__sh_old"
+    )
+    b = simhash64(new, text_col, id_col, token_hash).withColumnRenamed(
+        "simhash", "__sh_new"
+    )
+    hamming = F.bit_count(
+        F.col("__sh_old").bitwiseXOR(F.col("__sh_new"))
+    ).cast("int")
+    return (
+        a.join(b, id_col)
+        .withColumn("hamming", hamming)
+        .select(
+            id_col,
+            "hamming",
+            F.when(F.col("hamming") == 0, "identical")
+            .when(F.col("hamming") <= 3, "minor")
+            .when(F.col("hamming") <= 16, "moderate")
+            .otherwise("rewrite")
+            .alias("drift_class"),
+        )
+    )

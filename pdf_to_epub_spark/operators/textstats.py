@@ -1974,3 +1974,126 @@ def dict_compression_ratio(
         )
         .drop("__r")
     )
+
+
+def ngram_coverage(
+    train: DataFrame,
+    test: DataFrame,
+    n_values: tuple = (1, 2, 3),
+    text_col: str = "text",
+) -> DataFrame:
+    """Train-set n-gram coverage of a test set: for each n, what share
+    of the test set's DISTINCT word n-grams also occur in train — the
+    novelty check run before accepting an eval split (near-1 unigram
+    coverage is expected; near-1 TRIGRAM coverage means the split is
+    too close to train).
+
+    Returns one row per n: ``(n, test_ngrams, covered, coverage)``
+    (coverage 6 dp).  Plan: each side builds distinct n-gram rows once
+    per n (token array materialized first — the 60x rule), the
+    membership test is a LEFT SEMI join on the n-gram string keyed by
+    the gram itself (hash-uniform, skew-free), and counts are slim
+    aggregates.  Train-side grams are deduped before the join, so the
+    join input is bounded by vocabulary, not corpus, size."""
+    from pdf_to_epub_spark.operators.dedup import _word_tokens
+
+    def grams(df: DataFrame, n: int) -> DataFrame:
+        toks = df.select(_word_tokens(F.col(text_col)).alias("__t"))
+        # docs shorter than n contribute NOTHING (no whole-text fallback
+        # here — coverage over partial grams would be meaningless); the
+        # explicit gate matters because sequence(0, -1) DESCENDS in
+        # Spark and slice(…, 0, n) then throws
+        arr = F.when(
+            F.size("__t") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__t") - F.lit(n)),
+                lambda i: F.concat_ws(" ", F.slice("__t", i + 1, n)),
+            ),
+        )
+        return (
+            toks.select(F.explode_outer(arr).alias("g"))
+            .where(F.col("g").isNotNull())
+            .distinct()
+        )
+
+    out = None
+    for n in n_values:
+        te = grams(test, n)
+        tr = grams(train, n)
+        covered = te.join(tr, "g", "left_semi")
+        row = te.agg(F.count(F.lit(1)).alias("test_ngrams")).crossJoin(
+            covered.agg(F.count(F.lit(1)).alias("covered"))
+        ).select(
+            F.lit(n).cast("int").alias("n"),
+            F.col("test_ngrams").cast("long"),
+            F.col("covered").cast("long"),
+            F.round(
+                F.col("covered")
+                / F.greatest(F.col("test_ngrams"), F.lit(1)).cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str = "text", top_k: int = 64
+) -> DataFrame:
+    """Zipf's-law fit over the top-``top_k`` vocabulary: OLS slope of
+    ln(freq) against ln(rank) — natural language sits near -1; templated
+    or machine-generated corpora flatten, token-salad steepens.  One
+    corpus-health number per corpus.
+
+    Returns one row ``(n_terms, slope, intercept)`` (6 dp).
+
+    Engine-exactness: ln(rank) and ln(freq) are quantized to integer
+    nanos BEFORE summation (both engines call the same libm on
+    identical integers), the four OLS sums ride decimal(38,0)
+    (order-independent, overflow-proof), and the closing formula is
+    computed on doubles cast from those exact integers in a mirrored
+    order.  Plan: one token explode + count groupBy, a top-k cut
+    ordered (freq DESC, term ASC) — deterministic tie-break — and a
+    64-row aggregate; nothing corpus-sized crosses the top-k boundary.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(F.explode_outer(_tokens(text_col)).alias("t"))
+        .where(F.col("t").isNotNull())
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("t"))
+    pts = counts.select(
+        F.row_number().over(w).alias("r"), F.col("c")
+    ).select(
+        F.round(F.log(F.col("r").cast("double")) * 1e9)
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * 1e9)
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    k = F.col("k").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    den = k * sxx - sx * sx
+    # < 2 distinct terms (or all at rank 1) -> no line to fit; the
+    # guard also keeps ANSI mode from raising DIVIDE_BY_ZERO
+    slope = F.when(den != 0, (k * sxy - sx * sy) / den)
+    intercept = F.when(den != 0, (sy - slope * sx) / k / 1e9)
+    return sums.select(
+        F.col("k").cast("int").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )

@@ -3571,3 +3571,70 @@ def test_mask_spans_preserves_case_and_lpa_self_loop(spark):
     labels = {r["node"]: r["label"]
               for r in label_propagation(edges, iters=4).collect()}
     assert labels["x"] == labels["l1"] == labels["l2"]
+
+
+def test_ngram_coverage_controlled(spark):
+    from pdf_to_epub_spark.operators.textstats import ngram_coverage
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta")],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(3, "alpha beta nu"), (4, "x"), (5, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["n"]: r for r in ngram_coverage(train, test).collect()}
+    # unigrams: {alpha, beta, nu, x}; covered: alpha, beta
+    assert rows[1]["test_ngrams"] == 4 and rows[1]["covered"] == 2
+    assert rows[1]["coverage"] == 0.5
+    # bigrams: {alpha beta, beta nu}; covered: alpha beta  ("x" too short)
+    assert rows[2]["test_ngrams"] == 2 and rows[2]["covered"] == 1
+    # trigrams: {alpha beta nu}; not in train
+    assert rows[3]["test_ngrams"] == 1 and rows[3]["covered"] == 0
+
+
+def test_recrawl_drift_classes(spark):
+    from pdf_to_epub_spark.operators.dedup import md5_hash60, recrawl_drift
+
+    # distinct words: per-bit vote margins are ~sqrt(n), so a real edit
+    # moves SOME bits (a tiny append on a 20x-repeated base flips none —
+    # that robustness is simhash's point, not a test failure)
+    base = " ".join(f"word{chr(97 + i % 26)}{chr(97 + i // 26)}" for i in range(80))
+    edited = base + " " + " ".join(f"extra{chr(97 + i)}" for i in range(12))
+    old = spark.createDataFrame(
+        [(1, base), (2, base), (3, base)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),     # identical
+            (2, edited),   # additive edit -> some bits move, most stay
+            (3, "completely different text about trains and rivers " * 20),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            recrawl_drift(old, new, token_hash=md5_hash60).collect()}
+    assert rows[1]["hamming"] == 0 and rows[1]["drift_class"] == "identical"
+    assert 0 < rows[2]["hamming"] < rows[3]["hamming"]
+    assert rows[3]["hamming"] > 16 and rows[3]["drift_class"] == "rewrite"
+
+
+def test_zipf_fit_on_zipfian_corpus(spark):
+    import math
+
+    from pdf_to_epub_spark.operators.textstats import zipf_fit
+
+    # construct frequencies ~ 1000/r (true slope -1) over 40 LETTER-ONLY
+    # terms (the tokenizer class is [a-z...]+ — digits would collapse
+    # every term to 'w')
+    words = []
+    for r in range(1, 41):
+        name = f"w{chr(97 + (r - 1) % 26)}{chr(97 + (r - 1) // 26)}"
+        words += [name] * max(1, round(1000 / r))
+    df = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    row = zipf_fit(df, top_k=40).collect()[0]
+    assert row["n_terms"] == 40
+    assert -1.1 < row["slope"] < -0.9  # near the planted exponent
+    # intercept ~ ln(1000)
+    assert abs(row["intercept"] - math.log(1000)) < 0.2
