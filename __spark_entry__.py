@@ -4955,6 +4955,98 @@ _CONTAM_SPANS_SQL_CORE = r"""WITH t AS (
                 FROM g1)"""
 
 
+def _q_crawl_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain fetch-cadence profile (urls.crawl_cadence): lag-window
+    inter-arrival gaps over deterministic (domain, epoch) captures, then
+    order-independent gap stats — integer gap sums drive the variance in
+    a fixed parse shape and the median is Spark's exact percentile
+    (== DuckDB quantile_cont)."""
+    from pdf_to_epub_spark.operators import crawl_cadence
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    pages = d.select(
+        F.concat(
+            F.lit("https://sub"), (i % 3).cast("string"),
+            F.lit(".site"), (i % 7).cast("string"),
+            F.lit(".example/p"), i.cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1735689600) + (i * 997) % 86400
+        ).alias("warc_ts"),
+    )
+    return crawl_cadence(pages).select(
+        "domain", "n_fetches", "mean_gap_s", "median_gap_s", "var_gap_s"
+    )
+
+
+def _q_cocitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain co-citation mining (urls.cocitation_pairs): unordered
+    domain pairs linked from the same page, counted across pages — the
+    no-self-join HOF-combinations shape; the oracle replays it as a
+    distinct self-join in DuckDB."""
+    from pdf_to_epub_spark.operators import cocitation_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    url = F.concat(F.lit("https://p"), i.cast("string"), F.lit(".example/x"))
+    targets = F.array(
+        F.concat(F.lit("https://a"), (i % 5).cast("string"), F.lit(".example/")),
+        F.concat(F.lit("https://b"), (i % 3).cast("string"), F.lit(".example/")),
+        F.concat(F.lit("https://c"), (i % 4).cast("string"), F.lit(".example/")),
+        # duplicate target — the per-page set must be DISTINCT domains
+        F.concat(F.lit("https://a"), (i % 5).cast("string"), F.lit(".example/dup")),
+        # conditional 4th domain so per-page set sizes vary 3 / 4
+        F.when(
+            i % 2 == 0, F.lit("https://hub.example/")
+        ).otherwise(
+            F.concat(F.lit("https://c"), (i % 4).cast("string"), F.lit(".example/z"))
+        ),
+    )
+    outlinks = d.select(
+        url.alias("url"), F.explode(targets).alias("target")
+    )
+    return cocitation_pairs(outlinks, min_count=2).select(
+        "domain_a", "domain_b", "n_pages"
+    )
+
+
+def _q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping sentence-window chunking
+    (textstats.sentence_chunks, 3-sentence windows, stride 2) over the
+    same deterministically-punctuated text as sentence_stats; the oracle
+    replays the windows via 1-based DuckDB list slices over
+    unnest(generate_series(...))."""
+    from pdf_to_epub_spark.operators import sentence_chunks
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    txt = F.concat(
+        F.substring("text", 1, 40), F.lit(". "),
+        F.substring("text", 41, 60), F.lit("! "),
+        F.substring("text", 101, 50),
+        F.when(i % 3 == 0, F.lit("? Short tail.")).otherwise(F.lit("...")),
+    )
+    return sentence_chunks(
+        d.select("doc_id", txt.alias("text")), chunk_sents=3, stride=2
+    ).select("doc_id", "chunk_id", "n_sents", "chunk_text")
+
+
+def _q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quantile normalization + curriculum bucketing
+    (sampling.quality_percentiles): percent_rank and ntile(4) over
+    (score, doc_id) — deterministic tie-break, identical window
+    semantics in DuckDB."""
+    from pdf_to_epub_spark.operators import quality_percentiles
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").alias("score")
+    )
+    return quality_percentiles(d, buckets=4).select(
+        "doc_id", "lang", "score", "pct", "bucket"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -5005,6 +5097,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_coverage": _q_ngram_coverage,
         "recrawl_drift": _q_recrawl_drift,
         "zipf_fit": _q_zipf_fit,
+        "crawl_cadence": _q_crawl_cadence,
+        "cocitation_pairs": _q_cocitation_pairs,
+        "sentence_chunks": _q_sentence_chunks,
+        "quality_percentiles": _q_quality_percentiles,
         "publish_dates": _q_publish_dates,
         "link_reciprocity": _q_link_reciprocity,
         "gate_attrition": _q_gate_attrition,
@@ -6916,6 +7012,97 @@ def oracle_sql() -> dict[str, str]:
         "delta_chain": _delta_chain_oracle(),
         "recrawl_drift": _recrawl_drift_oracle(),
         # same quantized OLS: nano logs as HUGEINT, mirrored formula order
+        "crawl_cadence": """
+            WITH pages AS (
+                SELECT 'https://sub' || (doc_id % 3) || '.site'
+                       || (doc_id % 7) || '.example/p' || doc_id AS url,
+                       'site' || (doc_id % 7) || '.example' AS domain,
+                       1735689600 + (doc_id * 997) % 86400 AS epoch
+                FROM documents),
+            g AS (
+                SELECT domain,
+                       epoch - lag(epoch) OVER (
+                           PARTITION BY domain ORDER BY epoch, url) AS gap
+                FROM pages),
+            a AS (
+                SELECT domain, count(*) AS n_fetches, count(gap) AS n_gaps,
+                       sum(gap) AS sum_gap, sum(gap * gap) AS sum_gap2,
+                       quantile_cont(gap, 0.5) AS med
+                FROM g GROUP BY domain)
+            SELECT domain, n_fetches,
+                   round(sum_gap::DOUBLE / n_gaps::DOUBLE, 6) AS mean_gap_s,
+                   round(med::DOUBLE, 6) AS median_gap_s,
+                   CASE WHEN n_gaps > 1 THEN
+                       round((n_gaps::DOUBLE * sum_gap2::DOUBLE
+                              - sum_gap::DOUBLE * sum_gap::DOUBLE)
+                             / (n_gaps::DOUBLE * (n_gaps::DOUBLE - 1.0)), 6)
+                   END::DOUBLE AS var_gap_s
+            FROM a WHERE n_fetches >= 2
+        """,
+        "cocitation_pairs": """
+            WITH ol AS (
+                SELECT DISTINCT url, dom FROM (
+                    SELECT 'https://p' || doc_id || '.example/x' AS url,
+                           'a' || (doc_id % 5) || '.example' AS dom
+                    FROM documents
+                    UNION ALL
+                    SELECT 'https://p' || doc_id || '.example/x',
+                           'b' || (doc_id % 3) || '.example'
+                    FROM documents
+                    UNION ALL
+                    SELECT 'https://p' || doc_id || '.example/x',
+                           'c' || (doc_id % 4) || '.example'
+                    FROM documents
+                    UNION ALL
+                    SELECT 'https://p' || doc_id || '.example/x',
+                           CASE WHEN doc_id % 2 = 0 THEN 'hub.example'
+                            ELSE 'c' || (doc_id % 4) || '.example' END
+                    FROM documents))
+            SELECT x.dom AS domain_a, y.dom AS domain_b,
+                   count(*) AS n_pages
+            FROM ol x JOIN ol y ON x.url = y.url AND x.dom < y.dom
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "sentence_chunks": """
+            WITH src AS (
+                SELECT doc_id,
+                       substr(text, 1, 40) || '. '
+                       || substr(text, 41, 60) || '! '
+                       || substr(text, 101, 50)
+                       || CASE WHEN doc_id % 3 = 0 THEN '? Short tail.'
+                               ELSE '...' END AS text
+                FROM documents),
+            s AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(
+                               regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                               x -> trim(x)),
+                           x -> x != '') AS sents
+                FROM src),
+            c AS (
+                SELECT doc_id, sents,
+                       unnest(generate_series(
+                           0, ((len(sents) - 1) // 2)::BIGINT)) AS chunk_id
+                FROM s WHERE len(sents) > 0)
+            SELECT doc_id, chunk_id::INT AS chunk_id,
+                   len(sents[chunk_id * 2 + 1 : chunk_id * 2 + 3])::INT
+                       AS n_sents,
+                   array_to_string(
+                       sents[chunk_id * 2 + 1 : chunk_id * 2 + 3], ' ')
+                       AS chunk_text
+            FROM c
+        """,
+        "quality_percentiles": """
+            SELECT doc_id, lang, n_chars AS score,
+                   round(percent_rank() OVER (
+                       PARTITION BY lang ORDER BY n_chars, doc_id), 6)
+                       + 0 AS pct,
+                   ntile(4) OVER (
+                       PARTITION BY lang ORDER BY n_chars, doc_id)::INT
+                       AS bucket
+            FROM documents
+        """,
         "zipf_fit": """
             WITH cnt AS (
                 SELECT unnest(regexp_extract_all(lower(text),

@@ -729,3 +729,35 @@ def shard_manifest(
         )
         .select("shard", "n_docs", "n_tokens", "n_chars", "checksum")
     )
+
+
+def quality_percentiles(
+    df: DataFrame,
+    score_col: str = "score",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    buckets: int = 4,
+) -> DataFrame:
+    """Per-group quantile normalization of a quality score + curriculum
+    bucketing: ``pct`` is the score's ``percent_rank`` within its group
+    (0 = worst, 1 = best) and ``bucket`` is its ``ntile`` quartile (1 =
+    lowest scores) — the standard preprocessing before mixing corpora
+    whose raw quality scores live on different scales, and the ordering
+    key for curriculum-style data scheduling.
+
+    Ties are broken by ``id_col`` so both the rank and the bucket are
+    fully deterministic across engines and retries.  One window per
+    group over a slim projection; a hot group serializes only its own
+    sort (at 100 TB, group = language, so the window key is low-card
+    but each partition streams + spills — no per-group collect).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(score_col, id_col)
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(score_col),
+        F.round(F.percent_rank().over(w), 6).alias("pct"),
+        F.ntile(buckets).over(w).cast("int").alias("bucket"),
+    )

@@ -2097,3 +2097,59 @@ def zipf_fit(
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+def sentence_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_sents: int = 3,
+    stride: int = 2,
+) -> DataFrame:
+    """RAG-style overlapping sentence-window chunking: segment each
+    document into sentences (the same RE2-portable ``[^.!?]+[.!?]*``
+    rule as :func:`sentence_stats`), then emit windows of
+    ``chunk_sents`` consecutive sentences starting every ``stride``
+    sentences — chunk ``c`` covers sentences ``c*stride+1 ..
+    c*stride+chunk_sents`` (1-based), and the tail window may be
+    shorter.  Documents with no sentences emit no rows.
+
+    All JVM-side column algebra: one regex scan builds the sentence
+    array, ``sequence`` builds the chunk ids (guarded — ``sequence(0,
+    -1)`` DESCENDS in Spark, so empty docs take an explicit empty-array
+    branch), and the explode is ``explode_outer`` + null-filter so the
+    optimizer cannot re-inline the sentence regex below the generator
+    (InferFiltersFromGenerate).  No shuffle, no UDF.
+
+    Returns ``(id, chunk_id, n_sents, chunk_text)``.
+    """
+    sents = F.expr(
+        f"filter(transform(regexp_extract_all({text_col},"
+        f" '[^.!?]+[.!?]*', 0), x -> trim(x)), x -> x != '')"
+    )
+    n = F.size("__sents")
+    n_chunks = F.floor((n - F.lit(1)) / F.lit(stride)).cast("int") + F.lit(1)
+    ids = F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    staged = (
+        df.select(F.col(id_col), sents.alias("__sents"))
+        .select(F.col(id_col), F.col("__sents"), ids.alias("__ids"))
+        .select(
+            F.col(id_col),
+            F.col("__sents"),
+            F.explode_outer("__ids").alias("chunk_id"),
+        )
+        .where(F.col("chunk_id").isNotNull())
+    )
+    piece = F.slice(
+        F.col("__sents"),
+        F.col("chunk_id") * stride + 1,
+        chunk_sents,
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(piece).cast("int").alias("n_sents"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

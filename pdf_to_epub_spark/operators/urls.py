@@ -1556,3 +1556,117 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def crawl_cadence(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    min_fetches: int = 2,
+) -> DataFrame:
+    """Per-registrable-domain fetch-cadence profile: inter-arrival gaps
+    between consecutive captures of the same domain, then
+    order-independent gap statistics.  The crawler-politeness /
+    recrawl-scheduling counterpart of :func:`crawl_schedule` — where that
+    op plans future fetches, this one measures the observed cadence.
+
+    Shape: one slim ``(domain, epoch)`` projection → ``lag`` window per
+    domain (streams + spills; a hot domain serializes its own sort only)
+    → one combiner-enabled groupBy.  Variance is computed from integer
+    gap sums in a fixed parse shape (``n*sum2 - sum*sum`` over doubles),
+    so Spark and the SQL oracle agree bit-for-bit after 6-dp rounding;
+    the median uses Spark's exact ``percentile`` (== DuckDB
+    ``quantile_cont`` interpolation).
+
+    Returns ``(domain, n_fetches, mean_gap_s, median_gap_s, var_gap_s)``
+    for domains with at least ``min_fetches`` captures.
+    """
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("domain").orderBy("epoch", url_col)
+    slim = df.select(
+        registrable_domain(F.col(url_col)).alias("domain"),
+        F.col(url_col).alias(url_col),
+        F.unix_timestamp(F.col(ts_col)).alias("epoch"),
+    )
+    gaps = slim.select(
+        "domain",
+        (F.col("epoch") - F.lag("epoch").over(w)).alias("gap"),
+    )
+    agg = gaps.groupBy("domain").agg(
+        (F.count(F.lit(1))).alias("n_fetches"),
+        F.count("gap").alias("n_gaps"),
+        F.sum("gap").alias("sum_gap"),
+        F.sum(F.col("gap") * F.col("gap")).alias("sum_gap2"),
+        F.expr("percentile(gap, 0.5)").alias("median_raw"),
+    )
+    n = F.col("n_gaps").cast("double")
+    s1 = F.col("sum_gap").cast("double")
+    s2 = F.col("sum_gap2").cast("double")
+    return (
+        agg.filter(F.col("n_fetches") >= min_fetches)
+        .select(
+            "domain",
+            F.col("n_fetches").cast("long").alias("n_fetches"),
+            F.round(s1 / n, 6).alias("mean_gap_s"),
+            F.round(F.col("median_raw"), 6).alias("median_gap_s"),
+            F.when(
+                F.col("n_gaps") > 1,
+                F.round((n * s2 - s1 * s1) / (n * (n - F.lit(1.0))), 6),
+            ).alias("var_gap_s"),
+        )
+    )
+
+
+def cocitation_pairs(
+    outlinks: DataFrame,
+    url_col: str = "url",
+    target_col: str = "target",
+    min_count: int = 2,
+    max_domains: int = 64,
+) -> DataFrame:
+    """Domain co-citation mining: unordered pairs of registrable domains
+    linked from the SAME page, counted across pages — the co-citation
+    graph used for mirror detection, topical clustering, and link-spam
+    rings.
+
+    Spark-first shape: NO self-join.  One groupBy url builds the sorted
+    distinct-domain set per page (capped at ``max_domains`` — a page
+    linking hundreds of domains is a link farm and would otherwise fan
+    out O(k²)), a higher-order ``transform``/``flatten`` emits the
+    C(k,2) combinations JVM-side, and a second combiner-enabled groupBy
+    counts pairs.  The explode is ``explode_outer`` + null-filter so the
+    optimizer cannot re-inline the combination lambda below the
+    generator (InferFiltersFromGenerate).
+
+    Returns ``(domain_a, domain_b, n_pages)`` with ``domain_a <
+    domain_b`` and ``n_pages >= min_count``.
+    """
+    per_page = (
+        outlinks.select(
+            F.col(url_col).alias("url"),
+            registrable_domain(F.col(target_col)).alias("dom"),
+        )
+        .groupBy("url")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set("dom")), 1, max_domains
+            ).alias("doms")
+        )
+    )
+    pairs_arr = per_page.select(
+        F.expr(
+            "flatten(transform(doms, (x, i) -> "
+            "transform(slice(doms, i + 2, size(doms)), "
+            "y -> struct(x AS domain_a, y AS domain_b))))"
+        ).alias("pairs")
+    )
+    exploded = pairs_arr.select(
+        F.explode_outer("pairs").alias("p")
+    ).where(F.col("p").isNotNull())
+    return (
+        exploded.select("p.domain_a", "p.domain_b")
+        .groupBy("domain_a", "domain_b")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .filter(F.col("n_pages") >= min_count)
+    )

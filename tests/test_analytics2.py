@@ -239,3 +239,111 @@ def test_binary_classifier_eval_null_rows_and_zero_f1(spark):
     assert g2["precision"] == 0.0 and g2["recall"] == 0.0
     assert g2["f1"] == 0.0
     assert g2["auc"] == 0.0
+
+
+# --------------------------------------------------------------------------
+# crawl_cadence / cocitation_pairs / sentence_chunks / quality_percentiles
+# --------------------------------------------------------------------------
+
+def test_crawl_cadence_gap_stats_and_single_fetch_domains(spark):
+    from pdf_to_epub_spark.operators import crawl_cadence
+
+    rows = [
+        # d1.example: epochs 100, 160, 220, 400 -> gaps 60, 60, 180
+        ("https://a.d1.example/1", 100),
+        ("https://a.d1.example/2", 160),
+        ("https://b.d1.example/3", 220),
+        ("https://b.d1.example/4", 400),
+        # d2.example: single fetch -> excluded (min_fetches=2)
+        ("https://d2.example/x", 500),
+    ]
+    df = spark.createDataFrame(rows, "url string, epoch long").selectExpr(
+        "url", "timestamp_seconds(epoch) AS warc_ts"
+    )
+    got = {r["domain"]: r for r in crawl_cadence(df).collect()}
+    assert set(got) == {"d1.example"}
+    r = got["d1.example"]
+    assert r["n_fetches"] == 4
+    assert r["mean_gap_s"] == 100.0
+    assert r["median_gap_s"] == 60.0
+    # sample variance of (60, 60, 180) = 4800
+    assert r["var_gap_s"] == 4800.0
+
+
+def test_crawl_cadence_two_fetches_has_null_variance(spark):
+    from pdf_to_epub_spark.operators import crawl_cadence
+
+    df = spark.createDataFrame(
+        [("https://one.example/a", 10), ("https://one.example/b", 70)],
+        "url string, epoch long",
+    ).selectExpr("url", "timestamp_seconds(epoch) AS warc_ts")
+    r = crawl_cadence(df).collect()[0]
+    assert r["n_fetches"] == 2 and r["mean_gap_s"] == 60.0
+    assert r["var_gap_s"] is None
+
+
+def test_cocitation_pairs_distinct_cap_and_min_count(spark):
+    from pdf_to_epub_spark.operators import cocitation_pairs
+
+    rows = [
+        # page 1 links a+b (b twice -> distinct)
+        ("p1", "https://a.example/"), ("p1", "https://b.example/"),
+        ("p1", "https://b.example/dup"),
+        # page 2 links a+b+c
+        ("p2", "https://a.example/"), ("p2", "https://b.example/"),
+        ("p2", "https://c.example/"),
+        # page 3 links a+c
+        ("p3", "https://a.example/"), ("p3", "https://c.example/"),
+    ]
+    df = spark.createDataFrame(rows, "url string, target string")
+    got = {
+        (r["domain_a"], r["domain_b"]): r["n_pages"]
+        for r in cocitation_pairs(df, min_count=2).collect()
+    }
+    assert got == {("a.example", "b.example"): 2, ("a.example", "c.example"): 2}
+
+    # max_domains=2 keeps only the 2 lexically-first domains per page:
+    # p2 collapses to {a, b} so (a, c) loses its second page
+    capped = {
+        (r["domain_a"], r["domain_b"]): r["n_pages"]
+        for r in cocitation_pairs(df, min_count=1, max_domains=2).collect()
+    }
+    assert capped[("a.example", "b.example")] == 2
+    assert capped[("a.example", "c.example")] == 1
+
+
+def test_sentence_chunks_windows_stride_and_empty_doc(spark):
+    from pdf_to_epub_spark.operators import sentence_chunks
+
+    df = spark.createDataFrame(
+        [
+            (1, "One. Two! Three? Four. Five."),
+            (2, "Solo sentence."),
+            (3, "   "),  # no sentences -> no rows
+        ],
+        "doc_id long, text string",
+    )
+    got = sentence_chunks(df, chunk_sents=3, stride=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc
+    assert [r["chunk_text"] for r in sorted(by_doc[1], key=lambda r: r["chunk_id"])] == [
+        "One. Two! Three?",
+        "Three? Four. Five.",
+        "Five.",
+    ]
+    assert [r["n_sents"] for r in sorted(by_doc[1], key=lambda r: r["chunk_id"])] == [3, 3, 1]
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "Solo sentence."
+
+
+def test_quality_percentiles_rank_and_buckets(spark):
+    from pdf_to_epub_spark.operators import quality_percentiles
+
+    rows = [(i, "en", i * 10) for i in range(1, 9)] + [(100, "fr", 7)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score long")
+    got = {r["doc_id"]: r for r in quality_percentiles(df, buckets=4).collect()}
+    assert got[1]["pct"] == 0.0 and got[8]["pct"] == 1.0
+    assert [got[i]["bucket"] for i in range(1, 9)] == [1, 1, 2, 2, 3, 3, 4, 4]
+    # singleton group: percent_rank of a lone row is 0, bucket 1
+    assert got[100]["pct"] == 0.0 and got[100]["bucket"] == 1
