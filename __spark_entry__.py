@@ -5047,6 +5047,96 @@ def _q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-burst detection (analytics.event_anomalies): hourly counts
+    per event type, z-scored against the type's own hourly distribution
+    from exact integer sums in a fixed parse shape — the telemetry
+    anomaly monitor; z_threshold=2 so the synthetic stream yields true
+    bursts."""
+    from pdf_to_epub_spark.operators import event_anomalies
+
+    e = _t(spark, sf_dir, "events")
+    return event_anomalies(e, z_threshold=2.0).select(
+        "event_type", "bucket_epoch", "n_events", "z", "is_burst"
+    )
+
+
+def _q_title_body_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickbait signal (textstats.title_body_overlap): fraction of
+    distinct title words grounded in the body — titles synthesized from
+    the body prefix plus residue-varied alien tokens, with an
+    empty-title branch."""
+    from pdf_to_epub_spark.operators import title_body_overlap
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    title = F.when(i % 17 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.substring("text", 1, 25),
+            F.when(i % 4 == 0, F.lit(" zzqx")).otherwise(F.lit("")),
+            F.when(i % 4 == 1, F.lit(" vvwy qqkj")).otherwise(F.lit("")),
+        )
+    )
+    return title_body_overlap(
+        d.select("doc_id", title.alias("title"), "text")
+    ).select("doc_id", "n_title_tokens", "n_overlap", "overlap_ratio")
+
+
+def _q_quote_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quotation profile (textstats.quote_density) over text with
+    synthesized quote segments (paired, residue-varied second quote, and
+    a trailing unmatched quote) — one RE2-portable regex scan, replayed
+    verbatim in DuckDB."""
+    from pdf_to_epub_spark.operators import quote_density
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    txt = F.concat(
+        F.substring("text", 1, 60), F.lit(' "'),
+        F.substring("text", 61, 20), F.lit('" said.'),
+        F.when(i % 5 == 0, F.lit(' "Another quote."')).otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit(' "unclosed')).otherwise(F.lit("")),
+    )
+    return quote_density(d.select("doc_id", txt.alias("text"))).select(
+        "doc_id", "n_quotes", "quoted_chars", "quote_char_ratio"
+    )
+
+
+def _q_outlink_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-quality signal (urls.outlink_quality): broadcast-join
+    page outlink domains to a domain-score table (a/b domains scored,
+    c domains unscored — exercises the left-join NULL path), then
+    per-page mean/min over scored neighbors."""
+    from pdf_to_epub_spark.operators import outlink_quality
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    url = F.concat(F.lit("https://p"), i.cast("string"), F.lit(".example/x"))
+    targets = F.array(
+        F.concat(F.lit("https://a"), (i % 5).cast("string"), F.lit(".example/")),
+        F.concat(F.lit("https://b"), (i % 3).cast("string"), F.lit(".example/")),
+        F.concat(F.lit("https://c"), (i % 4).cast("string"), F.lit(".example/")),
+    )
+    outlinks = d.select(url.alias("url"), F.explode(targets).alias("target"))
+    scores = (
+        d.select(
+            F.concat(F.lit("a"), (i % 5).cast("string"), F.lit(".example"))
+            .alias("domain"),
+            ((i % 5).cast("double") / F.lit(10.0)).alias("score"),
+        )
+        .union(
+            d.select(
+                F.concat(F.lit("b"), (i % 3).cast("string"), F.lit(".example")),
+                (i % 3).cast("double") * F.lit(0.2) + F.lit(0.05),
+            )
+        )
+        .distinct()
+    )
+    return outlink_quality(outlinks, scores).select(
+        "url", "n_outlinks", "n_scored", "mean_score", "min_score"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -5101,6 +5191,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation_pairs": _q_cocitation_pairs,
         "sentence_chunks": _q_sentence_chunks,
         "quality_percentiles": _q_quality_percentiles,
+        "event_anomalies": _q_event_anomalies,
+        "title_body_overlap": _q_title_body_overlap,
+        "quote_density": _q_quote_density,
+        "outlink_quality": _q_outlink_quality,
         "publish_dates": _q_publish_dates,
         "link_reciprocity": _q_link_reciprocity,
         "gate_attrition": _q_gate_attrition,
@@ -7102,6 +7196,126 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY lang ORDER BY n_chars, doc_id)::INT
                        AS bucket
             FROM documents
+        """,
+        "event_anomalies": """
+            WITH h AS (
+                SELECT event_type,
+                       (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
+                           AS bucket_epoch,
+                       count(*) AS n_events
+                FROM events GROUP BY 1, 2),
+            m AS (
+                SELECT event_type, count(*) AS k, sum(n_events) AS s1,
+                       sum(n_events * n_events) AS s2
+                FROM h GROUP BY 1),
+            s AS (
+                SELECT event_type,
+                       s1::DOUBLE / k::DOUBLE AS mean,
+                       sqrt((k::DOUBLE * s2::DOUBLE
+                             - s1::DOUBLE * s1::DOUBLE)
+                            / (k::DOUBLE * (k::DOUBLE - 1.0))) AS sd
+                FROM m WHERE k > 1),
+            z AS (
+                SELECT h.event_type, h.bucket_epoch, h.n_events,
+                       CASE WHEN s.sd > 0 THEN
+                           round((h.n_events::DOUBLE - s.mean) / s.sd, 6)
+                           + 0
+                       ELSE 0.0 END AS z
+                FROM h JOIN s USING (event_type))
+            SELECT event_type, bucket_epoch, n_events, z,
+                   (abs(z) > 2.0) AS is_burst
+            FROM z
+        """,
+        "title_body_overlap": """
+            WITH src AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 17 = 0 THEN ''
+                            ELSE substr(text, 1, 25)
+                                 || CASE WHEN doc_id % 4 = 0
+                                         THEN ' zzqx' ELSE '' END
+                                 || CASE WHEN doc_id % 4 = 1
+                                         THEN ' vvwy qqkj' ELSE '' END
+                       END AS title,
+                       text
+                FROM documents),
+            tok AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(regexp_extract_all(
+                           lower(title), '[a-zà-öø-ÿ]+'),
+                           x -> x != '')) AS t,
+                       list_distinct(list_filter(regexp_extract_all(
+                           lower(text), '[a-zà-öø-ÿ]+'),
+                           x -> x != '')) AS b
+                FROM src)
+            SELECT doc_id,
+                   len(t)::INT AS n_title_tokens,
+                   len(list_filter(t, x -> list_contains(b, x)))::INT
+                       AS n_overlap,
+                   CASE WHEN len(t) > 0 THEN
+                       round(len(list_filter(t, x -> list_contains(b, x)))
+                             / len(t)::DOUBLE, 6)
+                   END::DOUBLE AS overlap_ratio
+            FROM tok
+        """,
+        "quote_density": """
+            WITH src AS (
+                SELECT doc_id,
+                       substr(text, 1, 60) || ' "'
+                       || substr(text, 61, 20) || '" said.'
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' "Another quote."' ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN ' "unclosed' ELSE '' END AS text
+                FROM documents),
+            q AS (
+                SELECT doc_id, length(text) AS n_len,
+                       regexp_extract_all(text, '"[^"]*"') AS segs
+                FROM src)
+            SELECT doc_id,
+                   len(segs)::INT AS n_quotes,
+                   coalesce(list_sum(list_transform(
+                       segs, x -> length(x) - 2)), 0)::BIGINT
+                       AS quoted_chars,
+                   CASE WHEN n_len > 0 THEN
+                       round(coalesce(list_sum(list_transform(
+                                 segs, x -> length(x) - 2)), 0)
+                             / n_len::DOUBLE, 6)
+                   END::DOUBLE AS quote_char_ratio
+            FROM q
+        """,
+        "outlink_quality": """
+            WITH ol AS (
+                SELECT DISTINCT url, dom FROM (
+                    SELECT 'https://p' || doc_id || '.example/x' AS url,
+                           'a' || (doc_id % 5) || '.example' AS dom
+                    FROM documents
+                    UNION ALL
+                    SELECT 'https://p' || doc_id || '.example/x',
+                           'b' || (doc_id % 3) || '.example'
+                    FROM documents
+                    UNION ALL
+                    SELECT 'https://p' || doc_id || '.example/x',
+                           'c' || (doc_id % 4) || '.example'
+                    FROM documents)),
+            sc AS (
+                SELECT DISTINCT * FROM (
+                    SELECT 'a' || (doc_id % 5) || '.example' AS domain,
+                           (doc_id % 5)::DOUBLE / 10.0 AS score
+                    FROM documents
+                    UNION ALL
+                    SELECT 'b' || (doc_id % 3) || '.example',
+                           (doc_id % 3)::DOUBLE * 0.2 + 0.05
+                    FROM documents))
+            SELECT ol.url,
+                   count(*)::BIGINT AS n_outlinks,
+                   count(sc.score)::BIGINT AS n_scored,
+                   CASE WHEN count(sc.score) > 0 THEN
+                       round(sum(sc.score)::DOUBLE
+                             / count(sc.score)::DOUBLE, 6)
+                   END::DOUBLE AS mean_score,
+                   min(sc.score)::DOUBLE AS min_score
+            FROM ol LEFT JOIN sc ON ol.dom = sc.domain
+            GROUP BY ol.url
         """,
         "zipf_fit": """
             WITH cnt AS (

@@ -297,3 +297,66 @@ def corpus_diversity(
         F.round(F.col("max_n") / total, 6).alias("top1_share"),
         F.round(F.col("top_n_pages") / total, 6).alias("topn_share"),
     )
+
+
+def event_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Traffic-burst detection over an event stream: tumbling-hour counts
+    per event type, then a z-score of each hour against that type's own
+    hourly distribution — the crawl-rate / ingestion-anomaly monitor a
+    100 TB pipeline runs over its own telemetry.
+
+    Two combiner-enabled aggregations (hour×type counts, then per-type
+    moments) joined back on the low-cardinality type key — the join side
+    is one row per event type, so Spark broadcasts it.  Mean/variance are
+    computed from exact integer count sums in a fixed parse shape
+    (``k*s2 - s1*s1``), so the z-scores replay bit-for-bit in SQL.
+
+    Returns ``(event_type, bucket_epoch, n_events, z, is_burst)`` for
+    types with at least 2 hourly buckets (variance needs a df of 1).
+    """
+    hours = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            (F.floor(F.unix_timestamp(F.col(ts_col)) / 3600) * 3600)
+            .cast("long")
+            .alias("bucket_epoch"),
+        )
+        .groupBy("event_type", "bucket_epoch")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    moments = hours.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    k = F.col("k").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    stats = moments.filter(F.col("k") > 1).select(
+        "event_type",
+        (s1 / k).alias("_mean"),
+        F.sqrt((k * s2 - s1 * s1) / (k * (k - F.lit(1.0)))).alias("_sd"),
+    )
+    z = F.when(
+        F.col("_sd") > 0,
+        F.round(
+            (F.col("n_events").cast("double") - F.col("_mean"))
+            / F.col("_sd"),
+            6,
+        ) + F.lit(0.0),
+    ).otherwise(F.lit(0.0))
+    return (
+        hours.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "bucket_epoch",
+            F.col("n_events").cast("long").alias("n_events"),
+            z.alias("z"),
+        )
+        .withColumn("is_burst", (F.abs(F.col("z")) > z_threshold))
+    )

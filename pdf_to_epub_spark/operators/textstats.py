@@ -2153,3 +2153,78 @@ def sentence_chunks(
         F.size(piece).cast("int").alias("n_sents"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def title_body_overlap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    title_col: str = "title",
+    body_col: str = "text",
+) -> DataFrame:
+    """Clickbait / title-mismatch signal: the fraction of distinct title
+    words that also occur in the body (1 = fully grounded title, 0 =
+    title shares nothing with the page).  Pages whose headline never
+    reappears in the text are a quality-filter staple.
+
+    Tokenization is the corpus-standard lowercase letter-run rule; the
+    overlap is pure array algebra (``array_distinct`` +
+    ``array_contains`` inside a ``filter`` lambda) on materialized token
+    columns — no shuffle, no UDF, and the token arrays are built in a
+    projection BEFORE the HOF so the optimizer cannot re-inline the
+    regex per lambda step.
+
+    Returns ``(id, n_title_tokens, n_overlap, overlap_ratio)``; docs
+    with an empty title get a NULL ratio.
+    """
+    tok = "filter(regexp_extract_all(lower({c}), '[a-zà-öø-ÿ]+', 0), x -> x != '')"
+    staged = df.select(
+        F.col(id_col),
+        F.array_distinct(F.expr(tok.format(c=title_col))).alias("__t"),
+        F.array_distinct(F.expr(tok.format(c=body_col))).alias("__b"),
+    )
+    n_t = F.size("__t")
+    n_o = F.size(F.expr("filter(__t, x -> array_contains(__b, x))"))
+    return staged.select(
+        F.col(id_col),
+        n_t.cast("int").alias("n_title_tokens"),
+        n_o.cast("int").alias("n_overlap"),
+        F.when(n_t > 0, F.round(n_o / n_t, 6)).alias("overlap_ratio"),
+    )
+
+
+def quote_density(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quotation profile: how much of a document sits inside double
+    quotes.  News/interview/forum content is quote-heavy; scraped
+    navigation and SEO spam are not — a cheap compositional signal for
+    corpus mixing.
+
+    One RE2-portable regex scan (``\"[^\"]*\"`` — no backtracking, no
+    lookarounds) feeding pure column algebra; NULL text yields zero
+    counts via the empty-array branch.
+
+    Returns ``(id, n_quotes, quoted_chars, quote_char_ratio)`` where the
+    ratio is quoted chars (quotes excluded) over total chars, 6 dp,
+    NULL for empty docs.
+    """
+    segs = F.expr(f"regexp_extract_all({text_col}, '\"[^\"]*\"', 0)")
+    staged = df.select(
+        F.col(id_col),
+        F.coalesce(F.length(text_col), F.lit(0)).alias("__len"),
+        F.coalesce(segs, F.array().cast("array<string>")).alias("__q"),
+    )
+    n_q = F.size("__q")
+    quoted = F.expr(
+        "aggregate(__q, 0L, (a, x) -> a + length(x) - 2)"
+    )
+    return staged.select(
+        F.col(id_col),
+        n_q.cast("int").alias("n_quotes"),
+        quoted.cast("long").alias("quoted_chars"),
+        F.when(
+            F.col("__len") > 0, F.round(quoted / F.col("__len"), 6)
+        ).alias("quote_char_ratio"),
+    )

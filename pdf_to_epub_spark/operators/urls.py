@@ -1670,3 +1670,60 @@ def cocitation_pairs(
         .agg(F.count(F.lit(1)).alias("n_pages"))
         .filter(F.col("n_pages") >= min_count)
     )
+
+
+def outlink_quality(
+    outlinks: DataFrame,
+    domain_scores: DataFrame,
+    url_col: str = "url",
+    target_col: str = "target",
+) -> DataFrame:
+    """Neighborhood-quality signal: for each page, aggregate the quality
+    scores of the registrable domains it links OUT to — pages whose
+    outlinks point overwhelmingly at low-quality domains are link spam
+    even when their own text looks clean (the classic spam-mass idea,
+    page-local and join-cheap).
+
+    ``domain_scores`` is a slim ``(domain, score)`` table (e.g. from
+    :func:`domain_quality_rank`); it is broadcast, so the page/outlink
+    table never shuffles on the join.  One combiner-enabled groupBy on
+    the page url follows.
+
+    Returns ``(url, n_outlinks, n_scored, mean_score, min_score)`` —
+    ``n_outlinks`` counts distinct target domains, ``n_scored`` those
+    with a score; mean/min are over scored domains only (NULL when
+    none), mean at 6 dp in a fixed sum/count shape.
+    """
+    doms = outlinks.select(
+        F.col(url_col).alias("url"),
+        registrable_domain(F.col(target_col)).alias("dom"),
+    ).distinct()
+    scored = doms.join(
+        F.broadcast(
+            domain_scores.select(
+                F.col("domain").alias("dom"), F.col("score").alias("__s")
+            )
+        ),
+        "dom",
+        "left",
+    )
+    agg = scored.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_outlinks"),
+        F.count("__s").alias("n_scored"),
+        F.sum("__s").alias("_sum"),
+        F.min("__s").alias("_min"),
+    )
+    return agg.select(
+        "url",
+        F.col("n_outlinks").cast("long").alias("n_outlinks"),
+        F.col("n_scored").cast("long").alias("n_scored"),
+        F.when(
+            F.col("n_scored") > 0,
+            F.round(
+                F.col("_sum").cast("double")
+                / F.col("n_scored").cast("double"),
+                6,
+            ),
+        ).alias("mean_score"),
+        F.col("_min").alias("min_score"),
+    )

@@ -347,3 +347,90 @@ def test_quality_percentiles_rank_and_buckets(spark):
     assert [got[i]["bucket"] for i in range(1, 9)] == [1, 1, 2, 2, 3, 3, 4, 4]
     # singleton group: percent_rank of a lone row is 0, bucket 1
     assert got[100]["pct"] == 0.0 and got[100]["bucket"] == 1
+
+
+def test_event_anomalies_burst_flag_and_constant_series(spark):
+    from pdf_to_epub_spark.operators import event_anomalies
+
+    rows = []
+    # type A: 5 calm hours of 2 events + one 40-event burst hour
+    for h in range(5):
+        rows += [("A", h * 3600 + m) for m in (10, 20)]
+    rows += [("A", 5 * 3600 + m) for m in range(40)]
+    # type B: constant 3/hour -> sd 0 -> z forced to 0, never a burst
+    for h in range(4):
+        rows += [("B", h * 3600 + m) for m in (1, 2, 3)]
+    # type C: a single hour -> k=1 -> excluded entirely
+    rows += [("C", 100)]
+    df = spark.createDataFrame(
+        rows, "event_type string, sec long"
+    ).selectExpr("event_type", "timestamp_seconds(sec) AS ts")
+    got = event_anomalies(df, z_threshold=2.0).collect()
+    types = {r["event_type"] for r in got}
+    assert types == {"A", "B"}
+    bursts = [r for r in got if r["is_burst"]]
+    assert [(r["event_type"], r["n_events"]) for r in bursts] == [("A", 40)]
+    assert all(r["z"] == 0.0 for r in got if r["event_type"] == "B")
+
+
+def test_title_body_overlap_alien_tokens_and_empty_title(spark):
+    from pdf_to_epub_spark.operators import title_body_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, "Big Cats Roam", "big cats roam the plains."),
+            (2, "Miracle cure shocks doctors", "the plains are quiet."),
+            (3, "", "anything"),
+            (4, "Cats CATS cats", "cats."),  # distinct titles tokens
+        ],
+        "doc_id long, title string, text string",
+    )
+    got = {r["doc_id"]: r for r in title_body_overlap(df).collect()}
+    assert got[1]["overlap_ratio"] == 1.0
+    assert got[2]["n_overlap"] == 0 and got[2]["overlap_ratio"] == 0.0
+    assert got[3]["n_title_tokens"] == 0 and got[3]["overlap_ratio"] is None
+    assert got[4]["n_title_tokens"] == 1 and got[4]["overlap_ratio"] == 1.0
+
+
+def test_quote_density_counts_and_unmatched_quote(spark):
+    from pdf_to_epub_spark.operators import quote_density
+
+    df = spark.createDataFrame(
+        [
+            (1, 'He said "yes" and "no".'),
+            (2, "no quotes here"),
+            (3, '"unclosed tail'),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in quote_density(df).collect()}
+    assert got[1]["n_quotes"] == 2 and got[1]["quoted_chars"] == 5
+    assert got[2]["n_quotes"] == 0 and got[2]["quoted_chars"] == 0
+    assert got[3]["n_quotes"] == 0
+    assert got[4]["quote_char_ratio"] is None
+
+
+def test_outlink_quality_broadcast_join_and_unscored(spark):
+    from pdf_to_epub_spark.operators import outlink_quality
+
+    ol = spark.createDataFrame(
+        [
+            ("p1", "https://good.example/a"),
+            ("p1", "https://bad.example/b"),
+            ("p1", "https://unknown.example/c"),
+            ("p2", "https://unknown.example/d"),
+        ],
+        "url string, target string",
+    )
+    scores = spark.createDataFrame(
+        [("good.example", 0.9), ("bad.example", 0.1)],
+        "domain string, score double",
+    )
+    got = {r["url"]: r for r in outlink_quality(ol, scores).collect()}
+    assert got["p1"]["n_outlinks"] == 3 and got["p1"]["n_scored"] == 2
+    assert got["p1"]["mean_score"] == 0.5 and got["p1"]["min_score"] == 0.1
+    assert got["p2"]["n_scored"] == 0 and got["p2"]["mean_score"] is None
+    # the score side must broadcast: no shuffle of the outlink table
+    plan = outlink_quality(ol, scores)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
