@@ -5137,6 +5137,81 @@ def _q_outlink_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (urls.redirect_chains): pointer-doubling
+    over deterministic decade chains — every doc i links u{i}->u{i+1}
+    within its decade, every 5th decade closes into a 10-cycle (hop-cap
+    16, unresolved), the rest terminate.  The oracle walks the same
+    chains step-by-step with a recursive CTE capped at 16 hops."""
+    from pdf_to_epub_spark.operators import redirect_chains
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    dst_i = F.when(i % 10 != 9, i + 1).otherwise(i - 9)
+    edges = d.filter(
+        (i % 10 != 9) | ((i % 10 == 9) & (F.floor(i / 10) % 5 == 0))
+    ).select(
+        F.concat(F.lit("u"), i.cast("string")).alias("src"),
+        F.concat(F.lit("u"), dst_i.cast("string")).alias("dst"),
+    )
+    return redirect_chains(edges, max_hops=16).select(
+        "src", "final", "hops", "resolved"
+    )
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (sampling.weighted_sample, Efraimidis–Spirakis with md5-derived
+    uniforms, k=25): top-k by 6-dp-rounded ln(u)/w with an id
+    tie-break — retry-stable and exactly replayable in SQL."""
+    from pdf_to_epub_spark.operators import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", ((F.col("doc_id") % 7) + 1).cast("double").alias("weight")
+    )
+    return weighted_sample(d, k=25).select(
+        "doc_id", "weight", "priority", "rank"
+    )
+
+
+def _q_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit (sampling.partition_skew) over a
+    deliberately skewed key (source || a doc_id residue class that
+    collapses most rows onto one value) — max/mean straggler ratio and
+    CV from exact integer sums."""
+    from pdf_to_epub_spark.operators import partition_skew
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.col("source"),
+            F.lit(":"),
+            F.when(F.col("doc_id") % 10 < 7, F.lit("hot"))
+            .otherwise((F.col("doc_id") % 10).cast("string")),
+        ).alias("skewkey")
+    )
+    return partition_skew(d, "skewkey", n_buckets=16).select(
+        "n_buckets", "n_rows", "n_empty", "max_bucket_rows",
+        "skew_ratio", "cv",
+    )
+
+
+def _q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-language length outliers (textstats.length_outliers):
+    median/MAD flagging with the z computed on the 6-dp-rounded MAD —
+    doc lengths inflated for a residue class so true outliers exist."""
+    from pdf_to_epub_spark.operators import length_outliers
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.when(
+            F.col("doc_id") % 97 == 0, F.col("n_chars") * 50
+        ).otherwise(F.col("n_chars")).alias("n_chars"),
+    )
+    return length_outliers(d).select(
+        "doc_id", "lang", "n_chars", "robust_z", "is_outlier"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -5195,6 +5270,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "title_body_overlap": _q_title_body_overlap,
         "quote_density": _q_quote_density,
         "outlink_quality": _q_outlink_quality,
+        "redirect_chains": _q_redirect_chains,
+        "weighted_sample": _q_weighted_sample,
+        "partition_skew": _q_partition_skew,
+        "length_outliers": _q_length_outliers,
         "publish_dates": _q_publish_dates,
         "link_reciprocity": _q_link_reciprocity,
         "gate_attrition": _q_gate_attrition,
@@ -7316,6 +7395,103 @@ def oracle_sql() -> dict[str, str]:
                    min(sc.score)::DOUBLE AS min_score
             FROM ol LEFT JOIN sc ON ol.dom = sc.domain
             GROUP BY ol.url
+        """,
+        "redirect_chains": """
+            WITH RECURSIVE raw AS (
+                SELECT 'u' || doc_id AS src,
+                       'u' || (CASE WHEN doc_id % 10 <> 9 THEN doc_id + 1
+                                    ELSE doc_id - 9 END) AS dst
+                FROM documents
+                WHERE doc_id % 10 <> 9
+                   OR (doc_id % 10 = 9 AND (doc_id // 10) % 5 = 0)),
+            e AS (SELECT src, min(dst) AS dst FROM raw GROUP BY src),
+            r AS (
+                SELECT src AS start, dst AS cur, 1 AS hops FROM e
+                UNION ALL
+                SELECT r.start, e.dst, r.hops + 1
+                FROM r JOIN e ON r.cur = e.src
+                WHERE r.hops < 16),
+            last AS (
+                SELECT start, cur, hops,
+                       row_number() OVER (
+                           PARTITION BY start ORDER BY hops DESC) AS rn
+                FROM r)
+            SELECT l.start AS src, l.cur AS final, l.hops::INT AS hops,
+                   (e2.src IS NULL) AS resolved
+            FROM last l LEFT JOIN e e2 ON l.cur = e2.src
+            WHERE l.rn = 1
+        """,
+        "weighted_sample": """
+            WITH cand AS (
+                SELECT doc_id,
+                       ((doc_id % 7) + 1)::DOUBLE AS weight,
+                       round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+                                     ::BIGINT + 1)::DOUBLE
+                                / (1152921504606846976::DOUBLE + 1.0))
+                             / ((doc_id % 7) + 1)::DOUBLE, 6) + 0
+                           AS priority
+                FROM documents),
+            ranked AS (
+                SELECT doc_id, weight, priority,
+                       row_number() OVER (
+                           ORDER BY priority DESC, doc_id ASC) AS rank
+                FROM cand)
+            SELECT doc_id, weight, priority, rank::INT AS rank
+            FROM ranked WHERE rank <= 25
+        """,
+        "partition_skew": """
+            WITH keyed AS (
+                SELECT source || ':' ||
+                       (CASE WHEN doc_id % 10 < 7 THEN 'hot'
+                             ELSE (doc_id % 10)::VARCHAR END) AS skewkey
+                FROM documents),
+            per AS (
+                SELECT ('0x' || substr(md5(skewkey), 1, 15))::BIGINT % 16
+                           AS b,
+                       count(*) AS n
+                FROM keyed GROUP BY b),
+            agg AS (
+                SELECT count(*) AS k, sum(n) AS s1, sum(n * n) AS s2,
+                       max(n) AS mx
+                FROM per)
+            SELECT 16 AS n_buckets,
+                   s1::BIGINT AS n_rows,
+                   (16 - k)::INT AS n_empty,
+                   mx::BIGINT AS max_bucket_rows,
+                   CASE WHEN s1 > 0 THEN
+                       round(mx::DOUBLE / (s1::DOUBLE / 16.0), 6)
+                   END::DOUBLE AS skew_ratio,
+                   CASE WHEN s1 > 0 THEN
+                       round(sqrt((16.0 * s2::DOUBLE - s1::DOUBLE * s1::DOUBLE)
+                                  / (16.0 * 16.0))
+                             / (s1::DOUBLE / 16.0), 6)
+                   END::DOUBLE AS cv
+            FROM agg
+        """,
+        "length_outliers": """
+            WITH src AS (
+                SELECT doc_id, lang,
+                       (CASE WHEN doc_id % 97 = 0 THEN n_chars * 50
+                             ELSE n_chars END)::DOUBLE AS v
+                FROM documents),
+            med AS (
+                SELECT lang, quantile_cont(v, 0.5) AS m
+                FROM src GROUP BY lang),
+            mad AS (
+                SELECT src.lang,
+                       round(quantile_cont(abs(v - m), 0.5), 6) AS d
+                FROM src JOIN med ON src.lang = med.lang
+                GROUP BY src.lang),
+            z AS (
+                SELECT doc_id, src.lang, v,
+                       CASE WHEN d > 0
+                            THEN round((v - m) / d, 6) + 0 END AS robust_z
+                FROM src
+                JOIN med ON src.lang = med.lang
+                JOIN mad ON src.lang = mad.lang)
+            SELECT doc_id, lang, v::BIGINT AS n_chars, robust_z,
+                   coalesce(abs(robust_z) > 3.0, FALSE) AS is_outlier
+            FROM z
         """,
         "zipf_fit": """
             WITH cnt AS (

@@ -761,3 +761,96 @@ def quality_percentiles(
         F.round(F.percent_rank().over(w), 6).alias("pct"),
         F.ntile(buckets).over(w).cast("int").alias("bucket"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "weight",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis): each row gets priority ``ln(u) / w`` where
+    ``u`` is a reproducible uniform draw from the row's md5 hash, and
+    the k LARGEST priorities win — the inclusion probability of a row
+    is proportional to its weight, yet the sample is a pure function of
+    the ids (retry-stable, partitioning-stable, and replayable in SQL).
+
+    The top-k cut is a global ``orderBy(...).limit(k)`` which Spark
+    executes as TakeOrderedAndProject (per-partition heaps + a k-row
+    driver merge — no full sort, no full shuffle).  The rank key is the
+    6-dp-ROUNDED priority with an id tie-break, so the k-boundary is
+    engine-stable (the BM25 precedent).
+
+    Rows with non-positive weight are excluded.  Returns ``(id, weight,
+    priority, rank)``.
+    """
+    from pdf_to_epub_spark.operators.dedup import md5_hash60
+
+    u = (md5_hash60(F.col(id_col).cast("string")) + 1).cast("double") / (
+        float(1 << 60) + 1.0
+    )
+    pri = F.round(F.log(u) / F.col(weight_col).cast("double"), 6) + F.lit(
+        0.0
+    )
+    cand = df.filter(F.col(weight_col) > 0).select(
+        F.col(id_col),
+        F.col(weight_col).cast("double").alias("weight"),
+        pri.alias("priority"),
+    )
+    top = cand.orderBy(F.desc("priority"), F.asc(id_col)).limit(k)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("priority"), F.asc(id_col))
+    return top.select(
+        id_col, "weight", "priority", F.row_number().over(w).alias("rank")
+    )
+
+
+def partition_skew(
+    df: DataFrame,
+    key_col: str,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Partitioning audit: how evenly would this key hash-distribute
+    over ``n_buckets`` tasks?  Returns a single summary row —
+    ``(n_buckets, n_rows, n_empty, max_bucket_rows, skew_ratio, cv)``
+    where ``skew_ratio`` is max/mean bucket size (1.0 = perfectly even;
+    the straggler multiplier a shuffle on this key would pay) and
+    ``cv`` the coefficient of variation, both 6 dp from exact integer
+    sums in a fixed parse shape.
+
+    The audit itself is one combiner-enabled groupBy on the bucket id
+    (md5-based so the oracle replays it) + a single-row aggregate —
+    run it BEFORE keying a 100 TB shuffle on a suspect column.
+    """
+    from pdf_to_epub_spark.operators.dedup import md5_hash60
+
+    b = (md5_hash60(F.col(key_col).cast("string")) % n_buckets).alias("b")
+    per = df.select(b).groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+    agg = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+        F.max("n").alias("mx"),
+    )
+    k = F.col("k").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    mean = s1 / F.lit(float(n_buckets))
+    var = (F.lit(float(n_buckets)) * s2 - s1 * s1) / (
+        F.lit(float(n_buckets)) * F.lit(float(n_buckets))
+    )
+    return agg.select(
+        F.lit(n_buckets).cast("int").alias("n_buckets"),
+        F.col("s1").cast("long").alias("n_rows"),
+        (F.lit(n_buckets) - F.col("k")).cast("int").alias("n_empty"),
+        F.col("mx").cast("long").alias("max_bucket_rows"),
+        F.when(
+            F.col("s1") > 0,
+            F.round(F.col("mx").cast("double") / mean, 6),
+        ).alias("skew_ratio"),
+        F.when(
+            F.col("s1") > 0, F.round(F.sqrt(var) / mean, 6)
+        ).alias("cv"),
+    )

@@ -2228,3 +2228,49 @@ def quote_density(
             F.col("__len") > 0, F.round(quoted / F.col("__len"), 6)
         ).alias("quote_char_ratio"),
     )
+
+
+def length_outliers(
+    df: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    z_cut: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier flagging via median/MAD: a document is an
+    outlier when ``|x - median| > z_cut * MAD`` of its group — unlike
+    mean/stddev this survives the heavy-tailed length distributions web
+    corpora actually have (one 100 MB page doesn't move the median).
+
+    Two exact-percentile aggregations (median, then MAD over the
+    residuals) on slim projections, each joined back broadcast (one row
+    per group).  The robust z is computed on the 6-dp-ROUNDED MAD so
+    the cut boundary is engine-stable.
+
+    Returns ``(id, group, value, robust_z, is_outlier)``; groups with
+    MAD = 0 get NULL z and are never outliers.
+    """
+    slim = df.select(
+        F.col(id_col), F.col(group_col), F.col(value_col).cast("double").alias("v")
+    )
+    med = slim.groupBy(group_col).agg(
+        F.expr("percentile(v, 0.5)").alias("_med")
+    )
+    withmed = slim.join(F.broadcast(med), group_col)
+    mad = (
+        withmed.select(group_col, F.abs(F.col("v") - F.col("_med")).alias("r"))
+        .groupBy(group_col)
+        .agg(F.round(F.expr("percentile(r, 0.5)"), 6).alias("_mad"))
+    )
+    out = withmed.join(F.broadcast(mad), group_col)
+    z = F.when(
+        F.col("_mad") > 0,
+        F.round((F.col("v") - F.col("_med")) / F.col("_mad"), 6) + F.lit(0.0),
+    )
+    return out.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col("v").cast("long").alias(value_col),
+        z.alias("robust_z"),
+        F.coalesce(F.abs(z) > z_cut, F.lit(False)).alias("is_outlier"),
+    )

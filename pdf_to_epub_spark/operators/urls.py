@@ -1727,3 +1727,79 @@ def outlink_quality(
         ).alias("mean_score"),
         F.col("_min").alias("min_score"),
     )
+
+
+def redirect_chains(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 16,
+) -> DataFrame:
+    """Resolve redirect chains to their terminal target by pointer
+    doubling: ``log2(max_hops)`` self-joins instead of ``max_hops``
+    sequential walks — the scale-correct shape for following 301/302 /
+    rel=canonical chains across a 10^12-row capture table (a linear walk
+    is max_hops shuffles; doubling is 4 for 16 hops).
+
+    The edge set is made functional first (``min(dst)`` per src,
+    deterministic); each round joins the slim ``(node, jump, hops)``
+    state with itself and checkpoints, so after round r the state holds
+    ``f^(2^r)`` capped at the terminal.  Nodes still moving after
+    ``max_hops`` hops (cycles, or chains longer than the cap) come back
+    ``resolved = false`` with ``final = f^max_hops(src)`` — exactly what
+    a step-by-step walk capped at ``max_hops`` produces, which is how
+    the SQL oracle replays it.
+
+    Returns one row per distinct source: ``(src, final, hops,
+    resolved)``.
+    """
+    rounds = max(1, (max_hops - 1).bit_length())
+    if max_hops != 1 << rounds:
+        raise ValueError("max_hops must be a power of two")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .groupBy("src")
+        .agg(F.min("dst").alias("dst"))
+    )
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    state = nodes.join(
+        e.select(F.col("src").alias("node"), F.col("dst").alias("__d")),
+        "node",
+        "left",
+    ).select(
+        "node",
+        F.coalesce(F.col("__d"), F.col("node")).alias("jump"),
+        F.when(F.col("__d").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("hops"),
+    )
+    for _ in range(rounds):
+        nxt = state.select(
+            F.col("node").alias("__n2"),
+            F.col("jump").alias("__j2"),
+            F.col("hops").alias("__h2"),
+        )
+        state = (
+            state.join(nxt, state["jump"] == nxt["__n2"])
+            .select(
+                "node",
+                F.col("__j2").alias("jump"),
+                (F.col("hops") + F.col("__h2")).alias("hops"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    has_out = e.select(F.col("src").alias("__t"), F.lit(True).alias("__has"))
+    return (
+        e.select("src")
+        .join(state, F.col("src") == F.col("node"))
+        .join(has_out, state["jump"] == has_out["__t"], "left")
+        .select(
+            "src",
+            F.col("jump").alias("final"),
+            F.col("hops").cast("int").alias("hops"),
+            F.coalesce(~F.col("__has"), F.lit(True)).alias("resolved"),
+        )
+    )

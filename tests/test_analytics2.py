@@ -434,3 +434,78 @@ def test_outlink_quality_broadcast_join_and_unscored(spark):
     # the score side must broadcast: no shuffle of the outlink table
     plan = outlink_quality(ol, scores)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_redirect_chains_chain_cycle_and_multi_edge(spark):
+    from pdf_to_epub_spark.operators import redirect_chains
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"),   # chain a->d (3 hops)
+            ("x", "y"), ("y", "x"),               # 2-cycle
+            ("m", "n"), ("m", "z"),               # non-functional: min(dst)=n
+            ("s", "s"),                           # self-loop
+        ],
+        "src string, dst string",
+    )
+    got = {r["src"]: r for r in redirect_chains(edges, max_hops=16).collect()}
+    assert (got["a"]["final"], got["a"]["hops"], got["a"]["resolved"]) == ("d", 3, True)
+    assert got["b"]["hops"] == 2 and got["c"]["hops"] == 1
+    # 2-cycle: 16 hops lands back on the start node, unresolved
+    assert got["x"]["final"] == "x" and got["x"]["hops"] == 16
+    assert got["x"]["resolved"] is False
+    assert got["s"]["final"] == "s" and got["s"]["resolved"] is False
+    # multi-edge src follows min(dst); n is terminal
+    assert (got["m"]["final"], got["m"]["resolved"]) == ("n", True)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        redirect_chains(edges, max_hops=12)
+
+
+def test_weighted_sample_is_deterministic_and_weight_biased(spark):
+    from pdf_to_epub_spark.operators import weighted_sample
+
+    rows = [(i, 100.0 if i < 10 else 0.01) for i in range(200)] + [(999, 0.0)]
+    df = spark.createDataFrame(rows, "doc_id long, weight double")
+    a = weighted_sample(df, k=10).collect()
+    b = weighted_sample(df.repartition(7), k=10).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert [r["rank"] for r in a] == list(range(1, 11))
+    # heavy rows dominate the sample; zero-weight row never appears
+    heavy = sum(1 for r in a if r["doc_id"] < 10)
+    assert heavy >= 8
+    assert all(r["doc_id"] != 999 for r in a)
+    # plan: global top-k must be TakeOrderedAndProject, not a full sort
+    plan = weighted_sample(df, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partition_skew_even_vs_hot_key(spark):
+    from pdf_to_epub_spark.operators import partition_skew
+
+    even = spark.range(0, 1600).selectExpr("id::string AS k")
+    r1 = partition_skew(even, "k", n_buckets=16).collect()[0]
+    assert r1["n_rows"] == 1600 and r1["n_empty"] == 0
+    assert r1["skew_ratio"] < 2.0
+
+    hot = spark.range(0, 1600).selectExpr(
+        "CASE WHEN id % 100 = 0 THEN 'k' || id ELSE 'hot' END AS k"
+    )
+    r2 = partition_skew(hot, "k", n_buckets=16).collect()[0]
+    assert r2["max_bucket_rows"] >= 1584
+    assert r2["skew_ratio"] > 10.0
+
+
+def test_length_outliers_mad_flag_and_zero_mad_group(spark):
+    from pdf_to_epub_spark.operators import length_outliers
+
+    rows = [(i, "en", 100 + (i % 5)) for i in range(20)] + [
+        (100, "en", 100000),          # the obvious outlier
+        (200, "zz", 7), (201, "zz", 7), (202, "zz", 7),  # MAD=0 group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    got = {r["doc_id"]: r for r in length_outliers(df).collect()}
+    assert got[100]["is_outlier"] is True
+    assert sum(1 for r in got.values() if r["is_outlier"]) == 1
+    assert got[200]["robust_z"] is None and got[200]["is_outlier"] is False
