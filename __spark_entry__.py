@@ -5212,6 +5212,89 @@ def _q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_domain_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census (urls.domain_triangles) over a circulant domain
+    graph (node i%12 links to i%12 + 1..4) — the degree-ordered
+    node-iterator; the oracle counts the same triangles with an
+    INDEPENDENT canonical triple-join."""
+    from pdf_to_epub_spark.operators import domain_triangles
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    edges = d.select(
+        F.concat(F.lit("d"), (i % 12).cast("string")).alias("src"),
+        F.concat(
+            F.lit("d"), ((i % 12 + 1 + i % 4) % 12).cast("string")
+        ).alias("dst"),
+    )
+    return domain_triangles(edges).select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles", "global_clustering"
+    )
+
+
+def _q_range_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-join enrichment (asof.range_enrich): values land in
+    residue-derived [k*100, k*100+49] bands plus one overlapping 'wide'
+    band — the grid-cell broadcast equi-join form; smallest-lo wins on
+    overlap, NULL in the gaps."""
+    from pdf_to_epub_spark.operators import range_enrich
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    vals = d.select(
+        i.alias("id"), ((i * 37) % 1000).cast("long").alias("v")
+    )
+    ranges = (
+        d.select(
+            ((i % 10) * 100).cast("long").alias("lo"),
+            ((i % 10) * 100 + 49).cast("long").alias("hi"),
+            F.concat(F.lit("r"), (i % 10).cast("string")).alias("label"),
+        )
+        .union(
+            d.select(
+                F.lit(25).cast("long"),
+                F.lit(125).cast("long"),
+                F.lit("wide"),
+            )
+        )
+        .distinct()
+    )
+    return range_enrich(vals, ranges, cell=64).select(
+        "id", "v", "range_label"
+    )
+
+
+def _q_signal_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal correlation matrix (textstats.signal_correlations) over
+    (n_chars, letter-run word count, a constant) — one aggregate row
+    fans out to the pair rows; the constant column exercises the
+    zero-variance NULL branch."""
+    from pdf_to_epub_spark.operators import signal_correlations
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars"),
+        F.expr(
+            "size(regexp_extract_all(lower(text), '[a-zà-öø-ÿ]+', 0))"
+        ).alias("n_words"),
+        F.lit(7).alias("n_const"),
+    )
+    return signal_correlations(
+        d, signal_cols=("n_chars", "n_words", "n_const")
+    ).select("signal_a", "signal_b", "r")
+
+
+def _q_corpus_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative ingest growth (analytics.corpus_growth): per-day
+    counts with running total and running share — cumulative and
+    grand-total window frames over the day-grain table."""
+    from pdf_to_epub_spark.operators import corpus_growth
+
+    e = _t(spark, sf_dir, "events")
+    return corpus_growth(e).select(
+        "bucket_epoch", "n_events", "cum_events", "pct_of_total"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -5274,6 +5357,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "partition_skew": _q_partition_skew,
         "length_outliers": _q_length_outliers,
+        "domain_triangles": _q_domain_triangles,
+        "range_enrich": _q_range_enrich,
+        "signal_correlations": _q_signal_correlations,
+        "corpus_growth": _q_corpus_growth,
         "publish_dates": _q_publish_dates,
         "link_reciprocity": _q_link_reciprocity,
         "gate_attrition": _q_gate_attrition,
@@ -7492,6 +7579,133 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, v::BIGINT AS n_chars, robust_z,
                    coalesce(abs(robust_z) > 3.0, FALSE) AS is_outlier
             FROM z
+        """,
+        "domain_triangles": """
+            WITH raw AS (
+                SELECT 'd' || (doc_id % 12) AS x,
+                       'd' || ((doc_id % 12 + 1 + doc_id % 4) % 12) AS y
+                FROM documents),
+            e AS (
+                SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+                FROM raw WHERE x <> y),
+            deg AS (
+                SELECT node, count(*) AS d FROM (
+                    SELECT a AS node FROM e
+                    UNION ALL SELECT b FROM e)
+                GROUP BY node),
+            tri AS (
+                SELECT count(*) AS t
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+            stats AS (
+                SELECT count(*) AS nn, sum((d * (d - 1)) // 2) AS w
+                FROM deg),
+            ne AS (SELECT count(*) AS m FROM e)
+            SELECT nn::BIGINT AS n_nodes, m::BIGINT AS n_edges,
+                   w::BIGINT AS n_wedges, t::BIGINT AS n_triangles,
+                   CASE WHEN w > 0 THEN
+                       round(3.0 * t::DOUBLE / w::DOUBLE, 6)
+                   END::DOUBLE AS global_clustering
+            FROM stats, ne, tri
+        """,
+        "range_enrich": """
+            WITH vals AS (
+                SELECT doc_id AS id, (doc_id * 37) % 1000 AS v
+                FROM documents),
+            r AS (
+                SELECT DISTINCT * FROM (
+                    SELECT (doc_id % 10) * 100 AS lo,
+                           (doc_id % 10) * 100 + 49 AS hi,
+                           'r' || (doc_id % 10) AS label
+                    FROM documents
+                    UNION ALL
+                    SELECT 25, 125, 'wide' FROM documents)),
+            j AS (
+                SELECT vals.id, vals.v, r.label, r.lo,
+                       row_number() OVER (
+                           PARTITION BY vals.id
+                           ORDER BY r.lo ASC NULLS LAST,
+                                    r.label ASC NULLS LAST) AS rn
+                FROM vals LEFT JOIN r ON vals.v BETWEEN r.lo AND r.hi)
+            SELECT id, v, label AS range_label FROM j WHERE rn = 1
+        """,
+        "signal_correlations": """
+            WITH s AS (
+                SELECT n_chars::BIGINT AS x,
+                       len(regexp_extract_all(
+                           lower(text), '[a-zà-öø-ÿ]+'))::BIGINT AS y,
+                       7::BIGINT AS z
+                FROM documents),
+            a AS (
+                SELECT count(*) AS k,
+                       sum(x) AS sx, sum(x * x) AS sxx,
+                       sum(y) AS sy, sum(y * y) AS syy,
+                       sum(z) AS sz, sum(z * z) AS szz,
+                       sum(x * y) AS sxy, sum(x * z) AS sxz,
+                       sum(y * z) AS syz
+                FROM s)
+            SELECT 'n_chars' AS signal_a, 'n_words' AS signal_b,
+                   CASE WHEN (k::DOUBLE * sxx::DOUBLE
+                              - sx::DOUBLE * sx::DOUBLE) > 0
+                         AND (k::DOUBLE * syy::DOUBLE
+                              - sy::DOUBLE * sy::DOUBLE) > 0 THEN
+                       round((k::DOUBLE * sxy::DOUBLE
+                              - sx::DOUBLE * sy::DOUBLE)
+                             / (sqrt(k::DOUBLE * sxx::DOUBLE
+                                     - sx::DOUBLE * sx::DOUBLE)
+                                * sqrt(k::DOUBLE * syy::DOUBLE
+                                       - sy::DOUBLE * sy::DOUBLE)), 6)
+                       + 0
+                   END::DOUBLE AS r
+            FROM a
+            UNION ALL
+            SELECT 'n_chars', 'n_const',
+                   CASE WHEN (k::DOUBLE * sxx::DOUBLE
+                              - sx::DOUBLE * sx::DOUBLE) > 0
+                         AND (k::DOUBLE * szz::DOUBLE
+                              - sz::DOUBLE * sz::DOUBLE) > 0 THEN
+                       round((k::DOUBLE * sxz::DOUBLE
+                              - sx::DOUBLE * sz::DOUBLE)
+                             / (sqrt(k::DOUBLE * sxx::DOUBLE
+                                     - sx::DOUBLE * sx::DOUBLE)
+                                * sqrt(k::DOUBLE * szz::DOUBLE
+                                       - sz::DOUBLE * sz::DOUBLE)), 6)
+                       + 0
+                   END::DOUBLE
+            FROM a
+            UNION ALL
+            SELECT 'n_words', 'n_const',
+                   CASE WHEN (k::DOUBLE * syy::DOUBLE
+                              - sy::DOUBLE * sy::DOUBLE) > 0
+                         AND (k::DOUBLE * szz::DOUBLE
+                              - sz::DOUBLE * sz::DOUBLE) > 0 THEN
+                       round((k::DOUBLE * syz::DOUBLE
+                              - sy::DOUBLE * sz::DOUBLE)
+                             / (sqrt(k::DOUBLE * syy::DOUBLE
+                                     - sy::DOUBLE * sy::DOUBLE)
+                                * sqrt(k::DOUBLE * szz::DOUBLE
+                                       - sz::DOUBLE * sz::DOUBLE)), 6)
+                       + 0
+                   END::DOUBLE
+            FROM a
+        """,
+        "corpus_growth": """
+            WITH per AS (
+                SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400
+                           AS bucket_epoch,
+                       count(*) AS n
+                FROM events GROUP BY 1)
+            SELECT bucket_epoch,
+                   n::BIGINT AS n_events,
+                   sum(n) OVER (ORDER BY bucket_epoch
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)::BIGINT AS cum_events,
+                   round(sum(n) OVER (ORDER BY bucket_epoch
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)::DOUBLE
+                         / sum(n) OVER ()::DOUBLE, 6) AS pct_of_total
+            FROM per
         """,
         "zipf_fit": """
             WITH cnt AS (

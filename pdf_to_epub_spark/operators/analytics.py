@@ -360,3 +360,46 @@ def event_anomalies(
         )
         .withColumn("is_burst", (F.abs(F.col("z")) > z_threshold))
     )
+
+
+def corpus_growth(
+    events: DataFrame,
+    ts_col: str = "ts",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Cumulative ingest-growth report: events per day plus the running
+    total and running share of the corpus — the "how full is the crawl"
+    curve every ingestion dashboard draws.
+
+    One combiner-enabled groupBy to day grain, then cumulative /
+    grand-total window frames over the tiny per-day table (the windows
+    run over day-cardinality rows, never over raw events, so the
+    single-partition ordered frame is safe at any corpus size).
+
+    Returns ``(bucket_epoch, n_events, cum_events, pct_of_total)``.
+    """
+    from pyspark.sql.window import Window
+
+    day = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
+        * bucket_seconds
+    ).cast("long")
+    per = events.select(day.alias("bucket_epoch")).groupBy(
+        "bucket_epoch"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    cum = Window.orderBy("bucket_epoch").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        "bucket_epoch",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.sum("n_events").over(cum).cast("long").alias("cum_events"),
+        F.round(
+            F.sum("n_events").over(cum).cast("double")
+            / F.sum("n_events").over(total).cast("double"),
+            6,
+        ).alias("pct_of_total"),
+    )

@@ -138,3 +138,65 @@ def hourly_rollup(
             F.round(F.avg(value_col), 4).alias("avg_value"),
         )
     )
+
+
+def range_enrich(
+    values: DataFrame,
+    ranges: DataFrame,
+    id_col: str = "id",
+    value_col: str = "v",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    cell: int = 1 << 16,
+) -> DataFrame:
+    """Range-join enrichment: tag each row of ``values`` with the label
+    of the (first, by ``lo``) range ``[lo, hi]`` containing its value —
+    the IP-geolocation / size-class / time-band lookup pattern.
+
+    Spark-first shape: a naive ``v BETWEEN lo AND hi`` theta-join
+    becomes BroadcastNestedLoopJoin (every row × every range).  Instead
+    the ranges are exploded to the fixed-width grid cells they cover
+    and BROADCAST, values equi-join on their own cell hash-style, and a
+    cheap residual ``between`` filter keeps true hits — an equi hash
+    join at any scale, as long as ``(hi-lo)/cell`` stays small (pick
+    ``cell`` near the typical range width).  Overlapping ranges resolve
+    deterministically to the smallest ``lo`` (then label).
+
+    Returns all ``values`` columns + ``(range_label)`` (NULL when no
+    range contains the value).  ``id_col`` must be unique per row — it
+    keys the best-range resolution window.
+    """
+    cells = ranges.select(
+        F.col(lo_col).alias("__lo"),
+        F.col(hi_col).alias("__hi"),
+        F.col("label").alias("__label"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / cell).cast("long"),
+                F.floor(F.col(hi_col) / cell).cast("long"),
+            )
+        ).alias("__cell"),
+    )
+    v = F.col(value_col)
+    joined = (
+        values.withColumn("__cell", F.floor(v / cell).cast("long"))
+        .join(F.broadcast(cells), "__cell", "left")
+        .withColumn(
+            "__hit",
+            (v >= F.col("__lo")) & (v <= F.col("__hi")),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    best = Window.partitionBy(id_col).orderBy(
+        F.asc_nulls_last(F.when(F.col("__hit"), F.col("__lo"))),
+        F.asc_nulls_last(F.when(F.col("__hit"), F.col("__label"))),
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(best))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *values.columns,
+            F.when(F.col("__hit"), F.col("__label")).alias("range_label"),
+        )
+    )

@@ -2274,3 +2274,62 @@ def length_outliers(
         z.alias("robust_z"),
         F.coalesce(F.abs(z) > z_cut, F.lit(False)).alias("is_outlier"),
     )
+
+
+def signal_correlations(
+    df: DataFrame,
+    signal_cols: tuple = ("n_chars", "n_words", "n_quotes"),
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix over per-document quality
+    signals — the sanity check before feeding "independent" signals to
+    a quality classifier (two signals at r > 0.95 are one signal).
+
+    ONE combiner-enabled aggregate computes every sum/cross-moment
+    (k, Sx, Sxx, Sxy for each pair) over a slim projection; the r
+    values are assembled driver-free from that single row in a fixed
+    parse shape (``k*Sxy - Sx*Sy`` over doubles, 6 dp), one output row
+    per unordered signal pair.  NULL r when either variance is 0.
+    """
+    cols = list(signal_cols)
+    aggs = [F.count(F.lit(1)).alias("k")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast("long")).alias(f"s_{c}"))
+        aggs.append(
+            F.sum(F.col(c).cast("long") * F.col(c).cast("long")).alias(
+                f"ss_{c}"
+            )
+        )
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(
+                F.sum(
+                    F.col(a).cast("long") * F.col(b).cast("long")
+                ).alias(f"sp_{a}_{b}")
+            )
+    one = df.agg(*aggs)
+    k = F.col("k").cast("double")
+
+    def _r(a: str, b: str) -> Column:
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        va = k * F.col(f"ss_{a}").cast("double") - sa * sa
+        vb = k * F.col(f"ss_{b}").cast("double") - sb * sb
+        cov = k * F.col(f"sp_{a}_{b}").cast("double") - sa * sb
+        return F.when(
+            (va > 0) & (vb > 0),
+            F.round(cov / (F.sqrt(va) * F.sqrt(vb)), 6) + F.lit(0.0),
+        )
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("signal_a"),
+                F.lit(b).alias("signal_b"),
+                _r(a, b).alias("r"),
+            )
+            for i, a in enumerate(cols)
+            for b in cols[i + 1 :]
+        ]
+    )
+    return one.select(F.explode(pairs).alias("p")).select(
+        "p.signal_a", "p.signal_b", "p.r"
+    )

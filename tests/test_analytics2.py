@@ -509,3 +509,81 @@ def test_length_outliers_mad_flag_and_zero_mad_group(spark):
     assert got[100]["is_outlier"] is True
     assert sum(1 for r in got.values() if r["is_outlier"]) == 1
     assert got[200]["robust_z"] is None and got[200]["is_outlier"] is False
+
+
+def test_domain_triangles_known_graph(spark):
+    from pdf_to_epub_spark.operators import domain_triangles
+
+    # K4 minus one edge: nodes a,b,c,d; edges ab,ac,bc,bd,cd -> 2 triangles
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"),
+         ("b", "a"),            # reverse duplicate
+         ("a", "a")],           # self-loop dropped
+        "src string, dst string",
+    )
+    r = domain_triangles(edges).collect()[0]
+    assert r["n_nodes"] == 4 and r["n_edges"] == 5
+    # degrees: a=2, b=3, c=3, d=2 -> wedges 1+3+3+1 = 8
+    assert r["n_wedges"] == 8 and r["n_triangles"] == 2
+    assert r["global_clustering"] == 0.75
+
+
+def test_domain_triangles_triangle_free(spark):
+    from pdf_to_epub_spark.operators import domain_triangles
+
+    star = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(5)], "src string, dst string"
+    )
+    r = domain_triangles(star).collect()[0]
+    assert r["n_triangles"] == 0 and r["n_wedges"] == 10
+    assert r["global_clustering"] == 0.0
+
+
+def test_range_enrich_overlap_gap_and_duplicate_values(spark):
+    from pdf_to_epub_spark.operators import range_enrich
+
+    vals = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 75), (4, 999), (5, 30)],
+        "id long, v long",
+    )
+    ranges = spark.createDataFrame(
+        [(0, 49, "low"), (25, 125, "wide"), (200, 300, "mid")],
+        "lo long, hi long, label string",
+    )
+    got = {r["id"]: r["range_label"] for r in
+           range_enrich(vals, ranges, cell=64).collect()}
+    # overlap resolves to smallest lo; identical values keep separate rows
+    assert got == {1: "low", 2: "low", 3: "wide", 4: None, 5: "low"}
+    # ranges side must broadcast
+    plan = range_enrich(vals, ranges, cell=64)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_signal_correlations_perfect_and_constant(spark):
+    from pdf_to_epub_spark.operators import signal_correlations
+
+    df = spark.createDataFrame(
+        [(i, 2 * i, -3 * i + 100, 5) for i in range(1, 30)],
+        "a long, b long, c long, k long",
+    )
+    got = {(r["signal_a"], r["signal_b"]): r["r"]
+           for r in signal_correlations(df, ("a", "b", "c", "k")).collect()}
+    assert got[("a", "b")] == 1.0
+    assert got[("a", "c")] == -1.0
+    assert got[("a", "k")] is None
+    assert len(got) == 6
+
+
+def test_corpus_growth_cumulative_and_share(spark):
+    from pdf_to_epub_spark.operators import corpus_growth
+
+    rows = [(0,)] * 2 + [(86400,)] * 3 + [(2 * 86400 + 5,)] * 5
+    df = spark.createDataFrame(rows, "sec long").selectExpr(
+        "timestamp_seconds(sec) AS ts"
+    )
+    got = sorted(corpus_growth(df).collect(), key=lambda r: r["bucket_epoch"])
+    assert [r["n_events"] for r in got] == [2, 3, 5]
+    assert [r["cum_events"] for r in got] == [2, 5, 10]
+    assert [r["pct_of_total"] for r in got] == [0.2, 0.5, 1.0]
