@@ -5295,6 +5295,142 @@ def _q_corpus_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_markup_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup spam profile (urls.markup_signals) over residue-built
+    pages (varying script/iframe/form/anchor counts) — pure
+    regexp_count column algebra; the oracle replays the same RE2
+    patterns over the same constructed text in DuckDB."""
+    from pdf_to_epub_spark.operators import markup_signals
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    html = F.encode(
+        F.concat(
+            F.lit("<html><body>"),
+            F.expr("repeat('<script src=x></script>', cast(doc_id % 4 as int))"),
+            F.expr("repeat('<iframe>', cast(doc_id % 3 as int))"),
+            F.when(i % 5 == 0, F.lit("<form action=/s>")).otherwise(F.lit("")),
+            F.expr("repeat('<a href=x>t</a>', cast(doc_id % 6 as int))"),
+            F.expr("repeat('plain text ', cast(doc_id % 7 as int) + 1)"),
+            F.lit("</body></html>"),
+        ),
+        "UTF-8",
+    )
+    pages = d.select(
+        F.concat(F.lit("m://"), i.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    return markup_signals(pages).select(
+        "url", "n_script", "n_iframe", "n_form", "n_links", "tag_density"
+    )
+
+
+def _q_meta_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Client-side refresh extraction (urls.meta_redirects) over five
+    residue variants (quoted, reversed-attr/upper-URL, no-url reload,
+    absent, duplicate-first-wins) — construction oracle."""
+    from pdf_to_epub_spark.operators import meta_redirects
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    meta = (
+        F.when(i % 5 == 0, F.concat(
+            F.lit('<meta http-equiv="refresh" content="5; url=https://t.example/a'),
+            i.cast("string"), F.lit('">')))
+        .when(i % 5 == 1, F.concat(
+            F.lit("<meta content='0;URL=/next"), i.cast("string"),
+            F.lit("' http-equiv=refresh>")))
+        .when(i % 5 == 2, F.lit('<meta http-equiv="refresh" content="30">'))
+        .when(i % 5 == 3, F.lit('<meta name="viewport" content="width=1">'))
+        .otherwise(F.concat(
+            F.lit('<meta http-equiv=refresh content="1;url=first'),
+            i.cast("string"),
+            F.lit('"><meta http-equiv="refresh" content="9;url=second">')))
+    )
+    html = F.encode(
+        F.concat(F.lit("<html><head>"), meta, F.lit("</head><body>x</body></html>")),
+        "UTF-8",
+    )
+    pages = d.select(
+        F.concat(F.lit("r://"), i.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    return meta_redirects(pages).select("url", "delay_s", "target")
+
+
+def _q_rel_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination-hint extraction (urls.rel_pagination) over four
+    residue variants (next-only, multi-token prev with reversed attrs,
+    both + duplicate-first-wins, stylesheet-only) — construction
+    oracle."""
+    from pdf_to_epub_spark.operators import rel_pagination
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    links = (
+        F.when(i % 4 == 0, F.concat(
+            F.lit('<link rel="next" href="https://s.example/p'),
+            (i + 1).cast("string"), F.lit('">')))
+        .when(i % 4 == 1, F.concat(
+            F.lit("<link href='/p"), (i - 1).cast("string"),
+            F.lit("' rel='prev nofollow'>")))
+        .when(i % 4 == 2, F.concat(
+            F.lit("<link rel=next href=/n"), i.cast("string"),
+            F.lit("><link rel=prev href=/p"), i.cast("string"),
+            F.lit('><link rel="next" href="/dup">')))
+        .otherwise(F.lit('<link rel="stylesheet" href="/css">'))
+    )
+    html = F.encode(
+        F.concat(F.lit("<html><head>"), links, F.lit("</head><body>x</body></html>")),
+        "UTF-8",
+    )
+    pages = d.select(
+        F.concat(F.lit("g://"), i.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    return rel_pagination(pages).select(
+        "url", "next_url", "prev_url", "is_paginated"
+    )
+
+
+def _q_og_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenGraph / Twitter-card extraction (urls.og_cards) over four
+    residue variants (full set with a duplicate og:title whose FIRST
+    declaration wins, reversed single-quoted attrs with spaces in the
+    value, unquoted twitter-only, none) — construction oracle."""
+    from pdf_to_epub_spark.operators import og_cards
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    metas = (
+        F.when(i % 4 == 0, F.concat(
+            F.lit('<meta property="og:title" content="First '),
+            i.cast("string"),
+            F.lit('"><meta property="og:title" content="Second">'
+                  '<meta property="og:type" content="article">'
+                  '<meta property="og:image" content="https://img.example/'),
+            i.cast("string"),
+            F.lit('.jpg"><meta name="twitter:card" content="summary_large_image">')))
+        .when(i % 4 == 1, F.concat(
+            F.lit("<meta content='Title "), i.cast("string"),
+            F.lit(" here' property='og:title'>")))
+        .when(i % 4 == 2, F.lit(
+            "<meta name=twitter:card content=summary>"))
+        .otherwise(F.lit('<meta charset="utf-8">'))
+    )
+    html = F.encode(
+        F.concat(F.lit("<html><head>"), metas, F.lit("</head><body>x</body></html>")),
+        "UTF-8",
+    )
+    pages = d.select(
+        F.concat(F.lit("o://"), i.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    return og_cards(pages).select(
+        "url", "og_title", "og_type", "og_image", "twitter_card"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -5361,6 +5497,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_enrich": _q_range_enrich,
         "signal_correlations": _q_signal_correlations,
         "corpus_growth": _q_corpus_growth,
+        "markup_signals": _q_markup_signals,
+        "meta_redirects": _q_meta_redirects,
+        "rel_pagination": _q_rel_pagination,
+        "og_cards": _q_og_cards,
         "publish_dates": _q_publish_dates,
         "link_reciprocity": _q_link_reciprocity,
         "gate_attrition": _q_gate_attrition,
@@ -7706,6 +7846,77 @@ def oracle_sql() -> dict[str, str]:
                                       AND CURRENT ROW)::DOUBLE
                          / sum(n) OVER ()::DOUBLE, 6) AS pct_of_total
             FROM per
+        """,
+        "markup_signals": """
+            WITH src AS (
+                SELECT doc_id,
+                       'm://' || doc_id AS url,
+                       '<html><body>'
+                       || repeat('<script src=x></script>',
+                                 (doc_id % 4)::INT)
+                       || repeat('<iframe>', (doc_id % 3)::INT)
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN '<form action=/s>' ELSE '' END
+                       || repeat('<a href=x>t</a>', (doc_id % 6)::INT)
+                       || repeat('plain text ', (doc_id % 7)::INT + 1)
+                       || '</body></html>' AS t
+                FROM documents)
+            SELECT url,
+                   len(regexp_extract_all(t, '(?is)<script[\\s>]'))::INT
+                       AS n_script,
+                   len(regexp_extract_all(t, '(?is)<iframe[\\s>]'))::INT
+                       AS n_iframe,
+                   len(regexp_extract_all(t, '(?is)<form[\\s>]'))::INT
+                       AS n_form,
+                   len(regexp_extract_all(t, '(?is)<a[\\s>]'))::INT
+                       AS n_links,
+                   CASE WHEN length(t) > 0 THEN
+                       round(len(regexp_extract_all(t, '<[a-zA-Z]'))::DOUBLE
+                             * 100.0 / length(t)::DOUBLE, 6)
+                   END::DOUBLE AS tag_density
+            FROM src
+        """,
+        "meta_redirects": """
+            SELECT 'r://' || doc_id AS url,
+                   CASE doc_id % 5
+                        WHEN 0 THEN 5 WHEN 1 THEN 0
+                        WHEN 2 THEN 30 ELSE 1 END AS delay_s,
+                   CASE doc_id % 5
+                        WHEN 0 THEN 'https://t.example/a' || doc_id
+                        WHEN 1 THEN '/next' || doc_id
+                        WHEN 2 THEN NULL
+                        ELSE 'first' || doc_id END AS target
+            FROM documents
+            WHERE doc_id % 5 <> 3
+        """,
+        "rel_pagination": """
+            SELECT 'g://' || doc_id AS url,
+                   CASE doc_id % 4
+                        WHEN 0 THEN 'https://s.example/p' || (doc_id + 1)
+                        WHEN 2 THEN '/n' || doc_id
+                        ELSE NULL END AS next_url,
+                   CASE doc_id % 4
+                        WHEN 1 THEN '/p' || (doc_id - 1)
+                        WHEN 2 THEN '/p' || doc_id
+                        ELSE NULL END AS prev_url,
+                   (doc_id % 4) IN (0, 1, 2) AS is_paginated
+            FROM documents
+        """,
+        "og_cards": """
+            SELECT 'o://' || doc_id AS url,
+                   CASE doc_id % 4
+                        WHEN 0 THEN 'First ' || doc_id
+                        WHEN 1 THEN 'Title ' || doc_id || ' here'
+                        ELSE NULL END AS og_title,
+                   CASE WHEN doc_id % 4 = 0 THEN 'article' END AS og_type,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN 'https://img.example/' || doc_id || '.jpg'
+                   END AS og_image,
+                   CASE doc_id % 4
+                        WHEN 0 THEN 'summary_large_image'
+                        WHEN 2 THEN 'summary'
+                        ELSE NULL END AS twitter_card
+            FROM documents
         """,
         "zipf_fit": """
             WITH cnt AS (

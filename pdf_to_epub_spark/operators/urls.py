@@ -1881,3 +1881,183 @@ def domain_triangles(
             ),
         ).alias("global_clustering"),
     )
+
+
+def markup_signals(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    max_scan_bytes: int = 1 << 20,
+) -> DataFrame:
+    """Interactivity / spam markup profile: counts of script, iframe,
+    form and anchor opening tags plus overall tag density — SEO spam
+    and ad-shell pages are script- and iframe-heavy with little text
+    between tags, and this is the cheap page-level signal that catches
+    them before any text extraction runs.
+
+    Pure ``regexp_count`` column algebra over the permissive bounded
+    page prefix (binary→string cast, no charset decode) — codegen
+    end-to-end, no arrays, no UDF, no shuffle.
+
+    Returns ``(url, n_script, n_iframe, n_form, n_links, tag_density)``
+    where ``tag_density`` is ``<`` tag openers per 100 chars (6 dp,
+    NULL for empty pages).
+    """
+    text = _permissive_text(html_col, max_scan_bytes)
+    staged = pages.select(
+        F.col(url_col).alias("url"),
+        text.alias("__t"),
+    )
+
+    def n_tag(tag: str) -> Column:
+        return F.regexp_count(
+            F.col("__t"), F.lit(rf"(?is)<{tag}[\s>]")
+        ).cast("int")
+
+    length = F.length("__t")
+    n_lt = F.regexp_count(F.col("__t"), F.lit(r"<[a-zA-Z]"))
+    return staged.select(
+        "url",
+        n_tag("script").alias("n_script"),
+        n_tag("iframe").alias("n_iframe"),
+        n_tag("form").alias("n_form"),
+        n_tag("a").alias("n_links"),
+        F.when(
+            length > 0,
+            F.round(n_lt.cast("double") * 100.0 / length.cast("double"), 6),
+        ).alias("tag_density"),
+    )
+
+
+def meta_redirects(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    max_scan_bytes: int = 1 << 16,
+) -> DataFrame:
+    """Extract ``<meta http-equiv="refresh" content="N; url=…">``
+    client-side redirects — the redirect class HTTP headers never show,
+    and the other input (besides 301 chains) that
+    :func:`redirect_chains` wants as edges.
+
+    Tag-scoped two-pass extraction (the page_meta pattern): pull whole
+    ``<meta …>`` tags first, keep the ones whose ``http-equiv`` token
+    is ``refresh`` (attribute order and quote style free), then parse
+    the delay and target out of the ``content`` value with anchored
+    RE2-portable regexes.  First refresh tag per page wins (browsers
+    honor the first).
+
+    Returns one row per page that declares a refresh:
+    ``(url, delay_s, target)`` — ``target`` NULL for pure-reload
+    refreshes (no ``url=`` part).
+    """
+    text = _permissive_text(html_col, max_scan_bytes)
+    staged = pages.select(
+        F.col(url_col).alias("url"), _html_tags(text, "meta").alias("__m")
+    )
+    refresh = F.filter(
+        F.col("__m"),
+        lambda t: F.lower(_tag_attr(t, "http-equiv")) == "refresh",
+    )
+    first = F.get(refresh, 0)
+    content = _tag_attr_quoted(first, "content")
+    delay = F.regexp_extract(content, r"^\s*(\d+)", 1)
+    target = F.nullif(
+        F.regexp_extract(content, r"(?i)[;,]\s*url\s*=\s*['\"]?([^'\"\s]+)", 1),
+        F.lit(""),
+    )
+    return (
+        staged.select("url", content.alias("__c"), delay.alias("__d"),
+                      target.alias("target"))
+        .where(F.col("__c").isNotNull() & (F.col("__d") != ""))
+        .select(
+            "url",
+            F.col("__d").cast("int").alias("delay_s"),
+            "target",
+        )
+    )
+
+
+def rel_pagination(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    max_scan_bytes: int = 1 << 16,
+) -> DataFrame:
+    """Extract ``<link rel="next/prev" href="…">`` pagination hints —
+    the signal that a page is one slice of a multi-page article, which
+    a training-data pipeline needs to stitch (or at least to dedup
+    against its siblings).
+
+    Same tag-scoped shape as :func:`meta_redirects`: whole ``<link …>``
+    tags, ``rel`` matched as a case-insensitive token (``rel="next"``
+    and ``rel="prev nofollow"`` both count), href token-form, first
+    occurrence per direction wins.
+
+    Returns ``(url, next_url, prev_url, is_paginated)`` — one row per
+    page, NULLs when a direction is absent.
+    """
+    text = _permissive_text(html_col, max_scan_bytes)
+    staged = pages.select(
+        F.col(url_col).alias("url"), _html_tags(text, "link").alias("__l")
+    )
+
+    def first_href(rel: str) -> Column:
+        tags = F.filter(
+            F.col("__l"),
+            lambda t: F.concat(
+                F.lit(" "), F.lower(_tag_attr_quoted(t, "rel")), F.lit(" ")
+            ).contains(f" {rel} "),
+        )
+        return _tag_attr(F.get(tags, 0), "href")
+
+    nxt = first_href("next")
+    prv = first_href("prev")
+    return staged.select(
+        "url",
+        nxt.alias("next_url"),
+        prv.alias("prev_url"),
+    ).withColumn(
+        "is_paginated",
+        F.col("next_url").isNotNull() | F.col("prev_url").isNotNull(),
+    )
+
+
+def og_cards(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    max_scan_bytes: int = 1 << 16,
+) -> DataFrame:
+    """OpenGraph / Twitter-card extraction: ``og:title``, ``og:type``,
+    ``og:image`` (``<meta property=…>``) and ``twitter:card``
+    (``<meta name=…>``) — the structured social metadata layer most
+    modern pages carry; pipelines use it for title recovery, media
+    association, and page-type priors.
+
+    Tag-scoped HOF extraction: one ``<meta …>`` tag array per page,
+    one ``filter`` + first-element pull per key — attribute order and
+    quote style free, first declaration wins, no shuffle, no UDF.
+
+    Returns ``(url, og_title, og_type, og_image, twitter_card)`` with
+    NULLs for absent keys.
+    """
+    text = _permissive_text(html_col, max_scan_bytes)
+    staged = pages.select(
+        F.col(url_col).alias("url"), _html_tags(text, "meta").alias("__m")
+    )
+
+    def first_content(attr: str, key: str) -> Column:
+        tags = F.filter(
+            F.col("__m"),
+            lambda t: F.lower(_tag_attr_quoted(t, attr)) == key,
+        )
+        return _tag_attr_quoted(F.get(tags, 0), "content")
+
+    return staged.select(
+        "url",
+        first_content("property", "og:title").alias("og_title"),
+        first_content("property", "og:type").alias("og_type"),
+        first_content("property", "og:image").alias("og_image"),
+        first_content("name", "twitter:card").alias("twitter_card"),
+    )

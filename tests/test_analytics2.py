@@ -587,3 +587,70 @@ def test_corpus_growth_cumulative_and_share(spark):
     assert [r["n_events"] for r in got] == [2, 3, 5]
     assert [r["cum_events"] for r in got] == [2, 5, 10]
     assert [r["pct_of_total"] for r in got] == [0.2, 0.5, 1.0]
+
+
+def _pg(spark, html: str):
+    return spark.createDataFrame([("u", html.encode("utf-8"))],
+                                 "url string, html binary")
+
+
+def test_markup_signals_counts_and_empty_page(spark):
+    from pdf_to_epub_spark.operators import markup_signals
+
+    r = markup_signals(_pg(
+        spark,
+        '<html><body><script src=a></script><SCRIPT>x</SCRIPT>'
+        '<iframe src=b><form method=post><a href=c>t</a>text</body></html>',
+    )).collect()[0]
+    assert r["n_script"] == 2      # case-insensitive, </script> not counted
+    assert r["n_iframe"] == 1 and r["n_form"] == 1 and r["n_links"] == 1
+    assert r["tag_density"] is not None and r["tag_density"] > 0
+
+    empty = spark.createDataFrame([("u", b"")], "url string, html binary")
+    r2 = markup_signals(empty).collect()[0]
+    assert r2["n_script"] == 0 and r2["tag_density"] is None
+
+
+def test_meta_redirects_variants(spark):
+    from pdf_to_epub_spark.operators import meta_redirects
+
+    # reversed attrs, uppercase URL, comma separator
+    r = meta_redirects(_pg(
+        spark, "<meta content='3 , URL=/go' http-equiv=REFRESH>"
+    )).collect()
+    assert len(r) == 1 and r[0]["delay_s"] == 3 and r[0]["target"] == "/go"
+    # no refresh -> no row
+    assert meta_redirects(_pg(spark, "<meta name=x content=y>")).count() == 0
+    # reload-only refresh
+    r3 = meta_redirects(_pg(
+        spark, '<meta http-equiv="refresh" content="30">'
+    )).collect()[0]
+    assert r3["delay_s"] == 30 and r3["target"] is None
+
+
+def test_rel_pagination_token_match_not_substring(spark):
+    from pdf_to_epub_spark.operators import rel_pagination
+
+    # rel="nexter" must NOT match the next token
+    r = rel_pagination(_pg(
+        spark, '<link rel="nexter" href="/x"><link rel="prev next" href="/y">'
+    )).collect()[0]
+    assert r["next_url"] == "/y" and r["prev_url"] == "/y"
+    assert r["is_paginated"] is True
+
+    r2 = rel_pagination(_pg(spark, "<p>no links</p>")).collect()[0]
+    assert r2["next_url"] is None and r2["is_paginated"] is False
+
+
+def test_og_cards_first_wins_and_attr_order(spark):
+    from pdf_to_epub_spark.operators import og_cards
+
+    r = og_cards(_pg(
+        spark,
+        '<meta content="T one" property="og:title">'
+        '<meta property="og:title" content="T two">'
+        "<meta name='twitter:card' content=summary>",
+    )).collect()[0]
+    assert r["og_title"] == "T one"
+    assert r["twitter_card"] == "summary"
+    assert r["og_type"] is None and r["og_image"] is None
