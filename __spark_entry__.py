@@ -5431,6 +5431,69 @@ def _q_og_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (urls.k_core, k=3) over a circulant C20{1,2} core
+    (degree 4 everywhere) dressed with two-hop pendant chains
+    (q_j - p_j, p_j - c_j, p_j - c_{j+1}) — the q nodes peel in round
+    one, which drops p below k in round two: a genuine cascade.  The
+    construction oracle is the surviving core with its degrees."""
+    from pdf_to_epub_spark.operators import k_core
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    j = (F.col("doc_id") % 20).cast("string")
+    j1 = ((F.col("doc_id") % 20 + 1) % 20).cast("string")
+    j2 = ((F.col("doc_id") % 20 + 2) % 20).cast("string")
+    c, c1, c2 = (
+        F.concat(F.lit("c"), j),
+        F.concat(F.lit("c"), j1),
+        F.concat(F.lit("c"), j2),
+    )
+    p, q = F.concat(F.lit("p"), j), F.concat(F.lit("q"), j)
+    edges = (
+        d.select(c.alias("src"), c1.alias("dst"))
+        .union(d.select(c, c2))
+        .union(d.select(p, c))
+        .union(d.select(p, c1))
+        .union(d.select(q, p))
+    )
+    return k_core(edges, k=3).select("node", "deg")
+
+
+def _q_client_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: meta-refresh extraction feeding pointer-doubling
+    chain resolution — pages u{i} declare a refresh to u{i+1} within
+    their decade, every 5th decade closes into a 10-cycle, the rest
+    terminate.  Extraction bugs and resolution bugs both break the
+    recursive-CTE oracle."""
+    from pdf_to_epub_spark.operators import meta_redirects, redirect_chains
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    dst_i = F.when(i % 10 != 9, i + 1).otherwise(i - 9)
+    refresh = F.when(
+        (i % 10 != 9) | ((i % 10 == 9) & (F.floor(i / 10) % 5 == 0)),
+        F.concat(
+            F.lit('<meta http-equiv="refresh" content="0; url=u'),
+            dst_i.cast("string"), F.lit('">'),
+        ),
+    ).otherwise(F.lit("<meta charset=utf-8>"))
+    html = F.encode(
+        F.concat(F.lit("<html><head>"), refresh,
+                 F.lit("</head><body>x</body></html>")),
+        "UTF-8",
+    )
+    pages = d.select(
+        F.concat(F.lit("u"), i.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    edges = meta_redirects(pages).select(
+        F.col("url").alias("src"), F.col("target").alias("dst")
+    )
+    return redirect_chains(edges, max_hops=16).select(
+        "src", "final", "hops", "resolved"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -5501,6 +5564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_redirects": _q_meta_redirects,
         "rel_pagination": _q_rel_pagination,
         "og_cards": _q_og_cards,
+        "k_core": _q_k_core,
+        "client_redirect_chains": _q_client_redirect_chains,
         "publish_dates": _q_publish_dates,
         "link_reciprocity": _q_link_reciprocity,
         "gate_attrition": _q_gate_attrition,
@@ -7917,6 +7982,35 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 2 THEN 'summary'
                         ELSE NULL END AS twitter_card
             FROM documents
+        """,
+        "k_core": """
+            SELECT DISTINCT 'c' || (doc_id % 20) AS node, 4::BIGINT AS deg
+            FROM documents
+        """,
+        "client_redirect_chains": """
+            WITH RECURSIVE raw AS (
+                SELECT 'u' || doc_id AS src,
+                       'u' || (CASE WHEN doc_id % 10 <> 9 THEN doc_id + 1
+                                    ELSE doc_id - 9 END) AS dst
+                FROM documents
+                WHERE doc_id % 10 <> 9
+                   OR (doc_id % 10 = 9 AND (doc_id // 10) % 5 = 0)),
+            e AS (SELECT src, min(dst) AS dst FROM raw GROUP BY src),
+            r AS (
+                SELECT src AS start, dst AS cur, 1 AS hops FROM e
+                UNION ALL
+                SELECT r.start, e.dst, r.hops + 1
+                FROM r JOIN e ON r.cur = e.src
+                WHERE r.hops < 16),
+            last AS (
+                SELECT start, cur, hops,
+                       row_number() OVER (
+                           PARTITION BY start ORDER BY hops DESC) AS rn
+                FROM r)
+            SELECT l.start AS src, l.cur AS final, l.hops::INT AS hops,
+                   (e2.src IS NULL) AS resolved
+            FROM last l LEFT JOIN e e2 ON l.cur = e2.src
+            WHERE l.rn = 1
         """,
         "zipf_fit": """
             WITH cnt AS (

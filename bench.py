@@ -502,6 +502,49 @@ def run_bench(
 
     timed("corpus_hygiene", corpus_hygiene, runs=2)
 
+    def web_metadata() -> None:
+        """Page-metadata mining layer over CC-shaped HTML built from the
+        bench corpus: markup spam profile (regexp_count codegen), OG /
+        Twitter-card extraction, refresh-redirect extraction, and
+        pagination hints — four tag-scoped extractors sharing one page
+        scan shape, all JVM-side (no Python stage)."""
+        from pdf_to_epub_spark.operators import (
+            markup_signals,
+            meta_redirects,
+            og_cards,
+            rel_pagination,
+        )
+
+        i = F.xxhash64("url")
+        pages = corpus.select(
+            "url",
+            F.encode(
+                F.concat(
+                    F.lit('<html><head><meta property="og:title" content="T '),
+                    i.cast("string"),
+                    F.lit('"><meta name="twitter:card" content="summary">'),
+                    F.when(
+                        F.pmod(i, F.lit(5)) == 0,
+                        F.lit('<meta http-equiv="refresh" content="3; url=/next">'),
+                    ).otherwise(F.lit("")),
+                    F.when(
+                        F.pmod(i, F.lit(3)) == 0,
+                        F.lit('<link rel="next" href="/p2">'),
+                    ).otherwise(F.lit("")),
+                    F.lit("</head><body><script src=x></script><p>"),
+                    F.col("text"),
+                    F.lit("</p></body></html>"),
+                ),
+                "UTF-8",
+            ).alias("html"),
+        )
+        _force(markup_signals(pages))
+        _force(og_cards(pages))
+        _force(meta_redirects(pages))
+        _force(rel_pagination(pages))
+
+    timed("web_metadata", web_metadata, runs=2)
+
     warc_paths = _warc_corpus_paths(corpus)  # one-time build, unmeasured
 
     def warc_parse() -> None:

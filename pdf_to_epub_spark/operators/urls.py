@@ -2061,3 +2061,57 @@ def og_cards(
         first_content("property", "og:image").alias("og_image"),
         first_content("name", "twitter:card").alias("twitter_card"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """k-core decomposition of an undirected graph: iteratively peel
+    every node with degree < k until the remainder is stable — the
+    densest-substructure filter used to find link farms / PBN rings
+    (spam cores survive peeling; organic periphery does not).
+
+    Iterative Spark shape (the connected-components pattern): each
+    round is one degree aggregation over the live edge set + two
+    broadcast-able anti-joins dropping edges that touch a peeled node,
+    with an eager-free ``localCheckpoint`` pinning each round's plan
+    and an ``isEmpty`` probe for convergence.  Peeling cascades (a
+    node can fall under k only after its neighbor peels), so rounds
+    repeat until no node drops — bounded by ``max_iter``.
+
+    Returns the surviving nodes with their within-core degree:
+    ``(node, deg)``.
+    """
+    live = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _deg(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("node"))
+            .union(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    for _ in range(max_iter):
+        deg = _deg(live)
+        bad = deg.filter(F.col("deg") < k).select("node")
+        if bad.isEmpty():
+            break
+        live = (
+            live.join(bad, live["a"] == bad["node"], "left_anti")
+            .join(bad, F.col("b") == bad["node"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
+    return _deg(live).select("node", F.col("deg").cast("long").alias("deg"))

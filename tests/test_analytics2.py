@@ -654,3 +654,21 @@ def test_og_cards_first_wins_and_attr_order(spark):
     assert r["og_title"] == "T one"
     assert r["twitter_card"] == "summary"
     assert r["og_type"] is None and r["og_image"] is None
+
+
+def test_k_core_cascade_and_full_survival(spark):
+    from pdf_to_epub_spark.operators import k_core
+
+    # triangle abc (deg 2 each) + tail: peeling at k=2 keeps the
+    # triangle; the tail d-e cascades away (e deg1 -> d deg1 -> gone)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["deg"] for r in k_core(edges, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+    # k=3 peels everything (triangle degrees are 2)
+    assert k_core(edges, k=3).count() == 0
+    # k=1 keeps the whole graph with original degrees
+    all1 = {r["node"]: r["deg"] for r in k_core(edges, k=1).collect()}
+    assert all1 == {"a": 2, "b": 2, "c": 3, "d": 2, "e": 1}
