@@ -5494,6 +5494,54 @@ def _q_client_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cluster_pair_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-counting dedup-cluster evaluation (evaluate.cluster_pair_eval):
+    predicted clusters mostly match the residue-class truth with a
+    deterministic error minority (every 11th doc shifts one class) —
+    exact integer C(n,2) sums, 6-dp divisions."""
+    from pdf_to_epub_spark.operators import cluster_pair_eval
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    a = d.select(
+        ((i + F.when(i % 11 == 0, 1).otherwise(0)) % 6).alias("pred"),
+        (i % 6).alias("truth"),
+    )
+    return cluster_pair_eval(a).select(
+        "n_items", "tp_pairs", "pred_pairs", "true_pairs",
+        "precision", "recall", "f1",
+    )
+
+
+def _q_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank agreement (evaluate.rank_agreement) between the
+    length scorer and a residue-perturbed variant — exact Σd² from
+    tie-broken rank permutations."""
+    from pdf_to_epub_spark.operators import rank_agreement
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("score_a"),
+        (F.col("n_chars") + (F.col("doc_id") % 13) * 7 - 42).alias("score_b"),
+    )
+    return rank_agreement(d).select("n", "sum_d2", "rho")
+
+
+def _q_score_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift (evaluate.score_drift_ks) between even-doc
+    lengths and residue-shifted odd-doc lengths — right-continuous ECDF
+    gap over the pooled distinct values."""
+    from pdf_to_epub_spark.operators import score_drift_ks
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    i = F.col("doc_id")
+    a = d.filter(i % 2 == 0).select(F.col("n_chars").alias("v"))
+    b = d.filter(i % 2 == 1).select(
+        (F.col("n_chars") + (i % 5) * 3).alias("v")
+    )
+    return score_drift_ks(a, b).select("n_a", "n_b", "d_stat", "at_value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -5566,6 +5614,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "og_cards": _q_og_cards,
         "k_core": _q_k_core,
         "client_redirect_chains": _q_client_redirect_chains,
+        "cluster_pair_eval": _q_cluster_pair_eval,
+        "rank_agreement": _q_rank_agreement,
+        "score_drift_ks": _q_score_drift_ks,
         "publish_dates": _q_publish_dates,
         "link_reciprocity": _q_link_reciprocity,
         "gate_attrition": _q_gate_attrition,
@@ -8011,6 +8062,101 @@ def oracle_sql() -> dict[str, str]:
                    (e2.src IS NULL) AS resolved
             FROM last l LEFT JOIN e e2 ON l.cur = e2.src
             WHERE l.rn = 1
+        """,
+        "cluster_pair_eval": """
+            WITH a AS (
+                SELECT ((doc_id + CASE WHEN doc_id % 11 = 0
+                                       THEN 1 ELSE 0 END) % 6) AS pred,
+                       (doc_id % 6) AS truth
+                FROM documents),
+            tp AS (
+                SELECT sum((n * (n - 1)) // 2) AS tp_pairs FROM (
+                    SELECT count(*) AS n FROM a GROUP BY pred, truth)),
+            pp AS (
+                SELECT sum((n * (n - 1)) // 2) AS pred_pairs FROM (
+                    SELECT count(*) AS n FROM a GROUP BY pred)),
+            tt AS (
+                SELECT sum((n * (n - 1)) // 2) AS true_pairs FROM (
+                    SELECT count(*) AS n FROM a GROUP BY truth)),
+            nn AS (SELECT count(*) AS n_items FROM a),
+            j AS (SELECT * FROM nn, tp, pp, tt),
+            pr AS (
+                SELECT *,
+                       CASE WHEN pred_pairs > 0 THEN
+                           round(tp_pairs::DOUBLE / pred_pairs::DOUBLE, 6)
+                       END AS precision,
+                       CASE WHEN true_pairs > 0 THEN
+                           round(tp_pairs::DOUBLE / true_pairs::DOUBLE, 6)
+                       END AS recall
+                FROM j)
+            SELECT n_items::BIGINT AS n_items, tp_pairs::BIGINT AS tp_pairs,
+                   pred_pairs::BIGINT AS pred_pairs,
+                   true_pairs::BIGINT AS true_pairs,
+                   precision::DOUBLE AS precision, recall::DOUBLE AS recall,
+                   (CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+                         THEN CASE WHEN precision + recall > 0
+                                   THEN round(2.0 * precision * recall
+                                              / (precision + recall), 6)
+                                   ELSE 0.0 END
+                    END)::DOUBLE AS f1
+            FROM pr
+        """,
+        "rank_agreement": """
+            WITH s AS (
+                SELECT doc_id, n_chars AS score_a,
+                       n_chars + (doc_id % 13) * 7 - 42 AS score_b
+                FROM documents),
+            r AS (
+                SELECT row_number() OVER (
+                           ORDER BY score_a ASC, doc_id ASC) AS ra,
+                       row_number() OVER (
+                           ORDER BY score_b ASC, doc_id ASC) AS rb
+                FROM s),
+            a AS (
+                SELECT count(*) AS n,
+                       sum((ra - rb) * (ra - rb)) AS sum_d2
+                FROM r)
+            SELECT n::BIGINT AS n, sum_d2::BIGINT AS sum_d2,
+                   (CASE WHEN n > 1 THEN
+                       round(1.0 - 6.0 * sum_d2::DOUBLE
+                             / (n::DOUBLE * (n::DOUBLE * n::DOUBLE - 1.0)),
+                             6) + 0
+                   END)::DOUBLE AS rho
+            FROM a
+        """,
+        "score_drift_ks": """
+            WITH tagged AS (
+                SELECT n_chars AS v, 1 AS ia, 0 AS ib
+                FROM documents WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT n_chars + (doc_id % 5) * 3, 0, 1
+                FROM documents WHERE doc_id % 2 = 1),
+            per AS (
+                SELECT v, sum(ia) AS ca, sum(ib) AS cb
+                FROM tagged GROUP BY v),
+            curve AS (
+                SELECT v,
+                       sum(ca) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_a,
+                       sum(cb) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_b,
+                       sum(ca) OVER () AS n_a,
+                       sum(cb) OVER () AS n_b
+                FROM per),
+            gaps AS (
+                SELECT v, n_a, n_b,
+                       round(abs(cum_a::DOUBLE / n_a::DOUBLE
+                                 - cum_b::DOUBLE / n_b::DOUBLE), 6) AS gap
+                FROM curve),
+            best AS (
+                SELECT *, row_number() OVER (
+                           ORDER BY gap DESC, v ASC) AS rn
+                FROM gaps)
+            SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+                   gap::DOUBLE AS d_stat, v AS at_value
+            FROM best WHERE rn = 1
         """,
         "zipf_fit": """
             WITH cnt AS (

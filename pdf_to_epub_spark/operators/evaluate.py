@@ -171,3 +171,187 @@ def binary_classifier_eval(
         prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
         auc.alias("auc"),
     )
+
+
+def cluster_pair_eval(
+    assignments: DataFrame,
+    pred_col: str = "pred",
+    truth_col: str = "truth",
+) -> DataFrame:
+    """Pair-counting evaluation of a clustering (e.g. near-dup
+    components) against ground-truth groups: precision / recall / F1
+    over the "same-cluster" pair relation — the standard way to score a
+    dedup run against labeled duplicate sets without materializing the
+    O(n²) pairs.
+
+    Everything reduces to three combiner-enabled aggregations of
+    ``C(n, 2)`` cluster-size sums (predicted, true, and the joint
+    (pred, truth) contingency cells = true-positive pairs) — exact
+    integer math until the final three 6-dp divisions, so the result
+    replays bit-for-bit in SQL at any scale.
+
+    Returns one row: ``(n_items, tp_pairs, pred_pairs, true_pairs,
+    precision, recall, f1)``; precision/recall are NULL when their
+    denominator is 0, F1 is 0 when both are defined but 0.
+    """
+    def pair_sum(cols: list[str], alias: str) -> DataFrame:
+        return (
+            assignments.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                (F.sum(F.col("n") * (F.col("n") - 1)) / 2)
+                .cast("long")
+                .alias(alias)
+            )
+        )
+
+    tp = pair_sum([pred_col, truth_col], "tp_pairs")
+    pp = pair_sum([pred_col], "pred_pairs")
+    tt = pair_sum([truth_col], "true_pairs")
+    n = assignments.agg(F.count(F.lit(1)).alias("n_items"))
+    row = n.crossJoin(tp).crossJoin(pp).crossJoin(tt)
+    prec = F.when(
+        F.col("pred_pairs") > 0,
+        F.round(
+            F.col("tp_pairs").cast("double")
+            / F.col("pred_pairs").cast("double"),
+            6,
+        ),
+    )
+    rec = F.when(
+        F.col("true_pairs") > 0,
+        F.round(
+            F.col("tp_pairs").cast("double")
+            / F.col("true_pairs").cast("double"),
+            6,
+        ),
+    )
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull(),
+        F.when(
+            prec + rec > 0, F.round(2.0 * prec * rec / (prec + rec), 6)
+        ).otherwise(F.lit(0.0)),
+    )
+    return row.select(
+        F.col("n_items").cast("long").alias("n_items"),
+        "tp_pairs", "pred_pairs", "true_pairs",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+    )
+
+
+def rank_agreement(
+    df: DataFrame,
+    score_a: str = "score_a",
+    score_b: str = "score_b",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Spearman rank agreement between two document scorers: rho = 1 −
+    6·Σd² / (n(n²−1)) over ranks assigned by ``(score, id)`` — the
+    "does the cheap quality score order documents like the expensive
+    one" check run before swapping scorers in a filter cascade.
+
+    Ranks come from two windows over slim projections (ties broken by
+    id, so ranks are permutations and the classic formula is exact);
+    Σd² is an exact integer aggregate.  ``n(n²−1)`` is computed in
+    doubles (n³ overflows int64 past ~2M rows — the double keeps ~15
+    significant digits, plenty for a correlation).
+
+    Returns one row: ``(n, sum_d2, rho)``; rho NULL when n < 2.
+    """
+    from pyspark.sql.window import Window
+
+    wa = Window.orderBy(F.asc(score_a), F.asc(id_col))
+    wb = Window.orderBy(F.asc(score_b), F.asc(id_col))
+    ranked = df.select(
+        F.row_number().over(wa).cast("long").alias("ra"),
+        F.row_number().over(wb).cast("long").alias("rb"),
+    )
+    d = F.col("ra") - F.col("rb")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d * d).alias("sum_d2"),
+    )
+    nn = F.col("n").cast("double")
+    rho = F.when(
+        F.col("n") > 1,
+        F.round(
+            F.lit(1.0)
+            - 6.0 * F.col("sum_d2").cast("double")
+            / (nn * (nn * nn - F.lit(1.0))),
+            6,
+        ) + F.lit(0.0),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_d2").cast("long").alias("sum_d2"),
+        rho.alias("rho"),
+    )
+
+
+def score_drift_ks(
+    sample_a: DataFrame,
+    sample_b: DataFrame,
+    value_col: str = "v",
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between two score
+    samples (yesterday's crawl vs today's, corpus A vs corpus B): D =
+    max |F_a(v) − F_b(v)| over the pooled distinct values, plus the
+    value where the gap peaks — the standard "did the distribution
+    move" alarm for ingest monitoring.
+
+    Shape: one union with side tags → one groupBy per distinct value
+    (conditional counts) → running-sum windows over the distinct-value
+    table (cardinality = distinct scores, NOT rows — pre-round
+    continuous scores if that ever approaches row count) → one max.
+    The gap is evaluated AFTER absorbing all rows of a value, which is
+    the correct right-continuous ECDF convention and makes ties
+    order-free.
+
+    Returns one row: ``(n_a, n_b, d_stat, at_value)`` (D at 6 dp,
+    smallest peak value wins ties).
+    """
+    from pyspark.sql.window import Window
+
+    tagged = sample_a.select(
+        F.col(value_col).alias("v"), F.lit(1).alias("ia"), F.lit(0).alias("ib")
+    ).unionByName(
+        sample_b.select(
+            F.col(value_col).alias("v"),
+            F.lit(0).alias("ia"),
+            F.lit(1).alias("ib"),
+        )
+    )
+    per = tagged.groupBy("v").agg(
+        F.sum("ia").alias("ca"), F.sum("ib").alias("cb")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    curve = per.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(tot).alias("n_a"),
+        F.sum("cb").over(tot).alias("n_b"),
+    ).select(
+        "v", "n_a", "n_b",
+        F.round(
+            F.abs(
+                F.col("cum_a").cast("double") / F.col("n_a").cast("double")
+                - F.col("cum_b").cast("double") / F.col("n_b").cast("double")
+            ),
+            6,
+        ).alias("gap"),
+    )
+    best = Window.orderBy(F.desc("gap"), F.asc("v"))
+    return (
+        curve.withColumn("__rn", F.row_number().over(best))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("gap").alias("d_stat"),
+            F.col("v").alias("at_value"),
+        )
+    )

@@ -672,3 +672,68 @@ def test_k_core_cascade_and_full_survival(spark):
     # k=1 keeps the whole graph with original degrees
     all1 = {r["node"]: r["deg"] for r in k_core(edges, k=1).collect()}
     assert all1 == {"a": 2, "b": 2, "c": 3, "d": 2, "e": 1}
+
+
+def test_cluster_pair_eval_perfect_and_degenerate(spark):
+    from pdf_to_epub_spark.operators import cluster_pair_eval
+
+    perfect = spark.createDataFrame(
+        [(0, 0), (0, 0), (1, 1), (1, 1), (2, 2)], "pred long, truth long"
+    )
+    r = cluster_pair_eval(perfect).collect()[0]
+    assert r["precision"] == 1.0 and r["recall"] == 1.0 and r["f1"] == 1.0
+    assert r["tp_pairs"] == 2 and r["n_items"] == 5
+
+    # all singleton predictions: no predicted pairs -> precision NULL
+    singletons = spark.createDataFrame(
+        [(i, 0) for i in range(4)], "pred long, truth long"
+    )
+    r2 = cluster_pair_eval(singletons).collect()[0]
+    assert r2["precision"] is None and r2["recall"] == 0.0
+    assert r2["f1"] is None
+
+    # one merged blob over two truth groups: recall 1, precision 2/6
+    blob = spark.createDataFrame(
+        [(0, 0), (0, 0), (0, 1), (0, 1)], "pred long, truth long"
+    )
+    r3 = cluster_pair_eval(blob).collect()[0]
+    assert r3["recall"] == 1.0 and r3["precision"] == round(2 / 6, 6)
+
+
+def test_rank_agreement_extremes(spark):
+    from pdf_to_epub_spark.operators import rank_agreement
+
+    same = spark.createDataFrame(
+        [(i, i * 2, i * 5 + 1) for i in range(20)],
+        "doc_id long, score_a long, score_b long",
+    )
+    assert rank_agreement(same).collect()[0]["rho"] == 1.0
+
+    rev = spark.createDataFrame(
+        [(i, i, -i) for i in range(20)],
+        "doc_id long, score_a long, score_b long",
+    )
+    assert rank_agreement(rev).collect()[0]["rho"] == -1.0
+
+    single = spark.createDataFrame(
+        [(1, 1, 1)], "doc_id long, score_a long, score_b long"
+    )
+    assert rank_agreement(single).collect()[0]["rho"] is None
+
+
+def test_score_drift_ks_identical_and_disjoint(spark):
+    from pdf_to_epub_spark.operators import score_drift_ks
+
+    a = spark.createDataFrame([(v,) for v in (1, 2, 3, 4)], "v long")
+    r = score_drift_ks(a, a).collect()[0]
+    assert r["d_stat"] == 0.0 and r["n_a"] == 4 and r["n_b"] == 4
+
+    b = spark.createDataFrame([(v,) for v in (10, 11, 12, 13)], "v long")
+    r2 = score_drift_ks(a, b).collect()[0]
+    assert r2["d_stat"] == 1.0 and r2["at_value"] == 4
+
+    # ties across sides absorb before the gap is read
+    c = spark.createDataFrame([(1,), (1,), (2,)], "v long")
+    d = spark.createDataFrame([(1,), (2,), (2,)], "v long")
+    r3 = score_drift_ks(c, d).collect()[0]
+    assert r3["d_stat"] == round(abs(2 / 3 - 1 / 3), 6)
