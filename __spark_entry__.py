@@ -7888,10 +7888,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "signal_correlations": """
             WITH s AS (
-                SELECT n_chars::BIGINT AS x,
-                       len(regexp_extract_all(
-                           lower(text), '[a-zà-öø-ÿ]+'))::BIGINT AS y,
-                       7::BIGINT AS z
+                SELECT round(n_chars::DOUBLE * 1e6)::HUGEINT AS x,
+                       round(len(regexp_extract_all(
+                           lower(text), '[a-zà-öø-ÿ]+'))::DOUBLE
+                             * 1e6)::HUGEINT AS y,
+                       round(7::DOUBLE * 1e6)::HUGEINT AS z
                 FROM documents),
             a AS (
                 SELECT count(*) AS k,

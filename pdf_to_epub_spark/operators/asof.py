@@ -147,6 +147,7 @@ def range_enrich(
     value_col: str = "v",
     lo_col: str = "lo",
     hi_col: str = "hi",
+    label_col: str = "label",
     cell: int = 1 << 16,
 ) -> DataFrame:
     """Range-join enrichment: tag each row of ``values`` with the label
@@ -169,7 +170,7 @@ def range_enrich(
     cells = ranges.select(
         F.col(lo_col).alias("__lo"),
         F.col(hi_col).alias("__hi"),
-        F.col("label").alias("__label"),
+        F.col(label_col).alias("__label"),
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / cell).cast("long"),

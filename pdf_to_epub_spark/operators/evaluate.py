@@ -195,13 +195,16 @@ def cluster_pair_eval(
     denominator is 0, F1 is 0 when both are defined but 0.
     """
     def pair_sum(cols: list[str], alias: str) -> DataFrame:
+        # per-group C(n,2) in INTEGER arithmetic (div, not /: Spark's
+        # `/` on longs is a double and loses exactness past 2^53), the
+        # cross-group sum in decimal(38,0) so it cannot wrap int64
         return (
             assignments.groupBy(*cols)
             .agg(F.count(F.lit(1)).alias("n"))
             .agg(
-                (F.sum(F.col("n") * (F.col("n") - 1)) / 2)
-                .cast("long")
-                .alias(alias)
+                F.sum(
+                    F.expr("(n * (n - 1)) div 2").cast("decimal(38,0)")
+                ).cast("long").alias(alias)
             )
         )
 
@@ -250,26 +253,51 @@ def rank_agreement(
     "does the cheap quality score order documents like the expensive
     one" check run before swapping scorers in a filter cascade.
 
-    Ranks come from two windows over slim projections (ties broken by
-    id, so ranks are permutations and the classic formula is exact);
-    Σd² is an exact integer aggregate.  ``n(n²−1)`` is computed in
-    doubles (n³ overflows int64 past ~2M rows — the double keeps ~15
-    significant digits, plenty for a correlation).
+    Ranks are tie-broken by id, so they are permutations and the
+    classic formula is exact.  A global ``row_number`` window would
+    sort ALL rows in one task; instead each rank is assembled
+    distributed: a cumulative-count window over the tiny DISTINCT-VALUE
+    table gives each score value its starting offset, and a
+    ``row_number`` window PARTITIONED by the value orders ties by id —
+    every stage is keyed, nothing serializes on row count (only on
+    distinct-score cardinality, the same contract as score_drift_ks).
+    Σd² is an exact integer aggregate in a ``decimal(38,0)``
+    accumulator; ``n(n²−1)`` is computed in doubles (n³ overflows
+    int64 past ~2M rows — 15 significant digits is plenty for a
+    correlation).
 
     Returns one row: ``(n, sum_d2, rho)``; rho NULL when n < 2.
     """
     from pyspark.sql.window import Window
 
-    wa = Window.orderBy(F.asc(score_a), F.asc(id_col))
-    wb = Window.orderBy(F.asc(score_b), F.asc(id_col))
-    ranked = df.select(
-        F.row_number().over(wa).cast("long").alias("ra"),
-        F.row_number().over(wb).cast("long").alias("rb"),
-    )
+    def _ranks(score: str, alias: str) -> DataFrame:
+        slim = df.select(F.col(id_col).alias("id"), F.col(score).alias("v"))
+        offsets = (
+            slim.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(
+                "v",
+                (
+                    F.sum("c").over(
+                        Window.orderBy("v").rowsBetween(
+                            Window.unboundedPreceding, Window.currentRow
+                        )
+                    )
+                    - F.col("c")
+                ).alias("off"),
+            )
+        )
+        win = Window.partitionBy("v").orderBy("id")
+        return slim.join(offsets, "v").select(
+            "id",
+            (F.col("off") + F.row_number().over(win)).cast("long").alias(alias),
+        )
+
+    ranked = _ranks(score_a, "ra").join(_ranks(score_b, "rb"), "id")
     d = F.col("ra") - F.col("rb")
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(d * d).alias("sum_d2"),
+        F.sum((d * d).cast("decimal(38,0)")).cast("long").alias("sum_d2"),
     )
     nn = F.col("n").cast("double")
     rho = F.when(

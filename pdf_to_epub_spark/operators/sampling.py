@@ -826,7 +826,13 @@ def partition_skew(
     """
     from pdf_to_epub_spark.operators.dedup import md5_hash60
 
-    b = (md5_hash60(F.col(key_col).cast("string")) % n_buckets).alias("b")
+    # NULL keys hash like a hash-partitioner treats them: all into one
+    # real bucket (coalesce to hash 0), never a phantom 17th bucket
+    b = (
+        F.coalesce(
+            md5_hash60(F.col(key_col).cast("string")), F.lit(0)
+        ) % n_buckets
+    ).alias("b")
     per = df.select(b).groupBy("b").agg(F.count(F.lit(1)).alias("n"))
     agg = per.agg(
         F.count(F.lit(1)).alias("k"),

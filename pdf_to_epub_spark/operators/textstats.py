@@ -2166,24 +2166,21 @@ def title_body_overlap(
     title shares nothing with the page).  Pages whose headline never
     reappears in the text are a quality-filter staple.
 
-    Tokenization is the corpus-standard lowercase letter-run rule; the
-    overlap is pure array algebra (``array_distinct`` +
-    ``array_contains`` inside a ``filter`` lambda) on materialized token
-    columns — no shuffle, no UDF, and the token arrays are built in a
-    projection BEFORE the HOF so the optimizer cannot re-inline the
-    regex per lambda step.
+    Tokenization is the corpus-standard lowercase letter-run rule
+    (:func:`_tokens`, so the definition cannot drift from the other
+    text operators); the overlap is ``array_intersect`` size over
+    ``array_distinct`` token columns — no shuffle, no UDF.
 
     Returns ``(id, n_title_tokens, n_overlap, overlap_ratio)``; docs
     with an empty title get a NULL ratio.
     """
-    tok = "filter(regexp_extract_all(lower({c}), '[a-zà-öø-ÿ]+', 0), x -> x != '')"
     staged = df.select(
         F.col(id_col),
-        F.array_distinct(F.expr(tok.format(c=title_col))).alias("__t"),
-        F.array_distinct(F.expr(tok.format(c=body_col))).alias("__b"),
+        F.array_distinct(_tokens(title_col)).alias("__t"),
+        F.array_distinct(_tokens(body_col)).alias("__b"),
     )
     n_t = F.size("__t")
-    n_o = F.size(F.expr("filter(__t, x -> array_contains(__b, x))"))
+    n_o = F.size(F.array_intersect("__t", "__b"))
     return staged.select(
         F.col(id_col),
         n_t.cast("int").alias("n_title_tokens"),
@@ -2289,24 +2286,34 @@ def signal_correlations(
     values are assembled driver-free from that single row in a fixed
     parse shape (``k*Sxy - Sx*Sy`` over doubles, 6 dp), one output row
     per unordered signal pair.  NULL r when either variance is 0.
+
+    Signals are quantized to micro-units (``round(v * 1e6)`` as int64)
+    first — fractional signals (6-dp quality ratios) stay faithful,
+    correlation is scale-invariant, and every sum/product runs in
+    EXACT arithmetic (``decimal(38,0)`` accumulators, so the
+    cross-moments of 1e12 micro-unit values can't wrap int64) —
+    summation-order-free, hence replayable in SQL.
     """
     cols = list(signal_cols)
+    micro = df.select(
+        *[
+            F.round(F.col(c).cast("double") * 1e6)
+            .cast("decimal(19,0)")
+            .alias(c)
+            for c in cols
+        ]
+    )
+    dec = "decimal(38,0)"
     aggs = [F.count(F.lit(1)).alias("k")]
     for c in cols:
-        aggs.append(F.sum(F.col(c).cast("long")).alias(f"s_{c}"))
-        aggs.append(
-            F.sum(F.col(c).cast("long") * F.col(c).cast("long")).alias(
-                f"ss_{c}"
-            )
-        )
+        aggs.append(F.sum(F.col(c)).cast(dec).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).cast(dec).alias(f"ss_{c}"))
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:
             aggs.append(
-                F.sum(
-                    F.col(a).cast("long") * F.col(b).cast("long")
-                ).alias(f"sp_{a}_{b}")
+                F.sum(F.col(a) * F.col(b)).cast(dec).alias(f"sp_{a}_{b}")
             )
-    one = df.agg(*aggs)
+    one = micro.agg(*aggs)
     k = F.col("k").cast("double")
 
     def _r(a: str, b: str) -> Column:

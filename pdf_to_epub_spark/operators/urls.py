@@ -1694,10 +1694,16 @@ def outlink_quality(
     with a score; mean/min are over scored domains only (NULL when
     none), mean at 6 dp in a fixed sum/count shape.
     """
-    doms = outlinks.select(
-        F.col(url_col).alias("url"),
-        registrable_domain(F.col(target_col)).alias("dom"),
-    ).distinct()
+    doms = (
+        outlinks.select(
+            F.col(url_col).alias("url"),
+            registrable_domain(F.col(target_col)).alias("dom"),
+        )
+        # unparseable targets (relative hrefs, javascript:) yield an
+        # empty/NULL domain — they are not outlink DOMAINS, drop them
+        .where(F.col("dom").isNotNull() & (F.col("dom") != ""))
+        .distinct()
+    )
     scored = doms.join(
         F.broadcast(
             domain_scores.select(
@@ -1753,8 +1759,8 @@ def redirect_chains(
     Returns one row per distinct source: ``(src, final, hops,
     resolved)``.
     """
-    rounds = max(1, (max_hops - 1).bit_length())
-    if max_hops != 1 << rounds:
+    rounds = (max_hops - 1).bit_length()
+    if max_hops < 1 or max_hops != 1 << rounds:
         raise ValueError("max_hops must be a power of two")
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -1861,9 +1867,9 @@ def domain_triangles(
     ).agg(F.count(F.lit(1)).alias("n_triangles"))
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
-        .cast("long")
-        .alias("n_wedges"),
+        F.sum(
+            F.expr("(deg * (deg - 1)) div 2").cast("decimal(38,0)")
+        ).cast("long").alias("n_wedges"),
     )
     nedges = canon.agg(F.count(F.lit(1)).alias("n_edges"))
     out = stats.crossJoin(nedges).crossJoin(tri)
@@ -2081,7 +2087,11 @@ def k_core(
     with an eager-free ``localCheckpoint`` pinning each round's plan
     and an ``isEmpty`` probe for convergence.  Peeling cascades (a
     node can fall under k only after its neighbor peels), so rounds
-    repeat until no node drops — bounded by ``max_iter``.
+    repeat until no node drops.  If the cascade is still moving after
+    ``max_iter`` rounds (a long induced path peels only its endpoints
+    each round) the result would NOT be the k-core, so the operator
+    raises instead of silently returning periphery — raise
+    ``max_iter`` for pathologically chain-shaped graphs.
 
     Returns the surviving nodes with their within-core degree:
     ``(node, deg)``.
@@ -2104,14 +2114,21 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("deg"))
         )
 
+    converged = False
     for _ in range(max_iter):
         deg = _deg(live)
         bad = deg.filter(F.col("deg") < k).select("node")
         if bad.isEmpty():
+            converged = True
             break
         live = (
             live.join(bad, live["a"] == bad["node"], "left_anti")
             .join(bad, F.col("b") == bad["node"], "left_anti")
             .localCheckpoint(eager=False)
+        )
+    if not converged:
+        raise RuntimeError(
+            f"k_core did not converge within max_iter={max_iter} rounds; "
+            "raise max_iter (long induced paths peel two nodes per round)"
         )
     return _deg(live).select("node", F.col("deg").cast("long").alias("deg"))

@@ -737,3 +737,93 @@ def test_score_drift_ks_identical_and_disjoint(spark):
     d = spark.createDataFrame([(1,), (2,), (2,)], "v long")
     r3 = score_drift_ks(c, d).collect()[0]
     assert r3["d_stat"] == round(abs(2 / 3 - 1 / 3), 6)
+
+
+# --------------------------------------------------------------------------
+# review-fix regression pins
+# --------------------------------------------------------------------------
+
+def test_signal_correlations_fractional_signals(spark):
+    from pdf_to_epub_spark.operators import signal_correlations
+
+    # ratios in [0,1]: a long cast would collapse these to 0/1
+    df = spark.createDataFrame(
+        [(i / 100.0, (100 - i) / 200.0) for i in range(1, 50)],
+        "a double, b double",
+    )
+    got = {(r["signal_a"], r["signal_b"]): r["r"]
+           for r in signal_correlations(df, ("a", "b")).collect()}
+    assert got[("a", "b")] == -1.0
+
+
+def test_partition_skew_null_keys_one_real_bucket(spark):
+    from pdf_to_epub_spark.operators import partition_skew
+
+    df = spark.createDataFrame(
+        [(None,), (None,), ("x",), ("y",)], "k string"
+    )
+    r = partition_skew(df, "k", n_buckets=8).collect()[0]
+    assert r["n_rows"] == 4
+    assert 0 <= r["n_empty"] <= 7  # never negative / phantom bucket
+
+
+def test_k_core_raises_when_not_converged(spark):
+    import pytest as _pt
+    from pdf_to_epub_spark.operators import k_core
+
+    # a 10-path at k=2 peels two endpoints per round -> needs 5 rounds
+    path = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(10)], "src string, dst string"
+    )
+    with _pt.raises(RuntimeError, match="did not converge"):
+        k_core(path, k=2, max_iter=2)
+    # with enough rounds it converges to the empty 2-core
+    assert k_core(path, k=2, max_iter=10).count() == 0
+
+
+def test_redirect_chains_single_hop_cap(spark):
+    from pdf_to_epub_spark.operators import redirect_chains
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    got = {r["src"]: r for r in redirect_chains(edges, max_hops=1).collect()}
+    assert (got["a"]["final"], got["a"]["hops"], got["a"]["resolved"]) == ("b", 1, False)
+    assert got["b"]["resolved"] is True
+
+
+def test_outlink_quality_ignores_unparseable_targets(spark):
+    from pdf_to_epub_spark.operators import outlink_quality
+
+    ol = spark.createDataFrame(
+        [("p1", "https://good.example/a"), ("p1", "/relative"),
+         ("p1", "javascript:void(0)")],
+        "url string, target string",
+    )
+    scores = spark.createDataFrame(
+        [("good.example", 0.9)], "domain string, score double"
+    )
+    r = outlink_quality(ol, scores).collect()[0]
+    assert r["n_outlinks"] == 1 and r["n_scored"] == 1
+
+
+def test_range_enrich_custom_label_col(spark):
+    from pdf_to_epub_spark.operators import range_enrich
+
+    vals = spark.createDataFrame([(1, 10)], "id long, v long")
+    ranges = spark.createDataFrame(
+        [(0, 49, "low")], "lo long, hi long, band string"
+    )
+    r = range_enrich(vals, ranges, label_col="band", cell=64).collect()[0]
+    assert r["range_label"] == "low"
+
+
+def test_rank_agreement_with_heavy_ties(spark):
+    from pdf_to_epub_spark.operators import rank_agreement
+
+    # all score_a equal: ranks follow id; score_b identical ordering
+    df = spark.createDataFrame(
+        [(i, 5, i) for i in range(50)],
+        "doc_id long, score_a long, score_b long",
+    )
+    assert rank_agreement(df).collect()[0]["rho"] == 1.0
