@@ -5542,6 +5542,70 @@ def _q_score_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_drift_ks(a, b).select("n_a", "n_b", "d_stat", "at_value")
 
 
+def _q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query IR metrics (evaluate.retrieval_eval, k=10): a
+    deterministic 5-query run (qid = doc_id%5, rank = doc_id//5 + 1)
+    judged by the doc_id%3 relevance rule — P@k / R@k / MRR plus
+    nano-quantized nDCG@k so the float sums replay exactly."""
+    from pdf_to_epub_spark.operators import retrieval_eval
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    run = d.select(
+        (i % 5).alias("qid"), i.alias("doc_id"),
+        (F.floor(i / 5) + 1).cast("long").alias("rank"),
+    )
+    qrels = d.filter(i % 3 == 0).select(
+        (i % 5).alias("qid"), i.alias("doc_id")
+    )
+    return retrieval_eval(run, qrels, k=10).select(
+        "qid", "n_rel", "hits_k", "p_at_k", "r_at_k", "rr", "ndcg_k"
+    )
+
+
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix
+    (analytics.event_transitions) over the events table — per-user lag
+    pairs, conditional probabilities normalized over the aggregated
+    pair table."""
+    from pdf_to_epub_spark.operators import event_transitions
+
+    e = _t(spark, sf_dir, "events")
+    return event_transitions(e).select(
+        "prev_type", "event_type", "n", "prob"
+    )
+
+
+def _q_template_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSS-class template fingerprints (urls.template_fingerprints) over
+    three residue variants (two class-bearing templates — one with
+    duplicate/multi-space/empty class values — and a classless page) —
+    construction oracle with the md5 computed in SQL."""
+    from pdf_to_epub_spark.operators import template_fingerprints
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    body = (
+        F.when(i % 3 == 0, F.lit(
+            '<div class="nav main"><p class="body text">x</p></div>'))
+        .when(i % 3 == 1, F.lit(
+            '<div class="main  nav"><span class="">y</span>'
+            '<b class="nav">z</b></div>'))
+        .otherwise(F.lit("<div><p>plain</p></div>"))
+    )
+    html = F.encode(
+        F.concat(F.lit("<html><body>"), body, F.lit("</body></html>")),
+        "UTF-8",
+    )
+    pages = d.select(
+        F.concat(F.lit("t://"), i.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    return template_fingerprints(pages).select(
+        "url", "n_class_tokens", "fingerprint"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -5617,6 +5681,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_pair_eval": _q_cluster_pair_eval,
         "rank_agreement": _q_rank_agreement,
         "score_drift_ks": _q_score_drift_ks,
+        "retrieval_eval": _q_retrieval_eval,
+        "event_transitions": _q_event_transitions,
+        "template_fingerprints": _q_template_fingerprints,
         "publish_dates": _q_publish_dates,
         "link_reciprocity": _q_link_reciprocity,
         "gate_attrition": _q_gate_attrition,
@@ -8158,6 +8225,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
                    gap::DOUBLE AS d_stat, v AS at_value
             FROM best WHERE rn = 1
+        """,
+        "retrieval_eval": """
+            WITH run AS (
+                SELECT doc_id % 5 AS qid, doc_id,
+                       (doc_id // 5) + 1 AS rank FROM documents),
+            rel AS (
+                SELECT DISTINCT doc_id % 5 AS qid, doc_id
+                FROM documents WHERE doc_id % 3 = 0),
+            marked AS (
+                SELECT r.qid, r.rank,
+                       (rl.doc_id IS NOT NULL) AS isrel
+                FROM run r LEFT JOIN rel rl
+                  ON r.qid = rl.qid AND r.doc_id = rl.doc_id),
+            per AS (
+                SELECT qid,
+                       count(*) FILTER (WHERE isrel AND rank <= 10)
+                           AS hits_k,
+                       min(CASE WHEN isrel THEN rank END) AS first_rel,
+                       sum(CASE WHEN isrel AND rank <= 10
+                                THEN round(1e9 / log2(rank::DOUBLE + 1.0))
+                                     ::BIGINT
+                                ELSE 0 END) AS dcg_nano
+                FROM marked GROUP BY qid),
+            nr AS (SELECT qid, count(*) AS n_rel FROM rel GROUP BY qid),
+            j AS (
+                SELECT nr.qid, nr.n_rel,
+                       coalesce(per.hits_k, 0) AS hits_k,
+                       per.first_rel,
+                       coalesce(per.dcg_nano, 0) AS dcg_nano,
+                       list_sum(list_transform(
+                           generate_series(1, least(nr.n_rel, 10)::BIGINT),
+                           r -> round(1e9 / log2(r::DOUBLE + 1.0))::BIGINT))
+                           AS ideal_nano
+                FROM nr LEFT JOIN per ON nr.qid = per.qid)
+            SELECT qid, n_rel::BIGINT AS n_rel, hits_k::BIGINT AS hits_k,
+                   round(hits_k::DOUBLE / 10.0, 6) AS p_at_k,
+                   round(hits_k::DOUBLE / n_rel::DOUBLE, 6) AS r_at_k,
+                   round(coalesce(1.0 / first_rel::DOUBLE, 0.0), 6) AS rr,
+                   round(dcg_nano::DOUBLE / ideal_nano::DOUBLE, 6)
+                       AS ndcg_k
+            FROM j
+        """,
+        "event_transitions": """
+            WITH seq AS (
+                SELECT event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_type
+                FROM events),
+            pairs AS (
+                SELECT prev_type, event_type, count(*) AS n
+                FROM seq WHERE prev_type IS NOT NULL
+                GROUP BY prev_type, event_type)
+            SELECT prev_type, event_type, n::BIGINT AS n,
+                   round(n::DOUBLE
+                         / sum(n) OVER (PARTITION BY prev_type)::DOUBLE,
+                         6) AS prob
+            FROM pairs
+        """,
+        "template_fingerprints": """
+            SELECT 't://' || doc_id AS url,
+                   CASE doc_id % 3
+                        WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 0 END
+                       AS n_class_tokens,
+                   CASE doc_id % 3
+                        WHEN 0 THEN md5('body|main|nav|text')
+                        WHEN 1 THEN md5('main|nav')
+                        ELSE NULL END AS fingerprint
+            FROM documents
         """,
         "zipf_fit": """
             WITH cnt AS (

@@ -403,3 +403,50 @@ def corpus_growth(
             6,
         ).alias("pct_of_total"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """First-order transition matrix of an event stream: how often does
+    event type A immediately precede type B within a user's timeline,
+    and with what conditional probability — the Markov skeleton behind
+    funnel mining and crawler-behavior profiling.
+
+    One lag window PARTITIONED by user (parallel across users; ties
+    broken by ``tie_col`` for retry-stable ordering), one
+    combiner-enabled pair count, and the per-source normalization as a
+    window over the aggregated pair table (cardinality = |types|², not
+    events).
+
+    Returns ``(prev_type, event_type, n, prob)`` with prob 6 dp.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, tie_col)
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(tie_col),
+            F.col(type_col).alias("event_type"),
+        )
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(tot).cast("double"),
+            6,
+        ).alias("prob"),
+    )

@@ -383,3 +383,79 @@ def score_drift_ks(
             F.col("v").alias("at_value"),
         )
     )
+
+
+def retrieval_eval(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    qid_col: str = "qid",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query retrieval metrics for a ranked run (e.g. bm25_topk)
+    against binary relevance judgments: precision@k, recall@k,
+    reciprocal rank, and nDCG@k (binary gains) — the IR-eval
+    counterpart of the classifier eval.
+
+    One broadcast-able inner join marks relevant result rows, one
+    combiner-enabled groupBy per query aggregates hits / first-hit rank
+    / the DCG sum; ideal DCG comes from the qrel counts (closed form
+    over min(n_rel, k) — a sequence-HOF fold, no second shuffle).  DCG
+    terms are quantized to integer NANO-units (``round(1e9 /
+    log2(rank+1))``) before summing so the per-query sum is
+    partition-order independent and SQL-replayable (the micro-nat
+    convention).  Queries with no judged-relevant docs are dropped
+    (metrics undefined); queries whose run returned nothing still
+    appear via the qrel side with zero scores.
+
+    Returns ``(qid, n_rel, hits_k, p_at_k, r_at_k, rr, ndcg_k)``, all
+    ratios 6 dp.
+    """
+    rel = qrels.select(
+        F.col(qid_col).alias("qid"), F.col(doc_col).alias("doc_id"),
+        F.lit(1).alias("__rel"),
+    ).distinct()
+    run = results.select(
+        F.col(qid_col).alias("qid"), F.col(doc_col).alias("doc_id"),
+        F.col(rank_col).cast("long").alias("rank"),
+    )
+    marked = run.join(rel, ["qid", "doc_id"], "left")
+    per_q = marked.groupBy("qid").agg(
+        F.count(F.when((F.col("__rel") == 1) & (F.col("rank") <= k), 1))
+        .cast("long").alias("hits_k"),
+        F.min(F.when(F.col("__rel") == 1, F.col("rank"))).alias("first_rel"),
+        F.sum(
+            F.when(
+                (F.col("__rel") == 1) & (F.col("rank") <= k),
+                F.round(
+                    F.lit(1e9) / F.log2(F.col("rank").cast("double") + 1.0)
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("dcg_nano"),
+    )
+    n_rel = rel.groupBy("qid").agg(F.count(F.lit(1)).alias("n_rel"))
+    joined = n_rel.join(per_q, "qid", "left")
+    ideal_nano = F.expr(
+        f"aggregate(sequence(1, int(least(n_rel, {k}))), 0L,"
+        " (acc, r) -> acc + bigint(round(1e9 / log2(double(r) + 1.0d))))"
+    )
+    hits = F.coalesce(F.col("hits_k"), F.lit(0))
+    return joined.select(
+        "qid",
+        F.col("n_rel").cast("long").alias("n_rel"),
+        hits.alias("hits_k"),
+        F.round(hits.cast("double") / k, 6).alias("p_at_k"),
+        F.round(
+            hits.cast("double") / F.col("n_rel").cast("double"), 6
+        ).alias("r_at_k"),
+        F.round(
+            F.coalesce(1.0 / F.col("first_rel").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("rr"),
+        F.round(
+            F.coalesce(F.col("dcg_nano"), F.lit(0)).cast("double")
+            / ideal_nano.cast("double"),
+            6,
+        ).alias("ndcg_k"),
+    )

@@ -2132,3 +2132,48 @@ def k_core(
             "raise max_iter (long induced paths peel two nodes per round)"
         )
     return _deg(live).select("node", F.col("deg").cast("long").alias("deg"))
+
+
+def template_fingerprints(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    max_scan_bytes: int = 1 << 16,
+) -> DataFrame:
+    """Template fingerprinting by CSS-class profile: the md5 of a page's
+    sorted distinct ``class="…"`` tokens — pages generated by the same
+    template share the fingerprint even when their text differs
+    completely, so grouping by it finds template families for
+    boilerplate modeling and mass-produced-page (doorway) detection.
+
+    One regex scan pulls the double-quoted class attribute values, HOF
+    algebra splits / flattens / dedups / sorts the token set, and the
+    fingerprint is a plain md5 over the joined tokens — all JVM-side,
+    no shuffle.  (Single-quoted and bare class attributes are rare in
+    templated output; the double-quote scan is the documented scope.)
+
+    Returns ``(url, n_class_tokens, fingerprint)`` — fingerprint NULL
+    when the page declares no class tokens.
+    """
+    text = _permissive_text(html_col, max_scan_bytes)
+    classes = F.regexp_extract_all(text, F.lit(r'(?is)\sclass="([^"]*)"'), F.lit(1))
+    staged = pages.select(
+        F.col(url_col).alias("url"), classes.alias("__c")
+    )
+    toks = F.sort_array(
+        F.array_distinct(
+            F.expr(
+                "filter(flatten(transform(__c, c -> split(c, ' '))),"
+                " x -> x != '')"
+            )
+        )
+    )
+    staged2 = staged.select("url", toks.alias("__t"))
+    n = F.size("__t")
+    return staged2.select(
+        "url",
+        n.cast("int").alias("n_class_tokens"),
+        F.when(
+            n > 0, F.md5(F.concat_ws("|", F.col("__t")).cast("binary"))
+        ).alias("fingerprint"),
+    )

@@ -827,3 +827,78 @@ def test_rank_agreement_with_heavy_ties(spark):
         "doc_id long, score_a long, score_b long",
     )
     assert rank_agreement(df).collect()[0]["rho"] == 1.0
+
+
+def test_retrieval_eval_known_run(spark):
+    from pdf_to_epub_spark.operators import retrieval_eval
+
+    # q1: rel docs {1, 2, 99}; run ranks 1..3 = docs (1, 5, 2)
+    run = spark.createDataFrame(
+        [(1, 1, 1), (1, 5, 2), (1, 2, 3),
+         (2, 7, 1)],               # q2 retrieved nothing relevant
+        "qid long, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 99), (2, 50), (3, 60)],
+        "qid long, doc_id long",
+    )
+    got = {r["qid"]: r for r in retrieval_eval(run, qrels, k=10).collect()}
+    q1 = got[1]
+    assert q1["n_rel"] == 3 and q1["hits_k"] == 2
+    assert q1["p_at_k"] == 0.2 and q1["r_at_k"] == round(2 / 3, 6)
+    assert q1["rr"] == 1.0
+    import math
+    dcg = round(1e9 / math.log2(2)) + round(1e9 / math.log2(4))
+    ideal = sum(round(1e9 / math.log2(r + 1)) for r in (1, 2, 3))
+    assert q1["ndcg_k"] == round(dcg / ideal, 6)
+    # q2: judged but no relevant retrieved -> all zeros
+    q2 = got[2]
+    assert q2["hits_k"] == 0 and q2["rr"] == 0.0 and q2["ndcg_k"] == 0.0
+    # q3: judged, run returned nothing -> still present, zero scores
+    assert got[3]["hits_k"] == 0 and got[3]["p_at_k"] == 0.0
+
+
+def test_event_transitions_probabilities(spark):
+    from pdf_to_epub_spark.operators import event_transitions
+
+    rows = [
+        (1, 1, 10, "view"), (2, 1, 20, "click"), (3, 1, 30, "view"),
+        (4, 2, 10, "view"), (5, 2, 20, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long, event_type string"
+    ).selectExpr("event_id", "user_id",
+                 "timestamp_seconds(sec) AS ts", "event_type")
+    got = {(r["prev_type"], r["event_type"]): r for r in
+           event_transitions(df).collect()}
+    assert got[("view", "click")]["n"] == 1
+    assert got[("view", "view")]["n"] == 1
+    assert got[("view", "click")]["prob"] == 0.5
+    assert got[("click", "view")]["prob"] == 1.0
+    # no cross-user pair (u1 last -> u2 first never pairs)
+    assert len(got) == 3
+
+
+def test_template_fingerprints_same_template_same_hash(spark):
+    from pdf_to_epub_spark.operators import template_fingerprints
+
+    pages = spark.createDataFrame(
+        [
+            ("a", '<div class="x y"><p class="z">one</p></div>'.encode()),
+            ("b", '<p class="z other">two</p><i class="x y">t</i>'.encode()),
+            ("c", "<div>no classes</div>".encode()),
+        ],
+        "url string, html binary",
+    )
+    got = {r["url"]: r for r in template_fingerprints(pages).collect()}
+    assert got["a"]["n_class_tokens"] == 3
+    assert got["b"]["n_class_tokens"] == 4
+    assert got["c"]["fingerprint"] is None
+    # token-set equality => fingerprint equality regardless of order
+    same = spark.createDataFrame(
+        [("p", '<div class="y x"><b class="x">s</b></div>'.encode()),
+         ("q", '<i class="x  y">s</i>'.encode())],
+        "url string, html binary",
+    )
+    fps = [r["fingerprint"] for r in template_fingerprints(same).collect()]
+    assert fps[0] == fps[1] is not None
