@@ -5606,6 +5606,75 @@ def _q_template_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_allocate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder budget apportionment (sampling.allocate_budget,
+    budget=1000) across (lang, residue) strata — Spark computes it with
+    exact Python ints over the bounded strata collect; the oracle
+    replays it as window SQL (independent algorithm, same answer)."""
+    from pdf_to_epub_spark.operators import allocate_budget
+
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy(
+        F.concat(
+            F.col("lang"), F.lit(":"), (F.col("doc_id") % 3).cast("string")
+        ).alias("stratum")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return allocate_budget(counts, budget=1000).select(
+        "stratum", "n", "alloc"
+    )
+
+
+def _q_temporal_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-holdout split assignment (sampling.temporal_splits, 80/10/10
+    by capture epoch) over deterministic warc_ts — exact-percentile
+    boundaries rounded before comparison on both engines."""
+    from pdf_to_epub_spark.operators import temporal_splits
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    pages = d.select(
+        i.alias("doc_id"),
+        F.timestamp_seconds(
+            F.lit(1735689600) + (i * 997) % 86400
+        ).alias("warc_ts"),
+    )
+    return temporal_splits(pages).select("doc_id", "epoch", "split")
+
+
+def _q_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: observed per-domain cadence (urls.crawl_cadence) vs
+    each domain's declared crawl-delay — a domain violates politeness
+    when its MEAN inter-fetch gap is under the delay.  Both the cadence
+    stats and the verdict replay in the oracle."""
+    from pdf_to_epub_spark.operators import crawl_cadence
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    pages = d.select(
+        F.concat(
+            F.lit("https://sub"), (i % 3).cast("string"),
+            F.lit(".site"), (i % 7).cast("string"),
+            F.lit(".example/p"), i.cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1735689600) + (i * 997) % 86400
+        ).alias("warc_ts"),
+    )
+    delays = d.select(
+        F.concat(
+            F.lit("site"), (i % 7).cast("string"), F.lit(".example")
+        ).alias("domain"),
+        (((i % 7) % 4) * 1000 + 500).cast("long").alias("crawl_delay_s"),
+    ).distinct()
+    cad = crawl_cadence(pages)
+    return cad.join(F.broadcast(delays), "domain").select(
+        "domain", "n_fetches", "mean_gap_s", "crawl_delay_s",
+        (
+            F.col("mean_gap_s") < F.col("crawl_delay_s").cast("double")
+        ).alias("violates"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -5684,6 +5753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": _q_retrieval_eval,
         "event_transitions": _q_event_transitions,
         "template_fingerprints": _q_template_fingerprints,
+        "allocate_budget": _q_allocate_budget,
+        "temporal_splits": _q_temporal_splits,
+        "politeness_audit": _q_politeness_audit,
         "publish_dates": _q_publish_dates,
         "link_reciprocity": _q_link_reciprocity,
         "gate_attrition": _q_gate_attrition,
@@ -8294,6 +8366,74 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 1 THEN md5('main|nav')
                         ELSE NULL END AS fingerprint
             FROM documents
+        """,
+        "allocate_budget": """
+            WITH c AS (
+                SELECT lang || ':' || (doc_id % 3) AS stratum,
+                       count(*) AS n
+                FROM documents GROUP BY 1),
+            t AS (SELECT sum(n) AS total FROM c),
+            q AS (
+                SELECT stratum, n,
+                       (1000 * n) // total AS base,
+                       (1000 * n) % total AS rem
+                FROM c, t),
+            l AS (SELECT 1000 - sum(base) AS leftover FROM q),
+            r AS (
+                SELECT *, row_number() OVER (
+                           ORDER BY rem DESC, stratum ASC) AS rk
+                FROM q)
+            SELECT stratum, n::BIGINT AS n,
+                   (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+                       ::BIGINT AS alloc
+            FROM r, l
+        """,
+        "temporal_splits": """
+            WITH s AS (
+                SELECT doc_id,
+                       1735689600 + (doc_id * 997) % 86400 AS epoch
+                FROM documents),
+            c AS (
+                SELECT round(quantile_cont(epoch, 0.8), 6) AS b1,
+                       round(quantile_cont(epoch, 0.9), 6) AS b2
+                FROM s)
+            SELECT doc_id, epoch,
+                   CASE WHEN epoch::DOUBLE < b1 THEN 'train'
+                        WHEN epoch::DOUBLE < b2 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM s, c
+        """,
+        "politeness_audit": """
+            WITH pages AS (
+                SELECT 'https://sub' || (doc_id % 3) || '.site'
+                       || (doc_id % 7) || '.example/p' || doc_id AS url,
+                       'site' || (doc_id % 7) || '.example' AS domain,
+                       1735689600 + (doc_id * 997) % 86400 AS epoch
+                FROM documents),
+            g AS (
+                SELECT domain,
+                       epoch - lag(epoch) OVER (
+                           PARTITION BY domain ORDER BY epoch, url) AS gap
+                FROM pages),
+            a AS (
+                SELECT domain, count(*) AS n_fetches, count(gap) AS n_gaps,
+                       sum(gap) AS sum_gap
+                FROM g GROUP BY domain),
+            cad AS (
+                SELECT domain, n_fetches,
+                       round(sum_gap::DOUBLE / n_gaps::DOUBLE, 6)
+                           AS mean_gap_s
+                FROM a WHERE n_fetches >= 2),
+            delays AS (
+                SELECT DISTINCT 'site' || (doc_id % 7) || '.example'
+                           AS domain,
+                       ((doc_id % 7) % 4) * 1000 + 500 AS crawl_delay_s
+                FROM documents)
+            SELECT cad.domain, cad.n_fetches, cad.mean_gap_s,
+                   delays.crawl_delay_s::BIGINT AS crawl_delay_s,
+                   (cad.mean_gap_s < delays.crawl_delay_s::DOUBLE)
+                       AS violates
+            FROM cad JOIN delays ON cad.domain = delays.domain
         """,
         "zipf_fit": """
             WITH cnt AS (

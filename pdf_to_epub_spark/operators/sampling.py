@@ -860,3 +860,96 @@ def partition_skew(
             F.col("s1") > 0, F.round(F.sqrt(var) / mean, 6)
         ).alias("cv"),
     )
+
+
+def allocate_budget(
+    counts: DataFrame,
+    budget: int,
+    stratum_col: str = "stratum",
+    n_col: str = "n",
+    max_strata: int = 100_000,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a sampling budget
+    across strata: each stratum gets ``floor(budget * n / total)`` docs
+    plus one of the leftover units, awarded by largest fractional
+    remainder (ties to the lexically-first stratum) — allocations sum
+    to EXACTLY the budget, which proportional rounding alone cannot
+    guarantee, and which a corpus-mixing plan needs before it hands
+    targets to per-stratum samplers.
+
+    The strata table is aggregate output (languages × quality buckets —
+    hundreds of rows at any corpus size), so this does the arithmetic
+    driver-side in exact Python integers (``budget * n`` overflows
+    int64 at web scale; Python ints don't) after a bounded collect
+    guarded by ``max_strata`` — the lm.py bounded-model-fit pattern.
+
+    Returns ``(stratum, n, alloc)``.
+    """
+    rows = counts.select(
+        F.col(stratum_col).cast("string").alias("s"),
+        F.col(n_col).cast("long").alias("n"),
+    ).collect()
+    if len(rows) > max_strata:
+        raise ValueError(
+            f"allocate_budget collected {len(rows)} strata; the operator "
+            f"is for aggregate tables (max_strata={max_strata})"
+        )
+    total = sum(r["n"] for r in rows)
+    out = []
+    if total > 0:
+        base = {r["s"]: (budget * r["n"]) // total for r in rows}
+        rem = {r["s"]: (budget * r["n"]) % total for r in rows}
+        leftover = budget - sum(base.values())
+        order = sorted(rows, key=lambda r: (-rem[r["s"]], r["s"]))
+        bonus = {r["s"] for r in order[:leftover]}
+        out = [
+            (r["s"], r["n"], base[r["s"]] + (1 if r["s"] in bonus else 0))
+            for r in rows
+        ]
+    else:
+        out = [(r["s"], r["n"], 0) for r in rows]
+    return counts.sparkSession.createDataFrame(
+        out, f"{stratum_col} string, {n_col} long, alloc long"
+    )
+
+
+def temporal_splits(
+    df: DataFrame,
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+    train_frac: float = 0.8,
+    val_frac: float = 0.1,
+) -> DataFrame:
+    """Time-based train/val/test assignment: the newest slice is held
+    out — the right protocol when the model will score FUTURE crawls
+    (hash splits leak temporal drift; a time holdout measures it).
+
+    Boundaries are the exact percentiles of the capture epoch at
+    ``train_frac`` and ``train_frac + val_frac``, rounded to 6 dp
+    before the comparison on both engines (the lm_partition
+    boundary-stability rule); rows on a boundary go to the LATER split
+    (strict ``<``).  One percentile aggregate broadcast back over the
+    slim (id, epoch) projection.
+
+    Returns ``(id, epoch, split)`` with split ∈ train/val/test.
+    """
+    slim = df.select(
+        F.col(id_col), F.unix_timestamp(F.col(ts_col)).alias("epoch")
+    )
+    cuts = slim.agg(
+        F.round(F.expr(f"percentile(epoch, {train_frac})"), 6).alias("b1"),
+        # round the cut fraction itself: 0.8 + 0.1 is 0.9000000000000001
+        # in binary floats, which would probe a different percentile
+        # than the oracle's literal 0.9
+        F.round(
+            F.expr(f"percentile(epoch, {round(train_frac + val_frac, 12)})"),
+            6,
+        ).alias("b2"),
+    )
+    j = slim.crossJoin(F.broadcast(cuts))
+    split = (
+        F.when(F.col("epoch").cast("double") < F.col("b1"), F.lit("train"))
+        .when(F.col("epoch").cast("double") < F.col("b2"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return j.select(F.col(id_col), "epoch", split.alias("split"))

@@ -902,3 +902,46 @@ def test_template_fingerprints_same_template_same_hash(spark):
     )
     fps = [r["fingerprint"] for r in template_fingerprints(same).collect()]
     assert fps[0] == fps[1] is not None
+
+
+def test_allocate_budget_sums_exactly_and_ties(spark):
+    from pdf_to_epub_spark.operators import allocate_budget
+
+    counts = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1)], "stratum string, n long"
+    )
+    got = {r["stratum"]: r["alloc"]
+           for r in allocate_budget(counts, budget=10).collect()}
+    assert sum(got.values()) == 10
+    # 10/3: base 3 each, leftover 1 goes to lexically-first tie
+    assert got == {"a": 4, "b": 3, "c": 3}
+
+    skew = spark.createDataFrame(
+        [("big", 997), ("tiny", 3)], "stratum string, n long"
+    )
+    got2 = {r["stratum"]: r["alloc"]
+            for r in allocate_budget(skew, budget=100).collect()}
+    assert sum(got2.values()) == 100 and got2["tiny"] >= 0
+
+    zero = spark.createDataFrame([("z", 0)], "stratum string, n long")
+    assert allocate_budget(zero, budget=5).collect()[0]["alloc"] == 0
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="strata"):
+        allocate_budget(counts, budget=10, max_strata=2)
+
+
+def test_temporal_splits_ordering_and_shares(spark):
+    from pdf_to_epub_spark.operators import temporal_splits
+
+    df = spark.createDataFrame(
+        [(i, 1000 + i) for i in range(100)], "doc_id long, sec long"
+    ).selectExpr("doc_id", "timestamp_seconds(sec) AS warc_ts")
+    got = temporal_splits(df).collect()
+    by_split = {}
+    for r in got:
+        by_split.setdefault(r["split"], []).append(r["epoch"])
+    # temporal ordering: every train epoch < every val epoch < every test
+    assert max(by_split["train"]) < min(by_split["val"])
+    assert max(by_split["val"]) < min(by_split["test"])
+    assert len(by_split["train"]) == 80
