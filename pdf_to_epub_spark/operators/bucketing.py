@@ -127,3 +127,40 @@ def plan_has_exchange(df: DataFrame) -> bool:
         or "Exchange rangepartitioning" in plan
         or "ShuffleExchange" in plan
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int = 512 << 20,
+    path_col: str = "path",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Small-file compaction planner (the Iceberg ``rewrite_data_files``
+    grouping step): assign data files to merge bins of roughly
+    ``target_bytes`` each — deterministic "next-fit over the
+    size-descending order" via one cumulative-sum window, so the plan
+    is a pure function of the file listing and replays in SQL.
+
+    The window is global-ordered but runs over the FILE-METADATA table
+    (one row per file — bounded by file count, never by data volume),
+    the same contract as corpus_growth's day-grain frames.  Bin id is
+    ``floor((cum - bytes) / target)``: a file lands in the bin its
+    predecessor fill reached, so every bin except the last holds at
+    least ``target_bytes`` once closed and ordering big-files-first
+    keeps bins balanced.
+
+    Returns ``(path, bytes, bin)``.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc(bytes_col), F.asc(path_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(F.col(bytes_col)).over(w)
+    return files.select(
+        F.col(path_col).alias("path"),
+        F.col(bytes_col).cast("long").alias("bytes"),
+        F.floor((cum - F.col(bytes_col)) / target_bytes)
+        .cast("int")
+        .alias("bin"),
+    )

@@ -2177,3 +2177,54 @@ def template_fingerprints(
             n > 0, F.md5(F.concat_ws("|", F.col("__t")).cast("binary"))
         ).alias("fingerprint"),
     )
+
+
+_VOID_TAGS = (
+    "area base br col embed hr img input link meta param source track wbr"
+).split()
+
+
+def dom_depth(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    max_scan_bytes: int = 1 << 16,
+) -> DataFrame:
+    """Approximate DOM nesting profile: maximum tag-nesting depth and
+    total element count from a single tag scan — deep nesting is a
+    template/spam complexity signal (layout-table spam nests 30+ deep;
+    article pages sit around 8-12), and it prices the page for any
+    downstream DOM-walking extractor.
+
+    One regex pulls the tag stream; a sequential ``aggregate`` fold
+    (struct accumulator: current depth, max depth) replays the
+    browser's open/close balance — void elements (``br``, ``img``, …)
+    and self-closed ``…/>`` tags don't nest, stray closers clamp at
+    zero.  Per-row fold over a bounded array: no shuffle, no UDF.
+
+    Returns ``(url, n_tags, max_depth)``.
+    """
+    text = _permissive_text(html_col, max_scan_bytes)
+    tags = F.regexp_extract_all(
+        text, F.lit(r"(?is)</?[a-z][a-z0-9]*[^>]*>"), F.lit(0)
+    )
+    void_arr = ", ".join(f"'{t}'" for t in _VOID_TAGS)
+    staged = pages.select(
+        F.col(url_col).alias("url"), tags.alias("__tg")
+    )
+    fold = F.expr(
+        "aggregate(__tg, struct(0 AS d, 0 AS m), (acc, t) -> "
+        "CASE "
+        # closing tag: pop (clamped at 0)
+        " WHEN t LIKE '</%' THEN struct(greatest(acc.d - 1, 0) AS d, acc.m AS m) "
+        # self-closing or void: depth unchanged
+        f" WHEN t LIKE '%/>' OR regexp_extract(lower(t), '^<([a-z][a-z0-9]*)', 1) IN ({void_arr}) "
+        "   THEN struct(acc.d AS d, acc.m AS m) "
+        # opening tag: push
+        " ELSE struct(acc.d + 1 AS d, greatest(acc.m, acc.d + 1) AS m) END)"
+    )
+    return staged.select(
+        "url",
+        F.size("__tg").cast("int").alias("n_tags"),
+        fold.getField("m").cast("int").alias("max_depth"),
+    )

@@ -945,3 +945,39 @@ def test_temporal_splits_ordering_and_shares(spark):
     assert max(by_split["train"]) < min(by_split["val"])
     assert max(by_split["val"]) < min(by_split["test"])
     assert len(by_split["train"]) == 80
+
+
+# --------------------------------------------------------------------------
+# plan pins: the extraction-layer ops must stay shuffle-free
+# --------------------------------------------------------------------------
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_markup_and_metadata_ops_are_shuffle_free(spark):
+    from pdf_to_epub_spark.operators import (
+        markup_signals, meta_redirects, og_cards, rel_pagination,
+        template_fingerprints,
+    )
+
+    pages = spark.createDataFrame(
+        [("u", b"<html><head></head><body>x</body></html>")],
+        "url string, html binary",
+    )
+    for op in (markup_signals, meta_redirects, og_cards, rel_pagination,
+               template_fingerprints):
+        plan = _plan(op(pages))
+        assert "Exchange" not in plan, f"{op.__name__} shuffles:\n{plan}"
+
+
+def test_sentence_chunks_is_shuffle_free_and_no_inferred_filter(spark):
+    from pdf_to_epub_spark.operators import sentence_chunks
+
+    df = spark.createDataFrame([(1, "A. B. C.")], "doc_id long, text string")
+    plan = _plan(sentence_chunks(df))
+    assert "Exchange" not in plan
+    # explode_outer + null filter: the optimizer must not have pushed an
+    # inferred size()>0 filter below the generator (which would inline
+    # the sentence regex a second time)
+    assert plan.count("regexp_extract_all") <= 2
