@@ -5675,6 +5675,46 @@ def _q_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (bucketing.compaction_plan,
+    16 KiB target) over residue-sized synthetic file listings —
+    deterministic next-fit bins over the size-descending order,
+    replayed with the identical window SQL."""
+    from pdf_to_epub_spark.operators import compaction_plan
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    files = d.select(
+        F.concat(F.lit("f"), i.cast("string"), F.lit(".parquet")).alias("path"),
+        ((i * 131) % 10000 + 100).cast("long").alias("bytes"),
+    )
+    return compaction_plan(files, target_bytes=16384).select(
+        "path", "bytes", "bin"
+    )
+
+
+def _q_dom_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM nesting profile (urls.dom_depth) over four residue variants
+    (3-deep nest, sibling paragraphs, flat text with a void <br>,
+    unbalanced openers with a stray closer) — construction oracle."""
+    from pdf_to_epub_spark.operators import dom_depth
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    body = (
+        F.when(i % 4 == 0, F.lit(
+            '<div id="a"><p><span>x</span></p></div>'))
+        .when(i % 4 == 1, F.lit("<div><p>a</p><p>b</p><br></div>"))
+        .when(i % 4 == 2, F.lit("plain text<br>no elements<img src=x>"))
+        .otherwise(F.lit("</b><div><div>unbalanced<hr/></div>"))
+    )
+    pages = d.select(
+        F.concat(F.lit("d://"), i.cast("string")).alias("url"),
+        F.encode(body, "UTF-8").alias("html"),
+    )
+    return dom_depth(pages).select("url", "n_tags", "max_depth")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -5756,6 +5796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allocate_budget": _q_allocate_budget,
         "temporal_splits": _q_temporal_splits,
         "politeness_audit": _q_politeness_audit,
+        "compaction_plan": _q_compaction_plan,
+        "dom_depth": _q_dom_depth,
         "publish_dates": _q_publish_dates,
         "link_reciprocity": _q_link_reciprocity,
         "gate_attrition": _q_gate_attrition,
@@ -8434,6 +8476,26 @@ def oracle_sql() -> dict[str, str]:
                    (cad.mean_gap_s < delays.crawl_delay_s::DOUBLE)
                        AS violates
             FROM cad JOIN delays ON cad.domain = delays.domain
+        """,
+        "compaction_plan": """
+            WITH files AS (
+                SELECT 'f' || doc_id || '.parquet' AS path,
+                       (doc_id * 131) % 10000 + 100 AS bytes
+                FROM documents)
+            SELECT path, bytes::BIGINT AS bytes,
+                   ((sum(bytes) OVER (
+                         ORDER BY bytes DESC, path ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) - bytes) // 16384)::INT AS bin
+            FROM files
+        """,
+        "dom_depth": """
+            SELECT 'd://' || doc_id AS url,
+                   CASE doc_id % 4 WHEN 0 THEN 6 WHEN 1 THEN 7
+                        WHEN 2 THEN 2 ELSE 5 END AS n_tags,
+                   CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 2
+                        WHEN 2 THEN 0 ELSE 2 END AS max_depth
+            FROM documents
         """,
         "zipf_fit": """
             WITH cnt AS (

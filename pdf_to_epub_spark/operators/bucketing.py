@@ -24,6 +24,7 @@ is written out in DEPLOYMENT.md §Iceberg.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def iceberg_available(spark: SparkSession) -> bool:

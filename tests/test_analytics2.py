@@ -981,3 +981,41 @@ def test_sentence_chunks_is_shuffle_free_and_no_inferred_filter(spark):
     # inferred size()>0 filter below the generator (which would inline
     # the sentence regex a second time)
     assert plan.count("regexp_extract_all") <= 2
+
+
+def test_compaction_plan_bins_fill_to_target(spark):
+    from pdf_to_epub_spark.operators import compaction_plan
+
+    files = spark.createDataFrame(
+        [("a", 900), ("b", 600), ("c", 300), ("d", 150), ("e", 50)],
+        "path string, bytes long",
+    )
+    got = {r["path"]: r["bin"] for r in
+           compaction_plan(files, target_bytes=1000).collect()}
+    # desc order: a(900 cum900 bin0) b(600 cum1500 bin0) c(300 cum1800
+    # bin1) d(150 cum1950 bin1) e(50 cum2000 bin1)
+    assert got == {"a": 0, "b": 0, "c": 1, "d": 1, "e": 1}
+    # every closed bin holds >= target
+    sizes = {}
+    for r in compaction_plan(files, target_bytes=1000).collect():
+        sizes[r["bin"]] = sizes.get(r["bin"], 0) + r["bytes"]
+    assert sizes[0] >= 1000
+
+
+def test_dom_depth_balance_voids_and_stray_closers(spark):
+    from pdf_to_epub_spark.operators import dom_depth
+
+    pages = spark.createDataFrame(
+        [
+            ("deep", b"<div><ul><li><a href=x>t</a></li></ul></div>"),
+            ("voids", b"<p>a<br><img src=y>b</p>"),
+            ("stray", b"</div></div><b>x</b>"),
+            ("selfclose", b"<div><path d='z'/><span>s</span></div>"),
+        ],
+        "url string, html binary",
+    )
+    got = {r["url"]: r for r in dom_depth(pages).collect()}
+    assert got["deep"]["max_depth"] == 4
+    assert got["voids"]["max_depth"] == 1 and got["voids"]["n_tags"] == 4
+    assert got["stray"]["max_depth"] == 1   # closers clamp at zero
+    assert got["selfclose"]["max_depth"] == 2
