@@ -5715,6 +5715,65 @@ def _q_dom_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dom_depth(pages).select("url", "n_tags", "max_depth")
 
 
+def _q_url_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot lifespan table (urls.url_lifespan): urls observed
+    in residue-derived snapshots — first/last sighting, distinct
+    sighting count, alive-in-newest flag."""
+    from pdf_to_epub_spark.operators import url_lifespan
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    obs = d.select(
+        F.concat(F.lit("u"), (i % 100).cast("string")).alias("url"),
+        (F.lit(86400) * (i % 7)).cast("long").alias("snap_epoch"),
+    )
+    return url_lifespan(obs).select(
+        "url", "first_seen", "last_seen", "n_snapshots", "is_active"
+    )
+
+
+def _q_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value bands (analytics.latency_bands): exact P50/P95 +
+    mean over the events table — multi-percentile coverage."""
+    from pdf_to_epub_spark.operators import latency_bands
+
+    e = _t(spark, sf_dir, "events")
+    return latency_bands(e).select("event_type", "n", "p50", "p95", "mean_value")
+
+
+def _q_interleave_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-robin curriculum interleave (sampling.interleave_strata) of
+    the language strata — per-stratum windows + broadcast stratum
+    index, no random shuffle."""
+    from pdf_to_epub_spark.operators import interleave_strata
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("stratum")
+    )
+    return interleave_strata(d).select(
+        "doc_id", "stratum", "stratum_rank", "train_order"
+    )
+
+
+def _q_punct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typography fingerprint (textstats.punct_profile) over text with
+    residue-injected smart vs ASCII punctuation — same-regex replay in
+    DuckDB."""
+    from pdf_to_epub_spark.operators import punct_profile
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    txt = F.concat(
+        F.substring("text", 1, 50),
+        F.when(i % 3 == 0, F.lit(" “quoted” — and… more”"))
+        .when(i % 3 == 1, F.lit(" \"ascii\" -- and... more"))
+        .otherwise(F.lit(" bare words only")),
+    )
+    return punct_profile(d.select("doc_id", txt.alias("text"))).select(
+        "doc_id", "n_smart", "n_ascii", "smart_ratio"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -5798,6 +5857,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_audit": _q_politeness_audit,
         "compaction_plan": _q_compaction_plan,
         "dom_depth": _q_dom_depth,
+        "url_lifespan": _q_url_lifespan,
+        "latency_bands": _q_latency_bands,
+        "interleave_strata": _q_interleave_strata,
+        "punct_profile": _q_punct_profile,
         "publish_dates": _q_publish_dates,
         "link_reciprocity": _q_link_reciprocity,
         "gate_attrition": _q_gate_attrition,
@@ -8496,6 +8559,66 @@ def oracle_sql() -> dict[str, str]:
                    CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 2
                         WHEN 2 THEN 0 ELSE 2 END AS max_depth
             FROM documents
+        """,
+        "url_lifespan": """
+            WITH o AS (
+                SELECT 'u' || (doc_id % 100) AS url,
+                       86400 * (doc_id % 7) AS snap
+                FROM documents)
+            SELECT url, min(snap)::BIGINT AS first_seen,
+                   max(snap)::BIGINT AS last_seen,
+                   count(DISTINCT snap)::BIGINT AS n_snapshots,
+                   (max(snap) = (SELECT max(snap) FROM o)) AS is_active
+            FROM o GROUP BY url
+        """,
+        "latency_bands": """
+            SELECT event_type,
+                   count(value)::BIGINT AS n,
+                   round(quantile_cont(value, 0.5)::DOUBLE, 6) AS p50,
+                   round(quantile_cont(value, 0.95)::DOUBLE, 6) AS p95,
+                   CASE WHEN count(value) > 0 THEN
+                       round(sum(value::DOUBLE)
+                             / count(value)::DOUBLE, 6)
+                   END::DOUBLE AS mean_value
+            FROM events GROUP BY event_type
+        """,
+        "interleave_strata": """
+            WITH s AS (SELECT doc_id, lang AS stratum FROM documents),
+            idx AS (
+                SELECT stratum,
+                       row_number() OVER (ORDER BY stratum) - 1 AS i
+                FROM (SELECT DISTINCT stratum FROM s)),
+            k AS (SELECT count(*) AS k FROM idx),
+            r AS (
+                SELECT doc_id, stratum,
+                       row_number() OVER (
+                           PARTITION BY stratum ORDER BY doc_id) AS rn
+                FROM s)
+            SELECT r.doc_id, r.stratum, rn::BIGINT AS stratum_rank,
+                   ((rn - 1) * k + i)::BIGINT AS train_order
+            FROM r JOIN idx USING (stratum) CROSS JOIN k
+        """,
+        "punct_profile": """
+            WITH src AS (
+                SELECT doc_id,
+                       substr(text, 1, 50)
+                       || CASE doc_id % 3
+                            WHEN 0 THEN ' “quoted” — and… more”'
+                            WHEN 1 THEN ' "ascii" -- and... more'
+                            ELSE ' bare words only' END AS text
+                FROM documents),
+            c AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '[“”‘’—…]')) AS ns,
+                       len(regexp_extract_all(text, '["'']'))
+                       + len(regexp_extract_all(text, '--'))
+                       + len(regexp_extract_all(text, '\\.\\.\\.')) AS na
+                FROM src)
+            SELECT doc_id, ns::INT AS n_smart, na::INT AS n_ascii,
+                   CASE WHEN ns + na > 0 THEN
+                       round(ns::DOUBLE / (ns + na)::DOUBLE, 6)
+                   END::DOUBLE AS smart_ratio
+            FROM c
         """,
         "zipf_fit": """
             WITH cnt AS (

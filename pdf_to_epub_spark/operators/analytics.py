@@ -450,3 +450,34 @@ def event_transitions(
             6,
         ).alias("prob"),
     )
+
+
+def latency_bands(
+    events: DataFrame,
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-type value bands: exact P50/P95 plus mean and count — the
+    fetch-latency / response-size SLO report per event class.  One
+    combiner-enabled aggregation; the percentiles are Spark's exact
+    ``percentile`` (== DuckDB ``quantile_cont`` interpolation) and the
+    mean comes from an exact sum in a fixed parse shape.
+
+    Returns ``(event_type, n, p50, p95, mean_value)``, 6 dp.
+    """
+    agg = events.groupBy(F.col(type_col).alias("event_type")).agg(
+        F.count(F.col(value_col)).alias("n"),
+        F.expr(f"percentile({value_col}, 0.5)").alias("_p50"),
+        F.expr(f"percentile({value_col}, 0.95)").alias("_p95"),
+        F.sum(F.col(value_col).cast("double")).alias("_s"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("_p50"), 6).alias("p50"),
+        F.round(F.col("_p95"), 6).alias("p95"),
+        F.when(
+            F.col("n") > 0,
+            F.round(F.col("_s") / F.col("n").cast("double"), 6),
+        ).alias("mean_value"),
+    )

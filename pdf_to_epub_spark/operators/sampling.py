@@ -953,3 +953,55 @@ def temporal_splits(
         .otherwise(F.lit("test"))
     )
     return j.select(F.col(id_col), "epoch", split.alias("split"))
+
+
+def interleave_strata(
+    df: DataFrame,
+    stratum_col: str = "stratum",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic round-robin interleave of strata into one training
+    order: position ``(r-1) * n_strata + stratum_index`` where ``r`` is
+    the row's rank INSIDE its stratum and strata are indexed in sorted
+    order — consecutive training examples cycle through the strata
+    (language, source, quality band) instead of arriving in blocks,
+    without any random shuffle to make non-reproducible.
+
+    Ranks come from per-stratum windows (parallel across strata, id
+    tie-broken); the stratum index and count come from the tiny
+    distinct-strata table, broadcast back.  Unequal strata leave gaps
+    in the order values — harmless, the ORDER is what matters.
+
+    Returns ``(id, stratum, stratum_rank, train_order)``.
+    """
+    from pyspark.sql.window import Window
+
+    strata = (
+        df.select(F.col(stratum_col).alias("stratum"))
+        .distinct()
+        .select(
+            "stratum",
+            (
+                F.row_number().over(Window.orderBy("stratum")) - 1
+            ).alias("__idx"),
+        )
+    )
+    n_strata = strata.agg(F.count(F.lit(1)).alias("__k"))
+    w = Window.partitionBy(stratum_col).orderBy(id_col)
+    ranked = df.select(
+        F.col(id_col),
+        F.col(stratum_col).alias("stratum"),
+        F.row_number().over(w).cast("long").alias("stratum_rank"),
+    )
+    return (
+        ranked.join(F.broadcast(strata), "stratum")
+        .crossJoin(F.broadcast(n_strata))
+        .select(
+            F.col(id_col),
+            "stratum",
+            "stratum_rank",
+            (
+                (F.col("stratum_rank") - 1) * F.col("__k") + F.col("__idx")
+            ).cast("long").alias("train_order"),
+        )
+    )

@@ -2340,3 +2340,42 @@ def signal_correlations(
     return one.select(F.explode(pairs).alias("p")).select(
         "p.signal_a", "p.signal_b", "p.r"
     )
+
+
+def punct_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Typography fingerprint: smart punctuation (curly quotes, em dash,
+    ellipsis char) vs ASCII equivalents — professionally-edited text
+    uses smart punctuation, scraped/boilerplate/mojibake text doesn't,
+    and a HIGH ascii share inside an allegedly-publisher source is a
+    provenance tell.  Also the cheap pre-filter for the mojibake
+    repairer (curly quotes are its most common casualty).
+
+    Four ``regexp_count`` scans, codegen end-to-end.
+
+    Returns ``(id, n_smart, n_ascii, smart_ratio)`` — ratio NULL when
+    the doc has no counted punctuation at all.
+    """
+    smart = F.regexp_count(
+        F.col(text_col), F.lit("[“”‘’—…]")
+    )
+    ascii_q = F.regexp_count(F.col(text_col), F.lit("[\"']"))
+    ascii_d = F.regexp_count(F.col(text_col), F.lit("--"))
+    ascii_e = F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
+    n_smart = smart.cast("int")
+    n_ascii = (ascii_q + ascii_d + ascii_e).cast("int")
+    return df.select(
+        F.col(id_col),
+        n_smart.alias("n_smart"),
+        n_ascii.alias("n_ascii"),
+        F.when(
+            n_smart + n_ascii > 0,
+            F.round(
+                n_smart.cast("double") / (n_smart + n_ascii).cast("double"),
+                6,
+            ),
+        ).alias("smart_ratio"),
+    )

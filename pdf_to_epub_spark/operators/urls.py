@@ -2228,3 +2228,32 @@ def dom_depth(
         F.size("__tg").cast("int").alias("n_tags"),
         fold.getField("m").cast("int").alias("max_depth"),
     )
+
+
+def url_lifespan(
+    observations: DataFrame,
+    url_col: str = "url",
+    snap_col: str = "snap_epoch",
+) -> DataFrame:
+    """URL lifespan table across crawl snapshots: first/last sighting,
+    sighting count, and whether the url is still alive in the NEWEST
+    snapshot — the provenance row recrawl scheduling, link-rot stats,
+    and deletion-compliance audits all start from.
+
+    One combiner-enabled groupBy on the url plus a single-row global
+    max broadcast back — no window, no sort.
+
+    Returns ``(url, first_seen, last_seen, n_snapshots, is_active)``.
+    """
+    per = observations.groupBy(F.col(url_col).alias("url")).agg(
+        F.min(F.col(snap_col)).cast("long").alias("first_seen"),
+        F.max(F.col(snap_col)).cast("long").alias("last_seen"),
+        F.count_distinct(F.col(snap_col)).cast("long").alias("n_snapshots"),
+    )
+    latest = observations.agg(
+        F.max(F.col(snap_col)).cast("long").alias("__latest")
+    )
+    return per.crossJoin(F.broadcast(latest)).select(
+        "url", "first_seen", "last_seen", "n_snapshots",
+        (F.col("last_seen") == F.col("__latest")).alias("is_active"),
+    )

@@ -1019,3 +1019,47 @@ def test_dom_depth_balance_voids_and_stray_closers(spark):
     assert got["voids"]["max_depth"] == 1 and got["voids"]["n_tags"] == 4
     assert got["stray"]["max_depth"] == 1   # closers clamp at zero
     assert got["selfclose"]["max_depth"] == 2
+
+
+def test_url_lifespan_active_flag_and_distinct_snaps(spark):
+    from pdf_to_epub_spark.operators import url_lifespan
+
+    obs = spark.createDataFrame(
+        [("a", 100), ("a", 100), ("a", 300),   # dup sighting collapses
+         ("b", 100), ("b", 200)],
+        "url string, snap_epoch long",
+    )
+    got = {r["url"]: r for r in url_lifespan(obs).collect()}
+    assert got["a"]["n_snapshots"] == 2 and got["a"]["is_active"] is True
+    assert got["b"]["last_seen"] == 200 and got["b"]["is_active"] is False
+
+
+def test_interleave_strata_round_robin_order(spark):
+    from pdf_to_epub_spark.operators import interleave_strata
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c")],
+        "doc_id long, stratum string",
+    )
+    got = sorted(interleave_strata(df).collect(),
+                 key=lambda r: r["train_order"])
+    # order cycles a, b, c, a, b (c exhausted after one)
+    assert [r["stratum"] for r in got] == ["a", "b", "c", "a", "b"]
+    assert [r["doc_id"] for r in got] == [1, 3, 5, 2, 4]
+    assert len({r["train_order"] for r in got}) == 5
+
+
+def test_punct_profile_mixed_and_empty(spark):
+    from pdf_to_epub_spark.operators import punct_profile
+
+    df = spark.createDataFrame(
+        [(1, "“smart” — yes… ok"), (2, '"plain" -- no... way'),
+         (3, "nothing here"), (4, "mix “a” and \"b\"")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in punct_profile(df).collect()}
+    assert got[1]["n_smart"] == 4 and got[1]["n_ascii"] == 0
+    assert got[1]["smart_ratio"] == 1.0
+    assert got[2]["n_smart"] == 0 and got[2]["n_ascii"] == 4
+    assert got[3]["smart_ratio"] is None
+    assert got[4]["smart_ratio"] == 0.5
