@@ -5774,6 +5774,37 @@ def _q_punct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON field extraction (analytics.extract_json_field) over
+    the events props column with residue-injected corruption (truncated
+    JSON) and a missing-key variant — corrupt vs missing stay
+    distinguishable; construction oracle."""
+    from pdf_to_epub_spark.operators import extract_json_field
+
+    e = _t(spark, sf_dir, "events").select("event_id", "props")
+    i = F.col("event_id")
+    props = (
+        F.when(i % 7 == 0, F.lit('{"k": bad'))
+        .when(i % 7 == 1, F.lit('{"j": 5}'))
+        .otherwise(F.col("props"))
+    )
+    return extract_json_field(e.select("event_id", props.alias("props"))).select(
+        "event_id", "k", "is_valid"
+    )
+
+
+def _q_count_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection (analytics.count_cusum) on the daily
+    event-count series — exact integer statistic, earliest-day
+    tie-break, window replay in DuckDB."""
+    from pdf_to_epub_spark.operators import count_cusum
+
+    e = _t(spark, sf_dir, "events")
+    return count_cusum(e).select(
+        "n_days", "total_events", "peak_day", "peak_stat", "norm_stat"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -5859,6 +5890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dom_depth": _q_dom_depth,
         "url_lifespan": _q_url_lifespan,
         "latency_bands": _q_latency_bands,
+        "json_props": _q_json_props,
+        "count_cusum": _q_count_cusum,
         "interleave_strata": _q_interleave_strata,
         "punct_profile": _q_punct_profile,
         "publish_dates": _q_publish_dates,
@@ -8619,6 +8652,45 @@ def oracle_sql() -> dict[str, str]:
                        round(ns::DOUBLE / (ns + na)::DOUBLE, 6)
                    END::DOUBLE AS smart_ratio
             FROM c
+        """,
+        "json_props": """
+            SELECT event_id,
+                   CASE WHEN event_id % 7 = 0 THEN NULL
+                        WHEN event_id % 7 = 1 THEN NULL
+                        ELSE json_extract_string(props, '$.k')::INT
+                   END AS k,
+                   (event_id % 7 <> 0) AS is_valid
+            FROM events
+        """,
+        "count_cusum": """
+            WITH per AS (
+                SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400
+                           AS day,
+                       count(*) AS c
+                FROM events GROUP BY 1),
+            curve AS (
+                SELECT day,
+                       row_number() OVER (ORDER BY day) AS i,
+                       sum(c) OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum,
+                       sum(c) OVER () AS total,
+                       count(*) OVER () AS n
+                FROM per),
+            s AS (
+                SELECT day, total, n,
+                       n * cum - i * total AS s
+                FROM curve),
+            best AS (
+                SELECT *, row_number() OVER (
+                           ORDER BY abs(s) DESC, day ASC) AS rn
+                FROM s)
+            SELECT n::BIGINT AS n_days, total::BIGINT AS total_events,
+                   day AS peak_day, s::BIGINT AS peak_stat,
+                   CASE WHEN total > 0 THEN
+                       round(abs(s)::DOUBLE / (n * total)::DOUBLE, 6)
+                   END::DOUBLE AS norm_stat
+            FROM best WHERE rn = 1
         """,
         "zipf_fit": """
             WITH cnt AS (

@@ -481,3 +481,110 @@ def latency_bands(
             F.round(F.col("_s") / F.col("n").cast("double"), 6),
         ).alias("mean_value"),
     )
+
+
+def extract_json_field(
+    df: DataFrame,
+    json_col: str = "props",
+    field: str = "k",
+    field_type: str = "int",
+) -> DataFrame:
+    """Typed extraction of one field from a JSON-string column — the
+    semi-structured hop every event/props/metadata column needs before
+    it can join the relational plan.  Spark-idiomatic path:
+    ``from_json`` with an explicit one-field schema (JVM-side Jackson,
+    codegen-friendly, no UDF), not ``get_json_object`` per row — and
+    the parse NULL-ness doubles as the validity flag.
+
+    Corrupt or NULL JSON → ``is_valid = false`` and a NULL value; VALID
+    JSON missing the field → ``is_valid = true`` and a NULL value.  The
+    two failure classes stay distinguishable, which a quarantine
+    pipeline needs.  Corruption is detected via the
+    ``columnNameOfCorruptRecord`` channel — PERMISSIVE ``from_json``
+    returns a null-FIELDED struct on bad input, never a null struct,
+    so ``parsed.isNotNull()`` alone cannot see it.
+
+    Returns all input columns minus the JSON column, plus ``(<field>,
+    is_valid)``.
+    """
+    parsed = F.from_json(
+        F.col(json_col),
+        f"{field} {field_type}, _corrupt string",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
+    keep = [c for c in df.columns if c != json_col]
+    return df.select(
+        *keep,
+        parsed.getField(field).alias(field),
+        (
+            F.col(json_col).isNotNull()
+            & parsed.getField("_corrupt").isNull()
+        ).alias("is_valid"),
+    )
+
+
+def count_cusum(
+    events: DataFrame,
+    ts_col: str = "ts",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Change-point detection on the daily event-count series (CUSUM):
+    the statistic ``S_i = n·cum_i − i·total`` is the cumulative
+    deviation from the mean rate scaled by ``n`` to stay in EXACT
+    integer arithmetic — its extremum marks the most likely rate-change
+    day (|S| near 0 everywhere = steady rate).  The ingest-monitoring
+    sibling of event_anomalies: that flags single burst hours, this
+    locates a sustained level shift.
+
+    One groupBy to day grain, windows over the day-cardinality table
+    only, one top-1 cut.  Normalized peak = |S| / (n·total) ∈ [0, ~¼].
+
+    Returns one row: ``(n_days, total_events, peak_day, peak_stat,
+    norm_stat)`` — peak_day is the day whose PREFIX ends at the
+    extremum (earliest wins ties).
+    """
+    from pyspark.sql.window import Window
+
+    day = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
+        * bucket_seconds
+    ).cast("long")
+    per = events.select(day.alias("day")).groupBy("day").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wo = Window.orderBy("day")
+    cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    curve = per.select(
+        "day",
+        F.row_number().over(wo).cast("long").alias("i"),
+        F.sum("c").over(cum).cast("long").alias("cum"),
+        F.sum("c").over(tot).cast("long").alias("total"),
+        F.count(F.lit(1)).over(tot).cast("long").alias("n"),
+    ).select(
+        "day", "total", "n",
+        (F.col("n") * F.col("cum") - F.col("i") * F.col("total")).alias("s"),
+    )
+    best = Window.orderBy(F.desc(F.abs(F.col("s"))), F.asc("day"))
+    return (
+        curve.withColumn("__rn", F.row_number().over(best))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("total").alias("total_events"),
+            F.col("day").alias("peak_day"),
+            F.col("s").cast("long").alias("peak_stat"),
+            F.when(
+                F.col("total") > 0,
+                F.round(
+                    F.abs(F.col("s")).cast("double")
+                    / (F.col("n") * F.col("total")).cast("double"),
+                    6,
+                ),
+            ).alias("norm_stat"),
+        )
+    )

@@ -1063,3 +1063,42 @@ def test_punct_profile_mixed_and_empty(spark):
     assert got[2]["n_smart"] == 0 and got[2]["n_ascii"] == 4
     assert got[3]["smart_ratio"] is None
     assert got[4]["smart_ratio"] == 0.5
+
+
+def test_extract_json_field_corrupt_vs_missing_vs_null(spark):
+    from pdf_to_epub_spark.operators import extract_json_field
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 7}'), (2, '{"k": bad'), (3, '{"j": 1}'), (4, None),
+         (5, '{"k": null}')],
+        "event_id long, props string",
+    )
+    got = {r["event_id"]: r for r in extract_json_field(df).collect()}
+    assert got[1]["k"] == 7 and got[1]["is_valid"] is True
+    assert got[2]["k"] is None and got[2]["is_valid"] is False
+    assert got[3]["k"] is None and got[3]["is_valid"] is True
+    assert got[4]["is_valid"] is False
+    assert got[5]["k"] is None and got[5]["is_valid"] is True
+
+
+def test_count_cusum_level_shift_and_steady(spark):
+    from pdf_to_epub_spark.operators import count_cusum
+
+    # 5 days at 2/day then 5 days at 10/day: peak |S| at the shift day
+    rows = []
+    for d in range(5):
+        rows += [(d * 86400 + m,) for m in range(2)]
+    for d in range(5, 10):
+        rows += [(d * 86400 + m,) for m in range(10)]
+    df = spark.createDataFrame(rows, "sec long").selectExpr(
+        "timestamp_seconds(sec) AS ts"
+    )
+    r = count_cusum(df).collect()[0]
+    assert r["n_days"] == 10 and r["total_events"] == 60
+    assert r["peak_day"] == 4 * 86400   # prefix of the cheap regime
+    # steady series: statistic is 0 everywhere
+    steady = spark.createDataFrame(
+        [(d * 86400,) for d in range(6)], "sec long"
+    ).selectExpr("timestamp_seconds(sec) AS ts")
+    r2 = count_cusum(steady).collect()[0]
+    assert r2["peak_stat"] == 0 and r2["norm_stat"] == 0.0
