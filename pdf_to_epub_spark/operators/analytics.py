@@ -507,10 +507,14 @@ def extract_json_field(
     Returns all input columns minus the JSON column, plus ``(<field>,
     is_valid)``.
     """
+    # backtick the field (legal JSON keys contain spaces/dashes/dots)
+    # and use a collision-improbable corrupt-record channel name (a
+    # document whose JSON carries that literal key would be flagged)
+    corrupt = "__xjf_corrupt_record__"
     parsed = F.from_json(
         F.col(json_col),
-        f"{field} {field_type}, _corrupt string",
-        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        f"`{field}` {field_type}, `{corrupt}` string",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
     )
     keep = [c for c in df.columns if c != json_col]
     return df.select(
@@ -518,7 +522,7 @@ def extract_json_field(
         parsed.getField(field).alias(field),
         (
             F.col(json_col).isNotNull()
-            & parsed.getField("_corrupt").isNull()
+            & parsed.getField(corrupt).isNull()
         ).alias("is_valid"),
     )
 
@@ -549,8 +553,14 @@ def count_cusum(
         F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
         * bucket_seconds
     ).cast("long")
-    per = events.select(day.alias("day")).groupBy("day").agg(
-        F.count(F.lit(1)).alias("c")
+    # NULL timestamps would form a phantom day group that Spark's
+    # ascending windows order FIRST (DuckDB orders it LAST), shifting
+    # every index i — drop them before the series is built
+    per = (
+        events.select(day.alias("day"))
+        .where(F.col("day").isNotNull())
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     wo = Window.orderBy("day")
     cum = Window.orderBy("day").rowsBetween(

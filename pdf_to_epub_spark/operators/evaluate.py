@@ -203,7 +203,9 @@ def cluster_pair_eval(
             .agg(F.count(F.lit(1)).alias("n"))
             .agg(
                 F.sum(
-                    F.expr("(n * (n - 1)) div 2").cast("decimal(38,0)")
+                    # decimal BEFORE the multiply: n*(n-1) wraps int64
+                    # past n ~ 3e9; the product is even so /2 is exact
+                    F.col("n").cast("decimal(38,0)") * (F.col("n") - 1) / 2
                 ).cast("long").alias(alias)
             )
         )
@@ -269,6 +271,19 @@ def rank_agreement(
     Returns one row: ``(n, sum_d2, rho)``; rho NULL when n < 2.
     """
     from pyspark.sql.window import Window
+
+    # rows with a NULL or NaN on EITHER side are dropped up front: the
+    # offset window would count them (nulls sort first) while the
+    # value-equi-join would drop them, leaving ranks that are no longer
+    # a permutation of 1..n (rho can leave [-1, 1] silently).  NaN needs
+    # isnan — Spark SQL defines NaN = NaN as TRUE — and isnan only
+    # accepts floating columns, hence the dtype gate.
+    cond = F.col(score_a).isNotNull() & F.col(score_b).isNotNull()
+    types = dict(df.dtypes)
+    for c in (score_a, score_b):
+        if types.get(c) in ("float", "double"):
+            cond = cond & ~F.isnan(F.col(c))
+    df = df.where(cond)
 
     def _ranks(score: str, alias: str) -> DataFrame:
         slim = df.select(F.col(id_col).alias("id"), F.col(score).alias("v"))

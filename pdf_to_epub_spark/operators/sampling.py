@@ -885,14 +885,21 @@ def allocate_budget(
 
     Returns ``(stratum, n, alloc)``.
     """
-    rows = counts.select(
-        F.col(stratum_col).cast("string").alias("s"),
-        F.col(n_col).cast("long").alias("n"),
-    ).collect()
+    # bound the collect ITSELF (limit max_strata+1), not just the row
+    # count after the fact — a mistakenly-passed per-URL table must not
+    # materialize on the driver before the guard fires
+    rows = (
+        counts.select(
+            F.col(stratum_col).cast("string").alias("s"),
+            F.col(n_col).cast("long").alias("n"),
+        )
+        .limit(max_strata + 1)
+        .collect()
+    )
     if len(rows) > max_strata:
         raise ValueError(
-            f"allocate_budget collected {len(rows)} strata; the operator "
-            f"is for aggregate tables (max_strata={max_strata})"
+            f"allocate_budget saw more than max_strata={max_strata} "
+            "strata; the operator is for aggregate tables"
         )
     total = sum(r["n"] for r in rows)
     out = []
@@ -993,8 +1000,17 @@ def interleave_strata(
         F.col(stratum_col).alias("stratum"),
         F.row_number().over(w).cast("long").alias("stratum_rank"),
     )
+    # null-safe equality: a NULL stratum is a legitimate stratum (it is
+    # in the distinct table and counted in __k); a plain equi-join
+    # would silently drop those rows and leave a hole in every cycle
+    idx = strata.select(
+        F.col("stratum").alias("__st"), F.col("__idx")
+    )
     return (
-        ranked.join(F.broadcast(strata), "stratum")
+        ranked.join(
+            F.broadcast(idx),
+            F.col("stratum").eqNullSafe(F.col("__st")),
+        )
         .crossJoin(F.broadcast(n_strata))
         .select(
             F.col(id_col),

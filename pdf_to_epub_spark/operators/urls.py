@@ -1868,7 +1868,9 @@ def domain_triangles(
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum(
-            F.expr("(deg * (deg - 1)) div 2").cast("decimal(38,0)")
+            # decimal BEFORE the multiply (deg*(deg-1) wraps int64 past
+            # deg ~ 3e9); even product, so /2 stays exact
+            F.col("deg").cast("decimal(38,0)") * (F.col("deg") - 1) / 2
         ).cast("long").alias("n_wedges"),
     )
     nedges = canon.agg(F.count(F.lit(1)).alias("n_edges"))
@@ -2160,10 +2162,13 @@ def template_fingerprints(
     staged = pages.select(
         F.col(url_col).alias("url"), classes.alias("__c")
     )
+    # class tokens separate on ANY whitespace (prettified templates wrap
+    # class lists across lines) — a literal-space split would fracture
+    # the same template into different fingerprints
     toks = F.sort_array(
         F.array_distinct(
             F.expr(
-                "filter(flatten(transform(__c, c -> split(c, ' '))),"
+                "filter(flatten(transform(__c, c -> split(c, '\\\\s+'))),"
                 " x -> x != '')"
             )
         )
@@ -2250,9 +2255,9 @@ def url_lifespan(
         F.max(F.col(snap_col)).cast("long").alias("last_seen"),
         F.count_distinct(F.col(snap_col)).cast("long").alias("n_snapshots"),
     )
-    latest = observations.agg(
-        F.max(F.col(snap_col)).cast("long").alias("__latest")
-    )
+    # the global max comes from the already-aggregated per-url table —
+    # no second scan of the (10^9-row) observations input
+    latest = per.agg(F.max("last_seen").alias("__latest"))
     return per.crossJoin(F.broadcast(latest)).select(
         "url", "first_seen", "last_seen", "n_snapshots",
         (F.col("last_seen") == F.col("__latest")).alias("is_active"),

@@ -1102,3 +1102,80 @@ def test_count_cusum_level_shift_and_steady(spark):
     ).selectExpr("timestamp_seconds(sec) AS ts")
     r2 = count_cusum(steady).collect()[0]
     assert r2["peak_stat"] == 0 and r2["norm_stat"] == 0.0
+
+
+# second-review regression pins
+
+def test_rank_agreement_drops_null_and_nan_scores(spark):
+    from pdf_to_epub_spark.operators import rank_agreement
+
+    df = spark.createDataFrame(
+        [(1, None, 30.0), (2, 10.0, 20.0), (3, 20.0, 10.0),
+         (4, float("nan"), 1.0)],
+        "doc_id long, score_a double, score_b double",
+    )
+    r = rank_agreement(df).collect()[0]
+    assert r["n"] == 2
+    assert -1.0 <= r["rho"] <= 1.0 and r["rho"] == -1.0
+
+
+def test_count_cusum_ignores_null_timestamps(spark):
+    from pdf_to_epub_spark.operators import count_cusum
+
+    rows = [(0,), (86400,), (2 * 86400,), (None,)]
+    df = spark.createDataFrame(rows, "sec long").selectExpr(
+        "timestamp_seconds(sec) AS ts"
+    )
+    r = count_cusum(df).collect()[0]
+    assert r["n_days"] == 3 and r["total_events"] == 3
+
+
+def test_extract_json_field_awkward_key_and_corrupt_collision(spark):
+    from pdf_to_epub_spark.operators import extract_json_field
+
+    df = spark.createDataFrame(
+        [(1, '{"user id": 9}')], "event_id long, props string"
+    )
+    got = extract_json_field(df, field="user id").collect()[0]
+    assert got["user id"] == 9 and got["is_valid"] is True
+
+    # a legit _corrupt key in the payload must NOT flag the row
+    df2 = spark.createDataFrame(
+        [(1, '{"k": 3, "_corrupt": "note"}')], "event_id long, props string"
+    )
+    got2 = extract_json_field(df2).collect()[0]
+    assert got2["k"] == 3 and got2["is_valid"] is True
+
+
+def test_template_fingerprints_whitespace_class_lists(spark):
+    from pdf_to_epub_spark.operators import template_fingerprints
+
+    a = '<div class="nav main">x</div>'.encode()
+    b = '<div class="nav\n\t  main">x</div>'.encode()
+    pages = spark.createDataFrame(
+        [("a", a), ("b", b)], "url string, html binary"
+    )
+    fps = {r["url"]: r["fingerprint"]
+           for r in template_fingerprints(pages).collect()}
+    assert fps["a"] == fps["b"] is not None
+
+
+def test_interleave_strata_keeps_null_stratum(spark):
+    from pdf_to_epub_spark.operators import interleave_strata
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "en"), (3, "fr")], "doc_id long, stratum string"
+    )
+    got = interleave_strata(df).collect()
+    assert len(got) == 3
+    orders = {r["doc_id"]: r["train_order"] for r in got}
+    assert len(set(orders.values())) == 3
+
+
+def test_allocate_budget_guard_fires_without_full_collect(spark):
+    import pytest as _pt
+    from pdf_to_epub_spark.operators import allocate_budget
+
+    big = spark.range(0, 1000).selectExpr("id::string AS stratum", "1::long AS n")
+    with _pt.raises(ValueError, match="max_strata"):
+        allocate_budget(big, budget=10, max_strata=50)
