@@ -5805,6 +5805,53 @@ def _q_count_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_domain_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot domain churn (urls.domain_churn): old snapshot covers
+    domains 0-6, new covers 2-8 — two lost, two new, five retained,
+    full-outer count join."""
+    from pdf_to_epub_spark.operators import domain_churn
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    old = d.select(
+        F.concat(F.lit("https://a.site"), (i % 7).cast("string"),
+                 F.lit(".example/p"), i.cast("string")).alias("url")
+    )
+    new = d.select(
+        F.concat(F.lit("https://b.site"), ((i % 7) + 2).cast("string"),
+                 F.lit(".example/q"), i.cast("string")).alias("url")
+    )
+    return domain_churn(old, new).select(
+        "domain", "n_old", "n_new", "status"
+    )
+
+
+def _q_threshold_for_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-rate calibration (sampling.threshold_for_rate, keep 30%):
+    exact-percentile cutoff with boundary rounding on both engines,
+    achieved rate reported with cutoff ties kept."""
+    from pdf_to_epub_spark.operators import threshold_for_rate
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score")
+    )
+    return threshold_for_rate(d, keep_frac=0.3).select(
+        "cutoff", "n_total", "n_kept", "achieved_rate"
+    )
+
+
+def _q_hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document hapax profile (textstats.hapax_stats) over the real
+    corpus text — corpus df via a token-keyed count window (no
+    join-back double-scan), gibberish detector."""
+    from pdf_to_epub_spark.operators import hapax_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return hapax_stats(d).select(
+        "doc_id", "n_distinct_tokens", "n_hapax", "hapax_ratio"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -5892,6 +5939,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_bands": _q_latency_bands,
         "json_props": _q_json_props,
         "count_cusum": _q_count_cusum,
+        "domain_churn": _q_domain_churn,
+        "threshold_for_rate": _q_threshold_for_rate,
+        "hapax_stats": _q_hapax_stats,
         "interleave_strata": _q_interleave_strata,
         "punct_profile": _q_punct_profile,
         "publish_dates": _q_publish_dates,
@@ -8691,6 +8741,59 @@ def oracle_sql() -> dict[str, str]:
                        round(abs(s)::DOUBLE / (n * total)::DOUBLE, 6)
                    END::DOUBLE AS norm_stat
             FROM best WHERE rn = 1
+        """,
+        "domain_churn": """
+            WITH o AS (
+                SELECT 'site' || (doc_id % 7) || '.example' AS domain,
+                       count(*) AS n_old
+                FROM documents GROUP BY 1),
+            n AS (
+                SELECT 'site' || ((doc_id % 7) + 2) || '.example' AS domain,
+                       count(*) AS n_new
+                FROM documents GROUP BY 1)
+            SELECT coalesce(o.domain, n.domain) AS domain,
+                   coalesce(n_old, 0)::BIGINT AS n_old,
+                   coalesce(n_new, 0)::BIGINT AS n_new,
+                   CASE WHEN o.domain IS NULL THEN 'new'
+                        WHEN n.domain IS NULL THEN 'lost'
+                        ELSE 'retained' END AS status
+            FROM o FULL OUTER JOIN n ON o.domain = n.domain
+        """,
+        "threshold_for_rate": """
+            WITH c AS (
+                SELECT round(quantile_cont(n_chars, 0.7), 6) AS cutoff
+                FROM documents),
+            k AS (
+                SELECT cutoff, count(*) AS n_total,
+                       sum(CASE WHEN n_chars::DOUBLE >= cutoff
+                                THEN 1 ELSE 0 END) AS n_kept
+                FROM documents, c GROUP BY cutoff)
+            SELECT cutoff::DOUBLE AS cutoff, n_total::BIGINT AS n_total,
+                   n_kept::BIGINT AS n_kept,
+                   CASE WHEN n_total > 0 THEN
+                       round(n_kept::DOUBLE / n_total::DOUBLE, 6)
+                   END::DOUBLE AS achieved_rate
+            FROM k
+        """,
+        "hapax_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_distinct(regexp_extract_all(
+                           lower(text), '[a-zà-öø-ÿ]+'))) AS tok
+                FROM documents),
+            dfreq AS (
+                SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+            per AS (
+                SELECT doc_id, count(*) AS nd,
+                       sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS nh
+                FROM toks JOIN dfreq USING (tok) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(nd, 0)::INT AS n_distinct_tokens,
+                   coalesce(nh, 0)::INT AS n_hapax,
+                   CASE WHEN coalesce(nd, 0) > 0 THEN
+                       round(nh::DOUBLE / nd::DOUBLE, 6)
+                   END::DOUBLE AS hapax_ratio
+            FROM documents d LEFT JOIN per USING (doc_id)
         """,
         "zipf_fit": """
             WITH cnt AS (

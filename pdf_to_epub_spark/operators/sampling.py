@@ -1021,3 +1021,48 @@ def interleave_strata(
             ).cast("long").alias("train_order"),
         )
     )
+
+
+def threshold_for_rate(
+    df: DataFrame,
+    keep_frac: float,
+    score_col: str = "score",
+) -> DataFrame:
+    """Calibrate a score cutoff to a target keep-rate: the threshold is
+    the exact ``1 - keep_frac`` percentile of the score (rounded to 6 dp
+    before the comparison on both engines — the lm_partition boundary
+    rule), and the row reports the rate actually achieved (ties at the
+    cutoff make it ≥ the target).  This is how a quality-filter knob is
+    set ("keep the best 30%") without hand-tuning.
+
+    One percentile aggregate + one conditional count — two passes over
+    the slim score column, no window, no sort.
+
+    Returns one row: ``(cutoff, n_total, n_kept, achieved_rate)``.
+    """
+    cut = df.agg(
+        F.round(
+            F.expr(f"percentile({score_col}, {round(1.0 - keep_frac, 12)})"),
+            6,
+        ).alias("cutoff")
+    )
+    j = df.crossJoin(F.broadcast(cut))
+    return j.agg(
+        F.first("cutoff").alias("cutoff"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(
+            F.when(
+                F.col(score_col).cast("double") >= F.col("cutoff"), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_kept"),
+    ).select(
+        "cutoff", "n_total", "n_kept",
+        F.when(
+            F.col("n_total") > 0,
+            F.round(
+                F.col("n_kept").cast("double")
+                / F.col("n_total").cast("double"),
+                6,
+            ),
+        ).alias("achieved_rate"),
+    )

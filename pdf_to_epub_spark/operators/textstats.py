@@ -2379,3 +2379,54 @@ def punct_profile(
             ),
         ).alias("smart_ratio"),
     )
+
+
+def hapax_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document hapax profile: how many of a document's distinct
+    tokens occur in NO other document (corpus document-frequency 1) —
+    OCR noise, mojibake, and generated gibberish are hapax-dense, while
+    normal prose shares most of its vocabulary.
+
+    One exploded distinct ``(doc, token)`` table, the corpus df as a
+    COUNT WINDOW over the token key (one pass — a groupBy + join-back
+    would re-run the tokenize subtree for the probe side), then the
+    per-doc rollup.  Token-keyed stages, so stop-word skew is bounded
+    by the df-window's combiner-less count (token × doc pairs are
+    distinct, the hot token's partition is proportional to its df).
+
+    Returns ``(id, n_distinct_tokens, n_hapax, hapax_ratio)`` — ratio
+    NULL for token-less docs.
+    """
+    from pyspark.sql.window import Window
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode_outer(F.array_distinct(_tokens(text_col))).alias("tok"),
+        )
+        .where(F.col("tok").isNotNull())
+    )
+    w = Window.partitionBy("tok")
+    per = toks.select(
+        "__id", F.count(F.lit(1)).over(w).alias("df")
+    )
+    agg = per.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_hapax"),
+    )
+    base = df.select(F.col(id_col).alias("__id"))
+    out = base.join(agg, "__id", "left")
+    n = F.coalesce(F.col("n_distinct_tokens"), F.lit(0))
+    h = F.coalesce(F.col("n_hapax"), F.lit(0))
+    return out.select(
+        F.col("__id").alias(id_col),
+        n.cast("int").alias("n_distinct_tokens"),
+        h.cast("int").alias("n_hapax"),
+        F.when(n > 0, F.round(h.cast("double") / n.cast("double"), 6)).alias(
+            "hapax_ratio"
+        ),
+    )

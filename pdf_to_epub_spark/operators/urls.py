@@ -2262,3 +2262,43 @@ def url_lifespan(
         "url", "first_seen", "last_seen", "n_snapshots",
         (F.col("last_seen") == F.col("__latest")).alias("is_active"),
     )
+
+
+def domain_churn(
+    old_pages: DataFrame,
+    new_pages: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Domain-level churn between two crawl snapshots: which registrable
+    domains appeared, vanished, or persisted, with their page counts on
+    each side — the health report that catches a collapsed seed list or
+    a hijacked vertical before url-level diffs (recrawl_diff) would be
+    readable.
+
+    One count aggregation per side on the slim domain projection, then
+    a full outer join of the two (domain-cardinality) count tables.
+
+    Returns ``(domain, n_old, n_new, status)`` with status ∈
+    new/lost/retained.
+    """
+    def side(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.select(registrable_domain(F.col(url_col)).alias("domain"))
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    o = side(old_pages, "n_old")
+    n = side(new_pages, "n_new")
+    j = o.join(n, "domain", "full_outer")
+    status = (
+        F.when(F.col("n_old").isNull(), F.lit("new"))
+        .when(F.col("n_new").isNull(), F.lit("lost"))
+        .otherwise(F.lit("retained"))
+    )
+    return j.select(
+        "domain",
+        F.coalesce(F.col("n_old"), F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+        status.alias("status"),
+    )

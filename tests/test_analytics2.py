@@ -1179,3 +1179,53 @@ def test_allocate_budget_guard_fires_without_full_collect(spark):
     big = spark.range(0, 1000).selectExpr("id::string AS stratum", "1::long AS n")
     with _pt.raises(ValueError, match="max_strata"):
         allocate_budget(big, budget=10, max_strata=50)
+
+
+def test_domain_churn_statuses(spark):
+    from pdf_to_epub_spark.operators import domain_churn
+
+    old = spark.createDataFrame(
+        [("https://a.example/1",), ("https://a.example/2",),
+         ("https://gone.example/x",)], "url string")
+    new = spark.createDataFrame(
+        [("https://a.example/3",), ("https://fresh.example/y",)],
+        "url string")
+    got = {r["domain"]: r for r in domain_churn(old, new).collect()}
+    assert got["a.example"]["status"] == "retained"
+    assert got["a.example"]["n_old"] == 2 and got["a.example"]["n_new"] == 1
+    assert got["gone.example"]["status"] == "lost"
+    assert got["fresh.example"]["status"] == "new"
+    assert got["fresh.example"]["n_old"] == 0
+
+
+def test_threshold_for_rate_hits_target_with_ties(spark):
+    from pdf_to_epub_spark.operators import threshold_for_rate
+
+    df = spark.createDataFrame([(i,) for i in range(1, 101)], "score long")
+    r = threshold_for_rate(df, keep_frac=0.25).collect()[0]
+    assert r["n_total"] == 100
+    assert abs(r["achieved_rate"] - 0.25) <= 0.01
+    # degenerate: all-equal scores -> everything kept
+    same = spark.createDataFrame([(5,)] * 10, "score long")
+    r2 = threshold_for_rate(same, keep_frac=0.5).collect()[0]
+    assert r2["n_kept"] == 10 and r2["achieved_rate"] == 1.0
+
+
+def test_hapax_stats_shared_vs_unique(spark):
+    from pdf_to_epub_spark.operators import hapax_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "common words here plus zzunique"),
+            (2, "common words here too"),
+            (3, "   "),   # token-less doc stays with NULL ratio
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in hapax_stats(df).collect()}
+    # doc1: {common,words,here,plus,zzunique}; plus+zzunique are hapax
+    assert got[1]["n_distinct_tokens"] == 5 and got[1]["n_hapax"] == 2
+    # doc2: {common,words,here,too}; only "too" is corpus-unique
+    assert got[2]["n_hapax"] == 1 and got[2]["n_distinct_tokens"] == 4
+    assert got[3]["n_distinct_tokens"] == 0
+    assert got[3]["hapax_ratio"] is None
