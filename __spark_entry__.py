@@ -5852,6 +5852,93 @@ def _q_hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance (urls.bfs_distances) over a
+    deterministic two-component domain graph (20-ring + chords, 10-ring)
+    seeded at a0 — component B stays unreachable; recursive-CTE oracle
+    with the same max-hops cap."""
+    from pdf_to_epub_spark.operators import bfs_distances
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    m = (i % 20).cast("string")
+    edges = (
+        d.select(
+            F.concat(F.lit("a"), m).alias("src_domain"),
+            F.concat(F.lit("a"), (((i % 20) + 1) % 20).cast("string")).alias("dst_domain"),
+        )
+        .union(
+            d.select(
+                F.concat(F.lit("a"), m),
+                F.concat(F.lit("a"), ((3 * (i % 20) + 7) % 20).cast("string")),
+            )
+        )
+        .union(
+            d.select(
+                F.concat(F.lit("b"), (i % 10).cast("string")),
+                F.concat(F.lit("b"), (((i % 10) + 1) % 10).cast("string")),
+            )
+        )
+    )
+    return bfs_distances(edges, ["a0"]).select("domain", "hops")
+
+
+def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit (bucketing.zorder_layout): the same document
+    rows laid out arrival-ordered vs Morton-ordered on
+    (n_chars, doc_id·37 mod 256), min/max file skipping for a y-range
+    predicate compared across the two layouts — exact integer
+    normalization + bit interleave replayed in the oracle."""
+    from pdf_to_epub_spark.operators import zorder_layout
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.col("n_chars").alias("x"),
+        ((F.col("doc_id") * 37) % 256).alias("y"),
+    )
+    return zorder_layout(
+        d, "x", "y", pred_lo=64, pred_hi=127, file_rows=50
+    ).select(
+        "layout", "n_rows", "n_files", "files_scanned", "rows_scanned",
+        "rows_matched", "prune_ratio",
+    )
+
+
+def _q_kmv_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k sketch comparison (sketch.kmv_similarity, k=64) of
+    two residue-derived url snapshots (×2 vs ×3 scaling — overlap at
+    multiples of 6): distinct estimates + union-sample Jaccard, all
+    integer until the two final divisions."""
+    from pdf_to_epub_spark.operators import kmv_similarity
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    old = d.select(F.concat(F.lit("u"), (i * 2).cast("string")).alias("url"))
+    new = d.select(F.concat(F.lit("u"), (i * 3).cast("string")).alias("url"))
+    return kmv_similarity(old, new, k=64).select(
+        "k", "n_sketch_old", "n_sketch_new", "est_distinct_old",
+        "est_distinct_new", "est_jaccard",
+    )
+
+
+def _q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE (evaluate.calibration_bins, 10 bins)
+    over a residue-synthesized correlated (score, label) pair —
+    micro-unit integer confidence sums keep every bin mean and the ECE
+    scalar order-independent and oracle-exact."""
+    from pdf_to_epub_spark.operators import calibration_bins
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    scored = d.select(
+        (((i * 37) % 101).cast("double") / F.lit(100.0)).alias("score"),
+        (((i * 53 + 11) % 100) < ((i * 37) % 101)).alias("label"),
+    )
+    return calibration_bins(scored).select(
+        "bin", "n", "avg_conf", "frac_pos", "gap", "ece"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -5942,6 +6029,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_churn": _q_domain_churn,
         "threshold_for_rate": _q_threshold_for_rate,
         "hapax_stats": _q_hapax_stats,
+        "bfs_distances": _q_bfs_distances,
+        "zorder_layout": _q_zorder_layout,
+        "kmv_similarity": _q_kmv_similarity,
+        "calibration_bins": _q_calibration_bins,
         "interleave_strata": _q_interleave_strata,
         "punct_profile": _q_punct_profile,
         "publish_dates": _q_publish_dates,
@@ -8794,6 +8885,145 @@ def oracle_sql() -> dict[str, str]:
                        round(nh::DOUBLE / nd::DOUBLE, 6)
                    END::DOUBLE AS hapax_ratio
             FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "bfs_distances": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT 'a' || (doc_id % 20) AS src,
+                           'a' || ((doc_id % 20 + 1) % 20) AS dst
+                    FROM documents
+                    UNION ALL
+                    SELECT 'a' || (doc_id % 20),
+                           'a' || ((3 * (doc_id % 20) + 7) % 20)
+                    FROM documents
+                    UNION ALL
+                    SELECT 'b' || (doc_id % 10),
+                           'b' || ((doc_id % 10 + 1) % 10)
+                    FROM documents)),
+            walk(domain, hops) AS (
+                SELECT 'a0', 0
+                UNION
+                SELECT e.dst, w.hops + 1
+                FROM walk w JOIN e ON e.src = w.domain
+                WHERE w.hops < 12)
+            SELECT domain, min(hops)::INT AS hops FROM walk GROUP BY domain
+        """,
+        "zorder_layout": """
+            WITH base AS (
+                SELECT doc_id AS id, n_chars::BIGINT AS x,
+                       ((doc_id * 37) % 256)::BIGINT AS y
+                FROM documents),
+            st AS (
+                SELECT min(x) AS minx, max(x) AS maxx,
+                       min(y) AS miny, max(y) AS maxy
+                FROM base),
+            c AS (
+                SELECT id, y,
+                       ((x - minx) * 256) // (maxx - minx + 1) AS xi,
+                       ((y - miny) * 256) // (maxy - miny + 1) AS yi
+                FROM base, st),
+            z AS (
+                SELECT id, y,
+                       ((xi>>0)&1)*1 + ((yi>>0)&1)*2 + ((xi>>1)&1)*4
+                     + ((yi>>1)&1)*8 + ((xi>>2)&1)*16 + ((yi>>2)&1)*32
+                     + ((xi>>3)&1)*64 + ((yi>>3)&1)*128 + ((xi>>4)&1)*256
+                     + ((yi>>4)&1)*512 + ((xi>>5)&1)*1024 + ((yi>>5)&1)*2048
+                     + ((xi>>6)&1)*4096 + ((yi>>6)&1)*8192
+                     + ((xi>>7)&1)*16384 + ((yi>>7)&1)*32768 AS zv
+                FROM c),
+            b AS (
+                SELECT 'natural' AS layout, y,
+                       (row_number() OVER (ORDER BY id) - 1) // 50 AS file_id
+                FROM z
+                UNION ALL
+                SELECT 'zorder', y,
+                       (row_number() OVER (ORDER BY zv, id) - 1) // 50
+                FROM z),
+            pf AS (
+                SELECT layout, file_id, min(y) AS mn, max(y) AS mx,
+                       count(*) AS n,
+                       sum(CASE WHEN y BETWEEN 64 AND 127 THEN 1 ELSE 0 END)
+                           AS m
+                FROM b GROUP BY layout, file_id),
+            agg AS (
+                SELECT layout, sum(n) AS n_rows, count(*) AS n_files,
+                       sum(CASE WHEN mx >= 64 AND mn <= 127 THEN 1 ELSE 0 END)
+                           AS files_scanned,
+                       sum(CASE WHEN mx >= 64 AND mn <= 127 THEN n ELSE 0 END)
+                           AS rows_scanned,
+                       sum(m) AS rows_matched
+                FROM pf GROUP BY layout)
+            SELECT layout, n_rows::BIGINT AS n_rows, n_files::BIGINT AS n_files,
+                   files_scanned::BIGINT AS files_scanned,
+                   rows_scanned::BIGINT AS rows_scanned,
+                   rows_matched::BIGINT AS rows_matched,
+                   round(1.0::DOUBLE - files_scanned::DOUBLE / n_files::DOUBLE,
+                         6) + 0.0 AS prune_ratio
+            FROM agg
+        """,
+        "kmv_similarity": """
+            WITH a AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5('u' || (doc_id * 2)), 1, 15))::BIGINT
+                           AS h
+                FROM documents ORDER BY h LIMIT 64),
+            b AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5('u' || (doc_id * 3)), 1, 15))::BIGINT
+                           AS h
+                FROM documents ORDER BY h LIMIT 64),
+            u AS (
+                SELECT DISTINCT h FROM (
+                    SELECT h FROM a UNION ALL SELECT h FROM b)
+                ORDER BY h LIMIT 64),
+            i AS (
+                SELECT count(*) AS ni FROM u
+                WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)),
+            nu AS (SELECT count(*) AS nu FROM u),
+            sa AS (SELECT count(*) AS na, max(h) AS ha FROM a),
+            sb AS (SELECT count(*) AS nb, max(h) AS hb FROM b)
+            SELECT 64::INT AS k,
+                   na::BIGINT AS n_sketch_old, nb::BIGINT AS n_sketch_new,
+                   CASE WHEN na < 64 THEN na::DOUBLE
+                        ELSE round(63.0 * 1152921504606846976.0 / ha::DOUBLE, 6)
+                   END AS est_distinct_old,
+                   CASE WHEN nb < 64 THEN nb::DOUBLE
+                        ELSE round(63.0 * 1152921504606846976.0 / hb::DOUBLE, 6)
+                   END AS est_distinct_new,
+                   CASE WHEN nu > 0
+                        THEN round(ni::DOUBLE / nu::DOUBLE, 6)
+                        ELSE 0.0 END AS est_jaccard
+            FROM sa, sb, nu, i
+        """,
+        "calibration_bins": """
+            WITH d AS (
+                SELECT ((doc_id * 37) % 101)::DOUBLE / 100.0 AS s,
+                       CASE WHEN ((doc_id * 53 + 11) % 100)
+                                 < ((doc_id * 37) % 101)
+                            THEN 1 ELSE 0 END AS pos
+                FROM documents),
+            r AS (
+                SELECT least(9, floor(s * 10))::INT AS bin,
+                       round(s * 1e6, 0)::BIGINT AS cm, pos
+                FROM d),
+            per AS (
+                SELECT bin, count(*) AS n, sum(cm) AS conf,
+                       sum(pos) AS npos
+                FROM r GROUP BY bin),
+            g AS (
+                SELECT bin, n, conf, npos,
+                       abs(conf - npos * 1000000) AS ad
+                FROM per),
+            t AS (
+                SELECT round(sum(ad)::DOUBLE / (1e6 * sum(n)::DOUBLE), 6)
+                           + 0.0 AS ece
+                FROM g)
+            SELECT bin, n::BIGINT AS n,
+                   round(conf::DOUBLE / (1e6 * n::DOUBLE), 6) + 0.0 AS avg_conf,
+                   round(npos::DOUBLE / n::DOUBLE, 6) + 0.0 AS frac_pos,
+                   round(ad::DOUBLE / (1e6 * n::DOUBLE), 6) + 0.0 AS gap,
+                   ece
+            FROM g, t
         """,
         "zipf_fit": """
             WITH cnt AS (

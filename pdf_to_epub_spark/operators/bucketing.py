@@ -165,3 +165,134 @@ def compaction_plan(
         .cast("int")
         .alias("bin"),
     )
+
+
+def _interleave_bits(xi, yi, bits: int):
+    """Morton/Z-value: interleave the low ``bits`` bits of two integer
+    columns (x in even positions, y in odd) — plain shift/mask algebra
+    so the exact same expression replays in the SQL oracle."""
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(xi, b).bitwiseAND(F.lit(1)), 2 * b)
+            + F.shiftleft(F.shiftright(yi, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    return z
+
+
+def zorder_layout(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    pred_lo: int,
+    pred_hi: int,
+    file_rows: int = 100,
+    bits: int = 8,
+    id_col: str = "id",
+) -> DataFrame:
+    """Z-order (Morton-curve) layout audit: would rewriting this table
+    z-ordered on ``(x, y)`` let min/max file skipping prune a ``y``
+    range predicate that the natural (arrival-order) layout cannot?
+    This is the question behind Iceberg/Delta ``OPTIMIZE ZORDER BY`` —
+    answered here as a pure audit over the same rows laid out both
+    ways, so the decision is data-driven before paying the rewrite.
+
+    Both coordinates are normalized to ``[0, 2^bits)`` by exact integer
+    arithmetic (``(v - min) * 2^bits div (range + 1)`` — no floats, so
+    the oracle replays bit-for-bit), interleaved into a Morton value,
+    and rows are assigned to files of ``file_rows`` each in (z, id)
+    order vs (id) order.  A file is SCANNED when its ``[min_y, max_y]``
+    stripe overlaps ``[pred_lo, pred_hi]`` — exactly the parquet
+    row-group / data-file skipping rule.
+
+    No single-task global sort: file ids come from the two-level rank —
+    a cumulative-count window over the COARSE-BUCKET count table (z
+    truncated to its top bits / id div 1024; bounded by bucket count,
+    not row count) plus a row_number window partitioned by bucket.
+    This is also how the real rewrite would run: repartitionByRange on
+    z, sortWithinPartitions, write.
+
+    Returns one row per layout: ``(layout, n_rows, n_files,
+    files_scanned, rows_scanned, rows_matched, prune_ratio)``.
+    """
+    from pyspark.sql.window import Window
+
+    slim = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    stats = slim.agg(
+        F.min("x").alias("_minx"), F.max("x").alias("_maxx"),
+        F.min("y").alias("_miny"), F.max("y").alias("_maxy"),
+    )
+    scale = 1 << bits
+    d = slim.crossJoin(F.broadcast(stats)).select(
+        "id",
+        "y",
+        F.expr(f"((x - _minx) * {scale}) div (_maxx - _minx + 1)").alias("_xi"),
+        F.expr(f"((y - _miny) * {scale}) div (_maxy - _miny + 1)").alias("_yi"),
+    )
+    d = d.select(
+        "id", "y", _interleave_bits(F.col("_xi"), F.col("_yi"), bits).alias("_z")
+    )
+
+    def _files(dd: DataFrame, layout: str, bucket, order_cols) -> DataFrame:
+        dd = dd.select("id", "y", *order_cols[:-1], bucket.alias("_b"))
+        counts = dd.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+        offs = counts.select(
+            "_b",
+            (
+                F.sum("_c").over(
+                    Window.orderBy("_b").rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                )
+                - F.col("_c")
+            ).alias("_off"),
+        )
+        win = Window.partitionBy("_b").orderBy(*order_cols)
+        ranked = dd.join(offs, "_b").select(
+            F.lit(layout).alias("layout"),
+            "y",
+            (F.col("_off") + F.row_number().over(win) - 1).alias("_rank"),
+        )
+        return ranked.select(
+            "layout", "y", F.expr(f"_rank div {file_rows}").alias("file_id")
+        )
+
+    nat = _files(d, "natural", F.expr("id div 1024"), [F.col("id")])
+    zo = _files(
+        d,
+        "zorder",
+        F.shiftright(F.col("_z"), max(2 * bits - 10, 0)),
+        [F.col("_z"), F.col("id")],
+    )
+    both = nat.unionByName(zo)
+    match = F.col("y").between(F.lit(pred_lo), F.lit(pred_hi))
+    perfile = both.groupBy("layout", "file_id").agg(
+        F.min("y").alias("_mn"),
+        F.max("y").alias("_mx"),
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(match.cast("long")).alias("_match"),
+    )
+    scanned = (F.col("_mx") >= pred_lo) & (F.col("_mn") <= pred_hi)
+    out = perfile.groupBy("layout").agg(
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(scanned.cast("long")).cast("long").alias("files_scanned"),
+        F.sum(F.when(scanned, F.col("_n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_scanned"),
+        F.sum("_match").cast("long").alias("rows_matched"),
+    )
+    ratio = F.round(
+        F.lit(1.0) - F.col("files_scanned").cast("double")
+        / F.col("n_files").cast("double"),
+        6,
+    ) + F.lit(0.0)
+    return out.select(
+        "layout", "n_rows", "n_files", "files_scanned", "rows_scanned",
+        "rows_matched", ratio.alias("prune_ratio"),
+    )

@@ -474,3 +474,77 @@ def retrieval_eval(
             6,
         ).alias("ndcg_k"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error (ECE, Naeini et
+    al. 2015) for a probabilistic quality classifier: bucket predictions
+    into equal-width confidence bins, compare each bin's mean confidence
+    against its empirical positive rate.  A filter cascade that keeps
+    "score ≥ 0.9" documents is only as good as the calibration of that
+    0.9 — this is the audit run before trusting a threshold picked on
+    the score scale.
+
+    Two map-side-combined aggregations (per-bin, then the bin table —
+    ≤ ``bins`` rows — folds into one ECE scalar); nothing shuffles more
+    than the bin key.  Confidence sums ride in exact micro-unit
+    integers (round(score·1e6) per row) so the per-bin means are
+    order-independent and replay exactly in the SQL oracle; NULL and
+    NaN scores/labels are dropped up front (same hygiene as
+    rank_agreement).
+
+    Returns one row per non-empty bin: ``(bin, n, avg_conf, frac_pos,
+    gap, ece)`` — ``ece`` (the Σ n_b/N · |gap_b| scalar) repeated on
+    every row for single-result convenience.
+    """
+    cond = F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    types = dict(df.dtypes)
+    if types.get(score_col) in ("float", "double"):
+        cond = cond & ~F.isnan(F.col(score_col))
+    s = F.col(score_col).cast("double")
+    d = df.where(cond).select(
+        F.least(F.lit(bins - 1), F.floor(s * bins)).cast("int").alias("bin"),
+        F.round(s * 1e6, 0).cast("long").alias("_cm"),
+        F.col(label_col).cast("boolean").cast("long").alias("_pos"),
+    )
+    per = d.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_cm").alias("_conf"),
+        F.sum("_pos").alias("_npos"),
+    )
+    conf = F.col("_conf").cast("double") / (F.lit(1e6) * F.col("n").cast("double"))
+    pos = F.col("_npos").cast("double") / F.col("n").cast("double")
+    # |mean_conf − frac_pos|·n in exact micro-units: |Σcm − npos·1e6| —
+    # the ECE numerator stays integer, so the 10-bin fold is
+    # order-independent (float Σ n·|gap| would not be).
+    absdiff = F.abs(F.col("_conf") - F.col("_npos") * F.lit(1000000))
+    per = per.select(
+        "bin", "n",
+        (F.round(conf, 6) + F.lit(0.0)).alias("avg_conf"),
+        (F.round(pos, 6) + F.lit(0.0)).alias("frac_pos"),
+        (
+            F.round(
+                absdiff.cast("double") / (F.lit(1e6) * F.col("n").cast("double")), 6
+            )
+            + F.lit(0.0)
+        ).alias("gap"),
+        absdiff.alias("_w"),
+    ).localCheckpoint(eager=False)
+    tot = per.agg(
+        F.when(
+            F.sum("n") > 0,
+            F.round(
+                F.sum("_w").cast("double") / (F.lit(1e6) * F.sum("n").cast("double")),
+                6,
+            )
+            + F.lit(0.0),
+        ).alias("ece")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bin", "n", "avg_conf", "frac_pos", "gap", "ece"
+    )

@@ -332,3 +332,86 @@ def hll_estimate(
         F.lit(m) * F.log(F.lit(m) / v),
     ).otherwise(raw)
     return agg.select(*groups, F.round(est, 4).alias("est_distinct"))
+
+
+def _kmv(df: DataFrame, col: str, k: int, hash_fn) -> DataFrame:
+    """k-minimum-values sketch of a column: the k smallest distinct
+    60-bit hashes.  ``orderBy + limit`` compiles to
+    TakeOrderedAndProject — per-partition top-k, merged on the driver,
+    never a global sort."""
+    return (
+        df.select(hash_fn(F.col(col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_similarity(
+    old: DataFrame,
+    new: DataFrame,
+    col: str = "url",
+    k: int = 64,
+    hash_fn=md5_hash60,
+) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) sketch comparison of two
+    snapshots (Beyer et al. 2007): distinct-count estimates per side
+    plus a Jaccard estimate from the combined sketch — "how much did
+    the crawl change?" answered from two k-row sketches instead of a
+    full-corpus distinct join.  This is the mergeable theta-sketch idea:
+    at 100 TB each side's sketch is built with one pass (map-side
+    top-k, driver merge) and stored; any pair of stored sketches
+    compares in milliseconds.
+
+    Estimator: with h the k-th smallest of 2^60-scaled hashes,
+    ``D ≈ (k−1)·2^60 / h``; when a side has fewer than k distinct
+    values the sketch IS the exact distinct set.  Jaccard: take the k
+    smallest of the sketch union U_k; |U_k ∩ A ∩ B| / |U_k| is an
+    unbiased Jaccard estimate (the bottom-k of the union is a uniform
+    sample of the union).
+
+    All arithmetic is integer until the two final divisions, which the
+    SQL oracle mirrors in the same parse shape.  Returns one row:
+    ``(k, n_sketch_old, n_sketch_new, est_distinct_old,
+    est_distinct_new, est_jaccard)``.
+    """
+    a = _kmv(old, col, k, hash_fn).localCheckpoint(eager=True)
+    b = _kmv(new, col, k, hash_fn).localCheckpoint(eager=True)
+    u = a.union(b).distinct().orderBy("h").limit(k)
+    inter = u.join(a, "h", "left_semi").join(b, "h", "left_semi")
+
+    def side(s: DataFrame, tag: str) -> DataFrame:
+        est = F.when(
+            F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+        ).otherwise(
+            F.round(
+                F.lit(float(k - 1)) * F.lit(1152921504606846976.0)
+                / F.max("h").cast("double"),
+                6,
+            )
+        )
+        return s.agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_sketch_{tag}"),
+            est.alias(f"est_distinct_{tag}"),
+        )
+
+    ua = u.agg(F.count(F.lit(1)).alias("_nu"))
+    ia = inter.agg(F.count(F.lit(1)).alias("_ni"))
+    jac = F.when(
+        F.col("_nu") > 0,
+        F.round(F.col("_ni").cast("double") / F.col("_nu").cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        side(a, "old")
+        .crossJoin(side(b, "new"))
+        .crossJoin(ua)
+        .crossJoin(ia)
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            "n_sketch_old",
+            "n_sketch_new",
+            "est_distinct_old",
+            "est_distinct_new",
+            jac.alias("est_jaccard"),
+        )
+    )

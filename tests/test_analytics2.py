@@ -1229,3 +1229,92 @@ def test_hapax_stats_shared_vs_unique(spark):
     assert got[2]["n_hapax"] == 1 and got[2]["n_distinct_tokens"] == 4
     assert got[3]["n_distinct_tokens"] == 0
     assert got[3]["hapax_ratio"] is None
+
+
+def test_bfs_distances_components_and_cap(spark):
+    from pdf_to_epub_spark.operators import bfs_distances
+    import pytest as _pt
+
+    # a: 0->1->2->3 chain + shortcut 0->3; b: separate pair
+    edges = spark.createDataFrame(
+        [("a0", "a1"), ("a1", "a2"), ("a2", "a3"), ("a0", "a3"),
+         ("b0", "b1")],
+        "src_domain string, dst_domain string",
+    )
+    got = {r["domain"]: r["hops"] for r in
+           bfs_distances(edges, ["a0"]).collect()}
+    assert got == {"a0": 0, "a1": 1, "a2": 2, "a3": 1}
+    # max_hops truncates the wave but keeps what it reached
+    capped = {r["domain"]: r["hops"] for r in
+              bfs_distances(edges, ["a0"], max_hops=1).collect()}
+    assert capped == {"a0": 0, "a1": 1, "a3": 1}
+    # seed absent from the graph still reports hop 0
+    lone = {r["domain"]: r["hops"] for r in
+            bfs_distances(edges, ["zz"]).collect()}
+    assert lone == {"zz": 0}
+    with _pt.raises(ValueError):
+        bfs_distances(edges, [])
+
+
+def test_zorder_layout_prunes_clustered_predicate(spark):
+    from pdf_to_epub_spark.operators import zorder_layout
+
+    # y cycles 0..15 while x ascends: natural files all straddle the
+    # y-range, z-order files cluster it.
+    rows = [(i, i, (i * 7) % 16) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {r["layout"]: r for r in
+           zorder_layout(df, "x", "y", pred_lo=12, pred_hi=15,
+                         file_rows=25).collect()}
+    nat, zo = got["natural"], got["zorder"]
+    assert nat["n_rows"] == zo["n_rows"] == 400
+    assert nat["rows_matched"] == zo["rows_matched"] == 100
+    # every natural file straddles; zorder prunes most files
+    assert nat["files_scanned"] == nat["n_files"]
+    assert zo["files_scanned"] < zo["n_files"]
+    assert zo["rows_scanned"] < nat["rows_scanned"]
+    assert zo["prune_ratio"] > nat["prune_ratio"]
+
+
+def test_kmv_similarity_exact_small_and_identical(spark):
+    from pdf_to_epub_spark.operators import kmv_similarity
+
+    a = spark.createDataFrame([(f"u{i}",) for i in range(20)], "url string")
+    got = kmv_similarity(a, a, k=64).collect()[0]
+    # below-k sides: sketch IS the distinct set, jaccard exact 1.0
+    assert got["n_sketch_old"] == 20 and got["est_distinct_old"] == 20.0
+    assert got["est_jaccard"] == 1.0
+    b = spark.createDataFrame([(f"v{i}",) for i in range(20)], "url string")
+    disj = kmv_similarity(a, b, k=64).collect()[0]
+    assert disj["est_jaccard"] == 0.0
+    # above-k: estimate lands within ~35% of truth (k=64)
+    big = spark.createDataFrame([(f"w{i}",) for i in range(5000)],
+                                "url string")
+    est = kmv_similarity(big, big, k=64).collect()[0]
+    assert est["n_sketch_old"] == 64
+    assert 3000 <= est["est_distinct_old"] <= 8000
+    assert est["est_jaccard"] == 1.0
+
+
+def test_calibration_bins_exact_and_null_hygiene(spark):
+    from pdf_to_epub_spark.operators import calibration_bins
+
+    rows = (
+        [(0.1, False)] * 8 + [(0.1, True)] * 2   # bin 1: conf .1, pos .2
+        + [(0.95, True)] * 9 + [(0.95, False)]   # bin 9: conf .95, pos .9
+        + [(None, True), (0.5, None), (float("nan"), False)]
+    )
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    got = {r["bin"]: r for r in calibration_bins(df).collect()}
+    assert set(got) == {1, 9}
+    assert got[1]["n"] == 10 and got[1]["avg_conf"] == 0.1
+    assert got[1]["frac_pos"] == 0.2 and got[1]["gap"] == 0.1
+    assert got[9]["avg_conf"] == 0.95 and got[9]["frac_pos"] == 0.9
+    assert got[9]["gap"] == 0.05
+    # ece = (10*.1 + 10*.05)/20 = 0.075, same on both rows
+    assert got[1]["ece"] == got[9]["ece"] == 0.075
+    # score exactly 1.0 folds into the top bin
+    top = calibration_bins(
+        spark.createDataFrame([(1.0, True)], "score double, label boolean")
+    ).collect()
+    assert top[0]["bin"] == 9
