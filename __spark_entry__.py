@@ -5939,6 +5939,68 @@ def _q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys (analytics.session_paths, k=5, top 20) over
+    the events table — per-user time-ordered first-5 event-type path,
+    most common paths; tie-free (ts, event_id) ordering both engines."""
+    from pdf_to_epub_spark.operators import session_paths
+
+    e = _t(spark, sf_dir, "events")
+    return session_paths(e, k=5, top=20).select("path", "n_users")
+
+
+def _q_tracking_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-param cardinality audit (urls.tracking_params) over
+    residue-synthesized urls (constant utm_source, 20-value page,
+    per-url sid, valueless dbg flag every 5th) — construction oracle
+    checks the parse end-to-end."""
+    from pdf_to_epub_spark.operators import tracking_params
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    url = F.when(
+        i % 7 == 0,
+        F.concat(F.lit("https://s"), (i % 13).cast("string"),
+                 F.lit(".example/p/"), i.cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("https://s"), (i % 13).cast("string"),
+            F.lit(".example/p/"), i.cast("string"),
+            F.lit("?utm_source=feed&page="), (i % 20).cast("string"),
+            F.lit("&sid="), i.cast("string"),
+            F.when(i % 5 == 0, F.lit("&dbg")).otherwise(F.lit("")),
+        )
+    )
+    return tracking_params(d.select(url.alias("url"))).select(
+        "param", "n_urls", "n_distinct_values", "distinct_ratio", "is_tracking"
+    )
+
+
+def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI (sampling.bootstrap_ci, 32 replicates) on
+    mean n_chars — md5-seeded inverse-CDF weights, integer replicate
+    sums, exact-percentile interval; replays bit-for-bit in DuckDB."""
+    from pdf_to_epub_spark.operators import bootstrap_ci
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return bootstrap_ci(d, "n_chars", n_reps=32).select(
+        "n_rows", "n_reps", "mean", "ci_lo", "ci_hi"
+    )
+
+
+def _q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale burstiness + variance-to-mean ratio
+    (textstats.term_burstiness, top 30 by total tf) over the real
+    corpus text — zeros never materialize (Σtf/Σtf² integer algebra
+    + a 1-row N broadcast)."""
+    from pdf_to_epub_spark.operators import term_burstiness
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return term_burstiness(d, top=30).select(
+        "term", "doc_freq", "total_tf", "burstiness", "vmr"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -6033,6 +6095,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": _q_zorder_layout,
         "kmv_similarity": _q_kmv_similarity,
         "calibration_bins": _q_calibration_bins,
+        "session_paths": _q_session_paths,
+        "tracking_params": _q_tracking_params,
+        "bootstrap_ci": _q_bootstrap_ci,
+        "term_burstiness": _q_term_burstiness,
         "interleave_strata": _q_interleave_strata,
         "punct_profile": _q_punct_profile,
         "publish_dates": _q_publish_dates,
@@ -9024,6 +9090,101 @@ def oracle_sql() -> dict[str, str]:
                    round(ad::DOUBLE / (1e6 * n::DOUBLE), 6) + 0.0 AS gap,
                    ece
             FROM g, t
+        """,
+        "session_paths": """
+            WITH r AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events),
+            p AS (
+                SELECT user_id,
+                       string_agg(event_type, '>' ORDER BY rn) AS path
+                FROM r WHERE rn <= 5 GROUP BY user_id)
+            SELECT path, count(*)::BIGINT AS n_users
+            FROM p GROUP BY path
+            ORDER BY n_users DESC, path LIMIT 20
+        """,
+        "tracking_params": """
+            WITH d AS (
+                SELECT doc_id AS i FROM documents WHERE doc_id % 7 <> 0),
+            p AS (
+                SELECT 'utm_source' AS param, 'feed' AS v, i FROM d
+                UNION ALL SELECT 'page', (i % 20)::VARCHAR, i FROM d
+                UNION ALL SELECT 'sid', i::VARCHAR, i FROM d
+                UNION ALL SELECT 'dbg', NULL, i FROM d WHERE i % 5 = 0),
+            a AS (
+                SELECT param, count(*) AS n_urls, count(DISTINCT v) AS nd
+                FROM p GROUP BY param)
+            SELECT param, n_urls::BIGINT AS n_urls,
+                   nd::BIGINT AS n_distinct_values,
+                   round(nd::DOUBLE / n_urls::DOUBLE, 6) + 0.0
+                       AS distinct_ratio,
+                   (n_urls >= 5 AND nd::DOUBLE >= 0.5 * n_urls::DOUBLE)
+                       AS is_tracking
+            FROM a
+        """,
+        "bootstrap_ci": """
+            WITH reps AS (
+                SELECT unnest(generate_series(0, 31)) AS rep),
+            r AS (
+                SELECT rep,
+                       ('0x' || substr(md5(doc_id || ':' || rep), 1, 15))
+                           ::BIGINT::DOUBLE / 1152921504606846976.0 AS u,
+                       n_chars AS v
+                FROM documents, reps),
+            w AS (
+                SELECT rep, v,
+                       CASE WHEN u < 0.36787944117144233 THEN 0
+                            WHEN u < 0.7357588823428847 THEN 1
+                            WHEN u < 0.9196986029286058 THEN 2
+                            WHEN u < 0.9810118431238462 THEN 3
+                            WHEN u < 0.9963401531726563 THEN 4
+                            WHEN u < 0.9994058151824183 THEN 5
+                            ELSE 6 END AS w
+                FROM r),
+            m AS (
+                SELECT rep, sum(w * v) AS wv, sum(w) AS sw
+                FROM w GROUP BY rep),
+            mm AS (
+                SELECT wv::DOUBLE / sw::DOUBLE AS m FROM m WHERE sw > 0),
+            ci AS (
+                SELECT round(quantile_cont(m, 0.025), 6)::DOUBLE AS ci_lo,
+                       round(quantile_cont(m, 0.975), 6)::DOUBLE AS ci_hi,
+                       count(*)::INT AS n_reps
+                FROM mm),
+            f AS (
+                SELECT count(*) AS n_rows,
+                       round(sum(n_chars)::DOUBLE / count(*)::DOUBLE, 6)
+                           ::DOUBLE AS mean
+                FROM documents)
+            SELECT n_rows::BIGINT AS n_rows, n_reps, mean, ci_lo, ci_hi
+            FROM f, ci
+        """,
+        "term_burstiness": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(
+                           lower(text), '[a-zà-öø-ÿ]+')) AS term
+                FROM documents),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM toks GROUP BY doc_id, term),
+            per AS (
+                SELECT term, count(*) AS doc_freq, sum(tf) AS total_tf,
+                       sum(tf * tf) AS tf2
+                FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS nn FROM documents)
+            SELECT term, doc_freq::BIGINT AS doc_freq,
+                   total_tf::BIGINT AS total_tf,
+                   round(total_tf::DOUBLE / doc_freq::DOUBLE, 6) + 0.0
+                       AS burstiness,
+                   round((tf2::DOUBLE / nn::DOUBLE
+                          - (total_tf::DOUBLE / nn::DOUBLE)
+                            * (total_tf::DOUBLE / nn::DOUBLE))
+                         / (total_tf::DOUBLE / nn::DOUBLE), 6) + 0.0 AS vmr
+            FROM per, n
+            ORDER BY total_tf DESC, term LIMIT 30
         """,
         "zipf_fit": """
             WITH cnt AS (

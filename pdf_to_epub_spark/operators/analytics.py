@@ -598,3 +598,44 @@ def count_cusum(
             ).alias("norm_stat"),
         )
     )
+
+
+def session_paths(
+    events: DataFrame,
+    k: int = 5,
+    top: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top event paths: per user, the time-ordered sequence of the first
+    ``k`` event types joined with ``>`` — then the ``top`` most common
+    paths.  The "what do journeys through the corpus/crawl/product look
+    like" query behind funnel design (funnel_stages tests ONE path;
+    this surfaces which paths exist).
+
+    One groupBy per user (collect the (ts, id, type) structs, sort the
+    array in-projection — per-user event counts bound the array, the
+    same contract as funnel_stages), then a map-side-combined count per
+    path and a TakeOrderedAndProject top cut.  Ties at the boundary
+    break on the path string, so the cut is total-ordered and
+    engine-stable.
+
+    Returns ``(path, n_users)``, ``top`` rows, most common first.
+    """
+    per = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(ts_col), F.col(id_col), F.col(type_col)))
+        ).alias("_evs")
+    )
+    path = F.array_join(
+        F.transform(F.slice("_evs", 1, k), lambda e: e[type_col]), ">"
+    )
+    return (
+        per.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(top)
+    )

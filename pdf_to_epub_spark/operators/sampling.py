@@ -1066,3 +1066,87 @@ def threshold_for_rate(
             ),
         ).alias("achieved_rate"),
     )
+
+
+# cumulative Poisson(1) CDF — inverse-CDF thresholds for the hash-seeded
+# bootstrap weights.  P(X <= k) for k = 0..5; weights cap at 6.
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    n_reps: int = 32,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the corpus mean of a
+    column (Chamandy et al. 2012, "Estimating uncertainty for massive
+    data streams") — THE way to put error bars on a 100 TB metric,
+    because true resampling-with-replacement needs global coordination
+    while Poisson(1) weights are independent per (row, replicate) and
+    stream map-side.
+
+    Weights are drawn by inverse-CDF lookup on a deterministic
+    md5-60 uniform from ``hash(id:rep)`` — no RNG state, so any
+    replicate is reproducible on any cluster layout and the SQL oracle
+    replays bit-for-bit.  Each row explodes into ``n_reps`` (replicate,
+    weight) pairs (a literal-sequence generator — nothing for
+    InferFiltersFromGenerate to re-inline); per-replicate sums ride
+    exact integer accumulators when the value column is integral, and
+    the CI is the exact-percentile pair over the ``n_reps``-row
+    replicate-mean table.
+
+    Returns one row: ``(n_rows, n_reps, mean, ci_lo, ci_hi)`` at the
+    ``alpha/2 .. 1-alpha/2`` percentiles, 6 dp.
+    """
+    lo_q = round(alpha / 2.0, 12)
+    hi_q = round(1.0 - alpha / 2.0, 12)
+    u = (
+        md5_hash60(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit(":"), F.col("rep").cast("string")
+            )
+        ).cast("double")
+        / F.lit(1152921504606846976.0)
+    )
+    w = F.lit(6)
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    reps = (
+        df.select(
+            F.col(id_col), F.col(value_col).cast("long").alias("v"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("rep"),
+        )
+        .select("rep", "v", w.alias("w"))
+        .groupBy("rep")
+        .agg(
+            F.sum(F.col("w") * F.col("v")).alias("_wv"),
+            F.sum("w").alias("_w"),
+        )
+        .where(F.col("_w") > 0)
+        .select((F.col("_wv").cast("double") / F.col("_w").cast("double")).alias("m"))
+    )
+    ci = reps.agg(
+        F.round(F.expr(f"percentile(m, {lo_q})"), 6).alias("ci_lo"),
+        F.round(F.expr(f"percentile(m, {hi_q})"), 6).alias("ci_hi"),
+        F.count(F.lit(1)).cast("int").alias("n_reps"),
+    )
+    full = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(
+            F.sum(F.col(value_col).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean"),
+    )
+    return full.crossJoin(F.broadcast(ci)).select(
+        "n_rows", "n_reps", "mean", "ci_lo", "ci_hi"
+    )

@@ -2430,3 +2430,58 @@ def hapax_stats(
             "hapax_ratio"
         ),
     )
+
+
+def term_burstiness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: int = 30,
+) -> DataFrame:
+    """Term burstiness (Church & Gale 1995): content words clump — given
+    one occurrence, more follow in the same document — while function
+    words spread evenly.  Two exact statistics per term: ``burstiness``
+    = mean tf among documents containing it (Σtf / df) and the
+    variance-to-mean ratio over ALL documents including zeros (VMR = 1
+    for Poisson scatter, ≫ 1 for topical terms).  This separates
+    template/boilerplate vocabulary (even scatter) from content terms —
+    a signal the template-strip and quality gates consume.
+
+    Zeros never materialize: VMR needs only Σtf, Σtf² (exact integer
+    aggregates over the (term, doc) tf table) and the corpus doc count
+    N (a 1-row broadcast).  One (doc, term) shuffle + one term shuffle;
+    the ``top``-by-Σtf cut is TakeOrderedAndProject with the term
+    string breaking boundary ties.
+
+    Returns ``(term, doc_freq, total_tf, burstiness, vmr)``, ``top``
+    rows by total_tf.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode_outer(_tokens(text_col)).alias("term")
+    ).where(F.col("term").isNotNull())
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    per = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("_tf2"),
+    )
+    n = df.agg(F.count(F.lit(1)).alias("_n"))
+    p = per.crossJoin(F.broadcast(n))
+    mu = F.col("total_tf").cast("double") / F.col("_n").cast("double")
+    ex2 = F.col("_tf2").cast("double") / F.col("_n").cast("double")
+    return (
+        p.select(
+            "term", "doc_freq", "total_tf",
+            (
+                F.round(
+                    F.col("total_tf").cast("double")
+                    / F.col("doc_freq").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("burstiness"),
+            (F.round((ex2 - mu * mu) / mu, 6) + F.lit(0.0)).alias("vmr"),
+        )
+        .orderBy(F.desc("total_tf"), F.asc("term"))
+        .limit(top)
+    )

@@ -2358,3 +2358,57 @@ def bfs_distances(
         visited = visited.union(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited.select("domain", F.col("hops").cast("int").alias("hops"))
+
+
+def tracking_params(
+    pages: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 5,
+    card_threshold: float = 0.5,
+) -> DataFrame:
+    """Query-parameter cardinality audit: which URL params look like
+    per-visit tracking tokens (``sid``, ``utm_*`` ids — near-distinct
+    values per occurrence) vs content-bearing params (``page`` — few
+    values)?  This drives url_canonical's strip-list the data-driven
+    way instead of a hand-curated blocklist: a param whose value is
+    distinct on (almost) every URL cannot identify content, so
+    stripping it merges duplicate pages.
+
+    One explode of the split param array (explode_outer + null filter —
+    the InferFiltersFromGenerate hygiene every lambda/split explode in
+    this repo keeps) and one groupBy per param key.  count_distinct is
+    exact here for the oracle; at 100 TB swap approx_count_distinct —
+    the verdict only needs "high vs low cardinality".
+
+    Returns ``(param, n_urls, n_distinct_values, distinct_ratio,
+    is_tracking)`` — valueless params (``?dbg&x=1``) count with NULL
+    values (NULL value rows count toward n_urls, not distinct values).
+    """
+    query = F.get(F.split(F.split(F.col(url_col), "#", 2).getItem(0), r"\?", 2), 1)
+    d = pages.select(F.explode_outer(F.split(query, "&")).alias("p")).where(
+        F.col("p").isNotNull() & (F.col("p") != "")
+    )
+    eq = F.instr(F.col("p"), "=")
+    d = d.select(
+        F.when(eq > 0, F.expr("substring(p, 1, instr(p, '=') - 1)"))
+        .otherwise(F.col("p"))
+        .alias("param"),
+        F.when(eq > 0, F.expr("substring(p, instr(p, '=') + 1)")).alias("v"),
+    )
+    agg = d.groupBy("param").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.count_distinct(F.col("v")).cast("long").alias("n_distinct_values"),
+    )
+    ratio = F.round(
+        F.col("n_distinct_values").cast("double") / F.col("n_urls").cast("double"),
+        6,
+    ) + F.lit(0.0)
+    return agg.select(
+        "param", "n_urls", "n_distinct_values",
+        ratio.alias("distinct_ratio"),
+        (
+            (F.col("n_urls") >= min_urls)
+            & (F.col("n_distinct_values").cast("double")
+               >= F.lit(card_threshold) * F.col("n_urls").cast("double"))
+        ).alias("is_tracking"),
+    )

@@ -1318,3 +1318,77 @@ def test_calibration_bins_exact_and_null_hygiene(spark):
         spark.createDataFrame([(1.0, True)], "score double, label boolean")
     ).collect()
     assert top[0]["bin"] == 9
+
+
+def test_session_paths_order_and_truncation(spark):
+    from datetime import datetime
+    from pdf_to_epub_spark.operators import session_paths
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: 3 events; same-ts tie broken by event_id
+        (1, 1, t0, "signup"), (2, 1, t0, "view"), (3, 1, datetime(2024, 1, 2), "purchase"),
+        # user 2: same path
+        (4, 2, t0, "signup"), (5, 2, datetime(2024, 1, 3), "view"),
+        (6, 2, datetime(2024, 1, 4), "purchase"),
+        # user 3: 7 events, truncated at k=5
+        *[(7 + j, 3, datetime(2024, 1, 1 + j), "view") for j in range(7)],
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = {r["path"]: r["n_users"] for r in session_paths(df, k=5).collect()}
+    assert got["signup>view>purchase"] == 2
+    assert got["view>view>view>view>view"] == 1
+
+
+def test_tracking_params_parse_edges(spark):
+    from pdf_to_epub_spark.operators import tracking_params
+
+    df = spark.createDataFrame(
+        [
+            ("https://a.example/p?sid=1&x=a%3Db#frag",),   # fragment stripped
+            ("https://a.example/p?sid=2&flag",),            # valueless param
+            ("https://a.example/p?sid=3&x=a=b",),           # '=' in value
+            ("https://a.example/plain",),                    # no query at all
+            ("https://a.example/p?sid=1",),                  # repeated value
+        ],
+        "url string",
+    )
+    got = {r["param"]: r for r in
+           tracking_params(df, min_urls=3, card_threshold=0.6).collect()}
+    assert set(got) == {"sid", "x", "flag"}
+    assert got["sid"]["n_urls"] == 4 and got["sid"]["n_distinct_values"] == 3
+    assert got["sid"]["is_tracking"]
+    # flag has no '=': NULL value, zero distinct
+    assert got["flag"]["n_distinct_values"] == 0
+    # x keeps everything after the FIRST '='
+    assert got["x"]["n_distinct_values"] == 2
+    assert not got["x"]["is_tracking"]
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from pdf_to_epub_spark.operators import bootstrap_ci
+
+    df = spark.createDataFrame(
+        [(i, 100 + (i * 17) % 50) for i in range(500)], "doc_id long, v long")
+    a = bootstrap_ci(df, "v", n_reps=32).collect()[0]
+    b = bootstrap_ci(df, "v", n_reps=32).collect()[0]
+    assert a == b                       # hash-seeded: fully reproducible
+    assert a["n_rows"] == 500 and a["n_reps"] == 32
+    assert a["ci_lo"] <= a["mean"] <= a["ci_hi"]
+    # interval is tight for 500 rows of a ~±25 spread
+    assert a["ci_hi"] - a["ci_lo"] < 10
+
+
+def test_term_burstiness_separates_clumped_from_even(spark):
+    from pdf_to_epub_spark.operators import term_burstiness
+
+    # "even" once in every doc; "clump" 5x in two docs only
+    rows = [(i, "even " + ("clump " * 5 if i < 2 else "")) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["term"]: r for r in term_burstiness(df).collect()}
+    assert got["even"]["burstiness"] == 1.0
+    assert got["even"]["vmr"] == 0.0          # constant 1 everywhere
+    assert got["clump"]["burstiness"] == 5.0
+    assert got["clump"]["vmr"] > 1.0           # clumped
+    assert got["clump"]["doc_freq"] == 2 and got["clump"]["total_tf"] == 10
