@@ -6001,6 +6001,25 @@ def _q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pdf_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF /Outlines bookmark extraction (sources/pdf.py
+    extract_pdf_outline via parse_pdf_outlines mapInArrow): documents
+    rendered as real PDFs with a synthesized nested bookmark tree
+    (root → Part p → Detail p on even parts), parsed back by walking
+    First/Next/Dest — the PDF-native TOC the chapter assembly prefers
+    over font-size heuristics.  The oracle reconstructs (seq, level,
+    title, page) from the word-count page math alone."""
+    from pdf_to_epub_spark.sources.pdf import (
+        documents_as_outlined_pdfs,
+        parse_pdf_outlines,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return parse_pdf_outlines(documents_as_outlined_pdfs(d)).select(
+        "doc_id", "seq", "level", "title", "page"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -6099,6 +6118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tracking_params": _q_tracking_params,
         "bootstrap_ci": _q_bootstrap_ci,
         "term_burstiness": _q_term_burstiness,
+        "pdf_outline": _q_pdf_outline,
         "interleave_strata": _q_interleave_strata,
         "punct_profile": _q_punct_profile,
         "publish_dates": _q_publish_dates,
@@ -9185,6 +9205,33 @@ def oracle_sql() -> dict[str, str]:
                          / (total_tf::DOUBLE / nn::DOUBLE), 6) + 0.0 AS vmr
             FROM per, n
             ORDER BY total_tf DESC, term LIMIT 30
+        """,
+        "pdf_outline": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NULL OR text = '' THEN 0
+                            ELSE len(string_split(text, ' ')) END AS nw
+                FROM documents),
+            pg AS (
+                SELECT doc_id,
+                       ((1 + (nw + 7) // 8) + 5) // 6 AS np
+                FROM d),
+            parts AS (
+                SELECT doc_id, unnest(generate_series(1, np - 1)) AS p
+                FROM pg),
+            rows_ AS (
+                SELECT doc_id, 0 AS seq, 0 AS level,
+                       'Document ' || doc_id AS title, 0 AS page
+                FROM pg
+                UNION ALL
+                SELECT doc_id, p + (p - 1) // 2, 1, 'Part ' || p, p
+                FROM parts
+                UNION ALL
+                SELECT doc_id, p + (p - 1) // 2 + 1, 2, 'Detail ' || p, p
+                FROM parts WHERE p % 2 = 0)
+            SELECT doc_id, seq::INT AS seq, level::INT AS level, title,
+                   page::INT AS page
+            FROM rows_
         """,
         "zipf_fit": """
             WITH cnt AS (

@@ -68,12 +68,74 @@ def _string_token(s: str) -> bytes:
         return b"<FEFF" + s.encode("utf-16-be").hex().upper().encode("ascii") + b">"
 
 
-def make_pdf_bytes(pages: list[list[tuple[float, float, float, str]]]) -> bytes:
+def _outline_bodies(
+    outline: list[tuple[int, str, int]],
+    page_ids: list[int],
+    root_id: int,
+) -> list[bytes]:
+    """Object bodies for the /Outlines tree: the root dict followed by one
+    item per outline row (object ids ``root_id .. root_id + len``).
+    Parents come from the classic level-stack walk over the document-order
+    sequence; Count is the open descendant count (all nodes open)."""
+    n = len(outline)
+    ids = [root_id + 1 + j for j in range(n)]
+    parents: list[int] = []
+    stack: list[int] = []  # outline indices
+    for j, (lvl, _t, _p) in enumerate(outline):
+        while stack and outline[stack[-1]][0] >= lvl:
+            stack.pop()
+        parents.append(ids[stack[-1]] if stack else root_id)
+        stack.append(j)
+    kids: dict[int, list[int]] = {}
+    for j in range(n):
+        kids.setdefault(parents[j], []).append(j)
+
+    def descendants(pid: int) -> int:
+        return sum(1 + descendants(ids[j]) for j in kids.get(pid, []))
+
+    bodies = [
+        b"<< /Type /Outlines /First %d 0 R /Last %d 0 R /Count %d >>"
+        % (ids[kids[root_id][0]], ids[kids[root_id][-1]], n)
+    ]
+    for j, (lvl, title, page_idx) in enumerate(outline):
+        if not 0 <= page_idx < len(page_ids):
+            raise ValueError(f"outline dest page {page_idx} out of range")
+        sibs = kids[parents[j]]
+        at = sibs.index(j)
+        parts = [
+            b"<< /Title " + _string_token(title),
+            b"/Parent %d 0 R" % parents[j],
+            b"/Dest [%d 0 R /XYZ 0 792 0]" % page_ids[page_idx],
+        ]
+        if at > 0:
+            parts.append(b"/Prev %d 0 R" % ids[sibs[at - 1]])
+        if at + 1 < len(sibs):
+            parts.append(b"/Next %d 0 R" % ids[sibs[at + 1]])
+        ch = kids.get(ids[j])
+        if ch:
+            parts.append(
+                b"/First %d 0 R /Last %d 0 R /Count %d"
+                % (ids[ch[0]], ids[ch[-1]], descendants(ids[j]))
+            )
+        bodies.append(b" ".join(parts) + b" >>")
+    return bodies
+
+
+def make_pdf_bytes(
+    pages: list[list[tuple[float, float, float, str]]],
+    outline: list[tuple[int, str, int]] | None = None,
+) -> bytes:
     """Serialize pages of (x, y, font_size, text) blocks as a valid PDF 1.4
     file: catalog → page tree → per-page FlateDecode content streams, one
     ``BT/Tf/Td/Tj/ET`` group per block, correct xref offsets.  Blocks are
     written in the LIST order given (pass a scrambled list to exercise
-    reading-order reconstruction downstream)."""
+    reading-order reconstruction downstream).
+
+    ``outline`` — optional document bookmarks as ``(level, title,
+    page_index)`` rows in document order (nesting implied by the level
+    sequence, levels start at 0): emitted as the spec's /Outlines tree
+    (First/Last/Prev/Next/Parent/Count, /Dest [page /XYZ]).  ``None``
+    keeps the output byte-identical to the pre-outline writer."""
     objs: list[bytes] = []  # 1-indexed
 
     def add(body: bytes) -> int:
@@ -83,7 +145,13 @@ def make_pdf_bytes(pages: list[list[tuple[float, float, float, str]]]) -> bytes:
     n_pages = len(pages)
     font_id = 3 + 2 * n_pages
     page_ids = [3 + 2 * i for i in range(n_pages)]
-    add(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    if outline:
+        root_id = font_id + 1
+        add(
+            b"<< /Type /Catalog /Pages 2 0 R /Outlines %d 0 R >>" % root_id
+        )  # 1
+    else:
+        add(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
     kids = b" ".join(b"%d 0 R" % p for p in page_ids)
     add(
         b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
@@ -113,6 +181,9 @@ def make_pdf_bytes(pages: list[list[tuple[float, float, float, str]]]) -> bytes:
             + b"\nendstream"
         )
     add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    if outline:
+        for body in _outline_bodies(outline, page_ids, font_id + 1):
+            add(body)
 
     out = io.BytesIO()
     out.write(b"%PDF-1.4\n")
@@ -566,6 +637,14 @@ def doc_to_pdf(doc_id: int, text: str) -> bytes:
     reading-order stage must recover the layout from coordinates.  The
     whole mapping is replayable in SQL (words → 1-based line windows), so
     the round-trip is oracle-checkable end-to-end."""
+    return make_pdf_bytes(_doc_pages(doc_id, text))
+
+
+def _doc_pages(
+    doc_id: int, text: str
+) -> list[list[tuple[float, float, float, str]]]:
+    """The deterministic page/block layout behind doc_to_pdf (shared with
+    the outlined variant)."""
     words = text.split(" ") if text else []
     lines = ["Document %d" % doc_id] + [
         " ".join(words[i : i + WORDS_PER_LINE])
@@ -581,7 +660,7 @@ def doc_to_pdf(doc_id: int, text: str) -> bytes:
         rng = random.Random((doc_id << 8) ^ (p0 // LINES_PER_PAGE))
         rng.shuffle(blocks)
         pages.append(blocks)
-    return make_pdf_bytes(pages)
+    return pages
 
 
 def documents_as_pdfs(
@@ -598,6 +677,210 @@ def documents_as_pdfs(
     def render(ids, texts):
         return pd.Series(
             [doc_to_pdf(int(i), t or "") for i, t in zip(ids, texts)]
+        )
+
+    return docs.select(
+        F.col(id_col), render(F.col(id_col), F.col(text_col)).alias("pdf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outline (/Outlines bookmark tree) extraction
+# ---------------------------------------------------------------------------
+
+_STRING_TOK_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>")
+
+
+def _title_after(body: bytes) -> str | None:
+    """Decode the string token following ``/Title`` (literal or hex)."""
+    at = body.find(b"/Title")
+    if at == -1:
+        return None
+    m = _STRING_TOK_RE.search(body, at + 6)
+    if not m:
+        return None
+    tok = m.group(0)
+    if tok.startswith(b"("):
+        return _unescape_literal(tok)
+    hx = re.sub(rb"\s", b"", tok[1:-1])
+    if len(hx) % 2:
+        hx += b"0"
+    return _decode_pdf_string(bytes.fromhex(hx.decode("ascii")))
+
+
+def _ref_after(body: bytes, key: bytes) -> int | None:
+    m = re.search(re.escape(key) + rb"\s+(\d+)\s+\d+\s+R", body)
+    return int(m.group(1)) if m else None
+
+
+def extract_pdf_outline(raw: bytes) -> list[tuple[int, str, int | None]]:
+    """Walk the document's /Outlines bookmark tree → ``(level, title,
+    page_index)`` rows in document order (depth-first, siblings by
+    /Next) — the PDF-native table of contents the chapter-assembly stage
+    wants BEFORE falling back to font-size heading heuristics.  Returns
+    ``[]`` when the file carries no outline; page_index is None for items
+    whose /Dest is missing or doesn't resolve to a page.  Cycle-guarded
+    (malformed /Next loops terminate, visited items are skipped)."""
+    objects = _parse_objects(raw)
+    catalog = next(
+        (
+            body
+            for body, _s in objects.values()
+            if re.search(rb"/Type\s*/Catalog\b", body)
+        ),
+        None,
+    )
+    if catalog is None:
+        return []
+    root_id = _ref_after(catalog, b"/Outlines")
+    if root_id is None or root_id not in objects:
+        return []
+    pages_body = next(
+        (
+            body
+            for body, _s in objects.values()
+            if re.search(rb"/Type\s*/Pages\b", body)
+        ),
+        None,
+    )
+    page_index: dict[int, int] = {}
+    if pages_body is not None:
+        mk = re.search(rb"/Kids\s*\[(.*?)\]", pages_body, re.S)
+        if mk:
+            for i, pm in enumerate(_REF_RE.finditer(mk.group(1))):
+                page_index[int(pm.group(1))] = i
+
+    out: list[tuple[int, str, int | None]] = []
+    seen: set[int] = set()
+
+    def walk(item_id: int | None, level: int) -> None:
+        while item_id is not None and item_id not in seen and len(out) < 100000:
+            seen.add(item_id)
+            entry = objects.get(item_id)
+            if entry is None:
+                return
+            body = entry[0]
+            title = _title_after(body)
+            dest = re.search(rb"/Dest\s*\[\s*(\d+)\s+\d+\s+R", body)
+            page = page_index.get(int(dest.group(1))) if dest else None
+            out.append((level, title or "", page))
+            first = _ref_after(body, b"/First")
+            if first is not None:
+                walk(first, level + 1)
+            item_id = _ref_after(body, b"/Next")
+
+    walk(_ref_after(objects[root_id][0], b"/First"), 0)
+    return out
+
+
+PDF_OUTLINE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("seq", IntegerType()),
+        StructField("level", IntegerType()),
+        StructField("title", StringType()),
+        StructField("page", IntegerType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def parse_pdf_outlines(
+    df: DataFrame, payload_col: str = "pdf", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pdf: binary) rows → one row per outline/bookmark entry with
+    its document-order ``seq`` and nesting ``level`` — Arrow-batched,
+    narrow, no shuffle.  Error isolation mirrors parse_pdf_payloads:
+    undecodable payloads yield a ``status='unsupported'`` marker row,
+    crashes ``'error'``, an outline-less file ``'none'`` — every input
+    doc is accounted for."""
+    import pyarrow as pa
+
+    def batches(it):
+        for b in it:
+            ids, seqs, levels, titles, pgs, statuses = [], [], [], [], [], []
+
+            def marker(doc_id, status):
+                ids.append(doc_id)
+                seqs.append(None)
+                levels.append(None)
+                titles.append(None)
+                pgs.append(None)
+                statuses.append(status)
+
+            for doc_id, payload in zip(
+                b.column(0).to_pylist(), b.column(1).to_pylist()
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    entries = extract_pdf_outline(raw)
+                except UnsupportedPdf:
+                    marker(doc_id, "unsupported")
+                    continue
+                except Exception:  # noqa: BLE001 — isolate, don't kill the task
+                    marker(doc_id, "error")
+                    continue
+                if not entries:
+                    marker(doc_id, "none")
+                    continue
+                for seq, (level, title, page) in enumerate(entries):
+                    ids.append(doc_id)
+                    seqs.append(seq)
+                    levels.append(level)
+                    titles.append(title)
+                    pgs.append(page)
+                    statuses.append("ok")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(seqs, pa.int32()),
+                    pa.array(levels, pa.int32()),
+                    pa.array(titles, pa.string()),
+                    pa.array(pgs, pa.int32()),
+                    pa.array(statuses, pa.string()),
+                ],
+                names=[f.name for f in PDF_OUTLINE_SCHEMA.fields],
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInArrow(
+        batches, PDF_OUTLINE_SCHEMA
+    )
+
+
+def doc_outline(doc_id: int, text: str) -> list[tuple[int, str, int]]:
+    """Deterministic bookmark synth for a documents-table row: a level-0
+    root entry on page 0, a level-1 "Part p" per further page, a level-2
+    "Detail p" under every even Part — replayable in SQL from the word
+    count alone (same page math as doc_to_pdf)."""
+    words = text.split(" ") if text else []
+    n_lines = 1 + (len(words) + WORDS_PER_LINE - 1) // WORDS_PER_LINE
+    n_pages = (n_lines + LINES_PER_PAGE - 1) // LINES_PER_PAGE
+    entries = [(0, "Document %d" % doc_id, 0)]
+    for p in range(1, n_pages):
+        entries.append((1, "Part %d" % p, p))
+        if p % 2 == 0:
+            entries.append((2, "Detail %d" % p, p))
+    return entries
+
+
+def documents_as_outlined_pdfs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """documents → (doc_id, pdf: binary) with the synthesized /Outlines
+    tree attached, Arrow-batched."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def render(ids, texts):
+        return pd.Series(
+            [
+                make_pdf_bytes(
+                    _doc_pages(int(i), t or ""), doc_outline(int(i), t or "")
+                )
+                for i, t in zip(ids, texts)
+            ]
         )
 
     return docs.select(

@@ -277,3 +277,78 @@ def test_coordinate_ties_break_by_content_order(spark):
     ordered = blocks_in_reading_order(parse_pdf_payloads(docs))
     got = [r["text"] for r in ordered.orderBy("block_id").collect()]
     assert got == ["first", "second"]
+
+
+def test_outline_roundtrip_and_backcompat():
+    from pdf_to_epub_spark.sources.pdf import (
+        _doc_pages, doc_outline, doc_to_pdf, extract_pdf_blocks,
+        extract_pdf_outline, make_pdf_bytes)
+
+    text = " ".join(f"w{i}" for i in range(200))
+    # no outline: parser returns [], blocks unchanged
+    plain = doc_to_pdf(7, text)
+    assert extract_pdf_outline(plain) == []
+    ol = doc_outline(7, text)
+    raw = make_pdf_bytes(_doc_pages(7, text), ol)
+    assert extract_pdf_outline(raw) == ol
+    # attaching an outline does not perturb text extraction
+    assert extract_pdf_blocks(raw) == extract_pdf_blocks(plain)
+
+
+def test_outline_nesting_unicode_and_level_jumps():
+    from pdf_to_epub_spark.sources.pdf import (
+        extract_pdf_outline, make_pdf_bytes)
+
+    pages = [[(72.0, 700.0, 11.0, "x")] for _ in range(4)]
+    tricky = [
+        (0, "Räksmörgås — 中文", 0),    # UTF-16BE hex title
+        (1, "a", 1),
+        (2, "b", 2),
+        (2, "c (paren) \\ back", 3),    # escaped literal
+        (0, "z", 3),                     # level drop back to root
+    ]
+    assert extract_pdf_outline(make_pdf_bytes(pages, tricky)) == tricky
+
+
+def test_outline_cycle_and_bad_dest_are_survivable():
+    import re
+    from pdf_to_epub_spark.sources.pdf import (
+        extract_pdf_outline, make_pdf_bytes)
+
+    pages = [[(72.0, 700.0, 11.0, "x")]]
+    raw = make_pdf_bytes(pages, [(0, "a", 0), (0, "b", 0)])
+    # corrupt item b's /Next to point back at item a -> cycle must stop
+    # items are objects 6 (root), 7 (a), 8 (b) for a 1-page doc
+    looped = raw.replace(
+        b"/Parent 6 0 R /Dest [3 0 R /XYZ 0 792 0] /Prev 7 0 R >>",
+        b"/Parent 6 0 R /Dest [3 0 R /XYZ 0 792 0] /Prev 7 0 R /Next 7 0 R >>",
+    )
+    assert looped != raw
+    got = extract_pdf_outline(looped)
+    assert [t for _l, t, _p in got] == ["a", "b"]
+    # a dest pointing at a non-page object id -> page None, no crash
+    bad = re.sub(rb"/Dest \[3 0 R", rb"/Dest [99 0 R", raw, count=1)
+    got2 = extract_pdf_outline(bad)
+    assert got2[0][2] is None and got2[1][2] == 0
+
+
+def test_parse_pdf_outlines_marker_rows(spark):
+    from pdf_to_epub_spark.sources.pdf import (
+        doc_to_pdf, make_pdf_bytes, parse_pdf_outlines)
+
+    pages = [[(72.0, 700.0, 11.0, "x")]]
+    ok = make_pdf_bytes(pages, [(0, "a", 0)])
+    rows = spark.createDataFrame(
+        [
+            (1, bytearray(ok)),
+            (2, bytearray(doc_to_pdf(2, "no outline here"))),
+            (3, bytearray(b"not a pdf at all")),
+            (4, None),
+        ],
+        "doc_id long, pdf binary",
+    )
+    got = {r["doc_id"]: r for r in parse_pdf_outlines(rows).collect()}
+    assert got[1]["status"] == "ok" and got[1]["title"] == "a"
+    assert got[2]["status"] == "none"
+    assert got[3]["status"] == "unsupported"
+    assert got[4]["status"] == "unsupported"
