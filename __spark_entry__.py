@@ -6020,6 +6020,19 @@ def _q_pdf_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization audit (similarity.embedding_quantize) over the
+    embeddings table — nano-unit integer error accumulators make every
+    per-vector statistic order-independent and DuckDB-replayable
+    (list_transform with the index lambda mirrors zip_with)."""
+    from pdf_to_epub_spark.operators import embedding_quantize
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return embedding_quantize(e).select(
+        "vec_id", "n_dims", "scale_nano", "max_q", "mae_nano", "rel_err"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -6119,6 +6132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": _q_bootstrap_ci,
         "term_burstiness": _q_term_burstiness,
         "pdf_outline": _q_pdf_outline,
+        "embedding_quantize": _q_embedding_quantize,
         "interleave_strata": _q_interleave_strata,
         "punct_profile": _q_punct_profile,
         "publish_dates": _q_publish_dates,
@@ -9232,6 +9246,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, seq::INT AS seq, level::INT AS level, title,
                    page::INT AS page
             FROM rows_
+        """,
+        "embedding_quantize": """
+            WITH s AS (
+                SELECT vec_id, embedding,
+                       len(embedding) AS n_dims,
+                       list_max(list_transform(
+                           embedding, x -> abs(x::DOUBLE))) AS sc
+                FROM embeddings),
+            q AS (
+                SELECT vec_id, embedding, n_dims, sc,
+                       CASE WHEN sc > 0 THEN list_transform(
+                           embedding,
+                           x -> least(127.0, greatest(-127.0,
+                               round(x::DOUBLE / sc * 127.0, 0)))::INT)
+                       END AS qs
+                FROM s),
+            e AS (
+                SELECT vec_id, n_dims, sc, qs,
+                       CASE WHEN sc > 0 THEN list_transform(
+                           embedding,
+                           (x, i) -> round((x::DOUBLE
+                               - qs[i]::DOUBLE * sc / 127.0) * 1e9,
+                               0)::BIGINT)
+                       END AS err,
+                       CASE WHEN sc > 0 THEN list_sum(list_transform(
+                           embedding,
+                           x -> round(abs(x::DOUBLE) * 1e9, 0)::BIGINT))
+                       END AS sav
+                FROM q),
+            g AS (
+                SELECT vec_id, n_dims,
+                       CASE WHEN sc > 0
+                            THEN round(sc * 1e9, 0)::BIGINT END AS scale_nano,
+                       CASE WHEN sc > 0 THEN list_max(qs) END AS max_q,
+                       CASE WHEN sc > 0 THEN list_sum(
+                           list_transform(err, x -> abs(x)))
+                       END AS mae_nano,
+                       sav
+                FROM e)
+            SELECT vec_id, n_dims::INT AS n_dims, scale_nano,
+                   max_q::INT AS max_q, mae_nano::BIGINT AS mae_nano,
+                   CASE WHEN sav > 0 THEN
+                       round(mae_nano::DOUBLE / sav::DOUBLE, 6) + 0.0
+                   END AS rel_err
+            FROM g
         """,
         "zipf_fit": """
             WITH cnt AS (

@@ -866,3 +866,87 @@ def pca_top_component(
     if len(nz) and v[nz[0]] < 0:
         v = -v
     return lam, [float(x) for x in v]
+
+
+def embedding_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 quantization audit for an embedding column: per
+    vector, the max-abs scale, the int8 codes' reconstruction error —
+    "can this corpus ship 4× smaller vectors without hurting ANN?"
+    answered before rewriting 100 TB of float32.  (The codes themselves
+    are a projection away; this operator reports the decision signals.)
+
+    q_i = clamp(round(v_i / s · 127), ±127) with s = max|v_i|; the audit
+    numbers ride EXACT integer accumulators — per-dimension errors are
+    half-away-rounded to nano units before the fold, so sums are
+    order-independent and the SQL oracle replays them bit-for-bit (the
+    same contract as embedding_moments_nano).  All element-wise HOFs, no
+    shuffle, no Python.
+
+    Returns ``(vec_id, n_dims, scale_nano, max_q, mae_nano, rel_err)``
+    — rel_err = Σ|err| / Σ|v| (6 dp); zero/empty vectors report NULL
+    scale/rel_err.
+    """
+    v = F.col(vec_col)
+    s = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    d = df.select(
+        F.col(id_col), v.alias("_v"), s.alias("_s"),
+        F.size(v).alias("n_dims"),
+    )
+    ok = F.col("_s").isNotNull() & (F.col("_s") > 0)
+    q = F.transform(
+        F.col("_v"),
+        lambda x: F.least(
+            F.lit(127.0),
+            F.greatest(
+                F.lit(-127.0),
+                F.round(x.cast("double") / F.col("_s") * F.lit(127.0), 0),
+            ),
+        ).cast("int"),
+    )
+    d = d.select(
+        F.col(id_col), "_v", "_s", "n_dims",
+        F.when(ok, q).alias("_q"),
+    )
+    err = F.zip_with(
+        F.col("_v"),
+        F.col("_q"),
+        lambda x, qq: F.round(
+            (
+                x.cast("double")
+                - qq.cast("double") * F.col("_s") / F.lit(127.0)
+            )
+            * F.lit(1e9),
+            0,
+        ).cast("long"),
+    )
+    zero = F.lit(0).cast("long")
+    mae = F.aggregate(err, zero, lambda acc, x: acc + F.abs(x))
+    sum_abs_v = F.aggregate(
+        F.col("_v"),
+        zero,
+        lambda acc, x: acc
+        + F.round(F.abs(x.cast("double")) * F.lit(1e9), 0).cast("long"),
+    )
+    out = d.select(
+        F.col(id_col), "n_dims",
+        F.when(ok, F.round(F.col("_s") * F.lit(1e9), 0).cast("long"))
+        .alias("scale_nano"),
+        F.when(ok, F.array_max(F.col("_q"))).alias("max_q"),
+        F.when(ok, mae).alias("mae_nano"),
+        F.when(ok, sum_abs_v).alias("_sav"),
+    )
+    rel = F.when(
+        F.col("_sav") > 0,
+        F.round(
+            F.col("mae_nano").cast("double") / F.col("_sav").cast("double"), 6
+        )
+        + F.lit(0.0),
+    )
+    return out.select(
+        id_col, "n_dims", "scale_nano", "max_q", "mae_nano",
+        rel.alias("rel_err"),
+    )

@@ -1392,3 +1392,27 @@ def test_term_burstiness_separates_clumped_from_even(spark):
     assert got["clump"]["burstiness"] == 5.0
     assert got["clump"]["vmr"] > 1.0           # clumped
     assert got["clump"]["doc_freq"] == 2 and got["clump"]["total_tf"] == 10
+
+
+def test_embedding_quantize_exact_and_degenerate(spark):
+    from pdf_to_epub_spark.operators import embedding_quantize
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25]),     # clean power-of-two ratios
+            (2, [0.0, 0.0]),             # zero vector
+            (3, []),                      # empty
+            (4, None),                    # null
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in embedding_quantize(df).collect()}
+    r1 = got[1]
+    assert r1["n_dims"] == 3 and r1["scale_nano"] == 10 ** 9
+    # codes 127, -64 (round(-63.5) away from zero), 32: max_q = 127
+    assert r1["max_q"] == 127
+    # err dims: 0, |-0.5 + 64/127|, |0.25 - 32/127| -> small but nonzero
+    assert 0 < r1["rel_err"] < 0.01
+    assert got[2]["scale_nano"] is None and got[2]["rel_err"] is None
+    assert got[3]["n_dims"] == 0 and got[3]["mae_nano"] is None
+    assert got[4]["scale_nano"] is None
