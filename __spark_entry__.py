@@ -6033,6 +6033,31 @@ def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pdf_chapters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapter assembly from the PDF-native TOC (assemble.pdf_chapters):
+    documents rendered with a stride-2 Part outline (chapters span page
+    RANGES), blocks assigned by the equi+range join, per-chapter block
+    and char rollup — the EPUB spine logic end-to-end, oracle-replayed
+    from the word-count page math."""
+    from pdf_to_epub_spark.operators import pdf_chapters
+    from pdf_to_epub_spark.sources.pdf import (
+        documents_as_outlined_pdfs,
+        parse_pdf_outlines,
+        parse_pdf_payloads,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pdfs = documents_as_outlined_pdfs(d, part_stride=2).localCheckpoint(
+        eager=False
+    )
+    return pdf_chapters(
+        parse_pdf_outlines(pdfs), parse_pdf_payloads(pdfs)
+    ).select(
+        "doc_id", "chapter_seq", "title", "first_page", "last_page",
+        "n_blocks", "n_chars",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -6133,6 +6158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_burstiness": _q_term_burstiness,
         "pdf_outline": _q_pdf_outline,
         "embedding_quantize": _q_embedding_quantize,
+        "pdf_chapters": _q_pdf_chapters,
         "interleave_strata": _q_interleave_strata,
         "punct_profile": _q_punct_profile,
         "publish_dates": _q_publish_dates,
@@ -9291,6 +9317,68 @@ def oracle_sql() -> dict[str, str]:
                        round(mae_nano::DOUBLE / sav::DOUBLE, 6) + 0.0
                    END AS rel_err
             FROM g
+        """,
+        "pdf_chapters": """
+            WITH d AS (
+                SELECT doc_id, coalesce(text, '') AS text FROM documents),
+            words AS (
+                SELECT doc_id,
+                       CASE WHEN text = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(text, ' ') END AS ws
+                FROM d),
+            lines AS (
+                SELECT doc_id, 0::BIGINT AS block_id,
+                       'Document ' || doc_id AS text
+                FROM words
+                UNION ALL
+                SELECT doc_id, i AS block_id,
+                       array_to_string(
+                           list_slice(ws, (i - 1) * 8 + 1, i * 8), ' ')
+                           AS text
+                FROM (
+                    SELECT doc_id, ws,
+                           unnest(generate_series(
+                               1, CAST(ceil(len(ws) / 8.0) AS BIGINT)
+                           )) AS i
+                    FROM words)),
+            blk AS (
+                SELECT doc_id, block_id // 6 AS page,
+                       length(text) AS chars
+                FROM lines),
+            np AS (
+                SELECT doc_id, max(page) + 1 AS np
+                FROM blk GROUP BY doc_id),
+            ch AS (
+                SELECT doc_id, 0 AS chapter_seq,
+                       'Document ' || doc_id AS title, 0 AS first_page
+                FROM np
+                UNION ALL
+                SELECT doc_id, (p + 1) // 2, 'Part ' || p, p
+                FROM (
+                    SELECT doc_id,
+                           unnest(generate_series(1, np - 1, 2)) AS p
+                    FROM np)),
+            chr AS (
+                SELECT c.doc_id, chapter_seq, title, first_page,
+                       coalesce(
+                           lead(first_page) OVER (
+                               PARTITION BY c.doc_id
+                               ORDER BY chapter_seq) - 1,
+                           n.np - 1) AS last_page
+                FROM ch c JOIN np n ON c.doc_id = n.doc_id),
+            agg AS (
+                SELECT c.doc_id, chapter_seq, title, first_page, last_page,
+                       count(*) AS n_blocks, sum(chars) AS n_chars
+                FROM chr c JOIN blk b
+                  ON b.doc_id = c.doc_id
+                 AND b.page BETWEEN c.first_page AND c.last_page
+                GROUP BY c.doc_id, chapter_seq, title, first_page,
+                         last_page)
+            SELECT doc_id, chapter_seq::INT AS chapter_seq, title,
+                   first_page::INT AS first_page,
+                   last_page::INT AS last_page,
+                   n_blocks::BIGINT AS n_blocks, n_chars::BIGINT AS n_chars
+            FROM agg
         """,
         "zipf_fit": """
             WITH cnt AS (

@@ -78,3 +78,71 @@ def ordered_concat(
             F.concat_ws(sep, F.transform("_parts", lambda p: p["_v"])).alias(out_col),
         )
     )
+
+
+def pdf_chapters(
+    outline: DataFrame,
+    blocks: DataFrame,
+    max_level: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chapter-structured rollup from the PDF-native TOC: outline rows
+    (sources/pdf.py parse_pdf_outlines) at ``level ≤ max_level`` become
+    chapter boundaries; every content block (parse_pdf_payloads) is
+    assigned to the chapter whose page range contains it.  This is the
+    reference's EPUB spine logic (legacy/Step4_create_epub.py TOC →
+    chapter files) driven by the document's OWN bookmarks instead of
+    font-size heuristics — the preferred path whenever a PDF carries an
+    outline.
+
+    Chapter page ranges come from a per-document ``lead`` window over
+    the (tiny) chapter table — first_page..next-first−1, the final
+    chapter closed by the document's max block page.  Block assignment
+    is an EQUI join on the doc id with the range as a residual filter
+    (hash join, never a nested loop — ranges within one document are
+    disjoint by construction of the lead window).  Only the chapter
+    table rides windows; the block table is touched once.
+
+    Returns ``(doc_id, chapter_seq, title, first_page, last_page,
+    n_blocks, n_chars)``.
+    """
+    from pyspark.sql.window import Window
+
+    ch = outline.where(
+        (F.col("status") == "ok") & (F.col("level") <= max_level)
+    ).select(
+        F.col(id_col).alias("_cid"), "seq", "title",
+        F.col("page").alias("first_page"),
+    )
+    w = Window.partitionBy("_cid").orderBy("seq")
+    ch = ch.select(
+        "_cid", F.col("seq").alias("chapter_seq"), "title", "first_page",
+        (F.lead("first_page").over(w) - 1).alias("_next_last"),
+    )
+    b = blocks.where(F.col("status") == "ok").select(
+        F.col(id_col), "page", F.length("text").alias("_chars")
+    )
+    doc_last = b.groupBy(id_col).agg(F.max("page").alias("_max_page"))
+    ch = ch.join(doc_last, ch._cid == doc_last[id_col]).select(
+        "_cid", "chapter_seq", "title", "first_page",
+        F.coalesce("_next_last", "_max_page").alias("last_page"),
+    )
+    j = b.join(
+        ch,
+        (b[id_col] == ch._cid)
+        & (b.page >= ch.first_page)
+        & (b.page <= ch.last_page),
+    )
+    return (
+        j.groupBy(id_col, "chapter_seq", "title", "first_page", "last_page")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum("_chars").cast("long").alias("n_chars"),
+        )
+        .select(
+            id_col, F.col("chapter_seq").cast("int").alias("chapter_seq"),
+            "title", F.col("first_page").cast("int").alias("first_page"),
+            F.col("last_page").cast("int").alias("last_page"),
+            "n_blocks", "n_chars",
+        )
+    )

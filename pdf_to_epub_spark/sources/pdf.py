@@ -847,24 +847,32 @@ def parse_pdf_outlines(
     )
 
 
-def doc_outline(doc_id: int, text: str) -> list[tuple[int, str, int]]:
+def doc_outline(
+    doc_id: int, text: str, part_stride: int = 1
+) -> list[tuple[int, str, int]]:
     """Deterministic bookmark synth for a documents-table row: a level-0
-    root entry on page 0, a level-1 "Part p" per further page, a level-2
-    "Detail p" under every even Part — replayable in SQL from the word
-    count alone (same page math as doc_to_pdf)."""
+    root entry on page 0, a level-1 "Part p" every ``part_stride`` pages
+    from page 1, and (stride-1 layouts only) a level-2 "Detail p" under
+    every even Part — replayable in SQL from the word count alone (same
+    page math as doc_to_pdf).  ``part_stride > 1`` makes chapters span
+    page RANGES, which is what the chapter-assembly join wants to
+    exercise."""
     words = text.split(" ") if text else []
     n_lines = 1 + (len(words) + WORDS_PER_LINE - 1) // WORDS_PER_LINE
     n_pages = (n_lines + LINES_PER_PAGE - 1) // LINES_PER_PAGE
     entries = [(0, "Document %d" % doc_id, 0)]
-    for p in range(1, n_pages):
+    for p in range(1, n_pages, part_stride):
         entries.append((1, "Part %d" % p, p))
-        if p % 2 == 0:
+        if part_stride == 1 and p % 2 == 0:
             entries.append((2, "Detail %d" % p, p))
     return entries
 
 
 def documents_as_outlined_pdfs(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    part_stride: int = 1,
 ) -> DataFrame:
     """documents → (doc_id, pdf: binary) with the synthesized /Outlines
     tree attached, Arrow-batched."""
@@ -877,7 +885,8 @@ def documents_as_outlined_pdfs(
         return pd.Series(
             [
                 make_pdf_bytes(
-                    _doc_pages(int(i), t or ""), doc_outline(int(i), t or "")
+                    _doc_pages(int(i), t or ""),
+                    doc_outline(int(i), t or "", part_stride),
                 )
                 for i, t in zip(ids, texts)
             ]

@@ -352,3 +352,32 @@ def test_parse_pdf_outlines_marker_rows(spark):
     assert got[2]["status"] == "none"
     assert got[3]["status"] == "unsupported"
     assert got[4]["status"] == "unsupported"
+
+
+def test_pdf_chapters_ranges_and_level_filter(spark):
+    from pdf_to_epub_spark.operators import pdf_chapters
+
+    outline = spark.createDataFrame(
+        [
+            (1, 0, 0, "Doc", 0, "ok"),
+            (1, 1, 1, "Part 1", 1, "ok"),
+            (1, 2, 2, "Detail", 1, "ok"),   # level 2: not a chapter
+            (1, 3, 1, "Part 3", 3, "ok"),
+            (2, None, None, None, None, "none"),  # marker row ignored
+        ],
+        "doc_id long, seq int, level int, title string, page int, status string",
+    )
+    blocks = spark.createDataFrame(
+        [(1, p, "x" * (p + 1), "ok") for p in range(5)]
+        + [(1, None, None, "error")],
+        "doc_id long, page int, text string, status string",
+    )
+    got = {r["chapter_seq"]: r for r in
+           pdf_chapters(outline, blocks).collect()}
+    assert set(got) == {0, 1, 3}
+    assert (got[0]["first_page"], got[0]["last_page"]) == (0, 0)
+    assert (got[1]["first_page"], got[1]["last_page"]) == (1, 2)
+    # final chapter closed by the document's max block page
+    assert (got[3]["first_page"], got[3]["last_page"]) == (3, 4)
+    assert got[1]["n_blocks"] == 2 and got[1]["n_chars"] == 2 + 3
+    assert got[3]["n_chars"] == 4 + 5
