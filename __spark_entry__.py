@@ -6058,6 +6058,88 @@ def _q_pdf_chapters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity (urls.graph_modularity) of a two-block domain
+    graph (rings + in-block chords + sparse cross-block bridges) scored
+    against the block assignment — exact integer L_c/D_c/m aggregates,
+    micro-unit contribution fold."""
+    from pdf_to_epub_spark.operators import graph_modularity
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    m = i % 20
+    edges = d.select(
+        F.concat(F.lit("n"), m.cast("string")).alias("src_domain"),
+        F.concat(
+            F.lit("n"),
+            (((m % 10) + 1) % 10 + (m - m % 10)).cast("string"),
+        ).alias("dst_domain"),
+    ).union(
+        d.where(i % 4 == 0).select(
+            F.concat(F.lit("n"), m.cast("string")),
+            F.concat(F.lit("n"), ((m + 10) % 20).cast("string")),
+        )
+    )
+    comms = (
+        d.select((i % 20).alias("_m"))
+        .distinct()
+        .select(
+            F.concat(F.lit("n"), F.col("_m").cast("string")).alias("domain"),
+            (F.col("_m") >= 10).cast("int").alias("community"),
+        )
+    )
+    return graph_modularity(edges, comms).select(
+        "community", "n_nodes", "internal_edges", "total_degree",
+        "q_contrib", "modularity",
+    )
+
+
+def _q_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample proportion z-test (evaluate.proportion_test) between
+    residue-split halves with a built-in ~10pt rate gap — pooled
+    variance z replayed term-for-term; the driver-side collect is the
+    bounded 2-row group-count table."""
+    from pdf_to_epub_spark.operators import proportion_test
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    df = d.select(
+        (i % 2).cast("string").alias("group"),
+        (((i * 13) % 100) < (55 + 13 * (i % 2))).alias("success"),
+    )
+    return proportion_test(df).select(
+        "group_a", "group_b", "n_a", "n_b", "rate_a", "rate_b", "z",
+        "significant",
+    )
+
+
+def _q_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-expiry file reap (bucketing.snapshot_expiry, keep 2):
+    residue-derived manifest where file f_k appears in snapshots
+    {k%5, (k*3)%5} — files untouched by the two newest snapshots get
+    action=delete; cutoff from the distinct-snapshot top-k."""
+    from pdf_to_epub_spark.operators import snapshot_expiry
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    manifest = (
+        d.select(
+            (i % 5).cast("long").alias("snapshot_id"),
+            F.concat(F.lit("f"), (i % 40).cast("string")).alias("path"),
+        )
+        .union(
+            d.select(
+                ((i * 3) % 5).cast("long"),
+                F.concat(F.lit("f"), (i % 40).cast("string")),
+            )
+        )
+        .distinct()
+    )
+    return snapshot_expiry(manifest, keep_last=2).select(
+        "path", "last_snapshot", "n_refs", "referenced_by_kept", "action"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -6159,6 +6241,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_outline": _q_pdf_outline,
         "embedding_quantize": _q_embedding_quantize,
         "pdf_chapters": _q_pdf_chapters,
+        "graph_modularity": _q_graph_modularity,
+        "proportion_test": _q_proportion_test,
+        "snapshot_expiry": _q_snapshot_expiry,
         "interleave_strata": _q_interleave_strata,
         "punct_profile": _q_punct_profile,
         "publish_dates": _q_publish_dates,
@@ -9379,6 +9464,128 @@ def oracle_sql() -> dict[str, str]:
                    last_page::INT AS last_page,
                    n_blocks::BIGINT AS n_blocks, n_chars::BIGINT AS n_chars
             FROM agg
+        """,
+        "graph_modularity": """
+            WITH raw AS (
+                SELECT 'n' || (doc_id % 20) AS s,
+                       'n' || (((doc_id % 20) % 10 + 1) % 10
+                               + ((doc_id % 20) - (doc_id % 20) % 10)) AS t
+                FROM documents
+                UNION ALL
+                SELECT 'n' || (doc_id % 20),
+                       'n' || ((doc_id % 20 + 10) % 20)
+                FROM documents WHERE doc_id % 4 = 0),
+            und AS (
+                SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+                FROM raw WHERE s <> t),
+            deg AS (
+                SELECT n, count(*) AS deg FROM (
+                    SELECT a AS n FROM und
+                    UNION ALL SELECT b FROM und) GROUP BY n),
+            comm AS (
+                SELECT 'n' || m AS domain,
+                       CASE WHEN m >= 10 THEN 1 ELSE 0 END AS c
+                FROM (SELECT DISTINCT doc_id % 20 AS m FROM documents)),
+            pn AS (
+                SELECT c, count(*) AS n_nodes,
+                       sum(coalesce(deg, 0)) AS total_degree
+                FROM comm LEFT JOIN deg ON comm.domain = deg.n
+                GROUP BY c),
+            intr AS (
+                SELECT ca.c AS c, count(*) AS internal_edges
+                FROM und
+                JOIN comm ca ON und.a = ca.domain
+                JOIN comm cb ON und.b = cb.domain
+                WHERE ca.c = cb.c GROUP BY ca.c),
+            m AS (SELECT count(*) AS mm FROM und),
+            g AS (
+                SELECT c, n_nodes,
+                       coalesce(internal_edges, 0) AS ie, total_degree
+                FROM pn LEFT JOIN intr USING (c)),
+            qq AS (
+                SELECT c, n_nodes, ie, total_degree,
+                       CASE WHEN mm > 0 THEN
+                           round((ie::DOUBLE / mm::DOUBLE
+                                  - (total_degree::DOUBLE
+                                     / (2.0 * mm::DOUBLE))
+                                    * (total_degree::DOUBLE
+                                       / (2.0 * mm::DOUBLE))) * 1e6,
+                                 0)::BIGINT
+                       ELSE 0 END AS qm
+                FROM g, m),
+            tot AS (
+                SELECT round(sum(qm)::DOUBLE / 1e6, 6) + 0.0 AS modularity
+                FROM qq)
+            SELECT c AS community, n_nodes::BIGINT AS n_nodes,
+                   ie::BIGINT AS internal_edges,
+                   total_degree::BIGINT AS total_degree,
+                   round(qm::DOUBLE / 1e6, 6) + 0.0 AS q_contrib,
+                   modularity
+            FROM qq, tot
+        """,
+        "proportion_test": """
+            WITH d AS (
+                SELECT (doc_id % 2)::VARCHAR AS g,
+                       CASE WHEN ((doc_id * 13) % 100)
+                                 < (55 + 13 * (doc_id % 2))
+                            THEN 1 ELSE 0 END AS s
+                FROM documents),
+            c AS (
+                SELECT
+                    sum(CASE WHEN g = '0' THEN 1 ELSE 0 END) AS n_a,
+                    sum(CASE WHEN g = '1' THEN 1 ELSE 0 END) AS n_b,
+                    sum(CASE WHEN g = '0' THEN s ELSE 0 END) AS pos_a,
+                    sum(CASE WHEN g = '1' THEN s ELSE 0 END) AS pos_b
+                FROM d),
+            z AS (
+                SELECT n_a, n_b,
+                       pos_a::DOUBLE / n_a::DOUBLE AS ra,
+                       pos_b::DOUBLE / n_b::DOUBLE AS rb,
+                       (pos_a + pos_b)::DOUBLE / (n_a + n_b)::DOUBLE AS pp
+                FROM c),
+            v AS (
+                SELECT n_a, n_b, ra, rb,
+                       pp * (1.0 - pp)
+                           * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)
+                           AS var
+                FROM z)
+            SELECT '0' AS group_a, '1' AS group_b,
+                   n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+                   round(ra, 6) + 0.0 AS rate_a,
+                   round(rb, 6) + 0.0 AS rate_b,
+                   CASE WHEN var > 0
+                        THEN round((ra - rb) / sqrt(var), 6) + 0.0
+                   END AS z,
+                   CASE WHEN var > 0 THEN
+                       abs((ra - rb) / sqrt(var))
+                           > 1.959963984540054::DOUBLE
+                   ELSE FALSE END AS significant
+            FROM v
+        """,
+        "snapshot_expiry": """
+            WITH man AS (
+                SELECT DISTINCT snap, path FROM (
+                    SELECT doc_id % 5 AS snap,
+                           'f' || (doc_id % 40) AS path
+                    FROM documents
+                    UNION ALL
+                    SELECT (doc_id * 3) % 5, 'f' || (doc_id % 40)
+                    FROM documents)),
+            cut AS (
+                SELECT min(s) AS cut FROM (
+                    SELECT DISTINCT snap AS s FROM man
+                    ORDER BY s DESC LIMIT 2)),
+            per AS (
+                SELECT path, max(snap) AS last_snapshot,
+                       count(*) AS n_refs,
+                       max(CASE WHEN snap >= cut THEN 1 ELSE 0 END) AS kept
+                FROM man, cut GROUP BY path)
+            SELECT path, last_snapshot::BIGINT AS last_snapshot,
+                   n_refs::BIGINT AS n_refs,
+                   kept = 1 AS referenced_by_kept,
+                   CASE WHEN kept = 1 THEN 'keep' ELSE 'delete' END
+                       AS action
+            FROM per
         """,
         "zipf_fit": """
             WITH cnt AS (

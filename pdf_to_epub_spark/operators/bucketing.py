@@ -296,3 +296,47 @@ def zorder_layout(
         "layout", "n_rows", "n_files", "files_scanned", "rows_scanned",
         "rows_matched", ratio.alias("prune_ratio"),
     )
+
+
+def snapshot_expiry(
+    manifest: DataFrame,
+    keep_last: int = 2,
+    snap_col: str = "snapshot_id",
+    path_col: str = "path",
+) -> DataFrame:
+    """Snapshot-expiry plan (the Iceberg ``expire_snapshots`` file-reap
+    question): given the (snapshot_id, data-file path) manifest table,
+    which files become unreachable once only the newest ``keep_last``
+    snapshots are retained?  A file is LIVE while any kept snapshot
+    still references it; files referenced only by expired snapshots are
+    safe to delete.
+
+    The cutoff is the ``keep_last``-th largest distinct snapshot id —
+    a distinct + TakeOrderedAndProject over the (tiny) snapshot-id set,
+    broadcast back as one scalar; the manifest itself folds in ONE
+    groupBy on path (exact integers only).  This is pure metadata math:
+    cost scales with manifest rows, never with data volume.
+
+    Returns ``(path, last_snapshot, n_refs, referenced_by_kept,
+    action)`` with action ∈ keep/delete.
+    """
+    snaps = (
+        manifest.select(F.col(snap_col).alias("s"))
+        .distinct()
+        .orderBy(F.desc("s"))
+        .limit(keep_last)
+    )
+    cutoff = snaps.agg(F.min("s").alias("_cut"))
+    per = manifest.select(
+        F.col(path_col).alias("path"), F.col(snap_col).alias("s")
+    ).crossJoin(F.broadcast(cutoff)).groupBy("path").agg(
+        F.max("s").cast("long").alias("last_snapshot"),
+        F.count(F.lit(1)).cast("long").alias("n_refs"),
+        F.max((F.col("s") >= F.col("_cut")).cast("int")).alias("_kept"),
+    )
+    kept = F.col("_kept") == 1
+    return per.select(
+        "path", "last_snapshot", "n_refs",
+        kept.alias("referenced_by_kept"),
+        F.when(kept, F.lit("keep")).otherwise(F.lit("delete")).alias("action"),
+    )

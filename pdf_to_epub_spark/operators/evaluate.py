@@ -548,3 +548,72 @@ def calibration_bins(
     return per.crossJoin(F.broadcast(tot)).select(
         "bin", "n", "avg_conf", "frac_pos", "gap", "ece"
     )
+
+
+def proportion_test(
+    df: DataFrame,
+    group_col: str = "group",
+    success_col: str = "success",
+    z_crit: float = 1.959963984540054,
+) -> DataFrame:
+    """Two-sample proportion z-test between exactly two groups — the
+    "did the new filter/extractor change the keep rate beyond noise"
+    gate run before swapping pipeline stages.  Pooled-variance form:
+    z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)).
+
+    One count aggregation (all four cells are exact integers —
+    map-side-combined, order-free); the z formula is a single double
+    expression the SQL oracle mirrors term-for-term.  Raises when the
+    table carries ≠ 2 distinct groups (a silent one-group z would read
+    as "not significant").  Groups are ordered by key so (a, b) is
+    deterministic.
+
+    Returns one row: ``(group_a, group_b, n_a, n_b, rate_a, rate_b, z,
+    significant)``; z NULL when a pooled variance of 0 makes it
+    undefined (all successes or all failures).
+    """
+    counts = (
+        df.groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(success_col).cast("boolean").cast("long"))
+            .cast("long")
+            .alias("pos"),
+        )
+        .orderBy("g")
+        .collect()
+    )
+    if len(counts) != 2:
+        raise ValueError(
+            f"proportion_test needs exactly 2 groups, got {len(counts)}"
+        )
+    (ga, na, pa), (gb, nb, pb) = [tuple(r) for r in counts]
+    spark = df.sparkSession
+    base = spark.createDataFrame(
+        [(str(ga), str(gb), na, nb, pa, pb)],
+        "group_a string, group_b string, n_a long, n_b long, "
+        "pos_a long, pos_b long",
+    )
+    ra = F.col("pos_a").cast("double") / F.col("n_a").cast("double")
+    rb = F.col("pos_b").cast("double") / F.col("n_b").cast("double")
+    pooled = (F.col("pos_a") + F.col("pos_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    var = (
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    z = F.when(var > 0, F.round((ra - rb) / F.sqrt(var), 6) + F.lit(0.0))
+    return base.select(
+        "group_a", "group_b", "n_a", "n_b",
+        (F.round(ra, 6) + F.lit(0.0)).alias("rate_a"),
+        (F.round(rb, 6) + F.lit(0.0)).alias("rate_b"),
+        z.alias("z"),
+        F.when(var > 0, F.abs((ra - rb) / F.sqrt(var)) > F.lit(z_crit))
+        .otherwise(F.lit(False))
+        .alias("significant"),
+    )

@@ -2412,3 +2412,104 @@ def tracking_params(
                >= F.lit(card_threshold) * F.col("n_urls").cast("double"))
         ).alias("is_tracking"),
     )
+
+
+def graph_modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src_col: str = "src_domain",
+    dst_col: str = "dst_domain",
+    node_col: str = "domain",
+    comm_col: str = "community",
+) -> DataFrame:
+    """Newman modularity of a community assignment over the (undirected
+    view of the) domain webgraph: Q = Σ_c [L_c/m − (D_c/2m)²] — the
+    standard "is this partition better than chance" score used to
+    decide whether label_propagation/connected_components output is
+    worth acting on (Q ≈ 0 means the communities are noise).
+
+    The directed edge table collapses to distinct undirected pairs
+    (least/greatest endpoints, self-loops dropped); every aggregate
+    (per-community internal edges L_c and degree mass D_c, plus the
+    global m) is an exact integer, so the one double formula at the end
+    replays in the SQL oracle.  Two keyed joins of the slim edge table
+    onto the community map + one groupBy — nothing global but the
+    2-scalar broadcast.
+
+    Returns one row per community: ``(community, n_nodes,
+    internal_edges, total_degree, q_contrib)`` with the overall
+    ``modularity`` repeated on each row.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    comm = communities.select(
+        F.col(node_col).alias("_n"), F.col(comm_col).alias("_c")
+    )
+    deg = (
+        und.select(F.col("a").alias("_n"))
+        .union(und.select(F.col("b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    per_node = comm.join(deg, "_n", "left").groupBy("_c").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.coalesce("_deg", F.lit(0))).cast("long").alias("total_degree"),
+    )
+    ca = comm.select(F.col("_n").alias("a"), F.col("_c").alias("_ca"))
+    cb = comm.select(F.col("_n").alias("b"), F.col("_c").alias("_cb"))
+    internal = (
+        und.join(ca, "a").join(cb, "b")
+        .where(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("_c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("internal_edges"))
+    )
+    m = und.agg(F.count(F.lit(1)).alias("_m"))
+    per = (
+        per_node.join(internal, "_c", "left")
+        .select(
+            F.col("_c").alias("community"), "n_nodes",
+            F.coalesce("internal_edges", F.lit(0)).cast("long")
+            .alias("internal_edges"),
+            "total_degree",
+        )
+        .crossJoin(F.broadcast(m))
+    )
+    mm = F.col("_m").cast("double")
+    dd = F.col("total_degree").cast("double")
+    # per-community contribution in exact micro-units (half-away to a
+    # long) so the cross-community fold is order-independent — summing
+    # rounded DOUBLES would drift at community counts in the millions
+    qm = F.when(
+        F.col("_m") > 0,
+        F.round(
+            (
+                F.col("internal_edges").cast("double") / mm
+                - (dd / (F.lit(2.0) * mm)) * (dd / (F.lit(2.0) * mm))
+            )
+            * F.lit(1e6),
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    per = per.select(
+        "community", "n_nodes", "internal_edges", "total_degree",
+        qm.alias("_qm"),
+    ).localCheckpoint(eager=False)
+    tot = per.agg(
+        (
+            F.round(F.sum("_qm").cast("double") / F.lit(1e6), 6) + F.lit(0.0)
+        ).alias("modularity")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "community", "n_nodes", "internal_edges", "total_degree",
+        (
+            F.round(F.col("_qm").cast("double") / F.lit(1e6), 6) + F.lit(0.0)
+        ).alias("q_contrib"),
+        "modularity",
+    )

@@ -1416,3 +1416,75 @@ def test_embedding_quantize_exact_and_degenerate(spark):
     assert got[2]["scale_nano"] is None and got[2]["rel_err"] is None
     assert got[3]["n_dims"] == 0 and got[3]["mae_nano"] is None
     assert got[4]["scale_nano"] is None
+
+
+def test_graph_modularity_good_vs_random_partition(spark):
+    from pdf_to_epub_spark.operators import graph_modularity
+
+    # two 5-cliques joined by one bridge
+    edges = []
+    for base in ("a", "b"):
+        for x in range(5):
+            for y in range(x + 1, 5):
+                edges.append((f"{base}{x}", f"{base}{y}"))
+    edges.append(("a0", "b0"))
+    e = spark.createDataFrame(edges, "src_domain string, dst_domain string")
+    good = spark.createDataFrame(
+        [(f"{b}{x}", 0 if b == "a" else 1) for b in "ab" for x in range(5)],
+        "domain string, community int",
+    )
+    bad = spark.createDataFrame(
+        [(f"{b}{x}", x % 2) for b in "ab" for x in range(5)],
+        "domain string, community int",
+    )
+    qg = graph_modularity(e, good).collect()[0]["modularity"]
+    qb = graph_modularity(e, bad).collect()[0]["modularity"]
+    assert qg > 0.4 and qg > qb
+    # reversed edge direction must not change the undirected score
+    e2 = e.select(F.col("dst_domain").alias("src_domain"),
+                  F.col("src_domain").alias("dst_domain"))
+    assert graph_modularity(e2, good).collect()[0]["modularity"] == qg
+
+
+def test_proportion_test_significance_and_guards(spark):
+    import pytest as _pt
+    from pdf_to_epub_spark.operators import proportion_test
+
+    big = spark.createDataFrame(
+        [("a", i % 10 < 6) for i in range(1000)]
+        + [("b", i % 10 < 4) for i in range(1000)],
+        "group string, success boolean",
+    )
+    r = proportion_test(big).collect()[0]
+    assert r["group_a"] == "a" and r["rate_a"] == 0.6 and r["rate_b"] == 0.4
+    assert r["significant"] and r["z"] > 8
+    same = spark.createDataFrame(
+        [("a", True)] * 5 + [("b", True)] * 5, "group string, success boolean"
+    )
+    r2 = proportion_test(same).collect()[0]
+    assert r2["z"] is None and not r2["significant"]
+    with _pt.raises(ValueError):
+        proportion_test(big.where(F.col("group") == "a"))
+
+
+def test_snapshot_expiry_cutoff(spark):
+    from pdf_to_epub_spark.operators import snapshot_expiry
+
+    man = spark.createDataFrame(
+        [(0, "old_only"), (1, "old_only"),
+         (0, "still_live"), (2, "still_live"),
+         (2, "new_only"), (1, "mid")],
+        "snapshot_id long, path string",
+    )
+    got = {r["path"]: r for r in snapshot_expiry(man, keep_last=2).collect()}
+    # kept snapshots: {1, 2}
+    assert got["old_only"]["action"] == "keep"      # snap 1 is kept
+    assert got["still_live"]["action"] == "keep"
+    assert got["new_only"]["action"] == "keep"
+    assert got["mid"]["action"] == "keep"
+    got1 = {r["path"]: r for r in snapshot_expiry(man, keep_last=1).collect()}
+    # only snapshot 2 kept
+    assert got1["old_only"]["action"] == "delete"
+    assert got1["mid"]["action"] == "delete"
+    assert got1["still_live"]["action"] == "keep"
+    assert got1["still_live"]["n_refs"] == 2
