@@ -6140,6 +6140,65 @@ def _q_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML list mining (urls.extract_lists) over four residue variants
+    (ul+ol mix, uppercase OL, stray <li> outside any list, an unclosed
+    <li> that degrades into its closed successor) — construction
+    oracle."""
+    from pdf_to_epub_spark.operators import extract_lists
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    body = (
+        F.when(i % 4 == 0, F.lit(
+            '<ul><li>alpha</li><li><b>beta</b></li></ul>'
+            '<ol start="3"><li>one</li></ol>'))
+        .when(i % 4 == 1, F.lit("<OL><li>x</li><li>y</li><li>z</li></OL>"))
+        .when(i % 4 == 2, F.lit("no lists here <li>stray</li>"))
+        .otherwise(F.lit("<ul><li>unclosed item<li>closed</li></ul>"))
+    )
+    pages = d.select("doc_id", F.encode(body, "UTF-8").alias("html"))
+    return extract_lists(pages).select(
+        "doc_id", "list_id", "ordered", "item_id", "n_items", "item_text"
+    )
+
+
+def _q_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl change-rate estimation (urls.change_rate): residue
+    snapshot history where content revs every 2 snapshots — per-url
+    lag window over versions, exact change/interval ratio."""
+    from pdf_to_epub_spark.operators import change_rate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    obs = d.select(
+        F.concat(F.lit("u"), (i % 50).cast("string")).alias("url"),
+        (i % 6).cast("long").alias("snap_id"),
+        F.md5(
+            F.concat(
+                F.lit("c"), (i % 50).cast("string"), F.lit(":"),
+                F.floor((i % 6) / 2).cast("string"),
+            )
+        ).alias("content_md5"),
+    ).distinct()
+    return change_rate(obs).select(
+        "url", "n_obs", "n_changes", "change_rate"
+    )
+
+
+def _q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window co-occurrence counts (ir.skipgram_pairs, window 3, top 40,
+    min_count 2) over the real corpus text — per-document HOF pair
+    generation (no token self-join); the oracle replays via positional
+    generate_series."""
+    from pdf_to_epub_spark.operators import skipgram_pairs
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    return skipgram_pairs(d, window=3, top=40, min_count=2).select(
+        "term_a", "term_b", "n_cooc"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -6244,6 +6303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": _q_graph_modularity,
         "proportion_test": _q_proportion_test,
         "snapshot_expiry": _q_snapshot_expiry,
+        "extract_lists": _q_extract_lists,
+        "change_rate": _q_change_rate,
+        "skipgram_pairs": _q_skipgram_pairs,
         "interleave_strata": _q_interleave_strata,
         "punct_profile": _q_punct_profile,
         "publish_dates": _q_publish_dates,
@@ -9586,6 +9648,78 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN kept = 1 THEN 'keep' ELSE 'delete' END
                        AS action
             FROM per
+        """,
+        "extract_lists": """
+            WITH d AS (SELECT doc_id AS i FROM documents),
+            rows_ AS (
+                SELECT i, 0 AS list_id, FALSE AS ordered, 0 AS item_id,
+                       2 AS n_items, 'alpha' AS item_text
+                FROM d WHERE i % 4 = 0
+                UNION ALL SELECT i, 0, FALSE, 1, 2, 'beta'
+                FROM d WHERE i % 4 = 0
+                UNION ALL SELECT i, 1, TRUE, 0, 1, 'one'
+                FROM d WHERE i % 4 = 0
+                UNION ALL SELECT i, 0, TRUE, 0, 3, 'x'
+                FROM d WHERE i % 4 = 1
+                UNION ALL SELECT i, 0, TRUE, 1, 3, 'y'
+                FROM d WHERE i % 4 = 1
+                UNION ALL SELECT i, 0, TRUE, 2, 3, 'z'
+                FROM d WHERE i % 4 = 1
+                UNION ALL SELECT i, 0, FALSE, 0, 1, 'unclosed item closed'
+                FROM d WHERE i % 4 = 3)
+            SELECT i AS doc_id, list_id::INT AS list_id, ordered,
+                   item_id::INT AS item_id, n_items::INT AS n_items,
+                   item_text
+            FROM rows_
+        """,
+        "change_rate": """
+            WITH obs AS (
+                SELECT DISTINCT
+                       'u' || (doc_id % 50) AS url,
+                       doc_id % 6 AS snap,
+                       md5('c' || (doc_id % 50) || ':'
+                           || ((doc_id % 6) // 2)) AS h
+                FROM documents),
+            lagged AS (
+                SELECT url, h,
+                       lag(h) OVER (PARTITION BY url ORDER BY snap) AS ph
+                FROM obs),
+            per AS (
+                SELECT url, count(*) AS n_obs,
+                       sum(CASE WHEN ph IS NOT NULL AND ph <> h
+                                THEN 1 ELSE 0 END) AS n_changes
+                FROM lagged GROUP BY url)
+            SELECT url, n_obs::BIGINT AS n_obs,
+                   n_changes::BIGINT AS n_changes,
+                   CASE WHEN n_obs > 1 THEN
+                       round(n_changes::DOUBLE / (n_obs - 1)::DOUBLE, 6)
+                           + 0.0
+                   END AS change_rate
+            FROM per
+        """,
+        "skipgram_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-zà-öø-ÿ]+') AS ws
+                FROM documents),
+            pos AS (
+                SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+                FROM toks),
+            pr AS (
+                SELECT doc_id, ws, i,
+                       unnest(generate_series(
+                           i + 1, least(i + 3, len(ws)))) AS j
+                FROM pos),
+            pairs AS (
+                SELECT least(ws[i], ws[j]) AS term_a,
+                       greatest(ws[i], ws[j]) AS term_b
+                FROM pr),
+            cnt AS (
+                SELECT term_a, term_b, count(*) AS n_cooc
+                FROM pairs GROUP BY term_a, term_b)
+            SELECT term_a, term_b, n_cooc::BIGINT AS n_cooc
+            FROM cnt WHERE n_cooc >= 2
+            ORDER BY n_cooc DESC, term_a, term_b LIMIT 40
         """,
         "zipf_fit": """
             WITH cnt AS (

@@ -526,3 +526,54 @@ def proximity_search(
         .where(F.col("min_dist") <= window)
         .select(id_col, "min_dist")
     )
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    window: int = 4,
+    top: int = 50,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Window co-occurrence (skip-gram) pair counts: unordered token
+    pairs appearing within ``window`` tokens of each other, the
+    word2vec/GloVe co-occurrence statistic and the term-association
+    signal one notch wider than bigram_pmi's adjacent pairs.
+
+    NO token-table self-join (that would re-key the corpus against
+    itself): pairs are generated per document inside the projection —
+    an index-aware transform pairs each token with the ``window``
+    tokens after it via slice, flattened, then one combiner-enabled
+    groupBy on the unordered pair.  The token array is materialized in
+    its own projection first and the explode is the explode_outer +
+    null-filter form, so InferFiltersFromGenerate cannot re-inline the
+    pair lambda below the generator (the 60× re-evaluation class,
+    plan-pinned elsewhere).
+
+    Returns ``(term_a, term_b, n_cooc)`` — the ``top`` most frequent
+    pairs at ``min_count``+, boundary ties broken by the pair strings.
+    """
+    toks = df.select(_tokens(text_col).alias("_toks"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("_toks"),
+            lambda t, i: F.transform(
+                F.slice(F.col("_toks"), i + 2, window),
+                lambda u: F.struct(
+                    F.least(t, u).alias("a"), F.greatest(t, u).alias("b")
+                ),
+            ),
+        )
+    )
+    ex = (
+        toks.select(F.explode_outer(pairs).alias("p"))
+        .where(F.col("p").isNotNull())
+        .select(F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b"))
+    )
+    return (
+        ex.groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cooc"))
+        .where(F.col("n_cooc") >= min_count)
+        .orderBy(F.desc("n_cooc"), F.asc("term_a"), F.asc("term_b"))
+        .limit(top)
+    )

@@ -2513,3 +2513,103 @@ def graph_modularity(
         ).alias("q_contrib"),
         "modularity",
     )
+
+
+def extract_lists(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    max_scan_bytes: int = 1 << 20,
+) -> DataFrame:
+    """HTML list mining: one output row per ``<li>`` item —
+    ``(id, list_id, ordered, item_id, n_items, item_text)`` — the
+    third leg of the structured-markup family (extract_headings,
+    extract_tables): lists carry steps/enumerations/navigation, and the
+    ordered/unordered bit plus item counts feed both boilerplate
+    detection (nav lists are short + link-dense) and fact mining.
+
+    Two nested posexplodes over regexp_extract_all — per-row column
+    algebra, no shuffle, a page's lists never leave their partition.
+    Regex-level by design (same contract as extract_tables): a nested
+    inner list terminates the outer non-greedy match early, degrading
+    to the inner list; items must be ``</li>``-closed (omitted closers
+    are skipped, documented).
+    """
+    body = _permissive_text(html_col, max_scan_bytes)
+    d = pages.select(F.col(id_col), body.alias("__b"))
+    lists = d.select(
+        id_col,
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("__b"),
+                F.lit(r"(?is)<[ou]l[^>]*>.*?</[ou]l\s*>"),
+                F.lit(0),
+            )
+        ).alias("list_id", "__l"),
+    )
+    items = lists.select(
+        id_col,
+        F.col("list_id").cast("int").alias("list_id"),
+        F.lower(F.substring("__l", 2, 2)).startswith("ol").alias("ordered"),
+        F.regexp_extract_all(
+            F.col("__l"), F.lit(r"(?is)<li[^>]*>.*?</li\s*>"), F.lit(0)
+        ).alias("__items"),
+    )
+    ex = items.select(
+        id_col, "list_id", "ordered",
+        F.size("__items").alias("n_items"),
+        F.posexplode_outer("__items").alias("item_id", "__it"),
+    ).where(F.col("__it").isNotNull())
+    return ex.select(
+        id_col, "list_id", "ordered",
+        F.col("item_id").cast("int").alias("item_id"),
+        F.col("n_items").cast("int").alias("n_items"),
+        F.trim(_strip_tags(F.col("__it"))).alias("item_text"),
+    )
+
+
+def change_rate(
+    obs: DataFrame,
+    url_col: str = "url",
+    snap_col: str = "snap_id",
+    hash_col: str = "content_md5",
+) -> DataFrame:
+    """Per-URL content change-rate estimate (Cho & Garcia-Molina 2003's
+    recrawl-scheduling input): over a url's snapshot history, the
+    fraction of observation intervals whose content hash changed —
+    λ̂ = changes / intervals, the Poisson-rate MLE the crawl scheduler
+    turns into a revisit period.
+
+    One window per url (lag over the snapshot order — keyed partitions,
+    bounded by a url's version count, same contract as recrawl_diff),
+    one groupBy.  Duplicate (url, snap) rows must be resolved upstream;
+    rates are exact integer ratios rounded to 6 dp.
+
+    Returns ``(url, n_obs, n_changes, change_rate)`` — rate NULL for
+    single-observation urls (no interval to estimate from).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("url").orderBy("_s")
+    d = obs.select(
+        F.col(url_col).alias("url"), F.col(snap_col).alias("_s"),
+        F.col(hash_col).alias("_h"),
+    ).withColumn("_prev", F.lag("_h").over(w))
+    per = d.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(
+            (
+                F.col("_prev").isNotNull()
+                & (F.col("_prev") != F.col("_h"))
+            ).cast("long")
+        ).cast("long").alias("n_changes"),
+    )
+    rate = F.when(
+        F.col("n_obs") > 1,
+        F.round(
+            F.col("n_changes").cast("double")
+            / (F.col("n_obs") - 1).cast("double"),
+            6,
+        ) + F.lit(0.0),
+    )
+    return per.select("url", "n_obs", "n_changes", rate.alias("change_rate"))

@@ -1488,3 +1488,61 @@ def test_snapshot_expiry_cutoff(spark):
     assert got1["mid"]["action"] == "delete"
     assert got1["still_live"]["action"] == "keep"
     assert got1["still_live"]["n_refs"] == 2
+
+
+def test_extract_lists_nesting_and_empty(spark):
+    from pdf_to_epub_spark.operators import extract_lists
+
+    pages = spark.createDataFrame(
+        [
+            (1, b"<ul><li>a</li><li>b</li></ul>"),
+            (2, b"<ol><li>1</li></ol><ul><li>u</li></ul>"),   # two lists
+            (3, b"<ul></ul>"),                                   # empty list
+            (4, b"plain"),
+            (5, None),
+        ],
+        "doc_id long, html binary",
+    )
+    rows = extract_lists(pages).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [r["item_text"] for r in sorted(by_doc[1], key=lambda r: r["item_id"])] == ["a", "b"]
+    assert not by_doc[1][0]["ordered"]
+    d2 = sorted(by_doc[2], key=lambda r: (r["list_id"], r["item_id"]))
+    assert [(r["list_id"], r["ordered"], r["item_text"]) for r in d2] == [
+        (0, True, "1"), (1, False, "u")]
+    assert 3 not in by_doc and 4 not in by_doc and 5 not in by_doc
+
+
+def test_change_rate_windows(spark):
+    from pdf_to_epub_spark.operators import change_rate
+
+    obs = spark.createDataFrame(
+        [("u", 0, "a"), ("u", 1, "a"), ("u", 2, "b"), ("u", 3, "b"),
+         ("v", 0, "x"), ("v", 1, "y"), ("v", 2, "x"),
+         ("w", 5, "only")],
+        "url string, snap_id long, content_md5 string",
+    )
+    got = {r["url"]: r for r in change_rate(obs).collect()}
+    assert got["u"]["n_changes"] == 1 and abs(got["u"]["change_rate"] - 1 / 3) < 1e-6
+    assert got["v"]["n_changes"] == 2 and got["v"]["change_rate"] == 1.0
+    assert got["w"]["n_obs"] == 1 and got["w"]["change_rate"] is None
+
+
+def test_skipgram_pairs_window_and_cut(spark):
+    from pdf_to_epub_spark.operators import skipgram_pairs
+
+    df = spark.createDataFrame(
+        [("alpha beta gamma alpha",), ("alpha beta",)], "text string")
+    got = {(r["term_a"], r["term_b"]): r["n_cooc"] for r in
+           skipgram_pairs(df, window=2, top=10, min_count=1).collect()}
+    # doc1 window-2 pairs: (a,b) (a,g) (b,g) (b,a) (g,a); doc2: (a,b)
+    assert got[("alpha", "beta")] == 3
+    assert got[("alpha", "gamma")] == 2
+    assert got[("beta", "gamma")] == 1
+    # window 1 = adjacent only
+    adj = {(r["term_a"], r["term_b"]): r["n_cooc"] for r in
+           skipgram_pairs(df, window=1, top=10, min_count=1).collect()}
+    assert adj == {("alpha", "beta"): 2, ("beta", "gamma"): 1,
+                   ("alpha", "gamma"): 1}
