@@ -9452,7 +9452,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT vec_id, n_dims,
                        CASE WHEN sc > 0
                             THEN round(sc * 1e9, 0)::BIGINT END AS scale_nano,
-                       CASE WHEN sc > 0 THEN list_max(qs) END AS max_q,
+                       CASE WHEN sc > 0 THEN list_max(
+                           list_transform(qs, q -> abs(q))) END AS max_q,
                        CASE WHEN sc > 0 THEN list_sum(
                            list_transform(err, x -> abs(x)))
                        END AS mae_nano,

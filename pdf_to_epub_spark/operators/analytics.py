@@ -620,7 +620,9 @@ def session_paths(
     same contract as funnel_stages), then a map-side-combined count per
     path and a TakeOrderedAndProject top cut.  Ties at the boundary
     break on the path string, so the cut is total-ordered and
-    engine-stable.
+    engine-stable.  A NULL event type renders as ``(null)`` in the
+    path (array_join would otherwise drop the element, silently
+    shortening the journey).
 
     Returns ``(path, n_users)``, ``top`` rows, most common first.
     """
@@ -630,7 +632,9 @@ def session_paths(
         ).alias("_evs")
     )
     path = F.array_join(
-        F.transform(F.slice("_evs", 1, k), lambda e: e[type_col]), ">"
+        F.transform(F.slice("_evs", 1, k), lambda e: e[type_col]),
+        ">",
+        "(null)",  # a NULL event_type must not silently vanish from the path
     )
     return (
         per.select(path.alias("path"))

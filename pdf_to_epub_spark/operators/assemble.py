@@ -97,10 +97,13 @@ def pdf_chapters(
 
     Chapter page ranges come from a per-document ``lead`` window over
     the (tiny) chapter table — first_page..next-first−1, the final
-    chapter closed by the document's max block page.  Block assignment
-    is an EQUI join on the doc id with the range as a residual filter
-    (hash join, never a nested loop — ranges within one document are
-    disjoint by construction of the lead window).  Only the chapter
+    chapter closed by the document's max block page.  The window orders
+    by (first_page, seq) so even a NON-monotone bookmark sequence
+    yields disjoint ranges; two bookmarks on the same page give the
+    earlier one an empty range (last_page < first_page), which is still
+    EMITTED with zero blocks (left join), never silently dropped.
+    Block assignment is an EQUI join on the doc id with the range as a
+    residual filter (hash join, never a nested loop).  Only the chapter
     table rides windows; the block table is touched once.
 
     Returns ``(doc_id, chapter_seq, title, first_page, last_page,
@@ -114,7 +117,7 @@ def pdf_chapters(
         F.col(id_col).alias("_cid"), "seq", "title",
         F.col("page").alias("first_page"),
     )
-    w = Window.partitionBy("_cid").orderBy("seq")
+    w = Window.partitionBy("_cid").orderBy("first_page", "seq")
     ch = ch.select(
         "_cid", F.col("seq").alias("chapter_seq"), "title", "first_page",
         (F.lead("first_page").over(w) - 1).alias("_next_last"),
@@ -127,20 +130,23 @@ def pdf_chapters(
         "_cid", "chapter_seq", "title", "first_page",
         F.coalesce("_next_last", "_max_page").alias("last_page"),
     )
-    j = b.join(
-        ch,
+    j = ch.join(
+        b,
         (b[id_col] == ch._cid)
         & (b.page >= ch.first_page)
         & (b.page <= ch.last_page),
+        "left",
     )
     return (
-        j.groupBy(id_col, "chapter_seq", "title", "first_page", "last_page")
+        j.groupBy("_cid", "chapter_seq", "title", "first_page", "last_page")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_blocks"),
-            F.sum("_chars").cast("long").alias("n_chars"),
+            F.count(F.col("page")).cast("long").alias("n_blocks"),
+            F.coalesce(F.sum("_chars"), F.lit(0)).cast("long")
+            .alias("n_chars"),
         )
         .select(
-            id_col, F.col("chapter_seq").cast("int").alias("chapter_seq"),
+            F.col("_cid").alias(id_col),
+            F.col("chapter_seq").cast("int").alias("chapter_seq"),
             "title", F.col("first_page").cast("int").alias("first_page"),
             F.col("last_page").cast("int").alias("last_page"),
             "n_blocks", "n_chars",

@@ -237,6 +237,9 @@ def zorder_layout(
     d = d.select(
         "id", "y", _interleave_bits(F.col("_xi"), F.col("_yi"), bits).alias("_z")
     )
+    # four plan consumers (counts + ranked join, for each of two
+    # layouts) — pin the Morton compute or it re-runs per consumer
+    d = d.localCheckpoint(eager=False)
 
     def _files(dd: DataFrame, layout: str, bucket, order_cols) -> DataFrame:
         dd = dd.select("id", "y", *order_cols[:-1], bucket.alias("_b"))

@@ -504,11 +504,17 @@ def calibration_bins(
     """
     cond = F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     types = dict(df.dtypes)
-    if types.get(score_col) in ("float", "double"):
-        cond = cond & ~F.isnan(F.col(score_col))
+    for c in (score_col, label_col):
+        if types.get(c) in ("float", "double"):
+            cond = cond & ~F.isnan(F.col(c))
     s = F.col(score_col).cast("double")
+    # clamp BOTH ends: score 1.0 folds into the top bin, and an
+    # un-clipped negative score lands in bin 0 instead of minting a
+    # phantom "bin -1" that would pollute the ECE fold
     d = df.where(cond).select(
-        F.least(F.lit(bins - 1), F.floor(s * bins)).cast("int").alias("bin"),
+        F.greatest(
+            F.lit(0), F.least(F.lit(bins - 1), F.floor(s * bins))
+        ).cast("int").alias("bin"),
         F.round(s * 1e6, 0).cast("long").alias("_cm"),
         F.col(label_col).cast("boolean").cast("long").alias("_pos"),
     )
@@ -565,15 +571,19 @@ def proportion_test(
     map-side-combined, order-free); the z formula is a single double
     expression the SQL oracle mirrors term-for-term.  Raises when the
     table carries ≠ 2 distinct groups (a silent one-group z would read
-    as "not significant").  Groups are ordered by key so (a, b) is
-    deterministic.
+    as "not significant"); NULL group keys are dropped up front rather
+    than counted as a third group.  Groups are ordered by key so
+    (a, b) is deterministic, and the driver-side collect is bounded by
+    a ``limit(3)`` (TakeOrdered) — a high-cardinality group column
+    raises instead of materializing the whole group table.
 
     Returns one row: ``(group_a, group_b, n_a, n_b, rate_a, rate_b, z,
     significant)``; z NULL when a pooled variance of 0 makes it
     undefined (all successes or all failures).
     """
     counts = (
-        df.groupBy(F.col(group_col).alias("g"))
+        df.where(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(F.col(success_col).cast("boolean").cast("long"))
@@ -581,11 +591,13 @@ def proportion_test(
             .alias("pos"),
         )
         .orderBy("g")
+        .limit(3)
         .collect()
     )
     if len(counts) != 2:
+        got = "3 or more" if len(counts) == 3 else str(len(counts))
         raise ValueError(
-            f"proportion_test needs exactly 2 groups, got {len(counts)}"
+            f"proportion_test needs exactly 2 groups, got {got}"
         )
     (ga, na, pa), (gb, nb, pb) = [tuple(r) for r in counts]
     spark = df.sparkSession

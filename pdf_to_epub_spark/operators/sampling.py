@@ -1100,15 +1100,28 @@ def bootstrap_ci(
     replays bit-for-bit.  Each row explodes into ``n_reps`` (replicate,
     weight) pairs (a literal-sequence generator — nothing for
     InferFiltersFromGenerate to re-inline); per-replicate sums ride
-    exact integer accumulators when the value column is integral, and
-    the CI is the exact-percentile pair over the ``n_reps``-row
-    replicate-mean table.
+    exact integer accumulators — integral columns ride as-is,
+    fractional ones are half-away quantized to micro-units first (a
+    ≤5e-7 per-value bias, far below any bootstrap CI's width) — and the
+    CI is the exact-percentile pair over the ``n_reps``-row
+    replicate-mean table.  Rows with a NULL value are dropped up front
+    (they carry no metric; keeping them would bias replicate means low
+    through their weights).
 
     Returns one row: ``(n_rows, n_reps, mean, ci_lo, ci_hi)`` at the
     ``alpha/2 .. 1-alpha/2`` percentiles, 6 dp.
     """
     lo_q = round(alpha / 2.0, 12)
     hi_q = round(1.0 - alpha / 2.0, 12)
+    types = dict(df.dtypes)
+    integral = types.get(value_col, "").lower() in (
+        "tinyint", "smallint", "int", "bigint", "long",
+    )
+    scale = 1.0 if integral else 1e6
+    vcol = F.col(value_col)
+    if not integral:
+        vcol = F.round(vcol.cast("double") * F.lit(1e6), 0)
+    df = df.where(F.col(value_col).isNotNull())
     u = (
         md5_hash60(
             F.concat(
@@ -1122,7 +1135,7 @@ def bootstrap_ci(
         w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
     reps = (
         df.select(
-            F.col(id_col), F.col(value_col).cast("long").alias("v"),
+            F.col(id_col), vcol.cast("long").alias("v"),
             F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("rep"),
         )
         .select("rep", "v", w.alias("w"))
@@ -1132,7 +1145,12 @@ def bootstrap_ci(
             F.sum("w").alias("_w"),
         )
         .where(F.col("_w") > 0)
-        .select((F.col("_wv").cast("double") / F.col("_w").cast("double")).alias("m"))
+        .select(
+            (
+                F.col("_wv").cast("double")
+                / (F.lit(scale) * F.col("_w").cast("double"))
+            ).alias("m")
+        )
     )
     ci = reps.agg(
         F.round(F.expr(f"percentile(m, {lo_q})"), 6).alias("ci_lo"),
@@ -1142,8 +1160,8 @@ def bootstrap_ci(
     full = df.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.round(
-            F.sum(F.col(value_col).cast("long")).cast("double")
-            / F.count(F.lit(1)).cast("double"),
+            F.sum(vcol.cast("long")).cast("double")
+            / (F.lit(scale) * F.count(F.lit(1)).cast("double")),
             6,
         ).alias("mean"),
     )

@@ -887,8 +887,9 @@ def embedding_quantize(
     shuffle, no Python.
 
     Returns ``(vec_id, n_dims, scale_nano, max_q, mae_nano, rel_err)``
-    — rel_err = Σ|err| / Σ|v| (6 dp); zero/empty vectors report NULL
-    scale/rel_err.
+    — ``max_q`` is the max |code| (the saturation audit must see ±127
+    whichever sign carries the largest magnitude), rel_err = Σ|err| /
+    Σ|v| (6 dp); zero/empty vectors report NULL scale/rel_err.
     """
     v = F.col(vec_col)
     s = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
@@ -935,7 +936,11 @@ def embedding_quantize(
         F.col(id_col), "n_dims",
         F.when(ok, F.round(F.col("_s") * F.lit(1e9), 0).cast("long"))
         .alias("scale_nano"),
-        F.when(ok, F.array_max(F.col("_q"))).alias("max_q"),
+        # max |code|, not the signed max — the saturation audit must see
+        # ±127 regardless of which sign carries the largest magnitude
+        F.when(
+            ok, F.array_max(F.transform(F.col("_q"), lambda q: F.abs(q)))
+        ).alias("max_q"),
         F.when(ok, mae).alias("mae_nano"),
         F.when(ok, sum_abs_v).alias("_sav"),
     )

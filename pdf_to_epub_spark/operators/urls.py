@@ -2338,7 +2338,11 @@ def bfs_distances(
     """
     if not seeds:
         raise ValueError("bfs_distances requires a non-empty seed set")
-    e, _nodes = _domain_graph(edges, src_col, dst_col)
+    # not _domain_graph: that helper eagerly materializes the node set,
+    # which BFS never reads — dedup just the edge table
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().localCheckpoint(eager=False)
     spark = edges.sparkSession
     visited = spark.createDataFrame(
         [(s, 0) for s in sorted(set(seeds))], "domain string, hops int"

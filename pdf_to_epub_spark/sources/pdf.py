@@ -752,24 +752,30 @@ def extract_pdf_outline(raw: bytes) -> list[tuple[int, str, int | None]]:
 
     out: list[tuple[int, str, int | None]] = []
     seen: set[int] = set()
-
-    def walk(item_id: int | None, level: int) -> None:
-        while item_id is not None and item_id not in seen and len(out) < 100000:
-            seen.add(item_id)
-            entry = objects.get(item_id)
-            if entry is None:
-                return
-            body = entry[0]
-            title = _title_after(body)
-            dest = re.search(rb"/Dest\s*\[\s*(\d+)\s+\d+\s+R", body)
-            page = page_index.get(int(dest.group(1))) if dest else None
-            out.append((level, title or "", page))
-            first = _ref_after(body, b"/First")
-            if first is not None:
-                walk(first, level + 1)
-            item_id = _ref_after(body, b"/Next")
-
-    walk(_ref_after(objects[root_id][0], b"/First"), 0)
+    # explicit stack, not recursion — a deep (or maliciously nested)
+    # /First chain must not hit Python's recursion limit mid-executor
+    stack: list[tuple[int | None, int]] = [
+        (_ref_after(objects[root_id][0], b"/First"), 0)
+    ]
+    while stack:
+        item_id, level = stack.pop()
+        if item_id is None or item_id in seen or len(out) >= 100000:
+            continue
+        seen.add(item_id)
+        entry = objects.get(item_id)
+        if entry is None:
+            continue
+        body = entry[0]
+        title = _title_after(body)
+        dest = re.search(rb"/Dest\s*\[\s*(\d+)\s+\d+\s+R", body)
+        page = page_index.get(int(dest.group(1))) if dest else None
+        out.append((level, title or "", page))
+        # push the sibling below the child so the child chain (and all
+        # its descendants) emits first — depth-first document order
+        stack.append((_ref_after(body, b"/Next"), level))
+        first = _ref_after(body, b"/First")
+        if first is not None:
+            stack.append((first, level + 1))
     return out
 
 
