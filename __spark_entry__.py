@@ -6199,6 +6199,92 @@ def _q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity (urls.degree_assortativity) over a
+    hub-and-chain graph: one hub linked to all 23 leaf domains (a star
+    is maximally disassortative) plus a chain over the first 11 leaves
+    adding degree variety — r lands strictly negative and well away
+    from a tie boundary."""
+    from pdf_to_epub_spark.operators import degree_assortativity
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    r = F.col("doc_id") % 23
+    leaf = F.concat(F.lit("s"), r.cast("string"), F.lit(".example"))
+    star = d.select(F.lit("hub.example").alias("src"), leaf.alias("dst"))
+    chain = d.where(r < 10).select(
+        leaf.alias("src"),
+        F.concat(
+            F.lit("s"), (r + 1).cast("string"), F.lit(".example")
+        ).alias("dst"),
+    )
+    return degree_assortativity(star.unionAll(chain))
+
+
+def _q_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed interval-overlap join (asof.span_overlap): two
+    deterministic mask spans per document against a fixed 25-char
+    sentence grid — the duplicate-span × sentence alignment shape.
+    The equi-join rides (doc, cell) with the owner-cell trick, so the
+    oracle's plain theta-join must agree row-for-row with zero
+    duplicate pairs."""
+    from pdf_to_epub_spark.operators import span_overlap
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    left = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    (i * 2).alias("a_id"),
+                    ((i % 7) * 10).alias("a_start"),
+                    ((i % 7) * 10 + 15 + i % 4).alias("a_end"),
+                ),
+                F.struct(
+                    (i * 2 + 1).alias("a_id"),
+                    (F.lit(100) + (i % 5) * 8).alias("a_start"),
+                    (F.lit(112) + (i % 5) * 8).alias("a_end"),
+                ),
+            )
+        ).alias("_s"),
+    ).select("doc_id", "_s.a_id", "_s.a_start", "_s.a_end")
+    right = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("b_id")
+    ).select(
+        "doc_id",
+        "b_id",
+        (F.col("b_id") * 25).alias("b_start"),
+        (F.col("b_id") * 25 + 25).alias("b_end"),
+    )
+    return span_overlap(left, right, cell=32).orderBy(
+        "doc_id", "a_id", "b_id"
+    )
+
+
+def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (ir.rrf_fuse) of a lexical run (score =
+    text length) and a pseudo-dense run (score = a Knuth-hash residue)
+    over 5 query groups — integer nano-unit contributions keep the
+    fused score exact, so the DuckDB replay matches bit-for-bit."""
+    from pdf_to_epub_spark.operators import rrf_fuse
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    q = (F.col("doc_id") % 5).alias("query_id")
+    lex = d.select(
+        q,
+        "doc_id",
+        F.length("text").cast("double").alias("score"),
+        F.lit("lex").alias("run_id"),
+    )
+    dense = d.select(
+        q,
+        "doc_id",
+        ((F.col("doc_id") * 2654435761) % 1000).cast("double").alias("score"),
+        F.lit("dense").alias("run_id"),
+    )
+    return rrf_fuse(lex.unionAll(dense), k=60, topn=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -6450,6 +6536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_domain_distinct": _q_hll_domain_distinct,
         "jsonld_extract": _q_jsonld_extract,
         "extraction_eval": _q_extraction_eval,
+        "degree_assortativity": _q_degree_assortativity,
+        "span_overlap": _q_span_overlap,
+        "rrf_fusion": _q_rrf_fusion,
     }
 
 
@@ -12741,5 +12830,107 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_total
             FROM events
             GROUP BY user_id
+        """,
+        # Degree assortativity: the star+chain construction, canonical
+        # distinct edges, degree joins, and exact integer moments all
+        # replay as plain SQL; HUGEINT sums == Spark decimal(38,0).
+        "degree_assortativity": """
+            WITH raw_edges AS (
+                SELECT 'hub.example' AS s,
+                       's' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS t
+                FROM documents
+                UNION ALL
+                SELECT 's' || CAST(doc_id % 23 AS VARCHAR) || '.example',
+                       's' || CAST(doc_id % 23 + 1 AS VARCHAR) || '.example'
+                FROM documents WHERE doc_id % 23 < 10
+            ), e AS (
+                SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+                FROM raw_edges WHERE s != t
+            ), deg AS (
+                SELECT node, count(*)::BIGINT AS deg FROM (
+                    SELECT a AS node FROM e
+                    UNION ALL SELECT b FROM e
+                ) GROUP BY node
+            ), ed AS (
+                SELECT da.deg AS da, db.deg AS db
+                FROM e JOIN deg da ON e.a = da.node
+                       JOIN deg db ON e.b = db.node
+            ), mom AS (
+                SELECT count(*)::BIGINT AS n_edges,
+                       sum(da + db)::HUGEINT AS sx,
+                       sum(2 * da * db)::HUGEINT AS sxy,
+                       sum(da * da + db * db)::HUGEINT AS sxx
+                FROM ed
+            )
+            SELECT (SELECT count(*)::BIGINT FROM deg) AS n_nodes,
+                   n_edges,
+                   CASE WHEN (2 * n_edges * sxx - sx * sx) > 0 THEN
+                       round((2 * n_edges * sxy - sx * sx)::DOUBLE
+                             / (2 * n_edges * sxx - sx * sx)::DOUBLE, 6)
+                   END AS assortativity
+            FROM mom
+        """,
+        # Span overlap: the oracle is the NAIVE theta-join the operator
+        # refuses to run — grid bucketing + owner-cell dedup must
+        # reproduce it exactly, duplicates and all.
+        "span_overlap": """
+            WITH left_spans AS (
+                SELECT doc_id, doc_id * 2 AS a_id,
+                       (doc_id % 7) * 10 AS a_start,
+                       (doc_id % 7) * 10 + 15 + doc_id % 4 AS a_end
+                FROM documents
+                UNION ALL
+                SELECT doc_id, doc_id * 2 + 1,
+                       100 + (doc_id % 5) * 8,
+                       112 + (doc_id % 5) * 8
+                FROM documents
+            ), right_spans AS (
+                SELECT doc_id, b_id, b_id * 25 AS b_start,
+                       b_id * 25 + 25 AS b_end
+                FROM (SELECT doc_id, unnest(generate_series(0, 7)) AS b_id
+                      FROM documents)
+            )
+            SELECT l.doc_id, l.a_id, r.b_id,
+                   greatest(a_start, b_start)::BIGINT AS ov_start,
+                   least(a_end, b_end)::BIGINT AS ov_end,
+                   (least(a_end, b_end)
+                    - greatest(a_start, b_start))::BIGINT AS ov_len
+            FROM left_spans l JOIN right_spans r
+              ON l.doc_id = r.doc_id
+             AND l.a_start < r.b_end AND r.b_start < l.a_end
+            WHERE l.a_end > l.a_start
+        """,
+        # RRF fusion: per-(query, run) row_number ranks, integer
+        # nano-unit contributions, exact sums, query-local top-10.
+        "rrf_fusion": """
+            WITH runs AS (
+                SELECT doc_id % 5 AS query_id, doc_id,
+                       length(text)::DOUBLE AS score, 'lex' AS run_id
+                FROM documents
+                UNION ALL
+                SELECT doc_id % 5, doc_id,
+                       ((doc_id * 2654435761) % 1000)::DOUBLE, 'dense'
+                FROM documents
+            ), ranked AS (
+                SELECT query_id, doc_id,
+                       CAST(round(1e9 / (60 + row_number() OVER (
+                           PARTITION BY query_id, run_id
+                           ORDER BY score DESC, doc_id ASC)), 0) AS BIGINT)
+                           AS nano
+                FROM runs
+            ), fused AS (
+                SELECT query_id, doc_id,
+                       count(*)::BIGINT AS n_runs,
+                       sum(nano)::BIGINT AS rrf_nano
+                FROM ranked GROUP BY query_id, doc_id
+            )
+            SELECT query_id, doc_id, n_runs, rrf_nano,
+                   fused_rank::INT AS fused_rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY rrf_nano DESC, doc_id ASC) AS fused_rank
+                FROM fused
+            ) WHERE fused_rank <= 10
         """,
     }

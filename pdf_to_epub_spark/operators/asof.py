@@ -201,3 +201,73 @@ def range_enrich(
             F.when(F.col("__hit"), F.col("__label")).alias("range_label"),
         )
     )
+
+
+def span_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    doc_col: str = "doc_id",
+    id_cols: tuple[str, str] = ("a_id", "b_id"),
+    start_cols: tuple[str, str] = ("a_start", "b_start"),
+    end_cols: tuple[str, str] = ("a_end", "b_end"),
+    cell: int = 64,
+) -> DataFrame:
+    """Interval-overlap join between two half-open span tables over the
+    same document key — the annotation-alignment primitive (duplicate-
+    mask spans × sentence spans, PII spans × token spans, layout blocks
+    × OCR lines).
+
+    Spark-first shape: a raw ``a_start < b_end AND b_start < a_end``
+    theta-join over a shared doc key still degenerates when single
+    documents carry many spans (the per-doc cross product).  Instead
+    both sides explode to the fixed-width grid cells each span covers
+    and the join is EQUI on ``(doc, cell)`` with the overlap test as a
+    residual filter.  Duplicate hits (a pair sharing several cells) are
+    eliminated WITHOUT a distinct: a pair is kept only in the overlap's
+    OWNER cell — ``floor(max(starts)/cell)``, the first cell of the
+    intersection, which both spans necessarily cover — so there is no
+    post-join dedup shuffle at all.  Pick ``cell`` near the typical
+    span length; work scales with span_len/cell per row.
+
+    Spans are half-open ``[start, end)``; empty spans never match.
+    Returns ``(doc, a_id, b_id, ov_start, ov_end, ov_len)``.
+    """
+    a_id, b_id = id_cols
+    a_s, b_s = start_cols
+    a_e, b_e = end_cols
+
+    def _cells(df: DataFrame, sid: str, s: str, e: str) -> DataFrame:
+        return df.where(F.col(e) > F.col(s)).select(
+            F.col(doc_col).alias("__doc"),
+            F.col(sid),
+            F.col(s),
+            F.col(e),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / cell).cast("long"),
+                    F.floor((F.col(e) - 1) / cell).cast("long"),
+                )
+            ).alias("__cell"),
+        )
+
+    la = _cells(left, a_id, a_s, a_e)
+    rb = _cells(right, b_id, b_s, b_e)
+    ov_s = F.greatest(F.col(a_s), F.col(b_s))
+    ov_e = F.least(F.col(a_e), F.col(b_e))
+    return (
+        la.join(rb, ["__doc", "__cell"])
+        .where(
+            (F.col(a_s) < F.col(b_e))
+            & (F.col(b_s) < F.col(a_e))
+            # owner-cell: emit the pair exactly once, no distinct
+            & (F.col("__cell") == F.floor(ov_s / cell).cast("long"))
+        )
+        .select(
+            F.col("__doc").alias(doc_col),
+            a_id,
+            b_id,
+            ov_s.cast("long").alias("ov_start"),
+            ov_e.cast("long").alias("ov_end"),
+            (ov_e - ov_s).cast("long").alias("ov_len"),
+        )
+    )

@@ -37,6 +37,7 @@ from operator import or_
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Word tokens: lowercase letter runs (accented Latin included) — the ONE
 # token class, imported from textstats so the two modules cannot drift
@@ -576,4 +577,54 @@ def skipgram_pairs(
         .where(F.col("n_cooc") >= min_count)
         .orderBy(F.desc("n_cooc"), F.asc("term_a"), F.asc("term_b"))
         .limit(top)
+    )
+
+
+def rrf_fuse(
+    runs: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    run_col: str = "run_id",
+    k: int = 60,
+    topn: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of several retrieval runs per query —
+    the standard way to merge a lexical (BM25) and a dense (embedding)
+    ranking without score calibration: ``rrf(d) = Σ_runs 1/(k + rank)``.
+
+    Scale shape: ranks are ``row_number`` windows partitioned by
+    ``(query, run)`` — never a global window, so the sort parallelizes
+    across queries; fusion is one map-side-combinable groupBy on
+    ``(query, doc)``; the final per-query top-``n`` is another
+    query-partitioned window.  Contributions are summed as INTEGER
+    nano-units (``round(1e9/(k+rank))``) so the fused score is exact
+    and order-independent — a double Σ would drift with partition
+    order.  Ties in both rankings break on doc id, so the output is
+    bit-stable across engines (the DuckDB oracle replays the same
+    arithmetic).
+
+    Returns ``(query, doc, n_runs, rrf_nano, fused_rank)``, the top
+    ``topn`` docs per query, best first.
+    """
+    w_run = Window.partitionBy(query_col, run_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    contrib = runs.select(
+        query_col,
+        id_col,
+        F.round(F.lit(1e9) / (F.lit(k) + F.row_number().over(w_run)), 0)
+        .cast("long")
+        .alias("_nano"),
+    )
+    fused = contrib.groupBy(query_col, id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.sum("_nano").cast("long").alias("rrf_nano"),
+    )
+    w_q = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_nano"), F.asc(id_col)
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_q).cast("int"))
+        .where(F.col("fused_rank") <= topn)
     )

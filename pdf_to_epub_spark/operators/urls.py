@@ -2617,3 +2617,67 @@ def change_rate(
         ) + F.lit(0.0),
     )
     return per.select("url", "n_obs", "n_changes", rate.alias("change_rate"))
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Newman degree assortativity of the undirected domain graph — the
+    Pearson correlation between the degrees at the two ends of every
+    edge.  Webgraphs are famously DISassortative (hubs link to leaves,
+    r < 0); a near-zero or positive r over a crawl slice is a
+    link-farm / mirror-ring tell, the structural complement to
+    ``link_reciprocity``.
+
+    Every moment the correlation needs is an exact integer sum —
+    edges are canonicalized + deduplicated, degrees joined onto both
+    endpoints (two node-table equi-joins, no window), and each
+    undirected edge contributes both orientations by symmetry:
+    ``M = 2E``, ``Sx = Σ(da+db)``, ``Sxy = 2Σ(da·db)``,
+    ``Sxx = Σ(da²+db²)``.  Sums ride decimal(38,0) (an int64 Σdeg²
+    wraps past ~3e9-degree hubs); the ONLY float op is the final
+    ``r = (M·Sxy − Sx²) / (M·Sxx − Sx²)``, rounded to 6 dp — so the
+    result is bit-stable across partitionings and engines.
+
+    Returns one row: ``(n_nodes, n_edges, assortativity)`` —
+    NULL r when the degree variance is 0 (regular graphs: rings,
+    cliques) or there are no edges.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds degree agg AND the joins
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .union(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = canon.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b"
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    moments = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(dec("da") + dec("db")).alias("sx"),
+        F.sum(F.lit(2) * dec("da") * dec("db")).alias("sxy"),
+        F.sum(dec("da") * dec("da") + dec("db") * dec("db")).alias("sxx"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    m = F.lit(2) * F.col("n_edges").cast("decimal(38,0)")
+    num = (m * F.col("sxy") - F.col("sx") * F.col("sx")).cast("double")
+    den = (m * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return nn.crossJoin(moments).select(
+        "n_nodes",
+        "n_edges",
+        F.when(den > 0, F.round(num / den, 6)).alias("assortativity"),
+    )
