@@ -6285,6 +6285,65 @@ def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(lex.unionAll(dense), k=60, topn=10)
 
 
+def _q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase mining (textstats.rake_keywords) over the raw
+    documents table — stopword-delimited candidate phrases, integer
+    micro-unit deg/freq scoring, corpus top-40."""
+    from pdf_to_epub_spark.operators import rake_keywords
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    return rake_keywords(d, top=40, min_occurrences=2)
+
+
+def _q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature ranking (evaluate.feature_mi): three
+    signals against a doc_id-derived label — f_mod is the label's own
+    generator (high MI), f_len is weakly informative, f_noise is a
+    hash residue (near-zero MI) — so the ranking is a real contrast,
+    not three ties."""
+    from pdf_to_epub_spark.operators import feature_mi
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.length("text").alias("f_len"),
+        ((F.col("doc_id") * 37) % 100).alias("f_noise"),
+        (F.col("doc_id") % 3).alias("f_mod"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("label"),
+    )
+    return feature_mi(
+        d, ["f_len", "f_noise", "f_mod"], label_col="label", bins=10
+    )
+
+
+def _q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization assignment (similarity.pq_quantize): the
+    64-dim embeddings split into 8 subspaces against an arithmetic
+    16-code codebook; integer nano-unit distances make the per-
+    subspace argmin engine-exact."""
+    from pdf_to_epub_spark.operators import pq_quantize
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = spark.createDataFrame(
+        [(s, c) for s in range(8) for c in range(16)],
+        "subspace int, code int",
+    )
+    cent = base.select(
+        "subspace",
+        "code",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda jj: (
+                (
+                    (F.col("subspace") * 131 + F.col("code") * 31 + jj * 17)
+                    % 200
+                    - 100
+                ).cast("double")
+                / 100.0
+            ),
+        ).alias("cvec"),
+    )
+    return pq_quantize(e, cent, m=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -6539,6 +6598,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": _q_degree_assortativity,
         "span_overlap": _q_span_overlap,
         "rrf_fusion": _q_rrf_fusion,
+        "rake_keywords": _q_rake_keywords,
+        "feature_mi": _q_feature_mi,
+        "pq_quantize": _q_pq_quantize,
     }
 
 
@@ -12932,5 +12994,140 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY rrf_nano DESC, doc_id ASC) AS fused_rank
                 FROM fused
             ) WHERE fused_rank <= 10
+        """,
+        # RAKE: the two-pass stopword cut, distinct-phrase scoring and
+        # integer micro-unit deg/freq sums all replay in SQL (the
+        # stopword alternation is generated from the SAME tuple).
+        "rake_keywords": """
+            WITH norm AS (
+                SELECT ' ' || regexp_replace(lower(text),
+                           '[^a-zà-öø-ÿ]+', ' ', 'g') || ' ' AS t
+                FROM documents WHERE text IS NOT NULL
+            ), cut1 AS (
+                SELECT regexp_replace(t, ' (the|and|of|to|a|in|is|was|it|for|on|as|with|that|this|his|her|they|be|at|by|an|are|or|from|had|has|have|not|but|were|which|you|he|she|we|their) ', ' | ', 'g') AS t
+                FROM norm
+            ), cut2 AS (
+                SELECT regexp_replace(t, ' (the|and|of|to|a|in|is|was|it|for|on|as|with|that|this|his|her|they|be|at|by|an|are|or|from|had|has|have|not|but|were|which|you|he|she|we|their) ', ' | ', 'g') AS t
+                FROM cut1
+            ), phrases AS (
+                SELECT trim(regexp_replace(raw, ' +', ' ', 'g')) AS phrase
+                FROM (SELECT unnest(string_split(t, '|')) AS raw FROM cut2)
+                WHERE trim(regexp_replace(raw, ' +', ' ', 'g')) != ''
+            ), occ AS (
+                SELECT phrase, count(*)::BIGINT AS n_occ
+                FROM phrases GROUP BY phrase HAVING count(*) >= 2
+            ), words AS (
+                SELECT phrase, n_occ,
+                       len(string_split(phrase, ' '))::BIGINT AS n_words,
+                       unnest(string_split(phrase, ' ')) AS word
+                FROM occ
+            ), wscore AS (
+                SELECT word,
+                       CAST(round(1e6 * sum(n_occ * n_words)::DOUBLE
+                                  / sum(n_occ)::DOUBLE, 0) AS BIGINT)
+                           AS w_micro
+                FROM words GROUP BY word
+            ), scored AS (
+                SELECT w.phrase, sum(s.w_micro)::BIGINT AS score_micro
+                FROM words w JOIN wscore s USING (word)
+                GROUP BY w.phrase
+            )
+            SELECT o.phrase,
+                   len(string_split(o.phrase, ' '))::INT AS n_words,
+                   o.n_occ AS n_occurrences,
+                   sc.score_micro
+            FROM occ o JOIN scored sc ON o.phrase = sc.phrase
+            ORDER BY sc.score_micro DESC, o.phrase ASC
+            LIMIT 40
+        """,
+        # Feature MI: stack-unpivot as UNION ALL, equal-width bins,
+        # micro-nat terms with the count products in doubles.
+        "feature_mi": """
+            WITH feats AS (
+                SELECT 'f_len' AS feature, length(text)::DOUBLE AS x,
+                       CAST((doc_id % 3 = 0)::INT AS VARCHAR) AS y
+                FROM documents WHERE text IS NOT NULL
+                UNION ALL
+                SELECT 'f_noise', ((doc_id * 37) % 100)::DOUBLE,
+                       CAST((doc_id % 3 = 0)::INT AS VARCHAR)
+                FROM documents
+                UNION ALL
+                SELECT 'f_mod', (doc_id % 3)::DOUBLE,
+                       CAST((doc_id % 3 = 0)::INT AS VARCHAR)
+                FROM documents
+            ), ranges AS (
+                SELECT feature, min(x) AS lo, max(x) AS hi
+                FROM feats GROUP BY feature
+            ), binned AS (
+                SELECT f.feature, f.y,
+                       CASE WHEN r.hi > r.lo THEN least(9,
+                           CAST(floor((f.x - r.lo) / (r.hi - r.lo) * 10)
+                                AS INT))
+                       ELSE 0 END AS bin
+                FROM feats f JOIN ranges r ON f.feature = r.feature
+            ), nxy AS (
+                SELECT feature, bin, y, count(*)::BIGINT AS n_xy
+                FROM binned GROUP BY feature, bin, y
+            ), nx AS (
+                SELECT feature, bin, sum(n_xy)::BIGINT AS n_x
+                FROM nxy GROUP BY feature, bin
+            ), ny AS (
+                SELECT feature, y, sum(n_xy)::BIGINT AS n_y
+                FROM nxy GROUP BY feature, y
+            ), nn AS (
+                SELECT feature, sum(n_xy)::BIGINT AS n
+                FROM nxy GROUP BY feature
+            ), cells AS (
+                SELECT c.feature, c.bin,
+                       CAST(round(1e6
+                            * (c.n_xy::DOUBLE / t.n::DOUBLE)
+                            * ln((c.n_xy::DOUBLE * t.n::DOUBLE)
+                                 / (x.n_x::DOUBLE * yy.n_y::DOUBLE)), 0)
+                            AS BIGINT) AS term,
+                       t.n
+                FROM nxy c
+                JOIN nx x ON c.feature = x.feature AND c.bin = x.bin
+                JOIN ny yy ON c.feature = yy.feature AND c.y = yy.y
+                JOIN nn t ON c.feature = t.feature
+            )
+            SELECT feature, max(n)::BIGINT AS n_rows,
+                   count(DISTINCT bin)::INT AS n_bins_used,
+                   sum(term)::BIGINT AS mi_micro_nats
+            FROM cells GROUP BY feature
+            ORDER BY mi_micro_nats DESC, feature ASC
+        """,
+        # PQ assignment: the arithmetic codebook, inclusive list_slice
+        # subvectors, per-dimension nano-rounded squared deltas and the
+        # (dist, code) lexicographic argmin replay exactly.
+        "pq_quantize": """
+            WITH cent AS (
+                SELECT s.subspace, c.code,
+                       list_transform(generate_series(0, 7), j ->
+                           (((s.subspace * 131 + c.code * 31 + j * 17)
+                             % 200) - 100)::DOUBLE / 100.0) AS cvec
+                FROM (SELECT unnest(generate_series(0, 7)) AS subspace) s,
+                     (SELECT unnest(generate_series(0, 15)) AS code) c
+            ), sub AS (
+                SELECT vec_id, s.subspace,
+                       list_slice(embedding, s.subspace * 8 + 1,
+                                  s.subspace * 8 + 8) AS sv
+                FROM embeddings,
+                     (SELECT unnest(generate_series(0, 7)) AS subspace) s
+            ), scored AS (
+                SELECT vec_id, sub.subspace, cent.code,
+                       list_sum(list_transform(generate_series(1, 8), j ->
+                           CAST(round((sv[j]::DOUBLE - cvec[j])
+                                      * (sv[j]::DOUBLE - cvec[j])
+                                      * 1e9, 0) AS BIGINT)))::BIGINT AS d
+                FROM sub JOIN cent ON sub.subspace = cent.subspace
+            )
+            SELECT vec_id, subspace::INT AS subspace, code::INT AS code,
+                   d AS dist_nano
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id, subspace
+                    ORDER BY d ASC, code ASC) AS rn
+                FROM scored
+            ) WHERE rn = 1
         """,
     }

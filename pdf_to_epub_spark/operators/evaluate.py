@@ -629,3 +629,93 @@ def proportion_test(
         .otherwise(F.lit(False))
         .alias("significant"),
     )
+
+
+def feature_mi(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    bins: int = 10,
+) -> DataFrame:
+    """Mutual information I(feature; label) per feature, the
+    filter-method feature ranking for quality-signal audits: which
+    cheap per-document signals actually carry information about the
+    (expensive) label a classifier is being trained to predict.
+
+    Each feature is equal-width binned into ``bins`` buckets between
+    its own min and max (constant features collapse to one bucket and
+    score 0), and MI is computed from the (bin, label) contingency
+    counts: ``Σ (n_xy/N)·ln(n_xy·N / (n_x·n_y))``.  Each term is
+    quantized to integer micro-nats BEFORE the sum (the corpus_
+    diversity convention), so the total is order-independent and
+    engine-exact.  Count products ride doubles inside the log (at
+    10^12 rows an int64 ``n_xy·N`` wraps).
+
+    Scale shape: one stack() unpivot (rows × n_features, no shuffle),
+    one groupBy per contingency cell, then everything else runs on the
+    tiny cell table (≤ bins·|labels| rows per feature).  Min/max come
+    from the same cell-table pass — a pre-aggregation keyed on
+    (feature, bin would need the range first), so ranges ride one slim
+    two-pass agg joined back broadcast.
+
+    Rows with NULL (or NaN) feature or NULL label are dropped per
+    feature.  Returns ``(feature, n_rows, n_bins_used, mi_micro_nats)``.
+    """
+    if not feature_cols:
+        raise ValueError("feature_mi needs at least one feature column")
+    types = dict(df.dtypes)
+    stack_args = ", ".join(
+        f"'{c}', cast(`{c}` as double)" for c in feature_cols
+    )
+    lab = F.col(label_col).cast("string")
+    melted = df.select(
+        F.expr(
+            f"stack({len(feature_cols)}, {stack_args}) as (feature, x)"
+        ),
+        lab.alias("y"),
+    ).where(
+        F.col("x").isNotNull() & ~F.isnan("x") & F.col("y").isNotNull()
+    )
+    ranges = melted.groupBy("feature").agg(
+        F.min("x").alias("_lo"), F.max("x").alias("_hi")
+    )
+    binned = melted.join(F.broadcast(ranges), "feature").select(
+        "feature",
+        "y",
+        F.when(F.col("_hi") > F.col("_lo"), F.least(
+            F.lit(bins - 1),
+            F.floor(
+                (F.col("x") - F.col("_lo"))
+                / (F.col("_hi") - F.col("_lo")) * bins
+            ).cast("int"),
+        )).otherwise(F.lit(0)).alias("bin"),
+    )
+    nxy = binned.groupBy("feature", "bin", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_xy")
+    ).localCheckpoint(eager=False)  # feeds three marginal aggregates
+    nx = nxy.groupBy("feature", "bin").agg(F.sum("n_xy").alias("n_x"))
+    ny = nxy.groupBy("feature", "y").agg(F.sum("n_xy").alias("n_y"))
+    nn = nxy.groupBy("feature").agg(F.sum("n_xy").alias("n"))
+    cells = (
+        nxy.join(nx, ["feature", "bin"])
+        .join(ny, ["feature", "y"])
+        .join(F.broadcast(nn), "feature")
+    )
+    term = F.round(
+        F.lit(1e6)
+        * (F.col("n_xy").cast("double") / F.col("n").cast("double"))
+        * F.log(
+            (F.col("n_xy").cast("double") * F.col("n").cast("double"))
+            / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+        ),
+        0,
+    ).cast("long")
+    return (
+        cells.groupBy("feature")
+        .agg(
+            F.max("n").cast("long").alias("n_rows"),
+            F.countDistinct("bin").cast("int").alias("n_bins_used"),
+            F.sum(term).cast("long").alias("mi_micro_nats"),
+        )
+        .orderBy(F.desc("mi_micro_nats"), F.asc("feature"))
+    )

@@ -955,3 +955,69 @@ def embedding_quantize(
         id_col, "n_dims", "scale_nano", "max_q", "mae_nano",
         rel.alias("rel_err"),
     )
+
+
+def pq_quantize(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+) -> DataFrame:
+    """Product-quantization code assignment (Jégou et al. 2011): each
+    vector splits into ``m`` contiguous subvectors and every subvector
+    maps to its nearest codebook centroid — the memory side of
+    billion-scale ANN (an m-byte code replaces a 256-byte vector).
+
+    ``centroids`` is the trained codebook: ``(subspace int, code int,
+    cvec array<double>)`` with ``dims/m`` entries per cvec.  The
+    codebook is BROADCAST (it is tiny by construction: m·k rows) and
+    assignment is one narrow join — no shuffle of the embedding table
+    at all.  Distances are exact integer nano-units (each squared
+    per-dimension delta is rounded to 1e-9 before the fold), so the
+    argmin — ``min(struct(dist, code))``, a map-side-combinable agg —
+    is total-ordered and bit-stable across engines; a double fold
+    would tie-break on partition order.
+
+    Returns one row per (vector, subspace): ``(vec_id, subspace, code,
+    dist_nano)``.
+    """
+    sub = (
+        embeddings.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("subspace"),
+        )
+        .select(
+            id_col,
+            "subspace",
+            F.expr(
+                f"slice(_v, subspace * (size(_v) div {m}) + 1,"
+                f" size(_v) div {m})"
+            ).alias("_sv"),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            "_sv",
+            "cvec",
+            lambda a, b: F.round(
+                (a.cast("double") - b) * (a.cast("double") - b) * F.lit(1e9),
+                0,
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = sub.join(F.broadcast(centroids), "subspace").select(
+        id_col, "subspace", dist.alias("_d"), F.col("code").alias("_c")
+    )
+    best = scored.groupBy(id_col, "subspace").agg(
+        F.min(F.struct("_d", "_c")).alias("_b")
+    )
+    return best.select(
+        id_col,
+        F.col("subspace").cast("int").alias("subspace"),
+        F.col("_b._c").cast("int").alias("code"),
+        F.col("_b._d").alias("dist_nano"),
+    )

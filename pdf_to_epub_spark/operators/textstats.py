@@ -2485,3 +2485,97 @@ def term_burstiness(
         .orderBy(F.desc("total_tf"), F.asc("term"))
         .limit(top)
     )
+
+
+# RAKE stopword seed — shared with the DuckDB oracle in __spark_entry__
+# (the alternation is built from THIS tuple on both sides).
+RAKE_STOPWORDS: tuple[str, ...] = (
+    "the", "and", "of", "to", "a", "in", "is", "was", "it", "for",
+    "on", "as", "with", "that", "this", "his", "her", "they", "be",
+    "at", "by", "an", "are", "or", "from", "had", "has", "have",
+    "not", "but", "were", "which", "you", "he", "she", "we", "their",
+)
+
+
+def rake_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    top: int = 50,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free token runs, a word's
+    score is ``deg(w)/freq(w)`` (degree = summed length of phrases
+    containing it), and a phrase scores the sum of its word scores —
+    the classic cheap keyphrase miner for corpus topic profiling.
+
+    Scale shape: phrase splitting is pure per-row regex (two stopword
+    boundary passes — adjacent stopwords share a delimiting space, so
+    one pass alone misses every second one).  Scoring runs over the
+    DISTINCT-phrase table weighted by occurrence counts, so the word
+    explode is phrase-vocabulary-sized, not corpus-sized; word scores
+    come back via one equi-join on the word.  Scores are integer
+    micro-units (``round(1e6·deg/freq)`` per word, exact integer sum
+    per phrase) — order-independent and engine-exact.
+
+    Returns ``(phrase, n_words, n_occurrences, score_micro)``, top
+    ``top`` by (score, phrase).
+    """
+    stop_alt = "|".join(RAKE_STOPWORDS)
+    norm = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-zà-öø-ÿ]+", " "),
+        F.lit(" "),
+    )
+    # two passes: a run of adjacent stopwords only half-resolves in one
+    # (the shared space is consumed by the left match)
+    cut = F.regexp_replace(norm, f" ({stop_alt}) ", " | ")
+    cut = F.regexp_replace(cut, f" ({stop_alt}) ", " | ")
+    phrases = (
+        docs.select(
+            F.explode_outer(F.split(cut, "\\|")).alias("_raw")
+        )
+        .where(F.col("_raw").isNotNull())
+        .select(F.trim(F.regexp_replace("_raw", " +", " ")).alias("phrase"))
+        .where(F.col("phrase") != "")
+    )
+    occ = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+    occ = occ.where(F.col("n_occ") >= min_occurrences).localCheckpoint(
+        eager=False  # feeds the word explode AND the score join-back
+    )
+    words = occ.select(
+        "phrase",
+        "n_occ",
+        F.size(F.split("phrase", " ")).cast("long").alias("n_words"),
+        F.explode(F.split("phrase", " ")).alias("word"),
+    )
+    wstats = words.groupBy("word").agg(
+        F.sum("n_occ").alias("freq"),
+        F.sum(F.col("n_occ") * F.col("n_words")).alias("deg"),
+    )
+    wscore = wstats.select(
+        "word",
+        F.round(
+            F.lit(1e6) * F.col("deg").cast("double")
+            / F.col("freq").cast("double"),
+            0,
+        ).cast("long").alias("w_micro"),
+    )
+    scored = (
+        words.join(wscore, "word")
+        .groupBy("phrase")
+        .agg(F.sum("w_micro").cast("long").alias("score_micro"))
+    )
+    return (
+        occ.join(scored, "phrase")
+        .select(
+            "phrase",
+            F.size(F.split("phrase", " ")).cast("int").alias("n_words"),
+            F.col("n_occ").alias("n_occurrences"),
+            "score_micro",
+        )
+        .orderBy(F.desc("score_micro"), F.asc("phrase"))
+        .limit(top)
+    )
