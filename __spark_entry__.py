@@ -6344,6 +6344,77 @@ def _q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_quantize(e, cent, m=8)
 
 
+def _q_continuation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-based pagination stitching (dedup.continuation_pairs):
+    each eligible document gets a synthetic continuation page whose
+    first 8 tokens repeat the parent's last 8, so every parent must
+    pair with exactly its own continuation (md5 token hash for the
+    SQL replay)."""
+    from pdf_to_epub_spark.operators import continuation_pairs
+    from pdf_to_epub_spark.operators.dedup import md5_hash60
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    elig = d.select("doc_id", "text", toks.alias("_t")).where(
+        F.size("_t") >= 8
+    )
+    a = elig.select(
+        (F.col("doc_id") * 2).alias("doc_id"), F.col("text")
+    )
+    b = elig.select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice("_t", -8, 8), " "),
+            F.lit(" continued section "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return continuation_pairs(
+        a.unionAll(b), k=8, max_fanout=16, token_hash=md5_hash60
+    )
+
+
+_CAP_NAMES = (
+    "Arlon", "Brixton", "Calder", "Dorset", "Elgin", "Farrow", "Galway",
+)
+
+
+def _q_capitalized_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capitalized-run mining (textstats.capitalized_phrases) over
+    documents augmented with deterministic proper-noun runs — 'Saint
+    <name>' must surface, 'The Old <name>' must be dropped by the
+    stopword-first filter."""
+    from pdf_to_epub_spark.operators import capitalized_phrases
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    names = F.array(*[F.lit(n) for n in _CAP_NAMES])
+    w1 = F.element_at(names, (F.col("doc_id") % 7 + 1).cast("int"))
+    w2 = F.element_at(names, ((F.col("doc_id") * 2) % 7 + 1).cast("int"))
+    aug = d.select(
+        F.concat(
+            F.col("text"),
+            F.lit(" Saint "), w1,
+            F.lit(" went to the The Old "), w2,
+            F.lit("."),
+        ).alias("text")
+    )
+    return capitalized_phrases(aug, top=40, min_count=2)
+
+
+def _q_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Otsu auto-threshold (sampling.otsu_threshold) over a bimodal
+    synthetic quality score (a 20..30 junk mode and an 80..86 keep
+    mode) — the maximizing cut must land between the modes."""
+    from pdf_to_epub_spark.operators import otsu_threshold
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.when(
+            F.col("doc_id") % 3 == 0, 80 + F.col("doc_id") % 7
+        ).otherwise(20 + F.col("doc_id") % 11).cast("double").alias("score")
+    )
+    return otsu_threshold(d, bins=32)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -6601,6 +6672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords": _q_rake_keywords,
         "feature_mi": _q_feature_mi,
         "pq_quantize": _q_pq_quantize,
+        "continuation_pairs": _q_continuation_pairs,
+        "capitalized_phrases": _q_capitalized_phrases,
+        "otsu_threshold": _q_otsu_threshold,
     }
 
 
@@ -13129,5 +13203,130 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY d ASC, code ASC) AS rn
                 FROM scored
             ) WHERE rn = 1
+        """,
+        # Continuation pairs: the synthetic continuation corpus, the
+        # whitespace tokenization, head/tail md5-60 bridge hashes, the
+        # >16 fanout drop and the equi-join replay in SQL.
+        "continuation_pairs": """
+            WITH elig AS (
+                SELECT doc_id, text,
+                       string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents
+                WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 8
+            ), corpus AS (
+                SELECT doc_id * 2 AS id, text FROM elig
+                UNION ALL
+                SELECT doc_id * 2 + 1,
+                       array_to_string(
+                           list_slice(t, len(t) - 7, len(t)), ' ')
+                       || ' continued section ' || CAST(doc_id AS VARCHAR)
+                FROM elig
+            ), toks AS (
+                SELECT id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM corpus
+                WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 8
+            ), hashed AS (
+                SELECT id,
+                       ('0x' || substr(md5(array_to_string(
+                           list_slice(t, 1, 8), ' ')), 1, 15))::BIGINT AS h,
+                       ('0x' || substr(md5(array_to_string(
+                           list_slice(t, len(t) - 7, len(t)), ' ')),
+                           1, 15))::BIGINT AS tl
+                FROM toks
+            ), hot AS (
+                SELECT h AS bridge FROM hashed GROUP BY h
+                HAVING count(*) > 16
+                UNION
+                SELECT tl FROM hashed GROUP BY tl HAVING count(*) > 16
+            )
+            SELECT a.id AS id_a, b.id AS id_b, a.tl AS bridge_hash
+            FROM hashed a JOIN hashed b ON a.tl = b.h AND a.id != b.id
+            WHERE a.tl NOT IN (SELECT bridge FROM hot)
+        """,
+        # Capitalized runs: the augmented corpus, the multi-word
+        # [A-Z][a-z]+ run regex and the capitalized-stopword-first
+        # filter (list generated from the SAME tuple) replay in SQL.
+        "capitalized_phrases": """
+            WITH names(nm, i) AS (
+                VALUES ('Arlon', 0), ('Brixton', 1), ('Calder', 2),
+                       ('Dorset', 3), ('Elgin', 4), ('Farrow', 5),
+                       ('Galway', 6)
+            ), aug AS (
+                SELECT d.text || ' Saint ' || n1.nm
+                       || ' went to the The Old ' || n2.nm || '.' AS text
+                FROM documents d
+                JOIN names n1 ON n1.i = d.doc_id % 7
+                JOIN names n2 ON n2.i = (d.doc_id * 2) % 7
+            ), runs AS (
+                SELECT unnest(regexp_extract_all(text,
+                    '[A-Z][a-z]+( [A-Z][a-z]+)+', 0)) AS phrase
+                FROM aug
+            ), kept AS (
+                SELECT phrase, count(*)::BIGINT AS n_mentions
+                FROM runs
+                WHERE string_split(phrase, ' ')[1] NOT IN ('The', 'And', 'Of', 'To', 'A', 'In', 'Is', 'Was', 'It', 'For', 'On', 'As', 'With', 'That', 'This', 'His', 'Her', 'They', 'Be', 'At', 'By', 'An', 'Are', 'Or', 'From', 'Had', 'Has', 'Have', 'Not', 'But', 'Were', 'Which', 'You', 'He', 'She', 'We', 'Their')
+                GROUP BY phrase
+                HAVING count(*) >= 2
+            )
+            SELECT phrase,
+                   len(string_split(phrase, ' '))::INT AS n_words,
+                   n_mentions
+            FROM kept
+            ORDER BY n_mentions DESC, phrase ASC
+            LIMIT 40
+        """,
+        # Otsu: equal-width histogram, cumulative moments over the
+        # bins table, micro-unit between-class variance, lower-bin
+        # tie-break.
+        "otsu_threshold": """
+            WITH clean AS (
+                SELECT (CASE WHEN doc_id % 3 = 0 THEN 80 + doc_id % 7
+                             ELSE 20 + doc_id % 11 END)::DOUBLE AS x
+                FROM documents
+            ), rng AS (
+                SELECT min(x) AS lo, max(x) AS hi,
+                       count(*)::BIGINT AS n FROM clean
+            ), hist AS (
+                SELECT CASE WHEN r.hi > r.lo THEN least(31,
+                           CAST(floor((c.x - r.lo) / (r.hi - r.lo) * 32)
+                                AS INT))
+                       ELSE 0 END AS bin,
+                       count(*)::BIGINT AS n
+                FROM clean c, rng r
+                GROUP BY 1
+            ), cum AS (
+                SELECT bin,
+                       sum(n) OVER (ORDER BY bin)::BIGINT AS w0,
+                       sum(n * bin) OVER (ORDER BY bin)::BIGINT AS s0,
+                       (SELECT sum(n)::BIGINT FROM hist) AS W,
+                       (SELECT sum(n * bin)::BIGINT FROM hist) AS S
+                FROM hist
+            ), scored AS (
+                SELECT bin, w0, W,
+                       CAST(round(1e6
+                           * ((w0::DOUBLE / W::DOUBLE)
+                              * (1.0 - w0::DOUBLE / W::DOUBLE))
+                           * (((s0::DOUBLE / w0::DOUBLE)
+                               - ((S - s0)::DOUBLE / (W - w0)::DOUBLE))
+                              * ((s0::DOUBLE / w0::DOUBLE)
+                                 - ((S - s0)::DOUBLE / (W - w0)::DOUBLE))),
+                           0) AS BIGINT) AS var_micro
+                FROM cum WHERE w0 < W
+            ), best AS (
+                SELECT * FROM scored
+                ORDER BY var_micro DESC, bin ASC LIMIT 1
+            )
+            SELECT r.n AS n_rows,
+                   round(r.lo, 6) AS lo,
+                   round(r.hi, 6) AS hi,
+                   b.bin::INT AS threshold_bin,
+                   CASE WHEN b.bin IS NOT NULL THEN
+                       round(r.lo + (b.bin + 1) * ((r.hi - r.lo) / 32), 6)
+                   END AS threshold_value,
+                   b.var_micro,
+                   b.w0 AS n_below,
+                   (b.W - b.w0)::BIGINT AS n_above
+            FROM rng r LEFT JOIN best b ON TRUE
         """,
     }

@@ -1965,3 +1965,61 @@ def recrawl_drift(
             .alias("drift_class"),
         )
     )
+
+
+def continuation_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_fanout: int = 16,
+    token_hash: Callable[[Column], Column] = F.xxhash64,
+) -> DataFrame:
+    """Content-based pagination stitching: find (A, B) pairs where the
+    LAST ``k`` word tokens of A equal the FIRST ``k`` tokens of B — the
+    multi-page-article tell (page 2 of a split article repeats the
+    trailing sentence fragment of page 1) that ``rel_pagination``'s
+    markup-based detector misses when the links are stripped.
+
+    Scale shape: each doc reduces to two 60-ish-bit bridge hashes (head
+    and tail of the token array — one regexp pass, two slices, no
+    shuffle), and candidates come from ONE equi-join tail-hash =
+    head-hash.  Template boilerplate (a shared footer sentence) would
+    make a single bridge value quadratic, so bridges hotter than
+    ``max_fanout`` on EITHER side are dropped before the join — the
+    same hot-shingle hygiene as containment_pairs.  Pass
+    ``md5_hash60`` as ``token_hash`` for SQL-oracle reproducibility.
+
+    Returns ``(id_a, id_b, bridge_hash)`` — B continues A.  Docs with
+    fewer than ``k`` tokens never pair.
+    """
+    base = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            _word_tokens(F.col(text_col)).alias("_t"),
+        )
+        .where(F.size("_t") >= k)
+        .select(
+            "_id",
+            token_hash(F.array_join(F.slice("_t", 1, k), " ")).alias("_h"),
+            token_hash(F.array_join(F.slice("_t", -k, k), " ")).alias("_tl"),
+        )
+        .localCheckpoint(eager=False)  # heads, tails, and both fanout aggs
+    )
+    heads = base.select(F.col("_id").alias("id_b"), F.col("_h").alias("bridge_hash"))
+    tails = base.select(F.col("_id").alias("id_a"), F.col("_tl").alias("bridge_hash"))
+    hot_heads = (
+        heads.groupBy("bridge_hash").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_fanout).select("bridge_hash")
+    )
+    hot_tails = (
+        tails.groupBy("bridge_hash").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_fanout).select("bridge_hash")
+    )
+    hot = hot_heads.union(hot_tails).distinct()
+    return (
+        tails.join(hot, "bridge_hash", "left_anti")
+        .join(heads.join(hot, "bridge_hash", "left_anti"), "bridge_hash")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "bridge_hash")
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pdf_to_epub_spark.operators.dedup import md5_hash60
 
@@ -1167,4 +1168,98 @@ def bootstrap_ci(
     )
     return full.crossJoin(F.broadcast(ci)).select(
         "n_rows", "n_reps", "mean", "ci_lo", "ci_hi"
+    )
+
+
+def otsu_threshold(
+    df: DataFrame,
+    score_col: str = "score",
+    bins: int = 64,
+) -> DataFrame:
+    """Otsu's method over a quality-score column: the threshold that
+    maximizes between-class variance of the score histogram — the
+    parameter-free way to split a bimodal quality distribution (kept
+    vs junk) when no target keep-RATE is known (its rate-targeted
+    sibling is ``threshold_for_rate``).
+
+    Scale shape: one min/max aggregate, one equal-width histogram
+    groupBy (map-side combined), then the argmax scan runs entirely on
+    the ≤ ``bins``-row histogram table — the single-partition windows
+    are bins-sized, never data-sized.  The variance is evaluated in
+    BIN units (bounded by bins², so a micro-unit rounding is exact
+    enough for a stable argmax) and ties break toward the LOWER bin,
+    so the cut is engine-deterministic.
+
+    Returns one row: ``(n_rows, lo, hi, threshold_bin,
+    threshold_value, var_micro, n_below, n_above)`` — rows with score
+    ≤ threshold_value are "below".  NULL/NaN scores are dropped; a
+    constant or empty column yields NULL threshold fields.
+    """
+    s = F.col(score_col).cast("double")
+    clean = df.where(s.isNotNull() & ~F.isnan(s)).select(s.alias("x"))
+    rng = clean.agg(
+        F.min("x").alias("_lo"),
+        F.max("x").alias("_hi"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    binned = clean.join(F.broadcast(rng)).select(
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            F.least(
+                F.lit(bins - 1),
+                F.floor(
+                    (F.col("x") - F.col("_lo"))
+                    / (F.col("_hi") - F.col("_lo")) * bins
+                ).cast("int"),
+            ),
+        ).otherwise(F.lit(0)).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "bin",
+        F.sum("n").over(w).cast("long").alias("w0"),
+        F.sum(F.col("n") * F.col("bin")).over(w).cast("long").alias("s0"),
+    )
+    tot = hist.agg(
+        F.sum("n").cast("long").alias("W"),
+        F.sum(F.col("n") * F.col("bin")).cast("long").alias("S"),
+    )
+    c = cum.join(F.broadcast(tot))
+    w0d = F.col("w0").cast("double") / F.col("W").cast("double")
+    mu0 = F.col("s0").cast("double") / F.col("w0").cast("double")
+    mu1 = (F.col("S") - F.col("s0")).cast("double") / (
+        F.col("W") - F.col("w0")
+    ).cast("double")
+    var_micro = F.round(
+        F.lit(1e6) * (w0d * (F.lit(1.0) - w0d))
+        * ((mu0 - mu1) * (mu0 - mu1)),
+        0,
+    ).cast("long")
+    best = (
+        c.where(F.col("w0") < F.col("W"))
+        .select(
+            "bin", "w0", var_micro.alias("var_micro"), "W"
+        )
+        .orderBy(F.desc("var_micro"), F.asc("bin"))
+        .limit(1)
+    )
+    out = rng.join(best, how="left")
+    step = (F.col("_hi") - F.col("_lo")) / bins
+    return out.select(
+        F.col("_n").alias("n_rows"),
+        F.round("_lo", 6).alias("lo"),
+        F.round("_hi", 6).alias("hi"),
+        F.col("bin").cast("int").alias("threshold_bin"),
+        F.when(
+            F.col("bin").isNotNull(),
+            F.round(F.col("_lo") + (F.col("bin") + 1) * step, 6),
+        ).alias("threshold_value"),
+        "var_micro",
+        F.col("w0").alias("n_below"),
+        (F.col("W") - F.col("w0")).cast("long").alias("n_above"),
     )

@@ -2579,3 +2579,50 @@ def rake_keywords(
         .orderBy(F.desc("score_micro"), F.asc("phrase"))
         .limit(top)
     )
+
+
+def capitalized_phrases(
+    docs: DataFrame,
+    text_col: str = "text",
+    top: int = 50,
+    min_count: int = 3,
+) -> DataFrame:
+    """Multi-word capitalized-run mining — the zero-model named-entity
+    sweep ("New York City", "World Health Organization") used to
+    profile what a crawl slice is ABOUT before any tagger runs.
+
+    A candidate is a run of ≥ 2 ``Xxxx``-shaped words separated by
+    single spaces; runs whose FIRST word is just a capitalized
+    stopword ("The Quick...") are dropped, which removes most
+    sentence-start noise without positional logic (positional
+    sentence-start tracking would need lookbehind — not in RE2, so it
+    could never be oracle-mirrored).  One ``regexp_extract_all`` per
+    row, one map-side-combined count — the plan is scan → explode →
+    agg, nothing else.
+
+    Returns ``(phrase, n_words, n_mentions)``, top ``top`` by
+    (mentions, phrase); phrases seen fewer than ``min_count`` times
+    are dropped.
+    """
+    runs = F.expr(
+        f"regexp_extract_all({text_col}, "
+        "'[A-Z][a-z]+( [A-Z][a-z]+)+', 0)"
+    )
+    stop_first = tuple(s.capitalize() for s in RAKE_STOPWORDS)
+    first_word = F.split(F.col("phrase"), " ")[0]
+    return (
+        # explode_outer: plain explode gets an inferred size(arr)>0
+        # filter with the regexp_extract_all re-inlined (double scan)
+        docs.select(F.explode_outer(runs).alias("phrase"))
+        .where(F.col("phrase").isNotNull() & ~first_word.isin(*stop_first))
+        .groupBy("phrase")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_mentions"))
+        .where(F.col("n_mentions") >= min_count)
+        .select(
+            "phrase",
+            F.size(F.split("phrase", " ")).cast("int").alias("n_words"),
+            "n_mentions",
+        )
+        .orderBy(F.desc("n_mentions"), F.asc("phrase"))
+        .limit(top)
+    )
