@@ -6415,6 +6415,87 @@ def _q_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return otsu_threshold(d, bins=32)
 
 
+def _q_heading_body_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Section training pairs (urls.heading_body_pairs) over pages with
+    a pre-heading orphan paragraph (dropped), a two-paragraph section,
+    and a childless heading (kept, n_paras=0)."""
+    from pdf_to_epub_spark.operators import heading_body_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    html = F.encode(
+        F.concat(
+            F.lit("<html><body><p>orphan intro</p><h1>Title "),
+            i.cast("string"),
+            F.lit("</h1><p>alpha "),
+            (i % 7).cast("string"),
+            F.lit("</p><p>beta <b>bold</b></p>"),
+            F.when(
+                i % 3 == 0,
+                F.concat(
+                    F.lit("<h2>Methods</h2><p>gamma "),
+                    (i % 5).cast("string"),
+                    F.lit("</p>"),
+                ),
+            ).otherwise(F.lit("<h2>Empty Section</h2>")),
+            F.lit("</body></html>"),
+        ),
+        "UTF-8",
+    )
+    return heading_body_pairs(
+        d.select("doc_id", html.alias("html"))
+    )
+
+
+def _q_site_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-structure report (urls.site_sections) over synthetic URLs:
+    5 domains × {news, blog, shop} sections with varying second-level
+    fanout, plus pathless root pages."""
+    from pdf_to_epub_spark.operators import site_sections
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    sec = (
+        F.when(i % 4 == 0, F.lit("news"))
+        .when(i % 4 == 1, F.lit("blog"))
+        .when(i % 4 == 2, F.lit("shop"))
+    )
+    url = F.when(
+        i % 4 == 3,
+        F.concat(F.lit("https://s"), (i % 5).cast("string"), F.lit(".example")),
+    ).otherwise(
+        F.concat(
+            F.lit("https://s"), (i % 5).cast("string"), F.lit(".example/"),
+            sec, F.lit("/"),
+            F.when(i % 4 == 0, F.concat(F.lit("y"), (i % 3).cast("string")))
+            .otherwise(F.concat(F.lit("p"), (i % 9).cast("string"))),
+            F.lit("?ref="), (i % 2).cast("string"),
+        )
+    )
+    return site_sections(d.select(url.alias("url")), top_per_domain=3)
+
+
+def _q_winsorize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain winsorization (sampling.winsorize_scores) of a
+    synthetic quality score with planted outliers (doc_id % 97 == 0
+    rows get a 10x score) at p05/p95."""
+    from pdf_to_epub_spark.operators import winsorize_scores
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("d"), (F.col("doc_id") % 7).cast("string")).alias(
+            "domain"
+        ),
+        F.when(
+            F.col("doc_id") % 97 == 0,
+            (500 + F.col("doc_id") % 13).cast("double"),
+        )
+        .otherwise((50 + F.col("doc_id") % 23).cast("double"))
+        .alias("score"),
+    )
+    return winsorize_scores(d, p_lo=0.05, p_hi=0.95)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -6675,6 +6756,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "continuation_pairs": _q_continuation_pairs,
         "capitalized_phrases": _q_capitalized_phrases,
         "otsu_threshold": _q_otsu_threshold,
+        "heading_body_pairs": _q_heading_body_pairs,
+        "site_sections": _q_site_sections,
+        "winsorize_scores": _q_winsorize_scores,
     }
 
 
@@ -13328,5 +13412,119 @@ def oracle_sql() -> dict[str, str]:
                    b.w0 AS n_below,
                    (b.W - b.w0)::BIGINT AS n_above
             FROM rng r LEFT JOIN best b ON TRUE
+        """,
+        # Heading→body pairs: one combined regex stream, window cumsum
+        # section ids, ORDER BY pos string_agg bodies.
+        "heading_body_pairs": """
+            WITH pages AS (
+                SELECT doc_id,
+                       '<html><body><p>orphan intro</p><h1>Title '
+                       || doc_id || '</h1><p>alpha ' || (doc_id % 7)
+                       || '</p><p>beta <b>bold</b></p>'
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN '<h2>Methods</h2><p>gamma '
+                                    || (doc_id % 5) || '</p>'
+                               ELSE '<h2>Empty Section</h2>' END
+                       || '</body></html>' AS html
+                FROM documents
+            ), m AS (
+                SELECT doc_id, u.pos, u.m FROM (
+                    SELECT doc_id,
+                           regexp_extract_all(html,
+                               '(?is)<h[1-6][^>]*>.*?</h[1-6]\\s*>|<p[^>]*>.*?</p\\s*>')
+                               AS lst
+                    FROM pages),
+                UNNEST(list_transform(generate_series(1, len(lst)),
+                                      j -> {'pos': j - 1, 'm': lst[j]}))
+                    AS t(u)
+            ), tagged AS (
+                SELECT doc_id, pos,
+                       regexp_matches(m, '(?is)^<h[1-6]') AS is_h,
+                       regexp_extract(m, '(?i)^<h([1-6])', 1) AS lvl,
+                       trim(regexp_replace(regexp_replace(m,
+                            '(?s)<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))
+                           AS txt,
+                       sum(CASE WHEN regexp_matches(m, '(?is)^<h[1-6]')
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS sec
+                FROM m
+            ), heads AS (
+                SELECT doc_id, sec::INT AS section_id, lvl::INT AS level,
+                       txt AS heading
+                FROM tagged WHERE is_h
+            ), bodies AS (
+                SELECT doc_id, sec::INT AS section_id,
+                       count(*)::BIGINT AS n_paras,
+                       string_agg(txt, ' ' ORDER BY pos) AS body
+                FROM tagged WHERE NOT is_h AND sec > 0
+                GROUP BY doc_id, sec
+            )
+            SELECT h.doc_id, h.section_id, h.level, h.heading,
+                   coalesce(b.n_paras, 0)::BIGINT AS n_paras, b.body
+            FROM heads h LEFT JOIN bodies b
+              ON h.doc_id = b.doc_id AND h.section_id = b.section_id
+        """,
+        # Site sections: URL parse, first/second path segments, per-
+        # domain top cut.
+        "site_sections": """
+            WITH urls AS (
+                SELECT CASE WHEN doc_id % 4 = 3
+                    THEN 'https://s' || (doc_id % 5) || '.example'
+                    ELSE 'https://s' || (doc_id % 5) || '.example/'
+                         || CASE WHEN doc_id % 4 = 0 THEN 'news'
+                                 WHEN doc_id % 4 = 1 THEN 'blog'
+                                 ELSE 'shop' END
+                         || '/'
+                         || CASE WHEN doc_id % 4 = 0
+                                 THEN 'y' || (doc_id % 3)
+                                 ELSE 'p' || (doc_id % 9) END
+                         || '?ref=' || (doc_id % 2)
+                    END AS url
+                FROM documents
+            ), parsed AS (
+                SELECT regexp_extract(url,
+                           '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS domain,
+                       list_filter(string_split(regexp_extract(url,
+                           '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/'),
+                           x -> x != '') AS segs
+                FROM urls
+            ), keyed AS (
+                SELECT domain,
+                       CASE WHEN len(segs) >= 1 THEN segs[1]
+                            ELSE '(root)' END AS section,
+                       CASE WHEN len(segs) >= 2 THEN segs[2] END AS sub
+                FROM parsed WHERE domain != ''
+            ), agg AS (
+                SELECT domain, section, count(*)::BIGINT AS n_pages,
+                       count(DISTINCT sub)::BIGINT AS n_subsections
+                FROM keyed GROUP BY domain, section
+            )
+            SELECT domain, section, n_pages, n_subsections FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY domain
+                    ORDER BY n_pages DESC, section ASC) AS rn
+                FROM agg
+            ) WHERE rn <= 3
+        """,
+        # Winsorize: quantile_cont == Spark exact percentile; bounds
+        # rounded BEFORE clamping on both sides.
+        "winsorize_scores": """
+            WITH d AS (
+                SELECT doc_id, 'd' || (doc_id % 7) AS domain,
+                       (CASE WHEN doc_id % 97 = 0 THEN 500 + doc_id % 13
+                             ELSE 50 + doc_id % 23 END)::DOUBLE AS score
+                FROM documents
+            ), b AS (
+                SELECT domain,
+                       round(quantile_cont(score, 0.05), 6) AS lo_bound,
+                       round(quantile_cont(score, 0.95), 6) AS hi_bound
+                FROM d GROUP BY domain
+            )
+            SELECT d.doc_id, d.domain, d.score, b.lo_bound, b.hi_bound,
+                   round(least(greatest(d.score, b.lo_bound), b.hi_bound),
+                         6) AS score_w,
+                   (d.score < b.lo_bound OR d.score > b.hi_bound)
+                       AS clipped
+            FROM d LEFT JOIN b ON d.domain = b.domain
         """,
     }

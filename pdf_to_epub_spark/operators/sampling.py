@@ -1263,3 +1263,51 @@ def otsu_threshold(
         F.col("w0").alias("n_below"),
         (F.col("W") - F.col("w0")).cast("long").alias("n_above"),
     )
+
+
+def winsorize_scores(
+    df: DataFrame,
+    group_col: str = "domain",
+    score_col: str = "score",
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorization: clamp a signal at its group's exact
+    ``p_lo``/``p_hi`` percentiles — the standard defense before
+    averaging per-domain quality scores (one SEO page with a pathological
+    score should not move its domain's mean; dropping it outright would
+    bias the count).
+
+    Exact ``percentile()`` per group (one map-side-combinable agg over
+    the group key — Spark's exact percentile matches DuckDB's
+    ``quantile_cont`` interpolation bit-for-bit), joined back on the
+    group key.  NULL/NaN scores pass through unclamped with NULL
+    bounds: they carry no signal to clamp and the consumer's null
+    policy stays theirs.
+
+    Returns the input columns plus ``(lo_bound, hi_bound, score_w,
+    clipped)`` — all three rounded to 6 dp.
+    """
+    lo_q = round(p_lo, 12)
+    hi_q = round(p_hi, 12)
+    s = F.col(score_col).cast("double")
+    ok = s.isNotNull() & ~F.isnan(s)
+    bounds = (
+        df.where(ok)
+        .groupBy(group_col)
+        .agg(
+            F.round(F.expr(f"percentile({score_col}, {lo_q})"), 6).alias("lo_bound"),
+            F.round(F.expr(f"percentile({score_col}, {hi_q})"), 6).alias("hi_bound"),
+        )
+    )
+    j = df.join(bounds, group_col, "left")
+    clamped = F.least(F.greatest(s, F.col("lo_bound")), F.col("hi_bound"))
+    return j.select(
+        *df.columns,
+        "lo_bound",
+        "hi_bound",
+        F.when(ok, F.round(clamped, 6)).otherwise(s).alias("score_w"),
+        F.when(ok, (s < F.col("lo_bound")) | (s > F.col("hi_bound")))
+        .otherwise(F.lit(False))
+        .alias("clipped"),
+    )

@@ -24,6 +24,7 @@ from operator import or_
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 TRACKING_PARAM_PATTERN = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid)="
 
@@ -2680,4 +2681,133 @@ def degree_assortativity(
         "n_nodes",
         "n_edges",
         F.when(den > 0, F.round(num / den, 6)).alias("assortativity"),
+    )
+
+
+def heading_body_pairs(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    max_scan_bytes: int = 1 << 20,
+) -> DataFrame:
+    """Section-structured (heading → body) training pairs from page
+    markup: every ``<h1>``–``<h6>`` opens a section, the ``<p>``
+    paragraphs up to the next heading are its body — the supervised
+    pair shape (title→summary, question→answer) instruction-data
+    pipelines mine from crawls.
+
+    One combined regexp pass keeps headings and paragraphs in a single
+    document-order stream (two separate extractions could not be
+    re-interleaved without byte offsets); a per-document window
+    cumsums the heading flags into section ids, and each section's
+    body reassembles order-exactly via ``array_sort(collect_list(
+    struct(pos, txt)))`` — no cross-document work anywhere, so the
+    operator scales with pages like the other markup miners.
+    Paragraphs before the first heading belong to no section and are
+    dropped; headings with no paragraphs are kept with ``n_paras = 0``
+    and NULL body (the consumer's filter choice).
+
+    Returns ``(id, section_id, level, heading, n_paras, body)``.
+    """
+    body = _permissive_text(html_col, max_scan_bytes)
+    d = pages.select(F.col(id_col), body.alias("__b"))
+    exploded = d.select(
+        id_col,
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("__b"),
+                F.lit(r"(?is)<h[1-6][^>]*>.*?</h[1-6]\s*>|<p[^>]*>.*?</p\s*>"),
+                F.lit(0),
+            )
+        ).alias("pos", "__m"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    tagged = exploded.select(
+        id_col,
+        "pos",
+        F.col("__m").rlike("(?is)^<h[1-6]").alias("_is_h"),
+        F.regexp_extract("__m", r"(?i)^<h([1-6])", 1).alias("_lvl"),
+        _strip_tags(F.col("__m")).alias("_txt"),
+    ).select(
+        id_col,
+        "pos",
+        "_is_h",
+        "_lvl",
+        "_txt",
+        F.sum(F.col("_is_h").cast("int")).over(w).alias("_sec"),
+    )
+    heads = tagged.where("_is_h").select(
+        id_col,
+        F.col("_sec").cast("int").alias("section_id"),
+        F.col("_lvl").cast("int").alias("level"),
+        F.col("_txt").alias("heading"),
+    )
+    paras = tagged.where(~F.col("_is_h") & (F.col("_sec") > 0)).select(
+        id_col, "_sec", "pos", "_txt"
+    )
+    bodies = paras.groupBy(id_col, "_sec").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_txt"))),
+                lambda x: x["_txt"],
+            ),
+            " ",
+        ).alias("body"),
+    ).select(
+        F.col(id_col), F.col("_sec").cast("int").alias("section_id"),
+        "n_paras", "body",
+    )
+    return heads.join(bodies, [id_col, "section_id"], "left").select(
+        id_col,
+        "section_id",
+        "level",
+        "heading",
+        F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+        "body",
+    )
+
+
+def site_sections(
+    urls: DataFrame,
+    url_col: str = "url",
+    top_per_domain: int = 10,
+) -> DataFrame:
+    """Site-structure mining from URL paths: pages per first path
+    segment per domain, with the fan-out into second-level segments —
+    the "what sections does this site have and how big are they"
+    report a crawl planner reads before allocating budget (a /tag/ or
+    /search/ section exploding in page count is crawler-trap evidence;
+    complements ``url_templates``' digit-generalizing view).
+
+    Pure column algebra to ``(domain, section)`` keys, one map-side-
+    combined count plus one distinct-ish subsection agg, and a
+    per-domain window top cut ordered by (pages, section) — bounded
+    output regardless of corpus size.
+
+    Returns ``(domain, section, n_pages, n_subsections)``, at most
+    ``top_per_domain`` rows per domain; pathless URLs count under
+    ``(root)``.
+    """
+    domain = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    path = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    segs = F.filter(F.split(path, "/"), lambda x: x != "")
+    d = urls.select(
+        domain.alias("domain"),
+        F.when(F.size(segs) >= 1, F.get(segs, 0))
+        .otherwise(F.lit("(root)"))
+        .alias("section"),
+        F.when(F.size(segs) >= 2, F.get(segs, 1)).alias("_sub"),
+    ).where(F.col("domain") != "")
+    agg = d.groupBy("domain", "section").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.count_distinct("_sub").cast("long").alias("n_subsections"),
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.desc("n_pages"), F.asc("section")
+    )
+    return (
+        agg.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= top_per_domain)
+        .drop("_rn")
     )
