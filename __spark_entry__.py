@@ -6496,6 +6496,39 @@ def _q_winsorize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize_scores(d, p_lo=0.05, p_hi=0.95)
 
 
+def _q_oph_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-permutation-hashing MinHash (dedup.oph_minhash_pairs) over
+    the same mutated re-crawl fixture as minhash_pairs — one hash per
+    shingle instead of num_hashes, same banded LSH + exact-Jaccard
+    verification, so the exact-Jaccard oracle is shared."""
+    from pdf_to_epub_spark.operators import oph_minhash_pairs
+
+    return oph_minhash_pairs(
+        mutated_recrawl(spark, sf_dir),
+        k=3, num_hashes=32, bands=8, jaccard_threshold=0.7,
+    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _q_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback expansion (ir.prf_expand) for the
+    bm25_topk query terms: top-15 expansion terms from the top-25
+    feedback documents, integer micro-unit relevance weights."""
+    from pdf_to_epub_spark.operators import prf_expand
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return prf_expand(
+        d, ["merge", "spark", "window"], k_docs=25, top_terms=15
+    )
+
+
+def _q_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding planner (sketch.lsh_plan) for a 64-hash signature at
+    threshold 0.5 — pure S-curve arithmetic, micro-unit error mass."""
+    from pdf_to_epub_spark.operators import lsh_plan
+
+    return lsh_plan(spark, num_hashes=64, threshold=0.5, grid=99)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -6759,6 +6792,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heading_body_pairs": _q_heading_body_pairs,
         "site_sections": _q_site_sections,
         "winsorize_scores": _q_winsorize_scores,
+        "oph_minhash_pairs": _q_oph_minhash_pairs,
+        "prf_expansion": _q_prf_expansion,
+        "lsh_plan": _q_lsh_plan,
     }
 
 
@@ -11784,6 +11820,7 @@ def oracle_sql() -> dict[str, str]:
         # and the operator's exact-Jaccard verification removes all false
         # positives — so output == all pairs with true Jaccard ≥ 0.7.
         "minhash_pairs": _shingle_jaccard_oracle(k=3, threshold=0.7),
+        "oph_minhash_pairs": _shingle_jaccard_oracle(k=3, threshold=0.7),
         # Same true-pair scan, endpoints tagged with the md5 hash_split
         # assignment; only cross-split pairs survive (the leakage audit).
         "split_leakage": _shingle_jaccard_oracle(
@@ -13526,5 +13563,94 @@ def oracle_sql() -> dict[str, str]:
                    (d.score < b.lo_bound OR d.score > b.hi_bound)
                        AS clipped
             FROM d LEFT JOIN b ON d.domain = b.domain
+        """,
+        # PRF expansion: the explode+group BM25 replica picks the same
+        # rounded-score top-25; expansion weights are exact micro sums.
+        "prf_expansion": """
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-zà-öø-ÿ]+') AS toks
+                FROM documents),
+            consts AS (
+                SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM base),
+            toks AS (
+                SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+                FROM base),
+            hits AS (
+                SELECT doc_id, dl, term, count(*) AS tf
+                FROM toks
+                WHERE term IN ('merge', 'spark', 'window')
+                GROUP BY doc_id, dl, term),
+            dfreq AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+            scored AS (
+                SELECT h.doc_id,
+                       ROUND(SUM(
+                           ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                           * (h.tf * (1.2 + 1.0))
+                           / (h.tf + 1.2 * (1.0 - 0.75
+                                            + 0.75 * h.dl / c.avgdl))
+                       ), 6)::DOUBLE AS score
+                FROM hits h
+                JOIN dfreq d USING (term)
+                CROSS JOIN consts c
+                GROUP BY h.doc_id),
+            fb AS (
+                SELECT doc_id FROM scored
+                ORDER BY score DESC, doc_id LIMIT 25),
+            ftoks AS (
+                SELECT t.doc_id, t.dl, t.term
+                FROM toks t SEMI JOIN fb ON t.doc_id = fb.doc_id),
+            filt AS (
+                SELECT * FROM ftoks
+                WHERE length(term) >= 3 AND term NOT IN ('a', 'an', 'and', 'are', 'as', 'at', 'be', 'but', 'by', 'for', 'from', 'had', 'has', 'have', 'he', 'her', 'his', 'in', 'is', 'it', 'merge', 'not', 'of', 'on', 'or', 'she', 'spark', 'that', 'the', 'their', 'they', 'this', 'to', 'was', 'we', 'were', 'which', 'window', 'with', 'you')),
+            per_doc AS (
+                SELECT doc_id, term, dl, count(*)::BIGINT AS tf
+                FROM filt GROUP BY doc_id, term, dl),
+            contrib AS (
+                SELECT term,
+                       CAST(round(1e6 * tf::DOUBLE / dl::DOUBLE, 0)
+                            AS BIGINT) AS w
+                FROM per_doc)
+            SELECT term, count(*)::BIGINT AS n_docs,
+                   sum(w)::BIGINT AS weight_micro
+            FROM contrib GROUP BY term
+            ORDER BY weight_micro DESC, term ASC
+            LIMIT 15
+        """,
+        # LSH banding planner: pure S-curve arithmetic replay.
+        "lsh_plan": """
+            WITH divs AS (
+                SELECT b::INT AS bands, (64 // b)::INT AS "rows"
+                FROM (SELECT unnest(generate_series(1, 64)) AS b)
+                WHERE 64 % b = 0
+            ), g AS (
+                SELECT bands, "rows",
+                       unnest(generate_series(1, 99)) AS gi
+                FROM divs
+            ), t2 AS (
+                SELECT bands, "rows", gi, gi::DOUBLE / 100.0 AS j,
+                       1.0 - pow(1.0 - pow(gi::DOUBLE / 100.0,
+                                           "rows"::DOUBLE),
+                                 bands::DOUBLE) AS p
+                FROM g
+            ), micro AS (
+                SELECT bands, "rows",
+                       CASE WHEN j < 0.5
+                            THEN CAST(round(1e6 * p, 0) AS BIGINT)
+                            ELSE 0 END AS fp_t,
+                       CASE WHEN j < 0.5 THEN 0
+                            ELSE CAST(round(1e6 * (1.0 - p), 0) AS BIGINT)
+                            END AS fn_t
+                FROM t2
+            ), agg AS (
+                SELECT bands, "rows", sum(fp_t)::BIGINT AS fp_micro,
+                       sum(fn_t)::BIGINT AS fn_micro
+                FROM micro GROUP BY bands, "rows"
+            )
+            SELECT bands, "rows", round(pow(1.0 / bands::DOUBLE,
+                       1.0 / "rows"::DOUBLE), 6) AS threshold_est,
+                   fp_micro, fn_micro,
+                   (fp_micro + fn_micro)::BIGINT AS err_micro
+            FROM agg ORDER BY err_micro, bands
         """,
     }

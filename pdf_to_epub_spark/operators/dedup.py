@@ -2023,3 +2023,104 @@ def continuation_pairs(
         .where(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b", "bridge_hash")
     )
+
+
+def oph_minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 64,
+    token_hash: Callable[[Column], Column] = F.xxhash64,
+) -> DataFrame:
+    """One-Permutation-Hashing MinHash signatures (Li, Owen & Zhang
+    2012) with rotation densification (Shrivastava & Li 2014): every
+    shingle is hashed ONCE, the hash space is split into ``num_hashes``
+    bins (``pmod(h, num_hashes)``), each bin keeps its minimum, and an
+    empty bin borrows from the nearest non-empty bin to its right
+    (circularly), offset by the rotation distance so borrowed values
+    stay distinct across distances.
+
+    Why it exists next to :func:`minhash_signatures`: the classic
+    signature derives ``num_hashes`` seeded hashes PER SHINGLE —
+    O(shingles × num_hashes) hash work; OPH pays ONE hash per shingle
+    plus bin bookkeeping, the standard constant-factor win for
+    signature builds at corpus scale (the signature build dominates
+    MinHash dedup cost).  Collision probability per bin position still
+    estimates Jaccard, so banding and verification are unchanged.
+
+    NULL/empty text follows the same whole-text-fallback shingle as
+    :func:`minhash_signatures` (one empty-string shingle), so empty
+    docs band together and resolve at the exact-verification stage —
+    identical policy to the classic signature path.
+
+    Returns ``(id, sig: array<long>)`` — drop-in for
+    :func:`_lsh_band_pairs`.
+    """
+    nh = num_hashes
+    hashed = (
+        with_shingles(df.select(id_col, text_col), text_col, k)
+        # 1-arg wrapper: a varargs token_hash (xxhash64) would receive
+        # the (element, index) two-parameter form and hash the index in
+        .withColumn("_hashes", F.transform("shingles", lambda s: token_hash(s)))
+        .select(id_col, "_hashes")
+    )
+    # per-bin minimum; empty bins stay NULL for the densification pass
+    sig0 = hashed.withColumn(
+        "_sig0",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nh - 1)),
+            lambda j: F.array_min(
+                F.filter("_hashes", lambda h: F.pmod(h, F.lit(nh)) == j)
+            ),
+        ),
+    ).select(id_col, "_sig0")
+    # rotation densification over the MATERIALIZED _sig0 column (a
+    # lambda-embedded recompute of the bin scan would be O(nh²·len))
+    rot = F.transform(
+        F.sequence(F.lit(0), F.lit(nh - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nh - 1)),
+                lambda t: F.when(
+                    F.get(F.col("_sig0"), F.pmod(j + t, F.lit(nh))).isNotNull(),
+                    t,
+                ),
+            )
+        ),
+    )
+    dens = sig0.withColumn("_rot", rot).select(
+        id_col,
+        F.zip_with(
+            F.sequence(F.lit(0), F.lit(nh - 1)),
+            F.col("_rot"),
+            lambda j, t: F.get(F.col("_sig0"), F.pmod(j + t, F.lit(nh)))
+            + t * F.lit(1 << 40),
+        ).alias("sig"),
+    )
+    return dens
+
+
+def oph_minhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 4096,
+    token_hash: Callable[[Column], Column] = F.xxhash64,
+) -> DataFrame:
+    """Near-dup pairs via OPH signatures + the same banded LSH and
+    exact-Jaccard verification as :func:`minhash_candidate_pairs` —
+    identical contract, one-hash-per-shingle signature build (see
+    :func:`oph_minhash_signatures` for the cost argument).
+    """
+    sigs = oph_minhash_signatures(
+        df, text_col, id_col, k, num_hashes, token_hash
+    )
+    pairs = _lsh_band_pairs(sigs, id_col, num_hashes, bands, max_bucket)
+    return _verify_pairs_exact_jaccard(
+        df, pairs, text_col, id_col, k, jaccard_threshold
+    )

@@ -628,3 +628,76 @@ def rrf_fuse(
         fused.withColumn("fused_rank", F.row_number().over(w_q).cast("int"))
         .where(F.col("fused_rank") <= topn)
     )
+
+
+def prf_expand(
+    docs: DataFrame,
+    query_terms: list[str],
+    k_docs: int = 10,
+    top_terms: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_term_len: int = 3,
+    stopwords: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM1-flavored): run
+    the query, take the top ``k_docs`` BM25 documents as the feedback
+    set, and rank the terms of that set by their relevance-model
+    weight ``Σ_d tf(t,d)/|d|`` — the standard automatic
+    query-expansion step of a retrieval stack (Lavrenko & Croft 2001),
+    minus the per-document RSV reweighting (uniform feedback-doc
+    weights keep every sum an exact integer).
+
+    Scale shape: the feedback set is ``k_docs`` rows — the ONLY token
+    explode runs over those rows (semi-join first, then tokenize), so
+    the expansion cost is independent of corpus size; BM25 itself is
+    the zero-exchange ``bm25_topk``.  Per-document contributions are
+    micro-unit integers (``round(1e6·tf/dl)``), summed exactly.
+    Original query terms, stopwords, and sub-``min_term_len`` tokens
+    never expand.
+
+    Returns ``(term, n_docs, weight_micro)``, top ``top_terms`` by
+    (weight, term).
+    """
+    from .textstats import RAKE_STOPWORDS
+
+    stops = set(stopwords if stopwords is not None else RAKE_STOPWORDS)
+    exclude = stops | {t.lower() for t in query_terms}
+    fb = bm25_topk(
+        docs, query_terms, k=k_docs, id_col=id_col, text_col=text_col
+    ).select(id_col)
+    toks = (
+        docs.join(F.broadcast(fb), id_col, "left_semi")
+        .select(F.col(id_col), _tokens(text_col).alias("_t"))
+        .select(
+            id_col,
+            F.size("_t").alias("_dl"),
+            F.explode_outer("_t").alias("term"),
+        )
+        .where(
+            F.col("term").isNotNull()
+            & (F.length("term") >= min_term_len)
+            & ~F.col("term").isin(*sorted(exclude))
+        )
+    )
+    per_doc = toks.groupBy(id_col, "term", "_dl").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    contrib = per_doc.select(
+        "term",
+        F.round(
+            F.lit(1e6) * F.col("_tf").cast("double")
+            / F.col("_dl").cast("double"),
+            0,
+        ).cast("long").alias("_w"),
+    )
+    return (
+        contrib.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_w").cast("long").alias("weight_micro"),
+        )
+        .orderBy(F.desc("weight_micro"), F.asc("term"))
+        .limit(top_terms)
+    )

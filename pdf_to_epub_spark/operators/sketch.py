@@ -415,3 +415,67 @@ def kmv_similarity(
             jac.alias("est_jaccard"),
         )
     )
+
+
+def lsh_plan(
+    spark,
+    num_hashes: int = 64,
+    threshold: float = 0.5,
+    grid: int = 99,
+) -> DataFrame:
+    """Banding planner for MinHash LSH: for every (bands, rows) split
+    of a ``num_hashes`` signature, integrate the S-curve's error mass
+    against a target Jaccard ``threshold`` — false-positive mass
+    ``Σ_{J<T} P(J)`` plus false-negative mass ``Σ_{J≥T} (1−P(J))``
+    with ``P(J) = 1−(1−J^r)^b`` over a uniform ``grid`` of J values —
+    and rank the splits by total error.  The table a pipeline consults
+    before committing a banding config to a 100 TB signature store
+    (re-banding is cheap; re-signing is not).
+
+    Pure arithmetic over a bands×grid literal cross — no input tables;
+    each grid term is micro-unit-rounded before the sum so the ranking
+    is engine-exact.  ``threshold_est`` is the classic ``(1/b)^(1/r)``
+    S-curve midpoint.
+
+    Returns one row per divisor pair: ``(bands, rows, threshold_est,
+    fp_micro, fn_micro, err_micro)`` ordered by (err, bands).
+    """
+    divisors = [b for b in range(1, num_hashes + 1) if num_hashes % b == 0]
+    base = spark.createDataFrame(
+        [(b, num_hashes // b) for b in divisors], "bands int, rows int"
+    )
+    g = base.select(
+        "bands",
+        "rows",
+        F.explode(F.sequence(F.lit(1), F.lit(grid))).alias("gi"),
+    )
+    j = F.col("gi").cast("double") / F.lit(float(grid + 1))
+    p = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(j, F.col("rows").cast("double")),
+        F.col("bands").cast("double"),
+    )
+    term = F.when(j < F.lit(threshold), p).otherwise(F.lit(1.0) - p)
+    is_fp = (j < F.lit(threshold)).cast("int")
+    micro = F.round(F.lit(1e6) * term, 0).cast("long")
+    agg = g.groupBy("bands", "rows").agg(
+        F.sum(F.when(is_fp == 1, micro).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("fp_micro"),
+        F.sum(F.when(is_fp == 0, micro).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("fn_micro"),
+    )
+    return agg.select(
+        "bands",
+        "rows",
+        F.round(
+            F.pow(
+                F.lit(1.0) / F.col("bands").cast("double"),
+                F.lit(1.0) / F.col("rows").cast("double"),
+            ),
+            6,
+        ).alias("threshold_est"),
+        "fp_micro",
+        "fn_micro",
+        (F.col("fp_micro") + F.col("fn_micro")).alias("err_micro"),
+    ).orderBy("err_micro", "bands")
