@@ -195,6 +195,24 @@ def run_bench(
     # (observed 3.5-12 s for identical work)
     timed("minhash_bigdocs", minhash_bigdocs, runs=2)
 
+    def oph_minhash_bigdocs() -> None:
+        """Same corpus/params as minhash_bigdocs but one-permutation
+        signatures (dedup.oph_minhash_signatures): one xxhash per
+        shingle instead of num_hashes seeded hashes — the signature-
+        build cost argument, measured head-to-head."""
+        from pdf_to_epub_spark.operators import oph_minhash_pairs
+
+        docs = corpus.select(
+            F.xxhash64("url").alias("doc_id"), F.col("text")
+        )
+        _force(
+            oph_minhash_pairs(
+                docs, k=5, num_hashes=32, bands=8, jaccard_threshold=0.7
+            )
+        )
+
+    timed("oph_minhash_bigdocs", oph_minhash_bigdocs, runs=2)
+
     if not only or only == "incremental_near_dups":
         # Daily re-crawl shape: yesterday's signature store exists
         # (unmeasured build); the measured batch computes signatures ONLY
