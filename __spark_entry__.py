@@ -6529,6 +6529,48 @@ def _q_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_plan(spark, num_hashes=64, threshold=0.5, grid=99)
 
 
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal n-gram contribution (dedup.ngram_novelty) over the
+    corpus plus an exact-copy recrawl of every 10th doc (ids shifted
+    past the corpus) — copies must score novelty 0."""
+    from pdf_to_epub_spark.operators import ngram_novelty
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = 10_000_000
+    copies = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + mx).alias("doc_id"), "text"
+    )
+    return ngram_novelty(d.unionAll(copies), k=5)
+
+
+def _q_domain_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain exact-dup audit (dedup.domain_dup_rates): 7 synthetic
+    domains; every doc_id % 5 == 4 doc gets an exact text copy under a
+    shifted id (usually a different domain), so dup mass lands
+    unevenly."""
+    from pdf_to_epub_spark.operators import domain_dup_rates
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dom = lambda c: F.concat(F.lit("d"), (c % 7).cast("string"))  # noqa: E731
+    orig = d.select("doc_id", dom(F.col("doc_id")).alias("domain"), "text")
+    copies = d.where(F.col("doc_id") % 5 == 4).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        dom(F.col("doc_id") + 10_000_000).alias("domain"),
+        "text",
+    )
+    return domain_dup_rates(orig.unionAll(copies))
+
+
+def _q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random JL projection (similarity.jl_project) of the 64-dim
+    embeddings to 16 dims — md5-parity sign matrix, micro-unit exact
+    folds."""
+    from pdf_to_epub_spark.operators import jl_project
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return jl_project(e, out_dims=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -6795,6 +6837,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oph_minhash_pairs": _q_oph_minhash_pairs,
         "prf_expansion": _q_prf_expansion,
         "lsh_plan": _q_lsh_plan,
+        "ngram_novelty": _q_ngram_novelty,
+        "domain_dup_rates": _q_domain_dup_rates,
+        "jl_project": _q_jl_project,
     }
 
 
@@ -13652,5 +13697,92 @@ def oracle_sql() -> dict[str, str]:
                    fp_micro, fn_micro,
                    (fp_micro + fn_micro)::BIGINT AS err_micro
             FROM agg ORDER BY err_micro, bands
+        """,
+        # N-gram novelty: shingle strings replay exactly (the Spark
+        # side hashes them 64-bit only for shuffle width; novelty
+        # depends on equality alone, exact up to 2^-64 collisions).
+        "ngram_novelty": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000, text FROM documents
+                WHERE doc_id % 10 = 0
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 5 THEN
+                           list_distinct(list_transform(
+                               generate_series(1, len(toks) - 5 + 1),
+                               i -> array_to_string(
+                                   list_slice(toks, i, i + 5 - 1), ' ')))
+                       ELSE [array_to_string(toks, ' ')] END AS shingles
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(lower(text)),
+                                                   '\\s+') AS toks
+                      FROM corpus)
+            ), ex AS (
+                SELECT doc_id, unnest(shingles) AS s FROM sh
+            ), firsts AS (
+                SELECT s, min(doc_id) AS first_id FROM ex GROUP BY s
+            )
+            SELECT e.doc_id, count(*)::BIGINT AS n_shingles,
+                   sum((f.first_id = e.doc_id)::INT)::BIGINT AS n_novel,
+                   round(sum((f.first_id = e.doc_id)::INT)::DOUBLE
+                         / count(*)::DOUBLE, 6) AS novelty
+            FROM ex e JOIN firsts f ON e.s = f.s
+            GROUP BY e.doc_id
+        """,
+        # Domain dup rates: md5 keeper-min + domain rollup.
+        "domain_dup_rates": """
+            WITH corpus AS (
+                SELECT doc_id, 'd' || (doc_id % 7) AS domain, text
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000,
+                       'd' || ((doc_id + 10000000) % 7), text
+                FROM documents WHERE doc_id % 5 = 4
+            ), h AS (
+                SELECT domain, doc_id, md5(text) AS m FROM corpus
+            ), keep AS (
+                SELECT m, min(doc_id) AS k FROM h GROUP BY m
+            )
+            SELECT h.domain, count(*)::BIGINT AS n_docs,
+                   sum((h.doc_id != k.k)::INT)::BIGINT AS n_dups,
+                   round(sum((h.doc_id != k.k)::INT)::DOUBLE
+                         / count(*)::DOUBLE, 6) AS dup_rate
+            FROM h JOIN keep k ON h.m = k.m
+            GROUP BY h.domain
+        """,
+        # JL projection: md5-parity signs, micro-rounded per-dimension
+        # products, exact integer fold, shared /1e6/sqrt(16) finish.
+        "jl_project": """
+            WITH dims AS (
+                SELECT unnest(generate_series(0, 15)) AS dim
+            ), proj AS (
+                SELECT vec_id, d.dim,
+                       list_sum(list_transform(
+                           generate_series(1, len(embedding)), j ->
+                           CAST((CASE WHEN (1e6 * embedding[j]::DOUBLE
+                               * (CASE WHEN ('0x' || substr(md5(
+                                     'jl:' || d.dim || ':' || j), 1, 15)
+                                     )::BIGINT % 2 = 0
+                                   THEN 1.0 ELSE -1.0 END)) >= 0
+                             THEN floor(1e6 * embedding[j]::DOUBLE
+                               * (CASE WHEN ('0x' || substr(md5(
+                                     'jl:' || d.dim || ':' || j), 1, 15)
+                                     )::BIGINT % 2 = 0
+                                   THEN 1.0 ELSE -1.0 END) + 0.5)
+                             ELSE ceil(1e6 * embedding[j]::DOUBLE
+                               * (CASE WHEN ('0x' || substr(md5(
+                                     'jl:' || d.dim || ':' || j), 1, 15)
+                                     )::BIGINT % 2 = 0
+                                   THEN 1.0 ELSE -1.0 END) - 0.5)
+                             END) AS BIGINT)))::BIGINT AS m
+                FROM embeddings, dims d
+            )
+            SELECT vec_id, dim::INT AS dim,
+                   (CASE WHEN m >= 0 THEN floor(m::DOUBLE / 4.0 + 0.5)
+                         ELSE ceil(m::DOUBLE / 4.0 - 0.5)
+                    END) / 1e6 AS proj
+            FROM proj
         """,
     }

@@ -2146,3 +2146,106 @@ def oph_minhash_pairs(
     return _verify_pairs_exact_jaccard(
         df, pairs, text_col, id_col, k, jaccard_threshold
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document n-gram novelty: what fraction of a document's
+    distinct k-word shingles appear for the FIRST time (by id order)
+    in this document — the marginal-contribution view of a corpus
+    (docs full of already-seen n-grams add nothing to a training set
+    even when they are not near-duplicates of any single other doc;
+    the aggregate complement of pairwise dedup).
+
+    Scale shape: one (shingle → min id) aggregation — map-side
+    combined, hot boilerplate shingles reduce before the shuffle —
+    then one equi-join back on the shingle hash.  Shingles ride as
+    64-bit hashes, never as strings, through both exchanges.
+
+    Returns ``(id, n_shingles, n_novel, novelty)`` (6 dp) — docs with
+    no text still report their single fallback shingle, consistent
+    with the other shingle operators.
+    """
+    # explode_outer + null filter (see containment_pairs): a plain
+    # explode infers a size(shingles)>0 filter that re-inlines the
+    # whole shingle pipeline below the generator
+    sh = (
+        with_shingles(docs.select(id_col, text_col), text_col, k)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode_outer("shingles").alias("_s"),
+        )
+        .where(F.col("_s").isNotNull())
+        .select("_id", F.xxhash64("_s").alias("_h"))
+        .localCheckpoint(eager=False)  # feeds first-seen agg AND join-back
+    )
+    first = sh.groupBy("_h").agg(F.min("_id").alias("_first"))
+    joined = sh.join(first, "_h")
+    return (
+        joined.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("_first") == F.col("_id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+def domain_dup_rates(
+    docs: DataFrame,
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain exact-duplicate audit: for each domain, how many of
+    its documents are byte-exact copies of an EARLIER document
+    (corpus-wide, not just within the domain) — the mirror/scraper
+    tell a crawl budget review reads next to ``site_sections``.
+
+    One md5 group-min over the corpus (map-side combined), one
+    join-back, one domain rollup.  Duplicate rank is (id order), so
+    the keeper assignment is deterministic and SQL-replayable.
+
+    Returns ``(domain, n_docs, n_dups, dup_rate)`` (6 dp), every
+    domain present.
+    """
+    d = docs.select(
+        F.col(domain_col).alias("_dom"),
+        F.col(id_col).alias("_id"),
+        F.md5(F.col(text_col).cast("string")).alias("_md5"),
+    ).localCheckpoint(eager=False)  # feeds keeper agg AND join-back
+    keep = d.groupBy("_md5").agg(F.min("_id").alias("_keep"))
+    j = d.join(keep, "_md5")
+    return (
+        j.groupBy("_dom")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("_id") != F.col("_keep")).cast("long"))
+            .cast("long")
+            .alias("n_dups"),
+        )
+        .select(
+            F.col("_dom").alias(domain_col),
+            "n_docs",
+            "n_dups",
+            F.round(
+                F.col("n_dups").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )

@@ -1021,3 +1021,84 @@ def pq_quantize(
         F.col("_b._c").cast("int").alias("code"),
         F.col("_b._d").alias("dist_nano"),
     )
+
+
+def jl_project(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dims: int = 16,
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign-random projection to ``out_dims``
+    dimensions: ``proj_i = (1/√k) Σ_j v_j · s_ij`` with ``s_ij ∈ {±1}``
+    derived from the md5 parity of ``"jl:i:j"`` — a seedless,
+    engine-replayable sign matrix (Achlioptas 2003 shows ±1 entries
+    preserve pairwise distances like Gaussian ones).  The cheap
+    dimensionality cut before brute-force candidate scoring: 4× fewer
+    multiply-adds per comparison at a distortion bounded by the JL
+    lemma.
+
+    Per-dimension products are micro-unit rounded BEFORE the sequential
+    fold, so the sum is an exact integer and the projection matches
+    the SQL oracle bit-for-bit (a double fold would depend on the
+    engine's list-sum order).  The sign matrix is recomputed per row
+    as md5 arithmetic here for oracle transparency; a production run
+    would hoist the (out_dims × in_dims) literal matrix — it is a few
+    KB — into the plan once.
+
+    Returns ``(id, dim, proj)`` rows (6 dp), ``out_dims`` per vector.
+    """
+    from .dedup import md5_hash60
+
+    scale = float(out_dims) ** 0.5
+
+    def sign(i: int):
+        def _s(j: Column) -> Column:
+            h = md5_hash60(
+                F.concat(F.lit(f"jl:{i}:"), j.cast("string"))
+            )
+            return F.when(F.pmod(h, F.lit(2)) == 0, F.lit(1.0)).otherwise(
+                F.lit(-1.0)
+            )
+
+        return _s
+
+    def proj_micro(i: int) -> Column:
+        def half_away(v: Column) -> Column:
+            # explicit floor/ceil half-away: F.round's BigDecimal
+            # shortest-repr semantics disagrees with DuckDB's binary
+            # half-away by 1 micro on products that land near .5
+            return F.when(v >= 0, F.floor(v + F.lit(0.5))).otherwise(
+                F.ceil(v - F.lit(0.5))
+            )
+
+        prods = F.zip_with(
+            F.col(vec_col),
+            F.sequence(F.lit(1), F.size(F.col(vec_col))),
+            lambda a, j: half_away(
+                F.lit(1e6) * a.cast("double") * sign(i)(j)
+            ).cast("long"),
+        )
+        return F.aggregate(
+            prods, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+
+    d = embeddings.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[proj_micro(i) for i in range(out_dims)])
+        ).alias("dim", "_m"),
+    )
+    # proj to 6 dp WITHOUT F.round: micro_sum/scale is exact binary
+    # for power-of-two scales, so half the values sit exactly on the
+    # .5 micro boundary where BigDecimal-vs-binary rounding diverges;
+    # explicit half-away floor/ceil keeps both engines identical
+    m4 = F.col("_m").cast("double") / F.lit(scale)
+    proj6 = F.when(F.col("_m") >= 0, F.floor(m4 + F.lit(0.5))).otherwise(
+        F.ceil(m4 - F.lit(0.5))
+    )
+    return d.select(
+        id_col,
+        F.col("dim").cast("int").alias("dim"),
+        (proj6.cast("double") / F.lit(1e6)).alias("proj"),
+    )
