@@ -6571,6 +6571,49 @@ def _q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jl_project(e, out_dims=16)
 
 
+def _q_docx_extract_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX/WordprocessingML source surface, oracled end-to-end: each
+    documents row is rendered into a structurally honest ``.docx`` ZIP
+    (sources/docx.make_docx_bytes — [Content_Types], rels, document.xml
+    with styled ``w:p``/``w:r``/``w:t`` runs SPLIT mid-word, ``w:tab``
+    elements, XML-escaped entity bait) and parsed back through the
+    Arrow-batched extractor; the oracle recomputes the expected
+    (block_id, block_type, text) rows relationally from the raw text, so
+    a parser that drops run fragments, loses the tab, or mis-unescapes
+    entities fails the hash."""
+    _ship_package(spark)
+    from pdf_to_epub_spark.sources.docx import (
+        documents_as_docx,
+        parse_docx_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    blocks = parse_docx_payloads(documents_as_docx(docs))
+    return blocks.select(
+        "doc_id",
+        F.col("block_id").cast("long").alias("block_id"),
+        "block_type",
+        "text",
+    )
+
+
+def _q_docx_chapters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapter assembly over the parsed docx blocks
+    (sources/docx.docx_chapters): running heading count opens chapters,
+    one per-doc rollup with title / paragraph count / body chars — the
+    EPUB-spine aggregation shape (SURVEY §2 A2) on the docx source."""
+    _ship_package(spark)
+    from pdf_to_epub_spark.sources.docx import (
+        documents_as_docx,
+        docx_chapters,
+        parse_docx_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    blocks = parse_docx_payloads(documents_as_docx(docs))
+    return docx_chapters(blocks)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -6840,6 +6883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": _q_ngram_novelty,
         "domain_dup_rates": _q_domain_dup_rates,
         "jl_project": _q_jl_project,
+        "docx_extract_blocks": _q_docx_extract_blocks,
+        "docx_chapters": _q_docx_chapters,
     }
 
 
@@ -13784,5 +13829,85 @@ def oracle_sql() -> dict[str, str]:
                          ELSE ceil(m::DOUBLE / 4.0 - 0.5)
                     END) / 1e6 AS proj
             FROM proj
+        """,
+        # DOCX extraction: replay sources/docx.doc_blocks relationally —
+        # tokens (str.split semantics via filtered \s+ split) chunk into
+        # 40-token paragraphs, a Heading1 "Section {doc}.{k} — R&D
+        # <draft>" opens every 6th chunk, every 4th body chunk opens
+        # with a hard tab; empty docs still emit their opening heading.
+        "docx_extract_blocks": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                           x -> x <> '') AS toks
+                FROM documents
+            ), c AS (
+                SELECT doc_id, toks, (len(toks) + 39) // 40 AS nc FROM d
+            ), ks AS (
+                SELECT doc_id, toks, nc,
+                       unnest(generate_series(0, greatest(nc, 1) - 1)) AS k
+                FROM c
+            ), rows_ AS (
+                SELECT doc_id, k, 0 AS sub, 'heading' AS block_type,
+                       'Section ' || doc_id || '.' || (k // 6)
+                           || ' — R&D <draft>' AS text
+                FROM ks WHERE k % 6 = 0
+                UNION ALL
+                SELECT doc_id, k, 1, 'para',
+                       CASE WHEN k % 4 = 0 THEN chr(9) ELSE '' END ||
+                       array_to_string(
+                           list_slice(toks, k * 40 + 1, (k + 1) * 40), ' ')
+                FROM ks WHERE k < nc
+            )
+            SELECT doc_id,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY k, sub)::BIGINT
+                       AS block_id,
+                   block_type, text
+            FROM rows_
+        """,
+        # DOCX chapters: running heading count over the same block
+        # replay, then a per-(doc, chapter) rollup.
+        "docx_chapters": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                           x -> x <> '') AS toks
+                FROM documents
+            ), c AS (
+                SELECT doc_id, toks, (len(toks) + 39) // 40 AS nc FROM d
+            ), ks AS (
+                SELECT doc_id, toks, nc,
+                       unnest(generate_series(0, greatest(nc, 1) - 1)) AS k
+                FROM c
+            ), rows_ AS (
+                SELECT doc_id, k, 0 AS sub, 'heading' AS block_type,
+                       'Section ' || doc_id || '.' || (k // 6)
+                           || ' — R&D <draft>' AS text
+                FROM ks WHERE k % 6 = 0
+                UNION ALL
+                SELECT doc_id, k, 1, 'para',
+                       CASE WHEN k % 4 = 0 THEN chr(9) ELSE '' END ||
+                       array_to_string(
+                           list_slice(toks, k * 40 + 1, (k + 1) * 40), ' ')
+                FROM ks WHERE k < nc
+            ), numbered AS (
+                SELECT doc_id, block_type, text,
+                       sum((block_type = 'heading')::INT) OVER (
+                           PARTITION BY doc_id ORDER BY k, sub
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS chapter_id
+                FROM rows_
+            )
+            SELECT doc_id, chapter_id,
+                   max(CASE WHEN block_type = 'heading' THEN text END)
+                       AS title,
+                   sum((block_type = 'para')::INT)::BIGINT AS n_paras,
+                   coalesce(sum(CASE WHEN block_type = 'para'
+                                     THEN length(text) ELSE 0 END),
+                            0)::BIGINT AS n_chars
+            FROM numbered
+            GROUP BY doc_id, chapter_id
         """,
     }
