@@ -6614,6 +6614,61 @@ def _q_docx_chapters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docx_chapters(blocks)
 
 
+def _gated_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared access-gate fixture: 7 synthetic domains; every
+    ``doc_id % 7 == 3`` page becomes a metered-paywall teaser (first 25
+    words + subscription boilerplate) and every ``doc_id % 7 == 1`` page
+    a consent-shell (cookie-banner boilerplate prepended)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    toks = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")
+    )
+    teaser = F.concat(
+        F.array_join(F.slice(toks, 1, 25), " "),
+        F.lit(
+            " Subscribe to continue reading. Already a subscriber? "
+            "Sign in. Unlock unlimited digital access."
+        ),
+    )
+    consent = F.concat(
+        F.lit(
+            "We value your privacy. We and our partners use cookies. "
+            "Accept all cookies or manage your preferences. "
+        ),
+        F.col("text"),
+    )
+    return d.select(
+        "doc_id",
+        F.concat(F.lit("d"), (F.col("doc_id") % 7).cast("string")).alias(
+            "domain"
+        ),
+        F.when(F.col("doc_id") % 7 == 3, teaser)
+        .when(F.col("doc_id") % 7 == 1, consent)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def _q_gate_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paywall/consent-gate page classification (gates.gate_signals) over
+    the mutated gate fixture — marker regexp counts plus the
+    teaser-truncation coupling, pure codegen column algebra."""
+    from pdf_to_epub_spark.operators.gates import gate_signals
+
+    return gate_signals(_gated_pages(spark, sf_dir))
+
+
+def _q_gate_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain access-gate audit (gates.gate_rates): gate rates per
+    synthetic domain — the crawl-health rollup deciding which domains
+    are worth fetching."""
+    from pdf_to_epub_spark.operators.gates import gate_rates, gate_signals
+
+    return gate_rates(gate_signals(_gated_pages(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -6885,7 +6940,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_project": _q_jl_project,
         "docx_extract_blocks": _q_docx_extract_blocks,
         "docx_chapters": _q_docx_chapters,
+        "gate_signals": _q_gate_signals,
+        "gate_rates": _q_gate_rates,
     }
+
+
+def _gate_oracle(final_select: str) -> str:
+    """DuckDB replica of the access-gate fixture + signals: the marker
+    regex lists come straight from operators/gates.py so the Spark and
+    oracle sides cannot drift; ``final_select`` runs over the shared
+    ``sig`` CTE of per-page counts."""
+    from pdf_to_epub_spark.operators.gates import (
+        CONSENT_MARKERS,
+        PAYWALL_MARKERS,
+    )
+
+    pw = " + ".join(
+        f"len(regexp_extract_all(lt, '{p}'))" for p in PAYWALL_MARKERS
+    )
+    cs = " + ".join(
+        f"len(regexp_extract_all(lt, '{p}'))" for p in CONSENT_MARKERS
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                       x -> x <> '') AS tk,
+                   coalesce(text, '') AS orig
+            FROM documents
+        ), base AS (
+            SELECT doc_id, 'd' || (doc_id % 7) AS domain,
+                   CASE WHEN doc_id % 7 = 3 THEN
+                       array_to_string(list_slice(tk, 1, 25), ' ')
+                       || ' Subscribe to continue reading.'
+                       || ' Already a subscriber? Sign in.'
+                       || ' Unlock unlimited digital access.'
+                   WHEN doc_id % 7 = 1 THEN
+                       'We value your privacy. We and our partners use'
+                       || ' cookies. Accept all cookies or manage your'
+                       || ' preferences. ' || orig
+                   ELSE orig END AS text
+            FROM toks
+        ), lowered AS (
+            SELECT doc_id, domain, text, lower(text) AS lt FROM base
+        ), sig AS (
+            SELECT doc_id, domain,
+                   len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_words,
+                   ({pw})::BIGINT AS paywall_hits,
+                   ({cs})::BIGINT AS consent_hits
+            FROM lowered
+        )
+        {final_select}
+    """
 
 
 def _shingle_jaccard_oracle(k: int, threshold: float, final: str | None = None) -> str:
@@ -13910,4 +14017,29 @@ def oracle_sql() -> dict[str, str]:
             FROM numbered
             GROUP BY doc_id, chapter_id
         """,
+        # Access gates: replay the fixture mutation + marker regexp
+        # counts (marker lists imported from operators/gates.py so the
+        # two sides cannot drift).
+        "gate_signals": _gate_oracle(
+            """
+            SELECT doc_id, domain, n_words, paywall_hits, consent_hits,
+                   (paywall_hits >= 2 AND n_words <= 120) AS is_paywalled,
+                   (consent_hits >= 2) AS is_consent_gated
+            FROM sig
+            """
+        ),
+        "gate_rates": _gate_oracle(
+            """
+            SELECT domain, count(*)::BIGINT AS n_pages,
+                   sum((paywall_hits >= 2 AND n_words <= 120)::INT)::BIGINT
+                       AS n_paywalled,
+                   sum((consent_hits >= 2)::INT)::BIGINT AS n_consent_gated,
+                   round(sum((paywall_hits >= 2 AND n_words <= 120)::INT
+                         )::DOUBLE / count(*)::DOUBLE, 6) AS paywall_rate,
+                   round(sum((consent_hits >= 2)::INT)::DOUBLE
+                         / count(*)::DOUBLE, 6) AS consent_rate
+            FROM sig
+            GROUP BY domain
+            """
+        ),
     }
