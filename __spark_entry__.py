@@ -6669,6 +6669,27 @@ def _q_gate_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gate_rates(gate_signals(_gated_pages(spark, sf_dir)))
 
 
+def _q_texttiling_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling cohesion scoring (segment.texttiling_gaps) over the
+    documents table — integer micro-Dice per gap, local-valley depth,
+    strictly-above-mean boundary rule; w=10-token pseudo-sentences,
+    k=2 window."""
+    from pdf_to_epub_spark.operators.segment import texttiling_gaps
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return texttiling_gaps(d, w=10, k=2)
+
+
+def _q_text_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic tiles (segment.text_segments): contiguous pseudo-sentence
+    ranges cut at the TextTiling boundaries — every tokenful document
+    yields at least one tile."""
+    from pdf_to_epub_spark.operators.segment import text_segments
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_segments(d, w=10, k=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -6942,6 +6963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docx_chapters": _q_docx_chapters,
         "gate_signals": _q_gate_signals,
         "gate_rates": _q_gate_rates,
+        "texttiling_gaps": _q_texttiling_gaps,
+        "text_segments": _q_text_segments,
     }
 
 
@@ -6990,6 +7013,72 @@ def _gate_oracle(final_select: str) -> str:
                    ({pw})::BIGINT AS paywall_hits,
                    ({cs})::BIGINT AS consent_hits
             FROM lowered
+        )
+        {final_select}
+    """
+
+
+def _texttiling_oracle(final_select: str) -> str:
+    """DuckDB replica of operators/segment.py (w=10, k=2): pseudo-
+    sentence term counts (grouped by the term STRING — the Spark side's
+    64-bit hash is equality-only, exact up to 2⁻⁶⁴ collisions), full-
+    window gaps only, integer micro-Dice, local-valley depth, cross-
+    multiplied at-or-above-mean boundary rule.  ``final_select`` runs
+    over the ``scored`` (gaps) and ``np`` (doc lengths) CTEs."""
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                       x -> x <> '') AS toks
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, (i - 1) // 10 AS ps, lower(toks[i]) AS term
+            FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+        ), pc AS (
+            SELECT doc_id, ps, term, count(*)::BIGINT AS cnt
+            FROM tok GROUP BY doc_id, ps, term
+        ), np AS (
+            SELECT doc_id, max(ps) + 1 AS n_ps FROM pc GROUP BY doc_id
+        ), contrib AS (
+            SELECT pc.doc_id, g.gap, term, cnt AS cl, 0::BIGINT AS cr
+            FROM pc JOIN np USING (doc_id),
+                 unnest(generate_series(greatest(ps + 1, 2),
+                                        least(ps + 2, n_ps - 2))) AS g(gap)
+            WHERE greatest(ps + 1, 2) <= least(ps + 2, n_ps - 2)
+            UNION ALL
+            SELECT pc.doc_id, g.gap, term, 0::BIGINT, cnt
+            FROM pc JOIN np USING (doc_id),
+                 unnest(generate_series(greatest(ps - 1, 2),
+                                        least(ps, n_ps - 2))) AS g(gap)
+            WHERE greatest(ps - 1, 2) <= least(ps, n_ps - 2)
+        ), per_term AS (
+            SELECT doc_id, gap, term,
+                   sum(cl) AS cl, sum(cr) AS cr
+            FROM contrib GROUP BY doc_id, gap, term
+        ), per_gap AS (
+            SELECT doc_id, gap,
+                   sum(least(cl, cr)) AS inter,
+                   sum(cl) + sum(cr) AS total
+            FROM per_term GROUP BY doc_id, gap
+        ), sims AS (
+            SELECT doc_id, gap,
+                   (2000000 * inter) // total AS sim_micro
+            FROM per_gap
+        ), depths AS (
+            SELECT doc_id, gap, sim_micro,
+                   greatest(coalesce(
+                       lag(sim_micro) OVER w - sim_micro, 0), 0)
+                   + greatest(coalesce(
+                       lead(sim_micro) OVER w - sim_micro, 0), 0)
+                       AS depth_micro
+            FROM sims WINDOW w AS (PARTITION BY doc_id ORDER BY gap)
+        ), scored AS (
+            SELECT doc_id, gap, sim_micro, depth_micro,
+                   (depth_micro > 0 AND
+                    depth_micro * (count(*) OVER d)
+                        >= (sum(depth_micro) OVER d)) AS is_boundary
+            FROM depths WINDOW d AS (PARTITION BY doc_id)
         )
         {final_select}
     """
@@ -14040,6 +14129,37 @@ def oracle_sql() -> dict[str, str]:
                          / count(*)::DOUBLE, 6) AS consent_rate
             FROM sig
             GROUP BY domain
+            """
+        ),
+        # TextTiling: the shared scoring pipeline, gaps surfaced as-is.
+        "texttiling_gaps": _texttiling_oracle(
+            """
+            SELECT doc_id, gap::BIGINT AS gap,
+                   sim_micro::BIGINT AS sim_micro,
+                   depth_micro::BIGINT AS depth_micro, is_boundary
+            FROM scored
+            """
+        ),
+        # Tiles: boundary gaps open segments; a boundary-free (or
+        # single-pseudo-sentence) document is one tile.
+        "text_segments": _texttiling_oracle(
+            """
+            , starts AS (
+                SELECT doc_id, 0::BIGINT AS start_ps FROM np
+                UNION ALL
+                SELECT doc_id, gap FROM scored WHERE is_boundary
+            )
+            SELECT s.doc_id,
+                   row_number() OVER (
+                       PARTITION BY s.doc_id ORDER BY start_ps) AS seg_id,
+                   start_ps,
+                   coalesce(lead(start_ps) OVER (
+                       PARTITION BY s.doc_id ORDER BY start_ps),
+                       n.n_ps) - 1 AS end_ps,
+                   coalesce(lead(start_ps) OVER (
+                       PARTITION BY s.doc_id ORDER BY start_ps),
+                       n.n_ps) - start_ps AS n_ps
+            FROM starts s JOIN np n USING (doc_id)
             """
         ),
     }
