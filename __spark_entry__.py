@@ -6690,6 +6690,39 @@ def _q_text_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_segments(d, w=10, k=2)
 
 
+def _subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared subtitle fixture: every document renders to a subtitle
+    file — SRT for even ids, WebVTT for odd ids (both formats must
+    parse to the SAME cues) — then parses back relationally."""
+    from pdf_to_epub_spark.sources.subtitles import (
+        parse_subtitle_cues,
+        render_srt,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    srt = render_srt(d.where(F.col("doc_id") % 2 == 0), vtt=False)
+    vtt = render_srt(d.where(F.col("doc_id") % 2 == 1), vtt=True)
+    return parse_subtitle_cues(srt.unionByName(vtt))
+
+
+def _q_srt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRT/WebVTT subtitle source (sources/subtitles), oracled
+    end-to-end: the whole render→parse loop is Catalyst string algebra
+    (zero Python); the oracle recomputes expected cue timing/text
+    relationally from the raw tokens, so the writer and parser must be
+    exact inverses in BOTH formats."""
+    return _subtitle_cues(spark, sf_dir)
+
+
+def _q_srt_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript assembly (subtitles.cues_to_transcript): silences
+    longer than 1 s open paragraphs — the fixture schedules a 5 s
+    silence before every 10th cue, so paragraph structure is exact."""
+    from pdf_to_epub_spark.sources.subtitles import cues_to_transcript
+
+    return cues_to_transcript(_subtitle_cues(spark, sf_dir), gap_ms=1000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -6965,6 +6998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_rates": _q_gate_rates,
         "texttiling_gaps": _q_texttiling_gaps,
         "text_segments": _q_text_segments,
+        "srt_cues": _q_srt_cues,
+        "srt_transcripts": _q_srt_transcripts,
     }
 
 
@@ -7079,6 +7114,32 @@ def _texttiling_oracle(final_select: str) -> str:
                     depth_micro * (count(*) OVER d)
                         >= (sum(depth_micro) OVER d)) AS is_boundary
             FROM depths WINDOW d AS (PARTITION BY doc_id)
+        )
+        {final_select}
+    """
+
+
+def _subtitle_oracle(final_select: str) -> str:
+    """DuckDB replica of the subtitle fixture derivation
+    (sources/subtitles.py constants: 8-token cues, 2.5 s pitch, 5 s
+    silence before every 10th cue): ``final_select`` runs over the
+    ``cu`` CTE of per-cue token slices."""
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                       x -> x <> '') AS toks
+            FROM documents
+        ), c AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0, (len(toks) + 7) // 8 - 1))
+                       AS cue
+            FROM t WHERE len(toks) >= 1
+        ), cu AS (
+            SELECT doc_id, cue,
+                   list_slice(toks, cue * 8 + 1, cue * 8 + 8) AS ct
+            FROM c
         )
         {final_select}
     """
@@ -14160,6 +14221,44 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY s.doc_id ORDER BY start_ps),
                        n.n_ps) - start_ps AS n_ps
             FROM starts s JOIN np n USING (doc_id)
+            """
+        ),
+        # Subtitle cues: expected timing/text straight from the tokens
+        # (8-token cues, 2.5 s pitch, 5 s silence before every 10th cue,
+        # first 4 tokens on line 1) — independent of the string
+        # round-trip, so writer∘parser must be the identity.
+        "srt_cues": _subtitle_oracle(
+            """
+            SELECT doc_id, (cue + 1)::BIGINT AS cue_id,
+                   (cue * 2500 + (cue // 10) * 5000)::BIGINT AS start_ms,
+                   (cue * 2500 + (cue // 10) * 5000 + 2400)::BIGINT
+                       AS end_ms,
+                   array_to_string(list_slice(ct, 1, 4), ' ')
+                   || CASE WHEN len(ct) > 4
+                           THEN chr(10) || array_to_string(
+                               list_slice(ct, 5, len(ct)), ' ')
+                           ELSE '' END AS text
+            FROM cu
+            """
+        ),
+        # Transcripts: paragraphs at the scheduled silences (cue // 10),
+        # cue-internal line breaks flatten to spaces.
+        "srt_transcripts": _subtitle_oracle(
+            """
+            , fl AS (
+                SELECT doc_id, cue, cue // 10 AS para,
+                       array_to_string(ct, ' ') AS flat
+                FROM cu
+            ), paras AS (
+                SELECT doc_id, para, count(*) AS n,
+                       string_agg(flat, ' ' ORDER BY cue) AS ptext
+                FROM fl GROUP BY doc_id, para
+            )
+            SELECT doc_id, sum(n)::BIGINT AS n_cues,
+                   count(*)::BIGINT AS n_paras,
+                   string_agg(ptext, chr(10) || chr(10) ORDER BY para)
+                       AS transcript
+            FROM paras GROUP BY doc_id
             """
         ),
     }
