@@ -6723,6 +6723,49 @@ def _q_srt_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cues_to_transcript(_subtitle_cues(spark, sf_dir), gap_ms=1000)
 
 
+def _q_wikitext_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MediaWiki wikitext source, oracled end-to-end: each documents row
+    renders into markup-heavy wikitext (sources/wikitext.make_wikitext —
+    alternating h2/h3 headings, plain + piped links, bold/italic quote
+    runs, {{cite}} templates, <ref> footnotes) and parses back through
+    the Arrow-batched extractor; the oracle recomputes the expected
+    plain-text blocks relationally from the raw tokens, so a parser that
+    leaks template/ref text, mangles a link anchor, or drops emphasis
+    content fails the hash."""
+    _ship_package(spark)
+    from pdf_to_epub_spark.sources.wikitext import (
+        documents_as_wikitext,
+        parse_wikitext_payloads,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return parse_wikitext_payloads(documents_as_wikitext(d)).select(
+        "doc_id",
+        F.col("block_id").cast("long").alias("block_id"),
+        "block_type",
+        "text",
+    )
+
+
+def _q_wikitext_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wiki link-graph extraction (wikitext.extract_wikitext_links): the
+    (target, anchor) edge list in document order — plain links anchor on
+    their target, piped links on their label."""
+    _ship_package(spark)
+    from pdf_to_epub_spark.sources.wikitext import (
+        documents_as_wikitext,
+        extract_wikitext_links,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return extract_wikitext_links(documents_as_wikitext(d)).select(
+        "doc_id",
+        F.col("link_id").cast("long").alias("link_id"),
+        "target",
+        "anchor",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -7000,6 +7043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_segments": _q_text_segments,
         "srt_cues": _q_srt_cues,
         "srt_transcripts": _q_srt_transcripts,
+        "wikitext_blocks": _q_wikitext_blocks,
+        "wikitext_links": _q_wikitext_links,
     }
 
 
@@ -14261,4 +14306,71 @@ def oracle_sql() -> dict[str, str]:
             FROM paras GROUP BY doc_id
             """
         ),
+        # Wikitext blocks: replay sources/wikitext.doc_wiki_blocks —
+        # 30-token chunks, an alternating h2/h3 heading before every 5th
+        # chunk, markup resolving back to the bare tokens.
+        "wikitext_blocks": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                           x -> x <> '') AS toks
+                FROM documents
+            ), c AS (
+                SELECT doc_id, toks, (len(toks) + 29) // 30 AS nc FROM d
+            ), ks AS (
+                SELECT doc_id, toks, nc,
+                       unnest(generate_series(0, greatest(nc, 1) - 1)) AS k
+                FROM c
+            ), rows_ AS (
+                SELECT doc_id, k, 0 AS sub,
+                       CASE WHEN (k // 5) % 2 = 0 THEN 'h2' ELSE 'h3' END
+                           AS block_type,
+                       'Heading ' || doc_id || '.' || (k // 5) AS text
+                FROM ks WHERE k % 5 = 0
+                UNION ALL
+                SELECT doc_id, k, 1, 'para',
+                       array_to_string(
+                           list_slice(toks, k * 30 + 1, (k + 1) * 30), ' ')
+                FROM ks WHERE k < nc
+            )
+            SELECT doc_id,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY k, sub)::BIGINT
+                       AS block_id,
+                   block_type, text
+            FROM rows_
+        """,
+        # Wikitext links: within-chunk positions i%11==0 are plain links
+        # (target = token), i%11==5 piped links (target = 'T:'||token);
+        # link_id numbers document order.
+        "wikitext_links": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                           x -> x <> '') AS toks
+                FROM documents
+            ), c AS (
+                SELECT doc_id, toks, len(toks) AS nw,
+                       (len(toks) + 29) // 30 AS nc
+                FROM d
+            ), ks AS (
+                SELECT doc_id, toks, nw, nc,
+                       unnest(generate_series(0, nc - 1)) AS k
+                FROM c WHERE nc >= 1
+            ), pos AS (
+                SELECT doc_id, k, u.i - 1 AS i, toks[k * 30 + u.i] AS tok
+                FROM ks, unnest(generate_series(1, 30)) AS u(i)
+                WHERE k * 30 + u.i <= nw
+            )
+            SELECT doc_id,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY k, i)::BIGINT
+                       AS link_id,
+                   CASE WHEN i % 11 = 0 THEN tok
+                        ELSE 'T:' || tok END AS target,
+                   tok AS anchor
+            FROM pos WHERE i % 11 IN (0, 5)
+        """,
     }
