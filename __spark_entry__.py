@@ -6766,6 +6766,36 @@ def _q_wikitext_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pdf_two_column_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-column layout analysis, oracled end-to-end: documents render
+    into journal-style two-column PDFs (lines flow down the left column
+    then the right, blocks content-shuffled per page), and
+    blocks_in_column_order must detect the column split from x spread
+    and reconstruct the ORIGINAL linear flow — a naive (page, y, x)
+    sort row-interleaves the columns and fails the hash."""
+    _ship_package(spark)
+    from pdf_to_epub_spark.sources.pdf import (
+        blocks_in_column_order,
+        documents_as_two_column_pdfs,
+        parse_pdf_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    blocks = blocks_in_column_order(
+        parse_pdf_payloads(documents_as_two_column_pdfs(docs))
+    )
+    return blocks.select(
+        "doc_id",
+        F.col("block_id").cast("long").alias("block_id"),
+        F.col("page").cast("long").alias("page"),
+        F.col("column").cast("long").alias("column"),
+        "block_type",
+        "text",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -7045,6 +7075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srt_transcripts": _q_srt_transcripts,
         "wikitext_blocks": _q_wikitext_blocks,
         "wikitext_links": _q_wikitext_links,
+        "pdf_two_column_blocks": _q_pdf_two_column_blocks,
     }
 
 
@@ -14372,5 +14403,37 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'T:' || tok END AS target,
                    tok AS anchor
             FROM pos WHERE i % 11 IN (0, 5)
+        """,
+        # Two-column PDFs: the column-aware sort must recover the
+        # ORIGINAL linear flow, so the expected rows derive straight
+        # from the words — title line, then 8-word lines flowing down
+        # 6-row columns, two columns per page.
+        "pdf_two_column_blocks": """
+            WITH d AS (
+                SELECT doc_id, coalesce(text, '') AS text FROM documents
+            ), w AS (
+                SELECT doc_id,
+                       CASE WHEN text = '' THEN []::VARCHAR[]
+                            ELSE string_split(text, ' ') END AS words
+                FROM d
+            ), n AS (
+                SELECT doc_id, words,
+                       1 + (len(words) + 7) // 8 AS n_lines
+                FROM w
+            ), ls AS (
+                SELECT doc_id, words,
+                       unnest(generate_series(0, n_lines - 1)) AS l
+                FROM n
+            )
+            SELECT doc_id, l::BIGINT AS block_id,
+                   (l // 12)::BIGINT AS page,
+                   ((l % 12) // 6)::BIGINT AS "column",
+                   CASE WHEN l = 0 THEN 'heading'
+                        ELSE 'paragraph' END AS block_type,
+                   CASE WHEN l = 0 THEN 'Document ' || doc_id
+                        ELSE array_to_string(
+                            list_slice(words, (l - 1) * 8 + 1, l * 8), ' ')
+                        END AS text
+            FROM ls
         """,
     }

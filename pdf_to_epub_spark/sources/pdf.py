@@ -901,3 +901,111 @@ def documents_as_outlined_pdfs(
     return docs.select(
         F.col(id_col), render(F.col(id_col), F.col(text_col)).alias("pdf")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-column layout + column-aware reading order
+# ---------------------------------------------------------------------------
+
+LINES_PER_COL = 6
+X_LEFT = 72.0
+X_RIGHT = 320.0
+
+
+def _doc_pages_two_column(
+    doc_id: int, text: str
+) -> list[list[tuple[float, float, float, str]]]:
+    """Two-column page layout: lines flow DOWN the left column, then
+    DOWN the right column, then to the next page (``LINES_PER_COL``
+    rows per column) — the journal/paper layout whose reading order a
+    naive (page, y desc, x) sort gets wrong, because it interleaves the
+    columns row-by-row.  Blocks are emitted in doc-seeded shuffled
+    content order per page, like :func:`_doc_pages`."""
+    words = text.split(" ") if text else []
+    lines = ["Document %d" % doc_id] + [
+        " ".join(words[i : i + WORDS_PER_LINE])
+        for i in range(0, len(words), WORDS_PER_LINE)
+    ]
+    per_page = 2 * LINES_PER_COL
+    pages: list[list[tuple[float, float, float, str]]] = []
+    for p0 in range(0, len(lines), per_page):
+        chunk = lines[p0 : p0 + per_page]
+        blocks = []
+        for r, line in enumerate(chunk):
+            x = X_LEFT if r < LINES_PER_COL else X_RIGHT
+            y = 720.0 - 40.0 * (r % LINES_PER_COL)
+            size = 18.0 if p0 + r == 0 else 11.0
+            blocks.append((x, y, size, line))
+        rng = random.Random((doc_id << 8) ^ (p0 // per_page) ^ 0x2C01)
+        rng.shuffle(blocks)
+        pages.append(blocks)
+    return pages
+
+
+def documents_as_two_column_pdfs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """documents → (doc_id, pdf: binary) in the two-column layout,
+    Arrow-batched."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def render(ids, texts):
+        return pd.Series(
+            [
+                make_pdf_bytes(_doc_pages_two_column(int(i), t or ""))
+                for i, t in zip(ids, texts)
+            ]
+        )
+
+    return docs.select(
+        F.col(id_col), render(F.col(id_col), F.col(text_col)).alias("pdf")
+    )
+
+
+def blocks_in_column_order(
+    blocks: DataFrame,
+    heading_min_size: float = 14.0,
+    min_column_gap: float = 100.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Column-aware reading-order reconstruction: per (doc, page), if
+    the x spread of the page's blocks is at least ``min_column_gap``
+    points the page is treated as two-column and split at the x
+    midpoint; reading order is then (page asc, column asc, y desc,
+    x asc, seq asc) — left column top-to-bottom, then right column —
+    which degrades gracefully to the single-column order on pages with
+    no spread.  A plain (page, y, x) sort row-interleaves the columns;
+    this is the layout-analysis step newspaper/journal PDFs need
+    (cf. the reference's reading-order shard merge, SURVEY §2 S8).
+
+    Two per-doc-bounded windows (page stats, then the order), both
+    keyed by the doc id — skew bounded by the largest single PDF.
+    """
+    from pyspark.sql.window import Window
+
+    pg = Window.partitionBy(id_col, "page")
+    spread = F.max("x").over(pg) - F.min("x").over(pg)
+    midpoint = (F.max("x").over(pg) + F.min("x").over(pg)) / 2
+    col = (
+        F.when(
+            (spread >= min_column_gap) & (F.col("x") >= midpoint), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    ordered = Window.partitionBy(id_col).orderBy(
+        F.asc("page"), F.asc("column"), F.desc("y"), F.asc("x"), F.asc("seq")
+    )
+    return (
+        blocks.where(F.col("status") == "ok")
+        .withColumn("column", col)
+        .withColumn("block_id", F.row_number().over(ordered) - F.lit(1))
+        .withColumn(
+            "block_type",
+            F.when(F.col("font_size") >= heading_min_size, F.lit("heading"))
+            .otherwise(F.lit("paragraph")),
+        )
+    )
