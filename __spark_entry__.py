@@ -6796,6 +6796,30 @@ def _q_pdf_two_column_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mbox_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mbox mailing-list source, oracled end-to-end: each documents row
+    renders into a deterministic mboxo thread (sources/mbox.make_mbox —
+    From_ separators, headers, quoted replies, signature blocks, and a
+    body opener that forces the ``>From `` escape on every message) and
+    parses back; quotes/signatures must strip, the escape must reverse,
+    and the oracle recomputes the expected clean bodies relationally
+    from the raw tokens."""
+    _ship_package(spark)
+    from pdf_to_epub_spark.sources.mbox import (
+        documents_as_mbox,
+        parse_mbox_payloads,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return parse_mbox_payloads(documents_as_mbox(d)).select(
+        "doc_id",
+        F.col("msg_id").cast("long").alias("msg_id"),
+        "subject",
+        F.col("n_quoted").cast("long").alias("n_quoted"),
+        "body",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -7076,6 +7100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wikitext_blocks": _q_wikitext_blocks,
         "wikitext_links": _q_wikitext_links,
         "pdf_two_column_blocks": _q_pdf_two_column_blocks,
+        "mbox_messages": _q_mbox_messages,
     }
 
 
@@ -14435,5 +14460,51 @@ def oracle_sql() -> dict[str, str]:
                             list_slice(words, (l - 1) * 8 + 1, l * 8), ' ')
                         END AS text
             FROM ls
+        """,
+        # mbox: expected clean messages straight from the tokens —
+        # 50-token messages, a "From the desk…" opener, 10-token body
+        # lines, Re:-chained subjects, one quoted line per reply.
+        "mbox_messages": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                           x -> x <> '') AS toks
+                FROM documents
+            ), n AS (
+                SELECT doc_id, toks,
+                       greatest((len(toks) + 49) // 50, 1) AS nm
+                FROM d
+            ), ms AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(0, nm - 1)) AS m
+                FROM n
+            ), ch AS (
+                SELECT doc_id, m,
+                       list_slice(toks, m * 50 + 1, m * 50 + 50) AS chunk
+                FROM ms
+            ), lj AS (
+                SELECT doc_id, m, u.j,
+                       array_to_string(
+                           list_slice(chunk, u.j * 10 + 1, u.j * 10 + 10),
+                           ' ') AS line
+                FROM ch,
+                     unnest(generate_series(0, (len(chunk) + 9) // 10 - 1))
+                         AS u(j)
+                WHERE len(chunk) > 0
+            ), bodies AS (
+                SELECT doc_id, m,
+                       string_agg(line, chr(10) ORDER BY j) AS rest
+                FROM lj GROUP BY doc_id, m
+            )
+            SELECT ch.doc_id, (ch.m + 1)::BIGINT AS msg_id,
+                   CASE WHEN ch.m = 0 THEN 'Thread ' || ch.doc_id
+                        ELSE 'Re: Thread ' || ch.doc_id END AS subject,
+                   (CASE WHEN ch.m = 0 THEN 0 ELSE 1 END)::BIGINT
+                       AS n_quoted,
+                   'From the desk of user ' || ch.m ||
+                   CASE WHEN b.rest IS NULL THEN ''
+                        ELSE chr(10) || b.rest END AS body
+            FROM ch LEFT JOIN bodies b USING (doc_id, m)
         """,
     }
