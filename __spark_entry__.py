@@ -6820,6 +6820,23 @@ def _q_mbox_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dialogue_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-turn SFT shaping (dialogue.dialogue_pairs) over the
+    parsed mbox threads: every reply becomes a (prompt, response) pair
+    whose prompt is the previous ≤2 turns joined in thread order —
+    multi-turn context windows, one bounded per-thread window frame."""
+    _ship_package(spark)
+    from pdf_to_epub_spark.operators.dialogue import dialogue_pairs
+    from pdf_to_epub_spark.sources.mbox import (
+        documents_as_mbox,
+        parse_mbox_payloads,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    msgs = parse_mbox_payloads(documents_as_mbox(d))
+    return dialogue_pairs(msgs, context_turns=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -7101,6 +7118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wikitext_links": _q_wikitext_links,
         "pdf_two_column_blocks": _q_pdf_two_column_blocks,
         "mbox_messages": _q_mbox_messages,
+        "dialogue_pairs": _q_dialogue_pairs,
     }
 
 
@@ -7241,6 +7259,57 @@ def _subtitle_oracle(final_select: str) -> str:
             SELECT doc_id, cue,
                    list_slice(toks, cue * 8 + 1, cue * 8 + 8) AS ct
             FROM c
+        )
+        {final_select}
+    """
+
+
+def _mbox_oracle(final_select: str) -> str:
+    """DuckDB replica of the mbox fixture derivation (sources/mbox.py
+    constants: 50-token messages, 10-token body lines, 'From the desk…'
+    openers, Re:-chained subjects): ``final_select`` runs over the
+    ``msgs`` CTE of per-message (m, subject, n_quoted, body) rows."""
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                       x -> x <> '') AS toks
+            FROM documents
+        ), n AS (
+            SELECT doc_id, toks,
+                   greatest((len(toks) + 49) // 50, 1) AS nm
+            FROM d
+        ), ms AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0, nm - 1)) AS m
+            FROM n
+        ), ch AS (
+            SELECT doc_id, m,
+                   list_slice(toks, m * 50 + 1, m * 50 + 50) AS chunk
+            FROM ms
+        ), lj AS (
+            SELECT doc_id, m, u.j,
+                   array_to_string(
+                       list_slice(chunk, u.j * 10 + 1, u.j * 10 + 10),
+                       ' ') AS line
+            FROM ch,
+                 unnest(generate_series(0, (len(chunk) + 9) // 10 - 1))
+                     AS u(j)
+            WHERE len(chunk) > 0
+        ), bodies AS (
+            SELECT doc_id, m,
+                   string_agg(line, chr(10) ORDER BY j) AS rest
+            FROM lj GROUP BY doc_id, m
+        ), msgs AS (
+            SELECT ch.doc_id, ch.m,
+                   CASE WHEN ch.m = 0 THEN 'Thread ' || ch.doc_id
+                        ELSE 'Re: Thread ' || ch.doc_id END AS subject,
+                   CASE WHEN ch.m = 0 THEN 0 ELSE 1 END AS n_quoted,
+                   'From the desk of user ' || ch.m ||
+                   CASE WHEN b.rest IS NULL THEN ''
+                        ELSE chr(10) || b.rest END AS body
+            FROM ch LEFT JOIN bodies b USING (doc_id, m)
         )
         {final_select}
     """
@@ -14464,47 +14533,30 @@ def oracle_sql() -> dict[str, str]:
         # mbox: expected clean messages straight from the tokens —
         # 50-token messages, a "From the desk…" opener, 10-token body
         # lines, Re:-chained subjects, one quoted line per reply.
-        "mbox_messages": """
-            WITH d AS (
-                SELECT doc_id,
-                       list_filter(
-                           regexp_split_to_array(coalesce(text, ''), '\\s+'),
-                           x -> x <> '') AS toks
-                FROM documents
-            ), n AS (
-                SELECT doc_id, toks,
-                       greatest((len(toks) + 49) // 50, 1) AS nm
-                FROM d
-            ), ms AS (
-                SELECT doc_id, toks,
-                       unnest(generate_series(0, nm - 1)) AS m
-                FROM n
-            ), ch AS (
-                SELECT doc_id, m,
-                       list_slice(toks, m * 50 + 1, m * 50 + 50) AS chunk
-                FROM ms
-            ), lj AS (
-                SELECT doc_id, m, u.j,
-                       array_to_string(
-                           list_slice(chunk, u.j * 10 + 1, u.j * 10 + 10),
-                           ' ') AS line
-                FROM ch,
-                     unnest(generate_series(0, (len(chunk) + 9) // 10 - 1))
-                         AS u(j)
-                WHERE len(chunk) > 0
-            ), bodies AS (
-                SELECT doc_id, m,
-                       string_agg(line, chr(10) ORDER BY j) AS rest
-                FROM lj GROUP BY doc_id, m
+        "mbox_messages": _mbox_oracle(
+            """
+            SELECT doc_id, (m + 1)::BIGINT AS msg_id, subject,
+                   n_quoted::BIGINT AS n_quoted, body
+            FROM msgs
+            """
+        ),
+        # Dialogue pairs: each reply answers the previous <=2 turns.
+        "dialogue_pairs": _mbox_oracle(
+            """
+            SELECT doc_id, m::BIGINT AS pair_id,
+                   CASE WHEN lag2 IS NULL THEN lag1
+                        ELSE lag2 || chr(10) || '---' || chr(10) || lag1
+                        END AS prompt,
+                   body AS response
+            FROM (
+                SELECT doc_id, m, body,
+                       lag(body, 1) OVER (
+                           PARTITION BY doc_id ORDER BY m) AS lag1,
+                       lag(body, 2) OVER (
+                           PARTITION BY doc_id ORDER BY m) AS lag2
+                FROM msgs
             )
-            SELECT ch.doc_id, (ch.m + 1)::BIGINT AS msg_id,
-                   CASE WHEN ch.m = 0 THEN 'Thread ' || ch.doc_id
-                        ELSE 'Re: Thread ' || ch.doc_id END AS subject,
-                   (CASE WHEN ch.m = 0 THEN 0 ELSE 1 END)::BIGINT
-                       AS n_quoted,
-                   'From the desk of user ' || ch.m ||
-                   CASE WHEN b.rest IS NULL THEN ''
-                        ELSE chr(10) || b.rest END AS body
-            FROM ch LEFT JOIN bodies b USING (doc_id, m)
-        """,
+            WHERE lag1 IS NOT NULL
+            """
+        ),
     }

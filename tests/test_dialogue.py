@@ -1,0 +1,55 @@
+"""operators/dialogue.py — adjacent-turn SFT pair shaping."""
+
+from __future__ import annotations
+
+from pdf_to_epub_spark.operators.dialogue import TURN_SEP, dialogue_pairs
+
+
+def _msgs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, msg_id long, body string"
+    )
+
+
+def test_multi_turn_context(spark):
+    pairs = {
+        r.pair_id: r
+        for r in dialogue_pairs(
+            _msgs(
+                spark,
+                [(1, 1, "t1"), (1, 2, "t2"), (1, 3, "t3"), (1, 4, "t4")],
+            ),
+            context_turns=2,
+        ).collect()
+    }
+    assert set(pairs) == {1, 2, 3}
+    assert pairs[1].prompt == "t1" and pairs[1].response == "t2"
+    assert pairs[2].prompt == f"t1{TURN_SEP}t2" and pairs[2].response == "t3"
+    # window slides: only the last 2 turns remain
+    assert pairs[3].prompt == f"t2{TURN_SEP}t3" and pairs[3].response == "t4"
+
+
+def test_single_message_thread_yields_nothing(spark):
+    assert dialogue_pairs(_msgs(spark, [(1, 1, "only")])).count() == 0
+
+
+def test_min_chars_filter_and_renumbering(spark):
+    pairs = dialogue_pairs(
+        _msgs(spark, [(1, 1, "long enough"), (1, 2, "x"), (1, 3, "reply")]),
+        context_turns=1,
+        min_chars=3,
+    ).collect()
+    # turn 2's response "x" is too short → dropped; turn 3 (prompt "x")
+    # also dropped; nothing survives but the numbering stays dense
+    got = sorted((r.pair_id, r.response) for r in pairs)
+    assert got == []
+
+
+def test_threads_do_not_leak_context(spark):
+    pairs = dialogue_pairs(
+        _msgs(spark, [(1, 1, "a1"), (1, 2, "a2"), (2, 1, "b1"), (2, 2, "b2")]),
+        context_turns=2,
+    ).collect()
+    by_doc = {(r.doc_id, r.pair_id): r for r in pairs}
+    assert by_doc[(2, 1)].prompt == "b1"  # no a-thread contamination
+    assert len(pairs) == 2
