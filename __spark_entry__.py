@@ -6837,6 +6837,46 @@ def _q_dialogue_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dialogue_pairs(msgs, context_turns=2)
 
 
+def _quasi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared privacy fixture: documents with quasi-identifiers (lang,
+    source, a 400-char length band) and doc_id as the sensitive
+    attribute stand-in."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.coalesce(F.col("n_chars"), F.lit(0)) / 400)
+        .cast("long")
+        .alias("band"),
+    )
+
+
+def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (privacy.k_anonymity_audit) over
+    the (lang, source, band) quasi-identifier: one row per equivalence
+    class with strict >= flags at k=5, l=3."""
+    from pdf_to_epub_spark.operators.privacy import k_anonymity_audit
+
+    return k_anonymity_audit(
+        _quasi_docs(spark, sf_dir),
+        ["lang", "source", "band"],
+        "doc_id",
+        k=5,
+        l=3,
+    )
+
+
+def _q_quasi_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell suppression (privacy.suppress_small_classes): documents in
+    sub-k equivalence classes get their quasi columns NULLed; per-doc
+    output so the release table is directly checkable."""
+    from pdf_to_epub_spark.operators.privacy import suppress_small_classes
+
+    return suppress_small_classes(
+        _quasi_docs(spark, sf_dir), ["lang", "source", "band"], k=5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -7119,6 +7159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_two_column_blocks": _q_pdf_two_column_blocks,
         "mbox_messages": _q_mbox_messages,
         "dialogue_pairs": _q_dialogue_pairs,
+        "k_anonymity": _q_k_anonymity,
+        "quasi_suppression": _q_quasi_suppression,
     }
 
 
@@ -14559,4 +14601,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE lag1 IS NOT NULL
             """
         ),
+        # k-anonymity / l-diversity: equivalence classes of the quasi
+        # triple with strict >= flags.
+        "k_anonymity": """
+            WITH q AS (
+                SELECT doc_id, lang, source,
+                       coalesce(n_chars, 0) // 400 AS band
+                FROM documents
+            )
+            SELECT lang, source, band,
+                   count(*)::BIGINT AS class_size,
+                   count(DISTINCT doc_id)::BIGINT AS n_sensitive,
+                   (count(*) >= 5) AS k_anonymous,
+                   (count(DISTINCT doc_id) >= 3) AS l_diverse
+            FROM q GROUP BY lang, source, band
+        """,
+        # Suppression: quasi cells NULLed for rows in sub-k classes.
+        "quasi_suppression": """
+            WITH q AS (
+                SELECT doc_id, lang, source,
+                       coalesce(n_chars, 0) // 400 AS band
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, lang, source, band,
+                       count(*) OVER (PARTITION BY lang, source, band)
+                           AS cs
+                FROM q
+            )
+            SELECT doc_id,
+                   CASE WHEN cs < 5 THEN NULL ELSE lang END AS lang,
+                   CASE WHEN cs < 5 THEN NULL ELSE source END AS source,
+                   CASE WHEN cs < 5 THEN NULL ELSE band END AS band,
+                   (cs < 5) AS suppressed
+            FROM sized
+        """,
     }
