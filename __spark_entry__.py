@@ -6877,6 +6877,33 @@ def _q_quasi_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_anchor_query_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retriever weak supervision (ir.anchor_query_pairs): every doc
+    links to its decade-leader doc with a deterministic anchor phrase;
+    the operator joins (query, positive) and attaches the md5-bucketed
+    negative — single-doc-bucket NULL semantics included."""
+    from pdf_to_epub_spark.operators.ir import anchor_query_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        "text",
+    )
+    pos_id = F.col("doc_id") - (F.col("doc_id") % 10)
+    anchors = d.select(
+        F.concat(
+            F.lit("topic "),
+            (F.col("doc_id") % 17).cast("string"),
+            F.lit(" guide "),
+            (F.col("doc_id") % 4).cast("string"),
+        ).alias("anchor"),
+        F.concat(F.lit("doc://"), pos_id.cast("string")).alias("target"),
+    )
+    return anchor_query_pairs(anchors, corpus, buckets=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -7161,6 +7188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialogue_pairs": _q_dialogue_pairs,
         "k_anonymity": _q_k_anonymity,
         "quasi_suppression": _q_quasi_suppression,
+        "anchor_query_pairs": _q_anchor_query_pairs,
     }
 
 
@@ -14634,5 +14662,38 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN cs < 5 THEN NULL ELSE band END AS band,
                    (cs < 5) AS suppressed
             FROM sized
+        """,
+        # Anchor weak supervision: md5-bucketed negatives replayed with
+        # the same 60-bit md5-prefix arithmetic as the Spark side.
+        "anchor_query_pairs": """
+            WITH corpus AS (
+                SELECT 'doc://' || doc_id AS url, text FROM documents
+            ), pairs AS (
+                SELECT 'topic ' || (d.doc_id % 17) || ' guide '
+                           || (d.doc_id % 4) AS query,
+                       'doc://' || (d.doc_id - d.doc_id % 10) AS pos_url
+                FROM documents d
+            ), pos AS (
+                SELECT p.query, p.pos_url, c.text AS pos_text
+                FROM pairs p JOIN corpus c ON p.pos_url = c.url
+            ), reps AS (
+                SELECT ('0x' || substr(md5(url), 1, 15))::BIGINT % 16 AS b,
+                       min(url) AS lo_url,
+                       arg_min(text, url) AS lo_text,
+                       max(url) AS hi_url,
+                       arg_max(text, url) AS hi_text
+                FROM corpus GROUP BY 1
+            ), qb AS (
+                SELECT query, pos_url, pos_text,
+                       ('0x' || substr(md5(query || chr(31) || pos_url),
+                                       1, 15))::BIGINT % 16 AS qb
+                FROM pos
+            )
+            SELECT query, pos_url, pos_text,
+                   CASE WHEN lo_url <> pos_url THEN lo_url
+                        WHEN hi_url <> pos_url THEN hi_url END AS neg_url,
+                   CASE WHEN lo_url <> pos_url THEN lo_text
+                        WHEN hi_url <> pos_url THEN hi_text END AS neg_text
+            FROM qb LEFT JOIN reps ON qb.qb = reps.b
         """,
     }

@@ -701,3 +701,73 @@ def prf_expand(
         .orderBy(F.desc("weight_micro"), F.asc("term"))
         .limit(top_terms)
     )
+
+
+def anchor_query_pairs(
+    anchors: DataFrame,
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    target_col: str = "target",
+    anchor_col: str = "anchor",
+    buckets: int = 16,
+) -> DataFrame:
+    """Anchor-text weak supervision for retriever training: every
+    (anchor text → target page) edge becomes a (query, positive) pair —
+    the classic web-IR construction (anchor text is an external
+    description of the target, cf. DPR-style weak supervision) — plus a
+    DETERMINISTIC hash-bucketed negative so the emitted triple is
+    training-ready.
+
+    Negative sampling without a global shuffle: documents hash into
+    ``buckets`` by url (md5-based so the oracle replays it); each pair
+    picks the bucket keyed by md5(query ␟ pos_url) and takes that
+    bucket's min-url representative — or the max-url one when the min
+    IS the positive (single-doc buckets yield a NULL negative rather
+    than a false one).  Cost: one bounded ``buckets``-row aggregate +
+    one broadcast-size join; the corpus never reshuffles.
+
+    Returns ``(query, pos_url, pos_text, neg_url, neg_text)``.
+    """
+    from pdf_to_epub_spark.operators.dedup import md5_hash60
+
+    d = docs.select(
+        F.col(url_col).alias("_durl"), F.col(text_col).alias("_dtext")
+    )
+    pos = (
+        anchors.select(
+            F.col(anchor_col).alias("query"),
+            F.col(target_col).alias("pos_url"),
+        )
+        .join(d, F.col("pos_url") == F.col("_durl"), "inner")
+        .select("query", "pos_url", F.col("_dtext").alias("pos_text"))
+    )
+    reps = (
+        d.withColumn("_b", F.pmod(md5_hash60(F.col("_durl")), F.lit(buckets)))
+        .groupBy("_b")
+        .agg(
+            F.min(F.struct("_durl", "_dtext")).alias("_lo"),
+            F.max(F.struct("_durl", "_dtext")).alias("_hi"),
+        )
+    )
+    qb = pos.withColumn(
+        "_qb",
+        F.pmod(
+            md5_hash60(F.concat_ws("\x1f", "query", "pos_url")),
+            F.lit(buckets),
+        ),
+    )
+    neg = (
+        F.when(F.col("_lo._durl") != F.col("pos_url"), F.col("_lo"))
+        .when(F.col("_hi._durl") != F.col("pos_url"), F.col("_hi"))
+    )
+    return (
+        qb.join(F.broadcast(reps), F.col("_qb") == F.col("_b"), "left")
+        .select(
+            "query",
+            "pos_url",
+            "pos_text",
+            neg["_durl"].alias("neg_url"),
+            neg["_dtext"].alias("neg_text"),
+        )
+    )

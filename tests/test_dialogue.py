@@ -53,3 +53,34 @@ def test_threads_do_not_leak_context(spark):
     by_doc = {(r.doc_id, r.pair_id): r for r in pairs}
     assert by_doc[(2, 1)].prompt == "b1"  # no a-thread contamination
     assert len(pairs) == 2
+
+
+def test_anchor_query_pairs_negatives(spark):
+    from pdf_to_epub_spark.operators.ir import anchor_query_pairs
+
+    docs = spark.createDataFrame(
+        [(f"u://{i}", f"text {i}") for i in range(6)], "url string, text string"
+    )
+    anchors = spark.createDataFrame(
+        [("find zero", "u://0"), ("find one", "u://1")],
+        "anchor string, target string",
+    )
+    rows = {r.query: r for r in anchor_query_pairs(anchors, docs, buckets=2).collect()}
+    assert rows["find zero"].pos_text == "text 0"
+    for r in rows.values():
+        # negative exists (2 buckets over 6 docs) and is never the positive
+        assert r.neg_url is not None and r.neg_url != r.pos_url
+        assert r.neg_text == "text " + r.neg_url.split("/")[-1]
+
+
+def test_anchor_query_pairs_single_doc_bucket_null_negative(spark):
+    from pdf_to_epub_spark.operators.ir import anchor_query_pairs
+
+    docs = spark.createDataFrame(
+        [("u://only", "only text")], "url string, text string"
+    )
+    anchors = spark.createDataFrame(
+        [("q", "u://only")], "anchor string, target string"
+    )
+    rows = anchor_query_pairs(anchors, docs, buckets=1).collect()
+    assert len(rows) == 1 and rows[0].neg_url is None
