@@ -6904,6 +6904,52 @@ def _q_anchor_query_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_query_pairs(anchors, corpus, buckets=16)
 
 
+def _q_markdown_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown structure signals (markdown.markdown_meta) over a
+    deterministic Markdown wrapping of the documents table: YAML front
+    matter (title/lang by doc_id), one fenced code block per doc
+    (python/js/sql info string cycling), prose around it — pure
+    codegen regexp algebra both in the fixture and the operator."""
+    from pdf_to_epub_spark.operators.markdown import markdown_meta
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    toks = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")
+    )
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    fence_lang = F.element_at(
+        F.array(F.lit("python"), F.lit("js"), F.lit("sql")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    md = F.concat(
+        F.lit("---\ntitle: Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("\nlang: "),
+        lang,
+        F.lit("\n---\n"),
+        F.array_join(F.slice(toks, 1, 40), " "),
+        F.lit("\n```"),
+        fence_lang,
+        F.lit("\ncode_line("),
+        F.col("doc_id").cast("string"),
+        F.lit(")\nx = "),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit("\n```\n"),
+        F.array_join(
+            F.slice(
+                toks, 41, F.greatest(F.size(toks) - 40, F.lit(0))
+            ),
+            " ",
+        ),
+    )
+    return markdown_meta(d.select("doc_id", md.alias("text")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -7189,6 +7235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": _q_k_anonymity,
         "quasi_suppression": _q_quasi_suppression,
         "anchor_query_pairs": _q_anchor_query_pairs,
+        "markdown_meta": _q_markdown_meta,
     }
 
 
@@ -14695,5 +14742,38 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN lo_url <> pos_url THEN lo_text
                         WHEN hi_url <> pos_url THEN hi_text END AS neg_text
             FROM qb LEFT JOIN reps ON qb.qb = reps.b
+        """,
+        # Markdown meta: the fixture is fully deterministic, so every
+        # output column replays as closed-form string arithmetic.
+        "markdown_meta": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                           x -> x <> '') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, toks,
+                       CASE doc_id % 3 WHEN 0 THEN 'en'
+                            WHEN 1 THEN 'de' ELSE 'fr' END AS lang,
+                       CASE doc_id % 3 WHEN 0 THEN 'python'
+                            WHEN 1 THEN 'js' ELSE 'sql' END AS flang
+                FROM d
+            )
+            SELECT doc_id, true AS has_front_matter,
+                   'Doc ' || doc_id AS fm_title,
+                   lang AS fm_lang,
+                   1::BIGINT AS n_fences,
+                   flang AS first_fence_lang,
+                   length('```' || flang || chr(10) || 'code_line('
+                          || doc_id || ')' || chr(10) || 'x = '
+                          || (doc_id % 9) || chr(10) || '```')::BIGINT
+                       AS code_chars,
+                   (length(array_to_string(list_slice(toks, 1, 40), ' '))
+                    + 2 +
+                    length(coalesce(array_to_string(
+                        list_slice(toks, 41, len(toks)), ' '), '')))::BIGINT
+                       AS prose_chars
+            FROM s
         """,
     }
