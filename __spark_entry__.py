@@ -6950,6 +6950,21 @@ def _q_markdown_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markdown_meta(d.select("doc_id", md.alias("text")))
 
 
+def _q_unidiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified-diff ingestion (sources/unidiff): documents render as
+    multi-file commit diffs and the RELATIONAL parser (line explode +
+    cumulative +++ section numbering + prefix rollup) must recover the
+    per-file add/del/context stats the oracle computes in closed form."""
+    _ship_package(spark)
+    from pdf_to_epub_spark.sources.unidiff import (
+        documents_as_unidiffs,
+        unidiff_file_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return unidiff_file_stats(documents_as_unidiffs(d))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -7236,6 +7251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quasi_suppression": _q_quasi_suppression,
         "anchor_query_pairs": _q_anchor_query_pairs,
         "markdown_meta": _q_markdown_meta,
+        "unidiff_stats": _q_unidiff_stats,
     }
 
 
@@ -14775,5 +14791,38 @@ def oracle_sql() -> dict[str, str]:
                         list_slice(toks, 41, len(toks)), ' '), '')))::BIGINT
                        AS prose_chars
             FROM s
+        """,
+        # Unified diffs: closed-form replay of the fixture spec —
+        # 60-token files of 10-token lines, j%4==1 dels, j%4==2 adds.
+        "unidiff_stats": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                           x -> x <> '') AS toks
+                FROM documents
+            ), n AS (
+                SELECT doc_id, toks, (len(toks) + 59) // 60 AS nf
+                FROM d WHERE len(toks) >= 1
+            ), fs AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(0, nf - 1)) AS f
+                FROM n
+            ), ch AS (
+                SELECT doc_id, f,
+                       (len(list_slice(toks, f * 60 + 1, f * 60 + 60)) + 9)
+                           // 10 AS nl
+                FROM fs
+            ), js AS (
+                SELECT doc_id, f, unnest(generate_series(0, nl - 1)) AS j
+                FROM ch
+            )
+            SELECT doc_id, (f + 1)::BIGINT AS file_id,
+                   'src/mod_' || doc_id || '_' || f || '.py' AS path,
+                   1::BIGINT AS n_hunks,
+                   sum((j % 4 = 2)::INT)::BIGINT AS n_adds,
+                   sum((j % 4 = 1)::INT)::BIGINT AS n_dels,
+                   sum((j % 4 NOT IN (1, 2))::INT)::BIGINT AS n_context
+            FROM js GROUP BY doc_id, f
         """,
     }
