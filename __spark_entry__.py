@@ -6965,6 +6965,37 @@ def _q_unidiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unidiff_file_stats(documents_as_unidiffs(d))
 
 
+def _q_ipynb_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jupyter-notebook ingestion (sources/ipynb): documents render as
+    nbformat-v4 JSON and the pure-Catalyst parser (from_json +
+    posexplode(cells) — JVM Jackson, zero Python) must recover the
+    per-cell type/line/char stats the oracle computes in closed form."""
+    _ship_package(spark)
+    from pdf_to_epub_spark.sources.ipynb import (
+        documents_as_ipynb,
+        ipynb_cell_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ipynb_cell_stats(documents_as_ipynb(d))
+
+
+def _q_latex_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LaTeX article ingestion (sources/latex): documents render as
+    sectioned arXiv-style articles and the RELATIONAL parser (line
+    explode + cumulative section count + running begin/end equation
+    sums) must recover per-section title / equation / comment /
+    citation / prose-line stats the oracle computes in closed form."""
+    _ship_package(spark)
+    from pdf_to_epub_spark.sources.latex import (
+        documents_as_latex,
+        latex_section_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return latex_section_stats(documents_as_latex(d))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -7252,6 +7283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_query_pairs": _q_anchor_query_pairs,
         "markdown_meta": _q_markdown_meta,
         "unidiff_stats": _q_unidiff_stats,
+        "ipynb_cells": _q_ipynb_cells,
+        "latex_sections": _q_latex_sections,
     }
 
 
@@ -14824,5 +14857,83 @@ def oracle_sql() -> dict[str, str]:
                    sum((j % 4 = 1)::INT)::BIGINT AS n_dels,
                    sum((j % 4 NOT IN (1, 2))::INT)::BIGINT AS n_context
             FROM js GROUP BY doc_id, f
+        """,
+        # Jupyter notebooks: closed-form replay of the fixture spec —
+        # 12-token cells of 4-token lines, cell i is code iff i%3==2.
+        # n_chars = reassembled source text = token lengths + one
+        # separator per gap (line joins use ' ', line breaks '\n').
+        "ipynb_cells": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                           x -> x <> '') AS toks
+                FROM documents
+            ), n AS (
+                SELECT doc_id, toks, (len(toks) + 11) // 12 AS nc
+                FROM d WHERE len(toks) >= 1
+            ), cs AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(0, nc - 1)) AS i
+                FROM n
+            ), c AS (
+                SELECT doc_id, i,
+                       list_slice(toks, i * 12 + 1, i * 12 + 12) AS ct
+                FROM cs
+            )
+            SELECT doc_id, (i + 1)::BIGINT AS cell_id,
+                   CASE WHEN i % 3 = 2 THEN 'code'
+                        ELSE 'markdown' END AS cell_type,
+                   CASE WHEN i % 3 = 2 THEN (i + 1)::INT
+                        END AS execution_count,
+                   ((len(ct) + 3) // 4)::INT AS n_lines,
+                   length(array_to_string(ct, ' '))::INT AS n_chars
+            FROM c
+        """,
+        # LaTeX articles: closed-form replay of the fixture spec —
+        # 40-token sections (3-token title, 8-token body lines); body
+        # line j: equation iff j%5==3, comment iff j%5==4, else prose
+        # with one cite on even j.  LEFT JOIN keeps body-less sections.
+        "latex_sections": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                           x -> x <> '') AS toks
+                FROM documents
+            ), n AS (
+                SELECT doc_id, toks, (len(toks) + 39) // 40 AS ns
+                FROM d WHERE len(toks) >= 1
+            ), sec AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(0, ns - 1)) AS s
+                FROM n
+            ), sb AS (
+                SELECT doc_id, s,
+                       array_to_string(
+                           list_slice(toks, s * 40 + 1, s * 40 + 3), ' ')
+                           AS title,
+                       (len(list_slice(toks, s * 40 + 4, s * 40 + 40)) + 7)
+                           // 8 AS nl
+                FROM sec
+            ), js AS (
+                SELECT doc_id, s, unnest(generate_series(0, nl - 1)) AS j
+                FROM sb
+            ), agg AS (
+                SELECT doc_id, s,
+                       sum((j % 5 = 3)::INT) AS n_eq,
+                       sum((j % 5 = 4)::INT) AS n_comment,
+                       sum((j % 5 NOT IN (3, 4) AND j % 2 = 0)::INT)
+                           AS n_cite,
+                       sum((j % 5 NOT IN (3, 4))::INT) AS n_prose
+                FROM js GROUP BY doc_id, s
+            )
+            SELECT sb.doc_id, (sb.s + 1)::BIGINT AS sec_id, sb.title,
+                   coalesce(agg.n_eq, 0)::BIGINT AS n_eq,
+                   coalesce(agg.n_comment, 0)::BIGINT AS n_comment,
+                   coalesce(agg.n_cite, 0)::BIGINT AS n_cite,
+                   coalesce(agg.n_prose, 0)::BIGINT AS n_prose_lines
+            FROM sb LEFT JOIN agg
+                ON sb.doc_id = agg.doc_id AND sb.s = agg.s
         """,
     }
