@@ -6837,6 +6837,53 @@ def _q_dialogue_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dialogue_pairs(msgs, context_turns=2)
 
 
+def _q_sedump_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stack-Exchange ``Posts.xml`` dump source, oracled end-to-end:
+    each documents row renders into a deterministic Q&A dump
+    (sources/sedump.make_sedump — one question + score-varied answers,
+    bodies as HTML ``<p>`` paragraphs inside XML-escaped attributes, an
+    escape-bait opener on every body) and parses back; both escape
+    layers must reverse and the oracle recomputes every attribute
+    relationally from the raw tokens."""
+    _ship_package(spark)
+    from pdf_to_epub_spark.sources.sedump import (
+        documents_as_sedump,
+        parse_sedump_payloads,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return parse_sedump_payloads(documents_as_sedump(d)).select(
+        "doc_id",
+        F.col("post_id").cast("long").alias("post_id"),
+        F.col("post_type").cast("long").alias("post_type"),
+        F.col("parent_id").cast("long").alias("parent_id"),
+        F.col("accepted_id").cast("long").alias("accepted_id"),
+        F.col("score").cast("long").alias("score"),
+        "title",
+        "body",
+    )
+
+
+def _q_qa_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q&A SFT pairing (sedump.qa_best_answer_pairs) over the parsed
+    dump: answers hash-join their question on (doc_id, parent_id), the
+    best answer wins by (score desc, post_id asc) in one bounded
+    per-question window, and the winner must equal the question's
+    ``AcceptedAnswerId`` — the join+argmax shape of real dump SFT
+    mining."""
+    _ship_package(spark)
+    from pdf_to_epub_spark.sources.sedump import (
+        documents_as_sedump,
+        parse_sedump_payloads,
+        qa_best_answer_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return qa_best_answer_pairs(
+        parse_sedump_payloads(documents_as_sedump(d))
+    )
+
+
 def _quasi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared privacy fixture: documents with quasi-identifiers (lang,
     source, a 400-char length band) and doc_id as the sensitive
@@ -7278,6 +7325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_two_column_blocks": _q_pdf_two_column_blocks,
         "mbox_messages": _q_mbox_messages,
         "dialogue_pairs": _q_dialogue_pairs,
+        "sedump_posts": _q_sedump_posts,
+        "qa_sft_pairs": _q_qa_sft_pairs,
         "k_anonymity": _q_k_anonymity,
         "quasi_suppression": _q_quasi_suppression,
         "anchor_query_pairs": _q_anchor_query_pairs,
@@ -7476,6 +7525,81 @@ def _mbox_oracle(final_select: str) -> str:
                    CASE WHEN b.rest IS NULL THEN ''
                         ELSE chr(10) || b.rest END AS body
             FROM ch LEFT JOIN bodies b USING (doc_id, m)
+        )
+        {final_select}
+    """
+
+
+def _sedump_oracle(final_select: str) -> str:
+    """DuckDB replica of the Stack-Exchange dump derivation
+    (sources/sedump.py constants: 40-token posts, 8-token body lines,
+    the 'A & B <c> "m"' opener, scores ``doc_id % 5`` for the question
+    and ``(doc_id + 3·m) % 7 − 1`` for answer ordinal m, accepted =
+    argmax(score, −m)): ``final_select`` runs over the ``posts`` CTE of
+    (doc_id, post_id, post_type, parent_id, accepted_id, score, title,
+    body, np, m) rows."""
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                       x -> x <> '') AS toks
+            FROM documents
+        ), n AS (
+            SELECT doc_id, toks,
+                   greatest((len(toks) + 39) // 40, 2) AS np
+            FROM d
+        ), ms AS (
+            SELECT doc_id, toks, np,
+                   unnest(generate_series(0, np - 1)) AS m
+            FROM n
+        ), ch AS (
+            SELECT doc_id, np, m,
+                   list_slice(toks, m * 40 + 1, m * 40 + 40) AS chunk
+            FROM ms
+        ), lj AS (
+            SELECT doc_id, m, u.j,
+                   array_to_string(
+                       list_slice(chunk, u.j * 8 + 1, u.j * 8 + 8),
+                       ' ') AS line
+            FROM ch,
+                 unnest(generate_series(0, (len(chunk) + 7) // 8 - 1))
+                     AS u(j)
+            WHERE len(chunk) > 0
+        ), bodies AS (
+            SELECT doc_id, m,
+                   string_agg(line, chr(10) ORDER BY j) AS rest
+            FROM lj GROUP BY doc_id, m
+        ), pm AS (
+            SELECT ch.doc_id, ch.np, ch.m,
+                   'A & B <c> "' || ch.m || '"' ||
+                   CASE WHEN b.rest IS NULL THEN ''
+                        ELSE chr(10) || b.rest END AS body,
+                   CASE WHEN ch.m = 0 THEN ch.doc_id % 5
+                        ELSE (ch.doc_id + 3 * ch.m) % 7 - 1 END AS score
+            FROM ch LEFT JOIN bodies b USING (doc_id, m)
+        ), best AS (
+            SELECT doc_id, m AS best_m,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, m ASC) AS rn
+            FROM pm WHERE m > 0
+        ), posts AS (
+            SELECT pm.doc_id,
+                   (pm.m + 1)::BIGINT AS post_id,
+                   (CASE WHEN pm.m = 0 THEN 1 ELSE 2 END)::BIGINT
+                       AS post_type,
+                   (CASE WHEN pm.m = 0 THEN NULL ELSE 1 END)::BIGINT
+                       AS parent_id,
+                   (CASE WHEN pm.m = 0 THEN b.best_m + 1
+                         ELSE NULL END)::BIGINT AS accepted_id,
+                   pm.score::BIGINT AS score,
+                   CASE WHEN pm.m = 0 THEN 'Question ' || pm.doc_id
+                        ELSE NULL END AS title,
+                   pm.body, pm.np, pm.m
+            FROM pm LEFT JOIN (
+                SELECT doc_id, best_m FROM best WHERE rn = 1
+            ) b USING (doc_id)
         )
         {final_select}
     """
@@ -14723,6 +14847,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM msgs
             )
             WHERE lag1 IS NOT NULL
+            """
+        ),
+        # Stack-Exchange dump: every post row straight from the tokens —
+        # 40-token posts, 8-token lines, deterministic scores, argmax
+        # accepted answer.
+        "sedump_posts": _sedump_oracle(
+            """
+            SELECT doc_id, post_id, post_type, parent_id, accepted_id,
+                   score, title, body
+            FROM posts
+            """
+        ),
+        # Q&A SFT pairs: question joined to its accepted (= argmax)
+        # answer; n_answers = posts − 1 by construction.
+        "qa_sft_pairs": _sedump_oracle(
+            """
+            SELECT q.doc_id, q.title, q.body AS prompt,
+                   a.body AS response, a.score AS best_score,
+                   (q.np - 1)::BIGINT AS n_answers,
+                   (a.post_id = q.accepted_id) AS is_accepted
+            FROM posts q JOIN posts a
+              ON a.doc_id = q.doc_id AND a.post_id = q.accepted_id
+            WHERE q.post_type = 1
             """
         ),
         # k-anonymity / l-diversity: equivalence classes of the quasi

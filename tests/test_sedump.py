@@ -1,0 +1,96 @@
+"""sources/sedump.py — Posts.xml writer/parser, double-escape, Q&A argmax."""
+
+from __future__ import annotations
+
+from pdf_to_epub_spark.sources.sedump import (
+    _score,
+    documents_as_sedump,
+    expected_posts,
+    make_sedump,
+    parse_sedump,
+    parse_sedump_payloads,
+    qa_best_answer_pairs,
+)
+
+TOKS_130 = " ".join(f"tk{i}" for i in range(130))  # 4 posts: q + 3 answers
+
+
+def test_roundtrip_posts():
+    got = parse_sedump(make_sedump(3, TOKS_130))
+    assert got == expected_posts(3, TOKS_130)
+    assert len(got) == 4
+    assert got[0][1] == 1 and all(r[1] == 2 for r in got[1:])
+    # answers all point at the question
+    assert all(r[2] == 1 for r in got[1:])
+
+
+def test_double_escape_roundtrips():
+    raw = make_sedump(1, "alpha beta")
+    # attribute layer: the HTML entity itself is escaped once more
+    assert "&amp;amp;" in raw and "&amp;lt;" in raw
+    body = parse_sedump(raw)[0][6]
+    assert body.splitlines()[0] == 'A & B <c> "0"'
+
+
+def test_accepted_answer_is_argmax():
+    for doc_id in range(7):
+        posts = expected_posts(doc_id, TOKS_130)
+        accepted = posts[0][3]
+        answers = posts[1:]
+        best = max(answers, key=lambda r: (r[4], -r[0]))
+        assert accepted == best[0]
+        # tiebreak: no earlier answer shares the winning score
+        for r in answers:
+            if r[0] < best[0]:
+                assert r[4] < best[4]
+
+
+def test_min_two_posts_on_empty_text():
+    got = parse_sedump(make_sedump(9, ""))
+    assert len(got) == 2
+    assert got[0][1] == 1 and got[1][1] == 2
+    assert got[1][6] == 'A & B <c> "1"'
+
+
+def test_handcrafted_foreign_dump():
+    raw = (
+        '<?xml version="1.0" encoding="utf-8"?>\n<posts>\n'
+        '  <row Id="7" PostTypeId="1" Score="4" Title="T &amp; U"'
+        ' Body="&lt;p&gt;x &amp;amp; y&lt;/p&gt;&lt;p&gt;z&lt;/p&gt;" />\n'
+        '  <row Id="8" PostTypeId="2" ParentId="7" Score="-1" />\n'
+        "</posts>\n"
+    )
+    got = parse_sedump(raw)
+    assert got[0] == (7, 1, None, None, 4, "T & U", "x & y\nz")
+    assert got[1] == (8, 2, 7, None, -1, None, "")
+
+
+def test_spark_parse_and_pairs(spark):
+    data = [(i, " ".join(f"w{i}x{j}" for j in range(17 * i))) for i in range(8)]
+    data.append((99, None))
+    d = spark.createDataFrame(data, "doc_id long, text string")
+    posts = parse_sedump_payloads(documents_as_sedump(d))
+    rows = {
+        r["doc_id"]: r
+        for r in posts.filter(posts.post_type == 1).collect()
+    }
+    for doc_id, text in data:
+        exp = expected_posts(doc_id, text or "")
+        got = rows[doc_id]
+        assert (got["post_id"], got["accepted_id"], got["title"]) == (
+            exp[0][0],
+            exp[0][3],
+            exp[0][5],
+        )
+        assert got["body"] == exp[0][6]
+
+    pairs = qa_best_answer_pairs(posts)
+    got_pairs = pairs.collect()
+    assert len(got_pairs) == len(data)
+    for r in got_pairs:
+        assert r["is_accepted"] is True
+        assert r["n_answers"] >= 1
+        assert r["title"] == f"Question {r['doc_id']}"
+        assert r["best_score"] == max(
+            _score(r["doc_id"], m) for m in range(1, r["n_answers"] + 1)
+        )
