@@ -2038,8 +2038,9 @@ def oph_minhash_signatures(
     shingle is hashed ONCE, the hash space is split into ``num_hashes``
     bins (``pmod(h, num_hashes)``), each bin keeps its minimum, and an
     empty bin borrows from the nearest non-empty bin to its right
-    (circularly), offset by the rotation distance so borrowed values
-    stay distinct across distances.
+    (circularly), salted by the rotation distance (``xxhash64(v, t)``;
+    overflow-safe under ANSI mode, unlike the classic additive offset)
+    so borrowed values stay distinct across distances.
 
     Why it exists next to :func:`minhash_signatures`: the classic
     signature derives ``num_hashes`` seeded hashes PER SHINGLE —
@@ -2110,12 +2111,22 @@ def oph_minhash_signatures(
             )
         ),
     )
-    dens = F.zip_with(
-        seq,
-        rot,
-        lambda j, t: F.get(F.col("_sig0"), F.pmod(j + t, F.lit(nh)))
-        + t * F.lit(1 << 40),
-    )
+    # Borrowed values are distance-salted with a HASH COMBINE, not the
+    # classic "+ t·2^40" offset: a borrowed xxhash64 value within
+    # t·2^40 of Long.MAX would overflow the addition, and under Spark
+    # 4's default ANSI mode that's an ArithmeticException killing the
+    # whole job off one pathological short doc (~4e-6 per borrow).
+    # t = 0 (the bin's own value) stays IDENTITY so non-empty bins in a
+    # holey doc still band-match docs with no holes; only genuinely
+    # borrowed positions (t > 0) are salted, and xxhash64(v, t) keeps
+    # distances distinct exactly as the additive offset did.
+    def _borrow(j: Column, t: Column) -> Column:
+        v = F.get(F.col("_sig0"), F.pmod(j + t, F.lit(nh)))
+        return F.when(t == 0, v).otherwise(
+            F.when(v.isNotNull(), F.xxhash64(v, t.cast("long")))
+        )
+
+    dens = F.zip_with(seq, rot, _borrow)
     has_empty = F.exists("_sig0", lambda v: v.isNull())
     return sig0.select(
         id_col,
@@ -2224,10 +2235,16 @@ def domain_dup_rates(
     Returns ``(domain, n_docs, n_dups, dup_rate)`` (6 dp), every
     domain present.
     """
+    # NULL text hashes to a sentinel (md5(NULL) is NULL, and NULL keys
+    # never survive the equi-join below — a NULL-text doc must still
+    # count toward its domain's n_docs, and all NULL-text docs are
+    # byte-exact copies of each other for this audit's purposes)
     d = docs.select(
         F.col(domain_col).alias("_dom"),
         F.col(id_col).alias("_id"),
-        F.md5(F.col(text_col).cast("string")).alias("_md5"),
+        F.md5(
+            F.coalesce(F.col(text_col).cast("string"), F.lit("\x00null\x00"))
+        ).alias("_md5"),
     ).localCheckpoint(eager=False)  # feeds keeper agg AND join-back
     keep = d.groupBy("_md5").agg(F.min("_id").alias("_keep"))
     j = d.join(keep, "_md5")

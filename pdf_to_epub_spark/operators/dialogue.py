@@ -35,7 +35,10 @@ def dialogue_pairs(
     ``TURN_SEP`` in thread order (multi-turn context windows, the shape
     chat SFT wants).  Pairs where either side is shorter than
     ``min_chars`` are dropped; ``pair_id`` numbers qualifying pairs from
-    1 in thread order."""
+    1 in thread order.  NULL-body turns carry no text: they are
+    omitted from the assembled prompt AND excluded from the
+    predecessor count (counting them would emit a pair whose claimed
+    context silently misses a turn)."""
     w = Window.partitionBy(id_col).orderBy(order_col)
     ctx = F.array_join(
         F.collect_list("response").over(
@@ -43,7 +46,9 @@ def dialogue_pairs(
         ),
         TURN_SEP,
     )
-    n_prev = F.count(F.lit(1)).over(w.rowsBetween(-context_turns, -1))
+    # count("response") — non-NULL predecessors only, matching what
+    # collect_list actually assembles into the prompt
+    n_prev = F.count("response").over(w.rowsBetween(-context_turns, -1))
     shaped = (
         messages.select(id_col, order_col, F.col(text_col).alias("response"))
         .withColumn("prompt", ctx)

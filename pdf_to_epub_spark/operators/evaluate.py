@@ -663,7 +663,6 @@ def feature_mi(
     """
     if not feature_cols:
         raise ValueError("feature_mi needs at least one feature column")
-    types = dict(df.dtypes)
     stack_args = ", ".join(
         f"'{c}', cast(`{c}` as double)" for c in feature_cols
     )

@@ -61,7 +61,12 @@ def markdown_meta(
         F.regexp_count(text, F.lit(FENCE_PAT)).cast("long").alias(
             "n_fences"
         ),
-        F.regexp_extract(text, r"```(\w+)", 1).alias("first_fence_lang"),
+        # anchor to the FIRST well-formed fence's opener: a bare first
+        # fence must yield '' even when a later fence carries an info
+        # string, and a stray inline ``` with no closer must not match
+        F.regexp_extract(
+            F.regexp_extract(text, FENCE_PAT, 0), r"^```(\w+)", 1
+        ).alias("first_fence_lang"),
         code_chars.alias("code_chars"),
         F.length(prose).cast("long").alias("prose_chars"),
     )

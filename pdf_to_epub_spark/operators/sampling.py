@@ -1191,9 +1191,14 @@ def otsu_threshold(
     so the cut is engine-deterministic.
 
     Returns one row: ``(n_rows, lo, hi, threshold_bin,
-    threshold_value, var_micro, n_below, n_above)`` — rows with score
-    ≤ threshold_value are "below".  NULL/NaN scores are dropped; a
-    constant or empty column yields NULL threshold fields.
+    threshold_value, var_micro, n_below, n_above)``.
+    ``threshold_value`` is the LOWER EDGE of ``threshold_bin + 1``, so
+    rows with score STRICTLY BELOW threshold_value are "below"
+    (``n_below``); a score landing exactly on the edge bins upward and
+    counts in ``n_above`` — consumers splitting on the value must use
+    ``score < threshold_value`` (up to the 6 dp rounding) to reproduce
+    the reported counts.  NULL/NaN scores are dropped; a constant or
+    empty column yields NULL threshold fields.
     """
     s = F.col(score_col).cast("double")
     clean = df.where(s.isNotNull() & ~F.isnan(s)).select(s.alias("x"))

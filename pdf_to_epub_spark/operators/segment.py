@@ -89,7 +89,15 @@ def texttiling_gaps(
     tile is still emitted by :func:`text_segments`).
     """
     pc = _pseudo_sentence_counts(docs, id_col, text_col, w)
+    return _gaps_from_pc(pc, id_col, k)
 
+
+def _gaps_from_pc(pc: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Gap scoring over an already-built pseudo-sentence count table —
+    split out so :func:`text_segments` can share ONE tokenize→explode→
+    groupBy pass between the gap scores and the document-length lookup
+    (the tokenization stage dominates; running it twice per action
+    doubled the corpus scan)."""
     # a pseudo-sentence's counts contribute to the LEFT window of gaps
     # (ps, ps+k] and the RIGHT window of gaps [ps−k+1, ps] — clipped to
     # the full-window gap range [k, n_ps−k]; bounded ×2k fan-out of
@@ -164,11 +172,16 @@ def text_segments(
     n_ps)`` — contiguous pseudo-sentence ranges, ``seg_id`` numbered
     from 1 in document order.  Every document with at least one token
     yields at least one tile (a boundary-free document is one tile)."""
-    pc = _pseudo_sentence_counts(docs, id_col, text_col, w)
+    # one shared pseudo-sentence pass behind a lazy barrier: it feeds
+    # BOTH the doc-length lookup and the gap scorer (the same fan-out
+    # pattern continuation_pairs/ngram_novelty checkpoint)
+    pc = _pseudo_sentence_counts(docs, id_col, text_col, w).localCheckpoint(
+        eager=False
+    )
     doc_len = pc.groupBy(F.col("_id")).agg(F.max("n_ps").alias("_n_ps"))
 
     cuts = (
-        texttiling_gaps(docs, id_col, text_col, w, k)
+        _gaps_from_pc(pc, id_col, k)
         .where(F.col("is_boundary"))
         .select(F.col(id_col).alias("_id"), F.col("gap").alias("start_ps"))
     )

@@ -2789,8 +2789,14 @@ def site_sections(
     ``top_per_domain`` rows per domain; pathless URLs count under
     ``(root)``.
     """
-    domain = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
-    path = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    # schemes are case-insensitive (RFC 3986) — [A-Za-z] like the
+    # extractors at the top of this module, not lowercase-only
+    domain = F.regexp_extract(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1
+    )
+    path = F.regexp_extract(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
     segs = F.filter(F.split(path, "/"), lambda x: x != "")
     d = urls.select(
         domain.alias("domain"),

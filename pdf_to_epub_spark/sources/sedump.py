@@ -268,16 +268,19 @@ def qa_best_answer_pairs(posts: DataFrame) -> DataFrame:
     joined = q.join(
         a,
         (q["doc_id"] == a["doc_id"]) & (q["q_post_id"] == a["parent_id"]),
-    ).select(q["doc_id"], "accepted_id", "title", "prompt",
+    ).select(q["doc_id"], "q_post_id", "accepted_id", "title", "prompt",
              "a_post_id", "score", "response")
-    w = Window.partitionBy("doc_id").orderBy(
+    # windows key on (doc_id, q_post_id), not doc_id alone: a dump
+    # document carrying several questions must yield one pair PER
+    # QUESTION, and n_answers counts that question's answers only
+    w = Window.partitionBy("doc_id", "q_post_id").orderBy(
         F.col("score").desc(), F.col("a_post_id").asc()
     )
     return (
         joined.withColumn("rn", F.row_number().over(w))
         .withColumn(
             "n_answers",
-            F.count(F.lit(1)).over(Window.partitionBy("doc_id")),
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id", "q_post_id")),
         )
         .filter(F.col("rn") == 1)
         .select(

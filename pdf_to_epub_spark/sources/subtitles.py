@@ -35,16 +35,19 @@ LONG_GAP_EVERY = 10   # every 10th cue follows a silence …
 LONG_GAP_MS = 5000    # … of 5 s (paragraph-break bait)
 
 _TIMING_RE = (
-    r"^(\d{2}):(\d{2}):(\d{2})[,.](\d{3}) --> "
-    r"(\d{2}):(\d{2}):(\d{2})[,.](\d{3})"
+    r"^(\d{2,}):(\d{2}):(\d{2})[,.](\d{3}) --> "
+    r"(\d{2,}):(\d{2}):(\d{2})[,.](\d{3})"
 )
 
 
 def _fmt_ts(ms: Column, sep: str) -> Column:
     """``HH:MM:SS{sep}mmm`` from integer milliseconds, pure string algebra."""
     two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    # hours use format_string, not lpad: lpad TRUNCATES 3+-digit values
+    # (lpad('100',2,'0') = '10'), silently jumping a >100 h transcript's
+    # cues backwards ~90 h; %02d pads short values and passes long ones
     return F.concat(
-        two((ms / 3_600_000).cast("long")),
+        F.format_string("%02d", (ms / 3_600_000).cast("long")),
         F.lit(":"),
         two((ms / 60_000).cast("long") % 60),
         F.lit(":"),

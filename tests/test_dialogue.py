@@ -29,6 +29,23 @@ def test_multi_turn_context(spark):
     assert pairs[3].prompt == f"t2{TURN_SEP}t3" and pairs[3].response == "t4"
 
 
+def test_null_body_turns_do_not_count_as_context(spark):
+    # t1='hello', t2=NULL, t3='hi': the NULL turn is omitted from the
+    # assembled prompt, so it must not count toward n_prev either —
+    # t3's pair claims exactly the context it actually carries
+    pairs = dialogue_pairs(
+        _msgs(spark, [(1, 1, "hello"), (1, 2, None), (1, 3, "hi")]),
+        context_turns=2,
+    ).collect()
+    by_resp = {r.response: r for r in pairs}
+    assert by_resp["hi"].prompt == "hello"
+    # a turn whose ONLY predecessors are NULL gets no pair at all
+    pairs2 = dialogue_pairs(
+        _msgs(spark, [(2, 1, None), (2, 2, "solo")]), context_turns=2
+    ).collect()
+    assert pairs2 == []
+
+
 def test_single_message_thread_yields_nothing(spark):
     assert dialogue_pairs(_msgs(spark, [(1, 1, "only")])).count() == 0
 

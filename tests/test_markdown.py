@@ -40,6 +40,17 @@ def test_divider_mid_document_is_not_front_matter(spark):
     assert r.prose_chars == len(NO_FM)
 
 
+def test_bare_first_fence_yields_empty_lang(spark):
+    # the FIRST fence is bare: a later ```python fence must not leak
+    # into first_fence_lang, and a stray unclosed ``` must not match
+    md = "```\nbare\n```\n\n```python\nmore\n```\n"
+    r = markdown_meta(_df(spark, [(1, md)])).collect()[0]
+    assert r.n_fences == 2 and r.first_fence_lang == ""
+    stray = "prose with a stray ```word marker but no closing fence"
+    r2 = markdown_meta(_df(spark, [(2, stray)])).collect()[0]
+    assert r2.n_fences == 0 and r2.first_fence_lang == ""
+
+
 def test_null_text(spark):
     r = markdown_meta(_df(spark, [(1, None)])).collect()[0]
     assert not r.has_front_matter and r.prose_chars == 0

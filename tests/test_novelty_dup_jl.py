@@ -71,6 +71,29 @@ def test_domain_dup_rates_cross_domain_copy(spark):
     assert out["b.com"]["dup_rate"] == 0.5
 
 
+def test_domain_dup_rates_null_text_counts(spark):
+    # md5(NULL) is NULL and NULL keys never survive an equi-join: a
+    # NULL-text doc must still count toward n_docs, a domain of ONLY
+    # NULL-text docs must still appear, and NULL-text docs are exact
+    # copies of each other for this audit
+    docs = spark.createDataFrame(
+        [
+            (1, "a.com", "real text"),
+            (2, "a.com", None),
+            (3, "nulls.com", None),
+            (4, "nulls.com", None),
+        ],
+        "doc_id bigint, domain string, text string",
+    )
+    out = {r["domain"]: r for r in domain_dup_rates(docs).collect()}
+    assert set(out) == {"a.com", "nulls.com"}
+    assert out["a.com"]["n_docs"] == 2
+    # doc 2 duplicates doc 3's NULL class? keeper is min id over the
+    # NULL sentinel hash = doc 2, so doc 3 and 4 are the dups
+    assert out["a.com"]["n_dups"] == 0
+    assert out["nulls.com"]["n_docs"] == 2 and out["nulls.com"]["n_dups"] == 2
+
+
 def test_domain_dup_rates_all_unique(spark):
     docs = spark.createDataFrame(
         [(i, "d", f"text {i}") for i in range(5)],

@@ -38,17 +38,36 @@ def test_oph_identical_docs_identical_sigs(spark):
 
 
 def test_oph_densification_borrows_with_offset(spark):
-    # a single shingle fills exactly ONE bin; the other 15 must borrow
-    # that value + t * 2^40 for their rotation distance t
+    # a single shingle fills exactly ONE bin (identity at distance 0);
+    # the other 15 must borrow that value salted as xxhash64(base, t)
+    # for rotation distance t — the overflow-safe replacement for the
+    # classic additive t*2^40 offset (which ANSI mode can throw on)
     docs = spark.createDataFrame(
         [(1, "one two three")], "doc_id bigint, text string"
     )
     sig = oph_minhash_signatures(docs, k=5, num_hashes=16).collect()[0]["sig"]
-    base_j = min(range(16), key=lambda j: sig[j])
-    base = sig[base_j]
+
+    def _xx(v: int, t: int) -> int:
+        return (
+            spark.range(1)
+            .select(F.xxhash64(F.lit(v), F.lit(t).cast("long")))
+            .collect()[0][0]
+        )
+
+    # exactly one bin holds the raw value such that every other bin is
+    # its distance-salted borrow
+    base_js = [
+        j
+        for j in range(16)
+        if all(
+            sig[i] == _xx(sig[j], (j - i) % 16) for i in range(16) if i != j
+        )
+    ]
+    assert len(base_js) == 1
+    base_j = base_js[0]
     for j in range(16):
         t = (base_j - j) % 16
-        assert sig[j] == base + t * (1 << 40)
+        assert sig[j] == (sig[base_j] if t == 0 else _xx(sig[base_j], t))
 
 
 def test_oph_pairs_match_exact_jaccard_contract(spark):

@@ -79,6 +79,17 @@ def test_site_sections_counts_and_topcut(spark):
     assert out[("b.example", "shop")]["n_subsections"] == 3
 
 
+def test_site_sections_uppercase_scheme(spark):
+    # schemes are case-insensitive (RFC 3986): an uppercase-scheme URL
+    # must count toward its section, not vanish through the domain regex
+    df = spark.createDataFrame(
+        [("HTTPS://a.example/news/x",), ("https://a.example/news/y",)],
+        "url string",
+    )
+    out = site_sections(df).collect()
+    assert len(out) == 1 and out[0]["n_pages"] == 2
+
+
 def test_site_sections_top_per_domain(spark):
     urls = [f"https://a.example/s{i}/p" for i in range(5) for _ in range(i + 1)]
     df = spark.createDataFrame([(u,) for u in urls], "url string")

@@ -94,3 +94,29 @@ def test_spark_parse_and_pairs(spark):
         assert r["best_score"] == max(
             _score(r["doc_id"], m) for m in range(1, r["n_answers"] + 1)
         )
+
+
+def test_multi_question_document_pairs_per_question(spark):
+    # one document carrying TWO questions: the windows must key on
+    # (doc_id, q_post_id), yielding one pair per question with
+    # per-question n_answers — not one pair per document
+    rows = [
+        # (doc_id, post_id, post_type, parent_id, accepted_id, score, title, body)
+        (1, 1, 1, None, 3, None, "Q one", "how one?"),
+        (1, 2, 2, 1, None, 5, None, "ans 1a"),
+        (1, 3, 2, 1, None, 9, None, "ans 1b"),
+        (1, 5, 1, None, 6, None, "Q two", "how two?"),
+        (1, 6, 2, 5, None, 2, None, "ans 2a"),
+    ]
+    posts = spark.createDataFrame(
+        rows,
+        "doc_id long, post_id int, post_type int, parent_id int,"
+        " accepted_id int, score int, title string, body string",
+    )
+    pairs = {r["title"]: r for r in qa_best_answer_pairs(posts).collect()}
+    assert set(pairs) == {"Q one", "Q two"}
+    assert pairs["Q one"].response == "ans 1b"  # argmax score
+    assert pairs["Q one"].n_answers == 2 and pairs["Q one"].best_score == 9
+    assert pairs["Q two"].response == "ans 2a"
+    assert pairs["Q two"].n_answers == 1
+    assert pairs["Q one"].is_accepted and pairs["Q two"].is_accepted

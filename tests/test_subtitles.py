@@ -98,6 +98,23 @@ def test_transcript_paragraphs_at_silences(spark):
     assert "\n" not in paras[0]
 
 
+def test_hours_past_100_render_and_parse_exactly(spark):
+    # lpad would truncate '100' → '10' (a silent ~90 h jump backwards);
+    # the renderer must emit the full hour field and the parser must
+    # accept 3+-digit hours (\d{2,})
+    from pdf_to_epub_spark.sources.subtitles import _fmt_ts
+
+    ms = 100 * 3_600_000 + 23 * 60_000 + 45_678  # 100:23:45,678
+    d = spark.range(1).select(_fmt_ts(F.lit(ms), ",").alias("ts"))
+    assert d.collect()[0].ts == "100:23:45,678"
+    srt = f"1\n100:23:45,678 --> 100:23:47,000\nhello there\n"
+    cues = parse_subtitle_cues(
+        spark.createDataFrame([(1, srt)], "doc_id long, subs string")
+    ).collect()
+    assert len(cues) == 1
+    assert cues[0].start_ms == ms and cues[0].end_ms == ms + 1322
+
+
 def test_no_python_udf_in_plan(spark):
     df = parse_subtitle_cues(render_srt(_docs(spark, [(1, TEXT_20)])))
     plan = df._jdf.queryExecution().executedPlan().toString()
