@@ -847,16 +847,22 @@ def containment_pairs(
         F.col("h").isNotNull()
     )
     if max_df is not None:
-        # same shuffle key (h) as the candidate join below, so the df
-        # filter rides the exchange the join pays anyway
-        cold = (
+        # anti-join against the HOT set (df > max_df), which is small —
+        # at most rows/max_df hashes, in practice the handful of
+        # template shingles — rather than inner-joining against the
+        # cold set (≈ every distinct hash): AQE can broadcast the hot
+        # side at runtime, and the probe needs NO filter at all — an
+        # inner equi-join on h with a filtered index already excludes
+        # hot hashes from the candidate output (the first-draft
+        # probe⋈cold join shuffled the probe and re-scanned cold for
+        # literally zero additional filtering effect).
+        hot = (
             index.groupBy("h")
             .agg(F.count("*").alias("__df"))
-            .where(F.col("__df") <= max_df)
+            .where(F.col("__df") > max_df)
             .select("h")
         )
-        index = index.join(cold, "h")
-        probe = probe.join(cold, "h")
+        index = index.join(hot, "h", "left_anti")
     p, ix = probe.alias("p"), index.alias("ix")
     pairs = (
         p.join(
