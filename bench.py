@@ -21,6 +21,7 @@ import argparse
 import json
 import os
 import pathlib
+import shutil
 import subprocess
 import sys
 import time
@@ -563,7 +564,13 @@ def run_bench(
 
     timed("web_metadata", web_metadata, runs=2)
 
-    warc_paths = _warc_corpus_paths(corpus)  # one-time build, unmeasured
+    # One-time build, unmeasured — gated on `only` (skipped entirely when a
+    # different single query is benched: the build collects the corpus to
+    # the driver and gzips N_WARC_FILES archives) and keyed by corpus size
+    # so a --scaling or --corpus run can't poison a later sf run's cache.
+    warc_paths: list[str] = []
+    if not only or only == "warc_parse":
+        warc_paths = _warc_corpus_paths(corpus, n_docs)
 
     def warc_parse() -> None:
         """Parse throughput of the WARC source over the CC-layout archive
@@ -681,8 +688,12 @@ def run_bench(
     if extract_sec:
         result["extraction_docs_per_sec"] = round(n_docs / extract_sec, 1)
     if timings.get("html_extract_assemble"):
+        # The html pipeline reads the sf-keyed boilerplate corpus, not the
+        # (possibly --corpus-overridden) extraction corpus — divide by ITS
+        # row count.
+        html_n_docs = max(200, int(BENCH_CORPUS_DOCS_PER_SF * sf))
         result["html_docs_per_sec"] = round(
-            n_docs / timings["html_extract_assemble"], 1
+            html_n_docs / timings["html_extract_assemble"], 1
         )
     if ann_recall:
         result["ann_recall_at_10"] = ann_recall
@@ -715,15 +726,24 @@ SCALING_CORPUS_DOCS = 20_000
 N_WARC_FILES = 32
 
 
-def _warc_corpus_paths(corpus) -> list[str]:
+def _warc_corpus_paths(corpus, n_docs: int) -> list[str]:
     """Once per bench corpus: serialize it as N_WARC_FILES per-record-gzip
-    WARC files under data/ (deterministic content) and return their paths."""
+    WARC files under data/ (deterministic content) and return their paths.
+
+    The cache dir is keyed by the corpus row count so different corpora
+    (sf0.01 vs sf0.1 vs --scaling's synthetic 20k) never share an archive,
+    and the build is staged through a tmp dir + atomic rename so a crash
+    mid-build can't leave a truncated archive that gets reused forever.
+    """
     from pdf_to_epub_spark.sources.warc import build_warc_bytes
 
-    out_dir = REPO / "data" / "bench_warc"
+    out_dir = REPO / "data" / f"bench_warc_{n_docs}"
     paths = [str(out_dir / f"part-{g}.warc.gz") for g in range(N_WARC_FILES)]
     if not out_dir.exists():
-        out_dir.mkdir(parents=True)
+        tmp_dir = out_dir.with_name(out_dir.name + ".tmp")
+        if tmp_dir.exists():
+            shutil.rmtree(tmp_dir)
+        tmp_dir.mkdir(parents=True)
         rows = sorted(
             corpus.select("url", "text").collect(), key=lambda r: r["url"]
         )
@@ -733,9 +753,10 @@ def _warc_corpus_paths(corpus) -> list[str]:
                 (r["url"], "2024-01-01T00:00:00Z", r["text"].encode("utf-8"))
             )
         for g, recs in enumerate(groups):
-            pathlib.Path(paths[g]).write_bytes(
+            (tmp_dir / f"part-{g}.warc.gz").write_bytes(
                 build_warc_bytes(recs, gzip_members=True)
             )
+        tmp_dir.rename(out_dir)
     return paths
 
 

@@ -71,6 +71,8 @@ def decode_bmp(raw: bytes) -> tuple[int, int, list[float]]:
     planes, bpp, compression = struct.unpack_from("<HHI", raw, 26)
     if bpp != 24 or compression != 0:
         raise UnsupportedMedia(f"BMP bpp={bpp} compression={compression}")
+    if width <= 0:  # only height may legally be negative (top-down rows)
+        raise UnsupportedMedia(f"BMP width {width} invalid")
     bottom_up = height > 0
     height = abs(height)
     row_size = (width * 3 + 3) & ~3
@@ -88,20 +90,32 @@ def decode_bmp(raw: bytes) -> tuple[int, int, list[float]]:
     return width, height, gray
 
 
-def pooled_embedding(
-    gray: list[float], width: int, height: int, grid: int = 4
-) -> list[float]:
-    """grid×grid mean-pooled luminance, scaled to [-1, 1]."""
-    cells = [[0.0, 0] for _ in range(grid * grid)]
+def _grid_means(
+    gray: list[float], width: int, height: int, grid: int
+) -> list:
+    """grid×grid mean-pooled luminance (raw 0..255 cell means; empty cells
+    — possible when grid > width or height — are ``None`` so callers can
+    distinguish no-data from all-black).  Shared kernel of
+    :func:`pooled_embedding` and :func:`ahash64`."""
+    sums = [0.0] * (grid * grid)
+    counts = [0] * (grid * grid)
     for y in range(height):
         cy = min(y * grid // height, grid - 1)
         for x in range(width):
             cx = min(x * grid // width, grid - 1)
-            cell = cells[cy * grid + cx]
-            cell[0] += gray[y * width + x]
-            cell[1] += 1
+            i = cy * grid + cx
+            sums[i] += gray[y * width + x]
+            counts[i] += 1
+    return [s / n if n else None for s, n in zip(sums, counts)]
+
+
+def pooled_embedding(
+    gray: list[float], width: int, height: int, grid: int = 4
+) -> list[float]:
+    """grid×grid mean-pooled luminance, scaled to [-1, 1]."""
     return [
-        round((s / n) / 127.5 - 1.0, 6) if n else 0.0 for s, n in cells
+        0.0 if m is None else round(m / 127.5 - 1.0, 6)
+        for m in _grid_means(gray, width, height, grid)
     ]
 
 
@@ -109,14 +123,16 @@ def pooled_embedding(
 # WAV — PCM via stdlib wave
 # ---------------------------------------------------------------------------
 
-def make_wav(
-    samples: list[int], rate: int = 8000, sampwidth: int = 2
-) -> bytes:
-    """16-bit mono PCM WAV from integer samples (clamped to int16)."""
+def make_wav(samples: list[int], rate: int = 8000) -> bytes:
+    """16-bit mono PCM WAV from integer samples (clamped to int16).
+
+    Always 16-bit: the packing below is ``<h`` per sample, so exposing a
+    sampwidth knob would write a header contradicting the frame data.
+    """
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
-        w.setsampwidth(sampwidth)
+        w.setsampwidth(2)
         w.setframerate(rate)
         w.writeframes(
             b"".join(
@@ -152,7 +168,10 @@ def energy_envelope(samples: list[int], windows: int = 16) -> list[float]:
     per = max(1, len(samples) // windows)
     out = []
     for i in range(windows):
-        chunk = samples[i * per:(i + 1) * per] or [0]
+        # The last window absorbs the len % windows tail so trailing
+        # samples contribute (trimmed-copy Hamming robustness on short clips).
+        hi = len(samples) if i == windows - 1 else (i + 1) * per
+        chunk = samples[i * per:hi] or [0]
         rms = (sum(s * s for s in chunk) / len(chunk)) ** 0.5
         out.append(round(min(rms / 32768.0, 1.0) * 2 - 1.0, 6))
     return out
@@ -271,6 +290,9 @@ def jpeg_dimensions(raw: bytes) -> tuple[int, int]:
             pos += 1
             continue
         marker = raw[pos + 1]
+        if marker == 0xFF:  # spec-legal fill byte before a marker (B.1.1.2)
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -498,16 +520,9 @@ def ahash64(gray: list[float], width: int, height: int) -> int:
     value (callers storing it in a Spark LongType wrap it two's-
     complement via :func:`to_signed64`)."""
     grid = 8
-    sums = [0.0] * (grid * grid)
-    counts = [0] * (grid * grid)
-    for y in range(height):
-        cy = min(y * grid // height, grid - 1)
-        for x in range(width):
-            cx = min(x * grid // width, grid - 1)
-            i = cy * grid + cx
-            sums[i] += gray[y * width + x]
-            counts[i] += 1
-    means = [s / n if n else 0.0 for s, n in zip(sums, counts)]
+    means = [
+        0.0 if m is None else m for m in _grid_means(gray, width, height, grid)
+    ]
     overall = sum(means) / len(means)
     bits = 0
     for i, v in enumerate(means):

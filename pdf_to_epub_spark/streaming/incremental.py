@@ -215,18 +215,22 @@ def streaming_postings(
     stream = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
 
     def process_batch(batch_df, batch_id: int) -> None:
+        # Empty-guard on the SOURCE batch (a cheap limit-1 scan), not the
+        # aggregated frame — isEmpty() on the postings aggregate would run
+        # the full tokenize+shuffle once for the probe and again for the
+        # write, doubling per-batch cost.
+        if batch_df.isEmpty():
+            return
         fresh = term_postings(
             batch_df.select(F.col(id_col), F.col(text_col)),
             id_col=id_col,
         ).withColumn("batch_id", F.lit(int(batch_id)))
-        if fresh.isEmpty():
-            return
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        fresh.write.mode("overwrite").partitionBy("batch_id").parquet(
-            postings_dir
-        )
+        # partitionOverwriteMode as a per-write OPTION: setting it on
+        # spark.conf would leak dynamic-overwrite semantics to every later
+        # partitioned overwrite in the session.
+        fresh.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(postings_dir)
 
     q = (
         stream.writeStream.foreachBatch(process_batch)

@@ -61,9 +61,24 @@ def streaming_first_seen(
     payload_col: str = "text",
 ) -> DataFrame:
     """Streaming DataFrame in (url, warc_ts, <payload>) → one row per
-    content hash, the first time it is ever seen."""
+    content hash, the first time it is ever seen.
+
+    NULL payloads (schema-legal: html-mode pages before extraction) must
+    NOT collapse into one key — sha2(NULL) is NULL, which would suppress
+    every later distinct NULL-payload url as a "duplicate".  They key on a
+    url-scoped sentinel instead, so re-crawls of the same url dedup while
+    distinct urls pass through.
+    """
+    payload = F.col(payload_col)
     hashed = pages.withColumn(
-        "doc_hash", F.sha2(F.encode(F.col(payload_col), "UTF-8"), 256)
+        "doc_hash",
+        F.when(
+            payload.isNull(),
+            F.sha2(
+                F.encode(F.concat(F.lit("\x00null\x00"), F.col("url")), "UTF-8"),
+                256,
+            ),
+        ).otherwise(F.sha2(F.encode(payload, "UTF-8"), 256)),
     ).select("doc_hash", "url", "warc_ts")
     return hashed.groupBy("doc_hash").applyInPandasWithState(
         _first_seen_fn,
