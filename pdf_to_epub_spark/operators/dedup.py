@@ -794,11 +794,16 @@ def containment_pairs(
     bound on overlap relative to the CONTAINER's size, so the index side
     carries full sets and no size-ratio prune applies (that asymmetry is
     the point of the metric).  The join itself carries only
-    (id, long hash); candidates are then re-verified with exact string
-    shingles (`_score_pairs_from_shingle_sets`, over the once-computed
-    per-doc set table), so hash collisions cannot create
-    false positives — a collision can only drop a near-threshold true
-    pair, the same ~2⁻⁶⁴ bound `ngram_jaccard_pairs` documents.
+    (id, long hash); candidates are then re-verified by exact set
+    intersection over the per-doc DISTINCT shingle-hash sets
+    (`_score_pairs_from_shingle_sets` over the once-computed table) —
+    exact up to xxhash64 collisions (~2⁻⁶⁴ per shared shingle), the
+    same documented bound as `ngram_jaccard_pairs`.  Verifying on hash
+    sets instead of string-shingle sets removes the dominant cost of
+    the first-draft design: building every doc's concat_ws string
+    shingle array (measured ~70% of operator wall time at sf0.1) —
+    shingle identity is xxhash64 over the slice of per-token hashes,
+    so no per-position string is ever materialized.
 
     Scale note: a boilerplate shingle shared by d docs costs
     ~(1−t)·d · d index fan-out (probe-side prefix shrinks one factor
@@ -811,25 +816,35 @@ def containment_pairs(
     is the pair you didn't want anyway.  Default None = exact; set it
     (or run `strip_template_lines` upstream / raise k) on
     template-heavy corpora."""
-    # lazy checkpoint on the STRING shingle sets: they feed the hash
-    # pipeline below AND the exact verify at the end — on a boilerplate-
-    # heavy corpus candidates run ~20× the doc count, so re-shingling the
-    # raw text per PAIR (the first-draft verify) multiplied the dominant
-    # cost by the mean pair degree (measured 77 s → 7 s at sf0.1 with
-    # ~100k candidates over 10k docs; each doc shingles ONCE here).
-    sets = (
-        with_shingles(df.select(id_col, text_col), text_col, k)
-        .select(F.col(id_col).alias("id"), F.col("shingles").alias("_sh"))
-        .localCheckpoint(eager=False)
+    # ONE lazy checkpoint on the slim (id, sorted distinct shingle-hash
+    # array) table: it feeds the probe, the index, the df-count (under
+    # max_df), AND the verify — each doc tokenizes and hashes ONCE (the
+    # first-draft verify re-shingled raw text per PAIR, multiplying the
+    # dominant cost by the mean pair degree: 77 s → 7 s at sf0.1 with
+    # ~100k candidates over 10k docs).  Shingle identity is xxhash64 over
+    # an O(k) bigint slice of per-token hashes — no per-position string
+    # concat, which was ~70% of operator wall time as the second draft's
+    # string-set checkpoint.  array_sort keeps the prefix slice
+    # deterministic.
+    # coalesce('') keeps the string-set era's NULL semantics: a NULL text
+    # shingled to [''] and therefore matched empty docs.
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        _word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__t"),
     )
-    # second lazy checkpoint: (id, hs) feeds the probe, the index, and
-    # (under max_df) the df-count — without the barrier the hash+sort
-    # subtree recomputes once per consumer (measured 3×); the materialized
-    # table is slim (longs only).
-    hashed = sets.select(
+    th = toks.select(
+        "id", F.transform("__t", lambda t: F.xxhash64(t)).alias("__th")
+    )
+    nh = F.size("__th")
+    starts = F.sequence(F.lit(0), F.greatest(nh - F.lit(k), F.lit(0)))
+    hashed = th.select(
         "id",
         F.array_sort(
-            F.array_distinct(F.transform("_sh", lambda s: F.xxhash64(s)))
+            F.array_distinct(
+                F.transform(
+                    starts, lambda i: F.xxhash64(F.slice("__th", i + 1, k))
+                )
+            )
         ).alias("hs"),
     ).localCheckpoint(eager=False)
     n = F.size("hs")
@@ -875,7 +890,9 @@ def containment_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    scored = _score_pairs_from_shingle_sets(sets, pairs)
+    scored = _score_pairs_from_shingle_sets(
+        hashed.select("id", F.col("hs").alias("_sh")), pairs
+    )
     return scored.localCheckpoint(eager=False).where(
         F.greatest(F.col("c_a"), F.col("c_b")) >= threshold
     )
@@ -884,16 +901,18 @@ def containment_pairs(
 def _score_pairs_from_shingle_sets(
     sets: DataFrame, pairs: DataFrame
 ) -> DataFrame:
-    """Exact string-shingle intersection plus BOTH directed containments,
-    over a MATERIALIZED per-doc shingle-set table ``(id, _sh)`` (each doc
+    """Set intersection plus BOTH directed containments over a
+    MATERIALIZED per-doc shingle-set table ``(id, _sh)`` (each doc
     shingled once upstream, never per pair — see `containment_pairs`).
+    Element type is generic: string shingles give collision-free
+    verification; shingle-HASH sets (the `containment_pairs` default)
+    are exact up to xxhash64 collisions (~2⁻⁶⁴), the documented
+    `ngram_jaccard_pairs` bound, and skip string materialization.
     Broadcast policy matches `_verify_pairs_exact_jaccard`: only the slim
     (id_a, id_b) pair table is hinted; the set-attached intermediate is
-    left to AQE.  Verification stays exact on shingle STRINGS, so hash
-    collisions in candidate generation cannot create false positives.
-    The intersect/size step is its own projection so the shared count is
-    computed once per row (three ratio references would otherwise inline
-    three intersections)."""
+    left to AQE.  The intersect/size step is its own projection so the
+    shared count is computed once per row (three ratio references would
+    otherwise inline three intersections)."""
     sa = sets.select(F.col("id").alias("id_a"), F.col("_sh").alias("_sh_a"))
     sb = sets.select(F.col("id").alias("id_b"), F.col("_sh").alias("_sh_b"))
     with_sets = sb.join(sa.join(F.broadcast(pairs), "id_a"), "id_b")
