@@ -98,3 +98,66 @@ def test_arbitrary_unicode_never_crashes(text: str) -> None:
     got, counters = transform_text(text)
     blocks = segment_blocks(got)
     assert reassemble(blocks) == got
+
+
+# ---------------------------------------------------------------------------
+# Fast-path vs regex differential: formatting.py replaces five hot regex
+# passes with literal-anchored str.find loops.  Each helper must be
+# byte-identical to the regex it documents, on inputs dense in the exact
+# phenomena the scanners branch on (whitespace-run shapes, consumed-tail
+# adjacency, excluded-class boundaries).
+# ---------------------------------------------------------------------------
+
+from pdf_to_epub_spark.extractlib import formatting as _fmt  # noqa: E402
+
+# Dense in: newline runs, hyphen wraps (upper/lower tails, chained), space
+# and tab runs, punctuation after whitespace, mid-sentence break shapes
+# (excluded group-1 chars, ws-inside-run group-1 candidates, latin-1 tails).
+_FASTPATH_ATOMS = st.sampled_from(
+    [
+        "a", "b", "Z", "é", "à", "ö", "ø", "ÿ", "×", "÷", ".", "!", "?",
+        ";", ":", ")", '"', ",", " ", "  ", "\t", "\t ", "\n", "\n\n",
+        "\n\n\n", "\n\n\n\n", "-\n", "a-\nb", "a-\nB", "-\n-\n", "x-\ny-\nz",
+        " \n\n ", "\n \n", "\x0b", "\xa0", " ,", "  .", "\n;", "\t!",
+        "word", "Mr.", "\r\n",
+    ]
+)
+
+
+@st.composite
+def fastpath_texts(draw):
+    n = draw(st.integers(min_value=0, max_value=40))
+    return "".join(draw(_FASTPATH_ATOMS) for _ in range(n))
+
+
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(text=fastpath_texts())
+def test_fastpath_differential(text: str) -> None:
+    """Each literal-anchored fast path == the regex pass it replaced."""
+    assert _fmt._collapse_blank_runs(text) == _fmt._BLANK_RUN.sub("\n\n", text)
+    assert _fmt._dehyphenate_wraps(text) == _fmt._HYPHEN_WRAP.sub(
+        _fmt._join_hyphen_wrap, text
+    )
+    assert _fmt._collapse_space_runs(text) == _fmt._SPACE_RUN.sub(" ", text)
+    assert _fmt._strip_space_before_punct(text) == _fmt._SPACE_BEFORE_PUNCT.sub(
+        r"\1", text
+    )
+    got_txt, got_n = _fmt._collapse_midsentence(text)
+    exp_txt, exp_n = _fmt._MID_SENTENCE_BREAK.subn(r"\1 \2", text)
+    assert (got_txt, got_n) == (exp_txt, exp_n)
+
+
+@settings(max_examples=150, deadline=None, derandomize=True)
+@given(text=st.text(max_size=300))
+def test_fastpath_differential_arbitrary_unicode(text: str) -> None:
+    """Same five equivalences on arbitrary unicode (ws classes beyond ASCII)."""
+    assert _fmt._collapse_blank_runs(text) == _fmt._BLANK_RUN.sub("\n\n", text)
+    assert _fmt._dehyphenate_wraps(text) == _fmt._HYPHEN_WRAP.sub(
+        _fmt._join_hyphen_wrap, text
+    )
+    assert _fmt._collapse_space_runs(text) == _fmt._SPACE_RUN.sub(" ", text)
+    assert _fmt._strip_space_before_punct(text) == _fmt._SPACE_BEFORE_PUNCT.sub(
+        r"\1", text
+    )
+    got = _fmt._collapse_midsentence(text)
+    assert got == _fmt._MID_SENTENCE_BREAK.subn(r"\1 \2", text)
