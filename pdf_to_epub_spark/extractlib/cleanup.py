@@ -73,11 +73,22 @@ def strip_running_heads(
     the protected-heading logic; `diff` confirms nothing else changed) —
     the T26-adjacent variant the SURVEY scoped as legacy.
     """
+    # Casefold prescreen: `(?i)\bvolume\b` / `(?i)\bhistory\s+of\s+my\s+life\b`
+    # can only match where the casefolded text contains the contiguous
+    # literal "volume" / "history" (str.casefold covers re's full
+    # single-char case folding, e.g. ſ→s, so the screen never misses a
+    # regex match; false positives just fall through to the regex).
+    folded = text.casefold()
+    if "volume" not in folded and "history" not in folded:
+        counters.setdefault("header_footer_blocks_removed", 0)
+        return text
+
     lines = text.splitlines()
     n = len(lines)
     protected = (
         first_protected_heading(lines) if protect_chapter_heading else None
     )
+    folded_lines = folded.splitlines()
 
     def headerish(idx: int) -> bool:
         if protected is not None and idx == protected:
@@ -112,6 +123,12 @@ def strip_running_heads(
 
     for i in range(n):
         if i in claimed:
+            continue
+        # Same casefold prescreen, per line (memchr-speed `in` vs a
+        # char-at-a-time alternation scan); casefold is char-wise so
+        # folded_lines aligns 1:1 with lines.
+        low = folded_lines[i]
+        if "volume" not in low and "history" not in low:
             continue
         raw = lines[i]
         if not _ANCHOR_EITHER.search(raw):
@@ -239,11 +256,23 @@ _WORD_TOKEN_WITH_MOJIBAKE = re.compile(
 def repair_word_mojibake(text: str) -> str:
     """Apply the ordered mojibake pairs inside word tokens only.
 
-    Fast path: every mapping key starts with "Ã" (U+00C3), so when the
-    document (or a token) contains none, the pass is the identity — the
-    short-circuits below change nothing byte-wise, they only skip the
-    30-replace loop (which profiling shows is ~60% of stage-1 time).
+    This pass is the identity on EVERY input, provably: a match of
+    ``_WORD_TOKEN_WITH_MOJIBAKE`` consists solely of token-class chars
+    (``A-Za-zÀ-ÖØ-öø-ÿ'’-``), and the second character of every
+    ``_STAGE1_MOJIBAKE`` key (©¨ª« ¢¤¹»¼®¯´¶‡§‰ˆŠ‹€‚„™›œŽ U+008F ”–)
+    lies outside that class — so no key can ever occur inside a matched
+    token and the replace loop never fires.  The reference has the same
+    quirk (see the table comment above); the pass is kept as an explicit
+    no-op rather than deleted so the stage layout mirrors the reference,
+    and :func:`_repair_word_mojibake_regex` preserves the literal form for
+    the differential test in tests/test_fuzz_parity.py.
     """
+    return text
+
+
+def _repair_word_mojibake_regex(text: str) -> str:
+    """The literal regex form of the pass (reference semantics verbatim);
+    used only by the identity-proof differential test."""
     if "Ã" not in text:
         return text
 
@@ -253,10 +282,6 @@ def repair_word_mojibake(text: str) -> str:
             token = token.replace(bad, good)
         return token
 
-    # Byte-equivalent narrowing: tokens without "Ã" come back from the
-    # replace loop unchanged, so only token-runs containing "Ã" need the
-    # callback at all.  (A lone length-1 "Ã" run additionally matches here
-    # but no 2-char key can fire inside it — still the identity.)
     return _WORD_TOKEN_WITH_MOJIBAKE.sub(mend, text)
 
 

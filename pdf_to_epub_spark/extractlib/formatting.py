@@ -329,7 +329,10 @@ def sweep_mojibake_and_artifacts(text: str, counters: dict) -> str:
             if c:
                 text = text.replace(shape, straight)
                 shapes += c
-    text, collapsed = _MULTI_DQUOTE.subn('"', text)
+    if '""' in text:  # pattern requires two adjacent double quotes
+        text, collapsed = _MULTI_DQUOTE.subn('"', text)
+    else:
+        collapsed = 0
     counters["french_fixes"] = {"specific": by_noun, "mojibake": by_pair}
     counters["artifacts_removed"] = by_artifact
     counters["quotes_normalized"] = {
@@ -390,9 +393,12 @@ def break_dialogue_paragraphs(text: str, counters: dict) -> str:
     text = text.replace("\r\n", "\n")
     text = _collapse_blank_runs(text)
     text = text.replace("\n\n", _PBRK_SENTINEL)
-    text, n_pairs = _QUOTE_THEN_QUOTE.subn(r'\1\2"\n\n"', text)
-    text, n_stop = _STOP_THEN_QUOTE.subn(r"\1\n\n\2", text)
-    text, n_narr = _QUOTE_THEN_NARRATION.subn(r"\1\n\n\3", text)
+    if '"' in text:  # all three patterns require a double quote
+        text, n_pairs = _QUOTE_THEN_QUOTE.subn(r'\1\2"\n\n"', text)
+        text, n_stop = _STOP_THEN_QUOTE.subn(r"\1\n\n\2", text)
+        text, n_narr = _QUOTE_THEN_NARRATION.subn(r"\1\n\n\3", text)
+    else:
+        n_pairs = n_stop = n_narr = 0
     text = text.replace(_PBRK_SENTINEL, "\n\n")
     text = _collapse_blank_runs(text)
     counters["dialogue_paragraphing"] = {
@@ -721,6 +727,8 @@ def mend_quote_apostrophe_artifacts(text: str, counters: dict) -> str:
         return (s.count('"') % 2) == 0
 
     for i, s in enumerate(lines):
+        if '"' not in s:  # pattern requires a double quote
+            continue
         if not _LINE_START_QUOTE_APOS.match(s):
             continue
         j = i - 1
@@ -740,6 +748,8 @@ def mend_quote_apostrophe_artifacts(text: str, counters: dict) -> str:
         collapsed += 1
 
     for i, s in enumerate(lines):
+        if '"' not in s:  # pattern requires a double quote
+            continue
         if not _LINE_END_APOS_QUOTE.search(s.strip()):
             continue
         j = i + 1

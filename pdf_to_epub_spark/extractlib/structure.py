@@ -48,6 +48,10 @@ def _ineligible_opener(token: str) -> bool:
 # --------------------------------------------------------------------------
 
 def promote_inline_chapter_markers(text: str, counters: dict) -> str:
+    if "CHAPTER" not in text:  # both patterns require the literal marker
+        counters["inline_chapter_promoted"] = 0
+        counters["newline_after_roman_normalized"] = 0
+        return text
     text, promoted = _INLINE_CHAPTER.subn(r"\n\n\1", text)
 
     def two_newlines_after(m: re.Match) -> str:

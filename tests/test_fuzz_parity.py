@@ -161,3 +161,25 @@ def test_fastpath_differential_arbitrary_unicode(text: str) -> None:
     )
     got = _fmt._collapse_midsentence(text)
     assert got == _fmt._MID_SENTENCE_BREAK.subn(r"\1 \2", text)
+
+
+from pdf_to_epub_spark.extractlib import cleanup as _cln  # noqa: E402
+
+_MOJIBAKE_ATOMS = st.sampled_from(
+    ["Ã©", "Ã‚", "Ã", "word", "ÃƒÂ©", "l'Ã©tÃ©", " ", "\n", "Ã-Ã", "'’-"]
+)
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(
+    text=st.one_of(
+        st.text(max_size=200),
+        st.lists(_MOJIBAKE_ATOMS, max_size=30).map("".join),
+    )
+)
+def test_repair_word_mojibake_identity_proof(text: str) -> None:
+    """repair_word_mojibake is a proven no-op: the literal regex form
+    (reference semantics) never changes any input, because every mojibake
+    key contains a char outside the word-token class."""
+    assert _cln._repair_word_mojibake_regex(text) == text
+    assert _cln.repair_word_mojibake(text) == text
