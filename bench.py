@@ -22,6 +22,7 @@ import json
 import os
 import pathlib
 import shutil
+import string
 import subprocess
 import sys
 import time
@@ -317,9 +318,7 @@ def run_bench(
         # Letter ratio via translate-delete (char-map lookup, no regex
         # engine, no stripped-copy allocation): measured 25% faster than
         # regexp_replace("[^A-Za-z]","") on this corpus, identical values.
-        alpha = (
-            "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
-        )
+        alpha = string.ascii_letters
         docs = corpus.select(
             F.xxhash64("url").alias("doc_id"),
             ((F.length("text") - F.length(F.translate("text", alpha, "")))

@@ -74,11 +74,17 @@ def strip_running_heads(
     the T26-adjacent variant the SURVEY scoped as legacy.
     """
     # Casefold prescreen: `(?i)\bvolume\b` / `(?i)\bhistory\s+of\s+my\s+life\b`
-    # can only match where the casefolded text contains the contiguous
-    # literal "volume" / "history" (str.casefold covers re's full
-    # single-char case folding, e.g. ſ→s, so the screen never misses a
-    # regex match; false positives just fall through to the regex).
-    folded = text.casefold()
+    # can only match where the folded text contains the contiguous literal
+    # "volume" / "history".  str.casefold alone is NOT sufficient for re's
+    # IGNORECASE table: sre matches `i` against dotless ı (U+0131, folds to
+    # itself) and dotted İ (U+0130, folds to "i"+U+0307, breaking
+    # contiguity) — so fold those two back to plain "i".  With that, an
+    # exhaustive sweep over all of Unicode shows every char sre-matches
+    # against an anchor letter folds to exactly that letter; false
+    # positives just fall through to the regex.  Neither replacement nor
+    # casefold introduces/removes line breaks, so folded_lines below stays
+    # 1:1 with lines.
+    folded = text.casefold().replace("ı", "i").replace("̇", "")
     if "volume" not in folded and "history" not in folded:
         counters.setdefault("header_footer_blocks_removed", 0)
         return text
@@ -337,6 +343,15 @@ def run_stage1(
     v10 differs from v11 only by the protected-heading logic)."""
     if counters is None:
         counters = {}
+    # Universal-newline normalization: every reference CLI reads its input
+    # in text mode (Step1_ocr_cleanup_v11.py:201 `read_text(encoding=...)`),
+    # so \r\n and lone \r become \n BEFORE any pass runs.  Normalize here —
+    # including before `original` is captured, because the reference's
+    # reinstate compares against the post-read (already normalized) text.
+    # Without this, a \r surviving into strip_running_heads changes which
+    # anchor/absorb rules fire and the reinserted block keeps raw CRs.
+    if "\r" in text:
+        text = text.replace("\r\n", "\n").replace("\r", "\n")
     original = text
     text = strip_running_heads(text, counters, protect_chapter_heading)
     text = repair_word_mojibake(text)

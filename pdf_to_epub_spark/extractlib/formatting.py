@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import functools
 import re
+import string
 
 # --------------------------------------------------------------------------
 # Replacement tables (reference Step2_formatting_v14.py:327-344).
@@ -75,9 +76,7 @@ DEFAULT_MONEY_TERMS: frozenset[str] = frozenset({
 # corpus inputs compared against the original regex form).
 # --------------------------------------------------------------------------
 
-_ASCII_LETTERS = frozenset(
-    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
-)
+_ASCII_LETTERS = frozenset(string.ascii_letters)
 _WS_PROBE = re.compile(r"\s")
 
 

@@ -292,6 +292,10 @@ def run_legacy_cleanup(text: str, counters: dict | None = None) -> str:
     followed by the v7 in-word mojibake fixer."""
     if counters is None:
         counters = {}
+    # Universal-newline normalization — the legacy CLIs also read input in
+    # text mode, so \r never reaches the passes (cf. run_stage1).
+    if "\r" in text:
+        text = text.replace("\r\n", "\n").replace("\r", "\n")
     text = kill_inline_volume_chapter(text)
     text = windowed_header_strip(text, counters)
     text = splice_lone_quote_lines_legacy(text, counters)

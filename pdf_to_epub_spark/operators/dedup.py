@@ -810,8 +810,9 @@ def containment_pairs(
     only) — a phrase present in EVERY doc makes every doc pair a
     candidate.  ``max_df`` caps that: shingles whose document frequency
     exceeds it are excluded from CANDIDATE GENERATION (both sides; the
-    `minhash` max_bucket precedent).  Verification stays exact on full
-    string shingles, so capping never creates false positives — it can
+    `minhash` max_bucket precedent).  Verification intersects the full
+    (uncapped) hash sets, so capping never creates false positives
+    beyond the 2⁻⁶⁴ hash-collision bound above — it can
     only miss a pair whose every shared shingle is template-hot, which
     is the pair you didn't want anyway.  Default None = exact; set it
     (or run `strip_template_lines` upstream / raise k) on

@@ -32,6 +32,7 @@ REF = pathlib.Path("/root/reference/text-processing")
 _TOKENS = st.sampled_from(
     [
         "word", "Volume", "VOLUME 3", "History of My Life", "CHAPTER",
+        "Hıstory of My Life", "Hİstory of My Lİfe", "VOLUMİ", "volumı 3",
         "CHAPTER IV", "chapter ix", "12", "345", "1760", "2nd",
         "100 ducats", "•", "·", '"', "''", "' \"", "”", "“", "â", "â€¢",
         "Ã©", "Ã‚", "Â", "so-\nlong", "­\n", "Mr.", "!", "?", "I", "A",
@@ -39,7 +40,9 @@ _TOKENS = st.sampled_from(
         "He said.", '"Quoted speech." "More speech."', "page",
     ]
 )
-_SEPS = st.sampled_from([" ", "  ", "\n", "\n\n", "\n\n\n", "\t", " \n ", "\r\n"])
+_SEPS = st.sampled_from(
+    [" ", "  ", "\n", "\n\n", "\n\n\n", "\t", " \n ", "\r\n", "\r", "\r\r"]
+)
 
 
 @st.composite
@@ -183,3 +186,38 @@ def test_repair_word_mojibake_identity_proof(text: str) -> None:
     key contains a char outside the word-token class."""
     assert _cln._repair_word_mojibake_regex(text) == text
     assert _cln.repair_word_mojibake(text) == text
+
+
+# ---------------------------------------------------------------------------
+# sre-IGNORECASE vs casefold prescreen: the Turkish dotless/dotted I repros.
+# re matches (?i)i against U+0131 (folds to itself) and U+0130 (folds to
+# "i"+U+0307); a plain-casefold substring screen misses both, so
+# strip_running_heads must fold them back to "i" before screening.
+# ---------------------------------------------------------------------------
+
+_TURKISH_I_DOCS = [
+    "hıstory of my life\nVOL I\n\nBody text here follows.",
+    "Hİstory of my life\n12\n\nBody text here follows.",
+    "before\nvolumı II\n\nAfter body line.",
+    "before\nVOLUMİ II\n\nAfter body line.",
+    # universal-newline repros: the reference CLIs read in text mode, so
+    # \r\n and lone \r are \n before Step 1 — the reinserted protected
+    # block must not keep raw CRs nor change anchor/absorb decisions.
+    'word Volume\n\' "\nVolume\r\n12 VOLUMİ ',
+    "word Volume\n' \"\nVolume\r\n12 VOLUME ",
+    "a\rb\rVolume\r12\r\rBody text here.",
+]
+
+
+@pytest.mark.skipif(not REF.exists(), reason="reference not available")
+@pytest.mark.parametrize("text", _TURKISH_I_DOCS)
+def test_turkish_i_prescreen_differential(text: str) -> None:
+    """Pinned reference-CLI differential for the prescreen fix: inputs where
+    (?i)history/(?i)volume match via sre's i≡ı/İ equivalences but a naive
+    casefold substring screen returns early."""
+    import tempfile
+
+    got, _ = transform_text(text)
+    with tempfile.TemporaryDirectory() as tmp:
+        expected = _reference_stage3(text, pathlib.Path(tmp))
+    assert got == expected
