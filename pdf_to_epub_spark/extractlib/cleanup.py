@@ -50,6 +50,18 @@ _SENTENCE_SHAPE = re.compile(r"[A-Za-z].*[\.!?;:]\s*$")
 _WORD = re.compile(r"[A-Za-zÀ-ÖØ-öø-ÿ]+")
 
 
+def normalize_newlines(text: str) -> str:
+    """Universal-newline normalization: every reference CLI reads its
+    input in text mode (Step1_ocr_cleanup_v11.py:201 `read_text(...)`), so
+    \\r\\n and lone \\r become \\n BEFORE any pass runs.  The two-replace
+    idiom is equivalent to Python's universal-newline decoding for every
+    \\r / \\r\\n interleaving.  Shared by `run_stage1` and the legacy
+    pipeline entry so the text-mode emulation lives in exactly one place."""
+    if "\r" in text:
+        text = text.replace("\r\n", "\n").replace("\r", "\n")
+    return text
+
+
 def first_protected_heading(lines: list[str]) -> int | None:
     """Index of the first case-insensitive ``chapter <roman>`` own-line."""
     for idx, raw in enumerate(lines):
@@ -343,15 +355,11 @@ def run_stage1(
     v10 differs from v11 only by the protected-heading logic)."""
     if counters is None:
         counters = {}
-    # Universal-newline normalization: every reference CLI reads its input
-    # in text mode (Step1_ocr_cleanup_v11.py:201 `read_text(encoding=...)`),
-    # so \r\n and lone \r become \n BEFORE any pass runs.  Normalize here —
-    # including before `original` is captured, because the reference's
-    # reinstate compares against the post-read (already normalized) text.
-    # Without this, a \r surviving into strip_running_heads changes which
+    # Normalize BEFORE `original` is captured: the reference's reinstate
+    # compares against the post-read (already normalized) text.  Without
+    # this, a \r surviving into strip_running_heads changes which
     # anchor/absorb rules fire and the reinserted block keeps raw CRs.
-    if "\r" in text:
-        text = text.replace("\r\n", "\n").replace("\r", "\n")
+    text = normalize_newlines(text)
     original = text
     text = strip_running_heads(text, counters, protect_chapter_heading)
     text = repair_word_mojibake(text)

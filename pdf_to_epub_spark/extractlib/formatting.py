@@ -78,12 +78,20 @@ DEFAULT_MONEY_TERMS: frozenset[str] = frozenset({
 
 _ASCII_LETTERS = frozenset(string.ascii_letters)
 _WS_PROBE = re.compile(r"\s")
+# re's unicode \s class is a fixed, small set of codepoints (29 chars, all
+# in the BMP: \t-\r, \x1c-\x1f, space, NEL, NBSP, plus category Zs and the
+# two Z[lp] separators — an all-of-Unicode sweep confirms nothing above
+# U+3000 matches).  Precompute it once (~20 ms) instead of memoizing per
+# input char: an unbounded lru_cache keyed on corpus characters grows with
+# every distinct codepoint a long-lived executor ever sees.
+_WS_CHARS = frozenset(
+    chr(cp) for cp in range(0x10000) if _WS_PROBE.match(chr(cp))
+)
 
 
-@functools.lru_cache(maxsize=None)
 def _is_ws(ch: str) -> bool:
     """Exactly re's ``\\s`` membership for one char (unicode semantics)."""
-    return _WS_PROBE.match(ch) is not None
+    return ch in _WS_CHARS
 
 
 def _collapse_blank_runs(text: str) -> str:
@@ -626,10 +634,14 @@ _GLUED_NUM = re.compile(r"(?<=[A-Za-zÀ-ÖØ-öø-ÿ]|\.)(\d{1,3})(?=($|[^\w]))"
 
 
 @functools.lru_cache(maxsize=8)
-def _money_next_re(money_alt: str) -> re.Pattern:
-    # One compile per distinct money-term set, not one per document: the
-    # alternation is rebuilt from the same DEFAULT_MONEY_TERMS on every
-    # extract_document call and re.compile() does not cache Pattern objects.
+def _money_next_re(money_terms: frozenset[str]) -> re.Pattern:
+    # One escape/sort/join + compile per distinct money-term SET, not one
+    # per document: the alternation build over the terms is the real
+    # per-call cost (re.compile itself caches Patterns), so key the cache
+    # on the set and do the whole build inside it.
+    money_alt = "|".join(
+        sorted(map(re.escape, money_terms), key=len, reverse=True)
+    )
     return re.compile(rf"^\s*(?:{money_alt})\b", re.IGNORECASE)
 
 
@@ -639,8 +651,11 @@ def strip_footnote_digits(
     samples: dict[str, list[str]] = {"standalone": [], "after_punct": [], "glued_to_word": []}
     tallies = {"standalone": 0, "after_punct": 0, "glued_to_word": 0}
 
-    money_alt = "|".join(sorted(map(re.escape, money_terms), key=len, reverse=True))
-    money_next = _money_next_re(money_alt)
+    money_next = _money_next_re(
+        money_terms
+        if isinstance(money_terms, frozenset)
+        else frozenset(money_terms)
+    )
 
     lines = text.splitlines()
     for idx, line in enumerate(lines):

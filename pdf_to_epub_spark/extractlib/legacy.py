@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import re
 
+from .cleanup import normalize_newlines
+
 # --------------------------------------------------------------------------
 # S11 — RTF decode (reference legacy/Step1_ocr_cleanup_v7.py:89-104)
 # --------------------------------------------------------------------------
@@ -292,10 +294,9 @@ def run_legacy_cleanup(text: str, counters: dict | None = None) -> str:
     followed by the v7 in-word mojibake fixer."""
     if counters is None:
         counters = {}
-    # Universal-newline normalization — the legacy CLIs also read input in
-    # text mode, so \r never reaches the passes (cf. run_stage1).
-    if "\r" in text:
-        text = text.replace("\r\n", "\n").replace("\r", "\n")
+    # The legacy CLIs also read input in text mode, so \r never reaches
+    # the passes (cf. run_stage1).
+    text = normalize_newlines(text)
     text = kill_inline_volume_chapter(text)
     text = windowed_header_strip(text, counters)
     text = splice_lone_quote_lines_legacy(text, counters)

@@ -1781,9 +1781,9 @@ def contamination_spans(
     one window + one groupBy keyed (doc, bench) over matched rows only —
     at 100 TB the corpus never shuffles; only actual leak hits do."""
     # NULL text must yield NO rows: greatest(n - k, 0) ignores a NULL n,
-    # so without this guard a NULL-text doc would fabricate one
-    # empty-string shingle (concat_ws over a NULL slice is '') and could
-    # "match" a NULL/empty benchmark doc — diverging from the oracle.
+    # so without this guard a NULL-text doc would fabricate one shingle
+    # hash (xxhash64 over a NULL slice returns the seed, not NULL) and
+    # could "match" another NULL-text doc — diverging from the oracle.
     # Shingle identity = xxhash64 over the SLICE OF PER-TOKEN HASHES, not
     # over a concat_ws string: hashing each token once and slicing the
     # bigint array skips the per-position string build (O(k) char copies
