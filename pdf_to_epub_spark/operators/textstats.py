@@ -37,13 +37,38 @@ def _tokens(col_name: str) -> Column:
     )
 
 
+# token_count's three classes, materialized as explicit char sets for
+# translate(): the 114 letters of [A-Za-zÀ-ÖØ-öø-ÿ], the digits, and Java
+# regex's ASCII-only \s (the original pattern used [^...\s] under Java
+# semantics, so Unicode whitespace counts as a punctuation token — the
+# translate set must NOT include it).
+_TOKEN_LETTER_CHARS = "".join(
+    chr(c)
+    for c in range(0x100)
+    if ("A" <= chr(c) <= "Z")
+    or ("a" <= chr(c) <= "z")
+    or ("À" <= chr(c) <= "Ö")
+    or ("Ø" <= chr(c) <= "ö")
+    or ("ø" <= chr(c) <= "ÿ")
+)
+_TOKEN_DELETE_CHARS = _TOKEN_LETTER_CHARS + "0123456789" + " \t\n\x0b\x0c\r"
+
+
 def token_count(col_name: str) -> Column:
-    """Whitespace-ish token count (BPE-ish regex: letter runs + digit runs +
-    single punctuation marks).  regexp_count skips the token-array
-    materialization that size(regexp_extract_all(...)) pays — same count,
-    measured 4x faster on ~6 KB docs."""
-    return F.expr(
-        f"regexp_count({col_name}, '[A-Za-zÀ-ÖØ-öø-ÿ]+|[0-9]+|[^A-Za-zÀ-ÖØ-öø-ÿ0-9\\\\s]')"
+    """Whitespace-ish token count (BPE-ish tokenization: letter runs +
+    digit runs + single punctuation marks).  Computed as two single-class
+    run counts plus a translate-delete for the punctuation singles — the
+    original one-regex 3-branch alternation
+    ``[letters]+|[0-9]+|[^letters 0-9\\s]`` retries all three branches at
+    every position and measured **14× slower** (3.0 s vs 0.21 s on the
+    sf0.1 corpus, min-of-3, identical counts on every doc): single-class
+    run patterns scan nearly branch-free, and the leftover length after
+    deleting letters+digits+ASCII-ws IS the punctuation-singles count
+    (each such char is exactly one token in the alternation form)."""
+    return (
+        F.expr(f"regexp_count({col_name}, '[A-Za-zÀ-ÖØ-öø-ÿ]+')")
+        + F.expr(f"regexp_count({col_name}, '[0-9]+')")
+        + F.length(F.translate(F.col(col_name), _TOKEN_DELETE_CHARS, ""))
     )
 
 
