@@ -82,6 +82,52 @@ def _word_tokens(text_col: Column) -> Column:
     return F.split(F.trim(F.lower(text_col)), r"\s+")
 
 
+def _shingle_hash_array(th_col: str, k: int) -> Column:
+    """k-shingle identity hashes over a bound per-token-hash array column:
+    shingle i = XOR of its k member hashes, each left-rotated by its
+    offset (rot_j(th[i+j]), j = 0..k−1).  Pure bit algebra — no
+    per-shingle slice allocation: the previous ``xxhash64(slice(...))``
+    form materializes an UnsafeArrayData per position, and the allocation
+    storm showed up as GC-locker stalls; this form measured 2.2× faster
+    on the sf0.1 shingle stage with identical distinct-set sizes.
+
+    Equality semantics: the rotation makes the combiner position-
+    sensitive (anagram windows do NOT collide), and for random per-token
+    xxhash64 values two differing windows collide with probability
+    ~2⁻⁶³ — a transposition at offset distance d collides only when
+    x⊕y is rot_d-invariant (probability 2^−(64−gcd(d,64))), the same
+    order as the xxhash64-slice bound this replaces.  Requires k ≤ 64:
+    rotations repeat mod 64, and a transposition at distance exactly 64
+    would collide with probability 1.  Short arrays (n < k — the
+    whole-array fallback start) XOR only the existing elements via
+    NULL-safe ``F.get`` (under ANSI, element_at throws on the
+    out-of-bounds tail); cross-length collisions against the zero pad
+    are the same ~2⁻⁶⁴ event.
+    """
+    if k > 64:
+        raise ValueError(f"rotation-combined shingles require k <= 64, got {k}")
+    nh = F.size(th_col)
+    starts = F.sequence(F.lit(0), F.greatest(nh - F.lit(k), F.lit(0)))
+
+    def _sh(i: Column) -> Column:
+        acc = None
+        for j in range(k):
+            e = F.coalesce(
+                F.get(th_col, i + F.lit(j)), F.lit(0).cast("long")
+            )
+            r = (
+                e
+                if j == 0
+                else F.shiftleft(e, j).bitwiseOR(
+                    F.shiftrightunsigned(e, 64 - j)
+                )
+            )
+            acc = r if acc is None else acc.bitwiseXOR(r)
+        return acc
+
+    return F.transform(starts, _sh)
+
+
 def _shingles_from_tokens(tokens: Column, k: int) -> Column:
     """Distinct k-word shingles from a MATERIALIZED token-array column.
 
@@ -797,13 +843,14 @@ def containment_pairs(
     (id, long hash); candidates are then re-verified by exact set
     intersection over the per-doc DISTINCT shingle-hash sets
     (`_score_pairs_from_shingle_sets` over the once-computed table) —
-    exact up to xxhash64 collisions (~2⁻⁶⁴ per shared shingle), the
-    same documented bound as `ngram_jaccard_pairs`.  Verifying on hash
-    sets instead of string-shingle sets removes the dominant cost of
-    the first-draft design: building every doc's concat_ws string
-    shingle array (measured ~70% of operator wall time at sf0.1) —
-    shingle identity is xxhash64 over the slice of per-token hashes,
-    so no per-position string is ever materialized.
+    exact up to shingle-hash collisions (~2⁻⁶³ per shared shingle —
+    see `_shingle_hash_array`; same order as `ngram_jaccard_pairs`'
+    2⁻⁶⁴ bound).  Verifying on hash sets instead of string-shingle
+    sets removes the dominant cost of the first-draft design: building
+    every doc's concat_ws string shingle array (measured ~70% of
+    operator wall time at sf0.1) — shingle identity is a rotation-XOR
+    combine of per-token hashes, so neither a per-position string nor
+    a per-position array slice is ever materialized.
 
     Scale note: a boilerplate shingle shared by d docs costs
     ~(1−t)·d · d index fan-out (probe-side prefix shrinks one factor
@@ -812,7 +859,7 @@ def containment_pairs(
     exceeds it are excluded from CANDIDATE GENERATION (both sides; the
     `minhash` max_bucket precedent).  Verification intersects the full
     (uncapped) hash sets, so capping never creates false positives
-    beyond the 2⁻⁶⁴ hash-collision bound above — it can
+    beyond the ~2⁻⁶³ hash-collision bound above — it can
     only miss a pair whose every shared shingle is template-hot, which
     is the pair you didn't want anyway.  Default None = exact; set it
     (or run `strip_template_lines` upstream / raise k) on
@@ -822,11 +869,11 @@ def containment_pairs(
     # max_df), AND the verify — each doc tokenizes and hashes ONCE (the
     # first-draft verify re-shingled raw text per PAIR, multiplying the
     # dominant cost by the mean pair degree: 77 s → 7 s at sf0.1 with
-    # ~100k candidates over 10k docs).  Shingle identity is xxhash64 over
-    # an O(k) bigint slice of per-token hashes — no per-position string
-    # concat, which was ~70% of operator wall time as the second draft's
-    # string-set checkpoint.  array_sort keeps the prefix slice
-    # deterministic.
+    # ~100k candidates over 10k docs).  Shingle identity is the
+    # rotation-XOR combine of per-token hashes (_shingle_hash_array) — no
+    # per-position string concat (~70% of the second draft's wall time)
+    # and no per-position slice allocation (the third draft's GC-locker
+    # stalls).  array_sort keeps the prefix slice deterministic.
     # coalesce('') keeps the string-set era's NULL semantics: a NULL text
     # shingled to [''] and therefore matched empty docs.
     toks = df.select(
@@ -836,17 +883,11 @@ def containment_pairs(
     th = toks.select(
         "id", F.transform("__t", lambda t: F.xxhash64(t)).alias("__th")
     )
-    nh = F.size("__th")
-    starts = F.sequence(F.lit(0), F.greatest(nh - F.lit(k), F.lit(0)))
     hashed = th.select(
         "id",
-        F.array_sort(
-            F.array_distinct(
-                F.transform(
-                    starts, lambda i: F.xxhash64(F.slice("__th", i + 1, k))
-                )
-            )
-        ).alias("hs"),
+        F.array_sort(F.array_distinct(_shingle_hash_array("__th", k))).alias(
+            "hs"
+        ),
     ).localCheckpoint(eager=False)
     n = F.size("hs")
     prefix_len = (n - _ceil_mul(n, threshold) + F.lit(1)).cast("int")
@@ -856,29 +897,55 @@ def containment_pairs(
     # projection — the O(len × n_shingles) trap re-entering through the
     # optimizer's back door (measured 26× on 6 KB docs; the null filter
     # references only the generator output, so nothing pushes down).
-    probe = hashed.select(
-        "id", F.explode_outer(F.slice("hs", F.lit(1), prefix_len)).alias("h")
-    ).where(F.col("h").isNotNull())
-    index = hashed.select("id", F.explode_outer("hs").alias("h")).where(
-        F.col("h").isNotNull()
-    )
-    if max_df is not None:
-        # anti-join against the HOT set (df > max_df), which is small —
-        # at most rows/max_df hashes, in practice the handful of
-        # template shingles — rather than inner-joining against the
-        # cold set (≈ every distinct hash): AQE can broadcast the hot
-        # side at runtime, and the probe needs NO filter at all — an
-        # inner equi-join on h with a filtered index already excludes
-        # hot hashes from the candidate output (the first-draft
-        # probe⋈cold join shuffled the probe and re-scanned cold for
-        # literally zero additional filtering effect).
+    if max_df is None:
+        probe = hashed.select(
+            "id",
+            F.explode_outer(F.slice("hs", F.lit(1), prefix_len)).alias("h"),
+        ).where(F.col("h").isNotNull())
+        index = hashed.select("id", F.explode_outer("hs").alias("h")).where(
+            F.col("h").isNotNull()
+        )
+    else:
+        # Hot shingles must leave BOTH sides BEFORE the probe prefix is
+        # sliced: filtering only the index is unsound — a doc whose
+        # smallest hashes are all template-hot probes with nothing but
+        # dead keys and silently loses every candidate (caught by
+        # test_containment_max_df_cap_keeps_true_pairs the moment the
+        # hash scheme reordered which shingle sorts first).  The prefix
+        # over the FILTERED array keeps the pigeonhole sound with an
+        # H-adjusted required-overlap: a qualifying pair shares
+        # ≥ ⌈t·n⌉ shingles, of which at most H (the doc's hot count)
+        # are hot, so ≥ ⌈t·n⌉ − H shared survivors live among the
+        # n' = n − H cold shingles and the first
+        # n' − max(⌈t·n⌉ − H, 1) + 1 sorted cold hashes must contain
+        # one.  The max(·, 1) floor widens the prefix up to the whole
+        # cold set for template-dominated docs, making the documented
+        # cap semantics EXACT: a pair is missed iff every shared
+        # shingle is hot.  The hot side stays an anti-join (small —
+        # at most rows/max_df hashes; AQE broadcasts it at runtime).
+        ex = hashed.select(
+            "id", n.alias("_n"), F.explode_outer("hs").alias("h")
+        ).where(F.col("h").isNotNull())
         hot = (
-            index.groupBy("h")
+            ex.groupBy("h")
             .agg(F.count("*").alias("__df"))
             .where(F.col("__df") > max_df)
             .select("h")
         )
-        index = index.join(hot, "h", "left_anti")
+        cold = ex.join(hot, "h", "left_anti")
+        index = cold.select("id", "h")
+        filt = cold.groupBy("id", "_n").agg(
+            F.sort_array(F.collect_list("h")).alias("hs_f")
+        )
+        need = _ceil_mul(F.col("_n"), threshold) - (
+            F.col("_n") - F.size("hs_f")
+        )
+        plen = (
+            F.size("hs_f") - F.greatest(need, F.lit(1)) + F.lit(1)
+        ).cast("int")
+        probe = filt.select(
+            "id", F.explode_outer(F.slice("hs_f", F.lit(1), plen)).alias("h")
+        ).where(F.col("h").isNotNull())
     p, ix = probe.alias("p"), index.alias("ix")
     pairs = (
         p.join(
@@ -907,8 +974,9 @@ def _score_pairs_from_shingle_sets(
     shingled once upstream, never per pair — see `containment_pairs`).
     Element type is generic: string shingles give collision-free
     verification; shingle-HASH sets (the `containment_pairs` default)
-    are exact up to xxhash64 collisions (~2⁻⁶⁴), the documented
-    `ngram_jaccard_pairs` bound, and skip string materialization.
+    are exact up to hash collisions (~2⁻⁶³ for `_shingle_hash_array`,
+    the same order as `ngram_jaccard_pairs`' 2⁻⁶⁴ xxhash64 bound) and
+    skip string materialization.
     Broadcast policy matches `_verify_pairs_exact_jaccard`: only the slim
     (id_a, id_b) pair table is hinted; the set-attached intermediate is
     left to AQE.  The intersect/size step is its own projection so the
@@ -1790,23 +1858,23 @@ def contamination_spans(
     adjacent shingle windows coalesce into one span.
 
     Plan shape: corpus tokens materialize ONCE, positional shingles are
-    slices over the bound array (posexplode_outer + null guard — the
-    inferred-generate-filter trap), the benchmark side is a slim
-    DISTINCT (hash, bench_id) broadcast probe, and the interval merge is
-    one window + one groupBy keyed (doc, bench) over matched rows only —
-    at 100 TB the corpus never shuffles; only actual leak hits do."""
-    # NULL text must yield NO rows: greatest(n - k, 0) ignores a NULL n,
-    # so without this guard a NULL-text doc would fabricate one shingle
-    # hash (xxhash64 over a NULL slice returns the seed, not NULL) and
-    # could "match" another NULL-text doc — diverging from the oracle.
-    # Shingle identity = xxhash64 over the SLICE OF PER-TOKEN HASHES, not
-    # over a concat_ws string: hashing each token once and slicing the
-    # bigint array skips the per-position string build (O(k) char copies
-    # per shingle) — measured 22% faster steady-state / 3.6x cold on the
-    # sf0.1 bench corpus, identical match set (token-array equality is
-    # exactly the oracle's list-slice string equality for space-free
-    # tokens).  Both probe sides below derive hashes the same way,
-    # including the short-doc whole-array fallback.
+    rotation-XOR combines over the bound token-hash array
+    (posexplode_outer + null guard — the inferred-generate-filter trap),
+    the benchmark side is a slim DISTINCT (hash, bench_id) broadcast
+    probe, and the interval merge is one window + one groupBy keyed
+    (doc, bench) over matched rows only — at 100 TB the corpus never
+    shuffles; only actual leak hits do."""
+    # NULL text must yield NO rows: without this guard a NULL-text doc
+    # would fabricate one all-zero shingle hash (F.get over a NULL array
+    # is NULL, coalesced to the zero pad) and "match" another NULL-text
+    # doc — diverging from the oracle.
+    # Shingle identity = _shingle_hash_array over per-token hashes, not a
+    # concat_ws string: hashing each token once and bit-combining skips
+    # the per-position string build AND the per-position slice allocation
+    # (see the helper for the measured wins and the ~2⁻⁶³ collision
+    # bound — same order as the 2⁻⁶⁴ xxhash64 bound it replaces; match
+    # set identical on the bench corpus).  Both probe sides below derive
+    # hashes the same way, including the short-doc whole-array fallback.
     toks = corpus.select(
         F.col(id_col), _word_tokens(F.col(text_col)).alias("__toks")
     ).where(F.col("__toks").isNotNull())
@@ -1814,14 +1882,12 @@ def contamination_spans(
         id_col,
         F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th"),
     )
-    nh = F.size("__th")
-    starts = F.sequence(F.lit(0), F.greatest(nh - F.lit(k), F.lit(0)))
     positional = hashed.select(
         id_col,
-        nh.alias("__n"),
-        F.posexplode_outer(
-            F.transform(starts, lambda i: F.xxhash64(F.slice("__th", i + 1, k)))
-        ).alias("pos", "__h"),
+        F.size("__th").alias("__n"),
+        F.posexplode_outer(_shingle_hash_array("__th", k)).alias(
+            "pos", "__h"
+        ),
     ).where(F.col("__h").isNotNull())
     hits = positional.select(
         id_col,
@@ -1838,16 +1904,10 @@ def contamination_spans(
         bench_id_col,
         F.transform("__bt", lambda t: F.xxhash64(t)).alias("__bh"),
     )
-    bn = F.size("__bh")
-    bstarts = F.sequence(F.lit(0), F.greatest(bn - F.lit(k), F.lit(0)))
     bhash = (
         bh.select(
             F.col(bench_id_col),
-            F.explode_outer(
-                F.transform(
-                    bstarts, lambda i: F.xxhash64(F.slice("__bh", i + 1, k))
-                )
-            ).alias("__h"),
+            F.explode_outer(_shingle_hash_array("__bh", k)).alias("__h"),
         )
         .where(F.col("__h").isNotNull())
         .distinct()

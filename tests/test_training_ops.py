@@ -2232,6 +2232,64 @@ def test_containment_max_df_cap_keeps_true_pairs(spark):
     assert got == {(1, 2)}
 
 
+def test_containment_cap_semantics_exact(spark):
+    """Hash-scheme-independent property of the capped path: capped pairs
+    == exact pairs that share at least one COLD (df ≤ max_df) shingle.
+    Guards the probe-side prefix bug where hot shingles were removed from
+    the index only — a doc whose smallest sorted hashes were all hot
+    probed with dead keys and silently lost true pairs (whether the bug
+    fires depends on how the shingle hashes happen to sort, so this
+    asserts the semantics over a template-heavy corpus rather than one
+    lucky layout)."""
+    from pdf_to_epub_spark.operators import containment_pairs
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    tpl = "lorem ipsum dolor sit amet consectetur"
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(14):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12)))
+        # half the docs share a second template to vary per-doc hot counts
+        mid = "shared middle run here" if i % 2 == 0 else ""
+        rows.append((i, " ".join(x for x in (tpl, mid, body) if x)))
+    # two planted near-containment pairs with unique content
+    rows.append((100, tpl + " planted unique alpha bravo charlie delta"))
+    rows.append((101, tpl + " planted unique alpha bravo charlie delta echo"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    k, t, cap = 3, 0.6, 5
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in containment_pairs(df, k=k, threshold=t).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in containment_pairs(df, k=k, threshold=t, max_df=cap).collect()
+    }
+
+    # Python reference: which exact pairs share a cold shingle?
+    def shingles(text):
+        toks = text.strip().lower().split()
+        if len(toks) <= k:
+            return {tuple(toks[:k])}
+        return {tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    sets = {i: shingles(tx) for i, tx in rows}
+    dfreq = {}
+    for s in sets.values():
+        for sh in s:
+            dfreq[sh] = dfreq.get(sh, 0) + 1
+    expected = {
+        (a, b)
+        for (a, b) in exact
+        if any(dfreq[sh] <= cap for sh in sets[a] & sets[b])
+    }
+    assert capped == expected
+    assert (100, 101) in capped
+
+
 def test_no_inferred_generate_filter_reinlines_shingles(spark, dup_corpus):
     """InferFiltersFromGenerate turns a plain explode over a shingle-
     derived array into a pushed-down size()>0 filter with the WHOLE
