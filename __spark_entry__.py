@@ -500,6 +500,79 @@ def _q_html_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image segmentation + (image, caption) manifest (the north_star's
+    heading/paragraph/IMAGE leg): each document is wrapped JVM-side into
+    a page carrying a nav logo image (chrome), one content figure after
+    every 3rd non-blank line (src and alt are pure functions of
+    (doc_id, figure index)), and a protocol-relative footer badge —
+    then parsed back through the tag-stack image classifier
+    (extractlib/htmlblocks.parse_image_refs) and resolved with the shared
+    crawler href resolution.  The DuckDB oracle regenerates every
+    expected row directly from the documents table: n non-blank lines →
+    a boilerplate logo at seq 0, ⌊n/3⌋ content figures, and a
+    boilerplate badge at seq 1+⌊n/3⌋ with the scheme inherited from the
+    page origin."""
+    _ship_package(spark)
+    from pdf_to_epub_spark.operators import extract_image_refs
+    from pdf_to_epub_spark.operators.urls import _resolve_href
+    from pdf_to_epub_spark.sources.synth import NONBLANK_PATTERN
+
+    d = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("http://crawl.invalid/doc/"), doc_id)
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    lines = F.filter(F.split(esc, "\n"), lambda x: x.rlike(NONBLANK_PATTERN))
+    fig = lambda i: F.floor(i / 3).cast("int").cast("string")  # noqa: E731
+    paras = F.concat_ws(
+        "",
+        F.transform(
+            lines,
+            lambda x, i: F.concat(
+                F.lit("<p>"), x, F.lit("</p>"),
+                F.when(
+                    i % 3 == 2,
+                    F.concat(
+                        F.lit('<img src="/img/'), doc_id, F.lit("/"),
+                        fig(i), F.lit('.jpg" alt="Figure '), fig(i),
+                        F.lit(" of document "), doc_id, F.lit('">'),
+                    ),
+                ).otherwise(F.lit("")),
+            ),
+        ),
+    )
+    page = F.concat(
+        F.lit("<html><head><title>"), url,
+        F.lit(
+            '</title></head><body><nav><a href="/">Home</a> '
+            '<img src="/logo.png" alt="site logo"></nav><h1>Document '
+        ),
+        doc_id, F.lit("</h1>"),
+        paras,
+        F.lit(
+            '<footer><img src="//cdn.crawl.invalid/badge.png" alt="">'
+            "<p>(c) 2025 crawl.invalid "
+        ),
+        doc_id, F.lit("</p></footer></body></html>"),
+    )
+    pages = d.select(url.alias("url"), F.encode(page, "UTF-8").alias("html"))
+    refs = extract_image_refs(pages)
+    return refs.select(
+        "url",
+        F.col("seq").cast("long").alias("seq"),
+        "src",
+        F.col("alt").alias("caption"),
+        "boilerplate",
+        _resolve_href(F.col("src"), F.col("url")).alias("img_url"),
+    )
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates over a mutated re-crawl (each doc
     duplicated with its last word dropped → high-Jaccard pair)."""
@@ -7224,6 +7297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _q_event_sessions,
         # extraction surfaces (golden / construction oracles)
         "html_boilerplate_extract": _q_html_boilerplate_extract,
+        "image_caption_pairs": _q_image_caption_pairs,
         "extract_blocks": _q_extract_blocks,
         "assemble_documents": _q_assemble_documents,
         "epub_export": _q_epub_export,
@@ -12745,6 +12819,40 @@ def oracle_sql() -> dict[str, str]:
                    1::BIGINT AS n_headings,
                    n_paragraphs::BIGINT AS n_paragraphs
             FROM built
+        """,
+        "image_caption_pairs": """
+            WITH d AS (
+                SELECT doc_id,
+                       len(list_filter(string_split(text, chr(10)),
+                           x -> regexp_matches(x, '[^ \\t\\r]'))) AS n
+                FROM documents),
+            imgs AS (
+                SELECT doc_id, 0::BIGINT AS seq, '/logo.png' AS src,
+                       'site logo' AS caption, TRUE AS boilerplate,
+                       'http://crawl.invalid/logo.png' AS img_url
+                FROM d
+                UNION ALL
+                SELECT doc_id, (1 + k)::BIGINT,
+                       '/img/' || CAST(doc_id AS VARCHAR) || '/'
+                           || CAST(k AS VARCHAR) || '.jpg',
+                       'Figure ' || CAST(k AS VARCHAR) || ' of document '
+                           || CAST(doc_id AS VARCHAR),
+                       FALSE,
+                       'http://crawl.invalid/img/'
+                           || CAST(doc_id AS VARCHAR) || '/'
+                           || CAST(k AS VARCHAR) || '.jpg'
+                FROM (SELECT doc_id,
+                             unnest(generate_series(0, n // 3 - 1)) AS k
+                      FROM d)
+                UNION ALL
+                SELECT doc_id, (1 + n // 3)::BIGINT,
+                       '//cdn.crawl.invalid/badge.png', '', TRUE,
+                       'http://cdn.crawl.invalid/badge.png'
+                FROM d)
+            SELECT 'http://crawl.invalid/doc/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   seq, src, caption, boilerplate, img_url
+            FROM imgs
         """,
         # Deterministic-corpus golden: expected features per media_id
         # computed once by the same pure stdlib codecs, inlined as VALUES.

@@ -169,6 +169,61 @@ def parse_blocks(html: str) -> list[RawBlock]:
     return p.blocks
 
 
+@dataclass
+class ImageRef:
+    """One ``<img>`` in document order, classified with the same tag
+    prior the text blocks get (north_star: heading/paragraph/IMAGE
+    segmentation)."""
+
+    seq: int            # 0-based position among the page's images
+    src: str            # raw src attribute ('' if absent)
+    alt: str            # alt text — the (image, caption) pair's caption
+    boilerplate: bool   # inside nav/header/footer/aside or a suppressed
+    #                     subtree → chrome (logos, badges), not content
+
+
+class _ImageParser(_BlockParser):
+    """Block parser that also collects <img> references.  Images are
+    void elements the text parser skips entirely; here each one is
+    recorded with the boilerplate classification of its enclosing tag
+    stack.  Duplicate attributes keep the FIRST occurrence (browser
+    behavior), and ``<img …/>`` start-end tags funnel through
+    handle_starttag via HTMLParser's default handle_startendtag."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.images: list[ImageRef] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "img":
+            first: dict[str, str] = {}
+            for k, v in attrs:
+                if k not in first and v is not None:
+                    first[k] = v
+            self.images.append(
+                ImageRef(
+                    seq=len(self.images),
+                    src=first.get("src", "").strip(),
+                    alt=first.get("alt", "").strip(),
+                    boilerplate=self._in_boilerplate()
+                    or self._suppress_depth > 0,
+                )
+            )
+            return
+        super().handle_starttag(tag, attrs)
+
+
+def parse_image_refs(html: bytes | str) -> list[ImageRef]:
+    """HTML page → its ``<img>`` references in reading order, charset
+    resolution shared with the main-content mode (sniff_decode)."""
+    if isinstance(html, (bytes, bytearray)):
+        html, _ = sniff_decode(html)
+    p = _ImageParser()
+    p.feed(html)
+    p.close()
+    return p.images
+
+
 def numwords_is_content(
     prev: RawBlock | None, curr: RawBlock, nxt: RawBlock | None
 ) -> bool:

@@ -323,6 +323,90 @@ def blocks_table(extracted: DataFrame) -> DataFrame:
     )
 
 
+IMAGE_REFS_SCHEMA = (
+    "url string, seq int, src string, alt string, boilerplate boolean"
+)
+
+
+def extract_image_refs(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """pages → one row per ``<img>``: reading-order ``seq``, raw ``src``,
+    ``alt`` text, and the tag-prior ``boilerplate`` flag (inside
+    nav/header/footer/aside or a suppressed subtree → chrome, not
+    content) — the IMAGE leg of the north_star's heading/paragraph/image
+    segmentation, sharing the tag-stack classifier and charset sniffing
+    of the HTML main-content mode (extractlib/htmlblocks.py).
+
+    Plan shape matches the other binary extraction modes: narrow
+    (url, html) projection → one Arrow-batched Python stage; src
+    resolution and all downstream filtering stay JVM-side (see
+    :func:`image_caption_pairs`)."""
+    import pandas as pd
+
+    from pdf_to_epub_spark.extractlib.htmlblocks import parse_image_refs
+
+    narrowed = pages.select(
+        F.col(url_col).alias("url"), F.col(html_col).alias("html")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            urls: list = []
+            seqs: list = []
+            srcs: list = []
+            alts: list = []
+            bps: list = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                for r in parse_image_refs(html):
+                    urls.append(url)
+                    seqs.append(r.seq)
+                    srcs.append(r.src)
+                    alts.append(r.alt)
+                    bps.append(r.boilerplate)
+            if urls:
+                yield pd.DataFrame(
+                    {
+                        "url": pd.Series(urls, dtype="object"),
+                        "seq": pd.Series(seqs, dtype="int32"),
+                        "src": pd.Series(srcs, dtype="object"),
+                        "alt": pd.Series(alts, dtype="object"),
+                        "boilerplate": pd.Series(bps, dtype="bool"),
+                    }
+                )
+
+    return narrowed.mapInPandas(gen, IMAGE_REFS_SCHEMA)
+
+
+def image_caption_pairs(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    content_only: bool = True,
+) -> DataFrame:
+    """The multimodal training-data manifest: ``(url, seq, img_url,
+    caption)`` for every fetchable content image — the (image, caption)
+    pair extraction a CLIP-style image-text pipeline runs over a crawl
+    before the actual image fetch/decode (operators/multimodal.py takes
+    over from the fetched bytes).  Chrome images (the boilerplate flag:
+    logos, badges, nav art) are dropped by default; src resolution is the
+    crawler href resolution shared with outlink/anchor extraction
+    (operators/urls.py), which also drops fragments and non-fetchable
+    schemes (javascript:/mailto:/data:/tel:)."""
+    from pdf_to_epub_spark.operators.urls import _keepable_href, _resolve_href
+
+    refs = extract_image_refs(pages, html_col, url_col)
+    if content_only:
+        refs = refs.where(~F.col("boilerplate"))
+    src = F.col("src")
+    return refs.where(_keepable_href(src)).select(
+        "url",
+        "seq",
+        _resolve_href(src, F.col("url")).alias("img_url"),
+        F.col("alt").alias("caption"),
+    )
+
+
 def decode_binary_pages(docs: DataFrame, html_col: str = "html") -> DataFrame:
     """Binary-source decode surface: html bytes → text column.
 

@@ -465,3 +465,73 @@ def test_charset_sniffing_review_fixes():
     text, cs = sniff_decode(page)
     assert cs in ("utf-8", "cp1252") and "ok" in text
     assert "“q”" in text
+
+
+# ---------------------------------------------------------------------------
+# Image segmentation (north_star: heading/paragraph/IMAGE)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_image_refs_order_attrs_and_boilerplate():
+    from pdf_to_epub_spark.extractlib.htmlblocks import parse_image_refs
+
+    page = (
+        '<html><body><nav><img src="/logo.png" alt="logo"></nav>'
+        "<p>one</p>"
+        '<img src="a.jpg" alt=" padded ">'
+        '<figure><img src="/fig.png"></figure>'          # no alt
+        '<img alt="no src">'                             # no src
+        '<img src="dup1.png" src="dup2.png" alt="x" alt="y">'  # first wins
+        '<img src="self.png" alt="self-closed"/>'        # startend tag
+        '<footer><img src="b.png" alt="badge"></footer>'
+        '<script>var s = \'<img src="ghost.png">\';</script>'
+        "</body></html>"
+    )
+    refs = parse_image_refs(page)
+    # the script-embedded img IS parsed by html.parser (script content is
+    # CDATA-ish but the tokenizer still sees the tag only via handle_data —
+    # verify it is NOT emitted: html.parser treats <script> content as raw
+    # text, so no ghost tag).
+    assert [r.src for r in refs] == [
+        "/logo.png", "a.jpg", "/fig.png", "", "dup1.png", "self.png", "b.png"
+    ]
+    assert [r.seq for r in refs] == list(range(7))
+    assert [r.alt for r in refs] == [
+        "logo", "padded", "", "no src", "x", "self-closed", "badge"
+    ]
+    assert [r.boilerplate for r in refs] == [
+        True, False, False, False, False, False, True
+    ]
+    # bytes input goes through sniff_decode
+    assert parse_image_refs(page.encode("utf-8"))[0].src == "/logo.png"
+
+
+def test_image_caption_pairs_operator(spark):
+    from pdf_to_epub_spark.operators import image_caption_pairs
+
+    rows = [
+        (
+            "http://ex.org/a/page.html",
+            (
+                '<html><body><nav><img src="/logo.png" alt="logo"></nav>'
+                '<p>text</p><img src="pic.jpg" alt="A cat">'
+                '<img src="//cdn.ex.org/c.png" alt="proto-relative">'
+                '<img src="http://other.org/d.png" alt="absolute">'
+                '<img src="data:image/gif;base64,AA" alt="inline">'
+                '<img src="" alt="empty src">'
+                "</body></html>"
+            ).encode("utf-8"),
+        )
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = {
+        (r.seq, r.img_url, r.caption)
+        for r in image_caption_pairs(pages).collect()
+    }
+    # logo dropped (boilerplate), data: and empty src dropped (not
+    # fetchable); relative/origin/protocol-relative/absolute all resolve
+    assert got == {
+        (1, "http://ex.org/a/pic.jpg", "A cat"),
+        (2, "http://cdn.ex.org/c.png", "proto-relative"),
+        (3, "http://other.org/d.png", "absolute"),
+    }
