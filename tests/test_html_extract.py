@@ -535,3 +535,56 @@ def test_image_caption_pairs_operator(spark):
         (2, "http://cdn.ex.org/c.png", "proto-relative"),
         (3, "http://other.org/d.png", "absolute"),
     }
+
+
+def test_image_manifest_to_media_features_composition(spark):
+    """End-to-end multimodal leg: pages → (image_url, caption) manifest →
+    (simulated fetch: deterministic BMP bytes per image_url) →
+    extract_media_features.  The fetch itself needs a network a cluster
+    job would have; everything around it — manifest extraction, the
+    join shape, container sniff, decode — runs for real."""
+    from pyspark.sql import functions as F
+
+    from pdf_to_epub_spark.functions.mediacodec import make_bmp
+    from pdf_to_epub_spark.operators import image_caption_pairs
+    from pdf_to_epub_spark.operators.multimodal import extract_media_features
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "http://ex.org/p1",
+                (
+                    '<html><body><p>x</p><img src="/a.bmp" alt="one">'
+                    '<img src="/b.bmp" alt="two"></body></html>'
+                ).encode(),
+            ),
+            (
+                "http://ex.org/p2",
+                '<html><body><img src="/c.bmp" alt="three"></body></html>'.encode(),
+            ),
+        ],
+        "url string, html binary",
+    )
+    manifest = image_caption_pairs(pages)
+
+    # deterministic "fetched" payloads: width varies per image basename
+    def fake_fetch(img_url: str) -> bytes:
+        w = 2 + (ord(img_url.rsplit("/", 1)[1][0]) - ord("a"))
+        return make_bmp(w, 2, lambda x, y: (10 * x, 10 * y, 0))
+
+    rows = [
+        (i, r.img_url, r.caption, fake_fetch(r.img_url))
+        for i, r in enumerate(sorted(manifest.collect(), key=lambda r: r.img_url))
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, url string, caption string, payload binary"
+    ).withColumn("media_type", F.lit("image"))
+    feats = {
+        (r.url, r.width, r.height, r.status)
+        for r in extract_media_features(media).collect()
+    }
+    assert feats == {
+        ("http://ex.org/a.bmp", 2, 2, "ok"),
+        ("http://ex.org/b.bmp", 3, 2, "ok"),
+        ("http://ex.org/c.bmp", 4, 2, "ok"),
+    }
