@@ -427,22 +427,41 @@ def mutated_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _boilerplate_page_expr() -> F.Column:
-    """The synthetic Common-Crawl-style page as a Column over (doc_id,
-    text) — JVM-side twin of sources/synth.make_boilerplate_page, shared
-    by the extraction and extraction-eval queries."""
-    from pdf_to_epub_spark.sources.synth import _AD, _ASIDE, _NAV, NONBLANK_PATTERN
-
-    doc_id = F.col("doc_id").cast("string")
-    url = F.concat(F.lit("doc://"), doc_id)
-    esc = F.replace(
+def _html_escape_expr(col: F.Column) -> F.Column:
+    """&/</> escape chain — the JVM twin of the Python escaping in
+    sources/synth.make_boilerplate_page; shared by every synthetic-page
+    construction so the rule exists in exactly one place."""
+    return F.replace(
         F.replace(
-            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.replace(col, F.lit("&"), F.lit("&amp;")),
             F.lit("<"), F.lit("&lt;"),
         ),
         F.lit(">"), F.lit("&gt;"),
     )
-    lines = F.filter(F.split(esc, "\n"), lambda x: x.rlike(NONBLANK_PATTERN))
+
+
+def _page_lines_expr() -> F.Column:
+    """HTML-escaped non-blank lines of ``text`` as an array Column — the
+    shared fragment of the paragraph-bearing page-construction twins (the
+    escape chain and the NONBLANK_PATTERN blankness rule are load-bearing
+    for query/oracle agreement)."""
+    from pdf_to_epub_spark.sources.synth import NONBLANK_PATTERN
+
+    return F.filter(
+        F.split(_html_escape_expr(F.col("text")), "\n"),
+        lambda x: x.rlike(NONBLANK_PATTERN),
+    )
+
+
+def _boilerplate_page_expr() -> F.Column:
+    """The synthetic Common-Crawl-style page as a Column over (doc_id,
+    text) — JVM-side twin of sources/synth.make_boilerplate_page, shared
+    by the extraction and extraction-eval queries."""
+    from pdf_to_epub_spark.sources.synth import _AD, _ASIDE, _NAV
+
+    doc_id = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("doc://"), doc_id)
+    lines = _page_lines_expr()
     paras = F.concat_ws(
         "",
         F.transform(
@@ -516,19 +535,11 @@ def _q_image_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ship_package(spark)
     from pdf_to_epub_spark.operators import extract_image_refs
     from pdf_to_epub_spark.operators.urls import _resolve_href
-    from pdf_to_epub_spark.sources.synth import NONBLANK_PATTERN
 
     d = _t(spark, sf_dir, "documents")
     doc_id = F.col("doc_id").cast("string")
     url = F.concat(F.lit("http://crawl.invalid/doc/"), doc_id)
-    esc = F.replace(
-        F.replace(
-            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
-            F.lit("<"), F.lit("&lt;"),
-        ),
-        F.lit(">"), F.lit("&gt;"),
-    )
-    lines = F.filter(F.split(esc, "\n"), lambda x: x.rlike(NONBLANK_PATTERN))
+    lines = _page_lines_expr()
     fig = lambda i: F.floor(i / 3).cast("int").cast("string")  # noqa: E731
     paras = F.concat_ws(
         "",
@@ -3179,13 +3190,7 @@ def _q_binary_decode_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs_as_pages(_t(spark, sf_dir, "documents"))
-    body = F.replace(
-        F.replace(
-            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
-            F.lit("<"), F.lit("&lt;"),
-        ),
-        F.lit(">"), F.lit("&gt;"),
-    )
+    body = _html_escape_expr(F.col("text"))
     page = F.concat(
         F.lit("<html><head><title>"), F.col("url"),
         F.lit("</title></head><body><pre>"), body,

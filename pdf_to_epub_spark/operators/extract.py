@@ -341,11 +341,16 @@ def extract_image_refs(
     Plan shape matches the other binary extraction modes: narrow
     (url, html) projection → one Arrow-batched Python stage; src
     resolution and all downstream filtering stay JVM-side (see
-    :func:`image_caption_pairs`)."""
+    :func:`image_caption_pairs`).  Error isolation mirrors the sibling
+    modes' contract: a NULL, oversized (> ``max_page_bytes``), or
+    unparseable page contributes zero manifest rows instead of killing
+    the task — a manifest has no status column to quarantine into, and
+    one bad crawl row must never fail the job."""
     import pandas as pd
 
     from pdf_to_epub_spark.extractlib.htmlblocks import parse_image_refs
 
+    max_page_bytes = 50_000_000
     narrowed = pages.select(
         F.col(url_col).alias("url"), F.col(html_col).alias("html")
     )
@@ -358,7 +363,13 @@ def extract_image_refs(
             alts: list = []
             bps: list = []
             for url, html in zip(pdf["url"], pdf["html"]):
-                for r in parse_image_refs(html):
+                if html is None or len(html) > max_page_bytes:
+                    continue
+                try:
+                    refs = parse_image_refs(html)
+                except Exception:
+                    continue
+                for r in refs:
                     urls.append(url)
                     seqs.append(r.seq)
                     srcs.append(r.src)
@@ -399,7 +410,17 @@ def image_caption_pairs(
     if content_only:
         refs = refs.where(~F.col("boilerplate"))
     src = F.col("src")
-    return refs.where(_keepable_href(src)).select(
+    # Scheme allowlist, not just the 4-scheme denylist: an unrecognized
+    # scheme (file:, ftp:, blob:, about:) slips past _keepable_href and
+    # _resolve_href's otherwise-branch would fabricate
+    # "http://host/dir/file:///…" — a URL a downstream fetcher would
+    # actually request.  Fetchable = absolute http(s), or no scheme at
+    # all (relative / origin / protocol-relative forms, which resolve
+    # against the http(s) page URL).
+    fetchable = src.rlike(r"^(?i)https?://") | ~src.rlike(
+        r"^[A-Za-z][A-Za-z0-9+.\-]*:"
+    )
+    return refs.where(_keepable_href(src) & fetchable).select(
         "url",
         "seq",
         _resolve_href(src, F.col("url")).alias("img_url"),
