@@ -519,6 +519,8 @@ def test_image_caption_pairs_operator(spark):
                 '<img src="http://other.org/d.png" alt="absolute">'
                 '<img src="data:image/gif;base64,AA" alt="inline">'
                 '<img src="" alt="empty src">'
+                '<img src="file:///etc/passwd.png" alt="local">'
+                '<img src="ftp://mirror/x.png" alt="ftp">'
                 "</body></html>"
             ).encode("utf-8"),
         )
@@ -528,13 +530,30 @@ def test_image_caption_pairs_operator(spark):
         (r.seq, r.img_url, r.caption)
         for r in image_caption_pairs(pages).collect()
     }
-    # logo dropped (boilerplate), data: and empty src dropped (not
-    # fetchable); relative/origin/protocol-relative/absolute all resolve
+    # logo dropped (boilerplate); data:, empty, file:, ftp: dropped (the
+    # scheme allowlist — a non-http scheme must NOT resolve into a
+    # fabricated "http://host/dir/file:///…" fetch target);
+    # relative/origin/protocol-relative/absolute all resolve
     assert got == {
         (1, "http://ex.org/a/pic.jpg", "A cat"),
         (2, "http://cdn.ex.org/c.png", "proto-relative"),
         (3, "http://other.org/d.png", "absolute"),
     }
+
+
+def test_image_manifest_error_isolation(spark):
+    """NULL / oversized / unparseable pages contribute zero manifest rows
+    instead of killing the job."""
+    from pdf_to_epub_spark.operators import extract_image_refs
+
+    rows = [
+        ("http://ex.org/null", None),
+        ("http://ex.org/ok", b'<img src="/a.png" alt="a">'),
+        ("http://ex.org/garbage", b"\x00\xff<not html"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = [(r.url, r.src) for r in extract_image_refs(pages).collect()]
+    assert got == [("http://ex.org/ok", "/a.png")]
 
 
 def test_image_manifest_to_media_features_composition(spark):
