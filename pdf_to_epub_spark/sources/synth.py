@@ -223,12 +223,36 @@ def make_documents(n: int, seed: int = 42) -> list[dict]:
     return rows
 
 
-def write_parquet(path: str, n: int, seed: int = 42, n_files: int = 1) -> None:
+def url_bucket(url: str, n_buckets: int) -> int:
+    """Deterministic url-hash bucket — the pyarrow-side emulation of an
+    Iceberg ``bucket(N, url)`` table layout (DEPLOYMENT.md §Iceberg).  Any
+    stable hash works (readers never recompute it; the layout's value is
+    that each file holds a disjoint, skew-free url slice); md5 keeps it
+    library-free and reproducible."""
+    import hashlib
+
+    return int(hashlib.md5(url.encode("utf-8")).hexdigest()[:15], 16) % n_buckets
+
+
+def write_parquet(
+    path: str,
+    n: int,
+    seed: int = 42,
+    n_files: int = 1,
+    bucket_by_url: bool = False,
+) -> None:
     """Materialize a corpus (pyarrow; no Spark needed).
 
     ``n_files > 1`` writes a directory of part files — the realistic shape
     of a crawl corpus, and what lets the Spark scan parallelize instead of
-    treating one jumbo file as a single input split."""
+    treating one jumbo file as a single input split.
+
+    ``bucket_by_url=True`` assigns rows to files by url-hash instead of
+    sequential chunks — the on-disk shape of the Iceberg ``bucket(N,
+    url)`` layout the 100 TB deployment prescribes, under which extraction
+    runs shuffle-free (``salt_partitions=None``): capture skew is already
+    dead at the storage layer, so the runtime salt repartition (the
+    fallback for unbucketed input) is pure overhead."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -249,15 +273,19 @@ def write_parquet(path: str, n: int, seed: int = 42, n_files: int = 1) -> None:
 
     out = pathlib.Path(path)
     out.mkdir(parents=True, exist_ok=True)
-    per = (n + n_files - 1) // n_files
-    for i in range(n_files):
-        chunk = rows[i * per : (i + 1) * per]
-        if not chunk:
-            break
-        pq.write_table(
-            pa.Table.from_pylist(chunk, schema=schema),
-            out / f"part-{i:04d}.parquet",
-        )
+    if bucket_by_url:
+        chunks: list[list[dict]] = [[] for _ in range(n_files)]
+        for r in rows:
+            chunks[url_bucket(r["url"], n_files)].append(r)
+    else:
+        per = (n + n_files - 1) // n_files
+        chunks = [rows[i * per : (i + 1) * per] for i in range(n_files)]
+    for i, chunk in enumerate(chunks):
+        if chunk:
+            pq.write_table(
+                pa.Table.from_pylist(chunk, schema=schema),
+                out / f"part-{i:04d}.parquet",
+            )
 
 
 if __name__ == "__main__":
@@ -320,11 +348,13 @@ def expected_main_content(doc_id: int, text: str) -> str:
 
 
 def write_boilerplate_parquet(
-    path: str, n: int, seed: int = 42, n_files: int = 1
+    path: str, n: int, seed: int = 42, n_files: int = 1,
+    bucket_by_url: bool = False,
 ) -> None:
     """Materialize a corpus of full boilerplate PAGES (html =
     make_boilerplate_page around each document's text) — the input for the
-    HTML-mode extraction benchmarks."""
+    HTML-mode extraction benchmarks.  ``bucket_by_url`` as in
+    `write_parquet`: the Iceberg ``bucket(N, url)`` on-disk emulation."""
     import pathlib
 
     import pyarrow as pa
@@ -353,9 +383,14 @@ def write_boilerplate_parquet(
         return
     out = pathlib.Path(path)
     out.mkdir(parents=True, exist_ok=True)
-    per = -(-len(rows) // n_files)
-    for f in range(n_files):
-        chunk = rows[f * per:(f + 1) * per]
+    if bucket_by_url:
+        chunks: list[list[dict]] = [[] for _ in range(n_files)]
+        for r in rows:
+            chunks[url_bucket(r["url"], n_files)].append(r)
+    else:
+        per = -(-len(rows) // n_files)
+        chunks = [rows[f * per:(f + 1) * per] for f in range(n_files)]
+    for f, chunk in enumerate(chunks):
         if chunk:
             pq.write_table(
                 pa.Table.from_pylist(chunk, schema=schema),

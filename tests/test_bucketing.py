@@ -146,3 +146,31 @@ def test_iceberg_recipe_contract_with_mocked_catalog(spark, monkeypatch):
     finally:
         spark.sql("DROP TABLE IF EXISTS pages_ct")
         spark.sql("DROP TABLE IF EXISTS pages_done_ct")
+
+
+def test_url_bucketed_parquet_layout(spark, tmp_path):
+    """`write_parquet(bucket_by_url=True)` — the pyarrow emulation of the
+    Iceberg bucket(N, url) layout the bench extraction path reads — must
+    hold the SAME row multiset as the chunked writer, with per-file url
+    sets that are disjoint and consistent with `url_bucket`."""
+    import pyarrow.parquet as pq
+
+    from pdf_to_epub_spark.sources.synth import url_bucket, write_parquet
+
+    chunked, bucketed = tmp_path / "chunked", tmp_path / "bucketed"
+    write_parquet(str(chunked), 120, seed=31, n_files=8)
+    write_parquet(str(bucketed), 120, seed=31, n_files=8, bucket_by_url=True)
+
+    a = spark.read.parquet(str(chunked))
+    b = spark.read.parquet(str(bucketed))
+    assert a.count() == b.count() == 120
+    # identical row multiset (urls are unique keys in the synth corpus)
+    assert a.join(b, ["url", "text"]).count() == 120
+
+    # every file holds exactly its url_bucket slice — disjoint by
+    # construction, so a reader may treat file == bucket
+    for f in sorted(bucketed.iterdir()):
+        idx = int(f.name.split("-")[1].split(".")[0])
+        urls = pq.read_table(f, columns=["url"]).column("url").to_pylist()
+        assert urls, f.name
+        assert {url_bucket(u, 8) for u in urls} == {idx}
