@@ -120,3 +120,20 @@ def test_quarantine_on_error(spark):
     out = extract_documents(df)
     by_status = {r["url"]: r["status"] for r in out.collect()}
     assert by_status == {"u://bad": "error", "u://ok": "ok"}
+
+
+def test_bucketed_layout_extraction_is_shuffle_free(spark, tmp_path):
+    """The deployment path (Iceberg bucket(N, url) input layout, emulated
+    by `write_parquet(bucket_by_url=True)`) must run extraction with NO
+    shuffle exchange: scan partitions flow straight into the Arrow stage.
+    The salted fallback (`salt_partitions=N`) is the one that pays a
+    repartition — pinned here so the bench's two entries keep meaning."""
+    from pdf_to_epub_spark.operators.bucketing import plan_has_exchange
+    from pdf_to_epub_spark.sources.synth import write_parquet
+
+    path = tmp_path / "bucketed_corpus"
+    write_parquet(str(path), 40, seed=17, n_files=4, bucket_by_url=True)
+    docs = spark.read.parquet(str(path))
+
+    assert not plan_has_exchange(extract_documents(docs, salt_partitions=None))
+    assert plan_has_exchange(extract_documents(docs, salt_partitions=8))
