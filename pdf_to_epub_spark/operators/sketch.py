@@ -39,12 +39,15 @@ def cms_sketch(
     standard vocab-sized shuffle), THEN the ``depth`` bucket hashes per
     *distinct* token, weighted by its count.  The counters are
     mathematically identical to hashing every occurrence, but the md5 work
-    drops from ``depth × occurrences`` to ``depth × |vocab|`` — on a text
-    corpus that is a 30-100× hash-cost cut (measured 6.2 s → sub-second on
-    the sf0.1 bench), and at 100 TB the heavy CPU stage scales with the
-    vocabulary, not the token stream.  The final (row, bucket) aggregation
-    still has at most depth×width groups, so the second shuffle stays a
-    fixed few KB regardless of corpus size."""
+    drops from ``depth × occurrences`` to ``depth × |vocab|`` — a
+    controlled warm A/B at sf0.1/local[32] measured 1.81 s → 1.01 s
+    (cold JVM 7.5 s → 1.7 s), and at 100 TB the heavy CPU stage scales
+    with the vocabulary, not the token stream.  (Only worth it for
+    genuinely low-cardinality values like word tokens or domains —
+    shingle ids are near-occurrence cardinality and would pay the
+    pre-aggregation shuffle for nothing.)  The final (row, bucket)
+    aggregation still has at most depth×width groups, so the second
+    shuffle stays a fixed few KB regardless of corpus size."""
     tok_counts = (
         df.select(F.explode(_tokens(text_col)).alias("tok"))
         .groupBy("tok")

@@ -234,6 +234,41 @@ def url_bucket(url: str, n_buckets: int) -> int:
     return int(hashlib.md5(url.encode("utf-8")).hexdigest()[:15], 16) % n_buckets
 
 
+def _write_part_files(
+    rows: list, schema, path: str, n_files: int, bucket_by_url: bool,
+    name_fmt: str,
+) -> None:
+    """Shared chunk-and-write tail of the corpus writers: one file at
+    ``n_files <= 1``, else sequential chunks or (``bucket_by_url``) the
+    url-hash bucket layout — file i holds exactly bucket i, so a reader
+    may treat file == Iceberg ``bucket(N, url)`` partition.  Empty
+    buckets write no file.  ``name_fmt`` preserves each caller's
+    historical part naming (cache directories are keyed by content)."""
+    import pathlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if n_files <= 1:
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
+        return
+    out = pathlib.Path(path)
+    out.mkdir(parents=True, exist_ok=True)
+    if bucket_by_url:
+        chunks: list[list[dict]] = [[] for _ in range(n_files)]
+        for r in rows:
+            chunks[url_bucket(r["url"], n_files)].append(r)
+    else:
+        per = (len(rows) + n_files - 1) // n_files
+        chunks = [rows[i * per : (i + 1) * per] for i in range(n_files)]
+    for i, chunk in enumerate(chunks):
+        if chunk:
+            pq.write_table(
+                pa.Table.from_pylist(chunk, schema=schema),
+                out / name_fmt.format(i),
+            )
+
+
 def write_parquet(
     path: str,
     n: int,
@@ -254,7 +289,6 @@ def write_parquet(
     dead at the storage layer, so the runtime salt repartition (the
     fallback for unbucketed input) is pure overhead."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     schema = pa.schema(
         [
@@ -266,26 +300,9 @@ def write_parquet(
         ]
     )
     rows = make_documents(n, seed)
-    if n_files <= 1:
-        pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
-        return
-    import pathlib
-
-    out = pathlib.Path(path)
-    out.mkdir(parents=True, exist_ok=True)
-    if bucket_by_url:
-        chunks: list[list[dict]] = [[] for _ in range(n_files)]
-        for r in rows:
-            chunks[url_bucket(r["url"], n_files)].append(r)
-    else:
-        per = (n + n_files - 1) // n_files
-        chunks = [rows[i * per : (i + 1) * per] for i in range(n_files)]
-    for i, chunk in enumerate(chunks):
-        if chunk:
-            pq.write_table(
-                pa.Table.from_pylist(chunk, schema=schema),
-                out / f"part-{i:04d}.parquet",
-            )
+    _write_part_files(
+        rows, schema, path, n_files, bucket_by_url, "part-{:04d}.parquet"
+    )
 
 
 if __name__ == "__main__":
@@ -355,10 +372,7 @@ def write_boilerplate_parquet(
     make_boilerplate_page around each document's text) — the input for the
     HTML-mode extraction benchmarks.  ``bucket_by_url`` as in
     `write_parquet`: the Iceberg ``bucket(N, url)`` on-disk emulation."""
-    import pathlib
-
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     schema = pa.schema(
         [
@@ -378,21 +392,6 @@ def write_boilerplate_parquet(
                 "lang": r["lang"],
             }
         )
-    if n_files <= 1:
-        pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
-        return
-    out = pathlib.Path(path)
-    out.mkdir(parents=True, exist_ok=True)
-    if bucket_by_url:
-        chunks: list[list[dict]] = [[] for _ in range(n_files)]
-        for r in rows:
-            chunks[url_bucket(r["url"], n_files)].append(r)
-    else:
-        per = -(-len(rows) // n_files)
-        chunks = [rows[f * per:(f + 1) * per] for f in range(n_files)]
-    for f, chunk in enumerate(chunks):
-        if chunk:
-            pq.write_table(
-                pa.Table.from_pylist(chunk, schema=schema),
-                out / f"part-{f:05d}.parquet",
-            )
+    _write_part_files(
+        rows, schema, path, n_files, bucket_by_url, "part-{:05d}.parquet"
+    )
