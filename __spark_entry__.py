@@ -7121,6 +7121,92 @@ def _q_latex_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latex_section_stats(documents_as_latex(d))
 
 
+def _q_llr_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood keyness (ir.llr_keyness) between the
+    English half and the rest of the documents table: per-word G² with
+    the 0·ln0 guard and a fixed pooled-expectation operation order the
+    oracle replays term-for-term; enrichment direction decided by the
+    exact decimal cross-product, never a float rate."""
+    from pdf_to_epub_spark.operators import llr_keyness
+
+    d = _t(spark, sf_dir, "documents").select("text", "lang")
+    return llr_keyness(
+        d.where(F.col("lang") == "en"),
+        d.where(F.col("lang") != "en"),
+        min_count=5,
+    )
+
+
+def _q_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (evaluate.rank_sum_test) between
+    residue-split halves of an integer score with a built-in +5 shift
+    and heavy ties — average ranks and the tie-corrected variance are
+    assembled from the DISTINCT-VALUE table only (exact decimal
+    integers), so the oracle's closed-form window replay matches
+    bit-for-bit."""
+    from pdf_to_epub_spark.operators import rank_sum_test
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    df = d.select(
+        (i % 2).cast("string").alias("group"),
+        ((i * 13) % 40 + F.lit(5) * (i % 2)).cast("long").alias("value"),
+    )
+    return rank_sum_test(df)
+
+
+def _q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT archive keys (urls.surt_key) over deterministically-built
+    dirty URLs exercising every rule: mixed case, www/www2 stripping
+    (and an 'm.' label that must NOT strip), ports, query sorting with
+    empty-param drops, fragments, and empty paths."""
+    from pdf_to_epub_spark.operators import surt_keys
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTP://"),
+        F.when(i % 4 == 0, F.lit("WWW."))
+        .when(i % 4 == 1, F.lit("www2."))
+        .when(i % 4 == 2, F.lit("M."))
+        .otherwise(F.lit("")),
+        F.lit("News"),
+        (i % 7).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(i % 3 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.when(i % 2 == 0, F.concat(F.lit("/Path/"), i.cast("string")))
+        .otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit("?b=2&a=1"))
+        .when(i % 5 == 1, F.lit("?z=9&&a=1"))
+        .otherwise(F.lit("")),
+        F.when(i % 6 == 0, F.lit("#Frag")).otherwise(F.lit("")),
+    )
+    return surt_keys(d.select("doc_id", url.alias("url"))).select(
+        "doc_id", "url", "surt"
+    )
+
+
+def _q_cdx_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style capture counts per SURT prefix (urls.cdx_prefix_counts,
+    depth 2 ≈ registrable domain): synthesized multi-subdomain URLs with
+    deliberate path collisions so n_urls < n_captures on some prefixes;
+    the oracle derives prefix and SURT in closed form from the same
+    residues — an independent derivation, not a transform replay."""
+    from pdf_to_epub_spark.operators import cdx_prefix_counts
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://sub"),
+        (i % 5).cast("string"),
+        F.lit(".site"),
+        (i % 11).cast("string"),
+        F.lit(".com/p/"),
+        (i % 20).cast("string"),
+    )
+    return cdx_prefix_counts(d.select(url.alias("url")), depth=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -7413,6 +7499,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unidiff_stats": _q_unidiff_stats,
         "ipynb_cells": _q_ipynb_cells,
         "latex_sections": _q_latex_sections,
+        "llr_keyness": _q_llr_keyness,
+        "rank_sum_test": _q_rank_sum_test,
+        "surt_keys": _q_surt_keys,
+        "cdx_prefixes": _q_cdx_prefixes,
     }
 
 
@@ -15195,5 +15285,160 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(agg.n_prose, 0)::BIGINT AS n_prose_lines
             FROM sb LEFT JOIN agg
                 ON sb.doc_id = agg.doc_id AND sb.s = agg.s
+        """,
+        "llr_keyness": """
+            WITH toks AS (
+                SELECT lang,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-zà-öø-ÿ]+')) AS w
+                FROM documents),
+            ca AS (SELECT w, count(*)::BIGINT AS k_a FROM toks
+                   WHERE lang = 'en' GROUP BY w),
+            cb AS (SELECT w, count(*)::BIGINT AS k_b FROM toks
+                   WHERE lang <> 'en' GROUP BY w),
+            na AS (SELECT sum(k_a)::BIGINT AS n_a FROM ca),
+            nb AS (SELECT sum(k_b)::BIGINT AS n_b FROM cb),
+            j AS (
+                SELECT coalesce(ca.w, cb.w) AS word,
+                       coalesce(k_a, 0)::BIGINT AS k_a,
+                       coalesce(k_b, 0)::BIGINT AS k_b
+                FROM ca FULL OUTER JOIN cb ON ca.w = cb.w
+                WHERE coalesce(k_a, 0) + coalesce(k_b, 0) >= 5),
+            m AS (
+                SELECT word, k_a, k_b,
+                       k_a::DOUBLE AS ka, k_b::DOUBLE AS kb,
+                       n_a, n_b,
+                       n_a::DOUBLE AS da, n_b::DOUBLE AS db
+                FROM j, na, nb)
+            SELECT word, k_a, k_b,
+                   round(2.0 * (
+                       (CASE WHEN ka > 0 THEN ka * ln(ka /
+                            (da * ((ka + kb) / (da + db)))) ELSE 0.0 END)
+                     + (CASE WHEN kb > 0 THEN kb * ln(kb /
+                            (db * ((ka + kb) / (da + db)))) ELSE 0.0 END)
+                   ), 6) + 0.0 AS g2,
+                   CASE WHEN k_a::HUGEINT * n_b::HUGEINT
+                             > k_b::HUGEINT * n_a::HUGEINT THEN 'a'
+                        WHEN k_a::HUGEINT * n_b::HUGEINT
+                             < k_b::HUGEINT * n_a::HUGEINT THEN 'b'
+                        ELSE 'tie' END AS enriched_in
+            FROM m
+        """,
+        "rank_sum_test": """
+            WITH d AS (
+                SELECT (doc_id % 2)::VARCHAR AS g,
+                       ((doc_id * 13) % 40 + 5 * (doc_id % 2))::BIGINT AS v
+                FROM documents),
+            pv AS (
+                SELECT v, count(*)::HUGEINT AS c,
+                       sum((g = '0')::INT)::HUGEINT AS c_a
+                FROM d GROUP BY v),
+            rk AS (
+                SELECT v, c, c_a,
+                       coalesce(sum(c) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS off
+                FROM pv),
+            s AS (
+                SELECT sum(c_a * (2 * off + c + 1)) AS two_r_a,
+                       sum(c * c * c - c) AS tie_sum,
+                       sum(c_a)::BIGINT AS n_a,
+                       sum(c - c_a)::BIGINT AS n_b
+                FROM rk),
+            m AS (
+                SELECT n_a, n_b,
+                       two_r_a::DOUBLE / 2.0
+                           - n_a::DOUBLE * (n_a::DOUBLE + 1.0) / 2.0 AS u_a,
+                       n_a::DOUBLE AS na, n_b::DOUBLE AS nb,
+                       tie_sum::DOUBLE AS ts
+                FROM s),
+            v2 AS (
+                SELECT n_a, n_b, u_a, na, nb,
+                       na * nb - u_a AS u_b,
+                       (na * nb / 12.0) * ((na + nb + 1.0)
+                           - ts / ((na + nb) * (na + nb - 1.0))) AS var
+                FROM m)
+            SELECT '0' AS group_a, '1' AS group_b, n_a, n_b,
+                   u_a + 0.0 AS u_a, u_b + 0.0 AS u_b,
+                   CASE WHEN var > 0
+                        THEN round((u_a - na * nb / 2.0) / sqrt(var), 6)
+                             + 0.0
+                   END AS z,
+                   CASE WHEN var > 0 THEN
+                       abs((u_a - na * nb / 2.0) / sqrt(var))
+                           > 1.959963984540054::DOUBLE
+                   ELSE FALSE END AS significant
+            FROM v2
+        """,
+        "surt_keys": r"""
+            WITH built AS (
+                SELECT doc_id,
+                       'HTTP://'
+                       || CASE WHEN doc_id % 4 = 0 THEN 'WWW.'
+                               WHEN doc_id % 4 = 1 THEN 'www2.'
+                               WHEN doc_id % 4 = 2 THEN 'M.'
+                               ELSE '' END
+                       || 'News' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.Example.COM'
+                       || CASE WHEN doc_id % 3 = 0 THEN ':8080'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN '/Path/' || CAST(doc_id AS VARCHAR)
+                               ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0 THEN '?b=2&a=1'
+                               WHEN doc_id % 5 = 1 THEN '?z=9&&a=1'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 6 = 0 THEN '#Frag'
+                               ELSE '' END AS url
+                FROM documents),
+            s1 AS (SELECT doc_id, url,
+                          regexp_replace(
+                              regexp_replace(lower(url), '#.*$', ''),
+                              '^[a-z][a-z0-9+.\-]*://', '') AS u
+                   FROM built),
+            s2 AS (SELECT doc_id, url, u,
+                          regexp_extract(u, '^([^/?]*)', 1) AS head
+                   FROM s1),
+            s3 AS (SELECT doc_id, url,
+                          substr(u, length(head) + 1) AS rest,
+                          regexp_extract(head, ':(\d+)$', 1) AS port,
+                          regexp_replace(
+                              regexp_replace(head, ':\d+$', ''),
+                              '^www\d*\.', '') AS host
+                   FROM s2),
+            s4 AS (SELECT doc_id, url, port,
+                          array_to_string(
+                              list_reverse(string_split(host, '.')),
+                              ',') AS rev,
+                          regexp_extract(rest, '^([^?]*)', 1) AS path,
+                          regexp_extract(rest, '^[^?]*\?(.*)$', 1)
+                              AS query
+                   FROM s3),
+            s5 AS (SELECT doc_id, url, port, rev, path,
+                          array_to_string(list_sort(list_filter(
+                              string_split(query, '&'),
+                              p -> p <> '')), '&') AS qs
+                   FROM s4)
+            SELECT doc_id, url,
+                   rev
+                   || CASE WHEN port <> '' THEN ':' || port ELSE '' END
+                   || ')'
+                   || CASE WHEN path = '' THEN '/' ELSE path END
+                   || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+                       AS surt
+            FROM s5
+        """,
+        "cdx_prefixes": """
+            WITH built AS (
+                SELECT 'com,site' || CAST(doc_id % 11 AS VARCHAR)
+                           AS surt_prefix,
+                       'com,site' || CAST(doc_id % 11 AS VARCHAR)
+                           || ',sub' || CAST(doc_id % 5 AS VARCHAR)
+                           || ')/p/' || CAST(doc_id % 20 AS VARCHAR)
+                           AS surt
+                FROM documents)
+            SELECT surt_prefix, count(*)::BIGINT AS n_captures,
+                   count(DISTINCT surt)::BIGINT AS n_urls
+            FROM built GROUP BY surt_prefix
         """,
     }

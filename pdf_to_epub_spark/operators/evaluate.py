@@ -718,3 +718,111 @@ def feature_mi(
         )
         .orderBy(F.desc("mi_micro_nats"), F.asc("feature"))
     )
+
+
+def rank_sum_test(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "group",
+    z_crit: float = 1.959963984540054,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between exactly two groups — the
+    distribution-free "did the quality-score distribution shift" check
+    (non-normal scores are the norm for web-text quality signals, where
+    the proportion z-test of `proportion_test` doesn't apply).  Uses
+    average ranks for ties and the tie-corrected normal approximation:
+
+        U_a = R_a − n_a(n_a+1)/2,   μ = n_a·n_b/2
+        σ² = (n_a·n_b/12)·((N+1) − Σ(t³−t)/(N(N−1)))
+        z = (U_a − μ)/σ
+
+    Nothing ranks row-by-row: with c(v) the count of value v and
+    off(v) the cumulative count of strictly smaller values, the average
+    rank of v is off(v) + (c(v)+1)/2, so R_a = Σ_v c_a(v)·avgrank(v)
+    needs only the DISTINCT-VALUE table — the `rank_agreement` contract
+    (every stage keyed; the one ordered window runs over distinct-score
+    cardinality, not row count).  2·R_a and Σ(t³−t) are exact integers
+    in decimal(38,0) accumulators, so the float math starts from
+    engine-identical integers; z is rounded to 6 dp with a fixed
+    operation order the SQL oracle replays term-for-term.
+
+    Rows with a NULL group or NULL/NaN value are dropped up front.
+    Raises when the table carries ≠ 2 distinct groups (bounded
+    ``limit(3)`` probe, the `proportion_test` contract).  Returns one
+    row: ``(group_a, group_b, n_a, n_b, u_a, u_b, z, significant)``;
+    z is NULL when σ² = 0 (all values tied)."""
+    from pyspark.sql.window import Window
+
+    cond = F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    if dict(df.dtypes).get(value_col) in ("float", "double"):
+        cond = cond & ~F.isnan(F.col(value_col))
+    slim = df.where(cond).select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    )
+    groups = [
+        r["g"] for r in slim.select("g").distinct().orderBy("g").limit(3).collect()
+    ]
+    if len(groups) != 2:
+        got = "3 or more" if len(groups) == 3 else str(len(groups))
+        raise ValueError(f"rank_sum_test needs exactly 2 groups, got {got}")
+    ga, gb = groups
+
+    per_value = slim.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum((F.col("g") == ga).cast("long")).cast("long").alias("c_a"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_value.select(
+        "v",
+        "c",
+        "c_a",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long").alias("off"),
+    )
+    dec = "decimal(38,0)"
+    two_avg = (
+        F.lit(2).cast(dec) * F.col("off").cast(dec)
+        + F.col("c").cast(dec)
+        + F.lit(1).cast(dec)
+    )
+    sums = ranked.agg(
+        F.sum(F.col("c_a").cast(dec) * two_avg).alias("two_r_a"),
+        F.sum(
+            F.col("c").cast(dec) * F.col("c").cast(dec) * F.col("c").cast(dec)
+            - F.col("c").cast(dec)
+        ).alias("tie_sum"),
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum(F.col("c") - F.col("c_a")).cast("long").alias("n_b"),
+    )
+    n_a, n_b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = n_a + n_b
+    u_a = (
+        F.col("two_r_a").cast("double") / F.lit(2.0)
+        - n_a * (n_a + F.lit(1.0)) / F.lit(2.0)
+    )
+    u_b = n_a * n_b - u_a
+    var = (
+        (n_a * n_b / F.lit(12.0))
+        * (
+            (n + F.lit(1.0))
+            - F.col("tie_sum").cast("double") / (n * (n - F.lit(1.0)))
+        )
+    )
+    z = F.when(
+        var > 0,
+        F.round((u_a - n_a * n_b / F.lit(2.0)) / F.sqrt(var), 6) + F.lit(0.0),
+    )
+    return sums.select(
+        F.lit(str(ga)).alias("group_a"),
+        F.lit(str(gb)).alias("group_b"),
+        "n_a",
+        "n_b",
+        (u_a + F.lit(0.0)).alias("u_a"),
+        (u_b + F.lit(0.0)).alias("u_b"),
+        z.alias("z"),
+        F.when(
+            var > 0,
+            F.abs((u_a - n_a * n_b / F.lit(2.0)) / F.sqrt(var)) > F.lit(z_crit),
+        )
+        .otherwise(F.lit(False))
+        .alias("significant"),
+    )

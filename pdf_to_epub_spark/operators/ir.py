@@ -771,3 +771,80 @@ def anchor_query_pairs(
             neg["_dtext"].alias("neg_text"),
         )
     )
+
+
+def llr_keyness(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Dunning (1993) log-likelihood keyness between two corpora: for
+    each word, G² = 2·(k_a·ln(k_a/e_a) + k_b·ln(k_b/e_b)) with
+    e_x = n_x·(k_a+k_b)/(n_a+n_b) the expected count under the pooled
+    rate — the standard "which terms distinguish corpus A from corpus B"
+    table (source-mix diagnostics, topic drift between crawl snapshots,
+    filter before/after comparisons).  A zero count contributes a zero
+    term (lim x→0 of x·ln x), mirrored exactly in the oracle via the
+    same CASE guard.
+
+    Output: ``(word, k_a, k_b, g2, enriched_in)`` for words with
+    ``k_a + k_b >= min_count``; ``g2`` rounded to 6 dp with a fixed
+    operation order the SQL oracle replays term-for-term;
+    ``enriched_in`` ∈ {'a','b','tie'} decided by the EXACT integer
+    cross-product comparison k_a·n_b vs k_b·n_a (no float rate race) in
+    a decimal(38,0) accumulator — k·n overflows int64 once a corpus
+    passes ~10¹⁸ token-count-products, which a 100 TB crawl does.
+
+    Scale shape (the dsir_log_ratios contract): each corpus aggregates
+    once into its vocabulary table (map-side combined word counts — the
+    corpus text never re-shuffles), the two vocab tables full-outer join
+    on the word, and the two totals ride 1-row broadcast cross joins.
+    At 100 TB the join touches only vocabulary-sized tables."""
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(_tokens(text_col)).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    ca = counts(docs_a, "k_a")
+    cb = counts(docs_b, "k_b")
+    tot_a = ca.agg(F.sum("k_a").alias("n_a"))
+    tot_b = cb.agg(F.sum("k_b").alias("n_b"))
+    joined = (
+        ca.join(cb, "word", "full_outer")
+        .select(
+            "word",
+            F.coalesce("k_a", F.lit(0)).alias("k_a"),
+            F.coalesce("k_b", F.lit(0)).alias("k_b"),
+        )
+        .where((F.col("k_a") + F.col("k_b")) >= min_count)
+        .crossJoin(F.broadcast(tot_a))
+        .crossJoin(F.broadcast(tot_b))
+    )
+    k_a, k_b = F.col("k_a").cast("double"), F.col("k_b").cast("double")
+    n_a, n_b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    pooled = (k_a + k_b) / (n_a + n_b)
+    e_a, e_b = n_a * pooled, n_b * pooled
+
+    def term(k: Column, e: Column) -> Column:
+        return F.when(k > 0, k * F.log(k / e)).otherwise(F.lit(0.0))
+
+    g2 = F.lit(2.0) * (term(k_a, e_a) + term(k_b, e_b))
+    dec = "decimal(38,0)"
+    xa = F.col("k_a").cast(dec) * F.col("n_b").cast(dec)
+    xb = F.col("k_b").cast(dec) * F.col("n_a").cast(dec)
+    enriched = (
+        F.when(xa > xb, F.lit("a"))
+        .when(xa < xb, F.lit("b"))
+        .otherwise(F.lit("tie"))
+    )
+    return joined.select(
+        "word",
+        "k_a",
+        "k_b",
+        (F.round(g2, 6) + F.lit(0.0)).alias("g2"),
+        enriched.alias("enriched_in"),
+    )
