@@ -7207,6 +7207,43 @@ def _q_cdx_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdx_prefix_counts(d.select(url.alias("url")), depth=2)
 
 
+def _q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka dimension-truncation audit (similarity.matryoshka_recall):
+    recall@10 of prefix-truncated cosine retrieval (4/8/16 of 64 dims)
+    against the full-dimension top-10, first 20 vectors as queries —
+    the storage-tier pricing table for an MRL-style index.  Rank order
+    relies on the engine-bit-identical sequential cosine the ann
+    oracles pin."""
+    from pdf_to_epub_spark.operators import matryoshka_recall
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = e.where("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return matryoshka_recall(e, q, dims=[4, 8, 16], k=10)
+
+
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR-style hard-negative mining (ir.mine_hard_negatives): queries
+    are each 7th document's first three tokens with the document itself
+    as the positive; the miner must return the top BM25-confusable
+    OTHER document.  Scores quantize to integer micro-units before the
+    per-query sum (order-free), and the oracle replays the whole
+    postings/df/avgdl algebra term-for-term."""
+    from pdf_to_epub_spark.operators import mine_hard_negatives
+    from pdf_to_epub_spark.operators.textstats import _tokens
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = d.where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(_tokens("text"), 1, 3)).alias("query"),
+        F.col("doc_id").alias("pos_id"),
+    )
+    return mine_hard_negatives(pairs, d, k_candidates=10, max_df=400)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator surface (oracle-checked)
@@ -7503,6 +7540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_sum_test": _q_rank_sum_test,
         "surt_keys": _q_surt_keys,
         "cdx_prefixes": _q_cdx_prefixes,
+        "matryoshka_recall": _q_matryoshka_recall,
+        "hard_negatives": _q_hard_negatives,
     }
 
 
@@ -15440,5 +15479,110 @@ def oracle_sql() -> dict[str, str]:
             SELECT surt_prefix, count(*)::BIGINT AS n_captures,
                    count(DISTINCT surt)::BIGINT AS n_urls
             FROM built GROUP BY surt_prefix
+        """,
+        "matryoshka_recall": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                  WHERE vec_id < 20),
+            nq AS (SELECT count(DISTINCT query_id)::BIGINT AS n_queries
+                   FROM q),
+            fullr AS (
+                SELECT query_id, vec_id FROM (
+                    SELECT q.query_id, e.vec_id,
+                           row_number() OVER (PARTITION BY q.query_id
+                               ORDER BY list_dot_product(e.v, q.qv)
+                                   / (sqrt(list_dot_product(e.v, e.v))
+                                      * sqrt(list_dot_product(q.qv, q.qv)))
+                                   DESC,
+                               e.vec_id ASC) AS rnk
+                    FROM e CROSS JOIN q)
+                WHERE rnk <= 10),
+            dims(dim) AS (VALUES (4), (8), (16)),
+            truncr AS (
+                SELECT dim, query_id, vec_id FROM (
+                    SELECT d.dim, q.query_id, e.vec_id,
+                           row_number() OVER (
+                               PARTITION BY d.dim, q.query_id
+                               ORDER BY
+                                   list_dot_product(e.v[1:d.dim],
+                                                    q.qv[1:d.dim])
+                                   / (sqrt(list_dot_product(e.v[1:d.dim],
+                                                            e.v[1:d.dim]))
+                                      * sqrt(list_dot_product(
+                                            q.qv[1:d.dim],
+                                            q.qv[1:d.dim]))) DESC,
+                               e.vec_id ASC) AS rnk
+                    FROM e CROSS JOIN q CROSS JOIN dims d)
+                WHERE rnk <= 10),
+            hits AS (
+                SELECT d.dim, count(*)::BIGINT AS hits
+                FROM dims d
+                LEFT JOIN (
+                    SELECT t.dim FROM truncr t
+                    JOIN fullr f ON t.query_id = f.query_id
+                                AND t.vec_id = f.vec_id) m
+                    ON m.dim = d.dim
+                GROUP BY d.dim)
+            SELECT h.dim::INT AS dim, nq.n_queries,
+                   (CASE WHEN h.hits IS NULL THEN 0 ELSE h.hits END)
+                       AS hits,
+                   round(h.hits::DOUBLE / (nq.n_queries::DOUBLE * 10.0),
+                         6) + 0.0 AS recall
+            FROM hits h, nq
+        """,
+        "hard_negatives": """
+            WITH docs AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text),
+                                          '[a-zà-öø-ÿ]+') AS ws
+                FROM documents),
+            stats AS (SELECT count(*)::DOUBLE AS n,
+                             sum(len(ws))::DOUBLE AS sumdl
+                      FROM docs),
+            post AS (
+                SELECT term, doc_id, dl, count(*)::INT AS tf FROM (
+                    SELECT doc_id, len(ws) AS dl, unnest(ws) AS term
+                    FROM docs)
+                GROUP BY term, doc_id, dl),
+            dfreq AS (
+                SELECT term, count(*)::INT AS df FROM post
+                GROUP BY term HAVING count(*) <= 400),
+            pairs AS (
+                SELECT doc_id AS query_id, doc_id AS pos_id,
+                       ws[1:3] AS qws
+                FROM docs WHERE doc_id % 7 = 0),
+            qt AS (
+                SELECT DISTINCT query_id, unnest(qws) AS term
+                FROM pairs),
+            cand AS (
+                SELECT qt.query_id, p.doc_id,
+                       sum(round(
+                           ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                           * ((p.tf * (1.2 + 1.0))
+                              / (p.tf + 1.2 * (1.0 - 0.75
+                                  + (0.75 * p.dl) / (s.sumdl / s.n))))
+                           * 1e6)::BIGINT)::BIGINT AS sm
+                FROM qt
+                JOIN post p ON qt.term = p.term
+                JOIN dfreq d ON qt.term = d.term, stats s
+                GROUP BY qt.query_id, p.doc_id),
+            ranked AS (
+                SELECT query_id, doc_id, sm::DOUBLE / 1e6 AS score,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY sm DESC, doc_id ASC) AS rnk
+                FROM cand),
+            negs AS (
+                SELECT t.query_id, t.doc_id, t.score,
+                       row_number() OVER (PARTITION BY t.query_id
+                           ORDER BY t.rnk) AS rn
+                FROM (SELECT * FROM ranked WHERE rnk <= 10) t
+                JOIN pairs pr ON t.query_id = pr.query_id
+                             AND t.doc_id <> pr.pos_id)
+            SELECT pr.query_id, pr.pos_id,
+                   n.doc_id AS neg_id, n.score + 0.0 AS neg_score
+            FROM pairs pr
+            LEFT JOIN (SELECT * FROM negs WHERE rn = 1) n
+                ON pr.query_id = n.query_id
         """,
     }

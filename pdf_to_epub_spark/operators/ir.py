@@ -848,3 +848,176 @@ def llr_keyness(
         (F.round(g2, 6) + F.lit(0.0)).alias("g2"),
         enriched.alias("enriched_in"),
     )
+
+
+def bm25_batch_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df: int | None = None,
+) -> DataFrame:
+    """BM25 top-k for a TABLE of queries — the batch-retrieval shape
+    `bm25_topk`'s single-query codegen form cannot take (its per-term
+    ``regexp_count`` columns are compiled per query; a thousand queries
+    need the inverted index).  Same Lucene scoring:
+    ``idf = ln((N − df + 0.5)/(df + 0.5) + 1)``, tf saturation with
+    ``k1``/``b`` length normalization; the 6-dp ROUNDED score ranks
+    (ties by doc id), so the k-cut is engine-reproducible.
+
+    Output: ``(<query_id_col>, <id_col>, score, rank)``.
+
+    Plan shape: ONE postings build (term, doc, tf, dl — the doc length
+    rides the posting row so no per-doc join-back is needed), df and
+    the 1-row (N, avgdl) aggregate broadcast onto it, distinct query
+    terms join the postings keyed on term, and the per-query score sum
+    + top-k window shuffle only candidate rows.  The skew risk is a
+    stop-word query term: its postings list is the whole corpus.
+    ``max_df`` prunes such terms from candidate generation (their idf
+    is near zero, so dropping them is the WAND-style approximation
+    every production engine makes) — None keeps exact scoring.
+
+    Determinism: per-term contributions quantize to integer
+    MICRO-units before the per-query sum (the `operators/lm.py`
+    contract) — a float sum over a shuffled candidate set is
+    order-dependent in its last bits, and a 6-dp rounding of it can
+    flip the k-cut between engines; integer sums cannot.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_doc"), _tokens(text_col).alias("__t")
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.size("__t")).alias("_sumdl"),
+    )
+    post = (
+        toks.select(
+            "_doc",
+            F.size("__t").alias("_dl"),
+            F.explode_outer("__t").alias("term"),
+        )
+        .where(F.col("term").isNotNull())
+        .groupBy("term", "_doc", "_dl")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+    dfreq = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("int").alias("_df")
+    )
+    if max_df is not None:
+        dfreq = dfreq.where(F.col("_df") <= max_df)
+    qt = (
+        queries.select(
+            F.col(query_id_col), F.explode_outer(_tokens(query_col)).alias("term")
+        )
+        .where(F.col("term").isNotNull())
+        .distinct()
+    )
+    n_d = F.col("_n").cast("double")
+    avgdl = F.col("_sumdl").cast("double") / n_d
+    idf = F.log(
+        (n_d - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf = F.col("tf").cast("double")
+    contrib = idf * (
+        tf
+        * (F.lit(k1) + 1.0)
+        / (
+            tf
+            + F.lit(k1)
+            * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("_dl") / avgdl)
+        )
+    )
+    cand = (
+        qt.join(post.join(F.broadcast(dfreq), "term"), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(query_id_col, "_doc")
+        .agg(
+            (
+                F.sum(F.round(contrib * F.lit(1e6)).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(1e6)
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc("_doc")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            F.col("_doc").alias(id_col),
+            (F.col("score") + F.lit(0.0)).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def mine_hard_negatives(
+    pairs: DataFrame,
+    docs: DataFrame,
+    k_candidates: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    pos_col: str = "pos_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """DPR-style hard-negative mining: for each (query, positive-doc)
+    training pair, the top BM25-ranked document that is NOT the
+    positive — the standard upgrade from random negatives (which
+    `extract_anchor_texts`' weak-supervision triples use) to
+    retrieval-confusable ones, the single biggest data-side lever on
+    dense-retriever quality.
+
+    Output: ``(<query_id_col>, <pos_col>, neg_id, neg_score)``; a query
+    whose every candidate is its own positive yields a NULL neg_id
+    (left join keeps the pair visible rather than silently dropping
+    the training row).
+
+    Shape: one `bm25_batch_topk` pass (its postings/df/stats plan),
+    then a slim per-query min-rank pick over candidates with the
+    positive anti-filtered — everything after retrieval shuffles only
+    (query, candidate) rows.  ``k_candidates`` bounds how deep past
+    the positive the miner may look; raise it if positives often
+    dominate several top slots."""
+    topk = bm25_batch_topk(
+        docs,
+        pairs.select(query_id_col, F.col(query_col)),
+        k=k_candidates,
+        id_col=id_col,
+        text_col=text_col,
+        query_id_col=query_id_col,
+        query_col=query_col,
+        max_df=max_df,
+    )
+    keyed = pairs.select(query_id_col, pos_col)
+    negs = topk.join(keyed, query_id_col).where(
+        F.col(id_col) != F.col(pos_col)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("rank")
+    )
+    best = (
+        negs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neg_id"),
+            F.col("score").alias("neg_score"),
+        )
+    )
+    return keyed.join(best, query_id_col, "left").select(
+        query_id_col, pos_col, "neg_id", "neg_score"
+    )

@@ -1102,3 +1102,75 @@ def jl_project(
         F.col("dim").cast("int").alias("dim"),
         (proj6.cast("double") / F.lit(1e6)).alias("proj"),
     )
+
+
+def matryoshka_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Dimension-truncation retrieval audit (the Matryoshka / MRL
+    question): for each prefix length in ``dims``, run exact cosine
+    top-k on the TRUNCATED vectors and report recall@k against the
+    full-dimension top-k ground truth — the table that decides how
+    short a stored embedding prefix can get before retrieval quality
+    pays (storage at 10¹² vectors is linear in kept dims, so this
+    audit prices the cheapest acceptable index tier).
+
+    Output: ``(dim, n_queries, hits, recall)`` with recall =
+    hits / (n_queries·k) rounded to 6 dp, one row per audited dim.
+
+    Shape: ground truth and every truncated run share the
+    `brute_force_topk` plan — broadcast(queries) ⋈ corpus scan with a
+    per-query top-k window, ties broken by id (the engine-portable
+    ordering the ann oracles pin).  The corpus scans len(dims)+1
+    times; each scan is embarrassingly parallel with no data exchange
+    beyond the slim (query, id, rank) results, so at scale the audit
+    costs dims× one ANN-baseline pass — run it on the sampled query
+    set, never all queries.  Truncated cosine re-normalizes by the
+    PREFIX norms (slice before `cosine`), matching how an MRL index
+    would actually score."""
+    full = brute_force_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(query_id_col, id_col)
+    n_q = queries.select(
+        F.count_distinct(query_id_col).alias("_nq")
+    )
+    per_dim = []
+    for d in dims:
+        trunc_c = corpus.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        trunc_q = queries.select(
+            F.col(query_id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        got = brute_force_topk(
+            trunc_c, trunc_q, k=k, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col,
+        ).select(query_id_col, id_col)
+        per_dim.append(
+            got.join(full, [query_id_col, id_col], "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+            .select(F.lit(d).cast("int").alias("dim"), "hits")
+        )
+    hits = per_dim[0]
+    for p in per_dim[1:]:
+        hits = hits.unionByName(p)
+    return hits.crossJoin(F.broadcast(n_q)).select(
+        "dim",
+        F.col("_nq").cast("long").alias("n_queries"),
+        "hits",
+        (
+            F.round(
+                F.col("hits").cast("double")
+                / (F.col("_nq").cast("double") * F.lit(float(k))),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("recall"),
+    )
