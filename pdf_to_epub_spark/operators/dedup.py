@@ -1219,8 +1219,14 @@ def simhash_near_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             hamming,
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # hamming is a pure function of the pair, so filtering BEFORE
+        # the dropDuplicates exchange is semantics-identical — but the
+        # optimizer cannot know that (first-row-wins dedup), so the
+        # order matters here: band-collision candidates that fail the
+        # Hamming test (random 2⁻ᵇᵃⁿᵈ collisions between unrelated
+        # docs) never ride the dedup shuffle.
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
