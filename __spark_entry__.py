@@ -1739,6 +1739,127 @@ def _q_epub_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_lang.mapInPandas(gen, "url string, epub_md5 string, n_bytes long")
 
 
+def _q_epub_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB round trip: extraction → assembly → per-doc EPUB3 zip →
+    re-ingest through the EPUB SOURCE (sources/epub.parse_epub_payloads,
+    container→OPF→spine walk) — one row per recovered chapter.  The
+    oracle derives the expected chapters from the block structure
+    directly (chapter_struct + the exporter's front-matter/Body rules)
+    WITHOUT touching zip or XHTML, so the parser is checked against an
+    independent derivation, not against itself."""
+    _ship_package(spark)
+    from pdf_to_epub_spark.operators import (
+        assemble_documents,
+        blocks_table,
+        extract_documents,
+    )
+    from pdf_to_epub_spark.sources.epub import parse_epub_payloads
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 40").select(
+        F.col("doc_id"),
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.col("lang"),
+        F.col("text"),
+    )
+    assembled = assemble_documents(
+        blocks_table(extract_documents(docs.drop("doc_id")))
+    )
+    with_lang = docs.select("doc_id", "url", "lang").join(
+        assembled.select("url", "blocks"), "url", "left"
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        from pdf_to_epub_spark.export import epub_bytes
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, url, lang, blocks in zip(
+                pdf["doc_id"], pdf["url"], pdf["lang"], pdf["blocks"]
+            ):
+                ids.append(doc_id)
+                payloads.append(
+                    epub_bytes(
+                        [dict(b) for b in blocks] if blocks is not None else [],
+                        title=url, lang=lang, url=url,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "epub": payloads})
+
+    payloads = with_lang.mapInPandas(gen, "doc_id long, epub binary")
+    parsed = parse_epub_payloads(payloads)
+    return parsed.select(
+        "doc_id",
+        F.col("chapter_idx").cast("int").alias("chapter_idx"),
+        "heading",
+        F.md5(F.encode(F.col("text"), "utf-8")).alias("text_md5"),
+        F.col("n_paras").cast("int").alias("n_paras"),
+        "status",
+    )
+
+
+def _epub_roundtrip_oracle(limit: int = 40) -> str | None:
+    """Expected chapters computed from the BLOCK structure (the exporter's
+    chapter list: front matter if non-empty, chapter_struct chapters,
+    'Body' fallback) — the zip/XHTML layers never run here, so the
+    round-trip oracle is an independent derivation (same VALUES pattern
+    as `_epub_export_oracle`, keyed by the corpus' doc-0 text md5)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from pdf_to_epub_spark.export import _paragraphs
+    from pdf_to_epub_spark.extractlib.blocks import chapter_struct
+    from pdf_to_epub_spark.extractlib.pipeline import extract_document
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    rows: list[str] = []
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        path = pathlib.Path(sf_dir) / "documents.parquet"
+        if not path.exists():
+            return None
+        t = pq.read_table(path, columns=["doc_id", "text"])
+        recs = sorted(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+        key = hashlib.md5((recs[0][1] or "").encode()).hexdigest()
+        for doc_id, text in recs:
+            if doc_id >= limit:
+                continue
+            res = extract_document(text)
+            dicts = [b._asdict() for b in res.blocks]
+            doc = chapter_struct(res.blocks)
+            chapters: list[tuple[str, list[str]]] = []
+            if doc["front_matter"]:
+                paras = _paragraphs(doc["front_matter"])
+                if paras:
+                    chapters.append(("Front Matter", paras))
+            for ch in doc["chapters"]:
+                chapters.append((ch["heading"], _paragraphs(ch["blocks"])))
+            if not chapters:
+                chapters.append(("Body", _paragraphs(dicts)))
+            for i, (heading, paras) in enumerate(chapters, start=1):
+                body = "\n".join(paras)
+                rows.append(
+                    f"('{key}',{doc_id},{i},'{q(' '.join(heading.split()))}',"
+                    f"'{hashlib.md5(body.encode()).hexdigest()}',"
+                    f"{len(paras)},'ok')"
+                )
+    vals = ",\n            ".join(rows)
+    return f"""
+        WITH golden(corpus_key, doc_id, chapter_idx, heading, text_md5,
+                    n_paras, status) AS (VALUES
+            {vals})
+        SELECT doc_id::BIGINT AS doc_id, chapter_idx::INT AS chapter_idx,
+               heading, text_md5, n_paras::INT AS n_paras, status
+        FROM golden
+        WHERE corpus_key = (SELECT md5(text) FROM documents
+                            WHERE doc_id = 0)
+    """
+
+
 def _epub_export_oracle(limit: int = 40) -> str | None:
     """Pure-Python replay of the EPUB export over the same 40 docs per
     corpus (same pattern as the IVF-centroid oracle: computed once at
@@ -7542,6 +7663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_prefixes": _q_cdx_prefixes,
         "matryoshka_recall": _q_matryoshka_recall,
         "hard_negatives": _q_hard_negatives,
+        "epub_roundtrip": _q_epub_roundtrip,
     }
 
 
@@ -13806,7 +13928,16 @@ def oracle_sql() -> dict[str, str]:
         # EPUB final-artifact golden: pure-Python replay of extraction →
         # assembly → byte-deterministic EPUB3 zip, md5 per url.
         **(
-            {"epub_export": e} if (e := _epub_export_oracle()) is not None else {}
+            (
+                {"epub_export": e}
+                if (e := _epub_export_oracle()) is not None
+                else {}
+            )
+            | (
+                {"epub_roundtrip": r}
+                if (r := _epub_roundtrip_oracle()) is not None
+                else {}
+            )
         ),
         "cohort_retention": """
             WITH d AS (
