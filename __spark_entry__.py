@@ -5712,6 +5712,55 @@ def _q_cluster_pair_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rater_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-rater annotation run over the documents table:
+    the true label is doc_id%3, rater r flips to the next label on every
+    (doc_id+r)%5 == 0 item, and rater r2 skips doc_id%7 == 0 items —
+    variable raters-per-item, skewed-but-agreeing marginals (the regime
+    where raw agreement overstates reliability)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    r = F.col("r")
+    return (
+        d.select(i, F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("r"))
+        .where(~((r == 2) & (i % 7 == 0)))
+        .select(
+            i.alias("item_id"),
+            F.concat(F.lit("r"), r.cast("string")).alias("rater"),
+            F.concat(
+                F.lit("L"),
+                (
+                    (i % 3 + F.when((i + r) % 5 == 0, 1).otherwise(0)) % 3
+                ).cast("string"),
+            ).alias("label"),
+        )
+    )
+
+
+def _q_rater_kappa_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa per rater pair (evaluate.cohen_kappa_pairs) over the
+    deterministic 3-rater run — chance-corrected agreement cleared of
+    fractions, so both sides of the single 6-dp division are exact
+    integers (kappa = (n·agree − Σ a_l·b_l)/(n² − Σ a_l·b_l))."""
+    from pdf_to_epub_spark.operators import cohen_kappa_pairs
+
+    return cohen_kappa_pairs(_rater_table(spark, sf_dir)).select(
+        "rater_a", "rater_b", "n_items", "n_agree", "po", "pe", "kappa"
+    )
+
+
+def _q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (evaluate.fleiss_kappa) over the same 3-rater run —
+    variable raters-per-item handled by excluding n_i<2 items; per-item
+    agreement nano-quantized with exact integral `div` so the mean is
+    order-independent and SQL-replayable."""
+    from pdf_to_epub_spark.operators import fleiss_kappa
+
+    return fleiss_kappa(_rater_table(spark, sf_dir)).select(
+        "n_items", "n_ratings", "p_bar", "p_e", "kappa"
+    )
+
+
 def _q_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank agreement (evaluate.rank_agreement) between the
     length scorer and a residue-perturbed variant — exact Σd² from
@@ -7438,6 +7487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": _q_k_core,
         "client_redirect_chains": _q_client_redirect_chains,
         "cluster_pair_eval": _q_cluster_pair_eval,
+        "rater_kappa_pairs": _q_rater_kappa_pairs,
+        "fleiss_kappa": _q_fleiss_kappa,
         "rank_agreement": _q_rank_agreement,
         "score_drift_ks": _q_score_drift_ks,
         "retrieval_eval": _q_retrieval_eval,
@@ -10274,6 +10325,83 @@ def oracle_sql() -> dict[str, str]:
                                    ELSE 0.0 END
                     END)::DOUBLE AS f1
             FROM pr
+        """,
+        "rater_kappa_pairs": """
+            WITH ratings AS (
+                SELECT doc_id AS item_id,
+                       'r' || r::VARCHAR AS rater,
+                       'L' || ((doc_id % 3 + CASE WHEN (doc_id + r) % 5 = 0
+                                             THEN 1 ELSE 0 END) % 3)::VARCHAR
+                           AS label
+                FROM documents, (VALUES (0), (1), (2)) AS t(r)
+                WHERE NOT (r = 2 AND doc_id % 7 = 0)),
+            pairs AS (
+                SELECT a.rater AS rater_a, b.rater AS rater_b,
+                       a.label AS la, b.label AS lb
+                FROM ratings a
+                JOIN ratings b
+                  ON a.item_id = b.item_id AND a.rater < b.rater),
+            tot AS (
+                SELECT rater_a, rater_b, count(*) AS n,
+                       sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS agree
+                FROM pairs GROUP BY 1, 2),
+            al AS (SELECT rater_a, rater_b, la AS l, count(*) AS a_l
+                   FROM pairs GROUP BY 1, 2, 3),
+            bl AS (SELECT rater_a, rater_b, lb AS l, count(*) AS b_l
+                   FROM pairs GROUP BY 1, 2, 3),
+            ch AS (
+                SELECT coalesce(al.rater_a, bl.rater_a) AS rater_a,
+                       coalesce(al.rater_b, bl.rater_b) AS rater_b,
+                       sum(coalesce(a_l, 0) * coalesce(b_l, 0)) AS sum_ab
+                FROM al FULL JOIN bl
+                  ON al.rater_a = bl.rater_a AND al.rater_b = bl.rater_b
+                     AND al.l = bl.l
+                GROUP BY 1, 2)
+            SELECT t.rater_a, t.rater_b,
+                   n::BIGINT AS n_items, agree::BIGINT AS n_agree,
+                   round(agree::DOUBLE / n::DOUBLE, 6) AS po,
+                   round(sum_ab::DOUBLE / (n * n)::DOUBLE, 6) AS pe,
+                   (CASE WHEN n * n - sum_ab != 0 THEN
+                        round((n * agree - sum_ab)::DOUBLE
+                              / (n * n - sum_ab)::DOUBLE, 6)
+                    END)::DOUBLE AS kappa
+            FROM tot t JOIN ch USING (rater_a, rater_b)
+        """,
+        "fleiss_kappa": """
+            WITH ratings AS (
+                SELECT doc_id AS item_id,
+                       'L' || ((doc_id % 3 + CASE WHEN (doc_id + r) % 5 = 0
+                                             THEN 1 ELSE 0 END) % 3)::VARCHAR
+                           AS label
+                FROM documents, (VALUES (0), (1), (2)) AS t(r)
+                WHERE NOT (r = 2 AND doc_id % 7 = 0)),
+            cell AS (SELECT item_id, label, count(*) AS n_il
+                     FROM ratings GROUP BY 1, 2),
+            item AS (SELECT item_id, sum(n_il) AS n_i,
+                            sum(n_il * n_il) AS sum_sq
+                     FROM cell GROUP BY 1 HAVING sum(n_il) >= 2),
+            ag AS (SELECT count(*) AS n_items,
+                          sum(((sum_sq - n_i) * 1000000000)
+                              // (n_i * (n_i - 1))) AS sum_p_nano,
+                          sum(n_i) AS n_ratings
+                   FROM item),
+            lab AS (SELECT sum(c_j * c_j) AS sum_cj_sq FROM (
+                        SELECT sum(n_il) AS c_j
+                        FROM cell JOIN item USING (item_id)
+                        GROUP BY label)),
+            j AS (SELECT *,
+                         sum_p_nano::DOUBLE / (n_items::DOUBLE * 1e9)
+                             AS p_bar_raw,
+                         sum_cj_sq::DOUBLE / (n_ratings * n_ratings)::DOUBLE
+                             AS p_e_raw
+                  FROM ag, lab)
+            SELECT n_items::BIGINT AS n_items, n_ratings::BIGINT AS n_ratings,
+                   round(p_bar_raw, 6) AS p_bar,
+                   round(p_e_raw, 6) AS p_e,
+                   (CASE WHEN round(p_e_raw, 9) != 1.0 THEN
+                        round((p_bar_raw - p_e_raw) / (1.0 - p_e_raw), 6)
+                    END)::DOUBLE AS kappa
+            FROM j
         """,
         "rank_agreement": """
             WITH s AS (

@@ -826,3 +826,160 @@ def rank_sum_test(
         .otherwise(F.lit(False))
         .alias("significant"),
     )
+
+
+def cohen_kappa_pairs(
+    ratings: DataFrame,
+    item_col: str = "item_id",
+    rater_col: str = "rater",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cohen's kappa for every unordered rater pair from a long
+    ``(item, rater, label)`` table — the label-QA gate for human (or
+    model-judge) annotation runs: raw agreement overstates reliability
+    whenever the label marginals are skewed, which quality labels
+    always are; kappa corrects by each pair's own chance-agreement
+    floor.
+
+    Exactness: over the pair's co-rated items, with ``n`` rows,
+    ``agree`` matching rows, and per-label marginals ``a_l``/``b_l``,
+
+        kappa = (n·agree − Σ_l a_l·b_l) / (n² − Σ_l a_l·b_l)
+
+    — the (po−pe)/(1−pe) definition cleared of fractions, so both sides
+    of the single 6-dp division are exact integers (decimal(38,0): n·n
+    wraps int64 past n≈3e9) and the result replays bit-for-bit in SQL.
+
+    Scale shape: one self-join on the item id (each item fans out to
+    C(r_i,2) pair rows — raters per item is small and bounded), then a
+    map-side-combinable groupBy on (rater_a, rater_b, label_a, label_b)
+    whose cardinality is raters² × labels² — tiny regardless of corpus
+    size.  Pairs that co-rate nothing don't appear; kappa is NULL when
+    pe = 1 (both raters constant on the same label — undefined, not 1).
+    """
+    a = ratings.select(
+        F.col(item_col).alias("_i"),
+        F.col(rater_col).alias("rater_a"),
+        F.col(label_col).alias("_la"),
+    )
+    b = ratings.select(
+        F.col(item_col).alias("_i"),
+        F.col(rater_col).alias("rater_b"),
+        F.col(label_col).alias("_lb"),
+    )
+    joined = a.join(b, "_i").where(F.col("rater_a") < F.col("rater_b"))
+    cells = joined.groupBy("rater_a", "rater_b", "_la", "_lb").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
+    )
+    # Σ_l a_l·b_l without a second corpus pass: marginals are sums of the
+    # SAME contingency cells — a_l = Σ_lb c(l, lb), b_l = Σ_la c(la, l).
+    al = cells.groupBy("rater_a", "rater_b", F.col("_la").alias("_l")).agg(
+        F.sum("c").alias("a_l")
+    )
+    bl = cells.groupBy("rater_a", "rater_b", F.col("_lb").alias("_l")).agg(
+        F.sum("c").alias("b_l")
+    )
+    chance = (
+        al.join(bl, ["rater_a", "rater_b", "_l"], "full")
+        .na.fill(0, ["a_l", "b_l"])
+        .groupBy("rater_a", "rater_b")
+        .agg(F.sum(F.col("a_l") * F.col("b_l")).alias("sum_ab"))
+    )
+    totals = cells.groupBy("rater_a", "rater_b").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("_la") == F.col("_lb"), F.col("c")).otherwise(
+            F.lit(0).cast("decimal(38,0)"))).alias("agree"),
+    )
+    out = totals.join(chance, ["rater_a", "rater_b"])
+    n, agree, sab = F.col("n"), F.col("agree"), F.col("sum_ab")
+    denom = n * n - sab
+    return out.select(
+        "rater_a",
+        "rater_b",
+        n.cast("long").alias("n_items"),
+        agree.cast("long").alias("n_agree"),
+        F.round(agree.cast("double") / n.cast("double"), 6).alias("po"),
+        F.round(sab.cast("double") / (n * n).cast("double"), 6).alias("pe"),
+        F.when(
+            denom != 0,
+            F.round(
+                (n * agree - sab).cast("double") / denom.cast("double"), 6
+            ),
+        ).alias("kappa"),
+    )
+
+
+def fleiss_kappa(
+    ratings: DataFrame,
+    item_col: str = "item_id",
+    rater_col: str = "rater",
+    label_col: str = "label",
+) -> DataFrame:
+    """Fleiss' kappa (one row) over a long ``(item, rater, label)``
+    table — the multi-rater generalization, tolerant of a variable
+    rater count per item (items with fewer than 2 ratings are excluded
+    from the agreement mean, per the standard treatment of missing
+    assignments).
+
+    Exactness contract: the per-item agreement P_i = (Σ_j n_ij² − n_i)
+    / (n_i(n_i−1)) is a rational with an item-dependent denominator, so
+    a double sum would be order-dependent.  Each P_i is quantized to
+    integer NANO-units with floor division (exact, replayable —
+    same device as the nDCG and LM-score operators), summed as
+    decimal, and divided once.  Chance agreement P̄e = Σ_j c_j² / N²
+    is exact integers end-to-end (global label counts c_j over the
+    included items, N = Σ n_i).  kappa = (P̄ − P̄e)/(1 − P̄e) with both
+    terms already 6-dp-stable; NULL when P̄e = 1.
+
+    Scale: two map-side-combinable aggregations (item×label, then
+    global) — no joins on the corpus axis beyond the slim per-item
+    counts.
+    """
+    per_cell = ratings.groupBy(
+        F.col(item_col).alias("_i"), F.col(label_col).alias("_l")
+    ).agg(F.count(F.lit(1)).alias("n_il"))
+    per_item = per_cell.groupBy("_i").agg(
+        F.sum("n_il").alias("n_i"),
+        F.sum(F.col("n_il") * F.col("n_il")).alias("sum_sq"),
+    ).where(F.col("n_i") >= 2)
+    # nano-quantized P_i: floor(1e9 * (sum_sq - n_i) / (n_i*(n_i-1))).
+    # `div` (exact integral division), NOT decimal `/` + floor: Spark
+    # decimal division HALF_UP-rounds at the result scale first, which
+    # can flip the floor when the true quotient sits within 5e-7 of an
+    # integer (possible once n_i(n_i−1) > 2e6).  P_i ≥ 0, so truncation
+    # IS floor.
+    p_i_nano = F.expr(
+        "(CAST(sum_sq - n_i AS DECIMAL(38,0)) * 1000000000)"
+        " div (CAST(n_i AS DECIMAL(38,0)) * (n_i - 1))"
+    )
+    agg = per_item.select(
+        p_i_nano.cast("decimal(38,0)").alias("p_nano"),
+        "n_i", "_i",
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("p_nano").alias("sum_p_nano"),
+        F.sum("n_i").cast("decimal(38,0)").alias("n_ratings"),
+    )
+    labels = (
+        per_cell.join(per_item.select("_i"), "_i")
+        .groupBy("_l")
+        .agg(F.sum("n_il").cast("decimal(38,0)").alias("c_j"))
+        .agg(F.sum(F.col("c_j") * F.col("c_j")).alias("sum_cj_sq"))
+    )
+    out = agg.crossJoin(labels)
+    p_bar = F.col("sum_p_nano").cast("double") / (
+        F.col("n_items").cast("double") * 1e9
+    )
+    p_e = F.col("sum_cj_sq").cast("double") / (
+        F.col("n_ratings") * F.col("n_ratings")
+    ).cast("double")
+    return out.select(
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("n_ratings").cast("long").alias("n_ratings"),
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_e, 6).alias("p_e"),
+        F.when(
+            F.round(p_e, 9) != 1.0,
+            F.round((p_bar - p_e) / (1.0 - p_e), 6),
+        ).alias("kappa"),
+    )

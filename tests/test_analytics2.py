@@ -1546,3 +1546,98 @@ def test_skipgram_pairs_window_and_cut(spark):
            skipgram_pairs(df, window=1, top=10, min_count=1).collect()}
     assert adj == {("alpha", "beta"): 2, ("beta", "gamma"): 1,
                    ("alpha", "gamma"): 1}
+
+
+# ---------------------------------------------------------------- kappa
+
+
+def _kappa_rows():
+    """3 raters, 40 items; r2 skips every 6th item, r1 disagrees on every
+    5th — variable n_i and skewed-but-correlated marginals."""
+    rows = []
+    for i in range(40):
+        true = i % 3
+        for r in range(3):
+            if r == 2 and i % 6 == 0:
+                continue
+            lab = (true + 1) % 3 if (r == 1 and i % 5 == 0) else true
+            rows.append((i, f"r{r}", f"L{lab}"))
+    return rows
+
+
+def test_cohen_kappa_pairs_exact(spark):
+    from collections import Counter
+    from itertools import combinations
+
+    from pdf_to_epub_spark.operators import cohen_kappa_pairs
+
+    rows = _kappa_rows()
+    df = spark.createDataFrame(rows, "item_id int, rater string, label string")
+    got = {
+        (r.rater_a, r.rater_b): r
+        for r in cohen_kappa_pairs(df).collect()
+    }
+    by_item: dict[int, dict[str, str]] = {}
+    for i, r, l in rows:
+        by_item.setdefault(i, {})[r] = l
+    for ra, rb in combinations(["r0", "r1", "r2"], 2):
+        co = [(d[ra], d[rb]) for d in by_item.values() if ra in d and rb in d]
+        n, agree = len(co), sum(1 for a, b in co if a == b)
+        ca = Counter(a for a, _ in co)
+        cb = Counter(b for _, b in co)
+        sab = sum(ca[l] * cb.get(l, 0) for l in ca)
+        row = got[(ra, rb)]
+        assert (row.n_items, row.n_agree) == (n, agree)
+        assert row.po == round(agree / n, 6)
+        assert row.pe == round(sab / (n * n), 6)
+        assert row.kappa == round((n * agree - sab) / (n * n - sab), 6)
+
+
+def test_cohen_kappa_constant_raters_null(spark):
+    """Both raters constant on the same label → pe = 1, kappa undefined
+    (NULL), never 0/0 or a fake 1.0."""
+    from pdf_to_epub_spark.operators import cohen_kappa_pairs
+
+    rows = [(i, r, "L0") for i in range(5) for r in ("a", "b")]
+    df = spark.createDataFrame(rows, "item_id int, rater string, label string")
+    r = cohen_kappa_pairs(df).collect()[0]
+    assert r.po == 1.0 and r.pe == 1.0 and r.kappa is None
+
+
+def test_fleiss_kappa_exact_and_exclusion(spark):
+    from collections import Counter
+
+    from pdf_to_epub_spark.operators import fleiss_kappa
+
+    rows = _kappa_rows() + [(999, "r9", "L0")]  # n_i = 1 → excluded
+    df = spark.createDataFrame(rows, "item_id int, rater string, label string")
+    got = fleiss_kappa(df).collect()[0]
+
+    by_item: dict[int, dict[str, str]] = {}
+    for i, r, l in rows:
+        by_item.setdefault(i, {})[r] = l
+    items = [d for d in by_item.values() if len(d) >= 2]
+    n_ratings = sum(len(d) for d in items)
+    sum_p_nano = 0
+    for d in items:
+        cnt = Counter(d.values())
+        ni = len(d)
+        ssq = sum(v * v for v in cnt.values())
+        sum_p_nano += (ssq - ni) * 10**9 // (ni * (ni - 1))
+    p_bar = sum_p_nano / (len(items) * 1e9)
+    cj = Counter(l for d in items for l in d.values())
+    p_e = sum(v * v for v in cj.values()) / (n_ratings * n_ratings)
+    assert got.n_items == len(items)
+    assert got.n_ratings == n_ratings
+    assert got.p_bar == round(p_bar, 6)
+    assert got.p_e == round(p_e, 6)
+    assert got.kappa == round((p_bar - p_e) / (1 - p_e), 6)
+
+
+def test_fleiss_kappa_perfect_agreement(spark):
+    from pdf_to_epub_spark.operators import fleiss_kappa
+
+    rows = [(i, f"r{r}", f"L{i % 2}") for i in range(6) for r in range(3)]
+    df = spark.createDataFrame(rows, "item_id int, rater string, label string")
+    r = fleiss_kappa(df).collect()[0]
+    assert r.p_bar == 1.0 and r.kappa == 1.0
