@@ -5761,6 +5761,19 @@ def _q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha, nominal (evaluate.krippendorff_alpha), over
+    the 3-rater run with missing ratings — the agreement statistic that
+    weighs each item by its own pairable-rating count; per-item
+    disagreement nano-quantized with exact integral div, D_e exact
+    integers end-to-end."""
+    from pdf_to_epub_spark.operators import krippendorff_alpha
+
+    return krippendorff_alpha(_rater_table(spark, sf_dir)).select(
+        "n_items", "n_ratings", "d_o", "d_e", "alpha"
+    )
+
+
 def _q_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank agreement (evaluate.rank_agreement) between the
     length scorer and a residue-perturbed variant — exact Σd² from
@@ -7489,6 +7502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_pair_eval": _q_cluster_pair_eval,
         "rater_kappa_pairs": _q_rater_kappa_pairs,
         "fleiss_kappa": _q_fleiss_kappa,
+        "krippendorff_alpha": _q_krippendorff_alpha,
         "rank_agreement": _q_rank_agreement,
         "score_drift_ks": _q_score_drift_ks,
         "retrieval_eval": _q_retrieval_eval,
@@ -10401,6 +10415,43 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN round(p_e_raw, 9) != 1.0 THEN
                         round((p_bar_raw - p_e_raw) / (1.0 - p_e_raw), 6)
                     END)::DOUBLE AS kappa
+            FROM j
+        """,
+        "krippendorff_alpha": """
+            WITH ratings AS (
+                SELECT doc_id AS item_id,
+                       'L' || ((doc_id % 3 + CASE WHEN (doc_id + r) % 5 = 0
+                                             THEN 1 ELSE 0 END) % 3)::VARCHAR
+                           AS label
+                FROM documents, (VALUES (0), (1), (2)) AS t(r)
+                WHERE NOT (r = 2 AND doc_id % 7 = 0)),
+            cell AS (SELECT item_id, label, count(*) AS n_il
+                     FROM ratings GROUP BY 1, 2),
+            item AS (SELECT item_id, sum(n_il) AS n_i,
+                            sum(n_il * n_il) AS sum_sq
+                     FROM cell GROUP BY 1 HAVING sum(n_il) >= 2),
+            ag AS (SELECT count(*) AS n_items,
+                          sum(((n_i * n_i - sum_sq) * 1000000000)
+                              // (n_i - 1)) AS sum_d_nano,
+                          sum(n_i) AS n_ratings
+                   FROM item),
+            lab AS (SELECT sum(c_j * c_j) AS sum_cj_sq FROM (
+                        SELECT sum(n_il) AS c_j
+                        FROM cell JOIN item USING (item_id)
+                        GROUP BY label)),
+            j AS (SELECT *,
+                         sum_d_nano::DOUBLE / (n_ratings::DOUBLE * 1e9)
+                             AS d_o_raw,
+                         (n_ratings * n_ratings - sum_cj_sq)::DOUBLE
+                             / (n_ratings * (n_ratings - 1))::DOUBLE
+                             AS d_e_raw
+                  FROM ag, lab)
+            SELECT n_items::BIGINT AS n_items, n_ratings::BIGINT AS n_ratings,
+                   round(d_o_raw, 6) AS d_o,
+                   round(d_e_raw, 6) AS d_e,
+                   (CASE WHEN d_e_raw > 0 THEN
+                        round(1.0 - d_o_raw / d_e_raw, 6)
+                    END)::DOUBLE AS alpha
             FROM j
         """,
         "rank_agreement": """

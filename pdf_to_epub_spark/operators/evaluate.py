@@ -983,3 +983,73 @@ def fleiss_kappa(
             F.round((p_bar - p_e) / (1.0 - p_e), 6),
         ).alias("kappa"),
     )
+
+
+def krippendorff_alpha(
+    ratings: DataFrame,
+    item_col: str = "item_id",
+    rater_col: str = "rater",
+    label_col: str = "label",
+) -> DataFrame:
+    """Krippendorff's alpha, nominal metric (one row) over a long
+    ``(item, rater, label)`` table — the agreement statistic designed
+    for MISSING ratings: Cohen's kappa only sees complete pairs and
+    Fleiss' chance term assumes rater-interchangeable marginals, while
+    alpha weighs every item by its own pairable-rating count.
+
+    Pair-counting definition (computed exactly, no coincidence-matrix
+    approximation): within an item with n_u ratings and per-label
+    counts n_uc, the disagreeing ordered pairs number n_u² − Σ_c n_uc²,
+    each weighted 1/(n_u−1), so
+
+        D_o = (1/N) Σ_u (n_u² − Σ_c n_uc²)/(n_u−1)
+        D_e = (N² − Σ_c n_c²)/(N(N−1))        alpha = 1 − D_o/D_e
+
+    over items with ≥2 ratings (N = their total rating count, n_c the
+    global label counts).  The per-item rational is nano-quantized with
+    exact integral `div` (the Fleiss device), summed as decimal, and
+    divided once; D_e is exact integers end-to-end.  alpha is NULL when
+    D_e = 0 (all ratings one label — no disagreement is expressible).
+
+    Scale: the same two map-side-combinable aggregations as
+    :func:`fleiss_kappa` — nothing joins on the corpus axis.
+    """
+    per_cell = ratings.groupBy(
+        F.col(item_col).alias("_i"), F.col(label_col).alias("_l")
+    ).agg(F.count(F.lit(1)).alias("n_il"))
+    per_item = per_cell.groupBy("_i").agg(
+        F.sum("n_il").alias("n_i"),
+        F.sum(F.col("n_il") * F.col("n_il")).alias("sum_sq"),
+    ).where(F.col("n_i") >= 2)
+    do_nano = F.expr(
+        "(CAST(n_i * n_i - sum_sq AS DECIMAL(38,0)) * 1000000000)"
+        " div CAST(n_i - 1 AS DECIMAL(38,0))"
+    )
+    agg = per_item.select(
+        do_nano.cast("decimal(38,0)").alias("d_nano"), "n_i", "_i"
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("d_nano").alias("sum_d_nano"),
+        F.sum("n_i").cast("decimal(38,0)").alias("n_ratings"),
+    )
+    labels = (
+        per_cell.join(per_item.select("_i"), "_i")
+        .groupBy("_l")
+        .agg(F.sum("n_il").cast("decimal(38,0)").alias("c_j"))
+        .agg(F.sum(F.col("c_j") * F.col("c_j")).alias("sum_cj_sq"))
+    )
+    out = agg.crossJoin(labels)
+    n = F.col("n_ratings")
+    d_o = F.col("sum_d_nano").cast("double") / (
+        n.cast("double") * 1e9
+    )
+    d_e = (n * n - F.col("sum_cj_sq")).cast("double") / (
+        n * (n - 1)
+    ).cast("double")
+    return out.select(
+        F.col("n_items").cast("long").alias("n_items"),
+        n.cast("long").alias("n_ratings"),
+        F.round(d_o, 6).alias("d_o"),
+        F.round(d_e, 6).alias("d_e"),
+        F.when(d_e > 0, F.round(1.0 - d_o / d_e, 6)).alias("alpha"),
+    )

@@ -1641,3 +1641,68 @@ def test_fleiss_kappa_perfect_agreement(spark):
     df = spark.createDataFrame(rows, "item_id int, rater string, label string")
     r = fleiss_kappa(df).collect()[0]
     assert r.p_bar == 1.0 and r.kappa == 1.0
+
+
+def test_krippendorff_alpha_exact(spark):
+    """Pair-enumeration brute force (ordered within-unit pairs weighted
+    1/(n_u-1)) reproduces the operator bit-for-bit, including the
+    n_i<2 exclusion."""
+    from collections import Counter
+
+    from pdf_to_epub_spark.operators import krippendorff_alpha
+
+    rows = _kappa_rows() + [(999, "r9", "L0")]
+    df = spark.createDataFrame(rows, "item_id int, rater string, label string")
+    got = krippendorff_alpha(df).collect()[0]
+
+    by_item: dict[int, dict[str, str]] = {}
+    for i, r, l in rows:
+        by_item.setdefault(i, {})[r] = l
+    units = [d for d in by_item.values() if len(d) >= 2]
+    n_total = sum(len(d) for d in units)
+    do_nano = 0
+    for d in units:
+        labs = list(d.values())
+        nu = len(labs)
+        dis = sum(
+            1
+            for i in range(nu)
+            for j in range(nu)
+            if i != j and labs[i] != labs[j]
+        )
+        do_nano += dis * 10**9 // (nu - 1)
+    d_o = do_nano / (n_total * 1e9)
+    nc = Counter(l for d in units for l in d.values())
+    d_e = (n_total * n_total - sum(v * v for v in nc.values())) / (
+        n_total * (n_total - 1)
+    )
+    assert got.n_items == len(units) and got.n_ratings == n_total
+    assert got.d_o == round(d_o, 6)
+    assert got.d_e == round(d_e, 6)
+    assert got.alpha == round(1 - d_o / d_e, 6)
+
+
+def test_krippendorff_alpha_canonical_edges(spark):
+    from pdf_to_epub_spark.operators import krippendorff_alpha
+
+    # one unit, two raters disagreeing: D_o = D_e = 1 → alpha = 0
+    df = spark.createDataFrame(
+        [(1, "a", "X"), (1, "b", "Y")],
+        "item_id int, rater string, label string",
+    )
+    r = krippendorff_alpha(df).collect()[0]
+    assert (r.d_o, r.d_e, r.alpha) == (1.0, 1.0, 0.0)
+    # perfect agreement across two units → alpha = 1
+    df2 = spark.createDataFrame(
+        [(1, "a", "X"), (1, "b", "X"), (2, "a", "Y"), (2, "b", "Y")],
+        "item_id int, rater string, label string",
+    )
+    r2 = krippendorff_alpha(df2).collect()[0]
+    assert (r2.d_o, r2.alpha) == (0.0, 1.0)
+    # single-label corpus: D_e = 0 → alpha NULL (undefined, not 1)
+    df3 = spark.createDataFrame(
+        [(1, "a", "X"), (1, "b", "X")],
+        "item_id int, rater string, label string",
+    )
+    r3 = krippendorff_alpha(df3).collect()[0]
+    assert r3.d_e == 0.0 and r3.alpha is None
