@@ -5761,6 +5761,21 @@ def _q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance (textstats.burrows_delta)
+    between the corpus' language groups over the top-40 function words —
+    nano-unit relative frequencies, exact-integer z numerators, one
+    sqrt+division per word, micro-quantized pair terms."""
+    from pdf_to_epub_spark.operators import burrows_delta
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("group"), "text"
+    )
+    return burrows_delta(d, top_words=40, max_groups=5).select(
+        "group_a", "group_b", "n_words", "delta"
+    )
+
+
 def _q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Krippendorff's alpha, nominal (evaluate.krippendorff_alpha), over
     the 3-rater run with missing ratings — the agreement statistic that
@@ -7503,6 +7518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rater_kappa_pairs": _q_rater_kappa_pairs,
         "fleiss_kappa": _q_fleiss_kappa,
         "krippendorff_alpha": _q_krippendorff_alpha,
+        "burrows_delta": _q_burrows_delta,
         "rank_agreement": _q_rank_agreement,
         "score_drift_ks": _q_score_drift_ks,
         "retrieval_eval": _q_retrieval_eval,
@@ -10416,6 +10432,50 @@ def oracle_sql() -> dict[str, str]:
                         round((p_bar_raw - p_e_raw) / (1.0 - p_e_raw), 6)
                     END)::DOUBLE AS kappa
             FROM j
+        """,
+        "burrows_delta": """
+            WITH toks AS (
+                SELECT lang AS g,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-zà-öø-ÿ]+')) AS w
+                FROM documents),
+            counts AS (SELECT g, w, count(*) AS n FROM toks GROUP BY 1, 2),
+            totals AS (SELECT g, sum(n) AS total FROM counts GROUP BY 1),
+            groups AS (SELECT g, total FROM totals WHERE total > 0
+                       ORDER BY total DESC, g LIMIT 5),
+            ic AS (SELECT c.g, c.w, c.n FROM counts c JOIN groups USING (g)),
+            words AS (SELECT w FROM (
+                          SELECT w, sum(n) AS wn FROM ic GROUP BY w)
+                      ORDER BY wn DESC, w LIMIT 40),
+            dense AS (
+                SELECT gw.g, gw.w,
+                       (coalesce(ic.n, 0) * 1000000000) // gw.total AS f
+                FROM (SELECT groups.g, groups.total, words.w
+                      FROM groups CROSS JOIN words) gw
+                LEFT JOIN ic ON ic.g = gw.g AND ic.w = gw.w),
+            stats AS (SELECT w, count(*) AS gn, sum(f) AS sum_f,
+                             sum(f * f) AS sum_f2
+                      FROM dense GROUP BY w),
+            z AS (SELECT g, w, (f * gn - sum_f) AS num,
+                         sqrt((gn * sum_f2 - sum_f * sum_f)::DOUBLE) AS den
+                  FROM dense JOIN stats USING (w)),
+            pt AS (SELECT a.g AS group_a, b.g AS group_b, a.den AS den,
+                          CASE WHEN a.den > 0 THEN
+                              floor(1e6 * abs((a.num - b.num)::DOUBLE)
+                                    / a.den)
+                          END AS term_micro
+                   FROM z a JOIN z b ON a.w = b.w AND a.g < b.g),
+            agg AS (SELECT group_a, group_b,
+                           sum(CASE WHEN den > 0 THEN 1 ELSE 0 END)
+                               AS n_words,
+                           sum(term_micro) AS sum_micro
+                    FROM pt GROUP BY 1, 2)
+            SELECT group_a, group_b, n_words::BIGINT AS n_words,
+                   (CASE WHEN n_words > 0 THEN
+                        round(sum_micro::DOUBLE
+                              / (n_words::DOUBLE * 1e6), 6)
+                    END)::DOUBLE AS delta
+            FROM agg
         """,
         "krippendorff_alpha": """
             WITH ratings AS (

@@ -2651,3 +2651,127 @@ def capitalized_phrases(
         .orderBy(F.desc("n_mentions"), F.asc("phrase"))
         .limit(top)
     )
+
+
+def burrows_delta(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "group",
+    top_words: int = 100,
+    max_groups: int = 20,
+) -> DataFrame:
+    """Burrows' Delta — the standard stylometric distance between text
+    groups (authors, domains, suspected content farms): z-score each
+    group's relative frequency of the corpus' top function words against
+    the across-group distribution, then Delta(a,b) = mean |z_a − z_b|.
+    In a curation pipeline it flags style-clone clusters (one operator
+    ghost-writing many "independent" domains) and audits style mixture
+    across corpus tiers — signals token-level dedup can't see because
+    the texts share no literal n-grams.
+
+    Exactness contract (every stage SQL-replayable):
+    * relative frequency in exact NANO units: ``f = (n·1e9) div total_g``
+      (integral div — the Fleiss/alpha device);
+    * z numerator ``f·G − Σf`` stays exact integer; the denominator is
+      one ``sqrt(G·Σf² − (Σf)²)`` of an exact integer (both engines'
+      IEEE-correctly-rounded sqrt), so
+      ``z_a − z_b = (num_a − num_b)/den`` costs ONE float division;
+    * each pair term is floor-quantized to MICRO units before the
+      over-words sum, making the mean order-independent; zero-variance
+      words (den = 0) are excluded from both the sum and the divisor.
+
+    Scale shape: one map-side-combinable (group, word) count is the only
+    corpus-volume exchange; everything after runs on slim aggregates.
+    The pair stage is O(G²·W) so groups are capped at ``max_groups``
+    (top token volume, name tie-break) — Delta is a panel statistic, not
+    an all-corpus join; raise the cap deliberately.
+
+    Returns ``(group_a, group_b, n_words, delta)`` for unordered pairs
+    of included groups, NULL delta when no word has variance.
+    """
+    toks = df.select(
+        F.col(group_col).alias("g"),
+        F.explode_outer(_tokens(text_col)).alias("w"),
+    ).where(F.col("w").isNotNull())
+    counts = toks.groupBy("g", "w").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("g").agg(F.sum("n").alias("total"))
+    # bounded top-k via orderBy+limit (TakeOrdered: per-partition partial
+    # top-k, driver merge) — a global row_number window would drag the
+    # whole group/vocab table through ONE partition (the build_vocab rule)
+    groups = (
+        totals.where(F.col("total") > 0)
+        .orderBy(F.col("total").desc(), F.col("g").asc())
+        .limit(max_groups)
+    )
+    in_counts = counts.join(F.broadcast(groups.select("g")), "g")
+    words = (
+        in_counts.groupBy("w")
+        .agg(F.sum("n").alias("wn"))
+        .orderBy(F.col("wn").desc(), F.col("w").asc())
+        .limit(top_words)
+        .select("w")
+    )
+    dense = (
+        groups.crossJoin(F.broadcast(words))
+        .join(in_counts, ["g", "w"], "left")
+        .select(
+            "g",
+            "w",
+            F.expr(
+                "(CAST(coalesce(n, 0) AS DECIMAL(38,0)) * 1000000000)"
+                " div CAST(total AS DECIMAL(38,0))"
+            ).cast("decimal(38,0)").alias("f"),
+        )
+    )
+    stats = dense.groupBy("w").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("gn"),
+        F.sum("f").alias("sum_f"),
+        F.sum(F.col("f") * F.col("f")).alias("sum_f2"),
+    )
+    z = dense.join(F.broadcast(stats), "w").select(
+        "g",
+        "w",
+        (F.col("f") * F.col("gn") - F.col("sum_f")).alias("num"),
+        F.sqrt(
+            (F.col("gn") * F.col("sum_f2") - F.col("sum_f") * F.col("sum_f"))
+            .cast("double")
+        ).alias("den"),
+    )
+    a, b = z.alias("a"), z.alias("b")
+    pair_terms = a.join(
+        b, on=[F.col("a.w") == F.col("b.w"), F.col("a.g") < F.col("b.g")]
+    ).select(
+        F.col("a.g").alias("group_a"),
+        F.col("b.g").alias("group_b"),
+        F.col("a.den").alias("den"),
+        F.when(
+            F.col("a.den") > 0,
+            F.floor(
+                F.lit(1e6)
+                * F.abs((F.col("a.num") - F.col("b.num")).cast("double"))
+                / F.col("a.den")
+            ).cast("decimal(38,0)"),
+        ).alias("term_micro"),
+    )
+    return (
+        pair_terms.groupBy("group_a", "group_b")
+        .agg(
+            F.sum(F.when(F.col("den") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_words"),
+            F.sum("term_micro").alias("sum_micro"),
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "n_words",
+            F.when(
+                F.col("n_words") > 0,
+                F.round(
+                    F.col("sum_micro").cast("double")
+                    / (F.col("n_words").cast("double") * 1e6),
+                    6,
+                ),
+            ).alias("delta"),
+        )
+    )

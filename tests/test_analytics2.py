@@ -1706,3 +1706,94 @@ def test_krippendorff_alpha_canonical_edges(spark):
     )
     r3 = krippendorff_alpha(df3).collect()[0]
     assert r3.d_e == 0.0 and r3.alpha is None
+
+
+# ------------------------------------------------------------ stylometry
+
+
+def test_burrows_delta_exact():
+    """Pure-Python replica (same nano/micro quantization) reproduces the
+    operator bit-for-bit on a 3-group corpus."""
+    import math
+    import re
+    from collections import Counter
+    from itertools import combinations
+
+    # lazy import to reuse the session fixture via the module-level spark
+    # pattern used elsewhere in this file
+    from pdf_to_epub_spark.session import get_spark
+    from pdf_to_epub_spark.operators import burrows_delta
+
+    spark = get_spark(
+        app_name="pdf_to_epub_spark-tests", master="local[4]",
+        shuffle_partitions=8,
+    )
+    texts = {
+        "g0": ["the cat and the dog sat on the mat",
+               "a dog and a cat met the fox"],
+        "g1": ["the the the cat cat runs fast and far",
+               "of the people by the people"],
+        "g2": ["quantum flux of strange quarks and the gluon sea",
+               "she sells sea shells by the sea shore"],
+    }
+    rows = [(g, t) for g, ts in texts.items() for t in ts]
+    df = spark.createDataFrame(rows, "group string, text string")
+    got = {
+        (r.group_a, r.group_b): (r.n_words, r.delta)
+        for r in burrows_delta(df, top_words=8, max_groups=3).collect()
+    }
+
+    tok = lambda s: re.findall(r"[a-zà-öø-ÿ]+", s.lower())  # noqa: E731
+    counts = {g: Counter() for g in texts}
+    for g, ts in texts.items():
+        for t in ts:
+            counts[g].update(tok(t))
+    totals = {g: sum(c.values()) for g, c in counts.items()}
+    groups = sorted(texts, key=lambda g: (-totals[g], g))[:3]
+    wc = Counter()
+    for g in groups:
+        wc.update(counts[g])
+    words = sorted(wc, key=lambda w: (-wc[w], w))[:8]
+    n_g = len(groups)
+    f = {
+        (g, w): counts[g][w] * 10**9 // totals[g]
+        for g in groups
+        for w in words
+    }
+    for a, b in combinations(sorted(groups), 2):
+        s = 0
+        weff = 0
+        for w in words:
+            fs = [f[(g, w)] for g in groups]
+            sf, sf2 = sum(fs), sum(x * x for x in fs)
+            den = math.sqrt(n_g * sf2 - sf * sf)
+            if den > 0:
+                weff += 1
+                s += math.floor(
+                    1e6
+                    * abs((f[(a, w)] * n_g - sf) - (f[(b, w)] * n_g - sf))
+                    / den
+                )
+        assert got[(a, b)] == (weff, round(s / (weff * 1e6), 6))
+
+
+def test_burrows_delta_caps_and_zero_variance(spark):
+    from pdf_to_epub_spark.operators import burrows_delta
+
+    # identical relative frequencies everywhere → every word has zero
+    # variance → n_words = 0, delta NULL (undefined, not 0)
+    same = spark.createDataFrame(
+        [("a", "x y"), ("b", "x y"), ("c", "x y")], "group string, text string"
+    )
+    rows = burrows_delta(same, top_words=5, max_groups=3).collect()
+    assert len(rows) == 3
+    assert all(r.n_words == 0 and r.delta is None for r in rows)
+
+    # max_groups keeps the top-volume groups only (tie-break: name asc)
+    df = spark.createDataFrame(
+        [("big", "a b c d e f"), ("mid", "a b c"), ("tiny", "a")],
+        "group string, text string",
+    )
+    pairs = burrows_delta(df, top_words=5, max_groups=2).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].group_a, pairs[0].group_b) == ("big", "mid")
