@@ -909,6 +909,47 @@ def cohen_kappa_pairs(
     )
 
 
+def _agreement_parts(
+    ratings: DataFrame,
+    item_col: str,
+    label_col: str,
+    nano_expr: str,
+    nano_alias: str,
+) -> DataFrame:
+    """Shared multi-rater agreement plumbing (fleiss_kappa /
+    krippendorff_alpha): per-(item,label) counts → per-item (n_i,
+    Σ n_il²) over items with ≥2 ratings → one global row carrying
+    ``n_items``, ``n_ratings``, ``sum_cj_sq`` (Σ of squared global label
+    counts over included items) and the decimal sum of ``nano_expr`` (an
+    exact integral-`div` nano-quantized per-item rational over the
+    ``n_i``/``sum_sq`` columns) as ``nano_alias``.  `div`, NOT decimal
+    `/` + floor: Spark decimal division HALF_UP-rounds at the result
+    scale first, which can flip the floor when the true quotient sits
+    within 5e-7 of an integer (possible once n_i(n_i−1) > 2e6); the
+    quantized rationals are ≥ 0, so truncation IS floor."""
+    per_cell = ratings.groupBy(
+        F.col(item_col).alias("_i"), F.col(label_col).alias("_l")
+    ).agg(F.count(F.lit(1)).alias("n_il"))
+    per_item = per_cell.groupBy("_i").agg(
+        F.sum("n_il").alias("n_i"),
+        F.sum(F.col("n_il") * F.col("n_il")).alias("sum_sq"),
+    ).where(F.col("n_i") >= 2)
+    agg = per_item.select(
+        F.expr(nano_expr).cast("decimal(38,0)").alias("_nano"), "n_i"
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("_nano").alias(nano_alias),
+        F.sum("n_i").cast("decimal(38,0)").alias("n_ratings"),
+    )
+    labels = (
+        per_cell.join(per_item.select("_i"), "_i")
+        .groupBy("_l")
+        .agg(F.sum("n_il").cast("decimal(38,0)").alias("c_j"))
+        .agg(F.sum(F.col("c_j") * F.col("c_j")).alias("sum_cj_sq"))
+    )
+    return agg.crossJoin(labels)
+
+
 def fleiss_kappa(
     ratings: DataFrame,
     item_col: str = "item_id",
@@ -933,40 +974,17 @@ def fleiss_kappa(
 
     Scale: two map-side-combinable aggregations (item×label, then
     global) — no joins on the corpus axis beyond the slim per-item
-    counts.
+    counts (shared plumbing: :func:`_agreement_parts`).
     """
-    per_cell = ratings.groupBy(
-        F.col(item_col).alias("_i"), F.col(label_col).alias("_l")
-    ).agg(F.count(F.lit(1)).alias("n_il"))
-    per_item = per_cell.groupBy("_i").agg(
-        F.sum("n_il").alias("n_i"),
-        F.sum(F.col("n_il") * F.col("n_il")).alias("sum_sq"),
-    ).where(F.col("n_i") >= 2)
-    # nano-quantized P_i: floor(1e9 * (sum_sq - n_i) / (n_i*(n_i-1))).
-    # `div` (exact integral division), NOT decimal `/` + floor: Spark
-    # decimal division HALF_UP-rounds at the result scale first, which
-    # can flip the floor when the true quotient sits within 5e-7 of an
-    # integer (possible once n_i(n_i−1) > 2e6).  P_i ≥ 0, so truncation
-    # IS floor.
-    p_i_nano = F.expr(
+    # nano-quantized P_i: floor(1e9 * (sum_sq - n_i) / (n_i*(n_i-1)))
+    out = _agreement_parts(
+        ratings,
+        item_col,
+        label_col,
         "(CAST(sum_sq - n_i AS DECIMAL(38,0)) * 1000000000)"
-        " div (CAST(n_i AS DECIMAL(38,0)) * (n_i - 1))"
+        " div (CAST(n_i AS DECIMAL(38,0)) * (n_i - 1))",
+        "sum_p_nano",
     )
-    agg = per_item.select(
-        p_i_nano.cast("decimal(38,0)").alias("p_nano"),
-        "n_i", "_i",
-    ).agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.sum("p_nano").alias("sum_p_nano"),
-        F.sum("n_i").cast("decimal(38,0)").alias("n_ratings"),
-    )
-    labels = (
-        per_cell.join(per_item.select("_i"), "_i")
-        .groupBy("_l")
-        .agg(F.sum("n_il").cast("decimal(38,0)").alias("c_j"))
-        .agg(F.sum(F.col("c_j") * F.col("c_j")).alias("sum_cj_sq"))
-    )
-    out = agg.crossJoin(labels)
     p_bar = F.col("sum_p_nano").cast("double") / (
         F.col("n_items").cast("double") * 1e9
     )
@@ -1012,33 +1030,17 @@ def krippendorff_alpha(
     D_e = 0 (all ratings one label — no disagreement is expressible).
 
     Scale: the same two map-side-combinable aggregations as
-    :func:`fleiss_kappa` — nothing joins on the corpus axis.
+    :func:`fleiss_kappa` — nothing joins on the corpus axis (shared
+    plumbing: :func:`_agreement_parts`).
     """
-    per_cell = ratings.groupBy(
-        F.col(item_col).alias("_i"), F.col(label_col).alias("_l")
-    ).agg(F.count(F.lit(1)).alias("n_il"))
-    per_item = per_cell.groupBy("_i").agg(
-        F.sum("n_il").alias("n_i"),
-        F.sum(F.col("n_il") * F.col("n_il")).alias("sum_sq"),
-    ).where(F.col("n_i") >= 2)
-    do_nano = F.expr(
+    out = _agreement_parts(
+        ratings,
+        item_col,
+        label_col,
         "(CAST(n_i * n_i - sum_sq AS DECIMAL(38,0)) * 1000000000)"
-        " div CAST(n_i - 1 AS DECIMAL(38,0))"
+        " div CAST(n_i - 1 AS DECIMAL(38,0))",
+        "sum_d_nano",
     )
-    agg = per_item.select(
-        do_nano.cast("decimal(38,0)").alias("d_nano"), "n_i", "_i"
-    ).agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.sum("d_nano").alias("sum_d_nano"),
-        F.sum("n_i").cast("decimal(38,0)").alias("n_ratings"),
-    )
-    labels = (
-        per_cell.join(per_item.select("_i"), "_i")
-        .groupBy("_l")
-        .agg(F.sum("n_il").cast("decimal(38,0)").alias("c_j"))
-        .agg(F.sum(F.col("c_j") * F.col("c_j")).alias("sum_cj_sq"))
-    )
-    out = agg.crossJoin(labels)
     n = F.col("n_ratings")
     d_o = F.col("sum_d_nano").cast("double") / (
         n.cast("double") * 1e9

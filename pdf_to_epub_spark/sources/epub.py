@@ -22,6 +22,7 @@ import html
 import io
 import posixpath
 import re
+import urllib.parse
 import xml.etree.ElementTree as ET
 import zipfile
 
@@ -43,11 +44,31 @@ _NS_OPF = {
 
 _HEADING_RE = re.compile(r"<h([1-6])\b[^>]*>(.*?)</h\1>", re.S | re.I)
 _PARA_RE = re.compile(r"<p\b[^>]*>(.*?)</p>", re.S | re.I)
-_TAG_RE = re.compile(r"<[^>]+>")
+# HTML5-faithful tag spans: '<' + ASCII letter (or '</', '<!--') starts
+# a tag token, exactly as browsers tokenize — so '<n and j>' strips like
+# an unknown element, while literal '<' before space/digit/'=' survives
+_TAG_RE = re.compile(r"</?[A-Za-z][^>]*>|<!--.*?-->", re.S)
 
 
 class UnsupportedEpub(ValueError):
     """Raised when the zip is not an EPUB this parser understands."""
+
+
+# per-member decompressed-read ceiling: a crafted zip bomb otherwise
+# inflates to executor-OOM, which the never-a-task-failure isolation
+# cannot catch (OOM kills the process, not the except block)
+_MAX_MEMBER_BYTES = 64 * 1024 * 1024
+
+
+def _read_member(zf: zipfile.ZipFile, name: str) -> bytes:
+    """Bounded read of one zip member; `UnsupportedEpub` past the cap
+    (checked on the actual decompressed stream, not the forgeable
+    central-directory size)."""
+    with zf.open(name) as fh:
+        data = fh.read(_MAX_MEMBER_BYTES + 1)
+    if len(data) > _MAX_MEMBER_BYTES:
+        raise UnsupportedEpub(f"member {name!r} exceeds read cap")
+    return data
 
 
 def _clean(fragment: str) -> str:
@@ -68,7 +89,7 @@ def parse_epub_bytes(data: bytes) -> dict:
     if "META-INF/container.xml" not in names:
         raise UnsupportedEpub("no META-INF/container.xml")
     try:
-        container = ET.fromstring(zf.read("META-INF/container.xml"))
+        container = ET.fromstring(_read_member(zf, "META-INF/container.xml"))
     except ET.ParseError as e:  # pragma: no cover - malformed container
         raise UnsupportedEpub(f"bad container.xml: {e}") from e
     rootfile = container.find(".//c:rootfile", _NS_CONTAINER)
@@ -78,7 +99,7 @@ def parse_epub_bytes(data: bytes) -> dict:
     if opf_path not in names:
         raise UnsupportedEpub(f"rootfile {opf_path!r} missing from zip")
     try:
-        opf = ET.fromstring(zf.read(opf_path))
+        opf = ET.fromstring(_read_member(zf, opf_path))
     except ET.ParseError as e:
         raise UnsupportedEpub(f"bad OPF: {e}") from e
     opf_dir = posixpath.dirname(opf_path)
@@ -107,11 +128,14 @@ def parse_epub_bytes(data: bytes) -> dict:
         href, media = manifest[idref]
         if media and "xhtml" not in media and "html" not in media:
             continue
-        full = posixpath.join(opf_dir, href) if opf_dir else href
+        # hrefs are IRIs: drop any #fragment and URL-decode (%20 etc.)
+        # before the zip-name lookup — wild files use both
+        target = urllib.parse.unquote(href.split("#", 1)[0])
+        full = posixpath.join(opf_dir, target) if opf_dir else target
         full = posixpath.normpath(full)
         if full not in names:
             continue
-        body = zf.read(full).decode("utf-8", errors="replace")
+        body = _read_member(zf, full).decode("utf-8", errors="replace")
         m = _HEADING_RE.search(body)
         heading = _clean(m.group(2)) if m else ""
         paras = [p for p in (_clean(x) for x in _PARA_RE.findall(body)) if p]
@@ -151,8 +175,18 @@ def parse_epub_payloads(
     sources/docx.py contract: a broken zip / non-EPUB payload yields a
     single ``status='error'`` / ``'unsupported'`` marker row, an EPUB
     with no chapters yields ``'empty'`` — never a task failure, never a
-    silently vanished document."""
+    silently vanished document.
+
+    The id column passes through under its own name and type (url
+    strings work as well as long ids) — the Arrow id array is built
+    with the INPUT batch's type, never a hard-coded int64."""
     import pyarrow as pa
+
+    id_field = df.select(id_col).schema.fields[0]
+    out_schema = StructType(
+        [StructField(id_field.name, id_field.dataType)]
+        + [f for f in EPUB_CHAPTER_SCHEMA.fields[1:]]
+    )
 
     def batches(it):
         for b in it:
@@ -190,16 +224,17 @@ def parse_epub_payloads(
                     statuses.append("ok")
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(ids, pa.int64()),
+                    pa.array(ids, b.column(0).type),
                     pa.array(idxs, pa.int32()),
                     pa.array(heads, pa.string()),
                     pa.array(texts, pa.string()),
                     pa.array(nps, pa.int32()),
                     pa.array(statuses, pa.string()),
                 ],
-                names=[f.name for f in EPUB_CHAPTER_SCHEMA.fields],
+                names=[id_field.name]
+                + [f.name for f in EPUB_CHAPTER_SCHEMA.fields[1:]],
             )
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInArrow(
-        batches, EPUB_CHAPTER_SCHEMA
+        batches, out_schema
     )

@@ -1711,7 +1711,7 @@ def test_krippendorff_alpha_canonical_edges(spark):
 # ------------------------------------------------------------ stylometry
 
 
-def test_burrows_delta_exact():
+def test_burrows_delta_exact(spark):
     """Pure-Python replica (same nano/micro quantization) reproduces the
     operator bit-for-bit on a 3-group corpus."""
     import math
@@ -1719,15 +1719,8 @@ def test_burrows_delta_exact():
     from collections import Counter
     from itertools import combinations
 
-    # lazy import to reuse the session fixture via the module-level spark
-    # pattern used elsewhere in this file
-    from pdf_to_epub_spark.session import get_spark
     from pdf_to_epub_spark.operators import burrows_delta
 
-    spark = get_spark(
-        app_name="pdf_to_epub_spark-tests", master="local[4]",
-        shuffle_partitions=8,
-    )
     texts = {
         "g0": ["the cat and the dog sat on the mat",
                "a dog and a cat met the fox"],

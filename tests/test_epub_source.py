@@ -182,3 +182,79 @@ def test_payloads_is_pure_map_stage(spark):
     )
     plan = parse_epub_payloads(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_wild_href_encoding_and_fragment():
+    """Manifest hrefs are IRIs: %20-encoded names and #fragment suffixes
+    must still resolve to the zip member."""
+    opf = (
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0">'
+        '<metadata xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        "<dc:title>E</dc:title></metadata>"
+        '<manifest><item id="c1" href="my%20chapter.xhtml#sec1"'
+        ' media-type="application/xhtml+xml"/></manifest>'
+        '<spine><itemref idref="c1"/></spine></package>'
+    )
+    container = (
+        '<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+        '<rootfiles><rootfile full-path="pkg.opf"'
+        ' media-type="application/oebps-package+xml"/></rootfiles>'
+        "</container>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("META-INF/container.xml", container)
+        z.writestr("pkg.opf", opf)
+        z.writestr("my chapter.xhtml", "<h1>T</h1><p>body</p>")
+    doc = parse_epub_bytes(buf.getvalue())
+    assert doc["chapters"][0]["paras"] == ["body"]
+
+
+def test_bare_angle_brackets_html5_faithful():
+    """Tag stripping follows HTML5 tokenization: '<' + ASCII letter
+    starts a tag (so '<n and j>' IS a tag, as in every browser), while
+    '<' before space/digit/'=' is literal text and must survive."""
+    from pdf_to_epub_spark.sources.epub import _clean
+
+    assert _clean("valid for i < n and j > k") == "valid for i < n and j > k"
+    assert _clean("i<3 you; a<=b") == "i<3 you; a<=b"
+    assert _clean("valid for i<n and j>k") == "valid for ik"  # browser-alike
+    assert _clean("a <em>b</em> <!-- note --> c") == "a b c"
+
+
+def test_zip_bomb_member_is_unsupported():
+    """A member inflating past the read cap yields UnsupportedEpub (a
+    marker row on the Spark path), never an unbounded allocation."""
+    import pdf_to_epub_spark.sources.epub as epub_mod
+
+    container = (
+        '<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+        '<rootfiles><rootfile full-path="pkg.opf"'
+        ' media-type="application/oebps-package+xml"/></rootfiles>'
+        "</container>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("META-INF/container.xml", container)
+        z.writestr("pkg.opf", b"\x00" * (4 << 20))  # highly compressible
+    old = epub_mod._MAX_MEMBER_BYTES
+    epub_mod._MAX_MEMBER_BYTES = 1 << 20
+    try:
+        with pytest.raises(UnsupportedEpub, match="read cap"):
+            parse_epub_bytes(buf.getvalue())
+    finally:
+        epub_mod._MAX_MEMBER_BYTES = old
+
+
+def test_payloads_string_id_passthrough(spark):
+    """A url-typed id column passes through under its own name and type
+    (no hard-coded int64)."""
+    good = epub_bytes(_make_blocks(), title="ok", url="u://ok")
+    df = spark.createDataFrame(
+        [("u://ok", bytearray(good)), ("u://bad", bytearray(b"nope"))],
+        "url string, epub binary",
+    )
+    out = parse_epub_payloads(df, id_col="url").collect()
+    assert {r.url for r in out} == {"u://ok", "u://bad"}
+    assert all(isinstance(r.url, str) for r in out)
+    assert [r.status for r in out if r.url == "u://bad"] == ["error"]
