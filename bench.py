@@ -695,6 +695,61 @@ def run_bench(
 
     timed("decontamination", decontamination, runs=2)
 
+    def stylometry_delta() -> None:
+        """Burrows' Delta over url-hash style groups (16 groups × top-100
+        function words): measures the (group, word) count — the only
+        corpus-volume exchange — plus the slim z/pair algebra after it."""
+        from pdf_to_epub_spark.operators import burrows_delta
+
+        docs = corpus.select(
+            F.concat(F.lit("g"), F.pmod(F.xxhash64("url"), F.lit(16)))
+            .alias("group"),
+            "text",
+        )
+        _force(burrows_delta(docs, top_words=100, max_groups=16))
+
+    timed("stylometry_delta", stylometry_delta, runs=2)
+
+    def epub_publish_audit() -> None:
+        """The reference's full publish + audit cycle as one distributed
+        pass: extraction → chapter assembly → per-doc EPUB3 zip bytes →
+        re-ingest through the EPUB source back to chapter rows.  Pure map
+        stages end-to-end on the bucketed layout (the assembly groupBy is
+        the only exchange)."""
+        from pdf_to_epub_spark.operators import (
+            assemble_documents,
+            blocks_table,
+            extract_documents,
+        )
+        from pdf_to_epub_spark.sources.epub import parse_epub_payloads
+
+        assembled = assemble_documents(
+            blocks_table(extract_documents(corpus, salt_partitions=None))
+        )
+
+        def gen(batches):
+            import pandas as pd
+
+            from pdf_to_epub_spark.export import epub_bytes
+
+            for pdf in batches:
+                payloads = [
+                    epub_bytes(
+                        [dict(b) for b in blocks] if blocks is not None
+                        else [],
+                        title=url, url=url,
+                    )
+                    for url, blocks in zip(pdf["url"], pdf["blocks"])
+                ]
+                yield pd.DataFrame({"url": pdf["url"], "epub": payloads})
+
+        payloads = assembled.select("url", "blocks").mapInPandas(
+            gen, "url string, epub binary"
+        )
+        _force(parse_epub_payloads(payloads, id_col="url"))
+
+    timed("epub_publish_audit", epub_publish_audit, runs=2)
+
     # Recall@10 of the approximate ANN paths vs the brute-force oracle —
     # an approximate operator without a recall number isn't auditable.
     ann_recall: dict[str, float] = {}
