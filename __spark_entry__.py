@@ -5761,6 +5761,108 @@ def _q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _isotonic_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic noisy-monotone calibration set: score is the doc's
+    percent residue, the label fires when a hash residue clears a
+    score-proportional threshold — so bin means mostly rise but violate
+    monotonicity locally (the shape PAV exists to pool)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    return d.select(
+        F.concat(F.lit("src"), (i % 2).cast("string")).alias("source"),
+        ((i % 100) / F.lit(100.0)).alias("score"),
+        (
+            (i * 7919) % 100
+            < 15 + F.expr("CAST((doc_id % 100) * 7 div 10 AS INT)")
+        ).alias("label"),
+    )
+
+
+def _q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration table (classify.isotonic_calibration,
+    20 bins, per source): exact integer-weight violator pooling over the
+    one (group, bin) corpus aggregation.  The oracle derives the same
+    fit via the greatest-convex-minorant slopes of the cumulative
+    (Σn, Σn_pos) diagram — an independent algorithm, provably equal to
+    PAV — precomputed into a VALUES table per corpus."""
+    from pdf_to_epub_spark.operators import isotonic_calibration
+
+    return isotonic_calibration(
+        _isotonic_table(spark, sf_dir), group_col="source", bins=20
+    ).select("source", "bin", "score_lo", "score_hi", "n", "n_pos", "p_cal")
+
+
+def _isotonic_oracle(bins: int = 20) -> str | None:
+    """VALUES-table oracle for `isotonic_calibration`, computed with the
+    GCM/convex-hull characterization (NOT the operator's PAV merge):
+    fitted value per bin = slope of the lower convex hull segment of the
+    cumulative (Σn, Σn_pos) diagram covering that bin."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    rows: list[str] = []
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        path = pathlib.Path(sf_dir) / "documents.parquet"
+        if not path.exists():
+            return None
+        t = pq.read_table(path, columns=["doc_id", "text"])
+        recs = sorted(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+        key = hashlib.md5((recs[0][1] or "").encode()).hexdigest()
+        by_group: dict[str, dict[int, list[int]]] = {}
+        for doc_id, _ in recs:
+            g = f"src{doc_id % 2}"
+            score = (doc_id % 100) / 100.0
+            label = (doc_id * 7919) % 100 < 15 + ((doc_id % 100) * 7) // 10
+            b = min(max(int(score * bins), 0), bins - 1)
+            cell = by_group.setdefault(g, {}).setdefault(b, [0, 0])
+            cell[0] += 1
+            cell[1] += 1 if label else 0
+        for g in sorted(by_group):
+            bd = by_group[g]
+            order = sorted(bd)
+            pts = [(0, 0)]
+            cx = cy = 0
+            for b in order:
+                cx += bd[b][0]
+                cy += bd[b][1]
+                pts.append((cx, cy))
+            hull: list[tuple[int, int]] = []
+            for pt in pts:
+                while len(hull) >= 2:
+                    (x1, y1), (x2, y2) = hull[-2], hull[-1]
+                    if (x2 - x1) * (pt[1] - y1) <= (pt[0] - x1) * (y2 - y1):
+                        hull.pop()
+                    else:
+                        break
+                hull.append(pt)
+            seg = 0
+            cx = 0
+            for b in order:
+                n, pos = bd[b]
+                cx += n
+                while seg + 1 < len(hull) and hull[seg + 1][0] < cx:
+                    seg += 1
+                (x1, y1), (x2, y2) = hull[seg], hull[seg + 1]
+                p_cal = round((y2 - y1) / (x2 - x1), 6)
+                rows.append(
+                    f"('{key}','{g}',{b},{b / bins!r},{(b + 1) / bins!r},"
+                    f"{n},{pos},{p_cal!r})"
+                )
+    vals = ",\n            ".join(rows)
+    return f"""
+        WITH golden(corpus_key, source, bin, score_lo, score_hi, n,
+                    n_pos, p_cal) AS (VALUES
+            {vals})
+        SELECT source, bin::INT AS bin, score_lo::DOUBLE AS score_lo,
+               score_hi::DOUBLE AS score_hi, n::BIGINT AS n,
+               n_pos::BIGINT AS n_pos, p_cal::DOUBLE AS p_cal
+        FROM golden
+        WHERE corpus_key = (SELECT md5(text) FROM documents
+                            WHERE doc_id = 0)
+    """
+
+
 def _q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burrows' Delta stylometric distance (textstats.burrows_delta)
     between the corpus' language groups over the top-40 function words —
@@ -7519,6 +7621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fleiss_kappa": _q_fleiss_kappa,
         "krippendorff_alpha": _q_krippendorff_alpha,
         "burrows_delta": _q_burrows_delta,
+        "isotonic_calibration": _q_isotonic_calibration,
         "rank_agreement": _q_rank_agreement,
         "score_drift_ks": _q_score_drift_ks,
         "retrieval_eval": _q_retrieval_eval,
@@ -14175,6 +14278,11 @@ def oracle_sql() -> dict[str, str]:
             | (
                 {"epub_roundtrip": r}
                 if (r := _epub_roundtrip_oracle()) is not None
+                else {}
+            )
+            | (
+                {"isotonic_calibration": iso}
+                if (iso := _isotonic_oracle()) is not None
                 else {}
             )
         ),

@@ -313,3 +313,103 @@ def _nb_bucket(tok: Column, n_buckets: int) -> Column:
         ).cast("long")
         % n_buckets
     )
+
+
+def isotonic_calibration(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    group_col: str | None = None,
+    bins: int = 100,
+) -> DataFrame:
+    """Isotonic (PAV) calibration table for a quality classifier: maps
+    raw score bins to monotone empirical keep-probabilities — the
+    standard calibration when the classifier's scores rank well but its
+    probabilities don't (percentile calibration — `calibrate_scores` —
+    fixes cross-source thresholds; THIS fixes the probabilities
+    themselves against labels).
+
+    Shape: scores clamp to [0, 1) and bin on a fixed ``bins`` grid; one
+    map-side-combinable ``(group, bin) → (n, n_pos)`` aggregation is the
+    only corpus-volume exchange.  The pooled-adjacent-violators merge
+    runs driver-side over the collected bins — bounded by
+    ``groups × bins`` rows (groups are few and named: sources / tiers,
+    NOT domains — the lm.py ≤784-row model-fit precedent), with all
+    violator comparisons done on cross-multiplied INTEGER weights, so
+    the fit is exact and replayable.  NULL scores/labels are excluded
+    (unlabeled/unscored rows are not a class — the nb_train_scores
+    rule).
+
+    Returns one row per occupied input bin: ``(group?, bin, score_lo,
+    score_hi, n, n_pos, p_cal)`` where ``p_cal`` = pooled
+    n_pos/n of the PAV block containing the bin, rounded to 6 dp —
+    broadcast-join it back on the bin id to calibrate the corpus.
+
+    Oracle note: the driver oracle derives the same fit via the
+    greatest-convex-minorant characterization (slopes of the lower
+    convex hull of the cumulative (Σn, Σn_pos) diagram) — an
+    independent algorithm, provably equal to PAV.
+    """
+    s = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("boolean")
+    rows = scored.where(s.isNotNull() & lab.isNotNull())
+    bin_id = F.least(
+        F.greatest(F.floor(s * bins).cast("int"), F.lit(0)),
+        F.lit(bins - 1),
+    )
+    keys = ([group_col] if group_col else []) + ["__bin"]
+    agg = (
+        rows.select(
+            *([F.col(group_col)] if group_col else []),
+            bin_id.alias("__bin"),
+            F.when(lab, 1).otherwise(0).alias("__pos"),
+        )
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__pos").alias("n_pos"))
+    )
+    collected = agg.collect()
+
+    by_group: dict = {}
+    for r in collected:
+        g = r[group_col] if group_col else None
+        by_group.setdefault(g, []).append((r["__bin"], int(r["n"]), int(r["n_pos"])))
+
+    out_rows = []
+    for g, brs in by_group.items():
+        brs.sort()
+        # PAV: blocks of (bins, n, pos); merge while a block's mean
+        # exceeds its successor's — pos_a * n_b > pos_b * n_a keeps the
+        # comparison in exact integers
+        blocks: list[list] = []  # [first_bin, last_bin, n, pos]
+        for b, n, pos in brs:
+            blocks.append([b, b, n, pos])
+            while (
+                len(blocks) > 1
+                and blocks[-2][3] * blocks[-1][2]
+                > blocks[-1][3] * blocks[-2][2]
+            ):
+                b2 = blocks.pop()
+                blocks[-1][1] = b2[1]
+                blocks[-1][2] += b2[2]
+                blocks[-1][3] += b2[3]
+        fitted = {}
+        for first, last, n, pos in blocks:
+            p = round(pos / n, 6)
+            for b, bn, bpos in brs:
+                if first <= b <= last:
+                    fitted[b] = p
+        for b, n, pos in brs:
+            out_rows.append(
+                ((g,) if group_col else ())
+                + (b, b / bins, (b + 1) / bins, n, pos, fitted[b])
+            )
+
+    spark = scored.sparkSession
+    schema = (
+        (f"{group_col} string, " if group_col else "")
+        + "bin int, score_lo double, score_hi double,"
+        + " n long, n_pos long, p_cal double"
+    )
+    return spark.createDataFrame(out_rows, schema).orderBy(*(
+        ([group_col] if group_col else []) + ["bin"]
+    ))

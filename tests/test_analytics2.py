@@ -1790,3 +1790,84 @@ def test_burrows_delta_caps_and_zero_variance(spark):
     pairs = burrows_delta(df, top_words=5, max_groups=2).collect()
     assert len(pairs) == 1
     assert (pairs[0].group_a, pairs[0].group_b) == ("big", "mid")
+
+
+# ------------------------------------------------------------- isotonic
+
+
+def test_isotonic_calibration_pav_equals_gcm(spark):
+    """The operator's PAV merge equals the greatest-convex-minorant
+    slopes of the cumulative diagram (independent derivation), per
+    group, and the fit is monotone non-decreasing."""
+    from fractions import Fraction
+
+    from pdf_to_epub_spark.operators import isotonic_calibration
+
+    rows = []
+    for i in range(800):
+        s = (i % 40) / 40.0
+        lab = (i * 7919) % 100 < 10 + ((i % 40) * 2)
+        rows.append((f"src{i % 2}", s, lab))
+    df = spark.createDataFrame(rows, "source string, score double, label boolean")
+    cal = isotonic_calibration(df, group_col="source", bins=10).collect()
+
+    from collections import defaultdict
+
+    bd = defaultdict(dict)
+    for g, s, l in rows:
+        b = min(max(int(s * 10), 0), 9)
+        n, p = bd[g].get(b, (0, 0))
+        bd[g][b] = (n + 1, p + (1 if l else 0))
+    for g, cells in bd.items():
+        order = sorted(cells)
+        pts = [(0, 0)]
+        cx = cy = 0
+        for b in order:
+            cx += cells[b][0]
+            cy += cells[b][1]
+            pts.append((cx, cy))
+        hull = []
+        for pt in pts:
+            while len(hull) >= 2:
+                (x1, y1), (x2, y2) = hull[-2], hull[-1]
+                if (x2 - x1) * (pt[1] - y1) <= (pt[0] - x1) * (y2 - y1):
+                    hull.pop()
+                else:
+                    break
+            hull.append(pt)
+        seg = 0
+        cx = 0
+        fit = {}
+        for b in order:
+            cx += cells[b][0]
+            while seg + 1 < len(hull) and hull[seg + 1][0] < cx:
+                seg += 1
+            (x1, y1), (x2, y2) = hull[seg], hull[seg + 1]
+            fit[b] = round(float(Fraction(y2 - y1, x2 - x1)), 6)
+        mine = sorted((r for r in cal if r.source == g), key=lambda r: r.bin)
+        assert [r.p_cal for r in mine] == [fit[r.bin] for r in mine]
+        assert all(
+            a.p_cal <= b.p_cal + 1e-12 for a, b in zip(mine, mine[1:])
+        )
+        # n/n_pos are the raw (unpooled) bin counts
+        assert {(r.bin, r.n, r.n_pos) for r in mine} == {
+            (b, cells[b][0], cells[b][1]) for b in order
+        }
+
+
+def test_isotonic_calibration_edges(spark):
+    from pdf_to_epub_spark.operators import isotonic_calibration
+
+    # strictly decreasing means pool to one global block
+    df = spark.createDataFrame(
+        [(0.1, True)] * 3 + [(0.9, False)] * 3, "score double, label boolean"
+    )
+    rows = isotonic_calibration(df, bins=4).collect()
+    assert {r.p_cal for r in rows} == {0.5}
+    # NULL scores/labels excluded; out-of-range scores clamp to edge bins
+    df2 = spark.createDataFrame(
+        [(None, True), (0.5, None), (-3.0, False), (7.0, True)],
+        "score double, label boolean",
+    )
+    rows2 = isotonic_calibration(df2, bins=4).collect()
+    assert {(r.bin, r.n) for r in rows2} == {(0, 1), (3, 1)}
