@@ -5761,6 +5761,109 @@ def _q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _routing_payload(doc_id: int) -> bytes | None:
+    """Deterministic mixed-container payload per doc_id (shared by the
+    Spark query's generator and the oracle replica): all eight detected
+    classes plus empty/NULL, content a pure function of the id."""
+    import gzip as _gzip
+
+    from pdf_to_epub_spark.export import epub_bytes
+    from pdf_to_epub_spark.sources.docx import make_docx_bytes
+    from pdf_to_epub_spark.sources.pdf import make_pdf_bytes
+
+    k = doc_id % 10
+    if k == 0:
+        return make_pdf_bytes([[(72.0, 700.0, 12.0, f"doc {doc_id}")]])
+    if k == 1:
+        return epub_bytes([], title=f"doc {doc_id}", url=f"doc://{doc_id}")
+    if k == 2:
+        return make_docx_bytes(doc_id, f"doc {doc_id}")
+    if k == 3:
+        return b"{\\rtf1\\ansi doc %d}" % doc_id
+    if k == 4:
+        return _gzip.compress(b"doc %d" % doc_id, mtime=0)
+    if k == 5:
+        return b"  <html><body>doc %d</body></html>" % doc_id
+    if k == 6:
+        return b"\xef\xbb\xbf<?xml version='1.0'?><d i='%d'/>" % doc_id
+    if k == 7:
+        return b"plain text doc %d\n" % doc_id
+    if k == 8:
+        return bytes([doc_id % 7, 0x01, 0xFE]) + b"%d" % doc_id
+    return b"" if doc_id % 2 == 0 else None
+
+
+def _q_payload_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Front-door container dispatch (extract.route_payloads /
+    sniff_document): a deterministic mixed store — real PDF / EPUB /
+    OOXML / RTF / gzip / HTML / XML / text / binary / empty payloads,
+    one class per doc_id residue — routed by JVM-side magic-byte
+    column algebra (no Python, no shuffle).  The oracle replays
+    `py_sniff_document` over the same generated bytes into a VALUES
+    table keyed by the corpus."""
+    _ship_package(spark)
+    from pdf_to_epub_spark.operators.extract import route_payloads
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 200").select(
+        "doc_id"
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [_routing_payload(i) for i in ids]}
+            )
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return route_payloads(payloads).select(
+        "doc_id",
+        "detected",
+        F.coalesce(F.length("payload"), F.lit(-1)).cast("int").alias(
+            "n_bytes"
+        ),
+    )
+
+
+def _payload_routing_oracle(limit: int = 200) -> str | None:
+    """VALUES oracle for `payload_routing`: the pure-Python sniffer
+    replica (`py_sniff_document`, kept bit-for-bit with the JVM
+    when-chain) over the same deterministic payloads."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from pdf_to_epub_spark.operators.extract import py_sniff_document
+
+    rows: list[str] = []
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        path = pathlib.Path(sf_dir) / "documents.parquet"
+        if not path.exists():
+            return None
+        t = pq.read_table(path, columns=["doc_id", "text"])
+        recs = sorted(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+        key = hashlib.md5((recs[0][1] or "").encode()).hexdigest()
+        for doc_id, _ in recs:
+            if doc_id >= limit:
+                continue
+            p = _routing_payload(doc_id)
+            rows.append(
+                f"('{key}',{doc_id},'{py_sniff_document(p)}',"
+                f"{len(p) if p is not None else -1})"
+            )
+    vals = ",\n            ".join(rows)
+    return f"""
+        WITH golden(corpus_key, doc_id, detected, n_bytes) AS (VALUES
+            {vals})
+        SELECT doc_id::BIGINT AS doc_id, detected, n_bytes::INT AS n_bytes
+        FROM golden
+        WHERE corpus_key = (SELECT md5(text) FROM documents
+                            WHERE doc_id = 0)
+    """
+
+
 def _isotonic_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic noisy-monotone calibration set: score is the doc's
     percent residue, the label fires when a hash residue clears a
@@ -7622,6 +7725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "krippendorff_alpha": _q_krippendorff_alpha,
         "burrows_delta": _q_burrows_delta,
         "isotonic_calibration": _q_isotonic_calibration,
+        "payload_routing": _q_payload_routing,
         "rank_agreement": _q_rank_agreement,
         "score_drift_ks": _q_score_drift_ks,
         "retrieval_eval": _q_retrieval_eval,
@@ -14283,6 +14387,11 @@ def oracle_sql() -> dict[str, str]:
             | (
                 {"isotonic_calibration": iso}
                 if (iso := _isotonic_oracle()) is not None
+                else {}
+            )
+            | (
+                {"payload_routing": pr}
+                if (pr := _payload_routing_oracle()) is not None
                 else {}
             )
         ),

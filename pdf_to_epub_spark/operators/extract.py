@@ -438,3 +438,117 @@ def decode_binary_pages(docs: DataFrame, html_col: str = "html") -> DataFrame:
     from pdf_to_epub_spark.functions.udfs import decode_html_udf
 
     return docs.withColumn("text", decode_html_udf(F.col(html_col)))
+
+
+# document-payload magic table: (type, byte prefix) in detection order.
+# Zip subtypes are told apart by the FIRST member's name at the fixed
+# local-header offset 30 (EPUB mandates mimetype-first-STORED, so its
+# name AND content sit at known offsets; OOXML convention puts
+# [Content_Types].xml first).
+_DOC_MAGIC = (
+    ("pdf", b"%PDF-"),
+    ("rtf", b"{\\rtf"),
+    ("gzip", b"\x1f\x8b"),
+)
+_HTML_PREFIXES = (
+    b"<!DOCTYPE html", b"<!doctype html", b"<html", b"<HTML",
+)
+_XML_PREFIX = b"<?xml"
+_WS_HEX = ("09", "0A", "0D", "20")
+
+
+def sniff_document(payload_col: str = "payload") -> F.Column:
+    """JVM-side document-container detection on the binary prefix —
+    the front-door router that dispatches a mixed crawl store to the
+    right source parser (pdf / epub / docx-ooxml / zip / rtf / gzip /
+    html / xml / text / binary / empty) without a byte of Python.
+    Keep :func:`py_sniff_document` (the oracle replica) bit-for-bit in
+    sync.  HTML/XML tags are matched after stripping leading ASCII
+    whitespace (and a UTF-8 BOM); anything undetected but
+    printable-ASCII in its first 64 bytes is ``text``."""
+    raw = F.col(payload_col)
+    hex_all = F.hex(F.substring(raw, 1, 256))
+    # strip a UTF-8 BOM then leading ASCII whitespace, on the hex string
+    # (pairs of hex digits == bytes, so the regexes stay byte-aligned)
+    hex_body = F.regexp_replace(
+        F.regexp_replace(hex_all, "^EFBBBF", ""),
+        "^(09|0A|0D|20)+", "",
+    )
+
+    def starts(b: bytes) -> F.Column:
+        return F.hex(F.substring(raw, 1, len(b))) == b.hex().upper()
+
+    def body_starts(b: bytes) -> F.Column:
+        return hex_body.startswith(b.hex().upper())
+
+    zip_name = F.substring(raw, 31, 19)  # first local-header name field
+    printable = F.hex(F.substring(raw, 1, 64)).rlike(
+        "^(09|0A|0D|[2-6][0-9A-F]|7[0-9A-E])*$"
+    )
+    cases = (
+        F.when(raw.isNull() | (F.length(raw) == 0), F.lit("empty"))
+        .when(starts(b"%PDF-"), F.lit("pdf"))
+        .when(
+            starts(b"PK\x03\x04")
+            & (F.substring(raw, 31, 8) == F.lit(b"mimetype"))
+            & (F.substring(raw, 39, 20) == F.lit(b"application/epub+zip")),
+            F.lit("epub"),
+        )
+        .when(
+            starts(b"PK\x03\x04")
+            & (zip_name == F.lit(b"[Content_Types].xml")),
+            F.lit("ooxml"),
+        )
+        .when(starts(b"PK\x03\x04"), F.lit("zip"))
+        .when(starts(b"{\\rtf"), F.lit("rtf"))
+        .when(starts(b"\x1f\x8b"), F.lit("gzip"))
+    )
+    for p in _HTML_PREFIXES:
+        cases = cases.when(body_starts(p), F.lit("html"))
+    return (
+        cases.when(body_starts(_XML_PREFIX), F.lit("xml"))
+        .when(printable, F.lit("text"))
+        .otherwise(F.lit("binary"))
+    )
+
+
+def py_sniff_document(raw: bytes | None) -> str:
+    """Pure-Python replica of :func:`sniff_document` for golden-oracle
+    construction — same order, same fixed zip offsets, same 64-byte
+    printable window."""
+    if not raw:
+        return "empty"
+    if raw.startswith(b"%PDF-"):
+        return "pdf"
+    if raw.startswith(b"PK\x03\x04"):
+        if raw[30:38] == b"mimetype" and raw[38:58] == b"application/epub+zip":
+            return "epub"
+        if raw[30:49] == b"[Content_Types].xml":
+            return "ooxml"
+        return "zip"
+    if raw.startswith(b"{\\rtf"):
+        return "rtf"
+    if raw.startswith(b"\x1f\x8b"):
+        return "gzip"
+    body = raw[:256]
+    if body.startswith(b"\xef\xbb\xbf"):
+        body = body[3:]
+    body = body.lstrip(b"\t\n\r ")
+    for p in _HTML_PREFIXES:
+        if body.startswith(p):
+            return "html"
+    if body.startswith(_XML_PREFIX):
+        return "xml"
+    if all(b in (9, 10, 13) or 0x20 <= b <= 0x7E for b in raw[:64]):
+        return "text"
+    return "binary"
+
+
+def route_payloads(
+    docs: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Adds ``detected`` (see :func:`sniff_document`) — the dispatch key
+    a mixed-container ingest partitions on before handing each slice to
+    its source parser.  Pure column algebra on the binary prefix: no
+    shuffle, no Python, scales with input splits."""
+    return docs.withColumn("detected", sniff_document(payload_col))

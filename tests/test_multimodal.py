@@ -291,3 +291,70 @@ def test_media_fingerprints_and_dedup_clusters(spark):
     assert 7 not in out                               # unsupported filtered
     st = {r.media_id: r.status for r in fps.collect()}
     assert st[7] == "unsupported"
+
+
+# ------------------------------------------------------ document router
+
+
+def test_sniff_document_jvm_matches_replica(spark):
+    """JVM when-chain == py_sniff_document over every detected class
+    plus 200 random fuzz payloads (the bit-for-bit-in-sync contract)."""
+    import gzip
+    import random
+
+    from pdf_to_epub_spark.export import epub_bytes
+    from pdf_to_epub_spark.operators.extract import (
+        py_sniff_document,
+        route_payloads,
+    )
+    from pdf_to_epub_spark.sources.docx import make_docx_bytes
+    from pdf_to_epub_spark.sources.pdf import make_pdf_bytes
+
+    rng = random.Random(3)
+    payloads = [
+        make_pdf_bytes([[(72.0, 700.0, 12.0, "hello")]]),
+        epub_bytes([], title="t", url="u"),
+        make_docx_bytes(1, "hi"),
+        b"{\\rtf1\\ansi hi}",
+        gzip.compress(b"text inside"),
+        b"<!DOCTYPE html><html><body>x</body></html>",
+        b"  \n\t<html lang=en><p>y",
+        b"\xef\xbb\xbf<?xml version='1.0'?><feed/>",
+        b"plain old text, nothing fancy.\n",
+        b"\x00\x01\x02\x03 junk",
+        b"",
+        None,
+        b"PK\x03\x04 but not a real zip header tail",
+    ]
+    for _ in range(200):
+        payloads.append(
+            bytes(rng.randrange(256) for _ in range(rng.randrange(0, 100)))
+        )
+    rows = [
+        (i, bytearray(p) if p is not None else None)
+        for i, p in enumerate(payloads)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, payload binary")
+    got = {r.doc_id: r.detected for r in route_payloads(df).collect()}
+    exp = {
+        i: py_sniff_document(bytes(p) if p is not None else None)
+        for i, p in enumerate(payloads)
+    }
+    assert got == exp
+    assert [exp[i] for i in range(12)] == [
+        "pdf", "epub", "ooxml", "rtf", "gzip", "html", "html", "xml",
+        "text", "binary", "empty", "empty",
+    ]
+
+
+def test_route_payloads_no_shuffle_no_python(spark):
+    from pdf_to_epub_spark.operators.extract import route_payloads
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"%PDF-1.4"))], "doc_id int, payload binary"
+    )
+    plan = (
+        route_payloads(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # pure column algebra, no UDF stage
