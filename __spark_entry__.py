@@ -5966,6 +5966,20 @@ def _isotonic_oracle(bins: int = 20) -> str | None:
     """
 
 
+def _q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling table (ir.negative_sampling_table,
+    5000 slots over the top-200 vocab): unigram^0.75 computed as
+    sqrt(sqrt(n³)) — IEEE-correctly-rounded in both engines, unlike
+    libm pow — micro-floor-quantized, then exact largest-remainder
+    apportionment (allocations sum to exactly 5000)."""
+    from pdf_to_epub_spark.operators.ir import negative_sampling_table
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    return negative_sampling_table(d, table_size=5000, k=200).select(
+        "word", "n", "w_micro", "slots"
+    )
+
+
 def _q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burrows' Delta stylometric distance (textstats.burrows_delta)
     between the corpus' language groups over the top-40 function words —
@@ -7726,6 +7740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burrows_delta": _q_burrows_delta,
         "isotonic_calibration": _q_isotonic_calibration,
         "payload_routing": _q_payload_routing,
+        "negative_sampling": _q_negative_sampling,
         "rank_agreement": _q_rank_agreement,
         "score_drift_ks": _q_score_drift_ks,
         "retrieval_eval": _q_retrieval_eval,
@@ -10639,6 +10654,32 @@ def oracle_sql() -> dict[str, str]:
                         round((p_bar_raw - p_e_raw) / (1.0 - p_e_raw), 6)
                     END)::DOUBLE AS kappa
             FROM j
+        """,
+        "negative_sampling": """
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(lower(text),
+                                                 '[a-zà-öø-ÿ]+')) AS word
+                FROM documents),
+            counts AS (SELECT word, count(*) AS n FROM toks GROUP BY 1),
+            vocab AS (SELECT word, n FROM counts
+                      ORDER BY n DESC, word LIMIT 200),
+            w AS (SELECT word, n::BIGINT AS n,
+                         floor(1e6 * sqrt(sqrt((n * n * n)::DOUBLE)))::BIGINT
+                             AS w_micro
+                  FROM vocab),
+            t AS (SELECT sum(w_micro) AS total FROM w),
+            b AS (SELECT word, n, w_micro,
+                         (5000 * w_micro) // total AS base,
+                         (5000 * w_micro) % total AS rem
+                  FROM w, t),
+            l AS (SELECT 5000 - sum(base) AS leftover FROM b),
+            r AS (SELECT *, row_number() OVER (
+                                ORDER BY rem DESC, word ASC) AS rk
+                  FROM b)
+            SELECT word, n, w_micro,
+                   (base + CASE WHEN rk <= (SELECT leftover FROM l)
+                                THEN 1 ELSE 0 END)::BIGINT AS slots
+            FROM r
         """,
         "burrows_delta": """
             WITH toks AS (

@@ -1021,3 +1021,51 @@ def mine_hard_negatives(
     return keyed.join(best, query_id_col, "left").select(
         query_id_col, pos_col, "neg_id", "neg_score"
     )
+
+
+def negative_sampling_table(
+    df: DataFrame,
+    table_size: int = 100_000,
+    k: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """word2vec-style negative-sampling table: the top-``k`` corpus
+    vocabulary apportioned ``table_size`` sampling slots proportional to
+    unigram_count^0.75 (Mikolov's smoothing — raw frequency oversamples
+    stopwords, uniform undersamples them).  Companion to
+    :func:`skipgram_pairs`, which mines the positive pairs.
+
+    Exactness: count^0.75 = sqrt(sqrt(count³)) — count³ stays an exact
+    integer and ``sqrt`` is IEEE-correctly-rounded in every engine,
+    unlike libm ``pow``, whose last-ulp drift across platforms would
+    poison a floor().  The bit-identical double is floor-quantized to
+    micro-units, and the slot split is largest-remainder (Hamilton)
+    apportionment over those exact integers
+    (:func:`~pdf_to_epub_spark.operators.sampling.allocate_budget`), so
+    allocations sum to EXACTLY ``table_size`` and the whole table
+    replays in SQL.
+
+    Scale: one map-side-combined word count + a bounded top-k
+    (TakeOrdered); the apportionment runs driver-side over ≤ k rows.
+    Returns ``(word, n, w_micro, slots)``.
+    """
+    from pdf_to_epub_spark.operators.sampling import allocate_budget
+    from pdf_to_epub_spark.operators.textstats import build_vocab
+
+    vocab = build_vocab(df, k=k, text_col=text_col)
+    n = F.col("n").cast("decimal(38,0)")
+    w = vocab.select(
+        "word",
+        F.col("n").cast("long").alias("n"),
+        F.floor(
+            F.lit(1e6) * F.sqrt(F.sqrt((n * n * n).cast("double")))
+        ).cast("long").alias("w_micro"),
+    )
+    # allocate_budget keeps the caller's column names: (word, w_micro,
+    # alloc) here
+    alloc = allocate_budget(
+        w, table_size, stratum_col="word", n_col="w_micro"
+    )
+    return w.join(
+        alloc.select("word", F.col("alloc").alias("slots")), "word"
+    ).select("word", "n", "w_micro", "slots")

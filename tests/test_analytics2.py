@@ -1871,3 +1871,35 @@ def test_isotonic_calibration_edges(spark):
     )
     rows2 = isotonic_calibration(df2, bins=4).collect()
     assert {(r.bin, r.n) for r in rows2} == {(0, 1), (3, 1)}
+
+
+def test_negative_sampling_table_exact(spark):
+    """Replica check: unigram^0.75 via double-sqrt, micro floor, exact
+    largest-remainder; slots sum to exactly table_size."""
+    import math
+    from collections import Counter
+
+    from pdf_to_epub_spark.operators.ir import negative_sampling_table
+
+    docs = [
+        "the the the the cat sat on on the mat mat",
+        "the dog and the cat and a bird",
+    ]
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    out = negative_sampling_table(df, table_size=100, k=5).collect()
+    c = Counter(w for t in docs for w in t.split())
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    w = {
+        k: math.floor(1e6 * math.sqrt(math.sqrt(float(n * n * n))))
+        for k, n in top
+    }
+    tot = sum(w.values())
+    base = {k: 100 * v // tot for k, v in w.items()}
+    rem = {k: 100 * v % tot for k, v in w.items()}
+    left = 100 - sum(base.values())
+    for k in sorted(w, key=lambda k: (-rem[k], k))[:left]:
+        base[k] += 1
+    assert {r.word: (r.n, r.w_micro, r.slots) for r in out} == {
+        k: (n, w[k], base[k]) for k, n in top
+    }
+    assert sum(r.slots for r in out) == 100
