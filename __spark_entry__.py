@@ -10664,7 +10664,7 @@ def oracle_sql() -> dict[str, str]:
             vocab AS (SELECT word, n FROM counts
                       ORDER BY n DESC, word LIMIT 200),
             w AS (SELECT word, n::BIGINT AS n,
-                         floor(1e6 * sqrt(sqrt((n * n * n)::DOUBLE)))::BIGINT
+                         floor(1e6 * sqrt(sqrt((n::HUGEINT * n * n)::DOUBLE)))::BIGINT
                              AS w_micro
                   FROM vocab),
             t AS (SELECT sum(w_micro) AS total FROM w),

@@ -321,6 +321,7 @@ def isotonic_calibration(
     label_col: str = "label",
     group_col: str | None = None,
     bins: int = 100,
+    max_cells: int = 100_000,
 ) -> DataFrame:
     """Isotonic (PAV) calibration table for a quality classifier: maps
     raw score bins to monotone empirical keep-probabilities — the
@@ -352,7 +353,10 @@ def isotonic_calibration(
     """
     s = F.col(score_col).cast("double")
     lab = F.col(label_col).cast("boolean")
-    rows = scored.where(s.isNotNull() & lab.isNotNull())
+    # NaN is the float pipeline's usual unscored sentinel and is NOT
+    # NULL — without the isnan guard it floors into bin 0 and corrupts
+    # that bin's calibration
+    rows = scored.where(s.isNotNull() & ~F.isnan(s) & lab.isNotNull())
     bin_id = F.least(
         F.greatest(F.floor(s * bins).cast("int"), F.lit(0)),
         F.lit(bins - 1),
@@ -367,7 +371,16 @@ def isotonic_calibration(
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n"), F.sum("__pos").alias("n_pos"))
     )
-    collected = agg.collect()
+    # bound the collect ITSELF (the allocate_budget rule): a mistakenly
+    # high-cardinality group_col (url, domain) must not materialize on
+    # the driver before the guard fires
+    collected = agg.limit(max_cells + 1).collect()
+    if len(collected) > max_cells:
+        raise ValueError(
+            f"isotonic_calibration saw more than max_cells={max_cells} "
+            "(group, bin) cells; groups must be few and named "
+            "(sources / tiers), not per-document keys"
+        )
 
     by_group: dict = {}
     for r in collected:

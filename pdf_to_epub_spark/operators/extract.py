@@ -440,21 +440,18 @@ def decode_binary_pages(docs: DataFrame, html_col: str = "html") -> DataFrame:
     return docs.withColumn("text", decode_html_udf(F.col(html_col)))
 
 
-# document-payload magic table: (type, byte prefix) in detection order.
-# Zip subtypes are told apart by the FIRST member's name at the fixed
-# local-header offset 30 (EPUB mandates mimetype-first-STORED, so its
-# name AND content sit at known offsets; OOXML convention puts
-# [Content_Types].xml first).
-_DOC_MAGIC = (
-    ("pdf", b"%PDF-"),
-    ("rtf", b"{\\rtf"),
-    ("gzip", b"\x1f\x8b"),
-)
+# HTML/XML tag spellings matched byte-exactly after BOM/whitespace strip
+# (shared by the JVM when-chain AND the py replica — full case folding on
+# raw bytes isn't worth the decode hazard; these cover the spec-canonical
+# and lowercase forms seen in crawls).  Zip subtypes are told apart by
+# the FIRST member's name at the fixed local-header offset 30 (EPUB
+# mandates mimetype-first-STORED, so its name AND content sit at known
+# offsets; OOXML convention puts [Content_Types].xml first).
 _HTML_PREFIXES = (
-    b"<!DOCTYPE html", b"<!doctype html", b"<html", b"<HTML",
+    b"<!DOCTYPE html", b"<!DOCTYPE HTML", b"<!doctype html",
+    b"<html", b"<HTML",
 )
 _XML_PREFIX = b"<?xml"
-_WS_HEX = ("09", "0A", "0D", "20")
 
 
 def sniff_document(payload_col: str = "payload") -> F.Column:
@@ -545,7 +542,7 @@ def py_sniff_document(raw: bytes | None) -> str:
 
 
 def route_payloads(
-    docs: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+    docs: DataFrame, payload_col: str = "payload"
 ) -> DataFrame:
     """Adds ``detected`` (see :func:`sniff_document`) — the dispatch key
     a mixed-container ingest partitions on before handing each slice to

@@ -1903,3 +1903,23 @@ def test_negative_sampling_table_exact(spark):
         k: (n, w[k], base[k]) for k, n in top
     }
     assert sum(r.slots for r in out) == 100
+
+
+def test_isotonic_calibration_nan_and_cell_guard(spark):
+    from pdf_to_epub_spark.operators import isotonic_calibration
+
+    df = spark.createDataFrame(
+        [(0.05, True), (float("nan"), True), (0.05, False)],
+        "score double, label boolean",
+    )
+    rows = isotonic_calibration(df, bins=4).collect()
+    # NaN row excluded: bin 0 holds exactly the two real rows
+    assert [(r.bin, r.n, r.n_pos) for r in rows] == [(0, 2, 1)]
+
+    import pytest as _pytest
+
+    big = spark.range(0, 50).selectExpr(
+        "cast(id as string) AS g", "0.5 AS score", "id % 2 = 0 AS label"
+    )
+    with _pytest.raises(ValueError, match="max_cells"):
+        isotonic_calibration(big, group_col="g", bins=4, max_cells=10)
