@@ -1054,13 +1054,15 @@ def negative_sampling_table(
 
     vocab = build_vocab(df, k=k, text_col=text_col)
     n = F.col("n").cast("decimal(38,0)")
+    # lazy checkpoint: `w` feeds BOTH allocate_budget's bounded collect
+    # and the final join — without it the corpus word count runs twice
     w = vocab.select(
         "word",
         F.col("n").cast("long").alias("n"),
         F.floor(
             F.lit(1e6) * F.sqrt(F.sqrt((n * n * n).cast("double")))
         ).cast("long").alias("w_micro"),
-    )
+    ).localCheckpoint(eager=False)
     # allocate_budget keeps the caller's column names: (word, w_micro,
     # alloc) here
     alloc = allocate_budget(

@@ -2693,7 +2693,16 @@ def burrows_delta(
         F.col(group_col).alias("g"),
         F.explode_outer(_tokens(text_col)).alias("w"),
     ).where(F.col("w").isNotNull())
-    counts = toks.groupBy("g", "w").agg(F.count(F.lit(1)).alias("n"))
+    # ONE corpus pass: every downstream branch (totals, word top-k, the
+    # dense panel, stats, both self-join sides) re-derives from `counts`,
+    # and without the checkpoint Spark re-executes the explode+count
+    # subtree per branch — a 20-scan plan at corpus volume (caught by the
+    # plan-shape test; the dedup.py lazy-checkpoint precedent)
+    counts = (
+        toks.groupBy("g", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     totals = counts.groupBy("g").agg(F.sum("n").alias("total"))
     # bounded top-k via orderBy+limit (TakeOrdered: per-partition partial
     # top-k, driver merge) — a global row_number window would drag the

@@ -1923,3 +1923,39 @@ def test_isotonic_calibration_nan_and_cell_guard(spark):
     )
     with _pytest.raises(ValueError, match="max_cells"):
         isotonic_calibration(big, group_col="g", bins=4, max_cells=10)
+
+
+def test_burrows_delta_plan_shape(spark):
+    """Scale pins: the corpus token stream is exploded ONCE (everything
+    after the (group, word) count runs on slim aggregates), top-k
+    selection compiles to TakeOrdered (never a single-partition global
+    window), and the group/word panels join back by broadcast."""
+    from pdf_to_epub_spark.operators import burrows_delta
+
+    df = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x q r")], "group string, text string"
+    )
+    plan = (
+        burrows_delta(df, top_words=5, max_groups=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the tokenize+count subtree lives behind the counts checkpoint
+    # boundary, so the downstream plan re-explodes the corpus ZERO times
+    # (pre-fix it appeared 20× — once per DAG branch)
+    assert plan.count("Generate explode") <= 1, plan[:3000]
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+
+
+def test_negative_sampling_plan_bounded_topk(spark):
+    from pdf_to_epub_spark.operators.ir import negative_sampling_table
+
+    df = spark.createDataFrame([("x y x",)], "text string")
+    plan = (
+        negative_sampling_table(df, table_size=10, k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the vocab (TakeOrdered top-k) lives behind the lazy checkpoint that
+    # lets allocate_budget's collect and the final join share ONE corpus
+    # word count — so the downstream plan never re-tokenizes
+    assert "regexp_extract_all" not in plan, plan[:3000]
