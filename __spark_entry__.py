@@ -1686,6 +1686,49 @@ def _q_lm_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_partition(bigram_lm_scores(d))
 
 
+def _q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table (lm.good_turing): for
+    each observed word count r, the number of word types seen r times
+    and the floor-quantized exact-integer discounted estimates
+    r* = (r+1)N_{r+1}/N_r (micro) and p_GT = r*/T (nano) — DECIMAL(38,0)
+    div, no float anywhere, the unseen mass readable off the r=1 row."""
+    from pdf_to_epub_spark.operators import good_turing
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    return good_turing(d)
+
+
+def _q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (dedup.sorted_neighborhood_pairs,
+    Hernandez & Stolfo): every doc pair within 3 positions in the global
+    sort by a 12-char letters-only key — global row_number computed
+    scalably (range partition + per-partition window + broadcast
+    cumulative offsets; candidate join is an equi-join on position)."""
+    from pdf_to_epub_spark.operators import sorted_neighborhood_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""), 1, 12
+        ).alias("snm_key"),
+    )
+    return sorted_neighborhood_pairs(
+        d, key_col="snm_key", id_col="doc_id", window=4
+    )
+
+
+def _q_kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney word-bigram scoring (lm.train_kn_bigram +
+    lm.kn_bigram_scores, the KenLM/CCNet model family): top-64 vocab,
+    OOV -> <unk> on both sides, D = 3/4 kept as an exact rational so
+    every pair probability is one correctly-rounded log of exact
+    integers; doc totals are integer micro-nat sums."""
+    from pdf_to_epub_spark.operators import kn_bigram_scores, train_kn_bigram
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return kn_bigram_scores(d, train_kn_bigram(d, vocab_size=64), vocab_size=64)
+
+
 def _q_epub_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's FINAL artifact as a distributed column: extraction →
     assembly → per-doc EPUB3 zip bytes (export.epub_bytes — mimetype-first
@@ -7802,6 +7845,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_oov": _q_vocab_oov,
         "blocked_urls": _q_blocked_urls,
         "length_quantiles": _q_length_quantiles,
+        "good_turing": _q_good_turing,
+        "snm_candidate_pairs": _q_snm_pairs,
+        "kn_doc_scores": _q_kn_doc_scores,
         "bigram_lm_scores": _q_bigram_lm_scores,
         "lm_partition": _q_lm_partition,
         "page_outlinks": _q_page_outlinks,
@@ -13043,6 +13089,111 @@ def oracle_sql() -> dict[str, str]:
         # score corpus here, so every scored bigram is in the model and
         # the inner join is total (the floor/uniform fallbacks only fire
         # with a separate train split — unit-tested instead).
+        # lm.good_turing term for term: exact-integer floor division
+        # (HUGEINT // == DECIMAL(38,0) div for non-negative operands).
+        "good_turing": """
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(lower(text),
+                                                 '[a-z\u00e0-\u00f6\u00f8-\u00ff]+')) AS word
+                FROM documents),
+            counts AS (SELECT word, count(*)::HUGEINT AS r
+                       FROM toks GROUP BY 1),
+            fof AS (SELECT r, count(*)::HUGEINT AS n_r
+                    FROM counts GROUP BY 1),
+            tot AS (SELECT sum(r * n_r)::HUGEINT AS t FROM fof)
+            SELECT f.r::BIGINT AS r, f.n_r::BIGINT AS n_r,
+                   ((1000000::HUGEINT * (f.r + 1) * nx.n_r)
+                    // f.n_r)::BIGINT AS r_star_micro,
+                   ((1000000000::HUGEINT * (f.r + 1) * nx.n_r)
+                    // (f.n_r * t.t))::BIGINT AS p_gt_nano
+            FROM fof f LEFT JOIN fof nx ON nx.r = f.r + 1
+            CROSS JOIN tot t
+        """,
+        # global-order pairs via one window; the Spark side's range
+        # partition + offset lift produces the identical total order.
+        "snm_candidate_pairs": """
+            WITH d AS (
+                SELECT doc_id,
+                       substr(regexp_replace(lower(text), '[^a-z]', '',
+                                             'g'), 1, 12) AS k
+                FROM documents),
+            o AS (SELECT doc_id, k,
+                         row_number() OVER (ORDER BY k, doc_id) AS g
+                  FROM d)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.k AS key_a, b.k AS key_b,
+                   (b.g - a.g)::BIGINT AS gap
+            FROM o a JOIN o b ON b.g > a.g AND b.g <= a.g + 3
+        """,
+        # lm.train_kn_bigram + kn_bigram_scores replica: same top-64
+        # vocab (ties n desc, word asc), same exact-rational P(w2|w1) =
+        # (max(4c12-3,0)*n1all + 3*n1f*n1b)/(4*c1*n1all), one
+        # correctly-rounded ln of exact integers per pair, integer
+        # micro-nat doc sums; the uniform fallback constant is the same
+        # Python-computed literal both engines embed.
+        "kn_doc_scores": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text),
+                                          '[a-z\u00e0-\u00f6\u00f8-\u00ff]+') AS ws
+                FROM documents),
+            wc AS (SELECT unnest(ws) AS word FROM toks),
+            cnt AS (SELECT word, count(*) AS n FROM wc GROUP BY 1),
+            vocab AS (SELECT word FROM cnt
+                      ORDER BY n DESC, word ASC LIMIT 64),
+            rp AS (
+                SELECT doc_id, ws[i] AS w1r, ws[i + 1] AS w2r
+                FROM (SELECT doc_id, ws,
+                             unnest(generate_series(1, len(ws) - 1)) AS i
+                      FROM toks WHERE len(ws) >= 2)),
+            mp AS (
+                SELECT doc_id,
+                       coalesce(v1.word, '<unk>') AS w1,
+                       coalesce(v2.word, '<unk>') AS w2
+                FROM rp LEFT JOIN vocab v1 ON v1.word = rp.w1r
+                        LEFT JOIN vocab v2 ON v2.word = rp.w2r),
+            pc AS (SELECT w1, w2, count(*)::HUGEINT AS c12
+                   FROM mp GROUP BY 1, 2),
+            ctx AS (SELECT w1, sum(c12)::HUGEINT AS c1,
+                           count(*)::HUGEINT AS n1f
+                    FROM pc GROUP BY 1),
+            cont AS (SELECT w2, count(*)::HUGEINT AS n1b
+                     FROM pc GROUP BY 1),
+            sca AS (SELECT count(*)::HUGEINT AS n1all FROM pc),
+            costs AS (
+                SELECT mp.doc_id,
+                       CASE
+                         WHEN ctx.c1 IS NOT NULL AND
+                              (greatest(4 * coalesce(pc.c12, 0) - 3, 0)
+                                   * sca.n1all
+                               + 3 * ctx.n1f * coalesce(cont.n1b, 0)) > 0
+                         THEN CAST(round(-ln(
+                                (greatest(4 * coalesce(pc.c12, 0) - 3, 0)
+                                     * sca.n1all
+                                 + 3 * ctx.n1f * coalesce(cont.n1b, 0)
+                                )::DOUBLE
+                                / (4 * ctx.c1 * sca.n1all)::DOUBLE)
+                                * 1000000) AS BIGINT)
+                         WHEN ctx.c1 IS NULL AND coalesce(cont.n1b, 0) > 0
+                         THEN CAST(round(-ln(cont.n1b::DOUBLE
+                                             / sca.n1all::DOUBLE)
+                                         * 1000000) AS BIGINT)
+                         ELSE 4174387
+                       END AS cost
+                FROM mp
+                LEFT JOIN pc ON pc.w1 = mp.w1 AND pc.w2 = mp.w2
+                LEFT JOIN ctx ON ctx.w1 = mp.w1
+                LEFT JOIN cont ON cont.w2 = mp.w2
+                CROSS JOIN sca),
+            sc AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                          sum(cost)::BIGINT AS cost_micro_total
+                   FROM costs GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+                   coalesce(s.cost_micro_total, 0)::BIGINT
+                       AS cost_micro_total
+            FROM documents d LEFT JOIN sc s USING (doc_id)
+        """,
         "bigram_lm_scores": """
             WITH norm AS (
                 SELECT doc_id,

@@ -2417,3 +2417,90 @@ def domain_dup_rates(
             ).alias("dup_rate"),
         )
     )
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str = "doc_id",
+    window: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood (SNM) blocking (Hernandez & Stolfo 1995): sort
+    the corpus by a blocking key and emit every record pair within
+    ``window`` positions of each other in the sorted order — the classic
+    record-linkage candidate generator that complements LSH banding (it
+    catches near-neighbors whose keys SORT together even when no hash
+    bucket collides, e.g. typo'd prefixes).
+
+    Output: one row per candidate pair ``(id_a, id_b, key_a, key_b,
+    gap)`` with ``gap = position(b) - position(a) in [1, window-1]``,
+    ordered pairs by the global (key, id) sort.  The pair set depends
+    only on that total order, never on partition placement.
+
+    Scale shape (100 TB) — global row_number WITHOUT the single-partition
+    window trap: the corpus is ``repartitionByRange(key, id)`` so the
+    range partitions tile the global order; positions are computed
+    per-partition (row_number windowed BY partition id, full parallelism)
+    and lifted to global positions by broadcast-joining the per-partition
+    cumulative row counts (a P-row table).  Candidate pairs then come
+    from an EQUI-join — each row probes positions ``gpos+1 ..
+    gpos+window-1`` via a sequence explode — so the join shuffles
+    O(n·window) slim (position, id, key) rows and never range-scans.
+    Boundary pairs need no special casing: global positions make
+    partition edges invisible."""
+    w = int(window)
+    spark = df.sparkSession
+    d = df.select(F.col(id_col).alias("_id"), F.col(key_col).alias("_k"))
+    if w < 2:
+        return (
+            d.sparkSession.createDataFrame([], "gap long")
+            .select(
+                F.lit(None).cast(d.schema["_id"].dataType).alias("id_a"),
+                F.lit(None).cast(d.schema["_id"].dataType).alias("id_b"),
+                F.lit(None).cast(d.schema["_k"].dataType).alias("key_a"),
+                F.lit(None).cast(d.schema["_k"].dataType).alias("key_b"),
+                "gap",
+            )
+        )
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = d.repartitionByRange(p, "_k", "_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("_pid").orderBy("_k", "_id")
+    )
+    local = ranged.withColumn("_pos", pos).localCheckpoint(eager=False)
+    # P-row offsets table: rows in all partitions strictly before _pid
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    off = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_off")
+    g = local.join(F.broadcast(off), "_pid").select(
+        "_id", "_k", (F.col("_off") + F.col("_pos")).alias("_g")
+    )
+    probes = g.select(
+        F.col("_id").alias("id_a"),
+        F.col("_k").alias("key_a"),
+        F.col("_g").alias("_ga"),
+        F.explode(F.sequence(F.col("_g") + 1, F.col("_g") + (w - 1))).alias(
+            "_g"
+        ),
+    )
+    right = g.select(
+        F.col("_id").alias("id_b"), F.col("_k").alias("key_b"), "_g"
+    )
+    return probes.join(right, "_g").select(
+        "id_a",
+        "id_b",
+        "key_a",
+        "key_b",
+        (F.col("_g") - F.col("_ga")).cast("long").alias("gap"),
+    )

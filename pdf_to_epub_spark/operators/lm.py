@@ -330,3 +330,255 @@ def lm_partition(
         slim.crossJoin(F.broadcast(cuts))
         .select(F.col(id_col), F.col("mean_nats"), bucket.alias("lm_bucket"))
     )
+
+def good_turing(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Good-Turing frequency-of-frequencies table over word counts
+    (Good 1953; the Katz/SGT smoothing input): for every observed
+    occurrence count ``r``, the number of distinct words seen exactly
+    ``r`` times (``n_r``), the discounted count ``r* = (r+1)·N_{r+1}/N_r``
+    and the Good-Turing probability ``p_GT = r*/T`` (``T`` = corpus
+    tokens).  The unseen-mass estimate ``P0 = N_1/T`` is read off the
+    ``r = 1`` row (``p0 = n_1/T``).  Rows where ``N_{r+1} = 0`` carry
+    NULL estimates (Simple GT would regress over log ``n_r`` there; the
+    raw table is the engine-reproducible part).
+
+    Determinism contract: ``r*`` and ``p_GT`` are floor-quantized exact
+    integer ratios computed in DECIMAL(38,0) — ``r_star_micro =
+    (1e6·(r+1)·N_{r+1}) div N_r``, ``p_gt_nano = (1e9·(r+1)·N_{r+1})
+    div (N_r·T)`` — no float enters the result, so the table replays
+    bit-for-bit in the SQL oracle (HUGEINT ``//``; truncation == floor
+    for the non-negative operands here).
+
+    Scale shape (100 TB): the corpus-volume pass is ONE map-side-combined
+    word count (the vocab shuffle); frequency-of-frequencies collapses
+    that to at most |distinct count values| rows (~thousands at any
+    scale — bounded by max doc frequency's log-ish spread), and every
+    downstream step (total, the r+1 self-join) runs on that slim table
+    behind a lazy checkpoint, broadcast-joined.  No second corpus scan,
+    nothing wide on any shuffle."""
+    from .textstats import _tokens
+
+    counts = (
+        df.select(F.explode(_tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    # slim (r, n_r) table; checkpoint: it feeds the total, the shifted
+    # self-join AND the output — without it the corpus word count reruns
+    fof = (
+        counts.groupBy("r")
+        .agg(F.count(F.lit(1)).alias("n_r"))
+        .localCheckpoint(eager=False)
+    )
+    tot = fof.agg(
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("n_r")).alias("_t")
+    )
+    nxt = fof.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("_n_r1"))
+    return (
+        fof.join(F.broadcast(nxt), "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            F.col("n_r").cast("long").alias("n_r"),
+            F.expr(
+                "(CAST(1000000 AS DECIMAL(38,0)) * (r + 1) * _n_r1)"
+                " div CAST(n_r AS DECIMAL(38,0))"
+            ).cast("long").alias("r_star_micro"),
+            F.expr(
+                "(CAST(1000000000 AS DECIMAL(38,0)) * (r + 1) * _n_r1)"
+                " div (CAST(n_r AS DECIMAL(38,0)) * _t)"
+            ).cast("long").alias("p_gt_nano"),
+        )
+    )
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney word-bigram LM (the KenLM/CCNet model family)
+
+_KN_D_NUM, _KN_D_DEN = 3, 4  # absolute discount D = 3/4, exact rational
+_UNK = "<unk>"  # outside the token char class, cannot collide
+
+
+def _word_pair_rows(
+    df: DataFrame, id_col: str, text_col: str, keep_empty: bool = False
+) -> DataFrame:
+    """(doc_id, w1, w2) — one row per adjacent word pair WITHIN a doc
+    (pairs never cross documents).  Narrow: tokens stay an array and the
+    shift-zip happens per row, so no window/shuffle touches the corpus;
+    ``keep_empty`` emits one null-pair row for docs with <2 tokens
+    (explode_outer) so scoring keeps every doc without a join-back."""
+    from .textstats import _tokens
+
+    n = F.size(F.col("_ws"))
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("_ws", 1, n - 1),
+            F.slice(F.col("_ws"), 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    explode = F.explode_outer if keep_empty else F.explode
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_ws")
+        )
+        .select("doc_id", explode(pairs).alias("_p"))
+        .select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+
+
+def _map_unk(df: DataFrame, vocab: DataFrame, col: str) -> DataFrame:
+    """Map ``col`` into vocab ∪ {<unk>} via a broadcast left join (the
+    vocab is top-k bounded, always broadcastable).  NULLs pass through —
+    the keep_empty marker rows of :func:`_word_pair_rows` must never
+    masquerade as ``<unk>`` pairs."""
+    v = vocab.select(F.col("word").alias(f"_v_{col}"))
+    return df.join(
+        F.broadcast(v), df[col] == F.col(f"_v_{col}"), "left"
+    ).withColumn(
+        col,
+        F.when(
+            df[col].isNotNull(), F.coalesce(F.col(f"_v_{col}"), F.lit(_UNK))
+        ),
+    ).drop(f"_v_{col}")
+
+
+def train_kn_bigram(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 256,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Fit an interpolated Kneser-Ney word-bigram LM (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.25) — the model family behind KenLM, hence
+    the CCNet quality-filtering stack.  Out-of-vocabulary words (beyond
+    the top-``vocab_size`` corpus words) map to ``<unk>`` on BOTH the
+    training and scoring sides.
+
+        P(w2|w1) = (max(c12 - D, 0) + D·N1+(w1,·)·Pcont(w2)) / c1(w1)
+        Pcont(w2) = N1+(·,w2) / N1+(·,·),   D = 3/4
+
+    Returns ``(vocab, pairs_c, ctx, cont, scalars)``: ``vocab`` the
+    top-k word table scoring must map through (rebuilding it from pair
+    counts would silently drop vocab words that never enter a training
+    bigram);
+    ``pairs_c = (w1, w2, c12)`` observed bigram counts over the mapped
+    vocabulary (≤ (k+1)² types, in practice far fewer);
+    ``ctx = (w1, c1, n1f)`` context totals and distinct-continuation
+    counts; ``cont = (w2, n1b)`` distinct-history counts;
+    ``scalars = (n1all,)`` the total bigram-type count.  All counts are
+    exact integers — the probability is the rational
+    ``(max(4·c12-3, 0)·n1all + 3·n1f·n1b) / (4·c1·n1all)``, so scoring
+    can quantize ONE correctly-rounded log per distinct pair.
+
+    Scale shape (100 TB): tokens stay arrays (no per-token shuffle); raw
+    pairs explode narrowly, map through two broadcast vocab joins, and
+    the ONE corpus-volume shuffle is the map-side-combined (w1, w2)
+    count.  ctx / cont / n1all all derive from that ≤(k+1)²-row table
+    behind a lazy checkpoint."""
+    from .textstats import build_vocab
+
+    vocab = build_vocab(df, k=vocab_size, text_col=text_col)
+    raw = _word_pair_rows(df, id_col, text_col)
+    mapped = _map_unk(_map_unk(raw, vocab, "w1"), vocab, "w2")
+    pairs_c = (
+        mapped.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    ctx = pairs_c.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = pairs_c.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    scalars = pairs_c.agg(F.count(F.lit(1)).alias("n1all"))
+    return vocab, pairs_c, ctx, cont, scalars
+
+
+def kn_bigram_scores(
+    df: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 256,
+    broadcast_pairs: bool = True,
+) -> DataFrame:
+    """Score documents under a :func:`train_kn_bigram` model: per doc,
+    the number of scored word pairs and the total cost in integer
+    micro-nats (``round(-ln P · 1e6)`` summed — order-independent, the
+    package-wide determinism contract).  Column names match
+    :func:`bigram_lm_scores` so :func:`lm_partition` buckets either.
+
+    Fallback ladder (each case documented, engine-reproducible):
+    unseen pair → the interpolated formula with ``c12 = 0``; unseen
+    CONTEXT (``c1`` null — a vocab word that never starts a training
+    bigram, or ``<unk>`` absent from training) → pure continuation
+    ``Pcont(w2)``; numerator still zero (``w2`` never a continuation) →
+    uniform ``1/(vocab_size+1)`` whose cost constant is computed in
+    Python and embedded as a literal on both engines (java.Math.log and
+    libm may disagree on the last ulp; a literal cannot).
+
+    Scale: ``ctx``/``cont`` are ≤(k+1)-row broadcasts; the pair table
+    broadcast is the ``broadcast_pairs`` flag (default on — top-k
+    vocabularies keep it small; at 100 TB with a 100k vocab switch it
+    off and the join shuffles on (w1, w2) with AQE).  Doc totals
+    collapse map-side to one row per doc before the only wide shuffle."""
+    import math
+
+    vocab, pairs_c, ctx, cont, scalars = model
+    uniform_micro = round(math.log(vocab_size + 1) * 1e6)
+    scored = _map_unk(
+        _map_unk(
+            _word_pair_rows(df, id_col, text_col, keep_empty=True),
+            vocab,
+            "w1",
+        ),
+        vocab,
+        "w2",
+    )
+    pc = pairs_c
+    if broadcast_pairs:
+        pc = F.broadcast(pc)
+    dec = "decimal(38,0)"
+    j = (
+        scored.join(pc, ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .join(F.broadcast(cont), "w2", "left")
+        .crossJoin(F.broadcast(scalars))
+    )
+    c12 = F.coalesce(F.col("c12"), F.lit(0)).cast(dec)
+    n1f = F.coalesce(F.col("n1f"), F.lit(0)).cast(dec)
+    n1b = F.coalesce(F.col("n1b"), F.lit(0)).cast(dec)
+    n1all = F.col("n1all").cast(dec)
+    c1 = F.col("c1").cast(dec)
+    num = (
+        F.greatest(c12 * _KN_D_DEN - _KN_D_NUM, F.lit(0).cast(dec)) * n1all
+        + F.lit(_KN_D_NUM).cast(dec) * n1f * n1b
+    )
+    den = F.lit(_KN_D_DEN).cast(dec) * c1 * n1all
+    cost = (
+        F.when(F.col("w1").isNull(), F.lit(None).cast("long"))
+        .when(
+            F.col("c1").isNotNull() & (num > 0),
+            F.round(
+                -F.log(num.cast("double") / den.cast("double")) * 1e6, 0
+            ).cast("long"),
+        )
+        .when(
+            F.col("c1").isNull() & (n1b > 0),
+            F.round(
+                -F.log(n1b.cast("double") / n1all.cast("double")) * 1e6, 0
+            ).cast("long"),
+        )
+        .otherwise(F.lit(int(uniform_micro)))
+    )
+    return (
+        j.select("doc_id", cost.alias("_cost"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("_cost").alias("n_bigrams"),
+            F.coalesce(F.sum("_cost"), F.lit(0)).cast("long").alias(
+                "cost_micro_total"
+            ),
+        )
+        .withColumnRenamed("doc_id", id_col)
+    )

@@ -1,0 +1,167 @@
+"""Unit tests for r4-s13 operators: Good-Turing frequency-of-frequencies,
+sorted-neighborhood blocking, interpolated Kneser-Ney bigram scoring."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+
+def test_good_turing_hand_values(spark):
+    from pdf_to_epub_spark.operators import good_turing
+
+    # words: a:4 b:3 c:2 d:2 e,f,g:1  -> T=14; fof 1:3, 2:2, 3:1, 4:1
+    df = spark.createDataFrame(
+        [("a a a b b c d e",), ("c d f g a b",)], "text string"
+    )
+    rows = {r.r: r for r in good_turing(df).collect()}
+    assert {r: rows[r].n_r for r in rows} == {1: 3, 2: 2, 3: 1, 4: 1}
+    # r* = (r+1) N_{r+1}/N_r, floor micro; p_GT = r*/14, floor nano
+    assert rows[1].r_star_micro == 1_333_333  # 2*2/3
+    assert rows[1].p_gt_nano == 95_238_095  # 4e9 // 42
+    assert rows[2].r_star_micro == 1_500_000  # 3*1/2
+    assert rows[3].r_star_micro == 4_000_000  # 4*1/1
+    assert rows[4].r_star_micro is None and rows[4].p_gt_nano is None
+
+
+def test_sorted_neighborhood_matches_global_order(spark):
+    from pdf_to_epub_spark.operators import sorted_neighborhood_pairs
+
+    rows = [(i, f"k{i % 7:02d}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, key string").repartition(6)
+    out = sorted_neighborhood_pairs(df, key_col="key", window=3)
+    got = sorted((r.id_a, r.id_b, r.gap) for r in out.collect())
+    srt = sorted(rows, key=lambda t: (t[1], t[0]))
+    want = sorted(
+        (srt[i][0], srt[j][0], j - i)
+        for i in range(len(srt))
+        for j in range(i + 1, min(i + 3, len(srt)))
+    )
+    assert got == want
+    # gaps bounded by window-1; keys carried through
+    assert out.where(
+        (F.col("gap") < 1) | (F.col("gap") > 2)
+    ).count() == 0
+
+
+def test_sorted_neighborhood_window_one_is_empty(spark):
+    from pdf_to_epub_spark.operators import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, key string")
+    out = sorted_neighborhood_pairs(df, key_col="key", window=1)
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "key_a", "key_b", "gap"]
+
+
+def test_sorted_neighborhood_plan_no_global_window(spark):
+    """Scale pin: the corpus-side row_number window partitions by the
+    range-partition id (parallel), never by the empty frame (single
+    partition); only the P-row offsets table uses a global window."""
+    from pdf_to_epub_spark.operators import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(10)], "doc_id long, key string"
+    )
+    plan = (
+        sorted_neighborhood_pairs(df, key_col="key", window=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning(_pid" in plan, plan[:3000]
+
+
+def _py_kn(train_docs, score_docs, vs):
+    tok = lambda t: re.findall(r"[a-zà-öø-ÿ]+", t.lower())
+    wc = Counter(w for _, t in train_docs for w in tok(t))
+    vocab = set(
+        w for w, _ in sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:vs]
+    )
+    m = lambda w: w if w in vocab else "<unk>"
+    pairs = Counter()
+    for _, t in train_docs:
+        ws = [m(w) for w in tok(t)]
+        for a, b in zip(ws, ws[1:]):
+            pairs[(a, b)] += 1
+    c1, n1f, n1b = Counter(), Counter(), Counter()
+    for (a, b), c in pairs.items():
+        c1[a] += c
+        n1f[a] += 1
+        n1b[b] += 1
+    n1all = len(pairs)
+    uni = round(math.log(vs + 1) * 1e6)
+
+    def cost(a, b):
+        a, b = m(a), m(b)
+        if a in c1:
+            num = max(4 * pairs.get((a, b), 0) - 3, 0) * n1all + 3 * n1f[
+                a
+            ] * n1b.get(b, 0)
+            if num > 0:
+                return round(-math.log(num / (4 * c1[a] * n1all)) * 1e6)
+            return uni
+        if n1b.get(b, 0) > 0:
+            return round(-math.log(n1b[b] / n1all) * 1e6)
+        return uni
+
+    out = {}
+    for i, t in score_docs:
+        ws = tok(t)
+        ps = list(zip(ws, ws[1:]))
+        out[i] = (len(ps), sum(cost(a, b) for a, b in ps))
+    return out
+
+
+def test_kn_bigram_scores_vs_python_replica(spark):
+    from pdf_to_epub_spark.operators import kn_bigram_scores, train_kn_bigram
+
+    train = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the log"),
+        (2, "a cat and a dog"),
+        (3, "zz"),
+    ]
+    score = [
+        (10, "the cat sat"),
+        (11, "a newword cat"),  # OOV word -> <unk>
+        (12, "x"),  # single token: zero pairs
+        (13, ""),  # empty: zero pairs, still present
+    ]
+    vs = 4
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    sdf = spark.createDataFrame(score, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.cost_micro_total)
+        for r in kn_bigram_scores(
+            sdf, train_kn_bigram(tdf, vocab_size=vs), vocab_size=vs
+        ).collect()
+    }
+    assert got == _py_kn(train, score, vs)
+
+
+def test_kn_probabilities_sum_to_one(spark):
+    """For every observed context w1, sum_w2 P(w2|w1) over the FULL
+    continuation set (observed pairs + the interpolated backoff for
+    unseen w2) must be exactly 1 — the interpolated-KN invariant the
+    exact-rational num/den factorization preserves."""
+    from fractions import Fraction
+
+    from pdf_to_epub_spark.operators.lm import train_kn_bigram
+
+    docs = [(0, "a b a c a b d"), (1, "b c b a d a")]
+    tdf = spark.createDataFrame(docs, "doc_id long, text string")
+    vocab, pairs_c, ctx, cont, scalars = train_kn_bigram(tdf, vocab_size=10)
+    pc = {(r.w1, r.w2): r.c12 for r in pairs_c.collect()}
+    cx = {r.w1: (r.c1, r.n1f) for r in ctx.collect()}
+    cb = {r.w2: r.n1b for r in cont.collect()}
+    n1all = scalars.collect()[0].n1all
+    vwords = sorted(cb)  # every word that can continue
+    for w1, (c1, n1f) in cx.items():
+        total = Fraction(0)
+        for w2 in vwords:
+            num = max(4 * pc.get((w1, w2), 0) - 3, 0) * n1all + 3 * n1f * cb[
+                w2
+            ]
+            total += Fraction(num, 4 * c1 * n1all)
+        assert total == 1, (w1, total)
