@@ -1729,6 +1729,57 @@ def _q_kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_bigram_scores(d, train_kn_bigram(d, vocab_size=64), vocab_size=64)
 
 
+def _q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-group quantile normalization (sampling.quantile_normalize):
+    per-language n_chars distributions mapped rank-wise onto the pooled
+    distribution — the domain-debiasing step before one global quality
+    threshold.  The mapped value is an OBSERVED pooled score at an
+    integer-exact midpoint-quantile index (DECIMAL div), computed with
+    the scalable global-position lift (never a single-partition
+    window)."""
+    from pdf_to_epub_spark.operators import quantile_normalize
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return quantile_normalize(
+        d, score_col="n_chars", group_col="lang", id_col="doc_id"
+    )
+
+
+def _q_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence audit (evaluate.chi2_independence)
+    over the (lang, source) contingency table: exact integer per-cell
+    numerator/denominator, ONE identically-associated double expression
+    per cell nano-quantized, then an order-free integer sum."""
+    from pdf_to_epub_spark.operators import chi2_independence
+
+    d = _t(spark, sf_dir, "documents").select("lang", "source")
+    return chi2_independence(d, "lang", "source")
+
+
+def _q_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction MaxSim retrieval (similarity.colbert_maxsim):
+    labels 0-1 play query token bags, every label a document bag;
+    per-pair cosines quantize to integer micro-units BEFORE the
+    max-per-query-token / sum-per-document reductions, so both engines
+    reduce exact integers."""
+    from pdf_to_epub_spark.operators import colbert_maxsim
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    return colbert_maxsim(
+        e.where(F.col("label") <= 1).select(
+            F.col("label").alias("qid"), "vec_id", "embedding"
+        ),
+        e.select(F.col("label").alias("did"), "embedding"),
+        q_id="qid",
+        q_tok="vec_id",
+        d_id="did",
+    )
+
+
 def _q_epub_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's FINAL artifact as a distributed column: extraction →
     assembly → per-doc EPUB3 zip bytes (export.epub_bytes — mimetype-first
@@ -7848,6 +7899,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "good_turing": _q_good_turing,
         "snm_candidate_pairs": _q_snm_pairs,
         "kn_doc_scores": _q_kn_doc_scores,
+        "quantile_normalize": _q_quantile_normalize,
+        "chi2_lang_source": _q_chi2_lang_source,
+        "colbert_maxsim": _q_colbert_maxsim,
         "bigram_lm_scores": _q_bigram_lm_scores,
         "lm_partition": _q_lm_partition,
         "page_outlinks": _q_page_outlinks,
@@ -13089,6 +13143,72 @@ def oracle_sql() -> dict[str, str]:
         # score corpus here, so every scored bigram is in the model and
         # the inner join is total (the floor/uniform fallbacks only fire
         # with a separate train split — unit-tested instead).
+        # sampling.quantile_normalize replica: same (score, id) tie
+        # order on both rankings, same integer midpoint-quantile index.
+        "quantile_normalize": """
+            WITH d AS (SELECT doc_id, lang, n_chars AS s FROM documents),
+            p AS (SELECT s, row_number() OVER (ORDER BY s, doc_id) AS g
+                  FROM d),
+            n AS (SELECT count(*)::HUGEINT AS N FROM d),
+            r AS (SELECT doc_id, lang, s,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY s, doc_id) AS rk,
+                         count(*) OVER (PARTITION BY lang) AS cnt
+                  FROM d)
+            SELECT r.doc_id, r.lang, r.s::BIGINT AS n_chars,
+                   p.s::BIGINT AS norm_score
+            FROM r CROSS JOIN n
+            JOIN p ON p.g = ((2 * r.rk - 1)::HUGEINT * n.N)
+                          // (2 * r.cnt)::HUGEINT + 1
+        """,
+        # evaluate.chi2_independence replica: q and den exact HUGEINTs,
+        # the cell term the identical double association
+        # (q::D * q::D / den::D) * 1e9, nano-rounded then integer-summed.
+        "chi2_lang_source": """
+            WITH obs AS (SELECT lang AS a, source AS b,
+                                count(*)::HUGEINT AS o
+                         FROM documents GROUP BY 1, 2),
+            ra AS (SELECT a, sum(o)::HUGEINT AS ra FROM obs GROUP BY 1),
+            cb AS (SELECT b, sum(o)::HUGEINT AS cb FROM obs GROUP BY 1),
+            nn AS (SELECT sum(o)::HUGEINT AS n FROM obs),
+            grid AS (SELECT ra.a, cb.b, coalesce(obs.o, 0)::HUGEINT AS o,
+                            ra.ra, cb.cb, nn.n
+                     FROM ra CROSS JOIN cb
+                     LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b
+                     CROSS JOIN nn),
+            cells AS (SELECT a, b, n,
+                             CAST(round(((o * n - ra * cb)::DOUBLE
+                                         * (o * n - ra * cb)::DOUBLE
+                                         / ((n * ra * cb)::DOUBLE))
+                                        * 1000000000, 0) AS BIGINT) AS t
+                      FROM grid)
+            SELECT max(n)::BIGINT AS n,
+                   count(DISTINCT a)::BIGINT AS a_levels,
+                   count(DISTINCT b)::BIGINT AS b_levels,
+                   ((count(DISTINCT a) - 1)
+                    * (count(DISTINCT b) - 1))::BIGINT AS dof,
+                   sum(t)::BIGINT AS chi2_nano
+            FROM cells
+        """,
+        # similarity.colbert_maxsim term for term: micro-unit cosines,
+        # max per (query token, doc), integer sum per (query, doc).
+        "colbert_maxsim": f"""
+            WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            q AS (SELECT label AS qid, vec_id AS qtok, v FROM e
+                  WHERE label <= 1),
+            d AS (SELECT label AS did, v FROM e),
+            sc AS (SELECT q.qid, q.qtok, d.did,
+                          round({_COSINE.format(a='q.v', b='d.v')}
+                                * 1000000, 0)::BIGINT AS c6
+                   FROM q CROSS JOIN d),
+            mx AS (SELECT qid, qtok, did, max(c6) AS m
+                   FROM sc GROUP BY 1, 2, 3)
+            SELECT qid::BIGINT AS qid, did::BIGINT AS did,
+                   count(*)::BIGINT AS n_qtokens,
+                   sum(m)::BIGINT AS maxsim_micro
+            FROM mx GROUP BY 1, 2
+        """,
         # lm.good_turing term for term: exact-integer floor division
         # (HUGEINT // == DECIMAL(38,0) div for non-negative operands).
         "good_turing": """

@@ -343,3 +343,53 @@ def snapshot_expiry(
         kept.alias("referenced_by_kept"),
         F.when(kept, F.lit("keep")).otherwise(F.lit("delete")).alias("action"),
     )
+
+def global_positions(
+    df: DataFrame,
+    order_cols: list[str],
+    pos_col: str = "_g",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append 1-based GLOBAL row positions under the total order
+    ``order_cols`` — without the single-partition global-window trap.
+
+    ``repartitionByRange(order_cols)`` tiles the global order across P
+    partitions; ``row_number`` windows per partition id (full
+    parallelism); a broadcast join against the P-row cumulative-count
+    table lifts local positions to global ones.  The result depends only
+    on the total order, never on where the (sampled, nondeterministic)
+    range boundaries fall — callers must include a tiebreaker column so
+    ``order_cols`` IS a total order.
+
+    Consumers: ``dedup.sorted_neighborhood_pairs`` (position equi-joins),
+    ``sampling.quantile_normalize`` (rank → pooled-quantile lookup)."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(p, *order_cols).withColumn(
+        "_gp_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_gp_pos",
+        F.row_number().over(
+            Window.partitionBy("_gp_pid").orderBy(*order_cols)
+        ),
+    ).localCheckpoint(eager=False)  # feeds the counts agg AND the lift
+    counts = local.groupBy("_gp_pid").agg(F.count(F.lit(1)).alias("_gp_n"))
+    off = counts.withColumn(
+        "_gp_off",
+        F.coalesce(
+            F.sum("_gp_n").over(
+                Window.orderBy("_gp_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("_gp_pid", "_gp_off")
+    return (
+        local.join(F.broadcast(off), "_gp_pid")
+        .withColumn(pos_col, F.col("_gp_off") + F.col("_gp_pos"))
+        .drop("_gp_pid", "_gp_pos", "_gp_off")
+    )

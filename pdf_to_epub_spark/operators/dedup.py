@@ -2438,18 +2438,16 @@ def sorted_neighborhood_pairs(
     only on that total order, never on partition placement.
 
     Scale shape (100 TB) — global row_number WITHOUT the single-partition
-    window trap: the corpus is ``repartitionByRange(key, id)`` so the
-    range partitions tile the global order; positions are computed
-    per-partition (row_number windowed BY partition id, full parallelism)
-    and lifted to global positions by broadcast-joining the per-partition
-    cumulative row counts (a P-row table).  Candidate pairs then come
-    from an EQUI-join — each row probes positions ``gpos+1 ..
-    gpos+window-1`` via a sequence explode — so the join shuffles
-    O(n·window) slim (position, id, key) rows and never range-scans.
-    Boundary pairs need no special casing: global positions make
-    partition edges invisible."""
+    window trap (``bucketing.global_positions``: range partition +
+    per-partition window + broadcast cumulative offsets).  Candidate
+    pairs then come from an EQUI-join — each row probes positions
+    ``gpos+1 .. gpos+window-1`` via a sequence explode — so the join
+    shuffles O(n·window) slim (position, id, key) rows and never
+    range-scans.  Boundary pairs need no special casing: global positions
+    make partition edges invisible."""
+    from .bucketing import global_positions
+
     w = int(window)
-    spark = df.sparkSession
     d = df.select(F.col(id_col).alias("_id"), F.col(key_col).alias("_k"))
     if w < 2:
         return (
@@ -2462,29 +2460,8 @@ def sorted_neighborhood_pairs(
                 "gap",
             )
         )
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = d.repartitionByRange(p, "_k", "_id").withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    pos = F.row_number().over(
-        Window.partitionBy("_pid").orderBy("_k", "_id")
-    )
-    local = ranged.withColumn("_pos", pos).localCheckpoint(eager=False)
-    # P-row offsets table: rows in all partitions strictly before _pid
-    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-    off = counts.withColumn(
-        "_off",
-        F.coalesce(
-            F.sum("_n").over(
-                Window.orderBy("_pid").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ),
-    ).select("_pid", "_off")
-    g = local.join(F.broadcast(off), "_pid").select(
-        "_id", "_k", (F.col("_off") + F.col("_pos")).alias("_g")
+    g = global_positions(
+        d, ["_k", "_id"], pos_col="_g", num_partitions=num_partitions
     )
     probes = g.select(
         F.col("_id").alias("id_a"),

@@ -1055,3 +1055,74 @@ def krippendorff_alpha(
         F.round(d_e, 6).alias("d_e"),
         F.when(d_e > 0, F.round(1.0 - d_o / d_e, 6)).alias("alpha"),
     )
+
+def chi2_independence(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Pearson chi-square test of independence over the (a, b)
+    contingency table — the corpus-audit significance check ("is quality
+    bucket independent of source domain?").  Returns ONE row:
+    ``(n, a_levels, b_levels, dof, chi2_nano)`` with
+    ``chi2 = Σ_cells (O·N − r_a·c_b)² / (N·r_a·c_b)`` — the
+    fraction-cleared form of Σ (O−E)²/E, E = r_a·c_b/N.
+
+    Engine determinism: per cell, the numerator ``q = O·N − r_a·c_b``
+    and denominator ``N·r_a·c_b`` are exact integers (DECIMAL(38,0) /
+    HUGEINT); the cell term is ONE double expression of their exactly-
+    converted values — ``round((q·q/den)·1e9)`` with identical
+    association on both engines — then an integer sum (order-free).
+    Doubles rather than pure integers because ``q²·1e9`` overflows 38
+    digits once N exceeds ~1.8e7; IEEE-correct rounding of identical
+    inputs gives identical outputs either way.
+
+    Scale shape: one map-side-combined (a, b) count is the only
+    corpus-volume exchange; margins and the dense grid (every (a, b)
+    combination contributes its expected count even at O = 0) are
+    broadcast algebra on the ≤|A|·|B|-row cell table behind a lazy
+    checkpoint."""
+    obs = (
+        df.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_o"))
+        .localCheckpoint(eager=False)
+    )
+    ra = obs.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    cb = obs.groupBy("_b").agg(F.sum("_o").alias("_cb"))
+    tot = obs.agg(F.sum("_o").alias("_n"))
+    grid = (
+        ra.crossJoin(F.broadcast(cb))
+        .join(obs, ["_a", "_b"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_a",
+            "_b",
+            F.coalesce(F.col("_o"), F.lit(0)).alias("_o"),
+            "_ra",
+            "_cb",
+            "_n",
+        )
+    )
+    dec = "decimal(38,0)"
+    q = (
+        F.col("_o").cast(dec) * F.col("_n").cast(dec)
+        - F.col("_ra").cast(dec) * F.col("_cb").cast(dec)
+    ).cast("double")
+    den = (
+        F.col("_n").cast(dec) * F.col("_ra").cast(dec) * F.col("_cb").cast(dec)
+    ).cast("double")
+    term = F.round((q * q / den) * F.lit(1e9), 0).cast("long")
+    cells = grid.select("_a", "_b", term.alias("_t"))
+    dims = (
+        cells.agg(
+            F.count_distinct("_a").alias("_al"),
+            F.count_distinct("_b").alias("_bl"),
+            F.sum("_t").alias("chi2_nano"),
+        )
+    )
+    return dims.crossJoin(F.broadcast(tot)).select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_al").cast("long").alias("a_levels"),
+        F.col("_bl").cast("long").alias("b_levels"),
+        ((F.col("_al") - 1) * (F.col("_bl") - 1)).cast("long").alias("dof"),
+        F.col("chi2_nano").cast("long").alias("chi2_nano"),
+    )

@@ -1316,3 +1316,67 @@ def winsorize_scores(
         .otherwise(F.lit(False))
         .alias("clipped"),
     )
+
+def quantile_normalize(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Rank-based quantile normalization of per-group score distributions
+    onto the POOLED distribution — the cross-domain score debiasing step
+    (a quality classifier systematically scores some domains high; after
+    normalization every group's scores occupy the same distribution, so
+    one global threshold treats domains fairly; the microarray-era
+    technique of Bolstad et al. 2003 applied to curation scores).
+
+    The doc ranked ``r`` of ``n`` within its group maps to the pooled
+    value at 0-based global index ``((2r-1)·N) div (2n)`` (midpoint
+    quantile, N = total rows) — always an OBSERVED score, found by an
+    integer-exact index (no interpolation, no float), so the result
+    hash-replays in SQL.  Ties order by (score, id) on both the pooled
+    and the within-group rankings.
+
+    Scale shape (100 TB): within-group ranks are ordinary partitioned
+    windows; the pooled ranking uses ``bucketing.global_positions``
+    (range partition + per-partition window + broadcast offsets — never
+    a single-partition window); the final lookup is an equi-join on the
+    computed index.  Everything on the shuffles is slim (id, group,
+    score, position)."""
+    from .bucketing import global_positions
+
+    d = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_grp"),
+        F.col(score_col).alias("_s"),
+    )
+    pooled = global_positions(
+        d.select("_s", "_id"), ["_s", "_id"], pos_col="_g",
+        num_partitions=num_partitions,
+    ).localCheckpoint(eager=False)  # feeds the N agg AND the index join
+    n_total = pooled.agg(F.count(F.lit(1)).alias("_N"))
+    w = Window.partitionBy("_grp").orderBy("_s", "_id")
+    ranked = (
+        d.withColumn("_r", F.row_number().over(w))
+        .withColumn("_cnt", F.count(F.lit(1)).over(Window.partitionBy("_grp")))
+        .crossJoin(F.broadcast(n_total))
+    )
+    idx = (
+        F.expr(
+            "(CAST(2 AS DECIMAL(38,0)) * _r - 1) * _N"
+            " div (CAST(2 AS DECIMAL(38,0)) * _cnt)"
+        ).cast("long")
+        + 1
+    )
+    lookup = pooled.select(F.col("_g"), F.col("_s").alias("_norm"))
+    return (
+        ranked.withColumn("_g", idx)
+        .join(lookup, "_g")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_grp").alias(group_col),
+            F.col("_s").alias(score_col),
+            F.col("_norm").alias("norm_score"),
+        )
+    )

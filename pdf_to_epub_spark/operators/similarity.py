@@ -1174,3 +1174,62 @@ def matryoshka_recall(
             + F.lit(0.0)
         ).alias("recall"),
     )
+
+def colbert_maxsim(
+    queries: DataFrame,
+    docs: DataFrame,
+    q_id: str = "qid",
+    q_tok: str = "vec_id",
+    d_id: str = "did",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Late-interaction MaxSim scoring (Khattab & Zaharia 2020, ColBERT
+    eq. 1): a query is a BAG of token vectors, a document likewise, and
+    ``score(Q, D) = Σ_{q∈Q} max_{d∈D} cos(q, d)`` — each query token
+    finds its best-matching document token, no pooled single vector.
+    Returns ``(q_id, d_id, n_qtokens, maxsim_micro)`` for every
+    query-document pair.  Query-token identity comes from the caller's
+    ``q_tok`` column (a generated id would not replay in the oracle).
+
+    Engine-stable arithmetic (the ``bitext_margin_mine`` contract):
+    per-vector-pair cosines quantize to integer micro-units BEFORE the
+    max/sum, so both reductions are integer ops — order-independent,
+    hash-identical in the SQL oracle.
+
+    Scale shape: the query side (token vectors of the query workload) is
+    the broadcast side; document vectors stream through ONE narrow pass
+    computing all pair cosines, then two slim integer aggregations
+    (max per (q-token, doc), sum per (query, doc)) — map-side combined,
+    nothing wide shuffles.  At 100 TB the dense pass becomes the
+    re-scoring stage behind an ANN candidate filter (``lsh_topk`` /
+    ``ivf_topk``); the maxsim algebra downstream is unchanged."""
+    qv = queries.select(
+        F.col(q_id).alias("_qid"),
+        F.col(q_tok).alias("_qtok"),
+        F.col(vec_col).alias("_vq"),
+    )
+    dv = docs.select(F.col(d_id).alias("_did"), F.col(vec_col).alias("_vd"))
+    scored = dv.join(F.broadcast(qv)).select(
+        "_qid",
+        "_qtok",
+        "_did",
+        F.round(cosine(F.col("_vq"), F.col("_vd")) * 1_000_000, 0)
+        .cast("long")
+        .alias("_c6"),
+    )
+    best = scored.groupBy("_qid", "_qtok", "_did").agg(
+        F.max("_c6").alias("_m")
+    )
+    return (
+        best.groupBy("_qid", "_did")
+        .agg(
+            F.count(F.lit(1)).alias("n_qtokens"),
+            F.sum("_m").cast("long").alias("maxsim_micro"),
+        )
+        .select(
+            F.col("_qid").alias(q_id),
+            F.col("_did").alias(d_id),
+            "n_qtokens",
+            "maxsim_micro",
+        )
+    )

@@ -69,7 +69,7 @@ def test_sorted_neighborhood_plan_no_global_window(spark):
         sorted_neighborhood_pairs(df, key_col="key", window=3)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "hashpartitioning(_pid" in plan, plan[:3000]
+    assert "hashpartitioning(_gp_pid" in plan, plan[:3000]
 
 
 def _py_kn(train_docs, score_docs, vs):
@@ -165,3 +165,147 @@ def test_kn_probabilities_sum_to_one(spark):
             ]
             total += Fraction(num, 4 * c1 * n1all)
         assert total == 1, (w1, total)
+
+
+def test_quantile_normalize_python_replica(spark):
+    from collections import defaultdict
+
+    from pdf_to_epub_spark.operators import quantile_normalize
+
+    rows = [(i, "g%d" % (i % 3), float((i * 37) % 19)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score double")
+    got = {
+        r.doc_id: r.norm_score
+        for r in quantile_normalize(df, "score", "grp").collect()
+    }
+    pooled = sorted((s, i) for i, _, s in rows)
+    n_tot = len(rows)
+    groups = defaultdict(list)
+    for i, g, s in rows:
+        groups[g].append((s, i))
+    want = {}
+    for mem in groups.values():
+        mem.sort()
+        n = len(mem)
+        for r, (_, i) in enumerate(mem, start=1):
+            want[i] = pooled[((2 * r - 1) * n_tot) // (2 * n)][0]
+    assert got == want
+    # a normalized score is always an observed pooled score
+    assert set(got.values()) <= {s for s, _ in pooled}
+
+
+def test_quantile_normalize_same_distribution_is_identity_on_ranks(spark):
+    """Two groups with identical score multisets normalize to identical
+    norm_score multisets (the defining property of the technique)."""
+    from pdf_to_epub_spark.operators import quantile_normalize
+
+    rows = [(i, "a", float(i % 5)) for i in range(10)] + [
+        (100 + i, "b", float(i % 5)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score double")
+    out = quantile_normalize(df, "score", "grp").collect()
+    a = sorted(r.norm_score for r in out if r.grp == "a")
+    b = sorted(r.norm_score for r in out if r.grp == "b")
+    assert a == b
+
+
+def test_chi2_independence_hand_values(spark):
+    from collections import Counter
+
+    from pdf_to_epub_spark.operators import chi2_independence
+
+    data = (
+        [("a", "x")] * 5
+        + [("a", "y")] * 3
+        + [("b", "x")] * 2
+        + [("b", "y")] * 7
+        + [("c", "x")] * 4  # (c, y) cell is absent but must contribute E
+    )
+    r = chi2_independence(
+        spark.createDataFrame(data, "u string, v string"), "u", "v"
+    ).collect()[0]
+    obs = Counter(data)
+    ra = Counter(u for u, _ in data)
+    cb = Counter(v for _, v in data)
+    n = len(data)
+    chi = 0
+    for u in ra:
+        for v in cb:
+            q = obs.get((u, v), 0) * n - ra[u] * cb[v]
+            chi += round((q * q / (n * ra[u] * cb[v])) * 1e9)
+    assert (r.n, r.a_levels, r.b_levels, r.dof, r.chi2_nano) == (
+        n, 3, 2, 2, chi,
+    )
+
+
+def test_chi2_independent_columns_near_zero(spark):
+    """A perfectly independent 2x2 table has chi2 exactly 0."""
+    from pdf_to_epub_spark.operators import chi2_independence
+
+    data = [("a", "x")] * 6 + [("a", "y")] * 2 + [("b", "x")] * 3 + [
+        ("b", "y")
+    ] * 1
+    r = chi2_independence(
+        spark.createDataFrame(data, "u string, v string"), "u", "v"
+    ).collect()[0]
+    assert r.chi2_nano == 0
+
+
+def test_colbert_maxsim_python_replica(spark):
+    import math
+    import random
+
+    from pdf_to_epub_spark.operators import colbert_maxsim
+
+    random.seed(7)
+    qs = [(0, t, [random.uniform(-1, 1) for _ in range(4)]) for t in range(3)]
+    ds = [
+        (d, [random.uniform(-1, 1) for _ in range(4)])
+        for d in range(5)
+        for _ in range(4)
+    ]
+    got = {
+        (r.qid, r.did): (r.n_qtokens, r.maxsim_micro)
+        for r in colbert_maxsim(
+            spark.createDataFrame(
+                qs, "qid long, vec_id long, embedding array<double>"
+            ),
+            spark.createDataFrame(ds, "did long, embedding array<double>"),
+        ).collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    want = {}
+    for d in range(5):
+        dv = [v for dd, v in ds if dd == d]
+        want[(0, d)] = (
+            3,
+            sum(max(round(cos(qv, v) * 1e6) for v in dv) for _, _, qv in qs),
+        )
+    assert got == want
+
+
+def test_colbert_maxsim_planted_best_match(spark):
+    """A document containing an exact copy of every query token must
+    score n_qtokens * 1e6 (each max hits the identical vector)."""
+    from pdf_to_epub_spark.operators import colbert_maxsim
+
+    qvecs = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    qs = [(0, t, v) for t, v in enumerate(qvecs)]
+    ds = [(1, v) for v in qvecs] + [(2, [0.5, 0.5, 0.7])]
+    out = {
+        r.did: r.maxsim_micro
+        for r in colbert_maxsim(
+            spark.createDataFrame(
+                qs, "qid long, vec_id long, embedding array<double>"
+            ),
+            spark.createDataFrame(ds, "did long, embedding array<double>"),
+        ).collect()
+    }
+    assert out[1] == 2_000_000
+    assert out[2] < 2_000_000
