@@ -750,6 +750,28 @@ def run_bench(
 
     timed("epub_publish_audit", epub_publish_audit, runs=2)
 
+    def kn_quality_scores() -> None:
+        """The CCNet quality-filter pass with the KenLM-family model:
+        train an interpolated Kneser-Ney word-bigram LM on the corpus
+        (top-4096 vocab), score every doc, bucket head/middle/tail.
+        Two columnar passes (train counts, then scoring) — measured
+        FASTER than checkpoint-sharing one mapped pair stream (11-12 s
+        vs ~6 s: the 10M-row RDD materialization loses whole-stage
+        codegen and carries url strings; see PLANS.md)."""
+        from pdf_to_epub_spark.operators import (
+            kn_bigram_scores,
+            lm_partition,
+            train_kn_bigram,
+        )
+
+        docs = corpus.select(F.col("url").alias("doc_id"), "text")
+        model = train_kn_bigram(docs, vocab_size=4096)
+        _force(
+            lm_partition(kn_bigram_scores(docs, model, vocab_size=4096))
+        )
+
+    timed("kn_quality_scores", kn_quality_scores, runs=2)
+
     # Recall@10 of the approximate ANN paths vs the brute-force oracle —
     # an approximate operator without a recall number isn't auditable.
     ann_recall: dict[str, float] = {}

@@ -427,20 +427,27 @@ def _word_pair_rows(
     )
 
 
-def _map_unk(df: DataFrame, vocab: DataFrame, col: str) -> DataFrame:
-    """Map ``col`` into vocab ∪ {<unk>} via a broadcast left join (the
-    vocab is top-k bounded, always broadcastable).  NULLs pass through —
-    the keep_empty marker rows of :func:`_word_pair_rows` must never
-    masquerade as ``<unk>`` pairs."""
-    v = vocab.select(F.col("word").alias(f"_v_{col}"))
+_UNK_IDX = -1  # the <unk> slot of the integer vocabulary
+
+
+def _map_idx(df: DataFrame, vocab: DataFrame, col: str) -> DataFrame:
+    """Map word column ``col`` to its integer vocab id (``_UNK_IDX`` for
+    OOV) via a broadcast left join — every downstream shuffle and join
+    then carries slim ints instead of corpus-volume strings.  NULLs pass
+    through: the keep_empty marker rows of :func:`_word_pair_rows` must
+    never masquerade as ``<unk>`` pairs."""
+    v = vocab.select(
+        F.col("word").alias(f"_w_{col}"), F.col("idx").alias(f"_i_{col}")
+    )
     return df.join(
-        F.broadcast(v), df[col] == F.col(f"_v_{col}"), "left"
+        F.broadcast(v), df[col] == F.col(f"_w_{col}"), "left"
     ).withColumn(
         col,
         F.when(
-            df[col].isNotNull(), F.coalesce(F.col(f"_v_{col}"), F.lit(_UNK))
+            df[col].isNotNull(),
+            F.coalesce(F.col(f"_i_{col}"), F.lit(_UNK_IDX)),
         ),
-    ).drop(f"_v_{col}")
+    ).drop(f"_w_{col}", f"_i_{col}")
 
 
 def train_kn_bigram(
@@ -462,8 +469,10 @@ def train_kn_bigram(
     top-k word table scoring must map through (rebuilding it from pair
     counts would silently drop vocab words that never enter a training
     bigram);
-    ``pairs_c = (w1, w2, c12)`` observed bigram counts over the mapped
-    vocabulary (≤ (k+1)² types, in practice far fewer);
+    ``pairs_c = (w1, w2, c12)`` observed bigram counts keyed by INTEGER
+    vocab ids (``idx`` from the vocab table; OOV/``<unk>`` = -1) — ints,
+    not words, so every corpus-volume shuffle and every scoring join
+    probe is slim (≤ (k+1)² types, in practice far fewer);
     ``ctx = (w1, c1, n1f)`` context totals and distinct-continuation
     counts; ``cont = (w2, n1b)`` distinct-history counts;
     ``scalars = (n1all,)`` the total bigram-type count.  All counts are
@@ -472,17 +481,46 @@ def train_kn_bigram(
     can quantize ONE correctly-rounded log per distinct pair.
 
     Scale shape (100 TB): tokens stay arrays (no per-token shuffle); raw
-    pairs explode narrowly, map through two broadcast vocab joins, and
-    the ONE corpus-volume shuffle is the map-side-combined (w1, w2)
-    count.  ctx / cont / n1all all derive from that ≤(k+1)²-row table
-    behind a lazy checkpoint."""
+    pairs explode narrowly, map through two broadcast vocab joins to
+    integer ids, and the ONE corpus-volume shuffle is the
+    map-side-combined (w1, w2) INT count.  ctx / cont / n1all all derive
+    from that ≤(k+1)²-row table behind a lazy checkpoint."""
     from .textstats import build_vocab
 
-    vocab = build_vocab(df, k=vocab_size, text_col=text_col)
+    # idx assignment: a ≤k-row window — deterministic (count desc, word
+    # asc, build_vocab's own top-k order).  Lazy checkpoint: the vocab
+    # feeds FOUR broadcast exchanges (two _map_idx joins at train, two at
+    # score) whose column aliases differ, so ReusedExchange never kicks
+    # in — without the checkpoint the corpus word count re-executes once
+    # per exchange.
+    from pyspark.sql.window import Window
+
+    vocab = (
+        build_vocab(df, k=vocab_size, text_col=text_col)
+        .withColumn(
+            "idx",
+            F.row_number().over(
+                Window.orderBy(F.desc("n"), F.asc("word"))
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
     raw = _word_pair_rows(df, id_col, text_col)
-    mapped = _map_unk(_map_unk(raw, vocab, "w1"), vocab, "w2")
+    mapped = _map_idx(_map_idx(raw, vocab, "w1"), vocab, "w2")
+    pairs_c, ctx, cont, scalars = _kn_stats(mapped)
+    return vocab, pairs_c, ctx, cont, scalars
+
+
+def _kn_stats(
+    mapped: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """KN count tables from the mapped integer pair stream; the (w1, w2)
+    count is the one corpus-volume shuffle, everything else derives from
+    it behind a lazy checkpoint.  Null-pair marker rows (keep_empty
+    streams) are excluded here so shared streams need no pre-filter."""
     pairs_c = (
-        mapped.groupBy("w1", "w2")
+        mapped.where(F.col("w1").isNotNull())
+        .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
         .localCheckpoint(eager=False)
     )
@@ -491,7 +529,7 @@ def train_kn_bigram(
     )
     cont = pairs_c.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
     scalars = pairs_c.agg(F.count(F.lit(1)).alias("n1all"))
-    return vocab, pairs_c, ctx, cont, scalars
+    return pairs_c, ctx, cont, scalars
 
 
 def kn_bigram_scores(
@@ -517,17 +555,16 @@ def kn_bigram_scores(
     Python and embedded as a literal on both engines (java.Math.log and
     libm may disagree on the last ulp; a literal cannot).
 
-    Scale: ``ctx``/``cont`` are ≤(k+1)-row broadcasts; the pair table
-    broadcast is the ``broadcast_pairs`` flag (default on — top-k
-    vocabularies keep it small; at 100 TB with a 100k vocab switch it
-    off and the join shuffles on (w1, w2) with AQE).  Doc totals
-    collapse map-side to one row per doc before the only wide shuffle."""
-    import math
-
+    Scale: all stat joins probe INTEGER vocab ids (the token stream maps
+    through the broadcast vocab once, then never carries a string);
+    ``ctx``/``cont`` are ≤(k+1)-row broadcasts; the pair table broadcast
+    is the ``broadcast_pairs`` flag (default on — top-k vocabularies
+    keep it small; at 100 TB with a 100k vocab switch it off and the
+    join shuffles slim int pairs with AQE).  Doc totals collapse
+    map-side to one row per doc before the only wide shuffle."""
     vocab, pairs_c, ctx, cont, scalars = model
-    uniform_micro = round(math.log(vocab_size + 1) * 1e6)
-    scored = _map_unk(
-        _map_unk(
+    scored = _map_idx(
+        _map_idx(
             _word_pair_rows(df, id_col, text_col, keep_empty=True),
             vocab,
             "w1",
@@ -535,6 +572,26 @@ def kn_bigram_scores(
         vocab,
         "w2",
     )
+    return _kn_score_stream(
+        scored, (pairs_c, ctx, cont, scalars), id_col, vocab_size,
+        broadcast_pairs,
+    )
+
+
+def _kn_score_stream(
+    scored: DataFrame,
+    stats: tuple[DataFrame, DataFrame, DataFrame, DataFrame],
+    id_col: str,
+    vocab_size: int,
+    broadcast_pairs: bool,
+) -> DataFrame:
+    """Per-doc micro-nat totals from a mapped integer pair stream and the
+    KN count tables (the join/cost/rollup shared by
+    :func:`kn_bigram_scores` and :func:`kn_self_scores`)."""
+    import math
+
+    pairs_c, ctx, cont, scalars = stats
+    uniform_micro = round(math.log(vocab_size + 1) * 1e6)
     pc = pairs_c
     if broadcast_pairs:
         pc = F.broadcast(pc)
