@@ -1780,6 +1780,33 @@ def _q_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_luhn_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated credit-card detection (textstats.
+    credit_card_hits): Luhn mod-10 over maximal digit/space/dash runs —
+    planted valid, invalid-check-digit, and spaced-valid cards per
+    doc_id residue; counts are pure integer column algebra in both
+    engines."""
+    from pdf_to_epub_spark.operators.textstats import credit_card_hits
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    marker = (
+        F.when(
+            F.col("doc_id") % 4 == 0, F.lit(" card 4532015112830366 end")
+        )
+        .when(F.col("doc_id") % 4 == 1, F.lit(" card 4532015112830367 end"))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.lit(" card 4532 0151 1283 0366 end"),
+        )
+        .otherwise(F.lit(""))
+    )
+    injected = d.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), marker).alias("text"),
+    )
+    return credit_card_hits(injected)
+
+
 def _q_epub_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's FINAL artifact as a distributed column: extraction →
     assembly → per-doc EPUB3 zip bytes (export.epub_bytes — mimetype-first
@@ -7902,6 +7929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": _q_quantile_normalize,
         "chi2_lang_source": _q_chi2_lang_source,
         "colbert_maxsim": _q_colbert_maxsim,
+        "luhn_card_audit": _q_luhn_card_audit,
         "bigram_lm_scores": _q_bigram_lm_scores,
         "lm_partition": _q_lm_partition,
         "page_outlinks": _q_page_outlinks,
@@ -13208,6 +13236,50 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_qtokens,
                    sum(m)::BIGINT AS maxsim_micro
             FROM mx GROUP BY 1, 2
+        """,
+        # textstats.credit_card_hits replica: same maximal-run regex (no
+        # lookaround, Java == RE2), same separator strip, same reversed
+        # positional Luhn arithmetic in list lambdas.
+        "luhn_card_audit": """
+            WITH injected AS (
+                SELECT doc_id,
+                       coalesce(text, '') ||
+                       CASE doc_id % 4
+                         WHEN 0 THEN ' card 4532015112830366 end'
+                         WHEN 1 THEN ' card 4532015112830367 end'
+                         WHEN 2 THEN ' card 4532 0151 1283 0366 end'
+                         ELSE ''
+                       END AS text
+                FROM documents),
+            runs AS (
+                SELECT doc_id,
+                       regexp_extract_all(text,
+                                          '[0-9][0-9 -]{11,30}[0-9]') AS rs
+                FROM injected),
+            checked AS (
+                SELECT doc_id, rs,
+                       list_filter(
+                           list_transform(rs,
+                               r -> replace(replace(r, ' ', ''),
+                                            '-', '')),
+                           d -> length(d) BETWEEN 13 AND 19
+                                AND list_sum(list_transform(
+                                        range(1, length(d) + 1),
+                                        i -> CASE WHEN i % 2 = 0 THEN
+                                                 CASE WHEN (ascii(
+                                                     reverse(d)[i]) - 48)
+                                                     * 2 > 9
+                                                 THEN (ascii(reverse(d)[i])
+                                                       - 48) * 2 - 9
+                                                 ELSE (ascii(reverse(d)[i])
+                                                       - 48) * 2
+                                                 END
+                                             ELSE ascii(reverse(d)[i]) - 48
+                                             END)) % 10 = 0) AS ok
+                FROM runs)
+            SELECT doc_id, len(rs)::INT AS n_card_candidates,
+                   len(ok)::INT AS n_cards_valid
+            FROM checked
         """,
         # lm.good_turing term for term: exact-integer floor division
         # (HUGEINT // == DECIMAL(38,0) div for non-negative operands).

@@ -309,3 +309,35 @@ def test_colbert_maxsim_planted_best_match(spark):
     }
     assert out[1] == 2_000_000
     assert out[2] < 2_000_000
+
+
+def test_credit_card_hits_luhn_edges(spark):
+    from pdf_to_epub_spark.operators.textstats import credit_card_hits
+
+    rows = [
+        (0, "pay with 4532015112830366 today"),  # valid 16-digit
+        (1, "fake 4532015112830367 nope"),  # bad check digit
+        (2, "amex 378282246310005 and 371449635398431"),  # two valid 15s
+        (3, "spaced 4532 0151 1283 0366 card"),
+        (4, "dashed 4532-0151-1283-0366 card"),
+        (5, "short 4111 111 and long 12345678901234567890123 run"),
+        (6, None),  # null text -> zero candidates, not -1
+        (7, "two cards 4532015112830366 4532015112830366"),  # merged run
+        (8, "no digits at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_card_candidates, r.n_cards_valid)
+        for r in credit_card_hits(df).collect()
+    }
+    assert got == {
+        0: (1, 1),
+        1: (1, 0),
+        2: (2, 2),
+        3: (1, 1),
+        4: (1, 1),
+        5: (1, 0),
+        6: (0, 0),
+        7: (1, 0),
+        8: (0, 0),
+    }
