@@ -553,7 +553,9 @@ def kn_bigram_scores(
     ``Pcont(w2)``; numerator still zero (``w2`` never a continuation) →
     uniform ``1/(vocab_size+1)`` whose cost constant is computed in
     Python and embedded as a literal on both engines (java.Math.log and
-    libm may disagree on the last ulp; a literal cannot).
+    libm may disagree on the last ulp; a literal cannot).  Pass the SAME
+    ``vocab_size`` as the training call — it parameterizes that uniform
+    constant (the model tuple carries no scalar channel for it).
 
     Scale: all stat joins probe INTEGER vocab ids (the token stream maps
     through the broadcast vocab once, then never carries a string);
