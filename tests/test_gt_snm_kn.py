@@ -341,3 +341,75 @@ def test_credit_card_hits_luhn_edges(spark):
         7: (1, 0),
         8: (0, 0),
     }
+
+
+def test_credit_card_luhn_property(spark):
+    """Luhn's design guarantee, randomized: a digit string with its
+    correct check digit appended always validates; the same string with
+    ONE digit altered never does (single-digit errors are always
+    detected).  40 pre-drawn examples (fixed seed), one Spark job."""
+    import random as _random
+
+    from pdf_to_epub_spark.operators.textstats import credit_card_hits
+
+    rng = _random.Random(1337)
+
+    def check_digit(body: str) -> str:
+        # Luhn check digit for body+d: doubling applies to the digits at
+        # odd reversed positions of the FULL string (body reversed =
+        # positions 2,3,... of the full), i.e. every second of reversed
+        # body starting at index 0
+        s = 0
+        for i, ch in enumerate(reversed(body)):
+            d = int(ch)
+            if i % 2 == 0:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            s += d
+        return str((10 - s % 10) % 10)
+
+    rows = []
+    for i in range(40):
+        body = "".join(rng.choice("0123456789") for _ in range(rng.randint(12, 18)))
+        card = body + check_digit(body)
+        pos = rng.randrange(len(card))
+        delta = rng.randint(1, 9)
+        corrupted = (
+            card[:pos] + str((int(card[pos]) + delta) % 10) + card[pos + 1:]
+        )
+        rows.append((i, f"ok {card} bad {corrupted} end"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = credit_card_hits(df).collect()
+    assert all(r.n_card_candidates == 2 for r in out)
+    assert all(r.n_cards_valid == 1 for r in out), [
+        (r.doc_id, r.n_cards_valid) for r in out if r.n_cards_valid != 1
+    ]
+
+
+def test_sorted_neighborhood_randomized_property(spark):
+    """SNM == brute-force pairs of the globally sorted order, over a
+    skew-heavy random key set (many ties, empty keys) and several window
+    sizes — partition-boundary independence is the property under test."""
+    import random as _random
+
+    from pdf_to_epub_spark.operators import sorted_neighborhood_pairs
+
+    rng = _random.Random(7)
+    keys = ["", "a", "aa", "b", "zz", "k%02d" % 5]
+    rows = [(i, rng.choice(keys)) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, key string").repartition(9)
+    for w in (2, 4, 7):
+        got = sorted(
+            (r.id_a, r.id_b, r.gap)
+            for r in sorted_neighborhood_pairs(
+                df, key_col="key", window=w, num_partitions=5
+            ).collect()
+        )
+        srt = sorted(rows, key=lambda t: (t[1], t[0]))
+        want = sorted(
+            (srt[i][0], srt[j][0], j - i)
+            for i in range(len(srt))
+            for j in range(i + 1, min(i + w, len(srt)))
+        )
+        assert got == want, f"window={w}"
