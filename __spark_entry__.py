@@ -13195,7 +13195,9 @@ def oracle_sql() -> dict[str, str]:
         "chi2_lang_source": """
             WITH obs AS (SELECT lang AS a, source AS b,
                                 count(*)::HUGEINT AS o
-                         FROM documents GROUP BY 1, 2),
+                         FROM documents
+                         WHERE lang IS NOT NULL AND source IS NOT NULL
+                         GROUP BY 1, 2),
             ra AS (SELECT a, sum(o)::HUGEINT AS ra FROM obs GROUP BY 1),
             cb AS (SELECT b, sum(o)::HUGEINT AS cb FROM obs GROUP BY 1),
             nn AS (SELECT sum(o)::HUGEINT AS n FROM obs),

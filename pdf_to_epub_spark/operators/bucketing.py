@@ -361,20 +361,26 @@ def global_positions(
     range boundaries fall — callers must include a tiebreaker column so
     ``order_cols`` IS a total order.
 
+    NULL keys sort LAST (``asc_nulls_last`` on BOTH the range
+    partitioning and the per-partition window — they must agree or
+    global positions break): Spark's default is NULLS FIRST while the
+    DuckDB oracles' ``ORDER BY`` default is NULLS LAST, a divergence
+    that flipped candidate-pair sets the moment a NULL key appeared
+    (caught in review; pinned by test).
+
     Consumers: ``dedup.sorted_neighborhood_pairs`` (position equi-joins),
     ``sampling.quantile_normalize`` (rank → pooled-quantile lookup)."""
     from pyspark.sql.window import Window
 
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = df.repartitionByRange(p, *order_cols).withColumn(
+    order = [F.col(c).asc_nulls_last() for c in order_cols]
+    ranged = df.repartitionByRange(p, *order).withColumn(
         "_gp_pid", F.spark_partition_id()
     )
     local = ranged.withColumn(
         "_gp_pos",
-        F.row_number().over(
-            Window.partitionBy("_gp_pid").orderBy(*order_cols)
-        ),
+        F.row_number().over(Window.partitionBy("_gp_pid").orderBy(*order)),
     ).localCheckpoint(eager=False)  # feeds the counts agg AND the lift
     counts = local.groupBy("_gp_pid").agg(F.count(F.lit(1)).alias("_gp_n"))
     off = counts.withColumn(

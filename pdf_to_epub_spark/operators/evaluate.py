@@ -1061,8 +1061,10 @@ def chi2_independence(
 ) -> DataFrame:
     """Pearson chi-square test of independence over the (a, b)
     contingency table — the corpus-audit significance check ("is quality
-    bucket independent of source domain?").  Returns ONE row:
-    ``(n, a_levels, b_levels, dof, chi2_nano)`` with
+    bucket independent of source domain?").  Rows where either category
+    is NULL are excluded (a NULL level has no cell in the dense grid;
+    counting it only in the margins corrupts E and dof).  Returns ONE
+    row: ``(n, a_levels, b_levels, dof, chi2_nano)`` with
     ``chi2 = Σ_cells (O·N − r_a·c_b)² / (N·r_a·c_b)`` — the
     fraction-cleared form of Σ (O−E)²/E, E = r_a·c_b/N.
 
@@ -1080,8 +1082,15 @@ def chi2_independence(
     combination contributes its expected count even at O = 0) are
     broadcast algebra on the ≤|A|·|B|-row cell table behind a lazy
     checkpoint."""
+    # NULL levels are excluded up front: groupBy would keep a NULL level
+    # in the margins and N, but the grid's equi-join back to obs never
+    # matches NULL keys — those cells would silently read O=0 while
+    # their real counts inflate E, grossly overstating chi2 (and
+    # count_distinct would exclude the level from dof, making dof
+    # inconsistent with the grid actually summed).  Caught in review.
     obs = (
         df.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+        .where(F.col("_a").isNotNull() & F.col("_b").isNotNull())
         .groupBy("_a", "_b")
         .agg(F.count(F.lit(1)).alias("_o"))
         .localCheckpoint(eager=False)

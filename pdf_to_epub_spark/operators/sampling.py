@@ -1356,7 +1356,12 @@ def quantile_normalize(
         num_partitions=num_partitions,
     ).localCheckpoint(eager=False)  # feeds the N agg AND the index join
     n_total = pooled.agg(F.count(F.lit(1)).alias("_N"))
-    w = Window.partitionBy("_grp").orderBy("_s", "_id")
+    # asc_nulls_last: must agree with global_positions' pooled order (and
+    # with the DuckDB oracle's ORDER BY default) — NULL scores rank last
+    # in their group exactly as they rank last in the pool
+    w = Window.partitionBy("_grp").orderBy(
+        F.col("_s").asc_nulls_last(), F.col("_id").asc_nulls_last()
+    )
     ranked = (
         d.withColumn("_r", F.row_number().over(w))
         .withColumn("_cnt", F.count(F.lit(1)).over(Window.partitionBy("_grp")))

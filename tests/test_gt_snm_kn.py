@@ -413,3 +413,57 @@ def test_sorted_neighborhood_randomized_property(spark):
             for j in range(i + 1, min(i + w, len(srt)))
         )
         assert got == want, f"window={w}"
+
+
+def test_sorted_neighborhood_null_keys_sort_last(spark):
+    """NULL keys rank LAST (asc_nulls_last on both the range partition
+    and the window) — the DuckDB oracle's ORDER BY default; Spark's
+    NULLS FIRST default silently flipped the pair set (review catch)."""
+    from pdf_to_epub_spark.operators import sorted_neighborhood_pairs
+
+    rows = [(1, "a"), (2, None), (3, "b")]
+    df = spark.createDataFrame(rows, "doc_id long, key string")
+    got = sorted(
+        (r.id_a, r.id_b, r.gap)
+        for r in sorted_neighborhood_pairs(
+            df, key_col="key", window=2
+        ).collect()
+    )
+    # global order nulls-last: (a,1), (b,3), (NULL,2)
+    assert got == [(1, 3, 1), (3, 2, 1)]
+
+
+def test_quantile_normalize_null_scores_rank_last(spark):
+    from pdf_to_epub_spark.operators import quantile_normalize
+
+    rows = [(1, "g", 5.0), (2, "g", None), (3, "g", 1.0), (4, "h", 2.0)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score double")
+    out = {r.doc_id: r.norm_score for r in quantile_normalize(
+        df, "score", "grp").collect()}
+    # pooled nulls-last: [1.0, 2.0, 5.0, None]; N=4
+    # g ranks: 1.0->r1/n3 idx ((2-1)*4)//6=0 -> 1.0 ; 5.0->r2 idx (3*4)//6=2 -> 5.0
+    #          None->r3 idx (5*4)//6=3 -> None (the pooled tail)
+    # h: 2.0 -> r1/n1 idx ((2-1)*4)//2=2 -> 5.0
+    assert out == {3: 1.0, 1: 5.0, 2: None, 4: 5.0}
+
+
+def test_chi2_null_levels_excluded(spark):
+    """NULL category rows must not inflate margins/N (their grid cells
+    can never match the equi-join back to obs — review catch): the
+    statistic equals the NULL-filtered table's."""
+    from pdf_to_epub_spark.operators import chi2_independence
+
+    base = [("a", "x")] * 5 + [("a", "y")] * 3 + [("b", "x")] * 2 + [
+        ("b", "y")
+    ] * 7
+    with_nulls = base + [(None, "x")] * 100 + [("a", None)] * 50
+    r1 = chi2_independence(
+        spark.createDataFrame(base, "u string, v string"), "u", "v"
+    ).collect()[0]
+    r2 = chi2_independence(
+        spark.createDataFrame(with_nulls, "u string, v string"), "u", "v"
+    ).collect()[0]
+    assert (r1.n, r1.a_levels, r1.b_levels, r1.dof, r1.chi2_nano) == (
+        r2.n, r2.a_levels, r2.b_levels, r2.dof, r2.chi2_nano,
+    )
+    assert r1.n == len(base)
