@@ -1807,6 +1807,42 @@ def _q_luhn_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return credit_card_hits(injected)
 
 
+def _q_text_reuse_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passim-style text-reuse alignment (dedup.text_reuse_spans): every
+    doc gains a synthetic plagiarist (10 doc-unique filler tokens + its
+    own tokens 21-50), and the operator must recover the copied
+    interval as a single diagonal run — positions/intervals are pure
+    integers, engine-exact; the oracle joins on shingle STRINGS where
+    Spark joins rotation-XOR hashes (identical up to ~2^-63)."""
+    from pdf_to_epub_spark.operators import text_reuse_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split(
+        F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
+    )
+    fillers = F.array(
+        *[
+            F.concat(
+                F.lit("filler"),
+                F.col("doc_id").cast("string"),
+                F.lit("x" + str(j)),
+            )
+            for j in range(10)
+        ]
+    )
+    plag = d.select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.concat_ws(" ", F.concat(fillers, F.slice(ws, 21, 30))).alias(
+            "text"
+        ),
+    )
+    pairs = d.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(2_000_000)).alias("id_b"),
+    )
+    return text_reuse_spans(d.union(plag), pairs, k=5, min_run=3)
+
+
 def _q_epub_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's FINAL artifact as a distributed column: extraction →
     assembly → per-doc EPUB3 zip bytes (export.epub_bytes — mimetype-first
@@ -7930,6 +7966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_lang_source": _q_chi2_lang_source,
         "colbert_maxsim": _q_colbert_maxsim,
         "luhn_card_audit": _q_luhn_card_audit,
+        "text_reuse_spans": _q_text_reuse_spans,
         "bigram_lm_scores": _q_bigram_lm_scores,
         "lm_partition": _q_lm_partition,
         "page_outlinks": _q_page_outlinks,
@@ -13282,6 +13319,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(rs)::INT AS n_card_candidates,
                    len(ok)::INT AS n_cards_valid
             FROM checked
+        """,
+        # dedup.text_reuse_spans replica on shingle STRINGS: same
+        # plagiarist construction, same within-doc-unique filter, same
+        # diagonal rollup; 1-based oracle positions vs 0-based Spark
+        # positions cancel in every output column.
+        "text_reuse_spans": """
+            WITH base AS (SELECT doc_id, coalesce(text, '') AS text
+                          FROM documents),
+            bt AS (SELECT doc_id,
+                          regexp_split_to_array(trim(lower(text)),
+                                                '\\s+') AS ws
+                   FROM base),
+            plag AS (SELECT doc_id + 2000000 AS doc_id,
+                            array_to_string(
+                                list_transform(range(0, 10),
+                                    j -> 'filler' || doc_id::VARCHAR
+                                         || 'x' || j::VARCHAR)
+                                || ws[21:50], ' ') AS text
+                     FROM bt),
+            corpus AS (SELECT doc_id, text FROM base
+                       UNION ALL SELECT doc_id, text FROM plag),
+            toks AS (SELECT doc_id,
+                            regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+') AS ws
+                     FROM corpus),
+            occ AS (SELECT doc_id, i,
+                           array_to_string(ws[i:i+4], ' ') AS sh
+                    FROM (SELECT doc_id, ws,
+                                 unnest(generate_series(1, len(ws) - 4))
+                                     AS i
+                          FROM toks WHERE len(ws) >= 5)),
+            uniq AS (SELECT doc_id, sh, min(i) AS pos FROM occ
+                     GROUP BY 1, 2 HAVING count(*) = 1),
+            pairs AS (SELECT doc_id AS id_a, doc_id + 2000000 AS id_b
+                      FROM base),
+            m AS (SELECT p.id_a, p.id_b, a.pos AS pa, b.pos AS pb
+                  FROM pairs p
+                  JOIN uniq a ON a.doc_id = p.id_a
+                  JOIN uniq b ON b.doc_id = p.id_b AND b.sh = a.sh),
+            g AS (SELECT id_a, id_b, pa - pb AS diag, count(*) AS n,
+                         min(pa) AS a0, max(pa) AS a1
+                  FROM m GROUP BY 1, 2, 3 HAVING count(*) >= 3)
+            SELECT id_a, id_b, diag::BIGINT AS diag,
+                   a0::BIGINT AS a_start, (a1 + 4)::BIGINT AS a_end,
+                   (a0 - diag)::BIGINT AS b_start,
+                   (a1 + 4 - diag)::BIGINT AS b_end,
+                   n::BIGINT AS n_shingles
+            FROM g
         """,
         # lm.good_turing term for term: exact-integer floor division
         # (HUGEINT // == DECIMAL(38,0) div for non-negative operands).

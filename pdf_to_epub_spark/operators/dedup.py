@@ -2481,3 +2481,91 @@ def sorted_neighborhood_pairs(
         "key_b",
         (F.col("_g") - F.col("_ga")).cast("long").alias("gap"),
     )
+
+def text_reuse_spans(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_run: int = 3,
+) -> DataFrame:
+    """Passim-style text-reuse alignment (Smith, Cordell & Dillon 2013;
+    the newspaper-reprint / plagiarism-span detector): for each candidate
+    pair, find the aligned passage intervals — maximal runs of shared
+    k-shingles lying on the SAME diagonal (``pos_a − pos_b`` constant),
+    which is how a copied excerpt manifests when one document embeds a
+    slice of another at a different offset.  Candidate pairs come from
+    any upstream generator (``containment_pairs``, ``minhash``, SNM);
+    this stage turns "these two documents are related" into WHERE.
+
+    Returns ``(id_a, id_b, diag, a_start, a_end, b_start, b_end,
+    n_shingles)``: 1-based inclusive TOKEN intervals covering the run's
+    shingles (``a_end = last shingle start + k − 1``), ``diag`` the
+    0-based position difference, ``n_shingles`` the number of shared
+    unique shingles on the diagonal (``≥ min_run``).
+
+    Two documented simplifications keep it engine-exact: (1) only
+    within-doc-UNIQUE shingles participate (repeated boilerplate
+    shingles would match every occurrence pairing and spray spurious
+    diagonals — passim's standard filter); (2) runs are exact-diagonal
+    (an insertion inside a copied passage splits the alignment into two
+    rows rather than gap-merging — the gappy merge is a driver-free
+    post-pass over this table if needed).
+
+    Scale shape: only documents that appear in a pair are shingled
+    (inner join against the distinct pair-id set); the shared-shingle
+    join carries slim (id, hash, pos) rows keyed by (id_b, hash); the
+    diagonal rollup is a map-side-combined groupBy on (pair, diag).
+    Shingle identity is the rotation-XOR hash (``_shingle_hash_array``,
+    ~2⁻⁶³ collisions); the oracle replica joins on shingle STRINGS —
+    identical matches up to that bound."""
+    ids = (
+        pairs.select(F.col("id_a").alias("_id"))
+        .union(pairs.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        _word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_t"),
+    ).join(ids, "_id")
+    th = toks.select(
+        "_id", F.transform("_t", lambda t: F.xxhash64(t)).alias("_th")
+    ).where(F.size("_th") >= k)
+    occ = th.select(
+        "_id", _shingle_hash_array("_th", k).alias("_hs")
+    ).select("_id", F.posexplode("_hs").alias("_i", "_h"))
+    uniq = (
+        occ.groupBy("_id", "_h")
+        .agg(F.count(F.lit(1)).alias("_c"), F.min("_i").alias("_pos"))
+        .where(F.col("_c") == 1)
+        .select("_id", "_h", "_pos")
+    )
+    a = uniq.select(
+        F.col("_id").alias("id_a"), "_h", F.col("_pos").alias("_pa")
+    )
+    b = uniq.select(
+        F.col("_id").alias("id_b"), "_h", F.col("_pos").alias("_pb")
+    )
+    m = a.join(pairs, "id_a").join(b, ["id_b", "_h"])
+    g = (
+        m.groupBy(
+            "id_a", "id_b", (F.col("_pa") - F.col("_pb")).alias("diag")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.min("_pa").alias("_a0"),
+            F.max("_pa").alias("_a1"),
+        )
+        .where(F.col("n_shingles") >= min_run)
+    )
+    return g.select(
+        "id_a",
+        "id_b",
+        F.col("diag").cast("long").alias("diag"),
+        (F.col("_a0") + 1).cast("long").alias("a_start"),
+        (F.col("_a1") + k).cast("long").alias("a_end"),
+        (F.col("_a0") + 1 - F.col("diag")).cast("long").alias("b_start"),
+        (F.col("_a1") + k - F.col("diag")).cast("long").alias("b_end"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+    )

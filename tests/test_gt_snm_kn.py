@@ -467,3 +467,62 @@ def test_chi2_null_levels_excluded(spark):
         r2.n, r2.a_levels, r2.b_levels, r2.dof, r2.chi2_nano,
     )
     assert r1.n == len(base)
+
+
+def test_text_reuse_spans_planted_excerpt(spark):
+    from pdf_to_epub_spark.operators import text_reuse_spans
+
+    t1 = " ".join(f"w{i:02d}" for i in range(1, 61))
+    t2 = " ".join(
+        [f"f{j}" for j in range(10)] + [f"w{i:02d}" for i in range(21, 51)]
+    )
+    df = spark.createDataFrame([(1, t1), (2, t2)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = text_reuse_spans(df, pairs, k=5, min_run=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    # excerpt w21..w50: doc1 tokens 21-50, doc2 tokens 11-40, 26 shingles
+    assert (r.diag, r.a_start, r.a_end, r.b_start, r.b_end, r.n_shingles) == (
+        10, 21, 50, 11, 40, 26,
+    )
+
+
+def test_text_reuse_spans_insertion_splits_diagonal(spark):
+    """An insertion inside the copied passage shifts the tail onto a new
+    diagonal — the documented exact-diagonal semantics produce TWO rows
+    whose intervals tile the copy around the insertion point."""
+    from pdf_to_epub_spark.operators import text_reuse_spans
+
+    orig = " ".join(f"w{i:02d}" for i in range(1, 41))
+    # copy tokens 1..40 but insert two foreign tokens after position 20
+    copied = " ".join(
+        [f"w{i:02d}" for i in range(1, 21)]
+        + ["xx1", "xx2"]
+        + [f"w{i:02d}" for i in range(21, 41)]
+    )
+    df = spark.createDataFrame(
+        [(1, orig), (2, copied)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    rows = sorted(
+        (r.diag, r.a_start, r.a_end, r.b_start, r.b_end)
+        for r in text_reuse_spans(df, pairs, k=5, min_run=3).collect()
+    )
+    # head: diag 0 covering tokens 1..20 on both sides;
+    # tail: diag -2 (copy shifted +2) covering 21..40 vs 23..42
+    assert rows == [(-2, 21, 40, 23, 42), (0, 1, 20, 1, 20)]
+
+
+def test_text_reuse_spans_repeated_shingles_excluded(spark):
+    """A shingle repeated WITHIN a doc never participates (the passim
+    uniqueness filter): a doc made of one phrase repeated produces no
+    spans against a doc containing that phrase once."""
+    from pdf_to_epub_spark.operators import text_reuse_spans
+
+    phrase = "a b c d e"
+    df = spark.createDataFrame(
+        [(1, " ".join([phrase] * 4)), (2, phrase + " tail1 tail2")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    assert text_reuse_spans(df, pairs, k=5, min_run=1).count() == 0
