@@ -772,6 +772,36 @@ def run_bench(
 
     timed("kn_quality_scores", kn_quality_scores, runs=2)
 
+    def text_reuse() -> None:
+        """Passim-style reuse alignment over the corpus + half-excerpt
+        twins: shingle only pair-participating docs, join shared
+        within-doc-unique shingles, roll up diagonals.  Measures the
+        (id, hash, pos) join + diagonal groupBy at full corpus volume."""
+        from pdf_to_epub_spark.operators import text_reuse_spans
+
+        docs = corpus.select(F.xxhash64("url").alias("doc_id"), "text")
+        toks = docs.select(
+            "doc_id", F.split(F.trim("text"), r"\s+").alias("_tk")
+        )
+        excerpts = toks.select(
+            (F.col("doc_id") + 1).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "_tk", F.lit(1), ((F.size("_tk") + 1) / 2).cast("int")
+                ),
+            ).alias("text"),
+        )
+        prs = docs.select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+        )
+        _force(
+            text_reuse_spans(docs.unionByName(excerpts), prs, k=5, min_run=3)
+        )
+
+    timed("text_reuse_spans", text_reuse, runs=2)
+
     # Recall@10 of the approximate ANN paths vs the brute-force oracle —
     # an approximate operator without a recall number isn't auditable.
     ann_recall: dict[str, float] = {}

@@ -2520,34 +2520,61 @@ def text_reuse_spans(
     Shingle identity is the rotation-XOR hash (``_shingle_hash_array``,
     ~2⁻⁶³ collisions); the oracle replica joins on shingle STRINGS —
     identical matches up to that bound."""
-    ids = (
-        pairs.select(F.col("id_a").alias("_id"))
-        .union(pairs.select(F.col("id_b").alias("_id")))
-        .distinct()
-    )
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        _word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_t"),
-    ).join(ids, "_id")
-    th = toks.select(
-        "_id", F.transform("_t", lambda t: F.xxhash64(t)).alias("_th")
-    ).where(F.size("_th") >= k)
-    occ = th.select(
-        "_id", _shingle_hash_array("_th", k).alias("_hs")
-    ).select("_id", F.posexplode("_hs").alias("_i", "_h"))
-    uniq = (
-        occ.groupBy("_id", "_h")
-        .agg(F.count(F.lit(1)).alias("_c"), F.min("_i").alias("_pos"))
-        .where(F.col("_c") == 1)
-        .select("_id", "_h", "_pos")
-    )
-    a = uniq.select(
-        F.col("_id").alias("id_a"), "_h", F.col("_pos").alias("_pa")
-    )
-    b = uniq.select(
-        F.col("_id").alias("id_b"), "_h", F.col("_pos").alias("_pb")
-    )
-    m = a.join(pairs, "id_a").join(b, ["id_b", "_h"])
+    def uniq_occ(side_col: str, pos_alias: str) -> DataFrame:
+        """(side_col, _h, pos) of within-doc-UNIQUE shingles for the docs
+        appearing on that side of ``pairs`` — all narrow until the final
+        explode.  Uniqueness is a sorted-struct neighbor test on the
+        per-doc array (array_sort + index-lambda filter), NOT a
+        (id, hash) groupBy: the per-occurrence shuffle was measured to
+        cost as much as the pair join itself at bench volume, and the
+        boundary OR-guards make the NULL neighbor reads at j=0 / j=n-1
+        safe (true OR NULL = true).  posexplode_OUTER + null filter —
+        the InferFiltersFromGenerate trap (see containment_pairs)."""
+        ids = pairs.select(F.col(side_col).alias("_id")).distinct()
+        toks = df.select(
+            F.col(id_col).alias("_id"),
+            _word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias(
+                "_t"
+            ),
+        ).join(ids, "_id")
+        th = toks.select(
+            "_id", F.transform("_t", lambda t: F.xxhash64(t)).alias("_th")
+        ).where(F.size("_t") >= k)
+        hs = th.select("_id", _shingle_hash_array("_th", k).alias("_hs"))
+        st = hs.select(
+            "_id",
+            F.array_sort(
+                F.zip_with(
+                    F.col("_hs"),
+                    F.sequence(F.lit(0), F.size("_hs") - 1),
+                    lambda h, i: F.struct(h.alias("h"), i.alias("i")),
+                )
+            ).alias("_st"),
+        )
+        n = F.size("_st")
+        stc = F.col("_st")
+        uniq_arr = F.filter(
+            stc,
+            lambda x, j: (
+                (j == 0) | (x["h"] != F.get(stc, j - 1)["h"])
+            )
+            & ((j == n - 1) | (x["h"] != F.get(stc, j + 1)["h"])),
+        )
+        return (
+            st.select("_id", F.explode_outer(uniq_arr).alias("_x"))
+            .where(F.col("_x").isNotNull())
+            .select(
+                F.col("_id").alias(side_col),
+                F.col("_x.h").alias("_h"),
+                F.col("_x.i").alias(pos_alias),
+            )
+        )
+
+    a = uniq_occ("id_a", "_pa")
+    b = uniq_occ("id_b", "_pb")
+    # shuffle_hash on the big side: both inputs are corpus-shingle-volume
+    # and SMJ would sort each; per-partition hash maps are cheaper
+    m = a.join(pairs, "id_a").join(b.hint("shuffle_hash"), ["id_b", "_h"])
     g = (
         m.groupBy(
             "id_a", "id_b", (F.col("_pa") - F.col("_pb")).alias("diag")
