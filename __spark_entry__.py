@@ -1843,6 +1843,49 @@ def _q_text_reuse_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_reuse_spans(d.union(plag), pairs, k=5, min_run=3)
 
 
+def _q_text_reuse_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The passim two-stage pipeline (dedup.text_reuse_spans →
+    dedup.merge_reuse_spans): the synthetic plagiarist here contains an
+    INSERTION mid-copy (fillers + tokens 21-35 + a foreign token +
+    tokens 36-50), splitting the alignment into two diagonals that the
+    gappy merge must reunite into one passage with n_runs = 2."""
+    from pdf_to_epub_spark.operators import (
+        merge_reuse_spans,
+        text_reuse_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split(
+        F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
+    )
+    fillers = F.array(
+        *[
+            F.concat(
+                F.lit("gfill"),
+                F.col("doc_id").cast("string"),
+                F.lit("x" + str(j)),
+            )
+            for j in range(10)
+        ]
+    )
+    body = F.concat(
+        fillers,
+        F.slice(ws, 21, 15),
+        F.array(F.concat(F.lit("zzins"), F.col("doc_id").cast("string"))),
+        F.slice(ws, 36, 15),
+    )
+    plag = d.select(
+        (F.col("doc_id") + F.lit(3_000_000)).alias("doc_id"),
+        F.concat_ws(" ", body).alias("text"),
+    )
+    pairs = d.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(3_000_000)).alias("id_b"),
+    )
+    spans = text_reuse_spans(d.union(plag), pairs, k=5, min_run=3)
+    return merge_reuse_spans(spans, gap=8)
+
+
 def _q_epub_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's FINAL artifact as a distributed column: extraction →
     assembly → per-doc EPUB3 zip bytes (export.epub_bytes — mimetype-first
@@ -7967,6 +8010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colbert_maxsim": _q_colbert_maxsim,
         "luhn_card_audit": _q_luhn_card_audit,
         "text_reuse_spans": _q_text_reuse_spans,
+        "text_reuse_merged": _q_text_reuse_merged,
         "bigram_lm_scores": _q_bigram_lm_scores,
         "lm_partition": _q_lm_partition,
         "page_outlinks": _q_page_outlinks,
@@ -13367,6 +13411,81 @@ def oracle_sql() -> dict[str, str]:
                    (a1 + 4 - diag)::BIGINT AS b_end,
                    n::BIGINT AS n_shingles
             FROM g
+        """,
+        # two-stage passim replica: string-shingle alignment (as in
+        # text_reuse_spans) over the insertion fixture, then the same
+        # prev-max window interval merge with gap bridging.
+        "text_reuse_merged": """
+            WITH base AS (SELECT doc_id, coalesce(text, '') AS text
+                          FROM documents),
+            bt AS (SELECT doc_id,
+                          regexp_split_to_array(trim(lower(text)),
+                                                '\\s+') AS ws
+                   FROM base),
+            plag AS (SELECT doc_id + 3000000 AS doc_id,
+                            array_to_string(
+                                list_transform(range(0, 10),
+                                    j -> 'gfill' || doc_id::VARCHAR
+                                         || 'x' || j::VARCHAR)
+                                || ws[21:35]
+                                || ['zzins' || doc_id::VARCHAR]
+                                || ws[36:50], ' ') AS text
+                     FROM bt),
+            corpus AS (SELECT doc_id, text FROM base
+                       UNION ALL SELECT doc_id, text FROM plag),
+            toks AS (SELECT doc_id,
+                            regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+') AS ws
+                     FROM corpus),
+            occ AS (SELECT doc_id, i,
+                           array_to_string(ws[i:i+4], ' ') AS sh
+                    FROM (SELECT doc_id, ws,
+                                 unnest(generate_series(1, len(ws) - 4))
+                                     AS i
+                          FROM toks WHERE len(ws) >= 5)),
+            uniq AS (SELECT doc_id, sh, min(i) AS pos FROM occ
+                     GROUP BY 1, 2 HAVING count(*) = 1),
+            pairs AS (SELECT doc_id AS id_a, doc_id + 3000000 AS id_b
+                      FROM base),
+            m AS (SELECT p.id_a, p.id_b, a.pos AS pa, b.pos AS pb
+                  FROM pairs p
+                  JOIN uniq a ON a.doc_id = p.id_a
+                  JOIN uniq b ON b.doc_id = p.id_b AND b.sh = a.sh),
+            g AS (SELECT id_a, id_b, pa - pb AS diag, count(*) AS n,
+                         min(pa) AS a0, max(pa) AS a1
+                  FROM m GROUP BY 1, 2, 3 HAVING count(*) >= 3),
+            spans AS (SELECT DISTINCT id_a, id_b,
+                             a0 AS a_start, a1 + 4 AS a_end,
+                             a0 - diag AS b_start,
+                             a1 + 4 - diag AS b_end,
+                             n AS n_shingles
+                      FROM g),
+            flagged AS (
+                SELECT *, CASE WHEN pm IS NULL
+                                    OR a_start > pm + 1 + 8
+                               THEN 1 ELSE 0 END AS flag
+                FROM (SELECT *,
+                             max(a_end) OVER (
+                                 PARTITION BY id_a, id_b
+                                 ORDER BY a_start, a_end
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS pm
+                      FROM spans)),
+            ig AS (SELECT *,
+                          sum(flag) OVER (
+                              PARTITION BY id_a, id_b
+                              ORDER BY a_start, a_end
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS grp
+                   FROM flagged)
+            SELECT id_a, id_b,
+                   min(a_start)::BIGINT AS a_start,
+                   max(a_end)::BIGINT AS a_end,
+                   min(b_start)::BIGINT AS b_start,
+                   max(b_end)::BIGINT AS b_end,
+                   count(*)::BIGINT AS n_runs,
+                   sum(n_shingles)::BIGINT AS n_shingles
+            FROM ig GROUP BY id_a, id_b, grp
         """,
         # lm.good_turing term for term: exact-integer floor division
         # (HUGEINT // == DECIMAL(38,0) div for non-negative operands).

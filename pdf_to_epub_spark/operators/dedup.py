@@ -1970,19 +1970,26 @@ def _interval_groups(
     part_cols: list,
     start_col: str,
     end_col: str,
+    gap: int = 0,
 ) -> DataFrame:
     """Assign the interval-merge group id ``__ig``: overlapping or
-    adjacent [start, end] rows within a partition share a group.  The
+    adjacent [start, end] rows within a partition share a group
+    (``gap`` > 0 additionally bridges intervals separated by at most
+    that many positions — the passim gappy merge).  The
     window order is (start, end) — callers must guarantee row
     uniqueness on that pair within a partition (distinct first), or the
     prev-max and running-sum passes can order ties differently and the
-    merge splits nondeterministically (observed live)."""
+    merge splits nondeterministically (observed live).  (Ties sharing
+    the same (start, end) always land in one group regardless of order:
+    the second row's prev-max already covers its start.)"""
     w = Window.partitionBy(*part_cols).orderBy(start_col, end_col)
     prev_max = F.max(end_col).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
     flag = F.when(
-        prev_max.isNull() | (F.col(start_col) > prev_max + 1), 1
+        prev_max.isNull()
+        | (F.col(start_col) > prev_max + 1 + int(gap)),
+        1,
     ).otherwise(0)
     return df.withColumn(
         "__ig",
@@ -2595,4 +2602,40 @@ def text_reuse_spans(
         (F.col("_a0") + 1 - F.col("diag")).cast("long").alias("b_start"),
         (F.col("_a1") + k - F.col("diag")).cast("long").alias("b_end"),
         F.col("n_shingles").cast("long").alias("n_shingles"),
+    )
+
+
+def merge_reuse_spans(spans: DataFrame, gap: int = 8) -> DataFrame:
+    """Passim's gappy second stage over :func:`text_reuse_spans` output:
+    per candidate pair, collapse aligned runs whose A-side intervals
+    overlap or sit within ``gap`` tokens — an insertion/deletion inside
+    a copied passage splits the exact-diagonal alignment into tiling
+    rows, and this merge restores the single passage, reporting how many
+    runs composed it.  Returns ``(id_a, id_b, a_start, a_end, b_start,
+    b_end, n_runs, n_shingles)``.
+
+    Scale: a window + groupBy over the SPAN table (already reduced far
+    below corpus volume by the alignment stage) — partitioned by pair,
+    never global."""
+    s = spans.select(
+        "id_a", "id_b", "a_start", "a_end", "b_start", "b_end",
+        "n_shingles",
+    ).distinct()
+    g = _interval_groups(
+        s, ["id_a", "id_b"], "a_start", "a_end", gap=gap
+    )
+    return (
+        g.groupBy("id_a", "id_b", "__ig")
+        .agg(
+            F.min("a_start").cast("long").alias("a_start"),
+            F.max("a_end").cast("long").alias("a_end"),
+            F.min("b_start").cast("long").alias("b_start"),
+            F.max("b_end").cast("long").alias("b_end"),
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+            F.sum("n_shingles").cast("long").alias("n_shingles"),
+        )
+        .select(
+            "id_a", "id_b", "a_start", "a_end", "b_start", "b_end",
+            "n_runs", "n_shingles",
+        )
     )

@@ -526,3 +526,45 @@ def test_text_reuse_spans_repeated_shingles_excluded(spark):
     )
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     assert text_reuse_spans(df, pairs, k=5, min_run=1).count() == 0
+
+
+def test_merge_reuse_spans_reunites_insertion_split(spark):
+    from pdf_to_epub_spark.operators import merge_reuse_spans, text_reuse_spans
+
+    orig = " ".join(f"w{i:02d}" for i in range(1, 41))
+    copied = " ".join(
+        [f"w{i:02d}" for i in range(1, 21)]
+        + ["xx1", "xx2"]
+        + [f"w{i:02d}" for i in range(21, 41)]
+    )
+    df = spark.createDataFrame(
+        [(1, orig), (2, copied)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    spans = text_reuse_spans(df, pairs, k=5, min_run=3)
+    out = merge_reuse_spans(spans, gap=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.a_start, r.a_end, r.b_start, r.b_end, r.n_runs) == (
+        1, 40, 1, 42, 2,
+    )
+
+
+def test_merge_reuse_spans_far_apart_stay_separate(spark):
+    """Two reuse passages separated by more than `gap` tokens on the A
+    side stay distinct rows."""
+    from pdf_to_epub_spark.operators import merge_reuse_spans
+
+    spans = spark.createDataFrame(
+        [
+            (1, 2, 1, 10, 1, 10, 6),
+            (1, 2, 30, 40, 15, 25, 7),  # a-gap of 19 > 8
+        ],
+        "id_a long, id_b long, a_start long, a_end long,"
+        " b_start long, b_end long, n_shingles long",
+    )
+    out = sorted(
+        (r.a_start, r.a_end, r.n_runs)
+        for r in merge_reuse_spans(spans, gap=8).collect()
+    )
+    assert out == [(1, 10, 1), (30, 40, 1)]
