@@ -1729,6 +1729,26 @@ def _q_kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_bigram_scores(d, train_kn_bigram(d, vocab_size=64), vocab_size=64)
 
 
+def _q_kn_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet §4.3 head/middle/tail tertiles under the Kneser-Ney model
+    (the paper's actual pipeline shape: KenLM-family perplexity feeding
+    the partition, not the char-bigram proxy).  Same lm_partition
+    mechanics — one exact percentile aggregation for the two cutoffs,
+    6-dp rounding on both means and cutoffs before the boundary compare,
+    bigram-less docs pinned to ``tail``."""
+    from pdf_to_epub_spark.operators import (
+        kn_bigram_scores,
+        lm_partition,
+        train_kn_bigram,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scores = kn_bigram_scores(
+        d, train_kn_bigram(d, vocab_size=64), vocab_size=64
+    )
+    return lm_partition(scores)
+
+
 def _q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-group quantile normalization (sampling.quantile_normalize):
     per-language n_chars distributions mapped rank-wise onto the pooled
@@ -8005,6 +8025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "good_turing": _q_good_turing,
         "snm_candidate_pairs": _q_snm_pairs,
         "kn_doc_scores": _q_kn_doc_scores,
+        "kn_partition": _q_kn_partition,
         "quantile_normalize": _q_quantile_normalize,
         "chi2_lang_source": _q_chi2_lang_source,
         "colbert_maxsim": _q_colbert_maxsim,
@@ -13591,6 +13612,85 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s.cost_micro_total, 0)::BIGINT
                        AS cost_micro_total
             FROM documents d LEFT JOIN sc s USING (doc_id)
+        """,
+        # lm_partition over the KN doc scores: identical CTE chain to
+        # kn_doc_scores, then the same 6-dp mean / quantile_cont tertile
+        # tail as the lm_partition oracle.
+        "kn_partition": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text),
+                                          '[a-zà-öø-ÿ]+') AS ws
+                FROM documents),
+            wc AS (SELECT unnest(ws) AS word FROM toks),
+            cnt AS (SELECT word, count(*) AS n FROM wc GROUP BY 1),
+            vocab AS (SELECT word FROM cnt
+                      ORDER BY n DESC, word ASC LIMIT 64),
+            rp AS (
+                SELECT doc_id, ws[i] AS w1r, ws[i + 1] AS w2r
+                FROM (SELECT doc_id, ws,
+                             unnest(generate_series(1, len(ws) - 1)) AS i
+                      FROM toks WHERE len(ws) >= 2)),
+            mp AS (
+                SELECT doc_id,
+                       coalesce(v1.word, '<unk>') AS w1,
+                       coalesce(v2.word, '<unk>') AS w2
+                FROM rp LEFT JOIN vocab v1 ON v1.word = rp.w1r
+                        LEFT JOIN vocab v2 ON v2.word = rp.w2r),
+            pc AS (SELECT w1, w2, count(*)::HUGEINT AS c12
+                   FROM mp GROUP BY 1, 2),
+            ctx AS (SELECT w1, sum(c12)::HUGEINT AS c1,
+                           count(*)::HUGEINT AS n1f
+                    FROM pc GROUP BY 1),
+            cont AS (SELECT w2, count(*)::HUGEINT AS n1b
+                     FROM pc GROUP BY 1),
+            sca AS (SELECT count(*)::HUGEINT AS n1all FROM pc),
+            costs AS (
+                SELECT mp.doc_id,
+                       CASE
+                         WHEN ctx.c1 IS NOT NULL AND
+                              (greatest(4 * coalesce(pc.c12, 0) - 3, 0)
+                                   * sca.n1all
+                               + 3 * ctx.n1f * coalesce(cont.n1b, 0)) > 0
+                         THEN CAST(round(-ln(
+                                (greatest(4 * coalesce(pc.c12, 0) - 3, 0)
+                                     * sca.n1all
+                                 + 3 * ctx.n1f * coalesce(cont.n1b, 0)
+                                )::DOUBLE
+                                / (4 * ctx.c1 * sca.n1all)::DOUBLE)
+                                * 1000000) AS BIGINT)
+                         WHEN ctx.c1 IS NULL AND coalesce(cont.n1b, 0) > 0
+                         THEN CAST(round(-ln(cont.n1b::DOUBLE
+                                             / sca.n1all::DOUBLE)
+                                         * 1000000) AS BIGINT)
+                         ELSE 4174387
+                       END AS cost
+                FROM mp
+                LEFT JOIN pc ON pc.w1 = mp.w1 AND pc.w2 = mp.w2
+                LEFT JOIN ctx ON ctx.w1 = mp.w1
+                LEFT JOIN cont ON cont.w2 = mp.w2
+                CROSS JOIN sca),
+            sc AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                          sum(cost)::BIGINT AS cost_micro_total
+                   FROM costs GROUP BY 1),
+            means AS (
+                SELECT d.doc_id,
+                       coalesce(s.n_bigrams, 0) AS n_bigrams,
+                       round(coalesce(s.cost_micro_total, 0)::DOUBLE
+                             / greatest(coalesce(s.n_bigrams, 0), 1) / 1e6,
+                             6) AS mean_nats
+                FROM documents d LEFT JOIN sc s USING (doc_id)
+            ), cuts AS (
+                SELECT round(quantile_cont(mean_nats, 1.0/3), 6) AS c1,
+                       round(quantile_cont(mean_nats, 2.0/3), 6) AS c2
+                FROM means WHERE n_bigrams > 0
+            )
+            SELECT m.doc_id, m.mean_nats,
+                   CASE WHEN m.n_bigrams = 0 THEN 'tail'
+                        WHEN m.mean_nats <= c.c1 THEN 'head'
+                        WHEN m.mean_nats <= c.c2 THEN 'middle'
+                        ELSE 'tail' END AS lm_bucket
+            FROM means m CROSS JOIN cuts c
         """,
         "bigram_lm_scores": """
             WITH norm AS (
