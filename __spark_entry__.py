@@ -7639,6 +7639,57 @@ def _q_quasi_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy + recursive (c,l)-diversity audit (privacy.diversity_audit)
+    over (lang, band) equivalence classes with source as the sensitive
+    attribute (l=3, c=2): the stronger Machanavajjhala variants that
+    distinct-l misses — integer micro-nat entropy vs the ln(3) literal,
+    sorted-count top-vs-tail integer test."""
+    from pdf_to_epub_spark.operators.privacy import diversity_audit
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        (F.coalesce(F.col("n_chars"), F.lit(0)) / 400)
+        .cast("long")
+        .alias("band"),
+    )
+    return diversity_audit(d, ["lang", "band"], "source", l=3, c=2)
+
+
+def _q_spearman_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank-correlation matrix (textstats.rank_correlations)
+    over the same signal triple as signal_correlations — tie-averaged
+    ranks via value-level counts + global_prefix_sums (no global
+    window), doubled ranks keep everything exact-integer until the one
+    final division; the constant column exercises the zero-variance
+    NULL branch."""
+    from pdf_to_epub_spark.operators import rank_correlations
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars"),
+        F.expr(
+            "size(regexp_extract_all(lower(text), '[a-zà-öø-ÿ]+', 0))"
+        ).alias("n_words"),
+        F.lit(7).alias("n_const"),
+    )
+    return rank_correlations(d, signal_cols=("n_chars", "n_words", "n_const"))
+
+
+def _q_mink_prob_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-K% Prob membership-inference audit (lm.mink_prob_scores,
+    Shi et al. 2024) under the top-64 KN model: per doc the mean cost of
+    its 20% least-probable bigrams — low means "no surprising tokens",
+    the memorization/contamination tell.  Integer top-⌈n/5⌉-by-value
+    sums; the only float is the final 6-dp mean."""
+    from pdf_to_epub_spark.operators import mink_prob_scores, train_kn_bigram
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return mink_prob_scores(
+        d, train_kn_bigram(d, vocab_size=64), vocab_size=64, k_pct=20
+    )
+
+
 def _q_anchor_query_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retriever weak supervision (ir.anchor_query_pairs): every doc
     links to its decade-leader doc with a deterministic anchor phrase;
@@ -7946,6 +7997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_triangles": _q_domain_triangles,
         "range_enrich": _q_range_enrich,
         "signal_correlations": _q_signal_correlations,
+        "spearman_signals": _q_spearman_signals,
         "corpus_growth": _q_corpus_growth,
         "markup_signals": _q_markup_signals,
         "meta_redirects": _q_meta_redirects,
@@ -8026,6 +8078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_candidate_pairs": _q_snm_pairs,
         "kn_doc_scores": _q_kn_doc_scores,
         "kn_partition": _q_kn_partition,
+        "mink_prob_audit": _q_mink_prob_audit,
         "quantile_normalize": _q_quantile_normalize,
         "chi2_lang_source": _q_chi2_lang_source,
         "colbert_maxsim": _q_colbert_maxsim,
@@ -8185,6 +8238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qa_sft_pairs": _q_qa_sft_pairs,
         "k_anonymity": _q_k_anonymity,
         "quasi_suppression": _q_quasi_suppression,
+        "diversity_audit": _q_diversity_audit,
         "anchor_query_pairs": _q_anchor_query_pairs,
         "markdown_meta": _q_markdown_meta,
         "unidiff_stats": _q_unidiff_stats,
@@ -10608,6 +10662,98 @@ def oracle_sql() -> dict[str, str]:
                        sum(x * y) AS sxy, sum(x * z) AS sxz,
                        sum(y * z) AS syz
                 FROM s)
+            SELECT 'n_chars' AS signal_a, 'n_words' AS signal_b,
+                   CASE WHEN (k::DOUBLE * sxx::DOUBLE
+                              - sx::DOUBLE * sx::DOUBLE) > 0
+                         AND (k::DOUBLE * syy::DOUBLE
+                              - sy::DOUBLE * sy::DOUBLE) > 0 THEN
+                       round((k::DOUBLE * sxy::DOUBLE
+                              - sx::DOUBLE * sy::DOUBLE)
+                             / (sqrt(k::DOUBLE * sxx::DOUBLE
+                                     - sx::DOUBLE * sx::DOUBLE)
+                                * sqrt(k::DOUBLE * syy::DOUBLE
+                                       - sy::DOUBLE * sy::DOUBLE)), 6)
+                       + 0
+                   END::DOUBLE AS r
+            FROM a
+            UNION ALL
+            SELECT 'n_chars', 'n_const',
+                   CASE WHEN (k::DOUBLE * sxx::DOUBLE
+                              - sx::DOUBLE * sx::DOUBLE) > 0
+                         AND (k::DOUBLE * szz::DOUBLE
+                              - sz::DOUBLE * sz::DOUBLE) > 0 THEN
+                       round((k::DOUBLE * sxz::DOUBLE
+                              - sx::DOUBLE * sz::DOUBLE)
+                             / (sqrt(k::DOUBLE * sxx::DOUBLE
+                                     - sx::DOUBLE * sx::DOUBLE)
+                                * sqrt(k::DOUBLE * szz::DOUBLE
+                                       - sz::DOUBLE * sz::DOUBLE)), 6)
+                       + 0
+                   END::DOUBLE
+            FROM a
+            UNION ALL
+            SELECT 'n_words', 'n_const',
+                   CASE WHEN (k::DOUBLE * syy::DOUBLE
+                              - sy::DOUBLE * sy::DOUBLE) > 0
+                         AND (k::DOUBLE * szz::DOUBLE
+                              - sz::DOUBLE * sz::DOUBLE) > 0 THEN
+                       round((k::DOUBLE * syz::DOUBLE
+                              - sy::DOUBLE * sz::DOUBLE)
+                             / (sqrt(k::DOUBLE * syy::DOUBLE
+                                     - sy::DOUBLE * sy::DOUBLE)
+                                * sqrt(k::DOUBLE * szz::DOUBLE
+                                       - sz::DOUBLE * sz::DOUBLE)), 6)
+                       + 0
+                   END::DOUBLE
+            FROM a
+        """,
+        # Spearman = the same exact-moment Pearson over DOUBLED
+        # tie-averaged ranks (2*cnt_less + cnt_tied + 1, an exact
+        # int64); ranks per signal from value-level counts + an
+        # inclusive running sum, matching global_prefix_sums.
+        "spearman_signals": """
+            WITH s AS (
+                SELECT round(n_chars::DOUBLE * 1e6)::HUGEINT AS x,
+                       round(len(regexp_extract_all(
+                           lower(text), '[a-zà-öø-ÿ]+'))::DOUBLE
+                             * 1e6)::HUGEINT AS y,
+                       round(7::DOUBLE * 1e6)::HUGEINT AS z
+                FROM documents),
+            vx AS (SELECT x AS val, count(*)::HUGEINT AS cnt
+                   FROM s GROUP BY 1),
+            rx AS (SELECT val,
+                          2 * (sum(cnt) OVER (ORDER BY val
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - cnt) + cnt + 1 AS r2
+                   FROM vx),
+            vy AS (SELECT y AS val, count(*)::HUGEINT AS cnt
+                   FROM s GROUP BY 1),
+            ry AS (SELECT val,
+                          2 * (sum(cnt) OVER (ORDER BY val
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - cnt) + cnt + 1 AS r2
+                   FROM vy),
+            vz AS (SELECT z AS val, count(*)::HUGEINT AS cnt
+                   FROM s GROUP BY 1),
+            rz AS (SELECT val,
+                          2 * (sum(cnt) OVER (ORDER BY val
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - cnt) + cnt + 1 AS r2
+                   FROM vz),
+            rr AS (
+                SELECT rx.r2 AS x, ry.r2 AS y, rz.r2 AS z
+                FROM s
+                JOIN rx ON s.x = rx.val
+                JOIN ry ON s.y = ry.val
+                JOIN rz ON s.z = rz.val),
+            a AS (
+                SELECT count(*) AS k,
+                       sum(x) AS sx, sum(x * x) AS sxx,
+                       sum(y) AS sy, sum(y * y) AS syy,
+                       sum(z) AS sz, sum(z * z) AS szz,
+                       sum(x * y) AS sxy, sum(x * z) AS sxz,
+                       sum(y * z) AS syz
+                FROM rr)
             SELECT 'n_chars' AS signal_a, 'n_words' AS signal_b,
                    CASE WHEN (k::DOUBLE * sxx::DOUBLE
                               - sx::DOUBLE * sx::DOUBLE) > 0
@@ -13692,6 +13838,84 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS lm_bucket
             FROM means m CROSS JOIN cuts c
         """,
+        # Min-K% Prob (Shi et al. 2024): same KN cost chain, then per
+        # doc the sum of the top-ceil(n/5) costs BY VALUE (tie order
+        # can't change a sum); exact-integer ceil; the 6-dp mean is the
+        # only float.
+        "mink_prob_audit": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text),
+                                          '[a-z\u00e0-\u00f6\u00f8-\u00ff]+') AS ws
+                FROM documents),
+            wc AS (SELECT unnest(ws) AS word FROM toks),
+            cnt AS (SELECT word, count(*) AS n FROM wc GROUP BY 1),
+            vocab AS (SELECT word FROM cnt
+                      ORDER BY n DESC, word ASC LIMIT 64),
+            rp AS (
+                SELECT doc_id, ws[i] AS w1r, ws[i + 1] AS w2r
+                FROM (SELECT doc_id, ws,
+                             unnest(generate_series(1, len(ws) - 1)) AS i
+                      FROM toks WHERE len(ws) >= 2)),
+            mp AS (
+                SELECT doc_id,
+                       coalesce(v1.word, '<unk>') AS w1,
+                       coalesce(v2.word, '<unk>') AS w2
+                FROM rp LEFT JOIN vocab v1 ON v1.word = rp.w1r
+                        LEFT JOIN vocab v2 ON v2.word = rp.w2r),
+            pc AS (SELECT w1, w2, count(*)::HUGEINT AS c12
+                   FROM mp GROUP BY 1, 2),
+            ctx AS (SELECT w1, sum(c12)::HUGEINT AS c1,
+                           count(*)::HUGEINT AS n1f
+                    FROM pc GROUP BY 1),
+            cont AS (SELECT w2, count(*)::HUGEINT AS n1b
+                     FROM pc GROUP BY 1),
+            sca AS (SELECT count(*)::HUGEINT AS n1all FROM pc),
+            costs AS (
+                SELECT mp.doc_id,
+                       CASE
+                         WHEN ctx.c1 IS NOT NULL AND
+                              (greatest(4 * coalesce(pc.c12, 0) - 3, 0)
+                                   * sca.n1all
+                               + 3 * ctx.n1f * coalesce(cont.n1b, 0)) > 0
+                         THEN CAST(round(-ln(
+                                (greatest(4 * coalesce(pc.c12, 0) - 3, 0)
+                                     * sca.n1all
+                                 + 3 * ctx.n1f * coalesce(cont.n1b, 0)
+                                )::DOUBLE
+                                / (4 * ctx.c1 * sca.n1all)::DOUBLE)
+                                * 1000000) AS BIGINT)
+                         WHEN ctx.c1 IS NULL AND coalesce(cont.n1b, 0) > 0
+                         THEN CAST(round(-ln(cont.n1b::DOUBLE
+                                             / sca.n1all::DOUBLE)
+                                         * 1000000) AS BIGINT)
+                         ELSE 4174387
+                       END AS cost
+                FROM mp
+                LEFT JOIN pc ON pc.w1 = mp.w1 AND pc.w2 = mp.w2
+                LEFT JOIN ctx ON ctx.w1 = mp.w1
+                LEFT JOIN cont ON cont.w2 = mp.w2
+                CROSS JOIN sca),
+            sc AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                          list(cost ORDER BY cost DESC) AS cs
+                   FROM costs GROUP BY 1),
+            mk AS (SELECT doc_id, n_bigrams,
+                          ((n_bigrams * 20 + 99) // 100)::BIGINT AS mink_n,
+                          coalesce(list_sum(list_slice(
+                              cs, 1,
+                              ((n_bigrams * 20 + 99) // 100)::INT)),
+                              0)::BIGINT AS mink_cost_micro
+                   FROM sc)
+            SELECT d.doc_id,
+                   coalesce(m.n_bigrams, 0)::BIGINT AS n_bigrams,
+                   coalesce(m.mink_n, 0)::BIGINT AS mink_n,
+                   coalesce(m.mink_cost_micro, 0)::BIGINT AS mink_cost_micro,
+                   CASE WHEN coalesce(m.mink_n, 0) > 0 THEN
+                       round(m.mink_cost_micro::DOUBLE
+                             / m.mink_n::DOUBLE / 1e6, 6) + 0
+                   END::DOUBLE AS mink_mean_nats
+            FROM documents d LEFT JOIN mk m USING (doc_id)
+        """,
         "bigram_lm_scores": """
             WITH norm AS (
                 SELECT doc_id,
@@ -16405,6 +16629,44 @@ def oracle_sql() -> dict[str, str]:
                    (count(*) >= 5) AS k_anonymous,
                    (count(DISTINCT doc_id) >= 3) AS l_diverse
             FROM q GROUP BY lang, source, band
+        """,
+        # Entropy / recursive-(c,l) diversity: per-value counts joined
+        # to class totals, each entropy term one correctly-rounded
+        # float of exact ints quantized to micro-nats (order-free sum),
+        # ln(3)*1e6 threshold as the shared Python literal 1098612.
+        "diversity_audit": """
+            WITH q AS (
+                SELECT lang, coalesce(n_chars, 0) // 400 AS band, source
+                FROM documents
+            ), pv AS (
+                SELECT lang, band, source AS v, count(*)::BIGINT AS rv
+                FROM q GROUP BY 1, 2, 3
+            ), tot AS (
+                SELECT lang, band, sum(rv)::BIGINT AS n
+                FROM pv GROUP BY 1, 2
+            ), terms AS (
+                SELECT pv.lang, pv.band, pv.rv,
+                       CAST(round(-(pv.rv::DOUBLE / t.n)
+                                  * ln(pv.rv::DOUBLE / t.n)
+                                  * 1e6) AS BIGINT) AS term
+                FROM pv JOIN tot t USING (lang, band)
+            ), cls AS (
+                SELECT lang, band,
+                       sum(rv)::BIGINT AS class_size,
+                       count(*)::BIGINT AS n_sensitive,
+                       sum(term)::BIGINT AS entropy_micro,
+                       list(rv ORDER BY rv DESC) AS rs
+                FROM terms GROUP BY 1, 2
+            )
+            SELECT lang, band, class_size, n_sensitive, entropy_micro,
+                   (entropy_micro >= 1098612) AS entropy_l_diverse,
+                   rs[1]::BIGINT AS top_count,
+                   coalesce(list_sum(list_slice(rs, 3, len(rs))), 0)::BIGINT
+                       AS tail_sum,
+                   (n_sensitive >= 3 AND
+                    rs[1] < 2 * coalesce(list_sum(list_slice(rs, 3, len(rs))), 0))
+                       AS recursive_cl_diverse
+            FROM cls
         """,
         # Suppression: quasi cells NULLed for rows in sub-k classes.
         "quasi_suppression": """

@@ -399,3 +399,64 @@ def global_positions(
         .withColumn(pos_col, F.col("_gp_off") + F.col("_gp_pos"))
         .drop("_gp_pid", "_gp_pos", "_gp_off")
     )
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    weight_col: str,
+    sum_col: str = "_cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append EXCLUSIVE global prefix sums of ``weight_col`` under the
+    total order ``order_cols`` — :func:`global_positions` generalized
+    to weighted rows (weight ≡ 1 gives ``position − 1``).
+
+    Same scale shape: ``repartitionByRange`` tiles the order, a
+    per-partition running sum (full parallelism), then a broadcast join
+    against the P-row per-partition totals lifts local sums to global.
+    Same ``asc_nulls_last`` contract on BOTH the range partitioning and
+    the window (NULLs sort last, matching the DuckDB oracles), and the
+    same lazy checkpoint (the windowed frame feeds both the totals agg
+    and the lift join).  ``order_cols`` must be a total order over the
+    rows — the intended caller ranks DISTINCT value tables
+    (``textstats.rank_correlations``), where the value itself is one.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    order = [F.col(c).asc_nulls_last() for c in order_cols]
+    ranged = df.repartitionByRange(p, *order).withColumn(
+        "_gs_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_gs_cum",
+        F.coalesce(
+            F.sum(weight_col).over(
+                Window.partitionBy("_gs_pid")
+                .orderBy(*order)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).localCheckpoint(eager=False)  # feeds the totals agg AND the lift
+    totals = local.groupBy("_gs_pid").agg(
+        F.sum(weight_col).alias("_gs_n")
+    )
+    off = totals.withColumn(
+        "_gs_off",
+        F.coalesce(
+            F.sum("_gs_n").over(
+                Window.orderBy("_gs_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("_gs_pid", "_gs_off")
+    return (
+        local.join(F.broadcast(off), "_gs_pid")
+        .withColumn(sum_col, F.col("_gs_off") + F.col("_gs_cum"))
+        .drop("_gs_pid", "_gs_cum", "_gs_off")
+    )

@@ -590,6 +590,31 @@ def _kn_score_stream(
     """Per-doc micro-nat totals from a mapped integer pair stream and the
     KN count tables (the join/cost/rollup shared by
     :func:`kn_bigram_scores` and :func:`kn_self_scores`)."""
+    return (
+        _kn_cost_stream(scored, stats, vocab_size, broadcast_pairs)
+        .groupBy("doc_id")
+        .agg(
+            F.count("_cost").alias("n_bigrams"),
+            F.coalesce(F.sum("_cost"), F.lit(0)).cast("long").alias(
+                "cost_micro_total"
+            ),
+        )
+        .withColumnRenamed("doc_id", id_col)
+    )
+
+
+def _kn_cost_stream(
+    scored: DataFrame,
+    stats: tuple[DataFrame, DataFrame, DataFrame, DataFrame],
+    vocab_size: int,
+    broadcast_pairs: bool,
+) -> DataFrame:
+    """The KN join/cost core: mapped integer pair stream + count tables
+    → ``(doc_id, _cost)`` rows (one per scored bigram, integer
+    micro-nats; NULL-cost marker rows for bigram-less docs from
+    ``keep_empty`` streams).  Shared by the total-sum rollup
+    (:func:`_kn_score_stream`) and the per-doc order statistics
+    (:func:`mink_prob_scores`)."""
     import math
 
     pairs_c, ctx, cont, scalars = stats
@@ -630,14 +655,75 @@ def _kn_score_stream(
         )
         .otherwise(F.lit(int(uniform_micro)))
     )
-    return (
-        j.select("doc_id", cost.alias("_cost"))
-        .groupBy("doc_id")
-        .agg(
-            F.count("_cost").alias("n_bigrams"),
-            F.coalesce(F.sum("_cost"), F.lit(0)).cast("long").alias(
-                "cost_micro_total"
-            ),
-        )
-        .withColumnRenamed("doc_id", id_col)
+    return j.select("doc_id", cost.alias("_cost"))
+
+
+def mink_prob_scores(
+    df: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 256,
+    k_pct: int = 20,
+    broadcast_pairs: bool = True,
+) -> DataFrame:
+    """Min-K% Prob membership/contamination signal (Shi et al. 2024,
+    "Detecting Pretraining Data from Large Language Models"): per doc,
+    the mean negative log-probability of its ``k_pct``% LEAST probable
+    bigrams under a :func:`train_kn_bigram` model.  A document the
+    model has memorized has no low-probability outlier tokens, so a LOW
+    min-k cost flags likely members of (contaminants in) the training
+    corpus — the audit to run with a benchmark-trained model before
+    trusting eval numbers.
+
+    Determinism contract: costs are the same integer micro-nats as
+    :func:`kn_bigram_scores`; the k% selection is top-⌈n·k/100⌉ BY VALUE
+    of the per-doc sorted cost array (tie order can't matter in a sum),
+    the count is exact-integer ``(n·k + 99) div 100``, and
+    ``mink_cost_micro`` is an integer sum — only the reported
+    ``mink_mean_nats`` does one final 6-dp-rounded division.
+
+    Scale shape: everything up to the rollup is the shared
+    :func:`_kn_cost_stream` (broadcast stat joins over integer ids);
+    the per-doc cost array rides ONE slim (doc_id, int64) shuffle and
+    is bounded by doc length — the same bound tokenization already
+    carries."""
+    vocab, pairs_c, ctx, cont, scalars = model
+    scored = _map_idx(
+        _map_idx(
+            _word_pair_rows(df, id_col, text_col, keep_empty=True),
+            vocab,
+            "w1",
+        ),
+        vocab,
+        "w2",
+    )
+    costs = _kn_cost_stream(
+        scored, (pairs_c, ctx, cont, scalars), vocab_size, broadcast_pairs
+    )
+    per = costs.groupBy("doc_id").agg(
+        F.count("_cost").alias("n_bigrams"),
+        F.sort_array(F.collect_list("_cost"), asc=False).alias("_cs"),
+    )
+    m = F.expr(f"CAST((n_bigrams * {int(k_pct)} + 99) DIV 100 AS INT)")
+    top = F.coalesce(
+        F.aggregate(
+            F.slice(F.col("_cs"), F.lit(1), m),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+        F.lit(0).cast("long"),
+    )
+    return per.select(
+        F.col("doc_id").alias(id_col),
+        "n_bigrams",
+        m.cast("long").alias("mink_n"),
+        top.alias("mink_cost_micro"),
+        F.when(
+            m > 0,
+            F.round(
+                top.cast("double") / m.cast("double") / F.lit(1e6), 6
+            )
+            + F.lit(0.0),
+        ).alias("mink_mean_nats"),
     )

@@ -42,6 +42,85 @@ def k_anonymity_audit(
     )
 
 
+def diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,  # noqa: E741 — the literature's name
+    c: int = 2,
+) -> DataFrame:
+    """The two stronger l-diversity instantiations from Machanavajjhala
+    et al. 2007 §4 — distinct-l (k_anonymity_audit's flag) is defeated
+    by a class where one sensitive value covers 98% of rows, so release
+    gates use these instead:
+
+    * **entropy l-diversity**: ``−Σ_v p_v·ln p_v ≥ ln(l)`` over the
+      class's sensitive-value distribution;
+    * **recursive (c,l)-diversity**: with per-value counts sorted
+      descending ``r_1 ≥ … ≥ r_d``, require ``r_1 < c·(r_l + … + r_d)``
+      (the top value must not dwarf the tail; ``d < l`` fails).
+
+    Determinism contract: entropy is a grouped sum of per-value integer
+    micro-nat terms ``round(−(r_v/n)·ln(r_v/n)·1e6)`` — each term one
+    correctly-rounded float expression of exact integers, the sum
+    order-free — compared against the Python-literal threshold
+    ``round(ln(l)·1e6)`` (same literal embedded in the SQL oracle; the
+    package-wide pattern).  The recursive test is pure integer algebra
+    on the sorted count array.
+
+    Scale shape: one map-side-combined groupBy to (quasi…, value)
+    counts, then one groupBy to classes whose collected array is
+    bounded by the sensitive domain (|values| per class, NOT class
+    size).  Skew equals the biggest class's value diversity — the
+    quantity under audit."""
+    import math
+
+    ent_threshold = round(math.log(l) * 1e6)
+    per_val = df.groupBy(
+        *quasi_cols, F.col(sensitive_col).alias("_v")
+    ).agg(F.count(F.lit(1)).alias("_rv"))
+    per_class = per_val.groupBy(*quasi_cols).agg(
+        F.sum("_rv").alias("class_size"),
+        F.count(F.lit(1)).alias("n_sensitive"),
+        F.sort_array(F.collect_list("_rv"), asc=False).alias("_rs"),
+    )
+    n = F.col("class_size").cast("double")
+    ent = F.aggregate(
+        F.col("_rs"),
+        F.lit(0).cast("long"),
+        lambda acc, rv: acc
+        + F.round(
+            -(rv.cast("double") / n)
+            * F.log(rv.cast("double") / n)
+            * F.lit(1e6),
+            0,
+        ).cast("long"),
+    )
+    tail = F.coalesce(
+        F.aggregate(
+            F.slice(F.col("_rs"), l, F.greatest(
+                F.col("n_sensitive") - F.lit(l - 1), F.lit(0)
+            ).cast("int")),
+            F.lit(0).cast("long"),
+            lambda acc, rv: acc + rv,
+        ),
+        F.lit(0).cast("long"),
+    )
+    return per_class.select(
+        *quasi_cols,
+        "class_size",
+        "n_sensitive",
+        ent.alias("entropy_micro"),
+        (ent >= F.lit(ent_threshold)).alias("entropy_l_diverse"),
+        F.element_at("_rs", 1).alias("top_count"),
+        tail.alias("tail_sum"),
+        (
+            (F.col("n_sensitive") >= l)
+            & (F.element_at("_rs", 1) < F.lit(c) * tail)
+        ).alias("recursive_cl_diverse"),
+    )
+
+
 def suppress_small_classes(
     df: DataFrame,
     quasi_cols: list[str],

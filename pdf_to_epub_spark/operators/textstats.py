@@ -2328,6 +2328,15 @@ def signal_correlations(
             for c in cols
         ]
     )
+    return _pearson_matrix(micro, cols)
+
+
+def _pearson_matrix(micro: DataFrame, cols: list) -> DataFrame:
+    """Pairwise Pearson r over integer-valued (decimal(19,0)) columns:
+    ONE combiner-enabled aggregate for every sum/cross-moment in exact
+    decimal(38,0) arithmetic, pair rows assembled from that single row
+    (shared by :func:`signal_correlations` and
+    :func:`rank_correlations`)."""
     dec = "decimal(38,0)"
     aggs = [F.count(F.lit(1)).alias("k")]
     for c in cols:
@@ -2365,6 +2374,61 @@ def signal_correlations(
     return one.select(F.explode(pairs).alias("p")).select(
         "p.signal_a", "p.signal_b", "p.r"
     )
+
+
+def rank_correlations(
+    df: DataFrame,
+    signal_cols: tuple = ("n_chars", "n_words", "n_quotes"),
+) -> DataFrame:
+    """Pairwise Spearman rank correlation over per-document quality
+    signals — the monotone-association companion to
+    :func:`signal_correlations`: two signals that agree on ORDER but
+    not linearly (length vs log-ish quality scores, the usual case)
+    show ρ ≈ 1 where Pearson r understates.
+
+    Spearman = Pearson over average ranks.  Ranks are computed without
+    a global window: per signal, a value-level count table (one
+    map-side-combined groupBy) gets EXCLUSIVE global prefix sums via
+    ``bucketing.global_prefix_sums`` (the range-partition +
+    per-partition window + broadcast-offsets shape of
+    ``global_positions``), and the tie-averaged rank is the
+    half-integer ``cnt_less + (cnt_tied+1)/2`` — carried DOUBLED
+    (``2·cnt_less + cnt_tied + 1``) so every rank is an exact int64 and
+    the whole statistic stays in exact decimal arithmetic until the one
+    final division (Pearson is affine-invariant, so doubling changes
+    nothing).  Rows then map through one value-keyed join per signal
+    (value-level maps, far smaller than the corpus; broadcast left to
+    optimizer stats) and the shared exact-decimal Pearson aggregate
+    finishes.  NULL signal values drop their row (a NULL has no rank) —
+    coalesce upstream if absence is meaningful."""
+    from .bucketing import global_prefix_sums
+
+    cols = list(signal_cols)
+    micro = df.select(
+        *[
+            F.round(F.col(c).cast("double") * 1e6)
+            .cast("decimal(19,0)")
+            .alias(c)
+            for c in cols
+        ]
+    )
+    out = micro
+    for c in cols:
+        vals = (
+            micro.where(F.col(c).isNotNull())
+            .groupBy(c)
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        ranked = global_prefix_sums(vals, [c], "_cnt", sum_col="_cum")
+        r2map = ranked.select(
+            F.col(c),
+            (F.lit(2) * F.col("_cum") + F.col("_cnt") + F.lit(1))
+            .cast("decimal(19,0)")
+            .alias(f"_r2_{c}"),
+        )
+        out = out.join(r2map, c)
+    ranks = out.select(*[F.col(f"_r2_{c}").alias(c) for c in cols])
+    return _pearson_matrix(ranks, cols)
 
 
 def punct_profile(
