@@ -1749,6 +1749,46 @@ def _q_kn_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_partition(scores)
 
 
+def _q_hrw_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash shard assignment (sampling.hrw_shards, n=8):
+    argmax-of-hashes per key, computed row-locally (transform →
+    array_max, zero shuffle) — growing n moves only ~1/(n+1) of keys,
+    all of them to the new shard (pinned in test_s14_ops)."""
+    from pdf_to_epub_spark.operators import hrw_shards
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return hrw_shards(d, n_shards=8)
+
+
+def _q_paired_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired Poisson-bootstrap comparison (sampling.paired_bootstrap):
+    is the chars/5 word-count estimate biased vs the real tokenizer?
+    Per-doc DELTA resampled with md5-seeded Poisson(1) weights —
+    mean delta, percentile CI, and the win-rate readout."""
+    from pdf_to_epub_spark.operators import paired_bootstrap
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("n_chars").cast("double") / F.lit(5.0)).alias("est_words"),
+        F.expr(
+            "size(regexp_extract_all(lower(text), '[a-zà-öø-ÿ]+', 0))"
+        ).alias("n_words"),
+    )
+    return paired_bootstrap(d, "est_words", "n_words", n_reps=32)
+
+
+def _q_kn_arpa_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARPA-shaped export of the top-64 KN model (lm.kn_arpa_table):
+    continuation unigrams + interpolation-mass backoffs + full
+    interpolated bigram probabilities, all signed micro-nats — the
+    KenLM interop table (backoff·P_cont reproduces the scorer's
+    unseen-pair cost, pinned in test_s14_ops)."""
+    from pdf_to_epub_spark.operators import kn_arpa_table, train_kn_bigram
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return kn_arpa_table(train_kn_bigram(d, vocab_size=64))
+
+
 def _q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-group quantile normalization (sampling.quantile_normalize):
     per-language n_chars distributions mapped rank-wise onto the pooled
@@ -8037,6 +8077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths": _q_session_paths,
         "tracking_params": _q_tracking_params,
         "bootstrap_ci": _q_bootstrap_ci,
+        "paired_bootstrap": _q_paired_bootstrap,
         "term_burstiness": _q_term_burstiness,
         "pdf_outline": _q_pdf_outline,
         "embedding_quantize": _q_embedding_quantize,
@@ -8079,6 +8120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_doc_scores": _q_kn_doc_scores,
         "kn_partition": _q_kn_partition,
         "mink_prob_audit": _q_mink_prob_audit,
+        "kn_arpa_table": _q_kn_arpa_table,
         "quantile_normalize": _q_quantile_normalize,
         "chi2_lang_source": _q_chi2_lang_source,
         "colbert_maxsim": _q_colbert_maxsim,
@@ -8189,6 +8231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_signals": _q_encoding_signals,
         "ocr_artifacts": _q_ocr_artifacts,
         "training_shards": _q_training_shards,
+        "hrw_shards": _q_hrw_shards,
         "bitext_mining": _q_bitext_mining,
         "trust_rank": _q_trust_rank,
         "calibrated_scores": _q_calibrated_scores,
@@ -11713,6 +11756,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_rows::BIGINT AS n_rows, n_reps, mean, ci_lo, ci_hi
             FROM f, ci
         """,
+        # Paired bootstrap: same weight ladder over the per-doc DELTA
+        # round((n_chars/5)*1e6) - round(n_words*1e6); win_rate = share
+        # of replicate means > 0.
+        "paired_bootstrap": """
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(round((n_chars::DOUBLE / 5) * 1e6) AS BIGINT)
+                       - CAST(round(len(regexp_extract_all(
+                             lower(text), '[a-zà-öø-ÿ]+'))::DOUBLE * 1e6)
+                           AS BIGINT) AS d
+                FROM documents
+                WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+            reps AS (SELECT unnest(generate_series(0, 31)) AS rep),
+            r AS (
+                SELECT rep,
+                       ('0x' || substr(md5(doc_id || ':' || rep), 1, 15))
+                           ::BIGINT::DOUBLE / 1152921504606846976.0 AS u,
+                       d
+                FROM base, reps),
+            w AS (
+                SELECT rep, d,
+                       CASE WHEN u < 0.36787944117144233 THEN 0
+                            WHEN u < 0.7357588823428847 THEN 1
+                            WHEN u < 0.9196986029286058 THEN 2
+                            WHEN u < 0.9810118431238462 THEN 3
+                            WHEN u < 0.9963401531726563 THEN 4
+                            WHEN u < 0.9994058151824183 THEN 5
+                            ELSE 6 END AS w
+                FROM r),
+            m AS (
+                SELECT rep, sum(w * d) AS wd, sum(w) AS sw
+                FROM w GROUP BY rep),
+            mm AS (
+                SELECT wd::DOUBLE / (1e6 * sw::DOUBLE) AS m
+                FROM m WHERE sw > 0),
+            ci AS (
+                SELECT round(quantile_cont(m, 0.025), 6)::DOUBLE AS ci_lo,
+                       round(quantile_cont(m, 0.975), 6)::DOUBLE AS ci_hi,
+                       round(avg(CASE WHEN m > 0 THEN 1.0 ELSE 0.0 END),
+                             6)::DOUBLE AS win_rate,
+                       count(*)::INT AS n_reps
+                FROM mm),
+            f AS (
+                SELECT count(*) AS n_rows,
+                       round(sum(d)::DOUBLE / (1e6 * count(*)::DOUBLE), 6)
+                           ::DOUBLE AS mean_delta
+                FROM base)
+            SELECT n_rows::BIGINT AS n_rows, n_reps, mean_delta,
+                   ci_lo, ci_hi, win_rate
+            FROM f, ci
+        """,
         "term_burstiness": """
             WITH toks AS (
                 SELECT doc_id,
@@ -13916,6 +14010,72 @@ def oracle_sql() -> dict[str, str]:
                    END::DOUBLE AS mink_mean_nats
             FROM documents d LEFT JOIN mk m USING (doc_id)
         """,
+        # ARPA export: same word-level KN count chain; continuation
+        # unigrams, 3·n1f/(4·c1) backoffs, full interpolated bigram
+        # probs — all signed micro-nats of exact-integer rationals.
+        "kn_arpa_table": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text),
+                                          '[a-zà-öø-ÿ]+') AS ws
+                FROM documents),
+            wc AS (SELECT unnest(ws) AS word FROM toks),
+            cnt AS (SELECT word, count(*) AS n FROM wc GROUP BY 1),
+            vocab AS (SELECT word FROM cnt
+                      ORDER BY n DESC, word ASC LIMIT 64),
+            rp AS (
+                SELECT doc_id, ws[i] AS w1r, ws[i + 1] AS w2r
+                FROM (SELECT doc_id, ws,
+                             unnest(generate_series(1, len(ws) - 1)) AS i
+                      FROM toks WHERE len(ws) >= 2)),
+            mp AS (
+                SELECT doc_id,
+                       coalesce(v1.word, '<unk>') AS w1,
+                       coalesce(v2.word, '<unk>') AS w2
+                FROM rp LEFT JOIN vocab v1 ON v1.word = rp.w1r
+                        LEFT JOIN vocab v2 ON v2.word = rp.w2r),
+            pc AS (SELECT w1, w2, count(*)::HUGEINT AS c12
+                   FROM mp GROUP BY 1, 2),
+            ctx AS (SELECT w1, sum(c12)::HUGEINT AS c1,
+                           count(*)::HUGEINT AS n1f
+                    FROM pc GROUP BY 1),
+            cont AS (SELECT w2, count(*)::HUGEINT AS n1b
+                     FROM pc GROUP BY 1),
+            sca AS (SELECT count(*)::HUGEINT AS n1all FROM pc),
+            words AS (
+                SELECT word FROM vocab
+                UNION ALL SELECT '<unk>'),
+            uni AS (
+                SELECT 1 AS ngram_order, w.word AS ngram,
+                       CASE WHEN cont.n1b IS NOT NULL THEN
+                           CAST(round(ln(cont.n1b::DOUBLE
+                                         / sca.n1all::DOUBLE) * 1e6)
+                                AS BIGINT)
+                       END AS logp_micro_nats,
+                       CASE WHEN ctx.c1 IS NOT NULL THEN
+                           CAST(round(ln((3 * ctx.n1f)::DOUBLE
+                                         / (4 * ctx.c1)::DOUBLE) * 1e6)
+                                AS BIGINT)
+                       END AS backoff_micro_nats
+                FROM words w
+                LEFT JOIN cont ON cont.w2 = w.word
+                LEFT JOIN ctx ON ctx.w1 = w.word
+                CROSS JOIN sca),
+            bi AS (
+                SELECT 2 AS ngram_order,
+                       pc.w1 || ' ' || pc.w2 AS ngram,
+                       CAST(round(ln(
+                           (greatest(4 * pc.c12 - 3, 0) * sca.n1all
+                            + 3 * ctx.n1f * cont.n1b)::DOUBLE
+                           / (4 * ctx.c1 * sca.n1all)::DOUBLE) * 1e6)
+                            AS BIGINT) AS logp_micro_nats,
+                       NULL::BIGINT AS backoff_micro_nats
+                FROM pc
+                JOIN ctx ON ctx.w1 = pc.w1
+                JOIN cont ON cont.w2 = pc.w2
+                CROSS JOIN sca)
+            SELECT * FROM uni UNION ALL SELECT * FROM bi
+        """,
         "bigram_lm_scores": """
             WITH norm AS (
                 SELECT doc_id,
@@ -14560,6 +14720,22 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY hv % 16
                                       ORDER BY hv, doc_id)::INTEGER AS pos
             FROM h
+        """,
+        # Rendezvous hashing: argmax over 8 per-shard hashes; QUALIFY
+        # (h DESC, s DESC) matches array_max's lexicographic struct
+        # order (max hash, ties to max s).
+        "hrw_shards": """
+            WITH c AS (
+                SELECT doc_id, s,
+                       ('0x' || substr(md5(doc_id || ':hrw:' || s), 1, 15))
+                           ::BIGINT AS h
+                FROM documents,
+                     (SELECT unnest(generate_series(0, 7)) AS s)
+            )
+            SELECT doc_id, s::INTEGER AS shard, h::BIGINT AS shard_weight
+            FROM c
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY h DESC, s DESC) = 1
         """,
         **(
             {"bpe_merges": o}

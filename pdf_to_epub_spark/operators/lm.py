@@ -727,3 +727,112 @@ def mink_prob_scores(
             + F.lit(0.0),
         ).alias("mink_mean_nats"),
     )
+
+
+def kn_arpa_table(
+    model: tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame],
+) -> DataFrame:
+    """The :func:`train_kn_bigram` model as an ARPA-shaped table — the
+    KenLM/SRILM interop surface: one row per n-gram,
+    ``(ngram_order, ngram, logp_micro_nats, backoff_micro_nats)``.
+
+    * 1-grams: the continuation distribution ``P(w) = N1+(·,w)/N1+(·,·)``
+      (what interpolated KN backs off to), with backoff weight
+      ``b(w) = D·N1+(w,·)/c1(w) = 3·n1f/(4·c1)`` — exactly the
+      interpolation mass :func:`kn_bigram_scores` gives unseen pairs,
+      so ``P(w2|w1) = b(w1)·P(w2)`` reproduces the scorer.  Words never
+      seen as a continuation / never opening a bigram carry NULL
+      logp / backoff (no smoothing floor is invented).
+    * 2-grams: the full interpolated probability of every OBSERVED pair
+      — the same exact rational as scoring,
+      ``(max(4c12−3,0)·n1all + 3·n1f·n1b) / (4·c1·n1all)``.
+
+    Values are signed micro-NATS (``round(ln p · 1e6)``, negative) —
+    the engine-exact form; an ARPA serializer divides by ``ln 10·1e6``
+    at write time (log10 is NOT computed here: Java's ``Math.log10``
+    is only 1-ulp accurate, which would break the oracle replay the
+    package's correctly-rounded ``ln`` convention exists to protect).
+
+    Scale shape: every input is an already-aggregated model table
+    (≤(k+1)² rows); two broadcast vocab joins map ids back to words;
+    no corpus access at all."""
+    vocab, pairs_c, ctx, cont, scalars = model
+    words = vocab.select("idx", "word").unionByName(
+        vocab.sparkSession.createDataFrame(
+            [(-1, "<unk>")], "idx int, word string"
+        )
+    )
+    dec = "decimal(38,0)"
+    uni = (
+        words.join(cont.withColumnRenamed("w2", "idx"), "idx", "left")
+        .join(ctx.withColumnRenamed("w1", "idx"), "idx", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.lit(1).alias("ngram_order"),
+            F.col("word").alias("ngram"),
+            F.when(
+                F.col("n1b").isNotNull(),
+                F.round(
+                    F.log(
+                        F.col("n1b").cast("double")
+                        / F.col("n1all").cast("double")
+                    )
+                    * 1e6,
+                    0,
+                ).cast("long"),
+            ).alias("logp_micro_nats"),
+            F.when(
+                F.col("c1").isNotNull(),
+                F.round(
+                    F.log(
+                        (F.lit(_KN_D_NUM).cast(dec) * F.col("n1f").cast(dec))
+                        .cast("double")
+                        / (F.lit(_KN_D_DEN).cast(dec) * F.col("c1").cast(dec))
+                        .cast("double")
+                    )
+                    * 1e6,
+                    0,
+                ).cast("long"),
+            ).alias("backoff_micro_nats"),
+        )
+    )
+    num = (
+        F.greatest(
+            F.col("c12").cast(dec) * _KN_D_DEN - _KN_D_NUM,
+            F.lit(0).cast(dec),
+        )
+        * F.col("n1all").cast(dec)
+        + F.lit(_KN_D_NUM).cast(dec)
+        * F.col("n1f").cast(dec)
+        * F.col("n1b").cast(dec)
+    )
+    den = (
+        F.lit(_KN_D_DEN).cast(dec)
+        * F.col("c1").cast(dec)
+        * F.col("n1all").cast(dec)
+    )
+    bi = (
+        pairs_c.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(scalars))
+        .join(
+            F.broadcast(words.withColumnRenamed("word", "_wa")),
+            F.col("w1") == F.col("idx"),
+        )
+        .drop("idx")
+        .join(
+            F.broadcast(words.withColumnRenamed("word", "_wb")),
+            F.col("w2") == F.col("idx"),
+        )
+        .select(
+            F.lit(2).alias("ngram_order"),
+            F.concat_ws(" ", "_wa", "_wb").alias("ngram"),
+            F.round(
+                F.log(num.cast("double") / den.cast("double")) * 1e6, 0
+            )
+            .cast("long")
+            .alias("logp_micro_nats"),
+            F.lit(None).cast("long").alias("backoff_micro_nats"),
+        )
+    )
+    return uni.unionByName(bi)

@@ -1171,6 +1171,140 @@ def bootstrap_ci(
     )
 
 
+def hrw_shards(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "hrw",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment (Thaler &
+    Ravishankar 1998): ``shard = argmax_s hash(id, s)``.  Unlike
+    ``training_shards``' ``h % n`` — where changing ``n`` reshuffles
+    nearly EVERY key — growing ``n → n+1`` moves exactly the keys whose
+    new-shard hash wins (≈ 1/(n+1) of them), and every moved key moves
+    TO the new shard.  That minimal-movement property is what an
+    incremental recrawl store wants: add a shard, re-home 1/(n+1) of
+    the data, touch nothing else.
+
+    Zero-shuffle: the argmax runs per row over a generated in-row
+    struct array (``transform(sequence) → array_max``; lexicographic
+    struct order = max hash, ties by max s — md5-collision-safe and
+    engine-reproducible).  Cost is O(n_shards) hashes per key — fine
+    to ~1k shards; beyond that use jump consistent hash (Lamping &
+    Veach 2014, O(ln n) but 64-bit-overflow arithmetic that SQL oracles
+    can't replay) and keep this as the verification form."""
+    from pdf_to_epub_spark.operators.dedup import md5_hash60
+
+    best = F.array_max(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(int(n_shards) - 1)),
+            lambda s: F.struct(
+                md5_hash60(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(":" + salt + ":"),
+                        s.cast("string"),
+                    )
+                ).alias("h"),
+                s.cast("int").alias("s"),
+            ),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        best["s"].alias("shard"),
+        best["h"].alias("shard_weight"),
+    )
+
+
+def paired_bootstrap(
+    df: DataFrame,
+    value_a: str,
+    value_b: str,
+    id_col: str = "doc_id",
+    n_reps: int = 32,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Paired Poisson-bootstrap comparison of two per-document metrics
+    (the Koehn 2004 significance-test shape on :func:`bootstrap_ci`'s
+    Chamandy-style streaming weights): resample the per-doc DELTA
+    ``a − b``, report the mean delta, its percentile CI, and
+    ``win_rate`` — the share of replicate means > 0, the "how sure is
+    A > B" readout.  Pairing (one delta per doc, never independent
+    resamples of A and B) cancels between-document variance, which is
+    why this detects differences an unpaired interval can't.
+
+    Same determinism contract as :func:`bootstrap_ci`: md5-60
+    inverse-CDF Poisson(1) weights per (id, rep), both metrics
+    half-away micro-quantized so every replicate sum is an exact
+    integer, doubles only at the final per-replicate division and the
+    6-dp outputs.  Rows where either metric is NULL are dropped (no
+    pair, no delta)."""
+    lo_q = round(alpha / 2.0, 12)
+    hi_q = round(1.0 - alpha / 2.0, 12)
+    delta = (
+        F.round(F.col(value_a).cast("double") * F.lit(1e6), 0)
+        - F.round(F.col(value_b).cast("double") * F.lit(1e6), 0)
+    ).cast("long")
+    base = df.where(
+        F.col(value_a).isNotNull() & F.col(value_b).isNotNull()
+    ).select(F.col(id_col), delta.alias("_d"))
+    u = (
+        md5_hash60(
+            F.concat(
+                F.col(id_col).cast("string"),
+                F.lit(":"),
+                F.col("rep").cast("string"),
+            )
+        ).cast("double")
+        / F.lit(1152921504606846976.0)
+    )
+    w = F.lit(6)
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    reps = (
+        base.select(
+            F.col(id_col),
+            "_d",
+            F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias(
+                "rep"
+            ),
+        )
+        .select("rep", "_d", w.alias("w"))
+        .groupBy("rep")
+        .agg(
+            F.sum(F.col("w") * F.col("_d")).alias("_wd"),
+            F.sum("w").alias("_w"),
+        )
+        .where(F.col("_w") > 0)
+        .select(
+            (
+                F.col("_wd").cast("double")
+                / (F.lit(1e6) * F.col("_w").cast("double"))
+            ).alias("m")
+        )
+    )
+    ci = reps.agg(
+        F.round(F.expr(f"percentile(m, {lo_q})"), 6).alias("ci_lo"),
+        F.round(F.expr(f"percentile(m, {hi_q})"), 6).alias("ci_hi"),
+        F.round(
+            F.avg(F.when(F.col("m") > 0, 1.0).otherwise(0.0)), 6
+        ).alias("win_rate"),
+        F.count(F.lit(1)).cast("int").alias("n_reps"),
+    )
+    full = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(
+            F.sum("_d").cast("double")
+            / (F.lit(1e6) * F.count(F.lit(1)).cast("double")),
+            6,
+        ).alias("mean_delta"),
+    )
+    return full.crossJoin(F.broadcast(ci)).select(
+        "n_rows", "n_reps", "mean_delta", "ci_lo", "ci_hi", "win_rate"
+    )
+
+
 def otsu_threshold(
     df: DataFrame,
     score_col: str = "score",

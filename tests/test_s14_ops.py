@@ -176,3 +176,77 @@ def test_global_prefix_sums_weighted(spark):
         .collect()
     }
     assert got == {10: 0, 20: 3, 30: 8, 40: 10}
+
+
+def test_hrw_minimal_movement(spark):
+    from pdf_to_epub_spark.operators import hrw_shards
+
+    ids = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    a8 = {r.doc_id: r.shard for r in hrw_shards(ids, 8).collect()}
+    a9 = {r.doc_id: r.shard for r in hrw_shards(ids, 9).collect()}
+    moved = [i for i in a8 if a8[i] != a9[i]]
+    # ~1/9 of keys move, ALL of them to the new shard — the rendezvous
+    # property h%n lacks (where ~8/9 would move)
+    assert 2000 / 9 * 0.6 < len(moved) < 2000 / 9 * 1.6
+    assert all(a9[i] == 8 for i in moved)
+    # and the n=8 assignment is roughly uniform
+    from collections import Counter
+
+    sizes = Counter(a8.values())
+    assert len(sizes) == 8 and min(sizes.values()) > 2000 / 8 * 0.6
+
+
+def test_paired_bootstrap_exact_and_null_delta(spark):
+    from pdf_to_epub_spark.operators.sampling import paired_bootstrap
+
+    # constant delta 2.0: every replicate mean is exactly 2
+    df = spark.createDataFrame(
+        [(i, float(i % 7 + 10), float(i % 7 + 8)) for i in range(500)],
+        "doc_id long, a double, b double",
+    )
+    r = paired_bootstrap(df, "a", "b").collect()[0]
+    assert r.mean_delta == 2.0 and r.win_rate == 1.0
+    assert r.ci_lo == 2.0 and r.ci_hi == 2.0
+    # symmetric noise: CI straddles 0, win_rate strictly inside (0,1)
+    df2 = spark.createDataFrame(
+        [(i, float(i % 2), float((i + 1) % 2)) for i in range(500)],
+        "doc_id long, a double, b double",
+    )
+    r2 = paired_bootstrap(df2, "a", "b").collect()[0]
+    assert r2.ci_lo < 0 < r2.ci_hi
+    assert 0.0 < r2.win_rate < 1.0
+
+
+def test_kn_arpa_reproduces_scorer(spark):
+    from pdf_to_epub_spark.operators import (
+        kn_arpa_table,
+        kn_bigram_scores,
+        train_kn_bigram,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat while the dog ran " * (i + 1))
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    model = train_kn_bigram(docs, vocab_size=8)
+    arpa = {r.ngram: r for r in kn_arpa_table(model).collect()}
+    # seen bigram: ARPA logp is exactly -cost
+    probe = spark.createDataFrame(
+        [(101, "cat sat")], "doc_id long, text string"
+    )
+    got = kn_bigram_scores(probe, model, vocab_size=8).collect()[0]
+    assert -arpa["cat sat"].logp_micro_nats == got.cost_micro_total
+    # unseen bigram: backoff(w1) + logp_cont(w2) reproduces the scorer
+    # up to the one extra rounding (two quantized logs vs one)
+    assert "cat dog" not in arpa
+    probe2 = spark.createDataFrame(
+        [(100, "cat dog")], "doc_id long, text string"
+    )
+    got2 = kn_bigram_scores(probe2, model, vocab_size=8).collect()[0]
+    via_backoff = -(
+        arpa["cat"].backoff_micro_nats + arpa["dog"].logp_micro_nats
+    )
+    assert abs(via_backoff - got2.cost_micro_total) <= 2
+    # orders present and <unk> exported
+    assert "<unk>" in arpa and arpa["<unk>"].ngram_order == 1
