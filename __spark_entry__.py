@@ -1789,6 +1789,33 @@ def _q_kn_arpa_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_arpa_table(train_kn_bigram(d, vocab_size=64))
 
 
+_WP_CHARS = "abcdefghijklmnopqrstuvwxyz" + "".join(
+    chr(c) for c in list(range(0xE0, 0xF7)) + list(range(0xF8, 0x100))
+)
+
+
+def _q_wordpiece_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match encode
+    (textstats.wordpiece_encode_symbols) under a deterministic demo
+    vocabulary — top-32 corpus words (a bounded 32-row model-fit
+    collect, the package's IVF/LM precedent) plus the tokenizer
+    alphabet as start+##-continuation pieces; symbol table mirrors the
+    BPE encoder's shape so the families compare directly."""
+    from pdf_to_epub_spark.operators import build_vocab
+    from pdf_to_epub_spark.operators.textstats import (
+        wordpiece_encode_symbols,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    top = [r.word for r in build_vocab(d, k=32).collect()]
+    vocab = sorted(
+        set(top)
+        | set(_WP_CHARS)
+        | {"##" + ch for ch in _WP_CHARS}
+    )
+    return wordpiece_encode_symbols(d, vocab)
+
+
 def _q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-group quantile normalization (sampling.quantile_normalize):
     per-language n_chars distributions mapped rank-wise onto the pooled
@@ -8120,6 +8147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_doc_scores": _q_kn_doc_scores,
         "kn_partition": _q_kn_partition,
         "mink_prob_audit": _q_mink_prob_audit,
+        "wordpiece_symbols": _q_wordpiece_symbols,
         "kn_arpa_table": _q_kn_arpa_table,
         "quantile_normalize": _q_quantile_normalize,
         "chi2_lang_source": _q_chi2_lang_source,
@@ -9053,6 +9081,76 @@ def _bpe_merges_oracle(n_merges: int = 8, min_weight: int = 2) -> str | None:
         WITH golden(corpus_key, rank, "left", "right", weight) AS (VALUES
             {vals})
         SELECT rank, "left", "right", weight::BIGINT AS weight
+        FROM golden
+        WHERE corpus_key = (SELECT sum(length(coalesce(text, '')))
+                            FROM documents)
+    """
+
+
+def _wordpiece_symbols_oracle() -> str | None:
+    """Independent pure-Python WordPiece replay (tokenize → weighted
+    word vocab → top-32+alphabet piece set → greedy longest-match with
+    ## continuations → symbol rollup), inlined as a corpus-keyed VALUES
+    table (key = total text length, the SF discriminator)."""
+    import collections
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    chars = "abcdefghijklmnopqrstuvwxyz" + "".join(
+        chr(c) for c in list(range(0xE0, 0xF7)) + list(range(0xF8, 0x100))
+    )
+    tok = _re.compile("[a-z\u00e0-\u00f6\u00f8-\u00ff]+")
+    rows: list[str] = []
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        path = pathlib.Path(sf_dir) / "documents.parquet"
+        if not path.exists():
+            return None
+        texts = pq.read_table(path, columns=["text"])["text"].to_pylist()
+        key = sum(len(t or "") for t in texts)
+        vocab = collections.Counter()
+        for t in texts:
+            vocab.update(tok.findall((t or "").lower()))
+        top = [
+            w
+            for w, _ in sorted(
+                vocab.items(), key=lambda kv: (-kv[1], kv[0])
+            )[:32]
+        ]
+        pieces = set(top) | set(chars) | {"##" + ch for ch in chars}
+
+        def enc(w):
+            out, i, n = [], 0, len(w)
+            while i < n:
+                j = n
+                found = None
+                while j > i:
+                    sub = w[i:j] if i == 0 else "##" + w[i:j]
+                    if sub in pieces:
+                        found = sub
+                        break
+                    j -= 1
+                if found is None:
+                    return ["[UNK]"]
+                out.append(found)
+                i = j
+            return out
+
+        agg: dict[str, list[int]] = {}
+        for w, n in vocab.items():
+            for sym in enc(w):
+                a = agg.setdefault(sym, [0, 0])
+                a[0] += 1
+                a[1] += n
+        for sym, (nw, occ) in sorted(agg.items()):
+            esc = sym.replace("'", "''")
+            rows.append(f"({key}, '{esc}', {nw}, {occ})")
+    vals = ",\n            ".join(rows)
+    return f"""
+        WITH golden(corpus_key, symbol, n_words, occurrences) AS (VALUES
+            {vals})
+        SELECT symbol, n_words::BIGINT AS n_words,
+               occurrences::BIGINT AS occurrences
         FROM golden
         WHERE corpus_key = (SELECT sum(length(coalesce(text, '')))
                             FROM documents)
@@ -14746,6 +14844,11 @@ def oracle_sql() -> dict[str, str]:
         **(
             {"bpe_encode": o}
             if (o := _bpe_encode_oracle()) is not None
+            else {}
+        ),
+        **(
+            {"wordpiece_symbols": o}
+            if (o := _wordpiece_symbols_oracle()) is not None
             else {}
         ),
         **(

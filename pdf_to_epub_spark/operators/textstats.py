@@ -969,6 +969,81 @@ def bpe_fertility(
     )
 
 
+def wordpiece_encode_symbols(
+    df: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+    unk: str = "[UNK]",
+) -> DataFrame:
+    """Greedy longest-match-first WordPiece encode (Wu et al. 2016 §4.1
+    — the BERT tokenizer's application half) against a given piece
+    vocabulary: at each position take the LONGEST vocab piece matching
+    (continuation pieces carry the ``##`` prefix); if any position
+    matches nothing the whole word becomes ``unk`` — exactly BERT's
+    per-word failure semantics, not per-character fallback.  Returns the
+    subword symbol table ``(symbol, n_words, occurrences)`` — the same
+    shape as :func:`bpe_encode_symbols`, so the two tokenizer families
+    are directly comparable.
+
+    ``vocab`` is the driver-side tokenizer artifact (≤ ~100k pieces by
+    construction — BERT ships 30k).  Scale shape mirrors the BPE
+    encoder: one corpus scan into the frequency-weighted DISTINCT-word
+    vocabulary, then the greedy loop runs per distinct word in an
+    Arrow-batched pandas UDF — O(vocab_words × |word|²) Python
+    regardless of corpus size."""
+    _encode = _wordpiece_word_encoder(vocab, unk)
+    words = _word_vocab(df, text_col)
+    return (
+        words.select(
+            "word", F.explode(_encode("word")).alias("symbol"), "n"
+        )
+        .groupBy("symbol")
+        .agg(
+            F.countDistinct("word").cast("long").alias("n_words"),
+            F.sum("n").cast("long").alias("occurrences"),
+        )
+    )
+
+
+def _wordpiece_word_encoder(vocab: list[str], unk: str):
+    """Arrow-batched word→pieces encoder for a WordPiece vocabulary:
+    greedy longest match, ``##`` continuations, whole-word ``unk`` on
+    any failure."""
+    from pyspark.sql.functions import pandas_udf
+
+    pieces = frozenset(str(p) for p in vocab)
+
+    # no annotations: stringized hints under `from __future__ import
+    # annotations` break signature inference; returnType has the schema.
+    @pandas_udf("array<string>")
+    def _encode(words):
+        import pandas as pd
+
+        def enc(w):
+            if not w:
+                return []
+            out = []
+            i, n = 0, len(w)
+            while i < n:
+                j = n
+                found = None
+                while j > i:
+                    sub = w[i:j] if i == 0 else "##" + w[i:j]
+                    if sub in pieces:
+                        found = sub
+                        break
+                    j -= 1
+                if found is None:
+                    return [unk]
+                out.append(found)
+                i = j
+            return out
+
+        return pd.Series([enc(w) for w in words])
+
+    return _encode
+
+
 # --------------------------------------------------------------------------
 # Soft-404 / error-page detection
 # --------------------------------------------------------------------------

@@ -250,3 +250,25 @@ def test_kn_arpa_reproduces_scorer(spark):
     assert abs(via_backoff - got2.cost_micro_total) <= 2
     # orders present and <unk> exported
     assert "<unk>" in arpa and arpa["<unk>"].ngram_order == 1
+
+
+def test_wordpiece_greedy_longest_match(spark):
+    from pdf_to_epub_spark.operators.textstats import (
+        wordpiece_encode_symbols,
+    )
+
+    # vocab: "un" "##able" "##a" "##b" "##l" "##e" "u" "##n" ...
+    vocab = ["un", "##able", "##a", "##b", "##l", "##e", "u", "##n",
+             "able", "x"]
+    df = spark.createDataFrame(
+        [("unable unable able",), ("xq",)], "text string"
+    )
+    out = {r.symbol: r for r in wordpiece_encode_symbols(df, vocab).collect()}
+    # "unable" -> un + ##able (longest match, not u/##n/##a/##b/##l/##e)
+    assert out["un"].n_words == 1 and out["un"].occurrences == 2
+    assert out["##able"].occurrences == 2
+    # "able" alone -> the start-form piece
+    assert out["able"].occurrences == 1
+    # "xq": x matches, q has no ##q piece -> whole word [UNK]
+    assert out["[UNK]"].n_words == 1 and out["[UNK]"].occurrences == 1
+    assert "##q" not in out and "q" not in out
