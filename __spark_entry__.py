@@ -519,6 +519,46 @@ def _q_html_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_readability_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability-style top-candidate extraction (the THIRD extractor
+    mode, extractlib/htmlblocks.readability_blocks): same synthetic
+    boilerplate page, scored by arc90's comma/length points with
+    integer cross-multiplied link-density scaling — the body container
+    wins, ads are cleaned (cleanConditionally), nav/header/footer are
+    prior-stripped, so recovered content must again equal heading +
+    non-blank lines; docs with NO ≥25-char prose line extract empty
+    (no candidate scores), which the oracle encodes explicitly."""
+    _ship_package(spark)
+    from pdf_to_epub_spark.operators import (
+        assemble_documents,
+        blocks_table,
+        extract_html_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("doc://"), doc_id)
+    page = _boilerplate_page_expr()
+    pages = d.select(
+        url.alias("url"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        F.col("lang"),
+        F.encode(page, "UTF-8").alias("html"),
+    )
+    asm = assemble_documents(
+        blocks_table(extract_html_documents(pages, mode="readability"))
+    )
+    return asm.select(
+        "url",
+        F.sha2(F.encode("assembled_text", "UTF-8"), 256).alias("text_sha"),
+        F.length("assembled_text").cast("long").alias("n_chars"),
+        F.col("n_chapters").cast("long").alias("n_headings"),
+        (F.col("n_blocks") - F.col("n_chapters")).cast("long").alias(
+            "n_paragraphs"
+        ),
+    )
+
+
 def _q_image_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image segmentation + (image, caption) manifest (the north_star's
     heading/paragraph/IMAGE leg): each document is wrapped JVM-side into
@@ -8202,6 +8242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _q_event_sessions,
         # extraction surfaces (golden / construction oracles)
         "html_boilerplate_extract": _q_html_boilerplate_extract,
+        "readability_extract": _q_readability_extract,
         "image_caption_pairs": _q_image_caption_pairs,
         "extract_blocks": _q_extract_blocks,
         "assemble_documents": _q_assemble_documents,
@@ -14691,6 +14732,42 @@ def oracle_sql() -> dict[str, str]:
                    sha256(expected) AS text_sha,
                    length(expected)::BIGINT AS n_chars,
                    1::BIGINT AS n_headings,
+                   n_paragraphs::BIGINT AS n_paragraphs
+            FROM built
+        """,
+        # Readability mode over the same constructed page: when any
+        # non-blank line has trim-length >= 25 the body candidate wins
+        # and ads/nav are removed -> identical content to the density
+        # mode; otherwise nothing scores and the doc extracts EMPTY.
+        "readability_extract": """
+            WITH lined AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, chr(10)),
+                                   x -> regexp_matches(x, '[^ \t\r]')) AS lines
+                FROM documents),
+            flags AS (
+                SELECT doc_id, lines,
+                       len(list_filter(lines,
+                           x -> length(trim(x, ' ' || chr(9) || chr(13)))
+                                >= 25)) > 0 AS has_prose
+                FROM lined),
+            built AS (
+                SELECT doc_id,
+                       CASE WHEN has_prose THEN len(lines) ELSE 0 END
+                           AS n_paragraphs,
+                       CASE WHEN has_prose THEN 1 ELSE 0 END AS n_headings,
+                       CASE WHEN NOT has_prose THEN ''
+                            ELSE 'Document ' || CAST(doc_id AS VARCHAR)
+                                 || chr(10) ||
+                                 CASE WHEN len(lines) = 0 THEN ''
+                                      ELSE array_to_string(lines, chr(10))
+                                           || chr(10) END
+                       END AS expected
+                FROM flags)
+            SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+                   sha256(expected) AS text_sha,
+                   length(expected)::BIGINT AS n_chars,
+                   n_headings::BIGINT AS n_headings,
                    n_paragraphs::BIGINT AS n_paragraphs
             FROM built
         """,

@@ -325,6 +325,153 @@ def classify_blocks(
     return kept, counters
 
 
+# --------------------------------------------------------------------------
+# Readability-style top-candidate extraction (the third mode)
+# --------------------------------------------------------------------------
+
+# Candidate containers Readability scores — block parents of prose.
+CONTAINER_TAGS = frozenset(
+    {"div", "article", "section", "main", "td", "blockquote", "body"}
+)
+# Prose elements that contribute points to their container.
+_PROSE_TAGS = frozenset({"p", "pre", "blockquote"})
+_READABILITY_MIN_CHARS = 25
+
+
+class _ContainerParser(_BlockParser):
+    """Block parser that also records, for every flushed block, the chain
+    of open CONTAINER element ids (document order) — the candidate set
+    the Readability scorer ranks.  Id 0 is the implicit root, so every
+    chain is non-empty and a page with no container markup still has one
+    candidate."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._cstack: list[int] = [0]
+        self._next_cid = 1
+        self.chains: list[tuple[int, ...]] = []
+
+    def _flush(self) -> None:
+        n_before = len(self.blocks)
+        super()._flush()
+        if len(self.blocks) > n_before:
+            self.chains.append(tuple(self._cstack))
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        super().handle_starttag(tag, attrs)
+        if tag in CONTAINER_TAGS and tag not in _VOID:
+            self._cstack.append(self._next_cid)
+            self._next_cid += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        # count containers the super pop will close (mis-nesting included:
+        # it pops to the matching open tag), then drop their ids — the
+        # flush inside super() still sees the pre-pop chain.
+        n_close = 0
+        if tag in self._stack:
+            idx = len(self._stack) - 1 - self._stack[::-1].index(tag)
+            n_close = sum(
+                1 for t in self._stack[idx:] if t in CONTAINER_TAGS
+            )
+        super().handle_endtag(tag)
+        for _ in range(n_close):
+            if len(self._cstack) > 1:
+                self._cstack.pop()
+
+
+def readability_blocks(
+    raw: list[RawBlock],
+    chains: list[tuple[int, ...]],
+    min_chars: int = _READABILITY_MIN_CHARS,
+) -> tuple[list[Block], dict[str, int]]:
+    """Readability-style top-candidate selection (arc90's readability.js
+    scoring core, simplified to its deterministic skeleton): every prose
+    block of ≥ ``min_chars`` stripped chars scores
+    ``1 + commas + min(len/100, 3)`` points for its innermost container
+    and half points for the grandparent; each candidate's total is then
+    scaled by ``1 − link_density`` over its DIRECT blocks; the top
+    candidate's whole subtree becomes the document (sibling-appending
+    and class-weight heuristics are deliberately out — they key on
+    attributes this parser ignores).
+
+    All-integer arithmetic: points are doubled so the half-point is
+    exact, the link-density scale rides as the rational
+    ``pts2·(chars−link)/chars``, and candidates compare by
+    cross-multiplication — no float enters the argmax, so ties
+    (resolved to the EARLIEST container) are engine-stable."""
+    counters = {
+        "html.blocks_total": len(raw),
+        "readability.candidates": 0,
+        "readability.prose_scored": 0,
+        "html.dropped_tag_prior": 0,
+        "html.headings": 0,
+        "html.paragraphs": 0,
+    }
+    pts2: dict[int, int] = {}
+    direct_chars: dict[int, int] = {}
+    direct_link: dict[int, int] = {}
+    for b, chain in zip(raw, chains):
+        if b.boilerplate_ancestor:
+            counters["html.dropped_tag_prior"] += 1
+            continue
+        cid = chain[-1]
+        direct_chars[cid] = direct_chars.get(cid, 0) + len(b.text)
+        direct_link[cid] = direct_link.get(cid, 0) + b.link_chars
+        t = b.text.strip()
+        if b.tag not in _PROSE_TAGS or len(t) < min_chars:
+            continue
+        counters["readability.prose_scored"] += 1
+        p2 = 2 * (1 + t.count(",") + min(len(t) // 100, 3))
+        pts2[cid] = pts2.get(cid, 0) + p2
+        if len(chain) >= 2:
+            gp = chain[-2]
+            pts2[gp] = pts2.get(gp, 0) + p2 // 2
+    counters["readability.candidates"] = len(pts2)
+    if not pts2:
+        return [], counters
+
+    def _frac(cid: int) -> tuple[int, int]:
+        ch = max(direct_chars.get(cid, 0), 1)
+        keep = ch - min(direct_link.get(cid, 0), ch)
+        return pts2[cid] * keep, ch
+
+    winner = None
+    for cid in sorted(pts2):
+        if winner is None:
+            winner = cid
+            continue
+        an, ad = _frac(cid)
+        bn, bd = _frac(winner)
+        if an * bd > bn * ad:  # strict: earliest container wins ties
+            winner = cid
+
+    counters["readability.cleaned"] = 0
+    kept: list[Block] = []
+    offset = 0
+    for b, chain in zip(raw, chains):
+        if b.boilerplate_ancestor or winner not in chain:
+            continue
+        # readability.js's cleanConditionally skeleton: link-dense nodes
+        # inside the winning subtree are chrome (ad/share widgets), out.
+        if b.link_density > LINK_DENSITY_MAX:
+            counters["readability.cleaned"] += 1
+            continue
+        is_heading = b.tag in HEADING_TAGS
+        counters["html.headings" if is_heading else "html.paragraphs"] += 1
+        text = b.text + "\n"
+        kept.append(
+            Block(
+                block_id=len(kept),
+                block_type="heading" if is_heading else "paragraph",
+                text=text,
+                span_start=offset,
+                span_end=offset + len(text),
+            )
+        )
+        offset += len(text)
+    return kept, counters
+
+
 # IANA names browsers see in the wild → Python codecs; unknown names fall
 # back through the utf-8-strict → cp1252 ladder below.  latin-1/ascii map
 # to cp1252 deliberately: that is what browsers actually do (WHATWG).
@@ -429,12 +576,19 @@ def extract_html_document(
             raw_html, charset = sniff_decode(html)
         else:
             raw_html, charset = html, "str"
-        blocks, counters = classify_blocks(
-            parse_blocks(raw_html),
-            min_words=min_words,
-            link_density_max=link_density_max,
-            mode=mode,
-        )
+        if mode == "readability":
+            p = _ContainerParser()
+            p.feed(raw_html)
+            p.close()
+            p._flush()
+            blocks, counters = readability_blocks(p.blocks, p.chains)
+        else:
+            blocks, counters = classify_blocks(
+                parse_blocks(raw_html),
+                min_words=min_words,
+                link_density_max=link_density_max,
+                mode=mode,
+            )
         text = "".join(b.text for b in blocks)
         counters[f"charset.{charset}"] = 1
         return ExtractResult(text, blocks, counters)

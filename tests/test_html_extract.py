@@ -607,3 +607,109 @@ def test_image_manifest_to_media_features_composition(spark):
         ("http://ex.org/b.bmp", 3, 2, "ok"),
         ("http://ex.org/c.bmp", 4, 2, "ok"),
     }
+
+
+# --------------------------------------------------------------------------
+# Readability mode (session 14): top-candidate container selection
+# --------------------------------------------------------------------------
+
+
+_READABILITY_PAGE = b"""<html><head><title>t</title></head><body>
+<nav><p>Home | About | Contact, with, many, commas, all, over</p></nav>
+<div id=side><p>Short link list</p><a href=x>click</a></div>
+<div id=main>
+  <h2>The Heading</h2>
+  <p>This is the first long paragraph of real content, with commas, and
+it goes on for a while to pass the character bar easily.</p>
+  <p>Second paragraph of honest article prose, also long enough, with a
+comma or two, to score additional candidate points.</p>
+</div>
+<div id=comments><p>short</p><p>meh</p></div>
+</body></html>"""
+
+
+def test_readability_picks_top_candidate():
+    from pdf_to_epub_spark.extractlib.htmlblocks import (
+        extract_html_document,
+    )
+
+    r = extract_html_document(_READABILITY_PAGE, mode="readability")
+    assert r.status == "ok"
+    texts = [b.text for b in r.blocks]
+    # winner subtree: heading + the two long paragraphs
+    assert any(b.block_type == "heading" for b in r.blocks)
+    assert any("first long paragraph" in t for t in texts)
+    assert any("Second paragraph" in t for t in texts)
+    # nav is prior-stripped; losing sibling containers are excluded
+    assert not any("Home | About" in t for t in texts)
+    assert not any("Short link list" in t for t in texts)
+    assert not any("meh" in t for t in texts)
+    # blocks tile the assembled text (the assembly invariant)
+    assert "".join(texts) == r.text
+    for b in r.blocks:
+        assert r.text[b.span_start:b.span_end] == b.text
+    assert r.counters["readability.candidates"] >= 2
+
+
+def test_readability_cleans_link_dense_children():
+    from pdf_to_epub_spark.extractlib.htmlblocks import (
+        extract_html_document,
+    )
+
+    # the ad div lives INSIDE the winning container: subtree membership
+    # keeps it, cleanConditionally must throw it out
+    page = (
+        b"<html><body><div id=a>"
+        b"<p>A long opening paragraph, with some commas, easily past the"
+        b" twenty-five character bar.</p>"
+        b'<div class=ad><a href="/buy">Buy now</a> <a href="/p">Promo</a></div>'
+        b"<p>A second long paragraph of content, still inside the winning"
+        b" container, with more commas.</p>"
+        b"</div></body></html>"
+    )
+    r = extract_html_document(page, mode="readability")
+    texts = [b.text for b in r.blocks]
+    assert not any("Buy now" in t for t in texts)
+    assert r.counters["readability.cleaned"] == 1
+    assert len([t for t in texts if "paragraph" in t]) == 2
+
+
+def test_readability_no_prose_extracts_empty():
+    from pdf_to_epub_spark.extractlib.htmlblocks import (
+        extract_html_document,
+    )
+
+    r = extract_html_document(
+        b"<html><body><ul><li>a</li><li>b</li></ul>"
+        b"<div><p>short one</p></div></body></html>",
+        mode="readability",
+    )
+    assert r.status == "ok" and r.blocks == [] and r.text == ""
+    assert r.counters["readability.candidates"] == 0
+
+
+def test_readability_grandparent_half_points():
+    from pdf_to_epub_spark.extractlib.htmlblocks import (
+        _ContainerParser,
+        readability_blocks,
+    )
+
+    # two child divs each with one scoring paragraph: neither child
+    # outscores the parent (which collects both half-point shares plus
+    # nothing direct); parent wins -> BOTH paragraphs kept
+    page = (
+        "<html><body><div id=article>"
+        "<div><p>First sub-section paragraph, long enough, with a comma"
+        " for an extra point here.</p></div>"
+        "<div><p>Second sub-section paragraph, also long enough, with a"
+        " comma of its own too.</p></div>"
+        "</div></body></html>"
+    )
+    p = _ContainerParser()
+    p.feed(page)
+    p.close()
+    p._flush()
+    kept, counters = readability_blocks(p.blocks, p.chains)
+    texts = [b.text for b in kept]
+    assert any("First sub-section" in t for t in texts)
+    assert any("Second sub-section" in t for t in texts)
