@@ -145,7 +145,13 @@ def run_bench(
     # boilerplate pages built around the same documents.
     html_corpus = REPO / "data" / f"bench_html_corpus_sf{sf}_42_ub32"
     if not html_corpus.exists() and (
-        not only or only in ("html_extract_assemble", "html_structure_mining")
+        not only
+        or only
+        in (
+            "html_extract_assemble",
+            "html_structure_mining",
+            "readability_extract_assemble",
+        )
     ):
         from pdf_to_epub_spark.sources.synth import write_boilerplate_parquet
 
@@ -170,6 +176,34 @@ def run_bench(
         )
 
     timed("html_extract_assemble", html_pipeline, warmup=True, runs=extract_runs)
+
+    def readability_pipeline() -> None:
+        # same bucketed corpus through the Readability top-candidate mode
+        # (container scoring + cleanup) — measures the third extractor's
+        # per-doc cost next to the density classifier's.
+        from pdf_to_epub_spark.operators import (
+            assemble_documents,
+            blocks_table,
+            extract_html_documents,
+        )
+
+        pages = spark.read.parquet(str(html_corpus))
+        _force(
+            assemble_documents(
+                blocks_table(
+                    extract_html_documents(
+                        pages, salt_partitions=None, mode="readability"
+                    )
+                )
+            )
+        )
+
+    timed(
+        "readability_extract_assemble",
+        readability_pipeline,
+        warmup=True,
+        runs=extract_runs,
+    )
     timed("pricing_summary", lambda: queries["pricing_summary"](spark, sf_dir).collect())
     timed(
         "latest_order_per_customer",
