@@ -7797,6 +7797,23 @@ def _q_mink_prob_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (privacy.t_closeness_audit) over the (lang,
+    band) classes with source sensitive, t=0.2: exact-integer TVD
+    numerator over the global domain, one 6-dp division, literal
+    threshold — the deviation leak l-diversity can't see."""
+    from pdf_to_epub_spark.operators.privacy import t_closeness_audit
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        (F.coalesce(F.col("n_chars"), F.lit(0)) / 400)
+        .cast("long")
+        .alias("band"),
+    )
+    return t_closeness_audit(d, ["lang", "band"], "source", t=0.2)
+
+
 def _q_anchor_query_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retriever weak supervision (ir.anchor_query_pairs): every doc
     links to its decade-leader doc with a deterministic anchor phrase;
@@ -8351,6 +8368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": _q_k_anonymity,
         "quasi_suppression": _q_quasi_suppression,
         "diversity_audit": _q_diversity_audit,
+        "t_closeness": _q_t_closeness,
         "anchor_query_pairs": _q_anchor_query_pairs,
         "markdown_meta": _q_markdown_meta,
         "unidiff_stats": _q_unidiff_stats,
@@ -17023,6 +17041,44 @@ def oracle_sql() -> dict[str, str]:
                     rs[1] < 2 * coalesce(list_sum(list_slice(rs, 3, len(rs))), 0))
                        AS recursive_cl_diverse
             FROM cls
+        """,
+        # t-closeness: class-vs-global TVD over the full sensitive
+        # domain (absent values contribute their global mass); exact
+        # HUGEINT numerator, one rounded division, literal 200000.
+        "t_closeness": """
+            WITH q AS (
+                SELECT lang, coalesce(n_chars, 0) // 400 AS band, source
+                FROM documents
+            ), pv AS (
+                SELECT lang, band, source AS v, count(*)::HUGEINT AS cv
+                FROM q GROUP BY 1, 2, 3
+            ), g AS (
+                SELECT source AS v, count(*)::HUGEINT AS gv
+                FROM q GROUP BY 1
+            ), tot AS (SELECT count(*)::HUGEINT AS N FROM q),
+            cls AS (
+                SELECT lang, band, sum(cv)::HUGEINT AS class_size
+                FROM pv GROUP BY 1, 2
+            ), x AS (
+                SELECT c.lang, c.band, c.class_size,
+                       abs(coalesce(pv.cv, 0) * tot.N
+                           - g.gv * c.class_size) AS term
+                FROM cls c
+                CROSS JOIN g
+                LEFT JOIN pv ON pv.lang = c.lang AND pv.band = c.band
+                            AND pv.v = g.v
+                CROSS JOIN tot
+            )
+            SELECT lang, band, class_size::BIGINT AS class_size,
+                   CAST(round(sum(term)::DOUBLE
+                              / (2::DOUBLE * class_size::DOUBLE
+                                 * (SELECT N FROM tot)::DOUBLE)
+                              * 1e6) AS BIGINT) AS tvd_micro,
+                   (CAST(round(sum(term)::DOUBLE
+                               / (2::DOUBLE * class_size::DOUBLE
+                                  * (SELECT N FROM tot)::DOUBLE)
+                               * 1e6) AS BIGINT) <= 200000) AS t_close
+            FROM x GROUP BY lang, band, class_size
         """,
         # Suppression: quasi cells NULLed for rows in sub-k classes.
         "quasi_suppression": """

@@ -121,6 +121,76 @@ def diversity_audit(
     )
 
 
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness (Li, Li & Venkatasubramanian, ICDE 2007) — the third
+    privacy gate after k-anonymity and l-diversity: an equivalence class
+    leaks by DEVIATION even when diverse (a class that is 90% one
+    sensitive value in a 50/50 corpus identifies its members' attribute
+    with high confidence).  A class is t-close when the distance between
+    its sensitive distribution and the GLOBAL one is ≤ t; for unordered
+    categorical attributes the Earth Mover's distance reduces to total
+    variation, ``TVD = ½·Σ_v |p_class(v) − p_global(v)|`` over the
+    GLOBAL value domain (absent-in-class values contribute their global
+    mass — the leak is the absence).
+
+    Determinism contract: the numerator is the exact integer
+    ``Σ_v |c_v·N − g_v·n|`` in decimal(38,0); ONE 6-dp-rounded division
+    by ``2·n·N`` yields ``tvd`` (micro-units), compared against the
+    Python-literal ``round(t·1e6)``.
+
+    Scale shape: class×value counts and the global value table are each
+    one map-side-combined groupBy; the class×domain expansion is a
+    broadcast cross join against the (small by assumption) sensitive
+    domain — |classes|·|domain| slim rows, never the corpus."""
+    thr = round(t * 1e6)
+    dec = "decimal(38,0)"
+    per_val = df.groupBy(
+        *quasi_cols, F.col(sensitive_col).alias("_v")
+    ).agg(F.count(F.lit(1)).alias("_cv"))
+    glob = df.groupBy(F.col(sensitive_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_gv")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_N"))
+    classes = per_val.groupBy(*quasi_cols).agg(
+        F.sum("_cv").alias("class_size")
+    )
+    expanded = (
+        classes.crossJoin(F.broadcast(glob))
+        .join(per_val, [*quasi_cols, "_v"], "left")
+        .crossJoin(F.broadcast(total))
+    )
+    term = F.abs(
+        F.coalesce(F.col("_cv"), F.lit(0)).cast(dec) * F.col("_N").cast(dec)
+        - F.col("_gv").cast(dec) * F.col("class_size").cast(dec)
+    )
+    return (
+        expanded.groupBy(*quasi_cols, "class_size", "_N")
+        .agg(F.sum(term).cast(dec).alias("_num"))
+        .select(
+            *quasi_cols,
+            "class_size",
+            F.round(
+                F.col("_num").cast("double")
+                / (
+                    F.lit(2).cast("double")
+                    * F.col("class_size").cast("double")
+                    * F.col("_N").cast("double")
+                )
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("tvd_micro"),
+        )
+        .withColumn("t_close", F.col("tvd_micro") <= F.lit(thr))
+    )
+
+
 def suppress_small_classes(
     df: DataFrame,
     quasi_cols: list[str],

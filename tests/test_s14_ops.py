@@ -272,3 +272,23 @@ def test_wordpiece_greedy_longest_match(spark):
     # "xq": x matches, q has no ##q piece -> whole word [UNK]
     assert out["[UNK]"].n_words == 1 and out["[UNK]"].occurrences == 1
     assert "##q" not in out and "q" not in out
+
+
+def test_t_closeness_deviation_vs_global(spark):
+    from pdf_to_epub_spark.operators.privacy import t_closeness_audit
+
+    # global: x/y 50:50.  class a: all x -> TVD = 0.5 (not close at
+    # t=0.2); class b: 50/50 -> TVD = 0 (close).
+    rows = [("a", "x")] * 10 + [("b", "x")] * 5 + [("b", "y")] * 15
+    # rebalance: make global exactly 50/50 -> a:10x, b:10x+20y? keep it
+    # simple and compute the expected value instead.
+    rows = [("a", "x")] * 10 + [("b", "x")] * 10 + [("b", "y")] * 20
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {r.g: r for r in t_closeness_audit(df, ["g"], "v", t=0.2).collect()}
+    # global: x=20, y=20, N=40.  class a (n=10, all x):
+    # TVD = 0.5*(|1-0.5| + |0-0.5|) = 0.5
+    assert out["a"].tvd_micro == 500000 and not out["a"].t_close
+    # class b (n=30): x 10/30 vs 0.5, y 20/30 vs 0.5 ->
+    # 0.5*(|1/3-1/2| + |2/3-1/2|) = 1/6
+    assert out["b"].tvd_micro == round(1e6 / 6)
+    assert out["b"].t_close  # 166667 <= 200000
