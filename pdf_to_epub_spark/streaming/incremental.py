@@ -255,3 +255,63 @@ def load_postings(spark: SparkSession, postings_dir: str, id_col: str = "url"):
     return df.join(latest, [id_col, "batch_id"]).select(
         "term", id_col, "tf"
     )
+
+
+LABELS_SCHEMA = "url string, label string, label_ts timestamp"
+
+
+def streaming_page_label_join(
+    spark: SparkSession,
+    pages_dir: str,
+    labels_dir: str,
+    watermark: str = "10 minutes",
+    max_lag: str = "5 minutes",
+    query_name: str = "page_labels",
+):
+    """Watermarked stream-stream INTERVAL join — the two-bus crawl shape
+    where content and annotations (fetch metadata, classifier labels,
+    moderation verdicts) arrive on separate streams and must be paired
+    without ever materializing either side: pages ⋈ labels on url with
+    ``label_ts ∈ [warc_ts, warc_ts + max_lag]``.
+
+    The interval condition is what makes unbounded state bounded: with
+    BOTH sides watermarked and the join range time-bound, Spark evicts
+    page state once ``watermark > warc_ts + max_lag`` and label state
+    once ``watermark > label_ts`` — without it a stream-stream join
+    buffers forever (and Spark rejects append mode).  Inner join emits
+    in ``append`` (each pair exactly once), so downstream sinks get
+    clean at-most-once-per-pair rows.
+
+    Returns the started StreamingQuery on an in-memory sink; drive with
+    ``processAllAvailable()`` and read ``SELECT * FROM <query_name>``.
+    Pair-set determinism comes from the interval predicate itself (the
+    watermark only governs STATE EVICTION timing, which tests must not
+    depend on)."""
+    from pyspark.sql import functions as F
+
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .parquet(pages_dir)
+        .withWatermark("warc_ts", watermark)
+        .alias("p")
+    )
+    labels = (
+        spark.readStream.schema(LABELS_SCHEMA)
+        .parquet(labels_dir)
+        .withWatermark("label_ts", watermark)
+        .alias("l")
+    )
+    joined = pages.join(
+        labels,
+        F.expr(
+            "p.url = l.url AND l.label_ts >= p.warc_ts "
+            f"AND l.label_ts <= p.warc_ts + interval {max_lag}"
+        ),
+        "inner",
+    ).select("p.url", "p.warc_ts", "l.label", "l.label_ts")
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

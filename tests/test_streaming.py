@@ -271,3 +271,57 @@ def test_streaming_postings_maintenance(spark, tmp_path):
     got2 = {(r.term, r.url, r.tf)
             for r in load_postings(spark, str(store)).collect()}
     assert got2 == exp
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """streaming_page_label_join: labels pair with their page iff
+    label_ts lies in [warc_ts, warc_ts + max_lag]; the interval
+    predicate (not watermark timing) decides the pair set, and each
+    matched pair is emitted exactly once in append mode."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pdf_to_epub_spark.streaming.incremental import (
+        LABELS_SCHEMA,
+        PAGES_SCHEMA,
+        streaming_page_label_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    pages_dir, labels_dir = str(tmp_path / "p"), str(tmp_path / "l")
+    pages = spark.createDataFrame(
+        [
+            ("u1", t0, None, "a", "en"),
+            ("u2", t0, None, "b", "en"),
+            ("u3", t0 + dt.timedelta(minutes=20), None, "c", "en"),
+        ],
+        PAGES_SCHEMA,
+    )
+    pages.write.parquet(pages_dir)
+    labels = spark.createDataFrame(
+        [
+            ("u1", "ok", t0 + dt.timedelta(minutes=2)),     # in window
+            ("u2", "late", t0 + dt.timedelta(minutes=30)),  # > max_lag: out
+            ("u2", "early", t0 - dt.timedelta(minutes=1)),  # before page: out
+            ("u3", "ok2", t0 + dt.timedelta(minutes=24)),   # in window
+            ("u9", "orphan", t0),                           # no such page
+        ],
+        LABELS_SCHEMA,
+    )
+    labels.write.parquet(labels_dir)
+
+    q = streaming_page_label_join(
+        spark, pages_dir, labels_dir,
+        watermark="10 minutes", max_lag="5 minutes",
+        query_name="ssj_test",
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.url, r.label)
+            for r in spark.sql("SELECT * FROM ssj_test").collect()
+        )
+    finally:
+        q.stop()
+    assert got == [("u1", "ok"), ("u3", "ok2")]

@@ -284,3 +284,60 @@ def test_write_warc_wet_mode(spark, tmp_path):
         for r in read_warc_paths(spark, paths).collect()
     }
     assert got == {(u, t, "conversion") for u, _, t in rows}
+
+
+def test_warc_python_datasource_roundtrip(spark, tmp_path):
+    """spark.read.format('warc') (the PySpark-4 Python DataSource) must
+    return exactly what read_warc_paths parses from the same archives,
+    with one input partition per file (the CC planning contract)."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from pdf_to_epub_spark.sources.warc import (
+        read_warc_paths,
+        register_warc_source,
+        write_warc,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"http://ex.com/{i}", f"<html>doc {i} body</html>".encode())
+         for i in range(60)],
+        "url string, html binary",
+    ).withColumn("warc_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    out = str(tmp_path / "warc")
+    write_warc(docs.repartition(3), out)
+    files = sorted(str(p) for p in pathlib.Path(out).glob("part-*.warc.gz"))
+    assert len(files) == 3
+
+    register_warc_source(spark)
+    ds = spark.read.format("warc").load(out + "/part-*.warc.gz")
+    assert ds.rdd.getNumPartitions() == 3  # one partition per archive
+    got = sorted(
+        (r.url, r.record_type, bytes(r.html)) for r in ds.collect()
+    )
+    paths_df = spark.createDataFrame([(f,) for f in files], "path string")
+    want = sorted(
+        (r.url, r.record_type, bytes(r.html))
+        for r in read_warc_paths(spark, paths_df).collect()
+    )
+    assert got == want and len(got) == 60
+    # small Arrow batches must not change results
+    ds2 = (
+        spark.read.format("warc")
+        .option("records_per_batch", "7")
+        .load(out + "/part-*.warc.gz")
+    )
+    assert ds2.count() == 60
+
+
+def test_warc_datasource_no_match_errors(spark, tmp_path):
+    import pytest
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from pdf_to_epub_spark.sources.warc import register_warc_source
+
+    register_warc_source(spark)
+    df = spark.read.format("warc").load(str(tmp_path / "nope-*.warc.gz"))
+    with pytest.raises(Exception, match="no files match"):
+        df.collect()
