@@ -9197,10 +9197,15 @@ def _wordpiece_symbols_oracle() -> str | None:
 
         agg: dict[str, list[int]] = {}
         for w, n in vocab.items():
-            for sym in enc(w):
-                a = agg.setdefault(sym, [0, 0])
-                a[0] += 1
-                a[1] += n
+            syms = enc(w)
+            # occurrences: once per symbol OCCURRENCE (weighted);
+            # n_words: once per DISTINCT word containing the symbol —
+            # matching countDistinct('word') on the Spark side (a symbol
+            # repeated inside one word must not double-count the word)
+            for sym in syms:
+                agg.setdefault(sym, [0, 0])[1] += n
+            for sym in set(syms):
+                agg[sym][0] += 1
         for sym, (nw, occ) in sorted(agg.items()):
             esc = sym.replace("'", "''")
             rows.append(f"({key}, '{esc}', {nw}, {occ})")
@@ -14766,8 +14771,9 @@ def oracle_sql() -> dict[str, str]:
             flags AS (
                 SELECT doc_id, lines,
                        len(list_filter(lines,
-                           x -> length(trim(x, ' ' || chr(9) || chr(13)))
-                                >= 25)) > 0 AS has_prose
+                           x -> length(trim(x, ' ' || chr(9) || chr(13)
+                                             || chr(10))) >= 25)) > 0
+                           AS has_prose
                 FROM lined),
             built AS (
                 SELECT doc_id,
@@ -17065,8 +17071,9 @@ def oracle_sql() -> dict[str, str]:
                            - g.gv * c.class_size) AS term
                 FROM cls c
                 CROSS JOIN g
-                LEFT JOIN pv ON pv.lang = c.lang AND pv.band = c.band
-                            AND pv.v = g.v
+                LEFT JOIN pv ON pv.lang IS NOT DISTINCT FROM c.lang
+                            AND pv.band IS NOT DISTINCT FROM c.band
+                            AND pv.v IS NOT DISTINCT FROM g.v
                 CROSS JOIN tot
             )
             SELECT lang, band, class_size::BIGINT AS class_size,

@@ -383,6 +383,7 @@ def readability_blocks(
     raw: list[RawBlock],
     chains: list[tuple[int, ...]],
     min_chars: int = _READABILITY_MIN_CHARS,
+    link_density_max: float = LINK_DENSITY_MAX,
 ) -> tuple[list[Block], dict[str, int]]:
     """Readability-style top-candidate selection (arc90's readability.js
     scoring core, simplified to its deterministic skeleton): every prose
@@ -403,6 +404,7 @@ def readability_blocks(
         "html.blocks_total": len(raw),
         "readability.candidates": 0,
         "readability.prose_scored": 0,
+        "readability.cleaned": 0,
         "html.dropped_tag_prior": 0,
         "html.headings": 0,
         "html.paragraphs": 0,
@@ -417,7 +419,11 @@ def readability_blocks(
         cid = chain[-1]
         direct_chars[cid] = direct_chars.get(cid, 0) + len(b.text)
         direct_link[cid] = direct_link.get(cid, 0) + b.link_chars
-        t = b.text.strip()
+        # explicit edge-whitespace set, matching the construction
+        # oracle's trim(' '||\t||\r||\n) — Python str.strip() would
+        # also eat NBSP/\f/\v and diverge (the one-blankness-rule
+        # caveat at _flush applies here too)
+        t = b.text.strip(" \t\r\n")
         if b.tag not in _PROSE_TAGS or len(t) < min_chars:
             continue
         counters["readability.prose_scored"] += 1
@@ -445,7 +451,6 @@ def readability_blocks(
         if an * bd > bn * ad:  # strict: earliest container wins ties
             winner = cid
 
-    counters["readability.cleaned"] = 0
     kept: list[Block] = []
     offset = 0
     for b, chain in zip(raw, chains):
@@ -453,7 +458,7 @@ def readability_blocks(
             continue
         # readability.js's cleanConditionally skeleton: link-dense nodes
         # inside the winning subtree are chrome (ad/share widgets), out.
-        if b.link_density > LINK_DENSITY_MAX:
+        if b.link_density > link_density_max:
             counters["readability.cleaned"] += 1
             continue
         is_heading = b.tag in HEADING_TAGS
@@ -577,11 +582,18 @@ def extract_html_document(
         else:
             raw_html, charset = html, "str"
         if mode == "readability":
+            if min_words:
+                raise ValueError(
+                    "min_words does not apply to mode='readability' "
+                    "(container scoring has its own min_chars gate)"
+                )
             p = _ContainerParser()
             p.feed(raw_html)
             p.close()
             p._flush()
-            blocks, counters = readability_blocks(p.blocks, p.chains)
+            blocks, counters = readability_blocks(
+                p.blocks, p.chains, link_density_max=link_density_max
+            )
         else:
             blocks, counters = classify_blocks(
                 parse_blocks(raw_html),

@@ -159,9 +159,23 @@ def t_closeness_audit(
     classes = per_val.groupBy(*quasi_cols).agg(
         F.sum("_cv").alias("class_size")
     )
+    # null-safe join keys throughout: a NULL sensitive value is a real
+    # category (its absence from a class leaks like any other), and a
+    # NULL quasi cell still names a class — plain equality would orphan
+    # both and inflate tvd (caught in review).
+    cond = F.col("c._v").eqNullSafe(F.col("v._v"))
+    for q in quasi_cols:
+        cond = cond & F.col(f"c.{q}").eqNullSafe(F.col(f"v.{q}"))
     expanded = (
         classes.crossJoin(F.broadcast(glob))
-        .join(per_val, [*quasi_cols, "_v"], "left")
+        .alias("c")
+        .join(per_val.alias("v"), cond, "left")
+        .select(
+            *[F.col(f"c.{q}") for q in quasi_cols],
+            F.col("c.class_size"),
+            F.col("c._gv").alias("_gv"),
+            F.col("v._cv").alias("_cv"),
+        )
         .crossJoin(F.broadcast(total))
     )
     term = F.abs(

@@ -321,6 +321,23 @@ def parse_warc_contents(
     return df.select(F.col(content_col)).mapInArrow(batches, RECORD_SCHEMA)
 
 
+def _record_batch(urls, dates, types, bodies):
+    """One Arrow RecordBatch in RECORD_SCHEMA order — the single batch
+    builder every reader shares (read_warc_paths, the DataSource), so a
+    schema change has exactly one place to land."""
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(dates, pa.string()),
+            pa.array(types, pa.string()),
+            pa.array(bodies, pa.binary()),
+        ],
+        names=["url", "warc_date", "record_type", "html"],
+    )
+
+
 def read_warc_paths(
     spark: SparkSession,
     paths_df: DataFrame,
@@ -332,19 +349,6 @@ def read_warc_paths(
     ``records_per_batch`` records — peak memory is O(chunk + batch), not
     O(archive), so a 1 GB per-record-gzip CC file (~5 GB raw) parses in
     a normally-sized task."""
-    import pyarrow as pa
-
-    def flush(urls, dates, types, bodies):
-        return pa.RecordBatch.from_arrays(
-            [
-                pa.array(urls, pa.string()),
-                pa.array(dates, pa.string()),
-                pa.array(types, pa.string()),
-                pa.array(bodies, pa.binary()),
-            ],
-            names=["url", "warc_date", "record_type", "html"],
-        )
-
     def batches(it):
         for b in it:
             for path in b.column(0).to_pylist():
@@ -356,10 +360,10 @@ def read_warc_paths(
                         types.append(rtype)
                         bodies.append(body)
                         if len(urls) >= records_per_batch:
-                            yield flush(urls, dates, types, bodies)
+                            yield _record_batch(urls, dates, types, bodies)
                             urls, dates, types, bodies = [], [], [], []
                 if urls:
-                    yield flush(urls, dates, types, bodies)
+                    yield _record_batch(urls, dates, types, bodies)
 
     return paths_df.select(F.col(path_col)).mapInArrow(batches, RECORD_SCHEMA)
 
@@ -584,19 +588,6 @@ class _WarcReader(DataSourceReader):
         return [InputPartition(p) for p in paths]
 
     def read(self, partition):
-        import pyarrow as pa
-
-        def flush(urls, dates, types, bodies):
-            return pa.RecordBatch.from_arrays(
-                [
-                    pa.array(urls, pa.string()),
-                    pa.array(dates, pa.string()),
-                    pa.array(types, pa.string()),
-                    pa.array(bodies, pa.binary()),
-                ],
-                names=["url", "warc_date", "record_type", "html"],
-            )
-
         urls, dates, types, bodies = [], [], [], []
         with open(partition.value, "rb") as f:
             for url, date, rtype, body in stream_warc_records(f):
@@ -605,10 +596,10 @@ class _WarcReader(DataSourceReader):
                 types.append(rtype)
                 bodies.append(body)
                 if len(urls) >= self._batch:
-                    yield flush(urls, dates, types, bodies)
+                    yield _record_batch(urls, dates, types, bodies)
                     urls, dates, types, bodies = [], [], [], []
         if urls:
-            yield flush(urls, dates, types, bodies)
+            yield _record_batch(urls, dates, types, bodies)
 
 
 def register_warc_source(spark: SparkSession) -> None:

@@ -292,3 +292,29 @@ def test_t_closeness_deviation_vs_global(spark):
     # 0.5*(|1/3-1/2| + |2/3-1/2|) = 1/6
     assert out["b"].tvd_micro == round(1e6 / 6)
     assert out["b"].t_close  # 166667 <= 200000
+
+
+def test_t_closeness_null_sensitive_and_quasi(spark):
+    from pdf_to_epub_spark.operators.privacy import t_closeness_audit
+
+    # NULL is a real sensitive category and a real quasi cell: a class
+    # matching the global x/NULL 50:50 split must be exactly t-close 0
+    rows = [("a", "x"), ("a", None), ("a", "x"), ("a", None),
+            (None, "x"), (None, None)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {r.g: r for r in t_closeness_audit(df, ["g"], "v", t=0.2).collect()}
+    assert out["a"].tvd_micro == 0 and out["a"].t_close
+    # NULL-quasi class (50/50 too) must also resolve, not orphan
+    assert out[None].tvd_micro == 0 and out[None].t_close
+
+
+def test_wordpiece_repeated_symbol_counts_word_once(spark):
+    from pdf_to_epub_spark.operators import wordpiece_encode_symbols
+
+    # 'letter' with a char-only vocab -> ##t appears twice in ONE word:
+    # occurrences = 2, n_words = 1 (countDistinct)
+    vocab = ["l", "##e", "##t", "##r"]
+    df = spark.createDataFrame([("letter",)], "text string")
+    out = {r.symbol: r for r in wordpiece_encode_symbols(df, vocab).collect()}
+    assert out["##t"].occurrences == 2 and out["##t"].n_words == 1
+    assert out["##e"].occurrences == 2 and out["##e"].n_words == 1
