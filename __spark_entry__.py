@@ -1837,17 +1837,21 @@ _WP_CHARS = "abcdefghijklmnopqrstuvwxyz" + "".join(
 def _q_wordpiece_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece greedy longest-match encode
     (textstats.wordpiece_encode_symbols) under a deterministic demo
-    vocabulary — top-32 corpus words (a bounded 32-row model-fit
+    vocabulary — top-8 corpus words (a bounded 8-row model-fit
     collect, the package's IVF/LM precedent) plus the tokenizer
-    alphabet as start+##-continuation pieces; symbol table mirrors the
-    BPE encoder's shape so the families compare directly."""
+    alphabet as start+##-continuation pieces: most corpus words fall
+    OUTSIDE the top-8 and segment char-by-char through the greedy loop
+    (a top-k covering the whole vocabulary would make every encode a
+    single piece and the oracle check vacuous — review finding);
+    symbol table mirrors the BPE encoder's shape so the families
+    compare directly."""
     from pdf_to_epub_spark.operators import build_vocab
     from pdf_to_epub_spark.operators.textstats import (
         wordpiece_encode_symbols,
     )
 
     d = _t(spark, sf_dir, "documents").select("text")
-    top = [r.word for r in build_vocab(d, k=32).collect()]
+    top = [r.word for r in build_vocab(d, k=8).collect()]
     vocab = sorted(
         set(top)
         | set(_WP_CHARS)
@@ -9174,7 +9178,7 @@ def _wordpiece_symbols_oracle() -> str | None:
             w
             for w, _ in sorted(
                 vocab.items(), key=lambda kv: (-kv[1], kv[0])
-            )[:32]
+            )[:8]
         ]
         pieces = set(top) | set(chars) | {"##" + ch for ch in chars}
 
