@@ -1887,6 +1887,17 @@ def _q_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_independence(d, "lang", "source")
 
 
+def _q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size (evaluate.cramers_v) over the same
+    lang × source contingency as chi2_lang_source — the strength
+    companion to the significance test; one identically-associated
+    float chain over exact-integer inputs."""
+    from pdf_to_epub_spark.operators.evaluate import cramers_v
+
+    d = _t(spark, sf_dir, "documents").select("lang", "source")
+    return cramers_v(d, "lang", "source")
+
+
 def _q_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-interaction MaxSim retrieval (similarity.colbert_maxsim):
     labels 0-1 play query token bags, every label a document bag;
@@ -6619,6 +6630,39 @@ def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 VariantType open-schema extraction (analytics.
+    variant_fields): deterministically constructed nested JSON (an
+    injected-corrupt residue every 11th event) parsed ONCE into the
+    Variant encoding, fields read with typed paths incl. nested object
+    and array index, per-row schema_of_variant as the drift audit;
+    the construction oracle replays every field arithmetically and the
+    valid-row schema string is a construction-known literal."""
+    from pdf_to_epub_spark.operators.analytics import variant_fields
+
+    e = _t(spark, sf_dir, "events").select("event_id")
+    i = F.col("event_id")
+    js = F.concat(
+        F.lit('{"k": '), (i % 100).cast("string"),
+        F.lit(', "meta": {"lang": "l'), (i % 5).cast("string"),
+        F.lit('", "score": '), (i % 7).cast("string"),
+        F.lit('}, "tags": ["t'), (i % 3).cast("string"),
+        F.lit('", "x"]}'),
+    )
+    props = F.when(i % 11 == 0, F.lit('{"k": bad')).otherwise(js)
+    return variant_fields(
+        e.select("event_id", props.alias("props")),
+        "props",
+        {
+            "k": ("$.k", "bigint"),
+            "lang": ("$.meta.lang", "string"),
+            "score": ("$.meta.score", "bigint"),
+            "tag1": ("$.tags[1]", "string"),
+        },
+        keep=("event_id",),
+    )
+
+
 def _q_count_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point detection (analytics.count_cusum) on the daily
     event-count series — exact integer statistic, earliest-day
@@ -8154,6 +8198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_lifespan": _q_url_lifespan,
         "latency_bands": _q_latency_bands,
         "json_props": _q_json_props,
+        "variant_props": _q_variant_props,
         "count_cusum": _q_count_cusum,
         "domain_churn": _q_domain_churn,
         "threshold_for_rate": _q_threshold_for_rate,
@@ -8212,6 +8257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_arpa_table": _q_kn_arpa_table,
         "quantile_normalize": _q_quantile_normalize,
         "chi2_lang_source": _q_chi2_lang_source,
+        "cramers_v": _q_cramers_v,
         "colbert_maxsim": _q_colbert_maxsim,
         "luhn_card_audit": _q_luhn_card_audit,
         "text_reuse_spans": _q_text_reuse_spans,
@@ -11630,6 +11676,27 @@ def oracle_sql() -> dict[str, str]:
                    (event_id % 7 <> 0) AS is_valid
             FROM events
         """,
+        # Variant construction replay: every field is arithmetic on
+        # event_id; the valid-row variant schema is the construction-
+        # known literal Spark's schema_of_variant emits.
+        "variant_props": """
+            SELECT event_id,
+                   CASE WHEN event_id % 11 = 0 THEN NULL
+                        ELSE event_id % 100 END::BIGINT AS k,
+                   CASE WHEN event_id % 11 = 0 THEN NULL
+                        ELSE 'l' || CAST(event_id % 5 AS VARCHAR)
+                   END AS lang,
+                   CASE WHEN event_id % 11 = 0 THEN NULL
+                        ELSE event_id % 7 END::BIGINT AS score,
+                   CASE WHEN event_id % 11 = 0 THEN NULL
+                        ELSE 'x' END AS tag1,
+                   CASE WHEN event_id % 11 = 0 THEN NULL
+                        ELSE 'OBJECT<k: BIGINT, meta: OBJECT<lang: STRING, '
+                             || 'score: BIGINT>, tags: ARRAY<STRING>>'
+                   END AS variant_schema,
+                   (event_id % 11 = 0) AS corrupt
+            FROM events
+        """,
         "count_cusum": """
             WITH per AS (
                 SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400
@@ -13727,6 +13794,43 @@ def oracle_sql() -> dict[str, str]:
                     * (count(DISTINCT b) - 1))::BIGINT AS dof,
                    sum(t)::BIGINT AS chi2_nano
             FROM cells
+        """,
+        # chi2 chain + the V tail: round(sqrt((chi2/1e9)/(n*m))*1e6).
+        "cramers_v": """
+            WITH obs AS (SELECT lang AS a, source AS b,
+                                count(*)::HUGEINT AS o
+                         FROM documents
+                         WHERE lang IS NOT NULL AND source IS NOT NULL
+                         GROUP BY 1, 2),
+            ra AS (SELECT a, sum(o)::HUGEINT AS ra FROM obs GROUP BY 1),
+            cb AS (SELECT b, sum(o)::HUGEINT AS cb FROM obs GROUP BY 1),
+            nn AS (SELECT sum(o)::HUGEINT AS n FROM obs),
+            grid AS (SELECT ra.a, cb.b, coalesce(obs.o, 0)::HUGEINT AS o,
+                            ra.ra, cb.cb, nn.n
+                     FROM ra CROSS JOIN cb
+                     LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b
+                     CROSS JOIN nn),
+            cells AS (SELECT a, b, n,
+                             CAST(round(((o * n - ra * cb)::DOUBLE
+                                         * (o * n - ra * cb)::DOUBLE
+                                         / ((n * ra * cb)::DOUBLE))
+                                        * 1000000000, 0) AS BIGINT) AS t
+                      FROM grid),
+            agg AS (SELECT max(n)::BIGINT AS n,
+                           count(DISTINCT a)::BIGINT AS a_levels,
+                           count(DISTINCT b)::BIGINT AS b_levels,
+                           sum(t)::BIGINT AS chi2_nano
+                    FROM cells)
+            SELECT n, a_levels, b_levels,
+                   ((a_levels - 1) * (b_levels - 1))::BIGINT AS dof,
+                   chi2_nano,
+                   CASE WHEN least(a_levels - 1, b_levels - 1) > 0 THEN
+                       CAST(round(sqrt((chi2_nano::DOUBLE / 1e9)
+                                       / (n * least(a_levels - 1,
+                                                    b_levels - 1))::DOUBLE)
+                                  * 1e6, 0) AS BIGINT)
+                   END AS v_micro
+            FROM agg
         """,
         # similarity.colbert_maxsim term for term: micro-unit cosines,
         # max per (query token, doc), integer sum per (query, doc).

@@ -643,3 +643,41 @@ def session_paths(
         .orderBy(F.desc("n_users"), F.asc("path"))
         .limit(top)
     )
+
+
+def variant_fields(
+    df: DataFrame,
+    json_col: str = "props",
+    fields: dict | None = None,
+    keep: tuple = (),
+) -> DataFrame:
+    """OPEN-SCHEMA semi-structured extraction via Spark 4's VariantType —
+    the complement of :func:`extract_json_field` (which declares a
+    one-field struct schema up front): ``try_parse_json`` ingests
+    arbitrary nested JSON once into the binary Variant encoding, then
+    each requested field is one typed ``try_variant_get`` path
+    (``$.a.b``, ``$.tags[1]`` …) — no schema declaration, late binding
+    per field, NULL on type mismatch instead of a task error.
+
+    ``fields`` maps output name → ``(variant_path, sql_type)``.  Two
+    audit columns ride along: ``variant_schema``
+    (``schema_of_variant`` — the per-row inferred shape, the drift
+    signal for open-schema feeds) and ``corrupt`` (unparseable JSON:
+    ``try_parse_json`` returns NULL where ``parse_json`` would kill
+    the task).
+
+    Scale: all JVM-side expression work (variant encode once, then
+    per-field binary path reads) — no UDF, no second JSON parse per
+    field, unlike chained ``get_json_object`` calls."""
+    fields = fields or {"k": ("$.k", "bigint")}
+    v = F.try_parse_json(F.col(json_col))
+    cols = [F.col(c) for c in keep]
+    cols += [
+        F.try_variant_get(v, path, sql_type).alias(name)
+        for name, (path, sql_type) in fields.items()
+    ]
+    cols += [
+        F.schema_of_variant(v).alias("variant_schema"),
+        v.isNull().alias("corrupt"),
+    ]
+    return df.select(*cols)

@@ -1135,3 +1135,34 @@ def chi2_independence(
         ((F.col("_al") - 1) * (F.col("_bl") - 1)).cast("long").alias("dof"),
         F.col("chi2_nano").cast("long").alias("chi2_nano"),
     )
+
+
+def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cramér's V effect size on top of :func:`chi2_independence` —
+    the companion a significance test needs at corpus scale, where N is
+    so large that EVERY association is "significant": V = sqrt(chi2 /
+    (N·min(a−1, b−1))) ∈ [0, 1] measures strength, not detectability.
+
+    One float chain over the exact integer inputs (chi2_nano, n, the
+    min dof), identically associated in the SQL oracle:
+    ``round(sqrt((chi2_nano/1e9) / (n·m)) · 1e6)`` micro-units.  Same
+    single-pass plan as the chi-square (this just appends algebra to
+    its one-row output)."""
+    base = chi2_independence(df, a_col, b_col)
+    m = F.least(F.col("a_levels") - 1, F.col("b_levels") - 1)
+    v = F.round(
+        F.sqrt(
+            (F.col("chi2_nano").cast("double") / F.lit(1e9))
+            / (F.col("n") * m).cast("double")
+        )
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    return base.select(
+        "n",
+        "a_levels",
+        "b_levels",
+        "dof",
+        "chi2_nano",
+        F.when(m > 0, v).alias("v_micro"),
+    )

@@ -318,3 +318,60 @@ def test_wordpiece_repeated_symbol_counts_word_once(spark):
     out = {r.symbol: r for r in wordpiece_encode_symbols(df, vocab).collect()}
     assert out["##t"].occurrences == 2 and out["##t"].n_words == 1
     assert out["##e"].occurrences == 2 and out["##e"].n_words == 1
+
+
+def test_variant_fields_open_schema(spark):
+    from pdf_to_epub_spark.operators.analytics import variant_fields
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 7, "meta": {"lang": "en"}, "tags": ["a", "b"]}'),
+            (2, '{"k": bad'),                 # corrupt
+            (3, '{"meta": {"lang": "fr"}}'),  # valid, fields missing
+            (4, '{"k": "not-an-int"}'),       # type mismatch -> NULL
+        ],
+        "id int, props string",
+    )
+    out = {
+        r.id: r
+        for r in variant_fields(
+            df,
+            "props",
+            {
+                "k": ("$.k", "bigint"),
+                "lang": ("$.meta.lang", "string"),
+                "tag1": ("$.tags[1]", "string"),
+            },
+            keep=("id",),
+        ).collect()
+    }
+    assert out[1].k == 7 and out[1].lang == "en" and out[1].tag1 == "b"
+    assert out[2].corrupt and out[2].variant_schema is None
+    # corrupt vs valid-but-missing stay distinguishable
+    assert not out[3].corrupt and out[3].k is None and out[3].lang == "fr"
+    assert "meta" in out[3].variant_schema
+    # try_variant_get: type mismatch is NULL, not an error
+    assert not out[4].corrupt and out[4].k is None
+
+
+def test_cramers_v_extremes(spark):
+    from pdf_to_epub_spark.operators.evaluate import cramers_v
+
+    # perfect association: b == a -> V = 1
+    df = spark.createDataFrame(
+        [(x, x) for x in ["p", "q", "r"] * 10], "a string, b string"
+    )
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert r.v_micro == 1_000_000
+    # independence: uniform product grid -> chi2 = 0 -> V = 0
+    df2 = spark.createDataFrame(
+        [(x, y) for x in ["p", "q"] for y in ["u", "v"] for _ in range(5)],
+        "a string, b string",
+    )
+    r2 = cramers_v(df2, "a", "b").collect()[0]
+    assert r2.chi2_nano == 0 and r2.v_micro == 0
+    # degenerate single-level factor -> NULL V (m = 0)
+    df3 = spark.createDataFrame(
+        [("p", y) for y in ["u", "v"] * 5], "a string, b string"
+    )
+    assert cramers_v(df3, "a", "b").collect()[0].v_micro is None
