@@ -6630,6 +6630,29 @@ def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pseudonymize_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PII pseudonymization (textstats.pseudonymize_pii):
+    emails/IPs injected arithmetically into each doc (shared across
+    docs mod 50/7 so cross-doc token stability is exercised, one
+    duplicated in-doc), replaced by stable salted-md5 tokens via the
+    longest-first literal-replace fold; oracle replays the fold with
+    DuckDB list_reduce over the same struct-sorted match list."""
+    from pdf_to_epub_spark.operators.textstats import pseudonymize_pii
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    injected = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact u"), (i % 50).cast("string"),
+        F.lit("@ex"), (i % 7).cast("string"),
+        F.lit(".com or u"), (i % 50).cast("string"),
+        F.lit("@ex"), (i % 7).cast("string"),
+        F.lit(".com from 10.0."), (i % 200).cast("string"),
+        F.lit("."), (i % 250).cast("string"),
+    )
+    return pseudonymize_pii(d.select("doc_id", injected.alias("text")))
+
+
 def _q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-4 VariantType open-schema extraction (analytics.
     variant_fields): deterministically constructed nested JSON (an
@@ -8125,6 +8148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess": _q_lang_guess,
         "doc_fingerprints": _q_doc_fingerprints,
         "pii_scrub": _q_pii_scrub,
+        "pseudonymize_pii": _q_pseudonymize_pii,
         "gopher_quality": _q_gopher_quality,
         "quality_gate": _q_quality_gate,
         "repetition_signals": _q_repetition_signals,
@@ -9965,6 +9989,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_email::BIGINT AS n_email, n_ip::BIGINT AS n_ip,
                    n_phone::BIGINT AS n_phone, md5(text) AS clean_md5
             FROM s3
+        """,
+        # Pseudonymization replay: inject the same emails/ip, then per
+        # class sort distinct matches (length desc, value asc) via
+        # struct sort and fold literal replaces with list_reduce
+        # (list_prepend makes the text the fold init).
+        "pseudonymize_pii": r"""
+            WITH inj AS (
+                SELECT doc_id,
+                       coalesce(text, '')
+                       || ' contact u' || CAST(doc_id % 50 AS VARCHAR)
+                       || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.com or u' || CAST(doc_id % 50 AS VARCHAR)
+                       || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.com from 10.0.'
+                       || CAST(doc_id % 200 AS VARCHAR)
+                       || '.' || CAST(doc_id % 250 AS VARCHAR) AS text
+                FROM documents),
+            em AS (
+                SELECT doc_id, text,
+                       list_transform(
+                           list_sort(list_transform(
+                               list_distinct(regexp_extract_all(text,
+                                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')),
+                               m -> {'l': -length(m), 'v': m})),
+                           st -> st.v) AS ms
+                FROM inj),
+            em2 AS (
+                SELECT doc_id, len(ms)::BIGINT AS n_email_ids,
+                       list_reduce(
+                           list_prepend(text, ms),
+                           (acc, m) -> replace(acc, m,
+                               '<EMAIL:' || substr(md5('pii:' || m), 1, 12)
+                               || '>')) AS text
+                FROM em),
+            ip AS (
+                SELECT doc_id, n_email_ids, text,
+                       list_transform(
+                           list_sort(list_transform(
+                               list_distinct(regexp_extract_all(text,
+                                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')),
+                               m -> {'l': -length(m), 'v': m})),
+                           st -> st.v) AS ms
+                FROM em2),
+            ip2 AS (
+                SELECT doc_id, n_email_ids, len(ms)::BIGINT AS n_ip_ids,
+                       list_reduce(
+                           list_prepend(text, ms),
+                           (acc, m) -> replace(acc, m,
+                               '<IP:' || substr(md5('pii:' || m), 1, 12)
+                               || '>')) AS text
+                FROM ip)
+            SELECT doc_id, n_email_ids, n_ip_ids, text AS pseudo_text
+            FROM ip2
         """,
         # Gopher §A1.1 rules recomputed relationally; ratios rounded to 4
         # in both engines, keep computed on the unrounded doubles.

@@ -2979,3 +2979,54 @@ def credit_card_hits(
         F.size(runs).alias("n_card_candidates"),
         valid.alias("n_cards_valid"),
     )
+
+
+def pseudonymize_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "pii",
+) -> DataFrame:
+    """Deterministic pseudonymization — the RELEASE-side alternative to
+    :func:`scrub_pii`'s blanket redaction: every email / IPv4 occurrence
+    is replaced by a STABLE per-value token
+    (``<EMAIL:1a2b3c4d5e6f>`` — salted-md5 prefix), so the same address
+    maps to the same token corpus-wide.  Joinability survives the
+    release (actor-level dedup, reply graphs, per-author statistics all
+    still work on tokens) while the raw identifier never appears —
+    exactly the trade k-anonymity-era literature calls pseudonymization
+    rather than anonymization, and why the l-diversity/t-closeness
+    audits still apply downstream.  Phone-shaped digit runs are NOT
+    pseudonymized
+    (scrub those): the pattern is too loose to define a stable identity.
+
+    Mechanics (all codegen column algebra, no UDF): per class the
+    DISTINCT matches from one ``regexp_extract_all`` are sorted
+    ``(length desc, value asc)`` and folded through literal
+    ``replace`` — longest-first so a match that is a substring of
+    another (``a@b.com`` inside ``xa@b.com``) can never corrupt the
+    longer one; literal replace so match text is never re-interpreted
+    as regex.  The fold is an ``aggregate`` lambda over the bounded
+    per-doc match array; the SQL oracle replays it with DuckDB
+    ``list_reduce`` over the same struct-sorted list."""
+    txt = F.col(text_col)
+    counts = []
+    for name, pat, _tok in PII_PATTERNS[:2]:  # email, ip — ordered
+        matches = F.array_sort(
+            F.array_distinct(F.regexp_extract_all(txt, F.lit(pat), 0)),
+            lambda a, b: F.when(F.length(a) > F.length(b), F.lit(-1))
+            .when(F.length(a) < F.length(b), F.lit(1))
+            .when(a < b, F.lit(-1))
+            .when(a > b, F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        token = lambda m, _n=name: F.concat(  # noqa: E731 — tight closure
+            F.lit("<" + _n.upper() + ":"),
+            F.substring(F.md5(F.concat(F.lit(salt + ":"), m)), 1, 12),
+            F.lit(">"),
+        )
+        txt = F.aggregate(
+            matches, txt, lambda acc, m: F.replace(acc, m, token(m))
+        )
+        counts.append(F.size(matches).alias(f"n_{name}_ids"))
+    return df.select(F.col(id_col), *counts, txt.alias("pseudo_text"))

@@ -375,3 +375,30 @@ def test_cramers_v_extremes(spark):
         [("p", y) for y in ["u", "v"] * 5], "a string, b string"
     )
     assert cramers_v(df3, "a", "b").collect()[0].v_micro is None
+
+
+def test_pseudonymize_pii_stable_and_substring_safe(spark):
+    from pdf_to_epub_spark.operators.textstats import pseudonymize_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and xa@b.com and a@b.com again, ip 10.0.0.1"),
+            (2, "a@b.com elsewhere"),
+            (3, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pseudonymize_pii(df).collect()}
+    import re
+
+    toks = re.findall(r"<EMAIL:[0-9a-f]{12}>", out[1].pseudo_text)
+    # three occurrences, two identities (a@b.com twice -> same token);
+    # xa@b.com (superstring) survived the longest-first fold intact
+    assert len(toks) == 3 and len(set(toks)) == 2
+    assert "a@b.com" not in out[1].pseudo_text
+    assert "10.0.0.1" not in out[1].pseudo_text and "<IP:" in out[1].pseudo_text
+    assert out[1].n_email_ids == 2 and out[1].n_ip_ids == 1
+    # cross-doc stability: same address -> same token
+    tok_a = re.findall(r"<EMAIL:[0-9a-f]{12}>", out[2].pseudo_text)[0]
+    assert tok_a in out[1].pseudo_text
+    assert out[3].pseudo_text == "no pii here" and out[3].n_email_ids == 0
