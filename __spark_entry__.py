@@ -7885,6 +7885,20 @@ def _q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t_closeness_audit(d, ["lang", "band"], "source", t=0.2)
 
 
+def _q_k_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization ladder (privacy.generalize_to_k): coarsen the
+    n_chars band (400·2^j, j ≤ 6) under (lang, source) until every
+    class reaches k=5 — all rungs' class tables in ONE groupBy via a
+    narrow width explode; rung audit + smallest satisfying width."""
+    from pdf_to_epub_spark.operators.privacy import generalize_to_k
+
+    d = _t(spark, sf_dir, "documents").select("lang", "source", "n_chars")
+    return generalize_to_k(
+        d, "n_chars", ["lang", "source"], k=5, base_width=400,
+        max_doublings=6,
+    )
+
+
 def _q_anchor_query_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retriever weak supervision (ir.anchor_query_pairs): every doc
     links to its decade-leader doc with a deterministic anchor phrase;
@@ -8443,6 +8457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quasi_suppression": _q_quasi_suppression,
         "diversity_audit": _q_diversity_audit,
         "t_closeness": _q_t_closeness,
+        "k_generalization": _q_k_generalization,
         "anchor_query_pairs": _q_anchor_query_pairs,
         "markdown_meta": _q_markdown_meta,
         "unidiff_stats": _q_unidiff_stats,
@@ -17271,6 +17286,32 @@ def oracle_sql() -> dict[str, str]:
                                   * (SELECT N FROM tot)::DOUBLE)
                                * 1e6) AS BIGINT) <= 200000) AS t_close
             FROM x GROUP BY lang, band, class_size
+        """,
+        # Generalization ladder: unnest widths, one class count per
+        # rung, argmin satisfying width via a scalar subquery.
+        "k_generalization": """
+            WITH w AS (
+                SELECT unnest([400, 800, 1600, 3200, 6400, 12800, 25600])
+                           AS width),
+            cls AS (
+                SELECT w.width, lang, source,
+                       coalesce(n_chars, 0) // w.width AS band,
+                       count(*)::BIGINT AS n
+                FROM documents CROSS JOIN w
+                GROUP BY 1, 2, 3, 4),
+            rungs AS (
+                SELECT width, count(*)::BIGINT AS n_classes,
+                       min(n)::BIGINT AS min_class_size
+                FROM cls GROUP BY 1),
+            best AS (
+                SELECT min(width) AS b FROM rungs
+                WHERE min_class_size >= 5)
+            SELECT r.width::INTEGER AS width, r.n_classes,
+                   r.min_class_size,
+                   (r.min_class_size >= 5) AS k_anonymous,
+                   coalesce(r.width = (SELECT b FROM best), FALSE)
+                       AS chosen
+            FROM rungs r
         """,
         # Suppression: quasi cells NULLed for rows in sub-k classes.
         "quasi_suppression": """

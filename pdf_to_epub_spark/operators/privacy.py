@@ -224,3 +224,60 @@ def suppress_small_classes(
             c, F.when(small, F.lit(None)).otherwise(F.col(c))
         )
     return out.withColumn("suppressed", small).drop("_class_size")
+
+
+def generalize_to_k(
+    df: DataFrame,
+    numeric_col: str,
+    quasi_cols: list[str],
+    k: int = 5,
+    base_width: int = 400,
+    max_doublings: int = 6,
+) -> DataFrame:
+    """Generalization ladder — the k-anonymity release move when cell
+    suppression (:func:`suppress_small_classes`) destroys too much: keep
+    COARSENING the numeric quasi-identifier (band width ``base·2^j``)
+    until every (quasi…, band) equivalence class reaches size ≥ k.
+    Returns the full rung audit ``(width, n_classes, min_class_size,
+    k_anonymous, chosen)`` — ``chosen`` marks the smallest satisfying
+    width, the release utility/privacy trade made explicit.
+
+    Scale shape: docs explode over the J+1 candidate widths (a narrow
+    literal-array generate, J ≤ ~10), so ALL rungs' class tables ride
+    ONE map-side-combined groupBy; the rung rollup and the argmin are
+    algebra on a ≤(J+1)-row table (broadcast join, no window)."""
+    widths = [int(base_width) * (2**j) for j in range(max_doublings + 1)]
+    cand = df.select(
+        *quasi_cols,
+        F.col(numeric_col).alias("_v"),
+        F.explode(F.array(*[F.lit(w) for w in widths])).alias("width"),
+    )
+    classes = (
+        cand.select(
+            *quasi_cols,
+            "width",
+            (F.coalesce(F.col("_v"), F.lit(0)) / F.col("width"))
+            .cast("long")
+            .alias("_band"),
+        )
+        .groupBy("width", *quasi_cols, "_band")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    rungs = classes.groupBy("width").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("_n").alias("min_class_size"),
+    )
+    best = rungs.where(F.col("min_class_size") >= k).agg(
+        F.min("width").alias("_best")
+    )
+    return (
+        rungs.crossJoin(F.broadcast(best))
+        .select(
+            "width",
+            "n_classes",
+            "min_class_size",
+            (F.col("min_class_size") >= k).alias("k_anonymous"),
+            (F.col("width") == F.col("_best")).alias("chosen"),
+        )
+        .withColumn("chosen", F.coalesce(F.col("chosen"), F.lit(False)))
+    )

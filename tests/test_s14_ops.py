@@ -402,3 +402,24 @@ def test_pseudonymize_pii_stable_and_substring_safe(spark):
     tok_a = re.findall(r"<EMAIL:[0-9a-f]{12}>", out[2].pseudo_text)[0]
     assert tok_a in out[1].pseudo_text
     assert out[3].pseudo_text == "no pii here" and out[3].n_email_ids == 0
+
+
+def test_generalize_to_k_picks_smallest_width(spark):
+    from pdf_to_epub_spark.operators.privacy import generalize_to_k
+
+    # 10 docs at v in [0,100) and 10 at [100,200): width 100 -> two
+    # classes of 10 (k=15 fails); width 200 -> one class of 20 (passes)
+    rows = [("a", float(v)) for v in list(range(0, 100, 10))
+            + list(range(100, 200, 10))]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.width: r for r in generalize_to_k(
+        df, "v", ["g"], k=15, base_width=100, max_doublings=2
+    ).collect()}
+    assert not out[100].k_anonymous and not out[100].chosen
+    assert out[200].k_anonymous and out[200].chosen
+    assert out[400].k_anonymous and not out[400].chosen  # not smallest
+    # unsatisfiable k: chosen false everywhere
+    out2 = generalize_to_k(
+        df, "v", ["g"], k=100, base_width=100, max_doublings=1
+    ).collect()
+    assert all(not r.chosen for r in out2)
