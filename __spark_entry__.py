@@ -9235,9 +9235,33 @@ def _bpe_merges_oracle(n_merges: int = 8, min_weight: int = 2) -> str | None:
     """
 
 
+# Shared lang×source chi-square CTE chain (obs→cells) — one definition
+# consumed by BOTH the chi2_lang_source and cramers_v oracles so the
+# cell-term association can never silently diverge between them.
+_CHI2_CELLS_SQL = """WITH obs AS (SELECT lang AS a, source AS b,
+                                count(*)::HUGEINT AS o
+                         FROM documents
+                         WHERE lang IS NOT NULL AND source IS NOT NULL
+                         GROUP BY 1, 2),
+            ra AS (SELECT a, sum(o)::HUGEINT AS ra FROM obs GROUP BY 1),
+            cb AS (SELECT b, sum(o)::HUGEINT AS cb FROM obs GROUP BY 1),
+            nn AS (SELECT sum(o)::HUGEINT AS n FROM obs),
+            grid AS (SELECT ra.a, cb.b, coalesce(obs.o, 0)::HUGEINT AS o,
+                            ra.ra, cb.cb, nn.n
+                     FROM ra CROSS JOIN cb
+                     LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b
+                     CROSS JOIN nn),
+            cells AS (SELECT a, b, n,
+                             CAST(round(((o * n - ra * cb)::DOUBLE
+                                         * (o * n - ra * cb)::DOUBLE
+                                         / ((n * ra * cb)::DOUBLE))
+                                        * 1000000000, 0) AS BIGINT) AS t
+                      FROM grid)"""
+
+
 def _wordpiece_symbols_oracle() -> str | None:
     """Independent pure-Python WordPiece replay (tokenize → weighted
-    word vocab → top-32+alphabet piece set → greedy longest-match with
+    word vocab → top-8+alphabet piece set → greedy longest-match with
     ## continuations → symbol rollup), inlined as a corpus-keyed VALUES
     table (key = total text length, the SF discriminator)."""
     import collections
@@ -13859,26 +13883,8 @@ def oracle_sql() -> dict[str, str]:
         # evaluate.chi2_independence replica: q and den exact HUGEINTs,
         # the cell term the identical double association
         # (q::D * q::D / den::D) * 1e9, nano-rounded then integer-summed.
-        "chi2_lang_source": """
-            WITH obs AS (SELECT lang AS a, source AS b,
-                                count(*)::HUGEINT AS o
-                         FROM documents
-                         WHERE lang IS NOT NULL AND source IS NOT NULL
-                         GROUP BY 1, 2),
-            ra AS (SELECT a, sum(o)::HUGEINT AS ra FROM obs GROUP BY 1),
-            cb AS (SELECT b, sum(o)::HUGEINT AS cb FROM obs GROUP BY 1),
-            nn AS (SELECT sum(o)::HUGEINT AS n FROM obs),
-            grid AS (SELECT ra.a, cb.b, coalesce(obs.o, 0)::HUGEINT AS o,
-                            ra.ra, cb.cb, nn.n
-                     FROM ra CROSS JOIN cb
-                     LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b
-                     CROSS JOIN nn),
-            cells AS (SELECT a, b, n,
-                             CAST(round(((o * n - ra * cb)::DOUBLE
-                                         * (o * n - ra * cb)::DOUBLE
-                                         / ((n * ra * cb)::DOUBLE))
-                                        * 1000000000, 0) AS BIGINT) AS t
-                      FROM grid)
+        "chi2_lang_source": f"""
+            {_CHI2_CELLS_SQL}
             SELECT max(n)::BIGINT AS n,
                    count(DISTINCT a)::BIGINT AS a_levels,
                    count(DISTINCT b)::BIGINT AS b_levels,
@@ -13888,26 +13894,8 @@ def oracle_sql() -> dict[str, str]:
             FROM cells
         """,
         # chi2 chain + the V tail: round(sqrt((chi2/1e9)/(n*m))*1e6).
-        "cramers_v": """
-            WITH obs AS (SELECT lang AS a, source AS b,
-                                count(*)::HUGEINT AS o
-                         FROM documents
-                         WHERE lang IS NOT NULL AND source IS NOT NULL
-                         GROUP BY 1, 2),
-            ra AS (SELECT a, sum(o)::HUGEINT AS ra FROM obs GROUP BY 1),
-            cb AS (SELECT b, sum(o)::HUGEINT AS cb FROM obs GROUP BY 1),
-            nn AS (SELECT sum(o)::HUGEINT AS n FROM obs),
-            grid AS (SELECT ra.a, cb.b, coalesce(obs.o, 0)::HUGEINT AS o,
-                            ra.ra, cb.cb, nn.n
-                     FROM ra CROSS JOIN cb
-                     LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b
-                     CROSS JOIN nn),
-            cells AS (SELECT a, b, n,
-                             CAST(round(((o * n - ra * cb)::DOUBLE
-                                         * (o * n - ra * cb)::DOUBLE
-                                         / ((n * ra * cb)::DOUBLE))
-                                        * 1000000000, 0) AS BIGINT) AS t
-                      FROM grid),
+        "cramers_v": f"""
+            {_CHI2_CELLS_SQL},
             agg AS (SELECT max(n)::BIGINT AS n,
                            count(DISTINCT a)::BIGINT AS a_levels,
                            count(DISTINCT b)::BIGINT AS b_levels,

@@ -662,9 +662,9 @@ def variant_fields(
     ``fields`` maps output name → ``(variant_path, sql_type)``.  Two
     audit columns ride along: ``variant_schema``
     (``schema_of_variant`` — the per-row inferred shape, the drift
-    signal for open-schema feeds) and ``corrupt`` (unparseable JSON:
-    ``try_parse_json`` returns NULL where ``parse_json`` would kill
-    the task).
+    signal for open-schema feeds) and ``corrupt`` (a NON-NULL string
+    ``try_parse_json`` rejects — NULL input is absent, not corrupt;
+    ``parse_json`` would kill the task instead).
 
     Scale: all JVM-side expression work (variant encode once, then
     per-field binary path reads) — no UDF, no second JSON parse per
@@ -676,8 +676,11 @@ def variant_fields(
         F.try_variant_get(v, path, sql_type).alias(name)
         for name, (path, sql_type) in fields.items()
     ]
+    # NULL input is ABSENT, not corrupt — only a non-null string that
+    # try_parse_json rejects is malformed (the extract_json_field
+    # distinction; caught in review)
     cols += [
         F.schema_of_variant(v).alias("variant_schema"),
-        v.isNull().alias("corrupt"),
+        (F.col(json_col).isNotNull() & v.isNull()).alias("corrupt"),
     ]
     return df.select(*cols)

@@ -256,9 +256,11 @@ def generalize_to_k(
         cand.select(
             *quasi_cols,
             "width",
-            (F.coalesce(F.col("_v"), F.lit(0)) / F.col("width"))
-            .cast("long")
-            .alias("_band"),
+            # exact integer DIV (not double /-then-cast: a 64-bit id
+            # above 2^53 would band off-by-one vs the oracle's `//`)
+            F.expr("CAST(coalesce(_v, 0) AS BIGINT) DIV width").alias(
+                "_band"
+            ),
         )
         .groupBy("width", *quasi_cols, "_band")
         .agg(F.count(F.lit(1)).alias("_n"))

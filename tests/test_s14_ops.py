@@ -329,6 +329,7 @@ def test_variant_fields_open_schema(spark):
             (2, '{"k": bad'),                 # corrupt
             (3, '{"meta": {"lang": "fr"}}'),  # valid, fields missing
             (4, '{"k": "not-an-int"}'),       # type mismatch -> NULL
+            (5, None),                        # absent, NOT corrupt
         ],
         "id int, props string",
     )
@@ -352,6 +353,9 @@ def test_variant_fields_open_schema(spark):
     assert "meta" in out[3].variant_schema
     # try_variant_get: type mismatch is NULL, not an error
     assert not out[4].corrupt and out[4].k is None
+    # NULL input is absent, not corrupt (review finding)
+    assert not out[5].corrupt and out[5].k is None
+    assert out[5].variant_schema is None
 
 
 def test_cramers_v_extremes(spark):
