@@ -427,3 +427,49 @@ def test_generalize_to_k_picks_smallest_width(spark):
         df, "v", ["g"], k=100, base_width=100, max_doublings=1
     ).collect()
     assert all(not r.chosen for r in out2)
+
+
+def test_rank_correlations_plan_no_global_window(spark):
+    """Spearman's ranks must come from range-partitioned prefix sums —
+    the executed plan may contain the P-row offset lift's single
+    partition but NEVER a corpus-level single-partition window (the
+    global row_number trap the build_vocab rule bans)."""
+    from pdf_to_epub_spark.operators import rank_correlations
+
+    df = spark.createDataFrame(
+        [(float(i), float(i % 7)) for i in range(100)],
+        "a double, b double",
+    )
+    plan = (
+        rank_correlations(df, ("a", "b"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the per-partition running sum windows over the range-partition id
+    assert "hashpartitioning(_gs_pid" in plan, plan[:3000]
+    # no window partitioned by nothing over the VALUE rows: every
+    # row_number/sum window must name _gs_pid in its partition spec
+    import re as _re
+
+    for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert "_gs_pid" in spec or "_gp_pid" in spec, spec
+
+
+def test_readability_extract_plan_single_python_stage(spark):
+    """mode='readability' must keep the OCR/HTML modes' plan shape: one
+    Arrow-batched Python stage over the narrow binary projection — no
+    extra Exchange introduced by the container scoring (it is all
+    per-document Python, not a shuffle)."""
+    from pdf_to_epub_spark.operators import extract_html_documents
+
+    pages = spark.createDataFrame(
+        [("u://1", b"<html><body><div><p>"
+          b"A long enough paragraph, with commas, for scoring."
+          b"</p></div></body></html>", "en")],
+        "url string, html binary, lang string",
+    ).withColumn("warc_ts", F.to_timestamp(F.lit("2024-01-01")))
+    out = extract_html_documents(pages, salt_partitions=None,
+                                 mode="readability")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan[:3000]
+    assert "ArrowEvalPython" in plan or "MapInArrow" in plan, plan[:2000]
