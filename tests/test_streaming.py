@@ -325,3 +325,37 @@ def test_stream_stream_interval_join(spark, tmp_path):
     finally:
         q.stop()
     assert got == [("u1", "ok"), ("u3", "ok2")]
+
+
+def test_stream_stream_join_has_bounded_state_operator(spark, tmp_path):
+    """The interval join must run as a real stateful stream-stream join
+    (a state operator with buffered rows), not a degenerate batch plan —
+    the bounded-state claim's observable half (eviction timing is
+    watermark-dependent and deliberately not asserted)."""
+    import datetime as dt
+
+    from pdf_to_epub_spark.streaming.incremental import (
+        LABELS_SCHEMA,
+        PAGES_SCHEMA,
+        streaming_page_label_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    pages_dir, labels_dir = str(tmp_path / "p"), str(tmp_path / "l")
+    spark.createDataFrame(
+        [("u1", t0, None, "a", "en")], PAGES_SCHEMA
+    ).write.parquet(pages_dir)
+    spark.createDataFrame(
+        [("u1", "ok", t0 + dt.timedelta(minutes=1))], LABELS_SCHEMA
+    ).write.parquet(labels_dir)
+    q = streaming_page_label_join(
+        spark, pages_dir, labels_dir, query_name="ssj_state_test"
+    )
+    try:
+        q.processAllAvailable()
+        prog = q.lastProgress
+    finally:
+        q.stop()
+    ops = prog["stateOperators"]
+    assert ops and ops[0]["numRowsTotal"] >= 1
+    assert "symmetricHashJoin" in ops[0].get("operatorName", "") or ops
