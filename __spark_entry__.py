@@ -6877,7 +6877,7 @@ def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return bootstrap_ci(d, "n_chars", n_reps=32).select(
-        "n_rows", "n_reps", "mean", "ci_lo", "ci_hi"
+        "n_rows", "n_reps_effective", "mean", "ci_lo", "ci_hi"
     )
 
 
@@ -12095,14 +12095,15 @@ def oracle_sql() -> dict[str, str]:
             ci AS (
                 SELECT round(quantile_cont(m, 0.025), 6)::DOUBLE AS ci_lo,
                        round(quantile_cont(m, 0.975), 6)::DOUBLE AS ci_hi,
-                       count(*)::INT AS n_reps
+                       count(*)::INT AS n_reps_effective
                 FROM mm),
             f AS (
                 SELECT count(*) AS n_rows,
                        round(sum(n_chars)::DOUBLE / count(*)::DOUBLE, 6)
                            ::DOUBLE AS mean
                 FROM documents)
-            SELECT n_rows::BIGINT AS n_rows, n_reps, mean, ci_lo, ci_hi
+            SELECT n_rows::BIGINT AS n_rows, n_reps_effective,
+                   mean, ci_lo, ci_hi
             FROM f, ci
         """,
         # Paired bootstrap: same weight ladder over the per-doc DELTA
@@ -12145,14 +12146,14 @@ def oracle_sql() -> dict[str, str]:
                        round(quantile_cont(m, 0.975), 6)::DOUBLE AS ci_hi,
                        round(avg(CASE WHEN m > 0 THEN 1.0 ELSE 0.0 END),
                              6)::DOUBLE AS win_rate,
-                       count(*)::INT AS n_reps
+                       count(*)::INT AS n_reps_effective
                 FROM mm),
             f AS (
                 SELECT count(*) AS n_rows,
                        round(sum(d)::DOUBLE / (1e6 * count(*)::DOUBLE), 6)
                            ::DOUBLE AS mean_delta
                 FROM base)
-            SELECT n_rows::BIGINT AS n_rows, n_reps, mean_delta,
+            SELECT n_rows::BIGINT AS n_rows, n_reps_effective, mean_delta,
                    ci_lo, ci_hi, win_rate
             FROM f, ci
         """,

@@ -256,11 +256,16 @@ def generalize_to_k(
         cand.select(
             *quasi_cols,
             "width",
-            # exact integer DIV (not double /-then-cast: a 64-bit id
-            # above 2^53 would band off-by-one vs the oracle's `//`)
-            F.expr("CAST(coalesce(_v, 0) AS BIGINT) DIV width").alias(
-                "_band"
-            ),
+            # exact integer FLOOR division (not double /-then-cast: a
+            # 64-bit id above 2^53 would band off-by-one vs the
+            # oracle's `//`; and not bare DIV: Spark DIV truncates
+            # toward zero, so negative values in (-width, 0) would
+            # merge into band 0 instead of band -1 like DuckDB's `//`)
+            F.expr(
+                "CAST(coalesce(_v, 0) AS BIGINT) DIV width"
+                " - (CASE WHEN CAST(coalesce(_v, 0) AS BIGINT) % width"
+                "          < 0 THEN 1 ELSE 0 END)"
+            ).alias("_band"),
         )
         .groupBy("width", *quasi_cols, "_band")
         .agg(F.count(F.lit(1)).alias("_n"))

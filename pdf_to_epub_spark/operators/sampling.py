@@ -1109,8 +1109,13 @@ def bootstrap_ci(
     (they carry no metric; keeping them would bias replicate means low
     through their weights).
 
-    Returns one row: ``(n_rows, n_reps, mean, ci_lo, ci_hi)`` at the
-    ``alpha/2 .. 1-alpha/2`` percentiles, 6 dp.
+    Returns one row: ``(n_rows, n_reps_effective, mean, ci_lo, ci_hi)``
+    at the ``alpha/2 .. 1-alpha/2`` percentiles, 6 dp.
+    ``n_reps_effective`` counts replicates that drew at least one
+    nonzero Poisson weight (the ``_w > 0`` filter) — on any non-tiny
+    input it equals the requested ``n_reps``, but a handful of rows can
+    drop all-zero replicates, and the column name says so rather than
+    silently shadowing the parameter.
     """
     lo_q = round(alpha / 2.0, 12)
     hi_q = round(1.0 - alpha / 2.0, 12)
@@ -1156,7 +1161,7 @@ def bootstrap_ci(
     ci = reps.agg(
         F.round(F.expr(f"percentile(m, {lo_q})"), 6).alias("ci_lo"),
         F.round(F.expr(f"percentile(m, {hi_q})"), 6).alias("ci_hi"),
-        F.count(F.lit(1)).cast("int").alias("n_reps"),
+        F.count(F.lit(1)).cast("int").alias("n_reps_effective"),
     )
     full = df.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -1167,7 +1172,7 @@ def bootstrap_ci(
         ).alias("mean"),
     )
     return full.crossJoin(F.broadcast(ci)).select(
-        "n_rows", "n_reps", "mean", "ci_lo", "ci_hi"
+        "n_rows", "n_reps_effective", "mean", "ci_lo", "ci_hi"
     )
 
 
@@ -1239,7 +1244,9 @@ def paired_bootstrap(
     half-away micro-quantized so every replicate sum is an exact
     integer, doubles only at the final per-replicate division and the
     6-dp outputs.  Rows where either metric is NULL are dropped (no
-    pair, no delta)."""
+    pair, no delta).  The output ``n_reps_effective`` counts replicates
+    surviving the all-zero-weight filter (see :func:`bootstrap_ci`) —
+    equal to the requested ``n_reps`` except on tiny inputs."""
     lo_q = round(alpha / 2.0, 12)
     hi_q = round(1.0 - alpha / 2.0, 12)
     delta = (
@@ -1290,7 +1297,7 @@ def paired_bootstrap(
         F.round(
             F.avg(F.when(F.col("m") > 0, 1.0).otherwise(0.0)), 6
         ).alias("win_rate"),
-        F.count(F.lit(1)).cast("int").alias("n_reps"),
+        F.count(F.lit(1)).cast("int").alias("n_reps_effective"),
     )
     full = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -1301,7 +1308,12 @@ def paired_bootstrap(
         ).alias("mean_delta"),
     )
     return full.crossJoin(F.broadcast(ci)).select(
-        "n_rows", "n_reps", "mean_delta", "ci_lo", "ci_hi", "win_rate"
+        "n_rows",
+        "n_reps_effective",
+        "mean_delta",
+        "ci_lo",
+        "ci_hi",
+        "win_rate",
     )
 
 

@@ -2474,8 +2474,17 @@ def rank_correlations(
     nothing).  Rows then map through one value-keyed join per signal
     (value-level maps, far smaller than the corpus; broadcast left to
     optimizer stats) and the shared exact-decimal Pearson aggregate
-    finishes.  NULL signal values drop their row (a NULL has no rank) —
-    coalesce upstream if absence is meaningful."""
+    finishes.  NULL handling: ranks are assigned per signal over that
+    signal's FULL non-null value set, but each pairwise Pearson runs
+    only on rows where BOTH signals are non-null — so when signals have
+    different NULL sets, the ranks entering a pair are a (possibly
+    non-contiguous) subset of that signal's 1..n ranking rather than a
+    fresh listwise re-ranking (a "Spearman over marginal ranks"
+    estimator, not textbook listwise-complete Spearman).  The two
+    coincide exactly when all signals share the same NULL rows — the
+    common case, and the shape every oracled query here feeds.  For
+    listwise-complete semantics, ``df.na.drop(subset=signal_cols)``
+    upstream; coalesce upstream if absence is meaningful."""
     from .bucketing import global_prefix_sums
 
     cols = list(signal_cols)

@@ -28,6 +28,7 @@ from __future__ import annotations
 import gzip
 import hashlib
 import io
+import re
 from typing import Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -555,7 +556,17 @@ class WarcDataSource(DataSource):
     This wraps the SAME parser the oracled `warc_roundtrip` query
     hash-checks; the DataSource layer adds only planning + batching,
     pinned by the round-trip equality test against
-    :func:`read_warc_paths` (tests/test_warc.py)."""
+    :func:`read_warc_paths` (tests/test_warc.py).
+
+    Filesystem scope: partitions are planned with driver-side
+    ``glob.glob`` and read with executor-side ``open()``, so driver and
+    executors MUST share a posix filesystem (local mode, or a cluster
+    with the archives on NFS/a shared mount).  URI-scheme paths
+    (``hdfs://``, ``s3a://``, …) are rejected at planning time rather
+    than failing task-side with a confusing ``FileNotFoundError`` —
+    for object-store crawls, distribute the paths as a DataFrame and
+    use :func:`read_warc_paths` over a Hadoop-FS-mounted path, or
+    localize the archives first."""
 
     @classmethod
     def name(cls) -> str:
@@ -576,6 +587,17 @@ class _WarcReader(DataSourceReader):
         self._batch = int(options.get("records_per_batch", 256))
         if not self._path:
             raise ValueError("warc datasource requires a load(path)")
+        scheme = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", self._path)
+        if scheme and scheme.group(1).lower() != "file":
+            raise ValueError(
+                "warc datasource plans with driver-side glob and reads "
+                "with executor-side open(), so it requires a shared "
+                f"posix filesystem; got URI scheme {scheme.group(1)!r}. "
+                "For object stores, localize the archives or use "
+                "read_warc_paths over a mounted path."
+            )
+        if self._path.lower().startswith("file://"):
+            self._path = self._path[len("file://") :]
 
     def partitions(self):
         import glob as _glob

@@ -1374,7 +1374,7 @@ def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
     a = bootstrap_ci(df, "v", n_reps=32).collect()[0]
     b = bootstrap_ci(df, "v", n_reps=32).collect()[0]
     assert a == b                       # hash-seeded: fully reproducible
-    assert a["n_rows"] == 500 and a["n_reps"] == 32
+    assert a["n_rows"] == 500 and a["n_reps_effective"] == 32
     assert a["ci_lo"] <= a["mean"] <= a["ci_hi"]
     # interval is tight for 500 rows of a ~±25 spread
     assert a["ci_hi"] - a["ci_lo"] < 10

@@ -429,6 +429,29 @@ def test_generalize_to_k_picks_smallest_width(spark):
     assert all(not r.chosen for r in out2)
 
 
+def test_generalize_to_k_floor_bands_negative_values(spark):
+    """Banding must FLOOR-divide like the DuckDB oracle's `//`, not
+    truncate toward zero: values in (-width, 0) belong to band -1, so
+    they must NOT merge with [0, width)'s band 0."""
+    from pdf_to_epub_spark.operators.privacy import generalize_to_k
+
+    # 5 docs at v=-50 (band -1) and 5 at v=50 (band 0), width 100.
+    # Floor semantics: two classes of 5 -> k=6 fails, k=5 passes.
+    # Truncation would merge everything into band 0 (one class of 10),
+    # wrongly satisfying k=6.
+    rows = [("a", -50.0)] * 5 + [("a", 50.0)] * 5
+    df = spark.createDataFrame(rows, "g string, v double")
+    r6 = generalize_to_k(
+        df, "v", ["g"], k=6, base_width=100, max_doublings=0
+    ).collect()[0]
+    assert r6.n_classes == 2 and r6.min_class_size == 5
+    assert not r6.k_anonymous
+    r5 = generalize_to_k(
+        df, "v", ["g"], k=5, base_width=100, max_doublings=0
+    ).collect()[0]
+    assert r5.k_anonymous and r5.chosen
+
+
 def test_rank_correlations_plan_no_global_window(spark):
     """Spearman's ranks must come from range-partitioned prefix sums —
     the executed plan may contain the P-row offset lift's single

@@ -341,3 +341,20 @@ def test_warc_datasource_no_match_errors(spark, tmp_path):
     df = spark.read.format("warc").load(str(tmp_path / "nope-*.warc.gz"))
     with pytest.raises(Exception, match="no files match"):
         df.collect()
+
+
+def test_warc_datasource_rejects_remote_uri_schemes():
+    """Planning globs driver-side and reading opens executor-side, so
+    URI schemes (hdfs://, s3a://) must fail LOUDLY at planning time —
+    not task-side with a confusing FileNotFoundError."""
+    import pytest
+
+    from pdf_to_epub_spark.sources.warc import _WarcReader
+
+    with pytest.raises(ValueError, match="posix filesystem"):
+        _WarcReader({"path": "s3a://bucket/crawl/*.warc.gz"})
+    with pytest.raises(ValueError, match="posix filesystem"):
+        _WarcReader({"path": "hdfs://nn:8020/crawl/*.warc.gz"})
+    # file:// is local: accepted, scheme stripped for glob/open
+    r = _WarcReader({"path": "file:///tmp/x-*.warc.gz"})
+    assert r._path == "/tmp/x-*.warc.gz"
