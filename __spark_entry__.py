@@ -4379,6 +4379,25 @@ def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(d.unionByName(excerpts), k=5, threshold=0.8)
 
 
+def _q_containment_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-pressure audit for the capped containment default
+    (operators/dedup.py `containment_df_stats` — VERDICT r4 #1): every
+    doc gets one shared boilerplate sentence prepended (the cookie-banner
+    shape), so its 6 pure-template 5-shingles carry df = n_docs and the
+    max_df=50 cap must trip at BOTH driver scales.  One row: distinct
+    shingle count, hottest df, shingles over the cap, and the Σdf the
+    capped plan's hot-side shuffle would carry.  Oracle recomputes the
+    shingle document frequencies over string shingles (the hash-identity
+    distribution is the same up to ~2⁻⁶³ collisions)."""
+    from pdf_to_epub_spark.operators import containment_df_stats
+
+    tpl = "this site uses cookies to improve your browsing experience"
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit(tpl + " "), F.col("text")).alias("text")
+    )
+    return containment_df_stats(d, k=5, max_df=50)
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (operators/sampling.py `dsir_log_weights`,
     Xie et al. 2023): hashed unigram+bigram bucket distributions of the
@@ -8388,6 +8407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "dsir_weights": _q_dsir_weights,
         "containment_pairs": _q_containment_pairs,
+        "containment_df_stats": _q_containment_df_stats,
         "soft404_detect": _q_soft404,
         "corpus_mixture": _q_corpus_mixture,
         "dsir_resample": _q_dsir_resample,
@@ -15834,6 +15854,41 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             WHERE greatest(round(shared::DOUBLE / n_a, 4),
                            round(shared::DOUBLE / n_b, 4)) >= 0.8
+        """,
+        # Template-pressure audit: string-shingle document frequencies
+        # (the hash-identity df distribution up to ~2⁻⁶³ collisions),
+        # aggregated to the four audit numbers the capped containment
+        # plan needs.  Same shingling CASE as containment_pairs.
+        "containment_df_stats": """
+            WITH corpus AS (
+                SELECT doc_id,
+                       coalesce('this site uses cookies to improve '
+                                || 'your browsing experience ' || text,
+                                '') AS text
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                    CASE WHEN len(toks) >= 5 THEN
+                        list_distinct(list_transform(
+                            generate_series(1, len(toks) - 4),
+                            i -> array_to_string(
+                                     list_slice(toks, i, i + 4), ' ')))
+                    ELSE [array_to_string(toks, ' ')] END AS shingles
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(lower(text)),
+                                                   '\\s+') AS toks
+                      FROM corpus)
+            ),
+            inv AS (SELECT unnest(shingles) AS s FROM sh),
+            dfreq AS (SELECT s, count(*) AS df FROM inv GROUP BY s)
+            SELECT count(*)::BIGINT AS n_shingles,
+                   max(df)::BIGINT AS max_df_observed,
+                   coalesce(sum(CASE WHEN df > 50 THEN 1 ELSE 0 END),
+                            0)::BIGINT AS n_over_cap,
+                   coalesce(sum(CASE WHEN df > 50 THEN df ELSE 0 END),
+                            0)::BIGINT AS hot_occurrences
+            FROM dfreq
         """,
         # DSIR: hashed-feature buckets via the md5-60 arithmetic, add-one
         # smoothed log-ratio per bucket in integer micro-nats, doc-keyed

@@ -78,6 +78,18 @@ def drop_exact_duplicates(
 # Shingling + MinHash
 # --------------------------------------------------------------------------
 
+# Scale-safe default document-frequency cap for containment candidate
+# generation.  A shingle shared by d docs fans out ~(1-t)·d² candidate
+# pairs, so an UNCAPPED default is a quadratic blow-up on any
+# template-heavy web corpus (nav bars, cookie banners, license
+# boilerplate).  10⁴ keeps the worst per-shingle fan-out around
+# (1-t)·10⁸ hash-only join rows — bounded like `minhash`'s
+# max_bucket=4096 — while staying a no-op on corpora smaller than 10⁴
+# docs (df can never exceed the doc count, so small-scale results are
+# bit-identical to exact).  Audit with :func:`containment_df_stats`.
+DEFAULT_CONTAINMENT_MAX_DF = 10_000
+
+
 def _word_tokens(text_col: Column) -> Column:
     return F.split(F.trim(F.lower(text_col)), r"\s+")
 
@@ -823,7 +835,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     k: int = 5,
     threshold: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_CONTAINMENT_MAX_DF,
 ) -> DataFrame:
     """Exact ASYMMETRIC shingle-containment pairing — the
     syndication/excerpt detector Jaccard structurally misses: when A is an
@@ -861,9 +873,14 @@ def containment_pairs(
     (uncapped) hash sets, so capping never creates false positives
     beyond the ~2⁻⁶³ hash-collision bound above — it can
     only miss a pair whose every shared shingle is template-hot, which
-    is the pair you didn't want anyway.  Default None = exact; set it
-    (or run `strip_template_lines` upstream / raise k) on
-    template-heavy corpora."""
+    is the pair you didn't want anyway.  The DEFAULT is
+    ``DEFAULT_CONTAINMENT_MAX_DF`` (10⁴) — scale-safe out of the box,
+    and bit-identical to exact on any corpus with < 10⁴ docs (df can
+    never exceed the doc count).  Pass ``max_df=None`` only when you
+    explicitly want the exact uncapped plan; audit a corpus's template
+    pressure first with :func:`containment_df_stats`, which reports how
+    many shingles the cap would drop (the cap engages silently inside
+    the executors and cannot log — the `lsh_bucket_stats` precedent)."""
     # ONE lazy checkpoint on the slim (id, sorted distinct shingle-hash
     # array) table: it feeds the probe, the index, the df-count (under
     # max_df), AND the verify — each doc tokenizes and hashes ONCE (the
@@ -993,6 +1010,62 @@ def containment_pairs(
     )
     return scored.localCheckpoint(eager=False).where(
         F.greatest(F.col("c_a"), F.col("c_b")) >= threshold
+    )
+
+
+def containment_df_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    max_df: int | None = DEFAULT_CONTAINMENT_MAX_DF,
+) -> DataFrame:
+    """One-row audit of a corpus's template pressure for
+    :func:`containment_pairs` — the `lsh_bucket_stats` precedent: the
+    ``max_df`` cap engages silently inside the executors and cannot log,
+    so run this when a corpus might be boilerplate-heavy and alert when
+    ``n_over_cap`` > 0 (pairs whose every shared shingle is hot are the
+    only ones the capped operator can miss).
+
+    Columns: ``n_shingles`` (distinct k-shingles corpus-wide),
+    ``max_df_observed`` (the hottest shingle's document frequency),
+    ``n_over_cap`` (shingles the cap drops from candidate generation)
+    and ``hot_occurrences`` (Σ df over dropped shingles — exactly the
+    row volume the capped plan's hot-side shuffle carries, so this one
+    number prices the cap's own overhead).  Shingling is identical to
+    `containment_pairs` (lowercased whitespace tokens, rotation-XOR
+    k-shingle hashes, per-doc DISTINCT), and the whole audit is the one
+    df-count exchange the capped operator already pays — no extra plan
+    shape to reason about at 100 TB."""
+    toks = df.select(
+        _word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__t")
+    )
+    th = toks.select(
+        F.transform("__t", lambda t: F.xxhash64(t)).alias("__th")
+    )
+    hashed = th.select(
+        F.array_distinct(_shingle_hash_array("__th", k)).alias("hs")
+    )
+    dfreq = (
+        hashed.select(F.explode_outer("hs").alias("h"))
+        .where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count("*").alias("__df"))
+    )
+    hot = (
+        F.lit(False) if max_df is None else F.col("__df") > F.lit(max_df)
+    )
+    return dfreq.agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.max("__df").cast("long").alias("max_df_observed"),
+        F.coalesce(F.sum(hot.cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_over_cap"),
+        F.coalesce(
+            F.sum(F.when(hot, F.col("__df")).otherwise(F.lit(0))), F.lit(0)
+        )
+        .cast("long")
+        .alias("hot_occurrences"),
     )
 
 
