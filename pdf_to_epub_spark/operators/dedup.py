@@ -78,16 +78,20 @@ def drop_exact_duplicates(
 # Shingling + MinHash
 # --------------------------------------------------------------------------
 
-# Scale-safe default document-frequency cap for containment candidate
-# generation.  A shingle shared by d docs fans out ~(1-t)·d² candidate
-# pairs, so an UNCAPPED default is a quadratic blow-up on any
-# template-heavy web corpus (nav bars, cookie banners, license
-# boilerplate).  10⁴ keeps the worst per-shingle fan-out around
-# (1-t)·10⁸ hash-only join rows — bounded like `minhash`'s
+# Scale-safe default document-frequency cap for shingle-inverted-index
+# candidate generation (`containment_pairs`, `ngram_jaccard_pairs`).  A
+# shingle shared by d docs fans out ~d² candidate pairs — and the PPJoin
+# prefix does NOT save you on template corpora: the template shingles'
+# hashes occupy the SAME sorted rank region in every doc, so a hot
+# shingle can sit in every doc's prefix (measured: 402/402 docs on the
+# template-stress fixture).  An UNCAPPED default is therefore a
+# quadratic blow-up on any template-heavy web corpus (nav bars, cookie
+# banners, license boilerplate).  10⁴ keeps the worst per-shingle
+# fan-out around 10⁸ hash-only join rows — bounded like `minhash`'s
 # max_bucket=4096 — while staying a no-op on corpora smaller than 10⁴
 # docs (df can never exceed the doc count, so small-scale results are
 # bit-identical to exact).  Audit with :func:`containment_df_stats`.
-DEFAULT_CONTAINMENT_MAX_DF = 10_000
+DEFAULT_SHINGLE_MAX_DF = 10_000
 
 
 def _word_tokens(text_col: Column) -> Column:
@@ -761,12 +765,89 @@ def drop_near_duplicates(
     return df.join(losers, id_col, "left_anti")
 
 
+def _cap_is_provably_noop(df: DataFrame, max_df: int | None) -> bool:
+    """True when the df cap cannot trip: a shingle's document frequency
+    is bounded by the corpus doc count, so ≤ ``max_df`` docs ⟹ no hot
+    shingles ⟹ the capped plan is EXACTLY the uncapped plan.  Probed
+    with a BOUNDED ``limit(max_df+1).count()`` driver action (max_df+1
+    rows of work no matter the corpus size — never a full count, which
+    would be a wasted corpus pass at the 100 TB scale where the cap
+    matters).  Lets the scale-safe default cost literally nothing on
+    small/medium corpora: they keep the old single-pass plan, and the
+    capped machinery (one df-count exchange + doc-side cold-set rebuild)
+    engages only when the corpus is large enough that a hot shingle is
+    possible.  The probe runs the upstream plan once for up to max_df+1
+    rows; inputs that are expensive to recompute should be
+    cached/checkpointed by the caller anyway."""
+    return max_df is not None and df.limit(max_df + 1).count() <= max_df
+
+
+def _cold_shingle_sets(hashed: DataFrame, max_df: int) -> DataFrame:
+    """Per-doc ``(id, _n, hs_f)``: the FULL distinct-shingle count and
+    the order-preserved COLD subarray (shingles whose corpus document
+    frequency is ≤ ``max_df``) of a sorted ``(id, hs)`` shingle-hash
+    table.  Shared by the capped paths of `containment_pairs` and
+    `ngram_jaccard_pairs`.
+
+    Shuffle shape: the df count is the one unavoidable full-volume
+    exchange.  The cold sets themselves are rebuilt DOC-SIDE as
+    array_except(hs, doc's hot shingles): only HOT occurrences ride the
+    second shuffle (Σ df over capped shingles — the small side by
+    construction), and downstream explodes come straight off the per-doc
+    array with no exchange at all.  (The first draft anti-joined the
+    FULL explode and re-collected every cold hash through a collect_list
+    groupBy — two corpus-volume exchanges this shape deletes; warm A/B
+    on the sf0.1 template-heavy bench corpus: 9.1 s → 6.3 s.)
+    array_except keeps the left array's order, so sorted-prefix slice
+    semantics downstream are unchanged; hot-free docs left-join to NULL
+    and coalesce to the empty hot set."""
+    ex = hashed.select("id", F.explode_outer("hs").alias("h")).where(
+        F.col("h").isNotNull()
+    )
+    hot = (
+        ex.groupBy("h")
+        .agg(F.count("*").alias("__df"))
+        .where(F.col("__df") > max_df)
+        .select("h")
+    )
+    hot_per_doc = (
+        ex.join(hot, "h").groupBy("id").agg(F.collect_list("h").alias("_hot_hs"))
+    )
+    empty = F.array().cast("array<bigint>")
+    return (
+        hashed.join(hot_per_doc, "id", "left")
+        .select(
+            "id",
+            F.size("hs").alias("_n"),
+            F.array_except("hs", F.coalesce(F.col("_hot_hs"), empty)).alias(
+                "hs_f"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def _hot_adjusted_prefix_len(threshold: float) -> Column:
+    """Sorted-cold-prefix length for a doc with FULL size ``_n`` and cold
+    set ``hs_f``, sound under the df cap: a qualifying pair shares
+    ≥ ⌈t·n⌉ shingles, of which at most H (the doc's hot count) are hot,
+    so ≥ ⌈t·n⌉ − H shared survivors live among the n′ = n − H cold
+    shingles and the first n′ − max(⌈t·n⌉ − H, 1) + 1 sorted cold hashes
+    must contain one.  The max(·, 1) floor widens the prefix up to the
+    whole cold set for template-dominated docs, making the documented
+    cap semantics EXACT: a pair is missed iff every shared shingle is
+    hot."""
+    need = _ceil_mul(F.col("_n"), threshold) - (F.col("_n") - F.size("hs_f"))
+    return (F.size("hs_f") - F.greatest(need, F.lit(1)) + F.lit(1)).cast("int")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = DEFAULT_SHINGLE_MAX_DF,
 ) -> DataFrame:
     """Exact n-gram-Jaccard pairing via a PPJoin-style PREFIX-FILTERED
     inverted index over HASHED shingles, with exact string verification:
@@ -777,10 +858,21 @@ def ngram_jaccard_pairs(
        principle, Chaudhuri et al. SSJoin / Xiao et al. PPJoin: the
        SMALLEST common token of any pair with Jaccard ≥ t must sit inside
        both prefixes — if it didn't, the whole intersection would have to
-       fit in a suffix smaller than the required overlap).  This is the
-       100×-scale fix: a stopword-like shingle is indexed only by the
-       ~(1−t) fraction of docs where it falls in the prefix, so hot-shingle
-       join fan-out collapses from Σ df² to Σ ((1−t)·df)²;
+       fit in a suffix smaller than the required overlap).  For a
+       RANDOM stopword-like shingle this collapses hot-shingle fan-out
+       from Σ df² to Σ ((1−t)·df)² — but NOT for template boilerplate:
+       a shared template shingle has the SAME hash, hence the same
+       sorted rank region, in every doc, so it can land in every doc's
+       prefix and the join is quadratic again (measured 402/402 docs on
+       the template-stress fixture).  ``max_df`` closes that hole: the
+       cap's semantics and H-adjusted prefix are exactly
+       `containment_pairs`' (capped pairs == exact pairs sharing ≥ 1
+       cold shingle; verification always intersects FULL shingle sets,
+       so no false positives), and the default
+       ``DEFAULT_SHINGLE_MAX_DF`` (10⁴) is bit-identical to exact below
+       10⁴ docs.  Audit template pressure with
+       :func:`containment_df_stats` (same shingle-df distribution up to
+       tokenizer differences for k ≠ 5);
     2. the prefix self-join carries only (id, n, long) — never shingle
        strings; a size-ratio filter (min(n_a,n_b) ≥ ⌈t·max⌉, sound because
        J ≤ min/max) prunes length-incompatible pairs in the join itself;
@@ -789,6 +881,8 @@ def ngram_jaccard_pairs(
        shingles of a near-threshold pair's intersection could in principle
        drop a true pair from the candidate set; at 64-bit that is a
        ~2⁻⁶⁴-per-pair event — the documented approximation bound.)"""
+    if _cap_is_provably_noop(df, max_df):
+        max_df = None
     sh = with_shingles(df.select(id_col, text_col), text_col, k).select(
         F.col(id_col).alias("id"), F.col("shingles")
     )
@@ -798,17 +892,37 @@ def ngram_jaccard_pairs(
             F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
         ).alias("hs"),
     )
-    n = F.size("hs")
-    prefix_len = (n - _ceil_mul(n, threshold) + F.lit(1)).cast("int")
     # explode_outer + null filter (see containment_pairs): a plain explode
     # gets an inferred size()>0 filter pushed below the token projection
     # with the full shingle pipeline inlined per element — quadratic on
     # big docs.
-    inverted = hashed.select(
-        "id",
-        n.alias("n_sh"),
-        F.explode_outer(F.slice("hs", F.lit(1), prefix_len)).alias("h"),
-    ).where(F.col("h").isNotNull())
+    if max_df is None:
+        n = F.size("hs")
+        prefix_len = (n - _ceil_mul(n, threshold) + F.lit(1)).cast("int")
+        inverted = hashed.select(
+            "id",
+            n.alias("n_sh"),
+            F.explode_outer(F.slice("hs", F.lit(1), prefix_len)).alias("h"),
+        ).where(F.col("h").isNotNull())
+    else:
+        # Hot shingles leave BOTH sides before the prefix is sliced, and
+        # the prefix over the FILTERED array is H-adjusted — the
+        # `containment_pairs` construction, applied to both sides of the
+        # symmetric self-join (Jaccard's per-doc overlap bound ⌈t·n⌉
+        # plays containment's role).  The size-ratio prune below stays
+        # on the FULL sizes, which the cap does not change.  The lazy
+        # checkpoint keeps the corpus from being re-shingled for the
+        # df-count and the per-doc hot join.
+        filt = _cold_shingle_sets(
+            hashed.localCheckpoint(eager=False), max_df
+        )
+        inverted = filt.select(
+            "id",
+            F.col("_n").alias("n_sh"),
+            F.explode_outer(
+                F.slice("hs_f", F.lit(1), _hot_adjusted_prefix_len(threshold))
+            ).alias("h"),
+        ).where(F.col("h").isNotNull())
     a = inverted.alias("a")
     b = inverted.alias("b")
     pairs = (
@@ -835,7 +949,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     k: int = 5,
     threshold: float = 0.8,
-    max_df: int | None = DEFAULT_CONTAINMENT_MAX_DF,
+    max_df: int | None = DEFAULT_SHINGLE_MAX_DF,
 ) -> DataFrame:
     """Exact ASYMMETRIC shingle-containment pairing — the
     syndication/excerpt detector Jaccard structurally misses: when A is an
@@ -874,13 +988,15 @@ def containment_pairs(
     beyond the ~2⁻⁶³ hash-collision bound above — it can
     only miss a pair whose every shared shingle is template-hot, which
     is the pair you didn't want anyway.  The DEFAULT is
-    ``DEFAULT_CONTAINMENT_MAX_DF`` (10⁴) — scale-safe out of the box,
+    ``DEFAULT_SHINGLE_MAX_DF`` (10⁴) — scale-safe out of the box,
     and bit-identical to exact on any corpus with < 10⁴ docs (df can
     never exceed the doc count).  Pass ``max_df=None`` only when you
     explicitly want the exact uncapped plan; audit a corpus's template
     pressure first with :func:`containment_df_stats`, which reports how
     many shingles the cap would drop (the cap engages silently inside
     the executors and cannot log — the `lsh_bucket_stats` precedent)."""
+    if _cap_is_provably_noop(df, max_df):
+        max_df = None
     # ONE lazy checkpoint on the slim (id, sorted distinct shingle-hash
     # array) table: it feeds the probe, the index, the df-count (under
     # max_df), AND the verify — each doc tokenizes and hashes ONCE (the
@@ -928,70 +1044,21 @@ def containment_pairs(
         # smallest hashes are all template-hot probes with nothing but
         # dead keys and silently loses every candidate (caught by
         # test_containment_max_df_cap_keeps_true_pairs the moment the
-        # hash scheme reordered which shingle sorts first).  The prefix
-        # over the FILTERED array keeps the pigeonhole sound with an
-        # H-adjusted required-overlap: a qualifying pair shares
-        # ≥ ⌈t·n⌉ shingles, of which at most H (the doc's hot count)
-        # are hot, so ≥ ⌈t·n⌉ − H shared survivors live among the
-        # n' = n − H cold shingles and the first
-        # n' − max(⌈t·n⌉ − H, 1) + 1 sorted cold hashes must contain
-        # one.  The max(·, 1) floor widens the prefix up to the whole
-        # cold set for template-dominated docs, making the documented
-        # cap semantics EXACT: a pair is missed iff every shared
-        # shingle is hot.
-        #
-        # Shuffle shape: the df count is the one unavoidable
-        # full-volume exchange.  The cold sets themselves are rebuilt
-        # DOC-SIDE as array_except(hs, doc's hot shingles): only HOT
-        # occurrences ride the second shuffle (Σ df over capped
-        # shingles — the small side by construction), and the index
-        # explode comes straight off the per-doc array with no
-        # exchange at all.  The first draft anti-joined the FULL
-        # explode and re-collected every cold hash through a
-        # collect_list groupBy — two corpus-volume exchanges this
-        # shape deletes (same-session warm A/B on the sf0.1
-        # template-heavy bench corpus: 9.1 s → 6.3 s).
-        # array_except keeps the left array's
-        # order, so the sorted-prefix slice semantics are unchanged;
-        # hot-free docs left-join to NULL and coalesce to the empty
-        # hot set.
-        ex = hashed.select("id", F.explode_outer("hs").alias("h")).where(
-            F.col("h").isNotNull()
-        )
-        hot = (
-            ex.groupBy("h")
-            .agg(F.count("*").alias("__df"))
-            .where(F.col("__df") > max_df)
-            .select("h")
-        )
-        hot_per_doc = (
-            ex.join(hot, "h")
-            .groupBy("id")
-            .agg(F.collect_list("h").alias("_hot_hs"))
-        )
-        empty = F.array().cast("array<bigint>")
-        filt = (
-            hashed.join(hot_per_doc, "id", "left")
-            .select(
-                "id",
-                n.alias("_n"),
-                F.array_except(
-                    "hs", F.coalesce(F.col("_hot_hs"), empty)
-                ).alias("hs_f"),
-            )
-            .localCheckpoint(eager=False)
-        )
+        # hash scheme reordered which shingle sorts first).  Cold-set
+        # build and the H-adjusted prefix are the shared capped-path
+        # machinery (`_cold_shingle_sets` / `_hot_adjusted_prefix_len`
+        # — shuffle-shape and exactness rationale there); containment's
+        # required-overlap bound ⌈t·n⌉ is the same as Jaccard's per-doc
+        # bound, so the prefix formula is identical.
+        filt = _cold_shingle_sets(hashed, max_df)
         index = filt.select(
             "id", F.explode_outer("hs_f").alias("h")
         ).where(F.col("h").isNotNull())
-        need = _ceil_mul(F.col("_n"), threshold) - (
-            F.col("_n") - F.size("hs_f")
-        )
-        plen = (
-            F.size("hs_f") - F.greatest(need, F.lit(1)) + F.lit(1)
-        ).cast("int")
         probe = filt.select(
-            "id", F.explode_outer(F.slice("hs_f", F.lit(1), plen)).alias("h")
+            "id",
+            F.explode_outer(
+                F.slice("hs_f", F.lit(1), _hot_adjusted_prefix_len(threshold))
+            ).alias("h"),
         ).where(F.col("h").isNotNull())
     p, ix = probe.alias("p"), index.alias("ix")
     pairs = (
@@ -1018,7 +1085,7 @@ def containment_df_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
-    max_df: int | None = DEFAULT_CONTAINMENT_MAX_DF,
+    max_df: int | None = DEFAULT_SHINGLE_MAX_DF,
 ) -> DataFrame:
     """One-row audit of a corpus's template pressure for
     :func:`containment_pairs` — the `lsh_bucket_stats` precedent: the
@@ -1121,19 +1188,38 @@ def connected_components(
 
     Algorithm: labels start as own id; each round every node takes the min
     of its label and its neighbors' labels (min by the id type's ordering —
-    lexicographic for string/url ids); converged when NO label changed,
-    checked with a slim prev-vs-new anti-condition probe (take-1, stops at
-    the first difference).  A sum-of-labels check would be cheaper but is
+    lexicographic for string/url ids), then a POINTER-DOUBLING shortcut
+    re-reads the label's OWN current label (labels are node ids, so this
+    is one slim self-join): l(u) ← min(l(u), l(l(u))).  The shortcut
+    contracts label chains exponentially, so convergence takes
+    O(log diameter) rounds instead of O(diameter) — a 1M-node path graph
+    converges in ~21 rounds where plain propagation needs 1M (the
+    pathological chain case flagged in the r4 verdict; near-dup clusters
+    are tiny-diameter, but one bad transitive chain in 10¹² docs
+    shouldn't own the job's round count).  The shortcut preserves the
+    invariant that a node's label is always the id of some node in its
+    own component, so the fixed point (component min) is unchanged —
+    byte-identical output, fewer rounds.
+
+    Convergence is detected when NO label changed, checked with a slim
+    prev-vs-new anti-condition probe (take-1, stops at the first
+    difference).  A sum-of-labels check would be cheaper but is
     numeric-only — it crashes (ANSI) or silently null-converges after one
-    round on string ids, which the url-keyed pipelines use.
-    Rounds ≈ component diameter, which for near-dup
-    clusters is tiny; each round eagerly localCheckpoints the slim
-    (id, label) table so lineage stays flat (the standard iterative-algo
-    hygiene — without it the plan doubles every round).
+    round on string ids, which the url-keyed pipelines use.  If
+    ``max_iterations`` rounds pass without convergence the function
+    RAISES (with the still-changing label count) instead of silently
+    returning a wrong clustering; with doubling, the default 50 rounds
+    covers any diameter up to ~2⁵⁰, so hitting the guard means the graph
+    is still growing under you (a live-ingest race), not a deep chain.
+    Each round eagerly localCheckpoints the slim (id, label) table so
+    lineage stays flat (the standard iterative-algo hygiene — without it
+    the plan doubles every round).
 
     ``edges`` needs (id_a, id_b); ``ids`` the full node set (singletons get
     their own id as component).
     """
+    if max_iterations < 1:
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     und = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -1142,15 +1228,33 @@ def connected_components(
     labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     labels = labels.localCheckpoint(eager=True)
 
+    converged = False
     for _ in range(max_iterations):
         nbr = (
             und.join(labels, und.src == labels.id)
             .select(F.col("dst").alias("id"), F.col("label"))
         )
-        new_labels = (
+        l1 = (
             labels.union(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+        )
+        # Pointer-doubling shortcut: every label is itself a node id, so
+        # one slim left self-join reads l(l(u)).  Left join + coalesce:
+        # the label's node always exists in l1 (it is some node's id),
+        # but a missing row must degrade to "no shortcut", never NULL.
+        m = l1.select(
+            F.col("id").alias("_mid"), F.col("label").alias("_mlabel")
+        )
+        new_labels = (
+            l1.join(m, l1["label"] == m["_mid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("_mlabel"), F.col("label")),
+                ).alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
         prev = labels.select("id", F.col("label").alias("prev_label"))
@@ -1162,6 +1266,21 @@ def connected_components(
         labels = new_labels
         if converged:
             break
+
+    if not converged:
+        # `prev` holds the second-to-last round's labels: count how many
+        # were still moving so the error names the blast radius.
+        n_changing = (
+            labels.join(prev, "id")
+            .where(F.col("label") != F.col("prev_label"))
+            .count()
+        )
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"rounds ({n_changing} labels still changing); with pointer "
+            "doubling this covers diameter ~2^max_iterations, so the "
+            "edge set is likely changing mid-job — snapshot it first"
+        )
 
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("component"))
 

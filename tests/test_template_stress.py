@@ -1,0 +1,186 @@
+"""Template-hot stress for the dedup family (VERDICT r4 next-round #3).
+
+One shared fixture corpus with a pathological boilerplate sentence whose
+every shingle has document frequency = N (the 100 TB chrome-heavy web
+crawl failure mode the sf-scale benches can't see), driven through each
+pair-generating dedup operator, asserting the bounded-candidates /
+tripped-cap signal each one ships:
+
+- `containment_pairs` / `ngram_jaccard_pairs`: the df cap removes hot
+  shingles from BOTH inverted-index sides, so every surviving index key
+  has df ≤ max_df and per-key join fan-out is ≤ max_df² — audited by
+  `containment_df_stats`.
+- `minhash_candidate_pairs`: over-`max_bucket` LSH buckets degrade to
+  linear star pairs — audited by `lsh_bucket_stats`.
+- `duplicate_ngram_spans`: structurally linear (one df-groupBy + semi
+  join; no pair join exists), so the template makes SPANS, not pairs.
+- `text_reuse_spans`: pair-restricted by construction — only documents
+  named in the candidate-pair input are shingled at all.
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+# 18 boilerplate words -> 14 pure-template 5-shingles / 16 3-shingles,
+# each with df = n_docs.
+TPL = (
+    "this site uses cookies to improve your browsing experience "
+    "accept all cookies to continue reading our content today"
+)
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def template_corpus(spark):
+    rows = [
+        (i, TPL + " " + " ".join(f"u{i}w{j}" for j in range(4)))
+        for i in range(N_DOCS)
+    ]
+    # planted true near-dup pair with unique (cold) content
+    rows.append((9000, TPL + " planted unique alpha bravo charlie delta"))
+    rows.append((9001, TPL + " planted unique alpha bravo charlie delta echo"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_audit_detects_template_pressure(template_corpus):
+    """`containment_df_stats` is the alert: every pure-template shingle
+    must show df = corpus size and be counted over any reasonable cap."""
+    from pdf_to_epub_spark.operators import containment_df_stats
+
+    r = containment_df_stats(template_corpus, k=5, max_df=50).collect()[0]
+    assert r.max_df_observed == N_DOCS + 2
+    # 14 pure-template 5-shingles (18 - 5 + 1)
+    assert r.n_over_cap >= 14
+    assert r.hot_occurrences >= 14 * (N_DOCS + 2)
+
+
+def test_containment_capped_index_is_bounded(template_corpus):
+    """After the df cap, every inverted-index key has df ≤ max_df, so the
+    candidate join's per-key fan-out is ≤ max_df² — the bounded-candidates
+    property itself, asserted on the operator's own cold-set builder.
+    The planted pair must still surface through its cold shingles."""
+    from pdf_to_epub_spark.operators import containment_pairs
+    from pdf_to_epub_spark.operators.dedup import (
+        _cold_shingle_sets,
+        _shingle_hash_array,
+        _word_tokens,
+    )
+
+    cap = 50
+    toks = template_corpus.select(
+        F.col("doc_id").alias("id"),
+        _word_tokens(F.coalesce(F.col("text"), F.lit(""))).alias("__t"),
+    )
+    hashed = toks.select(
+        "id",
+        F.array_sort(
+            F.array_distinct(
+                _shingle_hash_array(
+                    F.transform("__t", lambda t: F.xxhash64(t)).alias("__th"),
+                    5,
+                )
+            )
+        ).alias("hs"),
+    )
+    cold = _cold_shingle_sets(hashed, cap)
+    worst = (
+        cold.select(F.explode("hs_f").alias("h"))
+        .groupBy("h")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert worst <= cap
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in containment_pairs(
+            template_corpus, k=5, threshold=0.9, max_df=cap
+        ).collect()
+    }
+    assert got == {(9000, 9001)}
+
+
+def test_jaccard_capped_output_on_template_corpus(template_corpus):
+    """Capped PPJoin on the template corpus: only the planted pair
+    qualifies (template-only overlap gives J ≈ 16/24 = 0.67 < 0.8), and
+    it must survive the cap through its cold shingles.  The shared
+    `_cold_shingle_sets` bound is asserted in the containment test; here
+    the end-to-end operator must stay correct under it."""
+    from pdf_to_epub_spark.operators import ngram_jaccard_pairs
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            template_corpus, k=3, threshold=0.8, max_df=50
+        ).collect()
+    }
+    assert got == {(9000, 9001)}
+
+
+def test_minhash_lsh_cap_trips_and_pairs_stay_linear(template_corpus):
+    """Template-dominated docs produce heavily correlated MinHash
+    signatures → degenerate band buckets.  The `lsh_bucket_stats` audit
+    must report buckets over the cap, and with the cap the pair listing
+    must collapse to star pairs (≲ bands·N, not C(N,2)) while exact-
+    Jaccard verification still recovers exactly the planted pair."""
+    from pdf_to_epub_spark.operators import (
+        lsh_bucket_stats,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    cap = 8
+    sigs = minhash_signatures(template_corpus, k=5, num_hashes=64)
+    st = lsh_bucket_stats(sigs, num_hashes=64, bands=16, max_bucket=cap).collect()[0]
+    assert st.n_over_cap >= 1
+    assert st.max_bucket_size > cap
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(
+            template_corpus, k=5, jaccard_threshold=0.9, max_bucket=cap
+        ).collect()
+    }
+    assert got == {(9000, 9001)}
+
+
+def test_duplicate_ngram_spans_linear_on_template(template_corpus):
+    """The Lee-et-al span detector has NO pair join — template pressure
+    produces one duplicated-span row per doc (the boilerplate region),
+    never a quadratic pair structure.  Output must stay linear in docs
+    and every doc's span must start at token 0 (the template prefix)."""
+    from pdf_to_epub_spark.operators import duplicate_ngram_spans
+
+    spans = duplicate_ngram_spans(
+        template_corpus, k=8, min_df=2
+    ).collect()
+    # linear: at most a couple of spans per doc
+    assert len(spans) <= 2 * (N_DOCS + 2)
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == N_DOCS + 2
+    assert all(min(s.span_start for s in v) == 0 for v in by_doc.values())
+
+
+def test_text_reuse_spans_restricted_to_candidate_pairs(
+    spark, template_corpus
+):
+    """Passim-stage boundedness: it aligns only the pairs it is GIVEN —
+    the template corpus at large never enters the shingle join.  Feeding
+    just the planted pair must yield spans only for that pair, covering
+    the shared template+planted prefix on diagonal 0."""
+    from pdf_to_epub_spark.operators import text_reuse_spans
+
+    pairs = spark.createDataFrame([(9000, 9001)], ["id_a", "id_b"])
+    rows = text_reuse_spans(
+        template_corpus, pairs, k=5, min_run=3
+    ).collect()
+    assert rows
+    assert {(r.id_a, r.id_b) for r in rows} == {(9000, 9001)}
+    assert any(r.diag == 0 and r.a_start == 1 for r in rows)

@@ -141,6 +141,44 @@ def test_connected_components(spark):
     }
 
 
+def test_connected_components_deep_chain_log_rounds(spark):
+    """The r4-verdict pathological case: a 300-edge path graph (diameter
+    300) must converge — and in O(log diameter) rounds, not O(diameter):
+    max_iterations=12 covers diameter ~2¹² via the pointer-doubling
+    shortcut, while plain min-propagation would need 300 rounds."""
+    from pdf_to_epub_spark.operators import connected_components
+
+    n = 301
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(
+            edges, ids, max_iterations=12
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Exhausting max_iterations must be a loud error naming the number
+    of still-moving labels — never a silently wrong clustering."""
+    import pytest as _pytest
+    from pdf_to_epub_spark.operators import connected_components
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, ids, max_iterations=2)
+    with _pytest.raises(ValueError):
+        connected_components(edges, ids, max_iterations=0)
+
+
 def test_scrub_pii(spark):
     from pdf_to_epub_spark.operators import scrub_pii
 
@@ -2235,17 +2273,73 @@ def test_containment_max_df_cap_keeps_true_pairs(spark):
 def test_containment_default_max_df_is_scale_safe():
     """The DEFAULT must be the capped path (VERDICT r4 weak-mark): an
     uncapped default is a quadratic candidate blow-up on template-heavy
-    web corpora.  10⁴ is a no-op below 10⁴ docs (df ≤ doc count), so
-    small-scale results stay bit-identical to exact."""
+    web corpora — for BOTH shingle-inverted-index pairers (the PPJoin
+    prefix does not bound template shingles: same hash → same sorted
+    rank region in every doc).  10⁴ is a no-op below 10⁴ docs (df ≤ doc
+    count), so small-scale results stay bit-identical to exact."""
     import inspect
     from pdf_to_epub_spark.operators import (
-        DEFAULT_CONTAINMENT_MAX_DF,
+        DEFAULT_SHINGLE_MAX_DF,
         containment_pairs,
+        ngram_jaccard_pairs,
     )
 
-    sig = inspect.signature(containment_pairs)
-    assert sig.parameters["max_df"].default == DEFAULT_CONTAINMENT_MAX_DF
-    assert DEFAULT_CONTAINMENT_MAX_DF == 10_000
+    for fn in (containment_pairs, ngram_jaccard_pairs):
+        sig = inspect.signature(fn)
+        assert sig.parameters["max_df"].default == DEFAULT_SHINGLE_MAX_DF
+    assert DEFAULT_SHINGLE_MAX_DF == 10_000
+
+
+def test_jaccard_cap_semantics_exact(spark):
+    """Capped ngram_jaccard_pairs == exact pairs that share at least one
+    COLD (df ≤ max_df) shingle — the same property test as containment's
+    (the capped path is shared machinery), over a template-heavy corpus
+    with varying per-doc hot counts."""
+    from pdf_to_epub_spark.operators import ngram_jaccard_pairs
+    import random
+
+    rng = random.Random(11)
+    tpl = "lorem ipsum dolor sit amet consectetur"
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(14):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12)))
+        mid = "shared middle run here" if i % 2 == 0 else ""
+        rows.append((i, " ".join(x for x in (tpl, mid, body) if x)))
+    rows.append((100, tpl + " planted unique alpha bravo charlie delta"))
+    rows.append((101, tpl + " planted unique alpha bravo charlie delta"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    k, t, cap = 3, 0.6, 5
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            df, k=k, threshold=t, max_df=None
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, k=k, threshold=t, max_df=cap).collect()
+    }
+
+    def shingles(text):
+        toks = text.strip().lower().split()
+        if len(toks) <= k:
+            return {tuple(toks[:k])}
+        return {tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    sets = {i: shingles(tx) for i, tx in rows}
+    dfreq = {}
+    for s in sets.values():
+        for sh in s:
+            dfreq[sh] = dfreq.get(sh, 0) + 1
+    expected = {
+        (a, b)
+        for (a, b) in exact
+        if any(dfreq[sh] <= cap for sh in sets[a] & sets[b])
+    }
+    assert capped == expected
+    assert (100, 101) in capped
 
 
 def test_containment_df_stats_counts(spark):
