@@ -70,28 +70,39 @@ def _q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_to_epub_spark.streaming.stateful import streaming_first_seen
     from pdf_to_epub_spark.streaming.incremental import PAGES_SCHEMA
 
+    import shutil
+
     pages = _pages_with_mirrors(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="sfs_replay_")
     inp, out, cp = f"{work}/in", f"{work}/out", f"{work}/cp"
-    for b in (0, 1):
-        pages.where(F.col("batch") == b).drop("batch").coalesce(1).write.mode(
-            "append"
-        ).parquet(inp)
-        q = (
-            streaming_first_seen(
-                spark.readStream.schema(PAGES_SCHEMA).parquet(inp)
+    try:
+        for b in (0, 1):
+            pages.where(F.col("batch") == b).drop("batch").coalesce(
+                1
+            ).write.mode("append").parquet(inp)
+            q = (
+                streaming_first_seen(
+                    spark.readStream.schema(PAGES_SCHEMA).parquet(inp)
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", cp)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
             )
-            .writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", cp)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+            q.awaitTermination()
+        # materialize before the temp tree is removed — the returned
+        # DataFrame must stay collectable after cleanup (the gate runs
+        # each builder at two scales; leaking a parquet tree per call
+        # would grow /tmp unboundedly)
+        return (
+            spark.read.parquet(out)
+            .select("doc_hash", "url", "warc_ts", "n_dupes_in_batch")
+            .localCheckpoint(eager=True)
         )
-        q.awaitTermination()
-    return spark.read.parquet(out).select(
-        "doc_hash", "url", "warc_ts", "n_dupes_in_batch"
-    )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _q_stream_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,20 +151,33 @@ def _q_stream_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ts.alias("label_ts"),
         )
     )
+    import shutil
+
     work = tempfile.mkdtemp(prefix="ssj_replay_")
-    pages.write.parquet(f"{work}/pages")
-    labels.write.parquet(f"{work}/labels")
     qn = "ssj_replay_" + uuid.uuid4().hex[:12]
-    q = streaming_page_label_join(
-        spark,
-        f"{work}/pages",
-        f"{work}/labels",
-        watermark="10 minutes",
-        max_lag="5 minutes",
-        query_name=qn,
-    )
     try:
-        q.processAllAvailable()
+        pages.write.parquet(f"{work}/pages")
+        labels.write.parquet(f"{work}/labels")
+        q = streaming_page_label_join(
+            spark,
+            f"{work}/pages",
+            f"{work}/labels",
+            watermark="10 minutes",
+            max_lag="5 minutes",
+            query_name=qn,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # materialize, then drop the memory-sink table — it would
+        # otherwise hold the whole join result in driver memory for the
+        # session's lifetime, one copy per invocation
+        return (
+            spark.table(qn)
+            .select("url", "warc_ts", "label", "label_ts")
+            .localCheckpoint(eager=True)
+        )
     finally:
-        q.stop()
-    return spark.table(qn).select("url", "warc_ts", "label", "label_ts")
+        spark.catalog.dropTempView(qn)
+        shutil.rmtree(work, ignore_errors=True)

@@ -765,6 +765,30 @@ def drop_near_duplicates(
     return df.join(losers, id_col, "left_anti")
 
 
+def _doc_shingle_hash_table(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """``(id, hs)``: per-doc SORTED DISTINCT k-shingle hashes
+    (lowercased whitespace tokens → xxhash64 per token → rotation-XOR
+    shingle combine, NULL text coalesced to '').  The ONE shingling
+    definition shared by `containment_pairs` (candidate generation +
+    verification) and `containment_df_stats` (the audit) — the audited
+    df distribution and the one the cap acts on must never drift."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        _word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__t"),
+    )
+    th = toks.select(
+        "id", F.transform("__t", lambda t: F.xxhash64(t)).alias("__th")
+    )
+    return th.select(
+        "id",
+        F.array_sort(F.array_distinct(_shingle_hash_array("__th", k))).alias(
+            "hs"
+        ),
+    )
+
+
 def _cap_is_provably_noop(df: DataFrame, max_df: int | None) -> bool:
     """True when the df cap cannot trip: a shingle's document frequency
     is bounded by the corpus doc count, so ≤ ``max_df`` docs ⟹ no hot
@@ -776,10 +800,24 @@ def _cap_is_provably_noop(df: DataFrame, max_df: int | None) -> bool:
     small/medium corpora: they keep the old single-pass plan, and the
     capped machinery (one df-count exchange + doc-side cold-set rebuild)
     engages only when the corpus is large enough that a hot shingle is
-    possible.  The probe runs the upstream plan once for up to max_df+1
-    rows; inputs that are expensive to recompute should be
-    cached/checkpointed by the caller anyway."""
-    return max_df is not None and df.limit(max_df + 1).count() <= max_df
+    possible.
+
+    Eagerness caveat (documented API behavior): the probe is a driver
+    ACTION at operator-construction time — the builders are no longer
+    fully lazy when ``max_df`` is set.  On a scan-rooted input (the
+    100 TB common case: a parquet/Iceberg read) the limit stops the
+    scan early and the probe is genuinely cheap; on a SHUFFLE-rooted
+    input the limit must still execute the upstream stages once, so
+    cache/checkpoint an expensive upstream, or skip the probe entirely
+    by passing an explicit ``max_df`` decision (``None`` for the exact
+    plan after your own `containment_df_stats` audit).  Streaming
+    inputs cannot be counted — the probe declines and the capped plan
+    is used as-is."""
+    if max_df is None:
+        return False
+    if df.isStreaming:
+        return False
+    return df.limit(max_df + 1).count() <= max_df
 
 
 def _cold_shingle_sets(hashed: DataFrame, max_df: int) -> DataFrame:
@@ -1009,19 +1047,9 @@ def containment_pairs(
     # stalls).  array_sort keeps the prefix slice deterministic.
     # coalesce('') keeps the string-set era's NULL semantics: a NULL text
     # shingled to [''] and therefore matched empty docs.
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        _word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__t"),
+    hashed = _doc_shingle_hash_table(df, text_col, id_col, k).localCheckpoint(
+        eager=False
     )
-    th = toks.select(
-        "id", F.transform("__t", lambda t: F.xxhash64(t)).alias("__th")
-    )
-    hashed = th.select(
-        "id",
-        F.array_sort(F.array_distinct(_shingle_hash_array("__th", k))).alias(
-            "hs"
-        ),
-    ).localCheckpoint(eager=False)
     n = F.size("hs")
     prefix_len = (n - _ceil_mul(n, threshold) + F.lit(1)).cast("int")
     # explode_outer + null filter, NOT explode: InferFiltersFromGenerate
@@ -1104,15 +1132,7 @@ def containment_df_stats(
     k-shingle hashes, per-doc DISTINCT), and the whole audit is the one
     df-count exchange the capped operator already pays — no extra plan
     shape to reason about at 100 TB."""
-    toks = df.select(
-        _word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__t")
-    )
-    th = toks.select(
-        F.transform("__t", lambda t: F.xxhash64(t)).alias("__th")
-    )
-    hashed = th.select(
-        F.array_distinct(_shingle_hash_array("__th", k)).alias("hs")
-    )
+    hashed = _doc_shingle_hash_table(df, text_col, id_col, k)
     dfreq = (
         hashed.select(F.explode_outer("hs").alias("h"))
         .where(F.col("h").isNotNull())

@@ -256,16 +256,20 @@ def generalize_to_k(
         cand.select(
             *quasi_cols,
             "width",
-            # exact integer FLOOR division (not double /-then-cast: a
-            # 64-bit id above 2^53 would band off-by-one vs the
-            # oracle's `//`; and not bare DIV: Spark DIV truncates
-            # toward zero, so negative values in (-width, 0) would
-            # merge into band 0 instead of band -1 like DuckDB's `//`)
-            F.expr(
-                "CAST(coalesce(_v, 0) AS BIGINT) DIV width"
-                " - (CASE WHEN CAST(coalesce(_v, 0) AS BIGINT) % width"
-                "          < 0 THEN 1 ELSE 0 END)"
-            ).alias("_band"),
+            # exact integer division matching the DuckDB oracle's `//`
+            # EXACTLY: both Spark DIV and DuckDB's integer `//`
+            # TRUNCATE toward zero (verified: (-50)//100 = 0 in DuckDB
+            # 1.0), so negatives in (-width, 0) share band 0 with
+            # [0, width) on BOTH engines — Python's flooring `//` is
+            # the odd one out, not the oracle.  (Not double
+            # /-then-cast: a 64-bit id above 2^53 would band
+            # off-by-one.)  Truncation vs floor only shifts WHERE the
+            # band boundaries fall for negative values; class counts
+            # and k-anonymity semantics are unaffected, and the
+            # committed oracle replays truncation.
+            F.expr("CAST(coalesce(_v, 0) AS BIGINT) DIV width").alias(
+                "_band"
+            ),
         )
         .groupBy("width", *quasi_cols, "_band")
         .agg(F.count(F.lit(1)).alias("_n"))

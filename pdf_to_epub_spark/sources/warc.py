@@ -725,8 +725,21 @@ class _WarcReader(DataSourceReader):
                 "For object stores, localize the archives or use "
                 "read_warc_paths over a mounted path."
             )
-        if self._path.lower().startswith("file://"):
-            self._path = self._path[len("file://") :]
+        if self._path.lower().startswith(
+            "file:"
+        ):  # file: URI (also the //-less form) — parse properly:
+            # file://host/p would silently become the RELATIVE path
+            # "host/p", and file:/p the literal "file:/p".
+            from urllib.parse import urlsplit
+
+            parts = urlsplit(self._path)
+            if parts.netloc not in ("", "localhost"):
+                raise ValueError(
+                    "warc datasource reads local paths; file:// URIs "
+                    f"with a remote authority are not supported: "
+                    f"{self._path!r}"
+                )
+            self._path = parts.path
 
     def partitions(self):
         import glob as _glob

@@ -429,27 +429,40 @@ def test_generalize_to_k_picks_smallest_width(spark):
     assert all(not r.chosen for r in out2)
 
 
-def test_generalize_to_k_floor_bands_negative_values(spark):
-    """Banding must FLOOR-divide like the DuckDB oracle's `//`, not
-    truncate toward zero: values in (-width, 0) belong to band -1, so
-    they must NOT merge with [0, width)'s band 0."""
+def test_generalize_to_k_negative_banding_matches_duckdb(spark):
+    """Banding on SIGNED values must match what the DuckDB oracle's
+    integer `//` actually does — TRUNCATE toward zero ((-50)//100 = 0,
+    verified against the installed DuckDB inside this test, so a future
+    DuckDB semantics change fails here, not as an opaque driver hash
+    mismatch).  A round-4-advice 'fix' flipped this to floor division
+    on the inverted belief that DuckDB floors; that made Spark band
+    -50 into -1 while the oracle banded it 0."""
+    import duckdb
+
     from pdf_to_epub_spark.operators.privacy import generalize_to_k
 
-    # 5 docs at v=-50 (band -1) and 5 at v=50 (band 0), width 100.
-    # Floor semantics: two classes of 5 -> k=6 fails, k=5 passes.
-    # Truncation would merge everything into band 0 (one class of 10),
-    # wrongly satisfying k=6.
+    # Empirical oracle-semantics pin: DuckDB integer // truncates.
+    assert duckdb.sql("select (-50)//100, (-150)//100").fetchall() == [
+        (0, -1)
+    ]
+
+    # 5 docs at v=-50 and 5 at v=50, width 100: truncation puts ALL TEN
+    # in band 0 (one class of 10 -> k=6 satisfied); -150 opens band -1.
     rows = [("a", -50.0)] * 5 + [("a", 50.0)] * 5
     df = spark.createDataFrame(rows, "g string, v double")
     r6 = generalize_to_k(
         df, "v", ["g"], k=6, base_width=100, max_doublings=0
     ).collect()[0]
-    assert r6.n_classes == 2 and r6.min_class_size == 5
-    assert not r6.k_anonymous
-    r5 = generalize_to_k(
-        df, "v", ["g"], k=5, base_width=100, max_doublings=0
+    assert r6.n_classes == 1 and r6.min_class_size == 10
+    assert r6.k_anonymous and r6.chosen
+
+    rows2 = rows + [("a", -150.0)] * 3
+    df2 = spark.createDataFrame(rows2, "g string, v double")
+    r = generalize_to_k(
+        df2, "v", ["g"], k=4, base_width=100, max_doublings=0
     ).collect()[0]
-    assert r5.k_anonymous and r5.chosen
+    assert r.n_classes == 2 and r.min_class_size == 3
+    assert not r.k_anonymous
 
 
 def test_rank_correlations_plan_no_global_window(spark):

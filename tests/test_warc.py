@@ -213,6 +213,9 @@ def test_write_warc_fs_commit_path_matches_posix(spark, tmp_path):
         assert (fs_out / name).read_bytes() == (
             posix_out / name
         ).read_bytes(), name
+
+
+def test_write_warc_cdx_index(spark, tmp_path):
     """cdx=True writes a CDXJ sibling per archive: lines sorted by SURT
     key, each (offset, length) extracting exactly one gzip member whose
     record matches the indexed url and sha1-b32 digest; archive bytes
