@@ -1382,11 +1382,23 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     token_hash: Callable[[Column], Column] = F.xxhash64,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Hamming-near pairs: band the 64-bit simhash into ``max_hamming + 1``
     contiguous bit chunks — any pair within Hamming ≤ max_hamming shares at
     least one chunk untouched (pigeonhole, so recall is EXACTLY 1 for the
-    banded candidate set) — bucket-join on band value, verify Hamming."""
+    banded candidate set below the cap) — in-bucket pair generation on
+    band value, verify Hamming.
+
+    ``max_bucket`` bounds the degenerate-band quadratic path, exactly
+    like `minhash_candidate_pairs`: a band value shared by d docs (d
+    near-identical docs, or a boilerplate-dominated corpus whose
+    fingerprints collapse) emits C(d,2) candidates; buckets over the cap
+    degrade to linear STAR pairs via :func:`_bucket_pairs` (sufficient
+    for keep-lowest dedup of the identical-content degeneracy; the
+    pigeonhole recall guarantee then holds only below the cap).  Audit
+    with :func:`simhash_band_stats` — the cap engages silently
+    executor-side."""
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     n_bands = max_hamming + 1
@@ -1409,36 +1421,81 @@ def simhash_near_pairs(
         F.struct(F.lit(b).alias("band_id"), _band_value(b).alias("bv"))
         for b in range(n_bands)
     ]
-    banded = sh.select(id_col, "simhash", F.explode(F.array(*bandcols)).alias("band")).select(
-        id_col, "simhash", "band.band_id", "band.bv"
+    banded = sh.select(id_col, F.explode(F.array(*bandcols)).alias("band")).select(
+        id_col, "band.band_id", "band.bv"
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
-        "hamming"
+    # In-bucket pair generation (NOT a self-join): the groupBy bounds a
+    # degenerate band's fan-out at the bucket row, where the max_bucket
+    # star fallback can see the whole bucket at once — a join can only
+    # discover the blow-up after emitting it.
+    buckets = banded.groupBy("band_id", "bv").agg(
+        F.sort_array(F.collect_list(id_col)).alias("_ids")
+    )
+    pairs = _bucket_pairs(buckets, max_bucket).dropDuplicates(
+        ["id_a", "id_b"]
+    )
+    fa = sh.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_sh_a")
+    )
+    fb = sh.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_sh_b")
     )
     return (
-        a.join(
-            b,
-            on=[
-                F.col("a.band_id") == F.col("b.band_id"),
-                F.col("a.bv") == F.col("b.bv"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            hamming,
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("_sh_a").bitwiseXOR(F.col("_sh_b"))
+            ).alias("hamming"),
         )
-        # hamming is a pure function of the pair, so filtering BEFORE
-        # the dropDuplicates exchange is semantics-identical — but the
-        # optimizer cannot know that (first-row-wins dedup), so the
-        # order matters here: band-collision candidates that fail the
-        # Hamming test (random 2⁻ᵇᵃⁿᵈ collisions between unrelated
-        # docs) never ride the dedup shuffle.
         .where(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash_band_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    token_hash: Callable[[Column], Column] = F.xxhash64,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """One-row audit of the simhash band-bucket distribution — the
+    `lsh_bucket_stats` counterpart for :func:`simhash_near_pairs`:
+    multi-member buckets, the largest bucket, and how many exceed
+    ``max_bucket`` (where pair listing degrades to star pairs and the
+    pigeonhole recall guarantee is capped).  Costs one banding pass."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_bands = max_hamming + 1
+    bounds = [(64 * b) // n_bands for b in range(n_bands + 1)]
+    sh = simhash64(df, text_col, id_col, token_hash)
+
+    def _bv(b: int) -> Column:
+        lo, hi = bounds[b], bounds[b + 1]
+        if hi - lo == 64:
+            return F.col("simhash")
+        return F.shiftright(F.col("simhash"), lo).bitwiseAND(
+            F.lit((1 << (hi - lo)) - 1)
+        )
+
+    bandcols = [
+        F.struct(F.lit(b).alias("band_id"), _bv(b).alias("bv"))
+        for b in range(n_bands)
+    ]
+    sizes = (
+        sh.select(F.explode(F.array(*bandcols)).alias("band"))
+        .groupBy("band.band_id", "band.bv")
+        .agg(F.count("*").alias("n"))
+    )
+    return sizes.where(F.col("n") > 1).agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.max("n").cast("long").alias("max_bucket_size"),
+        F.coalesce(
+            F.sum((F.col("n") > max_bucket).cast("long")), F.lit(0)
+        ).alias("n_over_cap"),
     )
 
 

@@ -149,6 +149,33 @@ def test_minhash_lsh_cap_trips_and_pairs_stay_linear(template_corpus):
     assert got == {(9000, 9001)}
 
 
+def test_simhash_band_cap_trips_and_verification_survives(spark):
+    """Near-identical docs collapse simhash fingerprints into giant band
+    buckets — the degenerate-band quadratic path.  The
+    `simhash_band_stats` audit must report buckets over the cap, and the
+    capped operator must still emit verified Hamming-near pairs
+    (star-bounded listing: ≲ bands·N rows, not C(N,2))."""
+    from pdf_to_epub_spark.operators import (
+        simhash_band_stats,
+        simhash_near_pairs,
+    )
+
+    base = " ".join(f"w{i}" for i in range(60))
+    rows = [(i, base + f" u{i}") for i in range(120)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cap = 16
+    st = simhash_band_stats(df, max_hamming=3, max_bucket=cap).collect()[0]
+    assert st.n_over_cap >= 1
+    assert st.max_bucket_size > cap
+
+    got = simhash_near_pairs(df, max_hamming=3, max_bucket=cap).collect()
+    assert got, "near-identical docs must still pair under the cap"
+    n = len(rows)
+    assert len(got) <= 4 * n  # star-bounded: bands × N, not C(N,2)
+    assert all(r.hamming <= 3 for r in got)
+    assert all(r.id_a < r.id_b for r in got)
+
+
 def test_duplicate_ngram_spans_linear_on_template(template_corpus):
     """The Lee-et-al span detector has NO pair join — template pressure
     produces one duplicated-span row per doc (the boilerplate region),
