@@ -1421,18 +1421,53 @@ def simhash_near_pairs(
         F.struct(F.lit(b).alias("band_id"), _band_value(b).alias("bv"))
         for b in range(n_bands)
     ]
-    banded = sh.select(id_col, F.explode(F.array(*bandcols)).alias("band")).select(
-        id_col, "band.band_id", "band.bv"
+    banded = sh.select(
+        id_col, "simhash", F.explode(F.array(*bandcols)).alias("band")
+    ).select(id_col, "simhash", "band.band_id", "band.bv")
+    # Two-path plan: over-cap bucket KEYS first (one slim map-side-
+    # combined groupBy, filtered to a near-empty set on healthy
+    # corpora), BROADCAST anti-joined off the fast band self-join —
+    # the healthy path keeps the old plan shape plus one broadcast
+    # probe, with hamming filtered BEFORE the final dedup exchange so
+    # random band collisions between unrelated docs never ride it.
+    # Over-cap buckets — where the self-join would emit C(d,2) rows —
+    # degrade to `_bucket_pairs`' linear star listing, Hamming-verified
+    # through fingerprint re-joins; that branch's input is empty when
+    # no bucket trips.  (A first draft tagged EVERY banded row with its
+    # bucket size through a shuffle join and split on the tag — 2×
+    # slower at bench scale purely from the added exchanges.)
+    banded = banded.localCheckpoint(eager=False)
+    hot_keys = F.broadcast(
+        banded.groupBy("band_id", "bv")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > max_bucket)
+        .select("band_id", "bv")
     )
-    # In-bucket pair generation (NOT a self-join): the groupBy bounds a
-    # degenerate band's fan-out at the bucket row, where the max_bucket
-    # star fallback can see the whole bucket at once — a join can only
-    # discover the blow-up after emitting it.
-    buckets = banded.groupBy("band_id", "bv").agg(
-        F.sort_array(F.collect_list(id_col)).alias("_ids")
+    small = banded.join(hot_keys, ["band_id", "bv"], "left_anti")
+    a = small.alias("a")
+    b = small.alias("b")
+    small_pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.bv") == F.col("b.bv"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
     )
-    pairs = _bucket_pairs(buckets, max_bucket).dropDuplicates(
-        ["id_a", "id_b"]
+    big_buckets = (
+        banded.join(hot_keys, ["band_id", "bv"], "left_semi")
+        .groupBy("band_id", "bv")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
     )
     fa = sh.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("_sh_a")
@@ -1440,8 +1475,9 @@ def simhash_near_pairs(
     fb = sh.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("_sh_b")
     )
-    return (
-        pairs.join(fa, "id_a")
+    big_pairs = (
+        _bucket_pairs(big_buckets, max_bucket)
+        .join(fa, "id_a")
         .join(fb, "id_b")
         .select(
             "id_a",
@@ -1451,6 +1487,9 @@ def simhash_near_pairs(
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+    )
+    return small_pairs.unionByName(big_pairs).dropDuplicates(
+        ["id_a", "id_b"]
     )
 
 
