@@ -149,6 +149,34 @@ def test_minhash_lsh_cap_trips_and_pairs_stay_linear(template_corpus):
     assert got == {(9000, 9001)}
 
 
+def test_default_cap_probe_falls_back_to_single_pass_plan(spark):
+    """Plan-shape contract of the DEFAULT cap's no-op probe: on a corpus
+    the cap provably cannot trip (≤ max_df docs), the DEFAULT builds the
+    OLD single-pass plan (no cold-set rebuild — no array_except, no hot
+    df aggregate), while an explicit tripping cap builds the capped plan.
+    This is what makes the scale-safe default free below 10⁴ docs.
+    (Inspected on ngram_jaccard_pairs — containment_pairs' returned plan
+    is truncated behind its verify-stage localCheckpoint (LogicalRDD),
+    so its probe contract is covered behaviorally by the cap-semantics
+    tests instead.)"""
+    from pdf_to_epub_spark.operators import ngram_jaccard_pairs
+
+    rows = [(i, f"alpha beta gamma delta epsilon u{i} v{i} w{i}")
+            for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(k=3, threshold=0.8)
+    default_plan = (
+        ngram_jaccard_pairs(df, **kw)._jdf.queryExecution().toString()
+    )
+    assert "array_except" not in default_plan
+    capped_plan = (
+        ngram_jaccard_pairs(df, max_df=3, **kw)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "array_except" in capped_plan
+
+
 def test_simhash_band_cap_trips_and_verification_survives(spark):
     """Near-identical docs collapse simhash fingerprints into giant band
     buckets — the degenerate-band quadratic path.  The
