@@ -155,26 +155,37 @@ def test_default_cap_probe_falls_back_to_single_pass_plan(spark):
     OLD single-pass plan (no cold-set rebuild — no array_except, no hot
     df aggregate), while an explicit tripping cap builds the capped plan.
     This is what makes the scale-safe default free below 10⁴ docs.
-    (Inspected on ngram_jaccard_pairs — containment_pairs' returned plan
-    is truncated behind its verify-stage localCheckpoint (LogicalRDD),
-    so its probe contract is covered behaviorally by the cap-semantics
-    tests instead.)"""
-    from pdf_to_epub_spark.operators import ngram_jaccard_pairs
+    (Both operators' returned plans are truncated behind verify-stage
+    localCheckpoints, so the contract is observed at the cold-set
+    builder itself: `_cold_shingle_sets` must be entered only when the
+    capped machinery is actually in the plan.)"""
+    import pdf_to_epub_spark.operators.dedup as dd
+    from pdf_to_epub_spark.operators import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
 
     rows = [(i, f"alpha beta gamma delta epsilon u{i} v{i} w{i}")
             for i in range(12)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    kw = dict(k=3, threshold=0.8)
-    default_plan = (
-        ngram_jaccard_pairs(df, **kw)._jdf.queryExecution().toString()
-    )
-    assert "array_except" not in default_plan
-    capped_plan = (
-        ngram_jaccard_pairs(df, max_df=3, **kw)
-        ._jdf.queryExecution()
-        .toString()
-    )
-    assert "array_except" in capped_plan
+    calls: list[int] = []
+    orig = dd._cold_shingle_sets
+
+    def recording(hashed, max_df):
+        calls.append(max_df)
+        return orig(hashed, max_df)
+
+    dd._cold_shingle_sets = recording
+    try:
+        ngram_jaccard_pairs(df, k=3, threshold=0.8)  # default → probe
+        assert calls == [], "12-doc default must fall back to uncapped"
+        containment_pairs(df, k=5, threshold=0.8)
+        assert calls == [], "12-doc default must fall back to uncapped"
+        ngram_jaccard_pairs(df, k=3, threshold=0.8, max_df=3)
+        containment_pairs(df, k=5, threshold=0.8, max_df=3)
+        assert calls == [3, 3], "explicit cap must build the capped plan"
+    finally:
+        dd._cold_shingle_sets = orig
 
 
 def test_simhash_band_cap_trips_and_verification_survives(spark):
