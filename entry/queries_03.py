@@ -817,10 +817,15 @@ def _q_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with the md5-based 60-bit token hash so the
     whole fingerprint pipeline is reproducible in the DuckDB oracle.  The
-    banding is pigeonhole-exact for Hamming ≤ max_hamming, so the output
-    must equal the oracle's brute-force all-pairs set — an exact oracle,
-    not a recall assertion.  (The scale path keeps the faster xxhash64
-    default; same operator, same plan shape.)"""
+    banding is pigeonhole-exact for Hamming ≤ max_hamming BELOW the
+    operator's max_bucket cap, so the output must equal the oracle's
+    brute-force all-pairs set — an exact oracle, not a recall assertion.
+    The exactness precondition is that no 16-bit band value is shared by
+    > 4096 documents, which holds by orders of magnitude at every driver
+    scale (≤ 10⁴ docs); if a future corpus ever tripped it the capped
+    operator would under-emit vs the brute-force oracle and this row
+    would fail loudly rather than drift.  (The scale path keeps the
+    faster xxhash64 default; same operator, same plan shape.)"""
     from pdf_to_epub_spark.operators import md5_hash60, simhash_near_pairs
 
     return simhash_near_pairs(

@@ -1411,32 +1411,28 @@ def simhash_near_pairs(
     for keep-lowest dedup of the identical-content degeneracy; the
     pigeonhole recall guarantee then holds only below the cap).  Audit
     with :func:`simhash_band_stats` — the cap engages silently
-    executor-side."""
+    executor-side.
+
+    Scale ceiling (inherent to banded SimHash, not the cap): band keys
+    have only 2^(64/(max_hamming+1)) possible values — 16 bits per band
+    at the default max_hamming=3 — so even a HEALTHY uniform corpus
+    drives the mean bucket over any fixed cap once N ≳ 65,536·max_bucket
+    (~2.7·10⁸ docs at the defaults), and below the cap the expected
+    candidate volume is already ~4·N²/2¹⁶.  That is the algorithm's
+    pigeonhole floor, not an implementation choice: 64-bit fingerprints
+    cannot band more selectively for Hamming ≤ 3.  At 10⁹+ docs run
+    this per PARTITION of a corpus split (by domain / url prefix /
+    language), or use the MinHash family whose 64-bit band keys collide
+    only on real similarity; `simhash_band_stats.max_bucket_size`
+    rising toward the cap is the audit signal that a corpus has
+    outgrown one partition."""
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
-    n_bands = max_hamming + 1
-    # Even bit split: band b covers [64b/n, 64(b+1)/n) — widths differ by
-    # at most 1 and every band is non-empty for n_bands ≤ 64.
-    bounds = [(64 * b) // n_bands for b in range(n_bands + 1)]
     # lazy localCheckpoint: both join sides reuse the (64-aggregate)
     # fingerprint; freed by the ContextCleaner when unreferenced (persist
     # would pin the CacheManager entry for the whole session).
     sh = simhash64(df, text_col, id_col, token_hash).localCheckpoint(eager=False)
-    def _band_value(b: int) -> Column:
-        lo, hi = bounds[b], bounds[b + 1]
-        if hi - lo == 64:  # single band (max_hamming=0): mask would overflow
-            return F.col("simhash")
-        return F.shiftright(F.col("simhash"), lo).bitwiseAND(
-            F.lit((1 << (hi - lo)) - 1)
-        )
-
-    bandcols = [
-        F.struct(F.lit(b).alias("band_id"), _band_value(b).alias("bv"))
-        for b in range(n_bands)
-    ]
-    banded = sh.select(
-        id_col, "simhash", F.explode(F.array(*bandcols)).alias("band")
-    ).select(id_col, "simhash", "band.band_id", "band.bv")
+    banded = _simhash_banded(sh, id_col, max_hamming)
     # Two-path plan: over-cap bucket KEYS first (one slim map-side-
     # combined groupBy, filtered to a near-empty set on healthy
     # corpora), BROADCAST anti-joined off the fast band self-join —
@@ -1477,26 +1473,30 @@ def simhash_near_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+    # Over-cap star pairs carry (id, simhash) STRUCTS through the
+    # collect_list, so Hamming verification is struct-field algebra on
+    # the pair row itself — no fingerprint re-join, and the whole
+    # branch's plan reduces to nothing when no bucket trips (its input
+    # is empty after the semi-join; a re-join against the full
+    # fingerprint table would put two corpus-sized join stages in every
+    # plan just in case).  sort_array on the structs orders by the id
+    # field first, so `_bucket_pairs`' id_a < id_b contract holds.
     big_buckets = (
         banded.join(hot_keys, ["band_id", "bv"], "left_semi")
         .groupBy("band_id", "bv")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
-    )
-    fa = sh.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("_sh_a")
-    )
-    fb = sh.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("_sh_b")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), "simhash"))
+            ).alias("_ids")
+        )
     )
     big_pairs = (
         _bucket_pairs(big_buckets, max_bucket)
-        .join(fa, "id_a")
-        .join(fb, "id_b")
         .select(
-            "id_a",
-            "id_b",
+            F.col("id_a.i").alias("id_a"),
+            F.col("id_b.i").alias("id_b"),
             F.bit_count(
-                F.col("_sh_a").bitwiseXOR(F.col("_sh_b"))
+                F.col("id_a.simhash").bitwiseXOR(F.col("id_b.simhash"))
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
@@ -1504,6 +1504,36 @@ def simhash_near_pairs(
     return small_pairs.unionByName(big_pairs).dropDuplicates(
         ["id_a", "id_b"]
     )
+
+
+def _simhash_banded(
+    sh: DataFrame, id_col: str, max_hamming: int
+) -> DataFrame:
+    """``(id, simhash, band_id, bv)`` rows: the 64-bit fingerprint split
+    into ``max_hamming + 1`` contiguous bit chunks (even split — widths
+    differ by at most 1; any pair within Hamming ≤ max_hamming shares at
+    least one untouched chunk by pigeonhole).  The ONE banding
+    definition shared by `simhash_near_pairs` and `simhash_band_stats`
+    — the audited bucket distribution and the one the operator pairs on
+    must never drift."""
+    n_bands = max_hamming + 1
+    bounds = [(64 * b) // n_bands for b in range(n_bands + 1)]
+
+    def _band_value(b: int) -> Column:
+        lo, hi = bounds[b], bounds[b + 1]
+        if hi - lo == 64:  # single band (max_hamming=0): mask would overflow
+            return F.col("simhash")
+        return F.shiftright(F.col("simhash"), lo).bitwiseAND(
+            F.lit((1 << (hi - lo)) - 1)
+        )
+
+    bandcols = [
+        F.struct(F.lit(b).alias("band_id"), _band_value(b).alias("bv"))
+        for b in range(n_bands)
+    ]
+    return sh.select(
+        id_col, "simhash", F.explode(F.array(*bandcols)).alias("band")
+    ).select(id_col, "simhash", "band.band_id", "band.bv")
 
 
 def simhash_band_stats(
@@ -1518,33 +1548,28 @@ def simhash_band_stats(
     `lsh_bucket_stats` counterpart for :func:`simhash_near_pairs`:
     multi-member buckets, the largest bucket, and how many exceed
     ``max_bucket`` (where pair listing degrades to star pairs and the
-    pigeonhole recall guarantee is capped).  Costs one banding pass."""
+    pigeonhole recall guarantee is capped).  Banding comes from the same
+    `_simhash_banded` helper the operator pairs on, so the audited
+    distribution cannot drift from the acted-on one.  A corpus with no
+    multi-member bucket returns the all-zero row (every aggregate
+    coalesced — a driver comparing ``max_bucket_size`` against a cap
+    must never meet NULL).  Costs one banding pass;
+    ``max_bucket_size`` climbing toward the cap on a HEALTHY corpus is
+    the signal it has outgrown one simhash partition (see the scale
+    ceiling note on :func:`simhash_near_pairs`)."""
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
-    n_bands = max_hamming + 1
-    bounds = [(64 * b) // n_bands for b in range(n_bands + 1)]
     sh = simhash64(df, text_col, id_col, token_hash)
-
-    def _bv(b: int) -> Column:
-        lo, hi = bounds[b], bounds[b + 1]
-        if hi - lo == 64:
-            return F.col("simhash")
-        return F.shiftright(F.col("simhash"), lo).bitwiseAND(
-            F.lit((1 << (hi - lo)) - 1)
-        )
-
-    bandcols = [
-        F.struct(F.lit(b).alias("band_id"), _bv(b).alias("bv"))
-        for b in range(n_bands)
-    ]
     sizes = (
-        sh.select(F.explode(F.array(*bandcols)).alias("band"))
-        .groupBy("band.band_id", "band.bv")
+        _simhash_banded(sh, id_col, max_hamming)
+        .groupBy("band_id", "bv")
         .agg(F.count("*").alias("n"))
     )
     return sizes.where(F.col("n") > 1).agg(
         F.count("*").cast("long").alias("n_buckets"),
-        F.max("n").cast("long").alias("max_bucket_size"),
+        F.coalesce(F.max("n"), F.lit(0)).cast("long").alias(
+            "max_bucket_size"
+        ),
         F.coalesce(
             F.sum((F.col("n") > max_bucket).cast("long")), F.lit(0)
         ).alias("n_over_cap"),
