@@ -974,6 +974,10 @@ def ngram_jaccard_pairs(
                 F.slice("hs_f", F.lit(1), _hot_adjusted_prefix_len(threshold))
             ).alias("h"),
         ).where(F.col("h").isNotNull())
+    # NB: measured A/B (r6) — both legs are prefix-volume only, small
+    # enough that the optimizer's broadcast build beats a forced
+    # shuffle_hash here (0.8 s vs 0.9 s warm at sf0.1); containment's
+    # full-index leg is the shape that needs the hint, not this one.
     a = inverted.alias("a")
     b = inverted.alias("b")
     pairs = (
@@ -1079,6 +1083,7 @@ def containment_pairs(
         index = hashed.select("id", F.explode_outer("hs").alias("h")).where(
             F.col("h").isNotNull()
         )
+        probe = probe.hint("shuffle_hash")
     else:
         # Hot shingles must leave BOTH sides BEFORE the probe prefix is
         # sliced: filtering only the index is unsound — a doc whose
@@ -1101,6 +1106,15 @@ def containment_pairs(
                 F.slice("hs_f", F.lit(1), _hot_adjusted_prefix_len(threshold))
             ).alias("h"),
         ).where(F.col("h").isNotNull())
+        probe = probe.hint("shuffle_hash")
+    # shuffle_hash (build = probe, the smaller side): the optimizer's
+    # default here is to BROADCAST the full index explode — a 6.2M-entry
+    # single-threaded hash-relation build at sf0.1 (~3.2 s of the
+    # operator's wall; measured A/B 3.2 s vs 1.4 s warm) and a
+    # non-starter at 100 TB where the index side never fits a broadcast.
+    # Both sides exchange slim (id, long) rows; the per-partition build
+    # is bounded by the probe's prefix volume and AQE skew-split still
+    # applies.
     p, ix = probe.alias("p"), index.alias("ix")
     pairs = (
         p.join(
