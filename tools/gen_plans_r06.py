@@ -84,6 +84,7 @@ def build_targets(spark, corpus, sf_dir):
                 F.slice("hs_f", F.lit(1), _hot_adjusted_prefix_len(0.8))
             ).alias("h"),
         ).where(F.col("h").isNotNull())
+        probe = probe.hint("shuffle_hash")  # mirrors containment_pairs (r6)
         p, ix = probe.alias("p"), index.alias("ix")
         return (
             p.join(
