@@ -290,7 +290,70 @@ def phases_incremental(spark, corpus, sf_dir):
     return {"full": p_full}
 
 
+def phases_absuite(spark, corpus, sf_dir):
+    """Fixed heavy-entry subset for config A/Bs (one JVM per config,
+    interleave configs across subprocess runs)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from pdf_to_epub_spark.operators import (
+        bigram_lm_scores,
+        containment_pairs,
+        minhash_candidate_pairs,
+        packed_texts,
+        simhash_near_pairs,
+    )
+    from pdf_to_epub_spark.operators import (
+        kn_bigram_scores,
+        lm_partition,
+        train_kn_bigram,
+    )
+
+    docs = corpus.select(F.xxhash64("url").alias("doc_id"), F.col("text"))
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("_tk"))
+    excerpts = toks.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice("_tk", F.lit(1), ((F.size("_tk") + 1) / 2).cast("int"))
+        ).alias("text"),
+    )
+    union = docs.unionByName(excerpts)
+    kdocs = corpus.select(F.col("url").alias("doc_id"), "text")
+
+    def p_minhash():
+        _force(
+            minhash_candidate_pairs(
+                docs, k=5, num_hashes=32, bands=8, jaccard_threshold=0.7
+            )
+        )
+
+    def p_containment():
+        _force(containment_pairs(union, k=5, threshold=0.8, max_df=8))
+
+    def p_lm_pack():
+        _force(bigram_lm_scores(docs))
+        _force(packed_texts(docs, max_tokens=2048, n_shards=64))
+
+    def p_kn():
+        model = train_kn_bigram(kdocs, vocab_size=4096)
+        _force(lm_partition(kn_bigram_scores(kdocs, model, vocab_size=4096)))
+
+    def p_simhash():
+        _force(
+            simhash_near_pairs(entrymod.mutated_recrawl(spark, sf_dir), max_hamming=3)
+        )
+
+    return {
+        "minhash": p_minhash,
+        "containment": p_containment,
+        "lm_pack": p_lm_pack,
+        "kn": p_kn,
+        "simhash": p_simhash,
+    }
+
+
 PROBES = {
+    "absuite": phases_absuite,
     "containment": phases_containment,
     "minhash_bigdocs": phases_minhash_bigdocs,
     "oph_bigdocs": phases_oph_bigdocs,

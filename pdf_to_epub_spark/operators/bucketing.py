@@ -404,8 +404,8 @@ def global_positions(
 def global_prefix_sums(
     df: DataFrame,
     order_cols: list[str],
-    weight_col: str,
-    sum_col: str = "_cum",
+    weight_col: str | list[str],
+    sum_col: str | list[str] = "_cum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Append EXCLUSIVE global prefix sums of ``weight_col`` under the
@@ -421,8 +421,18 @@ def global_prefix_sums(
     and the lift join).  ``order_cols`` must be a total order over the
     rows — the intended caller ranks DISTINCT value tables
     (``textstats.rank_correlations``), where the value itself is one.
+
+    ``weight_col``/``sum_col`` accept parallel LISTS to produce several
+    prefix sums in ONE range pass (the score_drift_ks shape: cumulative
+    counts of both samples over the pooled value order) — same shuffle
+    count as the single-weight form.
     """
     from pyspark.sql.window import Window
+
+    weights = [weight_col] if isinstance(weight_col, str) else list(weight_col)
+    sums = [sum_col] if isinstance(sum_col, str) else list(sum_col)
+    if len(weights) != len(sums):
+        raise ValueError("weight_col and sum_col lists must align")
 
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -430,33 +440,37 @@ def global_prefix_sums(
     ranged = df.repartitionByRange(p, *order).withColumn(
         "_gs_pid", F.spark_partition_id()
     )
-    local = ranged.withColumn(
-        "_gs_cum",
-        F.coalesce(
-            F.sum(weight_col).over(
-                Window.partitionBy("_gs_pid")
-                .orderBy(*order)
-                .rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
+    wloc = (
+        Window.partitionBy("_gs_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumns(
+        {
+            f"_gs_cum{i}": F.coalesce(F.sum(w).over(wloc), F.lit(0))
+            for i, w in enumerate(weights)
+        }
     ).localCheckpoint(eager=False)  # feeds the totals agg AND the lift
     totals = local.groupBy("_gs_pid").agg(
-        F.sum(weight_col).alias("_gs_n")
+        *[F.sum(w).alias(f"_gs_n{i}") for i, w in enumerate(weights)]
     )
-    off = totals.withColumn(
-        "_gs_off",
-        F.coalesce(
-            F.sum("_gs_n").over(
-                Window.orderBy("_gs_pid").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ),
-    ).select("_gs_pid", "_gs_off")
-    return (
-        local.join(F.broadcast(off), "_gs_pid")
-        .withColumn(sum_col, F.col("_gs_off") + F.col("_gs_cum"))
-        .drop("_gs_pid", "_gs_cum", "_gs_off")
+    woff = Window.orderBy("_gs_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = totals.withColumns(
+        {
+            f"_gs_off{i}": F.coalesce(F.sum(f"_gs_n{i}").over(woff), F.lit(0))
+            for i in range(len(weights))
+        }
+    ).select("_gs_pid", *[f"_gs_off{i}" for i in range(len(weights))])
+    out = local.join(F.broadcast(off), "_gs_pid").withColumns(
+        {
+            s: F.col(f"_gs_off{i}") + F.col(f"_gs_cum{i}")
+            for i, s in enumerate(sums)
+        }
+    )
+    return out.drop(
+        "_gs_pid",
+        *[f"_gs_cum{i}" for i in range(len(weights))],
+        *[f"_gs_off{i}" for i in range(len(weights))],
     )

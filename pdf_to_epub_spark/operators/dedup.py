@@ -914,6 +914,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     max_df: int | None = DEFAULT_SHINGLE_MAX_DF,
+    probe: bool = True,
 ) -> DataFrame:
     """Exact n-gram-Jaccard pairing via a PPJoin-style PREFIX-FILTERED
     inverted index over HASHED shingles, with exact string verification:
@@ -946,8 +947,14 @@ def ngram_jaccard_pairs(
        collisions cannot create false positives.  (A collision between two
        shingles of a near-threshold pair's intersection could in principle
        drop a true pair from the candidate set; at 64-bit that is a
-       ~2⁻⁶⁴-per-pair event — the documented approximation bound.)"""
-    if _cap_is_provably_noop(df, max_df):
+       ~2⁻⁶⁴-per-pair event — the documented approximation bound.)
+
+    ``probe=False`` keeps construction FULLY LAZY: the bounded
+    default-cap no-op probe (`_cap_is_provably_noop`, a
+    limit(max_df+1).count() driver action) is skipped and the capped
+    plan is built as-is — for pipelines composing many operators that
+    should not pay one hidden job each (r5 advice)."""
+    if probe and _cap_is_provably_noop(df, max_df):
         max_df = None
     sh = with_shingles(df.select(id_col, text_col), text_col, k).select(
         F.col(id_col).alias("id"), F.col("shingles")
@@ -1020,6 +1027,7 @@ def containment_pairs(
     k: int = 5,
     threshold: float = 0.8,
     max_df: int | None = DEFAULT_SHINGLE_MAX_DF,
+    probe: bool = True,
 ) -> DataFrame:
     """Exact ASYMMETRIC shingle-containment pairing — the
     syndication/excerpt detector Jaccard structurally misses: when A is an
@@ -1064,8 +1072,11 @@ def containment_pairs(
     explicitly want the exact uncapped plan; audit a corpus's template
     pressure first with :func:`containment_df_stats`, which reports how
     many shingles the cap would drop (the cap engages silently inside
-    the executors and cannot log — the `lsh_bucket_stats` precedent)."""
-    if _cap_is_provably_noop(df, max_df):
+    the executors and cannot log — the `lsh_bucket_stats` precedent).
+
+    ``probe=False`` keeps construction FULLY LAZY (skips the bounded
+    default-cap no-op probe) — see `ngram_jaccard_pairs`."""
+    if probe and _cap_is_provably_noop(df, max_df):
         max_df = None
     # ONE lazy checkpoint on the slim (id, sorted distinct shingle-hash
     # array) table: it feeds the probe, the index, the df-count (under

@@ -114,11 +114,16 @@ def binary_classifier_eval(
         F.sum(F.when(t, 1).otherwise(0)).alias("np"),
         F.sum(F.when(t, 0).otherwise(1)).alias("nn"),
     )
-    w = Window.orderBy("__m")
-    cum_below = F.coalesce(
-        F.sum("nn").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0),
-    )
+    # Exclusive cumulative negatives via the keyed range-partitioned
+    # machinery instead of an unpartitioned window: distinct margins are
+    # bounded for calibrated scores but ~n for raw continuous floats, and
+    # a corpus-sized caller would serialize the whole table through one
+    # window task (the spearman_signals / rank_agreement contract; same
+    # values, order-independent integer sums).
+    from pdf_to_epub_spark.operators.bucketing import global_prefix_sums
+
+    per = global_prefix_sums(per, ["__m"], "nn", "__cumnn")
+    cum_below = F.col("__cumnn")
     pred_pos = F.col("__m") > 0
     agg = per.select(
         "np",
@@ -286,22 +291,19 @@ def rank_agreement(
     df = df.where(cond)
 
     def _ranks(score: str, alias: str) -> DataFrame:
+        # Starting offset per distinct value = EXCLUSIVE global prefix
+        # count — the keyed range-partitioned form, not an unpartitioned
+        # window over the distinct-value table (which is ~n rows for
+        # continuous float scores; the score_drift_ks contract note).
+        from pdf_to_epub_spark.operators.bucketing import global_prefix_sums
+
         slim = df.select(F.col(id_col).alias("id"), F.col(score).alias("v"))
-        offsets = (
-            slim.groupBy("v")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .select(
-                "v",
-                (
-                    F.sum("c").over(
-                        Window.orderBy("v").rowsBetween(
-                            Window.unboundedPreceding, Window.currentRow
-                        )
-                    )
-                    - F.col("c")
-                ).alias("off"),
-            )
-        )
+        offsets = global_prefix_sums(
+            slim.groupBy("v").agg(F.count(F.lit(1)).alias("c")),
+            ["v"],
+            "c",
+            "off",
+        ).select("v", "off")
         win = Window.partitionBy("v").orderBy("id")
         return slim.join(offsets, "v").select(
             "id",
@@ -367,17 +369,26 @@ def score_drift_ks(
     per = tagged.groupBy("v").agg(
         F.sum("ia").alias("ca"), F.sum("ib").alias("cb")
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tot = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    curve = per.select(
-        "v",
-        F.sum("ca").over(w).alias("cum_a"),
-        F.sum("cb").over(w).alias("cum_b"),
-        F.sum("ca").over(tot).alias("n_a"),
-        F.sum("cb").over(tot).alias("n_b"),
+    # Both inclusive ECDF counts in ONE keyed range pass (exclusive
+    # prefix + own count) — replaces two unpartitioned running-sum
+    # windows that would serialize the distinct-value table through a
+    # single task when scores are raw continuous floats; totals come
+    # from a 1-row broadcast instead of an all-rows frame.
+    from pdf_to_epub_spark.operators.bucketing import global_prefix_sums
+
+    cums = global_prefix_sums(
+        per, ["v"], ["ca", "cb"], ["__xa", "__xb"]
     ).select(
+        "v",
+        (F.col("__xa") + F.col("ca")).alias("cum_a"),
+        (F.col("__xb") + F.col("cb")).alias("cum_b"),
+    )
+    # totals = the ECDF maxima — re-reads the prefix-sum machinery's own
+    # lazy checkpoint, so the union+groupBy subtree still executes once
+    totals = cums.agg(
+        F.max("cum_a").alias("n_a"), F.max("cum_b").alias("n_b")
+    )
+    curve = cums.crossJoin(F.broadcast(totals)).select(
         "v", "n_a", "n_b",
         F.round(
             F.abs(
@@ -387,16 +398,15 @@ def score_drift_ks(
             6,
         ).alias("gap"),
     )
-    best = Window.orderBy(F.desc("gap"), F.asc("v"))
-    return (
-        curve.withColumn("__rn", F.row_number().over(best))
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col("n_a").cast("long").alias("n_a"),
-            F.col("n_b").cast("long").alias("n_b"),
-            F.col("gap").alias("d_stat"),
-            F.col("v").alias("at_value"),
-        )
+    # (gap desc, v asc) is a total order (v is unique), so the peak row
+    # is orderBy + limit(1) — compiles to TakeOrderedAndProject
+    # (per-partition heaps), not a row_number window serializing the
+    # whole curve through one task.
+    return curve.orderBy(F.desc("gap"), F.asc("v")).limit(1).select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("gap").alias("d_stat"),
+        F.col("v").alias("at_value"),
     )
 
 
