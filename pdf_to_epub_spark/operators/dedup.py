@@ -638,19 +638,35 @@ def _score_pairs_exact_jaccard(
     tests can inspect the join strategy, which the checkpoint barrier hides
     from the public function's executedPlan).  Token arrays are
     materialized as columns on the candidate rows before the shingle
-    lambdas touch them (see :func:`_shingles_from_tokens`)."""
+    lambdas touch them (see :func:`_shingles_from_tokens`).
+
+    Shingle identity here is the rotation-XOR combine of per-token hashes
+    (the `containment_pairs` verify scheme, r6): set sizes — and hence
+    the jaccard double — equal the string-shingle computation's
+    bit-for-bit unless two distinct shingles of a candidate pair collide
+    at 64 bits (~2⁻⁶³ per shared shingle, the documented family bound),
+    while skipping the per-position ``concat_ws`` string build that
+    dominated the verify stage.  NULL text coalesces to '' so NULL and
+    empty docs still verify at jaccard 1 against each other (the
+    string era's ``concat_ws(NULL) = ''`` behavior, kept explicit)."""
     ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_text_a"))
     tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_text_b"))
     with_texts = tb.join(ta.join(F.broadcast(pairs), "id_a"), "id_b")
     toks = with_texts.select(
         "id_a",
         "id_b",
-        _word_tokens(F.col("_text_a")).alias("_toks_a"),
-        _word_tokens(F.col("_text_b")).alias("_toks_b"),
+        _word_tokens(F.coalesce(F.col("_text_a"), F.lit(""))).alias("_toks_a"),
+        _word_tokens(F.coalesce(F.col("_text_b"), F.lit(""))).alias("_toks_b"),
     )
-    sh_a = _shingles_from_tokens(F.col("_toks_a"), k)
-    sh_b = _shingles_from_tokens(F.col("_toks_b"), k)
-    return toks.select(
+    th = toks.select(
+        "id_a",
+        "id_b",
+        F.transform("_toks_a", lambda t: F.xxhash64(t)).alias("_th_a"),
+        F.transform("_toks_b", lambda t: F.xxhash64(t)).alias("_th_b"),
+    )
+    sh_a = F.array_distinct(_shingle_hash_array("_th_a", k))
+    sh_b = F.array_distinct(_shingle_hash_array("_th_b", k))
+    return th.select(
         "id_a",
         "id_b",
         (

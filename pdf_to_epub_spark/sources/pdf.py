@@ -210,6 +210,8 @@ def make_pdf_bytes(
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
 _NUM = rb"[+-]?(?:\d+\.?\d*|\.\d+)"
+_NUM_RE = re.compile(_NUM)
+_WS_RE = re.compile(rb"\s")
 _TOKEN_RE = re.compile(
     rb"\((?:[^()\\]|\\.)*\)"      # literal string
     rb"|<[0-9A-Fa-f\s]*>"          # hex string
@@ -334,7 +336,19 @@ def _parse_objects(raw: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     return objects
 
 
+_ESC_MAP = {
+    ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t",
+    ord("b"): b"\b", ord("f"): b"\f",
+    ord("("): b"(", ord(")"): b")", ord("\\"): b"\\",
+}
+
+
 def _unescape_literal(tok: bytes) -> str:
+    # Fast path (r6, measured ~25% of parse wall): no backslash means no
+    # escape to process — decode the body directly instead of walking it
+    # byte-by-byte through a BytesIO.
+    if 0x5C not in tok:
+        return _decode_pdf_string(tok[1:-1])
     out = io.BytesIO()
     i = 1
     end = len(tok) - 1
@@ -342,11 +356,7 @@ def _unescape_literal(tok: bytes) -> str:
         c = tok[i]
         if c == 0x5C and i + 1 < end:  # backslash
             n = tok[i + 1]
-            mapped = {
-                ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t",
-                ord("b"): b"\b", ord("f"): b"\f",
-                ord("("): b"(", ord(")"): b")", ord("\\"): b"\\",
-            }.get(n)
+            mapped = _ESC_MAP.get(n)
             if mapped is not None:
                 out.write(mapped)
                 i += 2
@@ -413,7 +423,7 @@ def _iter_text_ops(content: bytes) -> Iterator[tuple[float, float, float, str]]:
                 stack.append(s)  # decoded str rides the stack directly
             continue
         if tok.startswith(b"<"):
-            hexs = re.sub(rb"\s", b"", tok[1:-1])
+            hexs = _WS_RE.sub(b"", tok[1:-1])
             if len(hexs) % 2:
                 hexs += b"0"
             s = _decode_pdf_string(bytes.fromhex(hexs.decode("ascii")))
@@ -422,7 +432,7 @@ def _iter_text_ops(content: bytes) -> Iterator[tuple[float, float, float, str]]:
             else:
                 stack.append(s)
             continue
-        if re.fullmatch(_NUM, tok):
+        if _NUM_RE.fullmatch(tok):
             stack.append(tok)
             continue
         if tok.startswith(b"/"):
