@@ -2441,8 +2441,13 @@ def mask_spans(
     array per doc, then a single index-aware HOF rewrite — the corpus
     joins a tiny span table and never shuffles itself."""
     merged = merge_spans(spans, id_col)
+    # sort_array: the segment rebuild below walks spans in start order
+    # (collect_list order is partition-dependent); merge_spans already
+    # guarantees they are non-overlapping with >= 1 gap token between.
     per_doc = merged.groupBy(id_col).agg(
-        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans")
     )
     # broadcast: spans are bounded by leak hits (tiny by design) while
     # their lineage (join+windows) defeats size estimation — without
@@ -2454,16 +2459,41 @@ def mask_spans(
     j = corpus.join(F.broadcast(per_doc), id_col, "left").withColumn(
         "__t", F.split(F.trim(F.col(text_col)), r"\s+")
     )
-    masked_toks = F.transform(
-        F.col("__t"),
-        # NB: 2-param HOF lambda is (element, index)
-        lambda x, i: F.when(
-            F.exists(
-                "__spans",
-                lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
-            ),
-            F.lit(mask),
-        ).otherwise(x),
+    # Segment rebuild, O(tokens + spans) (r6): per span emit the
+    # untouched gap before it (slice) plus its mask run (array_repeat),
+    # then append the tail after the last span.  The previous per-token
+    # `exists(__spans, ...)` predicate was O(tokens × spans) of
+    # interpreted lambda evals — the dominant cost of the bench
+    # decontamination entry, whose merged spans run to dozens per doc.
+    # Length guards (greatest 0 / least n-1) clamp exactly to the old
+    # "mask only tokens that exist" semantics for out-of-range spans.
+    nt = F.size("__t")
+    spansc = F.col("__spans")
+
+    def _seg(s: Column, i: Column) -> Column:
+        prev_end = F.when(i == 0, F.lit(-1)).otherwise(
+            F.get(spansc, i - 1)["span_end"]
+        )
+        gap_len = F.greatest(
+            F.lit(0), s["span_start"] - prev_end - F.lit(1)
+        )
+        run = F.greatest(
+            F.lit(0),
+            F.least(s["span_end"], nt - F.lit(1)) - s["span_start"] + F.lit(1),
+        )
+        return F.concat(
+            F.slice(F.col("__t"), prev_end + F.lit(2), gap_len),
+            F.array_repeat(F.lit(mask), run),
+        )
+
+    last_end = F.get(spansc, F.size(spansc) - 1)["span_end"]
+    masked_toks = F.concat(
+        F.flatten(F.transform(spansc, _seg)),
+        F.slice(
+            F.col("__t"),
+            last_end + F.lit(2),
+            F.greatest(F.lit(0), nt - last_end - F.lit(1)),
+        ),
     )
     n_masked = F.aggregate(
         F.coalesce("__spans", F.array()),

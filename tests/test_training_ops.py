@@ -3892,3 +3892,52 @@ def test_zipf_fit_on_zipfian_corpus(spark):
     assert -1.1 < row["slope"] < -0.9  # near the planted exponent
     # intercept ~ ln(1000)
     assert abs(row["intercept"] - math.log(1000)) < 0.2
+
+
+def test_mask_spans_segment_rebuild_matches_per_token_reference(spark):
+    """r6: mask_spans' O(tokens+spans) segment rebuild must byte-match a
+    per-token Python reference on randomized span sets, including
+    edge-touching, adjacent-after-merge, and out-of-range spans."""
+    import random
+
+    from pdf_to_epub_spark.operators.dedup import mask_spans
+
+    rng = random.Random(29)
+    docs, spans = [], []
+    for d in range(40):
+        n = rng.randrange(1, 30)
+        toks = [f"w{d}_{i}" for i in range(n)]
+        docs.append((d, " ".join(toks)))
+        for _ in range(rng.randrange(0, 6)):
+            s = rng.randrange(0, n + 3)
+            e = s + rng.randrange(0, 5)
+            spans.append((d, s, e))
+    docs.append((98, "solo"))  # no spans -> byte-identical passthrough
+    docs.append((99, None))    # NULL text
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    sdf = spark.createDataFrame(
+        spans, "doc_id long, span_start int, span_end int"
+    )
+    got = {r["doc_id"]: r for r in mask_spans(corpus, sdf).collect()}
+
+    by_doc: dict[int, list] = {}
+    for d, s, e in spans:
+        by_doc.setdefault(d, []).append((s, e))
+    for d, text in docs:
+        row = got[d]
+        if text is None:
+            assert row["text"] is None and row["n_tokens"] is None
+            continue
+        toks = text.split(" ")
+        cov = by_doc.get(d)
+        if not cov:
+            assert row["text"] == text
+            continue
+        ref = [
+            "<REDACTED>"
+            if any(s <= i <= e for s, e in cov)
+            else t
+            for i, t in enumerate(toks)
+        ]
+        assert row["text"] == " ".join(ref), (d, row["text"], ref)
+        assert row["n_tokens"] == len(toks)
