@@ -39,6 +39,8 @@ from .blocks import Block
 from .pipeline import ExtractResult
 
 # Block-level elements: closing one flushes the current text run.
+_NONBLANK_RE = re.compile(r"[^ \t\r\n]")
+
 BLOCK_TAGS = frozenset(
     "p div h1 h2 h3 h4 h5 h6 li td th caption article section blockquote "
     "pre nav header footer aside main figure figcaption table ul ol tr "
@@ -111,8 +113,9 @@ class _BlockParser(HTMLParser):
         # line, so '[^ \t\r\n]' over the multi-line buffer): Python strip()
         # would also eat NBSP/\f/\v, which the per-line classifier counts as
         # content — the construction oracle and the parser must share one
-        # blankness definition.
-        if re.search(r"[^ \t\r\n]", text):
+        # blankness definition.  (Precompiled — this runs once per text
+        # node; the module-level re.search paid a cache lookup per call.)
+        if _NONBLANK_RE.search(text):
             self.blocks.append(
                 RawBlock(
                     tag=self._innermost_block(),
