@@ -225,10 +225,11 @@ def minhash_signatures(
     string-hashed once instead of each k-word shingle (measured 1.9 s →
     1.1 s on the sf0.1 signature stage; the string build was ~55% of the
     whole operator).  The family swap is sound for every consumer: all
-    downstream pair sets are verified with EXACT string-shingle Jaccard,
-    and the oracles' recall argument (miss ≈ 3e-8 per true pair at
-    J≈0.97) is hash-family-independent.  NULL text coalesces to '' —
-    one fallback shingle, so empty docs still band together."""
+    downstream pair sets are verified with exact set Jaccard over the
+    same hash family (2⁻⁶³ collision bound), and the oracles' recall
+    argument (miss ≈ 3e-8 per true pair at J≈0.97) is
+    hash-family-independent.  NULL text coalesces to '' — one fallback
+    shingle, so empty docs still band together."""
     toks = df.select(
         F.col(id_col),
         _word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__t"),
@@ -933,7 +934,7 @@ def ngram_jaccard_pairs(
     probe: bool = True,
 ) -> DataFrame:
     """Exact n-gram-Jaccard pairing via a PPJoin-style PREFIX-FILTERED
-    inverted index over HASHED shingles, with exact string verification:
+    inverted index over HASHED shingles, with exact set verification:
 
     1. per doc, sort the distinct xxhash64(shingle) values (the hash IS the
        canonical global token order — no df-statistics pass needed) and
@@ -959,11 +960,12 @@ def ngram_jaccard_pairs(
     2. the prefix self-join carries only (id, n, long) — never shingle
        strings; a size-ratio filter (min(n_a,n_b) ≥ ⌈t·max⌉, sound because
        J ≤ min/max) prunes length-incompatible pairs in the join itself;
-    3. candidates are re-verified with exact string shingles, so hash
-       collisions cannot create false positives.  (A collision between two
-       shingles of a near-threshold pair's intersection could in principle
-       drop a true pair from the candidate set; at 64-bit that is a
-       ~2⁻⁶⁴-per-pair event — the documented approximation bound.)
+    3. candidates are re-verified by exact intersection of the full
+       rotation-XOR shingle-hash sets (`_score_pairs_exact_jaccard`, r6 —
+       the `containment_pairs` verify scheme): jaccard values equal the
+       string-shingle computation's up to the ~2⁻⁶³-per-shared-shingle
+       collision bound, the same order as the candidate stage's 2⁻⁶⁴
+       xxhash64 bound this operator has always carried.
 
     ``probe=False`` keeps construction FULLY LAZY: the bounded
     default-cap no-op probe (`_cap_is_provably_noop`, a
