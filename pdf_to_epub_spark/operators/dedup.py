@@ -2473,22 +2473,28 @@ def mask_spans(
     spansc = F.col("__spans")
 
     def _seg(s: Column, i: Column) -> Column:
+        # prev_end clamps at -1: a fully-negative previous span covers
+        # no tokens, and slice() rejects a computed start of 0
         prev_end = F.when(i == 0, F.lit(-1)).otherwise(
-            F.get(spansc, i - 1)["span_end"]
+            F.greatest(F.get(spansc, i - 1)["span_end"], F.lit(-1))
         )
-        gap_len = F.greatest(
-            F.lit(0), s["span_start"] - prev_end - F.lit(1)
-        )
+        # clamp the start at 0: the contract is 0-based in-range spans,
+        # but the old per-token form tolerated a negative start (it can
+        # only cover tokens that exist) and the rebuild must match it
+        start = F.greatest(s["span_start"], F.lit(0))
+        gap_len = F.greatest(F.lit(0), start - prev_end - F.lit(1))
         run = F.greatest(
             F.lit(0),
-            F.least(s["span_end"], nt - F.lit(1)) - s["span_start"] + F.lit(1),
+            F.least(s["span_end"], nt - F.lit(1)) - start + F.lit(1),
         )
         return F.concat(
             F.slice(F.col("__t"), prev_end + F.lit(2), gap_len),
             F.array_repeat(F.lit(mask), run),
         )
 
-    last_end = F.get(spansc, F.size(spansc) - 1)["span_end"]
+    last_end = F.greatest(
+        F.get(spansc, F.size(spansc) - 1)["span_end"], F.lit(-1)
+    )
     masked_toks = F.concat(
         F.flatten(F.transform(spansc, _seg)),
         F.slice(

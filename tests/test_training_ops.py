@@ -3909,7 +3909,7 @@ def test_mask_spans_segment_rebuild_matches_per_token_reference(spark):
         toks = [f"w{d}_{i}" for i in range(n)]
         docs.append((d, " ".join(toks)))
         for _ in range(rng.randrange(0, 6)):
-            s = rng.randrange(0, n + 3)
+            s = rng.randrange(-2, n + 3)  # incl. out-of-contract negatives
             e = s + rng.randrange(0, 5)
             spans.append((d, s, e))
     docs.append((98, "solo"))  # no spans -> byte-identical passthrough
