@@ -808,14 +808,19 @@ def drop_near_duplicates(
 
 
 def _doc_shingle_hash_table(
-    df: DataFrame, text_col: str, id_col: str, k: int
+    df: DataFrame, text_col: str, id_col: str, k: int, sort: bool = True
 ) -> DataFrame:
     """``(id, hs)``: per-doc SORTED DISTINCT k-shingle hashes
     (lowercased whitespace tokens → xxhash64 per token → rotation-XOR
     shingle combine, NULL text coalesced to '').  The ONE shingling
     definition shared by `containment_pairs` (candidate generation +
     verification) and `containment_df_stats` (the audit) — the audited
-    df distribution and the one the cap acts on must never drift."""
+    df distribution and the one the cap acts on must never drift.
+
+    ``sort=False`` skips the array_sort for consumers that only need the
+    distinct MULTISET (the audit's df count — ordering is presentation,
+    the token/hash/distinct pipeline stays shared; ~0.2 s of the audit's
+    wall at sf0.1, r6).  Prefix-slicing consumers must keep the sort."""
     toks = df.select(
         F.col(id_col).alias("id"),
         _word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__t"),
@@ -823,12 +828,10 @@ def _doc_shingle_hash_table(
     th = toks.select(
         "id", F.transform("__t", lambda t: F.xxhash64(t)).alias("__th")
     )
-    return th.select(
-        "id",
-        F.array_sort(F.array_distinct(_shingle_hash_array("__th", k))).alias(
-            "hs"
-        ),
-    )
+    hs = F.array_distinct(_shingle_hash_array("__th", k))
+    if sort:
+        hs = F.array_sort(hs)
+    return th.select("id", hs.alias("hs"))
 
 
 def _cap_is_provably_noop(df: DataFrame, max_df: int | None) -> bool:
@@ -1203,7 +1206,7 @@ def containment_df_stats(
     k-shingle hashes, per-doc DISTINCT), and the whole audit is the one
     df-count exchange the capped operator already pays — no extra plan
     shape to reason about at 100 TB."""
-    hashed = _doc_shingle_hash_table(df, text_col, id_col, k)
+    hashed = _doc_shingle_hash_table(df, text_col, id_col, k, sort=False)
     dfreq = (
         hashed.select(F.explode_outer("hs").alias("h"))
         .where(F.col("h").isNotNull())
