@@ -716,7 +716,12 @@ class _WarcReader(DataSourceReader):
         self._batch = int(options.get("records_per_batch", 256))
         if not self._path:
             raise ValueError("warc datasource requires a load(path)")
-        scheme = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", self._path)
+        # colon with optional slashes (r5 advice): a single-slash URI
+        # like 's3a:/bucket/x' must hit this loud rejection too, not
+        # fail later as an empty glob ("no files match").  Windows-style
+        # drive letters don't exist on the supported platforms, so any
+        # <letters>: prefix is a scheme.
+        scheme = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):", self._path)
         if scheme and scheme.group(1).lower() != "file":
             raise ValueError(
                 "warc datasource plans with driver-side glob and reads "
